@@ -1,38 +1,39 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 as a named
+DataFrame builder; ``oracle_sql()`` — matching DuckDB SQL. Registry
+lives in ``parquet_to_csv_spark/plans/registry.py``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_to_csv_spark.plans.registry import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's full transform pipeline (scan → derive
+    duration_ms → filter → distinct) aggregated by event type."""
+    from parquet_to_csv_spark.operators.refpipe import duration_pipeline
+
+    spans = duration_pipeline(spark, "/root/testdata/sf0.001")
+    return (
+        spans.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.round(F.avg("duration_ms"), 2).alias("avg_duration_ms"),
+            F.max("duration_ms").alias("max_duration_ms"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

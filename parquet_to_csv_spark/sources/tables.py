@@ -1,0 +1,53 @@
+"""Fixture-table loaders (TESTDATA.md / FIXTURES.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under a scale-factor
+directory. ``events.ts`` is a nanosecond parquet timestamp; we read it
+as a ns-since-epoch long (see session.py) which matches the reference's
+BigInt-ns trace arithmetic (``/root/reference/main.js:158-162``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable confs the engine depends on.
+
+    The driver may hand us a session we didn't build; these are all
+    dynamic SQL confs, safe to set on a live session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_engine_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,70 @@
+"""End-to-end ``convert``: parquet tree → CSV splits + SQLite sink."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_to_csv_spark.pipeline import ConvertConfig, convert
+from parquet_to_csv_spark.functions.trace import trace_spans
+from parquet_to_csv_spark.sources.tables import load_table
+from parquet_to_csv_spark.sources.parquet import read_parquet_tree
+
+
+@pytest.fixture(scope="module")
+def span_tree(spark, sf_dir, tmp_path_factory):
+    """A parquet tree with real start_time/end_time columns, nested to
+    exercise recursiveFileLookup, two files with different schemas to
+    exercise mergeSchema."""
+    root = str(tmp_path_factory.mktemp("spans"))
+    spans = trace_spans(load_table(spark, sf_dir, "events")).drop("duration_ms")
+    spans.limit(400).write.parquet(os.path.join(root, "a"))
+    spans.drop("props", "value").limit(300).write.parquet(os.path.join(root, "sub/b"))
+    return root
+
+
+def test_convert_csv_and_sqlite(spark, span_tree, tmp_path):
+    out = str(tmp_path / "out")
+    res = convert(
+        spark,
+        span_tree,
+        out,
+        ConvertConfig(write_csv=True, write_sqlite=True),
+    )
+    # CSV: part files exist with headers
+    parts = glob.glob(os.path.join(res["csv"]["full"], "part-*.csv"))
+    assert parts
+    with open(parts[0]) as f:
+        header = next(csv.reader(f))
+    assert "duration_ms" in header
+    # SQLite: table exists, UID pk, typed columns
+    con = sqlite3.connect(res["sqlite_path"])
+    cols = con.execute("PRAGMA table_info(trace)").fetchall()
+    names = [c[1] for c in cols]
+    types = {c[1]: c[2] for c in cols}
+    assert names[0] == "UID"
+    assert types["duration_ms"] == "INTEGER"
+    assert types["event_type"] == "TEXT"
+    n = con.execute("SELECT count(*) FROM trace").fetchone()[0]
+    assert n == res["sqlite_rows"]
+    assert con.execute("SELECT count(*) FROM trace WHERE duration_ms < 2000").fetchone()[0] == 0
+    con.close()
+
+
+def test_convert_requires_a_sink(spark, span_tree, tmp_path):
+    with pytest.raises(ValueError):
+        convert(spark, span_tree, str(tmp_path), ConvertConfig(write_csv=False, write_sqlite=False))
+
+
+def test_merge_schema_union(spark, span_tree):
+    df = read_parquet_tree(spark, span_tree)
+    # merged schema includes columns present in only one file subtree
+    assert {"value", "start_time", "end_time"} <= set(df.columns)
+    assert df.count() == 700
+    # rows from the narrow file are null-filled
+    assert df.filter(F.col("value").isNull()).count() == 300

@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at a scale factor and diffs it against
+``oracle_sql()`` in DuckDB: row count, schema (column names), and an
+order-insensitive value comparison (columns sorted by name, rows sorted
+by all columns, exact equality — same bar as a value-hash).
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from parquet_to_csv_spark.session import get_spark  # noqa: E402
+from parquet_to_csv_spark.sources.tables import TABLE_NAMES  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df, oracle_df) -> list[str]:
+    problems = []
+    s, o = canon(spark_df), canon(oracle_df)
+    if list(s.columns) != list(o.columns):
+        problems.append(f"schema: spark={list(s.columns)} oracle={list(o.columns)}")
+        return problems
+    if len(s) != len(o):
+        problems.append(f"rows: spark={len(s)} oracle={len(o)}")
+        return problems
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        try:
+            eq = (sv.isna() & ov.isna()) | (sv == ov)
+        except Exception:
+            eq = sv.astype(str) == ov.astype(str)
+        if not eq.all():
+            bad = (~eq).idxmax()
+            problems.append(
+                f"values[{c}]: first diff at row {bad}: spark={sv[bad]!r} oracle={ov[bad]!r} "
+                f"({int((~eq).sum())} rows differ)"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check")
+    con = duck_con(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"  - {p}")
+        else:
+            print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{n_fail} failures")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
