@@ -1,0 +1,242 @@
+"""Relational breadth — EXT tier 1 (SURVEY.md §2.5 E6/E7/E8/E11).
+
+The reference has no joins/aggregations/windows (SURVEY.md §2.4); these
+are the north-star extensions over the TPC-H-ish star schema, written
+so Catalyst gets the plan it wants at 100 TB:
+
+- dims (`region`, `nation`, tiny `supplier`/`customer` slices) are
+  explicitly ``broadcast()`` — no shuffle for the small side;
+- aggregates are declared on the grouped keys so partial (map-side)
+  aggregation happens before the exchange;
+- top-k per group is a windowed ``row_number() <= k`` — never a global
+  sort — and global top-k is ``orderBy().limit(k)`` which Spark plans
+  as TakeOrderedAndProject (per-partition heap + driver merge, no full
+  sort/shuffle);
+- double aggregates are ``round()``ed (2dp sums / 4dp ratios): the
+  partial-agg combine order is nondeterministic at cluster scale, so
+  unrounded float sums are not reproducible run-to-run — rounding is
+  both the oracle-parity tool and the honest contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from parquet_to_csv_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-heavy grouped aggregation.
+
+    One wide scan + one exchange on (returnflag, linestatus); the date
+    filter and 7-column projection push into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join + grouped revenue + global top-10.
+
+    customer is the small side of orders⋈customer → broadcast; the
+    lineitem⋈orders join shuffles on orderkey (the natural key). The
+    final top-10 is orderBy+limit = TakeOrderedAndProject.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.expr("unix_millis(cast(o_orderdate as timestamp))").alias("o_date_ms"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-way star join, revenue by nation in a region.
+
+    region/nation/supplier are broadcast; only customer⋈orders⋈lineitem
+    move through exchanges. The local-supplier condition
+    (c_nationkey = s_nationkey) is the classic join-graph cycle.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def broadcast_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 broadcast join: fact side never shuffles for dim lookups."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 left-semi (EXISTS): customers having at least one URGENT order.
+
+    Semi joins only carry the left side through the shuffle — at scale
+    strictly better than join+distinct.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 left-anti (NOT EXISTS): customers with no order in 2001+.
+
+    (Every fixture customer has some order, so the anti join runs
+    against a filtered orders side — FIXTURES.md note.)
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def window_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 windows: rank/lag/running sum per customer, fully deterministic
+    ordering (totalprice desc, orderkey asc tie-break) so float window
+    aggregates are reproducible cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """E11 top-k per group: windowed row_number ≤ k — no global sort,
+    one hash exchange on the group key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+def moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 frame-based moving aggregate (4-row trailing mean)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-3, 0)), 4).alias("trailing_avg"),
+    )
+
+
+def agg_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 grouped aggregation suite (count / distinct / sum / avg /
+    min / max) — partial-aggregated map-side before one exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 hierarchical totals: ROLLUP(returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 pivot with an explicit value list (no extra pass to discover
+    pivot values — required at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_finished")
+    )

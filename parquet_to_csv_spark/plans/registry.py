@@ -23,7 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from parquet_to_csv_spark.operators import refpipe
+from parquet_to_csv_spark.operators import refpipe, relational
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -96,4 +96,155 @@ SELECT DISTINCT duration_ms,
        event_type, value, start_time, end_time
 FROM spans
 WHERE duration_ms >= 2000
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT tier 1 — relational breadth (SURVEY.md §2.5 E6/E7/E8/E11)
+# --------------------------------------------------------------------------
+
+QUERIES["q1_pricing_summary"] = relational.q1_pricing_summary
+ORACLES["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES["q3_shipping_priority"] = relational.q3_shipping_priority
+ORACLES["q3_shipping_priority"] = """
+SELECT o_orderkey,
+       epoch_ms(o_orderdate) AS o_date_ms,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+QUERIES["q5_region_revenue"] = relational.q5_region_revenue
+ORACLES["q5_region_revenue"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+QUERIES["broadcast_dim_enrich"] = relational.broadcast_dim_enrich
+ORACLES["broadcast_dim_enrich"] = """
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+QUERIES["semi_join_customers"] = relational.semi_join_customers
+ORACLES["semi_join_customers"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+QUERIES["anti_join_customers"] = relational.anti_join_customers
+ORACLES["anti_join_customers"] = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+)
+"""
+
+QUERIES["window_order_rank"] = relational.window_order_rank
+ORACLES["window_order_rank"] = """
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice, 2) AS price,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+QUERIES["topk_orders_per_customer"] = relational.topk_orders_per_customer
+ORACLES["topk_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+QUERIES["moving_avg_orders"] = relational.moving_avg_orders
+ORACLES["moving_avg_orders"] = """
+SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS trailing_avg
+FROM orders
+"""
+
+QUERIES["agg_suite_orders"] = relational.agg_suite_orders
+ORACLES["agg_suite_orders"] = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS sum_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+QUERIES["rollup_lineitem"] = relational.rollup_lineitem
+ORACLES["rollup_lineitem"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+QUERIES["pivot_linestatus"] = relational.pivot_linestatus
+ORACLES["pivot_linestatus"] = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_finished
+FROM lineitem
+GROUP BY l_returnflag
 """

@@ -1,0 +1,56 @@
+"""Relational-tier tests: semantics spot checks + physical-plan shape.
+
+The plan assertions are the scale contract: dims go broadcast (no
+shuffle of the fact side for lookups), parquet filters push down, and
+top-k never globally sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_to_csv_spark.operators import relational
+
+
+def _physical(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_filter_pushes_down(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    plan = _physical(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the columns the query needs
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_broadcast_join_chosen(spark, sf_dir):
+    for q in (relational.broadcast_dim_enrich, relational.q3_shipping_priority):
+        plan = _physical(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = _physical(relational.q3_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_types(spark, sf_dir):
+    semi = _physical(relational.semi_join_customers(spark, sf_dir))
+    anti = _physical(relational.anti_join_customers(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_topk_per_group_bounded(spark, sf_dir):
+    df = relational.topk_orders_per_customer(spark, sf_dir)
+    over = df.groupBy("o_custkey").count().filter(F.col("count") > 3)
+    assert over.count() == 0
+    # rn=1 row per group is the max price of that group
+    assert df.filter(F.col("rn") == 1).count() == df.select("o_custkey").distinct().count()
+
+
+def test_rollup_has_grand_total(spark, sf_dir):
+    df = relational.rollup_lineitem(spark, sf_dir)
+    total = df.filter(F.col("l_returnflag").isNull() & F.col("l_linestatus").isNull())
+    assert total.count() == 1
