@@ -1,0 +1,235 @@
+"""Deduplication suite over ``documents`` — EXT E1/E2 + north-star.
+
+Four tiers, each a different cost/recall point for 100 TB corpora:
+
+1. **Exact** (content hash): one scan + one exchange on the 256-bit
+   hash. The canonical first pass — removes byte-identical documents.
+2. **Normalized exact** (fingerprint): same plan over md5 of
+   whitespace/case-normalized text (see ``operators.text``).
+3. **N-gram Jaccard** (blocked, exact similarity): token-set Jaccard
+   within small blocks (here lang×source). Exact but quadratic per
+   block — at scale, blocks must be bounded (LSH gives the bound).
+4. **MinHash-LSH** (approximate): per-doc signature (k hash perms of
+   the shingle set) → band buckets → candidate pairs only where a band
+   collides → verify with true Jaccard. Shuffle volume is
+   O(docs × bands), never O(docs²). This is the scale path.
+   SimHash (hamming-distance banding) is the cheaper cousin for
+   near-identical text.
+
+All four are pure DataFrame ops — the signatures are computed with
+native higher-order array expressions (xxhash64 per shingle, min over
+affine reshashes), so everything stays in whole-stage codegen.
+MinHash/SimHash use Spark's xxhash64 (engine-private), hence rows-only
+checks; the Jaccard verifier itself is oracle-checked via
+``ngram_jaccard_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_to_csv_spark.functions.textfn import tokens_col
+from parquet_to_csv_spark.sources.tables import load_table
+
+# Affine rehash constants (deterministic; Carter–Wegman style over the
+# Mersenne prime 2^31-1 so a*h+b stays inside int64 — Spark 4 runs ANSI
+# mode and would raise on overflow). 32 permutations × 4-row bands = 8
+# bands ⇒ LSH s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59 Jaccard.
+_P31 = (1 << 31) - 1
+_N_PERM = 32
+_BAND_ROWS = 4
+_A = [(1000003 * (i + 1) * 2 + 1) % _P31 for i in range(_N_PERM)]
+_B = [(982451653 * (i + 1)) % _P31 for i in range(_N_PERM)]
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: keep the first doc_id per sha-256 of the raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(F.col("text"), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _distinct_tokens(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", "lang", "source", F.array_distinct(tokens_col("text")).alias("toks")
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Blocked exact Jaccard near-dup pairs (token sets, lang×source
+    blocks). The self-join shuffles both sides on the block key once;
+    within-block pairing is local. Quadratic per block — the bound on
+    block size is the scale knob (LSH below removes even that)."""
+    toks = _distinct_tokens(load_table(spark, sf_dir, "documents"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.when(union > 0, inter / union.cast("double"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_hashes(text_col, n: int = 3):
+    """Word n-gram shingles → one xxhash64 per shingle (distinct)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s)))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: for each of the 32 permutations,
+    min over (a*h + b) mod M of the shingle hashes — all computed by
+    nested higher-order expressions, one pass, no shuffle."""
+    sh = docs.select("doc_id", _shingle_hashes("text", n).alias("sh"))
+    # Pre-reduce each shingle hash to [0, 2^31) once, then apply the 32
+    # affine maps — products stay < 2^62, safe under ANSI arithmetic.
+    sh = sh.select("doc_id", F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(_P31))).alias("sh"))
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P31))
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("sh"), _perm(a, b)))
+        for a, b in zip(_A, _B)
+    ])
+    return sh.filter(F.size("sh") > 0).select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """E2: MinHash-LSH candidate generation + exact-Jaccard verify.
+
+    explode to (band_id, band_hash) → group — only colliding bands meet
+    in the shuffle → distinct candidate pairs → verify true Jaccard on
+    the shingle sets. Deterministic (fixed permutation constants).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    n_bands = _N_PERM // _BAND_ROWS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * _BAND_ROWS + j].cast("string") for j in range(_BAND_ROWS)])).alias("bh"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = docs.select("doc_id", _shingle_hashes("text").alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union.cast("double"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, each bit votes
+    ±1 weighted by token frequency; sign of the vote → bit."""
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    # Per-bit vote tally: fold the token-hash array into a 64-long
+    # array of vote counts (+1 if the bit is set, -1 otherwise).
+    votes = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t)),
+        F.array(*[F.lit(0).cast("long") for _ in range(64)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+                for i in range(64)
+            ]),
+            lambda x, y: x + y,
+        ),
+    ).alias("votes")
+    with_votes = toks.filter(F.size("toks") > 0).select("doc_id", votes)
+    bit_terms = [
+        F.when(F.col("votes")[i] > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    return with_votes.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks —
+    pigeonhole guarantees any pair within hamming distance 3 collides
+    on at least one chunk — then verify exact hamming distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+                )
+                for i in range(4)
+            ])
+        ).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,145 @@
+"""Text analysis over ``documents`` — EXT E4/E5 + north-star text ops.
+
+Everything here is native Column expressions (split / regexp / array
+higher-order functions) — whole-stage-codegen'd JVM execution, no
+Python in the loop, so a 100 TB document scan is one pass with
+map-side partial aggregation wherever there's a groupBy.
+
+Ops: per-doc stats, corpus token frequency, BPE-ish token counting,
+content fingerprinting, quality scoring, heuristic language ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_to_csv_spark.functions.textfn import (
+    fingerprint_col,
+    regex_tokens_col,
+    tokens_col,
+)
+from parquet_to_csv_spark.sources.tables import load_table
+
+# Tiny English stopword lexicon for the language-ID heuristic. At real
+# scale this is a per-language broadcast dict; the mechanism (token-set
+# overlap scoring, argmax over languages) is what matters.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from",
+]
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: corpus statistics per language — length & token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    return (
+        docs.select("lang", F.length("text").alias("n_chars"), F.size(toks).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def token_freq(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
+    """E5: global token frequency, top-n.
+
+    explode → partial count per partition → one exchange on token →
+    TakeOrderedAndProject for the top-n (no global sort). Token-skew
+    (stopwords) is absorbed by the map-side partial aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star token counting: whitespace tokens + BPE-ish lexer
+    tokens (words / digit runs / single symbols) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).alias("n_tokens_ws"),
+        F.size(regex_tokens_col("text")).alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star document fingerprinting: md5 of whitespace-normalized
+    lowercase text; groups sharing a fingerprint are normalization-level
+    duplicates. md5 (not xxhash64) so the oracle can reproduce it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint_col("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative"))
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star quality scoring: cheap lexical signals → bucket.
+
+    Signals: token count, unique-token ratio (repetition detector),
+    mean token length, alphabetic character ratio. The bucket rule is
+    a stand-in for a trained filter; the shape (scan → per-row exprs →
+    no shuffle) is the 100 TB-relevant part.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    )
+    alpha_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+        / F.length("text").cast("double"),
+    )
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / n_tokens.cast("double"),
+    )
+    out = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+    )
+    return out.withColumn(
+        "quality_bucket",
+        F.when(F.col("n_tokens") < 5, F.lit("too_short"))
+        .when(F.col("uniq_ratio") < 0.3, F.lit("repetitive"))
+        .when(F.col("alpha_ratio") < 0.5, F.lit("symbol_heavy"))
+        .otherwise(F.lit("ok")),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star heuristic language ID: stopword-overlap scoring.
+
+    Fraction of tokens that are English stopwords; >= 5% → 'en'. A real
+    deployment broadcasts per-language lexicons and argmaxes — same
+    plan shape, still zero shuffles (pure per-row map)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    distinct_n = F.size(F.array_distinct(toks))
+    score = F.when(distinct_n > 0, hits / distinct_n.cast("double"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(score, 4).alias("en_score"),
+        F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("predicted_lang"),
+    )

@@ -23,7 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from parquet_to_csv_spark.operators import refpipe, relational
+from parquet_to_csv_spark.operators import dedup, refpipe, relational, text
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -248,3 +248,120 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+# --------------------------------------------------------------------------
+# EXT tier 2 — text analysis + deduplication (SURVEY.md §2.5 E1/E4/E5)
+# --------------------------------------------------------------------------
+
+# Shared oracle fragment: whitespace tokens of lowercased text, empties
+# removed — the DuckDB twin of functions.textfn.tokens_col.
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+QUERIES["text_stats"] = text.text_stats
+ORACLES["text_stats"] = f"""
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       max(n_tokens) AS max_tokens
+FROM (
+  SELECT lang, length(text) AS n_chars, len({_TOKS}) AS n_tokens
+  FROM documents
+)
+GROUP BY lang
+"""
+
+QUERIES["token_freq"] = text.token_freq
+ORACLES["token_freq"] = f"""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
+QUERIES["token_counts"] = text.token_counts
+ORACLES["token_counts"] = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens_ws,
+       len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+       length(text) AS n_chars
+FROM documents
+"""
+
+QUERIES["doc_fingerprint"] = text.doc_fingerprint
+ORACLES["doc_fingerprint"] = """
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS representative
+FROM documents
+GROUP BY 1
+"""
+
+QUERIES["quality_score"] = text.quality_score
+ORACLES["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END AS uniq_ratio,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) END AS mean_token_len
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(uniq_ratio, 4) AS uniq_ratio,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(mean_token_len, 4) AS mean_token_len,
+       CASE WHEN n_tokens < 5 THEN 'too_short'
+            WHEN uniq_ratio < 0.3 THEN 'repetitive'
+            WHEN alpha_ratio < 0.5 THEN 'symbol_heavy'
+            ELSE 'ok' END AS quality_bucket
+FROM m
+"""
+
+_EN_SW = "['" + "', '".join(text.EN_STOPWORDS) + "']"
+QUERIES["lang_id"] = text.lang_id
+ORACLES["lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS dtoks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(dtoks) > 0
+              THEN len(list_intersect(dtoks, {_EN_SW})) / CAST(len(dtoks) AS DOUBLE) END AS score
+  FROM t
+)
+SELECT doc_id, lang, round(score, 4) AS en_score,
+       CASE WHEN score >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM s
+"""
+
+QUERIES["exact_dedup"] = dedup.exact_dedup
+ORACLES["exact_dedup"] = """
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+QUERIES["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.toks, b.toks))
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) AS jaccard
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.toks, b.toks))
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5
+"""
+
+# Approximate dedup (engine-private xxhash64 signatures) — rows-only.
+QUERIES["minhash_lsh_pairs"] = dedup.minhash_lsh_pairs
+QUERIES["simhash_pairs"] = dedup.simhash_pairs

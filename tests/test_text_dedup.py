@@ -1,0 +1,95 @@
+"""Text + dedup tier tests, including LSH recall vs exact Jaccard."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from parquet_to_csv_spark.operators import dedup, text
+from parquet_to_csv_spark.functions.textfn import fingerprint_col
+from parquet_to_csv_spark.sources.tables import load_table
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(spark, sf_dir)
+    assert out.count() == docs.select("text").distinct().count()
+    # total copies accounted for
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.filter(
+        F.col("text").isNotNull()
+    ).count() + (1 if docs.filter(F.col("text").isNull()).count() else 0) - (
+        docs.filter(F.col("text").isNull()).count()
+        and docs.filter(F.col("text").isNull()).count() - 1
+    )
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(text="Hello  World"), Row(text="hello world "), Row(text="other")]
+    )
+    fps = [r[0] for r in df.select(fingerprint_col("text")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark, sf_dir):
+    """Recall check: every pair with true shingle-Jaccard >= 0.7 must be
+    produced by the LSH candidate path (8 bands × 4 rows ⇒ p(miss at
+    0.7) = (1-0.7^4)^8 ≈ 0.1; the fixture near-dups are ~0.9+ where
+    p(miss) < 1e-3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", dedup._shingle_hashes("text").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union.cast("double")).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.7)
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir, threshold=0.0).collect()
+    }
+    missed = [
+        (r["doc_a"], r["doc_b"]) for r in truth.collect() if (r["doc_a"], r["doc_b"]) not in got
+    ]
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_minhash_deterministic(spark, sf_dir):
+    p1 = dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    p2 = dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    assert sorted(map(tuple, p1)) == sorted(map(tuple, p2))
+
+
+def test_simhash_identical_text_collides(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="completely different words entirely unrelated content here"),
+        ]
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_quality_buckets(spark, sf_dir):
+    out = text.quality_score(spark, sf_dir)
+    assert set(r["quality_bucket"] for r in out.collect()) <= {
+        "too_short",
+        "repetitive",
+        "symbol_heavy",
+        "ok",
+    }
+
+
+def test_no_python_udfs_in_text_plans(spark, sf_dir):
+    """Scale guard: the whole text tier must stay JVM-side."""
+    for q in (text.text_stats, text.token_freq, text.quality_score, text.lang_id):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
