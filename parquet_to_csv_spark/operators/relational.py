@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from parquet_to_csv_spark.functions.stable import stable_avg_2dp
 from parquet_to_csv_spark.sources.tables import load_table
 
 
@@ -42,9 +43,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # stable_avg: float avgs tie at .xxxx5 and round divergently
+            # per engine/summation order — see functions.stable.
+            stable_avg_2dp(F.sum("l_quantity"), F.count(F.lit(1))).alias("avg_qty"),
+            stable_avg_2dp(F.sum("l_extendedprice"), F.count(F.lit(1))).alias("avg_price"),
+            stable_avg_2dp(F.sum("l_discount"), F.count(F.lit(1))).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -129,7 +132,7 @@ def broadcast_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            stable_avg_2dp(F.sum("c_acctbal"), F.count(F.lit(1))).alias("avg_acctbal"),
         )
     )
 
@@ -199,10 +202,13 @@ def moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8 frame-based moving aggregate (4-row trailing mean)."""
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    frame = w.rowsBetween(-3, 0)
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w.rowsBetween(-3, 0)), 4).alias("trailing_avg"),
+        stable_avg_2dp(
+            F.sum("o_totalprice").over(frame), F.count(F.lit(1)).over(frame)
+        ).alias("trailing_avg"),
     )
 
 
@@ -214,7 +220,7 @@ def agg_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        stable_avg_2dp(F.sum("o_totalprice"), F.count(F.lit(1))).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )

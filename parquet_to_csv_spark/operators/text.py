@@ -18,6 +18,7 @@ from parquet_to_csv_spark.functions.textfn import (
     regex_tokens_col,
     tokens_col,
 )
+from parquet_to_csv_spark.functions.stable import stable_avg_int
 from parquet_to_csv_spark.sources.tables import load_table
 
 # Tiny English stopword lexicon for the language-ID heuristic. At real
@@ -38,8 +39,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            stable_avg_int(F.sum("n_chars"), F.count(F.lit(1))).alias("avg_chars"),
+            stable_avg_int(F.sum("n_tokens"), F.count(F.lit(1))).alias("avg_tokens"),
             F.max("n_tokens").alias("max_tokens"),
         )
     )

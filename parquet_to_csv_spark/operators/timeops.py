@@ -1,0 +1,112 @@
+"""Event-time windowing over ``events`` — EXT E9/E10.
+
+The fixture ``ts`` is a ns-epoch long (see functions.trace); windowing
+runs on ``timestamp_micros(ts div 1000)`` — µs-aligned exactly like
+the DuckDB oracle's parquet reader, so bucket boundaries agree.
+
+All three shapes (tumbling, sliding, session) use Spark's native
+window operators — the same expressions run unchanged under Structured
+Streaming with a watermark (see streaming.stream), which is the point:
+batch backfill and the live path share one definition.
+
+Scale notes: tumbling/sliding group on (window × keys) — partial
+aggregation applies, the exchange carries only group rows. Session
+windows shuffle on user_id then merge sessions locally; skewed users
+are the risk at 100 TB (AQE skew handling, or pre-filter bots).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from parquet_to_csv_spark.functions.stable import stable_avg_2dp
+from parquet_to_csv_spark.sources.tables import load_table
+
+
+def _ts_micros() -> Column:
+    return F.timestamp_micros(F.expr("ts div 1000"))
+
+
+def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: 1-hour tumbling windows × event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(_ts_micros(), "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("ws_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: 1-hour windows sliding every 30 minutes (each event lands in
+    two windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(_ts_micros(), "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_avg_2dp(F.sum("value"), F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(F.unix_millis(F.col("w.start")).alias("ws_ms"), "n_events", "avg_value")
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """E10: per-user sessions with a 30-minute inactivity gap.
+
+    Session end = last event + gap (Spark semantics; the oracle's
+    gaps-and-islands formulation reproduces it exactly: a new session
+    starts when the gap to the previous event is >= the gap duration).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(_ts_micros(), gap).alias("s"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            F.unix_micros(F.col("s.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate chain: raw → hourly → daily.
+
+    The daily tier re-aggregates the hourly tier (not the raw events) —
+    at 100 TB the hourly materialization is what makes the daily sweep
+    cheap; expressed here as two chained groupBys in one plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window(_ts_micros(), "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("hs"), "event_type", "n", "sv")
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("hs")).alias("ds"), F.col("event_type"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+            F.max("n").alias("max_hourly_events"),
+        )
+        .select(
+            F.unix_millis(F.col("ds")).alias("day_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "max_hourly_events",
+        )
+    )

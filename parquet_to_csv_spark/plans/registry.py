@@ -110,9 +110,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       floor(round(sum(l_quantity) * 100) * 100 / count(*)) / 10000.0 AS avg_qty,
+       floor(round(sum(l_extendedprice) * 100) * 100 / count(*)) / 10000.0 AS avg_price,
+       floor(round(sum(l_discount) * 100) * 100 / count(*)) / 10000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -156,7 +156,7 @@ QUERIES["broadcast_dim_enrich"] = relational.broadcast_dim_enrich
 ORACLES["broadcast_dim_enrich"] = """
 SELECT r_name, n_name,
        count(*) AS n_customers,
-       round(avg(c_acctbal), 4) AS avg_acctbal
+       floor(round(sum(c_acctbal) * 100) * 100 / count(*)) / 10000.0 AS avg_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -212,10 +212,10 @@ WHERE rn <= 3
 QUERIES["moving_avg_orders"] = relational.moving_avg_orders
 ORACLES["moving_avg_orders"] = """
 SELECT o_custkey, o_orderkey,
-       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS trailing_avg
+       floor(round(sum(o_totalprice) OVER w * 100) * 100 / count(*) OVER w) / 10000.0 AS trailing_avg
 FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
 
 QUERIES["agg_suite_orders"] = relational.agg_suite_orders
@@ -224,7 +224,7 @@ SELECT o_orderpriority, o_orderstatus,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
        round(sum(o_totalprice), 2) AS sum_price,
-       round(avg(o_totalprice), 4) AS avg_price,
+       floor(round(sum(o_totalprice) * 100) * 100 / count(*)) / 10000.0 AS avg_price,
        round(min(o_totalprice), 2) AS min_price,
        round(max(o_totalprice), 2) AS max_price
 FROM orders
@@ -261,8 +261,8 @@ _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 QUERIES["text_stats"] = text.text_stats
 ORACLES["text_stats"] = f"""
 SELECT lang, count(*) AS n_docs,
-       round(avg(n_chars), 4) AS avg_chars,
-       round(avg(n_tokens), 4) AS avg_tokens,
+       floor(sum(n_chars) * 10000 / count(*)) / 10000.0 AS avg_chars,
+       floor(sum(n_tokens) * 10000 / count(*)) / 10000.0 AS avg_tokens,
        max(n_tokens) AS max_tokens
 FROM (
   SELECT lang, length(text) AS n_chars, len({_TOKS}) AS n_tokens
@@ -365,3 +365,116 @@ WHERE round(len(list_intersect(a.toks, b.toks))
 # Approximate dedup (engine-private xxhash64 signatures) — rows-only.
 QUERIES["minhash_lsh_pairs"] = dedup.minhash_lsh_pairs
 QUERIES["simhash_pairs"] = dedup.simhash_pairs
+
+
+# --------------------------------------------------------------------------
+# EXT tier 3 — similarity search + event-time windows (E3/E9/E10)
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators import similarity, timeops  # noqa: E402
+
+# DuckDB twin of functions.vectors.cosine_similarity: double-accumulated
+# dot / (norm * norm) over the float lists.
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+QUERIES["cosine_topk"] = similarity.cosine_topk
+ORACLES["cosine_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+), scored AS (
+  SELECT query_id, cand_id, {_duck_cos('q_emb', 'c_emb')} AS sim
+  FROM q JOIN c ON query_id <> cand_id
+), ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, round(sim, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+QUERIES["embedding_neardup_pairs"] = similarity.embedding_neardup_pairs
+ORACLES["embedding_neardup_pairs"] = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.4
+"""
+
+# IVF ANN: deterministic but its plan (argmax assignment + probing) is
+# a procedure, not a SQL expression — rows-only check; recall is tested
+# against exact top-k in tests/test_similarity.py.
+QUERIES["ivf_topk"] = similarity.ivf_topk
+
+QUERIES["tumbling_window_stats"] = timeops.tumbling_window_stats
+ORACLES["tumbling_window_stats"] = """
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["sliding_window_stats"] = timeops.sliding_window_stats
+ORACLES["sliding_window_stats"] = """
+WITH w AS (
+  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS ws_ms, value FROM events
+  UNION ALL
+  SELECT (epoch_ms(ts) // 1800000) * 1800000 - 1800000 AS ws_ms, value FROM events
+)
+SELECT ws_ms, count(*) AS n_events,
+       floor(round(sum(value) * 100) * 100 / count(*)) / 10000.0 AS avg_value
+FROM w GROUP BY 1
+"""
+
+QUERIES["session_windows"] = timeops.session_windows
+ORACLES["session_windows"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+), flagged AS (
+  SELECT user_id, tus, value,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                   OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sessions AS (
+  SELECT user_id, tus, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(tus) AS session_start_us,
+       max(tus) + 1800000000 AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+QUERIES["hourly_to_daily_rollup"] = timeops.hourly_to_daily_rollup
+ORACLES["hourly_to_daily_rollup"] = """
+WITH hourly AS (
+  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hs_ms, event_type,
+         count(*) AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT (hs_ms // 86400000) * 86400000 AS day_ms, event_type,
+       sum(n) AS n_events,
+       round(sum(sv), 2) AS sum_value,
+       max(n) AS max_hourly_events
+FROM hourly GROUP BY 1, 2
+"""
