@@ -1,0 +1,58 @@
+"""Benchmark harness (driver contract): run every registry query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect). A warmup
+query runs first so JVM/codegen startup isn't attributed to the first
+measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_to_csv_spark.plans.registry import QUERIES  # noqa: E402
+from parquet_to_csv_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warmup: touch the biggest table so JVM/codegen startup is excluded
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"total_wall_sec_{len(timings)}_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

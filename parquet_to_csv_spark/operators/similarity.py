@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from parquet_to_csv_spark.functions.vectors import cosine_similarity
+from parquet_to_csv_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
 from parquet_to_csv_spark.sources.tables import load_table
 
 
@@ -67,9 +67,17 @@ def embedding_neardup_pairs(
     id); within-block pairing is local after one shuffle per side.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    # Precompute each vector's norm ONCE before the pair join — norms
+    # are O(N), the join is O(pairs); recomputing norms per pair would
+    # triple the dominant cost.
+    normed = emb.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    sim = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,

@@ -359,7 +359,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM t a JOIN t b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.toks, b.toks))
-             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
 """
 
 # Approximate dedup (engine-private xxhash64 signatures) — rows-only.
