@@ -1,0 +1,119 @@
+"""Multimodal columns — opaque binary payloads with typed metadata.
+
+North-star requirement: a 100 TB training-data pipeline carries
+image/audio/video as ``binary`` columns next to typed metadata, and
+runs decode / feature-extraction / resize / frame-sampling as
+Arrow-batched Pandas functions over ``mapInPandas``.
+
+What is REAL here (and tested): the schema contract, the Arrow batch
+path, the partition-parallel execution, deterministic feature output,
+and the metadata-only fast path (never decodes when the question is
+answerable from metadata). What is STUBBED: the actual media decode —
+this container has no PIL/librosa/ffmpeg, so ``decode_media`` is a
+clearly-marked stub; ``fake_decode_features`` is the deterministic
+stand-in the tests pin down. Swapping in a real decoder changes ONE
+function body, no plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from parquet_to_csv_spark.sources.tables import load_table
+
+N_FEATURES = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_sha", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_media(payload: bytes, modality: str):
+    """REAL decoder hook — intentionally unimplemented in this
+    container (no PIL/librosa/ffmpeg). Replace with e.g.::
+
+        from PIL import Image; import io
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    """
+    raise NotImplementedError(
+        "media decoding requires PIL/librosa/ffmpeg; use fake_decode_features "
+        "(deterministic stand-in) or install a decoder and replace this hook"
+    )
+
+
+def fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode+embed: a 16-bin byte histogram
+    normalized to sum 1. Stable across runs/machines, so the Spark-side
+    plumbing is testable without media libraries."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * N_FEATURES
+    counts = [0] * N_FEATURES
+    for b in payload:
+        counts[b >> 4] += 1
+    total = float(len(payload))
+    return [c / total for c in counts]
+
+
+def attach_payloads(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treats each document's utf-8 bytes as an opaque
+    payload with metadata — the shape a real image/audio table has."""
+    return docs.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over ``mapInPandas``.
+
+    Each partition streams in as pandas batches; per batch we compute
+    byte stats + the (stubbed) decoded feature vector. No shuffle —
+    output partitioning follows the input, so a downstream ANN index
+    build can co-partition for free.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads_col = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads_col.map(lambda p: 0 if p is None else len(p)),
+                    "payload_sha": payloads_col.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "features": payloads_col.map(fake_decode_features),
+                }
+            )
+
+    return payloads.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pass (oracle-checkable): byte length + content md5
+    per payload — never touches a decoder. At scale this is the cheap
+    pre-filter before any decode fan-out."""
+    payloads = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return payloads.select(
+        "doc_id",
+        "modality",
+        F.octet_length(F.col("payload")).alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.col("meta")["source"].alias("source"),
+    )

@@ -478,3 +478,21 @@ SELECT (hs_ms // 86400000) * 86400000 AS day_ms, event_type,
        max(n) AS max_hourly_events
 FROM hourly GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# EXT tier 4 — multimodal metadata pass (north-star; decode is stubbed,
+# plumbing is real — operators/multimodal.py)
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators import multimodal  # noqa: E402
+
+QUERIES["multimodal_meta"] = multimodal.multimodal_meta
+ORACLES["multimodal_meta"] = """
+SELECT doc_id,
+       'text' AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       source
+FROM documents
+"""

@@ -1,0 +1,93 @@
+"""Structured Streaming wiring for the event pipeline (SURVEY.md E9/E10).
+
+The reference is batch-only; these are the north-star streaming
+equivalents. The aggregation expressions are shared with
+``operators.timeops`` — one definition serves the batch backfill and
+the live path, which is the whole point of Spark-first design here.
+
+Pattern: ``readStream`` (explicit schema — streaming sources don't
+infer) → event-time window aggregation with a watermark bounding state
+→ sink. Tests drive it with ``trigger(availableNow=True)`` against the
+fixture parquet, i.e. process-everything-then-stop, so the identical
+code would run ``trigger(processingTime=...)`` in production.
+
+State sizing at scale: watermark delay × key cardinality bounds the
+state store; session windows additionally merge state per user — both
+are the knobs that keep a 100 TB/day stream bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_to_csv_spark.functions.stable import stable_avg_2dp
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Stream the events table layout (ts = ns-epoch long) from a
+    parquet directory, one file per micro-batch discovery."""
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(path)
+    )
+
+
+def with_event_time(stream: DataFrame) -> DataFrame:
+    return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the
+    streaming twin of ``timeops.tumbling_window_stats``."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("ws_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessions(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Watermarked session windows per user — streaming twin of
+    ``timeops.session_windows`` (state merges as events arrive)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window(F.col("event_time"), gap).alias("s"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> DataFrame:
+    """Drain a (bounded) stream into an in-memory table and return the
+    batch result — availableNow processes all pending input then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

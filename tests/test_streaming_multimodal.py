@@ -1,0 +1,70 @@
+"""Streaming wiring + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_to_csv_spark.operators import multimodal, timeops
+from parquet_to_csv_spark.sources.tables import load_table
+from parquet_to_csv_spark.streaming import stream as streaming
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """Copy the events fixture into a plain directory (streaming wants a
+    directory source it can list)."""
+    out = str(tmp_path_factory.mktemp("evstream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, event_dir):
+    """The streaming aggregation, drained with availableNow, must equal
+    the batch tumbling aggregation over the same data."""
+    s = streaming.read_event_stream(spark, event_dir)
+    out = streaming.run_to_memory(
+        streaming.streaming_tumbling_counts(s), "t_stream_tumble", spark
+    )
+    got = {
+        (r["ws_ms"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    batch = {
+        (r["ws_ms"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in timeops.tumbling_window_stats(spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
+def test_streaming_sessions_run(spark, event_dir):
+    s = streaming.read_event_stream(spark, event_dir)
+    out = streaming.run_to_memory(streaming.streaming_sessions(s), "t_stream_sess", spark)
+    rows = out.collect()
+    assert rows and all(r["n_events"] >= 1 for r in rows)
+
+
+def test_multimodal_feature_extraction(spark, sf_dir):
+    payloads = multimodal.attach_payloads(load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(payloads)
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == payloads.count()
+    for r in rows[:20]:
+        assert len(r["features"]) == multimodal.N_FEATURES
+        if r["n_bytes"] > 0:
+            assert abs(sum(r["features"]) - 1.0) < 1e-5  # normalized histogram
+    # deterministic across runs
+    again = {r["doc_id"]: r["payload_sha"] for r in feats.collect()}
+    assert {r["doc_id"]: r["payload_sha"] for r in rows} == again
+
+
+def test_multimodal_no_shuffle(spark, sf_dir):
+    payloads = multimodal.attach_payloads(load_table(spark, sf_dir, "documents"))
+    plan = multimodal.extract_features(payloads)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # decode fan-out must not reshuffle
+
+
+def test_decode_media_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image")
