@@ -496,3 +496,43 @@ SELECT doc_id,
        source
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# E12 pandas-UDF escape hatch + SQL entry point demos
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators import pandas_ops  # noqa: E402
+from parquet_to_csv_spark.plans import sqlapi  # noqa: E402
+
+QUERIES["token_counts_pandas"] = pandas_ops.token_counts_pandas
+ORACLES["token_counts_pandas"] = f"""
+SELECT doc_id, len({_TOKS}) AS n_tokens_ws
+FROM documents
+"""
+
+
+def _sql_passthrough(spark, sf_dir):
+    """Entry point 3 (SURVEY.md §3): raw ANSI SQL over registered views;
+    Catalyst plans it identically to the DataFrame formulation."""
+    return sqlapi.sql(
+        spark,
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY o_orderstatus
+        """,
+        sf_dir,
+    )
+
+
+QUERIES["sql_passthrough"] = _sql_passthrough
+ORACLES["sql_passthrough"] = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+"""
