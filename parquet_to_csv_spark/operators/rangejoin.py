@@ -1,0 +1,148 @@
+"""Temporal joins the reference lacks and Spark has no native operator
+for — EXT north-star (as-of join, banded range join) over ``events``.
+
+The reference has no joins at all (SURVEY.md §2.4); these are the two
+time-series join shapes every trace/event pipeline eventually needs:
+
+- **As-of join**: for each left row, the single most recent right row
+  at-or-before it (per key). The naive formulation is an inequality
+  join + argmax — quadratic per key. The scalable formulation used
+  here is the *union-merge*: tag both sides, union, sort per key by
+  time, and carry the last-seen right row forward with a running
+  ``last(..., ignorenulls=True)`` window. Cost = ONE shuffle on the
+  key (same as any groupBy), state = one row — this survives 100 TB
+  because it never materializes candidate pairs at all.
+- **Banded range join**: join rows within a bounded time distance.
+  Naive inequality join is again quadratic; bucketing time into
+  band-sized buckets and equi-joining on (key, bucket) ∪ (key,
+  bucket−1) makes Catalyst plan a plain hash join whose per-bucket
+  fan-out is bounded by data density × band width — the standard
+  interval-bucketing trick (each matching pair collides on exactly
+  one of the two probed buckets, so no dedup pass is needed).
+
+Both are pure DataFrame compositions — no UDFs, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from parquet_to_csv_spark.sources.tables import load_table
+
+# 5-minute band in µs for the range join.
+_BAND_US = 300_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with µs-epoch time (ts at rest is a ns-epoch long)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+
+
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event paired with the same user's most
+    recent click at-or-before it (NULL if the user never clicked yet).
+
+    Union-merge plan: clicks and purchases union into one relation,
+    one exchange on user_id, one per-user sort by time; a running
+    ``last(click, ignorenulls=True)`` carries the latest click forward
+    into each purchase row. Clicks sort before purchases on time ties
+    (src 0 < 1) so an equal-timestamp click is visible, matching the
+    oracle's ``p.ts >= c.ts`` ASOF semantics.
+    """
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("src"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts_us").alias("c_ts_us"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("src"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast("long").alias("c_ts_us"),
+        F.lit(None).cast("double").alias("c_value"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("src"), F.asc("c_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        merged.select(
+            "user_id",
+            "purchase_id",
+            "ts_us",
+            F.last("c_id", ignorenulls=True).over(w).alias("click_id"),
+            F.last("c_ts_us", ignorenulls=True).over(w).alias("click_ts_us"),
+            F.last("c_value", ignorenulls=True).over(w).alias("click_value"),
+        )
+        .filter(F.col("purchase_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (F.col("ts_us") - F.col("click_ts_us")).alias("lag_us"),
+            F.round("click_value", 2).alias("click_value"),
+        )
+    )
+
+
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per error event, how many clicks (and how much
+    click value) the same user produced in the preceding 5 minutes
+    (inclusive bounds).
+
+    Each error probes two 5-minute buckets (its own and the previous);
+    any click within the band lives in exactly one of them, so the
+    equi-join on (user_id, bucket) is exact — Catalyst plans a plain
+    shuffled hash join, no inequality-join fallback to BNLJ.
+    """
+    ev = _events_us(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts_us").alias("e_ts_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.expr(f"(e_ts_us div {_BAND_US})"),
+                    F.expr(f"(e_ts_us div {_BAND_US}) - 1"),
+                )
+            ),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("c_ts_us"),
+        F.col("value").alias("c_value"),
+        F.expr(f"ts_us div {_BAND_US}").alias("bucket"),
+    )
+    in_band = (F.col("c_ts_us") >= F.col("e_ts_us") - F.lit(_BAND_US)) & (
+        F.col("c_ts_us") <= F.col("e_ts_us")
+    )
+    joined = errors.join(clicks, ["user_id", "bucket"], "left").select(
+        "error_id",
+        "user_id",
+        F.when(in_band, F.col("click_id")).alias("m_click"),
+        F.when(in_band, F.col("c_value")).alias("m_value"),
+    )
+    return joined.groupBy("error_id", "user_id").agg(
+        F.count("m_click").alias("n_clicks_5m"),
+        F.coalesce(F.round(F.sum("m_value"), 2), F.lit(0.0)).alias("click_value_5m"),
+    )

@@ -246,3 +246,54 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_open")
         .withColumnRenamed("F", "qty_finished")
     )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 CUBE: all 4 grouping combinations of (status, priority) in one
+    pass — Spark expands grouping sets before the single exchange, so
+    the scan is not repeated per combination."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 exact quantiles per group (linear-interpolated, the SQL
+    ``percentile_cont`` semantics). Exact percentile needs the group's
+    values collected per key — fine for bounded group counts; at 100 TB
+    with huge groups the approx path (``approx_percentile`` /
+    ``percentile_approx``, a mergeable t-digest-style sketch) is the
+    drop-in replacement at the same call site."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("round(percentile(o_totalprice, 0.25), 2)").alias("p25"),
+        F.expr("round(percentile(o_totalprice, 0.50), 2)").alias("p50"),
+        F.expr("round(percentile(o_totalprice, 0.75), 2)").alias("p75"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT: BUILDING-segment customers who also placed an
+    URGENT order. Plans as a distinct-ing hash semi-structure — one
+    exchange per side on the full row (here a single key column)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(urgent)
+
+
+def segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT: BUILDING-segment customers with no 1998+ order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.subtract(recent)

@@ -536,3 +536,93 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (as-of / banded range), CUBE, quantiles, set ops, JSON
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators import rangejoin, semistruct  # noqa: E402
+
+# Shared oracle CTE: events with µs-epoch time, split by type. DuckDB's
+# parquet reader truncates the ns timestamp to µs; Spark reads ns-as-long
+# and does `ts div 1000` — both floor, so the µs values agree.
+_EV_US_CTE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+  FROM events
+)
+"""
+
+QUERIES["asof_purchase_click"] = rangejoin.asof_join_purchase_click
+ORACLES["asof_purchase_click"] = _EV_US_CTE + """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       c.event_id AS click_id,
+       p.ts_us - c.ts_us AS lag_us,
+       round(c.value, 2) AS click_value
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
+QUERIES["range_join_error_clicks"] = rangejoin.range_join_error_clicks
+ORACLES["range_join_error_clicks"] = _EV_US_CTE + """
+SELECT e.event_id AS error_id,
+       e.user_id,
+       count(c.event_id) AS n_clicks_5m,
+       coalesce(round(sum(c.value), 2), 0.0) AS click_value_5m
+FROM (SELECT * FROM ev WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts_us BETWEEN e.ts_us - 300000000 AND e.ts_us
+GROUP BY e.event_id, e.user_id
+"""
+
+QUERIES["cube_orders"] = relational.cube_orders
+ORACLES["cube_orders"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+QUERIES["price_quantiles"] = relational.price_quantiles
+ORACLES["price_quantiles"] = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+QUERIES["segment_intersect"] = relational.segment_intersect
+ORACLES["segment_intersect"] = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+QUERIES["segment_except"] = relational.segment_except
+ORACLES["segment_except"] = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+"""
+
+QUERIES["props_json_stats"] = semistruct.props_json_stats
+ORACLES["props_json_stats"] = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       floor(round(sum(k) * 100) * 100 / count(k)) / 10000.0 AS avg_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
