@@ -1,0 +1,89 @@
+"""Custom stateful streaming operator — ``applyInPandasWithState``.
+
+The built-in streaming aggregations (window / session_window, see
+``streaming.stream``) cover the declarative cases; this module is the
+escape hatch for operators Spark has no primitive for: arbitrary
+per-key state evolved batch-by-batch with Arrow-vectorized Python.
+
+Worked example: per-user running totals (event count, value sum, last
+event time) emitted on every micro-batch in ``update`` mode. The same
+shape — keyed state + per-batch emit — is the skeleton for CEP-style
+detectors, per-entity rate limiters, or incremental feature stores.
+
+Scale notes: state lives in the executor state store, partitioned by
+the grouping key — per-key state must stay O(1) (here: three scalars).
+Unbounded-cardinality keys need a timeout
+(``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``)
+to evict idle keys; the fixture keyspace is small so NoTimeout is used.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, sv, last = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        sv += float(pdf["value"].sum())
+        if len(pdf):
+            last = max(last, int(pdf["ts_us"].max()))
+    state.update((n, sv, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [round(sv, 2)],
+            "last_ts_us": [last],
+        }
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Running per-user totals over the event stream: each micro-batch
+    folds its rows into the keyed state and emits the new running row.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        "user_id", "value", F.expr("ts div 1000").alias("ts_us")
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from parquet_to_csv_spark.operators import multimodal, timeops
 from parquet_to_csv_spark.sources.tables import load_table
@@ -68,3 +68,43 @@ def test_multimodal_no_shuffle(spark, sf_dir):
 def test_decode_media_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "image")
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir, event_dir):
+    """applyInPandasWithState running totals, drained to completion,
+    must equal the batch groupBy over the same events (update-mode sink
+    may emit intermediates — the per-user max is the final state)."""
+    from parquet_to_csv_spark.streaming import stateful
+
+    s = streaming.read_event_stream(spark, event_dir)
+    out = (
+        stateful.stateful_user_totals(s)
+        .writeStream.format("memory")
+        .queryName("t_stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    got_df = spark.table("t_stateful_totals")
+    final = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts_us"])
+        for r in got_df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        ).filter("rn = 1").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts_us"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max(F.expr("ts div 1000")).alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert final == batch
