@@ -59,20 +59,45 @@ def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
     """Blocked exact Jaccard near-dup pairs (token sets, lang×source
-    blocks). The self-join shuffles both sides on the block key once;
-    within-block pairing is local. Quadratic per block — the bound on
-    block size is the scale knob (LSH below removes even that)."""
+    blocks + length bands).
+
+    Length-filter pruning (the standard set-similarity-join bound):
+    J(A,B) >= t implies |A|/|B| >= t, so qualifying pairs have distinct
+    token counts within a factor 1/t — any pair further apart cannot
+    pass the threshold and need never be compared. Banding counts at
+    log base 1/t means a qualifying pair is either in the same band or
+    adjacent bands; side b probes its own and both neighbor bands (the
+    a<b id ordering is independent of length, so the offset can be ±1),
+    and each candidate pair still meets exactly once because only one
+    probed value can equal a's band. This turns the quadratic
+    lang×source block into (band-block)² work — the knob that keeps
+    exact-Jaccard viable when a language bucket holds 10^8 docs.
+    """
     toks = _distinct_tokens(load_table(spark, sf_dir, "documents"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    import math
+
+    band_base = math.log(1.0 / threshold) if threshold < 1.0 else 0.25
+    band = F.floor(F.log(F.greatest(F.size("toks"), F.lit(1)).cast("double")) / band_base)
+    a = toks.withColumn("band", band).alias("a")
+    b = (
+        toks.withColumn("b0", band)
+        .withColumn(
+            "band", F.explode(F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1))
+        )
+        .drop("b0")
+        .alias("b")
+    )
+    # |A∪B| = |A|+|B|−|A∩B| — one array pass per pair instead of two
+    # (the arrays are distinct-element sets by construction).
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
     jac = F.when(union > 0, inter / union.cast("double"))
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -84,14 +109,29 @@ def ngram_jaccard_pairs(
     )
 
 
-def _shingle_hashes(text_col, n: int = 3):
-    """Word n-gram shingles → one xxhash64 per shingle (distinct)."""
-    toks = tokens_col(text_col)
+def _shingles_from_tokens(toks, n: int = 3):
+    """Word n-gram shingles of a *materialized* token-array column →
+    one xxhash64 per shingle (distinct).
+
+    ``toks`` must be a plain column reference, not the tokenization
+    expression itself: expressions referenced inside higher-order
+    lambdas are re-evaluated per element (no CSE across the lambda
+    boundary), so inlining ``split(...)`` here costs O(tokens) splits
+    of the full text per row — measured 9× slower at sf0.1. The
+    two-projection shape below keeps exactly one ``split`` in the plan
+    (CollapseProject declines to merge duplicated non-cheap exprs).
+    """
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s)))
+
+
+def _shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + distinct shingle-hash array, tokenizing exactly once."""
+    tok = docs.select("doc_id", tokens_col("text").alias("toks"))
+    return tok.select("doc_id", _shingles_from_tokens(F.col("toks"), n).alias("sh"))
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, precomputed: bool = False) -> DataFrame:
@@ -100,7 +140,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3, precomputed: bool = False) -
 
     ``precomputed=True``: ``docs`` already carries the shingle-hash
     array as ``sh`` (e.g. a persisted signature table)."""
-    sh = docs if precomputed else docs.select("doc_id", _shingle_hashes("text", n).alias("sh"))
+    sh = docs if precomputed else _shingle_df(docs, n)
     # Shape matters at scale: explode(shingles) → 32 codegen'd `min`
     # aggregates (xxhash64 of the shingle hash with a distinct seed per
     # permutation), with map-side partial aggregation. Interpreted
@@ -127,7 +167,7 @@ def minhash_lsh_pairs(
     # (signatures, both sides of the verify join) — without a persist,
     # Spark recomputes the shingling+hashing per branch. At warehouse
     # scale this is a real signature table, not a cache.
-    sh_df = docs.select("doc_id", _shingle_hashes("text").alias("sh")).persist()
+    sh_df = _shingle_df(docs).persist()
     sigs = minhash_signatures(sh_df, precomputed=True)
     n_bands = _N_PERM // _BAND_ROWS
     bands = sigs.select(

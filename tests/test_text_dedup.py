@@ -36,7 +36,7 @@ def test_minhash_lsh_finds_high_jaccard_pairs(spark, sf_dir):
     0.7) = (1-0.7^4)^8 ≈ 0.1; the fixture near-dups are ~0.9+ where
     p(miss) < 1e-3)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", dedup._shingle_hashes("text").alias("sh"))
+    sh = dedup._shingle_df(docs)
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size(F.array_union("a.sh", "b.sh"))
