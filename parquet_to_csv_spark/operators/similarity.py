@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from parquet_to_csv_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from parquet_to_csv_spark.functions.vectors import dot_product, l2_norm
 from parquet_to_csv_spark.sources.tables import load_table
 
 
@@ -42,11 +42,22 @@ def cosine_topk(
     |queries|×N rows hash-partitioned on query_id.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are precomputed per relation (O(N) array passes), so the
+    # |queries|×N pair stage pays only the dot product — same float
+    # expression dot/(nrm_q*nrm_c) as the fused form and the oracle,
+    # just evaluated ~3× less often.
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
-    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_nrm"),
+    )
+    denom = F.col("q_nrm") * F.col("c_nrm")
+    sim = F.when(denom > F.lit(0.0), dot_product(F.col("q_emb"), F.col("c_emb")) / denom)
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         F.broadcast(q)
@@ -110,7 +121,9 @@ def ivf_topk(
     are broadcast joins; only vectors in the nprobe probed cells are
     scored per query.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
     total = emb.count()
     stride = max(total // n_cells, 1)
     cents = (
@@ -119,21 +132,36 @@ def ivf_topk(
         .select(
             (F.col("vec_id") / stride).cast("int").alias("cell_id"),
             F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
         )
     )
+
+    def _sim(a, an, b, bn):
+        denom = F.col(an) * F.col(bn)
+        return F.when(
+            denom > F.lit(0.0), dot_product(F.col(a), F.col(b)) / denom
+        )
+
     # assign: argmax cosine over broadcast centroids — one pass over data
-    sim_to_cent = cosine_similarity(F.col("embedding"), F.col("cent_emb"))
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell_id"))
     assigned = (
         emb.join(F.broadcast(cents))
-        .select("vec_id", "embedding", "label", "cell_id", sim_to_cent.alias("cs"))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "cell_id",
+            _sim("embedding", "nrm", "cent_emb", "cent_nrm").alias("cs"),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cell_id").alias("cell"))
+        .select("vec_id", "embedding", "nrm", F.col("cell_id").alias("cell"))
     )
     # probe: each query's nprobe nearest cells
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     w_probe = W.partitionBy("query_id").orderBy(F.desc("qs"), F.asc("cell_id"))
     probes = (
@@ -142,15 +170,16 @@ def ivf_topk(
         .select(
             "query_id",
             "q_emb",
+            "q_nrm",
             "cell_id",
-            cosine_similarity(F.col("q_emb"), F.col("cent_emb")).alias("qs"),
+            _sim("q_emb", "q_nrm", "cent_emb", "cent_nrm").alias("qs"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_emb", F.col("cell_id").alias("cell"))
+        .select("query_id", "q_emb", "q_nrm", F.col("cell_id").alias("cell"))
     )
     # search only the probed cells
-    sim = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    sim = _sim("q_emb", "q_nrm", "embedding", "nrm")
     w_k = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         F.broadcast(probes)
