@@ -248,6 +248,100 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders with at least one line shipped
+    more than 90 days after the order date, counted per priority.
+
+    The EXISTS is a left-semi join with a non-equi residual condition —
+    only the order side survives the exchange, and each order is
+    counted once no matter how many late lines it has."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == late.l_orderkey) & (
+        late.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10-shaped: top-k customers by revenue on returned items.
+
+    lineitem⋈orders shuffles on orderkey; customer joins on custkey;
+    nation broadcasts. Global top-k = TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate: revenue from lines whose
+    quantity is below 20% of that part's average quantity.
+
+    The correlated subquery decorrelates into a per-part aggregate
+    joined back — the grouped side is tiny (one row per part) and
+    broadcasts; lineitem is scanned twice but never shuffled on a
+    non-key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(part_avg.withColumnRenamed("l_partkey", "pk")),
+              F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 300.0) -> DataFrame:
+    """TPC-H Q18-shaped HAVING: orders whose total line quantity exceeds
+    the threshold, with their customer. The HAVING runs on the grouped
+    relation *before* the joins — the join input is already reduced to
+    qualifying orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 CUBE: all 4 grouping combinations of (status, priority) in one
     pass — Spark expands grouping sets before the single exchange, so

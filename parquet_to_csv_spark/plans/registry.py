@@ -626,3 +626,77 @@ FROM (
 )
 GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped breadth: EXISTS, top-k revenue, correlated agg, HAVING
+# --------------------------------------------------------------------------
+
+QUERIES["q4_late_orders"] = relational.q4_late_orders
+ORACLES["q4_late_orders"] = """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+QUERIES["q10_returned_revenue"] = relational.q10_returned_revenue
+ORACLES["q10_returned_revenue"] = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+QUERIES["q17_small_quantity_revenue"] = relational.q17_small_quantity_revenue
+ORACLES["q17_small_quantity_revenue"] = """
+WITH cut AS (
+  SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN cut  ON l_partkey = pk
+WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut
+"""
+
+QUERIES["q18_large_orders"] = relational.q18_large_orders
+ORACLES["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 300.0
+)
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 2) AS total_price, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join (oracle = the plain unsalted join)
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators import skew  # noqa: E402
+
+QUERIES["salted_join_revenue"] = skew.salted_join_revenue
+ORACLES["salted_join_revenue"] = """
+SELECT o_orderstatus,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""

@@ -112,3 +112,28 @@ def test_set_ops(spark, sf_dir):
 def test_quantiles_ordered(spark, sf_dir):
     for r in relational.price_quantiles(spark, sf_dir).collect():
         assert r.p25 <= r.p50 <= r.p75
+
+
+def test_salted_join_parity(spark, sf_dir):
+    """Salted join must be row-identical to the plain join."""
+    from parquet_to_csv_spark.operators import skew
+
+    salted = {
+        r.o_orderstatus: (r.n_lines, r.revenue)
+        for r in skew.salted_join_revenue(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = {
+        r.o_orderstatus: (r.n_lines, r.revenue)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert salted == plain
