@@ -700,3 +700,20 @@ SELECT o_orderstatus,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming through the correctness gate (batch/stream parity)
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.streaming import stream as _stream  # noqa: E402
+
+QUERIES["streaming_tumbling_drain"] = _stream.tumbling_drain_query
+ORACLES["streaming_tumbling_drain"] = """
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""

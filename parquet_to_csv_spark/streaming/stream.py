@@ -91,3 +91,24 @@ def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) ->
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def tumbling_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 through the correctness gate: stage ``events`` as a
+    file-stream directory, run the *streaming* tumbling aggregation,
+    drain it with availableNow, and return the drained result — which
+    must equal the batch SQL oracle. This is the batch/stream parity
+    contract executed end-to-end (same window expressions, streaming
+    execution path)."""
+    import tempfile
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    stage = tempfile.mkdtemp(prefix="evstream_")
+    # 2 staged files < maxFilesPerTrigger ⇒ the drain is one micro-batch
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(stage)
+    name = "t_stream_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        streaming_tumbling_counts(read_event_stream(spark, stage)), name, spark
+    )
