@@ -211,34 +211,40 @@ def minhash_lsh_pairs(
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, each bit votes
-    ±1 weighted by token frequency; sign of the vote → bit."""
-    # Per-bit vote tally: fold the token-hash array into a 64-long
-    # array of vote counts (+1 if the bit is set, -1 otherwise). The
-    # fold stays array-local (no explode/shuffle); a 64-sum-aggregate
-    # alternative benchmarked ~2× slower (too many aggregate exprs for
-    # whole-stage codegen → interpreted fallback).
-    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
-    votes = F.aggregate(
-        F.transform(F.col("toks"), lambda t: F.xxhash64(t)),
-        F.array(*[F.lit(0).cast("long") for _ in range(64)]),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[
-                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-                for i in range(64)
-            ]),
-            lambda x, y: x + y,
-        ),
-    ).alias("votes")
-    tallied = toks.filter(F.size("toks") > 0).select("doc_id", votes)
-    bit_terms = [
-        F.when(F.col("votes")[i] > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    acc = bit_terms[0]
-    for t in bit_terms[1:]:
-        acc = acc.bitwiseOR(t)
-    return tallied.select("doc_id", acc.alias("simhash"))
+    ±1 weighted by token frequency; majority sign → bit.
+
+    Shape: hash every token once into a materialized array, then 64
+    array-local ``aggregate`` passes count the set bits per position
+    (votes_i > 0  ⇔  2·count_set_i > n). All array-local — no
+    explode/shuffle. This replaced a zip_with fold that allocated a
+    64-long vote array *per token* (measured 4.4× slower at sf0.1 —
+    allocation, not arithmetic, was the cost; an earlier comparison
+    claiming otherwise was invalid because ``count()`` let Catalyst
+    prune the signature expression entirely)."""
+    tok = docs.select("doc_id", tokens_col("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"),
+    )
+
+    def bit_votes(i: int):
+        count_set = F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long"),
+        )
+        return F.when(
+            2 * count_set - F.col("n") > 0,
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    acc = bit_votes(0)
+    for i in range(1, 64):
+        acc = acc.bitwiseOR(bit_votes(i))
+    return hashed.select("doc_id", acc.alias("simhash"))
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
