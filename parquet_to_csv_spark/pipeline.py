@@ -71,14 +71,25 @@ def convert(
     raw = read_parquet_tree(spark, input_dir)
     cooked = transform(raw, cfg)
 
-    result: dict[str, object] = {}
-    if cfg.write_csv:
-        result["csv"] = write_csv_splits(
-            cooked, output_dir, long_threshold_ms=cfg.max_duration_ms
-        )
-    if cfg.write_sqlite:
-        db_path = os.path.join(output_dir, "database.db")
-        # UID is added inside the sink (P6), like the reference (main.js:342).
-        result["sqlite_rows"] = write_sqlite(cooked, db_path)
-        result["sqlite_path"] = db_path
-    return result
+    # S7/S8 done right: the reference's JSON chunk caches existed to
+    # avoid re-decoding when multiple consumers read the transform
+    # output. With one consumer we just recompute the pruned scan; with
+    # both sinks on, persist the transformed relation across the fan-out.
+    fan_out = cfg.write_csv and cfg.write_sqlite
+    if fan_out:
+        cooked = cooked.persist()
+    try:
+        result: dict[str, object] = {}
+        if cfg.write_csv:
+            result["csv"] = write_csv_splits(
+                cooked, output_dir, long_threshold_ms=cfg.max_duration_ms
+            )
+        if cfg.write_sqlite:
+            db_path = os.path.join(output_dir, "database.db")
+            # UID is added inside the sink (P6), like the reference (main.js:342).
+            result["sqlite_rows"] = write_sqlite(cooked, db_path)
+            result["sqlite_path"] = db_path
+        return result
+    finally:
+        if fan_out:
+            cooked.unpersist()
