@@ -353,6 +353,25 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6/E18 explicit GROUPING SETS: exactly the two single-dimension
+    rollups in one pass (no leaf or grand-total rows — the asymmetric
+    shape CUBE/ROLLUP cannot express). Like CUBE, Spark expands the
+    sets before a single exchange; `grouping_id` disambiguates the
+    all-null markers."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("t_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM t_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 exact quantiles per group (linear-interpolated, the SQL
     ``percentile_cont`` semantics). Exact percentile needs the group's

@@ -717,3 +717,13 @@ SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms,
 FROM events
 GROUP BY 1, 2
 """
+
+
+QUERIES["grouping_sets_orders"] = relational.grouping_sets_orders
+ORACLES["grouping_sets_orders"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
