@@ -58,53 +58,70 @@ def _distinct_tokens(df: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
-    """Blocked exact Jaccard near-dup pairs (token sets, lang×source
-    blocks + length bands).
+    """Exact Jaccard near-dup pairs via prefix filtering (the canonical
+    set-similarity join), blocked by lang×source.
 
-    Length-filter pruning (the standard set-similarity-join bound):
-    J(A,B) >= t implies |A|/|B| >= t, so qualifying pairs have distinct
-    token counts within a factor 1/t — any pair further apart cannot
-    pass the threshold and need never be compared. Banding counts at
-    log base 1/t means a qualifying pair is either in the same band or
-    adjacent bands; side b probes its own and both neighbor bands (the
-    a<b id ordering is independent of length, so the offset can be ±1),
-    and each candidate pair still meets exactly once because only one
-    probed value can equal a's band. This turns the quadratic
-    lang×source block into (band-block)² work — the knob that keeps
-    exact-Jaccard viable when a language bucket holds 10^8 docs.
+    Prefix-filter theorem: J(A,B) >= t forces an overlap α >= t·|A|
+    (and symmetrically t·|B|); with both token sets in one global sort
+    order, the smallest common token must therefore sit within the
+    first |A| − ⌈t·|A|⌉ + 1 tokens of A *and* the corresponding prefix
+    of B — else all α common tokens would have to fit in a suffix
+    shorter than α. So an equi-join of exploded *prefix* tokens finds
+    every qualifying pair: an inverted-index join, O(docs × prefix)
+    shuffle instead of O(block²) comparisons — the formulation that
+    keeps exact Jaccard viable when one language bucket holds 10^8
+    docs. Candidates are deduped to (doc_a, doc_b) before one exact
+    verify pass over the full sets.
+
+    Float soundness: prefix length uses ``sz − floor(t·sz) + 1`` —
+    under float error floor can only under-shoot, *lengthening* the
+    prefix (extra candidates, never a miss); ``ceil`` could overshoot
+    and lose pairs. The size-ratio prune keeps an epsilon of slack for
+    the same reason.
     """
     toks = _distinct_tokens(load_table(spark, sf_dir, "documents"))
-    import math
+    base = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort("toks").alias("toks"),
+        F.size("toks").alias("sz"),
+    ).persist()
 
-    band_base = math.log(1.0 / threshold) if threshold < 1.0 else 0.25
-    band = F.floor(F.log(F.greatest(F.size("toks"), F.lit(1)).cast("double")) / band_base)
-    a = toks.withColumn("band", band).alias("a")
-    b = (
-        toks.withColumn("b0", band)
-        .withColumn(
-            "band", F.explode(F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1))
-        )
-        .drop("b0")
-        .alias("b")
+    plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref = base.select(
+        "doc_id", "lang", "source", "sz",
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("ptok"),
     )
-    # |A∪B| = |A|+|B|−|A∩B| — one array pass per pair instead of two
-    # (the arrays are distinct-element sets by construction).
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
-    jac = F.when(union > 0, inter / union.cast("double"))
-    return (
+    a = pref.alias("a")
+    b = pref.alias("b")
+    eps = 1e-9
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # J >= t ⇒ min(sz)/max(sz) >= t — prune with float slack
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps)),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # |A∪B| = |A|+|B|−|A∩B| — one array pass per pair instead of two
+    # (the arrays are distinct-element sets by construction).
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = F.when(union > 0, inter / union.cast("double"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
