@@ -68,3 +68,17 @@ def test_merge_schema_union(spark, span_tree):
     assert df.count() == 700
     # rows from the narrow file are null-filled
     assert df.filter(F.col("value").isNull()).count() == 300
+
+
+def test_corrupt_file_tolerance(spark, span_tree, tmp_path):
+    """S2: a garbage .parquet in the tree is skipped, not fatal
+    (`ignoreCorruptFiles`, main.js:122-127 semantics). The JVM logs a
+    stack trace to stderr — that noise is the expected behavior."""
+    import shutil
+
+    root = str(tmp_path / "tree")
+    shutil.copytree(span_tree, root)
+    with open(os.path.join(root, "a", "garbage.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    df = read_parquet_tree(spark, root)
+    assert df.count() == 700  # the 700 good rows, corrupt file ignored
