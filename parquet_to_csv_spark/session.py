@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # min/max/count against parquet footer stats — metadata-only scans
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # runtime bloom filter from the filtered side of a join pushed
+        # into the other side's scan — prunes fact-table IO at 100 TB
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
