@@ -22,7 +22,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from parquet_to_csv_spark.functions.stable import stable_avg_2dp
+from parquet_to_csv_spark.functions.stable import (
+    exact_units,
+    stable_avg_2dp,
+    stable_sum_2dp,
+)
 from parquet_to_csv_spark.sources.tables import load_table
 
 
@@ -41,8 +45,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            # disc_price is a true 4-decimal rational, charge 6-decimal:
+            # their sums land exactly on .xx5 rounding boundaries ~1/50
+            # of the time, where round(sum(·),2) flips with summation
+            # order — stable_sum_2dp sums exact integer units instead.
+            stable_sum_2dp(disc_price, 4).alias("sum_disc_price"),
+            stable_sum_2dp(charge, 6).alias("sum_charge"),
             # stable_avg: float avgs tie at .xxxx5 and round divergently
             # per engine/summation order — see functions.stable.
             stable_avg_2dp(F.sum("l_quantity"), F.count(F.lit(1))).alias("avg_qty"),
@@ -74,8 +82,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            stable_sum_2dp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .select(
@@ -114,8 +122,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            stable_sum_2dp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
     )
@@ -283,8 +291,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            stable_sum_2dp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -298,21 +306,42 @@ def q17_small_quantity_revenue(
     """TPC-H Q17-shaped correlated aggregate: revenue from lines whose
     quantity is below 20% of that part's average quantity.
 
-    The correlated subquery decorrelates into a per-part aggregate
-    joined back — the grouped side is tiny (one row per part) and
-    broadcasts; lineitem is scanned twice but never shuffled on a
-    non-key."""
+    Canonical Q17 plan: lineitem is first semi-joined to the BROADCAST
+    brand-filtered part, and the per-part average is computed over that
+    reduced relation only — so the broadcast aggregate carries one row
+    per *brand* part, not one per distinct partkey in all of lineitem
+    (the unbounded variant is tens of GB at 100 TB). lineitem is
+    scanned twice, both scans pruned by the broadcast/bloom semi-join.
+
+    The quantity cutoff ``q < 0.2·avg(q)`` is evaluated in exact
+    integer units (``100q·5·n < Σ100q``) — no float boundary, so the
+    filtered row set is identical in any engine/summation order."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
-    part_avg = li.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == brand
+    ).select("p_partkey")
+    li_brand = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi"
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    part_avg = li_brand.groupBy("l_partkey").agg(
+        F.sum(exact_units(F.col("l_quantity"), 2)).alias("qsum_u"),
+        F.count(F.lit(1)).alias("qn"),
+    )
+    cents = F.sum(exact_units(F.col("l_extendedprice"), 2))
+    avg_yearly = (
+        F.floor((cents / F.lit(100.0) / F.lit(7.0)) * F.lit(100.0) + F.lit(0.5))
+        / F.lit(100.0)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(part_avg.withColumnRenamed("l_partkey", "pk")),
-              F.col("l_partkey") == F.col("pk"))
-        .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        li_brand.join(
+            F.broadcast(part_avg.withColumnRenamed("l_partkey", "pk")),
+            F.col("l_partkey") == F.col("pk"),
+        )
+        .filter(
+            exact_units(F.col("l_quantity"), 2) * F.lit(5) * F.col("qn")
+            < F.col("qsum_u")
+        )
+        .agg(avg_yearly.alias("avg_yearly"))
     )
 
 

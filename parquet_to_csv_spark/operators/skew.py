@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from parquet_to_csv_spark.functions.stable import stable_sum_2dp
 from parquet_to_csv_spark.sources.tables import load_table
 
 
@@ -65,5 +66,7 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_lines"),
-        F.round(F.sum(rev), 2).alias("revenue"),
+        # exact-units sum: a true-4dp revenue sum rounds flakily at 2dp
+        # (see functions.stable) — integer units are order-independent.
+        stable_sum_2dp(rev, 4).alias("revenue"),
     )

@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from parquet_to_csv_spark.functions.stable import stable_avg_2dp
+from parquet_to_csv_spark.functions.stable import (
+    exact_units,
+    stable_avg_2dp,
+    stable_sum_2dp,
+)
 from parquet_to_csv_spark.sources.tables import load_table
 
 
@@ -34,7 +38,7 @@ def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window(_ts_micros(), "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            stable_sum_2dp(F.col("value"), 2).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
@@ -71,7 +75,10 @@ def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window(_ts_micros(), gap).alias("s"), F.col("user_id"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum_2dp(F.col("value"), 2).alias("sum_value"),
+        )
         .select(
             "user_id",
             F.unix_micros(F.col("s.start")).alias("session_start_us"),
@@ -88,25 +95,29 @@ def hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The daily tier re-aggregates the hourly tier (not the raw events) —
     at 100 TB the hourly materialization is what makes the daily sweep
     cheap; expressed here as two chained groupBys in one plan.
+
+    Determinism (round-1 gate flap): the hourly tier carries the value
+    sum as exact integer cents (``functions.stable.exact_units`` — the
+    fixture values are 2dp), so the daily tier is a pure long sum with
+    no float rounding anywhere; and day truncation is epoch integer
+    arithmetic, not ``date_trunc`` (which reads the session timezone).
     """
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.window(_ts_micros(), "1 hour").alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
-        .select(F.col("w.start").alias("hs"), "event_type", "n", "sv")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(exact_units(F.col("value"), 2)).alias("sv_cents"),
+        )
+        .select(F.unix_millis(F.col("w.start")).alias("hs_ms"), "event_type", "n", "sv_cents")
     )
+    day_ms = (F.col("hs_ms") - F.pmod(F.col("hs_ms"), F.lit(86400000))).alias("day_ms")
     return (
-        hourly.groupBy(F.date_trunc("day", F.col("hs")).alias("ds"), F.col("event_type"))
+        hourly.groupBy(day_ms, F.col("event_type"))
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("sv"), 2).alias("sum_value"),
+            (F.sum("sv_cents") / F.lit(100.0)).alias("sum_value"),
             F.max("n").alias("max_hourly_events"),
         )
-        .select(
-            F.unix_millis(F.col("ds")).alias("day_ms"),
-            "event_type",
-            "n_events",
-            "sum_value",
-            "max_hourly_events",
-        )
+        .select("day_ms", "event_type", "n_events", "sum_value", "max_hourly_events")
     )

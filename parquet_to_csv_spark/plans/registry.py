@@ -23,7 +23,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from parquet_to_csv_spark.functions.stable import duck_sum_2dp, duck_units
 from parquet_to_csv_spark.operators import dedup, refpipe, relational, text
+
+# Engine-stable 2dp revenue sum (see functions.stable.stable_sum_2dp):
+# sums of true-4dp/6dp money expressions land exactly on .xx5 rounding
+# boundaries often enough that round(sum(·),2) flips with summation
+# order — both sides sum exact integer units instead.
+_D_REV = duck_sum_2dp("l_extendedprice * (1 - l_discount)", 4)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -104,12 +111,12 @@ WHERE duration_ms >= 2000
 # --------------------------------------------------------------------------
 
 QUERIES["q1_pricing_summary"] = relational.q1_pricing_summary
-ORACLES["q1_pricing_summary"] = """
+ORACLES["q1_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       {_D_REV} AS sum_disc_price,
+       {duck_sum_2dp("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
        floor(round(sum(l_quantity) * 100) * 100 / count(*)) / 10000.0 AS avg_qty,
        floor(round(sum(l_extendedprice) * 100) * 100 / count(*)) / 10000.0 AS avg_price,
        floor(round(sum(l_discount) * 100) * 100 / count(*)) / 10000.0 AS avg_disc,
@@ -120,11 +127,11 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 QUERIES["q3_shipping_priority"] = relational.q3_shipping_priority
-ORACLES["q3_shipping_priority"] = """
+ORACLES["q3_shipping_priority"] = f"""
 SELECT o_orderkey,
        epoch_ms(o_orderdate) AS o_date_ms,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_D_REV} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -137,9 +144,9 @@ LIMIT 10
 """
 
 QUERIES["q5_region_revenue"] = relational.q5_region_revenue
-ORACLES["q5_region_revenue"] = """
+ORACLES["q5_region_revenue"] = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_D_REV} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -418,11 +425,11 @@ SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.4
 QUERIES["ivf_topk"] = similarity.ivf_topk
 
 QUERIES["tumbling_window_stats"] = timeops.tumbling_window_stats
-ORACLES["tumbling_window_stats"] = """
+ORACLES["tumbling_window_stats"] = f"""
 SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value,
+       {duck_sum_2dp("value", 2)} AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -441,7 +448,7 @@ FROM w GROUP BY 1
 """
 
 QUERIES["session_windows"] = timeops.session_windows
-ORACLES["session_windows"] = """
+ORACLES["session_windows"] = f"""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS tus, value FROM events
 ), flagged AS (
@@ -460,21 +467,23 @@ SELECT user_id,
        min(tus) AS session_start_us,
        max(tus) + 1800000000 AS session_end_us,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       {duck_sum_2dp("value", 2)} AS sum_value
 FROM sessions
 GROUP BY user_id, sid
 """
 
 QUERIES["hourly_to_daily_rollup"] = timeops.hourly_to_daily_rollup
-ORACLES["hourly_to_daily_rollup"] = """
+# Two-tier rollup with exact integer cents through both tiers — the
+# round-1 gate flap was a float rounding on the re-aggregated doubles.
+ORACLES["hourly_to_daily_rollup"] = f"""
 WITH hourly AS (
   SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hs_ms, event_type,
-         count(*) AS n, sum(value) AS sv
+         count(*) AS n, sum({duck_units("value", 2)}) AS sv_cents
   FROM events GROUP BY 1, 2
 )
 SELECT (hs_ms // 86400000) * 86400000 AS day_ms, event_type,
        sum(n) AS n_events,
-       round(sum(sv), 2) AS sum_value,
+       (sum(sv_cents) / 100.0) AS sum_value,
        max(n) AS max_hourly_events
 FROM hourly GROUP BY 1, 2
 """
@@ -645,9 +654,9 @@ GROUP BY o_orderpriority
 """
 
 QUERIES["q10_returned_revenue"] = relational.q10_returned_revenue
-ORACLES["q10_returned_revenue"] = """
+ORACLES["q10_returned_revenue"] = f"""
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_D_REV} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -659,16 +668,24 @@ LIMIT 20
 """
 
 QUERIES["q17_small_quantity_revenue"] = relational.q17_small_quantity_revenue
-ORACLES["q17_small_quantity_revenue"] = """
-WITH cut AS (
-  SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS qty_cut
-  FROM lineitem GROUP BY l_partkey
+# Mirrors the canonical-Q17 Spark plan: per-part stats over the
+# brand-reduced lineitem only; cutoff compared in exact integer units
+# (100q·5·n < Σ100q ⇔ q < 0.2·avg(q) for exact-2dp quantities).
+ORACLES["q17_small_quantity_revenue"] = f"""
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+), cut AS (
+  SELECT l_partkey AS pk,
+         sum({duck_units("l_quantity", 2)}) AS qsum_u,
+         count(*) AS qn
+  FROM brand_li GROUP BY l_partkey
 )
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN cut  ON l_partkey = pk
-WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut
+SELECT floor((sum({duck_units("l_extendedprice", 2)}) / 100.0 / 7.0) * 100.0 + 0.5) / 100.0 AS avg_yearly
+FROM brand_li
+JOIN cut ON l_partkey = pk
+WHERE {duck_units("l_quantity", 2)} * 5 * qn < qsum_u
 """
 
 QUERIES["q18_large_orders"] = relational.q18_large_orders
@@ -693,10 +710,10 @@ JOIN customer ON o_custkey = c_custkey
 from parquet_to_csv_spark.operators import skew  # noqa: E402
 
 QUERIES["salted_join_revenue"] = skew.salted_join_revenue
-ORACLES["salted_join_revenue"] = """
+ORACLES["salted_join_revenue"] = f"""
 SELECT o_orderstatus,
        count(*) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_D_REV} AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """
@@ -709,13 +726,26 @@ GROUP BY o_orderstatus
 from parquet_to_csv_spark.streaming import stream as _stream  # noqa: E402
 
 QUERIES["streaming_tumbling_drain"] = _stream.tumbling_drain_query
-ORACLES["streaming_tumbling_drain"] = """
+ORACLES["streaming_tumbling_drain"] = f"""
 SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       {duck_sum_2dp("value", 2)} AS sum_value
 FROM events
 GROUP BY 1, 2
+"""
+
+# E20: the custom applyInPandasWithState operator, drained availableNow
+# in ONE micro-batch — update-mode emits the final running row per user,
+# which equals the plain batch aggregation.
+QUERIES["stateful_totals_drain"] = _stream.stateful_totals_drain
+ORACLES["stateful_totals_drain"] = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       {duck_sum_2dp("value", 2)} AS sum_value,
+       max(epoch_us(ts)) AS last_ts_us
+FROM events
+GROUP BY user_id
 """
 
 

@@ -32,10 +32,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# sum_value is carried as exact integer cents (the fixture values are
+# 2-decimal): long additions are order-independent, so the emitted
+# running totals are reproducible and oracle-hashable (functions.stable
+# rationale).
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("sv_cents", LongType()),
         StructField("last_ts_us", LongType()),
     ]
 )
@@ -54,18 +58,20 @@ def _update_user_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, sv, last = state.get if state.exists else (0, 0.0, 0)
+    n, sv_cents, last = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        sv += float(pdf["value"].sum())
+        # exact cents per row (values are 2dp; *100 lands within 1e-11
+        # of the integer) — the accumulation is then exact long math.
+        sv_cents += int((pdf["value"] * 100).round().sum())
         if len(pdf):
             last = max(last, int(pdf["ts_us"].max()))
-    state.update((n, sv, last))
+    state.update((n, sv_cents, last))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "sum_value": [round(sv, 2)],
+            "sum_value": [sv_cents / 100.0],
             "last_ts_us": [last],
         }
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from parquet_to_csv_spark.functions.stable import stable_avg_2dp
+from parquet_to_csv_spark.functions.stable import stable_sum_2dp
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -52,7 +52,9 @@ def streaming_tumbling_counts(
         .groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact-cents sum (functions.stable): same stable contract
+            # as the batch twin, valid under streaming partial aggs too.
+            stable_sum_2dp(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("ws_ms"),
@@ -79,18 +81,35 @@ def streaming_sessions(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    spark: SparkSession,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain a (bounded) stream into an in-memory table and return the
     batch result — availableNow processes all pending input then stops."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy ``events`` into a temp dir shaped as a file-stream source.
+    2 staged files < maxFilesPerTrigger ⇒ a drain is one micro-batch."""
+    import tempfile
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    stage = tempfile.mkdtemp(prefix="evstream_")
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(stage)
+    return stage
 
 
 def tumbling_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,15 +119,31 @@ def tumbling_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the batch SQL oracle. This is the batch/stream parity
     contract executed end-to-end (same window expressions, streaming
     execution path)."""
-    import tempfile
     import uuid as _uuid
 
-    from parquet_to_csv_spark.sources.tables import load_table
-
-    stage = tempfile.mkdtemp(prefix="evstream_")
-    # 2 staged files < maxFilesPerTrigger ⇒ the drain is one micro-batch
-    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(stage)
+    stage = _stage_events_dir(spark, sf_dir)
     name = "t_stream_drain_" + _uuid.uuid4().hex[:8]
     return run_to_memory(
         streaming_tumbling_counts(read_event_stream(spark, stage)), name, spark
+    )
+
+
+def stateful_totals_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 through the correctness gate: drain the custom
+    ``applyInPandasWithState`` running-totals operator
+    (``streaming.stateful``) over the staged event stream with
+    availableNow. The staging keeps the drain to ONE micro-batch, so
+    update-mode emits exactly one (final) row per user — equal to the
+    batch per-user aggregation the DuckDB oracle computes."""
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.streaming.stateful import stateful_user_totals
+
+    stage = _stage_events_dir(spark, sf_dir)
+    name = "t_stateful_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        stateful_user_totals(read_event_stream(spark, stage)),
+        name,
+        spark,
+        output_mode="update",
     )

@@ -10,13 +10,16 @@ import random
 
 import duckdb
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from parquet_to_csv_spark.functions.stable import (
     duck_avg_2dp,
     duck_avg_int,
+    duck_sum_2dp,
     stable_avg_2dp,
     stable_avg_int,
+    stable_sum_2dp,
 )
 
 
@@ -65,3 +68,46 @@ def test_stable_avg_int_matches_duckdb(spark):
     expr = duck_avg_int("s", "cnt")
     want = dict(duck.execute(f"SELECT gid, {expr} FROM t").fetchall())
     assert got == want
+
+
+def _money_sample(dp: int, n_groups=200, rows_per_group=40, seed=11):
+    """Random true-dp-decimal 'money' values; every 5th group is rigged
+    so its exact decimal sum lands EXACTLY on a `.xx5` rounding
+    boundary — the case where round(sum(double), 2) is decided by
+    summation order and a float-sum parity would flap."""
+    rng = random.Random(seed)
+    scale = 10**dp
+    rows = []
+    for g in range(n_groups):
+        units = [rng.randint(0, 10**7) for _ in range(rows_per_group - 1)]
+        tail = rng.randint(0, 10**7)
+        if g % 5 == 0:
+            # force sum ≡ half-cent (mod one cent): exactly on boundary
+            half = scale // 100 // 2
+            tail += (half - (sum(units) + tail)) % (scale // 100)
+        units.append(tail)
+        rows.extend((g, u / scale) for u in units)
+    return pd.DataFrame(rows, columns=["gid", "v"])
+
+
+@pytest.mark.parametrize("dp", [2, 4, 6])
+@pytest.mark.parametrize("n_parts", [1, 7, 32])
+def test_stable_sum_2dp_partition_invariant_and_matches_duckdb(spark, dp, n_parts):
+    """The stable 2dp sum must be bit-identical to its DuckDB twin at
+    ANY partition count, including on exact half-cent boundary sums."""
+    pdf = _money_sample(dp)
+    sdf = spark.createDataFrame(pdf).repartition(n_parts)
+    got = {
+        r["gid"]: r["s"]
+        for r in sdf.groupBy("gid")
+        .agg(stable_sum_2dp(F.col("v"), dp).alias("s"))
+        .collect()
+    }
+    duck = duckdb.connect()
+    duck.register("t", pdf)
+    want = dict(
+        duck.execute(
+            f"SELECT gid, {duck_sum_2dp('v', dp)} FROM t GROUP BY gid"
+        ).fetchall()
+    )
+    assert got == want  # exact float equality, all groups
