@@ -226,15 +226,26 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, each bit votes
-    ±1 weighted by token frequency; majority sign → bit.
+def _h60(t) -> "F.Column":
+    """60-bit token hash BOTH engines compute bit-identically:
+    Spark ``conv(substr(sha2(t,256),1,15),16,10)`` ==
+    DuckDB ``CAST('0x'||substr(sha256(t),1,15) AS BIGINT)``.
 
-    Shape: hash every token once into a materialized array, then 64
+    xxhash64 would be ~2× cheaper but is engine-private — a shared hash
+    is what lets the driver gate check the SimHash tier at full oracle
+    strength (exact signature + hamming equality, not rows-only)."""
+    return F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc: per-token sha256-derived hash (``_h60``),
+    each bit votes ±1 weighted by token frequency; majority sign → bit.
+
+    Shape: hash every token once into a materialized array, then 60
     array-local ``aggregate`` passes count the set bits per position
     (votes_i > 0  ⇔  2·count_set_i > n). All array-local — no
     explode/shuffle. This replaced a zip_with fold that allocated a
-    64-long vote array *per token* (measured 4.4× slower at sf0.1 —
+    vote array *per token* (measured 4.4× slower at sf0.1 —
     allocation, not arithmetic, was the cost; an earlier comparison
     claiming otherwise was invalid because ``count()`` let Catalyst
     prune the signature expression entirely)."""
@@ -244,7 +255,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     hashed = tok.select(
         "doc_id",
         F.size("toks").alias("n"),
-        F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"),
+        F.transform("toks", lambda t: _h60(t)).alias("hs"),
     )
 
     def bit_votes(i: int):
@@ -254,20 +265,22 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long"),
         )
         return F.when(
-            2 * count_set - F.col("n") > 0,
-            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
+            2 * count_set - F.col("n") > 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
 
     acc = bit_votes(0)
-    for i in range(1, 64):
+    for i in range(1, 60):
         acc = acc.bitwiseOR(bit_votes(i))
     return hashed.select("doc_id", acc.alias("simhash"))
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks —
+    """SimHash near-dup pairs: band the 60 bits into 4×15-bit chunks —
     pigeonhole guarantees any pair within hamming distance 3 collides
-    on at least one chunk — then verify exact hamming distance."""
+    on at least one chunk — then verify exact hamming distance. The
+    banded result therefore EQUALS the all-pairs hamming≤3 relation by
+    construction (that is the oracle), while shuffling only
+    O(docs × 4 chunks)."""
     docs = load_table(spark, sf_dir, "documents")
     # persist: the self-join reads the signature relation twice.
     sigs = simhash_signatures(docs).persist()
@@ -278,7 +291,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 15).bitwiseAND(F.lit(0x7FFF)).alias("ch"),
                 )
                 for i in range(4)
             ])

@@ -115,25 +115,24 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate nearest neighbors.
 
-    Centroids: every (N div n_cells)-th vector by vec_id —
-    deterministic, no iterative k-means (a k-means refinement is a
-    drop-in replacement for this selection). Assignment and probing
-    are broadcast joins; only vectors in the nprobe probed cells are
-    scored per query.
+    Centroids: the first ``n_cells`` vectors by vec_id — a fixed,
+    data-independent rule, so building the plan triggers NO job (the
+    previous ``count()``-derived stride ran a full extra scan per
+    invocation; a k-means-refined centroid *table* is the production
+    drop-in). Assignment and probing are broadcast joins; only vectors
+    in the nprobe probed cells are scored per query.
+
+    The whole procedure is deterministic and SQL-expressible, so the
+    driver gate checks it at full oracle strength (the DuckDB twin
+    replicates centroids → argmax assignment → probing → top-k).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
-    total = emb.count()
-    stride = max(total // n_cells, 1)
-    cents = (
-        emb.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
-        .filter(F.col("vec_id") < stride * n_cells)
-        .select(
-            (F.col("vec_id") / stride).cast("int").alias("cell_id"),
-            F.col("embedding").alias("cent_emb"),
-            F.col("nrm").alias("cent_nrm"),
-        )
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("nrm").alias("cent_nrm"),
     )
 
     def _sim(a, an, b, bn):
@@ -142,8 +141,9 @@ def ivf_topk(
             denom > F.lit(0.0), dot_product(F.col(a), F.col(b)) / denom
         )
 
-    # assign: argmax cosine over broadcast centroids — one pass over data
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell_id"))
+    # assign: argmax cosine over broadcast centroids — one pass over the
+    # data; max_by gets map-side partial aggregation, so the exchange
+    # carries N rows, not the N×n_cells window-sort expansion.
     assigned = (
         emb.join(F.broadcast(cents))
         .select(
@@ -153,9 +153,12 @@ def ivf_topk(
             "cell_id",
             _sim("embedding", "nrm", "cent_emb", "cent_nrm").alias("cs"),
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cell_id").alias("cell"))
+        .groupBy("vec_id", "embedding", "nrm")
+        .agg(
+            F.max_by(
+                "cell_id", F.struct(F.col("cs"), -F.col("cell_id"))
+            ).alias("cell")
+        )
     )
     # probe: each query's nprobe nearest cells
     q = emb.filter(F.col("vec_id") < n_queries).select(

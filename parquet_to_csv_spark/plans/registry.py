@@ -369,9 +369,65 @@ WHERE round(len(list_intersect(a.toks, b.toks))
              / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
 """
 
-# Approximate dedup (engine-private xxhash64 signatures) — rows-only.
 QUERIES["minhash_lsh_pairs"] = dedup.minhash_lsh_pairs
 QUERIES["simhash_pairs"] = dedup.simhash_pairs
+
+# DuckDB twin of dedup._shingles_from_tokens: distinct word-3-gram
+# shingles (short docs yield their 1-2-token shingle, empty docs "" —
+# matching Spark's slice semantics). Spark intersects xxhash64'd
+# shingles; equal cardinalities bar 64-bit collisions (~1e-10 here).
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(0, greatest(len(toks)-3, 0)+1), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))"
+)
+
+# Oracle contract: the emitted pair set equals the EXACT shingle-Jaccard
+# relation at the verify threshold — i.e. the gate asserts soundness
+# (every pair's jaccard is exact and ≥ t: true by construction, the
+# verify pass computes exact Jaccard) AND 100% LSH recall on this
+# corpus (deterministic — fixed permutation constants, fixed data;
+# verified identical at sf0.001/sf0.01). A recall loss on changed data
+# would surface here, which is what a dedup gate SHOULD catch.
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+"""
+
+# DuckDB twin of dedup.simhash_signatures: the 60-bit sha256-derived
+# token hash is computed bit-identically in both engines (dedup._h60),
+# so the oracle rebuilds the signatures and takes the ALL-PAIRS
+# hamming≤3 relation — which the banded Spark plan equals by pigeonhole
+# (4 chunks × 15 bits). Full oracle strength, no recall caveat.
+_DUCK_H60 = "CAST(concat('0x', substr(sha256(tk), 1, 15)) AS BIGINT)"
+_DUCK_SIMHASH = " + ".join(
+    f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {i}) & 1)) - n > 0 "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(60)
+)
+ORACLES["simhash_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), h AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, tk -> {_DUCK_H60}) AS hs
+  FROM t WHERE len(toks) > 0
+), sig AS (
+  SELECT doc_id, ({_DUCK_SIMHASH}) AS simhash FROM h
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -419,10 +475,46 @@ WITH pairs AS (
 SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.4
 """
 
-# IVF ANN: deterministic but its plan (argmax assignment + probing) is
-# a procedure, not a SQL expression — rows-only check; recall is tested
-# against exact top-k in tests/test_similarity.py.
+# IVF ANN: the whole procedure (first-n_cells centroids → argmax-cosine
+# assignment → nprobe probing → per-cell exact top-k) is deterministic
+# and SQL-expressible, so the oracle replicates it step for step —
+# full-strength gate; recall-vs-exact stays in tests/test_similarity_time.py.
 QUERIES["ivf_topk"] = similarity.ivf_topk
+ORACLES["ivf_topk"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16
+), asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos('e.embedding', 'c.cent_emb')} DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT q.query_id, q.q_emb, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_duck_cos('q.q_emb', 'c.cent_emb')} DESC, c.cell_id ASC
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         {_duck_cos('p.q_emb', 'a.embedding')} AS sim
+  FROM probes p JOIN asg a ON p.cell = a.cell
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, cand_id, round(sim, 6) AS cosine, rnk FROM (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
 
 QUERIES["tumbling_window_stats"] = timeops.tumbling_window_stats
 ORACLES["tumbling_window_stats"] = f"""
