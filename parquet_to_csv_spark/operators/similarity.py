@@ -69,23 +69,50 @@ def cosine_topk(
     )
 
 
-def embedding_neardup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within label blocks.
+def _srp_bits(vec_col, n_bits: int = 8, dim: int = 64, seed: int = 1234) -> "F.Column":
+    """Signed-random-projection sub-key: ``n_bits`` fixed Gaussian
+    hyperplanes (seeded literals — no data pass, identical everywhere);
+    bit j = sign of ⟨v, h_j⟩. Deterministic per vector."""
+    import random as _random
 
-    The label is the blocking key (at scale: an LSH bucket or IVF cell
-    id); within-block pairing is local after one shuffle per side.
+    rng = _random.Random(seed)
+    acc = F.lit(0)
+    for j in range(n_bits):
+        h = F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(dim)])
+        acc = acc + F.when(dot_product(vec_col, h) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def neardup_pairs_df(
+    emb: DataFrame, threshold: float = 0.4, max_block: int = 100_000
+) -> DataFrame:
+    """Core of :func:`embedding_neardup_pairs` over any
+    (vec_id, label, embedding) relation.
+
+    Block-size guard: pairing is quadratic *within* a label block, so
+    one fat label (a bot user, a default value) would put O(cnt²) pairs
+    in one task at 100 TB. Labels above ``max_block`` rows get an
+    8-bit signed-random-projection sub-key folded into the join key —
+    bounding each task to ~(cnt/256)² pairs. Within-cap labels keep
+    sub-key 0 on both sides: their results are EXACTLY unchanged; over
+    cap the operator degrades (documented) to pairs that agree on the
+    SRP sub-bucket, the standard recall trade for capping hot blocks
+    (the LSH/IVF tiers are the principled path for such data).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Precompute each vector's norm ONCE before the pair join — norms
-    # are O(N), the join is O(pairs); recomputing norms per pair would
-    # triple the dominant cost.
     normed = emb.select(
         "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
-    a = normed.alias("a")
-    b = normed.alias("b")
+    # one row per label — plain join (AQE broadcasts when small; at huge
+    # label cardinality a broadcast hint would be the scale-killer).
+    cnts = normed.groupBy("label").agg(F.count(F.lit(1)).alias("_bn"))
+    keyed = normed.join(cnts, "label").withColumn(
+        "_sub",
+        F.when(F.col("_bn") > max_block, _srp_bits(F.col("embedding"))).otherwise(
+            F.lit(0)
+        ),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     sim = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
@@ -93,6 +120,7 @@ def embedding_neardup_pairs(
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a._sub") == F.col("b._sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -103,6 +131,23 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within label blocks.
+
+    The label is the blocking key (at scale: an LSH bucket or IVF cell
+    id); within-block pairing is local after one shuffle per side.
+    Hot blocks past ``max_block`` are SRP-sub-blocked — see
+    :func:`neardup_pairs_df`.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are precomputed ONCE before the pair join — norms are O(N),
+    # the join is O(pairs); recomputing norms per pair would triple the
+    # dominant cost.
+    return neardup_pairs_df(emb, threshold=threshold)
 
 
 def ivf_topk(

@@ -39,6 +39,11 @@ class ConvertConfig:
     min_duration_ms: int = MIN_DURATION_MS
     max_duration_ms: int = MAX_DURATION_MS
     dedup: bool = True
+    # "global" (engine default — strictly stronger) or "per_file": the
+    # reference's Set lives inside its per-file loop
+    # (/root/reference/main.js:77,156-179), so a byte-for-byte replay of
+    # its scoping needs duplicates deduped only WITHIN each input file.
+    dedup_scope: str = "global"
 
 
 def transform(df: DataFrame, cfg: ConvertConfig | None = None) -> DataFrame:
@@ -52,7 +57,18 @@ def transform(df: DataFrame, cfg: ConvertConfig | None = None) -> DataFrame:
     # duration_ms first, like the reference's column reorder (P4).
     out = out.select("duration_ms", *[c for c in df.columns])
     if cfg.dedup:
-        out = out.dropDuplicates()
+        if cfg.dedup_scope == "per_file":
+            # fold the source file into the dedup key: input_file_name()
+            # is captured at the scan (before any exchange), so the
+            # distinct runs per (file × row-value) — a cross-file
+            # duplicate survives, exactly the reference's semantics.
+            out = (
+                out.withColumn("_src_file", F.input_file_name())
+                .dropDuplicates()
+                .drop("_src_file")
+            )
+        else:
+            out = out.dropDuplicates()
     return out
 
 

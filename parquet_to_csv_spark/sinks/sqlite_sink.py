@@ -8,13 +8,15 @@ anti-pattern list of SURVEY.md §4. Engine approach:
 - Preferred (cluster): JDBC ``df.write.format("jdbc")`` with the
   sqlite-jdbc driver. This container ships no sqlite-jdbc jar, so that
   path is attempted and falls back cleanly.
-- Fallback (local): partition-parallel Arrow export → a single batched
-  ``executemany`` load per partition stream on the driver via Python's
-  stdlib ``sqlite3``. SQLite is a single-file database — ANY writer is
+- Fallback (local): ``toLocalIterator`` partition-at-a-time streaming →
+  chunked ``executemany`` loads on the driver via Python's stdlib
+  ``sqlite3``. SQLite is a single-file database — ANY writer is
   ultimately one node, so a driver-side batched load is not a scale
   compromise relative to the sink itself; the Spark plan upstream
-  (scan/filter/dedup) still runs distributed, and rows cross the
-  boundary as Arrow batches, never row-at-a-time Python.
+  (scan/filter/dedup) still runs distributed, and driver memory is
+  bounded by one partition at a time (a full ``toArrow()`` would
+  materialize the entire result on the driver and OOM on large
+  outputs).
 
 Type discipline per the reference (``main.js:287-301``): NUMBER_KEYS →
 INTEGER, everything else TEXT; synthetic ``UID`` primary key
@@ -47,7 +49,7 @@ def write_sqlite(
     """Write ``df`` to a SQLite table with the reference's type map.
 
     Returns the row count written. Tries JDBC first when a URL is
-    given; otherwise streams Arrow batches driver-side.
+    given; otherwise streams rows driver-side partition-at-a-time.
     """
     if jdbc_url:
         try:
@@ -59,9 +61,19 @@ def write_sqlite(
                 .mode("overwrite")
                 .save()
             )
-            return df.count()
+            # count what was WRITTEN (one 1-row JDBC query) — never
+            # recompute the upstream plan for a row count.
+            cnt = (
+                df.sparkSession.read.format("jdbc")
+                .option("url", jdbc_url)
+                .option("query", f'SELECT count(*) AS n FROM "{table}"')
+                .option("driver", "org.sqlite.JDBC")
+                .load()
+                .collect()[0]["n"]
+            )
+            return int(cnt)
         except Exception:
-            pass  # no sqlite-jdbc jar in this container → Arrow fallback
+            pass  # no sqlite-jdbc jar in this container → local fallback
 
     cols = df.columns
     ddl_cols = ", ".join(f'"{c}" {_sqlite_type(c)}' for c in cols)
@@ -73,16 +85,19 @@ def write_sqlite(
         con.execute(f'CREATE TABLE "{table}" (UID TEXT PRIMARY KEY, {ddl_cols})')
         n = 0
         insert = f'INSERT INTO "{table}" VALUES ({placeholders})'
-        # toArrow()/mapInArrow keeps the transfer columnar; iterate record
-        # batches and executemany per batch inside one transaction.
-        for batch in df.toArrow().to_batches(max_chunksize=batch_size):
-            pydict = batch.to_pylist()
-            rows = [
-                tuple([str(_uuid.uuid4())] + [rec.get(c) for c in cols])
-                for rec in pydict
-            ]
-            con.executemany(insert, rows)
-            n += len(rows)
+        # toLocalIterator streams one partition at a time to the driver
+        # (bounded memory); chunk into executemany batches inside one
+        # transaction — no per-row prepare, no VACUUM churn.
+        chunk: list[tuple] = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            chunk.append(tuple([str(_uuid.uuid4())] + [row[c] for c in cols]))
+            if len(chunk) >= batch_size:
+                con.executemany(insert, chunk)
+                n += len(chunk)
+                chunk = []
+        if chunk:
+            con.executemany(insert, chunk)
+            n += len(chunk)
         con.commit()
         return n
     finally:

@@ -82,3 +82,28 @@ def test_corrupt_file_tolerance(spark, span_tree, tmp_path):
         f.write(b"this is not a parquet file")
     df = read_parquet_tree(spark, root)
     assert df.count() == 700  # the 700 good rows, corrupt file ignored
+
+
+def test_dedup_scope_per_file_vs_global(spark, sf_dir, tmp_path):
+    """D1 scoping option: a duplicate row present in TWO input files
+    survives per_file mode (the reference's Set lives inside its
+    per-file loop, main.js:77) and dies in global mode; within-file
+    duplicates die in both."""
+    from parquet_to_csv_spark.pipeline import transform
+
+    root = str(tmp_path / "tree")
+    spans = trace_spans(load_table(spark, sf_dir, "events")).drop("duration_ms")
+    sample = spans.orderBy("event_id").limit(5)
+    # file a: sample + an in-file duplicate of its first row
+    first = sample.limit(1)
+    first.unionAll(sample).write.parquet(os.path.join(root, "a"))
+    # file b: the same first row again (cross-file duplicate)
+    first.write.parquet(os.path.join(root, "b"))
+
+    raw = read_parquet_tree(spark, root)
+    cfg_g = ConvertConfig(write_csv=True, min_duration_ms=0, dedup_scope="global")
+    cfg_f = ConvertConfig(write_csv=True, min_duration_ms=0, dedup_scope="per_file")
+    n_global = transform(raw, cfg_g).count()
+    n_per_file = transform(raw, cfg_f).count()
+    assert n_global == 5          # all duplicates collapse
+    assert n_per_file == 6        # cross-file copy survives, in-file dies

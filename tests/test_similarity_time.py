@@ -57,3 +57,51 @@ def test_sliding_double_counts(spark, sf_dir):
         .collect()[0][0]
     )
     assert total == 2 * ev_n  # 1h window / 30m slide → every event twice
+
+
+def test_neardup_fat_label_subblocked_small_labels_exact(spark):
+    """Block-size guard: labels over max_block get SRP sub-blocking
+    (bounded per-task pair counts); within-cap labels are bit-exact
+    unchanged vs the uncapped quadratic."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.operators.similarity import (
+        _srp_bits,
+        neardup_pairs_df,
+    )
+
+    rng = _r.Random(3)
+    rows = [(i, "small", [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)]
+    rows += [
+        (1000 + i, "fat", [rng.gauss(0, 1) for _ in range(64)]) for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+    capped = neardup_pairs_df(df, threshold=0.2, max_block=100).collect()
+    exact = neardup_pairs_df(df, threshold=0.2, max_block=10**9).collect()
+    key = lambda r: (r["vec_a"], r["vec_b"])  # noqa: E731
+
+    small_c = {key(r): r["cosine"] for r in capped if r["label"] == "small"}
+    small_e = {key(r): r["cosine"] for r in exact if r["label"] == "small"}
+    assert small_c == small_e and len(small_e) > 0
+
+    fat_c = {key(r): r["cosine"] for r in capped if r["label"] == "fat"}
+    fat_e = {key(r): r["cosine"] for r in exact if r["label"] == "fat"}
+    assert set(fat_c) <= set(fat_e)  # sound: never invents pairs
+    assert all(fat_e[k] == v for k, v in fat_c.items())  # scores exact
+
+    # the guard actually bounds the quadratic: max sub-bucket of the fat
+    # label is a tiny fraction of the block (600 rows over 256 buckets)
+    sizes = (
+        df.filter(F.col("label") == "fat")
+        .select(_srp_bits(F.col("embedding")).alias("s"))
+        .groupBy("s")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert sizes <= 25
