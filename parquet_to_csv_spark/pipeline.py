@@ -44,6 +44,14 @@ class ConvertConfig:
     # (/root/reference/main.js:77,156-179), so a byte-for-byte replay of
     # its scoping needs duplicates deduped only WITHIN each input file.
     dedup_scope: str = "global"
+    # S7/S8 cross-run materialization (the reference's .raw.cache
+    # rehydration, main.js:80-103): when set, the transformed relation
+    # is written to this parquet dir and the sinks read the
+    # materialization; with reuse_checkpoint=True a later run loads it
+    # WITHOUT touching the inputs at all. Parquet (columnar, pruned)
+    # replaces the reference's JSON chunk format.
+    checkpoint_dir: str | None = None
+    reuse_checkpoint: bool = False
 
 
 def transform(df: DataFrame, cfg: ConvertConfig | None = None) -> DataFrame:
@@ -84,14 +92,28 @@ def convert(
         # main.js:19-22: both sinks disabled is a hard config error.
         raise ValueError("No output format specified: set WRITE_CSV and/or WRITE_SQLITE")
 
-    raw = read_parquet_tree(spark, input_dir)
-    cooked = transform(raw, cfg)
+    ckpt_ready = (
+        cfg.checkpoint_dir
+        and cfg.reuse_checkpoint
+        and os.path.exists(os.path.join(cfg.checkpoint_dir, "_SUCCESS"))
+    )
+    if ckpt_ready:
+        # rehydrate a previous run's materialization (S7/S8): inputs
+        # are not read at all — the reference's cache-restart semantics.
+        cooked = spark.read.parquet(cfg.checkpoint_dir)
+    else:
+        raw = read_parquet_tree(spark, input_dir)
+        cooked = transform(raw, cfg)
+        if cfg.checkpoint_dir:
+            cooked.write.mode("overwrite").parquet(cfg.checkpoint_dir)
+            cooked = spark.read.parquet(cfg.checkpoint_dir)
 
     # S7/S8 done right: the reference's JSON chunk caches existed to
     # avoid re-decoding when multiple consumers read the transform
     # output. With one consumer we just recompute the pruned scan; with
-    # both sinks on, persist the transformed relation across the fan-out.
-    fan_out = cfg.write_csv and cfg.write_sqlite
+    # both sinks on, persist the transformed relation across the fan-out
+    # (unless it is already materialized to a checkpoint dir).
+    fan_out = cfg.write_csv and cfg.write_sqlite and not cfg.checkpoint_dir
     if fan_out:
         cooked = cooked.persist()
     try:

@@ -107,3 +107,30 @@ def test_dedup_scope_per_file_vs_global(spark, sf_dir, tmp_path):
     n_per_file = transform(raw, cfg_f).count()
     assert n_global == 5          # all duplicates collapse
     assert n_per_file == 6        # cross-file copy survives, in-file dies
+
+
+def test_checkpoint_rehydration_survives_input_loss(spark, sf_dir, tmp_path):
+    """S7/S8 cross-run cache: a run with checkpoint_dir materializes the
+    transform; a later run with reuse_checkpoint=True rehydrates it
+    without reading the inputs (the reference's .raw.cache restart,
+    main.js:80-103)."""
+    import shutil
+
+    root = str(tmp_path / "in")
+    spans = trace_spans(load_table(spark, sf_dir, "events")).drop("duration_ms")
+    spans.limit(200).write.parquet(os.path.join(root, "a"))
+    ckpt = str(tmp_path / "ckpt")
+
+    cfg = ConvertConfig(write_csv=True, checkpoint_dir=ckpt)
+    out1 = str(tmp_path / "out1")
+    res1 = convert(spark, root, out1, cfg)
+    parts1 = glob.glob(os.path.join(res1["csv"]["full"], "part-*.csv"))
+    n1 = sum(max(0, sum(1 for _ in open(p)) - 1) for p in parts1)
+
+    shutil.rmtree(root)  # inputs gone — rehydration must not need them
+    cfg2 = ConvertConfig(write_csv=True, checkpoint_dir=ckpt, reuse_checkpoint=True)
+    out2 = str(tmp_path / "out2")
+    res2 = convert(spark, root, out2, cfg2)
+    parts2 = glob.glob(os.path.join(res2["csv"]["full"], "part-*.csv"))
+    n2 = sum(max(0, sum(1 for _ in open(p)) - 1) for p in parts2)
+    assert n1 == n2 and n1 > 0
