@@ -315,3 +315,116 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label connected components over an (src, dst) edge relation.
+
+    Iterative label propagation: every vertex starts labeled with its
+    own id; each round takes the min of its own and its neighbors'
+    labels; stop at fixpoint. Rounds needed = component diameter —
+    near-dup clusters are shallow (pairs verified against one pivot,
+    diameter ~2-4), so this converges in a handful of shuffles. The
+    per-round driver action IS the convergence test (an iterative
+    algorithm, not a plan smell); at web scale the same loop with the
+    large-star/small-star contraction (Kiveris et al.) is the drop-in.
+
+    Returns (v, cluster_id) with cluster_id = min vertex id reachable.
+    """
+    both = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    ).union(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+    both = both.distinct().persist()
+    labels = (
+        both.select(F.col("u").alias("v")).distinct().withColumn("l", F.col("v"))
+    ).persist()
+    for _ in range(max_iter):
+        nbr = (
+            both.join(labels, both.w == labels.v)
+            .groupBy("u")
+            .agg(F.min("l").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, labels.v == nbr.u, "left")
+            .select(
+                F.col("v"),
+                F.least(F.col("l"), F.coalesce(F.col("nl"), F.col("l"))).alias("l"),
+            )
+        ).persist()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.l") != F.col("o.l"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels.select(F.col("v"), F.col("l").alias("cluster_id"))
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate clustering + canonical selection — the last step
+    of a dedup pipeline: pairs (ngram_jaccard_pairs, exact-verified)
+    → connected components → one canonical doc per cluster (min doc_id;
+    swap in a quality argmax for production keeps).
+
+    Output: (doc_id, cluster_id, is_canonical) for every doc that has
+    at least one near-duplicate."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("v").alias("doc_id"),
+        "cluster_id",
+        (F.col("v") == F.col("cluster_id")).cast("boolean").alias("is_canonical"),
+    )
+
+
+def _gram_strings(toks, n: int):
+    """Distinct word n-gram strings (same slice semantics as the hashed
+    shingler: docs shorter than n yield their single truncated gram)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def contamination_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    benchmark_source: str = "src0",
+) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing at least one
+    word n-gram with a document of the held-out/benchmark corpus — the
+    standard decontamination pass of an LLM training pipeline.
+
+    Plan: the benchmark side (small by nature) explodes its distinct
+    grams and BROADCASTS; the training side explodes and hash-joins on
+    the gram string — an inverted-index probe, O(train-grams) with no
+    training-side shuffle before the pair aggregation. Output counts
+    are exact integers (oracle-hashable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", tokens_col("text").alias("toks")
+    )
+    grams = tok.select(
+        "doc_id", "source", F.explode(_gram_strings(F.col("toks"), n)).alias("gram")
+    )
+    bench = grams.filter(F.col("source") == benchmark_source).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    train = grams.filter(F.col("source") != benchmark_source).select(
+        F.col("doc_id").alias("doc_id"), "gram"
+    )
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -439,3 +439,56 @@ def segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return building.subtract(recent)
+
+
+def price_histogram(spark: SparkSession, sf_dir: str, width: int = 25000) -> DataFrame:
+    """E6 distribution histogram: fixed-width buckets of o_totalprice.
+    Bucket ids are exact integer floors of 2dp data — no float
+    boundary; one scan, one partial-aggregated exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(float(width)))
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * width)
+    )
+
+
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 second-moment suite: population covariance / correlation /
+    stddev of (quantity, extendedprice) per returnflag.
+
+    Engine-stable by construction: all five sums run over EXACT integer
+    units (2dp cents — order-independent long/decimal addition), and
+    the final moments are a fixed chain of double ops on those exact
+    integers, identical in any engine. ``corr()``/``covar_pop()``
+    builtins would be order-dependent float folds — not reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qu = exact_units(F.col("l_quantity"), 2)
+    pu = exact_units(F.col("l_extendedprice"), 2)
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qu).alias("sx"),
+        F.sum(pu).alias("sy"),
+        F.sum(qu * pu).alias("sxy"),
+        F.sum(qu * qu).alias("sxx"),
+        # pu² sums pass 2^63 at scale — exact decimal accumulation
+        F.sum((pu * pu).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_num = nd * F.col("sxy").cast("double") - sxd * syd
+    var_x = nd * F.col("sxx").cast("double") - sxd * sxd
+    var_y = nd * F.col("syy").cast("double") - syd * syd
+    return a.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_num / (nd * nd) / F.lit(10000.0), 4).alias("covar_pop"),
+        F.round(cov_num / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(F.sqrt(var_x) / nd / F.lit(100.0), 6).alias("stddev_qty"),
+    )

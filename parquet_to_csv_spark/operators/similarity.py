@@ -240,3 +240,29 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", F.round("sim", 6).alias("cosine"), "rnk")
     )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean) — the k-means
+    update step / cluster-profile pass of an embedding pipeline.
+
+    posexplode → groupBy(label, pos): 64·N tiny rows, partial-aggregated
+    before one exchange. Float sums are accumulated as DECIMAL(27,10)
+    (exact, ORDER-INDEPENDENT — a double sum would differ per partition
+    count and per engine) and leave decimal space only for the final
+    single division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n_vecs",
+            F.round(F.col("s").cast("double") / F.col("n_vecs"), 6).alias("centroid_val"),
+        )
+    )

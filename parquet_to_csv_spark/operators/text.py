@@ -144,3 +144,46 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 4).alias("en_score"),
         F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("predicted_lang"),
     )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the distinctive-term
+    extraction pass of a corpus-analysis pipeline.
+
+    Plan: one explode → (doc, term) counts with map-side partial agg;
+    document frequency reuses that relation (one row per doc×term, so
+    ``count(*)`` per term IS df); the corpus size joins in as a
+    broadcast single-row aggregate — no driver-side action.
+
+    Determinism: ranking orders on round(tf·ln(N/df), 4) with a term
+    tie-break — the rounding absorbs the ≤1-ulp cross-engine ``ln``
+    difference, and rational score collisions (2·ln(N/x) = ln(N/y) has
+    integer solutions) fall into the same rounded bucket where the term
+    tie-break decides identically everywhere."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_docs")),
+                4,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df_docs", "score", "rnk")
+    )

@@ -346,6 +346,27 @@ SELECT doc_id, lang, round(score, 4) AS en_score,
 FROM s
 """
 
+QUERIES["tfidf_top_terms"] = text.tfidf_top_terms
+ORACLES["tfidf_top_terms"] = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df_docs), 4) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df_docs, score, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
 QUERIES["exact_dedup"] = dedup.exact_dedup
 ORACLES["exact_dedup"] = """
 SELECT sha256(text) AS content_hash,
@@ -401,6 +422,52 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))
       / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
 """
+
+# Near-dup clustering: connected components over the (exact-verified)
+# Jaccard pair relation + canonical min-id selection. The oracle runs
+# the same min-label closure as a recursive CTE — exact integer labels,
+# engine-independent.
+QUERIES["dup_clusters"] = dedup.dup_clusters
+ORACLES["dup_clusters"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+), cc(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.l FROM edges e JOIN cc ON cc.v = e.w
+)
+SELECT v AS doc_id, min(l) AS cluster_id, (v = min(l)) AS is_canonical
+FROM cc GROUP BY v
+"""
+
+
+# Benchmark contamination: exact integer shared-gram counts.
+QUERIES["contamination_pairs"] = dedup.contamination_pairs
+ORACLES["contamination_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(0, greatest(len(toks)-5, 0)+1),
+           i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5])))) AS gram
+  FROM t
+)
+SELECT tr.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared_grams
+FROM (SELECT * FROM g WHERE source <> 'src0') tr
+JOIN (SELECT * FROM g WHERE source = 'src0') b USING (gram)
+GROUP BY 1, 2
+"""
+
 
 # DuckDB twin of dedup.simhash_signatures: the 60-bit sha256-derived
 # token hash is computed bit-identically in both engines (dedup._h60),
@@ -840,6 +907,55 @@ FROM events
 GROUP BY user_id
 """
 
+
+QUERIES["price_histogram"] = relational.price_histogram
+ORACLES["price_histogram"] = """
+SELECT floor(o_totalprice / 25000.0) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       CAST(floor(o_totalprice / 25000.0) * 25000 AS BIGINT) AS bucket_lo
+FROM orders
+GROUP BY 1
+"""
+
+# Second moments over EXACT integer units (functions.stable): the five
+# sums are order-independent; the closing double chain is identical in
+# both engines. Builtin corr()/covar_pop() are order-dependent float
+# folds — not reproducible across engines or partition counts.
+QUERIES["stats_moments_lineitem"] = relational.stats_moments_lineitem
+ORACLES["stats_moments_lineitem"] = f"""
+WITH u AS (
+  SELECT l_returnflag,
+         {duck_units("l_quantity", 2)} AS qu,
+         {duck_units("l_extendedprice", 2)} AS pu
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(qu) AS sx, sum(pu) AS sy,
+         sum(qu * pu) AS sxy, sum(qu * qu) AS sxx, sum(pu * pu) AS syy
+  FROM u GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0, 4) AS covar_pop,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price,
+       round(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100.0, 6) AS stddev_qty
+FROM a
+"""
+
+# Per-label centroid: decimal-exact float sums (order-independent),
+# one double division at the end.
+QUERIES["label_centroids"] = similarity.label_centroids
+ORACLES["label_centroids"] = """
+SELECT label, CAST(i - 1 AS INT) AS pos, count(*) AS n_vecs,
+       round(CAST(sum(CAST(embedding[i] AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS centroid_val
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1, 2
+"""
 
 QUERIES["grouping_sets_orders"] = relational.grouping_sets_orders
 ORACLES["grouping_sets_orders"] = """

@@ -93,3 +93,18 @@ def test_no_python_udfs_in_text_plans(spark, sf_dir):
     for q in (text.text_stats, text.token_freq, text.quality_score, text.lang_id):
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-chain, a 2-island, and a singleton
+    edge resolve to min-id clusters regardless of edge direction."""
+    from parquet_to_csv_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    got = {
+        r["v"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
