@@ -33,3 +33,49 @@ def token_counts_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The E12 demo query: per-doc token count via the Arrow UDF path."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens_pandas(F.col("text")).alias("n_tokens_ws"))
+
+
+def user_value_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 grouped-map escape hatch (``applyInPandas``): per-user OLS
+    slope of value-vs-time — the per-entity trend fit no built-in
+    aggregate expresses.
+
+    Determinism contract: the slope's five sufficient statistics are
+    computed in unbounded Python integers over exact inputs (µs epochs,
+    2dp cents), so they are order-independent and engine-exact; only
+    the final division runs in float, identically everywhere. The
+    DuckDB oracle mirrors the same integer sums in HUGEINT.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+
+    def _slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(v) for v in pdf["ts_us"]]
+        ys = [int(v) for v in pdf["cents"]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        slope = (
+            None
+            if den == 0
+            else round(float(num) / float(den) * 3600000000.0, 6)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "slope_cph": [slope],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _slope, "user_id long, n_events long, slope_cph double"
+    )

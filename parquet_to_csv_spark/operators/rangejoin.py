@@ -146,3 +146,58 @@ def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("m_click").alias("n_clicks_5m"),
         F.coalesce(F.round(F.sum("m_value"), 2), F.lit(0.0)).alias("click_value_5m"),
     )
+
+
+def asof_forward_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each error event paired with the same user's
+    NEXT purchase at-or-after it (NULL if none follows) — the
+    time-to-recovery / conversion-lag shape.
+
+    Same union-merge plan as the backward as-of, scanned in reverse:
+    one exchange on user_id, per-user sort by time DESC, and a running
+    ``last(purchase, ignorenulls=True)`` carries the nearest following
+    purchase back into each error row. Purchases sort before errors on
+    time ties (src 0 < 1) so an equal-timestamp purchase is visible —
+    matching the oracle's ``e.ts <= p.ts`` forward-ASOF semantics.
+    """
+    ev = _events_us(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("src"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+        F.lit(None).cast("long").alias("e_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("src"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.col("event_id").alias("e_id"),
+    )
+    merged = purchases.unionByName(errors)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.asc("src"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "user_id",
+        "ts_us",
+        "src",
+        "e_id",
+        F.last("p_id", ignorenulls=True).over(w).alias("purchase_id"),
+        F.last("p_value", ignorenulls=True).over(w).alias("p_value"),
+        F.last(F.when(F.col("p_id").isNotNull(), F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("p_ts_us"),
+    )
+    return carried.filter(F.col("src") == 1).select(
+        F.col("e_id").alias("error_id"),
+        "user_id",
+        "purchase_id",
+        (F.col("p_ts_us") - F.col("ts_us")).alias("lead_us"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )

@@ -492,3 +492,48 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov_num / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
         F.round(F.sqrt(var_x) / nd / F.lit(100.0), 6).alias("stddev_qty"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cmp_col: str
+) -> DataFrame:
+    """CDC-style snapshot diff: full outer join on the key, classify
+    each row as insert / delete / update (value changed); unchanged
+    rows are dropped. One shuffle per side on the key — with bucketed
+    layout (E25) the exchange disappears entirely."""
+    o = old.select(F.col(key).alias("k"), F.col(cmp_col).alias("old_v"))
+    n = new.select(F.col(key).alias("k"), F.col(cmp_col).alias("new_v"))
+    j = o.join(n, "k", "full_outer")
+    change = (
+        F.when(F.col("old_v").isNull(), F.lit("insert"))
+        .when(F.col("new_v").isNull(), F.lit("delete"))
+        .when(F.col("old_v") != F.col("new_v"), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(F.col("k").alias("key"), "change_type", "old_v", "new_v")
+    )
+
+
+def cdc_events_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-CDC demo over deterministic synthetic versions of ``events``:
+    v2 drops event_id % 7 == 0 (deletes), shifts value by +1.00 for
+    event_id % 5 == 0 (updates), and appends re-keyed copies of
+    event_id % 11 == 0 (inserts). Values stay exact 2dp, so the value
+    comparison is bit-deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.round("value", 2).alias("value")
+    )
+    v1 = ev
+    v2_base = ev.filter(F.col("event_id") % 7 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.round(F.col("value") + 1.0, 2))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    v2_new = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + F.lit(10_000_000)).alias("event_id"), "value"
+    )
+    v2 = v2_base.unionByName(v2_new)
+    return snapshot_diff(v1, v2, "event_id", "value")

@@ -734,6 +734,18 @@ ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
 """
 
+QUERIES["asof_forward_error_purchase"] = rangejoin.asof_forward_error_purchase
+ORACLES["asof_forward_error_purchase"] = _EV_US_CTE + """
+SELECT e.event_id AS error_id,
+       e.user_id,
+       p.event_id AS purchase_id,
+       p.ts_us - e.ts_us AS lead_us,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM ev WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts_us <= p.ts_us
+"""
+
 QUERIES["range_join_error_clicks"] = rangejoin.range_join_error_clicks
 ORACLES["range_join_error_clicks"] = _EV_US_CTE + """
 SELECT e.event_id AS error_id,
@@ -894,6 +906,32 @@ FROM events
 GROUP BY 1, 2
 """
 
+# E10 streaming sessions drained availableNow — equal to the batch
+# gaps-and-islands session relation (count + start only: the streaming
+# twin's projection).
+QUERIES["streaming_sessions_drain"] = _stream.sessions_drain_query
+ORACLES["streaming_sessions_drain"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+), flagged AS (
+  SELECT user_id, tus,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                   OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sessions AS (
+  SELECT user_id, tus,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(tus) AS session_start_us,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
 # E20: the custom applyInPandasWithState operator, drained availableNow
 # in ONE micro-batch — update-mode emits the final running row per user,
 # which equals the plain batch aggregation.
@@ -907,6 +945,52 @@ FROM events
 GROUP BY user_id
 """
 
+
+# CDC snapshot diff over deterministic synthetic v1/v2 of events.
+QUERIES["cdc_events_diff"] = relational.cdc_events_diff
+ORACLES["cdc_events_diff"] = """
+WITH v1 AS (
+  SELECT event_id, round(value, 2) AS value FROM events
+), v2 AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN round(round(value, 2) + 1.0, 2)
+              ELSE round(value, 2) END AS value
+  FROM events WHERE event_id % 7 <> 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, round(value, 2) AS value
+  FROM events WHERE event_id % 11 = 0
+)
+SELECT coalesce(v1.event_id, v2.event_id) AS key,
+       CASE WHEN v1.event_id IS NULL THEN 'insert'
+            WHEN v2.event_id IS NULL THEN 'delete'
+            WHEN v1.value <> v2.value THEN 'update' END AS change_type,
+       v1.value AS old_v, v2.value AS new_v
+FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+WHERE CASE WHEN v1.event_id IS NULL THEN 'insert'
+           WHEN v2.event_id IS NULL THEN 'delete'
+           WHEN v1.value <> v2.value THEN 'update' END IS NOT NULL
+"""
+
+# E12 grouped-map: per-user OLS slope; sufficient statistics are exact
+# integer sums (Python unbounded ints / DuckDB HUGEINT), one final
+# float division each side.
+QUERIES["user_value_slope"] = pandas_ops.user_value_slope
+ORACLES["user_value_slope"] = f"""
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS x, {duck_units("value", 2)} AS y FROM events
+), a AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM u GROUP BY 1
+)
+SELECT user_id, n AS n_events,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) * 3600000000.0, 6)
+       END AS slope_cph
+FROM a
+"""
 
 QUERIES["price_histogram"] = relational.price_histogram
 ORACLES["price_histogram"] = """

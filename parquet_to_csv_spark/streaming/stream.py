@@ -147,3 +147,16 @@ def stateful_totals_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="update",
     )
+
+
+def sessions_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 streaming through the gate: the watermarked session_window
+    aggregation drained availableNow — complete mode emits the final
+    merged sessions, equal to the batch gaps-and-islands oracle."""
+    import uuid as _uuid
+
+    stage = _stage_events_dir(spark, sf_dir)
+    name = "t_sessions_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        streaming_sessions(read_event_stream(spark, stage)), name, spark
+    )
