@@ -39,6 +39,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # drop persisted blocks a query left behind (minhash shingle
+        # relation, CC checkpoints) so later queries aren't timed under
+        # another query's memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

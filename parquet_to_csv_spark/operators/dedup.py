@@ -331,38 +331,43 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Returns (v, cluster_id) with cluster_id = min vertex id reachable.
     """
-    both = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("w")
-    ).union(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
-    both = both.distinct().persist()
+    both = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+        .distinct()
+        # localCheckpoint (not persist) on every iteration boundary:
+        # persist caches data but keeps the logical plan, so each round's
+        # plan nests the whole history and Catalyst re-analysis grows
+        # quadratically — measured 78 s for 20 rounds over 38 k edges at
+        # sf0.1. Truncating lineage makes each round O(round data) flat.
+        # On a cluster, executor loss invalidates a localCheckpoint;
+        # swap for checkpoint(dir) in fault-sensitive deployments.
+        .localCheckpoint()
+    )
     labels = (
-        both.select(F.col("u").alias("v")).distinct().withColumn("l", F.col("v"))
-    ).persist()
+        both.select(F.col("u").alias("v"))
+        .distinct()
+        .withColumn("l", F.col("v"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr = (
             both.join(labels, both.w == labels.v)
             .groupBy("u")
             .agg(F.min("l").alias("nl"))
         )
-        new = (
+        stepped = (
             labels.join(nbr, labels.v == nbr.u, "left")
             .select(
                 F.col("v"),
+                F.col("l").alias("old_l"),
                 F.least(F.col("l"), F.coalesce(F.col("nl"), F.col("l"))).alias("l"),
             )
-        ).persist()
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.l") != F.col("o.l"))
-            .limit(1)
-            .count()
+            .localCheckpoint()
         )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
+        labels = stepped.select("v", "l")
+        if stepped.filter(F.col("old_l") != F.col("l")).limit(1).count() == 0:
             break
-    both.unpersist()
     return labels.select(F.col("v"), F.col("l").alias("cluster_id"))
 
 
