@@ -1049,3 +1049,155 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped batch 2 (operators/tpch_ext.py). Money/ratio outputs use
+# the integer-units discipline; the Q21/Q22 oracles deliberately keep
+# the correlated EXISTS / scalar-subquery form so the parity check
+# proves the Spark-side decorrelation.
+from parquet_to_csv_spark.operators import tpch_ext  # noqa: E402
+
+QUERIES["q6_forecast_revenue"] = tpch_ext.q6_forecast_revenue
+ORACLES["q6_forecast_revenue"] = f"""
+SELECT {duck_sum_2dp("l_extendedprice * l_discount", 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+QUERIES["q7_volume_shipping"] = tpch_ext.q7_volume_shipping
+ORACLES["q7_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {_D_REV} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["q8_market_share"] = tpch_ext.q8_market_share
+ORACLES["q8_market_share"] = f"""
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         {duck_units("l_extendedprice * (1 - l_discount)", 4)} AS u,
+         CASE WHEN n1.n_name = 'NATION_3'
+              THEN {duck_units("l_extendedprice * (1 - l_discount)", 4)}
+              ELSE 0 END AS nu
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       (sum(nu) * 1000000 // sum(u)) / 1000000.0 AS mkt_share,
+       sum(u) / 10000.0 AS total_revenue
+FROM vol GROUP BY 1
+"""
+
+QUERIES["q13_customer_distribution"] = tpch_ext.q13_customer_distribution
+ORACLES["q13_customer_distribution"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+QUERIES["q14_promo_effect"] = tpch_ext.q14_promo_effect
+ORACLES["q14_promo_effect"] = f"""
+WITH j AS (
+  SELECT {duck_units("l_extendedprice * (1 - l_discount)", 4)} AS u,
+         CASE WHEN p_type = 'PROMO'
+              THEN {duck_units("l_extendedprice * (1 - l_discount)", 4)}
+              ELSE 0 END AS pu
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+)
+SELECT (sum(pu) * 1000000 // sum(u)) / 10000.0 AS promo_revenue_pct FROM j
+"""
+
+QUERIES["q15_top_supplier"] = tpch_ext.q15_top_supplier
+ORACLES["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum({duck_units("l_extendedprice * (1 - l_discount)", 4)}) AS rev_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS suppkey, s_name, rev_units / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_units = (SELECT max(rev_units) FROM rev)
+"""
+
+QUERIES["q19_disjunctive_revenue"] = tpch_ext.q19_disjunctive_revenue
+ORACLES["q19_disjunctive_revenue"] = f"""
+SELECT {_D_REV} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+QUERIES["q21_waiting_supplier"] = tpch_ext.q21_waiting_supplier
+ORACLES["q21_waiting_supplier"] = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+  AND l1.l_shipdate = (
+        SELECT max(l4.l_shipdate) FROM lineitem l4
+        WHERE l4.l_orderkey = l1.l_orderkey AND l4.l_suppkey = l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+QUERIES["q22_global_sales_opportunity"] = tpch_ext.q22_global_sales_opportunity
+ORACLES["q22_global_sales_opportunity"] = f"""
+WITH cust AS (
+  SELECT c_custkey,
+         {duck_units("c_acctbal", 2)} AS bal_cents,
+         c_custkey % 10 AS cntrycode
+  FROM customer
+  WHERE c_custkey % 10 IN (1, 3, 5, 7, 9)
+), a AS (
+  SELECT sum(bal_cents) AS sum_cents, count(*) AS n_pos
+  FROM cust WHERE bal_cents > 0
+)
+SELECT cntrycode, count(*) AS numcust,
+       sum(bal_cents) / 100.0 AS totacctbal
+FROM cust, a
+WHERE bal_cents * n_pos > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode
+"""
