@@ -1,0 +1,219 @@
+"""Training-data pipeline operators over ``documents`` (north-star tier).
+
+The reference repo has no text tooling at all (it is a fixed
+parquet→CSV/SQLite dataflow, `/root/reference/main.js`); this module is
+the LLM-corpus-preparation tier the task brief mandates: chunking,
+deterministic sampling, PII detection/redaction, and unigram-LM quality
+scoring. Everything is native Column expressions — codegen'd JVM
+execution, zero Python in the loop — and every output is engine-stable
+so the DuckDB oracle can hash-match it.
+
+Scale shapes (100 TB corpus):
+
+- chunking and PII are pure per-row maps: one scan, no shuffle, output
+  written partition-local;
+- sampling is a per-row hash filter — no shuffle, no sort, and (unlike
+  ``df.sample``) reproducible across runs, engines and partitionings;
+- the unigram LM is two keyed aggregations + one join on ``term``; the
+  (doc, term) relation is computed once and reused for both the LM and
+  the scoring join (same reuse trick as tf-idf's df), so the explode
+  scan happens once per branch, not once per reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from parquet_to_csv_spark.functions.textfn import tokens_col
+from parquet_to_csv_spark.sources.tables import load_table
+
+# RE2-safe PII patterns (no lookaround) — DuckDB runs the identical
+# strings, which is what makes redaction oracle-checkable.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# Redaction applies in this fixed order in BOTH engines. The patterns
+# are mutually non-overlapping on any single span (email needs '@',
+# ssn/phone differ in group widths, ip needs dots), so the order only
+# matters for determinism, not semantics.
+PII_ORDER = ["email", "ssn", "phone", "ip"]
+
+_HEX = "0123456789abcdef"
+
+
+def md5_bucket(col: Column, buckets: int) -> Column:
+    """Deterministic [0, buckets) bucket from the first 16 bits of
+    ``md5(cast(col as string))``.
+
+    Unlike ``rand()`` / ``df.sample`` this is stable across runs,
+    engines, partition counts and cluster sizes — the property a
+    reproducible training-data split needs. Built from ``instr`` over
+    the hex alphabet because neither engine can cast hex strings to
+    integers portably (Spark ``conv`` has no DuckDB twin). 16 bits →
+    mod-``buckets`` bias ≤ 2^-16·buckets (0.05% at 100 buckets).
+    """
+    h = F.md5(col.cast("string"))
+    v = F.lit(0)
+    for i, w in enumerate((4096, 256, 16, 1)):
+        d = F.call_function("instr", F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        v = v + d * F.lit(w)
+    return F.pmod(v, F.lit(buckets))
+
+
+def duck_md5_bucket(expr: str, buckets: int) -> str:
+    """DuckDB twin of :func:`md5_bucket` — keep in sync."""
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    parts = " + ".join(
+        f"(instr('{_HEX}', substring({h}, {i + 1}, 1)) - 1) * {w}"
+        for i, w in enumerate((4096, 256, 16, 1))
+    )
+    return f"(({parts}) % {buckets})"
+
+
+def doc_chunks(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window packing pass.
+
+    Per document: whitespace tokens → overlapping windows of
+    ``chunk_size`` tokens advancing by ``chunk_size - overlap``. All
+    array-local (``sequence`` of starts → ``transform``+``slice`` →
+    ``posexplode``): a pure per-row map with no shuffle; at 100 TB the
+    output streams straight to the sink partition-local. Empty chunks
+    (empty documents) are dropped.
+    """
+    stride = chunk_size - overlap
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_toks"))
+        .filter(F.size("chunk_toks") > 0)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+            F.size("chunk_toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str, pct: int = 10) -> DataFrame:
+    """Reproducible ``pct``-percent corpus sample by content-id hash.
+
+    One scan, one per-row filter, no shuffle — and the selected set is
+    identical on any cluster shape, which ``df.sample``'s
+    partition-seeded RNG does not guarantee. The bucket is exposed so
+    downstream splits (train/val/test by bucket range) compose.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id"), 100)
+    return (
+        docs.select("doc_id", "lang", b.cast("long").alias("sample_bucket"))
+        .filter(F.col("sample_bucket") < pct)
+    )
+
+
+def _augmented_text() -> Column:
+    """Deterministic PII injection for the gate query: the synthetic
+    corpus contains no PII-shaped strings, so matches are planted from
+    ``doc_id`` (same expression in the DuckDB oracle) to make the
+    detection/redaction parity check non-vacuous."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(F.lit(" call 555-"), F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-0199"))).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(" id 987-65-4320")).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".42"))).otherwise(F.lit("")),
+    )
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts — reusable detection core."""
+    return {
+        k: F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0)))
+        for k, p in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII span with its ``[KIND]`` marker, fixed order."""
+    out = text
+    for k in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"[{k.upper()}]")
+    return out
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the (augmented) corpus.
+
+    Per-row regex counts and a redacted-text fingerprint, filtered to
+    documents with hits. Pure map + filter: no shuffle; the regexes are
+    RE2-compatible so DuckDB verifies both the detection counts and the
+    exact redaction output (via md5 of the redacted text).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _augmented_text()
+    counts = pii_counts(aug)
+    hit = None
+    for c in counts.values():
+        hit = c if hit is None else hit + c
+    return (
+        docs.select(
+            "doc_id",
+            *[counts[k].cast("long").alias(f"n_{k}") for k in PII_ORDER],
+            hit.cast("long").alias("n_pii"),
+            F.md5(pii_redact(aug)).alias("redacted_fp"),
+        )
+        .filter(F.col("n_pii") > 0)
+    )
+
+
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under the corpus unigram LM —
+    the classic cheap quality/outlier signal for corpus filtering.
+
+    Plan: explode once → (doc, term) tf with map-side partial agg; the
+    LM term counts REUSE that relation (``sum(tf)`` per term) instead
+    of re-exploding; corpus total joins in as a one-row broadcast.
+    Scoring is tf-weighted sum of per-term log-probs, one join on
+    ``term`` + one groupBy on ``doc_id``.
+
+    Determinism: per-term log-prob is rounded to integer micro-nats
+    (``round(ln(cnt/T)·1e6)`` — ln of a rational is irrational, so the
+    half-way boundary is never hit and the ≤1-ulp cross-engine ``ln``
+    difference cannot flip it); doc scores are then exact long sums
+    with a floored integer division — order- and engine-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = F.broadcast(lm.agg(F.sum("cnt").alias("t_total")))
+    lp_units = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("t_total")) * 1e6, 0
+    ).cast("long")
+    scored = (
+        tf.join(lm, "term")
+        .join(total)
+        .select("doc_id", "tf", lp_units.alias("lp_units"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_units")).alias("sum_units"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.floor(F.col("sum_units") / F.col("n_tokens")) / F.lit(1e6)).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -1201,3 +1201,90 @@ WHERE bal_cents * n_pos > sum_cents
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY cntrycode
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline batch 2 (operators/corpus.py): chunking,
+# deterministic sampling, PII scan/redaction, unigram-LM scoring. The
+# PII oracle plants the same doc_id-derived spans the Spark query does,
+# and verifies redaction byte-exactly via md5 of the redacted text.
+from parquet_to_csv_spark.operators import corpus  # noqa: E402
+
+QUERIES["doc_chunks"] = corpus.doc_chunks
+ORACLES["doc_chunks"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) / 48 AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, start, start + 63)) AS BIGINT) AS n_tokens
+FROM s
+WHERE len(list_slice(toks, start, start + 63)) > 0
+"""
+
+QUERIES["deterministic_sample"] = corpus.deterministic_sample
+ORACLES["deterministic_sample"] = f"""
+SELECT doc_id, lang,
+       CAST({corpus.duck_md5_bucket("doc_id", 100)} AS BIGINT) AS sample_bucket
+FROM documents
+WHERE {corpus.duck_md5_bucket("doc_id", 100)} < 10
+"""
+
+_D_PII_AUG = r"""
+concat(text,
+  CASE WHEN doc_id % 7 = 0
+       THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com')
+       ELSE '' END,
+  CASE WHEN doc_id % 11 = 0
+       THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-0199')
+       ELSE '' END,
+  CASE WHEN doc_id % 13 = 0 THEN ' id 987-65-4320' ELSE '' END,
+  CASE WHEN doc_id % 17 = 0
+       THEN concat(' host 10.0.', CAST(doc_id % 256 AS VARCHAR), '.42')
+       ELSE '' END)
+""".strip()
+
+QUERIES["pii_scan"] = corpus.pii_scan
+ORACLES["pii_scan"] = f"""
+WITH a AS (SELECT doc_id, {_D_PII_AUG} AS aug FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(aug, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS BIGINT) AS n_ssn,
+         CAST(len(regexp_extract_all(aug, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+         CAST(len(regexp_extract_all(aug, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ip,
+         md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+             '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '[PHONE]', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g')) AS redacted_fp
+  FROM a
+)
+SELECT doc_id, n_email, n_ssn, n_phone, n_ip,
+       n_email + n_ssn + n_phone + n_ip AS n_pii, redacted_fp
+FROM c
+WHERE n_email + n_ssn + n_phone + n_ip > 0
+"""
+
+QUERIES["unigram_lm_score"] = corpus.unigram_lm_score
+ORACLES["unigram_lm_score"] = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY doc_id, term
+), lm AS (
+  SELECT term, sum(tf) AS cnt FROM tf GROUP BY term
+), tot AS (
+  SELECT sum(cnt) AS t_total FROM lm
+)
+SELECT doc_id, sum(tf) AS n_tokens,
+       floor(sum(tf * CAST(round(ln(cnt / t_total) * 1000000) AS BIGINT))
+             / sum(tf)) / 1000000.0 AS avg_logprob
+FROM tf JOIN lm USING (term), tot
+GROUP BY doc_id
+"""
