@@ -266,3 +266,52 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double") / F.col("n_vecs"), 6).alias("centroid_val"),
         )
     )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization per vector — the storage/ANN-index
+    compression pass (4× over float32, 16× over float64).
+
+    Per vector: ``scale = 127 / max(|v_i|)``, ``q_i = floor(v_i·scale
+    + 0.5)`` — all array-local higher-order functions, a pure per-row
+    map with zero shuffle. Determinism: float→double widening, the
+    division, and each multiply are exact IEEE ops both engines
+    perform bit-identically on identical inputs, and floor(x+0.5) is
+    an explicit half-up that never consults the engine's rounding mode
+    (F.round HALF_UP vs DuckDB half-even would diverge). Zero vectors
+    quantize to zeros with scale 0.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # scale is materialized as a column in its OWN projection before the
+    # quantizing transform references it: expressions inside HOF lambdas
+    # get no CSE, so inlining it would re-run array_max per element
+    # (the measured 9× shingler pitfall).
+    xd = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+    )
+    mx = F.array_max(F.transform("xd", F.abs))
+    scaled = xd.withColumn(
+        "scale", F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    )
+    return scaled.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.transform(
+            "xd", lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int")
+        ).alias("q"),
+    )
+
+
+def embedding_quantize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate projection of :func:`embedding_quantize`: the int8 array is
+    serialized to a CSV string so the driver's value-hasher never sees
+    an engine-specific array container type."""
+    return embedding_quantize(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        "scale",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+    )

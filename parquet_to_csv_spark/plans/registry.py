@@ -1288,3 +1288,45 @@ SELECT doc_id, sum(tf) AS n_tokens,
 FROM tf JOIN lm USING (term), tot
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch 2 + embedding quantization.
+from parquet_to_csv_spark.operators import similarity as _sim  # noqa: E402
+from parquet_to_csv_spark.streaming import stream as _stream  # noqa: E402
+
+QUERIES["streaming_join_drain"] = _stream.join_drain_query
+ORACLES["streaming_join_drain"] = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id,
+       epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+"""
+
+QUERIES["streaming_dedup_drain"] = _stream.dedup_drain_query
+ORACLES["streaming_dedup_drain"] = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+"""
+
+QUERIES["embedding_quantize"] = _sim.embedding_quantize_gate
+ORACLES["embedding_quantize"] = """
+WITH xd AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 0.0 END AS scale
+  FROM xd
+)
+SELECT vec_id, label, scale,
+       array_to_string(list_transform(v, x -> CAST(CAST(floor(x * scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q_csv
+FROM s
+"""

@@ -149,6 +149,111 @@ def stateful_totals_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_click_attribution(
+    purchases: DataFrame, clicks: DataFrame, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks within the trailing ``lookback`` window.
+
+    Both sides carry watermarks and the join condition bounds the time
+    skew, so Spark can expire join state — the knob that keeps a
+    perpetual two-stream join's state finite. Inner-join matches emit
+    as soon as both sides arrive (append mode)."""
+    p = (
+        with_event_time(purchases)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("event_time", lookback)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+        )
+    )
+    c = (
+        with_event_time(clicks)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("event_time", lookback)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_time") <= F.col("p_time")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_time").alias("purchase_us"),
+        F.unix_micros("c_time").alias("click_us"),
+    )
+
+
+def join_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join through the gate: both sides stream from the
+    same staged events dir (two independent sources, the production
+    shape); drained availableNow the inner matches equal the batch
+    time-range join the DuckDB oracle computes."""
+    import uuid as _uuid
+
+    stage = _stage_events_dir(spark, sf_dir)
+    name = "t_join_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        streaming_click_attribution(
+            read_event_stream(spark, stage), read_event_stream(spark, stage)
+        ),
+        name,
+        spark,
+        output_mode="append",
+    )
+
+
+def streaming_dedup(stream: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each ``event_id``
+    wins; ``dropDuplicatesWithinWatermark`` bounds the dedup state to
+    the watermark horizon (the unbounded-state killer of a naive
+    streaming ``dropDuplicates`` at 100 TB/day)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", within)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.unix_micros("event_time").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
+def dedup_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup through the gate: the events table is staged
+    TWICE (every row a duplicate), streamed through
+    ``streaming_dedup``, and drained — the surviving set must equal
+    the plain batch DISTINCT of the single copy."""
+    import tempfile
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    stage = tempfile.mkdtemp(prefix="evdedup_")
+    ev = load_table(spark, sf_dir, "events").coalesce(2)
+    ev.write.mode("append").parquet(stage)
+    ev.write.mode("append").parquet(stage)
+    name = "t_dedup_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        streaming_dedup(read_event_stream(spark, stage)),
+        name,
+        spark,
+        output_mode="append",
+    )
+
+
 def sessions_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10 streaming through the gate: the watermarked session_window
     aggregation drained availableNow — complete mode emits the final

@@ -108,3 +108,41 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir, event_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_dedup_drops_staged_duplicates(spark, sf_dir):
+    from parquet_to_csv_spark.sources.tables import load_table
+    from parquet_to_csv_spark.streaming.stream import dedup_drain_query
+
+    got = dedup_drain_query(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n_events
+    assert got.select("event_id").distinct().count() == n_events
+
+
+def test_embedding_quantize_fidelity(spark, sf_dir):
+    """Dequantized values are within half a quantization step, and the
+    int8 range is fully used (max |q| == 127 for non-zero vectors)."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.operators.similarity import embedding_quantize
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    q = embedding_quantize(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = q.join(emb, "vec_id").filter(F.col("scale") > 0)
+    err = j.select(
+        F.array_max(
+            F.zip_with(
+                "q",
+                "embedding",
+                lambda qi, xi: F.abs(qi / F.col("scale") - xi.cast("double")),
+            )
+        ).alias("max_err"),
+        (F.array_max(F.transform("q", F.abs)) == 127).alias("full_range"),
+        (F.lit(0.5) / F.col("scale")).alias("half_step"),
+    )
+    bad = err.filter(
+        (F.col("max_err") > F.col("half_step") + 1e-9) | ~F.col("full_range")
+    ).count()
+    assert bad == 0

@@ -37,7 +37,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v) if hasattr(v, '__len__') and not isinstance(v, str) else v
             )
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
     return df
