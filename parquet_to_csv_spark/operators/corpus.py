@@ -217,3 +217,35 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def stratified_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    rates: dict[str, int] | None = None,
+    default_pct: int = 10,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each language keeps its own
+    hash-bucket share (e.g. downsample dominant 'en', keep all of a
+    rare language) — the corpus-rebalancing pass of multilingual
+    training-data prep.
+
+    Same zero-shuffle md5-bucket filter as :func:`deterministic_sample`
+    — one scan, one per-row comparison against a broadcast-free CASE
+    over the rate map; reproducible across engines/partitionings where
+    ``df.sampleBy`` (partition-seeded RNG) is not. The per-row hash
+    keys on ``doc_id`` alone, so a document keeps/loses membership
+    independently of its stratum's rate — raising a rate only ADDS
+    documents (nested samples), the property incremental corpus scaling
+    wants.
+    """
+    rates = rates if rates is not None else {"en": 30, "zh": 100, "de": 50}
+    docs = load_table(spark, sf_dir, "documents")
+    cut = F.lit(default_pct)
+    for lang, pct in sorted(rates.items()):
+        cut = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(cut)
+    b = md5_bucket(F.col("doc_id"), 100)
+    return (
+        docs.select("doc_id", "lang", b.cast("long").alias("sample_bucket"))
+        .filter(F.col("sample_bucket") < cut)
+    )

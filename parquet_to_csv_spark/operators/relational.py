@@ -537,3 +537,51 @@ def cdc_events_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2 = v2_base.unionByName(v2_new)
     return snapshot_diff(v1, v2, "event_id", "value")
+
+
+def merge_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """Apply a :func:`snapshot_diff`-shaped change set (key, change_type,
+    old_v, new_v) onto ``base`` (k/value columns) — the MERGE/upsert
+    primitive of every CDC pipeline (Delta/Iceberg ``MERGE INTO``
+    semantics, expressed on stock Spark):
+
+    - ``delete``  → key removed;
+    - ``update``  → value replaced with ``new_v``;
+    - ``insert``  → (key, new_v) appended.
+
+    Plan: ONE left join of base onto the keyed change set (deletes and
+    updates resolved with ``when``), plus a union of the insert slice —
+    no full-outer, no second pass over base. With both sides bucketed
+    on the key (E25) the join exchange disappears; AQE broadcasts the
+    change set when it is small relative to base, which is the common
+    CDC case (daily delta ≪ snapshot).
+    """
+    ch = changes.select(
+        F.col("key").alias("k"), "change_type", F.col("new_v").alias("_new_v")
+    )
+    kept = (
+        base.join(ch, F.col("event_id") == F.col("k"), "left")
+        .filter((F.col("change_type").isNull()) | (F.col("change_type") == "update"))
+        .select(
+            "event_id",
+            F.when(F.col("change_type") == "update", F.col("_new_v"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+    )
+    inserts = changes.filter(F.col("change_type") == "insert").select(
+        F.col("key").alias("event_id"), F.col("new_v").alias("value")
+    )
+    return kept.unionByName(inserts)
+
+
+def cdc_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip gate for MERGE: applying :func:`cdc_events_diff`'s
+    change set onto v1 must reconstruct v2 exactly — the oracle computes
+    v2 directly from its definition, so any drop/dup/misclassification
+    in EITHER the diff or the merge breaks the hash match."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.round("value", 2).alias("value")
+    )
+    changes = cdc_events_diff(spark, sf_dir)
+    return merge_changes(ev, changes)

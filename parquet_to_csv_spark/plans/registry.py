@@ -1330,3 +1330,50 @@ SELECT vec_id, label, scale,
        array_to_string(list_transform(v, x -> CAST(CAST(floor(x * scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q_csv
 FROM s
 """
+
+# ---------------------------------------------------------------------------
+# Round-2 batch: interval overlap join, CDC MERGE round-trip, stratified
+# sampling. All-integer outputs (overlap/merge) or hash-bucket filters
+# (sample) — engine-exact, no rounding conventions needed.
+from parquet_to_csv_spark.operators import intervals as _intervals  # noqa: E402
+
+QUERIES["interval_overlap_join"] = _intervals.interval_overlap_join
+ORACLES["interval_overlap_join"] = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id,
+         epoch_us(ts) AS v_s, epoch_us(ts) + 14400000000 AS v_e
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT event_id AS click_id, user_id,
+         epoch_us(ts) AS c_s, epoch_us(ts) + 7200000000 AS c_e
+  FROM events WHERE event_type = 'click'
+)
+SELECT view_id, click_id, v.user_id AS user_id,
+       least(v_e, c_e) - greatest(v_s, c_s) AS overlap_us
+FROM v JOIN c ON v.user_id = c.user_id
+WHERE v_s <= c_e AND c_s <= v_e
+"""
+
+# MERGE round-trip: applying the diff onto v1 must reconstruct v2 — the
+# oracle *is* v2's definition, so the gate catches any drop/dup in
+# either the diff or the merge.
+QUERIES["cdc_merge_events"] = relational.cdc_merge_events
+ORACLES["cdc_merge_events"] = """
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN round(round(value, 2) + 1.0, 2)
+            ELSE round(value, 2) END AS value
+FROM events WHERE event_id % 7 <> 0
+UNION ALL
+SELECT event_id + 10000000 AS event_id, round(value, 2) AS value
+FROM events WHERE event_id % 11 = 0
+"""
+
+_STRAT_CUT = """CASE WHEN lang = 'de' THEN 50 WHEN lang = 'en' THEN 30
+                     WHEN lang = 'zh' THEN 100 ELSE 10 END"""
+QUERIES["stratified_sample"] = corpus.stratified_sample
+ORACLES["stratified_sample"] = f"""
+SELECT doc_id, lang,
+       CAST({corpus.duck_md5_bucket("doc_id", 100)} AS BIGINT) AS sample_bucket
+FROM documents
+WHERE {corpus.duck_md5_bucket("doc_id", 100)} < {_STRAT_CUT}
+"""
