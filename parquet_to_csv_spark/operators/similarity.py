@@ -315,3 +315,116 @@ def embedding_quantize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
     )
+
+
+def srp_planes(
+    n_bits: int = 6, n_tables: int = 4, dim: int = 64, seed: int = 7
+) -> list[list[list[float]]]:
+    """Seeded Gaussian hyperplanes for the SRP-LSH index —
+    ``n_tables`` independent tables of ``n_bits`` planes each.
+
+    Plain Python floats generated once at plan-build time and embedded
+    as literals in BOTH engines' plans (no data pass, no broadcast) —
+    which is what makes the whole LSH procedure deterministic and
+    oracle-checkable."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def _srp_bucket(vec_col: "F.Column", planes: list[list[float]]) -> "F.Column":
+    """Bucket id for one LSH table: bit j = sign of ⟨v, h_j⟩."""
+    acc = F.lit(0)
+    for j, h in enumerate(planes):
+        hl = F.array(*[F.lit(v) for v in h])
+        acc = acc + F.when(dot_product(vec_col, hl) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return acc
+
+
+def srp_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_bits: int = 6,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """SRP-LSH approximate nearest neighbors — the LSH-bucketed scale
+    path beside IVF (:func:`ivf_topk`).
+
+    Index: ``n_tables`` signed-random-projection tables of ``n_bits``
+    each; a vector lands in one bucket per table (×n_tables row
+    registration via one array explode — the inverted index a real
+    deployment would persist). Queries multiprobe their own bucket
+    plus every Hamming-1 neighbor in EVERY table (OR-amplification ×
+    multiprobe — the standard recall levers); candidates are scored
+    exactly and deduped across tables with a pair-group max.
+
+    Scale shape: probes are |queries|×n_tables×(n_bits+1) rows —
+    broadcast; the candidate side shuffles ONLY bucket-matched rows
+    (~n_tables·(n_bits+1)/2^n_bits of the data per query); no window
+    over the full relation, no BNLJ. Everything (plane literals, sign
+    folds, cosine) is bit-deterministic, so the DuckDB oracle replays
+    the whole procedure at full hash strength.
+    """
+    tabs = srp_planes(n_bits, n_tables, seed=seed)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        *[_srp_bucket(F.col("embedding"), tabs[t]).alias(f"b{t}") for t in range(n_tables)],
+    )
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bkt"))
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    cands = base.select("vec_id", "embedding", "nrm", tb).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("tb.t").alias("t"),
+        F.col("tb.bkt").alias("bkt"),
+    )
+    flips = F.explode(F.array(*[F.lit(f) for f in [0] + [1 << j for j in range(n_bits)]]))
+    probes = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding", "nrm", tb)
+        .withColumn("flip", flips)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("tb.t").alias("t"),
+            F.col("tb.bkt").bitwiseXOR(F.col("flip")).alias("bkt"),
+        )
+    )
+    denom = F.col("q_nrm") * F.col("c_nrm")
+    sim = F.when(denom > F.lit(0.0), dot_product(F.col("q_emb"), F.col("c_emb")) / denom)
+    w_k = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        F.broadcast(probes)
+        .join(cands, ["t", "bkt"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", sim.alias("s"))
+        # a pair seen in several tables/probes scores identically —
+        # max() dedupes without a distinct over float equality
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("s").alias("sim"))
+        .withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", F.round("sim", 6).alias("cosine"), "rnk")
+    )

@@ -1377,3 +1377,62 @@ SELECT doc_id, lang,
 FROM documents
 WHERE {corpus.duck_md5_bucket("doc_id", 100)} < {_STRAT_CUT}
 """
+
+# SRP-LSH ANN: the plane literals, sign folds and cosine are all
+# bit-deterministic IEEE ops evaluated in the same order in both
+# engines, so the oracle replays the index + multiprobe + scoring at
+# full hash strength (same contract as ivf_topk).
+def _duck_dot_lit(vec: str, plane: list[float]) -> str:
+    lits = ", ".join(repr(v) for v in plane)
+    return (
+        f"list_sum(list_transform(list_zip({vec}, [{lits}]), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+
+
+def _duck_srp_bucket(vec: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"(CASE WHEN {_duck_dot_lit(vec, h)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+_SRP_TABS = _sim.srp_planes()
+_SRP_NB = 6
+_SRP_FLIPS = ", ".join(str(f) for f in [0] + [1 << j for j in range(_SRP_NB)])
+_SRP_BUCKET_COLS = ",\n         ".join(
+    f"{_duck_srp_bucket('embedding', t)} AS b{i}" for i, t in enumerate(_SRP_TABS)
+)
+_SRP_UNION = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, embedding, {i} AS t, b{i} AS bkt FROM b"
+    for i in range(len(_SRP_TABS))
+)
+
+QUERIES["srp_lsh_topk"] = _sim.srp_lsh_topk
+ORACLES["srp_lsh_topk"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_SRP_BUCKET_COLS}
+  FROM embeddings
+), cand AS (
+{_SRP_UNION}
+), probes AS (
+  SELECT c.vec_id AS query_id, c.embedding AS q_emb, c.t,
+         xor(c.bkt, f.f) AS bkt
+  FROM cand c CROSS JOIN (SELECT unnest([{_SRP_FLIPS}]) AS f) f
+  WHERE c.vec_id < 5
+), scored AS (
+  SELECT p.query_id, c.vec_id AS cand_id,
+         max({_duck_cos('p.q_emb', 'c.embedding')}) AS sim
+  FROM probes p JOIN cand c ON p.t = c.t AND p.bkt = c.bkt
+  WHERE p.query_id <> c.vec_id
+  GROUP BY p.query_id, c.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, round(sim, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= 5
+"""

@@ -105,3 +105,32 @@ def test_neardup_fat_label_subblocked_small_labels_exact(spark):
         .collect()[0][0]
     )
     assert sizes <= 25
+
+
+def test_srp_lsh_recall_and_soundness(spark, sf_dir):
+    """LSH returns a subset of bucket-matched candidates scored with the
+    EXACT cosine (soundness: every returned cosine equals the exact
+    recomputation), and the 4×6-bit multiprobe index recovers most of
+    the exact top-5 on the 500-vector fixture (deterministic — seeded
+    planes, IEEE-exact folds)."""
+    exact_rows = similarity.cosine_topk(spark, sf_dir).collect()
+    exact = {(r["query_id"], r["cand_id"]) for r in exact_rows}
+    exact_sims = {
+        (r["query_id"], r["cand_id"]): r["cosine"] for r in exact_rows
+    }
+    lsh_rows = similarity.srp_lsh_topk(spark, sf_dir).collect()
+    lsh = {(r["query_id"], r["cand_id"]) for r in lsh_rows}
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.6, f"SRP-LSH recall collapsed: {recall}"
+    for r in lsh_rows:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_sims:
+            assert r["cosine"] == exact_sims[key]
+
+
+def test_srp_lsh_plan_no_cartesian(spark, sf_dir):
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        similarity.srp_lsh_topk(spark, sf_dir)._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
