@@ -79,3 +79,49 @@ def user_value_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _slope, "user_id long, n_events long, slope_cph double"
     )
+
+
+def user_value_ewma(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.1
+) -> DataFrame:
+    """E12 grouped-map: per-user exponentially-weighted moving average
+    of ``value`` over event time — the time-decayed feature every
+    behavioral model wants, and a genuinely sequential recurrence
+    (``y_t = α·x_t + (1-α)·y_{t-1}``) no built-in window expresses
+    without overflow (the closed-form ``(1-α)^{-t}`` trick explodes
+    past ~700 steps).
+
+    Plan: one shuffle on user_id into ``applyInPandas``; state is O(1)
+    per key and each group streams through one Arrow batch.
+    Determinism: rows are sorted by (ts, event_id) — a total order —
+    and the fold is the same float64 op sequence in any engine, so
+    results are bit-identical; the DuckDB oracle replays the recurrence
+    with a recursive CTE over the identically-ordered sequence.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        prev = None
+        out = []
+        for x in pdf["value"]:
+            prev = float(x) if prev is None else alpha * float(x) + (1.0 - alpha) * prev
+            out.append(prev)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "ts_us": pdf["ts_us"],
+                "ewma": out,
+            }
+        )
+
+    # raw state leaves the UDF; the 6dp rounding is F.round (JVM) so the
+    # Python half-even round never enters the parity surface
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_ewma, "event_id long, user_id long, ts_us long, ewma double")
+        .select("event_id", "user_id", "ts_us", F.round("ewma", 6).alias("ewma"))
+    )

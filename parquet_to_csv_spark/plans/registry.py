@@ -1436,3 +1436,44 @@ WITH b AS (
 SELECT query_id, cand_id, round(sim, 6) AS cosine, rnk
 FROM ranked WHERE rnk <= 5
 """
+
+# Robust outliers: median/MAD are quantile_cont ↔ percentile (the
+# price_quantiles parity convention); everything downstream is the same
+# doubles in both engines, so comparisons and 4dp rounding agree.
+QUERIES["robust_outliers"] = relational.robust_outliers
+ORACLES["robust_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(m.med, 4) AS med, round(d.mad, 4) AS mad,
+       round((e.value - m.med) / (1.4826 * d.mad), 4) AS robust_z
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad
+"""
+
+# EWMA: the recurrence runs the same float64 op sequence over the same
+# (ts, event_id)-ordered rows in both engines (grouped-pandas fold vs
+# recursive CTE), so raw state is bit-identical; 6dp rounding is
+# engine-side on both.
+QUERIES["user_value_ewma"] = pandas_ops.user_value_ewma
+ORACLES["user_value_ewma"] = """
+WITH RECURSIVE seq AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+), r AS (
+  SELECT event_id, user_id, ts_us, rn, value AS ewma
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_id, s.user_id, s.ts_us, s.rn,
+         0.1 * s.value + 0.9 * r.ewma AS ewma
+  FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT event_id, user_id, ts_us, round(ewma, 6) AS ewma FROM r
+"""

@@ -92,3 +92,33 @@ def test_unigram_lm_score_bounds(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_ewma_matches_local_fold(spark, sf_dir):
+    """The grouped-pandas EWMA equals a driver-side replay of the same
+    float64 recurrence over the same (ts, event_id) order."""
+    from collections import defaultdict
+
+    from parquet_to_csv_spark.operators.pandas_ops import user_value_ewma
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us", "value")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in ev:
+        series[r["user_id"]].append((r["ts_us"], r["event_id"], r["value"]))
+    expect = {}
+    for uid, rows in series.items():
+        prev = None
+        for ts, eid, x in sorted(rows):
+            prev = float(x) if prev is None else 0.1 * float(x) + 0.9 * prev
+            expect[eid] = prev
+    got = user_value_ewma(spark, sf_dir).collect()
+    assert len(got) == len(ev)
+    for r in got:
+        assert r["ewma"] == round(expect[r["event_id"]], 6) or abs(
+            r["ewma"] - expect[r["event_id"]]
+        ) < 1e-9

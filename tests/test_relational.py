@@ -54,3 +54,14 @@ def test_rollup_has_grand_total(spark, sf_dir):
     df = relational.rollup_lineitem(spark, sf_dir)
     total = df.filter(F.col("l_returnflag").isNull() & F.col("l_linestatus").isNull())
     assert total.count() == 1
+
+
+def test_robust_outliers_threshold_semantics(spark, sf_dir):
+    from parquet_to_csv_spark.operators.relational import robust_outliers
+
+    out = robust_outliers(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        # flagged rows sit strictly outside the 3-robust-z band
+        assert abs(r["value"] - r["med"]) > 3 * 1.4826 * r["mad"] - 1e-6
+        assert abs(r["robust_z"]) >= 2.999
