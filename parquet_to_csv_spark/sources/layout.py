@@ -68,3 +68,98 @@ def colocated_join(spark: SparkSession, left_table: str, right_table: str, key: 
     SMJ-over-buckets is the plan this layout exists for, and the hint
     makes the shape deterministic so tests can assert it."""
     return spark.table(left_table).hint("merge").join(spark.table(right_table), key)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+) -> int:
+    """Small-files compaction — the maintenance pass every long-lived
+    100 TB table needs (streaming ingests and over-parallel writers
+    leave thousands of KB-sized files; each costs a task + an open +
+    footer parse per query, and at 1000 executors the scheduler, not
+    the I/O, becomes the bottleneck).
+
+    Sizing is metadata-only: the input's total byte size comes from the
+    file listing (no data scan), target file count = ceil(bytes /
+    target), and ONE ``coalesce`` (NOT ``repartition`` — no shuffle,
+    tasks just read several input files each) rewrites the data.
+    Returns the output file count.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
+    return sum(
+        1 for f in os.listdir(out_path) if f.endswith(".parquet")
+    )
+
+
+def minmax_manifest(spark: SparkSession, path: str, *cols: str) -> DataFrame:
+    """Per-file min/max/count manifest over ``cols`` — the data-skipping
+    index (Delta/Iceberg file statistics, hand-rolled on stock Spark).
+
+    One scan groups by ``input_file_name()`` with partial aggregation —
+    the manifest is tiny (one row per file) and, persisted next to the
+    table, lets a planner (or :func:`skipped_read`) prune files whose
+    [min, max] range excludes a predicate BEFORE listing-level I/O —
+    the 100 TB point lookup goes from "open every footer" to "read the
+    manifest, open the 2 files that can match".
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        df.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def skipped_read(
+    spark: SparkSession,
+    path: str,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Read only the files whose [min, max] for ``col`` intersects
+    [lo, hi], per ``manifest`` — file-level skipping on top of the
+    row-group pushdown Spark already does. The manifest is tiny, so
+    the file list is a driver-side collect of a few hundred strings
+    (NOT a data scan); correctness does not depend on the manifest
+    being fresh as long as it covers every live file.
+    """
+    from pyspark.sql import functions as F
+
+    keep = [
+        r["file"].removeprefix("file://")
+        for r in manifest.filter(
+            (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
+        ).collect()
+    ]
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return (
+        spark.read.parquet(*keep)
+        .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    )

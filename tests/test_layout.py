@@ -42,3 +42,55 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     # the partition predicate must NOT appear as a post-scan data filter
     assert pruned.count() == ev.filter(F.col("day") == F.lit(some_day)).count()
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from parquet_to_csv_spark.sources import layout
+    import os
+
+    src = str(tmp_path / "shattered")
+    out = str(tmp_path / "compacted")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(src)
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in >= 32  # genuinely shattered
+    n_out = layout.compact_small_files(spark, src, out, target_file_mb=512)
+    assert n_out == 1  # tiny data -> one file
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert b.count() == a.count()
+    assert b.exceptAll(a).count() == 0
+
+
+def test_minmax_manifest_skips_files(spark, sf_dir, tmp_path):
+    from parquet_to_csv_spark.sources import layout
+
+    src = str(tmp_path / "ranged")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # range-partition by event_id so files have disjoint id ranges
+    ev.repartitionByRange(8, "event_id").write.parquet(src)
+    man = layout.minmax_manifest(spark, src, "event_id").collect()
+    assert len(man) == 8
+    full = spark.read.parquet(src)
+    lo = full.agg(F.min("event_id")).collect()[0][0]
+    manifest = layout.minmax_manifest(spark, src, "event_id")
+    picked = layout.skipped_read(spark, src, manifest, "event_id", lo, lo + 10)
+    expect = full.filter((F.col("event_id") >= lo) & (F.col("event_id") <= lo + 10))
+    assert picked.count() == expect.count()
+    assert picked.exceptAll(expect).count() == 0
+    # the skipping actually skipped: the pruned plan reads < all files
+    n_kept = manifest.filter(
+        (F.col("max_event_id") >= lo) & (F.col("min_event_id") <= lo + 10)
+    ).count()
+    assert n_kept < 8
+
+
+def test_skipped_read_empty_range(spark, sf_dir, tmp_path):
+    from parquet_to_csv_spark.sources import layout
+
+    src = str(tmp_path / "ranged2")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ev.repartitionByRange(4, "event_id").write.parquet(src)
+    manifest = layout.minmax_manifest(spark, src, "event_id")
+    none = layout.skipped_read(spark, src, manifest, "event_id", -10_000, -9_999)
+    assert none.count() == 0
