@@ -192,6 +192,10 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    # tf feeds two branches; leave it unpersisted — measured: an
+    # explicit persist is ~2x slower at bench SF (cache materialization
+    # breaks whole-stage pipelining and costs more than recomputing
+    # the narrow aggregated relation).
     tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     lm = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = F.broadcast(lm.agg(F.sum("cnt").alias("t_total")))

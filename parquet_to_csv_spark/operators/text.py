@@ -166,6 +166,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     pairs = docs.select(
         "doc_id", F.explode(tokens_col("text")).alias("term")
     )
+    # tf feeds two branches; leave it unpersisted — measured: an
+    # explicit persist is ~2x slower at bench SF (cache materialization
+    # breaks whole-stage pipelining and costs more than recomputing
+    # the narrow aggregated relation).
     tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
