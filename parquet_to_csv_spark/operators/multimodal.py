@@ -117,3 +117,63 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("payload")).alias("payload_md5"),
         F.col("meta")["source"].alias("source"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_off", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample(
+    payloads: DataFrame, frame_bytes: int = 256, stride: int = 2
+) -> DataFrame:
+    """Frame sampling over ``mapInPandas`` — the video-style 1→N batch
+    shape (each payload row yields several frame rows; Arrow batches
+    out more rows than in, no shuffle, partitioning preserved).
+
+    Framing is the deterministic stand-in for a real demuxer (no ffmpeg
+    in this container): a "frame" is a fixed ``frame_bytes`` window of
+    the payload and we keep every ``stride``-th one — the exact
+    plumbing (schema, offsets, per-frame digest, fan-out batching) a
+    real frame extractor drops into by replacing ONE inner function.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, md5s = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = payload or b""
+                n_frames = (len(p) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    chunk = p[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * frame_bytes)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_off": offs,
+                    "frame_len": lens,
+                    "frame_md5": md5s,
+                }
+            )
+
+    return payloads.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for the frame-sampling plumbing: frame geometry
+    (count, offsets, lengths) is pure byte arithmetic the oracle
+    replays from ``octet_length``; the per-frame md5 is pinned by
+    pytest instead (DuckDB lacks BLOB slicing)."""
+    payloads = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return frame_sample(payloads).select("doc_id", "frame_idx", "frame_off", "frame_len")

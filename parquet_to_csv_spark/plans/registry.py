@@ -1477,3 +1477,16 @@ WITH RECURSIVE seq AS (
 )
 SELECT event_id, user_id, ts_us, round(ewma, 6) AS ewma FROM r
 """
+
+# Frame-sampling plumbing: geometry-only gate (offsets/lengths from
+# octet_length arithmetic); per-frame digests are pytest-pinned since
+# DuckDB cannot slice BLOBs.
+QUERIES["multimodal_frames"] = multimodal.multimodal_frames
+ORACLES["multimodal_frames"] = """
+SELECT d.doc_id,
+       f.i AS frame_idx,
+       f.i * 256 AS frame_off,
+       least(256, octet_length(encode(d.text)) - f.i * 256) AS frame_len
+FROM documents d,
+     unnest(range(0, CAST(ceil(octet_length(encode(d.text)) / 256.0) AS BIGINT), 2)) AS f(i)
+"""

@@ -146,3 +146,28 @@ def test_embedding_quantize_fidelity(spark, sf_dir):
         (F.col("max_err") > F.col("half_step") + 1e-9) | ~F.col("full_range")
     ).count()
     assert bad == 0
+
+
+def test_frame_sample_digests_and_fanout(spark, sf_dir):
+    """Frame rows reproduce driver-side byte slicing exactly (offset
+    geometry AND per-frame md5), including the 1→N Arrow fan-out."""
+    import hashlib
+
+    from parquet_to_csv_spark.operators.multimodal import attach_payloads, frame_sample
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    texts = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    rows = frame_sample(attach_payloads(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, frames in by_doc.items():
+        p = texts[doc_id]
+        n_frames = (len(p) + 255) // 256
+        assert sorted(r["frame_idx"] for r in frames) == list(range(0, n_frames, 2))
+        for r in frames:
+            chunk = p[r["frame_off"] : r["frame_off"] + 256]
+            assert r["frame_len"] == len(chunk)
+            assert r["frame_md5"] == hashlib.md5(chunk).hexdigest()
