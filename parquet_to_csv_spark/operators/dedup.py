@@ -433,3 +433,66 @@ def contamination_pairs(
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def containment_pairs_quotes(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+) -> DataFrame:
+    """Directed token-set containment C(A,B) = |A∩B| / |A| ≥ t — quote
+    / subset detection (is doc A substantially contained in doc B?),
+    the asymmetric cousin of the Jaccard join that near-dup filters
+    miss (a paragraph quoted inside a much longer doc has LOW Jaccard
+    but HIGH containment).
+
+    Asymmetric prefix filter: the overlap must be ≥ t·|A|, so A only
+    explodes its ``|A| − ⌊t·|A|⌋ + 1`` prefix (sorted-token order) —
+    but B has no size bound (the container may be huge), so the B side
+    is a full inverted index. Shuffle cost O(docs_A × prefix +
+    docs_B × tokens): this is the canonical containment-join layout
+    (the B-side index is what a real corpus search would already have
+    materialized). Size prune: |A∩B| ≤ |B| forces |B| ≥ t·|A|, applied
+    with float slack (under-pruning only, never a miss).
+    """
+    toks = _distinct_tokens(load_table(spark, sf_dir, "documents"))
+    base = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort("toks").alias("toks"),
+        F.size("toks").alias("sz"),
+    ).persist()
+    plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref_a = base.select(
+        "doc_id", "lang", "source", "sz",
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("tok"),
+    )
+    index_b = base.select(
+        "doc_id", "lang", "source", "sz", F.explode("toks").alias("tok")
+    )
+    eps = 1e-9
+    a = pref_a.alias("a")
+    b = index_b.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps)),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    cont = F.when(
+        F.size("toks_a") > 0, inter / F.size("toks_a").cast("double")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

@@ -121,3 +121,101 @@ def hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day_ms", "event_type", "n_events", "sum_value", "max_hourly_events")
     )
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase) per user — the
+    conversion query of every product/behavior pipeline.
+
+    Sequencing ("first click AFTER the first view") looks like three
+    dependent scans, but stacked running-min windows express it in ONE
+    shuffle on user_id + one per-user sort:
+
+    - ``run_t1`` = min view-time so far: a click is stage-2-qualified
+      iff its ts ≥ run_t1 at that row (⇔ some view precedes it — and
+      then its ts is ≥ the FIRST view, so min over qualified clicks IS
+      "first click after first view");
+    - ``run_t2`` = min qualified-click-time so far: a purchase
+      qualifies iff its ts ≥ run_t2 (same argument, one stage up).
+
+    Both windows share one frame spec, so Catalyst plans a single sort.
+    The DuckDB oracle replays the identical window formulation.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    run_t1 = F.min(view_ts).over(w)
+    click_q = F.when(
+        (F.col("event_type") == "click") & (F.col("ts_us") >= run_t1), F.col("ts_us")
+    )
+    run_t2 = F.min(click_q).over(w)
+    purch_q = F.when(
+        (F.col("event_type") == "purchase") & (F.col("ts_us") >= run_t2),
+        F.col("ts_us"),
+    )
+    staged = ev.select(
+        "user_id",
+        view_ts.alias("v_ts"),
+        click_q.alias("c_ts"),
+        purch_q.alias("p_ts"),
+    )
+    agg = staged.groupBy("user_id").agg(
+        F.min("v_ts").alias("t_view_us"),
+        F.min("c_ts").alias("t_click_us"),
+        F.min("p_ts").alias("t_purchase_us"),
+    )
+    stage = (
+        F.when(F.col("t_purchase_us").isNotNull(), F.lit(3))
+        .when(F.col("t_click_us").isNotNull(), F.lit(2))
+        .when(F.col("t_view_us").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return agg.select(
+        "user_id", "t_view_us", "t_click_us", "t_purchase_us", stage.alias("stage")
+    )
+
+
+def incremental_user_totals(
+    spark: SparkSession, sf_dir: str, cutover_ms: int = 1_705_276_800_000
+) -> DataFrame:
+    """Incremental aggregation via mergeable partials: history (< T)
+    and delta (≥ T) are aggregated separately and MERGED (sum of sums,
+    sum of counts) — the pattern that lets a daily 100 TB pipeline
+    aggregate only the new partition and fold it into yesterday's
+    rollup instead of rescanning history.
+
+    The gate's oracle computes the total directly from the raw table,
+    so the merge is verified to be lossless. Sums are exact integer
+    cents (functions.stable) — merge order can never change the result.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        )
+
+    hist = partial(ev.filter(F.col("ts_ms") < cutover_ms))
+    delta = partial(ev.filter(F.col("ts_ms") >= cutover_ms))
+    return (
+        hist.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"), F.sum("c").alias("sum_cents"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+        )
+    )

@@ -1490,3 +1490,62 @@ SELECT d.doc_id,
 FROM documents d,
      unnest(range(0, CAST(ceil(octet_length(encode(d.text)) / 256.0) AS BIGINT), 2)) AS f(i)
 """
+
+# Funnel: the stacked running-min window formulation is replayed
+# verbatim; all values are integer µs, no float surface at all.
+QUERIES["funnel_stages"] = timeops.funnel_stages
+ORACLES["funnel_stages"] = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), staged AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'view' THEN ts_us END AS v_ts,
+         CASE WHEN event_type = 'click' AND ts_us >= min(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+              THEN ts_us END AS c_ts,
+         ts_us, event_type, event_id, user_id AS u
+  FROM ev
+), staged2 AS (
+  SELECT user_id, v_ts, c_ts,
+         CASE WHEN event_type = 'purchase' AND ts_us >= min(c_ts)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+              THEN ts_us END AS p_ts
+  FROM staged
+), agg AS (
+  SELECT user_id, min(v_ts) AS t_view_us, min(c_ts) AS t_click_us,
+         min(p_ts) AS t_purchase_us
+  FROM staged2 GROUP BY user_id
+)
+SELECT user_id, t_view_us, t_click_us, t_purchase_us,
+       CASE WHEN t_purchase_us IS NOT NULL THEN 3
+            WHEN t_click_us IS NOT NULL THEN 2
+            WHEN t_view_us IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+FROM agg
+"""
+
+# Directed containment: oracle recomputes C(A,B)=|A∩B|/|A| exhaustively
+# within blocks — the prefix-filtered join must find exactly that set.
+QUERIES["containment_quotes"] = dedup.containment_pairs_quotes
+ORACLES["containment_quotes"] = f"""
+WITH tt AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.toks, b.toks))
+             / CAST(len(a.toks) AS DOUBLE), 4) AS containment
+FROM tt a JOIN tt b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+WHERE round(len(list_intersect(a.toks, b.toks))
+             / CAST(len(a.toks) AS DOUBLE), 4) >= 0.7
+"""
+
+# Incremental agg: the oracle aggregates the raw table directly — the
+# history+delta partial merge must be lossless (exact integer cents
+# make merge order irrelevant).
+QUERIES["incremental_user_totals"] = timeops.incremental_user_totals
+ORACLES["incremental_user_totals"] = f"""
+SELECT user_id, count(*) AS n_events,
+       sum({duck_units("value", 2)}) / 100.0 AS sum_value
+FROM events GROUP BY user_id
+"""

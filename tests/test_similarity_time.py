@@ -134,3 +134,34 @@ def test_srp_lsh_plan_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_matches_bruteforce(spark, sf_dir):
+    """Stacked-window funnel equals the obvious sequential scan."""
+    from collections import defaultdict
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_id", "user_id", "event_type", "ts div 1000 AS ts_us")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in ev:
+        series[r["user_id"]].append((r["ts_us"], r["event_id"], r["event_type"]))
+    expect = {}
+    for uid, rows in series.items():
+        t1 = t2 = t3 = None
+        for ts, _eid, et in sorted(rows):
+            if et == "view" and t1 is None:
+                t1 = ts
+            elif et == "click" and t1 is not None and t2 is None and ts >= t1:
+                t2 = ts
+            elif et == "purchase" and t2 is not None and t3 is None and ts >= t2:
+                t3 = ts
+        expect[uid] = (t1, t2, t3)
+    got = timeops.funnel_stages(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert (
+            r["t_view_us"], r["t_click_us"], r["t_purchase_us"]
+        ) == expect[r["user_id"]], r["user_id"]
