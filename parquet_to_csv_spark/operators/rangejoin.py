@@ -201,3 +201,60 @@ def asof_forward_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_ts_us") - F.col("ts_us")).alias("lead_us"),
         F.round("p_value", 2).alias("purchase_value"),
     )
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD-2) dimension join: each order picks the
+    customer attribute version that was valid ON ITS ORDER DATE — the
+    feature-leakage-safe join a training pipeline must use instead of
+    joining today's dimension onto historical facts.
+
+    The versioned dim is synthesized deterministically (3 effective-
+    dated versions per customer keyed off custkey) since the fixtures
+    carry no history; the join shape is the real thing: versions are
+    dim-sized (×3) and broadcast, facts join on the key, validity
+    filters, and ``max_by(attr, valid_from)`` picks the latest version
+    ≤ the fact date with map-side partial aggregation — one broadcast
+    join + one aggregation, no window sort, no shuffle of the fact
+    side beyond the final groupBy on its own key.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    v1_from = F.date_add(F.lit("1996-01-01").cast("date"), (F.col("c_custkey") % 365).cast("int"))
+    v2_from = F.date_add(F.lit("1998-07-01").cast("date"), (F.col("c_custkey") % 365).cast("int"))
+    ver = cust.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("v"), F.lit("1990-01-01").cast("date").alias("valid_from")),
+                F.struct(F.lit(1).alias("v"), v1_from.alias("valid_from")),
+                F.struct(F.lit(2).alias("v"), v2_from.alias("valid_from")),
+            )
+        ).alias("s"),
+        "c_mktsegment",
+    ).select(
+        "c_custkey",
+        F.col("s.v").alias("v"),
+        F.col("s.valid_from").alias("valid_from"),
+        F.concat_ws("#", F.col("c_mktsegment"), F.col("s.v").cast("string")).alias("attr"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("o_date")
+    )
+    joined = orders.join(
+        F.broadcast(ver), orders.o_custkey == ver.c_custkey
+    ).filter(F.col("valid_from") <= F.col("o_date"))
+    return (
+        joined.groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.max_by("attr", F.col("valid_from")).alias("attr_at_order"),
+            F.max("valid_from").alias("version_from"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "attr_at_order",
+            F.expr("unix_millis(cast(version_from as timestamp))").alias("version_from_ms"),
+        )
+    )

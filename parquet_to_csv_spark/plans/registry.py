@@ -1549,3 +1549,29 @@ SELECT user_id, count(*) AS n_events,
        sum({duck_units("value", 2)}) / 100.0 AS sum_value
 FROM events GROUP BY user_id
 """
+
+# SCD-2 point-in-time join: deterministic synthesized versions; the
+# oracle picks the latest valid version per order with row_number.
+QUERIES["scd2_point_in_time"] = rangejoin.scd2_point_in_time_join
+ORACLES["scd2_point_in_time"] = """
+WITH ver AS (
+  SELECT c_custkey, v,
+         CASE v
+           WHEN 0 THEN DATE '1990-01-01'
+           WHEN 1 THEN DATE '1996-01-01' + (c_custkey % 365) * INTERVAL 1 DAY
+           ELSE DATE '1998-07-01' + (c_custkey % 365) * INTERVAL 1 DAY
+         END AS valid_from,
+         concat(c_mktsegment, '#', CAST(v AS VARCHAR)) AS attr
+  FROM customer, unnest([0, 1, 2]) AS t(v)
+), ranked AS (
+  SELECT o.o_orderkey, o.o_custkey, ver.attr, ver.valid_from,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey ORDER BY ver.valid_from DESC
+         ) AS rn
+  FROM orders o JOIN ver ON o.o_custkey = ver.c_custkey
+  WHERE ver.valid_from <= CAST(o.o_orderdate AS DATE)
+)
+SELECT o_orderkey, o_custkey, attr AS attr_at_order,
+       epoch_ms(CAST(valid_from AS TIMESTAMP)) AS version_from_ms
+FROM ranked WHERE rn = 1
+"""

@@ -137,3 +137,18 @@ def test_salted_join_parity(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_scd2_point_in_time_no_leakage(spark, sf_dir):
+    """Every order resolves exactly one version, and the chosen
+    version's valid_from never postdates the order (no feature
+    leakage from the future)."""
+    out = rangejoin.scd2_point_in_time_join(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    assert out.count() == orders.count()
+    j = out.join(
+        orders.select("o_orderkey", "o_orderdate"), "o_orderkey"
+    ).withColumn(
+        "od_ms", F.expr("unix_millis(cast(cast(o_orderdate as date) as timestamp))")
+    )
+    assert j.filter(F.col("version_from_ms") > F.col("od_ms")).count() == 0
