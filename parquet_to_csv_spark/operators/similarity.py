@@ -428,3 +428,81 @@ def srp_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", F.round("sim", 6).alias("cosine"), "rnk")
     )
+
+
+def _sqdist(vec_col, cent_col) -> "F.Column":
+    """Σ (x_i − c_i)² as the same left-fold both engines run."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col, cent_col, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_iterations(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Deterministic k-means on the embeddings table — the full
+    iterative clustering loop as DataFrame ops (Lloyd's algorithm:
+    argmin-distance assignment ⇄ centroid mean update).
+
+    Per iteration: centroids are k rows, broadcast; assignment is ONE
+    pass with ``min_by`` (map-side partial aggregation, no window);
+    the update is the E30 posexplode + DECIMAL-exact element-sum
+    (order-independent — a double sum would differ per partition
+    count), rebuilt into arrays with an explicit ``sort_array`` on
+    position. No driver action anywhere in the loop — the iteration
+    count is fixed up front, so the whole thing is one lazy plan (the
+    convergence-tested variant is ``dedup.connected_components``'s
+    pattern; both plan-growth strategies are deliberate).
+
+    Init = first ``k`` vectors by vec_id; ties broken by min cell id.
+    Every arithmetic step is an identical-order IEEE fold in both
+    engines, so the DuckDB oracle replays the full loop and the gate
+    hash-matches the final assignment + distance.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("c")
+    )
+    for _ in range(n_iter - 1):
+        assigned = (
+            emb.join(F.broadcast(cents))
+            .select("vec_id", "v", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+            .groupBy("vec_id", "v")
+            .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
+        )
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell",
+                "pos",
+                (F.col("s").cast("double") / F.col("n")).alias("cval"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+                    lambda st: st["cval"],
+                ).alias("c")
+            )
+        )
+    return (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"),
+            F.min(F.struct(F.col("d"), F.col("cell"))).alias("_m"),
+        )
+        .select("vec_id", "cell", F.round(F.col("_m.d"), 6).alias("sq_dist"))
+    )

@@ -1575,3 +1575,45 @@ SELECT o_orderkey, o_custkey, attr AS attr_at_order,
        epoch_ms(CAST(valid_from AS TIMESTAMP)) AS version_from_ms
 FROM ranked WHERE rn = 1
 """
+
+# k-means (2 Lloyd iterations): every step — init, argmin assignment,
+# DECIMAL-exact centroid means, second assignment — is an identical-
+# order fold in both engines; the oracle replays the loop in SQL.
+_KM_SQD = (
+    "list_sum(list_transform(list_zip({v}, {c}), "
+    "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+)
+
+QUERIES["kmeans_assign"] = _sim.kmeans_iterations
+ORACLES["kmeans_assign"] = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cell, v AS c FROM emb WHERE vec_id < 8
+), d1 AS (
+  SELECT e.vec_id, e.v, c0.cell, {_KM_SQD.format(v='e.v', c='c0.c')} AS d
+  FROM emb e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), upd AS (
+  SELECT cell, t.pos,
+         CAST(sum(CAST(v[t.pos + 1] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS cval
+  FROM a1, unnest(range(0, len(v))) AS t(pos)
+  GROUP BY cell, t.pos
+), c1 AS (
+  SELECT cell, list(cval ORDER BY pos) AS c FROM upd GROUP BY cell
+), d2 AS (
+  SELECT e.vec_id, c1.cell, {_KM_SQD.format(v='e.v', c='c1.c')} AS d
+  FROM emb e CROSS JOIN c1
+)
+SELECT vec_id, cell, round(d, 6) AS sq_dist FROM (
+  SELECT vec_id, cell, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM d2
+) WHERE rn = 1
+"""

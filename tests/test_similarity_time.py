@@ -165,3 +165,37 @@ def test_funnel_matches_bruteforce(spark, sf_dir):
         assert (
             r["t_view_us"], r["t_click_us"], r["t_purchase_us"]
         ) == expect[r["user_id"]], r["user_id"]
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
+    """Two Lloyd iterations equal a numpy replay (same init, same
+    tie-breaks), and every vector lands in some cell."""
+    import numpy as np
+
+    emb = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    )
+    ids = [i for i, _ in emb]
+    X = np.stack([v for _, v in emb])
+    k = 8
+    C = X[:k].copy()
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)  # argmin ties -> lowest cell, matches min_by struct
+    C2 = np.stack(
+        [X[assign == c].mean(axis=0) if (assign == c).any() else C[c] for c in range(k)]
+    )
+    live = sorted(set(assign))
+    d2 = ((X[:, None, :] - C2[None, :, :]) ** 2).sum(axis=2)
+    got = {r["vec_id"]: r["cell"] for r in similarity.kmeans_iterations(spark, sf_dir).collect()}
+    assert set(got) == set(ids)
+    mismatch = 0
+    for row_i, vid in enumerate(ids):
+        # numpy argmin over live cells only (empty cells vanish in the
+        # DataFrame update); fp summation order differs from the Spark
+        # fold, so allow boundary flips only where distances tie closely
+        cand = sorted(live, key=lambda c: (d2[row_i, c], c))
+        if got[vid] != cand[0]:
+            assert abs(d2[row_i, cand[0]] - d2[row_i, got[vid]]) < 1e-6
+            mismatch += 1
+    assert mismatch <= len(ids) * 0.02
