@@ -253,3 +253,37 @@ def stratified_sample(
         docs.select("doc_id", "lang", b.cast("long").alias("sample_bucket"))
         .filter(F.col("sample_bucket") < cut)
     )
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip — documents shipped as the
+    line-delimited JSON every LLM-corpus toolchain exchanges, read back
+    with an EXPLICIT schema (schema inference is a full extra pass and
+    type-unstable — never at 100 TB), verified content-exact.
+
+    The gate aggregates the rehydrated table per (lang, source):
+    row count, doc_id sum, and distinct text-md5 count — any dropped
+    row, mangled unicode escape, or type drift breaks the match with
+    the oracle computed from the ORIGINAL parquet. Writes shard at
+    ``maxRecordsPerFile`` like a real corpus export.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="jsonl_rt_")
+    (
+        docs.coalesce(4)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 200)
+        .json(stage)
+    )
+    schema = "doc_id long, lang string, source string, text string"
+    back = spark.read.schema(schema).json(stage)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
+        )
+    )

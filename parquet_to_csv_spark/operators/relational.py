@@ -626,3 +626,66 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 4).alias("robust_z"),
         )
     )
+
+
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with Welch's t — users hash-split into
+    two arms (deterministic md5 bucket, the same reproducible-split
+    primitive as E37/E45), per-event-type mean difference and t
+    statistic.
+
+    Determinism: Σcents and Σcents² are EXACT integer sums (order-
+    independent across any partitioning); every downstream step (means,
+    Welch variance, t, ν) is scalar double math in one fixed expression
+    order, so both engines produce bit-identical statistics. Variance
+    products run in double (not long·long) to stay overflow-free at
+    any SF.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        md5_bucket(F.col("user_id"), 2).alias("arm"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    g = ev.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sc2"),
+    )
+    a = g.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"), F.col("sc").alias("sc_a"), F.col("sc2").alias("sc2_a"),
+    )
+    b = g.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"), F.col("sc").alias("sc_b"), F.col("sc2").alias("sc2_b"),
+    )
+
+    def mean(sc, n):
+        return F.col(sc).cast("double") / F.lit(100.0) / F.col(n)
+
+    def var(n, sc, sc2):
+        nn = F.col(n).cast("double")
+        return (
+            (nn * F.col(sc2).cast("double") - F.col(sc).cast("double") * F.col(sc).cast("double"))
+            / (nn * (nn - F.lit(1.0)))
+            / F.lit(10000.0)
+        )
+
+    va_n = var("n_a", "sc_a", "sc2_a") / F.col("n_a")
+    vb_n = var("n_b", "sc_b", "sc2_b") / F.col("n_b")
+    se = F.sqrt(va_n + vb_n)
+    t = (mean("sc_a", "n_a") - mean("sc_b", "n_b")) / se
+    nu = (va_n + vb_n) * (va_n + vb_n) / (
+        va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1)
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean("sc_a", "n_a"), 4).alias("mean_a"),
+        F.round(mean("sc_b", "n_b"), 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(nu, 2).alias("welch_df"),
+    )

@@ -1617,3 +1617,50 @@ SELECT vec_id, cell, round(d, 6) AS sq_dist FROM (
   FROM d2
 ) WHERE rn = 1
 """
+
+# Welch A/B: arms from the md5-bucket split; Σcents/Σcents² exact, all
+# downstream statistics one fixed double expression order (x*x squares,
+# never pow(x,2) — libm pow is not guaranteed to equal the multiply).
+QUERIES["ab_test_welch"] = relational.ab_test_welch
+ORACLES["ab_test_welch"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         {corpus.duck_md5_bucket("user_id", 2)} AS arm,
+         {duck_units("value", 2)} AS cents
+  FROM events
+), g AS (
+  SELECT event_type, arm, count(*) AS n,
+         sum(cents) AS sc, sum(cents * cents) AS sc2
+  FROM ev GROUP BY event_type, arm
+), a AS (SELECT event_type, n AS n_a, sc AS sc_a, sc2 AS sc2_a FROM g WHERE arm = 0),
+   b AS (SELECT event_type, n AS n_b, sc AS sc_b, sc2 AS sc2_b FROM g WHERE arm = 1),
+   s AS (
+  SELECT a.event_type, n_a, n_b,
+         CAST(sc_a AS DOUBLE) / 100.0 / n_a AS mean_a,
+         CAST(sc_b AS DOUBLE) / 100.0 / n_b AS mean_b,
+         (CAST(n_a AS DOUBLE) * CAST(sc2_a AS DOUBLE)
+            - CAST(sc_a AS DOUBLE) * CAST(sc_a AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) / 10000.0 / n_a AS va_n,
+         (CAST(n_b AS DOUBLE) * CAST(sc2_b AS DOUBLE)
+            - CAST(sc_b AS DOUBLE) * CAST(sc_b AS DOUBLE))
+           / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) / 10000.0 / n_b AS vb_n
+  FROM a JOIN b USING (event_type)
+)
+SELECT event_type, n_a, n_b,
+       round(mean_a, 4) AS mean_a,
+       round(mean_b, 4) AS mean_b,
+       round((mean_a - mean_b) / sqrt(va_n + vb_n), 4) AS t_stat,
+       round((va_n + vb_n) * (va_n + vb_n)
+             / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)), 2) AS welch_df
+FROM s
+"""
+
+# JSONL round-trip: the oracle reads the ORIGINAL parquet — any row
+# loss / unicode mangling / type drift in the JSONL write+read breaks
+# the (lang, source) content digests.
+QUERIES["jsonl_roundtrip"] = corpus.jsonl_roundtrip
+ORACLES["jsonl_roundtrip"] = """
+SELECT lang, source, count(*) AS n_docs, sum(doc_id) AS sum_doc_id,
+       count(DISTINCT md5(text)) AS n_distinct_md5
+FROM documents GROUP BY lang, source
+"""

@@ -122,3 +122,16 @@ def test_ewma_matches_local_fold(spark, sf_dir):
         assert r["ewma"] == round(expect[r["event_id"]], 6) or abs(
             r["ewma"] - expect[r["event_id"]]
         ) < 1e-9
+
+
+def test_jsonl_roundtrip_rowlevel(spark, sf_dir, tmp_path):
+    """Row-exact JSONL round-trip (not just the aggregated gate)."""
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = str(tmp_path / "jl")
+    docs.write.json(stage)
+    back = spark.read.schema("doc_id long, lang string, source string, text string").json(stage)
+    orig = docs.select("doc_id", "lang", "source", "text")
+    assert back.count() == orig.count()
+    assert back.exceptAll(orig).count() == 0
