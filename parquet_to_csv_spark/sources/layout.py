@@ -163,3 +163,21 @@ def skipped_read(
         spark.read.parquet(*keep)
         .filter((F.col(col) >= lo) & (F.col(col) <= hi))
     )
+
+
+def write_sorted_export(
+    df: DataFrame, path: str, n_files: int, *sort_cols: str
+) -> None:
+    """Globally-sorted sharded export: `repartitionByRange` gives
+    disjoint, ORDERED key ranges per output file and
+    `sortWithinPartitions` orders rows inside each — together a total
+    order across the shard sequence WITHOUT a single-node sort. This is
+    the layout that makes downstream merges/binary-search reads/range
+    splits trivial, and the range exchange is the same one shuffle any
+    global sort pays."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -265,3 +265,37 @@ def sessions_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         streaming_sessions(read_event_stream(spark, stage)), name, spark
     )
+
+
+def stream_to_parquet_idempotent(
+    stream_df: DataFrame, out_dir: str, spark: SparkSession
+) -> None:
+    """Drain a bounded stream to parquet via ``foreachBatch`` with
+    EXACTLY-ONCE output semantics: each micro-batch overwrites its own
+    ``batch_id=N`` directory partition, so a replayed batch (restart
+    after a sink failure, before the commit log advanced) lands on top
+    of its previous partial write instead of duplicating rows — the
+    standard idempotent-sink recipe when the target (plain parquet) has
+    no transactional writer.
+
+    `partitionOverwriteMode=dynamic` scopes the overwrite to exactly
+    the partitions present in the batch; other batches' output is
+    untouched, so concurrent history is safe.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_chk")
+        .start()
+    )
+    q.awaitTermination()

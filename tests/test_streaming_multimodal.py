@@ -171,3 +171,61 @@ def test_frame_sample_digests_and_fanout(spark, sf_dir):
             chunk = p[r["frame_off"] : r["frame_off"] + 256]
             assert r["frame_len"] == len(chunk)
             assert r["frame_md5"] == hashlib.md5(chunk).hexdigest()
+
+
+def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
+    """Draining the same staged input twice through the idempotent
+    foreachBatch sink leaves exactly one copy per batch partition
+    (the replayed batch overwrites itself, never duplicates)."""
+    import os
+
+    from parquet_to_csv_spark.sources.tables import load_table
+    from parquet_to_csv_spark.streaming.stream import (
+        read_event_stream,
+        stream_to_parquet_idempotent,
+    )
+
+    stage = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("long").alias("ts"), "user_id",
+        "event_type", "value", F.lit(None).cast("string").alias("props"),
+    )
+    ev.coalesce(2).write.parquet(stage)
+    stream_to_parquet_idempotent(read_event_stream(spark, stage), out, spark)
+    first = spark.read.parquet(out)
+    n = ev.count()
+    assert first.count() == n
+    # replay: wipe the checkpoint so the SAME input reprocesses under
+    # the same batch ids — rows must overwrite, not append
+    import shutil
+
+    shutil.rmtree(out + "_chk")
+    stream_to_parquet_idempotent(read_event_stream(spark, stage), out, spark)
+    again = spark.read.parquet(out)
+    assert again.count() == n
+    assert again.select("event_id").distinct().count() == n
+
+
+def test_sorted_export_total_order(spark, sf_dir, tmp_path):
+    from parquet_to_csv_spark.sources.layout import write_sorted_export
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    out = str(tmp_path / "sorted")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    write_sorted_export(ev, out, 4, "event_id")
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    prev_max = None
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        total += len(pdf)
+        assert (pdf["event_id"].values[:-1] <= pdf["event_id"].values[1:]).all()
+        if prev_max is not None and len(pdf):
+            assert pdf["event_id"].min() > prev_max
+        if len(pdf):
+            prev_max = pdf["event_id"].max()
+    assert total == ev.count()
