@@ -287,3 +287,25 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
         )
     )
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip — the second columnar interchange
+    format (Spark-native writer/reader, predicate pushdown and column
+    pruning work the same as parquet). Same digest gate as
+    :func:`jsonl_roundtrip`: any row loss or type drift across the
+    write+read breaks the match with the original parquet."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="orc_rt_")
+    docs.coalesce(4).write.mode("overwrite").orc(stage)
+    back = spark.read.orc(stage)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
+        )
+    )

@@ -219,3 +219,71 @@ def incremental_user_totals(
             (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
         )
     )
+
+
+def distribution_drift(
+    spark: SparkSession, sf_dir: str, cutover_ms: int = 1_705_276_800_000
+) -> DataFrame:
+    """Distribution drift per event type: smoothed KL(P‖Q) between the
+    value histograms before/after a cutover — the monitoring pass that
+    catches a feature's distribution shifting under a model.
+
+    Determinism recipe (the unigram-LM pattern): per-bucket work is
+    scalar double math in one fixed order (counts → add-one-smoothed
+    probabilities → ln ratio), each bucket's contribution is rounded to
+    integer micro-nats and WEIGHTED by its integer count, and only the
+    exact long sum crosses partitions — the float fold order that
+    makes naive Σ p·ln(p/q) irreproducible never occurs. Buckets are
+    fixed-width floors clamped to [0, 10] (11-way domain, generated —
+    zero-count buckets participate via smoothing).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(10)).alias("bucket"),
+        (F.expr("ts div 1000000") < cutover_ms).alias("is_before"),
+    )
+    g = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.when(F.col("is_before"), 1)).alias("cb"),
+        F.count(F.when(~F.col("is_before"), 1)).alias("ca"),
+    )
+    domain = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(10))).alias("bucket"))
+    )
+    full = domain.join(g, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        (F.coalesce(F.col("cb"), F.lit(0)) + 1).alias("cb1"),
+        (F.coalesce(F.col("ca"), F.lit(0)) + 1).alias("ca1"),
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("cb1").alias("nb"), F.sum("ca1").alias("na")
+    )
+    j = full.join(F.broadcast(tot), "event_type")
+    # ln(p/q) with p = cb1/nb, q = ca1/na — one fixed-order expression
+    ratio = (
+        F.col("cb1").cast("double")
+        * F.col("na").cast("double")
+        / (F.col("ca1").cast("double") * F.col("nb").cast("double"))
+    )
+    term_units = F.round(F.log(ratio) * F.lit(1e6), 0).cast("long")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("nb").alias("n_before_sm"),
+            F.max("na").alias("n_after_sm"),
+            F.sum(F.col("cb1") * term_units).alias("units"),
+        )
+        .select(
+            "event_type",
+            (F.col("n_before_sm") - 11).alias("n_before"),
+            (F.col("n_after_sm") - 11).alias("n_after"),
+            F.round(
+                F.col("units").cast("double")
+                / F.col("n_before_sm").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("kl_nats"),
+        )
+    )

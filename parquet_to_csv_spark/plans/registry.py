@@ -1664,3 +1664,42 @@ SELECT lang, source, count(*) AS n_docs, sum(doc_id) AS sum_doc_id,
        count(DISTINCT md5(text)) AS n_distinct_md5
 FROM documents GROUP BY lang, source
 """
+
+# KL drift: per-bucket scalars in fixed order, integer micro-nat
+# contributions, exact long sums — the unigram-LM determinism recipe.
+QUERIES["distribution_drift"] = timeops.distribution_drift
+ORACLES["distribution_drift"] = """
+WITH ev AS (
+  SELECT event_type,
+         least(CAST(floor(value / 50) AS BIGINT), 10) AS bucket,
+         (epoch_ms(ts) < 1705276800000) AS is_before
+  FROM events
+), g AS (
+  SELECT event_type, bucket,
+         count(*) FILTER (is_before) AS cb,
+         count(*) FILTER (NOT is_before) AS ca
+  FROM ev GROUP BY event_type, bucket
+), domain AS (
+  SELECT DISTINCT event_type, t.bucket
+  FROM ev, unnest(range(0, 11)) AS t(bucket)
+), full_g AS (
+  SELECT d.event_type, d.bucket,
+         coalesce(g.cb, 0) + 1 AS cb1, coalesce(g.ca, 0) + 1 AS ca1
+  FROM domain d LEFT JOIN g ON d.event_type = g.event_type AND d.bucket = g.bucket
+), tot AS (
+  SELECT event_type, sum(cb1) AS nb, sum(ca1) AS na FROM full_g GROUP BY event_type
+), terms AS (
+  SELECT f.event_type, f.cb1, tot.nb, tot.na,
+         CAST(round(ln(CAST(f.cb1 AS DOUBLE) * CAST(tot.na AS DOUBLE)
+                       / (CAST(f.ca1 AS DOUBLE) * CAST(tot.nb AS DOUBLE))) * 1e6, 0) AS BIGINT) AS tu
+  FROM full_g f JOIN tot USING (event_type)
+)
+SELECT event_type,
+       max(nb) - 11 AS n_before,
+       max(na) - 11 AS n_after,
+       round(CAST(sum(cb1 * tu) AS DOUBLE) / CAST(max(nb) AS DOUBLE) / 1e6, 6) AS kl_nats
+FROM terms GROUP BY event_type
+"""
+
+QUERIES["orc_roundtrip"] = corpus.orc_roundtrip
+ORACLES["orc_roundtrip"] = ORACLES["jsonl_roundtrip"]
