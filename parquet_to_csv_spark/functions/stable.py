@@ -91,9 +91,17 @@ def duck_units(expr: str, dp: int) -> str:
 
 
 def duck_sum_2dp(expr: str, dp: int) -> str:
-    """DuckDB twin of :func:`stable_sum_2dp` (``//`` = exact int div)."""
+    """DuckDB twin of :func:`stable_sum_2dp`.
+
+    The Spark side divides via ``pmod`` — i.e. FLOOR division — but
+    DuckDB's ``//`` truncates toward zero, so the two disagreed by one
+    cent on NEGATIVE sums (first surfaced by Q9's profit, which mixes
+    signs). The ``(x % d + d) % d`` normalization reproduces pmod
+    exactly; for positive sums the result is unchanged."""
     t = f"sum({duck_units(expr, dp)})"
     if dp <= 2:
         return f"({t} / {float(10**dp)})"
     div = 10 ** (dp - 2)
-    return f"((({t} + {div // 2}) // {div}) / 100.0)"
+    t2 = f"({t} + {div // 2})"
+    m = f"((({t2}) % {div} + {div}) % {div})"
+    return f"(((({t2}) - {m}) / {div}) / 100.0)"

@@ -1703,3 +1703,84 @@ FROM terms GROUP BY event_type
 
 QUERIES["orc_roundtrip"] = corpus.orc_roundtrip
 ORACLES["orc_roundtrip"] = ORACLES["jsonl_roundtrip"]
+
+# ---------------------------------------------------------------------------
+# TPC-H batch 3 over the synthesized partsupp (operators/tpch_ext.py
+# synth_partsupp — both engines derive the identical relation from
+# part, so Q2/Q9/Q11/Q20 run at full oracle strength). The oracles
+# keep the literal correlated-subquery forms; the Spark plans are the
+# decorrelated rewrites — parity proves the rewrite.
+_PS_CTE = """
+WITH partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + t.i * 25) % 100 AS ps_suppkey,
+         (90000 + (p_partkey % 100) * 10 + t.i * 25) / 100.0 AS ps_supplycost,
+         1 + (p_partkey * 4 + t.i) % 9999 AS ps_availqty
+  FROM part, unnest([0, 1, 2, 3]) AS t(i)
+)
+"""
+
+QUERIES["q2_min_cost_supplier"] = tpch_ext.q2_min_cost_supplier
+ORACLES["q2_min_cost_supplier"] = _PS_CTE + """
+, eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+), eps AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost, eu.s_suppkey, eu.s_name,
+         eu.s_acctbal, eu.n_name
+  FROM partsupp ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+)
+SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name, p.p_partkey,
+       round(e.ps_supplycost, 2) AS ps_supplycost
+FROM eps e JOIN part p ON e.ps_partkey = p.p_partkey AND p.p_type = 'SMALL'
+WHERE e.ps_supplycost = (
+  SELECT min(e2.ps_supplycost) FROM eps e2 WHERE e2.ps_partkey = e.ps_partkey
+)
+ORDER BY s_acctbal DESC, e.s_name ASC, p.p_partkey ASC
+LIMIT 10
+"""
+
+QUERIES["q9_product_profit"] = tpch_ext.q9_product_profit
+ORACLES["q9_product_profit"] = _PS_CTE + f"""
+SELECT n.n_name, year(o.o_orderdate) AS o_year,
+       {duck_sum_2dp("l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity", 4)} AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+QUERIES["q11_important_stock"] = tpch_ext.q11_important_stock
+ORACLES["q11_important_stock"] = _PS_CTE + f"""
+, nps AS (
+  SELECT ps_partkey, {duck_units("ps_supplycost * ps_availqty", 2)} AS v_cents
+  FROM partsupp JOIN supplier s ON ps_suppkey = s.s_suppkey AND s.s_nationkey = 3
+)
+SELECT ps_partkey, sum(v_cents) / 100.0 AS stock_value
+FROM nps GROUP BY ps_partkey
+HAVING sum(v_cents) * 10000 > (SELECT sum(v_cents) FROM nps)
+"""
+
+QUERIES["q20_excess_stock_suppliers"] = tpch_ext.q20_excess_stock_suppliers
+ORACLES["q20_excess_stock_suppliers"] = _PS_CTE + """
+, shipped AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 2
+WHERE s.s_suppkey IN (
+  SELECT ps.ps_suppkey
+  FROM partsupp ps JOIN shipped sh
+    ON ps.ps_partkey = sh.l_partkey AND ps.ps_suppkey = sh.l_suppkey
+  WHERE 2 * ps.ps_availqty > sh.qty
+)
+"""

@@ -111,3 +111,37 @@ def test_stable_sum_2dp_partition_invariant_and_matches_duckdb(spark, dp, n_part
         ).fetchall()
     )
     assert got == want  # exact float equality, all groups
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_stable_sum_2dp_signed_matches_duckdb(spark, n_parts):
+    """Mixed-sign sums (profit-style): Spark's pmod floor-division and
+    the DuckDB twin must agree on NEGATIVE totals too — DuckDB's `//`
+    truncates toward zero, which silently disagreed by one cent on
+    negative sums until the twin switched to explicit floor division
+    (first surfaced by Q9's profit)."""
+    rng = random.Random(23)
+    rows = []
+    for g in range(200):
+        units = [rng.randint(-(10**7), 10**7) for _ in range(39)]
+        tail = rng.randint(-(10**7), 10**7)
+        if g % 5 == 0:
+            # rig the total onto a half-cent boundary, negative side
+            half = 10**4 // 100 // 2
+            tail += (half - (sum(units) + tail)) % (10**4 // 100)
+            if sum(units) + tail > 0:
+                tail -= 2 * (sum(units) + tail)
+        units.append(tail)
+        rows.extend((g, u / 10**4) for u in units)
+    pdf = pd.DataFrame(rows, columns=["gid", "v"])
+    sdf = spark.createDataFrame(pdf).repartition(n_parts)
+    got = {
+        r["gid"]: r["s"]
+        for r in sdf.groupBy("gid").agg(stable_sum_2dp(F.col("v"), 4).alias("s")).collect()
+    }
+    duck = duckdb.connect()
+    duck.register("t", pdf)
+    want = dict(
+        duck.execute(f"SELECT gid, {duck_sum_2dp('v', 4)} FROM t GROUP BY gid").fetchall()
+    )
+    assert got == want
