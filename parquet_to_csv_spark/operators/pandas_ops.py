@@ -125,3 +125,57 @@ def user_value_ewma(
         .applyInPandas(_ewma, "event_id long, user_id long, ts_us long, ewma double")
         .select("event_id", "user_id", "ts_us", F.round("ewma", 6).alias("ewma"))
     )
+
+
+def cogroup_click_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-pandas escape hatch (``groupBy().cogroup().
+    applyInPandas``): per user, the MEDIAN lag from each purchase to
+    its most recent prior click — two keyed relations arriving as
+    separate pandas frames per key, the API for per-entity logic that
+    needs both sides materialized (backtesting, trajectory alignment).
+
+    The pandas body is a sort + ``searchsorted`` (vectorized); lags are
+    integer µs and the median of integers is exact in float64, so the
+    DuckDB oracle (as-of join + ``quantile_cont``) hash-matches.
+    Plan: ONE shuffle per side on user_id, Arrow batches per cogroup —
+    never a row-at-a-time boundary.
+    """
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us"
+    )
+
+    def _lag(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(r) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "n_matched", "med_lag_us"]
+            )
+        uid = int(r["user_id"].iloc[0]) if len(r) else int(l["user_id"].iloc[0])
+        c = np.sort(l["ts_us"].to_numpy()) if len(l) else np.array([], dtype="int64")
+        p = r["ts_us"].to_numpy()
+        idx = np.searchsorted(c, p, side="right") - 1
+        ok = idx >= 0
+        lags = p[ok] - c[idx[ok]]
+        med = float(np.median(lags)) if len(lags) else None
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [len(p)],
+                "n_matched": [int(ok.sum())],
+                "med_lag_us": [med],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            _lag,
+            "user_id long, n_purchases long, n_matched long, med_lag_us double",
+        )
+    )

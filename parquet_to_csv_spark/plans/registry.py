@@ -1784,3 +1784,26 @@ WHERE s.s_suppkey IN (
   WHERE 2 * ps.ps_availqty > sh.qty
 )
 """
+
+# Cogrouped pandas: oracle = as-of join (max prior click per purchase)
+# + quantile_cont median over integer-µs lags.
+QUERIES["cogroup_click_purchase_lag"] = pandas_ops.cogroup_click_purchase_lag
+ORACLES["cogroup_click_purchase_lag"] = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+), lagged AS (
+  SELECT p.user_id, p.ts_us,
+         p.ts_us - (
+           SELECT max(c.ts_us) FROM c
+           WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us
+         ) AS lag_us
+  FROM p
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       count(lag_us) AS n_matched,
+       quantile_cont(lag_us, 0.5) AS med_lag_us
+FROM lagged GROUP BY user_id
+"""
