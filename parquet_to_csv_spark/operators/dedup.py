@@ -496,3 +496,35 @@ def containment_pairs_quotes(
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def neardup_triangles(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Triangle count per vertex over the exact-verified near-dup graph
+    — the local-clustering signal that separates a dense duplicate
+    cluster from a chain of borderline pairs.
+
+    Distributed shape (node-iterator join): edges are kept oriented
+    (a < b); e1(a,b) ⋈ e2(b,c) forms each open wedge once (a<b<c), and
+    one more hash join against the edge set closes it — every triangle
+    found exactly once, cost O(Σ wedge counts), never all-pairs. The
+    per-vertex count unions the three corner roles."""
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).persist()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    tri = wedges.join(
+        edges.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    ).select("a", "b", "c")
+    per_vertex = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_vertex

@@ -287,3 +287,54 @@ def distribution_drift(
             ).alias("kl_nats"),
         )
     )
+
+
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (the DAU/WAU curve). COUNT(DISTINCT)
+    over a sliding window has no direct window form — and the naive
+    per-day re-scan is 7× the work — so the scalable rewrite is:
+
+    1. collapse to the (day, user) grain ONCE (one distinct — the only
+       pass over the fact table);
+    2. band-join the tiny day-grain relation to a generated day axis
+       (each (day, user) row serves every window day it falls in — ≤7
+       rows each, array-local explode);
+    3. one distinct count per window day over day-grain rows.
+
+    At 100 TB step 1's output is |days|×|active users| — orders of
+    magnitude smaller than events — and everything after never touches
+    the fact table again.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 86400000000000").alias("day"), "user_id"
+    )
+    day_user = ev.distinct()
+    served = day_user.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_day"),
+    )
+    days = ev.select(F.col("day").alias("win_day")).distinct()
+    return (
+        served.join(days, "win_day")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts per user journey (the
+    Markov matrix of product analytics): one shuffle on user_id, one
+    per-user sort shared by the single `lead` window, then a tiny
+    grouped count with map-side partials."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -1807,3 +1807,54 @@ SELECT user_id,
        quantile_cont(lag_us, 0.5) AS med_lag_us
 FROM lagged GROUP BY user_id
 """
+
+QUERIES["rolling_distinct_users"] = timeops.rolling_distinct_users
+ORACLES["rolling_distinct_users"] = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day AS win_day FROM du
+)
+SELECT d.win_day, count(DISTINCT du.user_id) AS wau
+FROM days d JOIN du ON du.day BETWEEN d.win_day - 6 AND d.win_day
+GROUP BY d.win_day
+"""
+
+QUERIES["event_transition_matrix"] = timeops.event_transition_matrix
+ORACLES["event_transition_matrix"] = """
+WITH t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM t WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+# Triangles over the exact near-dup graph (edge relation = the
+# ngram_jaccard oracle at t=0.8, oriented a<b).
+QUERIES["neardup_triangles"] = dedup.neardup_triangles
+ORACLES["neardup_triangles"] = f"""
+WITH tt AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM tt a JOIN tt b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT doc_id, count(*) AS n_triangles FROM (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b AS doc_id FROM tri
+  UNION ALL SELECT c AS doc_id FROM tri
+) GROUP BY doc_id
+"""
