@@ -528,3 +528,60 @@ def neardup_triangles(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_vertex
+
+
+def editdist_neardup_pairs(
+    spark: SparkSession, sf_dir: str, pfx_len: int = 24
+) -> DataFrame:
+    """Edit-distance (Levenshtein ≤ 1) near-dup pairs on a fixed-length
+    document prefix via DELETION signatures (the SymSpell construction):
+    every string registers itself plus each single-character deletion;
+    two strings within distance 1 MUST share a signature (equal /
+    deletion / insertion directly, substitution through the common
+    double-deletion), so an equi-join on signatures finds a candidate
+    superset and one exact ``levenshtein`` verify pass closes it.
+
+    Scale shape: the index is a ×(pfx_len+1) row expansion joined on
+    the signature hash — O(n·L) like every inverted index here, never
+    all-pairs; candidates carry only true signature collisions. The
+    distance-2 extension (double deletions, ×L²/2) is the same plan
+    with a bigger constant — the standard SymSpell trade.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select("doc_id", F.expr(f"left(text, {pfx_len})").alias("pfx"))
+    sigs = p.select(
+        "doc_id",
+        "pfx",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("pfx")),
+                    F.expr(
+                        "transform(sequence(1, length(pfx)), "
+                        "i -> concat(substring(pfx, 1, i-1), substring(pfx, i+1, 1000)))"
+                    ),
+                )
+            )
+        ).alias("sig"),
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pfx").alias("pfx_a"),
+            F.col("b.pfx").alias("pfx_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("pfx_a"), F.col("pfx_b"))
+    return (
+        cand.select("doc_a", "doc_b", dist.alias("dist"))
+        .filter(F.col("dist") <= 1)
+    )

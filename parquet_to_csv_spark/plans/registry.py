@@ -1858,3 +1858,50 @@ SELECT doc_id, count(*) AS n_triangles FROM (
   UNION ALL SELECT c AS doc_id FROM tri
 ) GROUP BY doc_id
 """
+
+# Edit-distance near-dup: oracle is the exhaustive Levenshtein pair
+# relation — the deletion-signature join must find exactly that set.
+QUERIES["editdist_neardup_pairs"] = dedup.editdist_neardup_pairs
+ORACLES["editdist_neardup_pairs"] = """
+WITH p AS (
+  SELECT doc_id, left(text, 24) AS pfx FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.pfx, b.pfx) AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 1
+"""
+
+# Z-order key: pure integer shifts/masks, replayed verbatim.
+from parquet_to_csv_spark.sources import layout as _layout  # noqa: E402
+
+
+def _zorder_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 4096).cast("int").alias("x"),
+        F.expr("ts div 86400000000000 - 19723").cast("int").alias("y"),
+    )
+    return ev.select(
+        "event_id", "x", "y", _layout.morton_key(F.col("x"), F.col("y")).alias("zkey")
+    )
+
+
+QUERIES["zorder_key"] = _zorder_key_query
+_Z_TERMS = " + ".join(
+    f"((x & {1 << i}) * {1 << i}) + ((y & {1 << i}) * {1 << (i + 1)})"
+    for i in range(12)
+)
+ORACLES["zorder_key"] = f"""
+WITH ev AS (
+  SELECT event_id,
+         CAST(user_id % 4096 AS INTEGER) AS x,
+         CAST(epoch_us(ts) // 86400000000 - 19723 AS INTEGER) AS y
+  FROM events
+)
+SELECT event_id, x, y, CAST({_Z_TERMS} AS BIGINT) AS zkey FROM ev
+"""

@@ -181,3 +181,31 @@ def write_sorted_export(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def morton_key(x, y, bits: int = 12):
+    """Z-order (Morton) interleave of two non-negative int columns —
+    the multi-dimensional clustering key (Delta OPTIMIZE ZORDER's core)
+    on stock Spark: sorting by the interleaved key bounds BOTH
+    dimensions within any contiguous key range, so per-file min/max
+    stats prune on either predicate column, where a single-column sort
+    clusters one dimension and shatters the other.
+
+    Pure integer shifts/masks (identical in any engine): bit i of x →
+    key bit 2i, bit i of y → key bit 2i+1.
+
+    Scale both dims to comparable bit widths first (e.g. multiply the
+    narrower one up): with unequal widths the key's top bits all come
+    from the wider dim and sorting degenerates to a single-column
+    cluster — the standard z-order normalization requirement.
+    """
+    from pyspark.sql import functions as F
+
+    k = F.lit(0).cast("long")
+    for i in range(bits):
+        k = (
+            k
+            + ((x.bitwiseAND(F.lit(1 << i))).cast("long") * F.lit(1 << i))
+            + ((y.bitwiseAND(F.lit(1 << i))).cast("long") * F.lit(1 << (i + 1)))
+        )
+    return k

@@ -94,3 +94,48 @@ def test_skipped_read_empty_range(spark, sf_dir, tmp_path):
     manifest = layout.minmax_manifest(spark, src, "event_id")
     none = layout.skipped_read(spark, src, manifest, "event_id", -10_000, -9_999)
     assert none.count() == 0
+
+
+def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
+    """Sorting by the Morton key bounds BOTH dims per file: a day
+    predicate prunes z-ordered files while a user-sorted layout keeps
+    every file (day is uncorrelated with user, so each user-sorted
+    file spans all days)."""
+    from parquet_to_csv_spark.sources import layout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 4096).cast("int").alias("x"),
+        F.expr("ts div 86400000000000 - 19723").cast("int").alias("y"),
+    )
+    # scale BOTH dims to ~8 bits first (x: 15 users → ×16, y: 30 days →
+    # ×8): with unequal bit widths the key's top bits all come from the
+    # wider dim and the split degenerates to a single-column sort (the
+    # standard z-order normalization requirement)
+    zed = ev.withColumn(
+        "zkey",
+        layout.morton_key((F.col("x") * 16).cast("int"), (F.col("y") * 8).cast("int")),
+    )
+    z_path = str(tmp_path / "byz")
+    u_path = str(tmp_path / "byuser")
+    layout.write_sorted_export(zed, z_path, 8, "zkey")
+    layout.write_sorted_export(zed, u_path, 8, "x")
+
+    def kept(path, col, lo, hi):
+        man = layout.minmax_manifest(spark, path, col)
+        return man.filter(
+            (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
+        ).count(), man.count()
+
+    day = 10
+    # note: manifest pruning is on the RAW y column; the scaling only
+    # shapes the sort key
+    z_kept, z_total = kept(z_path, "y", day, day)
+    u_kept, u_total = kept(u_path, "y", day, day)
+    assert z_total == 8 and u_total == 8
+    assert u_kept == 8  # user sort shatters the day dimension
+    assert z_kept < 8  # z-order bounds it
+    # and the z layout still prunes on user too (probe a quarter of the
+    # 15-user domain)
+    zx_kept, _ = kept(z_path, "x", 0, 3)
+    assert zx_kept < 8
