@@ -689,3 +689,47 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 4).alias("t_stat"),
         F.round(nu, 2).alias("welch_df"),
     )
+
+
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint per table — the
+    data-versioning primitive: two copies of a table (different
+    partitioning, different engines, different file layout) agree on
+    the fingerprint iff they hold the same multiset of rows... up to
+    XOR's duplicate-pair blindness, so the row count rides along to
+    close the obvious hole.
+
+    Per row: a 60-bit sha256-derived hash of the canonical row string
+    (the shared cross-engine hash, ``dedup._h60``); per table:
+    ``bit_xor`` — associative, commutative, overflow-free — so the
+    aggregate is identical under ANY partitioning, with no rounding
+    contract needed at all.
+    """
+    from parquet_to_csv_spark.operators.dedup import _h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    d = docs.select(
+        F.lit("documents").alias("table_name"),
+        _h60(F.concat_ws("|", F.col("doc_id"), F.col("lang"), F.col("text"))).alias("h"),
+    )
+    e = ev.select(
+        F.lit("events").alias("table_name"),
+        _h60(
+            F.concat_ws(
+                "|",
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.round("value", 2),
+            )
+        ).alias("h"),
+    )
+    return (
+        d.unionByName(e)
+        .groupBy("table_name")
+        .agg(
+            F.expr("bit_xor(h)").alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -506,3 +506,61 @@ def kmeans_iterations(
         )
         .select("vec_id", "cell", F.round(F.col("_m.d"), 6).alias("sq_dist"))
     )
+
+
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification + confusion matrix — the
+    eval-loop pass of an embedding pipeline (does the label structure
+    separate in embedding space?).
+
+    Train = vectors with vec_id % 5 != 0 (deterministic holdout);
+    per-label centroids via the DECIMAL-exact element-sum (E30), then
+    every holdout vector is assigned argmin squared distance over the
+    broadcast centroids (``min_by``, map-side partial agg) and the
+    confusion matrix is one tiny grouped count. One training pass, one
+    scoring pass, zero windows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = (
+        train.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label", "pos", (F.col("s").cast("double") / F.col("n")).alias("cval")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+                lambda st: st["cval"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("pred_label"), "c")
+    )
+    scored = (
+        test.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "pred_label",
+            _sqdist(F.col("v"), F.col("c")).alias("d"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min_by("pred_label", F.struct(F.col("d"), F.col("pred_label"))).alias(
+                "predicted"
+            )
+        )
+    )
+    return scored.groupBy(
+        F.col("label").alias("true_label"), F.col("predicted")
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))

@@ -1905,3 +1905,57 @@ WITH ev AS (
 )
 SELECT event_id, x, y, CAST({_Z_TERMS} AS BIGINT) AS zkey FROM ev
 """
+
+# Nearest-centroid eval: centroids, argmin and the confusion counts
+# replayed step for step (same determinism basis as kmeans_assign).
+QUERIES["nearest_centroid_confusion"] = _sim.nearest_centroid_confusion
+ORACLES["nearest_centroid_confusion"] = f"""
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+   test AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
+   upd AS (
+  SELECT label, t.pos,
+         CAST(sum(CAST(v[t.pos + 1] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS cval
+  FROM train, unnest(range(0, len(v))) AS t(pos)
+  GROUP BY label, t.pos
+), cents AS (
+  SELECT label AS pred_label, list(cval ORDER BY pos) AS c FROM upd GROUP BY label
+), d AS (
+  SELECT e.vec_id, e.label, c.pred_label,
+         {_KM_SQD.format(v='e.v', c='c.c')} AS d
+  FROM test e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, label, pred_label FROM (
+    SELECT vec_id, label, pred_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, pred_label) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT label AS true_label, pred_label AS predicted, count(*) AS n_vecs
+FROM assigned GROUP BY label, pred_label
+"""
+
+# Table fingerprints: shared 60-bit sha256 row hash + bit_xor — no
+# float surface, no ordering contract; DuckDB builds the identical
+# canonical row strings.
+QUERIES["table_fingerprints"] = relational.table_fingerprints
+ORACLES["table_fingerprints"] = """
+WITH d AS (
+  SELECT 'documents' AS table_name,
+         CAST(concat('0x', substr(sha256(
+           concat_ws('|', CAST(doc_id AS VARCHAR), lang, text)
+         ), 1, 15)) AS BIGINT) AS h
+  FROM documents
+), e AS (
+  SELECT 'events' AS table_name,
+         CAST(concat('0x', substr(sha256(
+           concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                     event_type, CAST(round(value, 2) AS VARCHAR))
+         ), 1, 15)) AS BIGINT) AS h
+  FROM events
+)
+SELECT table_name, bit_xor(h) AS fingerprint, count(*) AS n_rows
+FROM (SELECT * FROM d UNION ALL SELECT * FROM e) GROUP BY table_name
+"""

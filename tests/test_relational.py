@@ -65,3 +65,30 @@ def test_robust_outliers_threshold_semantics(spark, sf_dir):
         # flagged rows sit strictly outside the 3-robust-z band
         assert abs(r["value"] - r["med"]) > 3 * 1.4826 * r["mad"] - 1e-6
         assert abs(r["robust_z"]) >= 2.999
+
+
+def test_table_fingerprint_partition_invariant(spark, sf_dir):
+    """The XOR fingerprint is identical under any repartitioning, and
+    flips when a single row changes."""
+    from parquet_to_csv_spark.operators.dedup import _h60
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.round("value", 2).alias("value")
+    )
+
+    def fp(df):
+        return df.select(
+            _h60(F.concat_ws("|", F.col("event_id"), F.col("value"))).alias("h")
+        ).agg(F.expr("bit_xor(h)")).collect()[0][0]
+
+    base = fp(ev)
+    assert fp(ev.repartition(17)) == base
+    assert fp(ev.coalesce(1)) == base
+    tweaked = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") == 42, F.round(F.col("value") + 0.01, 2)).otherwise(
+            F.col("value")
+        ),
+    )
+    assert fp(tweaked) != base
