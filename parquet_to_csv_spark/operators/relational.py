@@ -604,6 +604,12 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
+    return robust_outliers_df(ev)
+
+
+def robust_outliers_df(ev: DataFrame) -> DataFrame:
+    """Core of :func:`robust_outliers` over any
+    (event_id, event_type, value) relation."""
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
@@ -614,7 +620,14 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ev.join(F.broadcast(med), "event_type").join(
         F.broadcast(mad), "event_type"
     )
-    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    # zero-MAD guard: a constant group (mad = 0) would DIVIDE_BY_ZERO
+    # under ANSI mode — there any deviation is an outlier (the filter
+    # below already says so with no division) and the z-score is
+    # undefined → NULL
+    rz = F.when(
+        F.col("mad") > 0,
+        (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
+    )
     return (
         scored.filter(F.abs(F.col("value") - F.col("med")) > F.lit(3 * 1.4826) * F.col("mad"))
         .select(

@@ -1450,7 +1450,8 @@ WITH med AS (
 )
 SELECT e.event_id, e.event_type, e.value,
        round(m.med, 4) AS med, round(d.mad, 4) AS mad,
-       round((e.value - m.med) / (1.4826 * d.mad), 4) AS robust_z
+       CASE WHEN d.mad > 0
+            THEN round((e.value - m.med) / (1.4826 * d.mad), 4) END AS robust_z
 FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
 WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad
 """

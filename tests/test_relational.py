@@ -92,3 +92,17 @@ def test_table_fingerprint_partition_invariant(spark, sf_dir):
         ),
     )
     assert fp(tweaked) != base
+
+
+def test_robust_outliers_zero_mad_group(spark):
+    """A constant-valued group must not crash (ANSI DIVIDE_BY_ZERO):
+    deviants are still flagged, with NULL robust_z."""
+    from parquet_to_csv_spark.operators.relational import robust_outliers_df
+
+    df = spark.createDataFrame(
+        [(i, "flat", 5.0) for i in range(20)] + [(99, "flat", 9.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = robust_outliers_df(df).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["robust_z"] is None
