@@ -680,18 +680,27 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def var(n, sc, sc2):
         nn = F.col(n).cast("double")
-        return (
+        # n = 1 → no variance estimate (and an ANSI divide-by-zero if
+        # computed) — NULL propagates through se into the t/df guards
+        return F.when(
+            nn > 1,
             (nn * F.col(sc2).cast("double") - F.col(sc).cast("double") * F.col(sc).cast("double"))
             / (nn * (nn - F.lit(1.0)))
-            / F.lit(10000.0)
+            / F.lit(10000.0),
         )
 
     va_n = var("n_a", "sc_a", "sc2_a") / F.col("n_a")
     vb_n = var("n_b", "sc_b", "sc2_b") / F.col("n_b")
     se = F.sqrt(va_n + vb_n)
-    t = (mean("sc_a", "n_a") - mean("sc_b", "n_b")) / se
-    nu = (va_n + vb_n) * (va_n + vb_n) / (
-        va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1)
+    # degenerate-arm guards (ANSI divide-by-zero): an arm of size 1 has
+    # no variance estimate, two constant arms have se = 0 — t and the
+    # Welch df are undefined there (NULL), never a crash
+    defined = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    t = F.when(defined & (se > 0), (mean("sc_a", "n_a") - mean("sc_b", "n_b")) / se)
+    nu = F.when(
+        defined & (se > 0),
+        (va_n + vb_n) * (va_n + vb_n)
+        / (va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1)),
     )
     return a.join(b, "event_type").select(
         "event_type",

@@ -1650,9 +1650,11 @@ WITH ev AS (
 SELECT event_type, n_a, n_b,
        round(mean_a, 4) AS mean_a,
        round(mean_b, 4) AS mean_b,
-       round((mean_a - mean_b) / sqrt(va_n + vb_n), 4) AS t_stat,
-       round((va_n + vb_n) * (va_n + vb_n)
-             / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)), 2) AS welch_df
+       CASE WHEN n_a > 1 AND n_b > 1 AND sqrt(va_n + vb_n) > 0
+            THEN round((mean_a - mean_b) / sqrt(va_n + vb_n), 4) END AS t_stat,
+       CASE WHEN n_a > 1 AND n_b > 1 AND sqrt(va_n + vb_n) > 0
+            THEN round((va_n + vb_n) * (va_n + vb_n)
+                 / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)), 2) END AS welch_df
 FROM s
 """
 

