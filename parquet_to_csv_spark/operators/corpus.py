@@ -309,3 +309,34 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
         )
     )
+
+
+def weighted_sample(
+    spark: SparkSession, sf_dir: str, scale_tokens: int = 40
+) -> DataFrame:
+    """Deterministic weighted (importance) sampling: a document's keep
+    probability is proportional to its token count (longer docs carry
+    more training signal) — implemented as the md5-bucket filter with a
+    per-row integer threshold, so the decision is pure integer math:
+    reproducible across engines, partitionings and runs, and
+    monotonic in the weight (raising a doc's weight can only ADD it).
+
+    ``bucket(doc_id, 10000) < min(n_tokens · scale, 10000)`` keeps a
+    ~n_tokens·scale/10000 fraction at each weight level — the
+    Bernoulli form of importance sampling (fixed-k variants need
+    order-statistic keys; the Bernoulli form is the one that stays
+    integer-exact).
+    """
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col("text"))
+    cut = F.least(n_tokens * scale_tokens, F.lit(10000))
+    b = md5_bucket(F.col("doc_id"), 10000)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        b.cast("long").alias("sample_bucket"),
+        cut.cast("long").alias("keep_cut"),
+    ).filter(F.col("sample_bucket") < F.col("keep_cut"))

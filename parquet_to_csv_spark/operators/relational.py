@@ -755,3 +755,26 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile bucketing of order values (`ntile`) — the
+    feature-engineering pass that turns a skewed monetary column into
+    a uniform categorical. Deterministic: the window orders on the
+    (unique) total order of (o_totalprice, o_orderkey), so tile
+    boundaries cannot flip between engines; one global-sort window is
+    the honest cost (at 100 TB: `repartitionByRange` + per-range local
+    ntile over known quantile boundaries is the same result cheaper).
+    Output aggregates per decile so the gate stays small."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    tiled = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -1962,3 +1962,28 @@ WITH d AS (
 SELECT table_name, bit_xor(h) AS fingerprint, count(*) AS n_rows
 FROM (SELECT * FROM d UNION ALL SELECT * FROM e) GROUP BY table_name
 """
+
+QUERIES["weighted_sample"] = corpus.weighted_sample
+ORACLES["weighted_sample"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         CAST({corpus.duck_md5_bucket("doc_id", 10000)} AS BIGINT) AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, sample_bucket,
+       least(n_tokens * 40, 10000) AS keep_cut
+FROM d WHERE sample_bucket < least(n_tokens * 40, 10000)
+"""
+
+QUERIES["order_value_deciles"] = relational.order_value_deciles
+ORACLES["order_value_deciles"] = """
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM t GROUP BY decile
+"""
