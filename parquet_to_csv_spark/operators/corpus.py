@@ -340,3 +340,56 @@ def weighted_sample(
         b.cast("long").alias("sample_bucket"),
         cut.cast("long").alias("keep_cut"),
     ).filter(F.col("sample_bucket") < F.col("keep_cut"))
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the end-to-end curation flow a training
+    corpus actually runs, as ONE lazy plan:
+
+      quality filter (≥5 tokens, unique-ratio ≥ 0.3)
+      → exact dedup (sha-256, keep min doc_id)
+      → deterministic 50% sample (md5 bucket)
+      → sliding-window chunking (64 tokens, 16 overlap)
+      → per-lang chunk/token accounting.
+
+    Each stage is the registry operator's expression (same SQL twins),
+    so the gate checks the COMPOSITION: stage order, dedup-before-
+    sample semantics (a duplicate's survivor is sampled by the
+    survivor's id, not the duplicate's), and the chunk arithmetic all
+    have to agree at once. One scan, two narrow shuffles (dedup
+    groupBy, final groupBy) — the chunking explode stays pipelined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    )
+    quality = docs.filter((n_tokens >= 5) & (uniq_ratio >= 0.3))
+    survivors = (
+        quality.select(F.sha2(F.col("text"), 256).alias("h"), "doc_id", "lang", "text")
+        .groupBy("h")
+        # min(struct) keeps the min-doc_id row's fields ATOMICALLY —
+        # first() would be nondeterministic when equal texts carry
+        # different lang tags
+        .agg(F.min(F.struct("doc_id", "lang", "text")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.lang").alias("lang"), F.col("s.text").alias("text"))
+    )
+    sampled = survivors.filter(md5_bucket(F.col("doc_id"), 100) < 50)
+    chunk_size, overlap = 64, 16
+    step = chunk_size - overlap
+    tok_col = tokens_col("text")
+    # 1-based starts, same convention as doc_chunks
+    starts = F.sequence(F.lit(1), F.greatest(F.size(tok_col), F.lit(1)), F.lit(step))
+    chunks = sampled.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(starts, lambda s: F.slice(tok_col, s, F.lit(chunk_size)))
+        ).alias("chunk_toks"),
+    ).filter(F.size("chunk_toks") > 0)
+    return chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.size("chunk_toks")).alias("n_tokens"),
+    )

@@ -177,3 +177,45 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest instead (DuckDB lacks BLOB slicing)."""
     payloads = attach_payloads(load_table(spark, sf_dir, "documents"))
     return frame_sample(payloads).select("doc_id", "frame_idx", "frame_off", "frame_len")
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_len", T.LongType()),
+        T.StructField("thumb_sha", T.StringType()),
+    ]
+)
+
+
+def resize_thumbnails(payloads: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize/downsample plumbing over ``mapInPandas`` — the image
+    resize stage with the decoder stubbed (no PIL here): the stand-in
+    "thumbnail" is a deterministic strided byte selection down to
+    ``target_bytes``, so the Spark-side contract (binary in → smaller
+    binary out, 1:1 rows, partitioning preserved, per-thumb digest) is
+    real and testable; a real implementation replaces ONE inner
+    function with decode→resize→encode."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                p = p or b""
+                if len(p) <= target_bytes:
+                    t = p
+                else:
+                    stride = len(p) / target_bytes
+                    t = bytes(p[int(i * stride)] for i in range(target_bytes))
+                thumbs.append(t)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_len": [len(t) for t in thumbs],
+                    "thumb_sha": [hashlib.sha256(t).hexdigest() for t in thumbs],
+                }
+            )
+
+    return payloads.mapInPandas(_resize, RESIZE_SCHEMA)

@@ -1987,3 +1987,35 @@ SELECT decile, count(*) AS n_orders,
        round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
 FROM t GROUP BY decile
 """
+
+# Capstone composition: quality filter → exact dedup (min-struct
+# survivor) → 50% deterministic sample → chunking → accounting, all
+# replayed stage for stage.
+QUERIES["corpus_curation_pipeline"] = corpus.corpus_curation_pipeline
+ORACLES["corpus_curation_pipeline"] = f"""
+WITH q AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+  WHERE len({_TOKS}) >= 5
+    AND len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE) >= 0.3
+), surv AS (
+  SELECT min(doc_id) AS doc_id,
+         arg_min(lang, doc_id) AS lang,
+         arg_min(text, doc_id) AS text
+  FROM q GROUP BY sha256(text)
+), samp AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM surv
+  WHERE {corpus.duck_md5_bucket("doc_id", 100)} < 50
+), ch AS (
+  SELECT doc_id, lang,
+         list_slice(toks, start, start + 63) AS chunk_toks
+  FROM (
+    SELECT doc_id, lang, toks,
+           unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+    FROM samp
+  )
+  WHERE len(list_slice(toks, start, start + 63)) > 0
+)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+       sum(len(chunk_toks)) AS n_tokens
+FROM ch GROUP BY lang
+"""

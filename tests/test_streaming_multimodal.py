@@ -229,3 +229,28 @@ def test_sorted_export_total_order(spark, sf_dir, tmp_path):
         if len(pdf):
             prev_max = pdf["event_id"].max()
     assert total == ev.count()
+
+
+def test_resize_thumbnails_deterministic(spark, sf_dir):
+    import hashlib
+
+    from parquet_to_csv_spark.operators.multimodal import (
+        attach_payloads,
+        resize_thumbnails,
+    )
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    texts = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    rows = resize_thumbnails(attach_payloads(docs)).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        p = texts[r["doc_id"]]
+        if len(p) <= 64:
+            expect = p
+        else:
+            stride = len(p) / 64
+            expect = bytes(p[int(i * stride)] for i in range(64))
+        assert bytes(r["thumb"]) == expect
+        assert r["thumb_len"] == len(expect) and r["thumb_len"] <= 64
+        assert r["thumb_sha"] == hashlib.sha256(expect).hexdigest()
