@@ -778,3 +778,71 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+def forget_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-propagation (right-to-be-forgotten) audit: purge a
+    deterministic user cohort (user_id % 97 == 0) from the events
+    table and emit the post-purge evidence — remaining row count,
+    remaining-cohort count (must be 0), and the XOR content
+    fingerprint (E71) of the surviving rows, which any replica can
+    recompute independently to prove it purged the SAME rows.
+
+    The purge itself is a scan predicate (no shuffle, no join — the
+    cohort is defined by the key); the audit rides on the same scan.
+    """
+    from parquet_to_csv_spark.operators.dedup import _h60
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    kept = ev.filter(F.col("user_id") % 97 != 0).withColumn(
+        "h",
+        _h60(
+            F.concat_ws(
+                "|",
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+            )
+        ),
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("user_id") % 97 == 0, 1)).alias("n_cohort_left"),
+        F.expr("bit_xor(h)").alias("fingerprint"),
+    )
+
+
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Market-basket co-occurrence: the top-k part pairs that appear in
+    the same order — the support counts of recommendation / frequent-
+    itemset mining.
+
+    Self-join on orderkey with ``a < b`` orientation: fan-out is
+    quadratic in LINES PER ORDER (a small bounded constant, ~7 max in
+    TPC-H-shaped data), never in table size; the pair counts get
+    map-side partial aggregation and the global top-k is
+    TakeOrderedAndProject. At 100 TB the same plan holds as long as
+    basket size stays bounded — the skew lever for a pathological
+    giant basket is the E23 salt or a per-order combination cap.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(k)
+    )

@@ -2019,3 +2019,35 @@ SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
        sum(len(chunk_toks)) AS n_tokens
 FROM ch GROUP BY lang
 """
+
+# Deletion-propagation audit + co-occurrence: both all-integer outputs.
+QUERIES["forget_users_audit"] = relational.forget_users_audit
+ORACLES["forget_users_audit"] = """
+WITH kept AS (
+  SELECT event_id, user_id, event_type, round(value, 2) AS value,
+         CAST(concat('0x', substr(sha256(
+           concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                     event_type, CAST(round(value, 2) AS VARCHAR))
+         ), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id % 97 <> 0
+)
+SELECT count(*) AS n_rows,
+       count(CASE WHEN user_id % 97 = 0 THEN 1 END) AS n_cohort_left,
+       bit_xor(h) AS fingerprint
+FROM kept
+"""
+
+QUERIES["part_cooccurrence_topk"] = relational.part_cooccurrence_topk
+ORACLES["part_cooccurrence_topk"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, n_orders FROM pairs
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
