@@ -2051,3 +2051,43 @@ SELECT part_a, part_b, n_orders FROM pairs
 ORDER BY n_orders DESC, part_a ASC, part_b ASC
 LIMIT 20
 """
+
+# Bloom sketch: md5-derived positions and bit_or words are identical in
+# both engines; the oracle replays build + probe and the defining
+# properties (FN = 0, fixed FP count) are part of the hashed output.
+from parquet_to_csv_spark.operators import sketch as _sketch  # noqa: E402
+
+QUERIES["bloom_membership_stats"] = _sketch.bloom_membership_stats
+_B_POS = lambda expr: ", ".join(  # noqa: E731
+    _sketch.duck_md5_slice_bucket(expr, 1 + 4 * j, _sketch.M_BITS)
+    for j in range(_sketch.K_HASHES)
+)
+ORACLES["bloom_membership_stats"] = f"""
+WITH pos AS (
+  SELECT unnest([{_B_POS("c_custkey")}]) AS p FROM customer
+), bitmap AS (
+  SELECT p // 32 AS word_idx, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY p // 32
+), probes AS (
+  SELECT unnest(range(0, 3000)) AS k
+), ppos AS (
+  SELECT k, unnest([{_B_POS("k")}]) AS p FROM probes
+), checked AS (
+  SELECT ppos.k,
+         CASE WHEN coalesce(bitmap.bits, 0) & (1::BIGINT << CAST(ppos.p % 32 AS INTEGER)) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos LEFT JOIN bitmap ON ppos.p // 32 = bitmap.word_idx
+), agg AS (
+  SELECT k, (sum(hit) = 3) AS in_bloom FROM checked GROUP BY k
+), j AS (
+  SELECT agg.k, agg.in_bloom,
+         (c.c_custkey IS NOT NULL) AS in_exact
+  FROM agg LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON agg.k = c.c_custkey
+)
+SELECT count(CASE WHEN in_bloom AND in_exact THEN 1 END) AS n_tp,
+       count(CASE WHEN in_bloom AND NOT in_exact THEN 1 END) AS n_fp,
+       count(CASE WHEN NOT in_bloom AND in_exact THEN 1 END) AS n_fn,
+       count(CASE WHEN NOT in_bloom AND NOT in_exact THEN 1 END) AS n_tn
+FROM j
+"""

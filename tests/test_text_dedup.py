@@ -108,3 +108,16 @@ def test_connected_components_chain_and_islands(spark):
         r["v"]: r["cluster_id"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_bloom_guarantees(spark, sf_dir):
+    """Bloom defining properties on the fixture: zero false negatives,
+    some true positives, and a plausible (nonzero, small) FP count —
+    the gate hash pins the exact numbers, this pins the semantics."""
+    from parquet_to_csv_spark.operators.sketch import bloom_membership_stats
+
+    r = bloom_membership_stats(spark, sf_dir).collect()[0]
+    assert r["n_fn"] == 0
+    assert r["n_tp"] > 0
+    # at sf0.001's fill factor the expected FP count is ~0; only bound it
+    assert r["n_fp"] <= r["n_tn"] * 0.05
