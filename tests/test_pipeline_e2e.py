@@ -134,3 +134,20 @@ def test_checkpoint_rehydration_survives_input_loss(spark, sf_dir, tmp_path):
     parts2 = glob.glob(os.path.join(res2["csv"]["full"], "part-*.csv"))
     n2 = sum(max(0, sum(1 for _ in open(p)) - 1) for p in parts2)
     assert n1 == n2 and n1 > 0
+
+
+def test_cli_main_env_flags(spark, span_tree, tmp_path, monkeypatch):
+    """`python -m parquet_to_csv_spark` surface: argv parsing + S11 env
+    flags drive the same convert() pipeline (in-process — get_spark
+    reuses the active session)."""
+    from parquet_to_csv_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    monkeypatch.setenv("WRITE_CSV", "1")
+    monkeypatch.delenv("WRITE_SQLITE", raising=False)
+    assert main(["--input", span_tree, "--output", out]) == 0
+    parts = glob.glob(os.path.join(out, "**", "part-*.csv"), recursive=True)
+    assert parts, "CLI run produced no CSV output"
+    with open(parts[0]) as f:
+        header = f.readline()
+    assert "duration_ms" in header
