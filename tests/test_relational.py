@@ -116,3 +116,26 @@ def test_welch_degenerate_arms_null_not_crash(spark, sf_dir):
 
     rows = ab_test_welch(spark, sf_dir).collect()
     assert len(rows) == 5 and all(r["t_stat"] is not None for r in rows)
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """The documented huge-group drop-in for exact percentiles
+    (approx_percentile, a mergeable sketch) honours its rank-error
+    bound regardless of partitioning — the property that makes it the
+    100 TB substitute at the same call sites."""
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    exact = sorted(r["o_totalprice"] for r in orders.select("o_totalprice").collect())
+    acc = 100  # rank error <= n/acc
+    for parts in (1, 13):
+        approx = (
+            orders.repartition(parts)
+            .agg(F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})"))
+            .collect()[0][0]
+        )
+        import bisect
+
+        rank = bisect.bisect_left(exact, approx)
+        assert abs(rank - n / 2) <= n / acc + 1, (parts, rank, n)
