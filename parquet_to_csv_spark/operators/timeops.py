@@ -338,3 +338,77 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def signup_churn_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn shape: signups with NO purchase by the same user within
+    the following 7 days — NOT EXISTS over a time range, decorrelated
+    into the banded-bucket equi-join (rangejoin.py's trick) + left-anti
+    instead of the quadratic inequality join the naive form plans.
+
+    Each signup probes its own and the next 7-day band; a purchase
+    within the window lives in exactly one of them. Integer-µs
+    arithmetic end to end.
+    """
+    band_us = 7 * 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"), "user_id",
+            F.col("ts_us").alias("s_ts"),
+        )
+        .withColumn(
+            "band",
+            F.explode(
+                F.array(
+                    F.expr(f"s_ts div {band_us}"), F.expr(f"s_ts div {band_us} + 1")
+                )
+            ),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        F.expr(f"ts_us div {band_us}").alias("band"),
+    )
+    converted = (
+        signups.join(purchases, ["user_id", "band"])
+        .filter(
+            (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.lit(band_us))
+        )
+        .select("signup_id")
+        .distinct()
+    )
+    return (
+        signups.select("signup_id", "user_id", "s_ts")
+        .distinct()
+        .join(converted, "signup_id", "left_anti")
+        .select("signup_id", "user_id", F.col("s_ts").alias("signup_ts_us"))
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-seen week
+    (cohort), counted as retained in each subsequent week they were
+    active — THE product-analytics query.
+
+    One pass to the (user, week) activity grain, a tiny per-user min
+    for the cohort, one broadcast-sized join back, one grouped count.
+    At 100 TB the day/week-grain collapse (as in rolling WAU) is again
+    what keeps everything after the first scan small.
+    """
+    week_us = 7 * 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"(ts div 1000) div {week_us}").alias("week")
+    )
+    user_weeks = ev.distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

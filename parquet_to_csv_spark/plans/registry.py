@@ -2091,3 +2091,34 @@ SELECT count(CASE WHEN in_bloom AND in_exact THEN 1 END) AS n_tp,
        count(CASE WHEN NOT in_bloom AND NOT in_exact THEN 1 END) AS n_tn
 FROM j
 """
+
+# Churn + retention: integer-µs / week arithmetic only.
+QUERIES["signup_churn_7d"] = timeops.signup_churn_7d
+ORACLES["signup_churn_7d"] = """
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, epoch_us(ts) AS s_ts
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT signup_id, user_id, s_ts AS signup_ts_us
+FROM s
+WHERE NOT EXISTS (
+  SELECT 1 FROM p
+  WHERE p.user_id = s.user_id
+    AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + 604800000000
+)
+"""
+
+QUERIES["retention_cohorts"] = timeops.retention_cohorts
+ORACLES["retention_cohorts"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+       count(DISTINCT uw.user_id) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY c.cohort_week, uw.week - c.cohort_week
+"""
