@@ -412,3 +412,50 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the usage-pattern rollup.
+
+    dow/hour come from pure integer µs arithmetic ((epoch days + 4) % 7
+    — 1970-01-01 was a Thursday — and hours mod 24) rather than the
+    engines' calendar functions, whose dow NUMBERING conventions
+    differ (Spark 1=Sunday, DuckDB 0=Sunday): integer math sidesteps
+    the whole convention class. One scan, one small exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("((ts div 86400000000000) + 4) % 7").alias("dow"),
+        F.expr("(ts div 3600000000000) % 24").alias("hour"),
+        "value",
+    )
+    return ev.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(exact_units(F.col("value"), 2)) / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+def shipping_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag percentiles per priority — the SLA report.
+
+    Lag is an exact integer day count (date-truncated timestamps), so
+    the percentile interpolation runs on integers — the cross-engine
+    percentile convention already proven by price_quantiles.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    lag = F.datediff(F.col("sd"), F.col("od"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr("round(percentile(lag_days, 0.5), 1)").alias("p50_days"),
+            F.expr("round(percentile(lag_days, 0.9), 1)").alias("p90_days"),
+            F.expr("round(percentile(lag_days, 0.99), 1)").alias("p99_days"),
+        )
+    )

@@ -2122,3 +2122,27 @@ SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
 FROM uw JOIN c USING (user_id)
 GROUP BY c.cohort_week, uw.week - c.cohort_week
 """
+
+# Heatmap + SLA: integer dow/hour arithmetic and integer-day lags.
+QUERIES["activity_heatmap"] = timeops.activity_heatmap
+ORACLES["activity_heatmap"] = f"""
+SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       count(*) AS n_events,
+       sum({duck_units("value", 2)}) / 100.0 AS sum_value
+FROM events GROUP BY dow, hour
+"""
+
+QUERIES["shipping_sla_percentiles"] = timeops.shipping_sla_percentiles
+ORACLES["shipping_sla_percentiles"] = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(quantile_cont(lag_days, 0.5), 1) AS p50_days,
+       round(quantile_cont(lag_days, 0.9), 1) AS p90_days,
+       round(quantile_cont(lag_days, 0.99), 1) AS p99_days
+FROM j GROUP BY o_orderpriority
+"""
