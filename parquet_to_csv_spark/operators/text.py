@@ -191,3 +191,84 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df_docs", "score", "rnk")
     )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = ("vector", "hash", "scan"),
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k document retrieval for a bounded query-term set —
+    the classic sparse-retrieval scorer of a training-data search /
+    contamination-triage stack (k1 = 1.2, b = 0.75).
+
+    Plan shape (one corpus scan, everything else dim-sized):
+
+    - tokens computed once per doc; the per-doc length and the
+      query-term occurrences both derive from that array, and the
+      explode is ARRAY-LOCAL-FILTERED first — only query-term hits
+      fan out, not the whole corpus vocabulary;
+    - corpus size / total length and per-term document frequency are
+      one-row / |terms|-row aggregates joined back as broadcasts;
+    - per-(doc, term) contributions are rounded to integer micro-units
+      and summed exactly (summation order cannot flip the hash; the
+      ≤1-ulp cross-engine ``ln`` difference is absorbed by the 1e-6
+      rounding, same contract as :func:`tfidf_top_terms`);
+    - final top-k via orderBy+limit → TakeOrderedAndProject, never a
+      global sort.
+
+    ``dl/avgdl`` is computed as ``dl · n_docs / sum_dl`` — integer
+    product first, ONE double division — so both engines evaluate the
+    identical float expression.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    stats = toks.select("doc_id", F.size("toks").alias("dl"), "toks")
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("long")).alias("sum_dl"),
+    )
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        stats.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: F.array_contains(term_lits, t))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+    )
+    norm = (
+        F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2
+            * (0.25 + 0.75 * (F.col("dl") * F.col("n_docs")) / F.col("sum_dl"))
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(idf * norm * 1e6).cast("long").alias("u"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            (F.sum("u") / F.lit(1e6)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

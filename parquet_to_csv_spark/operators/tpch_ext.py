@@ -8,11 +8,12 @@ lineitem`). The testdata schema lacks `partsupp`, `l_shipmode`,
 `l_commitdate`/`l_receiptdate`, `c_phone` and `p_container`; batch 3
 recovers Q2/Q9/Q11/Q20 by SYNTHESIZING partsupp deterministically from
 part (:func:`synth_partsupp` — both engines derive the identical
-relation, so the gate stays full-strength), while Q12/Q16 stay out of
-reach (no `l_shipmode`/`s_comment` to predicate on). Q19/Q21/Q22 are
+relation, so the gate stays full-strength). Q12/Q16/Q19/Q21/Q22 are
 shape-preserving adaptations (same join/subquery/decorrelation
-structure, predicates rewritten onto existing columns) — each
-docstring states the divergence.
+structure, predicates rewritten onto existing columns — Q12 lacks
+``l_shipmode``, Q16 lacks ``s_comment``) — each docstring states the
+divergence. With them the full 22-query TPC-H plan-shape suite is
+covered.
 
 Scale notes applied throughout:
 
@@ -507,4 +508,81 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .select("s_suppkey", "s_name")
+    )
+
+
+def q12_shipping_priority_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted): order-priority mix per shipment category.
+
+    Spec counts high/low-priority orders per ``l_shipmode`` for lines
+    received within a year whose commit date slipped
+    (``l_commitdate < l_receiptdate``). The testdata has none of those
+    three columns; the adaptation keeps the exact plan shape — a
+    lineitem scan whose every predicate pushes down (category IN-list +
+    ship-date year), one equi-join to orders purely to read the
+    priority, and a tiny conditional-count aggregate — with
+    ``l_returnflag IN ('R','A')`` standing in for the two ship modes
+    and the 1997 ship year for the receipt-year window.
+
+    All-integer outputs, so nothing to stabilize. One shuffle
+    (orderkey join; AQE may broadcast the filtered line side at small
+    SF) + one final small exchange.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isin("R", "A")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted): distinct supplier count per (brand, type,
+    size) for qualifying parts, excluding black-listed suppliers.
+
+    Spec excludes suppliers whose ``s_comment`` matches a complaints
+    pattern via NOT IN; no comment column here, so negative account
+    balance is the complaint surrogate — the structure (anti-join of
+    the partsupp relation against a filtered supplier set, then a
+    COUNT DISTINCT over three grouping columns) is identical. Part
+    predicates (brand <>, type NOT LIKE, size IN 8-list) all push into
+    the part scan.
+
+    partsupp is dim-sized here (4×|part|) so AQE broadcasts the joins;
+    at 100 TB partsupp is fact-sized and the plan degrades to one
+    partkey shuffle + one (brand,type,size) exchange — COUNT DISTINCT
+    runs as a two-phase partial-distinct aggregate, never a global
+    collect.
+    """
+    ps = synth_partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 34, 44)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complained = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(complained, ps.ps_suppkey == complained.s_suppkey, "left_anti")
+        .join(part, F.col("ps_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )

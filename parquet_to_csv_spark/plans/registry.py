@@ -1788,6 +1788,31 @@ WHERE s.s_suppkey IN (
 )
 """
 
+QUERIES["q12_shipping_priority_dist"] = tpch_ext.q12_shipping_priority_dist
+ORACLES["q12_shipping_priority_dist"] = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('R', 'A')
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+QUERIES["q16_supplier_part_count"] = tpch_ext.q16_supplier_part_count
+ORACLES["q16_supplier_part_count"] = _PS_CTE + """
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 34, 44)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
 # Cogrouped pandas: oracle = as-of join (max prior click per purchase)
 # + quantile_cont median over integer-µs lags.
 QUERIES["cogroup_click_purchase_lag"] = pandas_ops.cogroup_click_purchase_lag
@@ -2145,4 +2170,37 @@ SELECT o_orderpriority, count(*) AS n_lines,
        round(quantile_cont(lag_days, 0.9), 1) AS p90_days,
        round(quantile_cont(lag_days, 0.99), 1) AS p99_days
 FROM j GROUP BY o_orderpriority
+"""
+
+# BM25 sparse retrieval: contributions rounded to integer micro-units
+# then summed exactly; dl/avgdl as dl*n/sum_dl (one double division)
+# so both engines evaluate the identical float expression.
+QUERIES["bm25_topk"] = text.bm25_topk
+ORACLES["bm25_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, len(toks) AS dl, toks FROM toks
+), n AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM toks
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, dl,
+           unnest(list_filter(toks, t -> t IN ('vector', 'hash', 'scan'))) AS term
+    FROM stats
+  ) GROUP BY 1, 2, 3
+), df AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (n.n_docs - df.df_docs + 0.5) / (df.df_docs + 0.5))
+           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl * n.n_docs) / n.sum_dl)))
+           * 1000000.0) AS BIGINT) AS u
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, count(*) AS n_matched, sum(u) / 1000000.0 AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
 """

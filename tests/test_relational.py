@@ -139,3 +139,26 @@ def test_approx_percentile_error_bound(spark, sf_dir):
 
         rank = bisect.bisect_left(exact, approx)
         assert abs(rank - n / 2) <= n / acc + 1, (parts, rank, n)
+
+
+def test_q12_predicates_push_down(spark, sf_dir):
+    from parquet_to_csv_spark.operators import tpch_ext
+
+    plan = _physical(tpch_ext.q12_shipping_priority_dist(spark, sf_dir))
+    # category IN-list and the ship-date year window reach the scan
+    assert "In(l_returnflag" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # only the joined/grouped columns are read
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" not in read
+
+
+def test_q16_anti_join_and_partial_distinct(spark, sf_dir):
+    from parquet_to_csv_spark.operators import tpch_ext
+
+    df = tpch_ext.q16_supplier_part_count(spark, sf_dir)
+    plan = _physical(df)
+    # blacklist suppliers excluded via anti join, never NOT IN collect
+    assert "LeftAnti" in plan
+    # count(distinct) runs as a two-phase partial aggregate
+    assert plan.count("HashAggregate") >= 2

@@ -121,3 +121,24 @@ def test_bloom_guarantees(spark, sf_dir):
     assert r["n_tp"] > 0
     # at sf0.001's fill factor the expected FP count is ~0; only bound it
     assert r["n_fp"] <= r["n_tn"] * 0.05
+
+
+def test_bm25_topk_plan_and_semantics(spark, sf_dir):
+    from parquet_to_csv_spark.operators.text import bm25_topk
+
+    df = bm25_topk(spark, sf_dir, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # top-k never globally sorts
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    # scores descend; every returned doc matched at least one term
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["n_matched"] >= 1 for r in rows)
+    # a doc stuffed with one query term outranks one with a single hit:
+    # verified implicitly by scores ordering; here pin determinism
+    again = [r["doc_id"] for r in bm25_topk(spark, sf_dir, k=5).collect()]
+    assert again == [r["doc_id"] for r in rows]
