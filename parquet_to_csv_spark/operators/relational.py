@@ -846,3 +846,63 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(k)
     )
+
+
+# lineitem columns for the profiling pass: (name, kind). Timestamps
+# surface as epoch-µs (the registry-wide convention) so both engines
+# profile the identical value domain.
+_PROFILE_COLS = [
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of ``lineitem``: row/null
+    counts, exact distinct count, numeric min/max — the table-health
+    pass every ingest pipeline runs before training-data release.
+
+    Plan: ONE scan, unpivoted via ``stack`` into narrow
+    (col_name, sval, nval) rows, one col_name-keyed exchange with
+    two-phase partial aggregation — never |cols| separate scans, and
+    never an ``expand``-based multi-column COUNT DISTINCT (which
+    multiplies the UNSHUFFLED fact table by the distinct-agg count).
+    The 11× row fan-out is of 3-column rows, not full rows.
+
+    At 100 TB exact per-column distincts are still a shuffle of every
+    distinct (col, value) pair; the at-scale drop-in is
+    ``approx_count_distinct`` (single pass, mergeable HLL registers,
+    no per-value shuffle) once ±2% is acceptable — same plan
+    otherwise. Distinct counting runs on the canonical string form,
+    which is injective per engine, so counts agree even where the two
+    engines' string formatting differs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "num":
+            parts.append(f"'{name}', CAST({name} AS STRING), CAST({name} AS DOUBLE)")
+        elif kind == "str":
+            parts.append(f"'{name}', {name}, CAST(NULL AS DOUBLE)")
+        else:  # ts → epoch µs (NTZ→LTZ cast is identity under the UTC session tz)
+            us = f"unix_micros(CAST({name} AS TIMESTAMP))"
+            parts.append(f"'{name}', CAST({us} AS STRING), CAST({us} AS DOUBLE)")
+    stacked = li.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(parts)}) AS (col_name, sval, nval)"
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("sval")).alias("n_nulls"),
+        F.count_distinct("sval").alias("n_distinct"),
+        F.min("nval").alias("min_val"),
+        F.max("nval").alias("max_val"),
+    )

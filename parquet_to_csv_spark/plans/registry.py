@@ -2204,3 +2204,35 @@ FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
+
+# Stream-static join: stateless broadcast enrichment per micro-batch —
+# drained output equals the plain batch equi-join exactly.
+QUERIES["streaming_static_enrich_drain"] = _stream.static_enrich_drain_query
+ORACLES["streaming_static_enrich_drain"] = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, c_name, c_mktsegment, value
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+# Column profile: distinct counts run on the canonical string form
+# (injective per engine); numeric min/max on the raw double domain,
+# timestamps through the epoch-µs convention.
+QUERIES["column_profile"] = relational.column_profile
+ORACLES["column_profile"] = """
+WITH p AS (
+  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS sval, CAST(l_orderkey AS DOUBLE) AS nval FROM lineitem
+  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR), CAST(l_partkey AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR), CAST(l_suppkey AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR), CAST(l_linenumber AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR), CAST(l_quantity AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS VARCHAR), CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_discount', CAST(l_discount AS VARCHAR), CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_tax', CAST(l_tax AS VARCHAR), CAST(l_tax AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_returnflag', l_returnflag, CAST(NULL AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_linestatus', l_linestatus, CAST(NULL AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_shipdate', CAST(epoch_us(l_shipdate) AS VARCHAR), CAST(epoch_us(l_shipdate) AS DOUBLE) FROM lineitem
+)
+SELECT col_name, count(*) AS n_rows, count(*) - count(sval) AS n_nulls,
+       count(DISTINCT sval) AS n_distinct,
+       min(nval) AS min_val, max(nval) AS max_val
+FROM p GROUP BY col_name
+"""

@@ -299,3 +299,53 @@ def stream_to_parquet_idempotent(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_static_enrich(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each event enriched with its customer row.
+
+    The static side is a plain batch DataFrame — Spark re-evaluates it
+    per micro-batch (a dim refresh is picked up on the next trigger)
+    and plans it as a broadcast hash join, so the stream side never
+    shuffles and the join keeps NO state (unlike stream-stream): the
+    only scaling knob is the broadcast size of the dim.
+    """
+    d = F.broadcast(
+        dim.select(
+            F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment")
+        )
+    )
+    return (
+        with_event_time(stream)
+        .join(d, F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "event_id",
+            F.unix_micros("event_time").alias("ts_us"),
+            "user_id",
+            "c_name",
+            "c_mktsegment",
+            "value",
+        )
+    )
+
+
+def static_enrich_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join through the gate: events stream from the
+    staged dir, customer joins in as the static broadcast side; the
+    drained append-mode output must equal the batch equi-join the
+    DuckDB oracle computes (stateless join ⇒ exact batch parity)."""
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    stage = _stage_events_dir(spark, sf_dir)
+    name = "t_static_enrich_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        streaming_static_enrich(
+            read_event_stream(spark, stage),
+            load_table(spark, sf_dir, "customer"),
+        ),
+        name,
+        spark,
+        output_mode="append",
+    )

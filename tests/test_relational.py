@@ -162,3 +162,17 @@ def test_q16_anti_join_and_partial_distinct(spark, sf_dir):
     assert "LeftAnti" in plan
     # count(distinct) runs as a two-phase partial aggregate
     assert plan.count("HashAggregate") >= 2
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    df = relational.column_profile(spark, sf_dir)
+    plan = _physical(df)
+    # unpivot profiling reads the fact table exactly once (formatted
+    # explain prints each scan node twice: tree line + detail block)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    rows = {r["col_name"]: r for r in df.collect()}
+    assert len(rows) == 11
+    assert rows["l_returnflag"]["min_val"] is None  # string col: no numeric range
+    assert rows["l_discount"]["max_val"] <= 0.1
+    n = rows["l_orderkey"]["n_rows"]
+    assert all(r["n_rows"] == n for r in rows.values())

@@ -254,3 +254,21 @@ def test_resize_thumbnails_deterministic(spark, sf_dir):
         assert bytes(r["thumb"]) == expect
         assert r["thumb_len"] == len(expect) and r["thumb_len"] <= 64
         assert r["thumb_sha"] == hashlib.sha256(expect).hexdigest()
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir, event_dir):
+    drained = streaming.run_to_memory(
+        streaming.streaming_static_enrich(
+            streaming.read_event_stream(spark, event_dir),
+            load_table(spark, sf_dir, "customer"),
+        ),
+        "t_static_enrich_test",
+        spark,
+        output_mode="append",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    expected = ev.join(cust, ev.user_id == cust.c_custkey).count()
+    assert drained.count() == expected
+    # stateless: every drained row carries its dim attributes
+    assert drained.filter(F.col("c_mktsegment").isNull()).count() == 0
