@@ -22,7 +22,7 @@ Scale shapes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from parquet_to_csv_spark.functions.textfn import tokens_col
 from parquet_to_csv_spark.sources.tables import load_table
@@ -392,4 +392,76 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.size("chunk_toks")).alias("n_tokens"),
+    )
+
+
+def sequence_packing(
+    spark: SparkSession, sf_dir: str, ctx_len: int = 256, n_parts: int = 8
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the layout step LM training
+    actually uses: documents are concatenated in ``doc_id`` order and
+    cut into fixed ``ctx_len``-token training sequences, documents
+    spanning sequence boundaries. Per document this emits where its
+    tokens land: global token offset, owning sequence id, offset within
+    that sequence, and how many sequences it spans. All integers —
+    exactly reproducible across engines.
+
+    The hard part at scale is the global prefix sum over token counts.
+    A bare ``sum() over (order by doc_id)`` window moves the WHOLE
+    relation to one partition — the single-task bottleneck Spark warns
+    about. This uses the classic two-phase distributed scan instead:
+
+      1. range-partition the narrow (doc_id, n_tokens) relation by
+         doc_id (so partition p's ids all precede partition p+1's) and
+         stamp ``spark_partition_id()``;
+      2. local cumulative sums per partition (window PARTITIONED by
+         pid — parallel, one narrow exchange);
+      3. per-partition totals (tiny: one row per partition) → their
+         own prefix sum (P rows on one partition — trivially small) →
+         broadcast-joined back as each partition's base offset.
+
+    Both branches read the SAME range exchange (ReuseExchange dedups
+    the canonical subplan), so the pid stamped in step 1 is consistent
+    between the local-cumsum and totals branches by construction.
+    Empty documents are dropped first: they occupy no tokens, so they
+    cannot shift any offset. ``div``/``%`` on longs keep the bin
+    arithmetic exact (no double rounding) in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("ptotal"))
+        .withColumn("p_offset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)))
+        .select("pid", "p_offset")
+    )
+    packed = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum_before", F.col("p_offset") + F.col("local_before"))
+    )
+    c = F.lit(ctx_len).cast("long")
+    seq_id = F.expr(f"cum_before div {ctx_len}")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        seq_id.alias("seq_id"),
+        (F.col("cum_before") % c).alias("seq_offset"),
+        (
+            F.expr(f"(cum_before + n_tokens - 1) div {ctx_len}") - seq_id + F.lit(1)
+        ).alias("n_seqs"),
     )

@@ -2236,3 +2236,27 @@ SELECT col_name, count(*) AS n_rows, count(*) - count(sval) AS n_nulls,
        min(nval) AS min_val, max(nval) AS max_val
 FROM p GROUP BY col_name
 """
+
+# Sequence packing: concat-and-chunk context-window layout. The oracle
+# states the SPEC (one global ordered prefix sum); the engine computes
+# the same numbers with the two-phase distributed scan — identical
+# integers either way, which is exactly what the hash check pins.
+QUERIES["sequence_packing"] = corpus.sequence_packing
+ORACLES["sequence_packing"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), nz AS (
+  SELECT doc_id, n_tokens FROM t WHERE n_tokens > 0
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM nz
+)
+SELECT doc_id, n_tokens, cum_before,
+       cum_before // 256 AS seq_id,
+       cum_before % 256 AS seq_offset,
+       ((cum_before + n_tokens - 1) // 256) - (cum_before // 256) + 1 AS n_seqs
+FROM c
+"""

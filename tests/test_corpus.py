@@ -135,3 +135,38 @@ def test_jsonl_roundtrip_rowlevel(spark, sf_dir, tmp_path):
     orig = docs.select("doc_id", "lang", "source", "text")
     assert back.count() == orig.count()
     assert back.exceptAll(orig).count() == 0
+
+
+def test_sequence_packing_gapless_and_partition_independent(spark, sf_dir):
+    rows = sorted(
+        corpus.sequence_packing(spark, sf_dir, ctx_len=256, n_parts=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # gapless concatenation: each doc starts where the previous ended
+    cum = 0
+    for r in rows:
+        assert r["cum_before"] == cum
+        assert r["seq_id"] == cum // 256 and r["seq_offset"] == cum % 256
+        assert r["n_seqs"] == (cum + r["n_tokens"] - 1) // 256 - cum // 256 + 1
+        cum += r["n_tokens"]
+    # the layout is a property of the DATA, not the partitioning:
+    # a different scan-partition count must produce identical offsets
+    alt = sorted(
+        corpus.sequence_packing(spark, sf_dir, ctx_len=256, n_parts=3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in alt] == [tuple(r) for r in rows]
+
+
+def test_sequence_packing_reuses_range_exchange(spark, sf_dir):
+    df = corpus.sequence_packing(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    # one tokenization pass: the totals branch reads the range shuffle
+    # again instead of re-scanning + re-tokenizing the corpus
+    assert "ReusedExchange" in final
+    assert final.count("FileScan parquet") == 1
+    # and the big-side prefix sum is windowed per partition id — never
+    # an unpartitioned global window over the corpus relation
+    assert "windowspecdefinition(pid" in final
