@@ -93,3 +93,56 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _evict_idle_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold events into per-user state; emit ONLY when the key is
+    evicted by a processing-time timeout (the close-out record)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, sv_cents, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [sv_cents / 100.0],
+                "last_ts_us": [last],
+            }
+        )
+        return
+    n, sv_cents, last = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        sv_cents += int((pdf["value"] * 100).round().sum())
+        if len(pdf):
+            last = max(last, int(pdf["ts_us"].max()))
+    state.update((n, sv_cents, last))
+    # expire as soon as a later micro-batch runs without this key
+    state.setTimeoutDuration(1)
+
+
+def stateful_idle_eviction(stream: DataFrame) -> DataFrame:
+    """Idle-key eviction — the state-bounding pattern the module
+    docstring promises for unbounded keyspaces: every key carries a
+    ``ProcessingTimeTimeout``; a micro-batch that advances processing
+    time past an idle key's deadline triggers the ``hasTimedOut``
+    branch, which emits the key's close-out totals and ``remove()``s
+    its state. State size is therefore bounded by the set of keys seen
+    since the timeout horizon, not by lifetime key cardinality — the
+    difference between O(active users) and O(all users ever) at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        "user_id", "value", F.expr("ts div 1000").alias("ts_us")
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _evict_idle_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -272,3 +272,75 @@ def test_stream_static_enrich_matches_batch_join(spark, sf_dir, event_dir):
     assert drained.count() == expected
     # stateless: every drained row carries its dim attributes
     assert drained.filter(F.col("c_mktsegment").isNull()).count() == 0
+
+
+def test_stateful_idle_eviction_times_out_and_emits_totals(spark, sf_dir, tmp_path):
+    """ProcessingTimeTimeout eviction: stage events so each user's
+    rows land in exactly ONE micro-batch (user-bucketed files,
+    maxFilesPerTrigger=1) plus a trailing sentinel batch. Every real
+    user's state then times out in a later batch, so the operator must
+    emit each user exactly once, with totals equal to the batch
+    groupBy — and the sentinel (never idle before stream end) must not
+    be emitted at all."""
+    import shutil
+    from pathlib import Path
+
+    from parquet_to_csv_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tmp_path / "evict_stage"
+    stage.mkdir()
+    k = 3
+    for b in range(k):
+        part = tmp_path / f"bucket{b}"
+        ev.filter(F.pmod(F.col("user_id"), F.lit(k)) == b).coalesce(1).write.parquet(
+            str(part)
+        )
+        src = next(Path(part).glob("part-*.parquet"))
+        # zero-padded names keep listing order == write order
+        shutil.copy(src, stage / f"{b:02d}.parquet")
+    sentinel = spark.createDataFrame(
+        [(-(10**6), 0, -1, "noop", 0.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    sdir = tmp_path / "sentinel"
+    sentinel.coalesce(1).write.parquet(str(sdir))
+    shutil.copy(next(Path(sdir).glob("part-*.parquet")), stage / f"{k:02d}.parquet")
+
+    s = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    q = (
+        stateful.stateful_idle_eviction(s)
+        .writeStream.format("memory")
+        .queryName("t_evict")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts_us"])
+        for r in spark.table("t_evict").collect()
+    }
+    assert -1 not in got  # sentinel never evicted (stream ended first)
+    batch = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts_us"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+            F.max(F.expr("ts div 1000")).alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert got == batch
+    # exactly-once close-out: no duplicate emissions per user
+    assert spark.table("t_evict").count() == len(batch)
