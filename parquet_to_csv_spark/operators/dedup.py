@@ -585,3 +585,57 @@ def editdist_neardup_pairs(
         cand.select("doc_a", "doc_b", dist.alias("dist"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def neardup_pagerank(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, iters: int = 2
+) -> DataFrame:
+    """PageRank (2 Lloyd-style iterations) over the exact-verified
+    near-dup graph — ranks the 'hub' documents whose text overlaps the
+    most neighbors, the centrality signal a curation pipeline uses to
+    pick which member of a duplicate neighborhood to keep (vs the
+    min-id canonical of ``dup_clusters``).
+
+    Iterative DataFrame algebra, same discipline as
+    ``connected_components``/``kmeans_iterations``: per round one join
+    (ranks onto edges) + one groupBy (sum of contributions), lineage
+    truncated per round with ``localCheckpoint``; no driver action
+    inside the loop body. Rank mass is carried as exact integer
+    parts-per-billion — contribution = pr div degree, update =
+    0.15 + 0.85·incoming in ppb integer arithmetic — so any engine,
+    any partitioning, any iteration order produces identical longs,
+    and the DuckDB oracle replays both iterations as two CTE levels.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("v"), "deg"
+    )
+    pr = nodes.select("v", "deg", F.lit(1_000_000_000).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            pr.select(F.col("v").alias("src"), F.expr("pr div deg").alias("c"))
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.v == contrib.dst, "left")
+            .select(
+                nodes.v,
+                nodes.deg,
+                (
+                    F.lit(150_000_000)
+                    + F.expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(
+        F.col("v").alias("doc_id"), "deg", F.col("pr").alias("pr_ppb")
+    )

@@ -564,3 +564,170 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(
         F.col("label").alias("true_label"), F.col("predicted")
     ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    depth: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a sparse (BM25) and
+    a dense (cosine) ranked list per query — the standard two-tower
+    retrieval stack (Cormack et al. RRF), with documents doubling as
+    queries (query i = tokens of doc i on the sparse side, embedding i
+    on the dense side).
+
+    Scale shape: the sparse side reuses the (doc, term, tf) relation
+    (one corpus scan + one exchange, same as tf-idf) semi-joined to the
+    bounded broadcast query-term set; the dense side is the bounded
+    broadcast query block of ``cosine_topk``. Fusion ranks are
+    integers, and the RRF score is exact integer micro-units
+    (1e6 div (rrf_k + rank)) — no float anywhere in the fusion, so
+    ties and order are engine/partitioning-exact. Absent-from-one-list
+    ranks surface as 0 (never NULL) to keep the driver's value hash
+    type-stable.
+    """
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id", tokens_col("text").alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("long")).alias("sum_dl"),
+    )
+    qterms = (
+        stats.filter(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct("toks")).alias("term"),
+        )
+    )
+    tf = (
+        stats.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfq = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    df_ = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+    )
+    norm = (
+        F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") * F.col("n_docs")) / F.col("sum_dl")))
+    )
+    contrib = (
+        tfq.join(F.broadcast(df_), "term")
+        .join(F.broadcast(corpus))
+        .join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (F.round(idf * norm * 1e6)).cast("long").alias("u"),
+        )
+    )
+    s_score = contrib.groupBy("query_id", "doc_id").agg(F.sum("u").alias("s_score"))
+    ws = W.partitionBy("query_id").orderBy(F.desc("s_score"), F.asc("doc_id"))
+    sparse = (
+        s_score.withColumn("s_rnk", F.row_number().over(ws))
+        .filter(F.col("s_rnk") <= depth)
+        .select("query_id", "doc_id", "s_rnk")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_nrm"),
+    )
+    denom = F.col("q_nrm") * F.col("c_nrm")
+    sim = F.when(denom > F.lit(0.0), dot_product(F.col("q_emb"), F.col("c_emb")) / denom)
+    wd = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    dense = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", sim.alias("sim"))
+        .withColumn("d_rnk", F.row_number().over(wd))
+        .filter(F.col("d_rnk") <= depth)
+        .select("query_id", "doc_id", "d_rnk")
+    )
+
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("s_rnk", F.lit(0)).cast("int").alias("s_rnk"),
+        F.coalesce("d_rnk", F.lit(0)).cast("int").alias("d_rnk"),
+        (
+            F.coalesce(
+                F.expr(f"cast(1000000 as bigint) div ({rrf_k} + s_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"cast(1000000 as bigint) div ({rrf_k} + d_rnk)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_micro"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def negative_pairs(
+    spark: SparkSession, sf_dir: str, n_negatives: int = 4
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor vector, pick ``n_negatives`` pseudo-random
+    different-label vectors — WITHOUT randomness (reproducible across
+    engines, runs and partitionings) and WITHOUT a cartesian product.
+
+    Mechanism: candidates land in 256 md5 buckets once; each (anchor,
+    j) draw hashes to a target bucket and equi-joins it (≈ N/256
+    candidates), keeping the min candidate id with a different label.
+    One hash join + one partial-agg groupBy — shuffle ∝ N ·
+    n_negatives, never N². A draw whose bucket holds only same-label
+    candidates yields no row (deterministic; acceptable sparsity loss
+    at n/256 ≫ 1).
+    """
+    from parquet_to_csv_spark.operators.sketch import _md5_slice_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cand = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        _md5_slice_bucket(F.col("vec_id"), 5, 256).alias("bucket"),
+    )
+    draws = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_negatives))).alias("j"),
+    ).withColumn(
+        "bucket",
+        _md5_slice_bucket(F.col("anchor_id") * 8 + F.col("j"), 1, 256),
+    )
+    return (
+        draws.join(cand, "bucket")
+        .filter(
+            (F.col("neg_label") != F.col("anchor_label"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .groupBy("anchor_id", "anchor_label", "j")
+        .agg(
+            F.min("neg_id").alias("neg_id"),
+            F.min_by("neg_label", "neg_id").alias("neg_label"),
+        )
+    )

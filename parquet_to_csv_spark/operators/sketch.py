@@ -130,3 +130,149 @@ def bloom_membership_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("in_bloom") & F.col("in_exact"), 1)).alias("n_fn"),
         F.count(F.when(~F.col("in_bloom") & ~F.col("in_exact"), 1)).alias("n_tn"),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct sketch — mergeable cardinality registers as a groupBy
+# --------------------------------------------------------------------------
+
+# m = 2^8 registers. Spark's approx_count_distinct is the planner-internal
+# cousin (HLL++ under the hood); this is the *user-level* register relation
+# you persist per partition/day and merge later with a plain max-groupBy —
+# the mergeability is the whole point at 100 TB (sketch once per ingest
+# batch, union register tables, max per bucket, estimate — never rescan).
+HLL_M = 256
+
+
+def _nibble(col: Column) -> Column:
+    """Value 0-15 of one hex character."""
+    return F.call_function("instr", F.lit(_HEX), col) - 1
+
+
+def hll_registers(keys: DataFrame, key_col: str) -> DataFrame:
+    """(bucket, m) register relation, ≤ HLL_M rows.
+
+    bucket = first 8 bits of md5(key); rho = 1 + number of leading zero
+    bits of the following 60 bits (nibbles 3-17), derived purely from
+    string ops (ltrim of leading '0' nibbles + a CASE on the first
+    non-zero nibble) so both engines compute the identical integer —
+    no float log2 anywhere. Duplicate keys are free: max() absorbs
+    them, which is why HLL needs no pre-distinct pass.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = _nibble(F.substring(h, 1, 1)) * 16 + _nibble(F.substring(h, 2, 1))
+    t = F.expr(
+        "trim(LEADING '0' FROM substring(md5(cast({k} as string)), 3, 15))".format(
+            k=key_col
+        )
+    )
+    d = _nibble(F.substring(t, 1, 1))
+    rho = F.when(F.length(t) == 0, F.lit(61)).otherwise(
+        (F.lit(15) - F.length(t)) * 4
+        + F.when(d >= 8, 1).when(d >= 4, 2).when(d >= 2, 3).otherwise(4)
+    )
+    return (
+        keys.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: sketch ``events.user_id``, estimate cardinality, and
+    surface the exact distinct beside it (the error is part of the
+    hashed output, so the gate pins both the registers and the math).
+
+    The harmonic-mean denominator is summed as exact integers
+    (2^(61-rho) per register, DECIMAL(38,0) — powers of two, no float
+    until the single final division), so the estimate is identical
+    under any partitioning/engine. Small-range linear counting applies
+    below 2.5·m with empty registers present (the standard HLL
+    correction).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    regs = hll_registers(ev, "user_id")
+    acc = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr("cast(shiftleft(cast(1 as bigint), 61 - m) as decimal(38,0))")
+        ).alias("s_present"),
+    ).select(
+        (F.lit(HLL_M) - F.col("n_present")).alias("n_zero_registers"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")).cast("decimal(38,0)")
+            * F.lit(2305843009213693952).cast("decimal(38,0)")
+        ).cast("double").alias("s_total"),
+    )
+    raw = F.lit((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2305843009213693952.0) / F.col("s_total")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("n_zero_registers")),
+    ).otherwise(raw)
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return acc.crossJoin(exact).select(
+        "n_exact",
+        "n_zero_registers",
+        F.round(est, 2).alias("hll_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch — heavy-hitter frequency estimation as two groupBys
+# --------------------------------------------------------------------------
+
+# d = 3 hash rows × w = 1024 columns. Build shuffles ≤ d·w rows after
+# map-side combine regardless of corpus size; the sketch broadcasts to
+# probes. Guarantee under test: n_cms >= n_exact always (min of
+# overcounts), overshoot bounded by the collision mass.
+CMS_D = 3
+CMS_W = 1024
+
+
+def cms_build(items: DataFrame, item_col: str) -> DataFrame:
+    """(j, c, n) count matrix, ≤ CMS_D · CMS_W rows."""
+    pos = items.select(
+        F.posexplode(
+            F.array(*[
+                _md5_slice_bucket(F.col(item_col), 1 + 4 * j, CMS_W)
+                for j in range(CMS_D)
+            ])
+        ).alias("j", "c")
+    )
+    return pos.groupBy("j", "c").agg(F.count("*").alias("n"))
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Gate query: build the CMS over every token instance of
+    ``documents``, probe the exact top-k tokens, and emit exact vs
+    sketch counts side by side (overcount ≥ 0 by construction —
+    a negative value would be a bug, same class as a Bloom FN)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    cms = cms_build(toks, "token")
+    exact = toks.groupBy("token").agg(F.count("*").alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), F.asc("token")).limit(k)
+    probe = top.select(
+        "token",
+        "n_exact",
+        F.posexplode(
+            F.array(*[
+                _md5_slice_bucket(F.col("token"), 1 + 4 * j, CMS_W)
+                for j in range(CMS_D)
+            ])
+        ).alias("j", "c"),
+    )
+    return (
+        probe.join(F.broadcast(cms), ["j", "c"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("n").alias("n_cms"))
+        .select(
+            "token",
+            "n_exact",
+            "n_cms",
+            (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+        )
+    )

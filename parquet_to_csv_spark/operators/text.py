@@ -272,3 +272,94 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of duplicated word n-gram instances and the share of the
+    single most frequent n-gram (Rae et al. 2021 §A1.1 use these to
+    drop boilerplate/spam before LLM training; lines/paragraphs don't
+    exist in this corpus, so the n-gram family carries the signal).
+
+    One scan, one exchange on (doc_id, n, gram) with map-side combine,
+    one on doc_id — shuffle volume ∝ corpus tokens, the same shape as
+    tfidf. Fractions are emitted as exact integer parts-per-million
+    ((x · 1e6) div total): pure integer arithmetic, no float division
+    to flip a rounding boundary cross-engine.
+
+    Docs shorter than 3 tokens have no trigram (and a degenerate
+    bigram set) — excluded, mirrored in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens_col("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(sequence(1, size(toks) - 1),"
+                "  i -> struct(2 as n, concat_ws(' ', slice(toks, i, 2)) as gram)),"
+                " transform(sequence(1, size(toks) - 2),"
+                "  i -> struct(3 as n, concat_ws(' ', slice(toks, i, 3)) as gram)))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    per_gram = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy("doc_id", "n").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_n"),
+    )
+    dup_ppm = F.expr("((total - n_distinct) * 1000000) div total")
+    top_ppm = F.expr("(top_n * 1000000) div total")
+    return (
+        per_doc.select("doc_id", "n", dup_ppm.alias("dup_ppm"), top_ppm.alias("top_ppm"), "total")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("total"))).alias("n_bigrams"),
+            F.max(F.when(F.col("n") == 2, F.col("dup_ppm"))).alias("dup_bigram_ppm"),
+            F.max(F.when(F.col("n") == 2, F.col("top_ppm"))).alias("top_bigram_ppm"),
+            F.max(F.when(F.col("n") == 3, F.col("total"))).alias("n_trigrams"),
+            F.max(F.when(F.col("n") == 3, F.col("dup_ppm"))).alias("dup_trigram_ppm"),
+        )
+    )
+
+
+def oov_rate(spark: SparkSession, sf_dir: str, vocab_size: int = 30) -> DataFrame:
+    """Out-of-vocabulary rate per language against a corpus-derived
+    top-V vocabulary — the tokenizer-coverage health check run before
+    committing a vocab to an LLM training run.
+
+    Vocabulary = top ``vocab_size`` tokens by (count desc, token asc):
+    an orderBy+limit, so TakeOrderedAndProject — never a global sort —
+    and the result is dim-sized and broadcast to the probe join. OOV
+    fractions aggregate as exact integer token counts; the single ppm
+    division per language is integer too.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens_col("text")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
+        )
+    )

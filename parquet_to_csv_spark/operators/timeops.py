@@ -459,3 +459,98 @@ def shipping_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("round(percentile(lag_days, 0.99), 1)").alias("p99_days"),
         )
     )
+
+
+def rolling_anomaly_zscore(
+    spark: SparkSession, sf_dir: str, lookback: int = 10, min_n: int = 5
+) -> DataFrame:
+    """Per-user rolling z-score anomaly flags: each event's value is
+    scored against the mean/std of that user's previous ``lookback``
+    events — the streaming-able data-quality screen for metric spikes.
+
+    Exactness discipline: frame sums run over integer cents (sum and
+    sum-of-squares are exact longs; frame membership is fixed by the
+    total (ts_us, event_id) order), and the anomaly predicate is the
+    PURE-INTEGER inequality (n·x − Σ)² > 9·(n·Σx² − Σ²) — algebraically
+    |x−μ| > 3σ with no division, no sqrt, no float boundary to flip
+    between engines. The reported z itself is one double division
+    (rounded 4dp) for human consumption only.
+
+    One shuffle (hash by user_id, sort by time within partition);
+    state per row is O(1) — the same window runs under Structured
+    Streaming with ``rowsBetween`` semantics replaced by
+    ``applyInPandasWithState`` if per-key online scoring is needed.
+    """
+    from pyspark.sql import Window
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "value",
+            exact_units(F.col("value"), 2).alias("x"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
+        .rowsBetween(-lookback, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.coalesce(F.sum("x").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(w), F.lit(0)).alias("ss"),
+    ).filter(F.col("n") >= min_n)
+    num = F.col("n") * F.col("x") - F.col("s")
+    den = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z = F.when(den > 0, num.cast("double") / F.sqrt(den.cast("double")))
+    return scored.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.col("n").cast("long").alias("n_window"),
+        F.round(z, 4).alias("z"),
+        ((den > 0) & (num * num > F.lit(9) * den)).alias("is_anomaly"),
+    )
+
+
+def debounce_events(
+    spark: SparkSession, sf_dir: str, gap_us: int = 43_200_000_000
+) -> DataFrame:
+    """Event debouncing: within each (user, event_type) stream, keep
+    only the first event of every burst — consecutive events closer
+    than ``gap_us`` collapse onto their leader. The near-time twin of
+    dedup: telemetry retries / double-clicks / at-least-once sources
+    produce semantic duplicates that exact dedup can't see because the
+    payloads differ.
+
+    One shuffle (hash by user+type, sort by time within partition),
+    one ``lag`` — O(1) state per row, and the same expression runs
+    under Structured Streaming as dropDuplicatesWithinWatermark's
+    value-insensitive cousin. All arithmetic is integer µs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts_us"), F.asc("event_id")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    gapped = ev.withColumn("prev_ts", F.lag("ts_us").over(w)).withColumn(
+        "gap_us", F.coalesce(F.col("ts_us") - F.col("prev_ts"), F.lit(-1))
+    )
+    return gapped.filter(
+        (F.col("gap_us") < 0) | (F.col("gap_us") >= gap_us)
+    ).select("event_id", "user_id", "event_type", "ts_us", "gap_us")

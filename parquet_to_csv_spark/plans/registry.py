@@ -2260,3 +2260,304 @@ SELECT doc_id, n_tokens, cum_before,
        ((cum_before + n_tokens - 1) // 256) - (cum_before // 256) + 1 AS n_seqs
 FROM c
 """
+
+# --------------------------------------------------------------------------
+# Round-2 additions (cont.): HLL / CMS sketches, repetition quality,
+# PageRank over the near-dup graph.
+# --------------------------------------------------------------------------
+
+# HyperLogLog: bucket/rho are pure string ops over the shared md5 hash
+# (no float log2), register sums are exact powers-of-two integers, and
+# the one final division + ln is a fixed-order double expression — the
+# oracle replays the whole sketch.
+_HLL_RHO = """
+  SELECT (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS bucket,
+         ltrim(substring(h, 3, 15), '0') AS t
+  FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events)
+"""
+
+QUERIES["hll_distinct_estimate"] = _sketch.hll_distinct_estimate
+ORACLES["hll_distinct_estimate"] = f"""
+WITH hh AS (
+{_HLL_RHO}
+), r AS (
+  SELECT bucket,
+         CASE WHEN t = '' THEN 61
+              ELSE (15 - length(t)) * 4 +
+                   CASE WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 8 THEN 1
+                        WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 4 THEN 2
+                        WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 2 THEN 3
+                        ELSE 4 END
+         END AS rho
+  FROM hh
+), regs AS (
+  SELECT bucket, max(rho) AS m FROM r GROUP BY bucket
+), acc AS (
+  SELECT count(*) AS n_present,
+         sum(1::BIGINT << CAST(61 - m AS INTEGER)) AS s_present
+  FROM regs
+), s AS (
+  SELECT (256 - n_present) AS n_zero_registers,
+         CAST(s_present + (256 - n_present)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) AS s_total
+  FROM acc
+), e AS (
+  SELECT n_zero_registers,
+         (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 * 2305843009213693952.0 / s_total AS raw
+  FROM s
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+       CAST(n_zero_registers AS BIGINT) AS n_zero_registers,
+       round(CASE WHEN raw <= 640.0 AND n_zero_registers > 0
+                  THEN 256.0 * ln(256.0 / n_zero_registers)
+                  ELSE raw END, 2) AS hll_estimate
+FROM e
+"""
+
+# Count-min: the j-th hash row reuses the Bloom md5 nibble slices.
+_CMS_H = lambda expr: ", ".join(  # noqa: E731
+    _sketch.duck_md5_slice_bucket(expr, 1 + 4 * j, _sketch.CMS_W)
+    for j in range(_sketch.CMS_D)
+)
+QUERIES["cms_heavy_hitters"] = _sketch.cms_heavy_hitters
+ORACLES["cms_heavy_hitters"] = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+), pos AS (
+  SELECT generate_subscripts(hs, 1) - 1 AS j, unnest(hs) AS c
+  FROM (SELECT [{_CMS_H("token")}] AS hs FROM tok)
+), cms AS (
+  SELECT j, c, CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY j, c
+), exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY token
+), top AS (
+  SELECT token, n_exact FROM exact ORDER BY n_exact DESC, token ASC LIMIT 20
+), ppos AS (
+  SELECT token, n_exact, generate_subscripts(hs, 1) - 1 AS j, unnest(hs) AS c
+  FROM (SELECT token, n_exact, [{_CMS_H("token")}] AS hs FROM top)
+), est AS (
+  SELECT token, n_exact, min(n) AS n_cms
+  FROM ppos JOIN cms USING (j, c) GROUP BY token, n_exact
+)
+SELECT token, n_exact, n_cms, n_cms - n_exact AS overcount FROM est
+"""
+
+# Repetition quality: integer ppm fractions ((x·1e6) div total) — no
+# float division anywhere, any partitioning/engine yields identical longs.
+QUERIES["repetition_stats"] = text.repetition_stats
+ORACLES["repetition_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 3
+), g AS (
+  SELECT doc_id, 2 AS n, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)
+  UNION ALL
+  SELECT doc_id, 3 AS n, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM base)
+), pg AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram
+), pd AS (
+  SELECT doc_id, n, CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top_n
+  FROM pg GROUP BY doc_id, n
+)
+SELECT doc_id,
+  max(CASE WHEN n = 2 THEN total END) AS n_bigrams,
+  max(CASE WHEN n = 2 THEN ((total - n_distinct) * 1000000) // total END) AS dup_bigram_ppm,
+  max(CASE WHEN n = 2 THEN (top_n * 1000000) // total END) AS top_bigram_ppm,
+  max(CASE WHEN n = 3 THEN total END) AS n_trigrams,
+  max(CASE WHEN n = 3 THEN ((total - n_distinct) * 1000000) // total END) AS dup_trigram_ppm
+FROM pd GROUP BY doc_id
+"""
+
+# PageRank: the near-dup edge relation is the exact-verified Jaccard
+# pair set (same blocked exhaustive relation the dup_clusters oracle
+# proves complete); both iterations replay as CTE levels in exact
+# integer ppb arithmetic.
+QUERIES["neardup_pagerank"] = dedup.neardup_pagerank
+ORACLES["neardup_pagerank"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), pr0 AS (
+  SELECT v, deg, 1000000000::BIGINT AS pr FROM nodes
+), c1 AS (
+  SELECT e.dst, CAST(sum(p.pr // p.deg) AS BIGINT) AS inc
+  FROM pr0 p JOIN edges e ON p.v = e.src GROUP BY e.dst
+), pr1 AS (
+  SELECT n.v, n.deg,
+         CAST(150000000 + (85 * coalesce(c1.inc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c1 ON n.v = c1.dst
+), c2 AS (
+  SELECT e.dst, CAST(sum(p.pr // p.deg) AS BIGINT) AS inc
+  FROM pr1 p JOIN edges e ON p.v = e.src GROUP BY e.dst
+), pr2 AS (
+  SELECT n.v, n.deg,
+         CAST(150000000 + (85 * coalesce(c2.inc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c2 ON n.v = c2.dst
+)
+SELECT v AS doc_id, deg, pr AS pr_ppb FROM pr2
+"""
+
+# Hybrid RRF retrieval: sparse BM25 ranks (integer µ-unit scores) and
+# dense cosine ranks fuse via integer reciprocal-rank micro-units —
+# no float in the fusion; absent ranks surface as 0, never NULL.
+QUERIES["hybrid_rrf_topk"] = similarity.hybrid_rrf_topk
+ORACLES["hybrid_rrf_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, len(toks) AS dl, toks FROM toks
+), n AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM toks
+), qt AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+  FROM stats WHERE doc_id < 5
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, dl, unnest(toks) AS term FROM stats
+  ) GROUP BY 1, 2, 3
+), tfq AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+), df AS (
+  SELECT term, count(*) AS df_docs FROM tfq GROUP BY 1
+), contrib AS (
+  SELECT qt.query_id, tfq.doc_id,
+         CAST(round(
+           ln(1.0 + (n.n_docs - df.df_docs + 0.5) / (df.df_docs + 0.5))
+           * (tfq.tf * 2.2 / (tfq.tf + 1.2 * (0.25 + 0.75 * (tfq.dl * n.n_docs) / n.sum_dl)))
+           * 1000000.0) AS BIGINT) AS u
+  FROM tfq JOIN df USING (term) JOIN qt USING (term) CROSS JOIN n
+  WHERE tfq.doc_id <> qt.query_id
+), s AS (
+  SELECT query_id, doc_id, CAST(sum(u) AS BIGINT) AS s_score
+  FROM contrib GROUP BY 1, 2
+), sr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s_score DESC, doc_id ASC) AS s_rnk
+  FROM s QUALIFY s_rnk <= 20
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS doc_id, embedding AS c_emb FROM embeddings
+), dsim AS (
+  SELECT query_id, doc_id, {_duck_cos('q_emb', 'c_emb')} AS sim
+  FROM q JOIN c ON query_id <> doc_id
+), dr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS d_rnk
+  FROM dsim QUALIFY d_rnk <= 20
+), f AS (
+  SELECT coalesce(sr.query_id, dr.query_id) AS query_id,
+         coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+         CAST(coalesce(sr.s_rnk, 0) AS INTEGER) AS s_rnk,
+         CAST(coalesce(dr.d_rnk, 0) AS INTEGER) AS d_rnk,
+         CAST(coalesce(1000000 // (60 + sr.s_rnk), 0)
+            + coalesce(1000000 // (60 + dr.d_rnk), 0) AS BIGINT) AS rrf_micro
+  FROM sr FULL OUTER JOIN dr
+    ON sr.query_id = dr.query_id AND sr.doc_id = dr.doc_id
+)
+SELECT query_id, doc_id, s_rnk, d_rnk, rrf_micro,
+       row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rnk
+FROM f QUALIFY rnk <= 10
+"""
+
+# Negative sampling: md5-bucket draws replayed verbatim; min/arg_min
+# pick the deterministic candidate per draw.
+QUERIES["negative_pairs"] = similarity.negative_pairs
+_NP_CAND_B = _sketch.duck_md5_slice_bucket("vec_id", 5, 256)
+_NP_DRAW_B = _sketch.duck_md5_slice_bucket("(e.vec_id * 8 + j)", 1, 256)
+ORACLES["negative_pairs"] = f"""
+WITH e AS (
+  SELECT vec_id, label FROM embeddings
+), cand AS (
+  SELECT vec_id AS neg_id, label AS neg_label, {_NP_CAND_B} AS bucket FROM e
+), draws AS (
+  SELECT e.vec_id AS anchor_id, e.label AS anchor_label, j,
+         {_NP_DRAW_B} AS bucket
+  FROM e, (SELECT unnest(range(1, 5)) AS j)
+)
+SELECT anchor_id, anchor_label, CAST(j AS INTEGER) AS j,
+       min(neg_id) AS neg_id, arg_min(neg_label, neg_id) AS neg_label
+FROM draws JOIN cand USING (bucket)
+WHERE neg_label <> anchor_label AND neg_id <> anchor_id
+GROUP BY anchor_id, anchor_label, j
+"""
+
+# Rolling anomaly: frame sums over exact integer cents; the anomaly
+# predicate is the pure-integer |x−μ|>3σ inequality — z's single double
+# division is for reporting only.
+QUERIES["rolling_anomaly_zscore"] = timeops.rolling_anomaly_zscore
+ORACLES["rolling_anomaly_zscore"] = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         {duck_units("value", 2)} AS x
+  FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT event_id, user_id, ts_us, value, x,
+         count(x) OVER fr AS n,
+         coalesce(sum(x) OVER fr, 0) AS s,
+         coalesce(sum(x * x) OVER fr, 0) AS ss
+  FROM ev
+  WINDOW fr AS (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, user_id, ts_us, value,
+       CAST(n AS BIGINT) AS n_window,
+       round(CASE WHEN (n * ss - s * s) > 0
+                  THEN (n * x - s) / sqrt(CAST(n * ss - s * s AS DOUBLE)) END, 4) AS z,
+       ((n * ss - s * s) > 0 AND (n * x - s) * (n * x - s) > 9 * (n * ss - s * s)) AS is_anomaly
+FROM w WHERE n >= 5
+"""
+
+# Debounce: integer-µs burst-leader selection via one lag window.
+QUERIES["debounce_events"] = timeops.debounce_events
+ORACLES["debounce_events"] = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), g AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         coalesce(ts_us - lag(ts_us) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+         ), -1) AS gap_us
+  FROM ev
+)
+SELECT event_id, user_id, event_type, ts_us, gap_us
+FROM g WHERE gap_us < 0 OR gap_us >= 43200000000
+"""
+
+# OOV rate: top-V vocabulary by (count desc, token) — deterministic
+# tie-break — probed with a broadcast left join; ppm is integer div.
+QUERIES["oov_rate"] = text.oov_rate
+ORACLES["oov_rate"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM tok GROUP BY token
+  ) ORDER BY n DESC, token ASC LIMIT 30
+), j AS (
+  SELECT tok.lang, (vocab.token IS NOT NULL) AS in_vocab
+  FROM tok LEFT JOIN vocab ON tok.token = vocab.token
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN NOT in_vocab THEN 1 END) AS BIGINT) AS n_oov,
+       (CAST(count(CASE WHEN NOT in_vocab THEN 1 END) AS BIGINT) * 1000000)
+         // CAST(count(*) AS BIGINT) AS oov_ppm
+FROM j GROUP BY lang
+"""

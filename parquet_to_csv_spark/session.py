@@ -7,11 +7,16 @@ process with a 64 GB heap (``package.json:12``); its only "tuning" is a
 
 - AQE on (runtime coalescing of shuffle partitions, skew-join splitting)
   — replaces any hand-tuned partition count at 100 TB.
-- ``nanosAsLong``: the trace/event fixtures carry nanosecond-epoch
-  timestamps (the reference manipulates them as BigInt ns,
-  ``main.js:158-162``); Spark has no ns timestamp, so we read them as
-  raw ns-since-epoch longs and keep all arithmetic in exact integer
-  space (no double rounding at 1e18 magnitudes).
+- ``nanosAsLong`` is set for engines that still honor it (≤4.0 read
+  ns-precision parquet timestamps as raw longs under this flag; 4.1+
+  ignores it and yields timestamp_ntz). The engine contract —
+  ``events.ts`` is a ns-since-epoch long, matching the reference's
+  BigInt-ns arithmetic (``main.js:158-162``) — is enforced at the
+  loader choke point instead (``sources/tables.py load_table``):
+  a timestamp-typed ``ts`` is converted once via exact integer
+  ``unix_micros × 1000``, so all downstream arithmetic stays in exact
+  integer space (no double rounding at 1e18 magnitudes) on every
+  Spark version.
 - Arrow enabled for any pandas-UDF escape hatch.
 - UTC session timezone so timestamp arithmetic matches the DuckDB oracle.
 """

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = [
     "region",
@@ -40,7 +41,18 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_engine_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and not isinstance(df.schema["ts"].dataType, T.LongType):
+        # Engine contract: events.ts is a ns-since-epoch long (the
+        # reference's BigInt-ns trace arithmetic). Fixtures generated
+        # with a µs/ns parquet TIMESTAMP arrive as timestamp_ntz on
+        # Spark ≥4.1 (the nanosAsLong legacy conf is gone), so convert
+        # at the loader choke point: ntz → timestamp is exact under the
+        # UTC session zone, and unix_micros×1000 cannot overflow long.
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

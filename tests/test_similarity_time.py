@@ -199,3 +199,121 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
             assert abs(d2[row_i, cand[0]] - d2[row_i, got[vid]]) < 1e-6
             mismatch += 1
     assert mismatch <= len(ids) * 0.02
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
+    """RRF output invariants: k rows per query with ranks 1..k, the
+    fused score equals the integer reciprocal-rank arithmetic of the
+    surfaced ranks, and fusion actually drew from BOTH retrievers."""
+    out = similarity.hybrid_rrf_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    saw_sparse = saw_dense = False
+    for rows in by_q.values():
+        assert sorted(r["rnk"] for r in rows) == list(range(1, 11))
+        for r in rows:
+            want = 0
+            if r["s_rnk"] > 0:
+                want += 1_000_000 // (60 + r["s_rnk"])
+                saw_sparse = True
+            if r["d_rnk"] > 0:
+                want += 1_000_000 // (60 + r["d_rnk"])
+                saw_dense = True
+            assert r["rrf_micro"] == want
+            assert r["doc_id"] != r["query_id"]
+    assert saw_sparse and saw_dense
+
+
+def test_negative_pairs_constraints(spark, sf_dir):
+    """Negative draws never violate the contrastive contract (no self,
+    no same-label), stay bounded per anchor, and are deterministic."""
+    emb = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = similarity.negative_pairs(spark, sf_dir).collect()
+    per_anchor = {}
+    for r in rows:
+        assert r["neg_id"] != r["anchor_id"]
+        assert r["neg_label"] != r["anchor_label"]
+        assert emb[r["anchor_id"]] == r["anchor_label"]
+        assert emb[r["neg_id"]] == r["neg_label"]
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["j"])
+    assert all(len(js) <= 4 for js in per_anchor.values())
+    # most anchors get most draws at n/256 bucket occupancy
+    assert len(rows) >= 3 * len(emb) // 2
+    again = similarity.negative_pairs(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rolling_anomaly_local_replay(spark, sf_dir):
+    """The windowed integer statistics equal a driver-side replay of
+    the same cents arithmetic over the same per-user order."""
+    from collections import defaultdict
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .selectExpr(
+            "event_id", "user_id", "ts div 1000 AS ts_us",
+            "cast(floor(value * 100 + 0.5) as long) AS x",
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in ev:
+        series[r["user_id"]].append((r["ts_us"], r["event_id"], r["x"]))
+    expect = {}
+    for rows in series.values():
+        rows.sort()
+        for i in range(len(rows)):
+            frame = rows[max(0, i - 10) : i]
+            n = len(frame)
+            if n < 5:
+                continue
+            s = sum(x for _, _, x in frame)
+            ss = sum(x * x for _, _, x in frame)
+            x = rows[i][2]
+            num, den = n * x - s, n * ss - s * s
+            expect[rows[i][1]] = (n, den > 0 and num * num > 9 * den)
+    got = timeops.rolling_anomaly_zscore(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    n_anom = 0
+    for r in got:
+        n, anom = expect[r["event_id"]]
+        assert (r["n_window"], r["is_anomaly"]) == (n, anom)
+        n_anom += anom
+    assert 0 < n_anom < len(got)
+
+
+def test_debounce_burst_semantics(spark, sf_dir):
+    """Every dropped event sits within gap_us of the previous event of
+    the same (user, type) stream; every kept event is a burst leader.
+    Verified against a driver-side replay of the same integer order."""
+    from collections import defaultdict
+
+    GAP = 43_200_000_000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_id", "user_id", "event_type", "ts div 1000 AS ts_us")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in ev:
+        series[(r["user_id"], r["event_type"])].append((r["ts_us"], r["event_id"]))
+    keep = {}
+    for rows in series.values():
+        rows.sort()
+        prev = None
+        for ts, eid in rows:
+            gap = -1 if prev is None else ts - prev
+            if gap < 0 or gap >= GAP:
+                keep[eid] = gap
+            prev = ts
+    got = timeops.debounce_events(spark, sf_dir).collect()
+    assert len(got) == len(keep)
+    for r in got:
+        assert keep[r["event_id"]] == r["gap_us"]
+    assert len(got) < len(ev)  # the gap actually collapses bursts

@@ -142,3 +142,141 @@ def test_bm25_topk_plan_and_semantics(spark, sf_dir):
     # verified implicitly by scores ordering; here pin determinism
     again = [r["doc_id"] for r in bm25_topk(spark, sf_dir, k=5).collect()]
     assert again == [r["doc_id"] for r in rows]
+
+
+def test_hll_mergeable_and_accurate(spark, sf_dir):
+    """HLL defining properties: (a) registers are partition-invariant,
+    (b) sketching two disjoint halves and max-merging the register
+    tables equals the whole-input sketch (the 100 TB merge path),
+    (c) the estimate lands within the ~3σ band for m=256."""
+    from parquet_to_csv_spark.operators.sketch import (
+        hll_distinct_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    whole = {
+        (r["bucket"], r["m"]) for r in hll_registers(ev, "user_id").collect()
+    }
+    shuffled = {
+        (r["bucket"], r["m"])
+        for r in hll_registers(ev.repartition(7), "user_id").collect()
+    }
+    assert whole == shuffled
+    lo = hll_registers(ev.filter(F.col("user_id") % 2 == 0), "user_id")
+    hi = hll_registers(ev.filter(F.col("user_id") % 2 == 1), "user_id")
+    merged = {
+        (r["bucket"], r["m"])
+        for r in lo.union(hi).groupBy("bucket").agg(F.max("m").alias("m")).collect()
+    }
+    assert merged == whole
+    row = hll_distinct_estimate(spark, sf_dir).collect()[0]
+    # m=256 → σ ≈ 1.04/√256 = 6.5%; 3σ ≈ 20%
+    assert abs(row["hll_estimate"] - row["n_exact"]) <= 0.2 * row["n_exact"]
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """CMS defining guarantee: estimate >= true count for every probe
+    (an undercount is a bug, not a tuning issue), and the sketch is
+    partition-invariant."""
+    from parquet_to_csv_spark.operators.sketch import cms_build, cms_heavy_hitters
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["n_cms"] >= r["n_exact"] for r in rows)
+    assert all(r["overcount"] == r["n_cms"] - r["n_exact"] for r in rows)
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("token"))
+    )
+    a = {(r["j"], r["c"], r["n"]) for r in cms_build(toks, "token").collect()}
+    b = {
+        (r["j"], r["c"], r["n"])
+        for r in cms_build(toks.repartition(5), "token").collect()
+    }
+    assert a == b
+
+
+def test_repetition_stats_local_replay(spark, sf_dir):
+    """Per-doc ppm fractions equal a driver-side brute-force replay of
+    the same integer arithmetic over the same tokenization."""
+    from collections import Counter
+
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .collect()
+    )
+    expect = {}
+    for r in docs:
+        t = r["toks"]
+        if len(t) < 3:
+            continue
+        for n, key in ((2, "bi"), (3, "tri")):
+            grams = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+            c = Counter(grams)
+            total, dist, top = len(grams), len(c), max(c.values())
+            expect[(r["doc_id"], n)] = (
+                total,
+                ((total - dist) * 1_000_000) // total,
+                (top * 1_000_000) // total,
+            )
+    got = text.repetition_stats(spark, sf_dir).collect()
+    assert len(got) == len({d for d, _ in expect})
+    for r in got:
+        tb, db, pb = expect[(r["doc_id"], 2)]
+        tt, dt, _ = expect[(r["doc_id"], 3)]
+        assert (r["n_bigrams"], r["dup_bigram_ppm"], r["top_bigram_ppm"]) == (tb, db, pb)
+        assert (r["n_trigrams"], r["dup_trigram_ppm"]) == (tt, dt)
+
+
+def test_pagerank_integer_replay_and_bounds(spark, sf_dir):
+    """PageRank over the near-dup graph equals a driver-side replay of
+    the integer ppb recurrence on the collected edge set, and every
+    rank carries at least the damping floor."""
+    from collections import defaultdict
+
+    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir, 0.8).collect()
+    adj = defaultdict(set)
+    for r in pairs:
+        adj[r["doc_a"]].add(r["doc_b"])
+        adj[r["doc_b"]].add(r["doc_a"])
+    pr = {v: 1_000_000_000 for v in adj}
+    deg = {v: len(ns) for v, ns in adj.items()}
+    for _ in range(2):
+        inc = defaultdict(int)
+        for v, ns in adj.items():
+            c = pr[v] // deg[v]
+            for w in ns:
+                inc[w] += c
+        pr = {v: 150_000_000 + (85 * inc[v]) // 100 for v in adj}
+    got = dedup.neardup_pagerank(spark, sf_dir).collect()
+    assert len(got) == len(pr)
+    for r in got:
+        assert r["pr_ppb"] == pr[r["doc_id"]]
+        assert r["deg"] == deg[r["doc_id"]]
+        assert r["pr_ppb"] >= 150_000_000
+
+
+def test_oov_rate_consistency(spark, sf_dir):
+    """OOV counts: per-lang totals add up to the corpus token count,
+    the vocabulary actually covers the majority mass (top-V by
+    frequency), and ppm matches the integer division."""
+    rows = text.oov_rate(spark, sf_dir).collect()
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("t"))
+        .count()
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert r["oov_ppm"] == (r["n_oov"] * 1_000_000) // r["n_tokens"]
+    # top-30 vocab over a skewed corpus covers most instances
+    agg_oov = sum(r["n_oov"] for r in rows)
+    assert agg_oov < total // 2
