@@ -13,8 +13,9 @@ detectors, per-entity rate limiters, or incremental feature stores.
 Scale notes: state lives in the executor state store, partitioned by
 the grouping key — per-key state must stay O(1) (here: three scalars).
 Unbounded-cardinality keys need a timeout
-(``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``)
-to evict idle keys; the fixture keyspace is small so NoTimeout is used.
+(``GroupStateTimeout.EventTimeTimeout`` + ``state.setTimeoutTimestamp``,
+see ``stateful_idle_eviction``) to evict idle keys; the running-totals
+fixture keyspace is small so NoTimeout is used there.
 """
 
 from __future__ import annotations
@@ -95,11 +96,14 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+IDLE_GAP_MS = 60_000
+
+
 def _evict_idle_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Fold events into per-user state; emit ONLY when the key is
-    evicted by a processing-time timeout (the close-out record)."""
+    evicted by an event-time timeout (the close-out record)."""
     (user_id,) = key
     if state.hasTimedOut:
         n, sv_cents, last = state.get
@@ -120,29 +124,54 @@ def _evict_idle_totals(
         if len(pdf):
             last = max(last, int(pdf["ts_us"].max()))
     state.update((n, sv_cents, last))
-    # expire as soon as a later micro-batch runs without this key
-    state.setTimeoutDuration(1)
+    # evict when the watermark passes the key's last event + idle gap;
+    # Spark requires the deadline to be strictly ahead of the current
+    # watermark, so clamp for keys whose data arrived late.
+    deadline_ms = last // 1000 + IDLE_GAP_MS
+    state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
 
 
-def stateful_idle_eviction(stream: DataFrame) -> DataFrame:
+def stateful_idle_eviction(
+    stream: DataFrame, watermark_delay: str = "1 hour"
+) -> DataFrame:
     """Idle-key eviction — the state-bounding pattern the module
-    docstring promises for unbounded keyspaces: every key carries a
-    ``ProcessingTimeTimeout``; a micro-batch that advances processing
-    time past an idle key's deadline triggers the ``hasTimedOut``
-    branch, which emits the key's close-out totals and ``remove()``s
-    its state. State size is therefore bounded by the set of keys seen
-    since the timeout horizon, not by lifetime key cardinality — the
-    difference between O(active users) and O(all users ever) at 100 TB.
+    docstring promises for unbounded keyspaces: every key carries an
+    ``EventTimeTimeout`` deadline of ``last event + IDLE_GAP_MS``; a
+    micro-batch whose watermark passes an idle key's deadline triggers
+    the ``hasTimedOut`` branch, which emits the key's close-out totals
+    and ``remove()``s its state. State size is therefore bounded by the
+    set of keys seen inside the watermark horizon, not by lifetime key
+    cardinality — the difference between O(active users) and O(all
+    users ever) at 100 TB.
+
+    Event-time (not processing-time) eviction is deliberate: the
+    deadline is a pure function of the data and the watermark, so a
+    checkpoint replay or a backfill run evicts exactly the same keys at
+    exactly the same batch boundaries — no wall-clock dependence — and
+    a drain trigger (``availableNow``) terminates cleanly once the
+    watermark stops advancing instead of polling wall-clock timers.
+
+    ``watermark_delay`` is the stream's disorder bound: rows arriving
+    more than this far behind the max seen event time are dropped as
+    late *before* the stateful operator (standard watermark
+    semantics), so it must exceed the source's real out-of-orderness.
     """
     from pyspark.sql import functions as F
 
-    keyed = stream.select(
-        "user_id", "value", F.expr("ts div 1000").alias("ts_us")
-    ).groupBy("user_id")
+    keyed = (
+        stream.select(
+            "user_id",
+            "value",
+            F.expr("ts div 1000").alias("ts_us"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        )
+        .withWatermark("event_time", watermark_delay)
+        .groupBy("user_id")
+    )
     return keyed.applyInPandasWithState(
         _evict_idle_totals,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -275,13 +275,14 @@ def test_stream_static_enrich_matches_batch_join(spark, sf_dir, event_dir):
 
 
 def test_stateful_idle_eviction_times_out_and_emits_totals(spark, sf_dir, tmp_path):
-    """ProcessingTimeTimeout eviction: stage events so each user's
-    rows land in exactly ONE micro-batch (user-bucketed files,
-    maxFilesPerTrigger=1) plus a trailing sentinel batch. Every real
-    user's state then times out in a later batch, so the operator must
-    emit each user exactly once, with totals equal to the batch
-    groupBy — and the sentinel (never idle before stream end) must not
-    be emitted at all."""
+    """EventTimeTimeout eviction: stage events so each user's rows
+    land in exactly ONE micro-batch (user-bucketed files,
+    maxFilesPerTrigger=1), then a sentinel batch whose far-future
+    event time pushes the watermark past every real user's
+    ``last event + IDLE_GAP_MS`` deadline. The trailing no-data batch
+    must evict each user exactly once with totals equal to the batch
+    groupBy — while the sentinel itself (deadline still ahead of the
+    final watermark) must not be emitted at all."""
     import shutil
     from pathlib import Path
 
@@ -299,8 +300,13 @@ def test_stateful_idle_eviction_times_out_and_emits_totals(spark, sf_dir, tmp_pa
         src = next(Path(part).glob("part-*.parquet"))
         # zero-padded names keep listing order == write order
         shutil.copy(src, stage / f"{b:02d}.parquet")
+    # sentinel event time = global max + ~10 years (ns): advances the
+    # watermark past every user's idle deadline while its own deadline
+    # stays ahead of the final watermark (gap > 0), so it is never
+    # evicted before the drain ends.
+    max_ts_ns = ev.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
-        [(-(10**6), 0, -1, "noop", 0.0, "{}")],
+        [(-(10**6), max_ts_ns + 315 * 10**15, -1, "noop", 0.0, "{}")],
         "event_id long, ts long, user_id long, event_type string, value double, props string",
     )
     sdir = tmp_path / "sentinel"
@@ -316,7 +322,10 @@ def test_stateful_idle_eviction_times_out_and_emits_totals(spark, sf_dir, tmp_pa
         .parquet(str(stage))
     )
     q = (
-        stateful.stateful_idle_eviction(s)
+        # delay > the fixture's full time span: the user-bucketed files
+        # are time-interleaved, so a tight disorder bound would drop
+        # later buckets' rows as late.
+        stateful.stateful_idle_eviction(s, watermark_delay="90 days")
         .writeStream.format("memory")
         .queryName("t_evict")
         .outputMode("update")
