@@ -311,6 +311,42 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip — the reference's headline output
+    format (``/root/reference/main.js:216-236`` writes the full and
+    long-split CSVs), proven LOSSLESS here: documents are written with
+    explicit quoting/escaping, read back with an explicit schema (never
+    inference — a full extra pass at 100 TB), and content-digested.
+
+    Quoting is the part CSV gets wrong silently: ``quoteAll`` +
+    explicit ``escape`` pins the dialect on the write side, and the
+    identical options on the read side make the pair an identity even
+    for text containing delimiters, quotes, or newlines. Any mangled
+    row breaks the (lang, source) digest match against the ORIGINAL
+    parquet-derived oracle."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="csv_rt_")
+    (
+        docs.coalesce(4)
+        .write.mode("overwrite")
+        .options(header=True, quoteAll=True, escape='"')
+        .csv(stage)
+    )
+    back = spark.read.options(header=True, quote='"', escape='"').schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).csv(stage)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
+        )
+    )
+
+
 def weighted_sample(
     spark: SparkSession, sf_dir: str, scale_tokens: int = 40
 ) -> DataFrame:

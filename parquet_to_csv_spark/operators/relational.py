@@ -906,3 +906,67 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nval").alias("min_val"),
         F.max("nval").alias("max_val"),
     )
+
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders under (earlier ``o_orderdate``,
+    higher ``o_totalprice``): an order survives iff no other order has a
+    date ≤ its date AND a price ≥ its price with at least one strict.
+    The skyline is what "best tradeoff" dashboards and multi-objective
+    pruning (cheapest-earliest supplier, fastest-smallest model run)
+    compute; the naive form is the quadratic NOT EXISTS self-join the
+    DuckDB oracle runs.
+
+    Scalable form: for a 2-D skyline, sort by date and keep rows whose
+    price beats the running max of everything earlier — O(n log n), no
+    self-join. A bare ``Window.orderBy`` would move the whole relation
+    onto one task, so the running max uses the same two-phase
+    distributed scan as ``corpus.sequence_packing``: range-partition by
+    date, per-partition running max (parallel), per-partition totals
+    prefix-maxed on the driver-side-tiny P-row relation and
+    broadcast back as each partition's base. Dominance on exact integer
+    cents; ties (same date+price) are co-frontier — neither strictly
+    dominates.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("d"),
+        F.col("o_totalprice"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = o.repartitionByRange(8, "d").withColumn("pid", F.spark_partition_id())
+    w_strict = (
+        W.partitionBy("pid").orderBy("d").rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_upto = (
+        W.partitionBy("pid").orderBy("d").rangeBetween(W.unboundedPreceding, 0)
+    )
+    local = base.select(
+        "*",
+        F.max("cents").over(w_strict).alias("lmax_before"),
+        F.max("cents").over(w_upto).alias("lmax_upto"),
+    )
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("pid")
+        .agg(F.max("cents").alias("pmax"))
+        .withColumn("prev_max", F.max("pmax").over(w_off))
+        .select("pid", "prev_max")
+    )
+    j = local.join(F.broadcast(offsets), "pid")
+    # strictly-earlier-date dominator with price >= mine, or
+    # same-or-earlier-date dominator with price strictly > mine
+    max_before = F.greatest(
+        F.coalesce(F.col("lmax_before"), F.lit(-1)),
+        F.coalesce(F.col("prev_max"), F.lit(-1)),
+    )
+    max_upto = F.greatest(
+        F.coalesce(F.col("lmax_upto"), F.lit(-1)),
+        F.coalesce(F.col("prev_max"), F.lit(-1)),
+    )
+    dominated = (max_before >= F.col("cents")) | (max_upto > F.col("cents"))
+    return (
+        j.filter(~dominated)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )

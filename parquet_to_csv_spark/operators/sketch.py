@@ -276,3 +276,92 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
             (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
         )
     )
+
+
+def _hll_estimate_by_tag(regs: DataFrame) -> DataFrame:
+    """(tag, estimate) from a (tag, bucket, m) register relation —
+    the grouped form of the ``hll_distinct_estimate`` math: exact
+    integer power-of-two harmonic sums per tag, one final double
+    division, the standard linear-counting correction below 2.5·m."""
+    acc = regs.groupBy("tag").agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr("cast(shiftleft(cast(1 as bigint), 61 - m) as decimal(38,0))")
+        ).alias("s_present"),
+    ).select(
+        "tag",
+        (F.lit(HLL_M) - F.col("n_present")).alias("n_zero"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")).cast("decimal(38,0)")
+            * F.lit(2305843009213693952).cast("decimal(38,0)")
+        ).cast("double").alias("s_total"),
+    )
+    raw = F.lit((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2305843009213693952.0) / F.col("s_total")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return acc.select("tag", F.round(est, 2).alias("est"))
+
+
+def hll_segment_overlap(
+    spark: SparkSession, sf_dir: str, seg_a: str = "click", seg_b: str = "purchase"
+) -> DataFrame:
+    """Sketch set-algebra: audience overlap between two event segments
+    estimated from their HLL register tables ALONE — |A| and |B| from
+    each segment's registers, |A∪B| from the max-merge of the two
+    register tables (never rescanning either segment), and |A∩B| by
+    inclusion-exclusion on the three (already-rounded, hence
+    deterministic) estimates. This is the operation that makes
+    per-segment sketches composable at 100 TB: daily audience registers
+    merge into weekly/monthly/any-ad-hoc union without touching raw
+    events, at kilobytes per segment.
+
+    Exact distincts ride along so the gate pins both the register
+    relations and the estimate math; the inclusion-exclusion error
+    compounds the three sketches' errors — expected, and visible in
+    the output.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    tagged = ev.filter(F.col("event_type").isin(seg_a, seg_b)).select(
+        F.when(F.col("event_type") == seg_a, F.lit("a")).otherwise(F.lit("b")).alias("tag"),
+        "user_id",
+    )
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = _nibble(F.substring(h, 1, 1)) * 16 + _nibble(F.substring(h, 2, 1))
+    t = F.expr("trim(LEADING '0' FROM substring(md5(cast(user_id as string)), 3, 15))")
+    d = _nibble(F.substring(t, 1, 1))
+    rho = F.when(F.length(t) == 0, F.lit(61)).otherwise(
+        (F.lit(15) - F.length(t)) * 4
+        + F.when(d >= 8, 1).when(d >= 4, 2).when(d >= 2, 3).otherwise(4)
+    )
+    regs = (
+        tagged.select("tag", bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("tag", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("u").alias("tag"), "bucket", "m")
+    )
+    est = _hll_estimate_by_tag(regs.union(union_regs))
+    wide = est.groupBy().pivot("tag", ["a", "b", "u"]).agg(F.first("est"))
+    exact = tagged.groupBy().agg(
+        F.count_distinct(F.when(F.col("tag") == "a", F.col("user_id"))).alias("n_exact_a"),
+        F.count_distinct(F.when(F.col("tag") == "b", F.col("user_id"))).alias("n_exact_b"),
+        F.count_distinct("user_id").alias("n_exact_union"),
+    )
+    return wide.crossJoin(exact).select(
+        F.col("a").alias("est_a"),
+        F.col("b").alias("est_b"),
+        F.col("u").alias("est_union"),
+        F.round(F.col("a") + F.col("b") - F.col("u"), 2).alias("est_intersection"),
+        "n_exact_a",
+        "n_exact_b",
+        "n_exact_union",
+        (F.col("n_exact_a") + F.col("n_exact_b") - F.col("n_exact_union")).alias(
+            "n_exact_intersection"
+        ),
+    )

@@ -363,3 +363,93 @@ def oov_rate(spark: SparkSession, sf_dir: str, vocab_size: int = 30) -> DataFram
             F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
         )
     )
+
+
+def source_ngram_overlap(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Cross-source n-gram containment matrix: for every ordered source
+    pair, the fraction of source A's distinct word trigrams that also
+    appear in source B — the corpus-level novelty/redundancy signal
+    that decides whether ingesting another crawl snapshot adds
+    information or re-buys what the corpus already holds (the same
+    containment quantity ``containment_quotes`` computes doc-vs-doc,
+    lifted to source granularity).
+
+    Plan: one scan → distinct (source, gram) relation (the exchange is
+    on gram with map-side combine collapsing per-partition repeats) →
+    gram-keyed self-join of the two sides → per-pair integer counts.
+    Shuffle ∝ distinct grams per source, NOT corpus tokens; the
+    self-join key (gram) is the high-cardinality side so the join
+    parallelizes. Containment in exact integer ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("source", tokens_col("text").alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams_a"))
+    a = grams.select(F.col("source").alias("src_a"), "gram")
+    b = grams.select(F.col("source").alias("src_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_grams_a",
+            F.expr("(n_shared * 1000000) div n_grams_a").alias("containment_ppm"),
+        )
+        .filter(F.col("src_a") != F.col("src_b"))
+    )
+
+
+def posting_lists(
+    spark: SparkSession, sf_dir: str, shard_size: int = 100
+) -> DataFrame:
+    """Inverted-index build: per (token, doc-range shard) a sorted
+    posting array plus document frequency — the materialization step
+    behind the repo's BM25/tf-idf retrieval tier, emitted in the
+    segment-sharded layout real text indexes use (Lucene segments,
+    block-partitioned postings): ``shard = doc_id div shard_size``
+    bounds every posting array at ``shard_size`` entries, so one
+    stop-word can never produce a row the size of the corpus.
+
+    One exchange on (token, shard) with map-side combine; arrays are
+    built with ``sort_array(collect_set(...))`` so content is
+    set-exact and order-canonical regardless of partitioning. The
+    digest column makes the array hash-checkable even for gates that
+    compare scalars only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    posts = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+        .withColumn("shard", F.expr(f"doc_id div {shard_size}"))
+        .groupBy("token", "shard")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+    return posts.select(
+        "token",
+        "shard",
+        F.size("postings").alias("df_shard"),
+        F.md5(F.concat_ws(",", F.col("postings").cast("array<string>"))).alias(
+            "postings_md5"
+        ),
+    )

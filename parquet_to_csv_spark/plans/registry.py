@@ -2561,3 +2561,129 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
          // CAST(count(*) AS BIGINT) AS oov_ppm
 FROM j GROUP BY lang
 """
+
+# CSV round-trip: the reference's own output format proven lossless —
+# explicit dialect (quoteAll + escape) on write, explicit schema on
+# read; digest computed from the ORIGINAL parquet.
+QUERIES["csv_roundtrip"] = corpus.csv_roundtrip
+ORACLES["csv_roundtrip"] = ORACLES["jsonl_roundtrip"]
+
+# Pareto frontier: the oracle runs the literal quadratic NOT EXISTS
+# dominance; the Spark plan is the sorted running-max staircase with
+# the two-phase distributed scan. Dominance compares exact cents.
+QUERIES["pareto_frontier"] = relational.pareto_frontier
+ORACLES["pareto_frontier"] = """
+SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE (b.o_orderdate < a.o_orderdate
+         AND CAST(round(b.o_totalprice * 100) AS BIGINT)
+             >= CAST(round(a.o_totalprice * 100) AS BIGINT))
+     OR (b.o_orderdate <= a.o_orderdate
+         AND CAST(round(b.o_totalprice * 100) AS BIGINT)
+             > CAST(round(a.o_totalprice * 100) AS BIGINT))
+)
+"""
+
+# Cross-source n-gram containment: distinct (source, gram) relation
+# self-joined on gram; integer-ppm containment.
+QUERIES["source_ngram_overlap"] = text.source_ngram_overlap
+ORACLES["source_ngram_overlap"] = f"""
+WITH t AS (
+  SELECT source, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+  FROM (SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+), sizes AS (
+  SELECT source, count(*) AS n_grams_a FROM g GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM g a JOIN g b USING (gram)
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_shared, n_grams_a,
+       (n_shared * 1000000) // n_grams_a AS containment_ppm
+FROM inter JOIN sizes ON sizes.source = inter.src_a
+WHERE src_a <> src_b
+"""
+
+# Inverted index: set-exact sharded postings, order-canonical digest.
+QUERIES["posting_lists"] = text.posting_lists
+ORACLES["posting_lists"] = f"""
+WITH posts AS (
+  SELECT DISTINCT token, doc_id // 100 AS shard, doc_id
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+)
+SELECT token, shard, CAST(count(*) AS BIGINT) AS df_shard,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+FROM posts GROUP BY token, shard
+"""
+
+# HLL segment overlap: per-segment register tables, max-merged union,
+# inclusion-exclusion on the rounded estimates — the oracle replays
+# registers and estimate math for all three tags.
+QUERIES["hll_segment_overlap"] = _sketch.hll_segment_overlap
+ORACLES["hll_segment_overlap"] = """
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS tag, user_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+), hh AS (
+  SELECT tag,
+         (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS bucket,
+         ltrim(substring(h, 3, 15), '0') AS t
+  FROM (SELECT tag, md5(CAST(user_id AS VARCHAR)) AS h FROM ev)
+), r AS (
+  SELECT tag, bucket,
+         CASE WHEN t = '' THEN 61
+              ELSE (15 - length(t)) * 4 +
+                   CASE WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 8 THEN 1
+                        WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 4 THEN 2
+                        WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 2 THEN 3
+                        ELSE 4 END
+         END AS rho
+  FROM hh
+), regs AS (
+  SELECT tag, bucket, max(rho) AS m FROM r GROUP BY tag, bucket
+), allregs AS (
+  SELECT tag, bucket, m FROM regs
+  UNION ALL
+  SELECT 'u' AS tag, bucket, max(m) AS m FROM regs GROUP BY bucket
+), acc AS (
+  SELECT tag, count(*) AS n_present,
+         sum(1::BIGINT << CAST(61 - m AS INTEGER)) AS s_present
+  FROM allregs GROUP BY tag
+), s AS (
+  SELECT tag, (256 - n_present) AS n_zero,
+         CAST(s_present + (256 - n_present)::HUGEINT * 2305843009213693952::HUGEINT AS DOUBLE) AS s_total
+  FROM acc
+), e AS (
+  SELECT tag, n_zero,
+         (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 * 2305843009213693952.0 / s_total AS raw
+  FROM s
+), est AS (
+  SELECT tag,
+         round(CASE WHEN raw <= 640.0 AND n_zero > 0
+                    THEN 256.0 * ln(256.0 / n_zero)
+                    ELSE raw END, 2) AS est
+  FROM e
+), wide AS (
+  SELECT max(CASE WHEN tag = 'a' THEN est END) AS est_a,
+         max(CASE WHEN tag = 'b' THEN est END) AS est_b,
+         max(CASE WHEN tag = 'u' THEN est END) AS est_union
+  FROM est
+), ex AS (
+  SELECT count(DISTINCT CASE WHEN tag = 'a' THEN user_id END) AS n_exact_a,
+         count(DISTINCT CASE WHEN tag = 'b' THEN user_id END) AS n_exact_b,
+         count(DISTINCT user_id) AS n_exact_union
+  FROM ev
+)
+SELECT est_a, est_b, est_union,
+       round(est_a + est_b - est_union, 2) AS est_intersection,
+       n_exact_a, n_exact_b, n_exact_union,
+       n_exact_a + n_exact_b - n_exact_union AS n_exact_intersection
+FROM wide, ex
+"""

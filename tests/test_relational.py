@@ -176,3 +176,26 @@ def test_column_profile_single_scan(spark, sf_dir):
     assert rows["l_discount"]["max_val"] <= 0.1
     n = rows["l_orderkey"]["n_rows"]
     assert all(r["n_rows"] == n for r in rows.values())
+
+
+def test_pareto_frontier_is_exactly_the_nondominated_set(spark, sf_dir):
+    from parquet_to_csv_spark.operators.relational import pareto_frontier
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    got = {r["o_orderkey"] for r in pareto_frontier(spark, sf_dir).collect()}
+    orders = [
+        (r["o_orderkey"], r["o_orderdate"], int(round(r["o_totalprice"] * 100)))
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ]
+    expect = {
+        k
+        for k, d, c in orders
+        if not any(
+            (d2 < d and c2 >= c) or (d2 <= d and c2 > c)
+            for k2, d2, c2 in orders
+            if k2 != k
+        )
+    }
+    assert got == expect

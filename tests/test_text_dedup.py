@@ -280,3 +280,47 @@ def test_oov_rate_consistency(spark, sf_dir):
     # top-30 vocab over a skewed corpus covers most instances
     agg_oov = sum(r["n_oov"] for r in rows)
     assert agg_oov < total // 2
+
+
+def test_posting_lists_sharded_and_bounded(spark, sf_dir):
+    from parquet_to_csv_spark.operators.text import posting_lists
+
+    rows = posting_lists(spark, sf_dir, shard_size=50).collect()
+    assert rows
+    # no posting array can exceed its doc-range shard width
+    assert max(r["df_shard"] for r in rows) <= 50
+    # digests are hex md5 and deterministic across recomputation
+    again = {(r["token"], r["shard"]): r["postings_md5"] for r in rows}
+    assert all(len(v) == 32 for v in again.values())
+    rows2 = posting_lists(spark, sf_dir, shard_size=50).collect()
+    assert {(r["token"], r["shard"]): r["postings_md5"] for r in rows2} == again
+
+
+def test_source_ngram_overlap_bounds_and_symmetry(spark, sf_dir):
+    from parquet_to_csv_spark.operators.text import source_ngram_overlap
+
+    rows = source_ngram_overlap(spark, sf_dir).collect()
+    assert rows
+    shared = {(r["src_a"], r["src_b"]): r["n_shared"] for r in rows}
+    for r in rows:
+        assert r["src_a"] != r["src_b"]
+        assert 0 <= r["containment_ppm"] <= 1_000_000
+        assert r["n_shared"] <= r["n_grams_a"]
+        # the intersection count is symmetric even though containment isn't
+        assert shared[(r["src_b"], r["src_a"])] == r["n_shared"]
+
+
+def test_hll_segment_overlap_identity_and_error(spark, sf_dir):
+    from parquet_to_csv_spark.operators.sketch import hll_segment_overlap
+
+    r = hll_segment_overlap(spark, sf_dir).collect()[0]
+    # inclusion-exclusion identity holds on the emitted (rounded) values
+    assert abs((r["est_a"] + r["est_b"] - r["est_union"]) - r["est_intersection"]) < 0.02
+    # each single-set estimate lands within the coarse 256-register
+    # error envelope of its exact count
+    for est, exact in [
+        (r["est_a"], r["n_exact_a"]),
+        (r["est_b"], r["n_exact_b"]),
+        (r["est_union"], r["n_exact_union"]),
+    ]:
+        assert exact > 0 and abs(est - exact) / exact < 0.25
