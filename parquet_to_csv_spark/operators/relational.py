@@ -920,13 +920,17 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scalable form: for a 2-D skyline, sort by date and keep rows whose
     price beats the running max of everything earlier — O(n log n), no
     self-join. A bare ``Window.orderBy`` would move the whole relation
-    onto one task, so the running max uses the same two-phase
-    distributed scan as ``corpus.sequence_packing``: range-partition by
-    date, per-partition running max (parallel), per-partition totals
-    prefix-maxed on the driver-side-tiny P-row relation and
-    broadcast back as each partition's base. Dominance on exact integer
-    cents; ties (same date+price) are co-frontier — neither strictly
-    dominates.
+    onto one task, so the running max is the two-phase distributed
+    scan, banded by a DETERMINISTIC function of the data (calendar
+    month) rather than ``repartitionByRange`` + ``spark_partition_id``:
+    range boundaries come from sampling, so two branches reading the
+    scan are not guaranteed the same pid→range mapping unless the
+    exchange is physically reused — a month band derived from the row
+    itself is identical in every branch, plan shape, and engine by
+    construction. Per-band running max in parallel (window hashed on
+    band), band maxima prefix-maxed on the band-count-sized tiny
+    relation, broadcast back. Dominance on exact integer cents; ties
+    (same date+price) are co-frontier — neither strictly dominates.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -935,26 +939,30 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    base = o.repartitionByRange(8, "d").withColumn("pid", F.spark_partition_id())
+    base = o.withColumn(
+        "band",
+        F.year(F.col("o_orderdate").cast("date")) * 12
+        + F.month(F.col("o_orderdate").cast("date")),
+    )
     w_strict = (
-        W.partitionBy("pid").orderBy("d").rangeBetween(W.unboundedPreceding, -1)
+        W.partitionBy("band").orderBy("d").rangeBetween(W.unboundedPreceding, -1)
     )
     w_upto = (
-        W.partitionBy("pid").orderBy("d").rangeBetween(W.unboundedPreceding, 0)
+        W.partitionBy("band").orderBy("d").rangeBetween(W.unboundedPreceding, 0)
     )
     local = base.select(
         "*",
         F.max("cents").over(w_strict).alias("lmax_before"),
         F.max("cents").over(w_upto).alias("lmax_upto"),
     )
-    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    w_off = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
     offsets = (
-        base.groupBy("pid")
-        .agg(F.max("cents").alias("pmax"))
-        .withColumn("prev_max", F.max("pmax").over(w_off))
-        .select("pid", "prev_max")
+        base.groupBy("band")
+        .agg(F.max("cents").alias("bmax"))
+        .withColumn("prev_max", F.max("bmax").over(w_off))
+        .select("band", "prev_max")
     )
-    j = local.join(F.broadcast(offsets), "pid")
+    j = local.join(F.broadcast(offsets), "band")
     # strictly-earlier-date dominator with price >= mine, or
     # same-or-earlier-date dominator with price strictly > mine
     max_before = F.greatest(
