@@ -978,3 +978,85 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(~dominated)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the
+    expectation-suite / dbt-test pattern) evaluated in bulk: one row
+    per named constraint with the violation count, so a pipeline gate
+    is a single ``filter(n_violations > 0)`` on a tiny relation.
+
+    Constraint families and their plan shapes, chosen for 100 TB:
+
+    - **uniqueness** (pk_orders_unique, pk_lineitem_unique): count −
+      count(distinct key) via one partial-agg groupBy per table — no
+      self-join, no sort;
+    - **referential integrity** (fk_orders_customer,
+      fk_lineitem_orders): LEFT ANTI join child→parent — only the
+      child side streams through the exchange, parent side is the
+      build side (broadcast when small, shuffle-hash otherwise; AQE
+      decides);
+    - **domain / range** (chk_*): pure scan predicates — pushed to the
+      parquet reader, zero shuffle, all families share one scan per
+      table via the unioned aggregate.
+
+    Everything is an exact long count: no float to flip, trivially
+    oracle-checkable, and the report stays bytes-sized however large
+    the inputs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("constraint_name"), F.col("n_violations"))
+
+    pk_orders = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations")
+    )
+    pk_li = li.agg(
+        (
+            F.count("*")
+            - F.count_distinct("l_orderkey", "l_linenumber")
+        ).alias("n_violations")
+    )
+    fk_orders_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    fk_li_orders = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    chk_qty = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("n_violations")
+    )
+    chk_disc = li.agg(
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+        ).alias("n_violations")
+    )
+    chk_dates = li.agg(
+        F.count(
+            F.when(
+                (F.col("l_shipdate") < F.lit("1995-01-01"))
+                | (F.col("l_shipdate") > F.lit("2002-12-31")),
+                1,
+            )
+        ).alias("n_violations")
+    )
+    chk_price_pos = orders.agg(
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_violations")
+    )
+    return (
+        one("pk_orders_unique", pk_orders)
+        .unionByName(one("pk_lineitem_unique", pk_li))
+        .unionByName(one("fk_orders_customer", fk_orders_cust))
+        .unionByName(one("fk_lineitem_orders", fk_li_orders))
+        .unionByName(one("chk_quantity_range", chk_qty))
+        .unionByName(one("chk_discount_range", chk_disc))
+        .unionByName(one("chk_shipdate_epoch", chk_dates))
+        .unionByName(one("chk_totalprice_positive", chk_price_pos))
+    )

@@ -2687,3 +2687,33 @@ SELECT est_a, est_b, est_union,
        n_exact_a + n_exact_b - n_exact_union AS n_exact_intersection
 FROM wide, ex
 """
+
+# DQ constraint suite: every check an exact long count; anti-join RI,
+# groupBy-free uniqueness (count - count distinct), scan-predicate
+# range checks.
+QUERIES["dq_constraint_report"] = relational.dq_constraint_report
+ORACLES["dq_constraint_report"] = """
+SELECT 'pk_orders_unique' AS constraint_name,
+       count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+UNION ALL
+SELECT 'pk_lineitem_unique',
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+UNION ALL
+SELECT 'fk_orders_customer', count(*) FROM orders a
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = a.o_custkey)
+UNION ALL
+SELECT 'fk_lineitem_orders', count(*) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'chk_quantity_range',
+       count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) FROM lineitem
+UNION ALL
+SELECT 'chk_discount_range',
+       count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) FROM lineitem
+UNION ALL
+SELECT 'chk_shipdate_epoch',
+       count(CASE WHEN l_shipdate < '1995-01-01' OR l_shipdate > '2002-12-31' THEN 1 END) FROM lineitem
+UNION ALL
+SELECT 'chk_totalprice_positive',
+       count(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders
+"""

@@ -199,3 +199,22 @@ def test_pareto_frontier_is_exactly_the_nondominated_set(spark, sf_dir):
         )
     }
     assert got == expect
+
+
+def test_dq_constraint_report_names_and_clean_fixture(spark, sf_dir):
+    from parquet_to_csv_spark.operators.relational import dq_constraint_report
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    rows = {r["constraint_name"]: r["n_violations"] for r in
+            dq_constraint_report(spark, sf_dir).collect()}
+    assert len(rows) == 8
+    li = load_table(spark, sf_dir, "lineitem")
+    # recompute two constraints independently: the composite-key check
+    # (which the synthetic fixture genuinely violates — the suite must
+    # surface that, not assume clean data) and one clean check
+    dup_rows = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert rows["pk_lineitem_unique"] == dup_rows and dup_rows > 0
+    assert rows["fk_orders_customer"] == 0
+    assert rows["chk_discount_range"] == 0
+    assert all(v >= 0 for v in rows.values())
