@@ -453,3 +453,84 @@ def posting_lists(
             "postings_md5"
         ),
     )
+
+
+def bpe_learn(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """BPE tokenizer training — the first ``k`` merge rules learned
+    from the corpus, as PURE relational string algebra (no UDF): the
+    step every LLM data pipeline runs before token counting, usually
+    with an external trainer; here the inner loop (count adjacent
+    symbol pairs → take the most frequent → merge it everywhere) runs
+    as k unrolled DataFrame levels, and the DuckDB oracle replays the
+    identical recurrence as k CTE levels.
+
+    Representation trick that keeps everything engine-portable: a
+    word's symbol sequence is a string `` a b c`` (space before every
+    symbol). The greedy left-to-right BPE merge of pair (x, y) is then
+    EXACTLY ``replace(s, ' x y', ' xy')`` — SQL ``replace`` consumes
+    non-overlapping matches left to right, which is the BPE merge
+    order, and the leading-space framing cannot false-match inside
+    multi-character symbols. No lambda-fold or per-row Python.
+
+    Scale shape: BPE always trains on the (distinct word, freq)
+    relation, not the corpus — one exchange builds it, and every
+    iteration is a map (replace) + one partial-agg pair count whose
+    distinct-pair relation is tiny + a 1-row argmax broadcast back.
+    Lineage is truncated per level with ``localCheckpoint`` like the
+    other iterative operators (PageRank, k-means). Ties break
+    lexicographically; counts are exact longs — the learned merge
+    table is bit-identical on any engine or partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = words.select(
+        "freq", F.regexp_replace("word", "(.)", " $1").alias("s")
+    ).localCheckpoint(eager=False)
+
+    steps = []
+    for step in range(1, k + 1):
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(ltrim(s), ' ')) >= 2 THEN"
+                    " transform(sequence(1, size(split(ltrim(s), ' ')) - 1),"
+                    "  i -> struct(element_at(split(ltrim(s), ' '), i) AS lhs,"
+                    "              element_at(split(ltrim(s), ' '), i + 1) AS rhs))"
+                    " ELSE array() END"
+                )
+            ).alias("p"),
+        ).select("freq", "p.lhs", "p.rhs")
+        top = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .select(F.lit(step).alias("step"), "lhs", "rhs", "n_occ")
+            .localCheckpoint(eager=False)
+        )
+        steps.append(top)
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    top.select(F.col("lhs").alias("_l"), F.col("rhs").alias("_r"))
+                )
+            )
+            .select(
+                "freq",
+                F.expr(
+                    "replace(s, ' ' || _l || ' ' || _r, ' ' || _l || _r)"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = steps[0]
+    for t in steps[1:]:
+        out = out.unionByName(t)
+    return out.select(
+        "step", "lhs", "rhs", F.concat(F.col("lhs"), F.col("rhs")).alias("merged"), "n_occ"
+    )

@@ -2717,3 +2717,41 @@ UNION ALL
 SELECT 'chk_totalprice_positive',
        count(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders
 """
+
+# BPE learn: k=3 merge rules; the oracle replays the identical
+# count->argmax->greedy-replace recurrence as unrolled CTE levels.
+QUERIES["bpe_learn"] = text.bpe_learn
+_BPE_PAIRS = """
+  SELECT arr[i] AS lhs, arr[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS n_occ
+  FROM (SELECT freq, string_split(ltrim(s, ' '), ' ') AS arr, """ + \
+  """unnest(range(1, len(string_split(ltrim(s, ' '), ' ')))) AS i FROM {w})
+  GROUP BY 1, 2
+"""
+ORACLES["bpe_learn"] = f"""
+WITH words AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents) GROUP BY word
+), w1 AS (
+  SELECT freq, regexp_replace(word, '(.)', ' \\1', 'g') AS s FROM words
+), p1 AS ({_BPE_PAIRS.format(w='w1')}
+), t1 AS (
+  SELECT lhs, rhs, n_occ FROM p1 ORDER BY n_occ DESC, lhs, rhs LIMIT 1
+), w2 AS (
+  SELECT freq, replace(s, ' ' || t.lhs || ' ' || t.rhs, ' ' || t.lhs || t.rhs) AS s
+  FROM w1, t1 t
+), p2 AS ({_BPE_PAIRS.format(w='w2')}
+), t2 AS (
+  SELECT lhs, rhs, n_occ FROM p2 ORDER BY n_occ DESC, lhs, rhs LIMIT 1
+), w3 AS (
+  SELECT freq, replace(s, ' ' || t.lhs || ' ' || t.rhs, ' ' || t.lhs || t.rhs) AS s
+  FROM w2, t2 t
+), p3 AS ({_BPE_PAIRS.format(w='w3')}
+), t3 AS (
+  SELECT lhs, rhs, n_occ FROM p3 ORDER BY n_occ DESC, lhs, rhs LIMIT 1
+)
+SELECT 1 AS step, lhs, rhs, lhs || rhs AS merged, n_occ FROM t1
+UNION ALL
+SELECT 2, lhs, rhs, lhs || rhs, n_occ FROM t2
+UNION ALL
+SELECT 3, lhs, rhs, lhs || rhs, n_occ FROM t3
+"""

@@ -324,3 +324,46 @@ def test_hll_segment_overlap_identity_and_error(spark, sf_dir):
         (r["est_union"], r["n_exact_union"]),
     ]:
         assert exact > 0 and abs(est - exact) / exact < 0.25
+
+
+def test_bpe_learn_matches_reference_python_trainer(spark, sf_dir):
+    """Replay classic BPE (count adjacent pairs over the word-freq
+    relation, greedy left-to-right merge) in plain Python and require
+    the identical merge table."""
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators.text import bpe_learn
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["n_occ"])
+        for r in bpe_learn(spark, sf_dir, k=3).orderBy("step").collect()
+    ]
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    words = Counter()
+    for row in docs:
+        for w in row["text"].lower().split():
+            if w:
+                words[w] += 1
+    syms = {w: list(w) for w in words}
+    expect = []
+    for step in range(1, 4):
+        cnt = Counter()
+        for w, freq in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += freq
+        (l, r), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step, l, r, l + r, n))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == expect
