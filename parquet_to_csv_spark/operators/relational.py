@@ -996,9 +996,12 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       child side streams through the exchange, parent side is the
       build side (broadcast when small, shuffle-hash otherwise; AQE
       decides);
-    - **domain / range** (chk_*): pure scan predicates — pushed to the
-      parquet reader, zero shuffle, all families share one scan per
-      table via the unioned aggregate.
+    - **domain / range + uniqueness, fused per table**: ALL scalar
+      constraints on a table evaluate in ONE aggregate over one scan
+      (conditional counts + count−count_distinct side by side), then
+      ``stack`` unpivots the scalars into report rows — lineitem is
+      read once for its four checks, not four times. At 100 TB the
+      number of fact-table scans IS the cost of the suite.
 
     Everything is an exact long count: no float to flip, trivially
     oracle-checkable, and the report stays bytes-sized however large
@@ -1008,55 +1011,62 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
 
-    def one(name: str, df: DataFrame) -> DataFrame:
-        return df.select(F.lit(name).alias("constraint_name"), F.col("n_violations"))
-
-    pk_orders = orders.agg(
-        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations")
-    )
-    pk_li = li.agg(
-        (
-            F.count("*")
-            - F.count_distinct("l_orderkey", "l_linenumber")
-        ).alias("n_violations")
-    )
-    fk_orders_cust = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
-        .agg(F.count("*").alias("n_violations"))
-    )
-    fk_li_orders = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
-        .agg(F.count("*").alias("n_violations"))
-    )
-    chk_qty = li.agg(
+    li_scalars = li.agg(
+        (F.count("*") - F.count_distinct("l_orderkey", "l_linenumber")).alias(
+            "pk_lineitem_unique"
+        ),
         F.count(
             F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
-        ).alias("n_violations")
-    )
-    chk_disc = li.agg(
+        ).alias("chk_quantity_range"),
         F.count(
             F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
-        ).alias("n_violations")
-    )
-    chk_dates = li.agg(
+        ).alias("chk_discount_range"),
         F.count(
             F.when(
                 (F.col("l_shipdate") < F.lit("1995-01-01"))
                 | (F.col("l_shipdate") > F.lit("2002-12-31")),
                 1,
             )
-        ).alias("n_violations")
+        ).alias("chk_shipdate_epoch"),
+    ).select(
+        F.expr(
+            "stack(4,"
+            " 'pk_lineitem_unique', pk_lineitem_unique,"
+            " 'chk_quantity_range', chk_quantity_range,"
+            " 'chk_discount_range', chk_discount_range,"
+            " 'chk_shipdate_epoch', chk_shipdate_epoch"
+            ") AS (constraint_name, n_violations)"
+        )
     )
-    chk_price_pos = orders.agg(
-        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_violations")
+    o_scalars = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("pk_orders_unique"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "chk_totalprice_positive"
+        ),
+    ).select(
+        F.expr(
+            "stack(2,"
+            " 'pk_orders_unique', pk_orders_unique,"
+            " 'chk_totalprice_positive', chk_totalprice_positive"
+            ") AS (constraint_name, n_violations)"
+        )
+    )
+    fk_orders_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(
+            F.lit("fk_orders_customer").alias("constraint_name"), "n_violations"
+        )
+    )
+    fk_li_orders = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(
+            F.lit("fk_lineitem_orders").alias("constraint_name"), "n_violations"
+        )
     )
     return (
-        one("pk_orders_unique", pk_orders)
-        .unionByName(one("pk_lineitem_unique", pk_li))
-        .unionByName(one("fk_orders_customer", fk_orders_cust))
-        .unionByName(one("fk_lineitem_orders", fk_li_orders))
-        .unionByName(one("chk_quantity_range", chk_qty))
-        .unionByName(one("chk_discount_range", chk_disc))
-        .unionByName(one("chk_shipdate_epoch", chk_dates))
-        .unionByName(one("chk_totalprice_positive", chk_price_pos))
+        o_scalars.unionByName(li_scalars)
+        .unionByName(fk_orders_cust)
+        .unionByName(fk_li_orders)
     )
