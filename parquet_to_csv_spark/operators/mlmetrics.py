@@ -1,0 +1,361 @@
+"""Model-evaluation and feature-engineering analytics (EXT tier).
+
+The reference repo has no analytics surface at all (it is a fixed
+parquet -> CSV/SQLite dataflow, /root/reference/main.js); this module is
+the offline-evaluation / feature-store tier a training-data platform
+runs next to corpus prep: exact ROC AUC, RFM segmentation, revenue
+concentration (Gini), leave-one-out target encoding, per-key
+categorical entropy, and point-in-time trailing-window counts.
+
+Everything follows the engine-stability conventions of the rest of the
+repo (plans/registry.py header): exact integer units for money, integer
+micro-nats for logs (ln of a rational never sits on a rounding
+boundary), and final doubles produced by a single correctly-rounded
+IEEE division both engines perform on identical integers.
+
+Scale shapes (100 TB design point):
+
+- AUC collapses the fact table to one row per DISTINCT score before
+  any window runs — the global rank scan is over score cardinality,
+  not row count (scores here are integer n_chars; real-valued model
+  scores get bucketed to fixed precision first, which is how every
+  large-scale AUC job is run anyway).
+- Gini needs a global value rank; a bare global window is the
+  single-task trap, so it reuses the two-phase distributed prefix-sum
+  (range partition -> per-partition local rank + tiny broadcast
+  offsets) proven by corpus.sequence_packing.
+- Target encoding and entropy are one keyed aggregation plus one
+  broadcast join — shuffle is proportional to key cardinality.
+- Trailing-window features decorrelate the per-row time-range count
+  into the banded-bucket equi-join (rangejoin.py's trick): each
+  purchase probes exactly two 24 h bands, so cost is O(matching
+  pairs), never the quadratic inequality join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_to_csv_spark.functions.stable import exact_units
+from parquet_to_csv_spark.sources.tables import load_table
+
+__all__ = [
+    "auc_ranker",
+    "rfm_segments",
+    "gini_revenue",
+    "target_encoding_loo",
+    "user_event_entropy",
+    "trailing_window_features",
+]
+
+
+def auc_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC via the Mann-Whitney rank sum —
+    the classifier-eval primitive, computed as pure relational algebra
+    (no sklearn, no collect).
+
+    Ranker under test: ``n_chars`` predicting ``lang = 'en'`` on
+    ``documents`` (any integer score column works identically).
+
+    Plan: group to one row per DISTINCT score (map-side partial agg
+    crushes the fact table), then ONE ordered window over score
+    cardinality computes cumulative counts; average ranks for a tied
+    group are carried as ``2*rank`` so everything stays in exact long
+    arithmetic: for a tie group of size n starting after cum_n - n
+    rows, ``2*avg_rank = 2*(cum_n - n) + n + 1``. The Mann-Whitney U
+    is then ``(sum_pos_2rank - P*(P+1)) / 2`` and
+    ``AUC = U / (P*N)``, surfaced both as an exact integer ppm
+    (floored) and as one correctly-rounded double division.
+
+    Overflow bound: the 2-rank sum is <= (P+N)^2, exact in a long up
+    to ~3e9 rows; past that, bucket scores and carry DECIMAL(38,0) —
+    the plan shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    by_score = docs.groupBy(F.col("n_chars").alias("score")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("p"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = by_score.withColumn("cum_n", F.sum("n").over(w))
+    tot = ranked.agg(
+        F.sum("p").alias("pos_n"),
+        (F.sum("n") - F.sum("p")).alias("neg_n"),
+        F.sum(
+            F.col("p") * (2 * (F.col("cum_n") - F.col("n")) + F.col("n") + 1)
+        ).alias("s2"),
+    )
+    return tot.select(
+        "pos_n",
+        "neg_n",
+        F.expr(
+            "(s2 - pos_n * (pos_n + 1)) * 1000000 div (2 * pos_n * neg_n)"
+        ).alias("auc_ppm"),
+        (
+            (F.col("s2") - F.col("pos_n") * (F.col("pos_n") + 1)).cast("double")
+            / (2 * F.col("pos_n") * F.col("neg_n")).cast("double")
+        ).alias("auc"),
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles, the classic CRM scoring grid.
+
+    One scan of ``orders`` to the per-customer grain (recency = days
+    since the customer's last order relative to the corpus max day,
+    frequency = order count, monetary = exact integer cents), then
+    three ``ntile(5)`` windows over UNIQUE total orders (metric,
+    custkey) so tile boundaries are engine-stable, then a tiny grouped
+    rollup to the <=125-cell segment grid.
+
+    The global-sort ntile windows run over customer cardinality, not
+    order rows. At true 100 TB customer counts the documented
+    at-scale variant of relational.order_value_deciles applies: range
+    partition by the metric and assign tiles locally against known
+    quantile cuts — same output contract.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(exact_units(F.col("o_totalprice"), 2)).alias("mon_cents"),
+    )
+    g = F.broadcast(per.agg(F.max("last_day").alias("g_day")))
+    scored = per.join(g).withColumn("rec_days", F.col("g_day") - F.col("last_day"))
+    w_r = Window.orderBy("rec_days", "o_custkey")
+    w_f = Window.orderBy("freq", "o_custkey")
+    w_m = Window.orderBy("mon_cents", "o_custkey")
+    tiled = scored.select(
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+        "mon_cents",
+    )
+    return tiled.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mon_cents").alias("cell_cents"),
+    )
+
+
+def gini_revenue(spark: SparkSession, sf_dir: str, n_parts: int = 8) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality /
+    concentration KPI (how top-heavy is spend?).
+
+    Needs every customer's global rank by revenue. A bare
+    ``row_number() over (order by cents)`` serializes the relation
+    through one task, so this reuses the two-phase distributed scan
+    from corpus.sequence_packing: range-partition by (cents, custkey),
+    local row_number per partition, per-partition counts prefix-summed
+    on the driver-sized offsets relation and broadcast back.
+
+    With ranks i (ascending, 1..n) the exact form is
+    ``G = (2*sum(i*cents_i) - (n+1)*total) / (n*total)``. Numerator
+    and denominator are exact longs (error-free integer sums in any
+    order); the single long->double casts and one IEEE division are
+    correctly rounded and identical in every engine, so the double is
+    bit-deterministic with NO rounding step. Overflow bound:
+    n*total <= 9.2e18 covers ~1e5 customers at $1 M each; past that
+    swap the sums to DECIMAL(38,0) — plan unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(exact_units(F.col("o_totalprice"), 2)).alias("cents")
+    )
+    base = per.repartitionByRange(n_parts, "cents", "o_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+    local = base.withColumn("local_i", F.row_number().over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .withColumn("base_i", F.coalesce(F.sum("pn").over(w_off), F.lit(0)))
+        .select("pid", "base_i")
+    )
+    idx = local.join(F.broadcast(offsets), "pid").withColumn(
+        "i", F.col("base_i") + F.col("local_i")
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("s_ix"),
+    )
+    return stats.select(
+        "n_customers",
+        "total_cents",
+        (
+            (
+                2 * F.col("s_ix")
+                - (F.col("n_customers") + 1) * F.col("total_cents")
+            ).cast("double")
+            / (F.col("n_customers") * F.col("total_cents")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of ``c_mktsegment`` against order
+    value — the leakage-safe categorical feature encoder (each
+    customer's encoding excludes their own orders).
+
+    Plan: orders collapse to the customer grain (one keyed exchange),
+    join the customer dim for the segment, aggregate segment totals
+    (tiny — broadcast back), then the LOO value is pure per-row
+    arithmetic on exact cents:
+    ``(seg_cents - own_cents) div (seg_orders - own_orders)``
+    (floored integer division of non-negative longs — identical in
+    both engines). Customers owning their segment's only orders
+    encode as NULL rather than a divide-by-zero.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(exact_units(F.col("o_totalprice"), 2)).alias("own_cents"),
+    )
+    j = per.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        per.o_custkey == F.col("c_custkey"),
+    ).select("o_custkey", "c_mktsegment", "n_orders", "own_cents")
+    seg = j.groupBy("c_mktsegment").agg(
+        F.sum("n_orders").alias("seg_orders"),
+        F.sum("own_cents").alias("seg_cents"),
+    )
+    return (
+        j.join(F.broadcast(seg), "c_mktsegment")
+        .select(
+            "o_custkey",
+            "c_mktsegment",
+            "n_orders",
+            F.when(
+                F.col("seg_orders") > F.col("n_orders"),
+                F.expr(
+                    "(seg_cents - own_cents) div (seg_orders - n_orders)"
+                ),
+            ).alias("loo_avg_cents"),
+        )
+    )
+
+
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type distribution summary: Shannon entropy (how
+    varied is the behavior) plus the modal event type — two standard
+    behavioral features.
+
+    Counts collapse to the (user, type) grain with map-side partial
+    agg; per-type surprisal is integer micro-nats
+    (``round(ln(c/n)*1e6)`` — ln of a rational is irrational, the
+    half-way boundary is never hit, the <=1-ulp cross-engine ln
+    difference cannot flip it; same convention as
+    corpus.unigram_lm_score). Entropy = exact long sum of
+    ``c * -surprisal`` floor-divided by n — all operands non-negative,
+    so Spark ``div`` and DuckDB ``//`` agree (they diverge on negative
+    numerators: truncate vs floor).
+
+    The mode is picked relationally (max count per user, then min
+    event_type among ties) instead of ``max_by`` so the DuckDB oracle
+    replays it verbatim.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"), F.count(F.lit(1)).alias("n_types")
+    )
+    j = counts.join(totals, "user_id")
+    neg_units = F.round(
+        F.log(F.col("c").cast("double") / F.col("n_events")) * -1e6, 0
+    ).cast("long")
+    ent = (
+        j.select("user_id", "n_events", "n_types", F.col("c"), neg_units.alias("nu"))
+        .groupBy("user_id")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("n_types").alias("n_types"),
+            F.sum(F.col("c") * F.col("nu")).alias("sum_units"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.expr("sum_units div n_events").alias("entropy_unats"),
+        )
+    )
+    mx = counts.groupBy("user_id").agg(F.max("c").alias("mx"))
+    mode = (
+        counts.join(mx, "user_id")
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("mode_type"))
+    )
+    return ent.join(mode, "user_id").select(
+        "user_id", "n_events", "n_types", "mode_type", "entropy_unats"
+    )
+
+
+def trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time trailing-window features: for every purchase,
+    how many clicks did the same user make in the preceding 24 h and
+    1 h — the feature-store generation pattern (leakage-safe: strictly
+    before the purchase).
+
+    The naive form is a correlated time-range count (a quadratic
+    inequality join). Decorrelation: clicks register in their 24 h
+    band (``ts_us div band``); each purchase probes exactly its own
+    and the previous band — a plain hash equi-join on
+    (user_id, band) whose cost is O(matching pairs). The 1 h count
+    rides the same join as a conditional sum. Purchases with no
+    trailing clicks re-enter via one left join, count 0.
+
+    Integer-microsecond arithmetic end to end; at 100 TB both sides
+    prune to their event type at the scan (pushed predicate) before
+    any shuffle.
+    """
+    band_us = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts_us").alias("p_ts")
+    )
+    probes = purchases.withColumn(
+        "band",
+        F.explode(
+            F.array(
+                F.expr(f"p_ts div {band_us} - 1"), F.expr(f"p_ts div {band_us}")
+            )
+        ),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("c_ts"),
+        F.expr(f"ts_us div {band_us}").alias("band"),
+    )
+    hits = (
+        probes.join(clicks, ["user_id", "band"])
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.lit(band_us))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .groupBy("p_id")
+        .agg(
+            F.count(F.lit(1)).alias("clicks_24h"),
+            F.sum(
+                F.when(
+                    F.col("c_ts") >= F.col("p_ts") - F.lit(3_600_000_000), 1
+                ).otherwise(0)
+            ).alias("clicks_1h"),
+        )
+    )
+    return purchases.join(hits, "p_id", "left").select(
+        F.col("p_id").alias("event_id"),
+        "user_id",
+        F.col("p_ts").alias("ts_us"),
+        F.coalesce(F.col("clicks_24h"), F.lit(0).cast("long")).alias("clicks_24h"),
+        F.coalesce(F.col("clicks_1h"), F.lit(0).cast("long")).alias("clicks_1h"),
+    )

@@ -2755,3 +2755,154 @@ SELECT 2, lhs, rhs, lhs || rhs, n_occ FROM t2
 UNION ALL
 SELECT 3, lhs, rhs, lhs || rhs, n_occ FROM t3
 """
+
+# --------------------------------------------------------------------------
+# EXT E104-E109 — model-eval / feature-engineering tier (mlmetrics.py)
+# --------------------------------------------------------------------------
+from parquet_to_csv_spark.operators import mlmetrics  # noqa: E402
+
+# Exact tie-corrected ROC AUC (Mann-Whitney). All-long rank algebra on
+# the per-distinct-score relation; the final double is ONE IEEE division
+# of exact longs — bit-deterministic, no rounding step needed.
+QUERIES["auc_ranker"] = mlmetrics.auc_ranker
+ORACLES["auc_ranker"] = """
+WITH s AS (
+  SELECT n_chars AS score, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+  FROM documents GROUP BY 1
+), c AS (
+  SELECT score, n, p,
+         sum(n) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM s
+), t AS (
+  SELECT CAST(sum(p) AS BIGINT) AS pos_n,
+         CAST(sum(n) - sum(p) AS BIGINT) AS neg_n,
+         CAST(sum(p * (2 * (cum_n - n) + n + 1)) AS BIGINT) AS s2
+  FROM c
+)
+SELECT pos_n, neg_n,
+       CAST((s2 - pos_n * (pos_n + 1)) * 1000000 // (2 * pos_n * neg_n) AS BIGINT)
+         AS auc_ppm,
+       CAST(s2 - pos_n * (pos_n + 1) AS DOUBLE)
+         / CAST(2 * pos_n * neg_n AS DOUBLE) AS auc
+FROM t
+"""
+
+# RFM quintile grid. ntile(5) over UNIQUE (metric, custkey) orders —
+# identical first-buckets-get-the-remainder semantics in both engines.
+QUERIES["rfm_segments"] = mlmetrics.rfm_segments
+ORACLES["rfm_segments"] = f"""
+WITH per AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         count(*) AS freq,
+         sum({duck_units('o_totalprice', 2)}) AS mon_cents
+  FROM orders GROUP BY 1
+), g AS (SELECT max(last_day) AS g_day FROM per
+), t AS (
+  SELECT ntile(5) OVER (ORDER BY g_day - last_day, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY mon_cents, o_custkey) AS m_score,
+         mon_cents
+  FROM per, g
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(mon_cents) AS BIGINT) AS cell_cents
+FROM t GROUP BY 1, 2, 3
+"""
+
+# Gini: exact long numerator/denominator, one correctly-rounded double
+# division — deterministic without ppm rounding. The oracle ranks with
+# a plain window; the engine uses the two-phase distributed prefix sum.
+QUERIES["gini_revenue"] = mlmetrics.gini_revenue
+ORACLES["gini_revenue"] = f"""
+WITH per AS (
+  SELECT o_custkey, sum({duck_units('o_totalprice', 2)}) AS cents
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM per
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(i * cents) AS BIGINT) AS s_ix
+  FROM r
+)
+SELECT n_customers, total_cents,
+       CAST(2 * s_ix - (n_customers + 1) * total_cents AS DOUBLE)
+         / CAST(n_customers * total_cents AS DOUBLE) AS gini
+FROM t
+"""
+
+# Leave-one-out target encoding; floored division of non-negative longs.
+QUERIES["target_encoding_loo"] = mlmetrics.target_encoding_loo
+ORACLES["target_encoding_loo"] = f"""
+WITH per AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum({duck_units('o_totalprice', 2)}) AS own_cents
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT o_custkey, c_mktsegment, n_orders, own_cents
+  FROM per JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_mktsegment, sum(n_orders) AS seg_orders, sum(own_cents) AS seg_cents
+  FROM j GROUP BY 1
+)
+SELECT j.o_custkey, j.c_mktsegment, j.n_orders,
+       CASE WHEN seg.seg_orders > j.n_orders
+            THEN CAST((seg.seg_cents - j.own_cents)
+                      // (seg.seg_orders - j.n_orders) AS BIGINT)
+       END AS loo_avg_cents
+FROM j JOIN seg ON j.c_mktsegment = seg.c_mktsegment
+"""
+
+# Per-user entropy in integer micro-nats (unigram-LM ln convention) +
+# relational mode (max count, min type tie-break — replayed verbatim).
+QUERIES["user_event_entropy"] = mlmetrics.user_event_entropy
+ORACLES["user_event_entropy"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM c GROUP BY 1
+), e AS (
+  SELECT c.user_id, t.n_events, t.n_types,
+         CAST(sum(c.c * CAST(round(ln(CAST(c.c AS DOUBLE) / t.n_events) * -1e6, 0)
+                             AS BIGINT)) AS BIGINT) AS sum_units
+  FROM c JOIN t ON c.user_id = t.user_id
+  GROUP BY 1, 2, 3
+), mx AS (
+  SELECT user_id, max(c) AS mx FROM c GROUP BY 1
+), md AS (
+  SELECT c.user_id, min(c.event_type) AS mode_type
+  FROM c JOIN mx ON c.user_id = mx.user_id AND c.c = mx.mx
+  GROUP BY 1
+)
+SELECT e.user_id, e.n_events, e.n_types, md.mode_type,
+       CAST(e.sum_units // e.n_events AS BIGINT) AS entropy_unats
+FROM e JOIN md ON e.user_id = md.user_id
+"""
+
+# Trailing-window point-in-time features; the oracle keeps the literal
+# correlated time-range counts the banded join decorrelates.
+QUERIES["trailing_window_features"] = mlmetrics.trailing_window_features
+ORACLES["trailing_window_features"] = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST((SELECT count(*) FROM c
+             WHERE c.user_id = p.user_id
+               AND c.c_ts >= p.ts_us - 86400000000
+               AND c.c_ts < p.ts_us) AS BIGINT) AS clicks_24h,
+       CAST((SELECT count(*) FROM c
+             WHERE c.user_id = p.user_id
+               AND c.c_ts >= p.ts_us - 3600000000
+               AND c.c_ts < p.ts_us) AS BIGINT) AS clicks_1h
+FROM p
+"""
