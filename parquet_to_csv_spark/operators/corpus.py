@@ -501,3 +501,75 @@ def sequence_packing(
             F.expr(f"(cum_before + n_tokens - 1) div {ctx_len}") - seq_id + F.lit(1)
         ).alias("n_seqs"),
     )
+
+
+def split_leakage(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    train_pct: int = 80,
+    min_ppm: int = 500_000,
+) -> DataFrame:
+    """Train/validation leakage audit: validation documents whose word
+    ``n``-grams are substantially contained in some training document —
+    the check every eval split needs before a benchmark number is
+    trusted (an eval doc near-duplicated in training inflates scores).
+
+    Composition of two proven pieces: the deterministic md5-bucket
+    split (documents hash to train if ``bucket < train_pct``) and the
+    gram-keyed inverted-index join of source_ngram_overlap, here at
+    (val doc × train doc) grain. Shuffle ∝ distinct grams; the join
+    key is the gram (high cardinality — parallelizes); no pairwise
+    quadratic anywhere. Containment is exact integer ppm of the val
+    doc's distinct grams; each val doc reports its WORST offender
+    (max containment, min train doc on ties — relational argmax, so
+    the DuckDB oracle replays it verbatim).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id"), 100)
+    grams = (
+        docs.select("doc_id", b.alias("bucket"), tokens_col("text").alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            "bucket",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    val = grams.filter(F.col("bucket") >= train_pct).select(
+        F.col("doc_id").alias("val_doc"), "gram"
+    )
+    train = grams.filter(F.col("bucket") < train_pct).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    sizes = val.groupBy("val_doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        val.join(train, "gram")
+        .groupBy("val_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = (
+        shared.join(sizes, "val_doc")
+        .withColumn(
+            "containment_ppm", F.expr("n_shared * 1000000 div n_grams")
+        )
+        .filter(F.col("containment_ppm") >= min_ppm)
+    )
+    worst = scored.groupBy("val_doc").agg(F.max("containment_ppm").alias("mx"))
+    return (
+        scored.join(worst, "val_doc")
+        .filter(F.col("containment_ppm") == F.col("mx"))
+        .groupBy("val_doc")
+        .agg(
+            F.min("train_doc").alias("train_doc"),
+            F.first("mx").alias("containment_ppm"),
+            F.first("n_grams").alias("n_grams"),
+        )
+        .select("val_doc", "train_doc", "n_grams", "containment_ppm")
+    )

@@ -534,3 +534,127 @@ def bpe_learn(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     return out.select(
         "step", "lhs", "rhs", F.concat(F.col("lhs"), F.col("rhs")).alias("merged"), "n_occ"
     )
+
+
+def pmi_bigrams(
+    spark: SparkSession, sf_dir: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Collocation detection: top-k word bigrams by pointwise mutual
+    information — the classic phrase-mining signal (multi-word
+    expressions score high because they co-occur far above chance).
+
+    Plan: ONE token pass feeds both relations — adjacent-pair bigram
+    counts (explode of an array-local zip, shuffle ∝ distinct bigrams
+    with map-side combine) and unigram counts; corpus totals join in
+    as one-row broadcasts; top-k is TakeOrderedAndProject, never a
+    global sort.
+
+    Determinism: PMI = ln(c_xy·U²/(T·c_x·c_y)) is assembled from
+    per-count integer micro-nats — ``u(k) = round(ln(k)·1e6)`` (ln of
+    an integer is irrational for k>1, so the half-way boundary is
+    never hit; the ≤1-ulp cross-engine ln difference cannot flip it) —
+    as ``u(c_xy) + 2·u(U) − u(T) − u(c_x) − u(c_y)``: exact long
+    addition, no float products that could overflow or reassociate.
+    Ranking and ties resolve on (pmi_unats, w1, w2) — total order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col("text").alias("toks")).filter(F.size("toks") >= 2)
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    uni = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot_b = F.broadcast(bi.agg(F.sum("n_xy").alias("t_bi")))
+    tot_u = F.broadcast(uni.agg(F.sum("n_w").alias("t_uni")))
+
+    def _unats(c) -> F.Column:
+        return F.round(F.log(c.cast("double")) * 1e6, 0).cast("long")
+
+    scored = (
+        bi.filter(F.col("n_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y")), "w2")
+        .join(tot_b)
+        .join(tot_u)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            (
+                _unats(F.col("n_xy"))
+                + 2 * _unats(F.col("t_uni"))
+                - _unats(F.col("t_bi"))
+                - _unats(F.col("n_x"))
+                - _unats(F.col("n_y"))
+            ).alias("pmi_unats"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_unats"), "w1", "w2").limit(k)
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str, n_features: int = 1024) -> DataFrame:
+    """The hashing trick: each document's term frequencies folded into a
+    fixed ``n_features``-dimensional signed sparse vector — the
+    vocabulary-free vectorizer (no dictionary to build, ship, or keep
+    consistent across training runs).
+
+    Index and sign derive from md5 of the term (independent salts) via
+    corpus.md5_bucket — portable hex-digit arithmetic, since Spark's
+    ``conv`` has no DuckDB twin — so the vectors are reproducible
+    across engines/runs, unlike ``HashingTF``'s engine-private murmur.
+    ``n_features`` is capped at the bucket helper's 16-bit range
+    (4096 here). The sparse vector
+    is surfaced as an order-canonical digest (entries sorted by index,
+    ``idx:val`` joined) plus nnz/L1 summaries, making a per-row array
+    result hash-checkable by the gate (same trick as posting_lists).
+
+    One explode + one (doc, idx) exchange with map-side combine; the
+    per-doc fold is array-local. No Python, no UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    idx = md5_bucket(F.col("term"), n_features).cast("long").alias("idx")
+    sign = F.when(
+        md5_bucket(F.concat(F.lit("sign:"), F.col("term")), 2) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    cells = (
+        tf.select("doc_id", idx, (sign * F.col("tf")).alias("sv"))
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("sv").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum(F.abs("val")).alias("l1"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "val"))),
+                        lambda s: F.concat_ws(":", s.idx.cast("string"), s.val.cast("string")),
+                    ),
+                    ",",
+                )
+            ).alias("vec_digest"),
+        )
+    )

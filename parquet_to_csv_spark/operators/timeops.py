@@ -554,3 +554,49 @@ def debounce_events(
     return gapped.filter(
         (F.col("gap_us") < 0) | (F.col("gap_us") >= gap_us)
     ).select("event_id", "user_id", "event_type", "ts_us", "gap_us")
+
+
+def daily_balance_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward fill: each user's daily purchase
+    total, densified over the user's own active span (every calendar
+    day between their first and last purchase) with gaps carrying the
+    last observed value forward — the standard time-series
+    regularization step before windowed features or charting.
+
+    Plan: one scan collapses to the (user, day) grain; per-user spans
+    are a tiny aggregate; the day spine is an array-local
+    ``sequence``+``explode`` (rows ∝ active span, NOT |users|×|global
+    days| — the cross-join trap); one left join puts observations on
+    the spine and one per-user ordered window does the forward fill.
+    All arithmetic is integer days / exact cents.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("ts div 1000 div 86400000000").alias("day"),
+            exact_units(F.col("value"), 2).alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.col("day_cents").isNull().alias("is_gap"),
+    )

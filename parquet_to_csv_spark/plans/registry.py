@@ -2906,3 +2906,115 @@ SELECT p.event_id, p.user_id, p.ts_us,
                AND c.c_ts < p.ts_us) AS BIGINT) AS clicks_1h
 FROM p
 """
+
+# --------------------------------------------------------------------------
+# EXT E110-E113 — collocations, leakage audit, feature hashing, gap-fill
+# --------------------------------------------------------------------------
+from parquet_to_csv_spark.operators.corpus import duck_md5_bucket  # noqa: E402
+
+# PMI collocations: per-count integer micro-nats assembled additively —
+# exact long algebra, no float products; (pmi, w1, w2) total order.
+QUERIES["pmi_bigrams"] = text.pmi_bigrams
+_UNATS = "CAST(round(ln(CAST({c} AS DOUBLE)) * 1e6, 0) AS BIGINT)"
+ORACLES["pmi_bigrams"] = f"""
+WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents
+), bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY 1
+), tb AS (SELECT CAST(sum(n_xy) AS BIGINT) AS t_bi FROM bi
+), tu AS (SELECT CAST(sum(n_w) AS BIGINT) AS t_uni FROM uni
+)
+SELECT w1, w2, n_xy,
+       {_UNATS.format(c='n_xy')} + 2 * {_UNATS.format(c='t_uni')}
+         - {_UNATS.format(c='t_bi')} - {_UNATS.format(c='x.n_w')}
+         - {_UNATS.format(c='y.n_w')} AS pmi_unats
+FROM bi
+JOIN uni x ON bi.w1 = x.w
+JOIN uni y ON bi.w2 = y.w
+CROSS JOIN tb CROSS JOIN tu
+WHERE n_xy >= 5
+ORDER BY pmi_unats DESC, w1, w2
+LIMIT 20
+"""
+
+# Hashing-trick vectorizer: md5-bucket index/sign, order-canonical
+# sparse-vector digest (posting_lists convention).
+QUERIES["feature_hashing"] = text.feature_hashing
+ORACLES["feature_hashing"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+), cells AS (
+  SELECT doc_id,
+         CAST({duck_md5_bucket('term', 1024)} AS BIGINT) AS idx,
+         CAST(sum(CASE WHEN {duck_md5_bucket("'sign:' || term", 2)} = 0
+                       THEN tf ELSE -tf END) AS BIGINT) AS val
+  FROM tf GROUP BY 1, 2
+), nz AS (SELECT * FROM cells WHERE val <> 0)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS nnz,
+       CAST(sum(abs(val)) AS BIGINT) AS l1,
+       md5(string_agg(idx || ':' || val, ',' ORDER BY idx)) AS vec_digest
+FROM nz GROUP BY doc_id
+"""
+
+# Split-leakage audit: md5 split + gram-keyed containment, worst
+# offender per val doc via relational argmax.
+QUERIES["split_leakage"] = corpus.split_leakage
+ORACLES["split_leakage"] = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, {duck_md5_bucket('doc_id', 100)} AS bucket,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 5)
+), v AS (SELECT doc_id AS val_doc, gram FROM g WHERE bucket >= 80
+), tr AS (SELECT doc_id AS train_doc, gram FROM g WHERE bucket < 80
+), sizes AS (SELECT val_doc, CAST(count(*) AS BIGINT) AS n_grams FROM v GROUP BY 1
+), shared AS (
+  SELECT val_doc, train_doc, CAST(count(*) AS BIGINT) AS n_shared
+  FROM v JOIN tr USING (gram) GROUP BY 1, 2
+), scored AS (
+  SELECT shared.val_doc, train_doc, n_grams,
+         n_shared * 1000000 // n_grams AS containment_ppm
+  FROM shared JOIN sizes ON shared.val_doc = sizes.val_doc
+  WHERE n_shared * 1000000 // n_grams >= 500000
+), worst AS (SELECT val_doc, max(containment_ppm) AS mx FROM scored GROUP BY 1)
+SELECT s.val_doc, min(s.train_doc) AS train_doc,
+       CAST(any_value(s.n_grams) AS BIGINT) AS n_grams,
+       CAST(any_value(s.mx) AS BIGINT) AS containment_ppm
+FROM (SELECT scored.*, worst.mx FROM scored
+      JOIN worst ON scored.val_doc = worst.val_doc
+                AND scored.containment_ppm = worst.mx) s
+GROUP BY s.val_doc
+"""
+
+# Calendar gap-fill + forward fill over each user's own active span.
+QUERIES["daily_balance_gapfill"] = timeops.daily_balance_gapfill
+ORACLES["daily_balance_gapfill"] = f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum({duck_units('value', 2)}) AS BIGINT) AS day_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx)) AS day FROM span
+), j AS (
+  SELECT spine.user_id, spine.day, d.day_cents
+  FROM spine LEFT JOIN d ON spine.user_id = d.user_id AND spine.day = d.day
+)
+SELECT user_id, day,
+       last_value(day_cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+       day_cents IS NULL AS is_gap
+FROM j
+"""
