@@ -573,3 +573,28 @@ def split_leakage(
         )
         .select("val_doc", "train_doc", "n_grams", "containment_ppm")
     )
+
+
+def group_sample_fixed(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
+    """Fixed-SIZE deterministic sample per group: exactly ``min(n,
+    |group|)`` documents per language, selected by md5 order — the
+    per-stratum quota sampler (vs stratified_sample's per-stratum
+    RATE). Reproducible across engines/runs/partitionings, unlike
+    reservoir sampling seeded per partition.
+
+    One hash exchange on the group key + a per-group sort of md5 keys.
+    The md5 order is uniform-random-like but fixed, so re-running with
+    a larger ``n`` EXTENDS the sample (nested samples, same property
+    as the bucket samplers). A skewed group costs one big per-group
+    sort task at scale; the fix (pre-filter by a bucket threshold that
+    overshoots n, then rank) keeps the same output contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("doc_id", "lang", F.col("rn").alias("sample_rank"))
+    )

@@ -639,3 +639,62 @@ def neardup_pagerank(
     return pr.select(
         F.col("v").alias("doc_id"), "deg", F.col("pr").alias("pr_ppb")
     )
+
+
+def clustering_coefficient(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Local clustering coefficient per vertex of the near-dup graph —
+    degree, triangle count, and cc = 2T/(d(d-1)) — the signal that
+    separates a dense duplicate CLUSTER (cc → 1) from a hub of
+    borderline pairs (cc → 0), deciding whether to collapse a whole
+    group to one canonical doc or keep reviewing pairs.
+
+    Same oriented node-iterator triangle join as
+    :func:`neardup_triangles` (each triangle closed once via one hash
+    join against the edge set, cost O(wedges)); degrees come from one
+    union + groupBy over the SAME persisted edge relation, so the
+    expensive exact-Jaccard edge build runs once. cc in exact integer
+    ppm (NULL for degree < 2 — undefined, not zero).
+    """
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir, threshold)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionAll(edges.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    tri = wedges.join(
+        edges.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    ).select("a", "b", "c")
+    per_vertex = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_vertex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr("2 * coalesce(n_triangles, 0) * 1000000 div (degree * (degree - 1))"),
+            ).alias("cc_ppm"),
+        )
+    )

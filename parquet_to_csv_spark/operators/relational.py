@@ -1070,3 +1070,68 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fk_orders_cust)
         .unionByName(fk_li_orders)
     )
+
+
+def association_rules(
+    spark: SparkSession, sf_dir: str, min_pair: int = 5, k: int = 25
+) -> DataFrame:
+    """Market-basket association rules (antecedent → consequent) with
+    support / confidence / lift — the directed extension of
+    :func:`part_cooccurrence_topk` (which stops at pair counts).
+
+    Plan: one distinct (order, part) pass feeds item counts, the
+    basket count, and the oriented pair self-join (fan-out quadratic
+    in basket size — bounded — not table size, same contract as the
+    co-occurrence op); the three measures are pure integer-ppm
+    arithmetic on exact long counts:
+    support = P(a∧b), confidence = P(b|a) = c_ab/c_a,
+    lift = c_ab·n_orders / (c_a·c_b) (>1e6 ppm ⇒ positive
+    association). Overflow bound: c_ab·n_orders·1e6 needs
+    c_ab·n_orders ≤ 9.2e12 — at warehouse scale carry DECIMAL(38,0),
+    plan unchanged. Top-k by lift is TakeOrderedAndProject.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    n_orders = F.broadcast(
+        li.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair)
+    )
+    return (
+        pairs.join(
+            item.select(F.col("l_partkey").alias("antecedent"), F.col("c_item").alias("c_a")),
+            "antecedent",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("consequent"), F.col("c_item").alias("c_b")),
+            "consequent",
+        )
+        .join(n_orders)
+        .select(
+            "antecedent",
+            "consequent",
+            "c_ab",
+            F.expr("c_ab * 1000000 div n_orders").alias("support_ppm"),
+            F.expr("c_ab * 1000000 div c_a").alias("confidence_ppm"),
+            F.expr("c_ab * n_orders * 1000000 div (c_a * c_b)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "antecedent", "consequent")
+        .limit(k)
+    )

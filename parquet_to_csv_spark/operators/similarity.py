@@ -731,3 +731,66 @@ def negative_pairs(
             F.min_by("neg_label", "neg_id").alias("neg_label"),
         )
     )
+
+
+def ndcg_label_match(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """NDCG@k of the exact cosine retriever against label-match
+    relevance — the standard graded ranking-eval metric, computed as
+    pure relational algebra (no sklearn, no collect).
+
+    Composes the gate-verified :func:`cosine_topk` ranking (total
+    order: sim desc, cand_id) with binary relevance rel = (candidate
+    label == query label). Discounts are integer micro-units
+    ``d(i) = round(1e6 / log2(i+1))`` — irrational except at
+    i ∈ {1,3} where the value is exactly 1e6 / 5e5 (far from any .5
+    boundary), so the ≤1-ulp cross-engine log2 difference cannot flip
+    the rounding. DCG is then an exact long sum; the ideal DCG
+    prefix-sums the same discounts over ``min(k, n_label - 1)`` slots
+    via an array-local ``aggregate`` (no extra scan); NDCG is one
+    integer-ppm division.
+
+    Scale: rides cosine_topk's broadcast-bounded query contract; the
+    label-count dim is a tiny broadcast.
+    """
+    ranked = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_lab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    c_lab = emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label"))
+    lab_n = F.broadcast(emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label")))
+    d_units = F.expr("cast(round(1e6 / log2(rnk + 1), 0) as long)")
+    per_q = (
+        ranked.join(F.broadcast(q_lab), "query_id")
+        .join(c_lab, "cand_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum(
+                F.when(F.col("q_label") == F.col("c_label"), d_units).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dcg_units"),
+            F.sum(
+                F.when(F.col("q_label") == F.col("c_label"), 1).otherwise(0)
+            ).alias("n_rel_at_k"),
+        )
+    )
+    r = F.least(F.lit(k), F.col("n_label") - 1)
+    idcg = F.expr(
+        "aggregate(sequence(1, r_slots), 0L,"
+        " (acc, i) -> acc + cast(round(1e6 / log2(i + 1), 0) as long))"
+    )
+    return (
+        per_q.join(lab_n, per_q.q_label == lab_n.label)
+        .withColumn("r_slots", r)
+        .withColumn("idcg_units", F.when(F.col("r_slots") >= 1, idcg))
+        .select(
+            "query_id",
+            "n_rel_at_k",
+            "dcg_units",
+            F.when(
+                F.col("idcg_units") > 0,
+                F.expr("dcg_units * 1000000 div idcg_units"),
+            ).alias("ndcg_ppm"),
+        )
+    )

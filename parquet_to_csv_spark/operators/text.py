@@ -658,3 +658,29 @@ def feature_hashing(spark: SparkSession, sf_dir: str, n_features: int = 1024) ->
             ).alias("vec_digest"),
         )
     )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval composition: confusion matrix of the heuristic
+    language-ID against the corpus's true ``lang`` labels, with each
+    cell's share of its true-label row in exact integer ppm — the
+    quality readout any filtering heuristic needs before it gates a
+    corpus.
+
+    One scan (the predictions are a pure per-row map), one tiny
+    grouped count, one broadcast join back for the row shares.
+    """
+    pred = lang_id(spark, sf_dir)
+    conf = pred.groupBy(
+        F.col("lang").alias("true_lang"), "predicted_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = conf.groupBy("true_lang").agg(F.sum("n_docs").alias("n_true"))
+    return (
+        conf.join(F.broadcast(totals), "true_lang")
+        .select(
+            "true_lang",
+            "predicted_lang",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_true").alias("share_ppm"),
+        )
+    )

@@ -3018,3 +3018,150 @@ SELECT user_id, day,
        day_cents IS NULL AS is_gap
 FROM j
 """
+
+# --------------------------------------------------------------------------
+# EXT E114-E118 — ranking eval, quota sampling, classifier eval,
+# association rules, graph clustering coefficient
+# --------------------------------------------------------------------------
+
+# NDCG@10 vs label-match relevance. The ranked CTE replays the
+# gate-verified cosine ranking; discounts/IDCG are integer micro-units.
+QUERIES["ndcg_label_match"] = _sim.ndcg_label_match
+ORACLES["ndcg_label_match"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb, label AS c_label FROM embeddings
+), scored AS (
+  SELECT query_id, q_label, cand_id, c_label,
+         {_duck_cos('q_emb', 'c_emb')} AS sim
+  FROM q JOIN c ON query_id <> cand_id
+), ranked AS (
+  SELECT query_id, q_label, c_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rnk
+  FROM scored
+), topk AS (SELECT * FROM ranked WHERE rnk <= 10
+), per_q AS (
+  SELECT query_id, q_label,
+         CAST(sum(CASE WHEN q_label = c_label
+                  THEN CAST(round(1e6 / log2(rnk + 1), 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS dcg_units,
+         CAST(sum(CASE WHEN q_label = c_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_at_k
+  FROM topk GROUP BY 1, 2
+), lab AS (
+  SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1
+), idcg AS (
+  SELECT query_id, n_rel_at_k, dcg_units,
+         CASE WHEN least(10, n_label - 1) >= 1 THEN
+           CAST(list_sum(list_transform(range(1, least(10, n_label - 1) + 1),
+                i -> CAST(round(1e6 / log2(i + 1), 0) AS BIGINT))) AS BIGINT)
+         END AS idcg_units
+  FROM per_q JOIN lab ON per_q.q_label = lab.label
+)
+SELECT query_id, n_rel_at_k, dcg_units,
+       CASE WHEN idcg_units > 0
+            THEN dcg_units * 1000000 // idcg_units END AS ndcg_ppm
+FROM idcg
+"""
+
+# Fixed-size per-group quota sample in md5 order.
+QUERIES["group_sample_fixed"] = corpus.group_sample_fixed
+ORACLES["group_sample_fixed"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20
+"""
+
+# Lang-ID confusion matrix: the lang_id oracle lifted to cell counts.
+QUERIES["langid_confusion"] = text.langid_confusion
+ORACLES["langid_confusion"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS dtoks FROM documents
+), s AS (
+  SELECT lang,
+         CASE WHEN len(dtoks) > 0
+              THEN len(list_intersect(dtoks, {_EN_SW})) / CAST(len(dtoks) AS DOUBLE) END AS score
+  FROM t
+), p AS (
+  SELECT lang AS true_lang,
+         CASE WHEN score >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted_lang
+  FROM s
+), conf AS (
+  SELECT true_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+), tot AS (
+  SELECT true_lang, CAST(sum(n_docs) AS BIGINT) AS n_true FROM conf GROUP BY 1
+)
+SELECT conf.true_lang, predicted_lang, n_docs,
+       n_docs * 1000000 // n_true AS share_ppm
+FROM conf JOIN tot ON conf.true_lang = tot.true_lang
+"""
+
+# Association rules: integer-ppm support/confidence/lift, top-k by lift.
+QUERIES["association_rules"] = relational.association_rules
+ORACLES["association_rules"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c_item FROM li GROUP BY 1
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+), pairs AS (
+  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT antecedent, consequent, c_ab,
+       c_ab * 1000000 // n_orders AS support_ppm,
+       c_ab * 1000000 // x.c_item AS confidence_ppm,
+       c_ab * n_orders * 1000000 // (x.c_item * y.c_item) AS lift_ppm
+FROM pairs
+JOIN item x ON pairs.antecedent = x.l_partkey
+JOIN item y ON pairs.consequent = y.l_partkey
+CROSS JOIN n
+ORDER BY lift_ppm DESC, antecedent, consequent
+LIMIT 25
+"""
+
+# Clustering coefficient over the exact near-dup graph; the oracle
+# rebuilds edges from the exact-Jaccard relation and closes triangles
+# with the same oriented wedge join.
+QUERIES["clustering_coefficient"] = dedup.clustering_coefficient
+ORACLES["clustering_coefficient"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+              / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+), tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), pv AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY 1
+)
+SELECT deg.doc_id, degree,
+       COALESCE(pv.n_triangles, 0) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN 2 * COALESCE(pv.n_triangles, 0) * 1000000
+                 // (degree * (degree - 1)) END AS cc_ppm
+FROM deg LEFT JOIN pv ON deg.doc_id = pv.doc_id
+"""
