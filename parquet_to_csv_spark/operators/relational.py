@@ -1135,3 +1135,45 @@ def association_rules(
         .orderBy(F.desc("lift_ppm"), "antecedent", "consequent")
         .limit(k)
     )
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (by quantity) of extended price per return
+    flag — the robust central-tendency stat when rows carry unequal
+    mass (percentile() can't weight; sampling changes the answer).
+
+    Definition: the smallest value v (in the unique total order value,
+    orderkey, linenumber) whose running weight reaches half the group
+    total. One per-group ordered prefix-sum window + a broadcast of
+    the tiny per-group totals + a min_by-style relational argmin —
+    everything exact integer cents / integer quantity units, so both
+    engines agree bit-for-bit. The group window parallelizes across
+    groups; within a pathologically hot group the two-phase
+    distributed prefix sum (gini_revenue) is the documented drop-in.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") + 0.5).alias("w"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).alias("price_cents"),
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = li.withColumn("cumw", F.sum("w").over(w_run))
+    tot = run.groupBy("l_returnflag").agg(F.sum("w").alias("totw"))
+    hit = (
+        run.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("median_cents"),
+            F.first("totw").alias("total_weight"),
+        )
+    )
+    return hit.select("l_returnflag", "median_cents", "total_weight")

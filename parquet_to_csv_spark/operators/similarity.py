@@ -794,3 +794,36 @@ def ndcg_label_match(
             ).alias("ndcg_ppm"),
         )
     )
+
+
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column (n, mean, min,
+    max) — the feature-health pass that catches dead dimensions,
+    scale drift, and clipped values before they poison an ANN index
+    or a training run.
+
+    posexplode → one (pos)-keyed exchange with map-side partial agg.
+    Float sums accumulate as DECIMAL(27,10) — exact and
+    order-independent where a double sum would differ per partition
+    count and per engine (label_centroids convention); min/max are
+    order-independent by definition. One rounded double division at
+    the end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+            F.min(F.col("val").cast("double")).alias("min_val"),
+            F.max(F.col("val").cast("double")).alias("max_val"),
+        )
+        .select(
+            "pos",
+            "n_vecs",
+            F.round(F.col("s").cast("double") / F.col("n_vecs"), 6).alias("mean_val"),
+            "min_val",
+            "max_val",
+        )
+    )

@@ -684,3 +684,80 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_docs * 1000000 div n_true").alias("share_ppm"),
         )
     )
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFrame:
+    """Calibration (reliability) curve of the lang-ID score: documents
+    bucketed into score deciles, each bin reporting mean predicted
+    score vs empirical positive rate — the eval that tells you whether
+    a filter's scores can be thresholded or merely ranked.
+
+    ``ntile`` runs over the UNIQUE total order (score units, doc_id)
+    so bin boundaries are engine-stable (order_value_deciles
+    convention); the score's 4-dp rounding makes its integer units
+    exact, so bin means are floored integer divisions — no float
+    aggregation anywhere.
+    """
+    from pyspark.sql import Window
+
+    pred = lang_id(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_pos"),
+        F.floor(F.col("en_score") * 10000 + 0.5).cast("long").alias("score_e4"),
+    )
+    w = Window.orderBy("score_e4", "doc_id")
+    binned = pred.withColumn("bin", F.ntile(n_bins).over(w))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_pos").alias("n_pos"),
+            F.sum("score_e4").alias("s_units"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n_docs").alias("pos_rate_ppm"),
+            F.expr("s_units div n_docs").alias("mean_score_e4"),
+        )
+    )
+
+
+def vocab_dictionary(spark: SparkSession, sf_dir: str, v: int = 1000) -> DataFrame:
+    """Tokenizer vocabulary builder: the top-``v`` tokens by corpus
+    frequency, assigned contiguous ids in (freq desc, token) order,
+    with each token's CUMULATIVE corpus coverage in ppm — the table
+    that decides vocab size ("how many ids to reach 95% coverage?").
+
+    Plan: token counts (one exchange, map-side combine) →
+    TakeOrderedAndProject for the top-v (never a global sort of the
+    vocab) → id + running coverage via one window over v rows (tiny
+    by construction) with the corpus total as a one-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = F.broadcast(counts.agg(F.sum("freq").alias("t_total")))
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(v)
+    w = Window.orderBy(F.desc("freq"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.join(total)
+        .withColumn("token_id", F.row_number().over(
+            Window.orderBy(F.desc("freq"), F.asc("token"))
+        ))
+        .withColumn("cum_freq", F.sum("freq").over(w))
+        .select(
+            "token_id",
+            "token",
+            "freq",
+            F.expr("cum_freq * 1000000 div t_total").alias("coverage_ppm"),
+        )
+    )

@@ -600,3 +600,51 @@ def daily_balance_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
         F.col("day_cents").isNull().alias("is_gap"),
     )
+
+
+def cusum_changepoints(
+    spark: SparkSession, sf_dir: str, h_cents: int = 10_000
+) -> DataFrame:
+    """Upper-CUSUM change-point detection per user over purchase
+    amounts — the classic drift monitor (has this user's spend level
+    shifted up?), usually written as the recurrence
+    ``S_t = max(0, S_{t-1} + (x_t - mu0))`` which looks inherently
+    sequential.
+
+    Relational rewrite: with prefix sums ``P_t = sum_{j<=t}(x_j - mu0)``,
+    the recurrence closes to ``S_t = P_t - min(0, min_{j<=t} P_j)`` —
+    i.e. ONE per-user ordered prefix-sum window plus ONE running-min
+    window over it, no iteration and no Python fold (the same
+    prefix-closure trick as pareto_frontier's staircase). mu0 is the
+    user's own integer-floor mean (exact cents); every step is long
+    arithmetic, so alarms (S_t > h) are engine-exact.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    mu = p.groupBy("user_id").agg(
+        F.expr("sum(cents) div count(1)").alias("mu0_cents")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    d = p.join(mu, "user_id").withColumn(
+        "pfx", F.sum(F.col("cents") - F.col("mu0_cents")).over(w_run)
+    )
+    s = d.withColumn(
+        "cusum_cents",
+        F.col("pfx") - F.least(F.lit(0).cast("long"), F.min("pfx").over(w_run)),
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "cents",
+        "cusum_cents",
+        (F.col("cusum_cents") > h_cents).alias("alarm"),
+    )

@@ -3165,3 +3165,122 @@ SELECT deg.doc_id, degree,
                  // (degree * (degree - 1)) END AS cc_ppm
 FROM deg LEFT JOIN pv ON deg.doc_id = pv.doc_id
 """
+
+# --------------------------------------------------------------------------
+# EXT E119-E123 — CUSUM, weighted median, calibration, vocab, dim profile
+# --------------------------------------------------------------------------
+
+# CUSUM via the prefix-closure rewrite S_t = P_t - min(0, min P_j);
+# the oracle replays the same two windows.
+QUERIES["cusum_changepoints"] = timeops.cusum_changepoints
+ORACLES["cusum_changepoints"] = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         {duck_units('value', 2)} AS cents
+  FROM events WHERE event_type = 'purchase'
+), mu AS (
+  SELECT user_id, CAST(sum(cents) // count(*) AS BIGINT) AS mu0 FROM p GROUP BY 1
+), d AS (
+  SELECT p.*, sum(cents - mu0) OVER (
+           PARTITION BY p.user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+  FROM p JOIN mu ON p.user_id = mu.user_id
+), s AS (
+  SELECT user_id, event_id, ts_us, cents,
+         pfx - least(CAST(0 AS BIGINT), min(pfx) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_cents
+  FROM d
+)
+SELECT user_id, event_id, ts_us, cents, cusum_cents,
+       cusum_cents > 10000 AS alarm
+FROM s
+"""
+
+# Exact weighted median: first value whose running weight reaches half
+# the group total, on the unique (price, orderkey, linenumber) order.
+QUERIES["weighted_median_price"] = relational.weighted_median_price
+ORACLES["weighted_median_price"] = """
+WITH li AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS w,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM lineitem
+), run AS (
+  SELECT l_returnflag, price_cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY price_cents, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+  FROM li
+), tot AS (
+  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS totw FROM li GROUP BY 1
+)
+SELECT run.l_returnflag,
+       CAST(min(price_cents) AS BIGINT) AS median_cents,
+       CAST(any_value(totw) AS BIGINT) AS total_weight
+FROM run JOIN tot ON run.l_returnflag = tot.l_returnflag
+WHERE 2 * cumw >= totw
+GROUP BY run.l_returnflag
+"""
+
+# Calibration deciles of the lang-ID score vs true-label rate.
+QUERIES["calibration_bins"] = text.calibration_bins
+ORACLES["calibration_bins"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS dtoks FROM documents
+), s AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+         CAST(floor(round(
+           CASE WHEN len(dtoks) > 0
+                THEN len(list_intersect(dtoks, {_EN_SW}))
+                     / CAST(len(dtoks) AS DOUBLE) END, 4) * 10000 + 0.5)
+           AS BIGINT) AS score_e4
+  FROM t
+), b AS (
+  SELECT is_pos, score_e4,
+         ntile(10) OVER (ORDER BY score_e4, doc_id) AS bin
+  FROM s
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_pos) AS BIGINT) AS n_pos,
+       sum(is_pos) * 1000000 // count(*) AS pos_rate_ppm,
+       sum(score_e4) // count(*) AS mean_score_e4
+FROM b GROUP BY bin
+"""
+
+# Vocabulary dictionary: ids in (freq desc, token) order + cumulative
+# corpus coverage ppm.
+QUERIES["vocab_dictionary"] = text.vocab_dictionary
+ORACLES["vocab_dictionary"] = f"""
+WITH counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOKS}) AS token FROM documents) GROUP BY 1
+), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t_total FROM counts
+), top AS (
+  SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT 1000
+)
+SELECT row_number() OVER (ORDER BY freq DESC, token) AS token_id,
+       token, freq,
+       (sum(freq) OVER (ORDER BY freq DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         * 1000000 // t_total AS coverage_ppm
+FROM top CROSS JOIN tot
+"""
+
+# Per-dimension embedding profile; DECIMAL-exact sums (centroid
+# convention), one rounded division.
+QUERIES["embedding_dim_profile"] = _sim.embedding_dim_profile
+ORACLES["embedding_dim_profile"] = """
+WITH ex AS (
+  SELECT u.pos - 1 AS pos, u.val
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+                       unnest(embedding) AS val) u
+)
+SELECT pos, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+         AS mean_val,
+       min(CAST(val AS DOUBLE)) AS min_val,
+       max(CAST(val AS DOUBLE)) AS max_val
+FROM ex GROUP BY pos
+"""
