@@ -698,3 +698,50 @@ def clustering_coefficient(
             ).alias("cc_ppm"),
         )
     )
+
+
+def label_propagation(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, rounds: int = 2
+) -> DataFrame:
+    """Community detection on the near-dup graph via synchronous label
+    propagation: every node starts as its own label; each round it
+    adopts the MAJORITY label among its neighbors (min label on ties —
+    the tie-break that makes LPA deterministic, its classic flaw
+    otherwise). Two rounds separate template families sharing a few
+    border edges — a different cut than connected components (which
+    merges anything reachable).
+
+    Per round: one edge-relation expansion to (node, nbr), one join
+    against current labels, one grouped count, one relational argmax
+    (max count, then min label). The edge build (exact-Jaccard join)
+    runs ONCE and persists; each round adds two small exchanges on
+    node id. No driver-side loop state — ``rounds`` unrolls into the
+    one lazy plan, localCheckpoint-free at this depth.
+    """
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir, threshold)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
+    )
+    nbrs = edges.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    labels = nbrs.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        cnt = (
+            nbrs.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mx = cnt.groupBy("node").agg(F.max("c").alias("mc"))
+        labels = (
+            cnt.join(mx, "node")
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("community"))

@@ -365,3 +365,68 @@ def hll_segment_overlap(
             "n_exact_intersection"
         ),
     )
+
+
+def logbucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable float-free quantile sketch: order values histogrammed
+    into (decimal digits, leading digit) buckets — ~9 buckets per
+    decade, giving quantile estimates with bounded ≤11% relative error
+    (the bucket's own width) from a relation of AT MOST a few dozen
+    rows regardless of input size.
+
+    Why not approx_percentile: this sketch is MERGEABLE BY SUM — per
+    ingest-batch bucket counts fold into the corpus sketch with a
+    groupBy, never rescanning history (the HLL-register pattern for
+    quantiles) — and it contains no float operation at all: bucketing
+    is string-length/leading-digit arithmetic on exact integer cents,
+    rank cuts are ceiling integer divisions, so every engine returns
+    the identical bucket for every quantile.
+
+    Output: one row per requested quantile with the bucket's lower
+    bound (a guaranteed underestimate by < one leading-digit width),
+    the bucket coordinates, and the covered rank mass.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    buckets = (
+        orders.select(cents.alias("cents"))
+        .select(
+            F.length(F.col("cents").cast("string")).alias("digits"),
+            F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("lead"),
+        )
+        .groupBy("digits", "lead")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("digits", "lead")
+    ranked = buckets.withColumn(
+        "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("ord", F.row_number().over(w))
+    total = F.broadcast(ranked.agg(F.max("cum_n").alias("n_total")))
+    qs = spark.createDataFrame(
+        [(500_000,), (900_000,), (990_000,)], "q_ppm long"
+    )
+    hits = (
+        ranked.join(total)
+        .join(F.broadcast(qs))
+        .filter(
+            F.col("cum_n") >= F.expr("(q_ppm * n_total + 999999) div 1000000")
+        )
+    )
+    first = hits.groupBy("q_ppm").agg(F.min("ord").alias("ord"))
+    return (
+        first.join(ranked, "ord")
+        .join(total)
+        .select(
+            "q_ppm",
+            (
+                F.col("lead").cast("long")
+                * F.expr("cast(pow(10, digits - 1) as long)")
+            ).alias("est_lo_cents"),
+            "digits",
+            "lead",
+            "cum_n",
+            "n_total",
+        )
+    )

@@ -761,3 +761,48 @@ def vocab_dictionary(spark: SparkSession, sf_dir: str, v: int = 1000) -> DataFra
             F.expr("cum_freq * 1000000 div t_total").alias("coverage_ppm"),
         )
     )
+
+
+def boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str, n: int = 6, k: int = 20
+) -> DataFrame:
+    """Boilerplate detection: the word ``n``-grams repeated across the
+    most DISTINCT documents (headers, footers, templates, license
+    blurbs) — the cross-document twin of repetition_stats'
+    intra-document signal, and the pass that feeds line/paragraph-level
+    dedup lists in corpus cleaning (C4-style).
+
+    One scan → per-doc DISTINCT grams (array-local, so a gram repeated
+    inside one doc counts once) → one gram-keyed exchange with
+    map-side combine → TakeOrderedAndProject top-k. Doc share in exact
+    integer ppm of the corpus document count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .join(n_docs)
+        .select(
+            "gram",
+            "doc_count",
+            F.expr("doc_count * 1000000 div n_docs").alias("doc_share_ppm"),
+        )
+        .orderBy(F.desc("doc_count"), "gram")
+        .limit(k)
+    )

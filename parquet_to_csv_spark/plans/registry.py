@@ -3284,3 +3284,112 @@ SELECT pos, CAST(count(*) AS BIGINT) AS n_vecs,
        max(CAST(val AS DOUBLE)) AS max_val
 FROM ex GROUP BY pos
 """
+
+# --------------------------------------------------------------------------
+# EXT E124-E127 — outer stream-stream join, log-bucket quantile sketch,
+# boilerplate n-grams, label propagation
+# --------------------------------------------------------------------------
+from parquet_to_csv_spark.streaming import stream as _stream2  # noqa: E402
+
+# Left-outer stream-stream join drained availableNow == the batch LEFT
+# JOIN with the identical time band (watermark flushes the unmatched).
+QUERIES["streaming_left_join_drain"] = _stream2.left_join_drain_query
+ORACLES["streaming_left_join_drain"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_time FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_time FROM events
+  WHERE event_type = 'click'
+)
+SELECT purchase_id, p.user_id, epoch_us(p_time) AS purchase_us,
+       click_id, epoch_us(c_time) AS click_us
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_time >= p.p_time - INTERVAL 1 HOUR
+ AND c.c_time <= p.p_time
+"""
+
+# Log-bucket quantile sketch: replayed bucket-for-bucket in SQL.
+QUERIES["logbucket_quantiles"] = _sketch.logbucket_quantiles
+ORACLES["logbucket_quantiles"] = """
+WITH b AS (
+  SELECT length(CAST(cents AS VARCHAR)) AS digits,
+         CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS lead,
+         count(*) AS n
+  FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders)
+  GROUP BY 1, 2
+), r AS (
+  SELECT digits, lead, n,
+         sum(n) OVER (ORDER BY digits, lead
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         row_number() OVER (ORDER BY digits, lead) AS ord
+  FROM b
+), t AS (SELECT max(cum_n) AS n_total FROM r
+), q AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm
+), hit AS (
+  SELECT q_ppm, min(ord) AS ord
+  FROM r CROSS JOIN t CROSS JOIN q
+  WHERE cum_n >= (q_ppm * n_total + 999999) // 1000000
+  GROUP BY q_ppm
+)
+SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+       CAST(lead AS BIGINT) * CAST(pow(10, digits - 1) AS BIGINT) AS est_lo_cents,
+       digits, lead, CAST(cum_n AS BIGINT) AS cum_n,
+       CAST(n_total AS BIGINT) AS n_total
+FROM hit JOIN r USING (ord) CROSS JOIN t
+"""
+
+# Cross-document boilerplate n-grams (per-doc distinct, top-k by reach).
+QUERIES["boilerplate_ngrams"] = text.boilerplate_ngrams
+ORACLES["boilerplate_ngrams"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i
+        FROM t WHERE len(toks) >= 6)
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT gram, CAST(count(*) AS BIGINT) AS doc_count,
+       count(*) * 1000000 // n_docs AS doc_share_ppm
+FROM g CROSS JOIN nd
+GROUP BY gram, n_docs
+ORDER BY doc_count DESC, gram
+LIMIT 20
+"""
+
+# Label propagation, 2 synchronous rounds unrolled as CTE levels.
+QUERIES["label_propagation"] = dedup.label_propagation
+ORACLES["label_propagation"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+              / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), nbr AS (
+  SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e
+), l0 AS (
+  SELECT DISTINCT node, node AS lbl FROM nbr
+), c1 AS (
+  SELECT nbr.node, l0.lbl, count(*) AS c
+  FROM nbr JOIN l0 ON nbr.nbr = l0.node GROUP BY 1, 2
+), m1 AS (SELECT node, max(c) AS mc FROM c1 GROUP BY 1
+), l1 AS (
+  SELECT c1.node, min(c1.lbl) AS lbl
+  FROM c1 JOIN m1 ON c1.node = m1.node AND c1.c = m1.mc GROUP BY 1
+), c2 AS (
+  SELECT nbr.node, l1.lbl, count(*) AS c
+  FROM nbr JOIN l1 ON nbr.nbr = l1.node GROUP BY 1, 2
+), m2 AS (SELECT node, max(c) AS mc FROM c2 GROUP BY 1
+), l2 AS (
+  SELECT c2.node, min(c2.lbl) AS lbl
+  FROM c2 JOIN m2 ON c2.node = m2.node AND c2.c = m2.mc GROUP BY 1
+)
+SELECT node AS doc_id, lbl AS community FROM l2
+"""

@@ -349,3 +349,107 @@ def static_enrich_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="append",
     )
+
+
+def streaming_unattributed_purchases(
+    purchases: DataFrame, clicks: DataFrame, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, attributed to the
+    same user's trailing clicks when they exist, emitted with NULL
+    click columns otherwise — the "organic conversion" feed.
+
+    Outer stream-stream semantics are a genuinely different streaming
+    capability from the inner join: a purchase with no matching click
+    can only be emitted once the watermark has passed its join window
+    (the engine must PROVE no match can still arrive), so unmatched
+    rows trail the matched ones by the watermark delay. Under an
+    availableNow drain the final watermark sweep flushes them, which
+    is what makes the result equal the batch left join exactly.
+    """
+    p = (
+        with_event_time(purchases)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("event_time", lookback)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+        )
+    )
+    c = (
+        with_event_time(clicks)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("event_time", lookback)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_time") <= F.col("p_time")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_time").alias("purchase_us"),
+        "click_id",
+        F.unix_micros("c_time").alias("click_us"),
+    )
+
+
+def left_join_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer stream-stream join through the gate: drained availableNow,
+    the matched rows plus watermark-flushed unmatched rows must equal
+    the batch LEFT JOIN with the same time-band condition.
+
+    Watermark-closure subtlety: an unmatched purchase is only emitted
+    once BOTH sides' watermarks pass its join window, and the
+    watermark only advances BETWEEN micro-batches — so a bounded drain
+    needs (a) something past the last real event to pull the watermark
+    beyond every real join window, and (b) a final batch to run under
+    that advanced watermark. (a) is one sentinel purchase+click pair
+    (``user_id = −1``) staged ``2×lookback`` past the max event time;
+    (b) is the no-data cleanup micro-batch availableNow runs after the
+    data batch (SPARK-24156 semantics — observed in this engine).
+
+    Pushdown trap (cost a debugging session): the sentinel filter must
+    run on the DRAINED BATCH RESULT, not inside the streaming query —
+    a left-side predicate like ``user_id >= 0`` on the join output is
+    pushed below the left EventTimeWatermark operator, silently
+    deleting the sentinel before it can advance the watermark (global
+    watermark = min over sides stays put, nothing flushes). A live
+    deployment has no end-of-stream and needs no sentinel; staging is
+    already an action-based harness step, so the one max() scan here
+    is fine.
+    """
+    import tempfile
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mx_ns = ev.agg(F.max("ts")).first()[0]
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    s_ns = mx_ns + 2 * 3_600 * 10**9
+    sent = spark.createDataFrame(
+        [
+            (-1, s_ns, -1, "purchase", 0.0, "{}"),
+            (-2, s_ns, -1, "click", 0.0, "{}"),
+        ],
+        schema,
+    )
+    stage = tempfile.mkdtemp(prefix="evstream_")
+    ev.unionByName(sent).coalesce(2).write.mode("overwrite").parquet(stage)
+    name = "t_ljoin_drain_" + _uuid.uuid4().hex[:8]
+    joined = streaming_unattributed_purchases(
+        read_event_stream(spark, stage), read_event_stream(spark, stage)
+    )
+    drained = run_to_memory(joined, name, spark, output_mode="append")
+    return drained.filter(F.col("user_id") >= 0)
