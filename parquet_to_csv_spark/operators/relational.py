@@ -1177,3 +1177,37 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hit.select("l_returnflag", "median_cents", "total_weight")
+
+
+def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over the unique (totalprice, orderkey)
+    order, surfaced as exact integer ppm — "what percentile is this
+    order's value" without float window functions (whose (rank−1)/(n−1)
+    division both engines would round differently only in the last
+    ulp, but ppm integers remove even that).
+
+    rank == row_number here (unique order), so pct = (rn−1)·1e6 div
+    (n−1) and cume = rn·1e6 div n. Global window — at warehouse scale
+    the gini_revenue two-phase rank is the documented drop-in.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    n = F.broadcast(base.agg(F.count(F.lit(1)).alias("n")))
+    return (
+        # row_number is INT — widen before the ppm multiply or ANSI
+        # mode overflows past rn ~ 2147
+        base.withColumn("rn", F.row_number().over(w).cast("long"))
+        .join(n)
+        .select(
+            "o_orderkey",
+            "cents",
+            F.expr("(rn - 1) * 1000000 div (n - 1)").alias("pct_rank_ppm"),
+            F.expr("rn * 1000000 div n").alias("cume_dist_ppm"),
+        )
+    )

@@ -806,3 +806,57 @@ def boilerplate_ngrams(
         .orderBy(F.desc("doc_count"), "gram")
         .limit(k)
     )
+
+
+def vocab_drift_daily(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Day-over-day vocabulary drift: Jaccard overlap of each day's
+    top-``k`` tokens with the previous day's — the cheap distribution
+    monitor that catches an ingest source changing character (new
+    crawl, new language, spam wave) before model metrics move.
+
+    documents carry no timestamp, so the day key derives
+    deterministically from doc_id (a stand-in for the ingest-date
+    partition column a production corpus has — the plan is identical).
+    Per-day top-k via one windowed rank over per-day token counts;
+    consecutive days join on the gram; overlap in exact integer ppm of
+    the union.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    day = (F.col("doc_id") % 10).alias("day")
+    counts = (
+        docs.select(day, F.explode(tokens_col("text")).alias("token"))
+        .groupBy("day", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("freq"), F.asc("token"))
+    top = counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    a = top.select(F.col("day").alias("day_a"), "token")
+    b = top.select(F.col("day").alias("day_b"), "token")
+    inter = (
+        a.join(b, (F.col("day_b") == F.col("day_a") + 1) & (a.token == b.token))
+        .groupBy("day_a", "day_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = top.groupBy("day").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("day").alias("day_a"), F.col("sz").alias("sz_a"))),
+            "day_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("day").alias("day_b"), F.col("sz").alias("sz_b"))),
+            "day_b",
+        )
+        .select(
+            "day_a",
+            "day_b",
+            "n_shared",
+            F.expr(
+                "n_shared * 1000000 div (sz_a + sz_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )

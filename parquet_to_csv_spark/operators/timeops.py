@@ -648,3 +648,116 @@ def cusum_changepoints(
         "cusum_cents",
         (F.col("cusum_cents") > h_cents).alias("alarm"),
     )
+
+
+def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reporting query behind
+    every KPI dashboard, kept engine-exact: revenue in integer cents,
+    growth as floored ppm of the previous month (NULL for the first
+    month, not a divide-by-zero).
+
+    One scan collapses to the month grain (tiny relation), one lag
+    window over months. Month key is calendar year*100+month — both
+    engines derive it identically from the same timestamp.
+
+    Signed-division trap: growth is NEGATIVE in down months, and Spark
+    ``div`` truncates toward zero while DuckDB ``//`` floors — they
+    disagree by 1 ppm on every down month. Both sides therefore use
+    explicit FLOOR division via the pmod normalization
+    (functions.stable.duck_sum_2dp's documented convention):
+    ``(num − pmod(num, den)) div den`` with den > 0.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.expr("cast(o_orderdate as timestamp)")
+    per = (
+        orders.select(
+            (F.year(ts) * 100 + F.month(ts)).alias("ym"),
+            exact_units(F.col("o_totalprice"), 2).alias("cents"),
+        )
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.orderBy("ym")
+    stepped = per.withColumn("prev_cents", F.lag("rev_cents", 1).over(w))
+    num = "((rev_cents - prev_cents) * 1000000)"
+    return stepped.select(
+        "ym",
+        "n_orders",
+        "rev_cents",
+        F.when(
+            F.col("prev_cents") > 0,
+            F.expr(f"({num} - pmod({num}, prev_cents)) div prev_cents"),
+        ).alias("mom_growth_ppm"),
+    )
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new-vs-returning user split — the acquisition/retention
+    headline. One pass to the (user, week) activity grain, a per-user
+    min week (the cohort), then each active week classifies the user
+    as new (first week) or returning; counts per week.
+
+    Same day/week-grain collapse as retention_cohorts — everything
+    after the first scan is key-cardinality-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.expr("ts div 1000 div 604800000000").alias("week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(F.col("week") != F.col("first_week"), 1).otherwise(0)).alias(
+                "returning_users"
+            ),
+        )
+        .withColumn(
+            "returning_share_ppm",
+            F.expr(
+                "returning_users * 1000000 div (new_users + returning_users)"
+            ),
+        )
+    )
+
+
+def churn_risk_features(
+    spark: SparkSession, sf_dir: str, snapshot_ms: int = 1_706_659_032_195
+) -> DataFrame:
+    """Point-in-time churn-risk feature vector per user AT a snapshot
+    instant: recency (µs since last event), activity counts in the
+    trailing 7/30 days, purchase share — the feature row a churn model
+    scores. Strictly point-in-time (no post-snapshot leakage): events
+    after the snapshot are excluded by a pushed scan predicate.
+
+    One scan, conditional partial-aggregated sums, zero joins. The
+    default snapshot is just past the fixture's max event time so every
+    user appears; a production run parameterizes it per scoring day.
+    """
+    snap_us = snapshot_ms * 1000
+    d7 = snap_us - 7 * 86_400_000_000
+    d30 = snap_us - 30 * 86_400_000_000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_type",
+        )
+        .filter(F.col("ts_us") <= snap_us)
+    )
+    return ev.groupBy("user_id").agg(
+        (F.lit(snap_us) - F.max("ts_us")).alias("recency_us"),
+        F.count(F.lit(1)).alias("n_events_total"),
+        F.sum(F.when(F.col("ts_us") >= d7, 1).otherwise(0)).alias("n_events_7d"),
+        F.sum(F.when(F.col("ts_us") >= d30, 1).otherwise(0)).alias("n_events_30d"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+    )

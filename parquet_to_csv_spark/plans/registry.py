@@ -3393,3 +3393,111 @@ WITH t AS (
 )
 SELECT node AS doc_id, lbl AS community FROM l2
 """
+
+# --------------------------------------------------------------------------
+# EXT E128-E132 — growth, acquisition split, percentile ranks, vocab
+# drift, churn-risk features
+# --------------------------------------------------------------------------
+
+# MoM growth with explicit floor division on both sides (signed ppm).
+QUERIES["monthly_growth"] = timeops.monthly_growth
+_MG_NUM = "((rev_cents - prev_cents) * 1000000)"
+ORACLES["monthly_growth"] = f"""
+WITH per AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum({duck_units('o_totalprice', 2)}) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT ym, n_orders, rev_cents,
+         lag(rev_cents, 1) OVER (ORDER BY ym) AS prev_cents
+  FROM per
+)
+SELECT ym, n_orders, rev_cents,
+       CASE WHEN prev_cents > 0 THEN
+         ({_MG_NUM} - (({_MG_NUM} % prev_cents + prev_cents) % prev_cents))
+           // prev_cents
+       END AS mom_growth_ppm
+FROM s
+"""
+
+# Weekly new-vs-returning split from the (user, week) grain.
+QUERIES["new_vs_returning"] = timeops.new_vs_returning
+ORACLES["new_vs_returning"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), f AS (
+  SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1
+)
+SELECT week,
+       CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN week <> first_week THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+       sum(CASE WHEN week <> first_week THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS returning_share_ppm
+FROM uw JOIN f USING (user_id)
+GROUP BY week
+"""
+
+# Exact-ppm percent_rank / cume_dist on the unique value order.
+QUERIES["order_percentile_ranks"] = relational.order_percentile_ranks
+ORACLES["order_percentile_ranks"] = """
+WITH b AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT o_orderkey, cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM b
+)
+SELECT o_orderkey, cents,
+       (rn - 1) * 1000000 // (n - 1) AS pct_rank_ppm,
+       rn * 1000000 // n AS cume_dist_ppm
+FROM r
+"""
+
+# Day-over-day top-k vocabulary Jaccard drift.
+QUERIES["vocab_drift_daily"] = text.vocab_drift_daily
+ORACLES["vocab_drift_daily"] = f"""
+WITH c AS (
+  SELECT doc_id % 10 AS day, token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+  GROUP BY 1, 2
+), top AS (
+  SELECT day, token FROM (
+    SELECT day, token,
+           row_number() OVER (PARTITION BY day ORDER BY freq DESC, token) AS rnk
+    FROM c
+  ) WHERE rnk <= 20
+), sz AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS sz FROM top GROUP BY 1
+), inter AS (
+  SELECT a.day AS day_a, b.day AS day_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM top a JOIN top b ON b.day = a.day + 1 AND a.token = b.token
+  GROUP BY 1, 2
+)
+SELECT day_a, day_b, n_shared,
+       n_shared * 1000000 // (x.sz + y.sz - n_shared) AS jaccard_ppm
+FROM inter
+JOIN sz x ON inter.day_a = x.day
+JOIN sz y ON inter.day_b = y.day
+"""
+
+# Point-in-time churn-risk features at a fixed snapshot.
+QUERIES["churn_risk_features"] = timeops.churn_risk_features
+ORACLES["churn_risk_features"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+  WHERE epoch_us(ts) <= 1706659032195000
+)
+SELECT user_id,
+       CAST(1706659032195000 - max(ts_us) AS BIGINT) AS recency_us,
+       CAST(count(*) AS BIGINT) AS n_events_total,
+       CAST(sum(CASE WHEN ts_us >= 1706659032195000 - 604800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_events_7d,
+       CAST(sum(CASE WHEN ts_us >= 1706659032195000 - 2592000000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_events_30d,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases
+FROM e GROUP BY user_id
+"""
