@@ -1211,3 +1211,44 @@ def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("rn * 1000000 div n").alias("cume_dist_ppm"),
         )
     )
+
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per nation:
+    each supplier's revenue share (ppm) of their nation's total,
+    squared and summed — the supply-risk KPI (10 000 ppm-of-ppm ≈ a
+    monopoly; regulators flag > 250 000).
+
+    Two keyed aggregations (supplier grain from one lineitem pass,
+    then nation grain) + one broadcast dim join; shares are floored
+    integer ppm of exact cents, the index a pure long sum — engine-
+    exact end to end. Shuffle ∝ suppliers after the first partial agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.select(
+            "l_suppkey",
+            exact_units(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("u4"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("u4").alias("rev_u4"))
+    )
+    per_supp = rev.join(
+        F.broadcast(supp), rev.l_suppkey == supp.s_suppkey
+    ).select("s_nationkey", "rev_u4")
+    nat = per_supp.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"), F.sum("rev_u4").alias("nat_u4")
+    )
+    shares = per_supp.join(F.broadcast(nat), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        F.expr("rev_u4 * 1000000 div nat_u4").alias("share_ppm"),
+    )
+    return shares.groupBy("s_nationkey").agg(
+        F.first("n_suppliers").alias("n_suppliers"),
+        F.expr("sum(share_ppm * share_ppm) div 1000000").alias("hhi_ppm"),
+        F.max("share_ppm").alias("top_share_ppm"),
+    )

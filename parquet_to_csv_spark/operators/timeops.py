@@ -761,3 +761,59 @@ def churn_risk_features(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("n_purchases"),
     )
+
+
+def max_concurrent_spans(
+    spark: SparkSession, sf_dir: str, n_parts: int = 8
+) -> DataFrame:
+    """Peak concurrency per hour over the trace spans — "how many
+    spans were in flight at once" — THE operational query over the
+    reference's own data model (events as spans: start = ts, duration
+    = value ms; cf. /root/reference/main.js:158-162 trace arithmetic).
+
+    Classic sweep-line: every span contributes (+1 at start, −1 at
+    end) points; concurrency is the running sum over the global point
+    order (end before start at the same instant — half-open spans);
+    the hourly report takes the max per hour bucket. The global
+    running sum is the single-task trap again, so it reuses the
+    two-phase distributed prefix sum (range partition by the total
+    point order → local sums + tiny broadcast offsets). All integer µs
+    / counts.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.select(
+        "event_id",
+        F.expr("ts div 1000").alias("s_us"),
+        # value is a 2dp ms duration: exact µs via cents*10
+        (F.expr("ts div 1000") + exact_units(F.col("value"), 2) * 10).alias("e_us"),
+    )
+    points = spans.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("d"), "event_id"
+    ).unionAll(
+        spans.select(F.col("e_us").alias("t"), F.lit(-1).alias("d"), "event_id")
+    )
+    base = points.repartitionByRange(n_parts, "t", "d", "event_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("local_sum", F.sum("d").over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("pid")
+        .agg(F.sum("d").alias("ptotal"))
+        .withColumn("p_offset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)))
+        .select("pid", "p_offset")
+    )
+    conc = local.join(F.broadcast(offsets), "pid").withColumn(
+        "running", F.col("p_offset") + F.col("local_sum")
+    )
+    return (
+        conc.groupBy(F.expr("t div 3600000000").alias("hour_bucket"))
+        .agg(F.max("running").alias("max_concurrent"))
+    )

@@ -3501,3 +3501,55 @@ SELECT user_id,
          AS n_purchases
 FROM e GROUP BY user_id
 """
+
+# --------------------------------------------------------------------------
+# EXT E133-E134 — sweep-line concurrency, market concentration
+# --------------------------------------------------------------------------
+
+# Peak concurrency per hour: sweep-line prefix sum over span endpoints
+# (end before start at equal instants — half-open spans). The oracle
+# uses the plain global window the engine decomposes two-phase.
+QUERIES["max_concurrent_spans"] = timeops.max_concurrent_spans
+ORACLES["max_concurrent_spans"] = f"""
+WITH spans AS (
+  SELECT event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + {duck_units('value', 2)} * 10 AS e_us
+  FROM events
+), pts AS (
+  SELECT s_us AS t, 1 AS d, event_id FROM spans
+  UNION ALL
+  SELECT e_us AS t, -1 AS d, event_id FROM spans
+), run AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM pts
+)
+SELECT t // 3600000000 AS hour_bucket,
+       CAST(max(running) AS BIGINT) AS max_concurrent
+FROM run GROUP BY 1
+"""
+
+# Nation-level supplier HHI from floored integer ppm shares.
+QUERIES["nation_supplier_hhi"] = relational.nation_supplier_hhi
+ORACLES["nation_supplier_hhi"] = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum({duck_units('l_extendedprice * (1 - l_discount)', 4)}) AS rev_u4
+  FROM lineitem GROUP BY 1
+), per AS (
+  SELECT s_nationkey, rev_u4
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+), nat AS (
+  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(rev_u4) AS nat_u4
+  FROM per GROUP BY 1
+), shares AS (
+  SELECT per.s_nationkey, nat.n_suppliers,
+         CAST(per.rev_u4 * 1000000 // nat.nat_u4 AS BIGINT) AS share_ppm
+  FROM per JOIN nat ON per.s_nationkey = nat.s_nationkey
+)
+SELECT s_nationkey, any_value(n_suppliers) AS n_suppliers,
+       CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+       CAST(max(share_ppm) AS BIGINT) AS top_share_ppm
+FROM shares GROUP BY s_nationkey
+"""
