@@ -1252,3 +1252,67 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(share_ppm * share_ppm) div 1000000").alias("hhi_ppm"),
         F.max("share_ppm").alias("top_share_ppm"),
     )
+
+
+def item_item_cosine_topk(
+    spark: SparkSession, sf_dir: str, min_pair: int = 3, k: int = 3
+) -> DataFrame:
+    """Item-item collaborative filtering: each part's top-``k`` most
+    similar parts by cosine over binary basket vectors —
+    ``cos(a,b) = c_ab / sqrt(c_a·c_b)`` — the classic "customers who
+    bought X also bought Y" neighbor table.
+
+    Ranking never touches a float: cosine is monotone in
+    ``c_ab²·1e6 div (c_a·c_b)`` (exact long arithmetic), which also
+    serves as the reported score in ppm-of-cos². The oriented pair
+    join is the same basket self-join as association_rules (fan-out ∝
+    basket size², never table size); per-item top-k is a windowed rank
+    over candidate pairs only.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item"),
+            F.col("b.l_partkey").alias("neighbor"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair)
+    )
+    scored = (
+        pairs.join(
+            item.select(F.col("l_partkey").alias("item"), F.col("c_item").alias("c_a")),
+            "item",
+        )
+        .join(
+            item.select(
+                F.col("l_partkey").alias("neighbor"), F.col("c_item").alias("c_b")
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "c_ab",
+            F.expr("c_ab * c_ab * 1000000 div (c_a * c_b)").alias("cos_sq_ppm"),
+        )
+    )
+    w = W.partitionBy("item").orderBy(
+        F.desc("cos_sq_ppm"), F.desc("c_ab"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("item", "neighbor", "c_ab", "cos_sq_ppm", "rnk")
+    )

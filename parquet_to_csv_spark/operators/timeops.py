@@ -817,3 +817,51 @@ def max_concurrent_spans(
         conc.groupBy(F.expr("t div 3600000000").alias("hour_bucket"))
         .agg(F.max("running").alias("max_concurrent"))
     )
+
+
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase inter-arrival statistics + burstiness — the
+    behavioral signature separating periodic buyers (B → −1) from
+    bursty ones (B → +1): ``B = (σ−μ)/(σ+μ)`` over the gaps between
+    consecutive purchases.
+
+    One lag window per user gives integer-SECOND gaps (second grain,
+    not µs: Σg² of µs gaps spanning days overflows a long — seconds
+    keep n·Σg² < 2^63 out to ~10⁶-gap users); mean and variance come
+    from the three exact long sums (n, Σg, Σg²) via ``n·Σg² − (Σg)²``
+    — order-independent where a float variance fold is not. Only the
+    final σ (one sqrt) and B (one division) are doubles — a fixed
+    IEEE pipeline both engines evaluate identically on identical
+    longs. Users with < 3 purchases (< 2 gaps) are excluded — σ of
+    one gap is 0/undefined noise.
+    """
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = p.withColumn("prev", F.lag("ts_us", 1).over(w)).filter(
+        F.col("prev").isNotNull()
+    ).select("user_id", F.expr("(ts_us - prev) div 1000000").alias("g"))
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+    ).filter(F.col("n_gaps") >= 2)
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    # population variance: (n*s2 - s1^2) / n^2 — exact longs upstairs
+    var = (
+        (F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n_gaps") * F.col("n_gaps")).cast("double")
+    )
+    sd = F.sqrt(var)
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.expr("s1 div n_gaps").alias("mean_gap_s"),
+        F.round(sd, 3).alias("sd_gap_s"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )

@@ -3553,3 +3553,69 @@ SELECT s_nationkey, any_value(n_suppliers) AS n_suppliers,
        CAST(max(share_ppm) AS BIGINT) AS top_share_ppm
 FROM shares GROUP BY s_nationkey
 """
+
+# --------------------------------------------------------------------------
+# EXT E135-E136 — item-item CF neighbors, inter-arrival burstiness
+# --------------------------------------------------------------------------
+
+# Item-item cosine: ranking on integer cos² ppm, never a float.
+QUERIES["item_item_cosine_topk"] = relational.item_item_cosine_topk
+ORACLES["item_item_cosine_topk"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c_item FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS item, b.l_partkey AS neighbor,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), scored AS (
+  SELECT item, neighbor, c_ab,
+         CAST(c_ab * c_ab * 1000000 // (x.c_item * y.c_item) AS BIGINT)
+           AS cos_sq_ppm
+  FROM pairs
+  JOIN item x ON pairs.item = x.l_partkey
+  JOIN item y ON pairs.neighbor = y.l_partkey
+), ranked AS (
+  SELECT item, neighbor, c_ab, cos_sq_ppm,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY cos_sq_ppm DESC, c_ab DESC, neighbor ASC)
+           AS rnk
+  FROM scored
+)
+SELECT item, neighbor, c_ab, cos_sq_ppm, rnk FROM ranked WHERE rnk <= 3
+"""
+
+# Burstiness from exact second-grain gap sums; σ and B are a fixed
+# IEEE pipeline on identical longs.
+QUERIES["interarrival_burstiness"] = timeops.interarrival_burstiness
+ORACLES["interarrival_burstiness"] = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+  WHERE event_type = 'purchase'
+), g AS (
+  SELECT user_id,
+         (ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id)) // 1000000 AS g
+  FROM p
+), s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(g) AS BIGINT) AS s1, CAST(sum(g * g) AS BIGINT) AS s2
+  FROM g WHERE g IS NOT NULL GROUP BY 1
+  HAVING count(*) >= 2
+)
+SELECT user_id, n_gaps,
+       s1 // n_gaps AS mean_gap_s,
+       round(sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+                  / CAST(n_gaps * n_gaps AS DOUBLE)), 3) AS sd_gap_s,
+       round((sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+                   / CAST(n_gaps * n_gaps AS DOUBLE))
+              - CAST(s1 AS DOUBLE) / n_gaps)
+             / (sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+                     / CAST(n_gaps * n_gaps AS DOUBLE))
+                + CAST(s1 AS DOUBLE) / n_gaps), 6) AS burstiness
+FROM s
+"""
