@@ -598,3 +598,57 @@ def group_sample_fixed(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFra
         .filter(F.col("rn") <= n)
         .select("doc_id", "lang", F.col("rn").alias("sample_rank"))
     )
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: document count, normalization-level
+    duplicate rate, token volume, and quality-filter pass rate — the
+    one-page summary every ingested corpus source gets before anyone
+    decides its mixing weight.
+
+    ONE scan computes everything: the md5 content fingerprint
+    (textfn.fingerprint_col), token counts, and the quality bucket
+    rule (same signals as text.quality_score — token count,
+    unique-token ratio, alphabetic ratio); one groupBy on source with
+    count_distinct for the dup rate. All shares in exact integer ppm.
+    """
+    from parquet_to_csv_spark.functions.textfn import fingerprint_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    )
+    alpha_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+        / F.length("text").cast("double"),
+    )
+    ok = (
+        (n_tokens >= 5)
+        & (uniq_ratio >= 0.3)
+        & (alpha_ratio >= 0.5)
+    ).cast("int")
+    base = docs.select(
+        "source",
+        fingerprint_col("text").alias("fp"),
+        n_tokens.alias("nt"),
+        ok.alias("ok"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("ok").alias("n_ok"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(n_docs - n_distinct) * 1000000 div n_docs").alias("dup_ppm"),
+            "total_tokens",
+            F.expr("n_ok * 1000000 div n_docs").alias("quality_ok_ppm"),
+        )
+    )

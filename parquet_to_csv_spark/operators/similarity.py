@@ -827,3 +827,50 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_val",
         )
     )
+
+
+def embedding_outlier_scores(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Label-noise detection: the top-``k`` vectors per label FARTHEST
+    from their label centroid — the standard mislabeled-example sweep
+    run before embeddings (or their labels) train anything.
+
+    Centroids reuse the DECIMAL-exact element-mean convention
+    (label_centroids); each vector's squared distance is then summed
+    in exact integer 1e-6-unit squares: ``d_i = round((v_i − μ_i)·1e6)``
+    per dimension (identical doubles → identical rounds in both
+    engines), ``Σ d_i²`` an error-free long — so the ranking never
+    depends on float summation order. One posexplode join on
+    (label, pos) — N×dim narrow rows, the same shape the centroid
+    build already pays — and a per-label windowed top-k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n_vecs"), 6).alias("mu"),
+        )
+    )
+    d_units = F.round(
+        (F.col("val").cast("double") - F.col("mu")) * F.lit(1e6), 0
+    ).cast("long")
+    dist = (
+        ex.join(cent, ["label", "pos"])
+        .select("vec_id", "label", (d_units * d_units).alias("dsq"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("dsq").alias("dist_sq_e12"))
+    )
+    w = W.partitionBy("label").orderBy(F.desc("dist_sq_e12"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("label", "vec_id", "dist_sq_e12", "rnk")
+    )

@@ -3619,3 +3619,61 @@ SELECT user_id, n_gaps,
                 + CAST(s1 AS DOUBLE) / n_gaps), 6) AS burstiness
 FROM s
 """
+
+# --------------------------------------------------------------------------
+# EXT E137-E138 — label-noise outliers, per-source dataset card
+# --------------------------------------------------------------------------
+
+# Distance-to-centroid outliers; the oracle replays the decimal-exact
+# centroid means and the integer-unit square sums.
+QUERIES["embedding_outlier_scores"] = _sim.embedding_outlier_scores
+ORACLES["embedding_outlier_scores"] = """
+WITH ex AS (
+  SELECT vec_id, label, u.pos - 1 AS pos, u.val
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+                       unnest(embedding) AS val) u
+), cent AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+           AS mu
+  FROM ex GROUP BY 1, 2
+), dist AS (
+  SELECT vec_id, ex.label,
+         CAST(sum(CAST(round((CAST(ex.val AS DOUBLE) - cent.mu) * 1e6, 0)
+                       AS BIGINT)
+                  * CAST(round((CAST(ex.val AS DOUBLE) - cent.mu) * 1e6, 0)
+                        AS BIGINT)) AS BIGINT) AS dist_sq_e12
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY 1, 2
+), r AS (
+  SELECT label, vec_id, dist_sq_e12,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist_sq_e12 DESC, vec_id ASC) AS rnk
+  FROM dist
+)
+SELECT label, vec_id, dist_sq_e12, rnk FROM r WHERE rnk <= 5
+"""
+
+# Per-source dataset card: dup rate + quality pass rate in one scan.
+QUERIES["source_quality_report"] = corpus.source_quality_report
+ORACLES["source_quality_report"] = f"""
+WITH base AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         len({_TOKS}) AS nt,
+         CASE WHEN len({_TOKS}) >= 5
+               AND len(list_distinct({_TOKS}))
+                   / CAST(len({_TOKS}) AS DOUBLE) >= 0.3
+               AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) >= 0.5
+              THEN 1 ELSE 0 END AS ok
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (count(*) - count(DISTINCT fp)) * 1000000 // count(*) AS dup_ppm,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       sum(ok) * 1000000 // count(*) AS quality_ok_ppm
+FROM base GROUP BY source
+"""
