@@ -652,3 +652,171 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_ok * 1000000 div n_docs").alias("quality_ok_ppm"),
         )
     )
+
+
+def span_dedup_scrub(
+    spark: SparkSession, sf_dir: str, n: int = 4, min_docs: int = 3
+) -> DataFrame:
+    """Span-level dedup scrub: REMOVE every token span covered by a
+    word ``n``-gram that occurs in ≥ ``min_docs`` distinct documents,
+    and reassemble the surviving text — the substring-dedup pass
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") that exact-doc and near-dup dedup both miss: a boilerplate
+    header repeated across thousands of otherwise-unique pages.
+
+    Plan (all shuffles keyed on high-cardinality columns):
+
+      1. one scan → per-doc gram occurrences (array-local transform,
+         no shuffle);
+      2. hot-gram relation: gram-keyed exchange with map-side partial
+         agg (``count(distinct doc_id)`` ≥ threshold);
+      3. occurrences ⋈ hot on ``gram`` (parallel hash join; AQE picks
+         broadcast when the hot set is small) → covered positions via
+         an array-local ``sequence`` explode + distinct;
+      4. anti-join token positions against covered positions on
+         (doc_id, pos), then one groupBy(doc_id) rebuilds the scrubbed
+         text in position order.
+
+    A rewrite op necessarily shuffles ∝ corpus tokens — that is the
+    floor for any engine; nothing here is quadratic and no relation is
+    ever collected. Fully-covered documents survive with the
+    empty-string fingerprint. Output fingerprints (md5) let the DuckDB
+    oracle hash-match the EXACT reassembled text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    occ = (
+        toks.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> struct(i AS s, concat_ws(' ', slice(toks, i, {n})) AS gram))"
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", F.col("o.s").alias("s"), F.col("o.gram").alias("gram"))
+    )
+    hot = (
+        occ.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        occ.join(hot, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    positions = (
+        toks.select("doc_id", F.posexplode("toks").alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    totals = positions.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    scrub = (
+        positions.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("fp"),
+        )
+    )
+    return (
+        totals.join(scrub, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("fp"), F.md5(F.lit(""))).alias("scrubbed_fp"),
+        )
+        .filter(F.col("n_removed") > 0)
+    )
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed
+    corpus BIGRAM LM — the next-order upgrade of
+    :func:`unigram_lm_score`: it penalizes improbable token ORDER
+    (word salad, shuffled scrapes, keyword stuffing) that a unigram
+    model scores as perfectly fluent.
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)`` with V = corpus
+    vocabulary size (the classic Laplace estimator — every probability
+    strictly in (0,1), so ``ln`` is always defined).
+
+    Plan: one explode builds the per-doc bigram tf relation (array-
+    local adjacent pairing, no self-join); the LM counts REUSE that
+    relation (bigram totals = sum of tf, left-context totals = sum of
+    bigram totals) instead of re-exploding; V joins in as a one-row
+    broadcast. Scoring is one join on (w1, w2) + one join on w1 + one
+    groupBy(doc_id) — shuffle ∝ distinct bigrams, never quadratic.
+
+    Determinism: per-bigram log-prob rounds to integer micro-nats
+    (``ln`` of a rational ≠ .5 boundary except ln(1)=0, which both
+    engines round identically); doc scores are exact long sums with a
+    floored division — summation-order independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    " element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    big = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = F.broadcast(
+        docs.select(F.explode(tokens_col("text")).alias("t")).agg(
+            F.countDistinct("t").alias("v")
+        )
+    )
+    lp_units = F.round(
+        F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))) * 1e6, 0
+    ).cast("long")
+    scored = (
+        tf.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(vocab)
+        .select("doc_id", "tf", lp_units.alias("lp_units"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp_units")).alias("sum_units"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.floor(F.col("sum_units") / F.col("n_bigrams")) / F.lit(1e6)).alias(
+                "avg_logprob"
+            ),
+        )
+    )

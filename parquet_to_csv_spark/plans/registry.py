@@ -3677,3 +3677,73 @@ SELECT source,
        sum(ok) * 1000000 // count(*) AS quality_ok_ppm
 FROM base GROUP BY source
 """
+
+# --------------------------------------------------------------------------
+# EXT E139-E140 — span-level dedup scrub, bigram LM scoring
+# --------------------------------------------------------------------------
+
+# Repeated-span removal with exact reassembled-text fingerprints; the
+# oracle replays the hot-gram set, position coverage, and the
+# position-ordered rebuild.
+QUERIES["span_dedup_scrub"] = corpus.span_dedup_scrub
+ORACLES["span_dedup_scrub"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), occ AS (
+  SELECT doc_id, u.i AS s, concat_ws(' ', list_slice(t, u.i, u.i + 3)) AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) u
+  WHERE len(t) >= 4
+), hot AS (
+  SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+), cov AS (
+  SELECT DISTINCT occ.doc_id, occ.s + v.d AS pos
+  FROM occ JOIN hot USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS d) v
+), positions AS (
+  SELECT doc_id, u.pos, u.tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS pos,
+                             unnest(t) AS tok) u
+  WHERE len(t) > 0
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM positions p ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+), totals AS (
+  SELECT doc_id, count(*) AS n_tokens FROM positions GROUP BY doc_id
+), scrub AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       t.n_tokens - coalesce(s.n_kept, 0) AS n_removed,
+       coalesce(s.fp, md5('')) AS scrubbed_fp
+FROM totals t LEFT JOIN scrub s USING (doc_id)
+WHERE t.n_tokens - coalesce(s.n_kept, 0) > 0
+"""
+
+# Add-one bigram LM; micro-nat integer log-probs, exact long sums.
+QUERIES["bigram_lm_score"] = corpus.bigram_lm_score
+ORACLES["bigram_lm_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), pairs AS (
+  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+  WHERE len(t) >= 2
+), tf AS (
+  SELECT doc_id, w1, w2, count(*) AS tf FROM pairs GROUP BY doc_id, w1, w2
+), big AS (
+  SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY w1, w2
+), uni AS (
+  SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+)
+SELECT doc_id, sum(tf) AS n_bigrams,
+       floor(sum(tf * CAST(round(ln((c12 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000)
+                           AS BIGINT))
+             / sum(tf)) / 1000000.0 AS avg_logprob
+FROM tf JOIN big USING (w1, w2) JOIN uni USING (w1), vocab
+GROUP BY doc_id
+"""

@@ -1,0 +1,70 @@
+"""Batch-J tests: span-level dedup scrub, bigram LM scoring."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from parquet_to_csv_spark.operators import corpus
+from parquet_to_csv_spark.sources.tables import load_table
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+def test_span_dedup_scrub_replay(spark, sf_dir):
+    n, min_docs = 4, 3
+    docs = {r.doc_id: _toks(r.text) for r in load_table(spark, sf_dir, "documents").collect()}
+    gram_docs: dict[tuple, set] = {}
+    for d, t in docs.items():
+        for i in range(len(t) - n + 1):
+            gram_docs.setdefault(tuple(t[i : i + n]), set()).add(d)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    expect = {}
+    for d, t in docs.items():
+        covered = set()
+        for i in range(len(t) - n + 1):
+            if tuple(t[i : i + n]) in hot:
+                covered.update(range(i, i + n))
+        kept = [t[i] for i in range(len(t)) if i not in covered]
+        if len(covered) > 0:
+            fp = hashlib.md5(" ".join(kept).encode()).hexdigest()
+            expect[d] = (len(t), len(covered), fp)
+    rows = corpus.span_dedup_scrub(spark, sf_dir, n=n, min_docs=min_docs).collect()
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.scrubbed_fp) for r in rows}
+    assert got == expect
+    assert expect, "fixture must exercise at least one hot span"
+
+
+def test_bigram_lm_score_replay(spark, sf_dir):
+    docs = {r.doc_id: _toks(r.text) for r in load_table(spark, sf_dir, "documents").collect()}
+    big: Counter = Counter()
+    vocab = set()
+    for t in docs.values():
+        vocab.update(t)
+        big.update(zip(t, t[1:]))
+    c1: Counter = Counter()
+    for (w1, _), c in big.items():
+        c1[w1] += c
+    v = len(vocab)
+    expect = {}
+    for d, t in docs.items():
+        if len(t) < 2:
+            continue
+        units = 0
+        for pair in zip(t, t[1:]):
+            lp = math.log((big[pair] + 1) / (c1[pair[0]] + v))
+            units += int(round(lp * 1e6))
+        nb = len(t) - 1
+        expect[d] = (nb, math.floor(units / nb) / 1e6)
+    rows = corpus.bigram_lm_score(spark, sf_dir).collect()
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in rows}
+    assert got == expect
+
+
+def test_bigram_lm_penalizes_unattested_order(spark, sf_dir):
+    # every score is a strictly negative mean log-probability
+    rows = corpus.bigram_lm_score(spark, sf_dir).collect()
+    assert rows and all(r.avg_logprob < 0 for r in rows)
