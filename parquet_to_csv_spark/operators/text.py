@@ -860,3 +860,68 @@ def vocab_drift_daily(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
             ).alias("jaccard_ppm"),
         )
     )
+
+
+def chi2_distinctive_tokens(
+    spark: SparkSession, sf_dir: str, k: int = 10, min_docs: int = 5
+) -> DataFrame:
+    """Chi-squared distinctive tokens per language — the SUPERVISED
+    twin of tf-idf's distinctive terms: which tokens are statistically
+    over-represented in one label's documents (feature selection for a
+    classifier, or a drift probe on a labeled corpus).
+
+    Per (lang, token) the 2×2 presence contingency collapses to
+    ``det = a·N − n_lang·n_tok`` (a = docs of this lang containing the
+    token) and ``χ² = N·det² / (n_lang·(N−n_lang)·n_tok·(N−n_tok))``.
+    All contingency cells are exact longs from two keyed aggregations
+    (token-keyed, high cardinality — parallel); the label margins join
+    in as broadcasts. χ² itself is computed as ONE fixed IEEE-double
+    expression over those identical longs in both engines (same
+    parenthesization ⇒ same correctly-rounded product/division sequence
+    ⇒ identical floor), reported in integer milli-units. At the 100 TB
+    point the long products (a·N ≤ N²) need DECIMAL or log-space
+    scoring past N ≈ 3·10⁹ documents — the aggregation plan is
+    unchanged; only the final scalar expression widens.
+
+    Positive association only (``det > 0``: token over-represented IN
+    the language), support-filtered (``a ≥ min_docs``), top-``k`` per
+    language by (χ², token) via one windowed rank.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tokens_col("text"))).alias("token")
+    )
+    lang_n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    a_rel = pres.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("a"))
+    tok_n = a_rel.groupBy("token").agg(F.sum("a").alias("n_tok"))
+    scored = (
+        a_rel.join(tok_n, "token")
+        .join(F.broadcast(lang_n), "lang")
+        .join(F.broadcast(n_total))
+        .filter(
+            (F.col("a") >= min_docs)
+            & (F.col("n_tok") < F.col("n_total"))
+            & (F.col("n_lang") < F.col("n_total"))
+        )
+        .withColumn("det", F.col("a") * F.col("n_total") - F.col("n_lang") * F.col("n_tok"))
+        .filter(F.col("det") > 0)
+        .withColumn(
+            "chi2_milli",
+            F.expr(
+                "CAST(floor(CAST(n_total AS DOUBLE) * CAST(det AS DOUBLE)"
+                " * CAST(det AS DOUBLE)"
+                " / (CAST(n_lang AS DOUBLE) * CAST(n_total - n_lang AS DOUBLE)"
+                " * CAST(n_tok AS DOUBLE) * CAST(n_total - n_tok AS DOUBLE))"
+                " * 1000.0) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2_milli"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("lang", "token", F.col("a").alias("n_docs_in"), "chi2_milli", "rnk")
+    )

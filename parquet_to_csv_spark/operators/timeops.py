@@ -865,3 +865,39 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd, 3).alias("sd_gap_s"),
         F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
     )
+
+
+def seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str, lag_days: int = 7
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (event_type, day)
+    count with the count ``lag_days`` earlier and score MAE/MAPE — the
+    baseline every capacity/traffic forecasting model must beat, and
+    the cheapest continuous sanity monitor on an ingest volume series.
+
+    Plan: ONE daily aggregation (map-side combine, day from pure
+    integer epoch arithmetic — no session-timezone ``date_trunc``),
+    self-equi-joined on (event_type, day) after shifting the forecast
+    branch by ``lag_days`` — an exchange on the same grouping key both
+    branches share, so AQE reuses the exchange. Errors are exact longs;
+    MAE in milli-units and MAPE in ppm via floored integer division
+    (counts ≥ 1 by construction — no divide-by-zero under ANSI).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("(ts div 1000) div 86400000000")
+    daily = ev.groupBy(day.alias("day"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pred = daily.select(
+        "event_type", (F.col("day") + lag_days).alias("day"), F.col("n").alias("n_pred")
+    )
+    scored = daily.join(pred, ["event_type", "day"]).select(
+        "event_type",
+        F.abs(F.col("n") - F.col("n_pred")).alias("abs_err"),
+        F.expr("abs(n - n_pred) * 1000000 div n").alias("ape_ppm"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("sum(abs_err) * 1000 div count(1)").alias("mae_milli"),
+        F.expr("sum(ape_ppm) div count(1)").alias("mape_ppm"),
+    )

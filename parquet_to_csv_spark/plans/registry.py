@@ -3747,3 +3747,63 @@ SELECT doc_id, sum(tf) AS n_bigrams,
 FROM tf JOIN big USING (w1, w2) JOIN uni USING (w1), vocab
 GROUP BY doc_id
 """
+
+# --------------------------------------------------------------------------
+# EXT E141-E142 — chi-squared distinctive tokens, seasonal-naive backtest
+# --------------------------------------------------------------------------
+
+# 2x2 presence contingency per (lang, token); chi2 as ONE fixed
+# IEEE-double expression over identical exact longs in both engines.
+from parquet_to_csv_spark.operators import text as _text  # noqa: E402
+
+QUERIES["chi2_distinctive_tokens"] = _text.chi2_distinctive_tokens
+ORACLES["chi2_distinctive_tokens"] = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, lang, unnest(list_distinct({_TOKS})) AS token
+  FROM documents
+), lang_n AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+), tot AS (
+  SELECT count(*) AS n_total FROM documents
+), a_rel AS (
+  SELECT lang, token, count(*) AS a FROM pres GROUP BY lang, token
+), tok_n AS (
+  SELECT token, sum(a) AS n_tok FROM a_rel GROUP BY token
+), scored AS (
+  SELECT a_rel.lang, a_rel.token, a, n_tok, n_lang, n_total,
+         a * n_total - n_lang * n_tok AS det
+  FROM a_rel JOIN tok_n USING (token) JOIN lang_n ON a_rel.lang = lang_n.lang,
+       tot
+  WHERE a >= 5 AND n_tok < n_total AND n_lang < n_total
+        AND a * n_total - n_lang * n_tok > 0
+), chi AS (
+  SELECT lang, token, a,
+         CAST(floor(CAST(n_total AS DOUBLE) * CAST(det AS DOUBLE)
+              * CAST(det AS DOUBLE)
+              / (CAST(n_lang AS DOUBLE) * CAST(n_total - n_lang AS DOUBLE)
+              * CAST(n_tok AS DOUBLE) * CAST(n_total - n_tok AS DOUBLE))
+              * 1000.0) AS BIGINT) AS chi2_milli
+  FROM scored
+), r AS (
+  SELECT lang, token, a, chi2_milli,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY chi2_milli DESC, token ASC) AS rnk
+  FROM chi
+)
+SELECT lang, token, a AS n_docs_in, chi2_milli, rnk FROM r WHERE rnk <= 10
+"""
+
+# Seasonal-naive backtest; integer day grain, floored MAE/MAPE units.
+QUERIES["seasonal_naive_backtest"] = timeops.seasonal_naive_backtest
+ORACLES["seasonal_naive_backtest"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, count(*) AS n_days,
+       sum(abs(a.n - f.n)) * 1000 // count(*) AS mae_milli,
+       sum(abs(a.n - f.n) * 1000000 // a.n) // count(*) AS mape_ppm
+FROM daily a JOIN daily f
+  ON f.event_type = a.event_type AND f.day = a.day - 7
+GROUP BY a.event_type
+"""

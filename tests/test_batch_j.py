@@ -68,3 +68,69 @@ def test_bigram_lm_penalizes_unattested_order(spark, sf_dir):
     # every score is a strictly negative mean log-probability
     rows = corpus.bigram_lm_score(spark, sf_dir).collect()
     assert rows and all(r.avg_logprob < 0 for r in rows)
+
+
+def test_chi2_distinctive_tokens_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import text as text_ops
+
+    docs = [(r.doc_id, r.lang, set(_toks(r.text)))
+            for r in load_table(spark, sf_dir, "documents").collect()]
+    n_total = len(docs)
+    n_lang: Counter = Counter(l for _, l, _ in docs)
+    a: Counter = Counter()
+    for _, l, ts in docs:
+        for t in ts:
+            a[(l, t)] += 1
+    n_tok: Counter = Counter()
+    for (l, t), c in a.items():
+        n_tok[t] += c
+    scored = []
+    for (l, t), av in a.items():
+        if av < 5 or n_tok[t] >= n_total or n_lang[l] >= n_total:
+            continue
+        det = av * n_total - n_lang[l] * n_tok[t]
+        if det <= 0:
+            continue
+        chi2 = (
+            float(n_total) * float(det) * float(det)
+            / (float(n_lang[l]) * float(n_total - n_lang[l])
+               * float(n_tok[t]) * float(n_total - n_tok[t]))
+            * 1000.0
+        )
+        scored.append((l, t, av, _math.floor(chi2)))
+    expect = {}
+    by_lang: dict[str, list] = {}
+    for l, t, av, c in scored:
+        by_lang.setdefault(l, []).append((c, t, av))
+    for l, xs in by_lang.items():
+        xs.sort(key=lambda x: (-x[0], x[1]))
+        for rnk, (c, t, av) in enumerate(xs[:10], 1):
+            expect[(l, rnk)] = (t, av, c)
+    rows = text_ops.chi2_distinctive_tokens(spark, sf_dir).collect()
+    got = {(r.lang, r.rnk): (r.token, r.n_docs_in, r.chi2_milli) for r in rows}
+    assert got == expect
+
+
+def test_seasonal_naive_backtest_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type").collect()
+    daily: Counter = Counter()
+    for r in ev:
+        daily[(r.event_type, (r.ts // 1000) // 86400000000)] += 1
+    per: dict[str, list] = {}
+    for (et, d), n in daily.items():
+        np = daily.get((et, d - 7))
+        if np is not None:
+            per.setdefault(et, []).append((abs(n - np), abs(n - np) * 1000000 // n))
+    expect = {
+        et: (len(xs), sum(e for e, _ in xs) * 1000 // len(xs),
+             sum(p for _, p in xs) // len(xs))
+        for et, xs in per.items()
+    }
+    rows = timeops.seasonal_naive_backtest(spark, sf_dir).collect()
+    got = {r.event_type: (r.n_days, r.mae_milli, r.mape_ppm) for r in rows}
+    assert got == expect
+    assert got, "fixture must span at least one lagged week"
