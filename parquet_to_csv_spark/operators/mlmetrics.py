@@ -359,3 +359,126 @@ def trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("clicks_24h"), F.lit(0).cast("long")).alias("clicks_24h"),
         F.coalesce(F.col("clicks_1h"), F.lit(0).cast("long")).alias("clicks_1h"),
     )
+
+
+def ks_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between every pair of
+    sources' document-length distributions — the nonparametric drift
+    test that catches SHAPE changes (bimodality, truncation) that the
+    moment-based and KL monitors miss.
+
+    ``D = max_v |F_a(v) − F_b(v)|`` over the union of observed values.
+    Relational build: one scan → (source, n_chars) counts → a dense
+    (source × distinct-value) grid from two SMALL dims (the value
+    domain of a length column is bounded; at 100 TB lengths get
+    bucketed first, same plan) → per-source running ECDF counts via a
+    window partitioned by source → pair join keyed on the value
+    (high-cardinality, parallel) → one max per pair. The comparison is
+    exact integer cross-multiplication (|cum_a·N_b − cum_b·N_a|), so
+    no ECDF float division ever happens; the final D is reported in
+    ppm by floored division. Long products bound: N_a·N_b·10⁶ — widen
+    to DECIMAL past ~3·10⁶ docs/source (plan unchanged).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    vals = counts.select("n_chars").distinct()
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    grid = (
+        F.broadcast(vals)
+        .crossJoin(F.broadcast(srcs))
+        .join(counts, ["source", "n_chars"], "left")
+        .select(
+            "source", "n_src", "n_chars", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = grid.withColumn("cum", F.sum("c").over(w))
+    a = ecdf.select(
+        F.col("source").alias("source_a"),
+        F.col("n_src").alias("n_a"),
+        "n_chars",
+        F.col("cum").alias("cum_a"),
+    )
+    b = ecdf.select(
+        F.col("source").alias("source_b"),
+        F.col("n_src").alias("n_b"),
+        "n_chars",
+        F.col("cum").alias("cum_b"),
+    )
+    return (
+        a.join(b, "n_chars")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))).alias("mx"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.expr("mx * 1000000 div (n_a * n_b)").alias("ks_d_ppm"),
+        )
+    )
+
+
+def event_sequence_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral-sequence anomaly score: mean log-probability
+    of the user's event-type TRANSITIONS under the corpus first-order
+    Markov model (add-one smoothing over the K observed types) — bots
+    and broken clients surface as improbable transition chains even
+    when their per-event volumes look normal.
+
+    Plan: one window (lag over (ts, event_id) per user — the same
+    exchange the per-user aggregation reuses) builds the transition
+    relation; corpus transition counts REUSE the per-user tf relation
+    (two chained groupBys, map-side combine); K joins in as a one-row
+    broadcast. Scoring mirrors the text bigram LM: integer micro-nat
+    log-probs (``ln`` of a rational never lands on a rounding boundary
+    except ln(1)=0), exact long sums, floored division — engine- and
+    order-independent.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", "prev", "event_type")
+    )
+    tf = pairs.groupBy("user_id", "prev", "event_type").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    trans = tf.groupBy("prev", "event_type").agg(F.sum("tf").alias("cab"))
+    ca = trans.groupBy("prev").agg(F.sum("cab").alias("ca"))
+    kinds = F.broadcast(ev.agg(F.countDistinct("event_type").alias("k")))
+    lp_units = F.round(
+        F.log((F.col("cab") + 1).cast("double") / (F.col("ca") + F.col("k"))) * 1e6, 0
+    ).cast("long")
+    scored = (
+        tf.join(trans, ["prev", "event_type"])
+        .join(ca, "prev")
+        .join(kinds)
+        .select("user_id", "tf", lp_units.alias("lp_units"))
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            F.sum(F.col("tf") * F.col("lp_units")).alias("sum_units"),
+        )
+        .select(
+            "user_id",
+            "n_transitions",
+            (F.floor(F.col("sum_units") / F.col("n_transitions")) / F.lit(1e6)).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -3807,3 +3807,63 @@ FROM daily a JOIN daily f
   ON f.event_type = a.event_type AND f.day = a.day - 7
 GROUP BY a.event_type
 """
+
+# --------------------------------------------------------------------------
+# EXT E143-E144 — KS two-sample drift, behavioral-sequence Markov LM
+# --------------------------------------------------------------------------
+
+# KS over the dense (source x value) ECDF grid; integer cross-multiplied
+# ECDF comparison, ppm output.
+QUERIES["ks_source_pairs"] = mlmetrics.ks_source_pairs
+ORACLES["ks_source_pairs"] = """
+WITH counts AS (
+  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+), vals AS (
+  SELECT DISTINCT n_chars FROM documents
+), srcs AS (
+  SELECT source, count(*) AS n_src FROM documents GROUP BY 1
+), grid AS (
+  SELECT s.source, s.n_src, v.n_chars, coalesce(c.c, 0) AS c
+  FROM vals v CROSS JOIN srcs s
+  LEFT JOIN counts c ON c.source = s.source AND c.n_chars = v.n_chars
+), ecdf AS (
+  SELECT source, n_src, n_chars,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM grid
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.n_src AS n_a, b.n_src AS n_b,
+       max(abs(a.cum * b.n_src - b.cum * a.n_src)) * 1000000
+         // (a.n_src * b.n_src) AS ks_d_ppm
+FROM ecdf a JOIN ecdf b ON a.n_chars = b.n_chars AND a.source < b.source
+GROUP BY 1, 2, 3, 4
+"""
+
+# First-order Markov LM over per-user event-type transitions.
+QUERIES["event_sequence_lm_score"] = mlmetrics.event_sequence_lm_score
+ORACLES["event_sequence_lm_score"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), pairs AS (
+  SELECT user_id, prev, event_type FROM seq WHERE prev IS NOT NULL
+), tf AS (
+  SELECT user_id, prev, event_type, count(*) AS tf
+  FROM pairs GROUP BY 1, 2, 3
+), trans AS (
+  SELECT prev, event_type, sum(tf) AS cab FROM tf GROUP BY 1, 2
+), ca AS (
+  SELECT prev, sum(cab) AS ca FROM trans GROUP BY 1
+), kinds AS (
+  SELECT count(DISTINCT event_type) AS k FROM events
+)
+SELECT user_id, sum(tf) AS n_transitions,
+       floor(sum(tf * CAST(round(ln((cab + 1) / CAST(ca + k AS DOUBLE)) * 1000000)
+                           AS BIGINT))
+             / sum(tf)) / 1000000.0 AS avg_logprob
+FROM tf JOIN trans USING (prev, event_type) JOIN ca USING (prev), kinds
+GROUP BY user_id
+"""

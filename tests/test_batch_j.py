@@ -134,3 +134,61 @@ def test_seasonal_naive_backtest_replay(spark, sf_dir):
     got = {r.event_type: (r.n_days, r.mae_milli, r.mape_ppm) for r in rows}
     assert got == expect
     assert got, "fixture must span at least one lagged week"
+
+
+def test_ks_source_pairs_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars").collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    vals = sorted({r.n_chars for r in docs})
+    srcs = sorted(by_src)
+    ecdf = {
+        s: [sum(1 for x in by_src[s] if x <= v) for v in vals] for s in srcs
+    }
+    expect = {}
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1:]:
+            n1, n2 = len(by_src[s1]), len(by_src[s2])
+            mx = max(abs(c1 * n2 - c2 * n1) for c1, c2 in zip(ecdf[s1], ecdf[s2]))
+            expect[(s1, s2)] = (n1, n2, mx * 1000000 // (n1 * n2))
+    rows = mlmetrics.ks_source_pairs(spark, sf_dir).collect()
+    got = {(r.source_a, r.source_b): (r.n_a, r.n_b, r.ks_d_ppm) for r in rows}
+    assert got == expect
+
+
+def test_event_sequence_lm_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    by_user: dict[int, list] = {}
+    kinds = set()
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+        kinds.add(r.event_type)
+    cab: Counter = Counter()
+    user_pairs: dict[int, list] = {}
+    for u, xs in by_user.items():
+        xs.sort()
+        ps = list(zip((t for _, _, t in xs), (t for _, _, t in xs[1:])))
+        user_pairs[u] = ps
+        cab.update(ps)
+    ca: Counter = Counter()
+    for (a, _), c in cab.items():
+        ca[a] += c
+    k = len(kinds)
+    expect = {}
+    for u, ps in user_pairs.items():
+        if not ps:
+            continue
+        units = sum(int(round(_math.log((cab[p] + 1) / (ca[p[0]] + k)) * 1e6)) for p in ps)
+        expect[u] = (len(ps), _math.floor(units / len(ps)) / 1e6)
+    rows = mlmetrics.event_sequence_lm_score(spark, sf_dir).collect()
+    got = {r.user_id: (r.n_transitions, r.avg_logprob) for r in rows}
+    assert got == expect
