@@ -482,3 +482,128 @@ def event_sequence_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def grouped_ols_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MULTIVARIATE OLS: per event_type, fit
+    ``value_cents ~ b0 + b1·hour + b2·dow`` in closed form (normal
+    equations, Cramer's rule) — the two-feature upgrade of the
+    slope-only grouped fit, and the pattern for any small-d grouped
+    regression at scale: d² sufficient statistics per group from ONE
+    scan with map-side combine, never an iterative solver.
+
+    hour/dow come from pure integer epoch arithmetic (no calendar
+    functions — engine dow conventions differ); y is exact integer
+    cents; all nine sufficient statistics are exact long sums. The 3×3
+    Cramer determinants then run as ONE fixed IEEE-double pipeline over
+    those identical longs in both engines (same parenthesization ⇒
+    identical correctly-rounded sequence ⇒ identical floor), betas in
+    integer micro-cents. Long bound: Σx²y ≤ n·23²·maxcents — widen the
+    stats to DECIMAL past ~10¹² rows/group (plan unchanged).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 3600000000000) % 24").alias("x1"),
+        F.expr("((ts div 86400000000000) + 4) % 7").alias("x2"),
+        exact_units(F.col("value"), 2).alias("y"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    # dets as doubles over exact longs — identical expression text in
+    # the DuckDB oracle
+    det = (
+        "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    det0 = (
+        "(CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))"
+    )
+    det1 = (
+        "(CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+        " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+        " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    det2 = (
+        "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+        " - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+        " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    return s.filter(F.expr(f"{det} <> 0.0")).select(
+        "event_type",
+        "n",
+        F.expr(f"CAST(floor({det0} / {det} * 1000000.0) AS BIGINT)").alias("b0_micro"),
+        F.expr(f"CAST(floor({det1} / {det} * 1000000.0) AS BIGINT)").alias("b1_micro"),
+        F.expr(f"CAST(floor({det2} / {det} * 1000000.0) AS BIGINT)").alias("b2_micro"),
+    )
+
+
+def spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Spearman rank correlation between event hour-of-day
+    and value — the monotone-association probe (is value drifting
+    across the day?) that Pearson misses on nonlinear-but-monotone
+    relationships and that raw-value correlation lets outliers hijack.
+
+    Tie-averaged ranks are kept EXACT in half-units
+    (``2·rank = 2·rank_min + (ties − 1)``) from one rank window + one
+    tie-count window per variable — both windows share the per-group
+    exchange. Pearson over the half-unit ranks is then exact long
+    sums; the final ρ runs as one fixed IEEE-double pipeline over
+    identical longs in both engines, reported in micro-units. Long
+    bound: n·Σr²ᵢ ≈ 4n³ — widen to DECIMAL past ~10⁶ rows/group.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 3600000000000) % 24").alias("x"),
+        exact_units(F.col("value"), 2).alias("y"),
+    )
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wy = Window.partitionBy("event_type").orderBy("y")
+    cx = Window.partitionBy("event_type", "x")
+    cy = Window.partitionBy("event_type", "y")
+    ranked = ev.select(
+        "event_type",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1).alias("ry"),
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    den = (
+        "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return s.filter(F.expr(f"{den} <> 0.0")).select(
+        "event_type",
+        "n",
+        F.expr(f"CAST(floor({num} / {den} * 1000000.0) AS BIGINT)").alias("rho_micro"),
+    )

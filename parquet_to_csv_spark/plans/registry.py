@@ -3867,3 +3867,97 @@ SELECT user_id, sum(tf) AS n_transitions,
 FROM tf JOIN trans USING (prev, event_type) JOIN ca USING (prev), kinds
 GROUP BY user_id
 """
+
+# --------------------------------------------------------------------------
+# EXT E145-E146 — grouped multivariate OLS, Spearman rank correlation
+# --------------------------------------------------------------------------
+
+_OLS_DET = (
+    "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+    " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+)
+_OLS_DET0 = (
+    "(CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)"
+    " - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))"
+)
+_OLS_DET1 = (
+    "(CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+    " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+    " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+)
+_OLS_DET2 = (
+    "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+    " - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+    " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))"
+    " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+    " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+)
+
+QUERIES["grouped_ols_features"] = mlmetrics.grouped_ols_features
+ORACLES["grouped_ols_features"] = f"""
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 % 24 AS x1,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS x2,
+         {duck_units("value", 2)} AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+         sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor({_OLS_DET0} / {_OLS_DET} * 1000000.0) AS BIGINT) AS b0_micro,
+       CAST(floor({_OLS_DET1} / {_OLS_DET} * 1000000.0) AS BIGINT) AS b1_micro,
+       CAST(floor({_OLS_DET2} / {_OLS_DET} * 1000000.0) AS BIGINT) AS b2_micro
+FROM s WHERE {_OLS_DET} <> 0.0
+"""
+
+QUERIES["spearman_by_group"] = mlmetrics.spearman_by_group
+ORACLES["spearman_by_group"] = f"""
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 % 24 AS x,
+         {duck_units("value", 2)} AS y
+  FROM events
+), ranked AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+           + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+           + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+  FROM base
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS rho_micro
+FROM s
+WHERE sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) <> 0.0
+"""

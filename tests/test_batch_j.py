@@ -192,3 +192,96 @@ def test_event_sequence_lm_replay(spark, sf_dir):
     rows = mlmetrics.event_sequence_lm_score(spark, sf_dir).collect()
     got = {r.user_id: (r.n_transitions, r.avg_logprob) for r in rows}
     assert got == expect
+
+
+def _cents(v: float) -> int:
+    import math as _math
+
+    return int(_math.floor(v * 100 + 0.5))
+
+
+def test_grouped_ols_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    stats: dict[str, list] = {}
+    for r in ev:
+        x1 = (r.ts // 3600000000000) % 24
+        x2 = ((r.ts // 86400000000000) + 4) % 7
+        y = _cents(r.value)
+        stats.setdefault(r.event_type, []).append((x1, x2, y))
+    expect = {}
+    for et, xs in stats.items():
+        n = len(xs)
+        s1 = sum(x1 for x1, _, _ in xs); s2 = sum(x2 for _, x2, _ in xs)
+        s11 = sum(x1 * x1 for x1, _, _ in xs); s22 = sum(x2 * x2 for _, x2, _ in xs)
+        s12 = sum(x1 * x2 for x1, x2, _ in xs); sy = sum(y for _, _, y in xs)
+        s1y = sum(x1 * y for x1, _, y in xs); s2y = sum(x2 * y for _, x2, y in xs)
+        def det3(a, b, c, d, e, f, g, h, i):
+            return (float(a) * (float(e) * float(i) - float(f) * float(h))
+                    - float(b) * (float(d) * float(i) - float(f) * float(g))
+                    + float(c) * (float(d) * float(h) - float(e) * float(g)))
+        # matrix [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], rhs [sy,s1y,s2y]
+        dd = (float(n) * (float(s11) * float(s22) - float(s12) * float(s12))
+              - float(s1) * (float(s1) * float(s22) - float(s12) * float(s2))
+              + float(s2) * (float(s1) * float(s12) - float(s11) * float(s2)))
+        d0 = (float(sy) * (float(s11) * float(s22) - float(s12) * float(s12))
+              - float(s1) * (float(s1y) * float(s22) - float(s12) * float(s2y))
+              + float(s2) * (float(s1y) * float(s12) - float(s11) * float(s2y)))
+        d1 = (float(n) * (float(s1y) * float(s22) - float(s12) * float(s2y))
+              - float(sy) * (float(s1) * float(s22) - float(s12) * float(s2))
+              + float(s2) * (float(s1) * float(s2y) - float(s1y) * float(s2)))
+        d2 = (float(n) * (float(s11) * float(s2y) - float(s1y) * float(s12))
+              - float(s1) * (float(s1) * float(s2y) - float(s1y) * float(s2))
+              + float(sy) * (float(s1) * float(s12) - float(s11) * float(s2)))
+        if dd != 0.0:
+            expect[et] = (n, _math.floor(d0 / dd * 1e6), _math.floor(d1 / dd * 1e6),
+                          _math.floor(d2 / dd * 1e6))
+    rows = mlmetrics.grouped_ols_features(spark, sf_dir).collect()
+    got = {r.event_type: (r.n, r.b0_micro, r.b1_micro, r.b2_micro) for r in rows}
+    assert got == expect
+
+
+def test_spearman_replay_and_range(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    groups: dict[str, list] = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(
+            ((r.ts // 3600000000000) % 24, _cents(r.value))
+        )
+    def ranks2(vals):
+        # 2*tie-averaged-rank per original position
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r2 = (i + 1) + j  # 2*avg of ranks i+1..j
+            for t in range(i, j):
+                out[order[t]] = r2
+            i = j
+        return out
+    expect = {}
+    for et, xs in groups.items():
+        rx = ranks2([a for a, _ in xs]); ry = ranks2([b for _, b in xs])
+        n = len(xs)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(a * a for a in rx); syy = sum(b * b for b in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        den = _math.sqrt((float(n) * float(sxx) - float(sx) * float(sx))
+                         * (float(n) * float(syy) - float(sy) * float(sy)))
+        if den != 0.0:
+            num = float(n) * float(sxy) - float(sx) * float(sy)
+            expect[et] = (n, _math.floor(num / den * 1e6))
+    rows = mlmetrics.spearman_by_group(spark, sf_dir).collect()
+    got = {r.event_type: (r.n, r.rho_micro) for r in rows}
+    assert got == expect
+    assert all(-1_000_000 <= v[1] <= 1_000_000 for v in got.values())
