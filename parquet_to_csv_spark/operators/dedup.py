@@ -745,3 +745,65 @@ def label_propagation(
             .agg(F.min("lbl").alias("lbl"))
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("community"))
+
+
+def neardup_graph_assortativity(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Degree assortativity of the near-dup graph — the graph-health
+    scalar that distinguishes a few giant template clusters (high-degree
+    nodes attached to high-degree nodes, r → 1) from scattered pairwise
+    dups (r ≤ 0): it decides whether cluster-then-canonicalize or
+    plain pair-pruning is the right dedup strategy for a corpus.
+
+    Edges REUSE :func:`ngram_jaccard_pairs` (prefix-filtered exact
+    Jaccard — no new quadratic anywhere). Degrees are one explode +
+    groupBy; each edge picks up both endpoint degrees via two joins on
+    the node key; the mirrored-edge Pearson sums are exact longs
+    (symmetry ⇒ Sx=Sy, Sxx=Syy — computed once), and the final r is
+    one fixed IEEE-double pipeline over identical longs in both
+    engines, reported in micro-units.
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionAll(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("deg_b"))
+    s = (
+        edges.join(da, "doc_a")
+        .join(db, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("deg_a") + F.col("deg_b")).alias("sx"),
+            F.sum(
+                F.col("deg_a") * F.col("deg_a") + F.col("deg_b") * F.col("deg_b")
+            ).alias("sxx"),
+            F.sum(F.col("deg_a") * F.col("deg_b")).alias("sab"),
+        )
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    num = (
+        "(2.0 * CAST(m AS DOUBLE) * (2.0 * CAST(sab AS DOUBLE))"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    den = (
+        "(2.0 * CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return (
+        s.join(n_nodes)
+        .filter(F.expr(f"{den} <> 0.0"))
+        .select(
+            "n_nodes",
+            F.col("m").alias("n_edges"),
+            F.expr(f"CAST(floor({num} / {den} * 1000000.0) AS BIGINT)").alias(
+                "assortativity_micro"
+            ),
+        )
+    )

@@ -874,3 +874,75 @@ def embedding_outlier_scores(
         .filter(F.col("rnk") <= k)
         .select("label", "vec_id", "dist_sq_e12", "rnk")
     )
+
+
+def cluster_topic_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    k: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Semantic-cluster topic labeling: assign every embedding to its
+    nearest centroid cell (same fixed data-independent centroid rule as
+    :func:`ivf_topk` — no job at plan time), join the aligned
+    ``documents`` rows (vec_id ≡ doc_id in the fixture corpus, the
+    usual contract for document embeddings), and surface each
+    cluster's DISTINCTIVE terms by presence lift — what a corpus
+    explorer prints next to every embedding cluster.
+
+    Lift is exact integer ppm: ``(a/n_cell) / (n_t/N)`` cross-
+    multiplied to ``a·N·10⁶ div (n_cell·n_t)`` — no float ratio ever
+    materializes. The assignment is one broadcast join + ``max_by``
+    partial aggregation (N rows exchanged, no window sort); the term
+    stats are two keyed aggregations over the distinct (doc, term)
+    presence relation, joined on doc_id and term (both high-cardinality
+    keys). Top-k per cell via one windowed rank over cells — bounded
+    output.
+    """
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("nrm").alias("cent_nrm"),
+    )
+    cs = F.when(
+        (F.col("nrm") * F.col("cent_nrm")) > F.lit(0.0),
+        dot_product(F.col("embedding"), F.col("cent_emb"))
+        / (F.col("nrm") * F.col("cent_nrm")),
+    )
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "cell_id", cs.alias("cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cell_id", F.struct(F.col("cs"), -F.col("cell_id"))).alias("cell")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("term")
+    )
+    n_total = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_total")))
+    cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
+    term_totals = pres.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    cell_terms = (
+        pres.join(assigned, pres.doc_id == assigned.vec_id)
+        .groupBy("cell", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    w = W.partitionBy("cell").orderBy(F.desc("lift_ppm"), F.asc("term"))
+    return (
+        cell_terms.join(term_totals, "term")
+        .join(F.broadcast(cell_sizes), "cell")
+        .join(n_total)
+        .filter(F.col("a") >= min_docs)
+        .withColumn("lift_ppm", F.expr("a * n_total * 1000000 div (n_cell * n_t)"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("cell", "term", F.col("a").alias("n_docs_in"), "lift_ppm", "rnk")
+    )

@@ -3961,3 +3961,83 @@ WHERE sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) <> 0.0
 """
+
+# --------------------------------------------------------------------------
+# EXT E147-E148 — cluster topic labeling, near-dup graph assortativity
+# --------------------------------------------------------------------------
+
+# Centroid-cell assignment replayed exactly as ivf_topk's oracle does;
+# presence lift in exact integer ppm.
+QUERIES["cluster_topic_terms"] = _sim.cluster_topic_terms
+ORACLES["cluster_topic_terms"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 8
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos('e.embedding', 'c.cent_emb')} DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), pres AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents
+), tot AS (
+  SELECT count(*) AS n_total FROM documents
+), cell_sizes AS (
+  SELECT cell, count(*) AS n_cell FROM asg GROUP BY cell
+), term_totals AS (
+  SELECT term, count(*) AS n_t FROM pres GROUP BY term
+), cell_terms AS (
+  SELECT asg.cell, pres.term, count(*) AS a
+  FROM pres JOIN asg ON pres.doc_id = asg.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT cell, term, a, a * n_total * 1000000 // (n_cell * n_t) AS lift_ppm
+  FROM cell_terms JOIN term_totals USING (term) JOIN cell_sizes USING (cell), tot
+  WHERE a >= 3
+), r AS (
+  SELECT cell, term, a, lift_ppm,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY lift_ppm DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT cell, term, a AS n_docs_in, lift_ppm, rnk FROM r WHERE rnk <= 5
+"""
+
+# Mirrored-edge Pearson over endpoint degrees; edges = the exact
+# prefix-filtered Jaccard relation at 0.8.
+QUERIES["neardup_graph_assortativity"] = dedup.neardup_graph_assortativity
+ORACLES["neardup_graph_assortativity"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), edges AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT doc_a AS node FROM edges UNION ALL SELECT doc_b FROM edges
+  ) GROUP BY node
+), s AS (
+  SELECT count(*) AS m,
+         sum(da.deg + db.deg) AS sx,
+         sum(da.deg * da.deg + db.deg * db.deg) AS sxx,
+         sum(da.deg * db.deg) AS sab
+  FROM edges e JOIN deg da ON e.doc_a = da.node JOIN deg db ON e.doc_b = db.node
+), nn AS (
+  SELECT count(*) AS n_nodes FROM deg
+)
+SELECT n_nodes, m AS n_edges,
+       CAST(floor((2.0 * CAST(m AS DOUBLE) * (2.0 * CAST(sab AS DOUBLE))
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (2.0 * CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS assortativity_micro
+FROM s, nn
+WHERE (2.0 * CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+"""

@@ -285,3 +285,50 @@ def test_spearman_replay_and_range(spark, sf_dir):
     got = {r.event_type: (r.n, r.rho_micro) for r in rows}
     assert got == expect
     assert all(-1_000_000 <= v[1] <= 1_000_000 for v in got.values())
+
+
+def test_cluster_topic_terms_consistency(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    rows = similarity.cluster_topic_terms(spark, sf_dir).collect()
+    assert rows, "clusters must surface at least one distinctive term"
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, xs in by_cell.items():
+        xs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in xs] == list(range(1, len(xs) + 1))
+        # ranked by lift desc, term asc
+        key = [(-r.lift_ppm, r.term) for r in xs]
+        assert key == sorted(key)
+        assert all(r.n_docs_in >= 3 for r in xs)
+
+
+def test_assortativity_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import dedup
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.8).collect()
+    ]
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    m = len(edges)
+    sx = sum(deg[a] + deg[b] for a, b in edges)
+    sxx = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    sab = sum(deg[a] * deg[b] for a, b in edges)
+    num = 2.0 * float(m) * (2.0 * float(sab)) - float(sx) * float(sx)
+    den = 2.0 * float(m) * float(sxx) - float(sx) * float(sx)
+    rows = dedup.neardup_graph_assortativity(spark, sf_dir).collect()
+    if den == 0.0:
+        assert rows == []
+    else:
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.n_nodes, r.n_edges) == (len(deg), m)
+        assert r.assortativity_micro == _math.floor(num / den * 1e6)
+        assert -1_000_000 <= r.assortativity_micro <= 1_000_000
