@@ -1316,3 +1316,48 @@ def item_item_cosine_topk(
         .filter(F.col("rnk") <= k)
         .select("item", "neighbor", "c_ab", "cos_sq_ppm", "rnk")
     )
+
+
+# Benford expected first-digit shares in ppm: round(log10(1+1/d)*1e6).
+# Hard literals so both engines compare against the SAME integers.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fabricated-data / unit-mixup screen on any monetary column.
+
+    The first significant digit comes from the STRING of the exact
+    integer cents (`substring(cast(cents as string), 1, 1)`) — never
+    from `log10`/`pow`, whose float boundaries misclassify exact powers
+    of ten. Observed shares in exact integer ppm; expected shares are
+    hard integer literals (same nine constants in both engines), so the
+    signed deviation is pure long arithmetic. One scan, one 9-group
+    aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = exact_units(F.col("o_totalprice"), 2)
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = F.broadcast(counts.agg(F.sum("n_orders").alias("n_total")))
+    expect = None
+    for d, p in BENFORD_PPM.items():
+        expect = F.when(F.col("digit") == d, F.lit(p)) if expect is None else expect.when(F.col("digit") == d, F.lit(p))
+    return (
+        counts.join(total)
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("n_orders * 1000000 div n_total").alias("obs_ppm"),
+            expect.alias("exp_ppm"),
+        )
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
+    )

@@ -901,3 +901,85 @@ def seasonal_naive_backtest(
         F.expr("sum(abs_err) * 1000 div count(1)").alias("mae_milli"),
         F.expr("sum(ape_ppm) div count(1)").alias("mape_ppm"),
     )
+
+
+def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of view→purchase conversion time —
+    the censoring-correct answer to "how long until a viewer buys?",
+    where naive averaging of observed conversions is biased (users who
+    haven't bought YET are evidence, not missing data).
+
+    Cohort: each user's FIRST view; event = first purchase at-or-after
+    it; users with no qualifying purchase are right-censored at the
+    corpus horizon (max event time). Durations in whole days.
+
+    Relational KM: one row per distinct duration with event count d and
+    censor count c; the risk set n is the reverse cumulative total
+    (computed as total − running prefix via one global window — the
+    relation has one row per distinct DAY, so the single-partition
+    window is bounded by the calendar, not the data). The curve is
+    reported as LOG-survival in integer micro-nats: each step's
+    ``ln(1 − d/n) = ln((n−d)/n)`` rounds to micro-nats FIRST
+    (irrational except the never-occurring ln(1)), then the cumulative
+    long sum is exact — no cumulative float product anywhere, so the
+    curve is engine- and order-exact. Steps where d = n (survival hits
+    zero) end the curve and are dropped (log S = −∞).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    first_buy = (
+        views.join(
+            buys,
+            (F.col("user_id") == F.col("b_user")) & (F.col("b_ts") >= F.col("v_ts")),
+            "left",
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("b_ts").alias("p_ts"))
+    )
+    horizon = F.broadcast(ev.agg(F.max("ts").alias("h_ts")))
+    durs = first_buy.join(horizon).select(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr("(p_ts - v_ts) div 86400000000000"),
+        )
+        .otherwise(F.expr("(h_ts - v_ts) div 86400000000000"))
+        .alias("dur"),
+        F.col("p_ts").isNotNull().cast("long").alias("is_event"),
+    )
+    steps = durs.groupBy("dur").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(1 - F.col("is_event")).alias("c"),
+    )
+    total = F.broadcast(durs.agg(F.count(F.lit(1)).alias("n_total")))
+    w_prev = (
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at_risk = steps.join(total).withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    term = F.round(
+        F.log(F.expr("CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)")) * 1e6, 0
+    ).cast("long")
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        at_risk.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+        .withColumn("term_micro", term)
+        .withColumn("log_surv_micro", F.sum("term_micro").over(w_cum))
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            "log_surv_micro",
+        )
+    )

@@ -4041,3 +4041,77 @@ FROM s, nn
 WHERE (2.0 * CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
 """
+
+# --------------------------------------------------------------------------
+# EXT E149-E150 — Kaplan-Meier conversion survival, Benford audit
+# --------------------------------------------------------------------------
+
+# Censoring-correct KM curve; micro-nat step terms summed exactly.
+QUERIES["conversion_survival_curve"] = timeops.conversion_survival_curve
+ORACLES["conversion_survival_curve"] = """
+WITH views AS (
+  SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), fb AS (
+  SELECT v.user_id, v.v_us, min(epoch_us(b.ts)) AS p_us
+  FROM views v LEFT JOIN events b
+    ON b.user_id = v.user_id AND b.event_type = 'purchase'
+   AND epoch_us(b.ts) >= v.v_us
+  GROUP BY v.user_id, v.v_us
+), hz AS (
+  SELECT max(epoch_us(ts)) AS h_us FROM events
+), durs AS (
+  SELECT CASE WHEN p_us IS NOT NULL THEN (p_us - v_us) // 86400000000
+              ELSE (h_us - v_us) // 86400000000 END AS dur,
+         CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM fb, hz
+), steps AS (
+  SELECT dur, sum(is_event) AS d, sum(1 - is_event) AS c
+  FROM durs GROUP BY dur
+), tot AS (
+  SELECT count(*) AS n_total FROM durs
+), at_risk AS (
+  SELECT dur, d, c,
+         n_total - coalesce(sum(d + c) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM steps, tot
+), terms AS (
+  SELECT dur, d, n_risk,
+         CAST(round(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                    * 1000000) AS BIGINT) AS term_micro
+  FROM at_risk WHERE d > 0 AND n_risk > d
+)
+SELECT dur AS duration_days, n_risk, d AS n_events,
+       sum(term_micro) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_surv_micro
+FROM terms
+"""
+
+# First digit from the string of exact cents; hard Benford literals.
+QUERIES["benford_price_audit"] = relational.benford_price_audit
+ORACLES["benford_price_audit"] = f"""
+WITH counts AS (
+  SELECT CAST(substring(CAST({duck_units("o_totalprice", 2)} AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY 1
+  HAVING CAST(substring(CAST({duck_units("o_totalprice", 2)} AS VARCHAR), 1, 1)
+              AS BIGINT) >= 1
+), tot AS (
+  SELECT sum(n_orders) AS n_total FROM counts
+)
+SELECT digit, n_orders,
+       n_orders * 1000000 // n_total AS obs_ppm,
+       CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                  WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+       END AS exp_ppm,
+       n_orders * 1000000 // n_total
+         - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                      WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+           END AS dev_ppm
+FROM counts, tot
+"""

@@ -332,3 +332,60 @@ def test_assortativity_replay(spark, sf_dir):
         assert (r.n_nodes, r.n_edges) == (len(deg), m)
         assert r.assortativity_micro == _math.floor(num / den * 1e6)
         assert -1_000_000 <= r.assortativity_micro <= 1_000_000
+
+
+def test_conversion_survival_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import timeops
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts").collect()
+    views: dict[int, int] = {}
+    horizon = max(r.ts for r in ev)
+    for r in ev:
+        if r.event_type == "view":
+            views[r.user_id] = min(views.get(r.user_id, r.ts), r.ts)
+    first_buy: dict[int, int] = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in views and r.ts >= views[r.user_id]:
+            first_buy[r.user_id] = min(first_buy.get(r.user_id, r.ts), r.ts)
+    durs = []
+    for u, v in views.items():
+        if u in first_buy:
+            durs.append(((first_buy[u] - v) // 86400000000000, 1))
+        else:
+            durs.append(((horizon - v) // 86400000000000, 0))
+    steps: dict[int, list] = {}
+    for d, e in durs:
+        s = steps.setdefault(d, [0, 0])
+        s[0] += e
+        s[1] += 1 - e
+    total = len(durs)
+    seen = 0
+    cum = 0
+    expect = {}
+    for d in sorted(steps):
+        ev_n, c_n = steps[d]
+        n_risk = total - seen
+        seen += ev_n + c_n
+        if ev_n > 0 and n_risk > ev_n:
+            cum += int(round(_math.log((n_risk - ev_n) / n_risk) * 1e6))
+            expect[d] = (n_risk, ev_n, cum)
+    rows = timeops.conversion_survival_curve(spark, sf_dir).collect()
+    got = {r.duration_days: (r.n_risk, r.n_events, r.log_surv_micro) for r in rows}
+    assert got == expect
+    assert expect, "fixture must produce at least one KM step"
+    # log-survival is monotone nonincreasing
+    vals = [v[2] for _, v in sorted(expect.items())]
+    assert all(b <= a for a, b in zip(vals, vals[1:]))
+
+
+def test_benford_audit_consistency(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    rows = relational.benford_price_audit(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_ppm for r in rows) - 1_000_000) <= len(rows)
+    for r in rows:
+        assert r.dev_ppm == r.obs_ppm - r.exp_ppm
+        assert r.exp_ppm == relational.BENFORD_PPM[r.digit]
