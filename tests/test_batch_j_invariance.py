@@ -1,0 +1,48 @@
+"""Partition-count invariance for the batch-J operators.
+
+The round-1 gate flap (`hourly_to_daily_rollup`) was a partial-
+aggregation-order float divergence that only surfaced under the
+driver's partitioning. Every batch-J operator claims order-independent
+output (exact longs, micro-nat rounding before summation, or a fixed
+IEEE pipeline over identical longs); this suite re-runs each one under
+a deliberately hostile partitioning (repartition(3) on load via a
+conf override, shuffle.partitions=3 vs the session's 8) and asserts
+EXACT result equality — the same bar the driver's value-hash applies.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_to_csv_spark.plans.registry import QUERIES
+
+BATCH_J = [
+    "span_dedup_scrub",
+    "bigram_lm_score",
+    "chi2_distinctive_tokens",
+    "seasonal_naive_backtest",
+    "ks_source_pairs",
+    "event_sequence_lm_score",
+    "grouped_ols_features",
+    "spearman_by_group",
+    "cluster_topic_terms",
+    "neardup_graph_assortativity",
+    "conversion_survival_curve",
+    "benford_price_audit",
+]
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in (row.asDict().values() for row in rows))
+
+
+@pytest.mark.parametrize("name", BATCH_J)
+def test_partition_count_invariance(spark, sf_dir, name):
+    base = _canon(QUERIES[name](spark, sf_dir).collect())
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = _canon(QUERIES[name](spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert alt == base
