@@ -820,3 +820,50 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the corpus's quasi-identifiers —
+    the privacy screen run before a dataset release: how many documents
+    sit in a quasi-identifier group smaller than k (re-identifiable by
+    joining on those attributes alone)?
+
+    Quasi-ID here: (lang, source, 100-char length band) — the classic
+    generalization hierarchy step. ONE scan → one groupBy to group
+    sizes → one tiny conditional aggregate produces the whole report
+    (k ∈ {2, 5, 10}): no per-k re-scans, no explode. All counts and
+    shares are exact integers/ppm. At 100 TB the group-size relation
+    is bounded by the quasi-ID domain, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(
+            "lang", "source", F.expr("n_chars div 100").alias("len_band")
+        )
+        .groupBy("lang", "source", "len_band")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    total = F.broadcast(groups.agg(F.sum("sz").alias("n_total")))
+    ks = [2, 5, 10]
+    aggs = []
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("sz") < k, 1).otherwise(0)).alias(f"g{k}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0)).alias(f"d{k}")
+        )
+    wide = groups.agg(*aggs).join(total)
+    rows = [
+        wide.select(
+            F.lit(k).alias("k"),
+            F.col(f"g{k}").alias("n_groups_below"),
+            F.col(f"d{k}").alias("n_docs_at_risk"),
+            F.expr(f"d{k} * 1000000 div n_total").alias("risk_share_ppm"),
+        )
+        for k in ks
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -1361,3 +1361,43 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
     )
+
+
+def value_quintile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value quintile transition matrix, month over month —
+    the "movement" view of customer health: how many users migrate
+    from spend quintile q to quintile q' between consecutive months
+    (upgrades, downgrades; absence = churn, handled by the churn ops).
+
+    Per (customer, month) spend collapses in one scan (exact cents);
+    quintiles come from ``ntile(5)`` partitioned by month and ordered
+    by (spend, custkey) — the custkey tiebreak makes the total order
+    unique, so ntile's remainder distribution is deterministic and
+    identical in both engines. The month self-join is an equi-join on
+    (custkey, month+shift) — same key family as the per-month
+    exchange. Output is bounded: months × 25 cells.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.expr("cast(o_orderdate as timestamp)")
+    per = (
+        orders.select(
+            "o_custkey",
+            (F.year(ts) * 12 + F.month(ts)).alias("m"),
+            exact_units(F.col("o_totalprice"), 2).alias("cents"),
+        )
+        .groupBy("o_custkey", "m")
+        .agg(F.sum("cents").alias("spend"))
+    )
+    w = W.partitionBy("m").orderBy("spend", "o_custkey")
+    q = per.withColumn("quintile", F.ntile(5).over(w))
+    a = q.select(
+        "o_custkey", F.col("m").alias("m_from"), F.col("quintile").alias("q_from")
+    )
+    b = q.select(
+        "o_custkey", (F.col("m") - 1).alias("m_from"), F.col("quintile").alias("q_to")
+    )
+    return (
+        a.join(b, ["o_custkey", "m_from"])
+        .groupBy("m_from", "q_from", "q_to")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -4115,3 +4115,50 @@ SELECT digit, n_orders,
            END AS dev_ppm
 FROM counts, tot
 """
+
+# --------------------------------------------------------------------------
+# EXT E151-E152 — k-anonymity audit, value-quintile transition matrix
+# --------------------------------------------------------------------------
+
+QUERIES["k_anonymity_audit"] = corpus.k_anonymity_audit
+ORACLES["k_anonymity_audit"] = """
+WITH groups AS (
+  SELECT lang, source, n_chars // 100 AS len_band, count(*) AS sz
+  FROM documents GROUP BY 1, 2, 3
+), tot AS (
+  SELECT sum(sz) AS n_total FROM groups
+), wide AS (
+  SELECT sum(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS g2,
+         sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS d2,
+         sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS g5,
+         sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS d5,
+         sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS g10,
+         sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS d10
+  FROM groups
+)
+SELECT 2 AS k, g2 AS n_groups_below, d2 AS n_docs_at_risk,
+       d2 * 1000000 // n_total AS risk_share_ppm FROM wide, tot
+UNION ALL
+SELECT 5, g5, d5, d5 * 1000000 // n_total FROM wide, tot
+UNION ALL
+SELECT 10, g10, d10, d10 * 1000000 // n_total FROM wide, tot
+"""
+
+# ntile over a UNIQUE order (spend, custkey) is deterministic and
+# identical across engines (remainder rows go to the leading tiles).
+QUERIES["value_quintile_transitions"] = relational.value_quintile_transitions
+ORACLES["value_quintile_transitions"] = f"""
+WITH per AS (
+  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         sum({duck_units("o_totalprice", 2)}) AS spend
+  FROM orders GROUP BY 1, 2
+), q AS (
+  SELECT o_custkey, m,
+         ntile(5) OVER (PARTITION BY m ORDER BY spend, o_custkey) AS quintile
+  FROM per
+)
+SELECT a.m AS m_from, a.quintile AS q_from, b.quintile AS q_to,
+       count(*) AS n_users
+FROM q a JOIN q b ON a.o_custkey = b.o_custkey AND b.m = a.m + 1
+GROUP BY 1, 2, 3
+"""

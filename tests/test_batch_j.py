@@ -389,3 +389,49 @@ def test_benford_audit_consistency(spark, sf_dir):
     for r in rows:
         assert r.dev_ppm == r.obs_ppm - r.exp_ppm
         assert r.exp_ppm == relational.BENFORD_PPM[r.digit]
+
+
+def test_k_anonymity_audit_replay(spark, sf_dir):
+    rows = corpus.k_anonymity_audit(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    sizes: Counter = Counter()
+    for r in docs:
+        sizes[(r.lang, r.source, r.n_chars // 100)] += 1
+    total = len(docs)
+    expect = {}
+    for k in (2, 5, 10):
+        g = sum(1 for s in sizes.values() if s < k)
+        d = sum(s for s in sizes.values() if s < k)
+        expect[k] = (g, d, d * 1000000 // total)
+    got = {r.k: (r.n_groups_below, r.n_docs_at_risk, r.risk_share_ppm) for r in rows}
+    assert got == expect
+    # risk is monotone in k
+    assert expect[2][1] <= expect[5][1] <= expect[10][1]
+
+
+def test_quintile_transitions_conservation(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+    from pyspark.sql import functions as F
+
+    out = relational.value_quintile_transitions(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert all(1 <= r.q_from <= 5 and 1 <= r.q_to <= 5 for r in rows)
+    # users transitioning out of month m == users active in both m and m+1
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            "o_custkey",
+            (F.year(F.expr("cast(o_orderdate as timestamp)")) * 12
+             + F.month(F.expr("cast(o_orderdate as timestamp)"))).alias("m"),
+        )
+        .distinct()
+    )
+    a = per.alias("a")
+    b = per.select("o_custkey", (F.col("m") - 1).alias("m")).alias("b")
+    both = a.join(b, ["o_custkey", "m"]).groupBy("m").count().collect()
+    expect_m = {r.m: r["count"] for r in both}
+    got_m: Counter = Counter()
+    for r in rows:
+        got_m[r.m_from] += r.n_users
+    assert dict(got_m) == expect_m

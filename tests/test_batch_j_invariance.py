@@ -29,6 +29,8 @@ BATCH_J = [
     "neardup_graph_assortativity",
     "conversion_survival_curve",
     "benford_price_audit",
+    "k_anonymity_audit",
+    "value_quintile_transitions",
 ]
 
 
