@@ -983,3 +983,91 @@ def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_surv_micro",
         )
     )
+
+
+def top_event_trigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top sequential behavior patterns: the most common length-3
+    chains of consecutive event types per user — the sequence-mining
+    report (what do users DO, in order?) behind funnel design.
+
+    Two ``lead`` steps over one (user, time) window build the trigram
+    relation — the SAME per-user exchange the Markov op uses, no
+    self-joins; occurrence and distinct-user counts aggregate on the
+    trigram key (domain-bounded: |types|³ rows), then one global rank
+    over that tiny relation. Ordering ties break on the trigram text.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select("user_id", F.col("event_type").alias("e1"), "e2", "e3")
+    )
+    counts = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    wr = Window.orderBy(
+        F.desc("n_users"), F.desc("n_occurrences"), "e1", "e2", "e3"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select("e1", "e2", "e3", "n_occurrences", "n_users", "rnk")
+    )
+
+
+def session_entry_exit(
+    spark: SparkSession, sf_dir: str, gap_us: int = 1800000000
+) -> DataFrame:
+    """Session entry/exit path report: for every (first event type,
+    last event type) pair of a session, how many sessions follow that
+    path and how long they run — where users land and where they leave.
+
+    Sessions are the same gaps-and-islands formulation the
+    sessionization oracle uses (new session when the gap ≥ 30 min), so
+    the whole derivation is ONE per-user time window reused three ways
+    (gap flag, session id via running sum, first/last extraction via
+    row_number from both ends). Durations are exact µs; the mean is
+    floored integer milli-seconds. Output bounded by |types|².
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | ((F.col("tus") - F.lag("tus").over(w)) >= gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+    wse = Window.partitionBy("user_id", "sid").orderBy(
+        F.desc("tus"), F.desc("event_id")
+    )
+    marked = sess.withColumn("rf", F.row_number().over(ws)).withColumn(
+        "rl", F.row_number().over(wse)
+    )
+    per_session = marked.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("event_type"))).alias("entry_type"),
+        F.max(F.when(F.col("rl") == 1, F.col("event_type"))).alias("exit_type"),
+        (F.max("tus") - F.min("tus")).alias("dur_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.expr("sum(dur_us) div (count(1) * 1000)").alias("mean_dur_ms"),
+    )

@@ -4162,3 +4162,67 @@ SELECT a.m AS m_from, a.quintile AS q_from, b.quintile AS q_to,
 FROM q a JOIN q b ON a.o_custkey = b.o_custkey AND b.m = a.m + 1
 GROUP BY 1, 2, 3
 """
+
+# --------------------------------------------------------------------------
+# EXT E153-E154 — sequential trigram mining, session entry/exit paths
+# --------------------------------------------------------------------------
+
+QUERIES["top_event_trigrams"] = timeops.top_event_trigrams
+ORACLES["top_event_trigrams"] = """
+WITH tri AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+), counts AS (
+  SELECT e1, e2, e3, count(*) AS n_occurrences,
+         count(DISTINCT user_id) AS n_users
+  FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+), r AS (
+  SELECT e1, e2, e3, n_occurrences, n_users,
+         row_number() OVER (ORDER BY n_users DESC, n_occurrences DESC,
+                            e1, e2, e3) AS rnk
+  FROM counts
+)
+SELECT e1, e2, e3, n_occurrences, n_users, rnk FROM r WHERE rnk <= 20
+"""
+
+QUERIES["session_entry_exit"] = timeops.session_entry_exit
+ORACLES["session_entry_exit"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, tus,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) IS NULL
+                   OR tus - lag(tus) OVER (PARTITION BY user_id
+                                           ORDER BY tus, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sess AS (
+  SELECT user_id, event_id, event_type, tus,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), marked AS (
+  SELECT user_id, sid, event_type, tus,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY tus, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY tus DESC, event_id DESC) AS rl
+  FROM sess
+), per_session AS (
+  SELECT user_id, sid,
+         max(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+         max(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+         max(tus) - min(tus) AS dur_us,
+         count(*) AS n_events
+  FROM marked GROUP BY 1, 2
+)
+SELECT entry_type, exit_type, count(*) AS n_sessions,
+       sum(n_events) AS n_events,
+       sum(dur_us) // (count(*) * 1000) AS mean_dur_ms
+FROM per_session GROUP BY 1, 2
+"""

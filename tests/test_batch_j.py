@@ -435,3 +435,68 @@ def test_quintile_transitions_conservation(spark, sf_dir):
     for r in rows:
         got_m[r.m_from] += r.n_users
     assert dict(got_m) == expect_m
+
+
+def test_top_event_trigrams_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    occ: Counter = Counter()
+    users: dict[tuple, set] = {}
+    for u, xs in by_user.items():
+        xs.sort()
+        types = [t for _, _, t in xs]
+        for i in range(len(types) - 2):
+            tri = (types[i], types[i + 1], types[i + 2])
+            occ[tri] += 1
+            users.setdefault(tri, set()).add(u)
+    ranked = sorted(occ, key=lambda t: (-len(users[t]), -occ[t], t))[:20]
+    expect = {
+        tri: (occ[tri], len(users[tri]), i + 1) for i, tri in enumerate(ranked)
+    }
+    rows = timeops.top_event_trigrams(spark, sf_dir).collect()
+    got = {(r.e1, r.e2, r.e3): (r.n_occurrences, r.n_users, r.rnk) for r in rows}
+    assert got == expect
+
+
+def test_session_entry_exit_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts // 1000, r.event_id, r.event_type))
+    agg: dict[tuple, list] = {}
+    for u, xs in by_user.items():
+        xs.sort()
+        sessions = []
+        cur = [xs[0]]
+        for prev, nxt in zip(xs, xs[1:]):
+            if nxt[0] - prev[0] >= 1800000000:
+                sessions.append(cur)
+                cur = [nxt]
+            else:
+                cur.append(nxt)
+        sessions.append(cur)
+        for s in sessions:
+            key = (s[0][2], s[-1][2])
+            a = agg.setdefault(key, [0, 0, 0])
+            a[0] += 1
+            a[1] += len(s)
+            a[2] += s[-1][0] - s[0][0]
+    expect = {
+        k: (n, e, d // (n * 1000)) for k, (n, e, d) in agg.items()
+    }
+    rows = timeops.session_entry_exit(spark, sf_dir).collect()
+    got = {
+        (r.entry_type, r.exit_type): (r.n_sessions, r.n_events, r.mean_dur_ms)
+        for r in rows
+    }
+    assert got == expect

@@ -31,6 +31,8 @@ BATCH_J = [
     "benford_price_audit",
     "k_anonymity_audit",
     "value_quintile_transitions",
+    "top_event_trigrams",
+    "session_entry_exit",
 ]
 
 
