@@ -867,3 +867,45 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def weighted_sample_fixed_k(
+    spark: SparkSession, sf_dir: str, k: int = 50
+) -> DataFrame:
+    """Fixed-SIZE weighted sampling without replacement
+    (Efraimidis–Spirakis): the k documents with the largest
+    ``u^(1/w)`` keys, where u is a deterministic per-doc uniform from
+    the md5 hash and w = token count. Complements
+    :func:`weighted_sample` (Bernoulli, random SIZE) with the exact-k
+    contract a fixed training-budget draw needs — still reproducible
+    across engines, runs and partitionings, unlike RNG-seeded
+    reservoirs.
+
+    u comes from the first 12 md5 hex digits (48 bits — exactly
+    representable in a double); the selection key is the equivalent
+    monotone form ``ln(u)/w`` (avoids u^(1/w) underflow), computed as
+    ONE fixed IEEE expression over (exact 48-bit int, exact long w) in
+    both engines; ordering ties are broken by doc_id. Global top-k
+    plans as TakeOrderedAndProject — per-partition heap, no full sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    h = F.md5(F.col("doc_id").cast("string"))
+    v = F.lit(0).cast("long")
+    for i in range(12):
+        d = F.call_function("instr", F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        v = v * 16 + d
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("w"),
+        v.alias("h48"),
+    ).filter(F.col("w") > 0)
+    key = F.expr(
+        "CAST(floor(ln((CAST(h48 AS DOUBLE) + 1.0) / 281474976710656.0)"
+        " / CAST(w AS DOUBLE) * 1000000000.0) AS BIGINT)"
+    )
+    return (
+        base.select("doc_id", "w", key.alias("key_nano"))
+        .orderBy(F.desc("key_nano"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -219,3 +219,96 @@ def resize_thumbnails(payloads: DataFrame, target_bytes: int = 64) -> DataFrame:
             )
 
     return payloads.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("bins", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def byte_histogram(payloads: DataFrame) -> DataFrame:
+    """16-bin byte histogram per payload over the Arrow-batched decode
+    path — the stand-in for decode+feature-extract that keeps the REAL
+    ``mapInPandas`` plumbing (swap the histogram for DCT-of-pixels and
+    nothing else changes). No shuffle; output partitioning follows the
+    input. Counts are exact longs, so everything downstream is
+    oracle-checkable integer arithmetic.
+    """
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, bins = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = payload or b""
+                counts = [0] * 16
+                for byte in b:
+                    counts[byte >> 4] += 1
+                ids.append(doc_id)
+                sizes.append(len(b))
+                bins.append(counts)
+            yield pd.DataFrame({"doc_id": ids, "n_bytes": sizes, "bins": bins})
+
+    return payloads.mapInPandas(_hist, PHASH_SCHEMA)
+
+
+def phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup groups over the multimodal payload path
+    — the media twin of content-hash dedup: payloads whose coarse
+    byte-distribution signature collides are duplicate candidates (for
+    real images: same pHash ⇒ visually identical up to compression).
+
+    Signature: bit ``i`` is set iff the payload's bin-``i`` SHARE
+    exceeds the corpus-wide bin-``i`` share — the mean-threshold step
+    of classic pHash, relative to the corpus so the bits split ~50/50
+    (a uniform threshold degenerates: near-identical histograms set
+    identical bits). The comparison is exact cross-multiplied longs
+    (``c_i·total_corpus > corpus_i·n_bytes``) — no float shares.
+
+    Decode runs in the pandas plumbing (:func:`byte_histogram`); the
+    thresholding is relational: one posexplode (16 rows/payload), a
+    one-row broadcast of corpus bin totals, one groupBy(doc) to fold
+    bits, one groupBy(phash) — domain-bounded — for the groups.
+    """
+    payloads = attach_payloads(load_table(spark, sf_dir, "documents"))
+    hist = byte_histogram(payloads)
+    bins = hist.select(
+        "doc_id", "n_bytes", F.posexplode("bins").alias("b", "c")
+    )
+    corpus = F.broadcast(
+        bins.groupBy("b").agg(F.sum("c").alias("corpus_c")).groupBy().agg(
+            F.sum("corpus_c").alias("corpus_total"),
+            F.map_from_arrays(
+                F.collect_list("b"), F.collect_list("corpus_c")
+            ).alias("corpus_map"),
+        )
+    )
+    per_doc = (
+        bins.join(corpus)
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.when(
+                F.col("c") * F.col("corpus_total")
+                > F.element_at("corpus_map", F.col("b")) * F.col("n_bytes"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("doc_id", "n_bytes")
+        .agg(F.sum("bit").alias("phash"))
+    )
+    return (
+        per_doc.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .filter(F.col("n_payloads") >= 2)
+    )

@@ -4226,3 +4226,58 @@ SELECT entry_type, exit_type, count(*) AS n_sessions,
        sum(dur_us) // (count(*) * 1000) AS mean_dur_ms
 FROM per_session GROUP BY 1, 2
 """
+
+# --------------------------------------------------------------------------
+# EXT E155-E156 — perceptual-hash dup groups, fixed-k weighted sampling
+# --------------------------------------------------------------------------
+
+# The pandas-UDF pHash is pure integer byte arithmetic, so the oracle
+# replays it from the ASCII text bytes (chars == bytes on the fixture).
+QUERIES["phash_dup_groups"] = multimodal.phash_dup_groups
+ORACLES["phash_dup_groups"] = """
+WITH chars AS (
+  SELECT doc_id, ascii(u.c) // 16 AS b
+  FROM documents, LATERAL (SELECT unnest(string_split(text, '')) AS c) u
+  WHERE strlen(text) > 0
+), bins AS (
+  SELECT doc_id, b, count(*) AS c FROM chars GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, strlen(text) AS total FROM documents
+), corpus AS (
+  SELECT b, sum(c) AS corpus_c FROM bins GROUP BY b
+), corpus_tot AS (
+  SELECT sum(corpus_c) AS corpus_total FROM corpus
+), hashes AS (
+  SELECT t.doc_id, t.total,
+         coalesce(sum(CASE WHEN bins.c * corpus_total > corpus.corpus_c * t.total
+                           THEN (CAST(1 AS BIGINT) << bins.b) ELSE 0 END), 0)
+           AS phash
+  FROM tot t
+  LEFT JOIN bins ON bins.doc_id = t.doc_id
+  LEFT JOIN corpus ON corpus.b = bins.b, corpus_tot
+  GROUP BY 1, 2
+)
+SELECT phash, count(*) AS n_payloads, min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc, sum(total) AS total_bytes
+FROM hashes GROUP BY phash HAVING count(*) >= 2
+"""
+
+_H48 = " + ".join(
+    f"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+    for i in range(12)
+)
+QUERIES["weighted_sample_fixed_k"] = corpus.weighted_sample_fixed_k
+ORACLES["weighted_sample_fixed_k"] = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS w,
+         CAST({_H48} AS BIGINT) AS h48
+  FROM documents
+  WHERE len({_TOKS}) > 0
+)
+SELECT doc_id, w,
+       CAST(floor(ln((CAST(h48 AS DOUBLE) + 1.0) / 281474976710656.0)
+            / CAST(w AS DOUBLE) * 1000000000.0) AS BIGINT) AS key_nano
+FROM base
+ORDER BY key_nano DESC, doc_id ASC
+LIMIT 50
+"""

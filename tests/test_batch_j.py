@@ -500,3 +500,66 @@ def test_session_entry_exit_replay(spark, sf_dir):
         for r in rows
     }
     assert got == expect
+
+
+def test_phash_dup_groups_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    bins: dict[int, list] = {}
+    totals: dict[int, int] = {}
+    corpus = [0] * 16
+    for r in docs:
+        b = (r.text or "").encode()
+        c = [0] * 16
+        for byte in b:
+            c[byte >> 4] += 1
+        bins[r.doc_id] = c
+        totals[r.doc_id] = len(b)
+        for i in range(16):
+            corpus[i] += c[i]
+    corpus_total = sum(corpus)
+    groups: dict[int, list] = {}
+    for d, c in bins.items():
+        h = 0
+        for i in range(16):
+            if c[i] * corpus_total > corpus[i] * totals[d]:
+                h |= 1 << i
+        groups.setdefault(h, []).append(d)
+    expect = {
+        h: (len(ds), min(ds), max(ds), sum(totals[d] for d in ds))
+        for h, ds in groups.items()
+        if len(ds) >= 2
+    }
+    rows = multimodal.phash_dup_groups(spark, sf_dir).collect()
+    got = {r.phash: (r.n_payloads, r.min_doc, r.max_doc, r.total_bytes) for r in rows}
+    assert got == expect
+    # the corpus-relative threshold must not be degenerate
+    assert len(groups) > 1
+
+
+def test_weighted_sample_fixed_k_replay(spark, sf_dir):
+    import hashlib as _hl
+    import math as _math
+
+    from parquet_to_csv_spark.operators import corpus as corpus_ops
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    scored = []
+    for r in docs:
+        w = len(_toks(r.text))
+        if w == 0:
+            continue
+        h48 = int(_hl.md5(str(r.doc_id).encode()).hexdigest()[:12], 16)
+        key = _math.floor(_math.log((h48 + 1.0) / 281474976710656.0) / float(w) * 1e9)
+        scored.append((key, r.doc_id, w))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    expect = [(d, w, k) for k, d, w in scored[:50]]
+    rows = corpus_ops.weighted_sample_fixed_k(spark, sf_dir).collect()
+    got = [(r.doc_id, r.w, r.key_nano) for r in rows]
+    assert got == expect
+    # heavier docs are over-represented vs a uniform draw of the same size
+    sel_w = {d for d, _, _ in expect}
+    mean_sel = sum(w for _, w, _ in expect) / len(expect)
+    all_w = [len(_toks(r.text)) for r in docs if len(_toks(r.text)) > 0]
+    assert mean_sel > sum(all_w) / len(all_w)

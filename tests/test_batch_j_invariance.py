@@ -33,6 +33,8 @@ BATCH_J = [
     "value_quintile_transitions",
     "top_event_trigrams",
     "session_entry_exit",
+    "phash_dup_groups",
+    "weighted_sample_fixed_k",
 ]
 
 
