@@ -807,3 +807,72 @@ def neardup_graph_assortativity(
             ),
         )
     )
+
+
+def weighted_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold_milli: int = 500
+) -> DataFrame:
+    """IDF-WEIGHTED Jaccard near-dup pairs: shared RARE tokens count
+    more than shared stopwords — the soft-dedup refinement that plain
+    Jaccard lacks (two docs sharing only boilerplate words are not
+    near-dups; two docs sharing a rare 8-token name probably are).
+
+    ``simW(A,B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A∪B} idf_t`` with
+    ``idf_t = round(ln(N/df_t)·1000)`` — integer milli-nats, so every
+    per-doc and per-pair weight is an exact long sum and the final
+    ratio is floored integer milli. Fully relational: presence
+    relation → df → idf join; per-doc weights by one groupBy;
+    shared-pair weights from the token-keyed self-join within the
+    (lang, source) blocks the exact-Jaccard op uses; union weight =
+    wA + wB − shared. No float similarity anywhere.
+
+    Scale note: the token self-join fans out ∝ Σ_t df_t² within
+    blocks — the same posting-list hazard as any set-similarity join;
+    at 100 TB the prefix-filter bound from ngram_jaccard_pairs applies
+    unchanged (order postings by idf, join only top-weight prefixes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(tokens_col("text"))).alias("t"),
+    )
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_total")))
+    idf = (
+        pres.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(n_docs)
+        .select(
+            "t",
+            F.round(
+                F.log(F.col("n_total").cast("double") / F.col("df")) * 1000, 0
+            ).cast("long").alias("idf_milli"),
+        )
+    )
+    weighted = pres.join(idf, "t")
+    doc_w = weighted.groupBy("doc_id").agg(F.sum("idf_milli").alias("w"))
+    a = weighted.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "t", "idf_milli"
+    )
+    b = weighted.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", "t"
+    )
+    shared = (
+        a.join(b, ["lang", "source", "t"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("idf_milli").alias("w_shared"), F.count(F.lit(1)).alias("n_shared"))
+    )
+    wa = doc_w.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
+    wb = doc_w.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
+    return (
+        shared.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn(
+            "wjaccard_milli",
+            F.expr("w_shared * 1000 div (w_a + w_b - w_shared)"),
+        )
+        .filter(F.col("wjaccard_milli") >= threshold_milli)
+        .select("doc_a", "doc_b", "n_shared", "wjaccard_milli")
+    )

@@ -946,3 +946,74 @@ def cluster_topic_terms(
         .filter(F.col("rnk") <= k)
         .select("cell", "term", F.col("a").alias("n_docs_in"), "lift_ppm", "rnk")
     )
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening-lite) of the embedding
+    table — the preprocessing rewrite ANN/clustering pipelines run so
+    no dimension dominates the metric. Emits, per vector, the count of
+    |z| ≥ 3 outlier dimensions and an md5 fingerprint of the quantized
+    z-vector, so the gate verifies the EXACT transformed values, not
+    just shapes.
+
+    Statistics: per-dim mean via the DECIMAL-exact sum convention
+    (label_centroids), rounded to 1e-6; per-dim variance from the
+    DECIMAL sum of squares via one fixed IEEE pipeline
+    (``(ssq − n·μ²)/n``, both engines same parenthesization) — no
+    float accumulation anywhere. z quantizes to integer milli BEFORE
+    any aggregation (``floor((v−μ)/σ·1000)``), making the outlier
+    count and the position-ordered fingerprint engine-exact.
+
+    Plan: one posexplode (N×dim narrow rows) feeding both the stats
+    build (dim-keyed aggregate, ~dim rows, broadcast back) and the
+    rewrite; one groupBy(vec_id) folds the z-vector in position order.
+    Constant-variance dims are dropped from the fingerprint (σ = 0 has
+    no z-score) — surfaced in the n_dims column instead of crashing.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    stats = (
+        ex.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(18,8)")).alias("s"),
+            F.sum(
+                (F.col("val").cast("decimal(18,8)") * F.col("val").cast("decimal(18,8)"))
+            ).alias("ssq"),
+        )
+        .select(
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mu"),
+            F.expr(
+                "sqrt((CAST(ssq AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE)"
+                " / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+                " / CAST(n AS DOUBLE))"
+            ).alias("sd"),
+        )
+    )
+    z_milli = F.expr(
+        "CAST(floor((CAST(val AS DOUBLE) - mu) / sd * 1000.0) AS BIGINT)"
+    )
+    scored = (
+        ex.join(F.broadcast(stats), "pos")
+        .filter(F.col("sd") > 0)
+        .select("vec_id", "pos", z_milli.alias("z"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(
+                F.when((F.col("z") >= 3000) | (F.col("z") < -3000), 1).otherwise(0)
+            ).alias("n_outlier_dims"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "z"))),
+                        lambda x: x["z"].cast("string"),
+                    ),
+                )
+            ).alias("z_fp"),
+        )
+    )

@@ -4281,3 +4281,73 @@ FROM base
 ORDER BY key_nano DESC, doc_id ASC
 LIMIT 50
 """
+
+# --------------------------------------------------------------------------
+# EXT E157-E158 — embedding standardization, IDF-weighted Jaccard
+# --------------------------------------------------------------------------
+
+# DECIMAL(18,8) sums/squares fit DECIMAL(37,16) exactly in BOTH engines
+# (no precision-loss divergence); z quantizes before aggregation.
+QUERIES["embedding_standardize"] = _sim.embedding_standardize
+ORACLES["embedding_standardize"] = """
+WITH ex AS (
+  SELECT vec_id, u.pos - 1 AS pos, u.val
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+                       unnest(embedding) AS val) u
+), stats AS (
+  SELECT pos, count(*) AS n,
+         sum(CAST(val AS DECIMAL(18,8))) AS s,
+         sum(CAST(val AS DECIMAL(18,8)) * CAST(val AS DECIMAL(18,8))) AS ssq
+  FROM ex GROUP BY pos
+), st AS (
+  SELECT pos,
+         round(CAST(s AS DOUBLE) / n, 6) AS mu,
+         sqrt((CAST(ssq AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+              / CAST(n AS DOUBLE)) AS sd
+  FROM stats
+), z AS (
+  SELECT ex.vec_id, ex.pos,
+         CAST(floor((CAST(ex.val AS DOUBLE) - st.mu) / st.sd * 1000.0) AS BIGINT) AS z
+  FROM ex JOIN st ON ex.pos = st.pos
+  WHERE st.sd > 0
+)
+SELECT vec_id, count(*) AS n_dims,
+       sum(CASE WHEN z >= 3000 OR z < -3000 THEN 1 ELSE 0 END) AS n_outlier_dims,
+       md5(string_agg(CAST(z AS VARCHAR), ',' ORDER BY pos)) AS z_fp
+FROM z GROUP BY vec_id
+"""
+
+QUERIES["weighted_jaccard_pairs"] = dedup.weighted_jaccard_pairs
+ORACLES["weighted_jaccard_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS t FROM documents
+), pres AS (
+  SELECT doc_id, lang, source, unnest(t) AS tok FROM toks
+), nd AS (
+  SELECT count(*) AS n_total FROM documents
+), idf AS (
+  SELECT tok, CAST(round(ln(CAST(n_total AS DOUBLE) / df) * 1000) AS BIGINT)
+           AS idf_milli
+  FROM (SELECT tok, count(*) AS df FROM pres GROUP BY tok), nd
+), weighted AS (
+  SELECT pres.doc_id, pres.lang, pres.source, pres.tok, idf.idf_milli
+  FROM pres JOIN idf USING (tok)
+), doc_w AS (
+  SELECT doc_id, sum(idf_milli) AS w FROM weighted GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.idf_milli) AS w_shared, count(*) AS n_shared
+  FROM weighted a JOIN weighted b
+    ON a.lang = b.lang AND a.source = b.source AND a.tok = b.tok
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       w_shared * 1000 // (wa.w + wb.w - w_shared) AS wjaccard_milli
+FROM shared
+JOIN doc_w wa ON wa.doc_id = doc_a
+JOIN doc_w wb ON wb.doc_id = doc_b
+WHERE w_shared * 1000 // (wa.w + wb.w - w_shared) >= 500
+"""

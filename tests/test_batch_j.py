@@ -563,3 +563,68 @@ def test_weighted_sample_fixed_k_replay(spark, sf_dir):
     mean_sel = sum(w for _, w, _ in expect) / len(expect)
     all_w = [len(_toks(r.text)) for r in docs if len(_toks(r.text)) > 0]
     assert mean_sel > sum(all_w) / len(all_w)
+
+
+def test_embedding_standardize_replay(spark, sf_dir):
+    import decimal as _dec
+    import hashlib as _hl
+    import math as _math
+
+    from parquet_to_csv_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    dim = len(emb[0].embedding)
+    n = len(emb)
+    mus, sds = [], []
+    for i in range(dim):
+        s = sum(_dec.Decimal(repr(float(v.embedding[i]))) for v in emb)
+        ssq = sum(
+            _dec.Decimal(repr(float(v.embedding[i]))) ** 2 for v in emb
+        )
+        mu = round(float(s) / n, 6)
+        sd = _math.sqrt(
+            (float(ssq) - float(n) * (float(s) / float(n)) * (float(s) / float(n)))
+            / float(n)
+        )
+        mus.append(mu)
+        sds.append(sd)
+    expect = {}
+    for v in emb:
+        zs = []
+        for i in range(dim):
+            if sds[i] > 0:
+                zs.append(
+                    (i, _math.floor((float(v.embedding[i]) - mus[i]) / sds[i] * 1000.0))
+                )
+        outl = sum(1 for _, z in zs if z >= 3000 or z < -3000)
+        fp = _hl.md5(",".join(str(z) for _, z in sorted(zs)).encode()).hexdigest()
+        expect[v.vec_id] = (len(zs), outl, fp)
+    rows = similarity.embedding_standardize(spark, sf_dir).collect()
+    got = {r.vec_id: (r.n_dims, r.n_outlier_dims, r.z_fp) for r in rows}
+    assert got == expect
+
+
+def test_weighted_jaccard_favors_rare_overlap(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import dedup
+
+    rows = dedup.weighted_jaccard_pairs(spark, sf_dir).collect()
+    assert rows
+    assert all(500 <= r.wjaccard_milli <= 1000 for r in rows)
+    # exact replay on the pair with the largest weighted similarity
+    docs = {r.doc_id: r for r in load_table(spark, sf_dir, "documents").collect()}
+    df: Counter = Counter()
+    sets = {}
+    for d, r in docs.items():
+        ts = set(_toks(r.text))
+        sets[d] = ts
+        df.update(ts)
+    n_total = len(docs)
+    idf = {t: int(round(_math.log(n_total / c) * 1000)) for t, c in df.items()}
+    top = max(rows, key=lambda r: (r.wjaccard_milli, -r.doc_a))
+    a, b = sets[top.doc_a], sets[top.doc_b]
+    w_shared = sum(idf[t] for t in a & b)
+    w_union = sum(idf[t] for t in a) + sum(idf[t] for t in b) - w_shared
+    assert top.wjaccard_milli == w_shared * 1000 // w_union
+    assert top.n_shared == len(a & b)

@@ -35,6 +35,8 @@ BATCH_J = [
     "session_entry_exit",
     "phash_dup_groups",
     "weighted_sample_fixed_k",
+    "embedding_standardize",
+    "weighted_jaccard_pairs",
 ]
 
 
