@@ -876,3 +876,71 @@ def weighted_jaccard_pairs(
         .filter(F.col("wjaccard_milli") >= threshold_milli)
         .select("doc_a", "doc_b", "n_shared", "wjaccard_milli")
     )
+
+
+def incremental_dedup_report(
+    spark: SparkSession, sf_dir: str, history_pct: int = 80
+) -> DataFrame:
+    """Incremental append dedup — the DAILY shape of corpus dedup: a
+    new delta batch arrives and must be deduplicated against the
+    already-ingested history WITHOUT rescanning it pairwise. The
+    history/delta split is the deterministic md5 bucket (stand-in for
+    the ingest-date partition a production corpus has).
+
+    Per source: delta size, docs whose content hash already exists in
+    history (drop), extra copies within the delta itself (keep first
+    by doc_id), and the surviving unique count — with the drop rate in
+    exact ppm. Plan: history collapses to DISTINCT hashes before the
+    join (at 100 TB: a bloom/broadcast of hashes, never the text), the
+    delta joins once on the hash key; within-delta dups are one
+    groupBy + min. ``n_new_unique + n_dup_vs_history + n_dup_in_delta
+    = n_delta`` by construction — the gate checks the arithmetic.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.sha2(F.col("text"), 256).alias("h"),
+        md5_bucket(F.col("doc_id"), 100).alias("bucket"),
+    )
+    history_hashes = (
+        docs.filter(F.col("bucket") < history_pct).select("h").distinct()
+    )
+    delta = docs.filter(F.col("bucket") >= history_pct)
+    vs_hist = delta.join(history_hashes, "h", "left_semi").select(
+        "doc_id", "source"
+    )
+    fresh = delta.join(history_hashes, "h", "left_anti")
+    first_per_hash = fresh.groupBy("h").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
+    )
+    in_delta_dups = (
+        fresh.join(first_per_hash, "h")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", "source")
+    )
+    base = delta.groupBy("source").agg(F.count(F.lit(1)).alias("n_delta"))
+    vh = vs_hist.groupBy("source").agg(F.count(F.lit(1)).alias("n_dup_vs_history"))
+    dd = in_delta_dups.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dup_in_delta")
+    )
+    return (
+        base.join(vh, "source", "left")
+        .join(dd, "source", "left")
+        .select(
+            "source",
+            "n_delta",
+            F.coalesce("n_dup_vs_history", F.lit(0)).alias("n_dup_vs_history"),
+            F.coalesce("n_dup_in_delta", F.lit(0)).alias("n_dup_in_delta"),
+            (
+                F.col("n_delta")
+                - F.coalesce("n_dup_vs_history", F.lit(0))
+                - F.coalesce("n_dup_in_delta", F.lit(0))
+            ).alias("n_new_unique"),
+            F.expr(
+                "(coalesce(n_dup_vs_history, 0) + coalesce(n_dup_in_delta, 0))"
+                " * 1000000 div n_delta"
+            ).alias("drop_ppm"),
+        )
+    )

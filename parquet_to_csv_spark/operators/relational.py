@@ -1401,3 +1401,36 @@ def value_quintile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("m_from", "q_from", "q_to")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def skew_key_profile(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Shuffle-skew profiler for a join/aggregation key — the
+    diagnostic run BEFORE a 100 TB join to decide whether salting or
+    AQE skew-handling is needed: the hottest keys, their share of all
+    rows, and their ratio to the mean key load.
+
+    One groupBy to the key-count relation (map-side combine), one tiny
+    global aggregate (key count, row total, max) broadcast back, and a
+    global top-k planned as TakeOrderedAndProject. All shares are
+    exact integer ppm; the mean ratio is cross-multiplied long
+    arithmetic (``cnt·n_keys·10⁶ div total``), so no float division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = F.broadcast(
+        counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+        )
+    )
+    return (
+        counts.join(stats)
+        .select(
+            F.col("l_orderkey").alias("key"),
+            "cnt",
+            F.expr("cnt * 1000000 div total_rows").alias("share_ppm"),
+            F.expr("cnt * n_keys * 1000000 div total_rows").alias("vs_mean_ppm"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(k)
+    )

@@ -4351,3 +4351,60 @@ JOIN doc_w wa ON wa.doc_id = doc_a
 JOIN doc_w wb ON wb.doc_id = doc_b
 WHERE w_shared * 1000 // (wa.w + wb.w - w_shared) >= 500
 """
+
+# --------------------------------------------------------------------------
+# EXT E159-E160 — shuffle-skew key profiler, incremental append dedup
+# --------------------------------------------------------------------------
+
+QUERIES["skew_key_profile"] = relational.skew_key_profile
+ORACLES["skew_key_profile"] = """
+WITH counts AS (
+  SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_keys, sum(cnt) AS total_rows FROM counts
+)
+SELECT key, cnt,
+       cnt * 1000000 // total_rows AS share_ppm,
+       cnt * n_keys * 1000000 // total_rows AS vs_mean_ppm
+FROM counts, stats
+ORDER BY cnt DESC, key ASC
+LIMIT 10
+"""
+
+QUERIES["incremental_dedup_report"] = dedup.incremental_dedup_report
+ORACLES["incremental_dedup_report"] = f"""
+WITH d AS (
+  SELECT doc_id, source, sha256(text) AS h,
+         {corpus.duck_md5_bucket("doc_id", 100)} AS bucket
+  FROM documents
+), hist AS (
+  SELECT DISTINCT h FROM d WHERE bucket < 80
+), delta AS (
+  SELECT doc_id, source, h FROM d WHERE bucket >= 80
+), vs_hist AS (
+  SELECT doc_id, source FROM delta WHERE h IN (SELECT h FROM hist)
+), fresh AS (
+  SELECT doc_id, source, h FROM delta WHERE h NOT IN (SELECT h FROM hist)
+), firsts AS (
+  SELECT h, min(doc_id) AS keep_id FROM fresh GROUP BY h
+), in_delta_dups AS (
+  SELECT f.doc_id, f.source FROM fresh f JOIN firsts USING (h)
+  WHERE f.doc_id <> keep_id
+), base AS (
+  SELECT source, count(*) AS n_delta FROM delta GROUP BY source
+), vh AS (
+  SELECT source, count(*) AS n_dup_vs_history FROM vs_hist GROUP BY source
+), dd AS (
+  SELECT source, count(*) AS n_dup_in_delta FROM in_delta_dups GROUP BY source
+)
+SELECT base.source, n_delta,
+       coalesce(n_dup_vs_history, 0) AS n_dup_vs_history,
+       coalesce(n_dup_in_delta, 0) AS n_dup_in_delta,
+       n_delta - coalesce(n_dup_vs_history, 0) - coalesce(n_dup_in_delta, 0)
+         AS n_new_unique,
+       (coalesce(n_dup_vs_history, 0) + coalesce(n_dup_in_delta, 0))
+         * 1000000 // n_delta AS drop_ppm
+FROM base
+LEFT JOIN vh ON vh.source = base.source
+LEFT JOIN dd ON dd.source = base.source
+"""

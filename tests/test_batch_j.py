@@ -628,3 +628,34 @@ def test_weighted_jaccard_favors_rare_overlap(spark, sf_dir):
     w_union = sum(idf[t] for t in a) + sum(idf[t] for t in b) - w_shared
     assert top.wjaccard_milli == w_shared * 1000 // w_union
     assert top.n_shared == len(a & b)
+
+
+def test_skew_key_profile_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    counts: Counter = Counter(r.l_orderkey for r in li)
+    n_keys, total = len(counts), sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = [
+        (k, c, c * 1000000 // total, c * n_keys * 1000000 // total) for k, c in top
+    ]
+    rows = relational.skew_key_profile(spark, sf_dir).collect()
+    got = [(r.key, r.cnt, r.share_ppm, r.vs_mean_ppm) for r in rows]
+    assert got == expect
+
+
+def test_incremental_dedup_conservation(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    rows = dedup.incremental_dedup_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_new_unique + r.n_dup_vs_history + r.n_dup_in_delta == r.n_delta
+        )
+        assert 0 <= r.drop_ppm <= 1_000_000
+    # delta split covers ~20% of the corpus
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_delta = sum(r.n_delta for r in rows)
+    assert 0 < n_delta < n_docs

@@ -37,6 +37,8 @@ BATCH_J = [
     "weighted_sample_fixed_k",
     "embedding_standardize",
     "weighted_jaccard_pairs",
+    "skew_key_profile",
+    "incremental_dedup_report",
 ]
 
 
