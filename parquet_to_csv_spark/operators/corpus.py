@@ -909,3 +909,82 @@ def weighted_sample_fixed_k(
         .orderBy(F.desc("key_nano"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def kfold_balance_report(
+    spark: SparkSession, sf_dir: str, n_folds: int = 5
+) -> DataFrame:
+    """Stratified k-fold assignment + balance audit: every document
+    gets a deterministic fold (md5 bucket mod k — reproducible on any
+    cluster shape, unlike RNG splits), and the report shows per
+    (fold, lang) counts with each fold's deviation from the stratum
+    mean in signed ppm — the audit that catches a skewed fold BEFORE
+    cross-validation burns k training runs on it.
+
+    One scan → (fold, lang) counts; stratum totals come from a
+    re-aggregation of those counts (tiny), joined back broadcast. The
+    deviation is cross-multiplied exact longs: ``cnt·k·10⁶ div
+    stratum_total − 10⁶`` — no float shares.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(md5_bucket(F.col("doc_id"), 1000), F.lit(n_folds))
+    cell = (
+        docs.select(fold.cast("long").alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    strata = cell.groupBy("lang").agg(F.sum("cnt").alias("stratum_total"))
+    return (
+        cell.join(F.broadcast(strata), "lang")
+        .select(
+            "fold",
+            "lang",
+            "cnt",
+            F.expr(
+                f"cnt * {n_folds} * 1000000 div stratum_total - 1000000"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+def sampling_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaling-law dataset ladder: the 10% / 20% / 40% / 80% nested
+    corpus samples a learning-curve sweep trains on — NESTED by
+    construction (each rung is a superset of the previous: the md5
+    bucket decides membership once, a rung only widens the cut), so
+    curve points differ by data QUANTITY, never by a reshuffled
+    population.
+
+    ONE scan computes every rung: each doc's bucket feeds conditional
+    sums per cutoff — no per-rung re-scans. Reports docs, tokens, and
+    the realized fraction in exact ppm (hash buckets make it ±bucket
+    granularity, which the audit exposes rather than hides).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id"), 1000)
+    toks = F.size(tokens_col("text")).cast("long")
+    base = docs.select(b.alias("bucket"), toks.alias("nt"))
+    total = base.agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("nt").alias("tok_total")
+    )
+    rungs = [100, 200, 400, 800]
+    aggs = []
+    for r in rungs:
+        aggs.append(F.sum(F.when(F.col("bucket") < r, 1).otherwise(0)).alias(f"n{r}"))
+        aggs.append(
+            F.sum(F.when(F.col("bucket") < r, F.col("nt")).otherwise(0)).alias(f"t{r}")
+        )
+    wide = base.agg(*aggs).join(F.broadcast(total))
+    rows = [
+        wide.select(
+            F.lit(r // 10).alias("target_pct"),
+            F.col(f"n{r}").alias("n_docs"),
+            F.col(f"t{r}").alias("n_tokens"),
+            F.expr(f"n{r} * 1000000 div n_total").alias("realized_ppm"),
+        )
+        for r in rungs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

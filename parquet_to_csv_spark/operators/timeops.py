@@ -1071,3 +1071,47 @@ def session_entry_exit(
         F.sum("n_events").alias("n_events"),
         F.expr("sum(dur_us) div (count(1) * 1000)").alias("mean_dur_ms"),
     )
+
+
+def decayed_event_trend(
+    spark: SparkSession, sf_dir: str, half_life_days: int = 7
+) -> DataFrame:
+    """Time-decay-weighted event counts ("trending score"): recent
+    events count fully, older ones at ``2^(−age/half_life)`` — the
+    freshness-weighted ranking every trending/leaderboard surface
+    uses, without re-aggregating history on every query.
+
+    Ages collapse to WHOLE DAYS first (integer epoch arithmetic), so
+    the decay factor has a bounded domain (one value per distinct age)
+    and is computed as one fixed IEEE ``pow`` per (type, age) row —
+    AFTER the count aggregation, never per event — then quantized to
+    ppm and folded in exact longs. Plan: one groupBy(type, age) with
+    map-side combine (the only data-proportional exchange), a
+    broadcast horizon row, one tiny groupBy(type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    horizon = F.broadcast(
+        ev.agg(F.expr("max(ts div 86400000000000)").alias("h_day"))
+    )
+    daily = ev.select(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    w_ppm = F.expr(
+        f"CAST(round(pow(2.0, -CAST(h_day - day AS DOUBLE) / {half_life_days}.0)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return (
+        daily.join(horizon)
+        .select("event_type", "n", w_ppm.alias("w_ppm"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum(F.col("n") * F.col("w_ppm")).alias("score_e6"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.expr("score_e6 div 1000000").alias("trend_score"),
+            "score_e6",
+        )
+    )

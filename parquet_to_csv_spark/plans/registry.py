@@ -4408,3 +4408,69 @@ FROM base
 LEFT JOIN vh ON vh.source = base.source
 LEFT JOIN dd ON dd.source = base.source
 """
+
+# --------------------------------------------------------------------------
+# EXT E161-E163 — k-fold balance, sampling ladder, decayed trending
+# --------------------------------------------------------------------------
+
+QUERIES["kfold_balance_report"] = corpus.kfold_balance_report
+ORACLES["kfold_balance_report"] = f"""
+WITH cell AS (
+  SELECT CAST({corpus.duck_md5_bucket("doc_id", 1000)} % 5 AS BIGINT) AS fold,
+         lang, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), strata AS (
+  SELECT lang, sum(cnt) AS stratum_total FROM cell GROUP BY lang
+)
+SELECT fold, cell.lang, cnt,
+       cnt * 5 * 1000000 // stratum_total - 1000000 AS dev_ppm
+FROM cell JOIN strata ON cell.lang = strata.lang
+"""
+
+QUERIES["sampling_ladder"] = corpus.sampling_ladder
+ORACLES["sampling_ladder"] = f"""
+WITH base AS (
+  SELECT CAST({corpus.duck_md5_bucket("doc_id", 1000)} AS BIGINT) AS bucket,
+         CAST(len({_TOKS}) AS BIGINT) AS nt
+  FROM documents
+), tot AS (
+  SELECT count(*) AS n_total, sum(nt) AS tok_total FROM base
+), wide AS (
+  SELECT sum(CASE WHEN bucket < 100 THEN 1 ELSE 0 END) AS n100,
+         sum(CASE WHEN bucket < 100 THEN nt ELSE 0 END) AS t100,
+         sum(CASE WHEN bucket < 200 THEN 1 ELSE 0 END) AS n200,
+         sum(CASE WHEN bucket < 200 THEN nt ELSE 0 END) AS t200,
+         sum(CASE WHEN bucket < 400 THEN 1 ELSE 0 END) AS n400,
+         sum(CASE WHEN bucket < 400 THEN nt ELSE 0 END) AS t400,
+         sum(CASE WHEN bucket < 800 THEN 1 ELSE 0 END) AS n800,
+         sum(CASE WHEN bucket < 800 THEN nt ELSE 0 END) AS t800
+  FROM base
+)
+SELECT 10 AS target_pct, n100 AS n_docs, t100 AS n_tokens,
+       n100 * 1000000 // n_total AS realized_ppm FROM wide, tot
+UNION ALL
+SELECT 20, n200, t200, n200 * 1000000 // n_total FROM wide, tot
+UNION ALL
+SELECT 40, n400, t400, n400 * 1000000 // n_total FROM wide, tot
+UNION ALL
+SELECT 80, n800, t800, n800 * 1000000 // n_total FROM wide, tot
+"""
+
+QUERIES["decayed_event_trend"] = timeops.decayed_event_trend
+ORACLES["decayed_event_trend"] = """
+WITH hz AS (
+  SELECT max(epoch_us(ts) // 86400000000) AS h_day FROM events
+), daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), weighted AS (
+  SELECT event_type, n,
+         CAST(round(pow(2.0, -CAST(h_day - day AS DOUBLE) / 7.0)
+                    * 1000000.0) AS BIGINT) AS w_ppm
+  FROM daily, hz
+)
+SELECT event_type, sum(n) AS n_events,
+       sum(n * w_ppm) // 1000000 AS trend_score,
+       sum(n * w_ppm) AS score_e6
+FROM weighted GROUP BY event_type
+"""

@@ -659,3 +659,45 @@ def test_incremental_dedup_conservation(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     n_delta = sum(r.n_delta for r in rows)
     assert 0 < n_delta < n_docs
+
+
+def test_kfold_and_ladder_nesting(spark, sf_dir):
+    rows = corpus.kfold_balance_report(spark, sf_dir).collect()
+    assert {r.fold for r in rows} <= set(range(5))
+    # folds partition each stratum
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got_lang: Counter = Counter()
+    for r in rows:
+        got_lang[r.lang] += r.cnt
+    assert dict(got_lang) == by_lang
+    ladder = {r.target_pct: r for r in corpus.sampling_ladder(spark, sf_dir).collect()}
+    assert list(sorted(ladder)) == [10, 20, 40, 80]
+    # nested: each rung strictly extends the previous
+    for a, b in [(10, 20), (20, 40), (40, 80)]:
+        assert ladder[a].n_docs <= ladder[b].n_docs
+        assert ladder[a].n_tokens <= ladder[b].n_tokens
+    for pct, r in ladder.items():
+        assert abs(r.realized_ppm - pct * 10000) < 100000
+
+
+def test_decayed_trend_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    h_day = max(r.ts // 86400000000000 for r in ev)
+    daily: Counter = Counter()
+    for r in ev:
+        daily[(r.event_type, r.ts // 86400000000000)] += 1
+    agg: dict[str, list] = {}
+    for (et, day), n in daily.items():
+        w = int(round(2.0 ** (-float(h_day - day) / 7.0) * 1000000.0))
+        a = agg.setdefault(et, [0, 0])
+        a[0] += n
+        a[1] += n * w
+    expect = {et: (n, s // 1000000, s) for et, (n, s) in agg.items()}
+    rows = timeops.decayed_event_trend(spark, sf_dir).collect()
+    got = {r.event_type: (r.n_events, r.trend_score, r.score_e6) for r in rows}
+    assert got == expect
+    # decayed score never exceeds the raw count
+    assert all(s[1] <= s[0] for s in got.values())

@@ -39,6 +39,9 @@ BATCH_J = [
     "weighted_jaccard_pairs",
     "skew_key_profile",
     "incremental_dedup_report",
+    "kfold_balance_report",
+    "sampling_ladder",
+    "decayed_event_trend",
 ]
 
 
