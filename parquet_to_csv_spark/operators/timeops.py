@@ -1115,3 +1115,88 @@ def decayed_event_trend(
             "score_e6",
         )
     )
+
+
+def daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily P50/P90/P99 value bands per event type — the latency/size
+    band chart on every operations dashboard.
+
+    Percentiles are TYPE-1 (discrete): the value at 0-based rank
+    ``floor((n−1)·p)`` of the group's sorted cents — selected
+    explicitly via one row_number window + a conditional aggregate, so
+    the semantics are a fixed formula both engines evaluate literally
+    (the engines' interpolating percentile internals differ in
+    unspecifiable last-ulp ways; a selected ORDER STATISTIC of exact
+    cents cannot). One per-(day, type) window + one groupBy sharing
+    the exchange; outputs are exact integer cents.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    w = Window.partitionBy("day", "event_type").orderBy("cents")
+    wc = Window.partitionBy("day", "event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    def pick(p: str, alias: str):
+        idx = f"CAST(floor(CAST(n - 1 AS DOUBLE) * {p}) AS BIGINT) + 1"
+        return F.expr(f"max(CASE WHEN rn = {idx} THEN cents END)").alias(alias)
+    return ranked.groupBy("day", "event_type").agg(
+        F.max("n").alias("n_events"),
+        pick("0.5", "p50_cents"),
+        pick("0.9", "p90_cents"),
+        pick("0.99", "p99_cents"),
+    )
+
+
+def windowed_conversion_rate(
+    spark: SparkSession, sf_dir: str, window_hours: int = 24
+) -> DataFrame:
+    """Windowed conversion rate by acquisition-day cohort: of users
+    whose FIRST view landed on day d, what fraction purchased within
+    24 hours of it? The bounded-window form every production funnel
+    metric uses (unbounded "ever converted" rates drift forever and
+    can't be compared across cohorts).
+
+    One aggregation to first views, one as-of-style min over
+    qualifying purchases (equi-join on user, ≥ filter, min — no
+    window), one cohort groupBy. Conversion flag and rate are exact
+    integers/ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    conv = (
+        views.join(
+            buys,
+            (F.col("user_id") == F.col("b_user")) & (F.col("b_ts") >= F.col("v_ts")),
+            "left",
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("b_ts").alias("p_ts"))
+        .select(
+            F.expr("v_ts div 86400000000000").alias("cohort_day"),
+            F.when(
+                F.col("p_ts").isNotNull()
+                & (F.col("p_ts") - F.col("v_ts") < window_hours * 3600 * 10**9),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    return conv.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort"),
+        F.sum("converted").alias("n_converted"),
+        F.expr("sum(converted) * 1000000 div count(1)").alias("cvr_ppm"),
+    )

@@ -4474,3 +4474,55 @@ SELECT event_type, sum(n) AS n_events,
        sum(n * w_ppm) AS score_e6
 FROM weighted GROUP BY event_type
 """
+
+# --------------------------------------------------------------------------
+# EXT E164-E165 — daily percentile bands, windowed conversion rate
+# --------------------------------------------------------------------------
+
+# Type-1 (discrete) percentiles: a selected order statistic of exact
+# cents via an explicit floor((n-1)*p) index — no interpolation
+# internals to diverge.
+QUERIES["daily_value_bands"] = timeops.daily_value_bands
+ORACLES["daily_value_bands"] = f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         {duck_units("value", 2)} AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, day, cents,
+         row_number() OVER (PARTITION BY day, event_type
+                            ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY day, event_type) AS n
+  FROM base
+)
+SELECT day, event_type, max(n) AS n_events,
+       max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+                THEN cents END) AS p50_cents,
+       max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1
+                THEN cents END) AS p90_cents,
+       max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1
+                THEN cents END) AS p99_cents
+FROM ranked GROUP BY day, event_type
+"""
+
+QUERIES["windowed_conversion_rate"] = timeops.windowed_conversion_rate
+ORACLES["windowed_conversion_rate"] = """
+WITH views AS (
+  SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT v.user_id, v.v_us, min(epoch_us(b.ts)) AS p_us
+  FROM views v LEFT JOIN events b
+    ON b.user_id = v.user_id AND b.event_type = 'purchase'
+   AND epoch_us(b.ts) >= v.v_us
+  GROUP BY v.user_id, v.v_us
+), flags AS (
+  SELECT v_us // 86400000000 AS cohort_day,
+         CASE WHEN p_us IS NOT NULL AND p_us - v_us < 86400000000
+              THEN 1 ELSE 0 END AS converted
+  FROM conv
+)
+SELECT cohort_day, count(*) AS n_cohort, sum(converted) AS n_converted,
+       sum(converted) * 1000000 // count(*) AS cvr_ppm
+FROM flags GROUP BY cohort_day
+"""

@@ -701,3 +701,58 @@ def test_decayed_trend_replay(spark, sf_dir):
     assert got == expect
     # decayed score never exceeds the raw count
     assert all(s[1] <= s[0] for s in got.values())
+
+
+def test_daily_value_bands_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import timeops
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    groups: dict[tuple, list] = {}
+    for r in ev:
+        groups.setdefault((r.ts // 86400000000000, r.event_type), []).append(
+            _cents(r.value)
+        )
+    expect = {}
+    for key, cs in groups.items():
+        cs.sort()
+        n = len(cs)
+        def pick(p):
+            return cs[int(_math.floor(float(n - 1) * p))]
+        expect[key] = (n, pick(0.5), pick(0.9), pick(0.99))
+    rows = timeops.daily_value_bands(spark, sf_dir).collect()
+    got = {
+        (r.day, r.event_type): (r.n_events, r.p50_cents, r.p90_cents, r.p99_cents)
+        for r in rows
+    }
+    assert got == expect
+    for n, p50, p90, p99 in got.values():
+        assert p50 <= p90 <= p99
+
+
+def test_windowed_conversion_rate_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts").collect()
+    views: dict[int, int] = {}
+    for r in ev:
+        if r.event_type == "view":
+            views[r.user_id] = min(views.get(r.user_id, r.ts), r.ts)
+    fb: dict[int, int] = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in views and r.ts >= views[r.user_id]:
+            fb[r.user_id] = min(fb.get(r.user_id, r.ts), r.ts)
+    agg: dict[int, list] = {}
+    for u, v in views.items():
+        day = (v // 1000) // 86400000000
+        a = agg.setdefault(day, [0, 0])
+        a[0] += 1
+        p = fb.get(u)
+        # op compares in ns, oracle in us — both floor the same events
+        if p is not None and p - v < 24 * 3600 * 10**9:
+            a[1] += 1
+    expect = {d: (n, c, c * 1000000 // n) for d, (n, c) in agg.items()}
+    rows = timeops.windowed_conversion_rate(spark, sf_dir).collect()
+    got = {r.cohort_day: (r.n_cohort, r.n_converted, r.cvr_ppm) for r in rows}
+    assert got == expect

@@ -42,6 +42,8 @@ BATCH_J = [
     "kfold_balance_report",
     "sampling_ladder",
     "decayed_event_trend",
+    "daily_value_bands",
+    "windowed_conversion_rate",
 ]
 
 
