@@ -607,3 +607,145 @@ def spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(f"CAST(floor({num} / {den} * 1000000.0) AS BIGINT)").alias("rho_micro"),
     )
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — THE deployed-model
+    feature-drift number: value distribution of the corpus's LATER
+    half of days vs its EARLIER half, over deciles fitted on the
+    early (reference) period.
+
+    Decile cuts are TYPE-1 order statistics of exact reference-period
+    cents (explicit floor((n−1)·j/10) indexes — same convention as
+    daily_value_bands); both periods bucket by counting cuts ≤ value
+    (array-local, no non-equi join). Bin counts get add-one smoothing
+    so no bin is empty; each bin's PSI term is ONE fixed IEEE-double
+    expression over exact longs, rounded to micro-nats, and the PSI is
+    their exact long sum. Output additionally surfaces the worst bin.
+
+    Plan: one scan → (type, period, bucket) counts; the cut relation
+    is 9 rows per type broadcast back; everything after the first
+    groupBy is domain-bounded (types × 10 bins).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    span = F.broadcast(
+        ev.agg(
+            F.min("day").alias("d0"), F.max("day").alias("d1")
+        ).select(F.expr("(d0 + d1 + 1) div 2").alias("mid"))
+    )
+    tagged = ev.join(span).withColumn("late", (F.col("day") >= F.col("mid")).cast("int"))
+    ref = tagged.filter(F.col("late") == 0)
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wc = Window.partitionBy("event_type")
+    ranked = ref.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    cut_cols = [
+        F.expr(
+            f"max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * {j / 10}) AS BIGINT) + 1"
+            " THEN cents END)"
+        ).alias(f"c{j}")
+        for j in range(1, 10)
+    ]
+    cuts = ranked.groupBy("event_type").agg(*cut_cols).select(
+        "event_type", F.array(*[f"c{j}" for j in range(1, 10)]).alias("cuts")
+    )
+    bucketed = (
+        tagged.join(F.broadcast(cuts), "event_type")
+        .withColumn(
+            "bucket", F.expr("size(filter(cuts, c -> c <= cents))")
+        )
+        .groupBy("event_type", "late", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # dense (type x 10 x 2) grid so empty bins exist before smoothing
+    types = bucketed.select("event_type").distinct()
+    grid = (
+        F.broadcast(types)
+        .crossJoin(F.broadcast(spark.range(10).select(F.col("id").cast("int").alias("bucket"))))
+        .crossJoin(F.broadcast(spark.range(2).select(F.col("id").cast("int").alias("late"))))
+        .join(bucketed, ["event_type", "late", "bucket"], "left")
+        .select(
+            "event_type", "late", "bucket",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + 1).alias("c_s"),
+        )
+    )
+    tot = grid.groupBy("event_type", "late").agg(F.sum("c_s").alias("n_s"))
+    a = (
+        grid.filter(F.col("late") == 0)
+        .join(tot.filter(F.col("late") == 0).drop("late"), "event_type")
+        .select("event_type", "bucket", F.col("c_s").alias("ca"), F.col("n_s").alias("na"))
+    )
+    b = (
+        grid.filter(F.col("late") == 1)
+        .join(tot.filter(F.col("late") == 1).drop("late"), "event_type")
+        .select("event_type", "bucket", F.col("c_s").alias("cb"), F.col("n_s").alias("nb"))
+    )
+    term = F.expr(
+        "CAST(round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        " * ln(CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " / (CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))"
+        " * 1000000.0) AS BIGINT)"
+    )
+    terms = a.join(b, ["event_type", "bucket"]).select(
+        "event_type", "bucket", term.alias("t_micro")
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("t_micro").alias("psi_micro"),
+        F.max("t_micro").alias("worst_bin_micro"),
+    )
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily-trend slope per event type: the MEDIAN of
+    all pairwise day-count slopes — a single outlier day (incident,
+    backfill) cannot move it, unlike the OLS slope.
+
+    The pair relation is quadratic in DISTINCT DAYS (calendar-bounded,
+    never data-bounded — ~n_days²/2 rows per type), built by one
+    self-equi-join on event_type. The median slope is a TYPE-1 order
+    statistic over a fixed ordering (slope value, then day pair for
+    uniqueness), with the slope itself one fixed IEEE division of
+    exact longs — deterministic in both engines; reported in
+    micro-units/day.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts div 86400000000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("n").alias("n1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("n").alias("n2"))
+    pairs = a.join(b, "event_type").filter(F.col("d1") < F.col("d2")).select(
+        "event_type",
+        "d1",
+        "d2",
+        F.expr(
+            "CAST(n2 - n1 AS DOUBLE) / CAST(d2 - d1 AS DOUBLE)"
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "np", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        ranked.filter(
+            F.expr("rn = CAST(floor(CAST(np - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1")
+        )
+        .select(
+            "event_type",
+            F.col("np").alias("n_pairs"),
+            F.expr("CAST(floor(slope * 1000000.0) AS BIGINT)").alias("slope_micro"),
+        )
+    )

@@ -179,3 +179,34 @@ def cogroup_click_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_purchases long, n_matched long, med_lag_us double",
         )
     )
+
+
+def udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12-family UDTF surface demo: the sliding-window chunker as a
+    Python TABLE function (one input row → N output rows via LATERAL),
+    completing the UDF/UDAF/UDTF coverage of SURVEY §2.6. Semantics
+    are IDENTICAL to the relational ``corpus.doc_chunks`` (the
+    production path — array-local, codegen'd); the gate runs the same
+    oracle against both, so the UDTF's per-row Python tax buys parity,
+    not different answers. Use this shape only when chunking logic
+    genuinely needs Python (model-based splitters); otherwise the
+    relational twin wins.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_text string, n_tokens bigint")
+    class ChunkerUDTF:
+        def eval(self, text: str):  # noqa: ANN001
+            toks = [t for t in (text or "").lower().split() if t]
+            starts = range(0, max(len(toks), 1), 48)
+            for i, s in enumerate(starts):
+                chunk = toks[s : s + 64]
+                if chunk:
+                    yield i, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunker_udtf", ChunkerUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM _udtf_docs d, LATERAL chunker_udtf(d.text) c"
+    )

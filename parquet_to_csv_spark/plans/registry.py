@@ -4526,3 +4526,94 @@ SELECT cohort_day, count(*) AS n_cohort, sum(converted) AS n_converted,
        sum(converted) * 1000000 // count(*) AS cvr_ppm
 FROM flags GROUP BY cohort_day
 """
+
+# --------------------------------------------------------------------------
+# EXT E166-E168 — PSI drift, Theil-Sen trend, Python UDTF surface
+# --------------------------------------------------------------------------
+
+QUERIES["psi_value_drift"] = mlmetrics.psi_value_drift
+ORACLES["psi_value_drift"] = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         {duck_units("value", 2)} AS cents
+  FROM events
+), span AS (
+  SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev
+), tagged AS (
+  SELECT event_type, cents,
+         CASE WHEN day >= mid THEN 1 ELSE 0 END AS late
+  FROM ev, span
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM tagged WHERE late = 0
+), cuts AS (
+  SELECT event_type,
+         list_value(
+           {", ".join(f"max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * {j / 10}) AS BIGINT) + 1 THEN cents END)" for j in range(1, 10))}
+         ) AS cuts
+  FROM ranked GROUP BY event_type
+), bucketed AS (
+  SELECT t.event_type, t.late,
+         len(list_filter(c.cuts, x -> x <= t.cents)) AS bucket,
+         count(*) AS cnt
+  FROM tagged t JOIN cuts c ON t.event_type = c.event_type
+  GROUP BY 1, 2, 3
+), grid AS (
+  SELECT ty.event_type, l.late, bk.bucket,
+         coalesce(b.cnt, 0) + 1 AS c_s
+  FROM (SELECT DISTINCT event_type FROM bucketed) ty
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) bk
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS late) l
+  LEFT JOIN bucketed b ON b.event_type = ty.event_type
+   AND b.late = l.late AND b.bucket = bk.bucket
+), tot AS (
+  SELECT event_type, late, sum(c_s) AS n_s FROM grid GROUP BY 1, 2
+), joined AS (
+  SELECT a.event_type, a.bucket,
+         a.c_s AS ca, ta.n_s AS na, b.c_s AS cb, tb.n_s AS nb
+  FROM grid a
+  JOIN grid b ON a.event_type = b.event_type AND a.bucket = b.bucket
+   AND a.late = 0 AND b.late = 1
+  JOIN tot ta ON ta.event_type = a.event_type AND ta.late = 0
+  JOIN tot tb ON tb.event_type = a.event_type AND tb.late = 1
+), terms AS (
+  SELECT event_type, bucket,
+         CAST(round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+              * ln(CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+              / (CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS t_micro
+  FROM joined
+)
+SELECT event_type, sum(t_micro) AS psi_micro, max(t_micro) AS worst_bin_micro
+FROM terms GROUP BY event_type
+"""
+
+QUERIES["theil_sen_trend"] = mlmetrics.theil_sen_trend
+ORACLES["theil_sen_trend"] = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.day AS d1, b.day AS d2,
+         CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+)
+SELECT event_type, np AS n_pairs,
+       CAST(floor(slope * 1000000.0) AS BIGINT) AS slope_micro
+FROM ranked
+WHERE rn = CAST(floor(CAST(np - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+"""
+
+# UDTF surface: same oracle contract as the relational chunker.
+QUERIES["udtf_chunks"] = pandas_ops.udtf_chunks
+ORACLES["udtf_chunks"] = ORACLES["doc_chunks"]

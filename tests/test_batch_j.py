@@ -756,3 +756,59 @@ def test_windowed_conversion_rate_replay(spark, sf_dir):
     rows = timeops.windowed_conversion_rate(spark, sf_dir).collect()
     got = {r.cohort_day: (r.n_cohort, r.n_converted, r.cvr_ppm) for r in rows}
     assert got == expect
+
+
+def test_psi_value_drift_properties(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    rows = mlmetrics.psi_value_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # PSI is a sum of (p-q)ln(p/q) terms, each nonnegative
+        assert r.psi_micro >= 0
+        assert r.worst_bin_micro >= 0
+        assert r.worst_bin_micro <= r.psi_micro
+
+
+def test_theil_sen_trend_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily: Counter = Counter()
+    for r in ev:
+        daily[(r.event_type, (r.ts // 1000) // 86400000000)] += 1
+    by_type: dict[str, list] = {}
+    for (et, d), n in daily.items():
+        by_type.setdefault(et, []).append((d, n))
+    expect = {}
+    for et, xs in by_type.items():
+        xs.sort()
+        slopes = []
+        for i, (d1, n1) in enumerate(xs):
+            for d2, n2 in xs[i + 1:]:
+                slopes.append((float(n2 - n1) / float(d2 - d1), d1, d2))
+        if not slopes:
+            continue
+        slopes.sort()
+        np_ = len(slopes)
+        med = slopes[int(_math.floor(float(np_ - 1) * 0.5))][0]
+        expect[et] = (np_, _math.floor(med * 1e6))
+    rows = mlmetrics.theil_sen_trend(spark, sf_dir).collect()
+    got = {r.event_type: (r.n_pairs, r.slope_micro) for r in rows}
+    assert got == expect
+
+
+def test_udtf_chunks_matches_relational(spark, sf_dir):
+    from parquet_to_csv_spark.operators import pandas_ops
+
+    udtf_rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in pandas_ops.udtf_chunks(spark, sf_dir).collect()
+    )
+    rel_rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in corpus.doc_chunks(spark, sf_dir).collect()
+    )
+    assert udtf_rows == rel_rows and udtf_rows

@@ -44,6 +44,9 @@ BATCH_J = [
     "decayed_event_trend",
     "daily_value_bands",
     "windowed_conversion_rate",
+    "psi_value_drift",
+    "theil_sen_trend",
+    "udtf_chunks",
 ]
 
 
