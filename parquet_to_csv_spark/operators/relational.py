@@ -1434,3 +1434,48 @@ def skew_key_profile(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(k)
     )
+
+
+def partition_layout_advisor(
+    spark: SparkSession, sf_dir: str, target_bytes: int = 134217728
+) -> DataFrame:
+    """Partition-layout advisor: per table, estimated logical bytes
+    (exact per-row widths: 8 per int64/double column + string lengths)
+    and the partition count that hits the 128 MB target — the sizing
+    pass run before `repartition`/`maxPartitionBytes` are set on a new
+    dataset, answering "how many output files should this write?".
+
+    One aggregate per table (column widths are row-local arithmetic),
+    a tiny union; partition counts are ceiling integer division on
+    exact longs. At 100 TB this is the same single-scan shape — or
+    free, read straight from parquet footers.
+    """
+    def est(table: str, width_expr: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        return df.select(F.expr(width_expr).alias("row_bytes")).agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_bytes").alias("est_bytes"),
+        )
+
+    parts = [
+        est("documents", "8 + length(text) + length(lang) + length(source) + 8"),
+        est("events", "8 + 8 + 8 + length(event_type) + 8 + length(props)"),
+        est("orders", "8 + 8 + length(o_orderstatus) + 8 + 8 + length(o_orderpriority)"),
+        est(
+            "lineitem",
+            "8 * 8 + 4 + length(l_returnflag) + length(l_linestatus)",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.expr(f"(est_bytes + {target_bytes} - 1) div {target_bytes}").alias(
+            "parts_128mb"
+        ),
+        F.expr("est_bytes div n_rows").alias("avg_row_bytes"),
+    )

@@ -4617,3 +4617,87 @@ WHERE rn = CAST(floor(CAST(np - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
 # UDTF surface: same oracle contract as the relational chunker.
 QUERIES["udtf_chunks"] = pandas_ops.udtf_chunks
 ORACLES["udtf_chunks"] = ORACLES["doc_chunks"]
+
+# --------------------------------------------------------------------------
+# EXT E169-E170 — rolling HLL distinct, partition-layout advisor
+# --------------------------------------------------------------------------
+
+QUERIES["rolling_distinct_hll"] = _sketch.rolling_distinct_hll
+ORACLES["rolling_distinct_hll"] = """
+WITH hh AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS bucket,
+         ltrim(substring(h, 3, 15), '0') AS t
+  FROM (SELECT ts, md5(CAST(user_id AS VARCHAR)) AS h FROM events)
+), r AS (
+  SELECT day, bucket,
+         CASE WHEN t = '' THEN 61
+              ELSE (15 - length(t)) * 4 +
+                   CASE WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 8 THEN 1
+                        WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 4 THEN 2
+                        WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 2 THEN 3
+                        ELSE 4 END
+         END AS rho
+  FROM hh
+), daily AS (
+  SELECT day, bucket, max(rho) AS m FROM r GROUP BY day, bucket
+), days AS (
+  SELECT DISTINCT day AS t_day FROM hh
+), merged AS (
+  SELECT t_day, bucket, max(m) AS m
+  FROM daily JOIN days ON day <= t_day AND day > t_day - 7
+  GROUP BY t_day, bucket
+), acc AS (
+  SELECT t_day, count(*) AS n_present,
+         sum(1::BIGINT << CAST(61 - m AS INTEGER)) AS s_present
+  FROM merged GROUP BY t_day
+), s AS (
+  SELECT t_day, (256 - n_present) AS n_zero_registers,
+         CAST(s_present + (256 - n_present)::HUGEINT
+              * 2305843009213693952::HUGEINT AS DOUBLE) AS s_total
+  FROM acc
+), e AS (
+  SELECT t_day, n_zero_registers,
+         (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 * 2305843009213693952.0
+           / s_total AS raw
+  FROM s
+), exact AS (
+  SELECT d.t_day, count(DISTINCT u.user_id) AS n_exact
+  FROM days d JOIN (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day FROM events) u
+    ON u.day <= d.t_day AND u.day > d.t_day - 7
+  GROUP BY d.t_day
+)
+SELECT e.t_day AS day, exact.n_exact,
+       CAST(e.n_zero_registers AS BIGINT) AS n_zero_registers,
+       round(CASE WHEN raw <= 640.0 AND e.n_zero_registers > 0
+                  THEN 256.0 * ln(256.0 / e.n_zero_registers)
+                  ELSE raw END, 2) AS hll_estimate
+FROM e JOIN exact ON exact.t_day = e.t_day
+"""
+
+QUERIES["partition_layout_advisor"] = relational.partition_layout_advisor
+ORACLES["partition_layout_advisor"] = """
+WITH est AS (
+  SELECT 'documents' AS table_name, count(*) AS n_rows,
+         sum(8 + length(text) + length(lang) + length(source) + 8) AS est_bytes
+  FROM documents
+  UNION ALL
+  SELECT 'events', count(*),
+         sum(8 + 8 + 8 + length(event_type) + 8 + length(props))
+  FROM events
+  UNION ALL
+  SELECT 'orders', count(*),
+         sum(8 + 8 + length(o_orderstatus) + 8 + 8 + length(o_orderpriority))
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', count(*),
+         sum(8 * 8 + 4 + length(l_returnflag) + length(l_linestatus))
+  FROM lineitem
+)
+SELECT table_name, n_rows, est_bytes,
+       (est_bytes + 134217728 - 1) // 134217728 AS parts_128mb,
+       est_bytes // n_rows AS avg_row_bytes
+FROM est
+"""

@@ -812,3 +812,29 @@ def test_udtf_chunks_matches_relational(spark, sf_dir):
         for r in corpus.doc_chunks(spark, sf_dir).collect()
     )
     assert udtf_rows == rel_rows and udtf_rows
+
+
+def test_rolling_hll_error_bound(spark, sf_dir):
+    from parquet_to_csv_spark.operators import sketch
+
+    rows = sketch.rolling_distinct_hll(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 256 registers -> ~6.5% standard error; allow 4 sigma
+        assert abs(r.hll_estimate - r.n_exact) <= max(0.30 * r.n_exact, 8)
+    # rolling window must cover at least as many users as any single day
+    days = sorted(r.day for r in rows)
+    assert len(days) == len(set(days))
+
+
+def test_partition_advisor_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    rows = {r.table_name: r for r in relational.partition_layout_advisor(spark, sf_dir).collect()}
+    assert set(rows) == {"documents", "events", "orders", "lineitem"}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    est = sum(8 + len(r.text) + len(r.lang) + len(r.source) + 8 for r in docs)
+    r = rows["documents"]
+    assert (r.n_rows, r.est_bytes) == (len(docs), est)
+    assert r.parts_128mb == (est + 134217728 - 1) // 134217728
+    assert r.avg_row_bytes == est // len(docs)

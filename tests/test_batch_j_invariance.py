@@ -47,6 +47,8 @@ BATCH_J = [
     "psi_value_drift",
     "theil_sen_trend",
     "udtf_chunks",
+    "rolling_distinct_hll",
+    "partition_layout_advisor",
 ]
 
 
