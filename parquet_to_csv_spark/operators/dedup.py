@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from parquet_to_csv_spark.functions.textfn import tokens_col
+from parquet_to_csv_spark.functions.textfn import fingerprint_col, tokens_col
 from parquet_to_csv_spark.sources.tables import load_table
 
 # 32 permutations × 4-row bands = 8 bands ⇒ LSH s-curve threshold
@@ -944,3 +944,60 @@ def incremental_dedup_report(
             ).alias("drop_ppm"),
         )
     )
+
+
+def dedup_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup strategy decision table — before running corpus dedup at
+    100 TB, which tier pays? One report compares what each level
+    removes: byte-exact copies, normalization-level copies (case/
+    whitespace only), and near-duplicates (exact Jaccard ≥ 0.8), each
+    with affected docs and their token volume.
+
+    Tiers are cumulative-exclusive (a doc counts at its STRONGEST
+    matching tier), so the rows decompose the corpus's redundant mass:
+    exact ⊂ normalized ⊂ near-dup, no double counting. Exact and
+    normalized cost one hash aggregation each; the near-dup tier
+    reuses the prefix-filtered Jaccard join — nothing new is quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("exact_h"),
+        fingerprint_col("text").alias("norm_h"),
+        F.size(tokens_col("text")).cast("long").alias("nt"),
+    )
+
+    def dup_members(col: str) -> DataFrame:
+        firsts = docs.groupBy(col).agg(
+            F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("sz")
+        )
+        return (
+            docs.join(firsts, col)
+            .filter((F.col("sz") >= 2) & (F.col("doc_id") != F.col("keep")))
+            .select("doc_id", "nt")
+        )
+
+    exact_dups = dup_members("exact_h")
+    norm_dups = dup_members("norm_h").join(
+        exact_dups.select("doc_id"), "doc_id", "left_anti"
+    )
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.8)
+    near_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(docs.select("doc_id", "nt"), "doc_id")
+        .join(dup_members("norm_h").select("doc_id"), "doc_id", "left_anti")
+        .join(exact_dups.select("doc_id"), "doc_id", "left_anti")
+    )
+
+    def tier_row(name: str, members: DataFrame) -> DataFrame:
+        return members.agg(
+            F.lit(name).alias("tier"),
+            F.count(F.lit(1)).alias("n_docs_removable"),
+            F.coalesce(F.sum("nt"), F.lit(0)).alias("tokens_removable"),
+        )
+
+    out = tier_row("exact", exact_dups)
+    out = out.unionAll(tier_row("normalized", norm_dups))
+    out = out.unionAll(tier_row("near_dup_j08", near_docs))
+    return out

@@ -749,3 +749,77 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(slope * 1000000.0) AS BIGINT)").alias("slope_micro"),
         )
     )
+
+
+def conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion rates: weekend vs weekday
+    first-view cohorts' 24-hour view→purchase conversion — the
+    significance test behind every funnel A/B readout (the Welch-t op
+    covers means; proportions need this pooled-variance form).
+
+    All counts are exact longs from the same first-view/first-purchase
+    derivation as the windowed conversion op; the z statistic is ONE
+    fixed IEEE pipeline over those four longs (identical
+    parenthesization in both engines), reported in milli-units beside
+    exact ppm rates per arm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    conv = (
+        views.join(
+            buys,
+            (F.col("user_id") == F.col("b_user")) & (F.col("b_ts") >= F.col("v_ts")),
+            "left",
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("b_ts").alias("p_ts"))
+        .select(
+            F.expr("((v_ts div 86400000000000) + 4) % 7").alias("dow"),
+            F.when(
+                F.col("p_ts").isNotNull()
+                & (F.col("p_ts") - F.col("v_ts") < 86400 * 10**9),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    arms = conv.select(
+        F.when(F.col("dow") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("weekend"),
+        "converted",
+    ).groupBy("weekend").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    a = arms.filter(F.col("weekend") == 1).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    b = arms.filter(F.col("weekend") == 0).select(
+        F.col("n").alias("n2"), F.col("x").alias("x2")
+    )
+    z = (
+        "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+    )
+    return (
+        a.join(b)
+        .filter(F.expr("x1 + x2 > 0 AND x1 + x2 < n1 + n2"))
+        .select(
+            "n1",
+            "x1",
+            "n2",
+            "x2",
+            F.expr("x1 * 1000000 div n1").alias("cvr1_ppm"),
+            F.expr("x2 * 1000000 div n2").alias("cvr2_ppm"),
+            F.expr(f"CAST(floor({z} * 1000.0) AS BIGINT)").alias("z_milli"),
+        )
+    )

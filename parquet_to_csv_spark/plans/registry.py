@@ -4701,3 +4701,83 @@ SELECT table_name, n_rows, est_bytes,
        est_bytes // n_rows AS avg_row_bytes
 FROM est
 """
+
+# --------------------------------------------------------------------------
+# EXT E171-E172 — two-proportion z-test, dedup strategy report
+# --------------------------------------------------------------------------
+
+QUERIES["conversion_ztest"] = mlmetrics.conversion_ztest
+ORACLES["conversion_ztest"] = """
+WITH views AS (
+  SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT v.user_id, v.v_us, min(epoch_us(b.ts)) AS p_us
+  FROM views v LEFT JOIN events b
+    ON b.user_id = v.user_id AND b.event_type = 'purchase'
+   AND epoch_us(b.ts) >= v.v_us
+  GROUP BY v.user_id, v.v_us
+), flags AS (
+  SELECT CASE WHEN (v_us // 86400000000 + 4) % 7 >= 5 THEN 1 ELSE 0 END AS weekend,
+         CASE WHEN p_us IS NOT NULL AND p_us - v_us < 86400000000
+              THEN 1 ELSE 0 END AS converted
+  FROM conv
+), arms AS (
+  SELECT weekend, count(*) AS n, sum(converted) AS x FROM flags GROUP BY weekend
+), a AS (SELECT n AS n1, x AS x1 FROM arms WHERE weekend = 1),
+b AS (SELECT n AS n2, x AS x2 FROM arms WHERE weekend = 0)
+SELECT n1, x1, n2, x2,
+       x1 * 1000000 // n1 AS cvr1_ppm,
+       x2 * 1000000 // n2 AS cvr2_ppm,
+       CAST(floor((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+            * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+            * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+            * 1000.0) AS BIGINT) AS z_milli
+FROM a, b
+WHERE x1 + x2 > 0 AND x1 + x2 < n1 + n2
+"""
+
+QUERIES["dedup_strategy_report"] = dedup.dedup_strategy_report
+ORACLES["dedup_strategy_report"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, sha256(text) AS exact_h,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_h,
+         CAST(len({_TOKS}) AS BIGINT) AS nt,
+         list_distinct({_TOKS}) AS toks
+  FROM documents
+), ex_f AS (
+  SELECT exact_h, min(doc_id) AS keep, count(*) AS sz FROM d GROUP BY exact_h
+), exact_dups AS (
+  SELECT d.doc_id, d.nt FROM d JOIN ex_f USING (exact_h)
+  WHERE sz >= 2 AND doc_id <> keep
+), nf AS (
+  SELECT norm_h, min(doc_id) AS keep, count(*) AS sz FROM d GROUP BY norm_h
+), norm_all AS (
+  SELECT d.doc_id, d.nt FROM d JOIN nf USING (norm_h)
+  WHERE sz >= 2 AND doc_id <> keep
+), norm_dups AS (
+  SELECT * FROM norm_all WHERE doc_id NOT IN (SELECT doc_id FROM exact_dups)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), near_docs AS (
+  SELECT nd.doc_id, d.nt
+  FROM (SELECT DISTINCT doc_id FROM
+         (SELECT doc_a AS doc_id FROM pairs
+          UNION ALL SELECT doc_b FROM pairs)) nd
+  JOIN d USING (doc_id)
+  WHERE nd.doc_id NOT IN (SELECT doc_id FROM norm_all)
+    AND nd.doc_id NOT IN (SELECT doc_id FROM exact_dups)
+)
+SELECT 'exact' AS tier, count(*) AS n_docs_removable,
+       coalesce(sum(nt), 0) AS tokens_removable FROM exact_dups
+UNION ALL
+SELECT 'normalized', count(*), coalesce(sum(nt), 0) FROM norm_dups
+UNION ALL
+SELECT 'near_dup_j08', count(*), coalesce(sum(nt), 0) FROM near_docs
+"""

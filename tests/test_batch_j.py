@@ -838,3 +838,48 @@ def test_partition_advisor_replay(spark, sf_dir):
     assert (r.n_rows, r.est_bytes) == (len(docs), est)
     assert r.parts_128mb == (est + 134217728 - 1) // 134217728
     assert r.avg_row_bytes == est // len(docs)
+
+
+def test_conversion_ztest_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts").collect()
+    views: dict[int, int] = {}
+    for r in ev:
+        if r.event_type == "view":
+            views[r.user_id] = min(views.get(r.user_id, r.ts), r.ts)
+    fb: dict[int, int] = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in views and r.ts >= views[r.user_id]:
+            fb[r.user_id] = min(fb.get(r.user_id, r.ts), r.ts)
+    arms = {0: [0, 0], 1: [0, 0]}
+    for u, v in views.items():
+        wk = 1 if ((v // 86400000000000) + 4) % 7 >= 5 else 0
+        arms[wk][0] += 1
+        p = fb.get(u)
+        if p is not None and p - v < 86400 * 10**9:
+            arms[wk][1] += 1
+    (n1, x1), (n2, x2) = arms[1], arms[0]
+    p_pool = float(x1 + x2) / float(n1 + n2)
+    z = (float(x1) / float(n1) - float(x2) / float(n2)) / _math.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / float(n1) + 1.0 / float(n2))
+    )
+    rows = mlmetrics.conversion_ztest(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n1, r.x1, r.n2, r.x2) == (n1, x1, n2, x2)
+    assert r.z_milli == _math.floor(z * 1000.0)
+
+
+def test_dedup_strategy_tiers_disjoint(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    rows = {r.tier: r for r in dedup.dedup_strategy_report(spark, sf_dir).collect()}
+    assert set(rows) == {"exact", "normalized", "near_dup_j08"}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    total_removable = sum(r.n_docs_removable for r in rows.values())
+    assert total_removable < n_docs
+    for r in rows.values():
+        assert r.n_docs_removable >= 0 and r.tokens_removable >= 0

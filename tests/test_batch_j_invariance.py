@@ -49,6 +49,8 @@ BATCH_J = [
     "udtf_chunks",
     "rolling_distinct_hll",
     "partition_layout_advisor",
+    "conversion_ztest",
+    "dedup_strategy_report",
 ]
 
 
