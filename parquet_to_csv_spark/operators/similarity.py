@@ -1017,3 +1017,136 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_fp"),
         )
     )
+
+
+def product_quantization(
+    spark: SparkSession, sf_dir: str, n_sub: int = 8, n_cents: int = 16
+) -> DataFrame:
+    """Product-quantization codes for the embedding table — the
+    compression layer under every billion-vector ANN index (FAISS PQ):
+    the 64-dim vector splits into ``n_sub`` subvectors, each encoded
+    as its nearest subspace centroid id, storing 8 bytes instead of
+    256. Emits per vector the code word and the EXACT reconstruction
+    error, so the gate verifies the full encode path and its loss.
+
+    Centroids reuse the fixed first-``n_cents``-by-vec_id rule
+    (ivf_topk — data-independent, no job at plan time). Subvector
+    slicing is array-local; assignment is one broadcast join +
+    ``min_by`` partial aggregation per (vector, subspace) — N·n_sub
+    rows exchanged, no window sort. Distances are the proven
+    zip_with/aggregate double expression; reconstruction error sums
+    exact integer 1e-6-unit squares (outlier-sweep convention), so
+    ordering and error are engine-exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}),"
+                f" s -> slice(embedding, s * 8 + 1, 8))"
+            )
+        ).alias("sub", "subvec"),
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < n_cents)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_sub - 1}),"
+                    f" s -> slice(embedding, s * 8 + 1, 8))"
+                )
+            ).alias("sub", "cent_sub"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("subvec"),
+            F.col("cent_sub"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        subs.join(F.broadcast(cents), "sub")
+        .select("vec_id", "sub", "subvec", "cent_id", "cent_sub", dist.alias("dist"))
+        .groupBy("vec_id", "sub", "subvec")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("cent_id"), F.col("cent_sub")
+                ),
+                F.struct(F.col("dist"), F.col("cent_id")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            "sub",
+            "subvec",
+            F.col("best.cent_id").alias("code"),
+            F.col("best.cent_sub").alias("cent_sub"),
+        )
+    )
+    err_units = F.aggregate(
+        F.zip_with(
+            F.col("subvec"),
+            F.col("cent_sub"),
+            lambda x, y: F.round((x.cast("double") - y.cast("double")) * F.lit(1e6), 0).cast("long")
+            * F.round((x.cast("double") - y.cast("double")) * F.lit(1e6), 0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        assigned.select("vec_id", "sub", "code", err_units.alias("err"))
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda x: x["code"].cast("string"),
+                ),
+            ).alias("code_word"),
+            F.sum("err").alias("recon_err_e12"),
+        )
+    )
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """ANN quality as a FIRST-CLASS query: per query, the overlap of
+    IVF's top-k with the exact top-k and the recall in exact ppm —
+    the continuous-monitoring twin of the one-off recall pytest, so an
+    index/data change that degrades recall fails the gate, not just a
+    unit test.
+
+    Pure composition of two verified operators (same query set), one
+    equi-join on (query, candidate), exact integer recall.
+    """
+    exact = cosine_topk(spark, sf_dir, k=k).select(
+        "query_id", F.col("cand_id").alias("e_cand")
+    )
+    approx = ivf_topk(spark, sf_dir, k=k).select(
+        "query_id", F.col("cand_id").alias("a_cand")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id) & (F.col("e_cand") == F.col("a_cand")),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.expr("coalesce(n_common, 0) * 1000000 div n_exact").alias("recall_ppm"),
+        )
+    )

@@ -4781,3 +4781,99 @@ SELECT 'normalized', count(*), coalesce(sum(nt), 0) FROM norm_dups
 UNION ALL
 SELECT 'near_dup_j08', count(*), coalesce(sum(nt), 0) FROM near_docs
 """
+
+# --------------------------------------------------------------------------
+# EXT E173-E174 — product quantization, ANN recall report
+# --------------------------------------------------------------------------
+
+_PQ_DIST = (
+    "list_sum(list_transform(list_zip(s.subvec, c.cent_sub),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+QUERIES["product_quantization"] = _sim.product_quantization
+ORACLES["product_quantization"] = f"""
+WITH subs AS (
+  SELECT vec_id, u.s AS sub,
+         list_slice(embedding, u.s * 8 + 1, u.s * 8 + 8) AS subvec
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS s) u
+), cents AS (
+  SELECT vec_id AS cent_id, u.s AS sub,
+         list_slice(embedding, u.s * 8 + 1, u.s * 8 + 8) AS cent_sub
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS s) u
+  WHERE vec_id < 16
+), scored AS (
+  SELECT s.vec_id, s.sub, c.cent_id, c.cent_sub,
+         row_number() OVER (
+           PARTITION BY s.vec_id, s.sub
+           ORDER BY {_PQ_DIST} ASC, c.cent_id ASC
+         ) AS rn,
+         list_sum(list_transform(list_zip(s.subvec, c.cent_sub),
+           p -> CAST(round((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 1000000) AS BIGINT)
+              * CAST(round((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 1000000) AS BIGINT)))
+           AS err
+  FROM subs s JOIN cents c ON s.sub = c.sub
+)
+SELECT vec_id,
+       string_agg(CAST(cent_id AS VARCHAR), '-' ORDER BY sub) AS code_word,
+       CAST(sum(err) AS BIGINT) AS recon_err_e12
+FROM scored WHERE rn = 1
+GROUP BY vec_id
+"""
+
+QUERIES["ann_recall_report"] = _sim.ann_recall_report
+ORACLES["ann_recall_report"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY {_duck_cos('q_emb', 'c_emb')} DESC, cand_id ASC) AS rnk
+    FROM q JOIN c ON query_id <> cand_id
+  ) WHERE rnk <= 5
+), ivf_cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16
+), asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, ic.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos('e.embedding', 'ic.cent_emb')} DESC, ic.cell_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN ivf_cents ic
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT q.query_id, q.q_emb, ic.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_duck_cos('q.q_emb', 'ic.cent_emb')} DESC, ic.cell_id ASC
+           ) AS rn
+    FROM q CROSS JOIN ivf_cents ic
+  ) WHERE rn <= 4
+), approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT p.query_id, a.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {_duck_cos('p.q_emb', 'a.embedding')} DESC, a.vec_id ASC) AS rnk
+    FROM probes p JOIN asg a ON p.cell = a.cell
+    WHERE p.query_id <> a.vec_id
+  ) WHERE rnk <= 5
+), hits AS (
+  SELECT e.query_id, count(*) AS n_common
+  FROM exact e JOIN approx x ON e.query_id = x.query_id AND e.cand_id = x.cand_id
+  GROUP BY e.query_id
+), base AS (
+  SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id
+)
+SELECT base.query_id, n_exact,
+       coalesce(n_common, 0) AS n_common,
+       coalesce(n_common, 0) * 1000000 // n_exact AS recall_ppm
+FROM base LEFT JOIN hits ON hits.query_id = base.query_id
+"""

@@ -883,3 +883,46 @@ def test_dedup_strategy_tiers_disjoint(spark, sf_dir):
     assert total_removable < n_docs
     for r in rows.values():
         assert r.n_docs_removable >= 0 and r.tokens_removable >= 0
+
+
+def test_product_quantization_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    cents = {i: emb[i] for i in range(16) if i in emb}
+    expect = {}
+    for vid, v in emb.items():
+        codes, err_total = [], 0
+        for s in range(8):
+            sv = v[s * 8 : s * 8 + 8]
+            best = None
+            for cid, c in sorted(cents.items()):
+                cs = c[s * 8 : s * 8 + 8]
+                d = sum((x - y) * (x - y) for x, y in zip(sv, cs))
+                if best is None or d < best[0]:
+                    best = (d, cid, cs)
+            codes.append(best[1])
+            err_total += sum(
+                int(round((x - y) * 1e6)) ** 2 for x, y in zip(sv, best[2])
+            )
+        expect[vid] = ("-".join(str(c) for c in codes), err_total)
+    rows = similarity.product_quantization(spark, sf_dir).collect()
+    got = {r.vec_id: (r.code_word, r.recon_err_e12) for r in rows}
+    assert got == expect
+    # centroid vectors must encode themselves with zero error
+    for i in cents:
+        assert got[i][1] == 0
+
+
+def test_ann_recall_report_consistency(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    rows = similarity.ann_recall_report(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_common <= r.n_exact == 5
+        assert r.recall_ppm == r.n_common * 1000000 // r.n_exact
+    # IVF with nprobe=4/16 cells should find most exact neighbors
+    mean_recall = sum(r.recall_ppm for r in rows) / len(rows)
+    assert mean_recall >= 400000

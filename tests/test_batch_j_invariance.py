@@ -51,6 +51,8 @@ BATCH_J = [
     "partition_layout_advisor",
     "conversion_ztest",
     "dedup_strategy_report",
+    "product_quantization",
+    "ann_recall_report",
 ]
 
 
