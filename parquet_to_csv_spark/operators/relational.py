@@ -1479,3 +1479,51 @@ def partition_layout_advisor(
         ),
         F.expr("est_bytes div n_rows").alias("avg_row_bytes"),
     )
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: for each acquisition-month cohort,
+    cumulative revenue per user at every tenure month — the table
+    under every LTV/payback chart, computed at COHORT grain so
+    per-user tenure gaps never need filling.
+
+    One scan to (customer, month) spend (exact cents), a broadcast
+    cohort join (per-customer min month — the same relation retention
+    uses), then incremental cohort spend and ONE cumulative window
+    over tenure per cohort (bounded by the calendar). All division is
+    floored integer cents.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.expr("cast(o_orderdate as timestamp)")
+    per = (
+        orders.select(
+            "o_custkey",
+            (F.year(ts) * 12 + F.month(ts)).alias("m"),
+            exact_units(F.col("o_totalprice"), 2).alias("cents"),
+        )
+        .groupBy("o_custkey", "m")
+        .agg(F.sum("cents").alias("spend"))
+    )
+    cohorts = per.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = cohorts.groupBy("m0").agg(F.count(F.lit(1)).alias("n_users"))
+    inc = (
+        per.join(F.broadcast(cohorts), "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("tenure"))
+        .agg(F.sum("spend").alias("inc_cents"))
+    )
+    w = (
+        W.partitionBy("m0")
+        .orderBy("tenure")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        inc.withColumn("cum_cents", F.sum("inc_cents").over(w))
+        .join(F.broadcast(sizes), "m0")
+        .select(
+            F.col("m0").alias("cohort_month"),
+            "tenure",
+            "n_users",
+            "cum_cents",
+            F.expr("cum_cents div n_users").alias("avg_ltv_cents"),
+        )
+    )

@@ -1150,3 +1150,58 @@ def ann_recall_report(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
             F.expr("coalesce(n_common, 0) * 1000000 div n_exact").alias("recall_ppm"),
         )
     )
+
+
+def truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how much does cosine similarity
+    move when embeddings are cut to their first 8/16/32 dimensions? —
+    the measurement behind every "can we serve the 16-dim prefix?"
+    index-compression decision (MRL-style embeddings make prefixes
+    usable; this op quantifies the loss on YOUR corpus).
+
+    Over the bounded query set × all candidates (the cosine_topk
+    contract), each prefix length L gets the same fixed zip_with/
+    aggregate cosine on sliced arrays; the per-pair |Δcos| quantizes
+    to integer micro BEFORE aggregation, so the per-L mean/max are
+    exact long arithmetic. One broadcast pair relation evaluated at 4
+    prefix lengths — no extra shuffles per L.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
+
+    def cos_at(length: int):
+        qa = F.slice(F.col("q_emb"), 1, length)
+        ca = F.slice(F.col("c_emb"), 1, length)
+        num = dot_product(qa, ca)
+        den = l2_norm(qa) * l2_norm(ca)
+        return F.when(den > F.lit(0.0), num / den)
+
+    full = cos_at(64)
+    rows = []
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        *[
+            F.round(F.abs(cos_at(L) - full) * F.lit(1e6), 0)
+            .cast("long")
+            .alias(f"d{L}")
+            for L in (8, 16, 32)
+        ],
+    )
+    for L in (8, 16, 32):
+        rows.append(
+            scored.filter(F.col(f"d{L}").isNotNull()).agg(
+                F.lit(L).alias("prefix_dims"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.expr(f"sum(d{L}) div count(1)").alias("mean_absdelta_micro"),
+                F.max(f"d{L}").alias("max_absdelta_micro"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -4877,3 +4877,64 @@ SELECT base.query_id, n_exact,
        coalesce(n_common, 0) * 1000000 // n_exact AS recall_ppm
 FROM base LEFT JOIN hits ON hits.query_id = base.query_id
 """
+
+# --------------------------------------------------------------------------
+# EXT E175-E176 — matryoshka truncation audit, cohort LTV curve
+# --------------------------------------------------------------------------
+
+def _duck_cos_slice(a: str, b: str, length: int) -> str:
+    sa = f"list_slice({a}, 1, {length})"
+    sb = f"list_slice({b}, 1, {length})"
+    return (
+        f"list_sum(list_transform(list_zip({sa}, {sb}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({sa}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({sb}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+QUERIES["truncation_quality"] = _sim.truncation_quality
+ORACLES["truncation_quality"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+), scored AS (
+  SELECT query_id, cand_id,
+         {", ".join(
+           f"CAST(round(abs({_duck_cos_slice('q_emb', 'c_emb', L)} - {_duck_cos_slice('q_emb', 'c_emb', 64)}) * 1000000) AS BIGINT) AS d{L}"
+           for L in (8, 16, 32)
+         )}
+  FROM q JOIN c ON query_id <> cand_id
+)
+SELECT 8 AS prefix_dims, count(*) AS n_pairs,
+       sum(d8) // count(*) AS mean_absdelta_micro,
+       max(d8) AS max_absdelta_micro
+FROM scored WHERE d8 IS NOT NULL
+UNION ALL
+SELECT 16, count(*), sum(d16) // count(*), max(d16) FROM scored WHERE d16 IS NOT NULL
+UNION ALL
+SELECT 32, count(*), sum(d32) // count(*), max(d32) FROM scored WHERE d32 IS NOT NULL
+"""
+
+QUERIES["cohort_ltv_curve"] = relational.cohort_ltv_curve
+ORACLES["cohort_ltv_curve"] = f"""
+WITH per AS (
+  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         sum({duck_units("o_totalprice", 2)}) AS spend
+  FROM orders GROUP BY 1, 2
+), cohorts AS (
+  SELECT o_custkey, min(m) AS m0 FROM per GROUP BY o_custkey
+), sizes AS (
+  SELECT m0, count(*) AS n_users FROM cohorts GROUP BY m0
+), inc AS (
+  SELECT c.m0, p.m - c.m0 AS tenure, sum(p.spend) AS inc_cents
+  FROM per p JOIN cohorts c USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT m0 AS cohort_month, tenure, n_users,
+       sum(inc_cents) OVER (PARTITION BY m0 ORDER BY tenure
+                            ROWS UNBOUNDED PRECEDING) AS cum_cents,
+       sum(inc_cents) OVER (PARTITION BY m0 ORDER BY tenure
+                            ROWS UNBOUNDED PRECEDING) // n_users AS avg_ltv_cents
+FROM inc JOIN sizes USING (m0)
+"""

@@ -926,3 +926,45 @@ def test_ann_recall_report_consistency(spark, sf_dir):
     # IVF with nprobe=4/16 cells should find most exact neighbors
     mean_recall = sum(r.recall_ppm for r in rows) / len(rows)
     assert mean_recall >= 400000
+
+
+def test_truncation_quality_monotone(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    rows = {r.prefix_dims: r for r in similarity.truncation_quality(spark, sf_dir).collect()}
+    assert set(rows) == {8, 16, 32}
+    # more dims -> closer to the full cosine
+    assert rows[8].mean_absdelta_micro >= rows[16].mean_absdelta_micro
+    assert rows[16].mean_absdelta_micro >= rows[32].mean_absdelta_micro
+    for r in rows.values():
+        assert 0 <= r.mean_absdelta_micro <= r.max_absdelta_micro
+
+
+def test_cohort_ltv_curve_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    per: dict[tuple, int] = {}
+    for r in orders:
+        m = r.o_orderdate.year * 12 + r.o_orderdate.month
+        per[(r.o_custkey, m)] = per.get((r.o_custkey, m), 0) + _cents(r.o_totalprice)
+    m0: dict[int, int] = {}
+    for (cu, m) in per:
+        m0[cu] = min(m0.get(cu, m), m)
+    sizes: Counter = Counter(m0.values())
+    inc: dict[tuple, int] = {}
+    for (cu, m), s in per.items():
+        key = (m0[cu], m - m0[cu])
+        inc[key] = inc.get(key, 0) + s
+    expect = {}
+    for c0 in sizes:
+        cum = 0
+        for t in sorted(t for (cc, t) in inc if cc == c0):
+            cum += inc[(c0, t)]
+            expect[(c0, t)] = (sizes[c0], cum, cum // sizes[c0])
+    rows = relational.cohort_ltv_curve(spark, sf_dir).collect()
+    got = {
+        (r.cohort_month, r.tenure): (r.n_users, r.cum_cents, r.avg_ltv_cents)
+        for r in rows
+    }
+    assert got == expect

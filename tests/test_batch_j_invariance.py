@@ -53,6 +53,8 @@ BATCH_J = [
     "dedup_strategy_report",
     "product_quantization",
     "ann_recall_report",
+    "truncation_quality",
+    "cohort_ltv_curve",
 ]
 
 
