@@ -1001,3 +1001,50 @@ def dedup_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionAll(tier_row("normalized", norm_dups))
     out = out.unionAll(tier_row("near_dup_j08", near_docs))
     return out
+
+
+def taint_closure_report(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Contamination taint closure: if ANY member of a near-dup
+    cluster comes from a restricted source, every member is tainted —
+    the license/benchmark-contamination policy that direct source
+    filtering misses (a restricted document's near-copy under a clean
+    source label still leaks it into training).
+
+    Reuses the verified cluster relation (exact-Jaccard pairs →
+    connected components); the restricted-source rule here is the
+    fixture stand-in ``source LIKE '%3'``. Per cluster: size, directly
+    tainted members, and the members tainted ONLY via closure — the
+    documents a naive source filter would wrongly keep. Propagation is
+    one groupBy(max) + one join back, both on cluster_id.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("source").like("%3").cast("int").alias("tainted")
+    )
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(pairs)
+    members = cc.select(F.col("v").alias("doc_id"), "cluster_id").join(
+        docs, "doc_id"
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tainted").alias("n_tainted_direct"),
+            F.max("tainted").alias("cluster_tainted"),
+        )
+        .withColumn(
+            "n_tainted_via_closure",
+            F.when(
+                F.col("cluster_tainted") == 1,
+                F.col("n_docs") - F.col("n_tainted_direct"),
+            ).otherwise(F.lit(0)),
+        )
+        .filter(F.col("cluster_tainted") == 1)
+        .select(
+            "cluster_id", "n_docs", "n_tainted_direct", "n_tainted_via_closure"
+        )
+    )

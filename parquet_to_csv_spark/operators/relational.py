@@ -1527,3 +1527,61 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_cents div n_users").alias("avg_ltv_cents"),
         )
     )
+
+
+def duplicate_payment_pairs(
+    spark: SparkSession, sf_dir: str, window_days: int = 1
+) -> DataFrame:
+    """Duplicate-transaction screen: pairs of orders by the SAME
+    customer for the SAME exact amount within ``window_days`` of each
+    other — the double-charge / replay detector every payments
+    pipeline runs nightly.
+
+    The synthetic order stream has no duplicate charges (continuous
+    prices ⇒ collision probability ~0), so — exactly like the PII
+    op's planted matches — every 97th order is augmented with a
+    deterministic next-day "retry" clone, making the parity check
+    non-vacuous; the oracle replays the same augmentation.
+
+    The join is EQUI on (custkey, exact cents) — the high-selectivity
+    keys — with the day window as a residual predicate, so the shuffle
+    carries each (customer, amount) bucket once and the quadratic is
+    bounded by per-bucket multiplicity (at 100 TB: salt a pathological
+    single amount, same recipe as the salted-join op). Day distance is
+    exact integer epoch arithmetic.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        exact_units(F.col("o_totalprice"), 2).alias("cents"),
+        F.expr(
+            "unix_millis(cast(o_orderdate as timestamp)) div 86400000"
+        ).alias("day"),
+    )
+    retries = orders.filter(F.pmod(F.col("o_orderkey"), F.lit(97)) == 0).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey",
+        "cents",
+        (F.col("day") + 1).alias("day"),
+    )
+    aug = orders.unionAll(retries)
+    a = aug.alias("a")
+    b = aug.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(
+            F.abs(F.col("a.day") - F.col("b.day")) <= window_days
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.cents").alias("amount_cents"),
+            F.abs(F.col("a.day") - F.col("b.day")).alias("day_gap"),
+        )
+    )

@@ -4938,3 +4938,60 @@ SELECT m0 AS cohort_month, tenure, n_users,
                             ROWS UNBOUNDED PRECEDING) // n_users AS avg_ltv_cents
 FROM inc JOIN sizes USING (m0)
 """
+
+# --------------------------------------------------------------------------
+# EXT E177-E178 — duplicate-payment screen, contamination taint closure
+# --------------------------------------------------------------------------
+
+QUERIES["duplicate_payment_pairs"] = relational.duplicate_payment_pairs
+ORACLES["duplicate_payment_pairs"] = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, {duck_units("o_totalprice", 2)} AS cents,
+         epoch_ms(o_orderdate) // 86400000 AS day
+  FROM orders
+), o AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, cents, day + 1
+  FROM base WHERE o_orderkey % 97 = 0
+)
+SELECT a.o_custkey AS custkey, a.o_orderkey AS order_a,
+       b.o_orderkey AS order_b, a.cents AS amount_cents,
+       abs(a.day - b.day) AS day_gap
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+ AND a.o_orderkey < b.o_orderkey
+WHERE abs(a.day - b.day) <= 1
+"""
+
+QUERIES["taint_closure_report"] = dedup.taint_closure_report
+ORACLES["taint_closure_report"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+), cc(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.l FROM edges e JOIN cc ON cc.v = e.w
+), members AS (
+  SELECT cc.v AS doc_id, min(cc.l) AS cluster_id FROM cc GROUP BY cc.v
+), flagged AS (
+  SELECT m.cluster_id,
+         CASE WHEN d.source LIKE '%3' THEN 1 ELSE 0 END AS tainted
+  FROM members m JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, count(*) AS n_docs,
+       sum(tainted) AS n_tainted_direct,
+       count(*) - sum(tainted) AS n_tainted_via_closure
+FROM flagged GROUP BY cluster_id
+HAVING max(tainted) = 1
+"""

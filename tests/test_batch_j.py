@@ -968,3 +968,35 @@ def test_cohort_ltv_curve_replay(spark, sf_dir):
         for r in rows
     }
     assert got == expect
+
+
+def test_duplicate_payment_pairs_finds_planted(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    rows = relational.duplicate_payment_pairs(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").collect()
+    planted = {r.o_orderkey for r in orders if r.o_orderkey % 97 == 0}
+    assert rows and len(rows) == len(planted)
+    for r in rows:
+        assert r.order_b == r.order_a + 1000000000
+        assert r.order_a in planted
+        assert r.day_gap == 1
+
+
+def test_taint_closure_consistency(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    rows = dedup.taint_closure_report(spark, sf_dir).collect()
+    clusters = dedup.dup_clusters(spark, sf_dir).collect()
+    docs = {r.doc_id: r.source for r in load_table(spark, sf_dir, "documents").collect()}
+    by_cluster: dict[int, list] = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    expect = {}
+    for cid, members in by_cluster.items():
+        tainted = [d for d in members if docs[d].endswith("3")]
+        if tainted:
+            expect[cid] = (len(members), len(tainted), len(members) - len(tainted))
+    got = {r.cluster_id: (r.n_docs, r.n_tainted_direct, r.n_tainted_via_closure)
+           for r in rows}
+    assert got == expect

@@ -55,6 +55,8 @@ BATCH_J = [
     "ann_recall_report",
     "truncation_quality",
     "cohort_ltv_curve",
+    "duplicate_payment_pairs",
+    "taint_closure_report",
 ]
 
 
