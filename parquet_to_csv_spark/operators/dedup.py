@@ -1048,3 +1048,44 @@ def taint_closure_report(
             "cluster_id", "n_docs", "n_tainted_direct", "n_tainted_via_closure"
         )
     )
+
+
+def novelty_scores(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Per-document novelty against everything ingested BEFORE it
+    (doc_id order = arrival order): 1000 − max Jaccard(milli) to any
+    earlier document — the streaming-ingest signal that demotes
+    rehashed content before it enters the corpus.
+
+    Derived from the verified exact-Jaccard pair relation at a lower
+    threshold (0.5 — novelty needs the mid-similarity band, not just
+    near-dups): each pair charges its similarity to its LATER member,
+    one groupBy(max) produces every scored doc. Docs with no earlier
+    match above threshold simply don't appear (their novelty is
+    bounded below by 1 − threshold, which the threshold choice makes
+    explicit). Jaccard quantizes to integer milli before the max, so
+    ordering is exact.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    charged = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("doc_id"),
+        F.least("doc_a", "doc_b").alias("earlier_doc"),
+        F.round(F.col("jaccard") * 1000, 0).cast("long").alias("j_milli"),
+    )
+    return (
+        charged.groupBy("doc_id")
+        .agg(
+            F.max("j_milli").alias("max_j_milli"),
+            F.min_by("earlier_doc", F.struct(-F.col("j_milli"), F.col("earlier_doc"))).alias(
+                "nearest_earlier"
+            ),
+            F.count(F.lit(1)).alias("n_earlier_matches"),
+        )
+        .select(
+            "doc_id",
+            "nearest_earlier",
+            "n_earlier_matches",
+            (F.lit(1000) - F.col("max_j_milli")).alias("novelty_milli"),
+        )
+    )

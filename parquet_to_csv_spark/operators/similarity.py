@@ -1205,3 +1205,51 @@ def truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def source_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic distance matrix between SOURCES: L2 distance between
+    per-source embedding centroids — the drift/redundancy map that
+    says which ingest sources cover the same semantic region (merge
+    candidates) and which are outliers (review before mixing).
+
+    Joins embeddings to documents on the aligned id (vec_id ≡ doc_id)
+    to get each vector's source; centroids use the DECIMAL-exact
+    element-mean convention; the pairwise distances run over the
+    SOURCE-grain relation (|sources|² × dim — dims, not data), with
+    squared distances summed in exact integer 1e-6-unit squares
+    (outlier-sweep convention) so the matrix is engine-exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    ex = emb.join(docs, "vec_id").select(
+        "source", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = (
+        ex.groupBy("source", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+        )
+        .select(
+            "source",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mu"),
+        )
+    )
+    a = cent.select(
+        F.col("source").alias("source_a"), "pos", F.col("mu").alias("mu_a")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"), "pos", F.col("mu").alias("mu_b")
+    )
+    d_units = F.round((F.col("mu_a") - F.col("mu_b")) * F.lit(1e6), 0).cast("long")
+    return (
+        a.join(b, "pos")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", (d_units * d_units).alias("dsq"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("dsq").alias("dist_sq_e12"))
+    )

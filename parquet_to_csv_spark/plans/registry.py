@@ -4995,3 +4995,58 @@ SELECT cluster_id, count(*) AS n_docs,
 FROM flagged GROUP BY cluster_id
 HAVING max(tainted) = 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E179-E180 — source centroid distances, document novelty
+# --------------------------------------------------------------------------
+
+QUERIES["source_centroid_distances"] = _sim.source_centroid_distances
+ORACLES["source_centroid_distances"] = """
+WITH ex AS (
+  SELECT d.source, u.pos - 1 AS pos, u.val
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id,
+       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS pos,
+                       unnest(e.embedding) AS val) u
+), cent AS (
+  SELECT source, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+           AS mu
+  FROM ex GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       sum(CAST(round((a.mu - b.mu) * 1000000) AS BIGINT)
+           * CAST(round((a.mu - b.mu) * 1000000) AS BIGINT)) AS dist_sq_e12
+FROM cent a JOIN cent b ON a.pos = b.pos AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+QUERIES["novelty_scores"] = dedup.novelty_scores
+ORACLES["novelty_scores"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+           AS jaccard
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5
+), charged AS (
+  SELECT greatest(doc_a, doc_b) AS doc_id, least(doc_a, doc_b) AS earlier_doc,
+         CAST(round(jaccard * 1000) AS BIGINT) AS j_milli
+  FROM pairs
+), ranked AS (
+  SELECT doc_id, earlier_doc, j_milli,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY j_milli DESC, earlier_doc ASC) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_matches,
+         max(j_milli) OVER (PARTITION BY doc_id) AS mx
+  FROM charged
+)
+SELECT doc_id, earlier_doc AS nearest_earlier, n_matches AS n_earlier_matches,
+       1000 - mx AS novelty_milli
+FROM ranked WHERE rn = 1
+"""

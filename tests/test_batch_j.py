@@ -1000,3 +1000,37 @@ def test_taint_closure_consistency(spark, sf_dir):
     got = {r.cluster_id: (r.n_docs, r.n_tainted_direct, r.n_tainted_via_closure)
            for r in rows}
     assert got == expect
+
+
+def test_source_centroid_distances_symmetry(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    rows = similarity.source_centroid_distances(spark, sf_dir).collect()
+    srcs = {r["source"] for r in load_table(spark, sf_dir, "documents").select("source").distinct().collect()}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.dist_sq_e12 >= 0
+
+
+def test_novelty_scores_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.5).collect()
+    agg: dict[int, list] = {}
+    for p in pairs:
+        later, earlier = max(p.doc_a, p.doc_b), min(p.doc_a, p.doc_b)
+        import math as _math
+        jm = int(_math.floor(p.jaccard * 1000 + 0.5))  # HALF_UP like both engines
+        a = agg.setdefault(later, [])
+        a.append((jm, earlier))
+    expect = {}
+    for d, xs in agg.items():
+        xs.sort(key=lambda x: (-x[0], x[1]))
+        expect[d] = (xs[0][1], len(xs), 1000 - xs[0][0])
+    rows = dedup.novelty_scores(spark, sf_dir).collect()
+    got = {r.doc_id: (r.nearest_earlier, r.n_earlier_matches, r.novelty_milli)
+           for r in rows}
+    assert got == expect
+    assert all(0 <= v[2] <= 500 for v in got.values())

@@ -57,6 +57,8 @@ BATCH_J = [
     "cohort_ltv_curve",
     "duplicate_payment_pairs",
     "taint_closure_report",
+    "source_centroid_distances",
+    "novelty_scores",
 ]
 
 
