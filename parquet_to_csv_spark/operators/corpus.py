@@ -988,3 +988,48 @@ def sampling_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length selection table: for ctx ∈ {128, 256, 512}, how
+    many training sequences the corpus needs under one-doc-per-sequence
+    PADDING vs concat-and-chunk PACKING, and the token waste of each —
+    the numbers that decide both the ctx length and whether packing is
+    worth its attention-mask complexity.
+
+    ONE scan computes every config: per-doc ceil-division sums via
+    conditional aggregates (exact longs), packed counts from the token
+    total. Waste in exact ppm of the padded/packed token budget.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(tokens_col("text")).cast("long")
+    base = docs.select(nt.alias("nt")).filter(F.col("nt") > 0)
+    ctxs = [128, 256, 512]
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+    ]
+    for c in ctxs:
+        aggs.append(F.sum(F.expr(f"(nt + {c} - 1) div {c}")).alias(f"pad{c}"))
+    wide = base.agg(*aggs)
+    rows = [
+        wide.select(
+            F.lit(c).alias("ctx_len"),
+            "n_docs",
+            "total_tokens",
+            F.col(f"pad{c}").alias("padded_seqs"),
+            F.expr(f"(total_tokens + {c} - 1) div {c}").alias("packed_seqs"),
+            F.expr(
+                f"(pad{c} * {c} - total_tokens) * 1000000 div (pad{c} * {c})"
+            ).alias("padded_waste_ppm"),
+            F.expr(
+                f"(((total_tokens + {c} - 1) div {c}) * {c} - total_tokens)"
+                f" * 1000000 div (((total_tokens + {c} - 1) div {c}) * {c})"
+            ).alias("packed_waste_ppm"),
+        )
+        for c in ctxs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

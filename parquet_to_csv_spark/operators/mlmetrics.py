@@ -823,3 +823,68 @@ def conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(floor({z} * 1000.0) AS BIGINT)").alias("z_milli"),
         )
     )
+
+
+def fold_auc_variance(
+    spark: SparkSession, sf_dir: str, n_folds: int = 5
+) -> DataFrame:
+    """Cross-validation stability report: the exact tie-corrected AUC
+    computed PER FOLD (same deterministic md5 fold assignment as the
+    k-fold balance audit) with each fold's signed deviation from the
+    across-fold mean — the variance check that says whether a headline
+    AUC is a property of the model or of one lucky split.
+
+    Same exact-long Mann-Whitney derivation as auc_ranker, with the
+    score-cardinality window PARTITIONED by fold (parallel, no global
+    sort); fold AUCs are a k-row relation, so the mean join is a
+    broadcast of k rows. All arithmetic floored integer ppm.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(md5_bucket(F.col("doc_id"), 1000), F.lit(n_folds))
+    by_score = (
+        docs.select(
+            fold.cast("long").alias("fold"),
+            F.col("n_chars").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+        )
+        .groupBy("fold", "score")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("is_pos").alias("p"))
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = by_score.withColumn("cum_n", F.sum("n").over(w))
+    per_fold = (
+        ranked.groupBy("fold")
+        .agg(
+            F.sum("p").alias("pos_n"),
+            (F.sum("n") - F.sum("p")).alias("neg_n"),
+            F.sum(
+                F.col("p") * (2 * (F.col("cum_n") - F.col("n")) + F.col("n") + 1)
+            ).alias("s2"),
+        )
+        .select(
+            "fold",
+            "pos_n",
+            "neg_n",
+            F.expr(
+                "(s2 - pos_n * (pos_n + 1)) * 1000000 div (2 * pos_n * neg_n)"
+            ).alias("auc_ppm"),
+        )
+    )
+    mean = F.broadcast(
+        per_fold.agg(
+            F.expr(f"sum(auc_ppm) div {n_folds}").alias("mean_auc_ppm")
+        )
+    )
+    return per_fold.join(mean).select(
+        "fold",
+        "pos_n",
+        "neg_n",
+        "auc_ppm",
+        (F.col("auc_ppm") - F.col("mean_auc_ppm")).alias("dev_ppm"),
+    )

@@ -5050,3 +5050,68 @@ SELECT doc_id, earlier_doc AS nearest_earlier, n_matches AS n_earlier_matches,
        1000 - mx AS novelty_milli
 FROM ranked WHERE rn = 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E181-E182 — fold AUC variance, packing-efficiency table
+# --------------------------------------------------------------------------
+
+QUERIES["fold_auc_variance"] = mlmetrics.fold_auc_variance
+ORACLES["fold_auc_variance"] = f"""
+WITH by_score AS (
+  SELECT CAST({corpus.duck_md5_bucket("doc_id", 1000)} % 5 AS BIGINT) AS fold,
+         n_chars AS score, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+  FROM documents GROUP BY 1, 2
+), ranked AS (
+  SELECT fold, score, n, p,
+         sum(n) OVER (PARTITION BY fold ORDER BY score
+                      ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM by_score
+), per_fold AS (
+  SELECT fold, sum(p) AS pos_n, sum(n) - sum(p) AS neg_n,
+         sum(p * (2 * (cum_n - n) + n + 1)) AS s2
+  FROM ranked GROUP BY fold
+), aucs AS (
+  SELECT fold, pos_n, neg_n,
+         (s2 - pos_n * (pos_n + 1)) * 1000000 // (2 * pos_n * neg_n) AS auc_ppm
+  FROM per_fold
+), m AS (
+  SELECT sum(auc_ppm) // 5 AS mean_auc_ppm FROM aucs
+)
+SELECT fold, pos_n, neg_n, auc_ppm, auc_ppm - mean_auc_ppm AS dev_ppm
+FROM aucs, m
+"""
+
+QUERIES["packing_efficiency"] = corpus.packing_efficiency
+ORACLES["packing_efficiency"] = f"""
+WITH base AS (
+  SELECT CAST(len({_TOKS}) AS BIGINT) AS nt FROM documents
+  WHERE len({_TOKS}) > 0
+), wide AS (
+  SELECT count(*) AS n_docs, sum(nt) AS total_tokens,
+         sum((nt + 127) // 128) AS pad128,
+         sum((nt + 255) // 256) AS pad256,
+         sum((nt + 511) // 512) AS pad512
+  FROM base
+)
+SELECT 128 AS ctx_len, n_docs, total_tokens, pad128 AS padded_seqs,
+       (total_tokens + 127) // 128 AS packed_seqs,
+       (pad128 * 128 - total_tokens) * 1000000 // (pad128 * 128) AS padded_waste_ppm,
+       (((total_tokens + 127) // 128) * 128 - total_tokens) * 1000000
+         // (((total_tokens + 127) // 128) * 128) AS packed_waste_ppm
+FROM wide
+UNION ALL
+SELECT 256, n_docs, total_tokens, pad256,
+       (total_tokens + 255) // 256,
+       (pad256 * 256 - total_tokens) * 1000000 // (pad256 * 256),
+       (((total_tokens + 255) // 256) * 256 - total_tokens) * 1000000
+         // (((total_tokens + 255) // 256) * 256)
+FROM wide
+UNION ALL
+SELECT 512, n_docs, total_tokens, pad512,
+       (total_tokens + 511) // 512,
+       (pad512 * 512 - total_tokens) * 1000000 // (pad512 * 512),
+       (((total_tokens + 511) // 512) * 512 - total_tokens) * 1000000
+         // (((total_tokens + 511) // 512) * 512)
+FROM wide
+"""

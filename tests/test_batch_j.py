@@ -1034,3 +1034,38 @@ def test_novelty_scores_replay(spark, sf_dir):
            for r in rows}
     assert got == expect
     assert all(0 <= v[2] <= 500 for v in got.values())
+
+
+def test_fold_auc_partition_and_sanity(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    rows = mlmetrics.fold_auc_variance(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert {r.fold for r in rows} == set(range(5))
+    # deviations sum to ~0 (floored mean introduces at most k-1 ppm slack)
+    assert abs(sum(r.dev_ppm for r in rows)) < 5 * 5
+    docs = load_table(spark, sf_dir, "documents")
+    n_en = docs.filter("lang = 'en'").count()
+    assert sum(r.pos_n for r in rows) == n_en
+    for r in rows:
+        assert 0 <= r.auc_ppm <= 1_000_000
+
+
+def test_packing_efficiency_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import corpus as corpus_ops
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    nts = [len(_toks(r.text)) for r in docs if _toks(r.text)]
+    total = sum(nts)
+    rows = {r.ctx_len: r for r in corpus_ops.packing_efficiency(spark, sf_dir).collect()}
+    for c in (128, 256, 512):
+        r = rows[c]
+        pad = sum((nt + c - 1) // c for nt in nts)
+        packed = (total + c - 1) // c
+        assert (r.n_docs, r.total_tokens) == (len(nts), total)
+        assert r.padded_seqs == pad
+        assert r.packed_seqs == packed
+        assert r.padded_waste_ppm == (pad * c - total) * 1000000 // (pad * c)
+        assert r.packed_waste_ppm == (packed * c - total) * 1000000 // (packed * c)
+        # packing never needs more sequences than padding
+        assert packed <= pad

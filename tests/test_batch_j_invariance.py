@@ -59,6 +59,8 @@ BATCH_J = [
     "taint_closure_report",
     "source_centroid_distances",
     "novelty_scores",
+    "fold_auc_variance",
+    "packing_efficiency",
 ]
 
 
