@@ -1253,3 +1253,72 @@ def source_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.sum("dsq").alias("dist_sq_e12"))
     )
+
+
+def cluster_quality_index(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame:
+    """Cluster-quality (silhouette-lite) report per centroid cell:
+    mean distance of members to their OWN centroid (cohesion) vs to
+    the NEAREST OTHER centroid (separation), and their ratio — the
+    Davies-Bouldin-style health check run after any clustering /
+    IVF build to find cells that should be split or merged.
+
+    Assignment reuses the fixed-centroid broadcast + max_by shape; the
+    two distances come from ONE pass over members × centroids (same
+    broadcast relation — per member the own-cell distance and the min
+    other-cell distance fold in a single groupBy). Distances are exact
+    integer 1e-6-unit squares; means are floored integer division; the
+    ratio is cross-multiplied ppm — no float aggregation anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("nrm").alias("cent_nrm"),
+    )
+    cs = F.when(
+        (F.col("nrm") * F.col("cent_nrm")) > F.lit(0.0),
+        dot_product(F.col("embedding"), F.col("cent_emb"))
+        / (F.col("nrm") * F.col("cent_nrm")),
+    )
+    dsq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cent_emb"),
+            lambda x, y: F.round((x.cast("double") - y.cast("double")) * F.lit(1e6), 0).cast("long")
+            * F.round((x.cast("double") - y.cast("double")) * F.lit(1e6), 0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id", "cell_id", cs.alias("cs"), dsq.alias("dsq")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("cell_id", F.struct(F.col("cs"), -F.col("cell_id"))).alias("cell")
+    )
+    per_member = (
+        scored.join(assigned, "vec_id")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.max(F.when(F.col("cell_id") == F.col("cell"), F.col("dsq"))).alias(
+                "own_dsq"
+            ),
+            F.min(F.when(F.col("cell_id") != F.col("cell"), F.col("dsq"))).alias(
+                "other_dsq"
+            ),
+        )
+    )
+    return (
+        per_member.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("sum(own_dsq) div count(1)").alias("mean_own_dsq_e12"),
+            F.expr("sum(other_dsq) div count(1)").alias("mean_other_dsq_e12"),
+        )
+        .withColumn(
+            "separation_ppm",
+            F.expr("mean_own_dsq_e12 * 1000000 div mean_other_dsq_e12"),
+        )
+    )

@@ -1200,3 +1200,46 @@ def windowed_conversion_rate(
         F.sum("converted").alias("n_converted"),
         F.expr("sum(converted) * 1000000 div count(1)").alias("cvr_ppm"),
     )
+
+
+def transition_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time percentiles per event-type TRANSITION: for every
+    consecutive (prev → next) pair in a user's stream, the P50/P90 of
+    the gap — where users hesitate (long view→click) vs race (instant
+    click→purchase bots), at the transition grain the funnel summary
+    hides.
+
+    One lag window per user (the exchange the Markov/trigram ops
+    share), gaps as exact integer seconds, and the same TYPE-1
+    order-statistic selection as daily_value_bands — one window per
+    transition + a conditional aggregate, no interpolation internals.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_tus", F.lag("tus").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            F.expr("(tus - prev_tus) div 1000000").alias("gap_s"),
+        )
+    )
+    wr = Window.partitionBy("prev_type", "next_type").orderBy("gap_s")
+    wc = Window.partitionBy("prev_type", "next_type")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    def pick(p: str, alias: str):
+        idx = f"CAST(floor(CAST(n - 1 AS DOUBLE) * {p}) AS BIGINT) + 1"
+        return F.expr(f"max(CASE WHEN rn = {idx} THEN gap_s END)").alias(alias)
+    return ranked.groupBy("prev_type", "next_type").agg(
+        F.max("n").alias("n_transitions"),
+        pick("0.5", "p50_gap_s"),
+        pick("0.9", "p90_gap_s"),
+    )

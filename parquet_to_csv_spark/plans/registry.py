@@ -5115,3 +5115,68 @@ SELECT 512, n_docs, total_tokens, pad512,
          // (((total_tokens + 511) // 512) * 512)
 FROM wide
 """
+
+# --------------------------------------------------------------------------
+# EXT E183-E184 — cluster-quality index, transition dwell percentiles
+# --------------------------------------------------------------------------
+
+_CQ_DSQ = (
+    "list_sum(list_transform(list_zip(e.embedding, c.cent_emb),"
+    " p -> CAST(round((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 1000000) AS BIGINT)"
+    " * CAST(round((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 1000000) AS BIGINT)))"
+)
+
+QUERIES["cluster_quality_index"] = _sim.cluster_quality_index
+ORACLES["cluster_quality_index"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, c.cell_id,
+         {_duck_cos('e.embedding', 'c.cent_emb')} AS cs,
+         {_CQ_DSQ} AS dsq
+  FROM embeddings e CROSS JOIN cents c
+), asg AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), per_member AS (
+  SELECT s.vec_id, a.cell,
+         max(CASE WHEN s.cell_id = a.cell THEN s.dsq END) AS own_dsq,
+         min(CASE WHEN s.cell_id <> a.cell THEN s.dsq END) AS other_dsq
+  FROM scored s JOIN asg a USING (vec_id)
+  GROUP BY 1, 2
+)
+SELECT cell, count(*) AS n_members,
+       sum(own_dsq) // count(*) AS mean_own_dsq_e12,
+       sum(other_dsq) // count(*) AS mean_other_dsq_e12,
+       (sum(own_dsq) // count(*)) * 1000000
+         // (sum(other_dsq) // count(*)) AS separation_ppm
+FROM per_member GROUP BY cell
+"""
+
+QUERIES["transition_dwell_percentiles"] = timeops.transition_dwell_percentiles
+ORACLES["transition_dwell_percentiles"] = """
+WITH gaps AS (
+  SELECT lag(event_type) OVER w AS prev_type, event_type AS next_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), f AS (
+  SELECT prev_type, next_type, gap_s FROM gaps WHERE prev_type IS NOT NULL
+), ranked AS (
+  SELECT prev_type, next_type, gap_s,
+         row_number() OVER (PARTITION BY prev_type, next_type
+                            ORDER BY gap_s) AS rn,
+         count(*) OVER (PARTITION BY prev_type, next_type) AS n
+  FROM f
+)
+SELECT prev_type, next_type, max(n) AS n_transitions,
+       max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+                THEN gap_s END) AS p50_gap_s,
+       max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1
+                THEN gap_s END) AS p90_gap_s
+FROM ranked GROUP BY prev_type, next_type
+"""

@@ -1069,3 +1069,49 @@ def test_packing_efficiency_replay(spark, sf_dir):
         assert r.packed_waste_ppm == (packed * c - total) * 1000000 // (packed * c)
         # packing never needs more sequences than padding
         assert packed <= pad
+
+
+def test_cluster_quality_cohesion_bound(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    rows = similarity.cluster_quality_index(spark, sf_dir).collect()
+    assert rows
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == emb_n
+    for r in rows:
+        # separation ratio is own/other; a usable clustering keeps it < 1
+        assert r.mean_own_dsq_e12 >= 0 and r.mean_other_dsq_e12 > 0
+        assert r.separation_ppm == r.mean_own_dsq_e12 * 1000000 // r.mean_other_dsq_e12
+
+
+def test_transition_dwell_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import timeops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts // 1000, r.event_id, r.event_type))
+    gaps: dict[tuple, list] = {}
+    for xs in by_user.values():
+        xs.sort()
+        for (t1, _, e1), (t2, _, e2) in zip(xs, xs[1:]):
+            gaps.setdefault((e1, e2), []).append((t2 - t1) // 1000000)
+    expect = {}
+    for k, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        expect[k] = (
+            n,
+            gs[int(_math.floor(float(n - 1) * 0.5))],
+            gs[int(_math.floor(float(n - 1) * 0.9))],
+        )
+    rows = timeops.transition_dwell_percentiles(spark, sf_dir).collect()
+    got = {
+        (r.prev_type, r.next_type): (r.n_transitions, r.p50_gap_s, r.p90_gap_s)
+        for r in rows
+    }
+    assert got == expect

@@ -61,6 +61,8 @@ BATCH_J = [
     "novelty_scores",
     "fold_auc_variance",
     "packing_efficiency",
+    "cluster_quality_index",
+    "transition_dwell_percentiles",
 ]
 
 
