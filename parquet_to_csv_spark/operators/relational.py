@@ -1585,3 +1585,58 @@ def duplicate_payment_pairs(
             F.abs(F.col("a.day") - F.col("b.day")).alias("day_gap"),
         )
     )
+
+
+def region_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total BI report: each region's share of every
+    month's revenue plus its cumulative (running) share of all revenue
+    to date — the two normalizations every exec dashboard shows next
+    to the raw trend.
+
+    One fact pass (orders ⋈ broadcast customer→nation→region dims) to
+    (month, region) cents; month totals re-aggregate that tiny
+    relation; cumulative sums are calendar-bounded windows per region.
+    Shares are exact floored ppm — cross-multiplied longs, no float
+    division.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    ts = F.expr("cast(o_orderdate as timestamp)")
+    per = (
+        orders.select(
+            "o_custkey",
+            (F.year(ts) * 100 + F.month(ts)).alias("ym"),
+            exact_units(F.col("o_totalprice"), 2).alias("cents"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("ym", "r_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    month_tot = per.groupBy("ym").agg(F.sum("cents").alias("m_total"))
+    w_cum = (
+        W.partitionBy("r_name")
+        .orderBy("ym")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_cum_all = W.orderBy("ym").rangeBetween(W.unboundedPreceding, 0)
+    cum = per.withColumn("cum_cents", F.sum("cents").over(w_cum))
+    grand = (
+        month_tot.withColumn("cum_total", F.sum("m_total").over(w_cum_all))
+        .select("ym", "m_total", "cum_total")
+    )
+    return (
+        cum.join(grand, "ym")
+        .select(
+            "ym",
+            "r_name",
+            "cents",
+            F.expr("cents * 1000000 div m_total").alias("month_share_ppm"),
+            F.expr("cum_cents * 1000000 div cum_total").alias("ytd_share_ppm"),
+        )
+    )

@@ -925,3 +925,58 @@ def chi2_distinctive_tokens(
         .filter(F.col("rnk") <= k)
         .select("lang", "token", F.col("a").alias("n_docs_in"), "chi2_milli", "rnk")
     )
+
+
+def token_rank_movers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Token rank movers: the tokens whose FREQUENCY RANK shifted most
+    between the corpus's earlier and later halves (doc_id order) —
+    rank deltas are the scale-free way to spot vocabulary trends
+    (raw-count deltas just mirror volume growth).
+
+    One explode → (half, token) counts; per-half dense ranks from one
+    window each (count desc, token asc tiebreak ⇒ unique total order);
+    an inner join on token (tokens present in both halves — absences
+    are the vocab_drift op's job) and a global top-k by |Δrank| with
+    deterministic tie-breaks. All integer arithmetic.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = F.broadcast(
+        docs.agg(F.expr("(min(doc_id) + max(doc_id) + 1) div 2").alias("mid"))
+    )
+    toks = (
+        docs.join(half)
+        .select(
+            (F.col("doc_id") >= F.col("mid")).cast("int").alias("late"),
+            F.explode(tokens_col("text")).alias("token"),
+        )
+        .groupBy("late", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("late").orderBy(F.desc("freq"), F.asc("token"))
+    ranked = toks.withColumn("rnk", F.row_number().over(w))
+    a = ranked.filter(F.col("late") == 0).select(
+        "token", F.col("rnk").alias("rank_early"), F.col("freq").alias("freq_early")
+    )
+    b = ranked.filter(F.col("late") == 1).select(
+        "token", F.col("rnk").alias("rank_late"), F.col("freq").alias("freq_late")
+    )
+    wr = Window.orderBy(
+        F.desc(F.abs(F.col("rank_early") - F.col("rank_late"))),
+        F.asc("token"),
+    )
+    return (
+        a.join(b, "token")
+        .withColumn("mover_rnk", F.row_number().over(wr))
+        .filter(F.col("mover_rnk") <= k)
+        .select(
+            "token",
+            "rank_early",
+            "rank_late",
+            (F.col("rank_late") - F.col("rank_early")).alias("rank_delta"),
+            "freq_early",
+            "freq_late",
+            "mover_rnk",
+        )
+    )

@@ -5180,3 +5180,68 @@ SELECT prev_type, next_type, max(n) AS n_transitions,
                 THEN gap_s END) AS p90_gap_s
 FROM ranked GROUP BY prev_type, next_type
 """
+
+# --------------------------------------------------------------------------
+# EXT E185-E186 — region share-of-total, token rank movers
+# --------------------------------------------------------------------------
+
+QUERIES["region_share_report"] = relational.region_share_report
+ORACLES["region_share_report"] = f"""
+WITH per AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym, r.r_name,
+         sum({duck_units("o_totalprice", 2)}) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+), month_tot AS (
+  SELECT ym, sum(cents) AS m_total FROM per GROUP BY ym
+), cum AS (
+  SELECT ym, r_name, cents,
+         sum(cents) OVER (PARTITION BY r_name ORDER BY ym
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM per
+), grand AS (
+  SELECT ym, m_total,
+         sum(m_total) OVER (ORDER BY ym
+                            RANGE UNBOUNDED PRECEDING) AS cum_total
+  FROM month_tot
+)
+SELECT cum.ym, r_name, cents,
+       cents * 1000000 // m_total AS month_share_ppm,
+       cum_cents * 1000000 // cum_total AS ytd_share_ppm
+FROM cum JOIN grand ON cum.ym = grand.ym
+"""
+
+QUERIES["token_rank_movers"] = _text.token_rank_movers
+ORACLES["token_rank_movers"] = f"""
+WITH mid AS (
+  SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS mid FROM documents
+), toks AS (
+  SELECT CASE WHEN doc_id >= mid THEN 1 ELSE 0 END AS late,
+         unnest({_TOKS}) AS token
+  FROM documents, mid
+), counts AS (
+  SELECT late, token, count(*) AS freq FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT late, token, freq,
+         row_number() OVER (PARTITION BY late
+                            ORDER BY freq DESC, token ASC) AS rnk
+  FROM counts
+), joined AS (
+  SELECT a.token, a.rnk AS rank_early, b.rnk AS rank_late,
+         a.freq AS freq_early, b.freq AS freq_late
+  FROM ranked a JOIN ranked b ON a.token = b.token
+  WHERE a.late = 0 AND b.late = 1
+), movers AS (
+  SELECT token, rank_early, rank_late, rank_late - rank_early AS rank_delta,
+         freq_early, freq_late,
+         row_number() OVER (ORDER BY abs(rank_early - rank_late) DESC,
+                            token ASC) AS mover_rnk
+  FROM joined
+)
+SELECT token, rank_early, rank_late, rank_delta, freq_early, freq_late,
+       mover_rnk
+FROM movers WHERE mover_rnk <= 20
+"""

@@ -1115,3 +1115,48 @@ def test_transition_dwell_replay(spark, sf_dir):
         for r in rows
     }
     assert got == expect
+
+
+def test_region_share_sums_to_unity(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    rows = relational.region_share_report(spark, sf_dir).collect()
+    assert rows
+    by_month: dict[int, int] = {}
+    for r in rows:
+        by_month[r.ym] = by_month.get(r.ym, 0) + r.month_share_ppm
+    # floored shares sum to 1e6 within |regions| ppm slack
+    for ym, s in by_month.items():
+        assert 1_000_000 - 5 <= s <= 1_000_000
+    for r in rows:
+        assert 0 <= r.ytd_share_ppm <= 1_000_000
+
+
+def test_token_rank_movers_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    mid = (min(r.doc_id for r in docs) + max(r.doc_id for r in docs) + 1) // 2
+    counts = {0: Counter(), 1: Counter()}
+    for r in docs:
+        counts[1 if r.doc_id >= mid else 0].update(_toks(r.text))
+    ranks = {}
+    for h, c in counts.items():
+        order = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranks[h] = {t: (i + 1, f) for i, (t, f) in enumerate(order)}
+    joined = [
+        (t, ranks[0][t][0], ranks[1][t][0], ranks[0][t][1], ranks[1][t][1])
+        for t in set(ranks[0]) & set(ranks[1])
+    ]
+    joined.sort(key=lambda x: (-abs(x[1] - x[2]), x[0]))
+    expect = {
+        t: (re, rl, rl - re, fe, fl, i + 1)
+        for i, (t, re, rl, fe, fl) in enumerate(joined[:20])
+    }
+    rows = text_ops.token_rank_movers(spark, sf_dir).collect()
+    got = {
+        r.token: (r.rank_early, r.rank_late, r.rank_delta, r.freq_early,
+                  r.freq_late, r.mover_rnk)
+        for r in rows
+    }
+    assert got == expect

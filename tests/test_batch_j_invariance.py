@@ -63,6 +63,8 @@ BATCH_J = [
     "packing_efficiency",
     "cluster_quality_index",
     "transition_dwell_percentiles",
+    "region_share_report",
+    "token_rank_movers",
 ]
 
 
