@@ -1089,3 +1089,38 @@ def novelty_scores(
             (F.lit(1000) - F.col("max_j_milli")).alias("novelty_milli"),
         )
     )
+
+
+def annotation_batch(
+    spark: SparkSession, sf_dir: str, per_band: int = 3
+) -> DataFrame:
+    """Threshold-calibration annotation sampler: a deterministic,
+    band-stratified draw of candidate pairs across the similarity
+    spectrum (0.5–0.6, 0.6–0.7, …) — the batch a human labels before
+    anyone picks "0.8" as the dedup threshold. Stratifying by band is
+    what makes the labels informative: uniform sampling drowns the
+    decision boundary in easy extremes.
+
+    Pairs come from the verified exact-Jaccard relation at 0.5; bands
+    are integer milli-division; the within-band draw orders by md5 of
+    the pair key — uniform-random-like but reproducible across
+    engines/runs, and extending ``per_band`` EXTENDS the sample
+    (nested, same property as the bucket samplers).
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.5)
+    from pyspark.sql import Window
+
+    banded = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard") * 1000, 0).cast("long").alias("j_milli"),
+    ).withColumn("band", F.expr("j_milli div 100"))
+    key = F.md5(
+        F.concat_ws(":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))
+    )
+    w = Window.partitionBy("band").orderBy(key, "doc_a", "doc_b")
+    return (
+        banded.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= per_band)
+        .select("band", "doc_a", "doc_b", "j_milli", "sample_rank")
+    )

@@ -312,3 +312,38 @@ def phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_payloads") >= 2)
     )
+
+
+def shared_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level payload near-dup: payload pairs sharing at least
+    one sampled FRAME digest — the video-dedup shape (two videos
+    sharing scenes) applied through the real frame-sampling plumbing
+    (:func:`frame_sample`, 64-byte frames, every 2nd kept).
+
+    The join keys on the frame md5 (high cardinality, parallel); pair
+    aggregation counts shared frames. Because the stand-in framing is
+    byte-window slicing of the payload, the DuckDB oracle replays the
+    EXACT per-frame digests from text substrings (ASCII fixture ⇒
+    chars ≡ bytes) — upgrading frame-level multimodal coverage from
+    pytest-only to gate-checked.
+    """
+    payloads = attach_payloads(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(payloads, frame_bytes=64, stride=2).select(
+        "doc_id", "frame_idx", "frame_md5"
+    )
+    a = frames.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("frame_idx").alias("idx_a"),
+        "frame_md5",
+    )
+    b = frames.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("frame_idx").alias("idx_b"),
+        "frame_md5",
+    )
+    return (
+        a.join(b, "frame_md5")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+    )

@@ -5245,3 +5245,54 @@ SELECT token, rank_early, rank_late, rank_delta, freq_early, freq_late,
        mover_rnk
 FROM movers WHERE mover_rnk <= 20
 """
+
+# --------------------------------------------------------------------------
+# EXT E187-E188 — annotation-batch sampler, shared-frame payload pairs
+# --------------------------------------------------------------------------
+
+QUERIES["annotation_batch"] = dedup.annotation_batch
+ORACLES["annotation_batch"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+           AS jaccard
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5
+), banded AS (
+  SELECT doc_a, doc_b,
+         CAST(round(jaccard * 1000) AS BIGINT) AS j_milli,
+         CAST(round(jaccard * 1000) AS BIGINT) // 100 AS band
+  FROM pairs
+), ranked AS (
+  SELECT band, doc_a, doc_b, j_milli,
+         row_number() OVER (
+           PARTITION BY band
+           ORDER BY md5(CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR)),
+                    doc_a, doc_b
+         ) AS sample_rank
+  FROM banded
+)
+SELECT band, doc_a, doc_b, j_milli, sample_rank
+FROM ranked WHERE sample_rank <= 3
+"""
+
+QUERIES["shared_frame_pairs"] = multimodal.shared_frame_pairs
+ORACLES["shared_frame_pairs"] = """
+WITH frames AS (
+  SELECT doc_id, u.i AS frame_idx,
+         md5(substring(text, u.i * 64 + 1, 64)) AS frame_md5
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST((strlen(text) + 63) // 64 AS INTEGER) - 1, 2)) AS i) u
+  WHERE strlen(text) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_frames
+FROM frames a JOIN frames b
+  ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""

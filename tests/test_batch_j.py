@@ -1160,3 +1160,46 @@ def test_token_rank_movers_replay(spark, sf_dir):
         for r in rows
     }
     assert got == expect
+
+
+def test_annotation_batch_stratification(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    rows = dedup.annotation_batch(spark, sf_dir).collect()
+    assert rows
+    by_band: dict[int, list] = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r)
+        assert r.band == r.j_milli // 100
+        assert 500 <= r.j_milli <= 1000
+    for band, xs in by_band.items():
+        assert len(xs) <= 3
+        assert sorted(r.sample_rank for r in xs) == list(range(1, len(xs) + 1))
+    # the sample spans more than one similarity band
+    assert len(by_band) >= 2
+
+
+def test_shared_frame_pairs_replay(spark, sf_dir):
+    import hashlib as _hl
+
+    from parquet_to_csv_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    frames: dict[str, list] = {}
+    for r in docs:
+        b = (r.text or "").encode()
+        n_frames = (len(b) + 63) // 64
+        for i in range(0, n_frames, 2):
+            h = _hl.md5(b[i * 64 : (i + 1) * 64]).hexdigest()
+            frames.setdefault(h, []).append(r.doc_id)
+    expect: Counter = Counter()
+    for ds in frames.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b2 in ds[i + 1:]:
+                if a != b2:
+                    expect[(a, b2)] += 1
+    rows = multimodal.shared_frame_pairs(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.n_shared_frames for r in rows}
+    assert got == dict(expect)
+    assert got, "fixture must contain at least one shared frame"

@@ -65,6 +65,8 @@ BATCH_J = [
     "transition_dwell_percentiles",
     "region_share_report",
     "token_rank_movers",
+    "annotation_batch",
+    "shared_frame_pairs",
 ]
 
 
