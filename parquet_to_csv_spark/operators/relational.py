@@ -1640,3 +1640,33 @@ def region_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_cents * 1000000 div cum_total").alias("ytd_share_ppm"),
         )
     )
+
+
+def join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join fan-out check: the EXACT output cardinality of
+    orders ⋈ lineitem on orderkey computed WITHOUT running the join —
+    Σ_k cnt_A(k)·cnt_B(k) over the two key-count relations — plus the
+    max single-key fan-out. The guard run before any unfamiliar join
+    at 100 TB: a blown-up estimate (or one hot key) means rethink the
+    join, for the cost of two count aggregations instead of the join
+    itself.
+
+    The key-count relations are map-side-combined groupBys; their join
+    carries one row per DISTINCT key; everything downstream is exact
+    long sums. Avg fan-out is floored milli.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ca = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    joined = ca.join(cb, "k")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.sum(F.col("ca") * F.col("cb")).alias("est_join_rows"),
+        F.max(F.col("ca") * F.col("cb")).alias("max_key_fanout"),
+        F.expr("sum(ca * cb) * 1000 div count(1)").alias("avg_fanout_milli"),
+    )

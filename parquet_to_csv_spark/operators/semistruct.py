@@ -31,3 +31,38 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def props_typed_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON promotion: parse the props bag ONCE into a typed
+    struct with an EXPLICIT schema (``from_json`` — never schema
+    inference, which is a full extra pass at 100 TB) and land it as
+    first-class columns — the semi-structured → structured promotion
+    every ingest pipeline performs before analytics touch the data.
+
+    Vs ``get_json_object`` (per-path string extraction, one parse per
+    path), ``from_json`` parses once for all fields and yields NULL on
+    malformed rows, which the report surfaces as a parse-health count.
+    Output: per (event_type, k-decile band) counts — the profile of
+    the promoted column, plus the corpus parse-failure count on every
+    row (broadcast join of a 1-row aggregate).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    health = F.broadcast(
+        parsed.agg(
+            F.sum(F.when(F.col("p").isNull() | F.col("p.k").isNull(), 1).otherwise(0)).alias(
+                "n_unparsed"
+            )
+        )
+    )
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .select("event_type", F.expr("p.k div 10").alias("k_band"))
+        .groupBy("event_type", "k_band")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(health)
+    )

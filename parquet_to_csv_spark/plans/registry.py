@@ -5296,3 +5296,38 @@ FROM frames a JOIN frames b
   ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+# --------------------------------------------------------------------------
+# EXT E189-E190 — typed JSON promotion, join fan-out estimator
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators import semistruct as _semistruct  # noqa: E402
+
+QUERIES["props_typed_promotion"] = _semistruct.props_typed_promotion
+ORACLES["props_typed_promotion"] = """
+WITH parsed AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+), health AS (
+  SELECT sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_unparsed FROM parsed
+)
+SELECT event_type, k // 10 AS k_band, count(*) AS n_events, n_unparsed
+FROM parsed, health
+WHERE k IS NOT NULL
+GROUP BY 1, 2, 4
+"""
+
+QUERIES["join_fanout_estimate"] = relational.join_fanout_estimate
+ORACLES["join_fanout_estimate"] = """
+WITH ca AS (
+  SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1
+), cb AS (
+  SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1
+)
+SELECT count(*) AS n_matching_keys,
+       sum(ca * cb) AS est_join_rows,
+       max(ca * cb) AS max_key_fanout,
+       sum(ca * cb) * 1000 // count(*) AS avg_fanout_milli
+FROM ca JOIN cb USING (k)
+"""

@@ -1203,3 +1203,37 @@ def test_shared_frame_pairs_replay(spark, sf_dir):
     got = {(r.doc_a, r.doc_b): r.n_shared_frames for r in rows}
     assert got == dict(expect)
     assert got, "fixture must contain at least one shared frame"
+
+
+def test_props_typed_promotion_replay(spark, sf_dir):
+    import json as _json
+
+    from parquet_to_csv_spark.operators import semistruct
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props").collect()
+    counts: Counter = Counter()
+    unparsed = 0
+    for r in ev:
+        try:
+            k = _json.loads(r.props).get("k")
+        except (TypeError, ValueError):
+            k = None
+        if k is None:
+            unparsed += 1
+        else:
+            counts[(r.event_type, k // 10)] += 1
+    rows = semistruct.props_typed_promotion(spark, sf_dir).collect()
+    got = {(r.event_type, r.k_band): r.n_events for r in rows}
+    assert got == dict(counts)
+    assert all(r.n_unparsed == unparsed for r in rows)
+
+
+def test_join_fanout_matches_actual_join(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    r = relational.join_fanout_estimate(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    actual = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert r.est_join_rows == actual
+    assert r.max_key_fanout >= r.est_join_rows // max(r.n_matching_keys, 1)

@@ -67,6 +67,8 @@ BATCH_J = [
     "token_rank_movers",
     "annotation_batch",
     "shared_frame_pairs",
+    "props_typed_promotion",
+    "join_fanout_estimate",
 ]
 
 
