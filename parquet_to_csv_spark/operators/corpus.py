@@ -1033,3 +1033,115 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# Fixture blocklist for the keyword-firewall shape: a real deployment
+# swaps in its policy list (broadcast or join for large lists); these
+# tokens exist in the synthetic vocabulary so the gate is non-vacuous.
+BLOCKLIST = ("spam", "dup", "slow")
+
+
+def blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-firewall screening: per source, how many documents hit
+    the blocklist, total hits, and the hit rate — the first-line
+    policy filter every corpus ingest runs (profanity/PII-keyword/
+    brand-safety lists all share this shape).
+
+    Token-exact matching (array_intersect on the tokenized text — no
+    substring false positives: "duplicate" does not hit "dup"); the
+    blocklist is a literal array (broadcast-equivalent; a million-term
+    list becomes a join on the token relation, same plan family as
+    idf). One scan, one groupBy; rates in exact ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    bl = F.array(*[F.lit(t) for t in BLOCKLIST])
+    hits = F.size(F.array_intersect(toks, bl))
+    hit_tokens = F.size(
+        F.filter(toks, lambda t: F.array_contains(bl, t))
+    )
+    return (
+        docs.select(
+            "source",
+            hits.alias("n_distinct_hits"),
+            hit_tokens.alias("n_hit_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_distinct_hits") > 0, 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+            F.sum("n_hit_tokens").alias("total_hits"),
+        )
+        .withColumn(
+            "flagged_ppm", F.expr("n_flagged * 1000000 div n_docs")
+        )
+    )
+
+
+def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data RELEASE MANIFEST — the one-row datasheet stapled
+    to a corpus release, composing the verified governance metrics:
+    volume (docs/tokens), exact-dup rate, PII incidence, quality pass
+    rate, blocklist incidence, and k<5 re-identification risk — each
+    the same expression its dedicated operator uses, so the gate
+    checks the COMPOSITION (one number disagreeing with its
+    standalone twin fails the hash).
+
+    Three scans total (text metrics fuse into one, PII augmentation
+    one, quasi-ID grouping one) joined as 1-row broadcasts — the
+    manifest costs less than any single dedup pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    )
+    alpha_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+        / F.length("text").cast("double"),
+    )
+    quality_ok = (
+        (n_tokens >= 5) & (uniq_ratio >= 0.3) & (alpha_ratio >= 0.5)
+    ).cast("long")
+    bl = F.array(*[F.lit(t) for t in BLOCKLIST])
+    flagged = (F.size(F.array_intersect(toks, bl)) > 0).cast("long")
+    text_stats = docs.select(
+        F.sha2(F.col("text"), 256).alias("h"),
+        n_tokens.cast("long").alias("nt"),
+        quality_ok.alias("ok"),
+        flagged.alias("fl"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.countDistinct("h").alias("n_unique"),
+        F.sum("ok").alias("n_quality_ok"),
+        F.sum("fl").alias("n_blocklisted"),
+    )
+    pii = pii_scan(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_pii_docs"))
+    k_risk = (
+        docs.select("lang", "source", F.expr("n_chars div 100").alias("lb"))
+        .groupBy("lang", "source", "lb")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)).alias(
+                "n_k5_risk_docs"
+            )
+        )
+    )
+    return (
+        text_stats.join(F.broadcast(pii))
+        .join(F.broadcast(k_risk))
+        .select(
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_docs - n_unique) * 1000000 div n_docs").alias("dup_ppm"),
+            F.expr("n_quality_ok * 1000000 div n_docs").alias("quality_ok_ppm"),
+            F.expr("n_pii_docs * 1000000 div n_docs").alias("pii_ppm"),
+            F.expr("n_blocklisted * 1000000 div n_docs").alias("blocklist_ppm"),
+            F.expr("n_k5_risk_docs * 1000000 div n_docs").alias("k5_risk_ppm"),
+        )
+    )

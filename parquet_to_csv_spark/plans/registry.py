@@ -5331,3 +5331,64 @@ SELECT count(*) AS n_matching_keys,
        sum(ca * cb) * 1000 // count(*) AS avg_fanout_milli
 FROM ca JOIN cb USING (k)
 """
+
+# --------------------------------------------------------------------------
+# EXT E191-E192 — blocklist screening, release manifest capstone
+# --------------------------------------------------------------------------
+
+_DUCK_BL = "['spam', 'dup', 'slow']"
+
+QUERIES["blocklist_screen"] = corpus.blocklist_screen
+ORACLES["blocklist_screen"] = f"""
+WITH base AS (
+  SELECT source,
+         len(list_intersect({_TOKS}, {_DUCK_BL})) AS n_distinct_hits,
+         len(list_filter({_TOKS}, t -> list_contains({_DUCK_BL}, t)))
+           AS n_hit_tokens
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN n_distinct_hits > 0 THEN 1 ELSE 0 END) AS n_flagged,
+       sum(n_hit_tokens) AS total_hits,
+       sum(CASE WHEN n_distinct_hits > 0 THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS flagged_ppm
+FROM base GROUP BY source
+"""
+
+QUERIES["release_manifest"] = corpus.release_manifest
+ORACLES["release_manifest"] = f"""
+WITH text_stats AS (
+  SELECT count(*) AS n_docs,
+         sum(len({_TOKS})) AS n_tokens,
+         count(DISTINCT sha256(text)) AS n_unique,
+         sum(CASE WHEN len({_TOKS}) >= 5
+                   AND len(list_distinct({_TOKS}))
+                       / CAST(len({_TOKS}) AS DOUBLE) >= 0.3
+                   AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE) >= 0.5
+                  THEN 1 ELSE 0 END) AS n_quality_ok,
+         sum(CASE WHEN len(list_intersect({_TOKS}, {_DUCK_BL})) > 0
+                  THEN 1 ELSE 0 END) AS n_blocklisted
+  FROM documents
+), pii AS (
+  SELECT count(*) AS n_pii_docs FROM (
+    SELECT doc_id FROM (SELECT doc_id, {_D_PII_AUG} AS aug FROM documents)
+    WHERE len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+        + len(regexp_extract_all(aug, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))
+        + len(regexp_extract_all(aug, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b'))
+        + len(regexp_extract_all(aug, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) > 0
+  )
+), k_risk AS (
+  SELECT sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS n_k5_risk_docs FROM (
+    SELECT count(*) AS sz FROM documents
+    GROUP BY lang, source, n_chars // 100
+  )
+)
+SELECT n_docs, n_tokens,
+       (n_docs - n_unique) * 1000000 // n_docs AS dup_ppm,
+       n_quality_ok * 1000000 // n_docs AS quality_ok_ppm,
+       n_pii_docs * 1000000 // n_docs AS pii_ppm,
+       n_blocklisted * 1000000 // n_docs AS blocklist_ppm,
+       n_k5_risk_docs * 1000000 // n_docs AS k5_risk_ppm
+FROM text_stats, pii, k_risk
+"""

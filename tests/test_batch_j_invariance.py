@@ -69,6 +69,8 @@ BATCH_J = [
     "shared_frame_pairs",
     "props_typed_promotion",
     "join_fanout_estimate",
+    "blocklist_screen",
+    "release_manifest",
 ]
 
 
