@@ -1670,3 +1670,80 @@ def join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("ca") * F.col("cb")).alias("max_key_fanout"),
         F.expr("sum(ca * cb) * 1000 div count(1)").alias("avg_fanout_milli"),
     )
+
+
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band elasticity table: average order quantity per
+    discount band and its lift over the zero-discount baseline — the
+    pricing team's first-order read on whether discounts move volume.
+
+    One scan to (band, sums); the baseline band joins back as a one-row
+    broadcast. Quantities are exact 2dp units; averages are floored
+    milli-units and the lift is cross-multiplied exact ppm, so no
+    float division anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    per = (
+        li.select(band.alias("disc_pct"), exact_units(F.col("l_quantity"), 2).alias("q"))
+        .groupBy("disc_pct")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("q").alias("qsum"))
+    )
+    base = F.broadcast(
+        per.filter(F.col("disc_pct") == 0).select(
+            F.col("n_lines").alias("b_n"), F.col("qsum").alias("b_q")
+        )
+    )
+    return (
+        per.join(base)
+        .select(
+            "disc_pct",
+            "n_lines",
+            F.expr("qsum * 10 div n_lines").alias("avg_qty_milli"),
+            F.expr("(qsum * b_n) * 1000000 div (b_q * n_lines)").alias(
+                "lift_vs_base_ppm"
+            ),
+        )
+    )
+
+
+def supplier_leadtime_variability(
+    spark: SparkSession, sf_dir: str, k: int = 15
+) -> DataFrame:
+    """Supplier lead-time variability ranking: which suppliers deliver
+    LEAST predictably — ranked by the variance of their order→ship
+    lag, the procurement metric that matters more than the mean (a
+    slow-but-consistent supplier is plannable; an erratic one is not).
+
+    Lag is an exact integer day count; variance comes from exact long
+    sums (n·Σx² − (Σx)², cross-multiplied — no mean subtraction
+    rounding), reported in milli-day² via floored division. One join
+    orders⋈lineitem (the natural orderkey key), one supplier groupBy,
+    global top-k as TakeOrderedAndProject.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000").alias("sd"),
+    )
+    lag = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_suppkey", (F.col("sd") - F.col("od")).alias("lag")
+    )
+    s = lag.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lag").alias("sx"),
+        F.sum(F.col("lag") * F.col("lag")).alias("sxx"),
+    )
+    return (
+        s.filter(F.col("n") >= 2)
+        .select(
+            "l_suppkey",
+            "n",
+            F.expr("sx * 1000 div n").alias("mean_lag_milli"),
+            F.expr("(n * sxx - sx * sx) * 1000 div (n * n)").alias("var_milli"),
+        )
+        .orderBy(F.desc("var_milli"), F.asc("l_suppkey"))
+        .limit(k)
+    )

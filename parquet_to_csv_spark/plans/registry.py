@@ -5392,3 +5392,42 @@ SELECT n_docs, n_tokens,
        n_k5_risk_docs * 1000000 // n_docs AS k5_risk_ppm
 FROM text_stats, pii, k_risk
 """
+
+# --------------------------------------------------------------------------
+# EXT E193-E194 — discount elasticity, supplier lead-time variability
+# --------------------------------------------------------------------------
+
+QUERIES["discount_elasticity"] = relational.discount_elasticity
+ORACLES["discount_elasticity"] = f"""
+WITH per AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         count(*) AS n_lines,
+         sum({duck_units("l_quantity", 2)}) AS qsum
+  FROM lineitem GROUP BY 1
+), base AS (
+  SELECT n_lines AS b_n, qsum AS b_q FROM per WHERE disc_pct = 0
+)
+SELECT disc_pct, n_lines,
+       qsum * 10 // n_lines AS avg_qty_milli,
+       (qsum * b_n) * 1000000 // (b_q * n_lines) AS lift_vs_base_ppm
+FROM per, base
+"""
+
+QUERIES["supplier_leadtime_variability"] = relational.supplier_leadtime_variability
+ORACLES["supplier_leadtime_variability"] = """
+WITH lag AS (
+  SELECT l_suppkey,
+         epoch_ms(l_shipdate) // 86400000 - epoch_ms(o_orderdate) // 86400000
+           AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), s AS (
+  SELECT l_suppkey, count(*) AS n, sum(lag) AS sx, sum(lag * lag) AS sxx
+  FROM lag GROUP BY l_suppkey
+)
+SELECT l_suppkey, n,
+       sx * 1000 // n AS mean_lag_milli,
+       (n * sxx - sx * sx) * 1000 // (n * n) AS var_milli
+FROM s WHERE n >= 2
+ORDER BY var_milli DESC, l_suppkey ASC
+LIMIT 15
+"""

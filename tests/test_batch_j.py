@@ -1281,3 +1281,50 @@ def test_release_manifest_agrees_with_components(spark, sf_dir):
     # k-risk agrees with the k-anonymity audit at k=5
     k5 = {r.k: r for r in corpus.k_anonymity_audit(spark, sf_dir).collect()}[5]
     assert m.k5_risk_ppm == k5.n_docs_at_risk * 1000000 // m.n_docs
+
+
+def test_discount_elasticity_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_discount", "l_quantity").collect()
+    agg: dict[int, list] = {}
+    for r in li:
+        b = int(round(r.l_discount * 100))
+        a = agg.setdefault(b, [0, 0])
+        a[0] += 1
+        a[1] += _cents(r.l_quantity)
+    b_n, b_q = agg[0]
+    expect = {
+        b: (n, q * 10 // n, (q * b_n) * 1000000 // (b_q * n))
+        for b, (n, q) in agg.items()
+    }
+    rows = relational.discount_elasticity(spark, sf_dir).collect()
+    got = {r.disc_pct: (r.n_lines, r.avg_qty_milli, r.lift_vs_base_ppm) for r in rows}
+    assert got == expect
+    assert got[0][2] == 1_000_000  # baseline lift is exactly 1
+
+
+def test_supplier_variability_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    orders = {r.o_orderkey: r.o_orderdate for r in load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    lags: dict[int, list] = {}
+    for r in li:
+        od = (orders[r.l_orderkey] - epoch).days
+        sd = (r.l_shipdate - epoch).days
+        lags.setdefault(r.l_suppkey, []).append(sd - od)
+    scored = []
+    for s, xs in lags.items():
+        if len(xs) < 2:
+            continue
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        scored.append((s, n, sx * 1000 // n, (n * sxx - sx * sx) * 1000 // (n * n)))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    expect = scored[:15]
+    rows = relational.supplier_leadtime_variability(spark, sf_dir).collect()
+    got = [(r.l_suppkey, r.n, r.mean_lag_milli, r.var_milli) for r in rows]
+    assert got == expect

@@ -71,6 +71,8 @@ BATCH_J = [
     "join_fanout_estimate",
     "blocklist_screen",
     "release_manifest",
+    "discount_elasticity",
+    "supplier_leadtime_variability",
 ]
 
 
