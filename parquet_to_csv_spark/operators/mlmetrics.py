@@ -888,3 +888,107 @@ def fold_auc_variance(
         "auc_ppm",
         (F.col("auc_ppm") - F.col("mean_auc_ppm")).alias("dev_ppm"),
     )
+
+
+def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov model as a next-event
+    PREDICTOR: for each transition, predict the most likely next type
+    given the previous one (corpus argmax) and score top-1 accuracy
+    per previous-type — the sanity number that says whether the
+    behavior model beats the trivial majority-class baseline.
+
+    The transition matrix and its per-row argmax come from the same
+    lag-window relation the sequence-LM op uses; the argmax is
+    ``max_by`` over (count, type) — deterministic (ties break to the
+    lexicographically greatest type, mirrored in the oracle).
+    Accuracy and the majority-baseline share are exact ppm from long
+    counts — the lift over baseline is the honest signal.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", F.col("event_type").alias("nxt"))
+    )
+    trans = pairs.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    pred = trans.groupBy("prev").agg(
+        F.max_by("nxt", F.struct(F.col("c"), F.col("nxt"))).alias("predicted"),
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n_transitions"),
+    )
+    # majority baseline: the globally most common next type
+    global_top = F.broadcast(
+        pairs.groupBy("nxt")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .agg(F.max_by("nxt", F.struct(F.col("gc"), F.col("nxt"))).alias("g_pred"))
+    )
+    base_hits = pairs.join(global_top).select(
+        "prev", (F.col("nxt") == F.col("g_pred")).cast("long").alias("base_hit")
+    ).groupBy("prev").agg(F.sum("base_hit").alias("n_base_hits"))
+    return (
+        pred.join(base_hits, "prev")
+        .select(
+            "prev",
+            "predicted",
+            "n_transitions",
+            F.expr("top_c * 1000000 div n_transitions").alias("accuracy_ppm"),
+            F.expr("n_base_hits * 1000000 div n_transitions").alias(
+                "baseline_ppm"
+            ),
+        )
+        .withColumn(
+            "lift_ppm", F.col("accuracy_ppm") - F.col("baseline_ppm")
+        )
+    )
+
+
+def value_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile–quantile mapping between two event types' value
+    distributions (view vs purchase): the decile-by-decile table
+    behind a QQ plot, and the lookup a quantile-harmonization
+    preprocessor applies to align heterogeneous feature scales.
+
+    Both sides use the repo's TYPE-1 order-statistic convention
+    (explicit floor((n−1)·q) index over exact cents) — one rank window
+    per side, one conditional aggregate, deciles joined on the
+    quantile index. The ratio is floored integer ppm.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", exact_units(F.col("value"), 2).alias("cents")
+    )
+    def side(t: str, alias: str) -> DataFrame:
+        w = Window.orderBy("cents")
+        base = ev.filter(F.col("event_type") == t)
+        ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        picks = [
+            F.expr(
+                f"max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * {q / 10}) AS BIGINT) + 1"
+                " THEN cents END)"
+            ).alias(f"q{q}")
+            for q in range(1, 10)
+        ]
+        wide = ranked.agg(*picks)
+        rows = [
+            wide.select(F.lit(q).alias("decile"), F.col(f"q{q}").alias(alias))
+            for q in range(1, 10)
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionAll(r)
+        return out
+
+    a = side("view", "view_cents")
+    b = side("purchase", "purchase_cents")
+    return (
+        a.join(b, "decile")
+        .withColumn(
+            "ratio_ppm", F.expr("purchase_cents * 1000000 div view_cents")
+        )
+    )

@@ -5431,3 +5431,64 @@ FROM s WHERE n >= 2
 ORDER BY var_milli DESC, l_suppkey ASC
 LIMIT 15
 """
+
+# --------------------------------------------------------------------------
+# EXT E195-E196 — Markov prediction backtest, QQ mapping table
+# --------------------------------------------------------------------------
+
+QUERIES["markov_prediction_accuracy"] = mlmetrics.markov_prediction_accuracy
+ORACLES["markov_prediction_accuracy"] = """
+WITH seq AS (
+  SELECT user_id, event_type AS nxt,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), pairs AS (
+  SELECT prev, nxt FROM seq WHERE prev IS NOT NULL
+), trans AS (
+  SELECT prev, nxt, count(*) AS c FROM pairs GROUP BY 1, 2
+), pred AS (
+  SELECT prev, nxt AS predicted, c AS top_c, n_transitions FROM (
+    SELECT prev, nxt, c, sum(c) OVER (PARTITION BY prev) AS n_transitions,
+           row_number() OVER (PARTITION BY prev
+                              ORDER BY c DESC, nxt DESC) AS rn
+    FROM trans
+  ) WHERE rn = 1
+), g AS (
+  SELECT nxt AS g_pred FROM (
+    SELECT nxt, count(*) AS gc,
+           row_number() OVER (ORDER BY count(*) DESC, nxt DESC) AS rn
+    FROM pairs GROUP BY nxt
+  ) WHERE rn = 1
+), base_hits AS (
+  SELECT prev, sum(CASE WHEN nxt = g_pred THEN 1 ELSE 0 END) AS n_base_hits
+  FROM pairs, g GROUP BY prev
+)
+SELECT pred.prev, predicted, n_transitions,
+       top_c * 1000000 // n_transitions AS accuracy_ppm,
+       n_base_hits * 1000000 // n_transitions AS baseline_ppm,
+       top_c * 1000000 // n_transitions
+         - n_base_hits * 1000000 // n_transitions AS lift_ppm
+FROM pred JOIN base_hits ON pred.prev = base_hits.prev
+"""
+
+QUERIES["value_qq_table"] = mlmetrics.value_qq_table
+ORACLES["value_qq_table"] = f"""
+WITH ranked AS (
+  SELECT event_type, {duck_units("value", 2)} AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {duck_units("value", 2)}) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE event_type IN ('view', 'purchase')
+), picks AS (
+  SELECT event_type, q.d AS decile,
+         max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * (q.d / 10.0))
+                                 AS BIGINT) + 1 THEN cents END) AS v
+  FROM ranked, LATERAL (SELECT unnest(generate_series(1, 9)) AS d) q
+  GROUP BY 1, 2
+)
+SELECT a.decile, a.v AS view_cents, b.v AS purchase_cents,
+       b.v * 1000000 // a.v AS ratio_ppm
+FROM picks a JOIN picks b ON a.decile = b.decile
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+"""

@@ -1328,3 +1328,53 @@ def test_supplier_variability_replay(spark, sf_dir):
     rows = relational.supplier_leadtime_variability(spark, sf_dir).collect()
     got = [(r.l_suppkey, r.n, r.mean_lag_milli, r.var_milli) for r in rows]
     assert got == expect
+
+
+def test_markov_accuracy_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    pairs = []
+    for xs in by_user.values():
+        xs.sort()
+        pairs.extend(zip((t for _, _, t in xs), (t for _, _, t in xs[1:])))
+    trans: Counter = Counter(pairs)
+    per_prev: dict[str, Counter] = {}
+    for (a, b), c in trans.items():
+        per_prev.setdefault(a, Counter())[b] = c
+    g_counts: Counter = Counter(b for _, b in pairs)
+    g_pred = max(g_counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    expect = {}
+    for a, cs in per_prev.items():
+        pred, top_c = max(cs.items(), key=lambda kv: (kv[1], kv[0]))
+        n = sum(cs.values())
+        acc = top_c * 1000000 // n
+        base = cs.get(g_pred, 0) * 1000000 // n
+        expect[a] = (pred, n, acc, base, acc - base)
+    rows = mlmetrics.markov_prediction_accuracy(spark, sf_dir).collect()
+    got = {
+        r.prev: (r.predicted, r.n_transitions, r.accuracy_ppm, r.baseline_ppm,
+                 r.lift_ppm)
+        for r in rows
+    }
+    assert got == expect
+    # the conditional model can never lose to its own baseline
+    assert all(v[4] >= 0 for v in got.values())
+
+
+def test_value_qq_table_monotone(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    rows = sorted(mlmetrics.value_qq_table(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 10))
+    views = [r.view_cents for r in rows]
+    buys = [r.purchase_cents for r in rows]
+    assert views == sorted(views) and buys == sorted(buys)
+    for r in rows:
+        assert r.ratio_ppm == r.purchase_cents * 1000000 // r.view_cents

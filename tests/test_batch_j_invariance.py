@@ -73,6 +73,8 @@ BATCH_J = [
     "release_manifest",
     "discount_elasticity",
     "supplier_leadtime_variability",
+    "markov_prediction_accuracy",
+    "value_qq_table",
 ]
 
 
