@@ -1145,3 +1145,124 @@ def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_k5_risk_docs * 1000000 div n_docs").alias("k5_risk_ppm"),
         )
     )
+
+
+def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline row ledger: document counts after every curation stage
+    (raw → quality filter → exact dedup → 50% sample) with retention
+    vs the PREVIOUS stage in exact ppm — the reconciliation table that
+    catches silent row loss between stages (the #1 silent corruption
+    in multi-stage corpus builds).
+
+    Stage predicates are the SAME expressions corpus_curation_pipeline
+    composes, evaluated as nested conditional aggregates over ONE scan
+    — each doc contributes a flag per stage, so the whole ledger costs
+    one pass regardless of stage count. Note dedup survivorship needs
+    the hash relation: stage 3 joins the min-doc_id-per-hash keep set
+    (one extra aggregation, not a rescan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    )
+    quality = (n_tokens >= 5) & (uniq_ratio >= 0.3)
+    base = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("h"),
+        quality.cast("int").alias("q"),
+        (md5_bucket(F.col("doc_id"), 100) < 50).cast("int").alias("samp"),
+    )
+    keeps = (
+        base.filter(F.col("q") == 1)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("h").alias("kh"), "keep_id")
+    )
+    flagged = base.join(
+        keeps,
+        (F.col("h") == F.col("kh")) & (F.col("doc_id") == F.col("keep_id")),
+        "left",
+    ).select(
+        "q",
+        "samp",
+        F.col("keep_id").isNotNull().cast("int").alias("survivor"),
+    )
+    wide = flagged.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("q").alias("n_quality"),
+        F.sum("survivor").alias("n_deduped"),
+        F.sum(F.col("survivor") * F.col("samp")).alias("n_sampled"),
+    )
+    rows = [
+        wide.select(F.lit(1).alias("stage"), F.lit("raw").alias("stage_name"),
+                    F.col("n_raw").alias("n_docs"),
+                    F.lit(1000000).alias("retained_ppm")),
+        wide.select(F.lit(2), F.lit("quality"), F.col("n_quality"),
+                    F.expr("n_quality * 1000000 div n_raw")),
+        wide.select(F.lit(3), F.lit("deduped"), F.col("n_deduped"),
+                    F.expr("n_deduped * 1000000 div n_quality")),
+        wide.select(F.lit(4), F.lit("sampled"), F.col("n_sampled"),
+                    F.expr("n_sampled * 1000000 div n_deduped")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def filter_selectivity_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ordering advisor: each quality predicate's individual
+    pass rate and estimated cost class — the numbers that decide
+    predicate ORDER at 100 TB (run the cheapest most-selective filter
+    first; a 2× mis-ordering on a petabyte scan is real money).
+
+    One conditional aggregate evaluates every predicate on every doc
+    (exactly what a stacked filter chain would do anyway); pass rates
+    in exact ppm, plus the conjunction rate so the advisor exposes
+    predicate correlation (independent-assumption estimate vs actual).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    p_len = (n_tokens >= 5).cast("long")
+    p_uniq = (
+        F.when(
+            n_tokens > 0,
+            F.size(F.array_distinct(toks)) / n_tokens.cast("double"),
+        )
+        >= 0.3
+    ).cast("long")
+    p_alpha = (
+        F.when(
+            F.length("text") > 0,
+            F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+            / F.length("text").cast("double"),
+        )
+        >= 0.5
+    ).cast("long")
+    wide = docs.select(
+        p_len.alias("a"), p_uniq.alias("b"), p_alpha.alias("c")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("pa"),
+        F.sum("b").alias("pb"),
+        F.sum("c").alias("pc"),
+        F.sum(F.col("a") * F.col("b") * F.col("c")).alias("pall"),
+    )
+    rows = [
+        wide.select(F.lit("min_tokens").alias("predicate"),
+                    F.expr("pa * 1000000 div n").alias("pass_ppm"),
+                    F.lit("token_count").alias("cost_class")),
+        wide.select(F.lit("unique_ratio"), F.expr("pb * 1000000 div n"),
+                    F.lit("array_distinct")),
+        wide.select(F.lit("alpha_ratio"), F.expr("pc * 1000000 div n"),
+                    F.lit("regex")),
+        wide.select(F.lit("ALL"), F.expr("pall * 1000000 div n"),
+                    F.lit("conjunction")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -5492,3 +5492,72 @@ SELECT a.decile, a.v AS view_cents, b.v AS purchase_cents,
 FROM picks a JOIN picks b ON a.decile = b.decile
 WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 """
+
+# --------------------------------------------------------------------------
+# EXT E197-E198 — curation ledger, filter-selectivity advisor
+# --------------------------------------------------------------------------
+
+QUERIES["curation_ledger"] = corpus.curation_ledger
+ORACLES["curation_ledger"] = f"""
+WITH base AS (
+  SELECT doc_id, sha256(text) AS h,
+         CASE WHEN len({_TOKS}) >= 5
+               AND len(list_distinct({_TOKS}))
+                   / CAST(len({_TOKS}) AS DOUBLE) >= 0.3
+              THEN 1 ELSE 0 END AS q,
+         CASE WHEN {corpus.duck_md5_bucket("doc_id", 100)} < 50
+              THEN 1 ELSE 0 END AS samp
+  FROM documents
+), keeps AS (
+  SELECT h, min(doc_id) AS keep_id FROM base WHERE q = 1 GROUP BY h
+), flagged AS (
+  SELECT b.q, b.samp,
+         CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END AS survivor
+  FROM base b LEFT JOIN keeps k ON b.h = k.h AND b.doc_id = k.keep_id
+), wide AS (
+  SELECT count(*) AS n_raw, sum(q) AS n_quality,
+         sum(survivor) AS n_deduped,
+         sum(survivor * samp) AS n_sampled
+  FROM flagged
+)
+SELECT 1 AS stage, 'raw' AS stage_name, n_raw AS n_docs,
+       1000000 AS retained_ppm FROM wide
+UNION ALL
+SELECT 2, 'quality', n_quality, n_quality * 1000000 // n_raw FROM wide
+UNION ALL
+SELECT 3, 'deduped', n_deduped, n_deduped * 1000000 // n_quality FROM wide
+UNION ALL
+SELECT 4, 'sampled', n_sampled, n_sampled * 1000000 // n_deduped FROM wide
+"""
+
+QUERIES["filter_selectivity_advisor"] = corpus.filter_selectivity_advisor
+ORACLES["filter_selectivity_advisor"] = f"""
+WITH wide AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN len({_TOKS}) >= 5 THEN 1 ELSE 0 END) AS pa,
+         sum(CASE WHEN len({_TOKS}) > 0
+                   AND len(list_distinct({_TOKS}))
+                       / CAST(len({_TOKS}) AS DOUBLE) >= 0.3
+                  THEN 1 ELSE 0 END) AS pb,
+         sum(CASE WHEN length(text) > 0
+                   AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE) >= 0.5
+                  THEN 1 ELSE 0 END) AS pc,
+         sum(CASE WHEN len({_TOKS}) >= 5
+                   AND len(list_distinct({_TOKS}))
+                       / CAST(len({_TOKS}) AS DOUBLE) >= 0.3
+                   AND length(text) > 0
+                   AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE) >= 0.5
+                  THEN 1 ELSE 0 END) AS pall
+  FROM documents
+)
+SELECT 'min_tokens' AS predicate, pa * 1000000 // n AS pass_ppm,
+       'token_count' AS cost_class FROM wide
+UNION ALL
+SELECT 'unique_ratio', pb * 1000000 // n, 'array_distinct' FROM wide
+UNION ALL
+SELECT 'alpha_ratio', pc * 1000000 // n, 'regex' FROM wide
+UNION ALL
+SELECT 'ALL', pall * 1000000 // n, 'conjunction' FROM wide
+"""

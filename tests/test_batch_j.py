@@ -1378,3 +1378,28 @@ def test_value_qq_table_monotone(spark, sf_dir):
     assert views == sorted(views) and buys == sorted(buys)
     for r in rows:
         assert r.ratio_ppm == r.purchase_cents * 1000000 // r.view_cents
+
+
+def test_curation_ledger_monotone(spark, sf_dir):
+    rows = {r.stage: r for r in corpus.curation_ledger(spark, sf_dir).collect()}
+    assert [rows[s].stage_name for s in sorted(rows)] == [
+        "raw", "quality", "deduped", "sampled"
+    ]
+    counts = [rows[s].n_docs for s in sorted(rows)]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[1].n_docs == load_table(spark, sf_dir, "documents").count()
+    for s in (2, 3, 4):
+        assert rows[s].retained_ppm == rows[s].n_docs * 1000000 // rows[s - 1].n_docs
+    # ledger's final stage agrees with the capstone pipeline's doc count
+    cap = corpus.corpus_curation_pipeline(spark, sf_dir).collect()
+    # capstone also applies alpha-free quality (same two predicates) then
+    # chunks; distinct docs there == sampled survivors here
+    assert sum(r.n_docs for r in cap) == rows[4].n_docs
+
+
+def test_filter_selectivity_advisor_replay(spark, sf_dir):
+    rows = {r.predicate: r for r in corpus.filter_selectivity_advisor(spark, sf_dir).collect()}
+    assert set(rows) == {"min_tokens", "unique_ratio", "alpha_ratio", "ALL"}
+    # conjunction can never pass more than any single predicate
+    for p in ("min_tokens", "unique_ratio", "alpha_ratio"):
+        assert rows["ALL"].pass_ppm <= rows[p].pass_ppm

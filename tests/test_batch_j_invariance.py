@@ -75,6 +75,8 @@ BATCH_J = [
     "supplier_leadtime_variability",
     "markov_prediction_accuracy",
     "value_qq_table",
+    "curation_ledger",
+    "filter_selectivity_advisor",
 ]
 
 
