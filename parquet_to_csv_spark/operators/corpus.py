@@ -1266,3 +1266,49 @@ def filter_selectivity_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def length_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit of the quality filter: pass rate per document
+    LENGTH band — the fairness check that catches a filter silently
+    discarding long documents (or short ones) as a class, which skews
+    the trained model's length distribution.
+
+    One scan: length band (array-local token count) × the standard
+    quality predicate as a conditional aggregate; per-band pass ppm
+    plus each band's share of all passing docs, so both conditionals
+    (P(pass|band) and P(band|pass)) are visible. Exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    )
+    alpha_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+        / F.length("text").cast("double"),
+    )
+    ok = (
+        (n_tokens >= 5) & (uniq_ratio >= 0.3) & (alpha_ratio >= 0.5)
+    ).cast("long")
+    base = docs.select(
+        F.expr("size(filter(split(lower(text), '\\\\s+'), t -> t != '')) div 20").alias(
+            "len_band"
+        ),
+        ok.alias("ok"),
+    )
+    tot_ok = F.broadcast(base.agg(F.sum("ok").alias("n_ok_total")))
+    return (
+        base.groupBy("len_band")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ok").alias("n_pass"))
+        .join(tot_ok)
+        .select(
+            "len_band",
+            "n_docs",
+            "n_pass",
+            F.expr("n_pass * 1000000 div n_docs").alias("pass_ppm"),
+            F.expr("n_pass * 1000000 div n_ok_total").alias("share_of_pass_ppm"),
+        )
+    )

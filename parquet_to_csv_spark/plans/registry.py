@@ -5561,3 +5561,45 @@ SELECT 'alpha_ratio', pc * 1000000 // n, 'regex' FROM wide
 UNION ALL
 SELECT 'ALL', pall * 1000000 // n, 'conjunction' FROM wide
 """
+
+# --------------------------------------------------------------------------
+# EXT E199-E200 — embedding-norm audit, length-bias audit
+# --------------------------------------------------------------------------
+
+QUERIES["embedding_norm_audit"] = _sim.embedding_norm_audit
+ORACLES["embedding_norm_audit"] = """
+WITH banded AS (
+  SELECT CAST(floor(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10.0)
+              AS BIGINT) AS norm_band,
+         CASE WHEN sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0.0
+              THEN 1 ELSE 0 END AS is_zero
+  FROM embeddings
+), tot AS (
+  SELECT count(*) AS n_total FROM banded
+)
+SELECT norm_band, count(*) AS n_vectors, sum(is_zero) AS n_zero,
+       count(*) * 1000000 // n_total AS share_ppm
+FROM banded, tot GROUP BY norm_band, n_total
+"""
+
+QUERIES["length_bias_audit"] = corpus.length_bias_audit
+ORACLES["length_bias_audit"] = f"""
+WITH base AS (
+  SELECT len({_TOKS}) // 20 AS len_band,
+         CASE WHEN len({_TOKS}) >= 5
+               AND len(list_distinct({_TOKS}))
+                   / CAST(len({_TOKS}) AS DOUBLE) >= 0.3
+               AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) >= 0.5
+              THEN 1 ELSE 0 END AS ok
+  FROM documents
+), tot AS (
+  SELECT sum(ok) AS n_ok_total FROM base
+)
+SELECT len_band, count(*) AS n_docs, sum(ok) AS n_pass,
+       sum(ok) * 1000000 // count(*) AS pass_ppm,
+       sum(ok) * 1000000 // n_ok_total AS share_of_pass_ppm
+FROM base, tot GROUP BY len_band, n_ok_total
+"""

@@ -1403,3 +1403,37 @@ def test_filter_selectivity_advisor_replay(spark, sf_dir):
     # conjunction can never pass more than any single predicate
     for p in ("min_tokens", "unique_ratio", "alpha_ratio"):
         assert rows["ALL"].pass_ppm <= rows[p].pass_ppm
+
+
+def test_embedding_norm_audit_replay(spark, sf_dir):
+    import math as _math
+
+    from parquet_to_csv_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    bands: Counter = Counter()
+    zeros: Counter = Counter()
+    for v in emb:
+        n = _math.sqrt(sum(float(x) * float(x) for x in v.embedding))
+        b = int(_math.floor(n * 10.0))
+        bands[b] += 1
+        if n == 0.0:
+            zeros[b] += 1
+    total = len(emb)
+    expect = {
+        b: (c, zeros.get(b, 0), c * 1000000 // total) for b, c in bands.items()
+    }
+    rows = similarity.embedding_norm_audit(spark, sf_dir).collect()
+    got = {r.norm_band: (r.n_vectors, r.n_zero, r.share_ppm) for r in rows}
+    assert got == expect
+
+
+def test_length_bias_audit_consistency(spark, sf_dir):
+    rows = corpus.length_bias_audit(spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    total_pass = sum(r.n_pass for r in rows)
+    for r in rows:
+        assert 0 <= r.pass_ppm <= 1_000_000
+        assert r.share_of_pass_ppm == r.n_pass * 1000000 // total_pass

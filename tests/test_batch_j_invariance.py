@@ -77,6 +77,8 @@ BATCH_J = [
     "value_qq_table",
     "curation_ledger",
     "filter_selectivity_advisor",
+    "embedding_norm_audit",
+    "length_bias_audit",
 ]
 
 
