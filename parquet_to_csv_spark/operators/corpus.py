@@ -1312,3 +1312,47 @@ def length_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_pass * 1000000 div n_ok_total").alias("share_of_pass_ppm"),
         )
     )
+
+
+def sampler_representativeness(
+    spark: SparkSession, sf_dir: str, pct: int = 10
+) -> DataFrame:
+    """Sampler representativeness audit: for the deterministic
+    ``pct``-percent hash sample, each (lang, source) stratum's
+    population share vs sample share and the signed deviation — the
+    acceptance check run before anyone trusts a sample for
+    measurement (hash samplers are unbiased in expectation; THIS
+    sample's realized skew is what the audit reports).
+
+    One scan computes both memberships (the sample flag is a per-row
+    hash comparison); shares are exact floored ppm; deviation is
+    sample_share − population_share. Empty-sample strata surface as
+    −population_share, not a divide-by-zero.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = (md5_bucket(F.col("doc_id"), 100) < pct).cast("long")
+    base = docs.select("lang", "source", in_sample.alias("s"))
+    tot = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).alias("n_total"), F.sum("s").alias("n_sample")
+        )
+    )
+    return (
+        base.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_pop"), F.sum("s").alias("n_samp"))
+        .join(tot)
+        .select(
+            "lang",
+            "source",
+            "n_pop",
+            "n_samp",
+            F.expr("n_pop * 1000000 div n_total").alias("pop_share_ppm"),
+            F.expr(
+                "CASE WHEN n_sample > 0 THEN n_samp * 1000000 div n_sample"
+                " ELSE 0 END"
+            ).alias("samp_share_ppm"),
+        )
+        .withColumn(
+            "dev_ppm", F.col("samp_share_ppm") - F.col("pop_share_ppm")
+        )
+    )

@@ -1124,3 +1124,35 @@ def annotation_batch(
         .filter(F.col("sample_rank") <= per_band)
         .select("band", "doc_a", "doc_b", "j_milli", "sample_rank")
     )
+
+
+def cluster_size_distribution(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup cluster TOPOLOGY summary: how many clusters of each
+    size, their document mass, and each size class's share of all
+    clustered docs — the number that distinguishes "a few mega-
+    templates" (one size-10k cluster: dedup saves big, canonical
+    choice matters) from "scattered pairs" (all size-2: cheap wins
+    only).
+
+    Reuses the verified cluster relation; two tiny aggregations on
+    top (cluster → size, size → count). The size histogram is bounded
+    by the largest cluster, not the corpus.
+    """
+    clusters = dup_clusters(spark, sf_dir, threshold)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    total = F.broadcast(sizes.agg(F.sum("sz").alias("n_clustered")))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .join(total)
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+            F.expr("sz * n_clusters * 1000000 div n_clustered").alias(
+                "doc_share_ppm"
+            ),
+        )
+    )

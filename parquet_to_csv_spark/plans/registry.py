@@ -5603,3 +5603,57 @@ SELECT len_band, count(*) AS n_docs, sum(ok) AS n_pass,
        sum(ok) * 1000000 // n_ok_total AS share_of_pass_ppm
 FROM base, tot GROUP BY len_band, n_ok_total
 """
+
+# --------------------------------------------------------------------------
+# EXT E201-E202 — cluster-size distribution, sampler representativeness
+# --------------------------------------------------------------------------
+
+QUERIES["cluster_size_distribution"] = dedup.cluster_size_distribution
+ORACLES["cluster_size_distribution"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+), cc(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.l FROM edges e JOIN cc ON cc.v = e.w
+), members AS (
+  SELECT v, min(l) AS cluster_id FROM cc GROUP BY v
+), sizes AS (
+  SELECT cluster_id, count(*) AS sz FROM members GROUP BY cluster_id
+), tot AS (
+  SELECT sum(sz) AS n_clustered FROM sizes
+)
+SELECT sz AS cluster_size, count(*) AS n_clusters,
+       sz * count(*) AS n_docs,
+       sz * count(*) * 1000000 // n_clustered AS doc_share_ppm
+FROM sizes, tot GROUP BY sz, n_clustered
+"""
+
+QUERIES["sampler_representativeness"] = corpus.sampler_representativeness
+ORACLES["sampler_representativeness"] = f"""
+WITH base AS (
+  SELECT lang, source,
+         CASE WHEN {corpus.duck_md5_bucket("doc_id", 100)} < 10
+              THEN 1 ELSE 0 END AS s
+  FROM documents
+), tot AS (
+  SELECT count(*) AS n_total, sum(s) AS n_sample FROM base
+)
+SELECT lang, source, count(*) AS n_pop, sum(s) AS n_samp,
+       count(*) * 1000000 // n_total AS pop_share_ppm,
+       CASE WHEN n_sample > 0 THEN sum(s) * 1000000 // n_sample
+            ELSE 0 END AS samp_share_ppm,
+       CASE WHEN n_sample > 0 THEN sum(s) * 1000000 // n_sample
+            ELSE 0 END - count(*) * 1000000 // n_total AS dev_ppm
+FROM base, tot GROUP BY lang, source, n_total, n_sample
+"""

@@ -1437,3 +1437,32 @@ def test_length_bias_audit_consistency(spark, sf_dir):
     for r in rows:
         assert 0 <= r.pass_ppm <= 1_000_000
         assert r.share_of_pass_ppm == r.n_pass * 1000000 // total_pass
+
+
+def test_cluster_size_distribution_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    clusters = dedup.dup_clusters(spark, sf_dir).collect()
+    sizes: Counter = Counter()
+    for r in clusters:
+        sizes[r.cluster_id] += 1
+    hist: Counter = Counter(sizes.values())
+    n_clustered = sum(sizes.values())
+    expect = {
+        sz: (c, sz * c, sz * c * 1000000 // n_clustered) for sz, c in hist.items()
+    }
+    rows = dedup.cluster_size_distribution(spark, sf_dir).collect()
+    got = {r.cluster_size: (r.n_clusters, r.n_docs, r.doc_share_ppm) for r in rows}
+    assert got == expect
+    assert min(got) >= 2  # a cluster needs at least one pair
+
+
+def test_sampler_representativeness_consistency(spark, sf_dir):
+    rows = corpus.sampler_representativeness(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_pop for r in rows) == n_docs
+    sampled = corpus.deterministic_sample(spark, sf_dir).count()
+    assert sum(r.n_samp for r in rows) == sampled
+    for r in rows:
+        assert r.dev_ppm == r.samp_share_ppm - r.pop_share_ppm
+        assert 0 <= r.n_samp <= r.n_pop

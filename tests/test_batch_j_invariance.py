@@ -79,6 +79,8 @@ BATCH_J = [
     "filter_selectivity_advisor",
     "embedding_norm_audit",
     "length_bias_audit",
+    "cluster_size_distribution",
+    "sampler_representativeness",
 ]
 
 
