@@ -1747,3 +1747,32 @@ def supplier_leadtime_variability(
         .orderBy(F.desc("var_milli"), F.asc("l_suppkey"))
         .limit(k)
     )
+
+
+def return_rate_leaders(
+    spark: SparkSession, sf_dir: str, k: int = 15, min_lines: int = 5
+) -> DataFrame:
+    """Return-rate leaders: the parts whose line items are returned
+    most often (share of ``l_returnflag = 'R'`` lines), support-
+    filtered and ranked — the product-quality screen behind every
+    returns dashboard.
+
+    One scan with map-side combine to (part, counts); rates are exact
+    floored ppm; a deterministic global top-k (rate desc, part asc)
+    plans as TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returned"
+        ),
+    )
+    return (
+        per.filter(F.col("n_lines") >= min_lines)
+        .withColumn(
+            "return_ppm", F.expr("n_returned * 1000000 div n_lines")
+        )
+        .orderBy(F.desc("return_ppm"), F.asc("l_partkey"))
+        .limit(k)
+    )

@@ -980,3 +980,54 @@ def token_rank_movers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
             "mover_rnk",
         )
     )
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: distinct token types seen
+    after each decile of the corpus in arrival (doc_id) order — the
+    data behind tokenizer-vocab sizing and the "is more data still
+    adding words?" question.
+
+    Each token contributes at its FIRST occurrence (min doc_id — one
+    token-keyed aggregation, no per-prefix rescans); first-occurrence
+    docs map to arrival deciles by integer id-range arithmetic, and
+    one calendar-bounded cumulative window yields the curve. Token
+    totals per decile ride the same scan. All exact integers.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    span = F.broadcast(
+        docs.agg(
+            F.min("doc_id").alias("lo"), (F.max("doc_id") + 1).alias("hi")
+        )
+    )
+    pairs = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    firsts = pairs.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    new_types = (
+        firsts.join(span)
+        .select(
+            F.expr("least((first_doc - lo) * 10 div (hi - lo), 9)").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    tokens_per = (
+        pairs.join(span)
+        .select(
+            F.expr("least((doc_id - lo) * 10 div (hi - lo), 9)").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        new_types.join(tokens_per, "decile", "full")
+        .select(
+            "decile",
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+        .withColumn("vocab_size", F.sum("n_new_types").over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )

@@ -5657,3 +5657,51 @@ SELECT lang, source, count(*) AS n_pop, sum(s) AS n_samp,
             ELSE 0 END - count(*) * 1000000 // n_total AS dev_ppm
 FROM base, tot GROUP BY lang, source, n_total, n_sample
 """
+
+# --------------------------------------------------------------------------
+# EXT E203-E204 — vocabulary growth curve, return-rate leaders
+# --------------------------------------------------------------------------
+
+QUERIES["vocab_growth_curve"] = _text.vocab_growth_curve
+ORACLES["vocab_growth_curve"] = f"""
+WITH span AS (
+  SELECT min(doc_id) AS lo, max(doc_id) + 1 AS hi FROM documents
+), pairs AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), firsts AS (
+  SELECT token, min(doc_id) AS first_doc FROM pairs GROUP BY token
+), new_types AS (
+  SELECT least((first_doc - lo) * 10 // (hi - lo), 9) AS decile,
+         count(*) AS n_new_types
+  FROM firsts, span GROUP BY 1
+), tokens_per AS (
+  SELECT least((doc_id - lo) * 10 // (hi - lo), 9) AS decile,
+         count(*) AS n_tokens
+  FROM pairs, span GROUP BY 1
+), joined AS (
+  SELECT coalesce(n.decile, t.decile) AS decile,
+         coalesce(n_new_types, 0) AS n_new_types,
+         coalesce(n_tokens, 0) AS n_tokens
+  FROM new_types n FULL JOIN tokens_per t ON n.decile = t.decile
+)
+SELECT decile, n_new_types, n_tokens,
+       sum(n_new_types) OVER (ORDER BY decile
+                              ROWS UNBOUNDED PRECEDING) AS vocab_size,
+       sum(n_tokens) OVER (ORDER BY decile
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+FROM joined
+"""
+
+QUERIES["return_rate_leaders"] = relational.return_rate_leaders
+ORACLES["return_rate_leaders"] = """
+WITH per AS (
+  SELECT l_partkey, count(*) AS n_lines,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, n_lines, n_returned,
+       n_returned * 1000000 // n_lines AS return_ppm
+FROM per WHERE n_lines >= 5
+ORDER BY return_ppm DESC, l_partkey ASC
+LIMIT 15
+"""

@@ -1466,3 +1466,53 @@ def test_sampler_representativeness_consistency(spark, sf_dir):
     for r in rows:
         assert r.dev_ppm == r.samp_share_ppm - r.pop_share_ppm
         assert 0 <= r.n_samp <= r.n_pop
+
+
+def test_vocab_growth_curve_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import text as text_ops
+
+    docs = sorted(load_table(spark, sf_dir, "documents").collect(),
+                  key=lambda r: r.doc_id)
+    lo, hi = docs[0].doc_id, docs[-1].doc_id + 1
+    firsts: dict[str, int] = {}
+    tokens_per: Counter = Counter()
+    for r in docs:
+        d = min((r.doc_id - lo) * 10 // (hi - lo), 9)
+        for t in _toks(r.text):
+            tokens_per[d] += 1
+            if t not in firsts:
+                firsts[t] = d
+    new_types: Counter = Counter(firsts.values())
+    expect = {}
+    vs = ct = 0
+    for d in sorted(set(new_types) | set(tokens_per)):
+        vs += new_types.get(d, 0)
+        ct += tokens_per.get(d, 0)
+        expect[d] = (new_types.get(d, 0), tokens_per.get(d, 0), vs, ct)
+    rows = text_ops.vocab_growth_curve(spark, sf_dir).collect()
+    got = {r.decile: (r.n_new_types, r.n_tokens, r.vocab_size, r.cum_tokens)
+           for r in rows}
+    assert got == expect
+    # vocabulary growth is monotone and concave-ish: later deciles add fewer
+    assert expect[max(expect)][0] <= expect[min(expect)][0]
+
+
+def test_return_rate_leaders_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag").collect()
+    per: dict[int, list] = {}
+    for r in li:
+        a = per.setdefault(r.l_partkey, [0, 0])
+        a[0] += 1
+        if r.l_returnflag == "R":
+            a[1] += 1
+    scored = [
+        (p, n, ret, ret * 1000000 // n)
+        for p, (n, ret) in per.items() if n >= 5
+    ]
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    expect = scored[:15]
+    rows = relational.return_rate_leaders(spark, sf_dir).collect()
+    got = [(r.l_partkey, r.n_lines, r.n_returned, r.return_ppm) for r in rows]
+    assert got == expect

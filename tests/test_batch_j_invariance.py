@@ -81,6 +81,8 @@ BATCH_J = [
     "length_bias_audit",
     "cluster_size_distribution",
     "sampler_representativeness",
+    "vocab_growth_curve",
+    "return_rate_leaders",
 ]
 
 
