@@ -1156,3 +1156,42 @@ def cluster_size_distribution(
             ),
         )
     )
+
+
+def canonical_quality_gap(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Canonical-selection audit: for every near-dup cluster, compare
+    the keep-first (min doc_id) canonical's token count against the
+    cluster's BEST member — the report that decides whether cheap
+    keep-first loses content vs a quality-argmax keep (if the gap is
+    ~zero, keep-first is free; if not, the argmax pays).
+
+    One join of the verified cluster relation to per-doc token counts,
+    one groupBy(cluster) folding canonical and max atomically
+    (max_by / conditional max — no second pass). Gap in exact tokens
+    and floored ppm of the best member.
+    """
+    clusters = dup_clusters(spark, sf_dir, threshold).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("nt")
+    )
+    m = clusters.join(docs, "doc_id")
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("is_canonical"), F.col("nt"))).alias("canon_nt"),
+            F.max("nt").alias("best_nt"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            "canon_nt",
+            "best_nt",
+            (F.col("best_nt") - F.col("canon_nt")).alias("gap_tokens"),
+            F.expr("(best_nt - canon_nt) * 1000000 div best_nt").alias("gap_ppm"),
+        )
+    )

@@ -1243,3 +1243,64 @@ def transition_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("0.5", "p50_gap_s"),
         pick("0.9", "p90_gap_s"),
     )
+
+
+def engagement_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement→conversion curve: users bucketed by how many
+    SESSIONS they ran, with each bucket's view→purchase conversion
+    rate — the growth-analytics curve that says whether driving a
+    second session actually moves conversion.
+
+    Session counts reuse the gaps-and-islands derivation (one per-user
+    window, sum of session starts); conversion reuses the first-view /
+    first-qualifying-purchase shape. One join on user, one bounded
+    groupBy (10-session bands, capped at 90+). Exact counts and ppm.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    sessions = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("tus").over(w).isNull()
+                | ((F.col("tus") - F.lag("tus").over(w)) >= 1800000000),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("v_tus"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("tus").alias("b_tus")
+    )
+    conv = (
+        views.join(
+            buys,
+            (F.col("user_id") == F.col("b_user")) & (F.col("b_tus") >= F.col("v_tus")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.max(F.col("b_tus").isNotNull().cast("long")).alias("converted"))
+    )
+    return (
+        sessions.join(conv, "user_id", "left")
+        .select(
+            F.least(F.expr("n_sessions div 10"), F.lit(9)).alias("session_bucket"),
+            F.coalesce("converted", F.lit(0)).alias("converted"),
+        )
+        .groupBy("session_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .withColumn("cvr_ppm", F.expr("n_converted * 1000000 div n_users"))
+    )

@@ -5705,3 +5705,75 @@ FROM per WHERE n_lines >= 5
 ORDER BY return_ppm DESC, l_partkey ASC
 LIMIT 15
 """
+
+# --------------------------------------------------------------------------
+# EXT E205-E206 — canonical quality gap, engagement-conversion curve
+# --------------------------------------------------------------------------
+
+QUERIES["canonical_quality_gap"] = dedup.canonical_quality_gap
+ORACLES["canonical_quality_gap"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+), cc(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.l FROM edges e JOIN cc ON cc.v = e.w
+), members AS (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM cc GROUP BY v
+), m AS (
+  SELECT mem.cluster_id, mem.doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS nt,
+         (mem.doc_id = mem.cluster_id) AS is_canonical
+  FROM members mem JOIN documents d ON mem.doc_id = d.doc_id
+)
+SELECT cluster_id, count(*) AS n_docs,
+       max(CASE WHEN is_canonical THEN nt END) AS canon_nt,
+       max(nt) AS best_nt,
+       max(nt) - max(CASE WHEN is_canonical THEN nt END) AS gap_tokens,
+       (max(nt) - max(CASE WHEN is_canonical THEN nt END)) * 1000000
+         // max(nt) AS gap_ppm
+FROM m GROUP BY cluster_id
+"""
+
+QUERIES["engagement_conversion_curve"] = timeops.engagement_conversion_curve
+ORACLES["engagement_conversion_curve"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+), flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) IS NULL
+                   OR tus - lag(tus) OVER (PARTITION BY user_id
+                                           ORDER BY tus, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sessions AS (
+  SELECT user_id, sum(new_s) AS n_sessions FROM flagged GROUP BY user_id
+), views AS (
+  SELECT user_id, min(tus) AS v_tus FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT v.user_id,
+         max(CASE WHEN b.tus IS NOT NULL THEN 1 ELSE 0 END) AS converted
+  FROM views v LEFT JOIN e b
+    ON b.user_id = v.user_id AND b.event_type = 'purchase'
+   AND b.tus >= v.v_tus
+  GROUP BY v.user_id
+)
+SELECT least(s.n_sessions // 10, 9) AS session_bucket,
+       count(*) AS n_users,
+       sum(coalesce(converted, 0)) AS n_converted,
+       sum(coalesce(converted, 0)) * 1000000 // count(*) AS cvr_ppm
+FROM sessions s LEFT JOIN conv USING (user_id)
+GROUP BY 1
+"""

@@ -1516,3 +1516,36 @@ def test_return_rate_leaders_replay(spark, sf_dir):
     rows = relational.return_rate_leaders(spark, sf_dir).collect()
     got = [(r.l_partkey, r.n_lines, r.n_returned, r.return_ppm) for r in rows]
     assert got == expect
+
+
+def test_canonical_quality_gap_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    clusters = dedup.dup_clusters(spark, sf_dir).collect()
+    docs = {r.doc_id: len(_toks(r.text))
+            for r in load_table(spark, sf_dir, "documents").collect()}
+    by_cluster: dict[int, list] = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append((r.doc_id, r.is_canonical))
+    expect = {}
+    for cid, ms in by_cluster.items():
+        canon = next(docs[d] for d, c in ms if c)
+        best = max(docs[d] for d, _ in ms)
+        expect[cid] = (len(ms), canon, best, best - canon,
+                       (best - canon) * 1000000 // best)
+    rows = dedup.canonical_quality_gap(spark, sf_dir).collect()
+    got = {r.cluster_id: (r.n_docs, r.canon_nt, r.best_nt, r.gap_tokens, r.gap_ppm)
+           for r in rows}
+    assert got == expect
+
+
+def test_engagement_curve_covers_all_users(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops
+
+    rows = timeops.engagement_conversion_curve(spark, sf_dir).collect()
+    assert len(rows) >= 2, "bucketing must spread users across bands"
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.cvr_ppm <= 1_000_000
+        assert r.cvr_ppm == r.n_converted * 1000000 // r.n_users

@@ -83,6 +83,8 @@ BATCH_J = [
     "sampler_representativeness",
     "vocab_growth_curve",
     "return_rate_leaders",
+    "canonical_quality_gap",
+    "engagement_conversion_curve",
 ]
 
 
