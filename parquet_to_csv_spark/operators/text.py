@@ -1031,3 +1031,32 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vocab_size", F.sum("n_new_types").over(w))
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
     )
+
+
+def bursty_token_leaders(
+    spark: SparkSession, sf_dir: str, k: int = 20, min_tf: int = 50
+) -> DataFrame:
+    """Bursty-token leaders: tokens whose occurrences CONCENTRATE in
+    few documents (high tf/df ratio) — the spam/template signature
+    that corpus-wide frequency ranks hide (a token used 500 times
+    across 3 documents is a keyword-stuffing marker, not vocabulary).
+
+    One explode → token-keyed aggregate carrying tf (count) and df
+    (distinct docs) together; burstiness = tf·1000 div df exact milli;
+    support-floored deterministic top-k. Shuffle ∝ distinct
+    (doc, token) after map-side combine.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    stats = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        stats.filter(F.col("tf") >= min_tf)
+        .withColumn("burst_milli", F.expr("tf * 1000 div df"))
+        .orderBy(F.desc("burst_milli"), F.asc("token"))
+        .limit(k)
+    )

@@ -1304,3 +1304,49 @@ def engagement_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cvr_ppm", F.expr("n_converted * 1000000 div n_users"))
     )
+
+
+def rollup_lattice_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-lattice consistency check: the SAME total (event
+    count + exact cents) computed at raw, hourly-rollup, and
+    daily-rollup grain — three rows that must agree, turning "did a
+    rollup drop rows?" into a single hash-gated query. The continuous-
+    aggregate freshness check every tiered warehouse runs.
+
+    All three tiers share the exact-cents convention, so agreement is
+    EXACT (not approximate); the hourly and daily tiers re-aggregate
+    the same chained plan hourly_to_daily_rollup uses.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = exact_units(F.col("value"), 2)
+    raw = ev.agg(
+        F.lit("raw").alias("grain"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    hourly_rel = (
+        ev.groupBy(F.window(_ts_micros(), "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+    )
+    hourly = hourly_rel.agg(
+        F.lit("hourly").alias("grain"),
+        F.sum("n").alias("n_events"),
+        F.sum("c").alias("sum_cents"),
+    )
+    daily = (
+        hourly_rel.select(
+            F.expr(
+                "unix_millis(w.start) - pmod(unix_millis(w.start), 86400000)"
+            ).alias("day_ms"),
+            "n",
+            "c",
+        )
+        .groupBy("day_ms")
+        .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+        .agg(
+            F.lit("daily").alias("grain"),
+            F.sum("n").alias("n_events"),
+            F.sum("c").alias("sum_cents"),
+        )
+    )
+    return raw.unionAll(hourly).unionAll(daily)

@@ -5777,3 +5777,44 @@ SELECT least(s.n_sessions // 10, 9) AS session_bucket,
 FROM sessions s LEFT JOIN conv USING (user_id)
 GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E207-E208 — bursty tokens, rollup-lattice consistency
+# --------------------------------------------------------------------------
+
+QUERIES["bursty_token_leaders"] = _text.bursty_token_leaders
+ORACLES["bursty_token_leaders"] = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), stats AS (
+  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM pairs GROUP BY token
+)
+SELECT token, tf, df, tf * 1000 // df AS burst_milli
+FROM stats WHERE tf >= 50
+ORDER BY burst_milli DESC, token ASC
+LIMIT 20
+"""
+
+QUERIES["rollup_lattice_check"] = timeops.rollup_lattice_check
+ORACLES["rollup_lattice_check"] = f"""
+WITH raw AS (
+  SELECT 'raw' AS grain, count(*) AS n_events,
+         sum({duck_units("value", 2)}) AS sum_cents
+  FROM events
+), hourly_rel AS (
+  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hs_ms,
+         count(*) AS n, sum({duck_units("value", 2)}) AS c
+  FROM events GROUP BY 1
+), hourly AS (
+  SELECT 'hourly' AS grain, sum(n) AS n_events, sum(c) AS sum_cents
+  FROM hourly_rel
+), daily AS (
+  SELECT 'daily' AS grain, sum(n) AS n_events, sum(c) AS sum_cents
+  FROM (
+    SELECT hs_ms - hs_ms % 86400000 AS day_ms, sum(n) AS n, sum(c) AS c
+    FROM hourly_rel GROUP BY 1
+  )
+)
+SELECT * FROM raw UNION ALL SELECT * FROM hourly UNION ALL SELECT * FROM daily
+"""

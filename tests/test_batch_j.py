@@ -1549,3 +1549,35 @@ def test_engagement_curve_covers_all_users(spark, sf_dir):
     for r in rows:
         assert 0 <= r.cvr_ppm <= 1_000_000
         assert r.cvr_ppm == r.n_converted * 1000000 // r.n_users
+
+
+def test_bursty_token_leaders_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    tf: Counter = Counter()
+    df_sets: dict[str, set] = {}
+    for r in docs:
+        ts = _toks(r.text)
+        tf.update(ts)
+        for t in set(ts):
+            df_sets.setdefault(t, set()).add(r.doc_id)
+    scored = [
+        (t, c, len(df_sets[t]), c * 1000 // len(df_sets[t]))
+        for t, c in tf.items() if c >= 50
+    ]
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    expect = scored[:20]
+    rows = text_ops.bursty_token_leaders(spark, sf_dir).collect()
+    got = [(r.token, r.tf, r.df, r.burst_milli) for r in rows]
+    assert got == expect
+
+
+def test_rollup_lattice_agrees(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops
+
+    rows = {r.grain: r for r in timeops.rollup_lattice_check(spark, sf_dir).collect()}
+    assert set(rows) == {"raw", "hourly", "daily"}
+    base = (rows["raw"].n_events, rows["raw"].sum_cents)
+    for g in ("hourly", "daily"):
+        assert (rows[g].n_events, rows[g].sum_cents) == base

@@ -85,6 +85,8 @@ BATCH_J = [
     "return_rate_leaders",
     "canonical_quality_gap",
     "engagement_conversion_curve",
+    "bursty_token_leaders",
+    "rollup_lattice_check",
 ]
 
 
