@@ -1350,3 +1350,97 @@ def rollup_lattice_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return raw.unionAll(hourly).unionAll(daily)
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E209: hourly OHLC (open/high/low/close) bars per event_type —
+    the candlestick rollup of every market-data / metrics warehouse
+    (TimescaleDB ``candlestick_agg``, kdb+ bars), here over
+    ``events.value``.
+
+    Spark-first shape: ONE ``groupBy(window × type)`` with ``min_by`` /
+    ``max_by`` keyed on the (tus, event_id) arrival struct — all four
+    bar fields are classic algebraic aggregates with map-side partial
+    aggregation, so the exchange carries one row per (hour × type)
+    regardless of input size. The alternative (row_number window to
+    pick first/last) would sort every partition; min_by folds instead.
+
+    Determinism: (tus, event_id) is a unique ordering key (event_id is
+    unique), so open/close are well-defined — no arbitrary-tie
+    ``first()``; values travel as exact integer cents and divide back
+    to 2dp doubles only at the end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tus = F.expr("ts div 1000")
+    key = F.struct(tus.alias("t"), F.col("event_id").alias("e"))
+    cents = exact_units(F.col("value"), 2)
+    return (
+        ev.select(
+            F.window(_ts_micros(), "1 hour").alias("w"),
+            F.col("event_type"),
+            key.alias("k"),
+            cents.alias("cents"),
+        )
+        .groupBy(F.unix_millis(F.col("w.start")).alias("hs_ms"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min_by("cents", "k") / F.lit(100.0)).alias("open_v"),
+            (F.max("cents") / F.lit(100.0)).alias("high_v"),
+            (F.min("cents") / F.lit(100.0)).alias("low_v"),
+            (F.max_by("cents", "k") / F.lit(100.0)).alias("close_v"),
+        )
+    )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E210: per-user daily TIME-WEIGHTED average value (TWAP) with
+    last-observation-carried-forward — the irregular-series average of
+    sensor/price pipelines (TimescaleDB ``time_weight('LOCF')``), where
+    a plain ``avg`` over-weights bursty samplers.
+
+    Each event's value is held from its timestamp to the next event in
+    the same user-day, the last until the day boundary; the average
+    weights each value by its holding time.
+
+    One shuffle total: ``lead`` over (user_id, day) supplies the hold
+    interval, and the groupBy reuses the exact same keys, so Catalyst
+    plans a single hash exchange feeding both the window sort and the
+    aggregation.
+
+    Determinism at the gate: weights are exact µs longs, values exact
+    cents — ``Σ(cents·dt)`` stays below 2^63 (≤ 9e15 per user-day at
+    cents ≤ 5e4, dt ≤ 8.64e10), and the final TWAP is a pure integer
+    ``div`` (values non-negative, so trunc = floor across engines) to
+    4dp units. No float ever enters an aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    tus = F.expr("ts div 1000")
+    base = ev.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        tus.alias("tus"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    ).withColumn("day_ms", F.expr("(tus div 86400000000) * 86400000"))
+    w = W.partitionBy("user_id", "day_ms").orderBy("tus", "event_id")
+    held = base.withColumn(
+        "dt_us",
+        F.coalesce(F.lead("tus").over(w), F.col("day_ms") * 1000 + F.lit(86400000000))
+        - F.col("tus"),
+    )
+    return (
+        held.groupBy("user_id", "day_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dt_us").alias("held_us"),
+            F.sum(F.col("cents") * F.col("dt_us")).alias("wsum"),
+        )
+        .select(
+            "user_id",
+            "day_ms",
+            "n_events",
+            "held_us",
+            (F.expr("(wsum * 100) div held_us") / F.lit(10000.0)).alias("twap_v"),
+        )
+    )

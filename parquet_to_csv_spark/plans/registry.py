@@ -5818,3 +5818,51 @@ WITH raw AS (
 )
 SELECT * FROM raw UNION ALL SELECT * FROM hourly UNION ALL SELECT * FROM daily
 """
+
+# --------------------------------------------------------------------------
+# EXT E209-E210 — hourly OHLC bars, daily time-weighted average (TWAP)
+# --------------------------------------------------------------------------
+
+QUERIES["ohlc_bars"] = timeops.ohlc_bars
+ORACLES["ohlc_bars"] = f"""
+WITH e AS (
+  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hs_ms, event_type,
+         epoch_us(ts) AS tus, event_id,
+         {duck_units("value", 2)} AS cents
+  FROM events
+)
+, r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY hs_ms, event_type
+                            ORDER BY tus, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY hs_ms, event_type
+                            ORDER BY tus DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT hs_ms, event_type, count(*) AS n_events,
+       max(CASE WHEN rn_a = 1 THEN cents END) / 100.0 AS open_v,
+       max(cents) / 100.0 AS high_v,
+       min(cents) / 100.0 AS low_v,
+       max(CASE WHEN rn_d = 1 THEN cents END) / 100.0 AS close_v
+FROM r GROUP BY 1, 2
+"""
+
+QUERIES["time_weighted_avg"] = timeops.time_weighted_avg
+ORACLES["time_weighted_avg"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         {duck_units("value", 2)} AS cents,
+         (epoch_us(ts) // 86400000000) * 86400 * 1000 AS day_ms
+  FROM events
+), held AS (
+  SELECT user_id, day_ms, cents,
+         coalesce(lead(tus) OVER (PARTITION BY user_id, day_ms
+                                  ORDER BY tus, event_id),
+                  day_ms * 1000 + 86400000000) - tus AS dt_us
+  FROM e
+)
+SELECT user_id, day_ms, count(*) AS n_events,
+       sum(dt_us) AS held_us,
+       (sum(cents * dt_us) * 100 // sum(dt_us)) / 10000.0 AS twap_v
+FROM held GROUP BY 1, 2
+"""
