@@ -1444,3 +1444,69 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("(wsum * 100) div held_us") / F.lit(10000.0)).alias("twap_v"),
         )
     )
+
+
+def last_touch_attribution(
+    spark: SparkSession, sf_dir: str, lookback_us: int = 604_800_000_000
+) -> DataFrame:
+    """EXT E211: last-touch revenue attribution — every purchase is
+    credited to the same user's most recent preceding touch event
+    (view / click / signup) within a 7-day lookback, else ``direct``;
+    reported as purchases + exact revenue per attributed channel.
+
+    Spark-first shape: NOT an as-of join of two relations (that would
+    shuffle both sides) — touches and purchases already live in one
+    table, so a single ``last(..., ignorenulls=True)`` running window
+    over (user, time) carries the latest touch forward to each
+    purchase row: ONE shuffle on user_id, one per-user sort, then a
+    tiny groupBy. Same-instant touches attribute (ties order touches
+    before purchases via a 0/1 rank key, making the semantics — and
+    the hash — deterministic).
+
+    At 100 TB the window state is O(1) per row (running last, no
+    frame buffering); skewed users are the only risk — the same AQE /
+    bot-prefilter note as sessionization (E10) applies.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("tus"),
+        exact_units(F.col("value"), 2).alias("cents"),
+        F.col("event_type").isin("view", "click", "signup").cast("int").alias("is_touch"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus", (1 - F.col("is_touch")).asc(), "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = base.select(
+        "*",
+        F.last(F.when(F.col("is_touch") == 1, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+        F.last(F.when(F.col("is_touch") == 1, F.col("tus")), ignorenulls=True)
+        .over(w)
+        .alias("lt_tus"),
+    )
+    return (
+        flagged.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("lt_tus").isNotNull()
+                & (F.col("lt_tus") >= F.col("tus") - F.lit(lookback_us)),
+                F.col("lt_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "cents",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum("cents") / F.lit(100.0)).alias("revenue"),
+        )
+    )

@@ -5866,3 +5866,36 @@ SELECT user_id, day_ms, count(*) AS n_events,
        (sum(cents * dt_us) * 100 // sum(dt_us)) / 10000.0 AS twap_v
 FROM held GROUP BY 1, 2
 """
+
+# --------------------------------------------------------------------------
+# EXT E211 + streaming sliding parity — last-touch attribution, E9 drain
+# --------------------------------------------------------------------------
+
+QUERIES["streaming_sliding_drain"] = _stream.sliding_drain_query
+ORACLES["streaming_sliding_drain"] = ORACLES["sliding_window_stats"]
+
+QUERIES["last_touch_attribution"] = timeops.last_touch_attribution
+ORACLES["last_touch_attribution"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         {duck_units("value", 2)} AS cents,
+         CASE WHEN event_type IN ('view', 'click', 'signup')
+              THEN 1 ELSE 0 END AS is_touch
+  FROM events
+), flagged AS (
+  SELECT *,
+         last_value(CASE WHEN is_touch = 1 THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, 1 - is_touch, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+         last_value(CASE WHEN is_touch = 1 THEN tus END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, 1 - is_touch, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_tus
+  FROM e
+)
+SELECT CASE WHEN lt_tus IS NOT NULL AND lt_tus >= tus - 604800000000
+            THEN lt_type ELSE 'direct' END AS channel,
+       count(*) AS n_purchases,
+       sum(cents) / 100.0 AS revenue
+FROM flagged WHERE event_type = 'purchase'
+GROUP BY 1
+"""

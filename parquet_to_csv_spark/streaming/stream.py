@@ -453,3 +453,39 @@ def left_join_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = run_to_memory(joined, name, spark, output_mode="append")
     return drained.filter(F.col("user_id") >= 0)
+
+
+def streaming_sliding_counts(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked 1h/30min sliding-window stats — the streaming twin of
+    ``timeops.sliding_window_stats`` (each event lands in two windows;
+    the state store holds both open windows per slide until the
+    watermark closes them)."""
+    from parquet_to_csv_spark.functions.stable import stable_avg_2dp
+
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_avg_2dp(F.sum("value"), F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(F.unix_millis(F.col("w.start")).alias("ws_ms"), "n_events", "avg_value")
+    )
+
+
+def sliding_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 sliding-window batch/stream parity through the gate: the
+    STREAMING sliding aggregation drained availableNow must equal the
+    batch SQL oracle (same expressions as
+    ``timeops.sliding_window_stats``) — completing the streaming-twin
+    contract for all three window shapes (tumbling, sliding, session)."""
+    import uuid as _uuid
+
+    stage = _stage_events_dir(spark, sf_dir)
+    name = "t_slide_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        streaming_sliding_counts(read_event_stream(spark, stage)), name, spark
+    )

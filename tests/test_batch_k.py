@@ -64,3 +64,48 @@ def test_time_weighted_avg_replay(spark, sf_dir):
     assert got == expect
     # multi-event user-days must exist, else LOCF weighting is untested
     assert any(n > 1 for n, *_ in expect.values())
+
+
+def test_streaming_sliding_drain_matches_batch(spark, sf_dir):
+    from parquet_to_csv_spark.streaming import stream as st
+
+    got = {
+        (r.ws_ms): (r.n_events, r.avg_value)
+        for r in st.sliding_drain_query(spark, sf_dir).collect()
+    }
+    expect = {
+        (r.ws_ms): (r.n_events, r.avg_value)
+        for r in timeops.sliding_window_stats(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_last_touch_attribution_replay(spark, sf_dir):
+    LOOK = 604_800_000_000
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user: dict = defaultdict(list)
+    for r in ev:
+        tus = r.ts // 1000
+        touch = 1 if r.event_type in ("view", "click", "signup") else 0
+        by_user[r.user_id].append(((tus, 1 - touch, r.event_id), r.event_type, touch, _cents(r.value)))
+    expect: dict = defaultdict(lambda: [0, 0])
+    for rows in by_user.values():
+        rows.sort()
+        lt_type, lt_tus = None, None
+        for (tus, _, _eid), etype, touch, cents in rows:
+            if etype == "purchase":
+                ch = (
+                    lt_type
+                    if lt_tus is not None and lt_tus >= tus - LOOK
+                    else "direct"
+                )
+                expect[ch][0] += 1
+                expect[ch][1] += cents
+            if touch:
+                lt_type, lt_tus = etype, tus
+    got = {
+        r.channel: (r.n_purchases, r.revenue)
+        for r in timeops.last_touch_attribution(spark, sf_dir).collect()
+    }
+    assert got == {k: (n, c / 100.0) for k, (n, c) in expect.items()}
+    assert set(got) >= {"direct"} or len(got) > 1
