@@ -992,3 +992,45 @@ def value_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio_ppm", F.expr("purchase_cents * 1000000 div view_cents")
         )
     )
+
+
+def lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E213: mutual information between ``lang`` and ``source`` over
+    documents — the dependence audit run before stratifying or
+    rebalancing a corpus on either axis (MI ≈ 0 ⇒ the axes can be
+    sampled independently; a hot cell ⇒ per-pair quotas needed).
+
+    Per (lang, source) cell: observed count, expected count under
+    independence (floored r·s/N), pointwise mutual information, and the
+    cell's contribution c·ln(cN/(r·s)) to corpus MI in micro-nats —
+    summing the contribution column yields total MI·N.
+
+    Scale shape: one groupBy on the pair (map-side combine), two tiny
+    marginal aggregates broadcast back — shuffle bounded by cell
+    cardinality, never row count. Determinism: PMI per cell is
+    ln(c·N / (r·s)) — a log of a ratio of exact longs, quantized to
+    integer micro-nats per cell before any sum (the entropy
+    convention); contributions are exact long products.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    lm = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    sm = docs.groupBy("source").agg(F.count(F.lit(1)).alias("s"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    pmi = (
+        "CAST(round(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)"
+        " / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))) * 1000000) AS BIGINT)"
+    )
+    return (
+        cells.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "c",
+            F.expr("(r * s) div n").alias("expected"),
+            F.expr(pmi).alias("pmi_micro"),
+            F.expr(f"c * {pmi}").alias("mi_contrib_micro"),
+        )
+    )

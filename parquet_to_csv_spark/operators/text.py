@@ -1060,3 +1060,68 @@ def bursty_token_leaders(
         .orderBy(F.desc("burst_milli"), F.asc("token"))
         .limit(k)
     )
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
+    """EXT E212: Zipf rank-frequency fit — OLS slope of ln(freq) on
+    ln(rank) over the top-``top_n`` tokens. Natural corpora sit near
+    slope ≈ −1; machine-generated or boilerplate-heavy corpora flatten
+    or steepen it, making this a one-row corpus-naturalness gate (the
+    cheap sibling of perplexity filtering).
+
+    Shape at scale: token frequencies are one explode + groupBy with
+    map-side combine; the top-N is TakeOrderedAndProject (no global
+    sort); the fit runs over N rows on the driver side of the plan —
+    the sufficient-statistic pattern of grouped_ols_features, one
+    window over N=100 rows.
+
+    Determinism: ranks are dense integers ordered by (freq DESC, token
+    ASC); ln(rank) and ln(freq) are quantized to exact integer
+    micro-units PER TERM (ln of a positive integer — identical libm
+    value in both engines, same convention as user_event_entropy), so
+    the OLS sums are exact long arithmetic; the final slope/intercept
+    divide exact longs in one fixed IEEE expression, floored to micro
+    units.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+    from pyspark.sql import Window as W
+
+    ranked = freq.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), F.col("token").asc()))
+        .alias("rank"),
+    ).select(
+        F.expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)").alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    den = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return s.select(
+        "n",
+        F.expr(f"CAST(floor({num} / {den} * 1000000.0) AS BIGINT)").alias("slope_micro"),
+        F.expr(
+            f"CAST(floor((CAST(sy AS DOUBLE) - {num} / {den} * CAST(sx AS DOUBLE))"
+            f" / CAST(n AS DOUBLE)) AS BIGINT)"
+        ).alias("intercept_micro"),
+    )

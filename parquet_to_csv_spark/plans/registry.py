@@ -5899,3 +5899,63 @@ SELECT CASE WHEN lt_tus IS NOT NULL AND lt_tus >= tus - 604800000000
 FROM flagged WHERE event_type = 'purchase'
 GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E212-E213 — Zipf slope, lang×source mutual information
+# --------------------------------------------------------------------------
+
+QUERIES["zipf_slope"] = _text.zipf_slope
+ORACLES["zipf_slope"] = f"""
+WITH freq AS (
+  SELECT token, count(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+  GROUP BY token
+  ORDER BY freq DESC, token ASC
+  LIMIT 100
+), ranked AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+                           AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM freq
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM ranked
+)
+SELECT n,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS slope_micro,
+       CAST(floor((CAST(sy AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro
+FROM s
+"""
+
+QUERIES["lang_source_mi"] = mlmetrics.lang_source_mi
+ORACLES["lang_source_mi"] = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+), lm AS (
+  SELECT lang, count(*) AS r FROM documents GROUP BY 1
+), sm AS (
+  SELECT source, count(*) AS s FROM documents GROUP BY 1
+), nn AS (
+  SELECT count(*) AS n FROM documents
+)
+SELECT lang, source, c,
+       (r * s) // n AS expected,
+       CAST(round(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                     / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))) * 1000000)
+            AS BIGINT) AS pmi_micro,
+       c * CAST(round(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                         / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))) * 1000000)
+                AS BIGINT) AS mi_contrib_micro
+FROM cells JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN nn
+"""

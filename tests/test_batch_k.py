@@ -109,3 +109,57 @@ def test_last_touch_attribution_replay(spark, sf_dir):
     }
     assert got == {k: (n, c / 100.0) for k, (n, c) in expect.items()}
     assert set(got) >= {"direct"} or len(got) > 1
+
+
+def test_zipf_slope_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import text as textops
+
+    freq = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        freq.update(t for t in r.text.lower().split() if t)
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    pts = [
+        (int(round(math.log(i + 1) * 1e6)), int(round(math.log(c) * 1e6)))
+        for i, (_, c) in enumerate(top)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    num, den = float(n) * sxy - float(sx) * sy, float(n) * sxx - float(sx) * sx
+    slope = num / den
+    row = textops.zipf_slope(spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert row.slope_micro == math.floor(slope * 1e6)
+    assert row.intercept_micro == math.floor((sy - slope * sx) / n)
+    # natural-ish corpus: slope should be clearly negative
+    assert row.slope_micro < -100_000
+
+
+def test_lang_source_mi_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    cells = Counter((r.lang, r.source) for r in docs)
+    lm = Counter(r.lang for r in docs)
+    sm = Counter(r.source for r in docs)
+    n = len(docs)
+    expect = {}
+    for (lang, src), c in cells.items():
+        r_, s_ = lm[lang], sm[src]
+        pmi = int(round(math.log(c * n / (r_ * s_)) * 1e6))
+        expect[(lang, src)] = (c, (r_ * s_) // n, pmi, c * pmi)
+    got = {
+        (r.lang, r.source): (r.c, r.expected, r.pmi_micro, r.mi_contrib_micro)
+        for r in mlmetrics.lang_source_mi(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # total MI over N docs must be non-negative up to quantization
+    assert sum(v[3] for v in expect.values()) >= -len(expect)
