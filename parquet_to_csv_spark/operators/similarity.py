@@ -1356,3 +1356,99 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("share_ppm", F.expr("n_vectors * 1000000 div n_total"))
         .drop("n_total")
     )
+
+
+def embedding_dim_correlation(
+    spark: SparkSession, sf_dir: str, n_dims: int = 16
+) -> DataFrame:
+    """EXT E214: Pearson correlation matrix of the first ``n_dims``
+    embedding dimensions — the redundancy audit before dimensionality
+    reduction / Matryoshka truncation (highly correlated dims ⇒ the
+    vector wastes capacity; near-diagonal ⇒ truncation is safe).
+
+    Spark-first shape: ALL d·(d+3)/2 sufficient statistics (per-dim
+    sum + sum-of-squares, per-pair cross product) are computed in ONE
+    global aggregate over one scan — pure map-side partial aggregation,
+    a single 1-row reduce, then a ``stack`` unpivot to (d1, d2, corr)
+    rows. No explode (which would shuffle N·d² rows), no self-join.
+
+    Determinism: components quantize to exact 1e-4-grid longs per row
+    (|x| < 1 ⇒ q ≤ 1e4, products ≤ 1e8 — long sums exact to ~1e10
+    rows; widen to decimal past that), so every sufficient statistic
+    is an exact long; each correlation is one fixed IEEE pipeline over
+    those longs (identical expression text in the oracle), floored to
+    micro-units.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        F.expr(f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * 10000) AS BIGINT)").alias(
+            f"q{i}"
+        )
+        for i in range(n_dims)
+    ]
+    base = emb.select(*q)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(n_dims):
+        aggs.append(F.sum(F.col(f"q{i}")).alias(f"s{i}"))
+        aggs.append(F.sum(F.col(f"q{i}") * F.col(f"q{i}")).alias(f"s{i}_{i}"))
+    for i in range(n_dims):
+        for j in range(i + 1, n_dims):
+            aggs.append(F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"s{i}_{j}"))
+    stats = base.agg(*aggs)
+    pair_exprs = []
+    for i in range(n_dims):
+        for j in range(i + 1, n_dims):
+            num = (
+                f"(CAST(n AS DOUBLE) * CAST(s{i}_{j} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+            )
+            den = (
+                f"sqrt((CAST(n AS DOUBLE) * CAST(s{i}_{i} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(s{j}_{j} AS DOUBLE)"
+                f" - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)))"
+            )
+            pair_exprs.append(
+                f"{i}L, {j}L, CAST(floor({num} / {den} * 1000000.0) AS BIGINT)"
+            )
+    n_pairs = len(pair_exprs)
+    stacked = ", ".join(pair_exprs)
+    return stats.selectExpr(
+        f"stack({n_pairs}, {stacked}) AS (d1, d2, corr_micro)"
+    )
+
+
+def mrr_label_match(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """EXT E215: Mean-reciprocal-rank inputs for the cosine retriever
+    against label-match relevance — the first-hit sibling of
+    NDCG (E?); per query: the rank of the first same-label candidate
+    in the top-k and its reciprocal rank in exact micro-units
+    (``1e6 div rank`` — pure integer division, nothing to flip).
+
+    Rides the gate-verified :func:`cosine_topk` ranking and two tiny
+    broadcast label lookups — no new shuffle beyond the ranking's own.
+    """
+    ranked = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_lab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    c_lab = emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label"))
+    return (
+        ranked.join(F.broadcast(q_lab), "query_id")
+        .join(c_lab, "cand_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.min(
+                F.when(F.col("q_label") == F.col("c_label"), F.col("rnk"))
+            ).alias("first_rel_rank")
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "first_rel_rank",
+            F.coalesce(
+                F.expr("1000000 div first_rel_rank"), F.lit(0)
+            ).alias("rr_micro"),
+        )
+    )

@@ -5959,3 +5959,76 @@ SELECT lang, source, c,
                 AS BIGINT) AS mi_contrib_micro
 FROM cells JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN nn
 """
+
+# --------------------------------------------------------------------------
+# EXT E214-E215 — embedding dim correlation, MRR retrieval metric
+# --------------------------------------------------------------------------
+
+QUERIES["embedding_dim_correlation"] = similarity.embedding_dim_correlation
+
+
+def _dimcorr_oracle(n_dims: int = 16) -> str:
+    qs = ", ".join(
+        f"CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 10000) AS BIGINT) AS q{i}"
+        for i in range(n_dims)
+    )
+    aggs = ["count(*) AS n"]
+    for i in range(n_dims):
+        aggs.append(f"sum(q{i}) AS s{i}")
+        aggs.append(f"sum(q{i} * q{i}) AS s{i}_{i}")
+    for i in range(n_dims):
+        for j in range(i + 1, n_dims):
+            aggs.append(f"sum(q{i} * q{j}) AS s{i}_{j}")
+    rows = []
+    for i in range(n_dims):
+        for j in range(i + 1, n_dims):
+            num = (
+                f"(CAST(n AS DOUBLE) * CAST(s{i}_{j} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+            )
+            den = (
+                f"sqrt((CAST(n AS DOUBLE) * CAST(s{i}_{i} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(s{j}_{j} AS DOUBLE)"
+                f" - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)))"
+            )
+            rows.append(
+                f"SELECT CAST({i} AS BIGINT) AS d1, CAST({j} AS BIGINT) AS d2,"
+                f" CAST(floor({num} / {den} * 1000000.0) AS BIGINT) AS corr_micro"
+                f" FROM s"
+            )
+    union = "\nUNION ALL\n".join(rows)
+    return (
+        f"WITH base AS (SELECT {qs} FROM embeddings),\n"
+        f"s AS (SELECT {', '.join(aggs)} FROM base)\n" + union
+    )
+
+
+ORACLES["embedding_dim_correlation"] = _dimcorr_oracle()
+
+QUERIES["mrr_label_match"] = similarity.mrr_label_match
+ORACLES["mrr_label_match"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb, label AS c_label
+  FROM embeddings
+), scored AS (
+  SELECT query_id, q_label, cand_id, c_label,
+         {_duck_cos('q_emb', 'c_emb')} AS sim
+  FROM q JOIN c ON query_id <> cand_id
+), ranked AS (
+  SELECT query_id, q_label, c_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cand_id ASC) AS rnk
+  FROM scored
+), topk AS (
+  SELECT * FROM ranked WHERE rnk <= 10
+)
+SELECT query_id, q_label,
+       min(CASE WHEN q_label = c_label THEN rnk END) AS first_rel_rank,
+       coalesce(1000000 // min(CASE WHEN q_label = c_label THEN rnk END), 0)
+         AS rr_micro
+FROM topk GROUP BY 1, 2
+"""

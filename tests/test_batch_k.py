@@ -163,3 +163,55 @@ def test_lang_source_mi_replay(spark, sf_dir):
     assert got == expect
     # total MI over N docs must be non-negative up to quantization
     assert sum(v[3] for v in expect.values()) >= -len(expect)
+
+
+def test_embedding_dim_correlation_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import similarity
+
+    vecs = [
+        [int(round(float(x) * 10000)) for x in r.embedding[:16]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    ]
+    n = len(vecs)
+    expect = {}
+    for i in range(16):
+        for j in range(i + 1, 16):
+            si = sum(v[i] for v in vecs)
+            sj = sum(v[j] for v in vecs)
+            sii = sum(v[i] * v[i] for v in vecs)
+            sjj = sum(v[j] * v[j] for v in vecs)
+            sij = sum(v[i] * v[j] for v in vecs)
+            num = float(n) * sij - float(si) * sj
+            den = math.sqrt(
+                (float(n) * sii - float(si) * si) * (float(n) * sjj - float(sj) * sj)
+            )
+            expect[(i, j)] = math.floor(num / den * 1e6)
+    got = {
+        (r.d1, r.d2): r.corr_micro
+        for r in similarity.embedding_dim_correlation(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) == 120
+
+
+def test_mrr_label_match_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    topk = similarity.cosine_topk(spark, sf_dir, n_queries=5, k=10).collect()
+    emb = {r.vec_id: r.label for r in load_table(spark, sf_dir, "embeddings").collect()}
+    first: dict = {}
+    for r in topk:
+        if emb[r.query_id] == emb[r.cand_id]:
+            cur = first.get(r.query_id)
+            first[r.query_id] = min(cur, r.rnk) if cur else r.rnk
+    got = {
+        r.query_id: (r.q_label, r.first_rel_rank, r.rr_micro)
+        for r in similarity.mrr_label_match(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(5))
+    for qid, (qlab, frr, rr) in got.items():
+        assert qlab == emb[qid]
+        assert frr == first.get(qid)
+        assert rr == (1_000_000 // frr if frr else 0)
