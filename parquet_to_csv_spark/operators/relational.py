@@ -1776,3 +1776,40 @@ def return_rate_leaders(
         .orderBy(F.desc("return_ppm"), F.asc("l_partkey"))
         .limit(k)
     )
+
+
+def dead_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E217: dead-stock report — per brand, how many parts had NO
+    shipment in the trailing 90 days of the dataset (inventory the
+    warehouse is still carrying but nobody buys; the slow-mover audit
+    of every retail/supply-chain deployment).
+
+    The anchor date is the global ``max(l_shipdate)`` computed INSIDE
+    the plan (1-row broadcast, no driver action — the lesson of the
+    round-1 ivf count() defect); "recently shipped" partkeys come from
+    one filtered scan distinct'd to part cardinality; dead = LEFT ANTI
+    against that set, so the fact table streams through exactly once
+    and nothing quadratic exists.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    anchor = li.agg(F.max("l_shipdate").alias("max_ship"))
+    recent = (
+        li.crossJoin(F.broadcast(anchor))
+        .filter(F.col("l_shipdate") >= F.col("max_ship") - F.expr("INTERVAL 90 DAYS"))
+        .select("l_partkey")
+        .distinct()
+    )
+    dead = part.join(
+        recent, part.p_partkey == recent.l_partkey, "left_anti"
+    ).groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_dead"))
+    tot = part.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+    return (
+        tot.join(dead, "p_brand", "left")
+        .select(
+            "p_brand",
+            "n_parts",
+            F.coalesce("n_dead", F.lit(0)).alias("n_dead"),
+            F.expr("coalesce(n_dead, 0) * 1000000 div n_parts").alias("dead_ppm"),
+        )
+    )

@@ -1452,3 +1452,51 @@ def mrr_label_match(
             ).alias("rr_micro"),
         )
     )
+
+
+def ivf_nprobe_sweep(
+    spark: SparkSession, sf_dir: str, k: int = 5, probes: tuple = (1, 2, 4)
+) -> DataFrame:
+    """EXT E216: IVF recall-vs-cost curve — recall@k against the exact
+    retriever at nprobe ∈ {1, 2, 4}, the tuning table every ANN
+    deployment produces before fixing its index parameters (FAISS's
+    nprobe sweep, as one gate-checked relational query).
+
+    Each probe level reuses the verified :func:`ivf_topk` plan; the
+    exact baseline is computed ONCE and joined against each level.
+    Rows: (nprobe, n_hits, n_expected, recall_ppm) — recall must be
+    non-decreasing in nprobe by construction (supersets of cells), so
+    the oracle double-checks the monotonicity the unit test asserts.
+
+    Scale: the sweep multiplies query-side cost only (bounded query
+    contract); the candidate scan is shared per level and pruned to
+    nprobe/n_cells of the table — the whole point of the curve.
+    """
+    exact = cosine_topk(spark, sf_dir, k=k).select(
+        "query_id", F.col("cand_id").alias("e_cand")
+    )
+    levels = []
+    for np_ in probes:
+        approx = ivf_topk(spark, sf_dir, k=k, nprobe=np_).select(
+            "query_id", F.col("cand_id").alias("a_cand")
+        )
+        hits = exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (F.col("e_cand") == F.col("a_cand")),
+            "left",
+        ).agg(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.sum(F.col("a_cand").isNotNull().cast("long")).alias("n_hits"),
+            F.count(F.lit(1)).alias("n_expected"),
+        )
+        levels.append(hits)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out.select(
+        "nprobe",
+        "n_hits",
+        "n_expected",
+        F.expr("n_hits * 1000000 div n_expected").alias("recall_ppm"),
+    )

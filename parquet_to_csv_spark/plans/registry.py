@@ -6032,3 +6032,89 @@ SELECT query_id, q_label,
          AS rr_micro
 FROM topk GROUP BY 1, 2
 """
+
+# --------------------------------------------------------------------------
+# EXT E216-E217 — IVF nprobe sweep, dead-stock report
+# --------------------------------------------------------------------------
+
+QUERIES["ivf_nprobe_sweep"] = similarity.ivf_nprobe_sweep
+
+
+def _ivf_sweep_oracle(probes=(1, 2, 4), k=5) -> str:
+    shared = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16
+), asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos('e.embedding', 'c.cent_emb')} DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), probe_rank AS (
+  SELECT query_id, q_emb, cell, rn FROM (
+    SELECT q.query_id, q.q_emb, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_duck_cos('q.q_emb', 'c.cent_emb')} DESC, c.cell_id ASC
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {max(probes)}
+), exact AS (
+  SELECT query_id, e_cand FROM (
+    SELECT qq.query_id, c.vec_id AS e_cand,
+           row_number() OVER (
+             PARTITION BY qq.query_id
+             ORDER BY {_duck_cos('qq.q_emb', 'c.embedding')} DESC, c.vec_id ASC
+           ) AS rnk
+    FROM q qq JOIN embeddings c ON qq.query_id <> c.vec_id
+  ) WHERE rnk <= {k}
+)"""
+    levels = []
+    for np_ in probes:
+        levels.append(f"""
+SELECT CAST({np_} AS BIGINT) AS nprobe,
+       (SELECT count(*) FROM exact e JOIN (
+          SELECT query_id, cand_id FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   row_number() OVER (
+                     PARTITION BY p.query_id
+                     ORDER BY {_duck_cos('p.q_emb', 'a.embedding')} DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM probe_rank p JOIN asg a ON p.cell = a.cell
+            WHERE p.query_id <> a.vec_id AND p.rn <= {np_}
+          ) WHERE rnk <= {k}
+        ) a ON e.query_id = a.query_id AND e.e_cand = a.cand_id) AS n_hits,
+       (SELECT count(*) FROM exact) AS n_expected""")
+    body = "\nUNION ALL\n".join(levels)
+    return (
+        shared
+        + f"\nSELECT nprobe, n_hits, n_expected,"
+        f" n_hits * 1000000 // n_expected AS recall_ppm FROM ({body})"
+    )
+
+
+ORACLES["ivf_nprobe_sweep"] = _ivf_sweep_oracle()
+
+QUERIES["dead_stock_parts"] = relational.dead_stock_parts
+ORACLES["dead_stock_parts"] = """
+WITH anchor AS (
+  SELECT max(l_shipdate) AS max_ship FROM lineitem
+), recent AS (
+  SELECT DISTINCT l_partkey FROM lineitem, anchor
+  WHERE l_shipdate >= max_ship - INTERVAL 90 DAY
+), dead AS (
+  SELECT p_brand, count(*) AS n_dead FROM part
+  WHERE p_partkey NOT IN (SELECT l_partkey FROM recent)
+  GROUP BY 1
+), tot AS (
+  SELECT p_brand, count(*) AS n_parts FROM part GROUP BY 1
+)
+SELECT t.p_brand, t.n_parts, coalesce(d.n_dead, 0) AS n_dead,
+       coalesce(d.n_dead, 0) * 1000000 // t.n_parts AS dead_ppm
+FROM tot t LEFT JOIN dead d USING (p_brand)
+"""

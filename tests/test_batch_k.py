@@ -215,3 +215,44 @@ def test_mrr_label_match_replay(spark, sf_dir):
         assert qlab == emb[qid]
         assert frr == first.get(qid)
         assert rr == (1_000_000 // frr if frr else 0)
+
+
+def test_ivf_nprobe_sweep_monotone(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    rows = sorted(
+        similarity.ivf_nprobe_sweep(spark, sf_dir).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    recalls = [r.recall_ppm for r in rows]
+    # supersets of probed cells can only improve recall
+    assert recalls == sorted(recalls)
+    assert all(r.n_expected == rows[0].n_expected for r in rows)
+    assert all(r.recall_ppm == r.n_hits * 1_000_000 // r.n_expected for r in rows)
+    # full-probe level should retrieve at least half the exact set
+    assert recalls[-1] >= 500_000
+
+
+def test_dead_stock_parts_replay(spark, sf_dir):
+    import datetime
+
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate").collect()
+    mx = max(r.l_shipdate for r in li)
+    cutoff = mx - datetime.timedelta(days=90)
+    recent = {r.l_partkey for r in li if r.l_shipdate >= cutoff}
+    parts = load_table(spark, sf_dir, "part").collect()
+    tot: dict = defaultdict(int)
+    dead: dict = defaultdict(int)
+    for p in parts:
+        tot[p.p_brand] += 1
+        if p.p_partkey not in recent:
+            dead[p.p_brand] += 1
+    got = {
+        r.p_brand: (r.n_parts, r.n_dead, r.dead_ppm)
+        for r in relational.dead_stock_parts(spark, sf_dir).collect()
+    }
+    assert got == {
+        b: (tot[b], dead[b], dead[b] * 1_000_000 // tot[b]) for b in tot
+    }
