@@ -1034,3 +1034,58 @@ def lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"c * {pmi}").alias("mi_contrib_micro"),
         )
     )
+
+
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E218: winsorization report — per event type, the P1/P99
+    clip thresholds and what clipping at them would do (rows clipped
+    each side, excess mass removed, winsorized total) — the
+    outlier-capping prep step run before any mean-based model feature
+    is trusted.
+
+    Two-pass shape (the robust_outliers pattern): thresholds are
+    selected ORDER STATISTICS of exact cents (explicit floor((n−1)·p)
+    index — engine-literal semantics, nothing interpolated), computed
+    on a tiny per-type relation and broadcast back; the second scan is
+    one conditional aggregate. Everything is exact integer cents, so
+    the report composes: winsorized_sum = raw_sum − excess_lo −
+    excess_hi, which the pytest asserts.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", exact_units(F.col("value"), 2).alias("cents")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+
+    def pick(p: str, alias: str):
+        idx = f"CAST(floor(CAST(n - 1 AS DOUBLE) * {p}) AS BIGINT) + 1"
+        return F.expr(f"max(CASE WHEN rn = {idx} THEN cents END)").alias(alias)
+
+    thr = ranked.groupBy("event_type").agg(pick("0.01", "lo"), pick("0.99", "hi"))
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lo").alias("lo_cents"),
+            F.max("hi").alias("hi_cents"),
+            F.sum((F.col("cents") < F.col("lo")).cast("long")).alias("n_clipped_lo"),
+            F.sum((F.col("cents") > F.col("hi")).cast("long")).alias("n_clipped_hi"),
+            F.sum(
+                F.when(F.col("cents") < F.col("lo"), F.col("lo") - F.col("cents"))
+                .otherwise(F.lit(0))
+            ).alias("excess_lo_cents"),
+            F.sum(
+                F.when(F.col("cents") > F.col("hi"), F.col("cents") - F.col("hi"))
+                .otherwise(F.lit(0))
+            ).alias("excess_hi_cents"),
+            F.sum(
+                F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo"))
+            ).alias("winsorized_sum_cents"),
+        )
+    )

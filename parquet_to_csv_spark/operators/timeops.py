@@ -1510,3 +1510,47 @@ def last_touch_attribution(
             (F.sum("cents") / F.lit(100.0)).alias("revenue"),
         )
     )
+
+
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E219: next-step predictability — per from-type, the Shannon
+    entropy of the next-event distribution (micro-nats) plus the modal
+    next step. Low entropy ⇒ the journey is deterministic (good for
+    prefetching / next-action models); high ⇒ the Markov LM adds
+    nothing over marginals. Composes the verified transition counts
+    with the user_event_entropy exactness convention: per-cell
+    ``round(−ln(c/t)·1e6)`` BEFORE the weighted sum, floored integer
+    division — no float aggregate anywhere.
+    """
+    trans = event_transition_matrix(spark, sf_dir)
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("t"),
+        F.count(F.lit(1)).alias("n_to_types"),
+        F.max("n_transitions").alias("mx"),
+    )
+    j = trans.join(F.broadcast(tot), "from_type")
+    ent = j.groupBy("from_type").agg(
+        F.max("t").alias("n_transitions"),
+        F.max("n_to_types").alias("n_to_types"),
+        F.sum(
+            F.expr(
+                "n_transitions * CAST(round(ln(CAST(n_transitions AS DOUBLE)"
+                " / CAST(t AS DOUBLE)) * -1000000, 0) AS BIGINT)"
+            )
+        ).alias("sum_units"),
+    )
+    mode = (
+        j.filter(F.col("n_transitions") == F.col("mx"))
+        .groupBy("from_type")
+        .agg(F.min("to_type").alias("mode_to_type"))
+    )
+    return (
+        ent.join(F.broadcast(mode), "from_type")
+        .select(
+            "from_type",
+            "n_transitions",
+            "n_to_types",
+            "mode_to_type",
+            F.expr("sum_units div n_transitions").alias("entropy_micro"),
+        )
+    )

@@ -6118,3 +6118,68 @@ SELECT t.p_brand, t.n_parts, coalesce(d.n_dead, 0) AS n_dead,
        coalesce(d.n_dead, 0) * 1000000 // t.n_parts AS dead_ppm
 FROM tot t LEFT JOIN dead d USING (p_brand)
 """
+
+# --------------------------------------------------------------------------
+# EXT E218-E219 — winsorization report, transition entropy
+# --------------------------------------------------------------------------
+
+QUERIES["winsorize_values"] = mlmetrics.winsorize_values
+ORACLES["winsorize_values"] = f"""
+WITH e AS (
+  SELECT event_type, {duck_units("value", 2)} AS cents FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+), thr AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.01) AS BIGINT) + 1
+                  THEN cents END) AS lo,
+         max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1
+                  THEN cents END) AS hi
+  FROM ranked GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_events,
+       max(lo) AS lo_cents, max(hi) AS hi_cents,
+       sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS n_clipped_lo,
+       sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS n_clipped_hi,
+       sum(CASE WHEN cents < lo THEN lo - cents ELSE 0 END) AS excess_lo_cents,
+       sum(CASE WHEN cents > hi THEN cents - hi ELSE 0 END) AS excess_hi_cents,
+       sum(greatest(least(cents, hi), lo)) AS winsorized_sum_cents
+FROM e JOIN thr ON e.event_type = thr.event_type
+GROUP BY 1
+"""
+
+QUERIES["transition_entropy"] = timeops.transition_entropy
+ORACLES["transition_entropy"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+), trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) AS to_type
+  FROM e
+), c AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM trans WHERE to_type IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT from_type, sum(n_transitions) AS t, count(*) AS n_to_types,
+         max(n_transitions) AS mx
+  FROM c GROUP BY 1
+), ent AS (
+  SELECT c.from_type, max(t.t) AS n_transitions, max(t.n_to_types) AS n_to_types,
+         sum(c.n_transitions
+             * CAST(round(ln(CAST(c.n_transitions AS DOUBLE)
+                            / CAST(t.t AS DOUBLE)) * -1000000, 0) AS BIGINT))
+           AS sum_units
+  FROM c JOIN t ON c.from_type = t.from_type GROUP BY 1
+), md AS (
+  SELECT c.from_type, min(c.to_type) AS mode_to_type
+  FROM c JOIN t ON c.from_type = t.from_type AND c.n_transitions = t.mx
+  GROUP BY 1
+)
+SELECT ent.from_type, ent.n_transitions, ent.n_to_types, md.mode_to_type,
+       ent.sum_units // ent.n_transitions AS entropy_micro
+FROM ent JOIN md ON ent.from_type = md.from_type
+"""

@@ -256,3 +256,76 @@ def test_dead_stock_parts_replay(spark, sf_dir):
     assert got == {
         b: (tot[b], dead[b], dead[b] * 1_000_000 // tot[b]) for b in tot
     }
+
+
+def test_winsorize_values_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    groups: dict = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(_cents(r.value))
+    expect = {}
+    for t, cs in groups.items():
+        cs.sort()
+        n = len(cs)
+        lo = cs[math.floor((n - 1) * 0.01)]
+        hi = cs[math.floor((n - 1) * 0.99)]
+        expect[t] = (
+            n, lo, hi,
+            sum(1 for c in cs if c < lo),
+            sum(1 for c in cs if c > hi),
+            sum(lo - c for c in cs if c < lo),
+            sum(c - hi for c in cs if c > hi),
+            sum(max(min(c, hi), lo) for c in cs),
+        )
+    got = {
+        r.event_type: (
+            r.n_events, r.lo_cents, r.hi_cents, r.n_clipped_lo, r.n_clipped_hi,
+            r.excess_lo_cents, r.excess_hi_cents, r.winsorized_sum_cents,
+        )
+        for r in mlmetrics.winsorize_values(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # exact-cents bookkeeping must compose: wins = raw + excess_lo - excess_hi
+    for t, cs in groups.items():
+        raw = sum(cs)
+        n, lo, hi, ncl, nch, elo, ehi, ws = got[t]
+        assert ws == raw + elo - ehi
+        assert ncl > 0 and nch > 0  # P1/P99 on 2k rows must clip something
+
+
+def test_transition_entropy_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    seqs: dict = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.ts // 1000, r.event_id, r.event_type))
+    cells: Counter = Counter()
+    for rows in seqs.values():
+        rows.sort()
+        for a, b in zip(rows, rows[1:]):
+            cells[(a[2], b[2])] += 1
+    expect = {}
+    by_from: dict = defaultdict(dict)
+    for (f, t), c in cells.items():
+        by_from[f][t] = c
+    for f, tos in by_from.items():
+        t_ = sum(tos.values())
+        units = sum(
+            c * int(round(math.log(c / t_) * -1e6)) for c in tos.values()
+        )
+        mx = max(tos.values())
+        mode = min(t for t, c in tos.items() if c == mx)
+        expect[f] = (t_, len(tos), mode, units // t_)
+    got = {
+        r.from_type: (r.n_transitions, r.n_to_types, r.mode_to_type, r.entropy_micro)
+        for r in tops.transition_entropy(spark, sf_dir).collect()
+    }
+    assert got == expect
