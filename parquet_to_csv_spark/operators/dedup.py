@@ -1195,3 +1195,44 @@ def canonical_quality_gap(
             F.expr("(best_nt - canon_nt) * 1000000 div best_nt").alias("gap_ppm"),
         )
     )
+
+
+def survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E221: golden-record survivorship merge — for every
+    TOKEN-SET duplicate cluster (docs whose distinct-token bags are
+    identical: the same content modulo word order and repetition — one
+    tier looser than the normalization fingerprint, one tier stricter
+    than Jaccard near-dup), emit ONE merged record applying explicit
+    survivorship rules: keep the lowest doc_id as canonical, the
+    richest content length, the union of sources (sorted, so the value
+    — and the gate hash — is deterministic), and the language count as
+    a conflict flag. The master-data-management step that runs right
+    after dedup: dedup says "these collapse", survivorship says what
+    the surviving row IS.
+
+    One hash aggregation on the fingerprint — the same single exchange
+    exact dedup pays; collect_set stays bounded by cluster size (a
+    hot template would be capped upstream by E201's size histogram).
+    The fingerprint is md5 of the sorted distinct token list — an
+    order-canonical key both engines compute identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(tokens_col("text"))), " "))
+    return (
+        docs.select(
+            fp.alias("fingerprint"),
+            "doc_id",
+            "n_chars",
+            "lang",
+            "source",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("n_chars").alias("best_n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -1089,3 +1089,70 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_sum_cents"),
         )
     )
+
+
+def poisson_bootstrap_ci(
+    spark: SparkSession, sf_dir: str, n_replicates: int = 32
+) -> DataFrame:
+    """EXT E220: bootstrap confidence interval for the mean value per
+    event type via the POISSON BOOTSTRAP — the only bootstrap that
+    works on a distributed scan (classic resampling needs n draws from
+    a shuffled global set; Poisson(1) per-row weights need one
+    stateless pass, which is why it's the standard at web scale).
+
+    Each (row, replicate) weight is a capped inverse-CDF Poisson(1)
+    draw from a DETERMINISTIC md5 bucket of (event_id, replicate) —
+    reproducible across engines, partition counts, and cluster shapes
+    (same reason deterministic_sample shuns rand()). Replicate means
+    are exact-cents floored averages; the CI bounds are selected order
+    statistics of the 32 replicate means (daily_value_bands
+    convention) — nothing interpolated, nothing float-summed.
+
+    Plan: the replicate explode is pipelined straight into a map-side
+    partial aggregate (never materialized), the exchange carries
+    |types|·B rows, and the CI window runs over B=32 rows per type.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", exact_units(F.col("value"), 2).alias("cents")
+    )
+    reps = ev.select(
+        "event_type",
+        "cents",
+        F.explode(F.expr(f"sequence(0, {n_replicates - 1})")).alias("b"),
+        "event_id",
+    )
+    u = md5_bucket(
+        F.col("event_id") * F.lit(n_replicates) + F.col("b"), 10000
+    )
+    # Poisson(1) inverse CDF at 1e-4 grid, capped at 4:
+    # P(0)=.3679 P(<=1)=.7358 P(<=2)=.9197 P(<=3)=.9810
+    weight = (
+        F.when(u < 3679, 0)
+        .when(u < 7358, 1)
+        .when(u < 9197, 2)
+        .when(u < 9810, 3)
+        .otherwise(4)
+    )
+    rep_means = (
+        reps.select("event_type", "b", (weight * F.col("cents")).alias("wc"), weight.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(F.sum("w").alias("n_eff"), F.sum("wc").alias("sum_cents"))
+        .select(
+            "event_type",
+            "b",
+            F.expr("(sum_cents * 100) div n_eff").alias("mean_units"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("event_type").orderBy("mean_units", "b")
+    ranked = rep_means.withColumn("rn", F.row_number().over(w_rank))
+    lo_idx = int((n_replicates - 1) * 0.025) + 1
+    hi_idx = int((n_replicates - 1) * 0.975) + 1
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.expr(f"max(CASE WHEN rn = {lo_idx} THEN mean_units END)").alias("lo_mean_units"),
+        F.expr(f"max(CASE WHEN rn = {hi_idx} THEN mean_units END)").alias("hi_mean_units"),
+    )

@@ -6183,3 +6183,51 @@ SELECT ent.from_type, ent.n_transitions, ent.n_to_types, md.mode_to_type,
        ent.sum_units // ent.n_transitions AS entropy_micro
 FROM ent JOIN md ON ent.from_type = md.from_type
 """
+
+# --------------------------------------------------------------------------
+# EXT E220-E221 — Poisson bootstrap CI, survivorship merge
+# --------------------------------------------------------------------------
+
+QUERIES["poisson_bootstrap_ci"] = mlmetrics.poisson_bootstrap_ci
+_PB_U = corpus.duck_md5_bucket("event_id * 32 + b", 10000)
+ORACLES["poisson_bootstrap_ci"] = f"""
+WITH reps AS (
+  SELECT event_type, {duck_units("value", 2)} AS cents, event_id,
+         unnest(generate_series(0, 31)) AS b
+  FROM events
+), weighted AS (
+  SELECT event_type, b, cents,
+         CASE WHEN {_PB_U} < 3679 THEN 0
+              WHEN {_PB_U} < 7358 THEN 1
+              WHEN {_PB_U} < 9197 THEN 2
+              WHEN {_PB_U} < 9810 THEN 3
+              ELSE 4 END AS w
+  FROM reps
+), rep_means AS (
+  SELECT event_type, b,
+         (sum(w * cents) * 100) // sum(w) AS mean_units
+  FROM weighted GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, b, mean_units,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY mean_units, b) AS rn
+  FROM rep_means
+)
+SELECT event_type, count(*) AS n_replicates,
+       max(CASE WHEN rn = 1 THEN mean_units END) AS lo_mean_units,
+       max(CASE WHEN rn = 31 THEN mean_units END) AS hi_mean_units
+FROM ranked GROUP BY 1
+"""
+
+QUERIES["survivorship_merge"] = dedup.survivorship_merge
+ORACLES["survivorship_merge"] = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint,
+       count(*) AS n_members,
+       min(doc_id) AS canonical_id,
+       max(n_chars) AS best_n_chars,
+       count(DISTINCT lang) AS n_langs,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+FROM documents
+GROUP BY 1
+HAVING count(*) >= 2
+"""

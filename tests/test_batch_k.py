@@ -329,3 +329,72 @@ def test_transition_entropy_replay(spark, sf_dir):
         for r in tops.transition_entropy(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_poisson_bootstrap_ci_replay(spark, sf_dir):
+    import hashlib
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    def u(x: int) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:4], 16) % 10000
+
+    def w(x: int) -> int:
+        v = u(x)
+        for thr, wt in ((3679, 0), (7358, 1), (9197, 2), (9810, 3)):
+            if v < thr:
+                return wt
+        return 4
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    means: dict = defaultdict(dict)
+    for b in range(32):
+        acc: dict = defaultdict(lambda: [0, 0])
+        for r in ev:
+            wt = w(r.event_id * 32 + b)
+            acc[r.event_type][0] += wt
+            acc[r.event_type][1] += wt * _cents(r.value)
+        for t, (n_eff, s) in acc.items():
+            means[t][b] = (s * 100) // n_eff
+    expect = {}
+    for t, reps in means.items():
+        ordered = sorted(reps.items(), key=lambda kv: (kv[1], kv[0]))
+        expect[t] = (32, ordered[0][1], ordered[30][1])
+    got = {
+        r.event_type: (r.n_replicates, r.lo_mean_units, r.hi_mean_units)
+        for r in mlmetrics.poisson_bootstrap_ci(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # a CI must have width: identical bounds would mean the resampling is broken
+    assert all(lo < hi for _, lo, hi in got.values())
+
+
+def test_survivorship_merge_replay(spark, sf_dir):
+    import hashlib
+    import re
+
+    from parquet_to_csv_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    clusters: dict = defaultdict(list)
+    for r in docs:
+        toks = sorted({t for t in r.text.lower().split() if t})
+        fp = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        clusters[fp].append(r)
+    expect = {}
+    for fp, rows in clusters.items():
+        if len(rows) < 2:
+            continue
+        expect[fp] = (
+            len(rows),
+            min(r.doc_id for r in rows),
+            max(r.n_chars for r in rows),
+            len({r.lang for r in rows}),
+            ",".join(sorted({r.source for r in rows})),
+        )
+    got = {
+        r.fingerprint: (r.n_members, r.canonical_id, r.best_n_chars, r.n_langs, r.sources)
+        for r in dedup.survivorship_merge(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must contain at least one normalization-duplicate cluster"
