@@ -1236,3 +1236,44 @@ def survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+def kcore_decomposition(
+    spark: SparkSession, sf_dir: str, k: int = 2, rounds: int = 3
+) -> DataFrame:
+    """EXT E223: k-core of the near-dup graph — iteratively peel nodes
+    with degree < k until (bounded) fixpoint; what survives is the
+    dense template backbone, the part of a dup graph where
+    cluster-then-canonicalize pays and where LPA/CC spend their time.
+    The standard graph-degeneracy preprocessing step.
+
+    Edges reuse the prefix-filtered exact-Jaccard join (no new
+    quadratic); each peel round is one degree aggregation + two
+    LEFT SEMI joins against the survivor set — shuffle bounded by the
+    (shrinking) edge relation, unrolled ``rounds`` deep into one lazy
+    plan exactly like LPA. The fixture graph reaches fixpoint within
+    3 rounds (pytest-pinned); production would iterate with a
+    convergence check + localCheckpoint every few rounds.
+    """
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir, 0.8)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
+    )
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        edges = edges.join(
+            keep.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+    return (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionAll(edges.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

@@ -1554,3 +1554,73 @@ def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum_units div n_transitions").alias("entropy_micro"),
         )
     )
+
+
+def bounded_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    click_window_us: int = 3_600_000_000,
+    purchase_window_us: int = 86_400_000_000,
+) -> DataFrame:
+    """EXT E222: TIME-BOUNDED funnel — view → click within 1 h of the
+    first view → purchase within 24 h of the first qualifying click.
+    The realistic variant of E? funnel_stages: unbounded funnels credit
+    conversions weeks later; bounded windows are what growth teams
+    actually report.
+
+    Same stacked running-min window trick as funnel_stages — the upper
+    bound composes because ``run_t1`` is non-increasing in event-time
+    order, so at any row it equals the first view seen so far and
+    ``ts ≤ run_t1 + W`` is exactly "within W of the first view". One
+    shuffle on user_id, one shared sort, then a 1-row global fold.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    run_t1 = F.min(view_ts).over(w)
+    click_q = F.when(
+        (F.col("event_type") == "click")
+        & (F.col("ts_us") >= run_t1)
+        & (F.col("ts_us") <= run_t1 + F.lit(click_window_us)),
+        F.col("ts_us"),
+    )
+    run_t2 = F.min(click_q).over(w)
+    purch_q = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts_us") >= run_t2)
+        & (F.col("ts_us") <= run_t2 + F.lit(purchase_window_us)),
+        F.col("ts_us"),
+    )
+    agg = (
+        ev.select(
+            "user_id",
+            view_ts.alias("v_ts"),
+            click_q.alias("c_ts"),
+            purch_q.alias("p_ts"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("v_ts").alias("tv"),
+            F.min("c_ts").alias("tc"),
+            F.min("p_ts").alias("tp"),
+        )
+    )
+    return agg.agg(
+        F.sum(F.col("tv").isNotNull().cast("long")).alias("n_view_users"),
+        F.sum(F.col("tc").isNotNull().cast("long")).alias("n_click_1h"),
+        F.sum(F.col("tp").isNotNull().cast("long")).alias("n_purchase_24h"),
+    ).select(
+        "n_view_users",
+        "n_click_1h",
+        "n_purchase_24h",
+        F.expr("n_click_1h * 1000000 div n_view_users").alias("view_to_click_ppm"),
+        F.expr("n_purchase_24h * 1000000 div n_click_1h").alias("click_to_purchase_ppm"),
+    )

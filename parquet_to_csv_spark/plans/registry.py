@@ -6231,3 +6231,82 @@ FROM documents
 GROUP BY 1
 HAVING count(*) >= 2
 """
+
+# --------------------------------------------------------------------------
+# EXT E222-E223 — bounded funnel, k-core decomposition
+# --------------------------------------------------------------------------
+
+QUERIES["bounded_funnel"] = timeops.bounded_funnel
+ORACLES["bounded_funnel"] = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), staged AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'view' THEN ts_us END AS v_ts,
+         CASE WHEN event_type = 'click'
+                   AND ts_us >= min(CASE WHEN event_type = 'view' THEN ts_us END)
+                       OVER w
+                   AND ts_us <= min(CASE WHEN event_type = 'view' THEN ts_us END)
+                       OVER w + 3600000000
+              THEN ts_us END AS c_ts,
+         ts_us, event_type, event_id
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), staged2 AS (
+  SELECT user_id, v_ts, c_ts,
+         CASE WHEN event_type = 'purchase'
+                   AND ts_us >= min(c_ts) OVER w2
+                   AND ts_us <= min(c_ts) OVER w2 + 86400000000
+              THEN ts_us END AS p_ts
+  FROM staged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT user_id, min(v_ts) AS tv, min(c_ts) AS tc, min(p_ts) AS tp
+  FROM staged2 GROUP BY 1
+)
+SELECT sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS n_view_users,
+       sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS n_click_1h,
+       sum(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase_24h,
+       sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         // sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS view_to_click_ppm,
+       sum(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         // sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS click_to_purchase_ppm
+FROM agg
+"""
+
+QUERIES["kcore_decomposition"] = dedup.kcore_decomposition
+_KCORE_EDGES = f"""
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM (SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents) a
+  JOIN (SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents) b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+"""
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 3) -> str:
+    sql = f"WITH e0 AS ({_KCORE_EDGES})"
+    prev = "e0"
+    for r in range(rounds):
+        sql += f""",
+d{r} AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+  ) GROUP BY 1
+), k{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+e{r + 1} AS (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM k{r}) AND b IN (SELECT node FROM k{r})
+)"""
+        prev = f"e{r + 1}"
+    sql += f"""
+SELECT node AS doc_id, count(*) AS core_degree FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+) GROUP BY 1"""
+    return sql
+
+
+ORACLES["kcore_decomposition"] = _kcore_oracle()

@@ -398,3 +398,74 @@ def test_survivorship_merge_replay(spark, sf_dir):
     }
     assert got == expect
     assert expect, "fixture must contain at least one normalization-duplicate cluster"
+
+
+def test_bounded_funnel_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    CW, PW = 3_600_000_000, 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").collect()
+    seqs: dict = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.ts // 1000, r.event_id, r.event_type))
+    nv = nc = np_ = 0
+    for rows in seqs.values():
+        rows.sort()
+        tv = tc = tp = None
+        run_v = run_c = None
+        for tus, _, et in rows:
+            if et == "view":
+                if tv is None:
+                    tv = tus
+                run_v = tus if run_v is None else min(run_v, tus)
+            elif et == "click" and run_v is not None and run_v <= tus <= run_v + CW:
+                if tc is None:
+                    tc = tus
+                run_c = tus if run_c is None else min(run_c, tus)
+            elif (
+                et == "purchase"
+                and run_c is not None
+                and run_c <= tus <= run_c + PW
+                and tp is None
+            ):
+                tp = tus
+        nv += tv is not None
+        nc += tc is not None
+        np_ += tp is not None
+    row = tops.bounded_funnel(spark, sf_dir).collect()[0]
+    assert (row.n_view_users, row.n_click_1h, row.n_purchase_24h) == (nv, nc, np_)
+    assert row.view_to_click_ppm == nc * 1_000_000 // nv
+    assert row.click_to_purchase_ppm == np_ * 1_000_000 // nc
+    # bounded must be strictly tighter than the unbounded funnel
+    unb = timeops.funnel_stages(spark, sf_dir).collect()
+    n_stage3_unb = sum(1 for r in unb if r.stage == 3)
+    assert np_ <= n_stage3_unb
+
+
+def test_kcore_decomposition_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir, 0.8).collect()
+    }
+    cur = set(edges)
+    for _ in range(3):
+        deg: dict = defaultdict(int)
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= 2}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    expect: dict = defaultdict(int)
+    for a, b in cur:
+        expect[a] += 1
+        expect[b] += 1
+    got = {
+        r.doc_id: r.core_degree
+        for r in dedup.kcore_decomposition(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
+    # the peel must remove something relative to the raw graph, and keep a core
+    raw_nodes = {n for e in edges for n in e}
+    assert got and set(got) < raw_nodes
