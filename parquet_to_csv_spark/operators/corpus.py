@@ -1356,3 +1356,56 @@ def sampler_representativeness(
             "dev_ppm", F.col("samp_share_ppm") - F.col("pop_share_ppm")
         )
     )
+
+
+def quantile_normalize_lengths(
+    spark: SparkSession, sf_dir: str, n_parts: int = 8
+) -> DataFrame:
+    """EXT E224: cross-source quantile normalization of document
+    lengths — every doc's ``n_chars`` is replaced by the GLOBAL length
+    distribution's value at the doc's within-source quantile (type-1 /
+    lower order statistic). After it, every source has the same length
+    distribution — the microarray-normalization trick applied to the
+    "source A writes long docs, source B short" bias before sources
+    are mixed into one training corpus.
+
+    Mapping is pure integer index arithmetic: within-source rank r of
+    n_src values targets global 1-based index ``(r−1)·N div n_src + 1``
+    — exact in both engines. The global rank avoids the
+    single-task global-window trap via the sequence_packing two-phase
+    scan: range-partition by (n_chars, doc_id), local row_number per
+    partition + tiny per-partition offsets broadcast back; the final
+    equi-join on the target index shuffles on rank, not data order.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ranked_g = (
+        docs.repartitionByRange(n_parts, "n_chars", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid").orderBy("n_chars", "doc_id")
+    local = ranked_g.withColumn("lrn", F.row_number().over(w_local))
+    totals = local.groupBy("pid").agg(F.max("lrn").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    glob = local.join(F.broadcast(offsets), "pid").select(
+        (F.col("lrn") + F.col("off")).alias("grn"), F.col("n_chars").alias("g_chars")
+    )
+    src_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    per_doc = (
+        docs.withColumn("r", F.row_number().over(w_src))
+        .join(F.broadcast(src_n), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr("(r - 1) * n_tot div n_src + 1").alias("grn"),
+        )
+    )
+    return per_doc.join(glob, "grn").select(
+        "doc_id", "source", "n_chars", F.col("g_chars").alias("qn_chars")
+    )

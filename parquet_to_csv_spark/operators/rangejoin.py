@@ -258,3 +258,61 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_millis(cast(version_from as timestamp))").alias("version_from_ms"),
         )
     )
+
+
+def order_consolidation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E225: shipping-consolidation candidates — pairs of orders by
+    the SAME customer placed within one day of each other (orders a
+    warehouse would merge into one shipment; the working-capital lever
+    of fulfillment analytics).
+
+    The |Δdate| ≤ 1 day self-join uses the banded-bucket trick every
+    range join here uses: each order lands in its epoch-day band and
+    probes (band−1, band, band+1) — an EQUI-join on (custkey, band)
+    Catalyst hash-partitions, instead of the quadratic per-customer
+    inequality join. Within-band residual filter is exact integer ms.
+    Output: the pair, the day gap, and the combined value in exact
+    cents (what consolidating would ship together).
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_millis(cast(o_orderdate as timestamp))").alias("od_ms"),
+        exact_units(F.col("o_totalprice"), 2).alias("cents"),
+    )
+    a = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("od_ms").alias("ms_a"),
+        F.col("cents").alias("cents_a"),
+        F.expr("od_ms div 86400000").alias("band"),
+    )
+    b_base = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("od_ms").alias("ms_b"),
+        F.col("cents").alias("cents_b"),
+        F.expr("od_ms div 86400000").alias("bband"),
+    )
+    b = b_base.select(
+        "ck", "order_b", "ms_b", "cents_b",
+        F.explode(F.array(F.col("bband") - 1, F.col("bband"), F.col("bband") + 1)).alias("band"),
+    )
+    return (
+        a.join(b, ["ck", "band"])
+        .filter(
+            (F.col("order_a") < F.col("order_b"))
+            & (F.abs(F.col("ms_a") - F.col("ms_b")) <= F.lit(86400000))
+        )
+        .select(
+            F.col("ck").alias("o_custkey"),
+            "order_a",
+            "order_b",
+            F.expr("abs(ms_a - ms_b) div 86400000").alias("gap_days"),
+            ((F.col("cents_a") + F.col("cents_b")) / F.lit(100.0)).alias("combined_value"),
+        )
+        # no distinct needed: b's three probe bands are distinct values,
+        # so exactly one can equal a's band — each pair matches once.
+    )

@@ -6310,3 +6310,41 @@ SELECT node AS doc_id, count(*) AS core_degree FROM (
 
 
 ORACLES["kcore_decomposition"] = _kcore_oracle()
+
+# --------------------------------------------------------------------------
+# EXT E224-E225 — quantile normalization, order consolidation pairs
+# --------------------------------------------------------------------------
+
+QUERIES["quantile_normalize_lengths"] = corpus.quantile_normalize_lengths
+ORACLES["quantile_normalize_lengths"] = """
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+), g AS (
+  SELECT n_chars AS g_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS grn
+  FROM d
+), sn AS (
+  SELECT source, count(*) AS n_src FROM d GROUP BY 1
+), nt AS (
+  SELECT count(*) AS n_tot FROM d
+), per_doc AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         (row_number() OVER (PARTITION BY d.source ORDER BY d.n_chars, d.doc_id)
+          - 1) * nt.n_tot // sn.n_src + 1 AS grn
+  FROM d JOIN sn USING (source) CROSS JOIN nt
+)
+SELECT p.doc_id, p.source, p.n_chars, g.g_chars AS qn_chars
+FROM per_doc p JOIN g USING (grn)
+"""
+
+QUERIES["order_consolidation_pairs"] = rangejoin.order_consolidation_pairs
+ORACLES["order_consolidation_pairs"] = f"""
+SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       abs(epoch_ms(a.o_orderdate) - epoch_ms(b.o_orderdate)) // 86400000
+         AS gap_days,
+       ({duck_units("a.o_totalprice", 2)} + {duck_units("b.o_totalprice", 2)})
+         / 100.0 AS combined_value
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND abs(epoch_ms(a.o_orderdate) - epoch_ms(b.o_orderdate)) <= 86400000
+"""

@@ -469,3 +469,56 @@ def test_kcore_decomposition_replay(spark, sf_dir):
     # the peel must remove something relative to the raw graph, and keep a core
     raw_nodes = {n for e in edges for n in e}
     assert got and set(got) < raw_nodes
+
+
+def test_quantile_normalize_lengths_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    g = sorted((r.n_chars, r.doc_id) for r in docs)
+    n_tot = len(g)
+    by_src: dict = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append((r.n_chars, r.doc_id))
+    expect = {}
+    for src, rows in by_src.items():
+        rows.sort()
+        n_src = len(rows)
+        for i, (nc, did) in enumerate(rows):
+            grn = i * n_tot // n_src + 1
+            expect[did] = (src, nc, g[grn - 1][0])
+    got = {
+        r.doc_id: (r.source, r.n_chars, r.qn_chars)
+        for r in corpus.quantile_normalize_lengths(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # after normalization every source's distribution must span the
+    # global range (quantile mapping hits the global min at rank 1)
+    gmin = g[0][0]
+    for src in by_src:
+        assert min(q for d, (s, _, q) in got.items() if s == src) == gmin
+
+
+def test_order_consolidation_pairs_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import rangejoin
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    by_cust: dict = defaultdict(list)
+    for r in orders:
+        ms = int(r.o_orderdate.timestamp() * 1000)
+        by_cust[r.o_custkey].append((r.o_orderkey, ms, _cents(r.o_totalprice)))
+    expect = {}
+    for ck, rows in by_cust.items():
+        for i, (ka, ma, ca) in enumerate(rows):
+            for kb, mb, cb in rows:
+                if ka < kb and abs(ma - mb) <= 86_400_000:
+                    expect[(ck, ka, kb)] = (
+                        abs(ma - mb) // 86_400_000,
+                        (ca + cb) / 100.0,
+                    )
+    got = {
+        (r.o_custkey, r.order_a, r.order_b): (r.gap_days, r.combined_value)
+        for r in rangejoin.order_consolidation_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "fixture must contain same-customer orders within one day"
