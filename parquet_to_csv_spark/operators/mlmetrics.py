@@ -1156,3 +1156,71 @@ def poisson_bootstrap_ci(
         F.expr(f"max(CASE WHEN rn = {lo_idx} THEN mean_units END)").alias("lo_mean_units"),
         F.expr(f"max(CASE WHEN rn = {hi_idx} THEN mean_units END)").alias("hi_mean_units"),
     )
+
+
+def aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E226: A/A test calibration — split users into 10
+    hash-deterministic buckets, pair them (0|1, 2|3, …, 8|9), and run
+    the SAME two-proportion z-test the A/B readout uses on each null
+    pair. Under a correct harness ~5% of |z| should exceed 1.96; a
+    systematically hot A/A table means the unit of randomization or
+    the variance formula is wrong — the first thing a mature
+    experimentation platform checks, BEFORE any real experiment.
+
+    Per pair: exact long counts per arm, exact ppm rates, and the
+    pooled z in one fixed IEEE pipeline over the four longs (the
+    conversion_ztest convention). The metric is "the user's FIRST
+    event is an error" — a ~25% behavioral property that stays
+    unsaturated at every scale factor (every fixture user eventually
+    purchases, so ever-purchased would be p=1 and the z undefined —
+    degenerate or half-empty pairs are filtered like
+    conversion_ztest's). Buckets
+    come from md5, not rand() — reproducible on any cluster shape.
+    One aggregation by bucket (10 rows), then a 5-row self-pair —
+    nothing here scales with data size except the first scan.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(min_by(event_type, struct(ts, event_id)) = 'error' AS LONG)"
+        ).alias("converted")
+    )
+    buckets = users.select(
+        md5_bucket(F.col("user_id"), 10).cast("long").alias("bucket"), "converted"
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    a = buckets.filter(F.col("bucket") % 2 == 0).select(
+        F.expr("bucket div 2").alias("pair"),
+        F.col("n").alias("n1"),
+        F.col("x").alias("x1"),
+    )
+    b = buckets.filter(F.col("bucket") % 2 == 1).select(
+        F.expr("bucket div 2").alias("pair"),
+        F.col("n").alias("n2"),
+        F.col("x").alias("x2"),
+    )
+    z = (
+        "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+    )
+    return (
+        a.join(b, "pair")
+        .filter(F.expr("x1 + x2 > 0 AND x1 + x2 < n1 + n2"))
+        .select(
+            "pair",
+            "n1",
+            "x1",
+            "n2",
+            "x2",
+            F.expr("x1 * 1000000 div n1").alias("cvr1_ppm"),
+            F.expr("x2 * 1000000 div n2").alias("cvr2_ppm"),
+            F.expr(f"CAST(floor({z} * 1000.0) AS BIGINT)").alias("z_milli"),
+            (F.expr(f"abs({z})") > 1.96).cast("long").alias("false_positive"),
+        )
+    )

@@ -1500,3 +1500,54 @@ def ivf_nprobe_sweep(
         "n_expected",
         F.expr("n_hits * 1000000 div n_expected").alias("recall_ppm"),
     )
+
+
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E227: mutual-nearest-neighbor pairs — within each label
+    block, split vectors into two "sources" by vec_id parity and emit
+    the (even, odd) pairs that are EACH OTHER's nearest cross-source
+    neighbor. This is the margin-free core of bitext/parallel-corpus
+    mining (LASER/CCMatrix): mutuality is the cheap high-precision
+    filter that kills the hubness false positives a one-directional
+    top-1 match keeps.
+
+    Plan: cosine scoring within (label × parity-cross) blocks — the
+    same bounded-block quadratic contract as embedding_neardup_pairs
+    (at 100 TB the block key is an IVF cell / LSH bucket; SRP
+    sub-bucketing caps hot blocks, per E3). Each direction's argmax is
+    a ``max_by`` over the struct (sim, −id) — map-side-combining
+    aggregates, no window sort; mutuality is one equi-join of the two
+    tiny argmax relations.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "label"
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "label"
+    )
+    sim = (
+        dot_product(F.col("a_emb"), F.col("b_emb"))
+        / (l2_norm(F.col("a_emb")) * l2_norm(F.col("b_emb")))
+    ).alias("sim")
+    scored = a.join(b, "label").select("label", "a_id", "b_id", sim)
+    # argmax via max_by on (sim, -id): deterministic tie-break to the
+    # SMALLEST partner id, partial-aggregatable (no per-key sort).
+    nn_ab = scored.groupBy("a_id").agg(
+        F.expr("max_by(b_id, struct(sim, -b_id))").alias("nn_b"),
+        F.max("sim").alias("sim_ab"),
+    )
+    nn_ba = scored.groupBy("b_id").agg(
+        F.expr("max_by(a_id, struct(sim, -a_id))").alias("nn_a"),
+    )
+    return (
+        nn_ab.join(
+            nn_ba,
+            (nn_ab.nn_b == nn_ba.b_id) & (nn_ba.nn_a == nn_ab.a_id),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round("sim_ab", 6).alias("cosine"),
+        )
+    )

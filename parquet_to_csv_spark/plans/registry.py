@@ -6348,3 +6348,70 @@ FROM orders a JOIN orders b
   ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
  AND abs(epoch_ms(a.o_orderdate) - epoch_ms(b.o_orderdate)) <= 86400000
 """
+
+# --------------------------------------------------------------------------
+# EXT E226-E227 — A/A calibration, mutual nearest neighbors
+# --------------------------------------------------------------------------
+
+QUERIES["aa_test_calibration"] = mlmetrics.aa_test_calibration
+_AA_Z = (
+    "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+)
+ORACLES["aa_test_calibration"] = f"""
+WITH firsts AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS converted
+  FROM firsts WHERE rn = 1 GROUP BY 1
+), buckets AS (
+  SELECT {corpus.duck_md5_bucket("user_id", 10)} AS bucket,
+         count(*) AS n, sum(converted) AS x
+  FROM users GROUP BY 1
+), a AS (
+  SELECT bucket // 2 AS pair, n AS n1, x AS x1 FROM buckets WHERE bucket % 2 = 0
+), b AS (
+  SELECT bucket // 2 AS pair, n AS n2, x AS x2 FROM buckets WHERE bucket % 2 = 1
+)
+SELECT pair, n1, x1, n2, x2,
+       x1 * 1000000 // n1 AS cvr1_ppm,
+       x2 * 1000000 // n2 AS cvr2_ppm,
+       CAST(floor({_AA_Z} * 1000.0) AS BIGINT) AS z_milli,
+       CASE WHEN abs({_AA_Z}) > 1.96 THEN 1 ELSE 0 END AS false_positive
+FROM a JOIN b USING (pair)
+WHERE x1 + x2 > 0 AND x1 + x2 < n1 + n2
+"""
+
+QUERIES["mutual_nn_pairs"] = similarity.mutual_nn_pairs
+ORACLES["mutual_nn_pairs"] = f"""
+WITH a AS (
+  SELECT vec_id AS a_id, embedding AS a_emb, label FROM embeddings WHERE vec_id % 2 = 0
+), b AS (
+  SELECT vec_id AS b_id, embedding AS b_emb, label FROM embeddings WHERE vec_id % 2 = 1
+), scored AS (
+  SELECT a.label, a_id, b_id, {_duck_cos('a_emb', 'b_emb')} AS sim
+  FROM a JOIN b USING (label)
+), nn_ab AS (
+  SELECT a_id, b_id AS nn_b, sim AS sim_ab FROM (
+    SELECT a_id, b_id, sim,
+           row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), nn_ba AS (
+  SELECT b_id, a_id AS nn_a FROM (
+    SELECT b_id, a_id, sim,
+           row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT ab.a_id, ba.b_id, round(ab.sim_ab, 6) AS cosine
+FROM nn_ab ab JOIN nn_ba ba
+  ON ab.nn_b = ba.b_id AND ba.nn_a = ab.a_id
+"""

@@ -522,3 +522,88 @@ def test_order_consolidation_pairs_replay(spark, sf_dir):
     }
     assert got == expect
     assert got, "fixture must contain same-customer orders within one day"
+
+
+def test_aa_test_calibration_replay(spark, sf_dir):
+    import hashlib
+    import math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    firsts: dict = {}
+    for r in ev:
+        key = (r.ts, r.event_id)
+        if r.user_id not in firsts or key < firsts[r.user_id][0]:
+            firsts[r.user_id] = (key, r.event_type)
+    buckets: dict = defaultdict(lambda: [0, 0])
+    for uid, (_, et) in firsts.items():
+        b = int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 10
+        buckets[b][0] += 1
+        buckets[b][1] += et == "error"
+    expect = {}
+    for pair in range(5):
+        if 2 * pair not in buckets or 2 * pair + 1 not in buckets:
+            continue
+        n1, x1 = buckets[2 * pair]
+        n2, x2 = buckets[2 * pair + 1]
+        if not (0 < x1 + x2 < n1 + n2):
+            continue
+        p = (x1 + x2) / (n1 + n2)
+        z = (x1 / n1 - x2 / n2) / math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+        expect[pair] = (
+            n1, x1, n2, x2,
+            x1 * 1_000_000 // n1, x2 * 1_000_000 // n2,
+            math.floor(z * 1000.0), int(abs(z) > 1.96),
+        )
+    got = {
+        r.pair: (
+            r.n1, r.x1, r.n2, r.x2, r.cvr1_ppm, r.cvr2_ppm,
+            r.z_milli, r.false_positive,
+        )
+        for r in mlmetrics.aa_test_calibration(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) >= 2  # metric must stay unsaturated at the test SF
+    # A/A should be mostly null: not every pair a false positive
+    assert sum(v[7] for v in got.values()) < len(got)
+
+
+def test_mutual_nn_pairs_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+
+    def cos(u, v):
+        num = sum(float(a) * float(b) for a, b in zip(u, v))
+        na = sum(float(a) * float(a) for a in u) ** 0.5
+        nb = sum(float(b) * float(b) for b in v) ** 0.5
+        return num / (na * nb)
+
+    by_label: dict = defaultdict(lambda: ([], []))
+    for r in emb:
+        by_label[r.label][r.vec_id % 2].append((r.vec_id, r.embedding))
+    expect = {}
+    for label, (evens, odds) in by_label.items():
+        if not evens or not odds:
+            continue
+        nn_ab, nn_ba, sims = {}, {}, {}
+        for aid, av in evens:
+            best = max(odds, key=lambda bo: (cos(av, bo[1]), -bo[0]))
+            nn_ab[aid] = best[0]
+            sims[aid] = max(cos(av, bo[1]) for bo in odds)
+        for bid, bv in odds:
+            best = max(evens, key=lambda ao: (cos(bv, ao[1]), -ao[0]))
+            nn_ba[bid] = best[0]
+        for aid, bid in nn_ab.items():
+            if nn_ba.get(bid) == aid:
+                expect[(aid, bid)] = round(sims[aid], 6)
+    got = {
+        (r.a_id, r.b_id): r.cosine
+        for r in similarity.mutual_nn_pairs(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 2e-6
+    # mutuality must actually prune one-directional matches
+    assert len(got) > 0
