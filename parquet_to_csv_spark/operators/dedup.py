@@ -1277,3 +1277,48 @@ def kcore_decomposition(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def jaccard_threshold_profile(
+    spark: SparkSession, sf_dir: str, thresholds: tuple = (0.7, 0.8, 0.9)
+) -> DataFrame:
+    """EXT E229: near-dup graph density vs threshold — for each
+    candidate Jaccard cutoff: surviving pair count, docs touched, and
+    the maximum degree. The threshold-tuning table read BEFORE running
+    clustering at scale: a cutoff whose max-degree explodes means
+    template families will chain into mega-clusters (E201's
+    pathology); pairs/docs falling off a cliff means the cutoff is
+    past the corpus's similarity mass.
+
+    ONE prefix-filtered exact-Jaccard join at the loosest threshold
+    feeds all levels (pairs at 0.8/0.9 are subsets of 0.7's — computed
+    by filtering, never re-joining); per level one count aggregate and
+    one degree aggregate over the shrinking pair relation.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, min(thresholds)).persist()
+    levels = []
+    for t in thresholds:
+        p_t = pairs.filter(F.col("jaccard") >= t)
+        deg = (
+            p_t.select(F.col("doc_a").alias("d"))
+            .unionAll(p_t.select(F.col("doc_b").alias("d")))
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        levels.append(
+            deg.agg(
+                F.lit(int(t * 100)).cast("long").alias("threshold_pct"),
+                F.coalesce(F.sum("dg"), F.lit(0)).alias("endpoint_count"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.max("dg"), F.lit(0)).alias("max_degree"),
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out.select(
+        "threshold_pct",
+        F.expr("endpoint_count div 2").alias("n_pairs"),
+        "n_docs",
+        "max_degree",
+    )

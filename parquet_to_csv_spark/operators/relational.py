@@ -1813,3 +1813,56 @@ def dead_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("coalesce(n_dead, 0) * 1000000 div n_parts").alias("dead_ppm"),
         )
     )
+
+
+def price_consistency_audit(
+    spark: SparkSession, sf_dir: str, k: int = 15, min_lines: int = 5
+) -> DataFrame:
+    """EXT E228: price-consistency leaders — the parts whose realized
+    UNIT price varies most across line items (same item sold at wildly
+    different prices: a pricing-policy or data-entry defect either
+    way). The catalog-hygiene sibling of the lead-time variability
+    screen, ranked by relative dispersion so cheap and expensive parts
+    compare fairly.
+
+    Unit price is an exact per-row integer: (price_cents · 100) div
+    qty_cents — a deterministic quantization both engines compute
+    identically; n/Σx/Σx² are exact long sums with map-side combine
+    (bounds: unit ≤ 1e7 centi-cents, Σx² ≤ ~1e17 per part at 10³
+    lines — widen to decimal past that). Dispersion = n·CV² in ppm,
+    computed as ONE fixed IEEE pipeline over the exact longs then
+    floored (the grouped_ols convention — the ×1e6 in pure long space
+    would overflow at ~1e13 numerators). Global top-k is
+    TakeOrderedAndProject.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            (exact_units(F.col("l_extendedprice"), 2) * 100)
+        ).alias("pc"),
+        exact_units(F.col("l_quantity"), 2).alias("qc"),
+    )
+    unit = li.select("l_partkey", F.expr("pc div qc").alias("x"))
+    s = unit.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        s.filter(F.col("n_lines") >= min_lines)
+        .select(
+            "l_partkey",
+            "n_lines",
+            F.expr("sx div n_lines").alias("mean_unit_cents"),
+            F.expr(
+                "CAST(floor((CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                " / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                " * 1000000.0) AS BIGINT)"
+            ).alias("dispersion_ppm"),
+        )
+        .orderBy(F.desc("dispersion_ppm"), F.asc("l_partkey"))
+        .limit(k)
+    )

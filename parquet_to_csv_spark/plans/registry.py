@@ -6415,3 +6415,63 @@ SELECT ab.a_id, ba.b_id, round(ab.sim_ab, 6) AS cosine
 FROM nn_ab ab JOIN nn_ba ba
   ON ab.nn_b = ba.b_id AND ba.nn_a = ab.a_id
 """
+
+# --------------------------------------------------------------------------
+# EXT E228-E229 — price consistency, Jaccard threshold profile
+# --------------------------------------------------------------------------
+
+QUERIES["price_consistency_audit"] = relational.price_consistency_audit
+ORACLES["price_consistency_audit"] = f"""
+WITH unit AS (
+  SELECT l_partkey,
+         ({duck_units("l_extendedprice", 2)} * 100)
+           // {duck_units("l_quantity", 2)} AS x
+  FROM lineitem
+), s AS (
+  SELECT l_partkey, count(*) AS n_lines, sum(x) AS sx, sum(x * x) AS sxx
+  FROM unit GROUP BY 1
+)
+SELECT l_partkey, n_lines,
+       sx // n_lines AS mean_unit_cents,
+       CAST(floor((CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS dispersion_ppm
+FROM s WHERE n_lines >= 5
+ORDER BY dispersion_ppm DESC, l_partkey ASC
+LIMIT 15
+"""
+
+QUERIES["jaccard_threshold_profile"] = dedup.jaccard_threshold_profile
+_JTP_PAIRS = f"""
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+           AS jaccard
+  FROM (SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents) a
+  JOIN (SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents) b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.7
+"""
+
+
+def _jtp_oracle(thresholds=(0.7, 0.8, 0.9)) -> str:
+    levels = []
+    for t in thresholds:
+        levels.append(f"""
+SELECT CAST({int(t * 100)} AS BIGINT) AS threshold_pct,
+       coalesce(sum(dg), 0) // 2 AS n_pairs,
+       count(*) AS n_docs,
+       coalesce(max(dg), 0) AS max_degree
+FROM (
+  SELECT d, count(*) AS dg FROM (
+    SELECT doc_a AS d FROM pairs WHERE jaccard >= {t}
+    UNION ALL
+    SELECT doc_b AS d FROM pairs WHERE jaccard >= {t}
+  ) GROUP BY 1
+)""")
+    return f"WITH pairs AS ({_JTP_PAIRS})\n" + "\nUNION ALL\n".join(levels)
+
+
+ORACLES["jaccard_threshold_profile"] = _jtp_oracle()

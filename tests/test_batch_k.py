@@ -607,3 +607,60 @@ def test_mutual_nn_pairs_replay(spark, sf_dir):
         assert abs(got[k] - expect[k]) < 2e-6
     # mutuality must actually prune one-directional matches
     assert len(got) > 0
+
+
+def test_price_consistency_audit_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    units: dict = defaultdict(list)
+    for r in li:
+        pc = _cents(r.l_extendedprice) * 100
+        qc = _cents(r.l_quantity)
+        units[r.l_partkey].append(pc // qc)
+    scored = []
+    for pk, xs in units.items():
+        if len(xs) < 5:
+            continue
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        disp = math.floor((float(n) * sxx - float(sx) * sx) / (float(sx) * sx) * 1e6)
+        scored.append((pk, n, sx // n, disp))
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    expect = scored[:15]
+    got = [
+        (r.l_partkey, r.n_lines, r.mean_unit_cents, r.dispersion_ppm)
+        for r in relational.price_consistency_audit(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert got[0][3] > 0  # the fixture must exhibit real price dispersion
+
+
+def test_jaccard_threshold_profile_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    pairs = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir, 0.7).collect()
+    ]
+    expect = {}
+    for t in (0.7, 0.8, 0.9):
+        sel = [(a, b) for a, b, j in pairs if j >= t]
+        deg: dict = defaultdict(int)
+        for a, b in sel:
+            deg[a] += 1
+            deg[b] += 1
+        expect[int(t * 100)] = (
+            len(sel),
+            len(deg),
+            max(deg.values()) if deg else 0,
+        )
+    got = {
+        r.threshold_pct: (r.n_pairs, r.n_docs, r.max_degree)
+        for r in dedup.jaccard_threshold_profile(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # looser thresholds must dominate tighter ones
+    assert got[70][0] >= got[80][0] >= got[90][0]
+    assert got[70][0] > 0
