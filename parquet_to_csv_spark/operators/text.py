@@ -1125,3 +1125,66 @@ def zipf_slope(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
             f" / CAST(n AS DOUBLE)) AS BIGINT)"
         ).alias("intercept_micro"),
     )
+
+
+def skipgram_pmi(
+    spark: SparkSession,
+    sf_dir: str,
+    max_dist: int = 3,
+    min_count: int = 30,
+    k: int = 20,
+) -> DataFrame:
+    """EXT E230: skip-gram collocations — top-k ORDERED token pairs
+    co-occurring within ``max_dist`` positions, scored by PMI. The
+    window-2/3 co-occurrence signal (word2vec's training distribution)
+    catches "not ... good"-style associations adjacency-only bigrams
+    (E?) miss.
+
+    Pair generation is ARRAY-LOCAL — for each distance d the token
+    array zips with its own d-shifted slice (no posexplode self-join,
+    which would be quadratic per document in the join buffer); the
+    explode feeds a map-side-combined count keyed by the pair.
+
+    PMI decomposes into per-count integer micro-nats (the pmi_bigrams
+    convention): ``u(c) + u(T) − u(c_left) − u(c_right)`` — exact long
+    addition; top-k is TakeOrderedAndProject on (pmi, pair).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(tokens_col("text").alias("toks"))
+    dists = []
+    for d in range(1, max_dist + 1):
+        dists.append(
+            tok.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - d, F.lit(0))),
+                        F.slice(F.col("toks"), d + 1, F.greatest(F.size("toks") - d, F.lit(0))),
+                    )
+                ).alias("p")
+            ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        )
+    pairs = dists[0]
+    for df in dists[1:]:
+        pairs = pairs.unionAll(df)
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    left = pc.groupBy("w1").agg(F.sum("c").alias("cl"))
+    right = pc.groupBy("w2").agg(F.sum("c").alias("cr"))
+    tot = pc.agg(F.sum("c").alias("t"))
+
+    def u(col: str) -> str:
+        return f"CAST(round(ln(CAST({col} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+    return (
+        pc.filter(F.col("c") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr(f"{u('c')} + {u('t')} - {u('cl')} - {u('cr')}").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

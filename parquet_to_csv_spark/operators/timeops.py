@@ -1624,3 +1624,82 @@ def bounded_funnel(
         F.expr("n_click_1h * 1000000 div n_view_users").alias("view_to_click_ppm"),
         F.expr("n_purchase_24h * 1000000 div n_click_1h").alias("click_to_purchase_ppm"),
     )
+
+
+def late_event_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    lateness_ms: tuple = (0, 300_000, 1_800_000),
+    n_parts: int = 8,
+) -> DataFrame:
+    """EXT E231: watermark lateness audit — for each candidate allowed
+    lateness L, how many events would a streaming watermark drop?
+    An event is late when its event-time is older than (max event-time
+    ARRIVED strictly before it) − L. This table IS how you pick
+    ``withWatermark`` delay: the smallest L whose drop rate is
+    acceptable.
+
+    The fixture's ingestion id is perfectly time-ordered (a generator
+    artifact no real pipeline has), so arrival time is modeled as
+    event-time + a DETERMINISTIC md5 ingestion jitter of 0–10 minutes
+    per event — the transport-delay distribution a watermark actually
+    absorbs, reproducible in both engines (the md5_bucket convention,
+    never rand()).
+
+    The global running max over arrival order is the single-task
+    window trap, so it uses the sequence_packing two-phase scan:
+    range-partition by arrival key, per-partition local running max,
+    tiny per-partition maxima prefix-maxed and broadcast back. All
+    levels read the SAME staged relation — one pass, three counters.
+    """
+    from pyspark.sql import Window as W
+
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        (
+            F.expr("ts div 1000000")
+            + md5_bucket(F.col("event_id"), 600_000).cast("long")
+        ).alias("arr_ms"),
+    )
+    base = ev.repartitionByRange(n_parts, "arr_ms", "event_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("pid")
+        .orderBy("arr_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = base.withColumn("lmax", F.max("ts_ms").over(w_local))
+    totals = base.groupBy("pid").agg(F.max("ts_ms").alias("pmax"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn("omax", F.max("pmax").over(w_off)).select("pid", "omax")
+    run = local.join(F.broadcast(offsets), "pid").select(
+        "event_id",
+        "ts_ms",
+        F.greatest(
+            F.coalesce("lmax", F.lit(-(2**62))), F.coalesce("omax", F.lit(-(2**62)))
+        ).alias("wm_base"),
+    )
+    levels = []
+    for lat in lateness_ms:
+        levels.append(
+            run.agg(
+                F.lit(lat).cast("long").alias("lateness_ms"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    (F.col("ts_ms") < F.col("wm_base") - F.lit(lat)).cast("long")
+                ).alias("n_late"),
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out.select(
+        "lateness_ms",
+        "n_events",
+        "n_late",
+        F.expr("n_late * 1000000 div n_events").alias("late_ppm"),
+    )

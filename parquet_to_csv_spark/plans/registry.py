@@ -6475,3 +6475,74 @@ FROM (
 
 
 ORACLES["jaccard_threshold_profile"] = _jtp_oracle()
+
+# --------------------------------------------------------------------------
+# EXT E230-E231 — skip-gram PMI, watermark lateness profile
+# --------------------------------------------------------------------------
+
+QUERIES["skipgram_pmi"] = _text.skipgram_pmi
+_SG_U = "CAST(round(ln(CAST({c} AS DOUBLE)) * 1000000) AS BIGINT)"
+ORACLES["skipgram_pmi"] = f"""
+WITH tok AS (
+  SELECT {_TOKS} AS toks FROM documents
+), pairs AS (
+  SELECT p[1] AS w1, p[2] AS w2 FROM (
+    SELECT unnest(list_zip(list_slice(toks, 1, greatest(len(toks) - 1, 0)),
+                           list_slice(toks, 2, len(toks)))) AS p FROM tok
+    UNION ALL
+    SELECT unnest(list_zip(list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+                           list_slice(toks, 3, len(toks)))) AS p FROM tok
+    UNION ALL
+    SELECT unnest(list_zip(list_slice(toks, 1, greatest(len(toks) - 3, 0)),
+                           list_slice(toks, 4, len(toks)))) AS p FROM tok
+  ) WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+), pc AS (
+  SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2
+), l AS (
+  SELECT w1, sum(c) AS cl FROM pc GROUP BY 1
+), r AS (
+  SELECT w2, sum(c) AS cr FROM pc GROUP BY 1
+), t AS (
+  SELECT sum(c) AS t FROM pc
+)
+SELECT w1, w2, c,
+       {_SG_U.format(c='c')} + {_SG_U.format(c='t')}
+         - {_SG_U.format(c='cl')} - {_SG_U.format(c='cr')} AS pmi_micro
+FROM pc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+WHERE c >= 30
+ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+QUERIES["late_event_profile"] = timeops.late_event_profile
+
+
+def _late_oracle(lateness=(0, 300_000, 1_800_000)) -> str:
+    levels = []
+    for lat in lateness:
+        levels.append(f"""
+SELECT CAST({lat} AS BIGINT) AS lateness_ms,
+       count(*) AS n_events,
+       sum(CASE WHEN ts_ms < wm_base - {lat} THEN 1 ELSE 0 END) AS n_late,
+       sum(CASE WHEN ts_ms < wm_base - {lat} THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS late_ppm
+FROM run""")
+    jitter = corpus.duck_md5_bucket("event_id", 600_000)
+    return (
+        f"""WITH e AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) + {jitter} AS arr_ms
+  FROM events
+), run AS (
+  SELECT event_id, ts_ms,
+         coalesce(max(ts_ms) OVER (ORDER BY arr_ms, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING),
+                  -4611686018427387904) AS wm_base
+  FROM e
+)"""
+        + "\nUNION ALL\n".join(levels)
+    )
+
+
+ORACLES["late_event_profile"] = _late_oracle()

@@ -664,3 +664,70 @@ def test_jaccard_threshold_profile_replay(spark, sf_dir):
     # looser thresholds must dominate tighter ones
     assert got[70][0] >= got[80][0] >= got[90][0]
     assert got[70][0] > 0
+
+
+def test_skipgram_pmi_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import text as textops
+
+    pairs: Counter = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        toks = [t for t in r.text.lower().split() if t]
+        for d in (1, 2, 3):
+            pairs.update(zip(toks, toks[d:]))
+    cl: Counter = Counter()
+    cr: Counter = Counter()
+    for (w1, w2), c in pairs.items():
+        cl[w1] += c
+        cr[w2] += c
+    t = sum(pairs.values())
+
+    def u(x: int) -> int:
+        return int(round(math.log(x) * 1e6))
+
+    scored = [
+        (w1, w2, c, u(c) + u(t) - u(cl[w1]) - u(cr[w2]))
+        for (w1, w2), c in pairs.items()
+        if c >= 30
+    ]
+    scored.sort(key=lambda x: (-x[3], x[0], x[1]))
+    expect = scored[:20]
+    got = [
+        (r.w1, r.w2, r.c, r.pmi_micro)
+        for r in textops.skipgram_pmi(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert len(got) == 20
+
+
+def test_late_event_profile_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    import hashlib
+
+    def jit(eid: int) -> int:
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:4], 16) % 600_000
+
+    ev = sorted(
+        (r.ts // 1_000_000 + jit(r.event_id), r.event_id, r.ts // 1_000_000)
+        for r in load_table(spark, sf_dir, "events").collect()
+    )
+    expect = {}
+    for lat in (0, 300_000, 1_800_000):
+        run_max = None
+        n_late = 0
+        for _, _, ts_ms in ev:
+            if run_max is not None and ts_ms < run_max - lat:
+                n_late += 1
+            run_max = ts_ms if run_max is None else max(run_max, ts_ms)
+        expect[lat] = (len(ev), n_late, n_late * 1_000_000 // len(ev))
+    got = {
+        r.lateness_ms: (r.n_events, r.n_late, r.late_ppm)
+        for r in tops.late_event_profile(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # longer allowed lateness can only drop fewer events
+    assert got[0][1] >= got[300_000][1] >= got[1_800_000][1]
+    assert got[0][1] > 0  # out-of-order arrivals must exist in the fixture
