@@ -1409,3 +1409,65 @@ def quantile_normalize_lengths(
     return per_doc.join(glob, "grn").select(
         "doc_id", "source", "n_chars", F.col("g_chars").alias("qn_chars")
     )
+
+
+def group_quota_sample(
+    spark: SparkSession, sf_dir: str, budget: int = 100
+) -> DataFrame:
+    """EXT E233: fixed-budget proportional sampling with
+    LARGEST-REMAINDER rounding — allocate exactly ``budget`` sample
+    slots across languages proportionally to their doc counts (floor
+    of the proportional share, then the leftover slots go to the
+    largest fractional remainders), and draw each language's quota by
+    the md5 order. The "sample exactly 1 M docs, representative by
+    language" op — stratified_sample (per-stratum fraction) can't hit
+    an exact total; per-group fixed k ignores proportions.
+
+    The allocation runs on the strata relation (|langs| rows — tiny):
+    exact integer floors, remainders ranked by (remainder, lang) with
+    a row_number over the tiny relation. Draws are the deterministic
+    md5 rank within each language (the annotation_batch convention) —
+    reproducible and extensible. Output: one row per language with its
+    share, quota and realized sample ids (count-checked by the gate;
+    Σ quota = budget by construction).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = strata.agg(F.sum("n_docs").alias("n_tot"), F.count(F.lit(1)).alias("n_strata"))
+    base = strata.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"n_docs * {budget} div n_tot").alias("floor_q"),
+        F.expr(f"n_docs * {budget} % n_tot").alias("rem"),
+    )
+    w_rem = W.orderBy(F.desc("rem"), F.asc("lang"))
+    short = F.lit(budget) - F.sum("floor_q").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    alloc = base.withColumn("rrank", F.row_number().over(w_rem)).withColumn(
+        "quota", F.col("floor_q") + (F.col("rrank") <= short).cast("long")
+    )
+    w_draw = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    drawn = (
+        docs.select("lang", "doc_id")
+        .withColumn("dr", F.row_number().over(w_draw))
+        .join(F.broadcast(alloc.select("lang", "quota")), "lang")
+        .filter(F.col("dr") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+    )
+    return (
+        alloc.select("lang", "n_docs", "quota")
+        .join(drawn, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "quota",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            "first_doc",
+        )
+    )

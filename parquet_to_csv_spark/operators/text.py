@@ -1188,3 +1188,73 @@ def skipgram_pmi(
         .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    max_df: int = 50,
+) -> DataFrame:
+    """EXT E232: sparse TF-IDF cosine similarity join — document pairs
+    with cosine ≥ τ over tf·idf-weighted sparse token vectors, via the
+    inverted-index partial-dot-product formulation (the APSS / all-
+    pairs-similarity-search shape): postings self-join per token, pair
+    dot products accumulate only over SHARED tokens, never a dense d².
+
+    The df cap (tokens in > ``max_df`` docs are dropped from the
+    weighting) is the standard APSS posting-list bound: it caps the
+    per-token join fan-out at max_df², making total shuffle
+    Σ_t min(df_t, cap)² instead of unbounded stopword blowup — the
+    knob that keeps the join feasible at corpus scale. The cosine is
+    EXACT for the capped weighting (the cap is part of the metric's
+    definition, not an approximation of it).
+
+    Determinism: idf quantizes per token to integer milli-units
+    (``round(ln(N/df)·1000)``, the ln-of-a-rational convention);
+    weights tf·idf_milli are exact longs, pair dot products are exact
+    long sums; norms likewise; the final cosine is one fixed IEEE
+    pipeline over three exact longs, rounded at 6dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df_.filter(F.col("df_docs") <= max_df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.col("tf")
+                * F.expr(
+                    "CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE))"
+                    " * 1000) AS BIGINT)"
+                )
+            ).alias("wt"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("nrm2"))
+    a = w.select(F.col("term").alias("t"), F.col("doc_id").alias("doc_a"), F.col("wt").alias("wa"))
+    b = w.select(F.col("term").alias("t"), F.col("doc_id").alias("doc_b"), F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm2").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm2").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"round({cos}, 6)").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -6546,3 +6546,77 @@ FROM run""")
 
 
 ORACLES["late_event_profile"] = _late_oracle()
+
+# --------------------------------------------------------------------------
+# EXT E232-E233 — TF-IDF cosine join, fixed-budget quota sample
+# --------------------------------------------------------------------------
+
+QUERIES["tfidf_cosine_pairs"] = _text.tfidf_cosine_pairs
+ORACLES["tfidf_cosine_pairs"] = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), nn AS (
+  SELECT count(*) AS n_docs FROM documents
+), w AS (
+  SELECT tf.term, tf.doc_id,
+         tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE))
+                            * 1000) AS BIGINT) AS wt
+  FROM tf JOIN df USING (term) CROSS JOIN nn
+  WHERE df_docs <= 50
+), norms AS (
+  SELECT doc_id, sum(wt * wt) AS nrm2 FROM w GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6)
+         AS cosine
+FROM dots
+JOIN norms na ON dots.doc_a = na.doc_id
+JOIN norms nb ON dots.doc_b = nb.doc_id
+WHERE round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6)
+      >= 0.3
+"""
+
+QUERIES["group_quota_sample"] = corpus.group_quota_sample
+ORACLES["group_quota_sample"] = """
+WITH strata AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(n_docs) AS n_tot FROM strata
+), base AS (
+  SELECT lang, n_docs,
+         n_docs * 100 // n_tot AS floor_q,
+         n_docs * 100 % n_tot AS rem
+  FROM strata CROSS JOIN tot
+), alloc AS (
+  SELECT lang, n_docs, floor_q, rem,
+         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rrank,
+         100 - sum(floor_q) OVER () AS short
+  FROM base
+), quotas AS (
+  SELECT lang, n_docs,
+         floor_q + CASE WHEN rrank <= short THEN 1 ELSE 0 END AS quota
+  FROM alloc
+), drawn AS (
+  SELECT d.lang, count(*) AS n_sampled, min(d.doc_id) AS first_doc
+  FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS dr
+    FROM documents
+  ) d JOIN quotas q ON d.lang = q.lang AND d.dr <= q.quota
+  GROUP BY 1
+)
+SELECT q.lang, q.n_docs, q.quota,
+       coalesce(drawn.n_sampled, 0) AS n_sampled, drawn.first_doc
+FROM quotas q LEFT JOIN drawn USING (lang)
+"""

@@ -731,3 +731,80 @@ def test_late_event_profile_replay(spark, sf_dir):
     # longer allowed lateness can only drop fewer events
     assert got[0][1] >= got[300_000][1] >= got[1_800_000][1]
     assert got[0][1] > 0  # out-of-order arrivals must exist in the fixture
+
+
+def test_tfidf_cosine_pairs_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import text as textops
+
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n = len(docs)
+    tf = {d: Counter(t) for d, t in docs.items()}
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    w: dict = defaultdict(dict)
+    for d, c in tf.items():
+        for t, cnt in c.items():
+            if df[t] <= 50:
+                w[d][t] = cnt * int(round(math.log(n / df[t]) * 1000))
+    norms = {d: sum(v * v for v in ws.values()) for d, ws in w.items()}
+    ids = sorted(w)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            cos = round(dot / (math.sqrt(norms[a]) * math.sqrt(norms[b])), 6)
+            if cos >= 0.3:
+                expect[(a, b)] = cos
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in textops.tfidf_cosine_pairs(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 2e-6
+    assert got, "fixture must contain tfidf-similar pairs at the threshold"
+
+
+def test_group_quota_sample_replay(spark, sf_dir):
+    import hashlib
+
+    from parquet_to_csv_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    strata: dict = defaultdict(list)
+    for r in docs:
+        strata[r.lang].append(r.doc_id)
+    n_tot = len(docs)
+    base = []
+    for lang, ids in strata.items():
+        fq, rem = len(ids) * 100 // n_tot, len(ids) * 100 % n_tot
+        base.append((lang, len(ids), fq, rem))
+    short = 100 - sum(b[2] for b in base)
+    base.sort(key=lambda b: (-b[3], b[0]))
+    quotas = {
+        lang: fq + (1 if i < short else 0)
+        for i, (lang, _, fq, _) in enumerate(base)
+    }
+    expect = {}
+    for lang, ids in strata.items():
+        q = quotas[lang]
+        ordered = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        sampled = ordered[:q]
+        expect[lang] = (len(ids), q, len(sampled), min(sampled) if sampled else None)
+    got = {
+        r.lang: (r.n_docs, r.quota, r.n_sampled, r.first_doc)
+        for r in corpus.group_quota_sample(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(v[1] for v in got.values()) == 100  # exact budget
+    assert all(v[2] == v[1] for v in got.values())  # quotas fully drawable
