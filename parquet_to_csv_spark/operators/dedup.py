@@ -1327,3 +1327,70 @@ def jaccard_threshold_profile(
         "n_docs",
         "max_degree",
     )
+
+
+def blocking_recall_audit(
+    spark: SparkSession, sf_dir: str, sample_pct: int = 10, threshold: float = 0.8
+) -> DataFrame:
+    """EXT E235: blocking-key recall audit — does the lang×source
+    blocking the near-dup joins rely on actually lose true pairs?
+    Exhaustive (unblocked) Jaccard over a DETERMINISTIC ~10% md5
+    sample, each true pair classified within-block vs cross-block; the
+    cross-block ppm IS the recall the production blocked join gives up.
+    The standard record-linkage evaluation loop — blocked pipelines
+    that never run it ship silent recall losses.
+
+    The exhaustive pairing is quadratic BY DESIGN and bounded by the
+    sample: cost scales with (pct·N)², independent of full-corpus
+    shape — the audit stays a fixed-size side job at any corpus size
+    (tighten pct as N grows). One row out: sample size, true pairs,
+    within/cross split, missed ppm.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        _distinct_tokens(docs)
+        .filter(md5_bucket(F.col("doc_id"), 100) < sample_pct)
+        .select("doc_id", "lang", "source", F.col("toks"))
+    )
+    a = sample.select(
+        F.col("doc_id").alias("ida"), F.col("lang").alias("la"),
+        F.col("source").alias("sa"), F.col("toks").alias("ta"),
+    )
+    b = sample.select(
+        F.col("doc_id").alias("idb"), F.col("lang").alias("lb"),
+        F.col("source").alias("sb"), F.col("toks").alias("tb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    jac = F.round(inter / union.cast("double"), 4)
+    pairs = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select(
+            jac.alias("j"),
+            ((F.col("la") == F.col("lb")) & (F.col("sa") == F.col("sb")))
+            .cast("long")
+            .alias("same_block"),
+        )
+        .filter(F.col("j") >= threshold)
+    )
+    n_docs = sample.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum("same_block").alias("n_within_block"),
+            F.sum(1 - F.col("same_block")).alias("n_cross_block"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_sample_docs",
+            "n_true_pairs",
+            "n_within_block",
+            "n_cross_block",
+            F.expr(
+                "CASE WHEN n_true_pairs > 0"
+                " THEN n_cross_block * 1000000 div n_true_pairs ELSE 0 END"
+            ).alias("missed_ppm"),
+        )
+    )

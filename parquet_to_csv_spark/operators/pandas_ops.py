@@ -210,3 +210,83 @@ def udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
         "FROM _udtf_docs d, LATERAL chunker_udtf(d.text) c"
     )
+
+
+def holt_linear_forecast(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """EXT E234: Holt double-exponential smoothing per event type —
+    level + trend over the daily value series, the one-step forecast
+    for the next day, and the in-sample one-step SSE. The trend-aware
+    upgrade of EWMA (E12) and the seasonal-naive backtest's (E?)
+    standard competitor: three queries now triangulate forecasting
+    (naive / decay / trend).
+
+    Plan: the raw scan collapses to (type × day) sums in exact cents —
+    map-side combine, tiny recurrence input (|types|·|days| rows); the
+    sequential Holt fold runs in ``applyInPandas`` per type, O(1)
+    state, streaming one Arrow batch per group. Determinism: the fold
+    is the same float64 op sequence over identical exact-cent inputs
+    in day order in both engines (the user_value_ewma contract); the
+    oracle replays it with a recursive CTE; rounding happens JVM-side.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("y"))
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = [float(v) for v in pdf["y"]]
+        et = pdf["event_type"].iloc[0]
+        if len(ys) < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": [et],
+                    "n_days": [len(ys)],
+                    "level": [ys[0] if ys else 0.0],
+                    "trend": [0.0],
+                    "forecast_next": [ys[0] if ys else 0.0],
+                    "sse": [0.0],
+                }
+            )
+        lvl, tr = ys[0], ys[1] - ys[0]
+        sse = 0.0
+        for y in ys[1:]:
+            pred = lvl + tr
+            err = y - pred
+            sse = sse + err * err
+            new_lvl = alpha * y + (1.0 - alpha) * (lvl + tr)
+            tr = beta * (new_lvl - lvl) + (1.0 - beta) * tr
+            lvl = new_lvl
+        return pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_days": [len(ys)],
+                "level": [lvl],
+                "trend": [tr],
+                "forecast_next": [lvl + tr],
+                "sse": [sse],
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        _holt,
+        "event_type string, n_days long, level double, trend double, "
+        "forecast_next double, sse double",
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round((F.col("level") / 100.0), 4).alias("level_v"),
+        F.round((F.col("trend") / 100.0), 4).alias("trend_v"),
+        F.round((F.col("forecast_next") / 100.0), 4).alias("forecast_v"),
+        F.round((F.col("sse") / 10000.0), 2).alias("sse_v2"),
+    )

@@ -6620,3 +6620,68 @@ SELECT q.lang, q.n_docs, q.quota,
        coalesce(drawn.n_sampled, 0) AS n_sampled, drawn.first_doc
 FROM quotas q LEFT JOIN drawn USING (lang)
 """
+
+# --------------------------------------------------------------------------
+# EXT E234-E235 — Holt forecast, blocking recall audit
+# --------------------------------------------------------------------------
+
+QUERIES["holt_linear_forecast"] = pandas_ops.holt_linear_forecast
+ORACLES["holt_linear_forecast"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum({duck_units("value", 2)}) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+), init AS (
+  SELECT s1.event_type, s1.n_days, CAST(1 AS BIGINT) AS rn,
+         s1.y AS lvl, s2.y - s1.y AS tr, CAST(0.0 AS DOUBLE) AS sse
+  FROM seq s1 JOIN seq s2
+    ON s1.event_type = s2.event_type AND s1.rn = 1 AND s2.rn = 2
+), r AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT s.event_type, r.n_days, s.rn,
+         0.5 * s.y + 0.5 * (r.lvl + r.tr) AS lvl,
+         0.3 * ((0.5 * s.y + 0.5 * (r.lvl + r.tr)) - r.lvl) + 0.7 * r.tr AS tr,
+         r.sse + (s.y - (r.lvl + r.tr)) * (s.y - (r.lvl + r.tr)) AS sse
+  FROM seq s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, n_days,
+       round(lvl / 100.0, 4) AS level_v,
+       round(tr / 100.0, 4) AS trend_v,
+       round((lvl + tr) / 100.0, 4) AS forecast_v,
+       round(sse / 10000.0, 2) AS sse_v2
+FROM r WHERE rn = n_days
+"""
+
+QUERIES["blocking_recall_audit"] = dedup.blocking_recall_audit
+ORACLES["blocking_recall_audit"] = f"""
+WITH sample AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks
+  FROM documents
+  WHERE {corpus.duck_md5_bucket("doc_id", 100)} < 10
+), pairs AS (
+  SELECT round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 4) AS j,
+         CASE WHEN a.lang = b.lang AND a.source = b.source THEN 1 ELSE 0 END
+           AS same_block
+  FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+), true_pairs AS (
+  SELECT * FROM pairs WHERE j >= 0.8
+), agg AS (
+  SELECT count(*) AS n_true_pairs,
+         coalesce(sum(same_block), 0) AS n_within_block,
+         coalesce(sum(1 - same_block), 0) AS n_cross_block
+  FROM true_pairs
+)
+SELECT (SELECT count(*) FROM sample) AS n_sample_docs,
+       n_true_pairs, n_within_block, n_cross_block,
+       CASE WHEN n_true_pairs > 0
+            THEN n_cross_block * 1000000 // n_true_pairs ELSE 0 END AS missed_ppm
+FROM agg
+"""

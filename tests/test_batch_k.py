@@ -808,3 +808,71 @@ def test_group_quota_sample_replay(spark, sf_dir):
     assert got == expect
     assert sum(v[1] for v in got.values()) == 100  # exact budget
     assert all(v[2] == v[1] for v in got.values())  # quotas fully drawable
+
+
+def test_holt_linear_forecast_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import pandas_ops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily: dict = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.event_type][r.ts // 86_400_000_000_000] += _cents(r.value)
+    expect = {}
+    for et, days in daily.items():
+        ys = [float(days[d]) for d in sorted(days)]
+        if len(ys) < 2:
+            expect[et] = (len(ys), round((ys[0] if ys else 0) / 100, 4), 0.0,
+                          round((ys[0] if ys else 0) / 100, 4), 0.0)
+            continue
+        lvl, tr, sse = ys[0], ys[1] - ys[0], 0.0
+        for y in ys[1:]:
+            pred = lvl + tr
+            sse += (y - pred) * (y - pred)
+            new_lvl = 0.5 * y + 0.5 * (lvl + tr)
+            tr = 0.3 * (new_lvl - lvl) + 0.7 * tr
+            lvl = new_lvl
+        expect[et] = (
+            len(ys), round(lvl / 100, 4), round(tr / 100, 4),
+            round((lvl + tr) / 100, 4), round(sse / 10000, 2),
+        )
+    got = {
+        r.event_type: (r.n_days, r.level_v, r.trend_v, r.forecast_v, r.sse_v2)
+        for r in pandas_ops.holt_linear_forecast(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for et in got:
+        g, e = got[et], expect[et]
+        assert g[0] == e[0]
+        for gv, ev_ in zip(g[1:], e[1:]):
+            assert abs(gv - ev_) < 1e-6, (et, g, e)
+    assert all(g[0] >= 2 for g in got.values())
+
+
+def test_blocking_recall_audit_replay(spark, sf_dir):
+    import hashlib
+
+    from parquet_to_csv_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    sample = [
+        r for r in docs
+        if int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4], 16) % 100 < 10
+    ]
+    toks = {r.doc_id: set(t for t in r.text.lower().split() if t) for r in sample}
+    n_true = n_within = 0
+    for i, a in enumerate(sample):
+        for b in sample[i + 1:]:
+            x, y = (a, b) if a.doc_id < b.doc_id else (b, a)
+            ta, tb = toks[x.doc_id], toks[y.doc_id]
+            inter = len(ta & tb)
+            j = round(inter / (len(ta) + len(tb) - inter), 4)
+            if j >= 0.8:
+                n_true += 1
+                n_within += (x.lang == y.lang) and (x.source == y.source)
+    row = dedup.blocking_recall_audit(spark, sf_dir).collect()[0]
+    assert row.n_sample_docs == len(sample)
+    assert (row.n_true_pairs, row.n_within_block) == (n_true, n_within)
+    assert row.n_cross_block == n_true - n_within
+    assert row.missed_ppm == (
+        (n_true - n_within) * 1_000_000 // n_true if n_true else 0
+    )
