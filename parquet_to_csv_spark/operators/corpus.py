@@ -1471,3 +1471,75 @@ def group_quota_sample(
             "first_doc",
         )
     )
+
+
+def quality_token_tradeoff(
+    spark: SparkSession, sf_dir: str, n_parts: int = 8
+) -> DataFrame:
+    """EXT E236: quality-vs-volume frontier — rank documents by a
+    deterministic lexical quality key (unique-token ppm: the
+    repetition detector from E21, integerized), cut into quality
+    deciles, and report each decile's token mass plus the CUMULATIVE
+    token share kept if the corpus is truncated there. The curation
+    trade-off curve: "filtering to the top 40% quality keeps 52% of
+    tokens" is the sentence this query produces.
+
+    Global rank avoids the single-task window via the two-phase
+    range-partition scan (sequence_packing); cumulative sums then run
+    over the 10-row decile relation only. All integers: score ppm,
+    token counts, cumulative ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    base0 = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(filter(split(lower(text), '\\\\s+'), t -> t != '')))"
+            " AS BIGINT)"
+        ).alias("n_uniq"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = base0.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("n_uniq * 1000000 div n_tokens").alias("score_ppm"),
+    )
+    ranked = scored.repartitionByRange(
+        n_parts, F.desc("score_ppm"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    local = ranked.withColumn("lrn", F.row_number().over(w_local))
+    totals = local.groupBy("pid").agg(F.max("lrn").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    n_tot = scored.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n_all")
+    glob = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "n_tokens",
+            "score_ppm",
+            F.expr("(lrn + off - 1) * 10 div n_all").alias("decile"),
+        )
+    )
+    per_dec = glob.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("decile_tokens"),
+        F.min("score_ppm").alias("min_score_ppm"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot_tok = per_dec.agg(F.sum("decile_tokens").alias("t")).withColumnRenamed("t", "all_tokens")
+    return (
+        per_dec.withColumn("cum_tokens", F.sum("decile_tokens").over(w_cum))
+        .crossJoin(F.broadcast(tot_tok))
+        .select(
+            "decile",
+            "n_docs",
+            "decile_tokens",
+            "min_score_ppm",
+            "cum_tokens",
+            F.expr("cum_tokens * 1000000 div all_tokens").alias("cum_token_ppm"),
+        )
+    )

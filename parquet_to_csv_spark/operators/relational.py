@@ -1866,3 +1866,69 @@ def price_consistency_audit(
         .orderBy(F.desc("dispersion_ppm"), F.asc("l_partkey"))
         .limit(k)
     )
+
+
+def adamic_adar_links(
+    spark: SparkSession, sf_dir: str, k: int = 20, max_degree: int = 50
+) -> DataFrame:
+    """EXT E237: Adamic-Adar link prediction on the co-purchase graph —
+    part pairs NEVER ordered together but sharing common co-purchase
+    neighbors, scored by Σ 1/ln(deg(z)) over the common neighbors z
+    (rare shared neighbors weigh more). The recommender-candidate
+    generator of graph ML, as pure relational algebra.
+
+    Wedge enumeration is quadratic in the DEGREE of the pivot node, so
+    hub nodes above ``max_degree`` are excluded from pivoting (the
+    standard AA truncation — a part in every basket predicts nothing
+    anyway); cost is then Σ_z min(deg_z, cap)², bounded. Existing
+    edges are removed with one LEFT ANTI join. Per-z weights quantize
+    to exact micro-units (``round(1e6/ln(deg))``, ln-of-integer
+    convention) so the score sum is exact long arithmetic;
+    top-k is TakeOrderedAndProject on (score, pair).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    und = edges.select(F.col("pa").alias("z"), F.col("pb").alias("x")).unionAll(
+        edges.select(F.col("pb").alias("z"), F.col("pa").alias("x"))
+    )
+    deg = und.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    pivot = und.join(
+        F.broadcast(deg.filter(F.col("d") <= max_degree)), "z"
+    ).select("z", "x", "d")
+    w1 = pivot.alias("w1")
+    w2 = pivot.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.z") == F.col("w2.z")) & (F.col("w1.x") < F.col("w2.x")),
+    ).select(
+        F.col("w1.x").alias("part_a"),
+        F.col("w2.x").alias("part_b"),
+        F.expr("CAST(round(1000000.0 / ln(CAST(w1.d AS DOUBLE))) AS BIGINT)").alias("u"),
+    )
+    scored = wedges.groupBy("part_a", "part_b").agg(
+        F.sum("u").alias("aa_micro"), F.count(F.lit(1)).alias("n_common")
+    )
+    non_edges = scored.join(
+        edges.select(
+            F.col("pa").alias("part_a"), F.col("pb").alias("part_b")
+        ),
+        ["part_a", "part_b"],
+        "left_anti",
+    )
+    return non_edges.orderBy(
+        F.desc("aa_micro"), F.asc("part_a"), F.asc("part_b")
+    ).limit(k)

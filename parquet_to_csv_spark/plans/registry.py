@@ -6685,3 +6685,68 @@ SELECT (SELECT count(*) FROM sample) AS n_sample_docs,
             THEN n_cross_block * 1000000 // n_true_pairs ELSE 0 END AS missed_ppm
 FROM agg
 """
+
+# --------------------------------------------------------------------------
+# EXT E236-E237 — quality/token trade-off, Adamic-Adar link prediction
+# --------------------------------------------------------------------------
+
+QUERIES["quality_token_tradeoff"] = corpus.quality_token_tradeoff
+ORACLES["quality_token_tradeoff"] = f"""
+WITH scored AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) * 1000000
+           // CAST(len({_TOKS}) AS BIGINT) AS score_ppm
+  FROM documents WHERE len({_TOKS}) > 0
+), ranked AS (
+  SELECT n_tokens, score_ppm,
+         (row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC) - 1) * 10
+           // (SELECT count(*) FROM scored) AS decile
+  FROM scored
+), per_dec AS (
+  SELECT decile, count(*) AS n_docs, sum(n_tokens) AS decile_tokens,
+         min(score_ppm) AS min_score_ppm
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_docs, decile_tokens, min_score_ppm,
+       sum(decile_tokens) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_tokens,
+       sum(decile_tokens) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) * 1000000
+         // (SELECT sum(decile_tokens) FROM per_dec) AS cum_token_ppm
+FROM per_dec
+"""
+
+QUERIES["adamic_adar_links"] = relational.adamic_adar_links
+ORACLES["adamic_adar_links"] = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), und AS (
+  SELECT pa AS z, pb AS x FROM edges
+  UNION ALL
+  SELECT pb AS z, pa AS x FROM edges
+), deg AS (
+  SELECT z, count(*) AS d FROM und GROUP BY 1
+), piv AS (
+  SELECT und.z, und.x, deg.d FROM und JOIN deg USING (z) WHERE deg.d <= 50
+), wedges AS (
+  SELECT w1.x AS part_a, w2.x AS part_b,
+         CAST(round(1000000.0 / ln(CAST(w1.d AS DOUBLE))) AS BIGINT) AS u
+  FROM piv w1 JOIN piv w2 ON w1.z = w2.z AND w1.x < w2.x
+), scored AS (
+  SELECT part_a, part_b, sum(u) AS aa_micro, count(*) AS n_common
+  FROM wedges GROUP BY 1, 2
+)
+SELECT part_a, part_b, aa_micro, n_common
+FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges e WHERE e.pa = s.part_a AND e.pb = s.part_b
+)
+ORDER BY aa_micro DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""

@@ -876,3 +876,81 @@ def test_blocking_recall_audit_replay(spark, sf_dir):
     assert row.missed_ppm == (
         (n_true - n_within) * 1_000_000 // n_true if n_true else 0
     )
+
+
+def test_quality_token_tradeoff_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    scored = []
+    for r in docs:
+        toks = [t for t in r.text.lower().split() if t]
+        if not toks:
+            continue
+        scored.append((len(set(toks)) * 1_000_000 // len(toks), r.doc_id, len(toks)))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    n = len(scored)
+    per_dec: dict = defaultdict(lambda: [0, 0, None])
+    for i, (sc, _, nt) in enumerate(scored):
+        d = i * 10 // n
+        per_dec[d][0] += 1
+        per_dec[d][1] += nt
+        per_dec[d][2] = sc if per_dec[d][2] is None else min(per_dec[d][2], sc)
+    all_tokens = sum(v[1] for v in per_dec.values())
+    cum = 0
+    expect = {}
+    for d in sorted(per_dec):
+        cum += per_dec[d][1]
+        expect[d] = (
+            per_dec[d][0], per_dec[d][1], per_dec[d][2], cum,
+            cum * 1_000_000 // all_tokens,
+        )
+    got = {
+        r.decile: (r.n_docs, r.decile_tokens, r.min_score_ppm, r.cum_tokens, r.cum_token_ppm)
+        for r in corpus.quality_token_tradeoff(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got[9][4] == 1_000_000  # the full corpus is the last cumulative point
+
+
+def test_adamic_adar_links_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    orders: dict = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                edges.add((x, y))
+    nbrs: dict = defaultdict(set)
+    for x, y in edges:
+        nbrs[x].add(y)
+        nbrs[y].add(x)
+    scores: dict = defaultdict(lambda: [0, 0])
+    for z, xs in nbrs.items():
+        d = len(xs)
+        if d > 50:
+            continue
+        u = int(round(1_000_000 / math.log(d)))
+        xs_s = sorted(xs)
+        for i, x1 in enumerate(xs_s):
+            for x2 in xs_s[i + 1:]:
+                scores[(x1, x2)][0] += u
+                scores[(x1, x2)][1] += 1
+    cand = [
+        (a, b, s, c) for (a, b), (s, c) in scores.items() if (a, b) not in edges
+    ]
+    cand.sort(key=lambda t: (-t[2], t[0], t[1]))
+    expect = cand[:20]
+    got = [
+        (r.part_a, r.part_b, r.aa_micro, r.n_common)
+        for r in relational.adamic_adar_links(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert len(got) == 20
