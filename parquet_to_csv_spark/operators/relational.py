@@ -1932,3 +1932,68 @@ def adamic_adar_links(
     return non_edges.orderBy(
         F.desc("aa_micro"), F.asc("part_a"), F.asc("part_b")
     ).limit(k)
+
+
+def spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E239: XmR control chart (statistical process control) over
+    monthly order revenue — center line, upper/lower control limits
+    from the mean moving range (the 2.66·mR̄ individuals-chart rule),
+    and each month flagged in/out of control. The ops-review chart
+    that separates signal from noise in a KPI series.
+
+    Monthly totals are exact cents; the moving range |Δ| comes from
+    one lag window over the tiny month relation; limits are one fixed
+    IEEE pipeline over exact longs (floored to cents), so the
+    out-of-control flag is pure integer comparison. Calendar months
+    use year·100+month under the UTC session contract (session.py) —
+    identical in DuckDB.
+    """
+    from pyspark.sql import Window as W
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 100
+                + F.month(F.col("o_orderdate").cast("date"))
+            ).cast("long").alias("ym"),
+            exact_units(F.col("o_totalprice"), 2).alias("cents"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = W.orderBy("ym")
+    with_mr = monthly.withColumn(
+        "mr", F.abs(F.col("rev_cents") - F.lag("rev_cents").over(w))
+    )
+    stats = with_mr.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("rev_cents").alias("tot"),
+        F.sum("mr").alias("mr_sum"),
+        F.count("mr").alias("mr_n"),
+    )
+    center = "CAST(tot AS DOUBLE) / CAST(n_months AS DOUBLE)"
+    mrbar = "CAST(mr_sum AS DOUBLE) / CAST(mr_n AS DOUBLE)"
+    lims = stats.select(
+        "n_months",
+        F.expr(f"CAST(floor({center}) AS BIGINT)").alias("center_cents"),
+        F.expr(f"CAST(floor({center} + 2.66 * {mrbar}) AS BIGINT)").alias("ucl_cents"),
+        F.expr(f"CAST(floor({center} - 2.66 * {mrbar}) AS BIGINT)").alias("lcl_cents"),
+    )
+    return (
+        with_mr.crossJoin(F.broadcast(lims))
+        .select(
+            "ym",
+            "rev_cents",
+            "mr",
+            "center_cents",
+            "ucl_cents",
+            "lcl_cents",
+            (
+                (F.col("rev_cents") > F.col("ucl_cents"))
+                | (F.col("rev_cents") < F.col("lcl_cents"))
+            ).cast("long").alias("out_of_control"),
+        )
+    )

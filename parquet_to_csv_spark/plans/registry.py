@@ -6750,3 +6750,58 @@ WHERE NOT EXISTS (
 ORDER BY aa_micro DESC, part_a ASC, part_b ASC
 LIMIT 20
 """
+
+# --------------------------------------------------------------------------
+# EXT E238-E239 — parquet footer stats, SPC control limits
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.sources import layout as _layout  # noqa: E402
+
+QUERIES["parquet_footer_stats"] = _layout.parquet_footer_stats
+# The only oracle that must name a FILE (DuckDB's parquet_metadata reads
+# the footer directly — there is no view-level surface for storage
+# bytes). Oracle SQL is run verbatim by the driver, which gates at
+# sf0.01, so that path is pinned here; cross-SF parity (sf0.001) is
+# additionally pytest-checked via pyarrow-vs-duckdb on the same file.
+ORACLES["parquet_footer_stats"] = """
+SELECT path_in_schema AS column_name,
+       sum(num_values) AS n_values,
+       sum(total_compressed_size) AS compressed_bytes,
+       sum(total_uncompressed_size) AS uncompressed_bytes,
+       sum(total_compressed_size) * 1000000 // sum(total_uncompressed_size)
+         AS compression_ppm
+FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+GROUP BY 1
+"""
+
+QUERIES["spc_control_limits"] = relational.spc_control_limits
+ORACLES["spc_control_limits"] = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         sum({duck_units("o_totalprice", 2)}) AS rev_cents
+  FROM orders GROUP BY 1
+), with_mr AS (
+  SELECT ym, rev_cents,
+         abs(rev_cents - lag(rev_cents) OVER (ORDER BY ym)) AS mr
+  FROM monthly
+), stats AS (
+  SELECT count(*) AS n_months, sum(rev_cents) AS tot,
+         sum(mr) AS mr_sum, count(mr) AS mr_n
+  FROM with_mr
+), lims AS (
+  SELECT
+    CAST(floor(CAST(tot AS DOUBLE) / CAST(n_months AS DOUBLE)) AS BIGINT)
+      AS center_cents,
+    CAST(floor(CAST(tot AS DOUBLE) / CAST(n_months AS DOUBLE)
+               + 2.66 * (CAST(mr_sum AS DOUBLE) / CAST(mr_n AS DOUBLE)))
+         AS BIGINT) AS ucl_cents,
+    CAST(floor(CAST(tot AS DOUBLE) / CAST(n_months AS DOUBLE)
+               - 2.66 * (CAST(mr_sum AS DOUBLE) / CAST(mr_n AS DOUBLE)))
+         AS BIGINT) AS lcl_cents
+  FROM stats
+)
+SELECT ym, rev_cents, mr, center_cents, ucl_cents, lcl_cents,
+       CASE WHEN rev_cents > ucl_cents OR rev_cents < lcl_cents
+            THEN 1 ELSE 0 END AS out_of_control
+FROM with_mr CROSS JOIN lims
+"""

@@ -209,3 +209,48 @@ def morton_key(x, y, bits: int = 12):
             + ((y.bitwiseAND(F.lit(1 << i))).cast("long") * F.lit(1 << (i + 1)))
         )
     return k
+
+
+def parquet_footer_stats(spark: SparkSession, sf_dir: str, table: str = "lineitem"):
+    """EXT E238: storage-layout introspection from the parquet FOOTER —
+    per column: value count, compressed/uncompressed bytes, and the
+    compression ratio. The numbers behind every layout decision the
+    advisors make (which columns pay for dictionary encoding, whether
+    a sort key would compress deltas, what a column-pruned scan
+    actually saves) — read from metadata only, zero data pages.
+
+    The footer read is a catalog-sized driver call (KBs per file) BY
+    DESIGN — at a million-file scale the same pyarrow call moves into
+    ``mapInPandas`` over the file listing and this relation becomes
+    its aggregation; the output contract is unchanged. DuckDB's
+    ``parquet_metadata()`` reads the identical footer, making this
+    fully gate-checkable.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    md = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata
+    acc: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            n, comp, unc = acc.get(name, (0, 0, 0))
+            acc[name] = (
+                n + c.num_values,
+                comp + c.total_compressed_size,
+                unc + c.total_uncompressed_size,
+            )
+    rows = [
+        (name, n, comp, unc, comp * 1_000_000 // unc)
+        for name, (n, comp, unc) in sorted(acc.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, n_values long, compressed_bytes long, "
+        "uncompressed_bytes long, compression_ppm long",
+    )

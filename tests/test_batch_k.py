@@ -954,3 +954,59 @@ def test_adamic_adar_links_replay(spark, sf_dir):
     ]
     assert got == expect
     assert len(got) == 20
+
+
+def test_parquet_footer_stats_cross_engine(spark, sf_dir):
+    import duckdb
+
+    from parquet_to_csv_spark.sources import layout
+
+    got = {
+        r.column_name: (r.n_values, r.compressed_bytes, r.uncompressed_bytes, r.compression_ppm)
+        for r in layout.parquet_footer_stats(spark, sf_dir).collect()
+    }
+    expect = {
+        row[0]: (row[1], row[2], row[3], row[2] * 1_000_000 // row[3])
+        for row in duckdb.sql(
+            f"""SELECT path_in_schema, sum(num_values),
+                       sum(total_compressed_size), sum(total_uncompressed_size)
+                FROM parquet_metadata('{sf_dir}/lineitem.parquet') GROUP BY 1"""
+        ).fetchall()
+    }
+    assert got == expect
+    assert len(got) >= 10  # all lineitem columns present
+    # compression must actually compress at least one column
+    assert any(v[3] < 1_000_000 for v in got.values())
+
+
+def test_spc_control_limits_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    monthly: dict = defaultdict(int)
+    for r in orders:
+        ym = r.o_orderdate.year * 100 + r.o_orderdate.month
+        monthly[ym] += _cents(r.o_totalprice)
+    yms = sorted(monthly)
+    mrs = [abs(monthly[b] - monthly[a]) for a, b in zip(yms, yms[1:])]
+    center = sum(monthly.values()) / len(yms)
+    mrbar = sum(mrs) / len(mrs)
+    ucl = math.floor(center + 2.66 * mrbar)
+    lcl = math.floor(center - 2.66 * mrbar)
+    cc = math.floor(center)
+    expect = {}
+    prev = None
+    for ym in yms:
+        mr = abs(monthly[ym] - monthly[prev]) if prev is not None else None
+        expect[ym] = (
+            monthly[ym], mr, cc, ucl, lcl,
+            int(monthly[ym] > ucl or monthly[ym] < lcl),
+        )
+        prev = ym
+    got = {
+        r.ym: (r.rev_cents, r.mr, r.center_cents, r.ucl_cents, r.lcl_cents, r.out_of_control)
+        for r in relational.spc_control_limits(spark, sf_dir).collect()
+    }
+    assert got == expect
