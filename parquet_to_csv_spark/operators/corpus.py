@@ -1543,3 +1543,42 @@ def quality_token_tradeoff(
             F.expr("cum_tokens * 1000000 div all_tokens").alias("cum_token_ppm"),
         )
     )
+
+
+def chunk_dedup_report(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """EXT E240: RAG-chunk duplication audit — chunk every document
+    with the sliding window the index uses (doc_chunks: 64-token
+    windows, 16 overlap), fingerprint each chunk, and report per
+    source: chunk volume, distinct chunks, the duplicate ppm, and how
+    many chunk fingerprints span MULTIPLE documents (boilerplate
+    shared across docs — the chunks that poison retrieval with
+    identical hits). Run before building any vector index over
+    chunks: embedding duplicate chunks wastes index space AND skews
+    nearest-neighbor results toward boilerplate.
+
+    One chunking pass (array-local, no shuffle) + one fingerprint
+    aggregation keyed (source, chunk_md5) with map-side combine +
+    a tiny per-source rollup. Exact integer counts throughout.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    chunks = doc_chunks(spark, sf_dir, chunk_size, overlap).select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("h")
+    )
+    per_fp = (
+        chunks.join(docs, "doc_id")
+        .groupBy("source", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    return per_fp.groupBy("source").agg(
+        F.sum("n_occ").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.expr(
+            "(sum(n_occ) - count(1)) * 1000000 div sum(n_occ)"
+        ).alias("dup_ppm"),
+        F.sum((F.col("n_docs") > 1).cast("long")).alias("n_cross_doc_chunks"),
+    )

@@ -6805,3 +6805,50 @@ SELECT ym, rev_cents, mr, center_cents, ucl_cents, lcl_cents,
             THEN 1 ELSE 0 END AS out_of_control
 FROM with_mr CROSS JOIN lims
 """
+
+# --------------------------------------------------------------------------
+# EXT E240-E241 — chunk dedup audit, sort-key advisor
+# --------------------------------------------------------------------------
+
+QUERIES["chunk_dedup_report"] = corpus.chunk_dedup_report
+ORACLES["chunk_dedup_report"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+), chunks AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(toks, s, s + 63), ' ')) AS h
+  FROM tok, unnest(range(1, greatest(len(toks), 1) + 1, 48)) AS t(s)
+  WHERE len(list_slice(toks, s, s + 63)) > 0
+), per_fp AS (
+  SELECT source, h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY 1, 2
+)
+SELECT source, sum(n_occ) AS n_chunks,
+       count(*) AS n_distinct_chunks,
+       (sum(n_occ) - count(*)) * 1000000 // sum(n_occ) AS dup_ppm,
+       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_cross_doc_chunks
+FROM per_fp GROUP BY 1
+"""
+
+QUERIES["sort_key_advisor"] = _layout.sort_key_advisor
+_SKA_CANDS = {
+    "ship_day": "CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT)",
+    "l_partkey": "l_partkey",
+    "l_suppkey": "l_suppkey",
+    "l_orderkey": "l_orderkey",
+    "l_returnflag": "l_returnflag",
+    "l_linestatus": "l_linestatus",
+}
+ORACLES["sort_key_advisor"] = (
+    "WITH s AS (SELECT count(*) AS n, "
+    + ", ".join(
+        f"count(DISTINCT {expr}) AS d_{name}" for name, expr in _SKA_CANDS.items()
+    )
+    + " FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS column_name, d_{name} AS n_distinct,"
+        f" n // d_{name} AS expected_run_len,"
+        f" d_{name} * 1000000 // n AS density_ppm FROM s"
+        for name in _SKA_CANDS
+    )
+)

@@ -254,3 +254,46 @@ def parquet_footer_stats(spark: SparkSession, sf_dir: str, table: str = "lineite
         "column_name string, n_values long, compressed_bytes long, "
         "uncompressed_bytes long, compression_ppm long",
     )
+
+
+def sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E241: sort-key advisor — for each candidate clustering
+    column of ``lineitem``: exact distinct count, key density, and the
+    expected RUN LENGTH a sort on that key would produce (rows div
+    distinct values) — the first-order predictor of RLE/dictionary
+    compression benefit and min-max-pruning selectivity. Read next to
+    parquet_footer_stats (E238): a long expected run on a wide column
+    is where re-sorting pays.
+
+    One scan; the multi-column exact distinct is Spark's Expand-based
+    multi-count-distinct (one shuffle carrying an expand factor of
+    |candidates| — at 100 TB swap exact distinct for HLL sketches at
+    the same call sites, E?-style). Output unpivots via ``stack``.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    cands = {
+        "ship_day": "CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000 AS BIGINT)",
+        "l_partkey": "l_partkey",
+        "l_suppkey": "l_suppkey",
+        "l_orderkey": "l_orderkey",
+        "l_returnflag": "l_returnflag",
+        "l_linestatus": "l_linestatus",
+    }
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        *[f"{expr} AS {name}" for name, expr in cands.items()]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.countDistinct(name).alias(f"d_{name}") for name in cands
+    ]
+    s = li.agg(*aggs)
+    rows = ", ".join(
+        f"'{name}', d_{name}, n div d_{name}, d_{name} * 1000000 div n"
+        for name in cands
+    )
+    return s.selectExpr(
+        f"stack({len(cands)}, {rows})"
+        " AS (column_name, n_distinct, expected_run_len, density_ppm)"
+    )

@@ -1010,3 +1010,60 @@ def test_spc_control_limits_replay(spark, sf_dir):
         for r in relational.spc_control_limits(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_chunk_dedup_report_replay(spark, sf_dir):
+    import hashlib
+
+    from parquet_to_csv_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    per_fp: dict = defaultdict(lambda: [0, set()])
+    for r in docs:
+        toks = [t for t in r.text.lower().split() if t]
+        for s in range(0, max(len(toks), 1), 48):
+            chunk = toks[s:s + 64]
+            if not chunk:
+                continue
+            h = hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            per_fp[(r.source, h)][0] += 1
+            per_fp[(r.source, h)][1].add(r.doc_id)
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for (src, _), (n_occ, docset) in per_fp.items():
+        agg[src][0] += n_occ
+        agg[src][1] += 1
+        agg[src][2] += len(docset) > 1
+    expect = {
+        src: (n, d, (n - d) * 1_000_000 // n, x) for src, (n, d, x) in agg.items()
+    }
+    got = {
+        r.source: (r.n_chunks, r.n_distinct_chunks, r.dup_ppm, r.n_cross_doc_chunks)
+        for r in corpus.chunk_dedup_report(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_sort_key_advisor_replay(spark, sf_dir):
+    from parquet_to_csv_spark.sources import layout
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    n = len(li)
+    cands = {
+        "ship_day": [int(r.l_shipdate.timestamp() * 1000) // 86_400_000 for r in li],
+        "l_partkey": [r.l_partkey for r in li],
+        "l_suppkey": [r.l_suppkey for r in li],
+        "l_orderkey": [r.l_orderkey for r in li],
+        "l_returnflag": [r.l_returnflag for r in li],
+        "l_linestatus": [r.l_linestatus for r in li],
+    }
+    expect = {
+        name: (len(set(v)), n // len(set(v)), len(set(v)) * 1_000_000 // n)
+        for name, v in cands.items()
+    }
+    got = {
+        r.column_name: (r.n_distinct, r.expected_run_len, r.density_ppm)
+        for r in layout.sort_key_advisor(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # flag columns must show the long-run payoff the advisor exists to expose
+    assert got["l_returnflag"][1] > got["l_orderkey"][1]
