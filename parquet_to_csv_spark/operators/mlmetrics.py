@@ -1224,3 +1224,49 @@ def aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(f"abs({z})") > 1.96).cast("long").alias("false_positive"),
         )
     )
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str, k: int = 200) -> DataFrame:
+    """EXT E243: Hill estimator of the right-tail index of order values
+    — α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)) over the top-k order
+    statistics. α < 2 means infinite-variance heavy tails (means and
+    CIs stop being trustworthy); the one-number diagnostic read before
+    believing any revenue average. Reported with the raw log-sum so
+    the estimate is auditable.
+
+    Top-(k+1) values come from TakeOrderedAndProject (never a global
+    sort); per-term logs quantize to integer micro-nats BEFORE the sum
+    (each term is ln of a ratio of exact cents — the entropy
+    convention), so the sum is exact long arithmetic and α̂ is one
+    floored integer division.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        exact_units(F.col("o_totalprice"), 2).alias("cents"),
+        "o_orderkey",
+    )
+    top = orders.orderBy(F.desc("cents"), F.asc("o_orderkey")).limit(k + 1)
+    w = W.orderBy(F.desc("cents"), F.asc("o_orderkey"))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    thresh = ranked.filter(F.col("rn") == k + 1).select(
+        F.col("cents").alias("xk")
+    )
+    terms = (
+        ranked.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            F.expr(
+                "CAST(round(ln(CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ).alias("u")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("u").alias("log_sum_micro"),
+    ).select(
+        "k",
+        "log_sum_micro",
+        F.expr("k * 1000000000000 div log_sum_micro").alias("alpha_micro"),
+    )

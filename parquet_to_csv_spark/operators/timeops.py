@@ -1703,3 +1703,58 @@ def late_event_profile(
         "n_late",
         F.expr("n_late * 1000000 div n_events").alias("late_ppm"),
     )
+
+
+def daily_acf(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
+    """EXT E242: autocorrelation function of the daily value series at
+    lags 1..7 — the numeric seasonality detector (a lag-7 spike IS
+    weekly seasonality; lag-1 persistence says how smoothable the
+    series is). Complements the seasonal-naive backtest (which assumes
+    lag-7) by MEASURING which lag carries signal.
+
+    The raw scan collapses to the tiny daily relation (exact cents)
+    once; each lag is one self-join on day+lag over ~|days| rows, and
+    r(ℓ) comes from the standard sufficient statistics in one fixed
+    IEEE pipeline over exact longs, floored to micro-units. Day gaps
+    simply drop pairs (both sides must exist) — the same contract an
+    ACF over a calendar with holes needs.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 86400000000000").alias("day"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("cents").alias("y")).localCheckpoint()
+    out = None
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    den = (
+        "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    for lag in range(1, max_lag + 1):
+        a = daily.select(F.col("day").alias("d"), F.col("y").alias("x"))
+        b = daily.select((F.col("day") - lag).alias("d"), F.col("y").alias("z"))
+        s = (
+            a.join(b, "d")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum("z").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("z") * F.col("z")).alias("syy"),
+                F.sum(F.col("x") * F.col("z")).alias("sxy"),
+            )
+            .select(
+                F.lit(lag).cast("long").alias("lag"),
+                "n",
+                F.expr(
+                    f"CAST(floor({num} / {den} * 1000000.0) AS BIGINT)"
+                ).alias("acf_micro"),
+            )
+        )
+        out = s if out is None else out.unionAll(s)
+    return out

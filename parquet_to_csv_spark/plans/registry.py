@@ -6852,3 +6852,57 @@ ORACLES["sort_key_advisor"] = (
         for name in _SKA_CANDS
     )
 )
+
+# --------------------------------------------------------------------------
+# EXT E242-E243 — daily ACF, Hill tail index
+# --------------------------------------------------------------------------
+
+QUERIES["daily_acf"] = timeops.daily_acf
+_ACF_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_ACF_DEN = (
+    "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+ORACLES["daily_acf"] = (
+    f"""WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         sum({duck_units("value", 2)}) AS y
+  FROM events GROUP BY 1
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({lag} AS BIGINT) AS lag, n,
+       CAST(floor({_ACF_NUM} / {_ACF_DEN} * 1000000.0) AS BIGINT) AS acf_micro
+FROM (
+  SELECT count(*) AS n, sum(a.y) AS sx, sum(b.y) AS sy,
+         sum(a.y * a.y) AS sxx, sum(b.y * b.y) AS syy,
+         sum(a.y * b.y) AS sxy
+  FROM daily a JOIN daily b ON a.day = b.day - {lag}
+)"""
+        for lag in range(1, 8)
+    )
+)
+
+QUERIES["hill_tail_index"] = mlmetrics.hill_tail_index
+ORACLES["hill_tail_index"] = f"""
+WITH ranked AS (
+  SELECT {duck_units("o_totalprice", 2)} AS cents,
+         row_number() OVER (ORDER BY {duck_units("o_totalprice", 2)} DESC,
+                            o_orderkey ASC) AS rn
+  FROM orders
+), thresh AS (
+  SELECT cents AS xk FROM ranked WHERE rn = 201
+), terms AS (
+  SELECT CAST(round(ln(CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE)) * 1000000)
+              AS BIGINT) AS u
+  FROM ranked CROSS JOIN thresh WHERE rn <= 200
+)
+SELECT count(*) AS k, sum(u) AS log_sum_micro,
+       count(*) * 1000000000000 // sum(u) AS alpha_micro
+FROM terms
+"""

@@ -1067,3 +1067,57 @@ def test_sort_key_advisor_replay(spark, sf_dir):
     assert got == expect
     # flag columns must show the long-run payoff the advisor exists to expose
     assert got["l_returnflag"][1] > got["l_orderkey"][1]
+
+
+def test_daily_acf_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily: dict = defaultdict(int)
+    for r in ev:
+        daily[r.ts // 86_400_000_000_000] += _cents(r.value)
+    expect = {}
+    for lag in range(1, 8):
+        pairs = [
+            (daily[d], daily[d + lag]) for d in daily if d + lag in daily
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(z for _, z in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(z * z for _, z in pairs)
+        sxy = sum(x * z for x, z in pairs)
+        num = float(n) * sxy - float(sx) * sy
+        den = math.sqrt(
+            (float(n) * sxx - float(sx) * sx) * (float(n) * syy - float(sy) * sy)
+        )
+        expect[lag] = (n, math.floor(num / den * 1e6))
+    got = {
+        r.lag: (r.n, r.acf_micro) for r in tops.daily_acf(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) == 7
+
+
+def test_hill_tail_index_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    orders = sorted(
+        ((_cents(r.o_totalprice), r.o_orderkey) for r in load_table(spark, sf_dir, "orders").collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    k = 200
+    xk = orders[k][0]
+    log_sum = sum(
+        int(round(math.log(c / xk) * 1e6)) for c, _ in orders[:k]
+    )
+    row = mlmetrics.hill_tail_index(spark, sf_dir).collect()[0]
+    assert row.k == k
+    assert row.log_sum_micro == log_sum
+    assert row.alpha_micro == k * 1_000_000_000_000 // log_sum
+    # order totals are NOT heavy-tailed in TPC-H-shaped data: alpha >> 2
+    assert row.alpha_micro > 2_000_000
