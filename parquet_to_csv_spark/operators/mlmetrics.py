@@ -1270,3 +1270,77 @@ def hill_tail_index(spark: SparkSession, sf_dir: str, k: int = 200) -> DataFrame
         "log_sum_micro",
         F.expr("k * 1000000000000 div log_sum_micro").alias("alpha_micro"),
     )
+
+
+def simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E244b/E245: Simpson's-paradox detector — compares the
+    weekend-vs-weekday difference in mean purchase value OVERALL
+    against the same difference WITHIN each user-value quintile, and
+    flags strata whose sign disagrees with the aggregate. The
+    aggregation-bias sanity check run before any "weekends monetize
+    better" conclusion ships: a reversal means the aggregate is
+    confounded by user mix, not behavior.
+
+    Quintiles come from the per-user exact-cents total (ntile over
+    user cardinality, the RFM convention); per-(stratum × arm) means
+    are exact floored cents; differences are exact integer cents so
+    the sign comparison can never flap. Output: one row per stratum
+    plus the 'overall' row, each with both arms and the reversal flag.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("((ts div 86400000000000) + 4) % 7").alias("dow"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(F.sum("cents").alias("tot"))
+    tiled = per_user.select(
+        "user_id", F.ntile(5).over(W.orderBy("tot", "user_id")).alias("stratum")
+    )
+    purch = (
+        ev.filter(F.col("is_p"))
+        .join(F.broadcast(tiled), "user_id")
+        .select(
+            "stratum",
+            F.when(F.col("dow") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("weekend"),
+            "cents",
+        )
+    )
+
+    def arms(df: DataFrame, label_col) -> DataFrame:
+        return df.groupBy(label_col.alias("stratum_label")).agg(
+            F.expr(
+                "sum(CASE WHEN weekend = 1 THEN cents ELSE 0 END)"
+                " div greatest(sum(CASE WHEN weekend = 1 THEN 1 ELSE 0 END), 1)"
+            ).alias("we_mean_cents"),
+            F.expr(
+                "sum(CASE WHEN weekend = 0 THEN cents ELSE 0 END)"
+                " div greatest(sum(CASE WHEN weekend = 0 THEN 1 ELSE 0 END), 1)"
+            ).alias("wd_mean_cents"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    per_stratum = arms(purch, F.col("stratum").cast("string"))
+    overall = arms(purch, F.lit("overall"))
+    both = per_stratum.unionAll(overall)
+    o_sign = overall.select(
+        F.signum(
+            (F.col("we_mean_cents") - F.col("wd_mean_cents")).cast("double")
+        ).cast("long").alias("overall_sign")
+    )
+    return both.crossJoin(F.broadcast(o_sign)).select(
+        "stratum_label",
+        "n_purchases",
+        "we_mean_cents",
+        "wd_mean_cents",
+        (
+            (
+                F.signum(
+                    (F.col("we_mean_cents") - F.col("wd_mean_cents")).cast("double")
+                ).cast("long")
+                * F.col("overall_sign")
+            )
+            < 0
+        ).cast("long").alias("sign_reversal"),
+    )

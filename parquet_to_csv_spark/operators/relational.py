@@ -1997,3 +1997,58 @@ def spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("out_of_control"),
         )
     )
+
+
+def receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E244: receivables aging — outstanding (non-'F'inal) order
+    value bucketed by age at the as-of date (0-30 / 31-60 / 61-90 /
+    90+ days), rolled up per customer nation. The working-capital
+    report every finance close produces; as a query shape it is the
+    as-of-anchored conditional rollup: anchor = max order date, a
+    1-row broadcast computed IN the plan (no driver action), age
+    buckets by pure integer day arithmetic, money in exact cents.
+
+    One orders scan + one broadcast customer→nation dim chain — the
+    fact table never shuffles except for the final tiny (nation ×
+    bucket) aggregation with map-side combine.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    anchor = orders.agg(
+        F.max(F.expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")).alias(
+            "anchor_day"
+        )
+    )
+    aged = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            exact_units(F.col("o_totalprice"), 2).alias("cents"),
+            (
+                F.col("anchor_day")
+                - F.expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+            ).alias("age_days"),
+        )
+        .select(
+            "o_custkey",
+            "cents",
+            F.when(F.col("age_days") <= 30, "0-30")
+            .when(F.col("age_days") <= 60, "31-60")
+            .when(F.col("age_days") <= 90, "61-90")
+            .otherwise("90+")
+            .alias("bucket"),
+        )
+    )
+    return (
+        aged.join(F.broadcast(cust), aged.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / F.lit(100.0)).alias("outstanding"),
+        )
+    )

@@ -6906,3 +6906,75 @@ SELECT count(*) AS k, sum(u) AS log_sum_micro,
        count(*) * 1000000000000 // sum(u) AS alpha_micro
 FROM terms
 """
+
+# --------------------------------------------------------------------------
+# EXT E244-E245 — receivables aging, Simpson's paradox detector
+# --------------------------------------------------------------------------
+
+QUERIES["receivables_aging"] = relational.receivables_aging
+ORACLES["receivables_aging"] = f"""
+WITH anchor AS (
+  SELECT max(epoch_ms(o_orderdate) // 86400000) AS anchor_day FROM orders
+), aged AS (
+  SELECT o_custkey, {duck_units("o_totalprice", 2)} AS cents,
+         CASE WHEN anchor_day - epoch_ms(o_orderdate) // 86400000 <= 30 THEN '0-30'
+              WHEN anchor_day - epoch_ms(o_orderdate) // 86400000 <= 60 THEN '31-60'
+              WHEN anchor_day - epoch_ms(o_orderdate) // 86400000 <= 90 THEN '61-90'
+              ELSE '90+' END AS bucket
+  FROM orders CROSS JOIN anchor
+  WHERE o_orderstatus <> 'F'
+)
+SELECT n.n_name, a.bucket, count(*) AS n_orders,
+       sum(a.cents) / 100.0 AS outstanding
+FROM aged a
+JOIN customer c ON a.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+QUERIES["simpsons_check"] = mlmetrics.simpsons_check
+ORACLES["simpsons_check"] = f"""
+WITH ev AS (
+  SELECT user_id,
+         ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+         event_type = 'purchase' AS is_p,
+         {duck_units("value", 2)} AS cents
+  FROM events
+), per_user AS (
+  SELECT user_id, sum(cents) AS tot FROM ev GROUP BY 1
+), tiled AS (
+  SELECT user_id, ntile(5) OVER (ORDER BY tot, user_id) AS stratum
+  FROM per_user
+), purch AS (
+  SELECT t.stratum,
+         CASE WHEN e.dow >= 5 THEN 1 ELSE 0 END AS weekend,
+         e.cents
+  FROM ev e JOIN tiled t USING (user_id) WHERE e.is_p
+), arms AS (
+  SELECT CAST(stratum AS VARCHAR) AS stratum_label,
+         sum(CASE WHEN weekend = 1 THEN cents ELSE 0 END)
+           // greatest(sum(CASE WHEN weekend = 1 THEN 1 ELSE 0 END), 1)
+           AS we_mean_cents,
+         sum(CASE WHEN weekend = 0 THEN cents ELSE 0 END)
+           // greatest(sum(CASE WHEN weekend = 0 THEN 1 ELSE 0 END), 1)
+           AS wd_mean_cents,
+         count(*) AS n_purchases
+  FROM purch GROUP BY 1
+  UNION ALL
+  SELECT 'overall',
+         sum(CASE WHEN weekend = 1 THEN cents ELSE 0 END)
+           // greatest(sum(CASE WHEN weekend = 1 THEN 1 ELSE 0 END), 1),
+         sum(CASE WHEN weekend = 0 THEN cents ELSE 0 END)
+           // greatest(sum(CASE WHEN weekend = 0 THEN 1 ELSE 0 END), 1),
+         count(*)
+  FROM purch
+), o AS (
+  SELECT CAST(sign(we_mean_cents - wd_mean_cents) AS BIGINT) AS overall_sign
+  FROM arms WHERE stratum_label = 'overall'
+)
+SELECT stratum_label, n_purchases, we_mean_cents, wd_mean_cents,
+       CASE WHEN CAST(sign(we_mean_cents - wd_mean_cents) AS BIGINT)
+                 * overall_sign < 0
+            THEN 1 ELSE 0 END AS sign_reversal
+FROM arms CROSS JOIN o
+"""

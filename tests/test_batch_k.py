@@ -1121,3 +1121,79 @@ def test_hill_tail_index_replay(spark, sf_dir):
     assert row.alpha_micro == k * 1_000_000_000_000 // log_sum
     # order totals are NOT heavy-tailed in TPC-H-shaped data: alpha >> 2
     assert row.alpha_micro > 2_000_000
+
+
+def test_receivables_aging_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    cust = {r.c_custkey: r.c_nationkey for r in load_table(spark, sf_dir, "customer").collect()}
+    nation = {r.n_nationkey: r.n_name for r in load_table(spark, sf_dir, "nation").collect()}
+    anchor = max(int(r.o_orderdate.timestamp() * 1000) // 86_400_000 for r in orders)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in orders:
+        if r.o_orderstatus == "F":
+            continue
+        age = anchor - int(r.o_orderdate.timestamp() * 1000) // 86_400_000
+        b = "0-30" if age <= 30 else "31-60" if age <= 60 else "61-90" if age <= 90 else "90+"
+        key = (nation[cust[r.o_custkey]], b)
+        agg[key][0] += 1
+        agg[key][1] += _cents(r.o_totalprice)
+    expect = {k: (n, c / 100.0) for k, (n, c) in agg.items()}
+    got = {
+        (r.n_name, r.bucket): (r.n_orders, r.outstanding)
+        for r in relational.receivables_aging(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len({b for _, b in got}) >= 2  # multiple buckets populated
+
+
+def test_simpsons_check_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    tot: dict = defaultdict(int)
+    for r in ev:
+        tot[r.user_id] += _cents(r.value)
+    users = sorted(tot, key=lambda u: (tot[u], u))
+    n = len(users)
+    stratum = {}
+    # replicate SQL ntile(5): first (n % 5) tiles get ceil(n/5)
+    base, extra = divmod(n, 5)
+    idx = 0
+    for t in range(1, 6):
+        size = base + (1 if t <= extra else 0)
+        for u in users[idx:idx + size]:
+            stratum[u] = t
+        idx += size
+    arms: dict = defaultdict(lambda: [0, 0, 0, 0, 0])  # we_c, we_n, wd_c, wd_n, n
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        dow = ((r.ts // 86_400_000_000_000) + 4) % 7
+        for label in (str(stratum[r.user_id]), "overall"):
+            a = arms[label]
+            if dow >= 5:
+                a[0] += _cents(r.value)
+                a[1] += 1
+            else:
+                a[2] += _cents(r.value)
+                a[3] += 1
+            a[4] += 1
+    means = {
+        k: (v[0] // max(v[1], 1), v[2] // max(v[3], 1), v[4])
+        for k, v in arms.items()
+    }
+    o_sign = (means["overall"][0] > means["overall"][1]) - (
+        means["overall"][0] < means["overall"][1]
+    )
+    expect = {
+        k: (v[2], v[0], v[1], int((((v[0] > v[1]) - (v[0] < v[1])) * o_sign) < 0))
+        for k, v in means.items()
+    }
+    got = {
+        r.stratum_label: (r.n_purchases, r.we_mean_cents, r.wd_mean_cents, r.sign_reversal)
+        for r in mlmetrics.simpsons_check(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert "overall" in got and len(got) == 6
