@@ -316,3 +316,66 @@ def order_consolidation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no distinct needed: b's three probe bands are distinct values,
         # so exactly one can equal a's band — each pair matches once.
     )
+
+
+def asof_nearest_join(
+    spark: SparkSession, sf_dir: str, tolerance_us: int = 3_600_000_000
+) -> DataFrame:
+    """EXT E247: NEAREST as-of join — each error event matched to the
+    same user's temporally CLOSEST click within ±1 h (backward-or-
+    forward, whichever is nearer). Completes the as-of family:
+    backward (E16), forward, and now nearest — pandas.merge_asof's
+    ``direction='nearest'`` at Spark scale.
+
+    Nearest can't ride the union-merge running-window trick (it needs
+    both sides of the timeline), so it uses the banded-bucket
+    equi-join: each error probes its hour band ±1 (tolerance = one
+    band width ⇒ 3 bands always suffice), then one ``min_by`` over the
+    (|Δt|, click_ts, click_id) struct picks the closest with a
+    deterministic tie-break (earlier click wins). Aggregation gets
+    map-side combine; no window sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("u"),
+        F.expr("ts div 1000").alias("e_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.expr("ts div 1000").alias("c_us"),
+    )
+    band = tolerance_us
+    e = errors.withColumn("band", F.expr(f"e_us div {band}"))
+    c = clicks.select(
+        "click_id",
+        "cu",
+        "c_us",
+        F.explode(
+            F.array(
+                F.expr(f"c_us div {band} - 1"),
+                F.expr(f"c_us div {band}"),
+                F.expr(f"c_us div {band} + 1"),
+            )
+        ).alias("band"),
+    )
+    j = e.join(
+        c,
+        (e.u == c.cu) & (e.band == c.band),
+    ).filter(F.abs(F.col("e_us") - F.col("c_us")) <= tolerance_us)
+    pick = F.expr(
+        "min_by(struct(click_id, c_us), struct(abs(e_us - c_us), c_us, click_id))"
+    )
+    return (
+        j.groupBy("error_id", "u", "e_us")
+        .agg(pick.alias("nearest"))
+        .select(
+            "error_id",
+            F.col("u").alias("user_id"),
+            "e_us",
+            F.col("nearest.click_id").alias("click_id"),
+            F.col("nearest.c_us").alias("click_us"),
+            F.abs(F.col("e_us") - F.col("nearest.c_us")).alias("gap_us"),
+        )
+    )

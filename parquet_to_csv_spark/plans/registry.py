@@ -6978,3 +6978,42 @@ SELECT stratum_label, n_purchases, we_mean_cents, wd_mean_cents,
             THEN 1 ELSE 0 END AS sign_reversal
 FROM arms CROSS JOIN o
 """
+
+# --------------------------------------------------------------------------
+# EXT E246-E247 — streaming upsert drain, nearest as-of join
+# --------------------------------------------------------------------------
+
+QUERIES["streaming_upsert_drain"] = _stream.upsert_drain_query
+ORACLES["streaming_upsert_drain"] = f"""
+WITH ranked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         {duck_units("value", 2)} AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+       cents / 100.0 AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES["asof_nearest_join"] = rangejoin.asof_nearest_join
+ORACLES["asof_nearest_join"] = """
+WITH errors AS (
+  SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_us
+  FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT e.error_id, e.user_id, e.e_us, c.click_id, c.c_us,
+         abs(e.e_us - c.c_us) AS gap_us,
+         row_number() OVER (PARTITION BY e.error_id
+                            ORDER BY abs(e.e_us - c.c_us), c.c_us, c.click_id)
+           AS rn
+  FROM errors e JOIN clicks c
+    ON e.user_id = c.user_id AND abs(e.e_us - c.c_us) <= 3600000000
+)
+SELECT error_id, user_id, e_us, click_id, c_us AS click_us, gap_us
+FROM cand WHERE rn = 1
+"""

@@ -175,3 +175,65 @@ def stateful_idle_eviction(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+UPSERT_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("v_cents", LongType()),
+    ]
+)
+
+UPSERT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+
+def _upsert_latest(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep only the LATEST row per key — (ts, event_id) lexicographic,
+    the unique arrival key, so 'latest' is deterministic."""
+    (user_id,) = key
+    ts, eid, cents = state.get if state.exists else (-1, -1, 0)
+    for pdf in pdfs:
+        for t, e, v in zip(pdf["ts_us"], pdf["event_id"], pdf["value"]):
+            t, e = int(t), int(e)
+            if (t, e) > (ts, eid):
+                ts, eid, cents = t, e, int(round(float(v) * 100))
+    state.update((ts, eid, cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "last_ts_us": [ts],
+            "last_event_id": [eid],
+            "last_value": [cents / 100.0],
+        }
+    )
+
+
+def stateful_latest_upsert(stream: DataFrame) -> DataFrame:
+    """EXT: streaming UPSERT materialization — per key, the state holds
+    only the latest (ts, event_id, value); every micro-batch emits the
+    refreshed row in update mode. This is the keyed-materialized-view
+    / CDC-upsert skeleton (what a `foreachBatch` MERGE does, expressed
+    as an O(1)-state operator with no external sink needed).
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        "user_id", "event_id", "value", F.expr("ts div 1000").alias("ts_us")
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _upsert_latest,
+        outputStructType=UPSERT_OUTPUT_SCHEMA,
+        stateStructType=UPSERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

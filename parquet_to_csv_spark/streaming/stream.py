@@ -489,3 +489,23 @@ def sliding_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         streaming_sliding_counts(read_event_stream(spark, stage)), name, spark
     )
+
+
+def upsert_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert through the gate: drain the latest-per-key
+    stateful operator (streaming.stateful.stateful_latest_upsert) over
+    the staged single-micro-batch event stream — update mode then
+    emits exactly one final row per user, which must equal the batch
+    "last row per key" the DuckDB oracle computes with a window."""
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.streaming.stateful import stateful_latest_upsert
+
+    stage = _stage_events_dir(spark, sf_dir)
+    name = "t_upsert_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        stateful_latest_upsert(read_event_stream(spark, stage)),
+        name,
+        spark,
+        output_mode="update",
+    )

@@ -1197,3 +1197,55 @@ def test_simpsons_check_replay(spark, sf_dir):
     }
     assert got == expect
     assert "overall" in got and len(got) == 6
+
+
+def test_streaming_upsert_drain_matches_batch(spark, sf_dir):
+    from parquet_to_csv_spark.streaming import stream as st
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    latest: dict = {}
+    for r in ev:
+        key = (r.ts // 1000, r.event_id)
+        if r.user_id not in latest or key > latest[r.user_id][0]:
+            latest[r.user_id] = (key, _cents(r.value))
+    expect = {
+        uid: (k[0], k[1], c / 100.0) for uid, (k, c) in latest.items()
+    }
+    got = {
+        r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
+        for r in st.upsert_drain_query(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_asof_nearest_join_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import rangejoin
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    clicks: dict = defaultdict(list)
+    for r in ev:
+        if r.event_type == "click":
+            clicks[r.user_id].append((r.ts // 1000, r.event_id))
+    TOL = 3_600_000_000
+    expect = {}
+    for r in ev:
+        if r.event_type != "error":
+            continue
+        e_us = r.ts // 1000
+        cands = [
+            (abs(e_us - cus), cus, cid)
+            for cus, cid in clicks.get(r.user_id, [])
+            if abs(e_us - cus) <= TOL
+        ]
+        if cands:
+            gap, cus, cid = min(cands)
+            expect[r.event_id] = (r.user_id, e_us, cid, cus, gap)
+    got = {
+        r.error_id: (r.user_id, r.e_us, r.click_id, r.click_us, r.gap_us)
+        for r in rangejoin.asof_nearest_join(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "fixture must contain error-click pairs within the hour"
+    # nearest must include at least one FORWARD match (a click after the
+    # error) — otherwise backward as-of would have sufficed
+    assert any(cus > eus for _, eus, _, cus, _ in got.values())
