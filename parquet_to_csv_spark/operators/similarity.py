@@ -1551,3 +1551,60 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim_ab", 6).alias("cosine"),
         )
     )
+
+
+def retrieval_diversity_report(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """EXT E249: result-set diversity audit — per query over the
+    verified cosine top-k: the mean pairwise candidate↔candidate
+    cosine (redundancy: high means the result list repeats itself) and
+    the count of distinct labels retrieved (coverage). The two numbers
+    an MMR-style re-ranker is tuned against; reading them FIRST tells
+    you whether diversity re-ranking would change anything.
+
+    Rides cosine_topk's ranking; the candidate-pair scoring is k²
+    per query over the BOUNDED query set (the E3 broadcast contract).
+    Pairwise cosines are the same bit-deterministic array expression,
+    rounded per pair at 6dp, then an exact floored mean in micro
+    units.
+    """
+    ranked = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k)
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_vec = ranked.join(
+        emb.select(F.col("vec_id").alias("cand_id"), "embedding", "label"),
+        "cand_id",
+    ).select("query_id", "cand_id", "embedding", "label")
+    a = with_vec.select(
+        F.col("query_id").alias("q"),
+        F.col("cand_id").alias("ca"),
+        F.col("embedding").alias("ea"),
+    )
+    b = with_vec.select(
+        F.col("query_id").alias("q"),
+        F.col("cand_id").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    sim = F.round(
+        dot_product(F.col("ea"), F.col("eb"))
+        / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
+        6,
+    )
+    pair_units = F.expr("CAST(round(pair_sim * 1000000) AS BIGINT)")
+    pairs = (
+        a.join(b, (a.q == b.q) & (F.col("ca") < F.col("cb")))
+        .select(a["q"].alias("query_id"), sim.alias("pair_sim"))
+        .select("query_id", pair_units.alias("u"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(u) div count(1)").alias("mean_pair_cosine_micro"),
+        )
+    )
+    labels = with_vec.groupBy("query_id").agg(
+        F.countDistinct("label").alias("n_labels"),
+        F.count(F.lit(1)).alias("k_returned"),
+    )
+    return labels.join(pairs, "query_id").select(
+        "query_id", "k_returned", "n_labels", "n_pairs", "mean_pair_cosine_micro"
+    )

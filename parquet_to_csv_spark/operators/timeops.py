@@ -1758,3 +1758,44 @@ def daily_acf(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
         )
         out = s if out is None else out.unionAll(s)
     return out
+
+
+def circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E248: circular statistics of activity time-of-day per event
+    type — the MEAN HOUR via the circular mean (arctan of summed unit
+    vectors) and the resultant length R (0 = uniform around the clock,
+    1 = perfectly peaked). Plain averages of hour-of-day are wrong at
+    the midnight wrap (mean of 23h and 1h is 12h); circular stats are
+    the correct tool, and R is the concentration score a scheduling /
+    anomaly system actually wants.
+
+    Determinism: hours are 24 discrete angles, so cos/sin take only 24
+    values — each quantized ONCE to integer micro-units (fixed
+    constants both engines compute identically from ``cos(h·π/12)``),
+    making the vector sums exact long arithmetic; the final atan2 /
+    sqrt run as one fixed IEEE pipeline over two exact longs. One
+    groupBy with map-side combine; output is micro-radians and ppm.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 3600000000000) % 24").alias("h"),
+    )
+    cos_u = "CAST(round(cos(CAST(h AS DOUBLE) * pi() / 12.0) * 1000000) AS BIGINT)"
+    sin_u = "CAST(round(sin(CAST(h AS DOUBLE) * pi() / 12.0) * 1000000) AS BIGINT)"
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(cos_u)).alias("sc"),
+        F.sum(F.expr(sin_u)).alias("ss"),
+    )
+    r_expr = (
+        "sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)"
+        " + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * 1000000.0)"
+    )
+    ang = "atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))"
+    return s.select(
+        "event_type",
+        "n",
+        F.expr(f"CAST(floor({ang} * 1000000.0) AS BIGINT)").alias("mean_angle_micro"),
+        F.expr(f"CAST(floor({r_expr} * 1000000.0) AS BIGINT)").alias("resultant_ppm"),
+    )

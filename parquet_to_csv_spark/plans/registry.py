@@ -7017,3 +7017,61 @@ WITH errors AS (
 SELECT error_id, user_id, e_us, click_id, c_us AS click_us, gap_us
 FROM cand WHERE rn = 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E248-E249 — circadian circular stats, retrieval diversity
+# --------------------------------------------------------------------------
+
+QUERIES["circadian_profile"] = timeops.circadian_profile
+ORACLES["circadian_profile"] = """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(cos(CAST(h AS DOUBLE) * pi() / 12.0) * 1000000)
+                  AS BIGINT)) AS sc,
+         sum(CAST(round(sin(CAST(h AS DOUBLE) * pi() / 12.0) * 1000000)
+                  AS BIGINT)) AS ss
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor(atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) * 1000000.0)
+            AS BIGINT) AS mean_angle_micro,
+       CAST(floor(sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                       + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * 1000000.0) * 1000000.0)
+            AS BIGINT) AS resultant_ppm
+FROM s
+"""
+
+QUERIES["retrieval_diversity_report"] = similarity.retrieval_diversity_report
+ORACLES["retrieval_diversity_report"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb, label FROM embeddings
+), ranked AS (
+  SELECT query_id, cand_id, c_emb, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_duck_cos('q_emb', 'c_emb')} DESC,
+                                     cand_id ASC) AS rnk
+  FROM q JOIN c ON query_id <> cand_id
+), topk AS (
+  SELECT query_id, cand_id, c_emb, label FROM ranked WHERE rnk <= 10
+), pairs AS (
+  SELECT a.query_id,
+         CAST(round(round({_duck_cos('a.c_emb', 'b.c_emb')}, 6) * 1000000)
+              AS BIGINT) AS u
+  FROM topk a JOIN topk b
+    ON a.query_id = b.query_id AND a.cand_id < b.cand_id
+), p AS (
+  SELECT query_id, count(*) AS n_pairs,
+         sum(u) // count(*) AS mean_pair_cosine_micro
+  FROM pairs GROUP BY 1
+), l AS (
+  SELECT query_id, count(DISTINCT label) AS n_labels, count(*) AS k_returned
+  FROM topk GROUP BY 1
+)
+SELECT l.query_id, l.k_returned, l.n_labels, p.n_pairs, p.mean_pair_cosine_micro
+FROM l JOIN p USING (query_id)
+"""

@@ -1249,3 +1249,65 @@ def test_asof_nearest_join_replay(spark, sf_dir):
     # nearest must include at least one FORWARD match (a click after the
     # error) — otherwise backward as-of would have sufficed
     assert any(cus > eus for _, eus, _, cus, _ in got.values())
+
+
+def test_circadian_profile_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for r in ev:
+        h = (r.ts // 3_600_000_000_000) % 24
+        a = agg[r.event_type]
+        a[0] += 1
+        a[1] += int(round(math.cos(h * math.pi / 12) * 1e6))
+        a[2] += int(round(math.sin(h * math.pi / 12) * 1e6))
+    expect = {}
+    for et, (n, sc, ss) in agg.items():
+        ang = math.atan2(ss, sc)
+        r_ = math.sqrt(float(sc) * sc + float(ss) * ss) / (n * 1e6)
+        expect[et] = (n, math.floor(ang * 1e6), math.floor(r_ * 1e6))
+    got = {
+        r.event_type: (r.n, r.mean_angle_micro, r.resultant_ppm)
+        for r in tops.circadian_profile(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # uniform-ish synthetic activity: R must be small but well-defined
+    assert all(0 <= v[2] <= 1_000_000 for v in got.values())
+
+
+def test_retrieval_diversity_report_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    topk = similarity.cosine_topk(spark, sf_dir, n_queries=5, k=10).collect()
+    emb = {
+        r.vec_id: (r.embedding, r.label)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(u, v):
+        num = sum(float(a) * float(b) for a, b in zip(u, v))
+        na = sum(float(a) * float(a) for a in u) ** 0.5
+        nb = sum(float(b) * float(b) for b in v) ** 0.5
+        return num / (na * nb)
+
+    by_q: dict = defaultdict(list)
+    for r in topk:
+        by_q[r.query_id].append(r.cand_id)
+    expect = {}
+    for q, cands in by_q.items():
+        us = []
+        cs = sorted(cands)
+        for i, ca in enumerate(cs):
+            for cb in cs[i + 1:]:
+                us.append(int(round(round(cos(emb[ca][0], emb[cb][0]), 6) * 1e6)))
+        labels = len({emb[c][1] for c in cands})
+        expect[q] = (len(cands), labels, len(us), sum(us) // len(us))
+    got = {
+        r.query_id: (r.k_returned, r.n_labels, r.n_pairs, r.mean_pair_cosine_micro)
+        for r in similarity.retrieval_diversity_report(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(v[2] == v[0] * (v[0] - 1) // 2 for v in got.values())
