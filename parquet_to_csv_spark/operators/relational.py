@@ -2052,3 +2052,66 @@ def receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / F.lit(100.0)).alias("outstanding"),
         )
     )
+
+
+def abc_classification(
+    spark: SparkSession, sf_dir: str, n_parts_range: int = 8
+) -> DataFrame:
+    """EXT E251: ABC inventory classification — parts ranked by
+    revenue; class A = the head up to 80% of cumulative revenue,
+    B = to 95%, C = the tail (the Pareto stock-policy segmentation
+    every inventory system runs).
+
+    Revenue per part is exact cents from one fact scan; the global
+    revenue rank + running total use the two-phase range-partition
+    prefix-sum (sequence_packing) — no single-task window ever sees
+    the part relation. Class boundaries compare exact integer
+    cumulative cents against 80%/95% of the exact total (cross-
+    multiplied: ``cum·100 <= total·80`` — no float share). Output one
+    row per part with rank, cumulative ppm and class.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "units"
+        ),
+    )
+    per = li.groupBy("l_partkey").agg(F.sum("units").alias("rev_u"))
+    from pyspark.sql import Window as W
+
+    base = per.repartitionByRange(
+        n_parts_range, F.desc("rev_u"), F.asc("l_partkey")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = W.partitionBy("pid").orderBy(F.desc("rev_u"), F.asc("l_partkey"))
+    local = base.withColumn("lrn", F.row_number().over(w_local)).withColumn(
+        "lcum", F.sum("rev_u").over(w_local.rowsBetween(W.unboundedPreceding, 0))
+    )
+    totals = local.groupBy("pid").agg(
+        F.max("lrn").alias("cnt"), F.sum("rev_u").alias("psum")
+    )
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("roff"),
+        F.coalesce(F.sum("psum").over(w_off), F.lit(0)).alias("coff"),
+    )
+    tot = per.agg(F.sum("rev_u").alias("total_u"))
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            (F.col("rev_u") / F.lit(100.0) / F.lit(100.0)).alias("revenue"),
+            (F.col("lrn") + F.col("roff")).alias("rev_rank"),
+            # cum·1e6 would overflow long at real totals; divide the
+            # total down first — identical formula in the oracle.
+            F.expr("(lcum + coff) div (total_u div 1000000)").alias("cum_ppm"),
+            F.expr(
+                "CASE WHEN (lcum + coff) * 100 <= total_u * 80 THEN 'A'"
+                " WHEN (lcum + coff) * 100 <= total_u * 95 THEN 'B'"
+                " ELSE 'C' END"
+            ).alias("abc_class"),
+        )
+    )

@@ -1608,3 +1608,97 @@ def retrieval_diversity_report(
     return labels.join(pairs, "query_id").select(
         "query_id", "k_returned", "n_labels", "n_pairs", "mean_pair_cosine_micro"
     )
+
+
+def mmr_rerank(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """EXT E250: Maximal-Marginal-Relevance re-ranking of the verified
+    cosine top-k — greedy selection maximizing
+    ``λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)`` with λ=0.7: the
+    standard diversity re-ranker (Carbonell & Goldstein) that the E249
+    redundancy audit motivates. Output: each candidate with its
+    original rank and its MMR rank.
+
+    The greedy recurrence is sequential in k but k is small and the
+    query set bounded, so it runs in ``applyInPandas`` per query over
+    a PRECOMPUTED k² pair-similarity relation (the expensive part is
+    relational and shuffles once; Python only performs the k-step
+    argmax loop). Determinism: query and pair sims are 6dp-rounded
+    then integer micro-units; the greedy score ``7·simq − 3·maxpair``
+    stays in exact integer deci-micro units with (score, cand_id)
+    tie-break; the oracle replays the same greedy as k unrolled SQL
+    steps.
+    """
+    import pandas as pd
+
+    ranked = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k).select(
+        "query_id",
+        "cand_id",
+        F.expr("CAST(round(cosine * 1000000) AS BIGINT)").alias("simq_u"),
+        "rnk",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    wv = ranked.join(
+        emb.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id"
+    )
+    a = wv.select(
+        F.col("query_id").alias("q"),
+        F.col("cand_id").alias("ca"),
+        F.col("simq_u").alias("sa"),
+        F.col("rnk").alias("ra"),
+        F.col("embedding").alias("ea"),
+    )
+    b = wv.select(
+        F.col("query_id").alias("q"),
+        F.col("cand_id").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    pair_u = F.expr("CAST(round(round(raw_sim, 6) * 1000000) AS BIGINT)")
+    pairs = (
+        a.join(b, (a.q == b.q) & (a.ca != b.cb))
+        .select(
+            a["q"].alias("query_id"),
+            "ca",
+            "sa",
+            "ra",
+            "cb",
+            (
+                dot_product(F.col("ea"), F.col("eb"))
+                / (l2_norm(F.col("ea")) * l2_norm(F.col("eb")))
+            ).alias("raw_sim"),
+        )
+        .select("query_id", "ca", "sa", "ra", "cb", pair_u.alias("pu"))
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        simq = {}
+        orig = {}
+        psim: dict = {}
+        for r in pdf.itertuples(index=False):
+            simq[int(r.ca)] = int(r.sa)
+            orig[int(r.ca)] = int(r.ra)
+            psim[(int(r.ca), int(r.cb))] = int(r.pu)
+        remaining = set(simq)
+        selected: list = []
+        out = []
+        while remaining:
+            if not selected:
+                scores = {c: 7 * simq[c] for c in remaining}
+            else:
+                scores = {
+                    c: 7 * simq[c] - 3 * max(psim[(c, s)] for s in selected)
+                    for c in remaining
+                }
+            best = min(remaining, key=lambda c: (-scores[c], c))
+            selected.append(best)
+            out.append((qid, best, orig[best], len(selected)))
+            remaining.discard(best)
+        return pd.DataFrame(
+            out, columns=["query_id", "cand_id", "orig_rank", "mmr_rank"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        _greedy, "query_id long, cand_id long, orig_rank long, mmr_rank long"
+    )

@@ -7075,3 +7075,102 @@ WITH q AS (
 SELECT l.query_id, l.k_returned, l.n_labels, p.n_pairs, p.mean_pair_cosine_micro
 FROM l JOIN p USING (query_id)
 """
+
+# --------------------------------------------------------------------------
+# EXT E250 — MMR re-ranking (greedy unrolled in the oracle)
+# --------------------------------------------------------------------------
+
+QUERIES["mmr_rerank"] = similarity.mmr_rerank
+
+
+def _mmr_oracle(k: int = 10) -> str:
+    head = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), c AS MATERIALIZED (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+), topk AS MATERIALIZED (
+  SELECT query_id, cand_id, c_emb,
+         CAST(round(round(sim, 6) * 1000000) AS BIGINT) AS simq_u, rnk
+  FROM (
+    SELECT query_id, cand_id, c_emb, {_duck_cos('q_emb', 'c_emb')} AS sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_duck_cos('q_emb', 'c_emb')} DESC,
+                                       cand_id ASC) AS rnk
+    FROM q JOIN c ON query_id <> cand_id
+  ) WHERE rnk <= {k}
+), pairs AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         CAST(round(round({_duck_cos('a.c_emb', 'b.c_emb')}, 6) * 1000000)
+              AS BIGINT) AS pu
+  FROM topk a JOIN topk b
+    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+), sel1 AS MATERIALIZED (
+  SELECT query_id, cand_id, rnk AS orig_rank, CAST(1 AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT query_id, cand_id, rnk,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY 7 * simq_u DESC, cand_id ASC) AS pick
+    FROM topk
+  ) WHERE pick = 1
+)"""
+    steps = []
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        steps.append(f""", sel{t} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT query_id, cand_id, orig_rank, CAST({t} AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT tt.query_id, tt.cand_id, tt.rnk AS orig_rank,
+           row_number() OVER (
+             PARTITION BY tt.query_id
+             ORDER BY 7 * tt.simq_u
+                      - 3 * (SELECT max(p.pu) FROM pairs p
+                             JOIN {prev} s
+                               ON s.query_id = p.query_id
+                              AND s.cand_id = p.cb
+                             WHERE p.query_id = tt.query_id
+                               AND p.ca = tt.cand_id) DESC,
+                      tt.cand_id ASC) AS pick
+    FROM topk tt
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                      WHERE s.query_id = tt.query_id
+                        AND s.cand_id = tt.cand_id)
+  ) WHERE pick = 1
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT query_id, cand_id, orig_rank, mmr_rank FROM sel{k}"
+    )
+
+
+ORACLES["mmr_rerank"] = _mmr_oracle()
+
+# --------------------------------------------------------------------------
+# EXT E251 — ABC inventory classification
+# --------------------------------------------------------------------------
+
+QUERIES["abc_classification"] = relational.abc_classification
+ORACLES["abc_classification"] = f"""
+WITH per AS (
+  SELECT l_partkey,
+         sum({duck_units("l_extendedprice * (1 - l_discount)", 4)}) AS rev_u
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey, rev_u,
+         row_number() OVER (ORDER BY rev_u DESC, l_partkey ASC) AS rev_rank,
+         sum(rev_u) OVER (ORDER BY rev_u DESC, l_partkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_u,
+         (SELECT sum(rev_u) FROM per) AS total_u
+  FROM per
+)
+SELECT l_partkey, rev_u / 100.0 / 100.0 AS revenue, rev_rank,
+       cum_u // (total_u // 1000000) AS cum_ppm,
+       CASE WHEN cum_u * 100 <= total_u * 80 THEN 'A'
+            WHEN cum_u * 100 <= total_u * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""

@@ -1311,3 +1311,75 @@ def test_retrieval_diversity_report_replay(spark, sf_dir):
     }
     assert got == expect
     assert all(v[2] == v[0] * (v[0] - 1) // 2 for v in got.values())
+
+
+def test_mmr_rerank_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    topk = similarity.cosine_topk(spark, sf_dir, n_queries=5, k=10).collect()
+    emb = {r.vec_id: r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()}
+
+    def cos(u, v):
+        num = sum(float(a) * float(b) for a, b in zip(u, v))
+        na = sum(float(a) * float(a) for a in u) ** 0.5
+        nb = sum(float(b) * float(b) for b in v) ** 0.5
+        return num / (na * nb)
+
+    by_q: dict = defaultdict(dict)
+    orig: dict = defaultdict(dict)
+    for r in topk:
+        by_q[r.query_id][r.cand_id] = int(round(r.cosine * 1e6))
+        orig[r.query_id][r.cand_id] = r.rnk
+    expect = {}
+    for q, simq in by_q.items():
+        pu = {
+            (a, b): int(round(round(cos(emb[a], emb[b]), 6) * 1e6))
+            for a in simq for b in simq if a != b
+        }
+        remaining, selected = set(simq), []
+        rank = 0
+        while remaining:
+            if not selected:
+                scores = {c: 7 * simq[c] for c in remaining}
+            else:
+                scores = {
+                    c: 7 * simq[c] - 3 * max(pu[(c, s)] for s in selected)
+                    for c in remaining
+                }
+            best = min(remaining, key=lambda c: (-scores[c], c))
+            rank += 1
+            expect[(q, best)] = (orig[q][best], rank)
+            selected.append(best)
+            remaining.discard(best)
+    got = {
+        (r.query_id, r.cand_id): (r.orig_rank, r.mmr_rank)
+        for r in similarity.mmr_rerank(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # MMR must actually move something (otherwise the re-ranker is inert)
+    assert any(o != m for o, m in got.values())
+
+
+def test_abc_classification_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    rev: dict = defaultdict(int)
+    for r in li:
+        u = int(r.l_extendedprice * (1 - r.l_discount) * 10000 + 0.5)
+        rev[r.l_partkey] += u
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev.values())
+    cum = 0
+    expect = {}
+    for i, (pk, u) in enumerate(ranked):
+        cum += u
+        cls = "A" if cum * 100 <= total * 80 else "B" if cum * 100 <= total * 95 else "C"
+        expect[pk] = (u / 100.0 / 100.0, i + 1, cum // (total // 1_000_000), cls)
+    got = {
+        r.l_partkey: (r.revenue, r.rev_rank, r.cum_ppm, r.abc_class)
+        for r in relational.abc_classification(spark, sf_dir).collect()
+    }
+    assert got == expect
+    classes = {c for _, _, _, c in got.values()}
+    assert classes == {"A", "B", "C"}
