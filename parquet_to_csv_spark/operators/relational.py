@@ -2115,3 +2115,56 @@ def abc_classification(
             ).alias("abc_class"),
         )
     )
+
+
+def order_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E253: order fill-rate distribution — per order, the share of
+    its line items already shipped at the as-of date, histogrammed
+    into fill bands (0%, 1-49%, 50-99%, 100%) by order priority. The
+    partial-shipment operational report: a priority class drifting
+    toward low fill bands is a fulfillment failure the average hides.
+
+    One lineitem scan to (order × shipped/total) counts with map-side
+    combine (the anchor is the plan-internal broadcast max ship date
+    minus 30 days, so 'shipped' is non-trivially partial), one
+    orderkey equi-join against orders (both sides order-cardinality —
+    NO broadcast hint; at scale this is a fact⋈fact join AQE plans as
+    shuffle-hash, or exchange-free under the E25 bucketed layout), and
+    a tiny (priority × band) rollup. Bands compare exact integer
+    counts cross-multiplied — no float percentages anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    anchor = li.agg(
+        (
+            F.max(F.expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000"))
+            - F.lit(30)
+        ).alias("anchor_day")
+    )
+    per_order = (
+        li.crossJoin(F.broadcast(anchor))
+        .select(
+            "l_orderkey",
+            (
+                F.expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+                <= F.col("anchor_day")
+            ).cast("long").alias("shipped"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("shipped").alias("n_shipped"))
+    )
+    banded = per_order.select(
+        "l_orderkey",
+        F.when(F.col("n_shipped") == 0, "0%")
+        .when(F.col("n_shipped") * 2 < F.col("n_lines"), "1-49%")
+        .when(F.col("n_shipped") < F.col("n_lines"), "50-99%")
+        .otherwise("100%")
+        .alias("fill_band"),
+    )
+    return (
+        banded.join(orders, banded.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", "fill_band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

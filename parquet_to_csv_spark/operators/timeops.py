@@ -1799,3 +1799,47 @@ def circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor({ang} * 1000000.0) AS BIGINT)").alias("mean_angle_micro"),
         F.expr(f"CAST(floor({r_expr} * 1000000.0) AS BIGINT)").alias("resultant_ppm"),
     )
+
+
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E252: DAU/MAU stickiness — per calendar month: monthly
+    active users, average daily active users, and the stickiness ratio
+    (avg DAU / MAU, in ppm) — the engagement-density KPI every
+    consumer product reports. avg-DAU folds the per-day distinct
+    counts; MAU is the month-level distinct — two keyed aggregations
+    over one scan-derived relation, both with map-side combine, the
+    month relation tiny.
+
+    Integer determinism: day and month keys are pure epoch integer
+    arithmetic (UTC contract); the ratio is floored ppm of exact
+    longs (sum of daily DAUs ·1e6 div (days·MAU)).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 86400000000000").alias("day"),
+    )
+    # month key from the epoch day via integer civil-calendar arithmetic
+    # would need a calendar; the events span ~1-2 months so use the
+    # day-granular timestamp's year*100+month under UTC (session.py).
+    ev = ev.withColumn(
+        "ym",
+        F.expr(
+            "CAST(year(timestamp_micros(day * 86400000000)) * 100"
+            " + month(timestamp_micros(day * 86400000000)) AS BIGINT)"
+        ),
+    )
+    daily = ev.groupBy("ym", "day").agg(F.countDistinct("user_id").alias("dau"))
+    monthly = ev.groupBy("ym").agg(F.countDistinct("user_id").alias("mau"))
+    dsum = daily.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("dau").alias("dau_sum")
+    )
+    return (
+        dsum.join(monthly, "ym")
+        .select(
+            "ym",
+            "n_days",
+            "mau",
+            F.expr("dau_sum div n_days").alias("avg_dau"),
+            F.expr("dau_sum * 1000000 div (n_days * mau)").alias("stickiness_ppm"),
+        )
+    )

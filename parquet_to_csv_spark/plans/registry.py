@@ -7174,3 +7174,51 @@ SELECT l_partkey, rev_u / 100.0 / 100.0 AS revenue, rev_rank,
             ELSE 'C' END AS abc_class
 FROM ranked
 """
+
+# --------------------------------------------------------------------------
+# EXT E252-E253 — DAU/MAU stickiness, order fill-rate bands
+# --------------------------------------------------------------------------
+
+QUERIES["dau_mau_stickiness"] = timeops.dau_mau_stickiness
+ORACLES["dau_mau_stickiness"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), e2 AS (
+  SELECT user_id, day,
+         CAST(year(make_timestamp(day * 86400000000)) * 100
+              + month(make_timestamp(day * 86400000000)) AS BIGINT) AS ym
+  FROM e
+), daily AS (
+  SELECT ym, day, count(DISTINCT user_id) AS dau FROM e2 GROUP BY 1, 2
+), monthly AS (
+  SELECT ym, count(DISTINCT user_id) AS mau FROM e2 GROUP BY 1
+), dsum AS (
+  SELECT ym, count(*) AS n_days, sum(dau) AS dau_sum FROM daily GROUP BY 1
+)
+SELECT d.ym, d.n_days, m.mau,
+       d.dau_sum // d.n_days AS avg_dau,
+       d.dau_sum * 1000000 // (d.n_days * m.mau) AS stickiness_ppm
+FROM dsum d JOIN monthly m USING (ym)
+"""
+
+QUERIES["order_fill_rate"] = relational.order_fill_rate
+ORACLES["order_fill_rate"] = """
+WITH anchor AS (
+  SELECT max(epoch_ms(l_shipdate) // 86400000) - 30 AS anchor_day FROM lineitem
+), per_order AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         sum(CASE WHEN epoch_ms(l_shipdate) // 86400000 <= anchor_day
+                  THEN 1 ELSE 0 END) AS n_shipped
+  FROM lineitem CROSS JOIN anchor GROUP BY 1
+), banded AS (
+  SELECT l_orderkey,
+         CASE WHEN n_shipped = 0 THEN '0%'
+              WHEN n_shipped * 2 < n_lines THEN '1-49%'
+              WHEN n_shipped < n_lines THEN '50-99%'
+              ELSE '100%' END AS fill_band
+  FROM per_order
+)
+SELECT o.o_orderpriority, b.fill_band, count(*) AS n_orders
+FROM banded b JOIN orders o ON b.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""

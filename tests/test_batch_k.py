@@ -1383,3 +1383,59 @@ def test_abc_classification_replay(spark, sf_dir):
     assert got == expect
     classes = {c for _, _, _, c in got.values()}
     assert classes == {"A", "B", "C"}
+
+
+def test_dau_mau_stickiness_replay(spark, sf_dir):
+    import datetime
+
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily: dict = defaultdict(set)
+    monthly: dict = defaultdict(set)
+    for r in ev:
+        day = r.ts // 86_400_000_000_000
+        d = datetime.datetime.fromtimestamp(day * 86400, datetime.timezone.utc)
+        ym = d.year * 100 + d.month
+        daily[(ym, day)].add(r.user_id)
+        monthly[ym].add(r.user_id)
+    dsum: dict = defaultdict(lambda: [0, 0])
+    for (ym, _), users in daily.items():
+        dsum[ym][0] += 1
+        dsum[ym][1] += len(users)
+    expect = {
+        ym: (
+            nd, len(monthly[ym]), tot // nd,
+            tot * 1_000_000 // (nd * len(monthly[ym])),
+        )
+        for ym, (nd, tot) in dsum.items()
+    }
+    got = {
+        r.ym: (r.n_days, r.mau, r.avg_dau, r.stickiness_ppm)
+        for r in tops.dau_mau_stickiness(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(0 < v[3] <= 1_000_000 for v in got.values())
+
+
+def test_order_fill_rate_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    days = [int(r.l_shipdate.timestamp() * 1000) // 86_400_000 for r in li]
+    anchor = max(days) - 30
+    per_order: dict = defaultdict(lambda: [0, 0])
+    for r, d in zip(li, days):
+        per_order[r.l_orderkey][0] += 1
+        per_order[r.l_orderkey][1] += d <= anchor
+    prio = {r.o_orderkey: r.o_orderpriority for r in load_table(spark, sf_dir, "orders").collect()}
+    agg: dict = defaultdict(int)
+    for ok, (n, s) in per_order.items():
+        band = "0%" if s == 0 else "1-49%" if s * 2 < n else "50-99%" if s < n else "100%"
+        agg[(prio[ok], band)] += 1
+    got = {
+        (r.o_orderpriority, r.fill_band): r.n_orders
+        for r in relational.order_fill_rate(spark, sf_dir).collect()
+    }
+    assert got == dict(agg)
+    assert len({b for _, b in got}) >= 3  # partial-fill bands populated
