@@ -1344,3 +1344,118 @@ def simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0
         ).cast("long").alias("sign_reversal"),
     )
+
+
+def importance_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E254: importance-reweighting health check — reweight the
+    corpus so every language contributes equally (w ∝ 1/share), and
+    report per language AND overall: the weighted mean doc length and
+    the EFFECTIVE SAMPLE SIZE ratio (Σw)²/(n·Σw²). ESS is the number
+    that says whether reweighting is statistically affordable: a tiny
+    minority class gets a huge weight, the ESS collapses, and the
+    "balanced" estimate is really a handful of documents — the check
+    every data-mixture rebalancing should run first.
+
+    Weights are exact integer ppm (1e6·N/(K·n_lang), floored — the
+    uniform-mixture target); weighted sums are exact longs; the ESS
+    ratio and weighted mean are single fixed-IEEE pipelines over those
+    longs, floored to ppm / integer chars.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    shares = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_tot"), F.countDistinct("lang").alias("k")
+    )
+    weighted = (
+        docs.join(F.broadcast(shares), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_chars",
+            F.expr("n_tot * 1000000 div (k * n_lang)").alias("w"),
+        )
+    )
+
+    def stats(df: DataFrame, label) -> DataFrame:
+        return df.groupBy(label.alias("grp")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("w")).alias("sww"),
+            F.sum(F.col("w") * F.col("n_chars")).alias("swx"),
+        )
+    both = stats(weighted, F.col("lang")).unionAll(stats(weighted, F.lit("overall")))
+    ess = (
+        "(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sww AS DOUBLE))"
+    )
+    return both.select(
+        "grp",
+        "n",
+        F.expr("swx div sw").alias("weighted_mean_chars"),
+        F.expr(f"CAST(floor({ess} * 1000000.0) AS BIGINT)").alias("ess_ratio_ppm"),
+    )
+
+
+def matched_pairs_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E255: matched-pairs comparison — each weekend purchase is
+    matched to the weekday purchase whose USER has the most similar
+    total activity level (1-NN covariate matching), and the outcome
+    difference (purchase cents) is reported over matched pairs only.
+    The poor-man's propensity matching: unlike the raw weekend/weekday
+    gap (E245 shows it can be confounded), the matched estimate
+    compares like users with like.
+
+    Matching uses the banded-bucket nearest trick on the covariate
+    axis (activity levels bucketed; each treatment probes band ±1,
+    then one ``min_by`` on (|Δ|, tie keys)) — never a full T×C join.
+    All arithmetic exact integers; the mean difference is floored
+    cents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("act"))
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("((ts div 86400000000000) + 4) % 7 >= 5").alias("weekend"),
+            exact_units(F.col("value"), 2).alias("cents"),
+        )
+        .join(activity, "user_id")
+    )
+    band_w = 8
+    t = purch.filter(F.col("weekend")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("cents").alias("t_cents"),
+        F.col("act").alias("t_act"),
+        F.expr(f"act div {band_w}").alias("band"),
+    )
+    c = purch.filter(~F.col("weekend")).select(
+        F.col("event_id").alias("c_id"),
+        F.col("cents").alias("c_cents"),
+        F.col("act").alias("c_act"),
+        F.explode(
+            F.array(
+                F.expr(f"act div {band_w} - 1"),
+                F.expr(f"act div {band_w}"),
+                F.expr(f"act div {band_w} + 1"),
+            )
+        ).alias("band"),
+    )
+    j = t.join(c, "band").filter(
+        F.abs(F.col("t_act") - F.col("c_act")) <= F.lit(band_w)
+    )
+    pick = F.expr(
+        "min_by(struct(c_id, c_cents), struct(abs(t_act - c_act), c_id))"
+    )
+    matched = (
+        j.groupBy("t_id", "t_cents", "t_act")
+        .agg(pick.alias("m"))
+        .select("t_id", "t_cents", (F.col("t_cents") - F.col("m.c_cents")).alias("diff"))
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.expr("sum(diff) div count(1)").alias("mean_diff_cents"),
+        F.sum((F.col("diff") > 0).cast("long")).alias("n_positive"),
+        F.sum((F.col("diff") < 0).cast("long")).alias("n_negative"),
+    )

@@ -7222,3 +7222,63 @@ SELECT o.o_orderpriority, b.fill_band, count(*) AS n_orders
 FROM banded b JOIN orders o ON b.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
 """
+
+# --------------------------------------------------------------------------
+# EXT E254-E255 — importance-weighted stats, matched-pairs diff
+# --------------------------------------------------------------------------
+
+QUERIES["importance_weighted_stats"] = mlmetrics.importance_weighted_stats
+ORACLES["importance_weighted_stats"] = """
+WITH shares AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n_tot, count(DISTINCT lang) AS k FROM documents
+), weighted AS (
+  SELECT d.lang, d.n_chars,
+         n_tot * 1000000 // (k * s.n_lang) AS w
+  FROM documents d JOIN shares s USING (lang) CROSS JOIN tot
+), grps AS (
+  SELECT lang AS grp, count(*) AS n, sum(w) AS sw, sum(w * w) AS sww,
+         sum(w * n_chars) AS swx
+  FROM weighted GROUP BY 1
+  UNION ALL
+  SELECT 'overall', count(*), sum(w), sum(w * w), sum(w * n_chars)
+  FROM weighted
+)
+SELECT grp, n, swx // sw AS weighted_mean_chars,
+       CAST(floor((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sww AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS ess_ratio_ppm
+FROM grps
+"""
+
+QUERIES["matched_pairs_diff"] = mlmetrics.matched_pairs_diff
+ORACLES["matched_pairs_diff"] = f"""
+WITH activity AS (
+  SELECT user_id, count(*) AS act FROM events GROUP BY 1
+), purch AS (
+  SELECT e.event_id, e.user_id,
+         ((epoch_us(e.ts) // 86400000000) + 4) % 7 >= 5 AS weekend,
+         {duck_units("e.value", 2)} AS cents, a.act
+  FROM events e JOIN activity a USING (user_id)
+  WHERE e.event_type = 'purchase'
+), t AS (
+  SELECT event_id AS t_id, cents AS t_cents, act AS t_act
+  FROM purch WHERE weekend
+), c AS (
+  SELECT event_id AS c_id, cents AS c_cents, act AS c_act
+  FROM purch WHERE NOT weekend
+), matched AS (
+  SELECT t_id, t_cents, t_cents - c_cents AS diff FROM (
+    SELECT t.t_id, t.t_cents, c.c_cents,
+           row_number() OVER (PARTITION BY t.t_id
+                              ORDER BY abs(t.t_act - c.c_act), c.c_id) AS rn
+    FROM t JOIN c ON abs(t.t_act - c.c_act) <= 8
+  ) WHERE rn = 1
+)
+SELECT count(*) AS n_matched,
+       sum(diff) // count(*) AS mean_diff_cents,
+       sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS n_positive,
+       sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS n_negative
+FROM matched
+"""

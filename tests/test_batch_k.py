@@ -1439,3 +1439,74 @@ def test_order_fill_rate_replay(spark, sf_dir):
     }
     assert got == dict(agg)
     assert len({b for _, b in got}) >= 3  # partial-fill bands populated
+
+
+def test_importance_weighted_stats_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    n_tot = len(docs)
+    langs: dict = defaultdict(int)
+    for r in docs:
+        langs[r.lang] += 1
+    k = len(langs)
+    groups: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        w = n_tot * 1_000_000 // (k * langs[r.lang])
+        for g in (r.lang, "overall"):
+            a = groups[g]
+            a[0] += 1
+            a[1] += w
+            a[2] += w * w
+            a[3] += w * r.n_chars
+    expect = {
+        g: (
+            n, swx // sw,
+            math.floor((float(sw) * sw) / (float(n) * sww) * 1e6),
+        )
+        for g, (n, sw, sww, swx) in groups.items()
+    }
+    got = {
+        r.grp: (r.n, r.weighted_mean_chars, r.ess_ratio_ppm)
+        for r in mlmetrics.importance_weighted_stats(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # per-lang ESS is 1.0 (uniform weights within a class); overall < 1
+    assert got["overall"][2] < 1_000_000
+    for g, v in got.items():
+        if g != "overall":
+            assert v[2] == 1_000_000
+
+
+def test_matched_pairs_diff_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    act: dict = defaultdict(int)
+    for r in ev:
+        act[r.user_id] += 1
+    t, c = [], []
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        weekend = ((r.ts // 86_400_000_000_000) + 4) % 7 >= 5
+        rec = (r.event_id, _cents(r.value), act[r.user_id])
+        (t if weekend else c).append(rec)
+    diffs = []
+    for t_id, t_cents, t_act in t:
+        cands = [
+            (abs(t_act - c_act), c_id, c_cents)
+            for c_id, c_cents, c_act in c
+            if abs(t_act - c_act) <= 8
+        ]
+        if cands:
+            _, _, c_cents = min(cands)
+            diffs.append(t_cents - c_cents)
+    row = mlmetrics.matched_pairs_diff(spark, sf_dir).collect()[0]
+    assert row.n_matched == len(diffs)
+    assert row.mean_diff_cents == sum(diffs) // len(diffs)
+    assert row.n_positive == sum(1 for d in diffs if d > 0)
+    assert row.n_negative == sum(1 for d in diffs if d < 0)
+    assert row.n_matched > 10
