@@ -2168,3 +2168,51 @@ def order_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "fill_band")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+def substitution_savings(
+    spark: SparkSession, sf_dir: str, min_brands: int = 2
+) -> DataFrame:
+    """EXT E256: substitution-savings screen — within each
+    interchangeable part family (same type × size), the spread between
+    the cheapest brand's retail price and the family average: what
+    procurement could save by switching brands. Families with one
+    brand are excluded (nothing to switch to).
+
+    One scan of ``part`` to the (type × size) grain with map-side
+    combine — family stats (min / max / avg over exact cents, brand
+    count) all ride a single aggregation; the savings ppm is exact
+    integer arithmetic on cents. Output one row per multi-brand
+    family.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_type",
+        "p_size",
+        "p_brand",
+        exact_units(F.col("p_retailprice"), 2).alias("cents"),
+    )
+    fam = part.groupBy("p_type", "p_size").agg(
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return (
+        fam.filter(F.col("n_brands") >= min_brands)
+        .select(
+            "p_type",
+            "p_size",
+            "n_brands",
+            "n_parts",
+            (F.col("min_cents") / F.lit(100.0)).alias("cheapest"),
+            (F.col("max_cents") / F.lit(100.0)).alias("dearest"),
+            F.expr("sum_cents div n_parts").alias("avg_cents"),
+            F.expr(
+                "(sum_cents div n_parts - min_cents) * 1000000"
+                " div greatest(sum_cents div n_parts, 1)"
+            ).alias("savings_ppm"),
+        )
+    )

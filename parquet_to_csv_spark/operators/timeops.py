@@ -1843,3 +1843,47 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dau_sum * 1000000 div (n_days * mau)").alias("stickiness_ppm"),
         )
     )
+
+
+def dow_type_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E257: day-of-week × event-type MOSAIC residuals — for each
+    cell of the contingency table, the standardized Pearson residual
+    (obs − exp)/√exp under independence. The inference layer on top of
+    the raw activity heatmap: |residual| > 2 marks cells where the
+    weekly rhythm genuinely differs by event type rather than by
+    volume.
+
+    Expected counts are exact integer cross-products over the marginal
+    relations (row·col, total); the residual is one fixed IEEE
+    pipeline over three exact longs, floored to milli-units; the flag
+    is an integer comparison on the milli value so it can never flap.
+    One scan, two tiny broadcast marginals.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("((ts div 86400000000000) + 4) % 7").alias("dow"), "event_type"
+    )
+    cells = ev.groupBy("dow", "event_type").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = ev.groupBy("dow").agg(F.count(F.lit(1)).alias("r"))
+    cols = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    resid = (
+        "(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " / sqrt(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return (
+        cells.join(F.broadcast(rows_), "dow")
+        .join(F.broadcast(cols), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "event_type",
+            "o",
+            F.expr("r * c div n").alias("expected"),
+            F.expr(f"CAST(floor({resid} * 1000.0) AS BIGINT)").alias("resid_milli"),
+            (
+                F.abs(F.expr(f"CAST(floor({resid} * 1000.0) AS BIGINT)"))
+                > 2000
+            ).cast("long").alias("significant"),
+        )
+    )

@@ -7282,3 +7282,54 @@ SELECT count(*) AS n_matched,
        sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS n_negative
 FROM matched
 """
+
+# --------------------------------------------------------------------------
+# EXT E256-E257 — substitution savings, dow×type mosaic residuals
+# --------------------------------------------------------------------------
+
+QUERIES["substitution_savings"] = relational.substitution_savings
+ORACLES["substitution_savings"] = f"""
+WITH part_c AS (
+  SELECT p_type, p_size, p_brand, {duck_units("p_retailprice", 2)} AS cents
+  FROM part
+), fam AS (
+  SELECT p_type, p_size, count(DISTINCT p_brand) AS n_brands,
+         count(*) AS n_parts, min(cents) AS min_cents, max(cents) AS max_cents,
+         sum(cents) AS sum_cents
+  FROM part_c GROUP BY 1, 2
+)
+SELECT p_type, p_size, n_brands, n_parts,
+       min_cents / 100.0 AS cheapest,
+       max_cents / 100.0 AS dearest,
+       sum_cents // n_parts AS avg_cents,
+       (sum_cents // n_parts - min_cents) * 1000000
+         // greatest(sum_cents // n_parts, 1) AS savings_ppm
+FROM fam WHERE n_brands >= 2
+"""
+
+QUERIES["dow_type_residuals"] = timeops.dow_type_residuals
+_DTR = (
+    "(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+    " / sqrt(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+ORACLES["dow_type_residuals"] = f"""
+WITH e AS (
+  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, event_type
+  FROM events
+), cells AS (
+  SELECT dow, event_type, count(*) AS o FROM e GROUP BY 1, 2
+), rows_ AS (
+  SELECT dow, count(*) AS r FROM e GROUP BY 1
+), cols AS (
+  SELECT event_type, count(*) AS c FROM e GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM e
+)
+SELECT cells.dow, cells.event_type, cells.o,
+       r * c // n AS expected,
+       CAST(floor({_DTR} * 1000.0) AS BIGINT) AS resid_milli,
+       CASE WHEN abs(CAST(floor({_DTR} * 1000.0) AS BIGINT)) > 2000
+            THEN 1 ELSE 0 END AS significant
+FROM cells JOIN rows_ USING (dow) JOIN cols USING (event_type) CROSS JOIN tot
+"""

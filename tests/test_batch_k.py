@@ -1510,3 +1510,64 @@ def test_matched_pairs_diff_replay(spark, sf_dir):
     assert row.n_positive == sum(1 for d in diffs if d > 0)
     assert row.n_negative == sum(1 for d in diffs if d < 0)
     assert row.n_matched > 10
+
+
+def test_substitution_savings_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    parts = load_table(spark, sf_dir, "part").collect()
+    fam: dict = defaultdict(lambda: [set(), 0, None, None, 0])
+    for r in parts:
+        c = _cents(r.p_retailprice)
+        a = fam[(r.p_type, r.p_size)]
+        a[0].add(r.p_brand)
+        a[1] += 1
+        a[2] = c if a[2] is None else min(a[2], c)
+        a[3] = c if a[3] is None else max(a[3], c)
+        a[4] += c
+    expect = {}
+    for k, (brands, n, mn, mx, sm) in fam.items():
+        if len(brands) < 2:
+            continue
+        avg = sm // n
+        expect[k] = (
+            len(brands), n, mn / 100.0, mx / 100.0, avg,
+            (avg - mn) * 1_000_000 // max(avg, 1),
+        )
+    got = {
+        (r.p_type, r.p_size): (
+            r.n_brands, r.n_parts, r.cheapest, r.dearest, r.avg_cents, r.savings_ppm
+        )
+        for r in relational.substitution_savings(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "multi-brand part families must exist"
+
+
+def test_dow_type_residuals_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    cells: dict = defaultdict(int)
+    rows_: dict = defaultdict(int)
+    cols: dict = defaultdict(int)
+    for r in ev:
+        dow = ((r.ts // 86_400_000_000_000) + 4) % 7
+        cells[(dow, r.event_type)] += 1
+        rows_[dow] += 1
+        cols[r.event_type] += 1
+    n = len(ev)
+    expect = {}
+    for (dow, et), o in cells.items():
+        r_, c = rows_[dow], cols[et]
+        resid = (o - r_ * c / n) / math.sqrt(r_ * c / n)
+        rm = math.floor(resid * 1000.0)
+        expect[(dow, et)] = (o, r_ * c // n, rm, int(abs(rm) > 2000))
+    got = {
+        (r.dow, r.event_type): (r.o, r.expected, r.resid_milli, r.significant)
+        for r in tops.dow_type_residuals(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) == len(cells)
