@@ -1394,3 +1394,60 @@ def blocking_recall_audit(
             ).alias("missed_ppm"),
         )
     )
+
+
+def neardup_evidence(
+    spark: SparkSession, sf_dir: str, n_pairs: int = 10, top_grams: int = 3
+) -> DataFrame:
+    """EXT E258: near-dup EVIDENCE — for the strongest near-duplicate
+    pairs, the most DISTINCTIVE shared tokens (lowest corpus document
+    frequency): the human-reviewable "why did dedup match these two"
+    artifact. Pure similarity scores get appealed; showing the rare
+    shared vocabulary is what makes a dedup decision auditable — the
+    explanation layer over E14's pair relation. (Shared n-grams would
+    be stronger evidence for copy-paste dups, but the matcher's metric
+    is token-SET Jaccard, so tokens are the faithful explanation of
+    what it actually matched on.)
+
+    The top pairs are TakeOrderedAndProject over the verified Jaccard
+    join; shared tokens are one array_intersect per selected pair
+    (array-local); token rarity joins in from a corpus-wide token→df
+    relation (one explode + map-side-combined count). Ranking inside
+    each pair is a window over ≤ |shared tokens| rows of the few
+    selected pairs.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir, 0.8)
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(n_pairs)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("ts")
+    )
+    tdf = (
+        toks.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    shared = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.explode(F.array_intersect("ts_a", "ts_b")).alias("token"),
+        )
+        .join(tdf, "token")
+    )
+    w = W.partitionBy("doc_a", "doc_b").orderBy(F.asc("df_docs"), F.asc("token"))
+    return (
+        shared.withColumn("evidence_rank", F.row_number().over(w))
+        .filter(F.col("evidence_rank") <= top_grams)
+        .select("doc_a", "doc_b", "jaccard", "token", "df_docs", "evidence_rank")
+    )

@@ -1887,3 +1887,43 @@ def dow_type_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("significant"),
         )
     )
+
+
+def error_burst_sessions(
+    spark: SparkSession, sf_dir: str, min_events: int = 2
+) -> DataFrame:
+    """EXT E259: error-interrupted session detector — sessions (30-min
+    gap, the E10 definition) where an error occurred amid other
+    activity (≥ ``min_events`` events, ≥1 error): the rule-based CEP
+    alert of reliability dashboards ("this user hit a failure
+    mid-journey"), with the error share and the session's value at
+    stake. The threshold is a knob; the fixture's sessions are short
+    (≤3 events), so the gate pins the ≥2-with-error shape — the
+    plan is identical at any cut.
+
+    Composes the verified session_window aggregation — the detector
+    adds conditional counts inside the SAME groupBy (zero extra
+    shuffles) and one integer-ppm filter. At scale, alerting runs the
+    identical expressions on the streaming session path (E9/E10
+    parity contract).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window(_ts_micros(), "30 minutes").alias("s"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+            F.sum(exact_units(F.col("value"), 2)).alias("sv_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            "n_events",
+            "n_errors",
+            F.expr("n_errors * 1000000 div n_events").alias("error_ppm"),
+            (F.col("sv_cents") / F.lit(100.0)).alias("session_value"),
+        )
+    )
+    return sess.filter(
+        (F.col("n_events") >= min_events) & (F.col("n_errors") >= 1)
+    )

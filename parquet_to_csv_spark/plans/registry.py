@@ -7333,3 +7333,72 @@ SELECT cells.dow, cells.event_type, cells.o,
             THEN 1 ELSE 0 END AS significant
 FROM cells JOIN rows_ USING (dow) JOIN cols USING (event_type) CROSS JOIN tot
 """
+
+# --------------------------------------------------------------------------
+# EXT E258-E259 — near-dup evidence, error-interrupted sessions
+# --------------------------------------------------------------------------
+
+QUERIES["neardup_evidence"] = dedup.neardup_evidence
+ORACLES["neardup_evidence"] = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS dtoks
+  FROM documents
+), tdf AS MATERIALIZED (
+  SELECT token, count(*) AS df_docs
+  FROM (SELECT doc_id, unnest(dtoks) AS token FROM t) GROUP BY 1
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.dtoks, b.dtoks))
+               / CAST(len(list_distinct(list_concat(a.dtoks, b.dtoks)))
+                      AS DOUBLE), 4) AS jaccard
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.dtoks, b.dtoks))
+               / CAST(len(list_distinct(list_concat(a.dtoks, b.dtoks)))
+                      AS DOUBLE), 4) >= 0.8
+  ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+  LIMIT 10
+), shared AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard, s.token, tdf.df_docs
+  FROM pairs p
+  JOIN t ta ON ta.doc_id = p.doc_a
+  JOIN t tb ON tb.doc_id = p.doc_b,
+  LATERAL (SELECT unnest(list_intersect(ta.dtoks, tb.dtoks)) AS token) s
+  JOIN tdf ON tdf.token = s.token
+)
+SELECT doc_a, doc_b, jaccard, token, df_docs, evidence_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+                               ORDER BY df_docs ASC, token ASC) AS evidence_rank
+  FROM shared
+) WHERE evidence_rank <= 3
+"""
+
+QUERIES["error_burst_sessions"] = timeops.error_burst_sessions
+ORACLES["error_burst_sessions"] = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_type,
+         {duck_units("value", 2)} AS cents
+  FROM events
+), flagged AS (
+  SELECT user_id, tus, event_type, cents,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                   OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                      >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sessions AS (
+  SELECT user_id, tus, event_type, cents,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, sid, min(tus) AS session_start_us, count(*) AS n_events,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+         sum(cents) AS sv_cents
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id, session_start_us, n_events, n_errors,
+       n_errors * 1000000 // n_events AS error_ppm,
+       sv_cents / 100.0 AS session_value
+FROM agg WHERE n_events >= 2 AND n_errors >= 1
+"""

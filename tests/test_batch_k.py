@@ -1571,3 +1571,71 @@ def test_dow_type_residuals_replay(spark, sf_dir):
     }
     assert got == expect
     assert len(got) == len(cells)
+
+
+def test_neardup_evidence_replay(spark, sf_dir):
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+
+    g = {
+        r.doc_id: {t for t in r.text.lower().split() if t} for r in docs
+    }
+    gdf: Counter = Counter()
+    for ts in g.values():
+        gdf.update(ts)
+    pairs = sorted(
+        (
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(spark, sf_dir, 0.8).collect()
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:10]
+    expect = {}
+    for a, b, j in pairs:
+        shared = sorted(g[a] & g[b], key=lambda s: (gdf[s], s))
+        for rank, gram in enumerate(shared[:3], 1):
+            expect[(a, b, rank)] = (j, gram, gdf[gram])
+    got = {
+        (r.doc_a, r.doc_b, r.evidence_rank): (r.jaccard, r.token, r.df_docs)
+        for r in dedup.neardup_evidence(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "top near-dup pairs must produce shared-gram evidence"
+
+
+def test_error_burst_sessions_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user: dict = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts // 1000, r.event_type, _cents(r.value)))
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        sess: list = []
+        prev = None
+        for tus, et, c in rows:
+            if prev is None or tus - prev >= 1_800_000_000:
+                sess.append([])
+            sess[-1].append((tus, et, c))
+            prev = tus
+        for s in sess:
+            n = len(s)
+            ne = sum(1 for _, et, _ in s if et == "error")
+            if n >= 2 and ne >= 1:
+                expect[(uid, s[0][0])] = (
+                    n, ne, ne * 1_000_000 // n,
+                    sum(c for _, _, c in s) / 100.0,
+                )
+    got = {
+        (r.user_id, r.session_start_us): (
+            r.n_events, r.n_errors, r.error_ppm, r.session_value
+        )
+        for r in tops.error_burst_sessions(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "error-interrupted sessions must exist in the fixture"
