@@ -1405,11 +1405,16 @@ def matched_pairs_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap (E245 shows it can be confounded), the matched estimate
     compares like users with like.
 
-    Matching uses the banded-bucket nearest trick on the covariate
-    axis (activity levels bucketed; each treatment probes band ±1,
-    then one ``min_by`` on (|Δ|, tie keys)) — never a full T×C join.
-    All arithmetic exact integers; the mean difference is floored
-    cents.
+    The 1-NN match depends ONLY on the treatment row's covariate
+    value, so matching runs over DISTINCT activity levels (a relation
+    orders of magnitude smaller than the purchases): distinct levels
+    × controls through the banded-bucket nearest trick + ``min_by``,
+    then the tiny level→match map broadcasts back onto treatment rows.
+    The first cut joined every treatment purchase to candidate
+    controls and measured 16.7 s at sf0.1 — collapsing to distinct
+    covariate values is the difference between O(|T|·density) and
+    O(|levels|·density). All arithmetic exact integers; the mean
+    difference is floored cents.
     """
     ev = load_table(spark, sf_dir, "events")
     activity = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("act"))
@@ -1428,7 +1433,9 @@ def matched_pairs_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("t_id"),
         F.col("cents").alias("t_cents"),
         F.col("act").alias("t_act"),
-        F.expr(f"act div {band_w}").alias("band"),
+    )
+    levels = t.select(F.col("t_act").alias("lv")).distinct().withColumn(
+        "band", F.expr(f"lv div {band_w}")
     )
     c = purch.filter(~F.col("weekend")).select(
         F.col("event_id").alias("c_id"),
@@ -1442,16 +1449,18 @@ def matched_pairs_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
-    j = t.join(c, "band").filter(
-        F.abs(F.col("t_act") - F.col("c_act")) <= F.lit(band_w)
-    )
     pick = F.expr(
-        "min_by(struct(c_id, c_cents), struct(abs(t_act - c_act), c_id))"
+        "min_by(struct(c_id, c_cents), struct(abs(lv - c_act), c_id))"
     )
-    matched = (
-        j.groupBy("t_id", "t_cents", "t_act")
+    match_map = (
+        levels.join(c, "band")
+        .filter(F.abs(F.col("lv") - F.col("c_act")) <= F.lit(band_w))
+        .groupBy("lv")
         .agg(pick.alias("m"))
-        .select("t_id", "t_cents", (F.col("t_cents") - F.col("m.c_cents")).alias("diff"))
+        .select(F.col("lv").alias("t_act"), F.col("m.c_cents").alias("mc_cents"))
+    )
+    matched = t.join(F.broadcast(match_map), "t_act").select(
+        "t_id", "t_cents", (F.col("t_cents") - F.col("mc_cents")).alias("diff")
     )
     return matched.agg(
         F.count(F.lit(1)).alias("n_matched"),
