@@ -2216,3 +2216,92 @@ def substitution_savings(
             ).alias("savings_ppm"),
         )
     )
+
+
+def discount_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E260: discount-leakage audit — per brand: the list value of
+    everything sold (retail price × quantity), the realized value
+    (extended price after discount), and the leakage between them in
+    exact ppm. The pricing-governance number: a brand whose leakage
+    far exceeds the portfolio's is where discounting is out of
+    control.
+
+    lineitem⋈part on partkey: part is the build side (broadcast here;
+    at 100 TB part is itself large — AQE picks shuffle-hash, and the
+    E25 bucketed layout on partkey makes it exchange-free). List value
+    = retail_cents × qty_cents div 100 — exact integer; realized =
+    exact 4dp units of price×(1−disc). One scan each side, one tiny
+    brand rollup.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        exact_units(F.col("l_quantity"), 2).alias("qty_c"),
+        exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "real_u"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        exact_units(F.col("p_retailprice"), 2).alias("retail_c"),
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.expr("retail_c * qty_c div 100").alias("list_c"),
+        F.expr("real_u div 100").alias("real_c"),
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum("list_c") / F.lit(100.0)).alias("list_value"),
+        (F.sum("real_c") / F.lit(100.0)).alias("realized_value"),
+        F.expr(
+            "(sum(list_c) - sum(real_c)) div (sum(list_c) div 1000000)"
+        ).alias("leakage_ppm"),
+    )
+
+
+def supplier_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E261: supplier-concentration profile — per part type: the
+    distribution of each part's DOMINANT-supplier revenue share (mean
+    and worst-case ppm) plus the thinnest supplier bench. The
+    part-grain resilience view beside the nation-level HHI: a type
+    whose max dominant share approaches 1e6 has parts that are
+    de-facto single-sourced even when several suppliers nominally
+    exist. (A boolean "single-sourced" flag would be vacuous on this
+    fixture — every part has ≥8 suppliers — so the profile reports
+    the shares themselves; the consumer picks the alarm threshold.)
+
+    Two keyed aggregations with map-side combine: (part × supplier)
+    revenue, then per-part max/total via one more groupBy; the
+    dominant share is exact floored ppm of exact 4dp units; the type
+    rollup is tiny. One broadcast part-dim join for the type.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "rev_u"
+        ),
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("rev_u").alias("r"))
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.max("r").alias("mx"),
+        F.sum("r").alias("tot"),
+    ).select(
+        "l_partkey",
+        "n_suppliers",
+        F.expr("mx div (tot div 1000000)").alias("dom_ppm"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+    return j.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("n_suppliers").alias("min_suppliers"),
+        F.expr("sum(dom_ppm) div count(1)").alias("mean_dom_ppm"),
+        F.max("dom_ppm").alias("max_dom_ppm"),
+    )

@@ -7402,3 +7402,43 @@ SELECT user_id, session_start_us, n_events, n_errors,
        sv_cents / 100.0 AS session_value
 FROM agg WHERE n_events >= 2 AND n_errors >= 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E260-E261 — discount leakage, single-source risk
+# --------------------------------------------------------------------------
+
+QUERIES["discount_leakage"] = relational.discount_leakage
+ORACLES["discount_leakage"] = f"""
+WITH j AS (
+  SELECT p.p_brand,
+         {duck_units("p.p_retailprice", 2)} * {duck_units("l.l_quantity", 2)}
+           // 100 AS list_c,
+         {duck_units("l.l_extendedprice * (1 - l.l_discount)", 4)} // 100
+           AS real_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT p_brand, count(*) AS n_lines,
+       sum(list_c) / 100.0 AS list_value,
+       sum(real_c) / 100.0 AS realized_value,
+       (sum(list_c) - sum(real_c)) // (sum(list_c) // 1000000) AS leakage_ppm
+FROM j GROUP BY 1
+"""
+
+QUERIES["supplier_concentration_profile"] = relational.supplier_concentration_profile
+ORACLES["supplier_concentration_profile"] = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum({duck_units("l_extendedprice * (1 - l_discount)", 4)}) AS r
+  FROM lineitem GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers,
+         max(r) // (sum(r) // 1000000) AS dom_ppm
+  FROM per_ps GROUP BY 1
+)
+SELECT p.p_type, count(*) AS n_parts,
+       min(n_suppliers) AS min_suppliers,
+       sum(dom_ppm) // count(*) AS mean_dom_ppm,
+       max(dom_ppm) AS max_dom_ppm
+FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
+GROUP BY 1
+"""

@@ -1639,3 +1639,75 @@ def test_error_burst_sessions_replay(spark, sf_dir):
     }
     assert got == expect
     assert got, "error-interrupted sessions must exist in the fixture"
+
+
+def test_discount_leakage_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    part = {
+        r.p_partkey: (r.p_brand, _cents(r.p_retailprice))
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for r in li:
+        brand, retail_c = part[r.l_partkey]
+        qty_c = _cents(r.l_quantity)
+        real_u = int(r.l_extendedprice * (1 - r.l_discount) * 10000 + 0.5)
+        a = agg[brand]
+        a[0] += 1
+        a[1] += retail_c * qty_c // 100
+        a[2] += real_u // 100
+    def tdiv(a, b):  # Spark `div` truncates toward zero (unlike Python //)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    expect = {
+        b: (n, lc / 100.0, rc / 100.0, tdiv(lc - rc, lc // 1_000_000))
+        for b, (n, lc, rc) in agg.items()
+    }
+    got = {
+        r.p_brand: (r.n_lines, r.list_value, r.realized_value, r.leakage_ppm)
+        for r in relational.discount_leakage(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the gap between list and realized is non-zero for every brand
+    # (in this synthetic fixture extendedprice exceeds retail×qty, so
+    # the "leakage" is uniformly negative — a markup, not a discount)
+    assert all(v[3] != 0 for v in got.values())
+
+
+def test_supplier_concentration_profile_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    per_ps: dict = defaultdict(int)
+    for r in li:
+        per_ps[(r.l_partkey, r.l_suppkey)] += int(
+            r.l_extendedprice * (1 - r.l_discount) * 10000 + 0.5
+        )
+    per_part: dict = defaultdict(lambda: [0, 0, 0])
+    for (pk, _), rev in per_ps.items():
+        a = per_part[pk]
+        a[0] += 1
+        a[1] = max(a[1], rev)
+        a[2] += rev
+    ptype = {r.p_partkey: r.p_type for r in load_table(spark, sf_dir, "part").collect()}
+    agg: dict = defaultdict(lambda: [0, None, 0, 0])
+    for pk, (ns, mx, tot) in per_part.items():
+        dom = mx // (tot // 1_000_000)
+        a = agg[ptype[pk]]
+        a[0] += 1
+        a[1] = ns if a[1] is None else min(a[1], ns)
+        a[2] += dom
+        a[3] = max(a[3], dom)
+    expect = {
+        t: (n, mn, s_ // n, mx) for t, (n, mn, s_, mx) in agg.items()
+    }
+    got = {
+        r.p_type: (r.n_parts, r.min_suppliers, r.mean_dom_ppm, r.max_dom_ppm)
+        for r in relational.supplier_concentration_profile(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # a dominant share is by definition at least 1/n_suppliers
+    assert all(v[3] > 0 for v in got.values())
