@@ -2305,3 +2305,48 @@ def supplier_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("sum(dom_ppm) div count(1)").alias("mean_dom_ppm"),
         F.max("dom_ppm").alias("max_dom_ppm"),
     )
+
+
+def incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str, cutoff: str = "1997-01-01"
+) -> DataFrame:
+    """EXT E262: incremental JOIN maintenance — the delta-join identity
+    of incremental view maintenance: with orders split into base (<
+    cutoff) and delta (≥ cutoff), the per-nation revenue view updates
+    as  view(base ∪ Δ) = agg(base⋈C) ⊕ agg(Δ⋈C)  — only the delta
+    side touches the join at refresh time. This query computes the
+    incrementally-maintained result (base partial + delta partial,
+    merged); the oracle computes the view from scratch — the gate IS
+    the proof the maintenance is lossless, extending E?'s
+    aggregation-only incrementality to joins.
+
+    Customer/nation dims broadcast into both partials; the partials
+    are mergeable exact-cent sums (order-independent), so at 100 TB
+    yesterday's materialized partial + today's delta partial replace a
+    full-history rescan.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        exact_units(F.col("o_totalprice"), 2).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(cust), df.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < F.lit(cutoff)))
+    delta = partial(orders.filter(F.col("o_orderdate") >= F.lit(cutoff)))
+    return (
+        base.unionByName(delta)
+        .groupBy("n_name")
+        .agg(F.sum("n").alias("n_orders"), (F.sum("c") / F.lit(100.0)).alias("revenue"))
+    )

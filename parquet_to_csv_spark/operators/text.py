@@ -1258,3 +1258,47 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E263: hapax 3-gram profile per source — the share of a
+    source's word-3-gram vocabulary that occurs exactly once
+    corpus-wide, and the share of its 3-gram MASS those hapaxes carry.
+    High hapax share = unique content; low = templated/boilerplate
+    text repeating the same phrases (the fixture's unigram vocabulary
+    is a closed 31-token set, so single-token hapaxes cannot exist —
+    phrase-level rarity is the meaningful lexical-health signal here,
+    read beside the Zipf slope E212 and boilerplate miner).
+
+    Grams are generated ARRAY-LOCALLY (transform over a start-index
+    sequence — no self-join); one explode feeds both the corpus-wide
+    gram-frequency relation and the per-(source, gram) counts; the
+    hapax flag joins back by gram (shuffle ∝ distinct grams). All
+    exact integer ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", tokens_col("text").alias("tk"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("tk") - 3, F.lit(0)))
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("tk", i + 1, 3)))
+        ).alias("gram"),
+    )
+    st = grams.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("n_occ"))
+    df_ = st.groupBy("gram").agg(F.sum("n_occ").alias("corpus_occ"))
+    j = st.join(df_, "gram").select(
+        "source",
+        "n_occ",
+        (F.col("corpus_occ") == 1).cast("long").alias("is_hapax"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("is_hapax").alias("n_hapax"),
+        F.expr("sum(is_hapax) * 1000000 div count(1)").alias("hapax_vocab_ppm"),
+        F.sum("n_occ").alias("gram_mass"),
+        F.expr(
+            "sum(CASE WHEN is_hapax = 1 THEN n_occ ELSE 0 END) * 1000000"
+            " div sum(n_occ)"
+        ).alias("hapax_mass_ppm"),
+    )

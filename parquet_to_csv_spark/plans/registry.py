@@ -7442,3 +7442,43 @@ SELECT p.p_type, count(*) AS n_parts,
 FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
 GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E262-E263 — incremental join maintenance, hapax profile
+# --------------------------------------------------------------------------
+
+QUERIES["incremental_join_maintenance"] = relational.incremental_join_maintenance
+ORACLES["incremental_join_maintenance"] = f"""
+SELECT n.n_name, count(*) AS n_orders,
+       sum({duck_units("o.o_totalprice", 2)}) / 100.0 AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+QUERIES["hapax_rate"] = _text.hapax_rate
+ORACLES["hapax_rate"] = f"""
+WITH tk AS (
+  SELECT source, {_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT source,
+         unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS gram
+  FROM tk
+), st AS (
+  SELECT source, gram, count(*) AS n_occ FROM grams GROUP BY 1, 2
+), df AS (
+  SELECT gram, sum(n_occ) AS corpus_occ FROM st GROUP BY 1
+), j AS (
+  SELECT st.source, st.n_occ,
+         CASE WHEN df.corpus_occ = 1 THEN 1 ELSE 0 END AS is_hapax
+  FROM st JOIN df USING (gram)
+)
+SELECT source, count(*) AS vocab, sum(is_hapax) AS n_hapax,
+       sum(is_hapax) * 1000000 // count(*) AS hapax_vocab_ppm,
+       sum(n_occ) AS gram_mass,
+       sum(CASE WHEN is_hapax = 1 THEN n_occ ELSE 0 END) * 1000000
+         // sum(n_occ) AS hapax_mass_ppm
+FROM j GROUP BY 1
+"""

@@ -1711,3 +1711,63 @@ def test_supplier_concentration_profile_replay(spark, sf_dir):
     assert got == expect
     # a dominant share is by definition at least 1/n_suppliers
     assert all(v[3] > 0 for v in got.values())
+
+
+def test_incremental_join_maintenance_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    cust = {r.c_custkey: r.c_nationkey for r in load_table(spark, sf_dir, "customer").collect()}
+    nation = {r.n_nationkey: r.n_name for r in load_table(spark, sf_dir, "nation").collect()}
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in orders:
+        nm = nation[cust[r.o_custkey]]
+        agg[nm][0] += 1
+        agg[nm][1] += _cents(r.o_totalprice)
+    expect = {nm: (n, c / 100.0) for nm, (n, c) in agg.items()}
+    got = {
+        r.n_name: (r.n_orders, r.revenue)
+        for r in relational.incremental_join_maintenance(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # both sides of the cutoff must be non-empty, else incrementality
+    # is vacuous
+    import datetime
+
+    cut = datetime.datetime(1997, 1, 1)
+    assert any(r.o_orderdate < cut for r in orders)
+    assert any(r.o_orderdate >= cut for r in orders)
+
+
+def test_hapax_rate_replay(spark, sf_dir):
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import text as textops
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    st: Counter = Counter()
+    corpus: Counter = Counter()
+    for r in docs:
+        toks = [t for t in r.text.lower().split() if t]
+        for i in range(max(len(toks) - 3, 0) + 1):
+            g = " ".join(toks[i:i + 3])
+            st[(r.source, g)] += 1
+            corpus[g] += 1
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for (src, g), n in st.items():
+        a = agg[src]
+        a[0] += 1
+        a[3] += n
+        if corpus[g] == 1:
+            a[1] += 1
+            a[2] += n
+    expect = {
+        src: (v, h, h * 1_000_000 // v, m, hm * 1_000_000 // m)
+        for src, (v, h, hm, m) in agg.items()
+    }
+    got = {
+        r.source: (r.vocab, r.n_hapax, r.hapax_vocab_ppm, r.gram_mass, r.hapax_mass_ppm)
+        for r in textops.hapax_rate(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(v[1] > 0 for v in got.values())  # 3-gram hapaxes abound
