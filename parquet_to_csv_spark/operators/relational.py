@@ -2350,3 +2350,55 @@ def incremental_join_maintenance(
         .groupBy("n_name")
         .agg(F.sum("n").alias("n_orders"), (F.sum("c") / F.lit(100.0)).alias("revenue"))
     )
+
+
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E264: cross-table reconciliation audit — does
+    ``o_totalprice`` equal the order's lineitem-derived total
+    (Σ extended·(1−disc)·(1+tax), the TPC-H invariant)? Per order
+    status: orders checked, orders with NO lineitems at all, invariant
+    violations (off by more than a cent), and the worst/mean absolute
+    error in exact cents. The fixture does NOT maintain the invariant
+    (every joined order mismatches, and 257 orders have no lines at
+    sf0.01) — which is exactly why a reconciliation audit exists: it
+    measures drift between tables that should agree.
+
+    The per-line product of three 2dp factors is an exact 6dp
+    rational → exact integer micro-units per line, exact long sums per
+    order; diffs, maxima and means are pure integer arithmetic. One
+    lineitem aggregation + one LEFT join from orders (keeps the
+    no-lineitem orders countable) + a tiny status rollup.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        exact_units(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            6,
+        ).alias("u6"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum("u6").alias("li_u6"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (exact_units(F.col("o_totalprice"), 2) * F.lit(10000)).alias("o_u6"),
+    )
+    j = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        F.col("li_u6").isNull().cast("long").alias("no_lines"),
+        F.when(
+            F.col("li_u6").isNotNull(), F.abs(F.col("o_u6") - F.col("li_u6"))
+        ).alias("diff_u6"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("no_lines").alias("n_no_lines"),
+        F.sum((F.col("diff_u6") > 10000).cast("long")).alias("n_mismatch"),
+        F.expr("max(diff_u6) div 10000").alias("max_abs_diff_cents"),
+        F.expr("sum(diff_u6) div (count(diff_u6) * 10000)").alias(
+            "mean_abs_diff_cents"
+        ),
+    )

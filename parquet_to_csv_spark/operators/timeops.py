@@ -1927,3 +1927,51 @@ def error_burst_sessions(
     return sess.filter(
         (F.col("n_events") >= min_events) & (F.col("n_errors") >= 1)
     )
+
+
+def abandonment_last_event(
+    spark: SparkSession, sf_dir: str, window_us: int = 86_400_000_000
+) -> DataFrame:
+    """EXT E265: abandonment analysis — among users who did NOT
+    purchase within 24 h of their first view, where did that bounded
+    journey end? The distribution of the LAST event type inside the
+    24 h post-first-view window, shares in exact ppm. The
+    funnel-debugging companion to the windowed-conversion queries: an
+    abandonment tail dominated by 'error' says the product broke; by
+    'click' says intent died at the decision point. (The unbounded
+    "never purchased" cohort is empty in this fixture — every user
+    eventually buys — so the op measures the bounded-window cohort,
+    which is also what a growth team actually reviews.)
+
+    Two keyed aggregations: first-view times (tiny), then one joined
+    pass computing the window's last event (``max_by`` over the unique
+    (tus, event_id) struct) and the conversion flag in the SAME
+    groupBy — no window function, one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("tus"),
+        "event_id",
+    )
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("vt"))
+    )
+    windowed = ev.join(first_view, "user_id").filter(
+        (F.col("tus") >= F.col("vt"))
+        & (F.col("tus") < F.col("vt") + F.lit(window_us))
+    )
+    per_user = windowed.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("purchased"),
+        F.expr("max_by(event_type, struct(tus, event_id))").alias("last_type"),
+    )
+    nonconv = per_user.filter(F.col("purchased") == 0)
+    counts = nonconv.groupBy("last_type").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = nonconv.agg(F.count(F.lit(1)).alias("n_tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "last_type",
+        "n_users",
+        F.expr("n_users * 1000000 div n_tot").alias("share_ppm"),
+    )

@@ -7482,3 +7482,57 @@ SELECT source, count(*) AS vocab, sum(is_hapax) AS n_hapax,
          // sum(n_occ) AS hapax_mass_ppm
 FROM j GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E264-E265 — order reconciliation, abandonment last event
+# --------------------------------------------------------------------------
+
+QUERIES["order_reconciliation"] = relational.order_reconciliation
+ORACLES["order_reconciliation"] = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         sum({duck_units("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)})
+           AS li_u6
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderstatus,
+         CASE WHEN p.li_u6 IS NULL THEN 1 ELSE 0 END AS no_lines,
+         CASE WHEN p.li_u6 IS NOT NULL
+              THEN abs({duck_units("o.o_totalprice", 2)} * 10000 - p.li_u6)
+         END AS diff_u6
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       sum(no_lines) AS n_no_lines,
+       sum(CASE WHEN diff_u6 > 10000 THEN 1 ELSE 0 END) AS n_mismatch,
+       max(diff_u6) // 10000 AS max_abs_diff_cents,
+       sum(diff_u6) // (count(diff_u6) * 10000) AS mean_abs_diff_cents
+FROM j GROUP BY 1
+"""
+
+QUERIES["abandonment_last_event"] = timeops.abandonment_last_event
+ORACLES["abandonment_last_event"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+), fv AS (
+  SELECT user_id, min(tus) AS vt FROM e WHERE event_type = 'view' GROUP BY 1
+), w AS (
+  SELECT e.user_id, e.event_type, e.tus, e.event_id
+  FROM e JOIN fv USING (user_id)
+  WHERE e.tus >= fv.vt AND e.tus < fv.vt + 86400000000
+), per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased,
+         max(CASE WHEN rn = 1 THEN event_type END) AS last_type
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY tus DESC, event_id DESC) AS rn
+    FROM w
+  ) GROUP BY 1
+), nonconv AS (
+  SELECT * FROM per_user WHERE purchased = 0
+)
+SELECT last_type, count(*) AS n_users,
+       count(*) * 1000000 // (SELECT count(*) FROM nonconv) AS share_ppm
+FROM nonconv GROUP BY 1
+"""

@@ -1771,3 +1771,79 @@ def test_hapax_rate_replay(spark, sf_dir):
     }
     assert got == expect
     assert all(v[1] > 0 for v in got.values())  # 3-gram hapaxes abound
+
+
+def test_order_reconciliation_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    per_order: dict = defaultdict(int)
+    for r in li:
+        u6 = int(
+            r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax) * 1_000_000 + 0.5
+        )
+        per_order[r.l_orderkey] += u6
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n, nolines, mism, max, sumdiff, ndiff
+    for r in load_table(spark, sf_dir, "orders").collect():
+        a = agg[r.o_orderstatus]
+        a[0] += 1
+        if r.o_orderkey not in per_order:
+            a[1] += 1
+            continue
+        diff = abs(_cents(r.o_totalprice) * 10000 - per_order[r.o_orderkey])
+        a[2] += diff > 10000
+        a[3] = max(a[3], diff)
+        a[4] += diff
+        a[5] += 1
+    expect = {
+        st: (n, nl, nm, mx // 10000, sd // (nd * 10000))
+        for st, (n, nl, nm, mx, sd, nd) in agg.items()
+    }
+    got = {
+        r.o_orderstatus: (
+            r.n_orders, r.n_no_lines, r.n_mismatch,
+            r.max_abs_diff_cents, r.mean_abs_diff_cents,
+        )
+        for r in relational.order_reconciliation(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the fixture drifts: mismatches and orphan orders both present
+    assert any(v[2] > 0 for v in got.values())
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_abandonment_last_event_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    fv: dict = {}
+    for r in ev:
+        if r.event_type == "view":
+            tus = r.ts // 1000
+            fv[r.user_id] = min(fv.get(r.user_id, tus), tus)
+    last: dict = {}
+    purchased: dict = defaultdict(int)
+    W = 86_400_000_000
+    for r in ev:
+        if r.user_id not in fv:
+            continue
+        tus = r.ts // 1000
+        if not (fv[r.user_id] <= tus < fv[r.user_id] + W):
+            continue
+        key = (tus, r.event_id)
+        if r.user_id not in last or key > last[r.user_id][0]:
+            last[r.user_id] = (key, r.event_type)
+        if r.event_type == "purchase":
+            purchased[r.user_id] = 1
+    nonconv = {u: t for u, (_, t) in last.items() if not purchased[u]}
+    counts: dict = defaultdict(int)
+    for t in nonconv.values():
+        counts[t] += 1
+    n_tot = len(nonconv)
+    expect = {t: (n, n * 1_000_000 // n_tot) for t, n in counts.items()}
+    got = {
+        r.last_type: (r.n_users, r.share_ppm)
+        for r in tops.abandonment_last_event(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert n_tot > 0
