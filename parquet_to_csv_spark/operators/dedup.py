@@ -1451,3 +1451,50 @@ def neardup_evidence(
         .filter(F.col("evidence_rank") <= top_grams)
         .select("doc_a", "doc_b", "jaccard", "token", "df_docs", "evidence_rank")
     )
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E266: cross-source duplication matrix — for every PAIR of
+    sources, how many token-set-identical document clusters they
+    share. The lang×source-blocked Jaccard joins can never surface
+    cross-source duplicates BY CONSTRUCTION (the blocking-recall audit
+    E235 measures that loss); this operator closes the gap for the
+    exact tier with an EQUALITY key (the E221 token-set fingerprint),
+    which needs no blocking at all — a hash groupBy finds every
+    cross-source collision at any scale.
+
+    One fingerprint aggregation collecting the distinct source set per
+    cluster, then an array-local pair expansion of each cluster's
+    sources (bounded by |sources|² ≤ 25) — no joins beyond the first
+    exchange. Output: unordered source pairs with shared-cluster and
+    shared-doc counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(tokens_col("text"))), " "))
+    clusters = (
+        docs.select(fp.alias("fingerprint"), "source", "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.sort_array(F.collect_set("source")).alias("sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.size("sources") >= 2)
+    )
+    pairs = clusters.select(
+        "n_docs",
+        F.explode(
+            F.expr(
+                "flatten(transform(sources, (s, i) ->"
+                " transform(slice(sources, i + 2, size(sources)),"
+                " t -> struct(s AS sa, t AS sb))))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select(F.col("p.sa").alias("source_a"), F.col("p.sb").alias("source_b"), "n_docs")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_clusters"),
+            F.sum("n_docs").alias("docs_in_shared_clusters"),
+        )
+    )

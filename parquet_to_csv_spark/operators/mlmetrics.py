@@ -1468,3 +1468,72 @@ def matched_pairs_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("diff") > 0).cast("long")).alias("n_positive"),
         F.sum((F.col("diff") < 0).cast("long")).alias("n_negative"),
     )
+
+
+def engagement_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E266b/E267: engagement×value quadrant segmentation — users
+    split at the median on BOTH activity (event count) and monetary
+    value (exact cents), yielding the classic 2×2: champions
+    (high/high), passengers (high activity, low value), whales
+    (low activity, high value), dormant (low/low). Per quadrant:
+    users, total value, value share ppm. The two-axis segmentation
+    that catches what single-axis deciles miss (whales are invisible
+    in activity rankings).
+
+    Medians are selected order statistics of the per-user relation
+    (the daily_value_bands convention — engine-literal type-1 picks,
+    exact integers); the quadrant label is pure integer comparison.
+    Per-user aggregation once, two tiny median relations broadcast
+    back, one 4-row rollup.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("act"),
+        F.sum(exact_units(F.col("value"), 2)).alias("cents"),
+    )
+    w_a = W.orderBy("act", "user_id")
+    w_v = W.orderBy("cents", "user_id")
+    wc = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = per_user.select(
+        "act",
+        "cents",
+        F.row_number().over(w_a).alias("ra"),
+        F.row_number().over(w_v).alias("rv"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = ranked.agg(
+        F.expr(
+            "max(CASE WHEN ra = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1"
+            " THEN act END)"
+        ).alias("med_act"),
+        F.expr(
+            "max(CASE WHEN rv = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1"
+            " THEN cents END)"
+        ).alias("med_cents"),
+    )
+    labeled = per_user.crossJoin(F.broadcast(med)).select(
+        F.concat(
+            F.when(F.col("act") > F.col("med_act"), F.lit("hi_act")).otherwise(
+                F.lit("lo_act")
+            ),
+            F.lit("/"),
+            F.when(F.col("cents") > F.col("med_cents"), F.lit("hi_val")).otherwise(
+                F.lit("lo_val")
+            ),
+        ).alias("quadrant"),
+        "cents",
+    )
+    tot = per_user.agg(F.sum("cents").alias("tot_cents"))
+    return (
+        labeled.groupBy("quadrant")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum("cents").alias("q_cents"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "quadrant",
+            "n_users",
+            (F.col("q_cents") / F.lit(100.0)).alias("quadrant_value"),
+            F.expr("q_cents * 1000000 div tot_cents").alias("value_share_ppm"),
+        )
+    )

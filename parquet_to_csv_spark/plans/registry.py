@@ -7536,3 +7536,60 @@ SELECT last_type, count(*) AS n_users,
        count(*) * 1000000 // (SELECT count(*) FROM nonconv) AS share_ppm
 FROM nonconv GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E266-E267 — cross-source dup matrix, engagement-value quadrants
+# --------------------------------------------------------------------------
+
+QUERIES["cross_source_dup_matrix"] = dedup.cross_source_dup_matrix
+ORACLES["cross_source_dup_matrix"] = f"""
+WITH clusters AS (
+  SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp,
+         list_sort(list(DISTINCT source)) AS sources,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1
+  HAVING len(list(DISTINCT source)) >= 2
+), pairs AS (
+  SELECT n_docs, sources[i] AS source_a, sources[j] AS source_b
+  FROM clusters,
+       unnest(range(1, len(sources) + 1)) AS t1(i),
+       unnest(range(1, len(sources) + 1)) AS t2(j)
+  WHERE i < j
+)
+SELECT source_a, source_b, count(*) AS n_shared_clusters,
+       sum(n_docs) AS docs_in_shared_clusters
+FROM pairs GROUP BY 1, 2
+"""
+
+QUERIES["engagement_value_quadrants"] = mlmetrics.engagement_value_quadrants
+ORACLES["engagement_value_quadrants"] = f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS act, sum({duck_units("value", 2)}) AS cents
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT act, cents,
+         row_number() OVER (ORDER BY act, user_id) AS ra,
+         row_number() OVER (ORDER BY cents, user_id) AS rv,
+         count(*) OVER () AS n
+  FROM per_user
+), med AS (
+  SELECT
+    max(CASE WHEN ra = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+             THEN act END) AS med_act,
+    max(CASE WHEN rv = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+             THEN cents END) AS med_cents
+  FROM ranked
+), labeled AS (
+  SELECT concat(CASE WHEN act > med_act THEN 'hi_act' ELSE 'lo_act' END,
+                '/',
+                CASE WHEN cents > med_cents THEN 'hi_val' ELSE 'lo_val' END)
+           AS quadrant,
+         cents
+  FROM per_user CROSS JOIN med
+)
+SELECT quadrant, count(*) AS n_users,
+       sum(cents) / 100.0 AS quadrant_value,
+       sum(cents) * 1000000 // (SELECT sum(cents) FROM per_user)
+         AS value_share_ppm
+FROM labeled GROUP BY 1
+"""

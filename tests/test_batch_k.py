@@ -1847,3 +1847,67 @@ def test_abandonment_last_event_replay(spark, sf_dir):
     }
     assert got == expect
     assert n_tot > 0
+
+
+def test_cross_source_dup_matrix_replay(spark, sf_dir):
+    import hashlib
+
+    from parquet_to_csv_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    clusters: dict = defaultdict(lambda: [set(), 0])
+    for r in docs:
+        toks = sorted({t for t in r.text.lower().split() if t})
+        fp = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        clusters[fp][0].add(r.source)
+        clusters[fp][1] += 1
+    agg: dict = defaultdict(lambda: [0, 0])
+    for srcs, n in clusters.values():
+        ss = sorted(srcs)
+        if len(ss) < 2:
+            continue
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                agg[(a, b)][0] += 1
+                agg[(a, b)][1] += n
+    expect = {k: tuple(v) for k, v in agg.items()}
+    got = {
+        (r.source_a, r.source_b): (r.n_shared_clusters, r.docs_in_shared_clusters)
+        for r in dedup.cross_source_dup_matrix(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "cross-source token-set clusters must exist"
+
+
+def test_engagement_value_quadrants_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    per: dict = defaultdict(lambda: [0, 0])
+    for r in ev:
+        per[r.user_id][0] += 1
+        per[r.user_id][1] += _cents(r.value)
+    users = list(per.items())
+    n = len(users)
+    idx = math.floor((n - 1) * 0.5)
+    med_act = sorted((a, u) for u, (a, _) in users)[idx][0]
+    med_val = sorted((c, u) for u, (_, c) in users)[idx][0]
+    tot = sum(c for _, (_, c) in users)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for _, (a, c) in users:
+        q = ("hi_act" if a > med_act else "lo_act") + "/" + (
+            "hi_val" if c > med_val else "lo_val"
+        )
+        agg[q][0] += 1
+        agg[q][1] += c
+    expect = {
+        q: (nu, c / 100.0, c * 1_000_000 // tot) for q, (nu, c) in agg.items()
+    }
+    got = {
+        r.quadrant: (r.n_users, r.quadrant_value, r.value_share_ppm)
+        for r in mlmetrics.engagement_value_quadrants(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) >= 3  # the 2x2 is non-degenerate
