@@ -1537,3 +1537,52 @@ def engagement_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("q_cents * 1000000 div tot_cents").alias("value_share_ppm"),
         )
     )
+
+
+def priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E269: categorical composition drift — PSI of the order-
+    priority MIX between consecutive years: the "did the business's
+    order composition shift" monitor, the categorical sibling of the
+    value-distribution PSI (E?). PSI < 0.1 noise, 0.1–0.25 drift
+    worth a look, > 0.25 a regime change.
+
+    Per (year, priority) exact counts → consecutive-year self-join on
+    the tiny year×priority relation; each category's PSI term
+    (p−q)·ln(p/q) is assembled from exact ppm shares and a per-term
+    micro-nat log quantization (the entropy convention), summed as
+    exact longs; the year-pair PSI lands in integer micro-nats.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("yr"),
+        "o_orderpriority",
+    )
+    counts = orders.groupBy("yr", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("yr").agg(F.sum("c").alias("t"))
+    cur = counts.join(totals, "yr").select(
+        "yr", "o_orderpriority", F.col("c").alias("pc"), F.col("t").alias("pt")
+    )
+    prev = counts.join(totals, "yr").select(
+        (F.col("yr") + 1).alias("yr"),
+        "o_orderpriority",
+        F.col("c").alias("qc"),
+        F.col("t").alias("qt"),
+    )
+    terms = cur.join(prev, ["yr", "o_orderpriority"]).select(
+        "yr",
+        F.expr(
+            "(pc * 1000000 div pt - qc * 1000000 div qt)"
+            " * CAST(round(ln(CAST(pc AS DOUBLE) * CAST(qt AS DOUBLE)"
+            " / (CAST(qc AS DOUBLE) * CAST(pt AS DOUBLE))) * 1000000)"
+            " AS BIGINT)"
+        ).alias("term_pico"),
+    )
+    return (
+        terms.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_categories"),
+            F.expr("sum(term_pico) div 1000000").alias("psi_micro"),
+        )
+        .select(F.col("yr").alias("year"), "n_categories", "psi_micro")
+    )

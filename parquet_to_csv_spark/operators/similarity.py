@@ -1702,3 +1702,89 @@ def mmr_rerank(
     return pairs.groupBy("query_id").applyInPandas(
         _greedy, "query_id long, cand_id long, orig_rank long, mmr_rank long"
     )
+
+
+def quantization_recall_sweep(
+    spark: SparkSession, sf_dir: str, bits: tuple = (8, 4, 2), k: int = 5
+) -> DataFrame:
+    """EXT E268: quantization-depth recall curve — recall@k of
+    scalar-quantized cosine retrieval vs the float baseline at int8 /
+    int4 / int2, the storage-vs-quality tuning table (the bit-depth
+    sibling of the nprobe sweep E216): 4 bits at ~99% recall means the
+    index can shrink 8× before quality moves.
+
+    Per depth b: per-vector scale (2^(b−1)−1)/max|v| and half-up
+    integer codes (the E? embedding_quantize convention); quantized
+    dot products and norms are EXACT long arithmetic over the codes,
+    so the quantized ranking is deterministic (ties → cand_id); the
+    baseline is the verified float top-k. All levels share one
+    baseline; query set bounded (the E3 broadcast contract).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(spark, sf_dir, k=k).select(
+        "query_id", F.col("cand_id").alias("e_cand")
+    )
+    xd = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("xd")
+    )
+    mx = F.array_max(F.transform("xd", F.abs))
+    levels = []
+    for b in bits:
+        qmax = float(2 ** (b - 1) - 1)
+        scaled = xd.withColumn(
+            "scale", F.when(mx > 0, F.lit(qmax) / mx).otherwise(F.lit(0.0))
+        )
+        qd = scaled.select(
+            "vec_id",
+            F.expr(
+                "transform(xd, x -> CAST(floor(x * scale + 0.5) AS BIGINT))"
+            ).alias("q"),
+        )
+        qq = qd.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+        )
+        cand = qd.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"))
+        dot = F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+        )
+        nrm = lambda c: F.expr(
+            f"aggregate(transform({c}, x -> x * x), 0L, (a, x) -> a + x)"
+        )
+        scored = (
+            qq.crossJoin(cand)
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    dot.cast("double")
+                    / F.sqrt(nrm("qa").cast("double") * nrm("qb").cast("double"))
+                ).alias("qsim"),
+            )
+        )
+        ranked = scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cand_id"))
+            ),
+        ).filter(F.col("rnk") <= k)
+        hits = exact.join(
+            ranked,
+            (exact.query_id == ranked.query_id)
+            & (F.col("e_cand") == F.col("cand_id")),
+            "left",
+        ).agg(
+            F.lit(b).cast("long").alias("bits"),
+            F.sum(F.col("cand_id").isNotNull().cast("long")).alias("n_hits"),
+            F.count(F.lit(1)).alias("n_expected"),
+        )
+        levels.append(hits)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out.select(
+        "bits",
+        "n_hits",
+        "n_expected",
+        F.expr("n_hits * 1000000 div n_expected").alias("recall_ppm"),
+    )

@@ -7593,3 +7593,95 @@ SELECT quadrant, count(*) AS n_users,
          AS value_share_ppm
 FROM labeled GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E268-E269 — quantization recall sweep, priority-mix drift
+# --------------------------------------------------------------------------
+
+QUERIES["quantization_recall_sweep"] = similarity.quantization_recall_sweep
+
+
+def _quant_sweep_oracle(bits=(8, 4, 2), k=5) -> str:
+    head = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), exact AS MATERIALIZED (
+  SELECT query_id, e_cand FROM (
+    SELECT qq.query_id, c.vec_id AS e_cand,
+           row_number() OVER (PARTITION BY qq.query_id
+                              ORDER BY {_duck_cos('qq.q_emb', 'c.embedding')} DESC,
+                                       c.vec_id ASC) AS rnk
+    FROM q qq JOIN embeddings c ON qq.query_id <> c.vec_id
+  ) WHERE rnk <= {k}
+)"""
+    levels = []
+    for b in bits:
+        qmax = float(2 ** (b - 1) - 1)
+        qexpr = (
+            "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * (CASE WHEN list_max(list_transform(embedding,"
+            f" y -> abs(CAST(y AS DOUBLE)))) > 0 THEN {qmax}"
+            f" / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
+            f" ELSE 0.0 END) + 0.5) AS BIGINT))"
+        )
+        levels.append(f"""
+SELECT CAST({b} AS BIGINT) AS bits,
+       (SELECT count(*) FROM exact e JOIN (
+          SELECT query_id, cand_id FROM (
+            SELECT qa.vec_id AS query_id, cb.vec_id AS cand_id,
+                   CAST(list_sum(list_transform(list_zip(qa.q, cb.q),
+                        p -> p[1] * p[2])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(qa.q, x -> x * x))
+                          AS DOUBLE)
+                          * CAST(list_sum(list_transform(cb.q, x -> x * x))
+                            AS DOUBLE)) AS qsim,
+                   row_number() OVER (PARTITION BY qa.vec_id
+                     ORDER BY CAST(list_sum(list_transform(list_zip(qa.q, cb.q),
+                              p -> p[1] * p[2])) AS DOUBLE)
+                              / sqrt(CAST(list_sum(list_transform(qa.q,
+                                     x -> x * x)) AS DOUBLE)
+                                     * CAST(list_sum(list_transform(cb.q,
+                                       x -> x * x)) AS DOUBLE)) DESC,
+                              cb.vec_id ASC) AS rnk
+            FROM (SELECT vec_id, {qexpr} AS q FROM embeddings WHERE vec_id < 5) qa
+            JOIN (SELECT vec_id, {qexpr} AS q FROM embeddings) cb
+              ON qa.vec_id <> cb.vec_id
+          ) WHERE rnk <= {k}
+        ) a ON e.query_id = a.query_id AND e.e_cand = a.cand_id) AS n_hits,
+       (SELECT count(*) FROM exact) AS n_expected""")
+    body = "\nUNION ALL\n".join(levels)
+    return (
+        head
+        + f"\nSELECT bits, n_hits, n_expected,"
+        f" n_hits * 1000000 // n_expected AS recall_ppm FROM ({body})"
+    )
+
+
+ORACLES["quantization_recall_sweep"] = _quant_sweep_oracle()
+
+QUERIES["priority_mix_drift"] = mlmetrics.priority_mix_drift
+ORACLES["priority_mix_drift"] = """
+WITH counts AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+         count(*) AS c
+  FROM orders GROUP BY 1, 2
+), totals AS (
+  SELECT yr, sum(c) AS t FROM counts GROUP BY 1
+), cur AS (
+  SELECT c.yr, c.o_orderpriority, c.c AS pc, t.t AS pt
+  FROM counts c JOIN totals t USING (yr)
+), prev AS (
+  SELECT c.yr + 1 AS yr, c.o_orderpriority, c.c AS qc, t.t AS qt
+  FROM counts c JOIN totals t USING (yr)
+), terms AS (
+  SELECT cur.yr,
+         (pc * 1000000 // pt - qc * 1000000 // qt)
+         * CAST(round(ln(CAST(pc AS DOUBLE) * CAST(qt AS DOUBLE)
+                         / (CAST(qc AS DOUBLE) * CAST(pt AS DOUBLE))) * 1000000)
+                AS BIGINT) AS term_pico
+  FROM cur JOIN prev USING (yr, o_orderpriority)
+)
+SELECT yr AS year, count(*) AS n_categories,
+       sum(term_pico) // 1000000 AS psi_micro
+FROM terms GROUP BY 1
+"""

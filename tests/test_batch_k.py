@@ -1911,3 +1911,89 @@ def test_engagement_value_quadrants_replay(spark, sf_dir):
     }
     assert got == expect
     assert len(got) >= 3  # the 2x2 is non-degenerate
+
+
+def test_quantization_recall_sweep_properties(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    rows = {r.bits: r for r in similarity.quantization_recall_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {8, 4, 2}
+    assert all(r.n_expected == 25 for r in rows.values())
+    assert all(
+        r.recall_ppm == r.n_hits * 1_000_000 // r.n_expected for r in rows.values()
+    )
+    # recall must degrade (weakly) as bits shrink, and int8 must be high
+    assert rows[8].recall_ppm >= rows[4].recall_ppm >= rows[2].recall_ppm
+    assert rows[8].recall_ppm >= 900_000
+    assert rows[2].recall_ppm < rows[8].recall_ppm  # int2 visibly lossy
+
+
+def test_quantization_recall_replay_int8(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    emb = {r.vec_id: [float(x) for x in r.embedding] for r in load_table(spark, sf_dir, "embeddings").collect()}
+
+    def quant(v, qmax):
+        m = max(abs(x) for x in v)
+        s = qmax / m if m > 0 else 0.0
+        import math
+
+        return [math.floor(x * s + 0.5) for x in v]
+
+    q8 = {k: quant(v, 127.0) for k, v in emb.items()}
+
+    def qcos(a, b):
+        import math
+
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.cosine_topk(spark, sf_dir, k=5).collect()
+    }
+    hits = 0
+    for q in range(5):
+        scored = sorted(
+            ((qcos(q8[q], q8[c]), -c) for c in q8 if c != q), reverse=True
+        )[:5]
+        approx = {(q, -negc) for _, negc in scored}
+        hits += len(approx & exact)
+    row = [r for r in similarity.quantization_recall_sweep(spark, sf_dir).collect() if r.bits == 8][0]
+    assert row.n_hits == hits
+
+
+def test_priority_mix_drift_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    counts: dict = defaultdict(int)
+    totals: dict = defaultdict(int)
+    for r in orders:
+        counts[(r.o_orderdate.year, r.o_orderpriority)] += 1
+        totals[r.o_orderdate.year] += 1
+    expect = {}
+    for (yr, pr), pc in sorted(counts.items()):
+        prev = (yr - 1, pr)
+        if prev not in counts:
+            continue
+        qc, pt, qt = counts[prev], totals[yr], totals[yr - 1]
+        term = (pc * 1_000_000 // pt - qc * 1_000_000 // qt) * int(
+            round(math.log(pc * qt / (qc * pt)) * 1e6)
+        )
+        n, s = expect.get(yr, (0, 0))
+        expect[yr] = (n + 1, s + term)
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    expect = {yr: (n, tdiv(s, 1_000_000)) for yr, (n, s) in expect.items()}
+    got = {
+        r.year: (r.n_categories, r.psi_micro)
+        for r in mlmetrics.priority_mix_drift(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(n == 5 for n, _ in got.values())  # all 5 priorities joined
