@@ -2402,3 +2402,43 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_abs_diff_cents"
         ),
     )
+
+
+def nation_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E271: nation league table — every nation ranked on three
+    metrics at once (order revenue, order count, average order value)
+    with per-metric dense ranks side by side: the multi-metric
+    executive league table, showing where single-metric rankings
+    disagree (high revenue via few huge orders vs many small ones).
+
+    One orders aggregation to customer grain is avoided entirely —
+    orders join the broadcast customer→nation chain and aggregate
+    straight to the 25-row nation grain; the three rank windows then
+    run over 25 rows. Money exact cents; avg is the floored-cents
+    convention; ranks are integer.
+    """
+    from pyspark.sql import Window as W
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", exact_units(F.col("o_totalprice"), 2).alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("rev_cents"))
+        .withColumn("avg_cents", F.expr("rev_cents div n_orders"))
+    )
+    return per_nation.select(
+        "n_name",
+        (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        "n_orders",
+        "avg_cents",
+        F.rank().over(W.orderBy(F.desc("rev_cents"), F.asc("n_name"))).alias("rev_rank"),
+        F.rank().over(W.orderBy(F.desc("n_orders"), F.asc("n_name"))).alias("count_rank"),
+        F.rank().over(W.orderBy(F.desc("avg_cents"), F.asc("n_name"))).alias("avg_rank"),
+    )

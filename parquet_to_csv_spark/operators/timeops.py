@@ -1975,3 +1975,64 @@ def abandonment_last_event(
         "n_users",
         F.expr("n_users * 1000000 div n_tot").alias("share_ppm"),
     )
+
+
+def onboarding_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E270: onboarding latency — from each user's FIRST signup to
+    their next event of any other type: P50/P90 and the count still
+    waiting (signup is the last thing they ever did). The
+    activation-speed metric of onboarding funnels; slow or absent
+    follow-up is the earliest churn signal there is.
+
+    Per-user gap in one pass: the signup anchor and the first
+    post-signup event come from conditional ``min`` aggregates in a
+    single groupBy (no window, no self-join); percentiles are selected
+    order statistics of exact µs gaps over the users relation
+    (daily_value_bands convention).
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    su = F.when(F.col("event_type") == "signup", F.col("tus"))
+    per_user = ev.groupBy("user_id").agg(F.min(su).alias("signup_tus"))
+    after = (
+        ev.join(per_user, "user_id")
+        .filter(
+            F.col("signup_tus").isNotNull()
+            & (F.col("tus") > F.col("signup_tus"))
+            & (F.col("event_type") != "signup")
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("next_tus"))
+    )
+    gaps = (
+        per_user.filter(F.col("signup_tus").isNotNull())
+        .join(after, "user_id", "left")
+        .select(
+            "user_id",
+            (F.col("next_tus") - F.col("signup_tus")).alias("gap_us"),
+        )
+    )
+    w = W.orderBy("gap_us", "user_id")
+    wc = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = gaps.filter(F.col("gap_us").isNotNull()).select(
+        "gap_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def pick(p: str, alias: str):
+        idx = f"CAST(floor(CAST(n - 1 AS DOUBLE) * {p}) AS BIGINT) + 1"
+        return F.expr(f"max(CASE WHEN rn = {idx} THEN gap_us END)").alias(alias)
+
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_activated"),
+        pick("0.5", "p50_gap_us"),
+        pick("0.9", "p90_gap_us"),
+    )
+    waiting = gaps.agg(
+        F.sum(F.col("gap_us").isNull().cast("long")).alias("n_waiting")
+    )
+    return stats.crossJoin(F.broadcast(waiting))

@@ -7685,3 +7685,58 @@ SELECT yr AS year, count(*) AS n_categories,
        sum(term_pico) // 1000000 AS psi_micro
 FROM terms GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E270-E271 — onboarding latency, nation league table
+# --------------------------------------------------------------------------
+
+QUERIES["onboarding_latency"] = timeops.onboarding_latency
+ORACLES["onboarding_latency"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+), pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN tus END) AS signup_tus
+  FROM e GROUP BY 1
+), af AS (
+  SELECT e.user_id, min(e.tus) AS next_tus
+  FROM e JOIN pu USING (user_id)
+  WHERE pu.signup_tus IS NOT NULL AND e.tus > pu.signup_tus
+    AND e.event_type <> 'signup'
+  GROUP BY 1
+), gaps AS (
+  SELECT pu.user_id, af.next_tus - pu.signup_tus AS gap_us
+  FROM pu LEFT JOIN af USING (user_id)
+  WHERE pu.signup_tus IS NOT NULL
+), ranked AS (
+  SELECT gap_us,
+         row_number() OVER (ORDER BY gap_us, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT count(*) AS n_activated,
+       max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+                THEN gap_us END) AS p50_gap_us,
+       max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1
+                THEN gap_us END) AS p90_gap_us,
+       (SELECT count(*) FROM gaps WHERE gap_us IS NULL) AS n_waiting
+FROM ranked
+"""
+
+QUERIES["nation_league_table"] = relational.nation_league_table
+ORACLES["nation_league_table"] = f"""
+WITH per_nation AS (
+  SELECT n.n_name, count(*) AS n_orders,
+         sum({duck_units("o.o_totalprice", 2)}) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, rev_cents / 100.0 AS revenue, n_orders,
+       rev_cents // n_orders AS avg_cents,
+       rank() OVER (ORDER BY rev_cents DESC, n_name ASC) AS rev_rank,
+       rank() OVER (ORDER BY n_orders DESC, n_name ASC) AS count_rank,
+       rank() OVER (ORDER BY rev_cents // n_orders DESC, n_name ASC) AS avg_rank
+FROM per_nation
+"""

@@ -1997,3 +1997,70 @@ def test_priority_mix_drift_replay(spark, sf_dir):
     }
     assert got == expect
     assert all(n == 5 for n, _ in got.values())  # all 5 priorities joined
+
+
+def test_onboarding_latency_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    signup: dict = {}
+    for r in ev:
+        if r.event_type == "signup":
+            tus = r.ts // 1000
+            signup[r.user_id] = min(signup.get(r.user_id, tus), tus)
+    nxt: dict = {}
+    for r in ev:
+        if r.user_id in signup and r.event_type != "signup":
+            tus = r.ts // 1000
+            if tus > signup[r.user_id]:
+                nxt[r.user_id] = min(nxt.get(r.user_id, tus), tus)
+    gaps = sorted(
+        (nxt[u] - signup[u], u) for u in signup if u in nxt
+    )
+    n = len(gaps)
+    row = tops.onboarding_latency(spark, sf_dir).collect()[0]
+    assert row.n_activated == n
+    assert row.p50_gap_us == gaps[math.floor((n - 1) * 0.5)][0]
+    assert row.p90_gap_us == gaps[math.floor((n - 1) * 0.9)][0]
+    assert row.n_waiting == len(signup) - n
+    assert n > 0
+
+
+def test_nation_league_table_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    cust = {r.c_custkey: r.c_nationkey for r in load_table(spark, sf_dir, "customer").collect()}
+    nation = {r.n_nationkey: r.n_name for r in load_table(spark, sf_dir, "nation").collect()}
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in orders:
+        nm = nation[cust[r.o_custkey]]
+        agg[nm][0] += 1
+        agg[nm][1] += _cents(r.o_totalprice)
+
+    def ranks(vals):
+        out = {}
+        ordered = sorted(vals.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (k, v) in enumerate(ordered):
+            # rank(): ties share the smallest position; tie-break on name
+            # makes keys unique so rank == row position + 1
+            out[k] = i + 1
+        return out
+
+    rev = {k: v[1] for k, v in agg.items()}
+    cnt = {k: v[0] for k, v in agg.items()}
+    avg = {k: v[1] // v[0] for k, v in agg.items()}
+    rr, cr, ar = ranks(rev), ranks(cnt), ranks(avg)
+    expect = {
+        k: (v[1] / 100.0, v[0], avg[k], rr[k], cr[k], ar[k])
+        for k, v in agg.items()
+    }
+    got = {
+        r.n_name: (r.revenue, r.n_orders, r.avg_cents, r.rev_rank, r.count_rank, r.avg_rank)
+        for r in relational.nation_league_table(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # rankings must disagree somewhere, else the league table is redundant
+    assert any(rr[k] != ar[k] for k in rr)
