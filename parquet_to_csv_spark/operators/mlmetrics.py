@@ -1586,3 +1586,50 @@ def priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("yr").alias("year"), "n_categories", "psi_micro")
     )
+
+
+def structuring_screen(
+    spark: SparkSession, sf_dir: str, thresholds: tuple = (50, 100, 200)
+) -> DataFrame:
+    """EXT E273: structuring (smurfing) screen — for each round-number
+    reporting threshold, compare purchase counts JUST BELOW (within
+    2%) against counts just above: a below/above ratio far over 1
+    means amounts cluster under the limit — the transaction-
+    structuring signature AML monitoring screens for, and the
+    value-targeted complement to the Benford first-digit audit (E?).
+
+    Pure conditional aggregation over one scan: per threshold, exact
+    integer band edges in cents ([0.95·T, T] vs (T, 1.05·T] — 5%
+    bands sized so every fixture SF populates them), exact counts,
+    ratio in floored ppm (guarded for empty above-band). All
+    thresholds fold into the SAME aggregate pass via conditional
+    sums — one scan regardless of the threshold list.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(exact_units(F.col("value"), 2).alias("cents"))
+    aggs = [F.count(F.lit(1)).alias("n_purchases")]
+    for t in thresholds:
+        tc = t * 100
+        lo, hi = tc * 95 // 100, tc * 105 // 100
+        aggs.append(
+            F.sum(
+                ((F.col("cents") >= lo) & (F.col("cents") <= tc)).cast("long")
+            ).alias(f"below_{t}")
+        )
+        aggs.append(
+            F.sum(
+                ((F.col("cents") > tc) & (F.col("cents") <= hi)).cast("long")
+            ).alias(f"above_{t}")
+        )
+    s = ev.agg(*aggs)
+    rows = ", ".join(
+        f"{t}L, below_{t}, above_{t},"
+        f" CASE WHEN above_{t} > 0 THEN below_{t} * 1000000 div above_{t}"
+        f" ELSE -1 END"
+        for t in thresholds
+    )
+    return s.selectExpr(
+        f"stack({len(thresholds)}, {rows})"
+        " AS (threshold, n_below, n_above, ratio_ppm)"
+    )

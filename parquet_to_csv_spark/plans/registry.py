@@ -7740,3 +7740,72 @@ SELECT n_name, rev_cents / 100.0 AS revenue, n_orders,
        rank() OVER (ORDER BY rev_cents // n_orders DESC, n_name ASC) AS avg_rank
 FROM per_nation
 """
+
+# --------------------------------------------------------------------------
+# EXT E272-E273 — type co-movement, structuring screen
+# --------------------------------------------------------------------------
+
+QUERIES["type_comovement"] = timeops.type_comovement
+_CM_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_CM_DEN = (
+    "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+_CM_TYPES = ["click", "error", "purchase", "signup", "view"]
+ORACLES["type_comovement"] = (
+    f"""WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum({duck_units("value", 2)}) AS y
+  FROM events GROUP BY 1, 2
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{ta}' AS type_a, '{tb}' AS type_b, n,
+       CAST(floor({_CM_NUM} / {_CM_DEN} * 1000000.0) AS BIGINT) AS corr_micro
+FROM (
+  SELECT count(*) AS n, sum(a.y) AS sx, sum(b.y) AS sy,
+         sum(a.y * a.y) AS sxx, sum(b.y * b.y) AS syy,
+         sum(a.y * b.y) AS sxy
+  FROM daily a JOIN daily b ON a.day = b.day
+  WHERE a.event_type = '{ta}' AND b.event_type = '{tb}'
+)"""
+        for i, ta in enumerate(_CM_TYPES)
+        for tb in _CM_TYPES[i + 1:]
+    )
+)
+
+QUERIES["structuring_screen"] = mlmetrics.structuring_screen
+
+
+def _structuring_oracle(thresholds=(50, 100, 200)) -> str:
+    pieces = []
+    for t in thresholds:
+        tc = t * 100
+        lo, hi = tc * 95 // 100, tc * 105 // 100
+        pieces.append(
+            f"SELECT CAST({t} AS BIGINT) AS threshold,\n"
+            f"  sum(CASE WHEN cents >= {lo} AND cents <= {tc} THEN 1 ELSE 0 END)"
+            f" AS n_below,\n"
+            f"  sum(CASE WHEN cents > {tc} AND cents <= {hi} THEN 1 ELSE 0 END)"
+            f" AS n_above,\n"
+            f"  CASE WHEN sum(CASE WHEN cents > {tc} AND cents <= {hi}"
+            f" THEN 1 ELSE 0 END) > 0\n"
+            f"  THEN sum(CASE WHEN cents >= {lo} AND cents <= {tc} THEN 1 ELSE 0 END)"
+            f" * 1000000 // sum(CASE WHEN cents > {tc} AND cents <= {hi}"
+            f" THEN 1 ELSE 0 END) ELSE -1 END AS ratio_ppm\n"
+            f"FROM p"
+        )
+    head = (
+        "WITH p AS (SELECT "
+        + duck_units("value", 2)
+        + " AS cents FROM events WHERE event_type = 'purchase')\n"
+    )
+    return head + "\nUNION ALL\n".join(pieces)
+
+
+ORACLES["structuring_screen"] = _structuring_oracle()

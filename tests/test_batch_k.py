@@ -2064,3 +2064,61 @@ def test_nation_league_table_replay(spark, sf_dir):
     assert got == expect
     # rankings must disagree somewhere, else the league table is redundant
     assert any(rr[k] != ar[k] for k in rr)
+
+
+def test_type_comovement_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily: dict = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts // 86_400_000_000_000)] += _cents(r.value)
+    types = ["click", "error", "purchase", "signup", "view"]
+    expect = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            days = {d for t, d in daily if t == ta} & {d for t, d in daily if t == tb}
+            xs = [(daily[(ta, d)], daily[(tb, d)]) for d in days]
+            n = len(xs)
+            sx = sum(x for x, _ in xs)
+            sy = sum(z for _, z in xs)
+            sxx = sum(x * x for x, _ in xs)
+            syy = sum(z * z for _, z in xs)
+            sxy = sum(x * z for x, z in xs)
+            num = float(n) * sxy - float(sx) * sy
+            den = math.sqrt(
+                (float(n) * sxx - float(sx) * sx) * (float(n) * syy - float(sy) * sy)
+            )
+            expect[(ta, tb)] = (n, math.floor(num / den * 1e6))
+    got = {
+        (r.type_a, r.type_b): (r.n, r.corr_micro)
+        for r in tops.type_comovement(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) == 10
+
+
+def test_structuring_screen_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    cents = [
+        _cents(r.value)
+        for r in load_table(spark, sf_dir, "events").collect()
+        if r.event_type == "purchase"
+    ]
+    expect = {}
+    for t in (50, 100, 200):
+        tc = t * 100
+        lo, hi = tc * 95 // 100, tc * 105 // 100
+        below = sum(1 for c in cents if lo <= c <= tc)
+        above = sum(1 for c in cents if tc < c <= hi)
+        expect[t] = (below, above, below * 1_000_000 // above if above else -1)
+    got = {
+        r.threshold: (r.n_below, r.n_above, r.ratio_ppm)
+        for r in mlmetrics.structuring_screen(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # uniform synthetic values: at least one threshold has both bands populated
+    assert any(v[0] > 0 and v[1] > 0 for v in got.values())
