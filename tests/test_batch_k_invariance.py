@@ -79,6 +79,10 @@ BATCH_K = [
     "engagement_value_quadrants",
     "quantization_recall_sweep",
     "priority_mix_drift",
+    "onboarding_latency",
+    "nation_league_table",
+    "type_comovement",
+    "structuring_screen",
 ]
 
 
