@@ -1582,3 +1582,37 @@ def chunk_dedup_report(
         ).alias("dup_ppm"),
         F.sum((F.col("n_docs") > 1).cast("long")).alias("n_cross_doc_chunks"),
     )
+
+
+def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E274: partitioned-parquet round-trip with PRUNED read-back —
+    events are written directory-partitioned by event_type, then ONLY
+    the purchase partition is read back (the scan's PartitionFilters
+    prune the listing to 1/5 of the directories — the layout the E25
+    write-side exists for) and digested. The oracle digests the same
+    slice straight from the source table, so the gate proves both the
+    write→read identity AND that the pruned read returns exactly the
+    partition's content (tests/test_layout.py separately asserts the
+    pruning happens at the plan level).
+
+    Partition values ride the directory name (written as strings) —
+    the digest recomputes everything from read-back values, catching
+    any type mangling the partition-column encode/decode introduced.
+    """
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("tus")
+    )
+    stage = tempfile.mkdtemp(prefix="part_rt_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    back = spark.read.parquet(stage).filter(F.col("event_type") == "purchase")
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("tus").alias("sum_tus"),
+        F.sum(exact_units(F.col("value"), 2)).alias("sum_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

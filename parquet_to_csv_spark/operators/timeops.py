@@ -2106,3 +2106,44 @@ def type_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = s if out is None else out.unionAll(s)
     return out
+
+
+def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E275: bounce rate by entry type — per session entry event
+    type: sessions started, single-event sessions ("bounces"), and the
+    bounce ppm. THE landing-quality number of web analytics: an entry
+    type with a high bounce share acquires visits that go nowhere.
+
+    Reuses the E10 session definition (30-min gaps) via one
+    gaps-and-islands window; entry type and session size come from the
+    same per-session aggregation (``min_by`` on the arrival struct +
+    count — one exchange); the rollup is |types| rows.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("tus"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        (
+            F.col("tus") - F.lag("tus").over(w) >= 1_800_000_000
+        ).cast("long"),
+    ).withColumn(
+        "sid",
+        F.sum(F.coalesce("new_s", F.lit(1))).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    sessions = flagged.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("min_by(event_type, struct(tus, event_id))").alias("entry_type"),
+    )
+    return sessions.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        F.expr(
+            "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 div count(1)"
+        ).alias("bounce_ppm"),
+    )

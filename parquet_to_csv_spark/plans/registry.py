@@ -7809,3 +7809,50 @@ def _structuring_oracle(thresholds=(50, 100, 200)) -> str:
 
 
 ORACLES["structuring_screen"] = _structuring_oracle()
+
+# --------------------------------------------------------------------------
+# EXT E274-E275 — partitioned roundtrip, bounce rate
+# --------------------------------------------------------------------------
+
+QUERIES["partitioned_roundtrip"] = corpus.partitioned_roundtrip
+ORACLES["partitioned_roundtrip"] = f"""
+SELECT event_type, count(*) AS n_events,
+       sum(event_id) AS sum_event_id,
+       sum(epoch_us(ts)) AS sum_tus,
+       sum({duck_units("value", 2)}) AS sum_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+QUERIES["bounce_rate"] = timeops.bounce_rate
+ORACLES["bounce_rate"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+), flagged AS (
+  SELECT user_id, event_type, tus, event_id,
+         CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+), sess AS (
+  SELECT user_id, event_type, tus, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         max(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                 ORDER BY tus, event_id) AS rn
+    FROM sess
+  ) GROUP BY 1, 2
+)
+SELECT entry_type, count(*) AS n_sessions,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS bounce_ppm
+FROM agg GROUP BY 1
+"""

@@ -2122,3 +2122,67 @@ def test_structuring_screen_replay(spark, sf_dir):
     assert got == expect
     # uniform synthetic values: at least one threshold has both bands populated
     assert any(v[0] > 0 and v[1] > 0 for v in got.values())
+
+
+def test_partitioned_roundtrip_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import corpus
+
+    ev = [r for r in load_table(spark, sf_dir, "events").collect() if r.event_type == "purchase"]
+    row = corpus.partitioned_roundtrip(spark, sf_dir).collect()[0]
+    assert row.event_type == "purchase"
+    assert row.n_events == len(ev)
+    assert row.sum_event_id == sum(r.event_id for r in ev)
+    assert row.sum_tus == sum(r.ts // 1000 for r in ev)
+    assert row.sum_cents == sum(_cents(r.value) for r in ev)
+    assert row.n_users == len({r.user_id for r in ev})
+
+
+def test_partitioned_roundtrip_prunes(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="part_prune_")
+    ev.select("event_id", "event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(stage)
+    plan = (
+        spark.read.parquet(stage)
+        .filter(F.col("event_type") == "purchase")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "purchase" in plan
+
+
+def test_bounce_rate_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user: dict = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts // 1000, r.event_id, r.event_type))
+    agg: dict = defaultdict(lambda: [0, 0])
+    for rows in by_user.values():
+        rows.sort()
+        sess: list = []
+        prev = None
+        for tus, eid, et in rows:
+            if prev is None or tus - prev >= 1_800_000_000:
+                sess.append([])
+            sess[-1].append(et)
+            prev = tus
+        for s in sess:
+            agg[s[0]][0] += 1
+            agg[s[0]][1] += len(s) == 1
+    expect = {
+        et: (n, b, b * 1_000_000 // n) for et, (n, b) in agg.items()
+    }
+    got = {
+        r.entry_type: (r.n_sessions, r.n_bounces, r.bounce_ppm)
+        for r in tops.bounce_rate(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # bounces exist
