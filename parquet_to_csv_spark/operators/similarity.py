@@ -1788,3 +1788,122 @@ def quantization_recall_sweep(
         "n_expected",
         F.expr("n_hits * 1000000 div n_expected").alias("recall_ppm"),
     )
+
+
+def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E276: per-label centroid drift — cosine between each label's
+    centroid over the EARLIER half of vectors (by vec_id arrival) and
+    its centroid over the LATER half. The index-staleness monitor: an
+    IVF/k-means index built on old data degrades exactly as fast as
+    these drifts fall from 1.0; re-cluster when they cross a floor.
+    (On this fixture the label centroids are noise-dominated — ~25
+    random vectors nearly cancel — so the drifts sit near 0; the
+    monitor is calibrated by the exact replay, not by a target value.)
+
+    Determinism: components quantize per row to the exact 1e-4 grid
+    (the E214 convention) so each half's centroid is a RATIONAL
+    (exact long component sums ÷ count); the cosine of two rationals
+    needs no division by counts at all (scale invariance — the counts
+    cancel), leaving one fixed IEEE pipeline over three exact long
+    dot products. Shape: posexplode to (label, half, dim) partial
+    sums — pure map-side combine with NO array state in any
+    aggregation buffer (a collect_list-then-fold centroid would hold
+    a whole group's vectors in one buffer — the memory trap this
+    formulation exists to avoid); the per-dimension halves then
+    equi-join on (label, dim) and fold to per-label dot products.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("early"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000)"
+                " AS BIGINT))"
+            )
+        ).alias("dim", "qv"),
+    )
+    sums = comp.groupBy("label", "early", "dim").agg(F.sum("qv").alias("s"))
+    counts = emb.groupBy(
+        "label", (F.col("vec_id") % 2 == 0).alias("early")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = sums.filter(F.col("early")).select("label", "dim", F.col("s").alias("sa"))
+    b = sums.filter(~F.col("early")).select("label", "dim", F.col("s").alias("sb"))
+    dots = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+        )
+    )
+    ne = counts.filter(F.col("early")).select("label", F.col("n").alias("n_early"))
+    nl = counts.filter(~F.col("early")).select("label", F.col("n").alias("n_late"))
+    return (
+        dots.join(F.broadcast(ne), "label")
+        .join(F.broadcast(nl), "label")
+        .select(
+            "label",
+            "n_early",
+            "n_late",
+            F.expr(
+                "CAST(floor(CAST(dot AS DOUBLE)"
+                " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+                " * 1000000.0) AS BIGINT)"
+            ).alias("drift_cos_micro"),
+        )
+    )
+
+
+def similarity_calibration(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5
+) -> DataFrame:
+    """EXT E277: similarity-score calibration — over every scored
+    (query, candidate) pair of the bounded query set, bin the cosine
+    into deciles of [−1, 1] and report each bin's SAME-LABEL rate: the
+    reliability diagram of the embedding space ("does cosine 0.8 mean
+    80% same-label?"). A mis-calibrated similarity score silently
+    corrupts every threshold-based decision built on it (dedup
+    cutoffs, retrieval floors, ANN acceptance).
+
+    Rides the E3 broadcast-bounded scoring (all N candidates per
+    query, not just top-k — calibration needs the low bins too); bin
+    index is pure integer arithmetic on the 6dp-rounded score; rates
+    are exact ppm.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    sim = F.round(
+        dot_product(F.col("q_emb"), F.col("c_emb"))
+        / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))),
+        6,
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            (F.col("q_label") == F.col("c_label")).cast("long").alias("same"),
+            sim.alias("s"),
+        )
+        .select(
+            "same",
+            F.expr(
+                "least(greatest(CAST(floor((s + 1.0) * 5.0) AS BIGINT), 0), 9)"
+            ).alias("bin"),
+        )
+    )
+    return scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("same").alias("n_same_label"),
+        F.expr("sum(same) * 1000000 div count(1)").alias("same_label_ppm"),
+    )

@@ -7856,3 +7856,56 @@ SELECT entry_type, count(*) AS n_sessions,
          // count(*) AS bounce_ppm
 FROM agg GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E276-E277 — centroid drift, similarity calibration
+# --------------------------------------------------------------------------
+
+QUERIES["centroid_drift"] = similarity.centroid_drift
+ORACLES["centroid_drift"] = """
+WITH comp AS (
+  SELECT label, vec_id % 2 = 0 AS early, t.i - 1 AS dim,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 10000) AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), sums AS (
+  SELECT label, early, dim, sum(qv) AS s FROM comp GROUP BY 1, 2, 3
+), counts AS (
+  SELECT label, vec_id % 2 = 0 AS early, count(*) AS n
+  FROM embeddings GROUP BY 1, 2
+), dots AS (
+  SELECT a.label,
+         sum(a.s * b.s) AS dot, sum(a.s * a.s) AS na, sum(b.s * b.s) AS nb
+  FROM (SELECT * FROM sums WHERE early) a
+  JOIN (SELECT * FROM sums WHERE NOT early) b
+    ON a.label = b.label AND a.dim = b.dim
+  GROUP BY 1
+)
+SELECT d.label,
+       ne.n AS n_early, nl.n AS n_late,
+       CAST(floor(CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS drift_cos_micro
+FROM dots d
+JOIN (SELECT label, n FROM counts WHERE early) ne ON d.label = ne.label
+JOIN (SELECT label, n FROM counts WHERE NOT early) nl ON d.label = nl.label
+"""
+
+QUERIES["similarity_calibration"] = similarity.similarity_calibration
+ORACLES["similarity_calibration"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb, label AS c_label
+  FROM embeddings
+), scored AS (
+  SELECT CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS same,
+         round({_duck_cos('q_emb', 'c_emb')}, 6) AS s
+  FROM q CROSS JOIN c WHERE query_id <> cand_id
+)
+SELECT least(greatest(CAST(floor((s + 1.0) * 5.0) AS BIGINT), 0), 9) AS bin,
+       count(*) AS n_pairs,
+       sum(same) AS n_same_label,
+       sum(same) * 1000000 // count(*) AS same_label_ppm
+FROM scored GROUP BY 1
+"""

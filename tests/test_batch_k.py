@@ -2186,3 +2186,79 @@ def test_bounce_rate_replay(spark, sf_dir):
     }
     assert got == expect
     assert any(v[1] > 0 for v in got.values())  # bounces exist
+
+
+def test_centroid_drift_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    sums: dict = defaultdict(lambda: [None, None, 0, 0])
+    for r in emb:
+        qv = [int(round(float(x) * 10000)) for x in r.embedding]
+        early = r.vec_id % 2 == 0
+        a = sums[r.label]
+        idx = 0 if early else 1
+        if a[idx] is None:
+            a[idx] = [0] * len(qv)
+        for i, v in enumerate(qv):
+            a[idx][i] += v
+        a[2 + idx] += 1
+    expect = {}
+    for label, (sa, sb, ne, nl) in sums.items():
+        if sa is None or sb is None:
+            continue
+        dot = sum(x * y for x, y in zip(sa, sb))
+        na = sum(x * x for x in sa)
+        nb = sum(y * y for y in sb)
+        expect[label] = (
+            ne, nl, math.floor(dot / math.sqrt(float(na) * nb) * 1e6)
+        )
+    got = {
+        r.label: (r.n_early, r.n_late, r.drift_cos_micro)
+        for r in similarity.centroid_drift(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(-1_000_000 <= v[2] <= 1_000_000 for v in got.values())
+    # the fixture's label centroids are noise-dominated (random vectors
+    # with weak label structure), so drift sits near 0 — the exact
+    # replay above is the correctness bar; the monitor's VALUE range is
+    # all this asserts
+    assert len(got) == 10
+
+
+def test_similarity_calibration_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import similarity
+
+    emb = {r.vec_id: (r.embedding, r.label) for r in load_table(spark, sf_dir, "embeddings").collect()}
+
+    def cos(u, v):
+        num = sum(float(a) * float(b) for a, b in zip(u, v))
+        na = sum(float(a) * float(a) for a in u) ** 0.5
+        nb = sum(float(b) * float(b) for b in v) ** 0.5
+        return num / (na * nb)
+
+    agg: dict = defaultdict(lambda: [0, 0])
+    for q in range(5):
+        for c, (cv, cl) in emb.items():
+            if c == q:
+                continue
+            s = round(cos(emb[q][0], cv), 6)
+            b = min(max(math.floor((s + 1.0) * 5.0), 0), 9)
+            agg[b][0] += 1
+            agg[b][1] += emb[q][1] == cl
+    expect = {
+        b: (n, sm, sm * 1_000_000 // n) for b, (n, sm) in agg.items()
+    }
+    got = {
+        r.bin: (r.n_pairs, r.n_same_label, r.same_label_ppm)
+        for r in similarity.similarity_calibration(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # calibration must be monotone-ish: the top populated bin should have a
+    # higher same-label rate than the bottom populated bin
+    bins = sorted(got)
+    assert got[bins[-1]][2] >= got[bins[0]][2]
