@@ -1907,3 +1907,67 @@ def similarity_calibration(
         F.sum("same").alias("n_same_label"),
         F.expr("sum(same) * 1000000 div count(1)").alias("same_label_ppm"),
     )
+
+
+def similarity_pr_curve(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5,
+    thresholds: tuple = (20, 40, 60, 80),
+) -> DataFrame:
+    """EXT E279: precision/recall curve for the cosine-≥-t same-label
+    predictor — at each candidate threshold (percent): predicted
+    positives, true positives, precision and recall in exact ppm. The
+    operating-point table read NEXT TO the calibration diagram (E277):
+    calibration says what a score means, PR says what a CUTOFF costs.
+
+    One scored pass over the bounded query set (shared with E277's
+    shape); every threshold folds into the SAME aggregate as
+    conditional sums — one scan, |thresholds| output rows, all exact
+    integers.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    sim = F.round(
+        dot_product(F.col("q_emb"), F.col("c_emb"))
+        / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))),
+        6,
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            (F.col("q_label") == F.col("c_label")).cast("long").alias("same"),
+            sim.alias("s"),
+        )
+        .select("same", F.expr("CAST(round(s * 1000000) AS BIGINT)").alias("su"))
+    )
+    aggs = [F.sum("same").alias("n_pos")]
+    for t in thresholds:
+        cut = t * 10000
+        aggs.append(
+            F.sum((F.col("su") >= cut).cast("long")).alias(f"pp_{t}")
+        )
+        aggs.append(
+            F.sum(((F.col("su") >= cut) & (F.col("same") == 1)).cast("long")).alias(
+                f"tp_{t}"
+            )
+        )
+    s = scored.agg(*aggs)
+    rows = ", ".join(
+        f"{t}L, pp_{t}, tp_{t},"
+        f" CASE WHEN pp_{t} > 0 THEN tp_{t} * 1000000 div pp_{t} ELSE -1 END,"
+        f" CASE WHEN n_pos > 0 THEN tp_{t} * 1000000 div n_pos ELSE -1 END"
+        for t in thresholds
+    )
+    return s.selectExpr(
+        f"stack({len(thresholds)}, {rows})"
+        " AS (threshold_pct, n_predicted, n_true_pos, precision_ppm, recall_ppm)"
+    )

@@ -2147,3 +2147,43 @@ def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 div count(1)"
         ).alias("bounce_ppm"),
     )
+
+
+def funnel_stage_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E278: funnel stage-lag decomposition — for users who
+    completed the unbounded funnel (E?), the P50/P90 of each stage
+    transition (first view → first qualified click, click → purchase).
+    Conversion RATES say where users are lost; stage LAGS say where
+    the product is slow — the other half of funnel diagnostics.
+
+    Reuses the verified funnel_stages per-user relation; lags are
+    exact µs integers; percentiles are selected order statistics per
+    stage over the converters (daily_value_bands convention), stacked
+    into one tidy (stage × stats) output.
+    """
+    from pyspark.sql import Window as W
+
+    per_user = funnel_stages(spark, sf_dir)
+    lags = per_user.filter(F.col("stage") == 3).select(
+        (F.col("t_click_us") - F.col("t_view_us")).alias("view_to_click"),
+        (F.col("t_purchase_us") - F.col("t_click_us")).alias("click_to_purchase"),
+    )
+    stacked = lags.selectExpr(
+        "stack(2, 'view_to_click', view_to_click,"
+        " 'click_to_purchase', click_to_purchase) AS (stage, lag_us)"
+    )
+    w = W.partitionBy("stage").orderBy("lag_us")
+    wc = W.partitionBy("stage")
+    ranked = stacked.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+
+    def pick(p: str, alias: str):
+        idx = f"CAST(floor(CAST(n - 1 AS DOUBLE) * {p}) AS BIGINT) + 1"
+        return F.expr(f"max(CASE WHEN rn = {idx} THEN lag_us END)").alias(alias)
+
+    return ranked.groupBy("stage").agg(
+        F.max("n").alias("n_converters"),
+        pick("0.5", "p50_lag_us"),
+        pick("0.9", "p90_lag_us"),
+    )

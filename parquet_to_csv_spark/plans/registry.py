@@ -7909,3 +7909,91 @@ SELECT least(greatest(CAST(floor((s + 1.0) * 5.0) AS BIGINT), 0), 9) AS bin,
        sum(same) * 1000000 // count(*) AS same_label_ppm
 FROM scored GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E278-E279 — funnel stage lags, similarity PR curve
+# --------------------------------------------------------------------------
+
+QUERIES["funnel_stage_lags"] = timeops.funnel_stage_lags
+ORACLES["funnel_stage_lags"] = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), staged AS (
+  SELECT user_id, ts_us, event_type, event_id,
+         CASE WHEN event_type = 'view' THEN ts_us END AS v_ts,
+         CASE WHEN event_type = 'click'
+                   AND ts_us >= min(CASE WHEN event_type = 'view' THEN ts_us END)
+                       OVER w
+              THEN ts_us END AS c_ts
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), staged2 AS (
+  SELECT user_id, v_ts, c_ts,
+         CASE WHEN event_type = 'purchase'
+                   AND ts_us >= min(c_ts) OVER w2
+              THEN ts_us END AS p_ts
+  FROM staged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT user_id, min(v_ts) AS tv, min(c_ts) AS tc, min(p_ts) AS tp
+  FROM staged2 GROUP BY 1
+), conv AS (
+  SELECT tv, tc, tp FROM agg WHERE tp IS NOT NULL
+), stacked AS (
+  SELECT 'view_to_click' AS stage, tc - tv AS lag_us FROM conv
+  UNION ALL
+  SELECT 'click_to_purchase', tp - tc FROM conv
+), ranked AS (
+  SELECT stage, lag_us,
+         row_number() OVER (PARTITION BY stage ORDER BY lag_us) AS rn,
+         count(*) OVER (PARTITION BY stage) AS n
+  FROM stacked
+)
+SELECT stage, max(n) AS n_converters,
+       max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+                THEN lag_us END) AS p50_lag_us,
+       max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1
+                THEN lag_us END) AS p90_lag_us
+FROM ranked GROUP BY 1
+"""
+
+QUERIES["similarity_pr_curve"] = similarity.similarity_pr_curve
+
+
+def _pr_curve_oracle(thresholds=(20, 40, 60, 80)) -> str:
+    pieces = []
+    for t in thresholds:
+        cut = t * 10000
+        pieces.append(
+            f"SELECT CAST({t} AS BIGINT) AS threshold_pct,\n"
+            f"  sum(CASE WHEN su >= {cut} THEN 1 ELSE 0 END) AS n_predicted,\n"
+            f"  sum(CASE WHEN su >= {cut} AND same = 1 THEN 1 ELSE 0 END)"
+            f" AS n_true_pos,\n"
+            f"  CASE WHEN sum(CASE WHEN su >= {cut} THEN 1 ELSE 0 END) > 0\n"
+            f"  THEN sum(CASE WHEN su >= {cut} AND same = 1 THEN 1 ELSE 0 END)"
+            f" * 1000000 // sum(CASE WHEN su >= {cut} THEN 1 ELSE 0 END)"
+            f" ELSE -1 END AS precision_ppm,\n"
+            f"  CASE WHEN sum(same) > 0\n"
+            f"  THEN sum(CASE WHEN su >= {cut} AND same = 1 THEN 1 ELSE 0 END)"
+            f" * 1000000 // sum(same) ELSE -1 END AS recall_ppm\n"
+            f"FROM scored"
+        )
+    head = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb, label AS c_label
+  FROM embeddings
+), scored AS MATERIALIZED (
+  SELECT CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS same,
+         CAST(round(round({_duck_cos('q_emb', 'c_emb')}, 6) * 1000000)
+              AS BIGINT) AS su
+  FROM q CROSS JOIN c WHERE query_id <> cand_id
+)
+"""
+    return head + "\nUNION ALL\n".join(pieces)
+
+
+ORACLES["similarity_pr_curve"] = _pr_curve_oracle()

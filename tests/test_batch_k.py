@@ -2262,3 +2262,68 @@ def test_similarity_calibration_replay(spark, sf_dir):
     # higher same-label rate than the bottom populated bin
     bins = sorted(got)
     assert got[bins[-1]][2] >= got[bins[0]][2]
+
+
+def test_funnel_stage_lags_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    per_user = timeops.funnel_stages(spark, sf_dir).collect()
+    v2c, c2p = [], []
+    for r in per_user:
+        if r.stage == 3:
+            v2c.append(r.t_click_us - r.t_view_us)
+            c2p.append(r.t_purchase_us - r.t_click_us)
+    expect = {}
+    for name, lags in (("view_to_click", v2c), ("click_to_purchase", c2p)):
+        lags.sort()
+        n = len(lags)
+        expect[name] = (
+            n, lags[math.floor((n - 1) * 0.5)], lags[math.floor((n - 1) * 0.9)]
+        )
+    got = {
+        r.stage: (r.n_converters, r.p50_lag_us, r.p90_lag_us)
+        for r in tops.funnel_stage_lags(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(v[0] > 0 for v in got.values())
+
+
+def test_similarity_pr_curve_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    emb = {r.vec_id: (r.embedding, r.label) for r in load_table(spark, sf_dir, "embeddings").collect()}
+
+    def cos(u, v):
+        num = sum(float(a) * float(b) for a, b in zip(u, v))
+        na = sum(float(a) * float(a) for a in u) ** 0.5
+        nb = sum(float(b) * float(b) for b in v) ** 0.5
+        return num / (na * nb)
+
+    scored = []
+    for q in range(5):
+        for c, (cv, cl) in emb.items():
+            if c == q:
+                continue
+            su = int(round(round(cos(emb[q][0], cv), 6) * 1e6))
+            scored.append((su, emb[q][1] == cl))
+    n_pos = sum(1 for _, s in scored if s)
+    expect = {}
+    for t in (20, 40, 60, 80):
+        cut = t * 10000
+        pp = sum(1 for su, _ in scored if su >= cut)
+        tp = sum(1 for su, s in scored if su >= cut and s)
+        expect[t] = (
+            pp, tp,
+            tp * 1_000_000 // pp if pp else -1,
+            tp * 1_000_000 // n_pos if n_pos else -1,
+        )
+    got = {
+        r.threshold_pct: (r.n_predicted, r.n_true_pos, r.precision_ppm, r.recall_ppm)
+        for r in similarity.similarity_pr_curve(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # recall must be non-increasing in the threshold
+    rs = [got[t][3] for t in (20, 40, 60, 80) if got[t][3] >= 0]
+    assert rs == sorted(rs, reverse=True)

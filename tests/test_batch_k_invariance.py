@@ -83,6 +83,12 @@ BATCH_K = [
     "nation_league_table",
     "type_comovement",
     "structuring_screen",
+    "partitioned_roundtrip",
+    "bounce_rate",
+    "centroid_drift",
+    "similarity_calibration",
+    "funnel_stage_lags",
+    "similarity_pr_curve",
 ]
 
 
