@@ -1971,3 +1971,39 @@ def similarity_pr_curve(
         f"stack({len(thresholds)}, {rows})"
         " AS (threshold_pct, n_predicted, n_true_pos, precision_ppm, recall_ppm)"
     )
+
+
+def two_stage_retrieval_audit(
+    spark: SparkSession, sf_dir: str, k_final: int = 5, k_candidates: int = 20
+) -> DataFrame:
+    """EXT E280: retrieve-then-rerank audit — the production retrieval
+    architecture (cheap ANN candidate generation → exact scoring of
+    the short list) measured end-to-end: per query, how much of the
+    exact top-k survives when only the IVF top-``k_candidates`` are
+    rerank-eligible. The candidate stage is the recall CEILING of the
+    whole system; this table says whether k_candidates is large
+    enough, which is the first knob tuned in any two-stage stack.
+
+    Composes two verified operators: IVF (nprobe=4) provides the
+    candidate set, the exact ranking provides ground truth; the audit
+    itself is one equi-join + per-query counts. (Reranking the
+    candidates by exact cosine then taking k_final is equivalent to
+    intersecting with the exact order — which is what the join
+    measures.)
+    """
+    exact = cosine_topk(spark, sf_dir, k=k_final).select(
+        "query_id", F.col("cand_id").alias("e_cand")
+    )
+    cands = ivf_topk(spark, sf_dir, k=k_candidates).select(
+        "query_id", F.col("cand_id").alias("a_cand")
+    )
+    hits = exact.join(
+        cands,
+        (exact.query_id == cands.query_id) & (F.col("e_cand") == F.col("a_cand")),
+        "left",
+    ).select(exact.query_id, F.col("a_cand").isNotNull().cast("long").alias("hit"))
+    return hits.groupBy("query_id").agg(
+        F.sum("hit").alias("n_retrievable"),
+        F.count(F.lit(1)).alias("k_final"),
+        F.expr("sum(hit) * 1000000 div count(1)").alias("ceiling_recall_ppm"),
+    )

@@ -2187,3 +2187,42 @@ def funnel_stage_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("0.5", "p50_lag_us"),
         pick("0.9", "p90_lag_us"),
     )
+
+
+def retention_policy_audit(
+    spark: SparkSession, sf_dir: str, policy_days: tuple = (7, 14, 30)
+) -> DataFrame:
+    """EXT E281: data-retention policy audit — per event type and
+    candidate retention policy: rows OLDER than the policy at the
+    as-of date (the deletion backlog a GDPR/data-minimization sweep
+    would have to remove) and their share of the type's volume. The
+    governance planning table read before committing to a retention
+    period: it prices each policy in rows before any deletion runs.
+
+    One scan; the as-of anchor is the plan-internal broadcast max
+    event day (no driver action); every policy folds into the SAME
+    aggregate as conditional counts; the unpivot is a |types| ×
+    |policies| stack. All exact integers.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    )
+    anchor = ev.agg(F.max("day").alias("anchor_day"))
+    base = ev.crossJoin(F.broadcast(anchor))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for d in policy_days:
+        aggs.append(
+            F.sum((F.col("day") < F.col("anchor_day") - F.lit(d)).cast("long")).alias(
+                f"old_{d}"
+            )
+        )
+    s = base.groupBy("event_type").agg(*aggs)
+    rows = ", ".join(
+        f"{d}L, old_{d}, old_{d} * 1000000 div n_rows" for d in policy_days
+    )
+    return s.selectExpr(
+        "event_type",
+        "n_rows",
+        f"stack({len(policy_days)}, {rows})"
+        " AS (policy_days, n_expired, expired_ppm)",
+    )

@@ -7997,3 +7997,89 @@ def _pr_curve_oracle(thresholds=(20, 40, 60, 80)) -> str:
 
 
 ORACLES["similarity_pr_curve"] = _pr_curve_oracle()
+
+# --------------------------------------------------------------------------
+# EXT E280-E281 — two-stage retrieval audit, retention policy audit
+# --------------------------------------------------------------------------
+
+QUERIES["two_stage_retrieval_audit"] = similarity.two_stage_retrieval_audit
+ORACLES["two_stage_retrieval_audit"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16
+), asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos('e.embedding', 'c.cent_emb')} DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT q.query_id, q.q_emb, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_duck_cos('q.q_emb', 'c.cent_emb')} DESC, c.cell_id ASC
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 4
+), cand AS (
+  SELECT query_id, cand_id FROM (
+    SELECT p.query_id, a.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_duck_cos('p.q_emb', 'a.embedding')} DESC,
+                                       a.vec_id ASC) AS rnk
+    FROM probes p JOIN asg a ON p.cell = a.cell
+    WHERE p.query_id <> a.vec_id
+  ) WHERE rnk <= 20
+), exact AS (
+  SELECT query_id, e_cand FROM (
+    SELECT qq.query_id, cc.vec_id AS e_cand,
+           row_number() OVER (PARTITION BY qq.query_id
+                              ORDER BY {_duck_cos('qq.q_emb', 'cc.embedding')} DESC,
+                                       cc.vec_id ASC) AS rnk
+    FROM q qq JOIN embeddings cc ON qq.query_id <> cc.vec_id
+  ) WHERE rnk <= 5
+)
+SELECT e.query_id,
+       sum(CASE WHEN c.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_retrievable,
+       count(*) AS k_final,
+       sum(CASE WHEN c.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS ceiling_recall_ppm
+FROM exact e LEFT JOIN cand c
+  ON e.query_id = c.query_id AND e.e_cand = c.cand_id
+GROUP BY 1
+"""
+
+QUERIES["retention_policy_audit"] = timeops.retention_policy_audit
+
+
+def _retention_oracle(policy_days=(7, 14, 30)) -> str:
+    pieces = []
+    for d in policy_days:
+        pieces.append(
+            f"SELECT event_type, n_rows, CAST({d} AS BIGINT) AS policy_days,\n"
+            f"  old_{d} AS n_expired, old_{d} * 1000000 // n_rows AS expired_ppm\n"
+            f"FROM s"
+        )
+    conds = ",\n".join(
+        f"  sum(CASE WHEN day < anchor_day - {d} THEN 1 ELSE 0 END) AS old_{d}"
+        for d in policy_days
+    )
+    head = f"""WITH anchor AS (
+  SELECT max(epoch_us(ts) // 86400000000) AS anchor_day FROM events
+), s AS (
+  SELECT event_type, count(*) AS n_rows,
+{conds}
+  FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events)
+       CROSS JOIN anchor
+  GROUP BY 1
+)
+"""
+    return head + "\nUNION ALL\n".join(pieces)
+
+
+ORACLES["retention_policy_audit"] = _retention_oracle()

@@ -2327,3 +2327,55 @@ def test_similarity_pr_curve_replay(spark, sf_dir):
     # recall must be non-increasing in the threshold
     rs = [got[t][3] for t in (20, 40, 60, 80) if got[t][3] >= 0]
     assert rs == sorted(rs, reverse=True)
+
+
+def test_two_stage_retrieval_audit_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.cosine_topk(spark, sf_dir, k=5).collect()
+    }
+    cands = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ivf_topk(spark, sf_dir, k=20).collect()
+    }
+    expect = {}
+    for q in range(5):
+        e = {c for qq, c in exact if qq == q}
+        a = {c for qq, c in cands if qq == q}
+        hit = len(e & a)
+        expect[q] = (hit, len(e), hit * 1_000_000 // len(e))
+    got = {
+        r.query_id: (r.n_retrievable, r.k_final, r.ceiling_recall_ppm)
+        for r in similarity.two_stage_retrieval_audit(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # with k_candidates=4x k_final, the ceiling should be high
+    assert sum(v[0] for v in got.values()) >= 20
+
+
+def test_retention_policy_audit_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    days = [(r.event_type, r.ts // 86_400_000_000_000) for r in ev]
+    anchor = max(d for _, d in days)
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for et, d in days:
+        a = agg[et]
+        a[0] += 1
+        for i, pol in enumerate((7, 14, 30)):
+            a[1 + i] += d < anchor - pol
+    expect = {}
+    for et, (n, o7, o14, o30) in agg.items():
+        for pol, o in ((7, o7), (14, o14), (30, o30)):
+            expect[(et, pol)] = (n, o, o * 1_000_000 // n)
+    got = {
+        (r.event_type, r.policy_days): (r.n_rows, r.n_expired, r.expired_ppm)
+        for r in tops.retention_policy_audit(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # tighter policies expire (weakly) more
+    for et in agg:
+        assert got[(et, 7)][1] >= got[(et, 14)][1] >= got[(et, 30)][1]

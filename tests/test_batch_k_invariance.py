@@ -89,6 +89,8 @@ BATCH_K = [
     "similarity_calibration",
     "funnel_stage_lags",
     "similarity_pr_curve",
+    "two_stage_retrieval_audit",
+    "retention_policy_audit",
 ]
 
 
