@@ -1609,10 +1609,13 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(stage).filter(F.col("event_type") == "purchase")
     from parquet_to_csv_spark.functions.stable import exact_units
 
+    # raw Σtus overflows a long past ~5e3 rows (µs epochs are ~1.7e15);
+    # the digest term is a modular checksum instead — exact, overflow-
+    # safe to ~9e9 rows (then widen to decimal), identical in DuckDB.
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("event_id").alias("sum_event_id"),
-        F.sum("tus").alias("sum_tus"),
+        F.sum(F.pmod(F.col("tus"), F.lit(1_000_000_007))).alias("tus_checksum"),
         F.sum(exact_units(F.col("value"), 2)).alias("sum_cents"),
         F.countDistinct("user_id").alias("n_users"),
     )

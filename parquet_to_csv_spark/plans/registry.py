@@ -7818,7 +7818,7 @@ QUERIES["partitioned_roundtrip"] = corpus.partitioned_roundtrip
 ORACLES["partitioned_roundtrip"] = f"""
 SELECT event_type, count(*) AS n_events,
        sum(event_id) AS sum_event_id,
-       sum(epoch_us(ts)) AS sum_tus,
+       sum(epoch_us(ts) % 1000000007) AS tus_checksum,
        sum({duck_units("value", 2)}) AS sum_cents,
        count(DISTINCT user_id) AS n_users
 FROM events WHERE event_type = 'purchase'

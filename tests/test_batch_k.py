@@ -2132,7 +2132,7 @@ def test_partitioned_roundtrip_replay(spark, sf_dir):
     assert row.event_type == "purchase"
     assert row.n_events == len(ev)
     assert row.sum_event_id == sum(r.event_id for r in ev)
-    assert row.sum_tus == sum(r.ts // 1000 for r in ev)
+    assert row.tus_checksum == sum((r.ts // 1000) % 1_000_000_007 for r in ev)
     assert row.sum_cents == sum(_cents(r.value) for r in ev)
     assert row.n_users == len({r.user_id for r in ev})
 
