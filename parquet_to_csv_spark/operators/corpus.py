@@ -1619,3 +1619,73 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(exact_units(F.col("value"), 2)).alias("sum_cents"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def lm_heldout_eval(
+    spark: SparkSession, sf_dir: str, train_pct: int = 80
+) -> DataFrame:
+    """EXT E282: held-out language-model evaluation — the add-one
+    bigram LM is FIT on a deterministic md5 80% of documents and
+    SCORED on the held-out 20%, reported per source as mean held-out
+    log-probability (micro-nats per bigram). The train/test discipline
+    the in-sample LM scores (E?) cannot provide: a source whose
+    held-out logprob craters relative to others is out-of-domain for
+    the corpus model — the domain-fit signal data-mixture decisions
+    need.
+
+    Train/held-out membership is the md5_bucket convention (no rand());
+    LM counts come only from train docs (one explode + two keyed
+    aggregations); scoring joins held-out bigrams against the train
+    relation with add-one smoothing over the TRAIN vocabulary, per-
+    bigram micro-nat quantization before summation (the E? parity
+    convention) and one floored division per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        tokens_col("text").alias("tk"),
+        (md5_bucket(F.col("doc_id"), 100) < train_pct).alias("is_train"),
+    )
+    bigrams = tagged.select(
+        "doc_id",
+        "source",
+        "is_train",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "source", "is_train",
+        F.col("p.0").alias("w1"),
+        F.col("p.1").alias("w2"),
+    )
+    train_big = (
+        bigrams.filter("is_train").groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    train_left = train_big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        tagged.filter("is_train")
+        .select(F.explode("tk").alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    held = bigrams.filter(~F.col("is_train"))
+    scored = (
+        held.join(train_big, ["w1", "w2"], "left")
+        .join(train_left, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.expr(
+                "CAST(round(ln((CAST(coalesce(c12, 0) + 1 AS DOUBLE))"
+                " / (CAST(coalesce(c1, 0) + v AS DOUBLE))) * 1000000)"
+                " AS BIGINT)"
+            ).alias("u"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(u) div count(1)").alias("mean_logprob_micro"),
+    )

@@ -2442,3 +2442,53 @@ def nation_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(W.orderBy(F.desc("n_orders"), F.asc("n_name"))).alias("count_rank"),
         F.rank().over(W.orderBy(F.desc("avg_cents"), F.asc("n_name"))).alias("avg_rank"),
     )
+
+
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E283: functional-dependency audit — for each candidate FD
+    the schema IMPLIES, the number of violating determinant values
+    (keys mapping to >1 dependent value). Checked: o_orderkey →
+    o_orderdate within lineitem-joined rows (should hold: one order,
+    one date), l_orderkey → o_custkey (FK chain), p_partkey → p_brand
+    (dimension integrity), and user_id → first event type (expected
+    to FAIL — a behavioral non-FD included so the audit demonstrably
+    distinguishes holding from violated dependencies). Schema
+    inference, CDC sanity and denormalization safety all start from
+    exactly this table.
+
+    Each FD is one groupBy(det) with countDistinct(dep) — map-side
+    combined, shuffle ∝ determinant cardinality; the four audits union
+    into one tidy relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+
+    def fd(df: DataFrame, name: str, det: str, dep) -> DataFrame:
+        per = df.groupBy(F.col(det).alias("k")).agg(
+            F.countDistinct(dep).alias("nd")
+        )
+        return per.agg(
+            F.lit(name).alias("dependency"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_violating"),
+            F.expr(
+                "sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 div count(1)"
+            ).alias("violation_ppm"),
+        )
+
+    lio = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    first_ev = ev.groupBy("user_id", F.expr("ts div 86400000000000").alias("day")).agg(
+        F.expr("min_by(event_type, struct(ts, event_id))").alias("fe")
+    )
+    audits = [
+        fd(lio, "l_orderkey->o_orderdate", "l_orderkey", F.col("o_orderdate")),
+        fd(lio, "l_orderkey->o_custkey", "l_orderkey", F.col("o_custkey")),
+        fd(part, "p_partkey->p_brand", "p_partkey", F.col("p_brand")),
+        fd(first_ev, "user_id->daily_first_event", "user_id", F.col("fe")),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out

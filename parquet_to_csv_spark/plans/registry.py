@@ -8083,3 +8083,84 @@ def _retention_oracle(policy_days=(7, 14, 30)) -> str:
 
 
 ORACLES["retention_policy_audit"] = _retention_oracle()
+
+# --------------------------------------------------------------------------
+# EXT E282-E283 — held-out LM eval, functional-dependency audit
+# --------------------------------------------------------------------------
+
+QUERIES["lm_heldout_eval"] = corpus.lm_heldout_eval
+ORACLES["lm_heldout_eval"] = f"""
+WITH tagged AS MATERIALIZED (
+  SELECT doc_id, source, {_TOKS} AS tk,
+         {corpus.duck_md5_bucket("doc_id", 100)} < 80 AS is_train
+  FROM documents
+), bigrams AS MATERIALIZED (
+  SELECT source, is_train, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT source, is_train,
+           unnest(list_zip(list_slice(tk, 1, greatest(len(tk) - 1, 0)),
+                           list_slice(tk, 2, len(tk)))) AS p
+    FROM tagged
+  ) WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+), train_big AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigrams WHERE is_train GROUP BY 1, 2
+), train_left AS (
+  SELECT w1, sum(c12) AS c1 FROM train_big GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(tk) AS t FROM tagged WHERE is_train)
+), scored AS (
+  SELECT h.source,
+         CAST(round(ln((CAST(coalesce(tb.c12, 0) + 1 AS DOUBLE))
+                       / (CAST(coalesce(tl.c1, 0) + v AS DOUBLE))) * 1000000)
+              AS BIGINT) AS u
+  FROM bigrams h
+  LEFT JOIN train_big tb ON h.w1 = tb.w1 AND h.w2 = tb.w2
+  LEFT JOIN train_left tl ON h.w1 = tl.w1
+  CROSS JOIN vocab
+  WHERE NOT h.is_train
+)
+SELECT source, count(*) AS n_bigrams,
+       sum(u) // count(*) AS mean_logprob_micro
+FROM scored GROUP BY 1
+"""
+
+QUERIES["functional_dependency_audit"] = relational.functional_dependency_audit
+ORACLES["functional_dependency_audit"] = """
+WITH lio AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_custkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), fd1 AS (
+  SELECT 'l_orderkey->o_orderdate' AS dependency, count(*) AS n_keys,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+           AS violation_ppm
+  FROM (SELECT l_orderkey, count(DISTINCT o_orderdate) AS nd FROM lio GROUP BY 1)
+), fd2 AS (
+  SELECT 'l_orderkey->o_custkey', count(*),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+  FROM (SELECT l_orderkey, count(DISTINCT o_custkey) AS nd FROM lio GROUP BY 1)
+), fd3 AS (
+  SELECT 'p_partkey->p_brand', count(*),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+  FROM (SELECT p_partkey, count(DISTINCT p_brand) AS nd FROM part GROUP BY 1)
+), fe AS (
+  SELECT user_id, day, max(CASE WHEN rn = 1 THEN event_type END) AS fe
+  FROM (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+           row_number() OVER (PARTITION BY user_id,
+                              epoch_us(ts) // 86400000000
+                              ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events
+  ) GROUP BY 1, 2
+), fd4 AS (
+  SELECT 'user_id->daily_first_event', count(*),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+  FROM (SELECT user_id, count(DISTINCT fe) AS nd FROM fe GROUP BY 1)
+)
+SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+"""

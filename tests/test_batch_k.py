@@ -2379,3 +2379,64 @@ def test_retention_policy_audit_replay(spark, sf_dir):
     # tighter policies expire (weakly) more
     for et in agg:
         assert got[(et, 7)][1] >= got[(et, 14)][1] >= got[(et, 30)][1]
+
+
+def test_lm_heldout_eval_replay(spark, sf_dir):
+    import hashlib
+    import math
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    train_big: Counter = Counter()
+    train_vocab = set()
+    held = []
+    for r in docs:
+        toks = [t for t in r.text.lower().split() if t]
+        is_train = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4], 16) % 100 < 80
+        if is_train:
+            train_big.update(zip(toks, toks[1:]))
+            train_vocab.update(toks)
+        else:
+            held.append((r.source, toks))
+    c1: Counter = Counter()
+    for (w1, _), c in train_big.items():
+        c1[w1] += c
+    v = len(train_vocab)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for src, toks in held:
+        for pair in zip(toks, toks[1:]):
+            u = int(round(math.log((train_big[pair] + 1) / (c1[pair[0]] + v)) * 1e6))
+            agg[src][0] += 1
+            agg[src][1] += u
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    expect = {src: (n, tdiv(s, n)) for src, (n, s) in agg.items()}
+    got = {
+        r.source: (r.n_bigrams, r.mean_logprob_micro)
+        for r in corpus.lm_heldout_eval(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(v_[1] < 0 for v_ in got.values())  # log-probs are negative
+
+
+def test_functional_dependency_audit_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    got = {
+        r.dependency: (r.n_keys, r.n_violating, r.violation_ppm)
+        for r in relational.functional_dependency_audit(spark, sf_dir).collect()
+    }
+    assert set(got) == {
+        "l_orderkey->o_orderdate",
+        "l_orderkey->o_custkey",
+        "p_partkey->p_brand",
+        "user_id->daily_first_event",
+    }
+    # true FDs hold exactly; the behavioral non-FD must visibly fail
+    assert got["l_orderkey->o_orderdate"][1] == 0
+    assert got["l_orderkey->o_custkey"][1] == 0
+    assert got["p_partkey->p_brand"][1] == 0
+    assert got["user_id->daily_first_event"][1] > 0

@@ -91,6 +91,8 @@ BATCH_K = [
     "similarity_pr_curve",
     "two_stage_retrieval_audit",
     "retention_policy_audit",
+    "lm_heldout_eval",
+    "functional_dependency_audit",
 ]
 
 
