@@ -2492,3 +2492,51 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionAll(a)
     return out
+
+
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E284: open-order burn-down — for each calendar month, how
+    many orders were already placed but not yet fully shipped (and the
+    open value in exact cents): the WIP/backlog timeline every
+    operations review tracks. An order is open from its order month
+    through the month BEFORE its last line ships; never-shipped
+    (orphan) orders are excluded with the caveat counted.
+
+    Shape: per-order open interval from one lineitem max + one join;
+    each order explodes only into the months of ITS OWN interval
+    (sequence over month indexes — bounded fan-out, the interval-
+    explode trick), then one (month) rollup with map-side combine.
+    No sweep over the cross product of orders × months.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).cast("long").alias("om"),
+        exact_units(F.col("o_totalprice"), 2).alias("cents"),
+    )
+    last_ship = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        (
+            F.year(F.max("l_shipdate").cast("date")) * 12
+            + F.month(F.max("l_shipdate").cast("date"))
+        ).cast("long").alias("sm")
+    )
+    j = orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey).filter(
+        F.col("sm") > F.col("om")
+    )
+    months = j.select(
+        F.explode(F.sequence(F.col("om"), F.col("sm") - 1)).alias("m"),
+        "cents",
+    )
+    return months.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_open"),
+        (F.sum("cents") / F.lit(100.0)).alias("open_value"),
+    ).select(
+        F.expr("m div 12").alias("year"),
+        F.expr("m % 12").alias("month0"),
+        "n_open",
+        "open_value",
+    )

@@ -2226,3 +2226,44 @@ def retention_policy_audit(
         f"stack({len(policy_days)}, {rows})"
         " AS (policy_days, n_expired, expired_ppm)",
     )
+
+
+def weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E285: weekday seasonal index — per event type and day of
+    week: the mean daily value as a ratio to the type's overall mean
+    daily value, in ppm (100% = 1e6). The classical seasonal index
+    table (what seasonal-naive forecasting implicitly assumes, made
+    inspectable): a flat row of indexes near 1e6 says weekday
+    seasonality is noise; E257's residuals test the same thing for
+    COUNTS — this is the value-weighted view.
+
+    Daily sums in exact cents feed both the per-dow and overall means;
+    the index is one cross-multiplied integer division (mean_dow·1e6
+    div mean_all expressed on exact long sums and counts — no float
+    mean ever materializes).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("y"))
+    with_dow = daily.select(
+        "event_type", F.expr("(day + 4) % 7").alias("dow"), "y"
+    )
+    per_dow = with_dow.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("y").alias("sd")
+    )
+    overall = with_dow.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("na"), F.sum("y").alias("sa")
+    )
+    return (
+        per_dow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "nd",
+            # index = (sd/nd) / (sa/na) — cross-multiplied on exact longs
+            F.expr("sd * na * 1000000 div (nd * sa)").alias("index_ppm"),
+        )
+    )

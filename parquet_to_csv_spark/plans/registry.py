@@ -8164,3 +8164,48 @@ WITH lio AS (
 SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
 UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
 """
+
+# --------------------------------------------------------------------------
+# EXT E284-E285 — open-orders burn-down, weekday seasonal index
+# --------------------------------------------------------------------------
+
+QUERIES["open_orders_timeline"] = relational.open_orders_timeline
+ORACLES["open_orders_timeline"] = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS om,
+         {duck_units("o_totalprice", 2)} AS cents
+  FROM orders
+), ls AS (
+  SELECT l_orderkey,
+         CAST(year(max(l_shipdate)) * 12 + month(max(l_shipdate)) AS BIGINT)
+           AS sm
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.om, ls.sm, o.cents FROM o JOIN ls ON o.o_orderkey = ls.l_orderkey
+  WHERE ls.sm > o.om
+), months AS (
+  SELECT unnest(range(om, sm)) AS m, cents FROM j
+)
+SELECT m // 12 AS year, m % 12 AS month0,
+       count(*) AS n_open, sum(cents) / 100.0 AS open_value
+FROM months GROUP BY 1, 2
+"""
+
+QUERIES["weekday_index"] = timeops.weekday_index
+ORACLES["weekday_index"] = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum({duck_units("value", 2)}) AS y
+  FROM events GROUP BY 1, 2
+), wd AS (
+  SELECT event_type, (day + 4) % 7 AS dow, y FROM daily
+), per_dow AS (
+  SELECT event_type, dow, count(*) AS nd, sum(y) AS sd FROM wd GROUP BY 1, 2
+), overall AS (
+  SELECT event_type, count(*) AS na, sum(y) AS sa FROM wd GROUP BY 1
+)
+SELECT p.event_type, p.dow, p.nd,
+       p.sd * o.na * 1000000 // (p.nd * o.sa) AS index_ppm
+FROM per_dow p JOIN overall o USING (event_type)
+"""

@@ -2440,3 +2440,62 @@ def test_functional_dependency_audit_replay(spark, sf_dir):
     assert got["l_orderkey->o_custkey"][1] == 0
     assert got["p_partkey->p_brand"][1] == 0
     assert got["user_id->daily_first_event"][1] > 0
+
+
+def test_open_orders_timeline_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    last_ship: dict = {}
+    for r in li:
+        sm = r.l_shipdate.year * 12 + r.l_shipdate.month
+        last_ship[r.l_orderkey] = max(last_ship.get(r.l_orderkey, 0), sm)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in load_table(spark, sf_dir, "orders").collect():
+        if r.o_orderkey not in last_ship:
+            continue
+        om = r.o_orderdate.year * 12 + r.o_orderdate.month
+        sm = last_ship[r.o_orderkey]
+        if sm <= om:
+            continue
+        c = _cents(r.o_totalprice)
+        for m in range(om, sm):
+            agg[m][0] += 1
+            agg[m][1] += c
+    expect = {
+        (m // 12, m % 12): (n, c / 100.0) for m, (n, c) in agg.items()
+    }
+    got = {
+        (r.year, r.month0): (r.n_open, r.open_value)
+        for r in relational.open_orders_timeline(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 12  # the backlog spans years
+
+
+def test_weekday_index_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily: dict = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts // 86_400_000_000_000)] += _cents(r.value)
+    per_dow: dict = defaultdict(lambda: [0, 0])
+    overall: dict = defaultdict(lambda: [0, 0])
+    for (et, day), y in daily.items():
+        dow = (day + 4) % 7
+        per_dow[(et, dow)][0] += 1
+        per_dow[(et, dow)][1] += y
+        overall[et][0] += 1
+        overall[et][1] += y
+    expect = {
+        (et, dow): (nd, sd * overall[et][0] * 1_000_000 // (nd * overall[et][1]))
+        for (et, dow), (nd, sd) in per_dow.items()
+    }
+    got = {
+        (r.event_type, r.dow): (r.nd, r.index_ppm)
+        for r in tops.weekday_index(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # indexes hover around 1e6 by construction
+    assert all(200_000 < v[1] < 5_000_000 for v in got.values())

@@ -93,6 +93,8 @@ BATCH_K = [
     "retention_policy_audit",
     "lm_heldout_eval",
     "functional_dependency_audit",
+    "open_orders_timeline",
+    "weekday_index",
 ]
 
 
