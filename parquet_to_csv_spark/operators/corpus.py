@@ -1689,3 +1689,62 @@ def lm_heldout_eval(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("sum(u) div count(1)").alias("mean_logprob_micro"),
     )
+
+
+def neyman_allocation(
+    spark: SparkSession, sf_dir: str, budget: int = 100
+) -> DataFrame:
+    """EXT E286: Neyman optimal allocation — the sampling-theory
+    upgrade of proportional quotas (E233): allocate the budget
+    ∝ N_h·σ_h (stratum size × stratum std of the measured variable,
+    here doc length), which minimizes the variance of the stratified
+    mean estimator. A high-variance minority language gets MORE than
+    its proportional share — exactly what proportional allocation
+    gets wrong.
+
+    σ_h comes from exact long sufficient statistics (n·Σx²−(Σx)²) via
+    one IEEE sqrt per stratum (|langs| rows); weights w_h = floor(
+    N_h·σ_h) are integers, floor quotas + largest-remainder top-up
+    reuse the E233 discipline, and the realized proportional quota
+    sits beside the Neyman one so the reallocation is visible.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    sigma = (
+        "sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+        " / CAST(n_docs AS DOUBLE)"
+    )
+    weighted = strata.select(
+        "lang",
+        "n_docs",
+        F.expr(f"CAST(floor(CAST(n_docs AS DOUBLE) * {sigma}) AS BIGINT)").alias("w"),
+    )
+    tot = weighted.agg(
+        F.sum("w").alias("w_tot"), F.sum("n_docs").alias("n_tot")
+    )
+    base = weighted.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "w",
+        F.expr(f"w * {budget} div w_tot").alias("floor_q"),
+        F.expr(f"w * {budget} % w_tot").alias("rem"),
+        F.expr(f"n_docs * {budget} div n_tot").alias("proportional_q"),
+    )
+    w_rem = W.orderBy(F.desc("rem"), F.asc("lang"))
+    short = F.lit(budget) - F.sum("floor_q").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return base.withColumn("rrank", F.row_number().over(w_rem)).select(
+        "lang",
+        "n_docs",
+        "w",
+        "proportional_q",
+        (F.col("floor_q") + (F.col("rrank") <= short).cast("long")).alias("neyman_q"),
+    )

@@ -2540,3 +2540,52 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_open",
         "open_value",
     )
+
+
+def order_regularity(
+    spark: SparkSession, sf_dir: str, min_orders: int = 5, k: int = 15
+) -> DataFrame:
+    """EXT E287: purchase-regularity leaders — customers whose
+    inter-order gaps are most METRONOMIC (lowest relative dispersion
+    of day gaps, min support): the replenishment-subscription
+    candidates of CRM, the behavioral complement of RFM (which sees
+    volume, not rhythm).
+
+    One orders scan → per-customer ordered day gaps via one lag window
+    (shuffle on custkey); gap sufficient statistics are exact longs;
+    the dispersion n·CV² lands in ppm via the fixed-IEEE-floor
+    convention (E228); bottom-k = most regular via
+    TakeOrderedAndProject on (dispersion ASC, custkey).
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").alias("od"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = orders.withColumn("gap", F.col("od") - F.lag("od").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    s = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("sx"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sxx"),
+    )
+    disp = (
+        "CAST(floor((CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    )
+    return (
+        s.filter((F.col("n_gaps") >= min_orders) & (F.col("sx") > 0))
+        .select(
+            "o_custkey",
+            "n_gaps",
+            F.expr("sx div n_gaps").alias("mean_gap_days"),
+            F.expr(disp).alias("dispersion_ppm"),
+        )
+        .orderBy(F.asc("dispersion_ppm"), F.asc("o_custkey"))
+        .limit(k)
+    )

@@ -8209,3 +8209,63 @@ SELECT p.event_type, p.dow, p.nd,
        p.sd * o.na * 1000000 // (p.nd * o.sa) AS index_ppm
 FROM per_dow p JOIN overall o USING (event_type)
 """
+
+# --------------------------------------------------------------------------
+# EXT E286-E287 — Neyman allocation, order regularity
+# --------------------------------------------------------------------------
+
+QUERIES["neyman_allocation"] = corpus.neyman_allocation
+ORACLES["neyman_allocation"] = """
+WITH strata AS (
+  SELECT lang, count(*) AS n_docs, sum(n_chars) AS sx,
+         sum(n_chars * n_chars) AS sxx
+  FROM documents GROUP BY 1
+), weighted AS (
+  SELECT lang, n_docs,
+         CAST(floor(CAST(n_docs AS DOUBLE)
+                    * sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    / CAST(n_docs AS DOUBLE)) AS BIGINT) AS w
+  FROM strata
+), tot AS (
+  SELECT sum(w) AS w_tot, sum(n_docs) AS n_tot FROM weighted
+), base AS (
+  SELECT lang, n_docs, w,
+         w * 100 // w_tot AS floor_q,
+         w * 100 % w_tot AS rem,
+         n_docs * 100 // n_tot AS proportional_q
+  FROM weighted CROSS JOIN tot
+), alloc AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rrank,
+         100 - sum(floor_q) OVER () AS short
+  FROM base
+)
+SELECT lang, n_docs, w, proportional_q,
+       floor_q + CASE WHEN rrank <= short THEN 1 ELSE 0 END AS neyman_q
+FROM alloc
+"""
+
+QUERIES["order_regularity"] = relational.order_regularity
+ORACLES["order_regularity"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) // 86400000 AS od
+  FROM orders
+), gaps AS (
+  SELECT o_custkey,
+         od - lag(od) OVER (PARTITION BY o_custkey
+                            ORDER BY od, o_orderkey) AS gap
+  FROM o
+), s AS (
+  SELECT o_custkey, count(*) AS n_gaps, sum(gap) AS sx,
+         sum(gap * gap) AS sxx
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT o_custkey, n_gaps, sx // n_gaps AS mean_gap_days,
+       CAST(floor((CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS dispersion_ppm
+FROM s WHERE n_gaps >= 5 AND sx > 0
+ORDER BY dispersion_ppm ASC, o_custkey ASC
+LIMIT 15
+"""

@@ -2499,3 +2499,67 @@ def test_weekday_index_replay(spark, sf_dir):
     assert got == expect
     # indexes hover around 1e6 by construction
     assert all(200_000 < v[1] < 5_000_000 for v in got.values())
+
+
+def test_neyman_allocation_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    strata: dict = defaultdict(list)
+    for r in docs:
+        strata[r.lang].append(r.n_chars)
+    weighted = {}
+    for lang, xs in strata.items():
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        w = math.floor(n * math.sqrt(float(n) * sxx - float(sx) * sx) / n)
+        weighted[lang] = (n, w)
+    w_tot = sum(w for _, w in weighted.values())
+    n_tot = sum(n for n, _ in weighted.values())
+    base = []
+    for lang, (n, w) in weighted.items():
+        base.append((lang, n, w, w * 100 // w_tot, w * 100 % w_tot, n * 100 // n_tot))
+    short = 100 - sum(b[3] for b in base)
+    base.sort(key=lambda b: (-b[4], b[0]))
+    expect = {}
+    for i, (lang, n, w, fq, _, pq) in enumerate(base):
+        expect[lang] = (n, w, pq, fq + (1 if i < short else 0))
+    got = {
+        r.lang: (r.n_docs, r.w, r.proportional_q, r.neyman_q)
+        for r in corpus.neyman_allocation(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(v[3] for v in got.values()) == 100  # exact budget
+
+
+def test_order_regularity_replay(spark, sf_dir):
+    import math
+
+    from parquet_to_csv_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    by_cust: dict = defaultdict(list)
+    for r in orders:
+        by_cust[r.o_custkey].append(
+            (int(r.o_orderdate.timestamp() * 1000) // 86_400_000, r.o_orderkey)
+        )
+    scored = []
+    for ck, rows in by_cust.items():
+        rows.sort()
+        gaps = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+        if len(gaps) < 5 or sum(gaps) <= 0:
+            continue
+        n, sx, sxx = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        disp = math.floor(
+            (float(n) * sxx - float(sx) * sx) / (float(sx) * sx) * 1e6
+        )
+        scored.append((ck, n, sx // n, disp))
+    scored.sort(key=lambda t: (t[3], t[0]))
+    expect = scored[:15]
+    got = [
+        (r.o_custkey, r.n_gaps, r.mean_gap_days, r.dispersion_ppm)
+        for r in relational.order_regularity(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert len(got) == 15

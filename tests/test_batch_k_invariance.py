@@ -95,6 +95,8 @@ BATCH_K = [
     "functional_dependency_audit",
     "open_orders_timeline",
     "weekday_index",
+    "neyman_allocation",
+    "order_regularity",
 ]
 
 
