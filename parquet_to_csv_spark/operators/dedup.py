@@ -1498,3 +1498,38 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_docs").alias("docs_in_shared_clusters"),
         )
     )
+
+
+def pair_review_queue(
+    spark: SparkSession, sf_dir: str, per_band: int = 2
+) -> DataFrame:
+    """EXT E289: human-review queue for near-dup pairs — a
+    DETERMINISTIC stratified sample of candidate pairs, ``per_band``
+    from each Jaccard band ([0.80,0.85) … [0.95,1.0]), ordered by the
+    md5 of the pair key. The labeling-ops bridge between dedup
+    metrics and dedup DECISIONS: humans calibrate the threshold by
+    reviewing pairs across the score range, and the md5 order makes
+    two labeling rounds share work instead of resampling (the E187
+    annotation-batch discipline applied to pairs).
+
+    Rides the verified pair relation; banding is integer arithmetic on
+    the 4dp Jaccard; the per-band pick is one row_number window over
+    band-partitioned candidates.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir, 0.8).select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.expr(
+            "least(CAST(floor((jaccard - 0.8) * 20) AS BIGINT), 3)"
+        ).alias("band"),
+        F.md5(F.concat_ws("_", "doc_a", "doc_b")).alias("h"),
+    )
+    w = W.partitionBy("band").orderBy("h", "doc_a", "doc_b")
+    return (
+        pairs.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= per_band)
+        .select("band", "pick", "doc_a", "doc_b", "jaccard")
+    )

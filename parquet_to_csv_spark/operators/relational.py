@@ -2589,3 +2589,49 @@ def order_regularity(
         .orderBy(F.asc("dispersion_ppm"), F.asc("o_custkey"))
         .limit(k)
     )
+
+
+def topk_customer_share(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """EXT E288: key-account concentration — per nation, the revenue
+    share held by its top-``k`` customers (exact ppm): the
+    account-risk number sales leadership tracks (a nation at 600k ppm
+    from 10 accounts is a key-account business; losing one hurts).
+    The nation-grain drill-down of the global Gini (E?).
+
+    Per-customer revenue is one aggregation; the per-nation top-k is a
+    rank window PARTITIONED by nation (bounded by customers-per-
+    nation, never a global sort); shares are exact integer ppm of
+    exact cents.
+    """
+    from pyspark.sql import Window as W
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", exact_units(F.col("o_totalprice"), 2).alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("cents").alias("c"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_custkey", "c")
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("c"), F.asc("o_custkey"))
+    ranked = per_cust.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("rn") <= k, F.col("c")).otherwise(F.lit(0))).alias(
+            "topk_cents"
+        ),
+        F.sum("c").alias("total_cents"),
+    ).select(
+        "n_name",
+        "n_customers",
+        (F.col("topk_cents") / F.lit(100.0)).alias("topk_revenue"),
+        F.expr("topk_cents * 1000000 div total_cents").alias("topk_share_ppm"),
+    )

@@ -8269,3 +8269,56 @@ FROM s WHERE n_gaps >= 5 AND sx > 0
 ORDER BY dispersion_ppm ASC, o_custkey ASC
 LIMIT 15
 """
+
+# --------------------------------------------------------------------------
+# EXT E288-E289 — key-account concentration, pair review queue
+# --------------------------------------------------------------------------
+
+QUERIES["topk_customer_share"] = relational.topk_customer_share
+ORACLES["topk_customer_share"] = f"""
+WITH per_cust AS (
+  SELECT n.n_name, o.o_custkey,
+         sum({duck_units("o.o_totalprice", 2)}) AS c
+  FROM orders o
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT n_name, c,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c DESC, o_custkey ASC) AS rn
+  FROM per_cust
+)
+SELECT n_name, count(*) AS n_customers,
+       sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) / 100.0 AS topk_revenue,
+       sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) * 1000000 // sum(c)
+         AS topk_share_ppm
+FROM ranked GROUP BY 1
+"""
+
+QUERIES["pair_review_queue"] = dedup.pair_review_queue
+ORACLES["pair_review_queue"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                      AS DOUBLE), 4) AS jaccard
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                      AS DOUBLE), 4) >= 0.8
+), banded AS (
+  SELECT doc_a, doc_b, jaccard,
+         least(CAST(floor((jaccard - 0.8) * 20) AS BIGINT), 3) AS band,
+         md5(concat_ws('_', doc_a, doc_b)) AS h
+  FROM pairs
+)
+SELECT band, pick, doc_a, doc_b, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY band
+                               ORDER BY h, doc_a, doc_b) AS pick
+  FROM banded
+) WHERE pick <= 2
+"""

@@ -2563,3 +2563,58 @@ def test_order_regularity_replay(spark, sf_dir):
     ]
     assert got == expect
     assert len(got) == 15
+
+
+def test_topk_customer_share_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    cust = {r.c_custkey: r.c_nationkey for r in load_table(spark, sf_dir, "customer").collect()}
+    nation = {r.n_nationkey: r.n_name for r in load_table(spark, sf_dir, "nation").collect()}
+    per_cust: dict = defaultdict(int)
+    for r in orders:
+        per_cust[(nation[cust[r.o_custkey]], r.o_custkey)] += _cents(r.o_totalprice)
+    by_nation: dict = defaultdict(list)
+    for (nm, ck), c in per_cust.items():
+        by_nation[nm].append((c, ck))
+    expect = {}
+    for nm, rows in by_nation.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        topk = sum(c for c, _ in rows[:10])
+        tot = sum(c for c, _ in rows)
+        expect[nm] = (len(rows), topk / 100.0, topk * 1_000_000 // tot)
+    got = {
+        r.n_name: (r.n_customers, r.topk_revenue, r.topk_share_ppm)
+        for r in relational.topk_customer_share(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # top-10 of ~tens of customers: share must be meaningful, not ~0
+    assert all(v[2] > 100_000 for v in got.values())
+
+
+def test_pair_review_queue_replay(spark, sf_dir):
+    import hashlib
+    import math
+
+    from parquet_to_csv_spark.operators import dedup
+
+    pairs = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir, 0.8).collect()
+    ]
+    banded: dict = defaultdict(list)
+    for a, b, j in pairs:
+        band = min(math.floor((j - 0.8) * 20), 3)
+        h = hashlib.md5(f"{a}_{b}".encode()).hexdigest()
+        banded[band].append((h, a, b, j))
+    expect = {}
+    for band, rows in banded.items():
+        rows.sort()
+        for pick, (_, a, b, j) in enumerate(rows[:2], 1):
+            expect[(band, pick)] = (a, b, j)
+    got = {
+        (r.band, r.pick): (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.pair_review_queue(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len({b for b, _ in got}) >= 2  # multiple bands represented

@@ -97,6 +97,8 @@ BATCH_K = [
     "weekday_index",
     "neyman_allocation",
     "order_regularity",
+    "topk_customer_share",
+    "pair_review_queue",
 ]
 
 
