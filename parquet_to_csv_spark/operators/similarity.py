@@ -2007,3 +2007,47 @@ def two_stage_retrieval_audit(
         F.count(F.lit(1)).alias("k_final"),
         F.expr("sum(hit) * 1000000 div count(1)").alias("ceiling_recall_ppm"),
     )
+
+
+def knn_classifier_eval(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """EXT E290: k-NN classification eval — each query's label
+    predicted by MAJORITY VOTE of its top-k cosine neighbors (ties →
+    smallest label id, the deterministic break), with the vote
+    tally and a correctness flag against the true label. The
+    embedding-quality eval that asks the question retrieval metrics
+    (NDCG/MRR, E?/E215) don't: does the neighborhood structure
+    actually CLASSIFY? Completes the eval suite's third face:
+    ranking (NDCG), first-hit (MRR), decision (kNN).
+
+    Rides the verified top-k ranking + one broadcast label lookup;
+    the vote is a grouped count + one relational argmax (max count,
+    then min label — no window sort); everything integer-exact.
+    """
+    ranked = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k)
+    emb = load_table(spark, sf_dir, "embeddings")
+    c_lab = emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label"))
+    q_lab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    votes = (
+        ranked.join(c_lab, "cand_id")
+        .groupBy("query_id", "c_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    top = votes.groupBy("query_id").agg(F.max("v").alias("mv"))
+    pred = (
+        votes.join(top, "query_id")
+        .filter(F.col("v") == F.col("mv"))
+        .groupBy("query_id")
+        .agg(F.min("c_label").alias("pred_label"), F.max("mv").alias("n_votes"))
+    )
+    return (
+        pred.join(F.broadcast(q_lab), "query_id")
+        .select(
+            "query_id",
+            "q_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("q_label")).cast("long").alias("correct"),
+        )
+    )

@@ -8322,3 +8322,36 @@ SELECT band, pick, doc_a, doc_b, jaccard FROM (
   FROM banded
 ) WHERE pick <= 2
 """
+
+# --------------------------------------------------------------------------
+# EXT E290 — kNN classifier eval
+# --------------------------------------------------------------------------
+
+QUERIES["knn_classifier_eval"] = similarity.knn_classifier_eval
+ORACLES["knn_classifier_eval"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+), ranked AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_duck_cos('q.q_emb', 'c.embedding')} DESC,
+                                       c.vec_id ASC) AS rnk
+    FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+  ) WHERE rnk <= 10
+), votes AS (
+  SELECT r.query_id, e.label AS c_label, count(*) AS v
+  FROM ranked r JOIN embeddings e ON r.cand_id = e.vec_id
+  GROUP BY 1, 2
+), top AS (
+  SELECT query_id, max(v) AS mv FROM votes GROUP BY 1
+), pred AS (
+  SELECT v.query_id, min(v.c_label) AS pred_label, max(t.mv) AS n_votes
+  FROM votes v JOIN top t ON v.query_id = t.query_id AND v.v = t.mv
+  GROUP BY 1
+)
+SELECT p.query_id, q.q_label, p.pred_label, p.n_votes,
+       CASE WHEN p.pred_label = q.q_label THEN 1 ELSE 0 END AS correct
+FROM pred p JOIN q ON p.query_id = q.query_id
+"""

@@ -2618,3 +2618,27 @@ def test_pair_review_queue_replay(spark, sf_dir):
     }
     assert got == expect
     assert len({b for b, _ in got}) >= 2  # multiple bands represented
+
+
+def test_knn_classifier_eval_replay(spark, sf_dir):
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import similarity
+
+    topk = similarity.cosine_topk(spark, sf_dir, n_queries=5, k=10).collect()
+    emb = {r.vec_id: r.label for r in load_table(spark, sf_dir, "embeddings").collect()}
+    by_q: dict = defaultdict(list)
+    for r in topk:
+        by_q[r.query_id].append(emb[r.cand_id])
+    expect = {}
+    for q, labels in by_q.items():
+        cnt = Counter(labels)
+        mv = max(cnt.values())
+        pred = min(l for l, c in cnt.items() if c == mv)
+        expect[q] = (emb[q], pred, mv, int(pred == emb[q]))
+    got = {
+        r.query_id: (r.q_label, r.pred_label, r.n_votes, r.correct)
+        for r in similarity.knn_classifier_eval(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert set(got) == set(range(5))

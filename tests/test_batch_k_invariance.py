@@ -99,6 +99,7 @@ BATCH_K = [
     "order_regularity",
     "topk_customer_share",
     "pair_review_queue",
+    "knn_classifier_eval",
 ]
 
 
