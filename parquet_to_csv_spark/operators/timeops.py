@@ -2267,3 +2267,97 @@ def weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sd * na * 1000000 div (nd * sa)").alias("index_ppm"),
         )
     )
+
+
+def position_based_attribution(
+    spark: SparkSession, sf_dir: str, lookback_us: int = 604_800_000_000
+) -> DataFrame:
+    """EXT E291: position-based (U-shaped) multi-touch attribution —
+    each purchase's credit splits 40% to the FIRST touch, 40% to the
+    LAST touch, and 20% evenly across the middles (the standard
+    40/20/40 model), over the same 7-day lookback as last-touch
+    (E211). Reported per channel in exact integer milli-credits, so
+    total credit = 1000 × purchases by construction (integer
+    remainders go to the first touch — a deterministic rule, not a
+    float split).
+
+    Plan: purchases join their lookback touches via the banded-bucket
+    trick (7-day bands, ±1 probe); per purchase one grouped pass
+    computes first/last/middle counts (``min_by``/``max_by`` on the
+    arrival struct — no window); per-touch credit is then a pure
+    integer expression and the channel rollup is tiny. Purchases with
+    NO touch credit 'direct' in full.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("tus"),
+    )
+    purch = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("tus").alias("ptus"),
+        F.expr(f"tus div {lookback_us}").alias("band"),
+    )
+    touch = base.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ttype"),
+        F.col("tus").alias("ttus"),
+        F.explode(
+            F.array(
+                F.expr(f"tus div {lookback_us}"),
+                F.expr(f"tus div {lookback_us} + 1"),
+            )
+        ).alias("band"),
+    )
+    j = purch.join(touch, (purch.pu == touch.tu) & (purch.band == touch.band)).filter(
+        (F.col("ttus") <= F.col("ptus"))
+        & (F.col("ttus") >= F.col("ptus") - F.lit(lookback_us))
+    )
+    per_p = j.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_touch"),
+        F.expr("min_by(struct(ttype, tid), struct(ttus, tid))").alias("first_t"),
+        F.expr("max_by(struct(ttype, tid), struct(ttus, tid))").alias("last_t"),
+    )
+    # credit rules in milli-units per purchase (sum always = 1000):
+    # 1 touch: 1000 to it; 2 touches: 500/500; >=3: first 400 + ALL
+    # integer remainders, last 400, middles (n-2) get 200 div (n-2).
+    per_touch = j.join(per_p, "pid").select(
+        "pid",
+        "n_touch",
+        "ttype",
+        "tid",
+        (F.col("tid") == F.col("first_t.tid")).alias("is_first"),
+        (F.col("tid") == F.col("last_t.tid")).alias("is_last"),
+    )
+    mid_each = F.expr("CASE WHEN n_touch > 2 THEN 200 div (n_touch - 2) ELSE 0 END")
+    mid_rem = F.expr(
+        "CASE WHEN n_touch > 2 THEN 200 - (200 div (n_touch - 2)) * (n_touch - 2)"
+        " ELSE 0 END"
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(1000))
+        .when((F.col("n_touch") == 2) & F.col("is_first"), F.lit(500))
+        .when((F.col("n_touch") == 2) & F.col("is_last"), F.lit(500))
+        .when(F.col("is_first"), F.lit(400) + mid_rem)
+        .when(F.col("is_last"), F.lit(400))
+        .otherwise(mid_each)
+    )
+    attributed = per_touch.select("pid", "ttype", credit.alias("credit_milli"))
+    n_direct = purch.join(
+        per_p, purch.pid == per_p.pid, "left_anti"
+    ).select(F.lit("direct").alias("ttype"), F.lit(1000).alias("credit_milli"))
+    return (
+        attributed.select("ttype", "credit_milli")
+        .unionAll(n_direct)
+        .groupBy(F.col("ttype").alias("channel"))
+        .agg(
+            F.sum("credit_milli").alias("credit_milli"),
+            F.count(F.lit(1)).alias("n_touchpoints"),
+        )
+    )

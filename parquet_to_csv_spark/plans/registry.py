@@ -8355,3 +8355,59 @@ SELECT p.query_id, q.q_label, p.pred_label, p.n_votes,
        CASE WHEN p.pred_label = q.q_label THEN 1 ELSE 0 END AS correct
 FROM pred p JOIN q ON p.query_id = q.query_id
 """
+
+# --------------------------------------------------------------------------
+# EXT E291 — position-based multi-touch attribution
+# --------------------------------------------------------------------------
+
+QUERIES["position_based_attribution"] = timeops.position_based_attribution
+ORACLES["position_based_attribution"] = """
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+), purch AS (
+  SELECT user_id AS pu, event_id AS pid, tus AS ptus FROM base
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS tu, event_id AS tid, event_type AS ttype, tus AS ttus
+  FROM base WHERE event_type IN ('view', 'click', 'signup')
+), j AS (
+  SELECT p.pid, t.tid, t.ttype, t.ttus
+  FROM purch p JOIN touch t
+    ON p.pu = t.tu AND t.ttus <= p.ptus AND t.ttus >= p.ptus - 604800000000
+), per_p AS (
+  SELECT pid, count(*) AS n_touch,
+         max(CASE WHEN rn_a = 1 THEN tid END) AS first_tid,
+         max(CASE WHEN rn_d = 1 THEN tid END) AS last_tid
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY pid ORDER BY ttus, tid) AS rn_a,
+           row_number() OVER (PARTITION BY pid ORDER BY ttus DESC, tid DESC)
+             AS rn_d
+    FROM j
+  ) GROUP BY 1
+), per_touch AS (
+  SELECT j.pid, p.n_touch, j.ttype,
+         j.tid = p.first_tid AS is_first,
+         j.tid = p.last_tid AS is_last
+  FROM j JOIN per_p p ON j.pid = p.pid
+), credited AS (
+  SELECT ttype,
+         CASE
+           WHEN n_touch = 1 THEN 1000
+           WHEN n_touch = 2 AND is_first THEN 500
+           WHEN n_touch = 2 AND is_last THEN 500
+           WHEN is_first THEN 400 + (200 - (200 // (n_touch - 2)) * (n_touch - 2))
+           WHEN is_last THEN 400
+           ELSE 200 // (n_touch - 2)
+         END AS credit_milli
+  FROM per_touch
+), direct AS (
+  SELECT 'direct' AS ttype, 1000 AS credit_milli
+  FROM purch p WHERE NOT EXISTS (SELECT 1 FROM per_p pp WHERE pp.pid = p.pid)
+), allc AS (
+  SELECT * FROM credited UNION ALL SELECT * FROM direct
+)
+SELECT ttype AS channel, sum(credit_milli) AS credit_milli,
+       count(*) AS n_touchpoints
+FROM allc GROUP BY 1
+"""

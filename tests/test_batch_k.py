@@ -2642,3 +2642,51 @@ def test_knn_classifier_eval_replay(spark, sf_dir):
     }
     assert got == expect
     assert set(got) == set(range(5))
+
+
+def test_position_based_attribution_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    LOOK = 604_800_000_000
+    ev = load_table(spark, sf_dir, "events").collect()
+    touches: dict = defaultdict(list)
+    purchases = []
+    for r in ev:
+        tus = r.ts // 1000
+        if r.event_type == "purchase":
+            purchases.append((r.user_id, r.event_id, tus))
+        elif r.event_type in ("view", "click", "signup"):
+            touches[r.user_id].append((tus, r.event_id, r.event_type))
+    agg: dict = defaultdict(lambda: [0, 0])
+    for uid, pid, ptus in purchases:
+        window = sorted(
+            (t, tid, tt) for t, tid, tt in touches.get(uid, [])
+            if ptus - LOOK <= t <= ptus
+        )
+        n = len(window)
+        if n == 0:
+            agg["direct"][0] += 1000
+            agg["direct"][1] += 1
+            continue
+        first, last = window[0], window[-1]
+        for t, tid, tt in window:
+            if n == 1:
+                c = 1000
+            elif n == 2:
+                c = 500
+            elif (t, tid) == (first[0], first[1]):
+                c = 400 + (200 - (200 // (n - 2)) * (n - 2))
+            elif (t, tid) == (last[0], last[1]):
+                c = 400
+            else:
+                c = 200 // (n - 2)
+            agg[tt][0] += c
+            agg[tt][1] += 1
+    expect = {k: tuple(v) for k, v in agg.items()}
+    got = {
+        r.channel: (r.credit_milli, r.n_touchpoints)
+        for r in tops.position_based_attribution(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # conservation: total credit = 1000 per purchase
+    assert sum(v[0] for v in got.values()) == 1000 * len(purchases)

@@ -100,6 +100,7 @@ BATCH_K = [
     "topk_customer_share",
     "pair_review_queue",
     "knn_classifier_eval",
+    "position_based_attribution",
 ]
 
 
