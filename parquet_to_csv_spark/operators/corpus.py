@@ -1748,3 +1748,72 @@ def neyman_allocation(
         "proportional_q",
         (F.col("floor_q") + (F.col("rrank") <= short).cast("long")).alias("neyman_q"),
     )
+
+
+def quality_metric_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXT E293: curation-metric agreement — do the cheap lexical
+    quality key (unique-token ppm, E236's ranking axis) and the
+    unigram-LM fluency score (E?) select the SAME top/bottom deciles?
+    Output: the 2×2-ish overlap table (both-top, lexical-only,
+    lm-only, both-bottom counts + Jaccard ppm of the top sets). Two
+    filters that agree are redundant; two that disagree must BOTH run
+    — this table is how a curation pipeline decides which filters to
+    keep paying for.
+
+    Both scores reduce to per-doc integers (micro-nat LM mean via the
+    E? convention; uniq-token ppm); deciles are rank-threshold sets
+    via two windows over the doc relation; the overlap is one
+    aggregation of flag pairs. The global rank windows run over
+    document cardinality — the rfm_segments contract: at true corpus
+    scale they become range-partition + known-quantile-cut
+    assignments (the documented at-scale variant), same output.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    lex = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(filter(split(lower(text), '\\\\s+'),"
+            " t -> t != ''))) AS BIGINT)"
+        ).alias("n_uniq"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0).select(
+        "doc_id", F.expr("n_uniq * 1000000 div n_tokens").alias("lex_ppm")
+    )
+    lm = unigram_lm_score(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(round(avg_logprob * 1000000) AS BIGINT)").alias("lm_micro"),
+    )
+    j = lex.join(lm, "doc_id")
+    w_lex = W.orderBy(F.desc("lex_ppm"), F.asc("doc_id"))
+    w_lm = W.orderBy(F.desc("lm_micro"), F.asc("doc_id"))
+    wc = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = j.select(
+        "doc_id",
+        F.row_number().over(w_lex).alias("r_lex"),
+        F.row_number().over(w_lm).alias("r_lm"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    ).select(
+        (F.col("r_lex") * 10 <= F.col("n")).cast("long").alias("top_lex"),
+        (F.col("r_lm") * 10 <= F.col("n")).cast("long").alias("top_lm"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("top_lex * top_lm")).alias("both_top"),
+        F.sum(F.expr("top_lex * (1 - top_lm)")).alias("lex_only"),
+        F.sum(F.expr("(1 - top_lex) * top_lm")).alias("lm_only"),
+    ).select(
+        "n_docs",
+        "both_top",
+        "lex_only",
+        "lm_only",
+        F.expr(
+            "CASE WHEN both_top + lex_only + lm_only > 0"
+            " THEN both_top * 1000000 div (both_top + lex_only + lm_only)"
+            " ELSE 0 END"
+        ).alias("top_jaccard_ppm"),
+    )

@@ -2635,3 +2635,60 @@ def topk_customer_share(
         (F.col("topk_cents") / F.lit(100.0)).alias("topk_revenue"),
         F.expr("topk_cents * 1000000 div total_cents").alias("topk_share_ppm"),
     )
+
+
+def winback_orders(
+    spark: SparkSession, sf_dir: str, dormancy_days: int = 90
+) -> DataFrame:
+    """EXT E292: win-back (resurrection) analysis — orders placed after
+    the customer had been dormant more than ``dormancy_days``, counted
+    per quarter with their share of the quarter's orders and the
+    reactivated revenue. The lifecycle metric between "new" and
+    "returning" (E?'s split is blind to it): rising win-backs mean
+    re-engagement is working — or that retention broke first.
+
+    One lag window per customer gives the previous-order gap (shuffle
+    on custkey); quarters are integer epoch arithmetic; all counts
+    and cents exact; the quarter rollup is tiny.
+    """
+    from pyspark.sql import Window as W
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").alias("od"),
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 4
+            + F.quarter(F.col("o_orderdate").cast("date")) - 1
+        ).cast("long").alias("yq"),
+        exact_units(F.col("o_totalprice"), 2).alias("cents"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gapped = orders.withColumn("gap", F.col("od") - F.lag("od").over(w))
+    return gapped.groupBy("yq").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            (F.col("gap") > F.lit(dormancy_days)).cast("long")
+        ).alias("n_winback"),
+        F.expr(
+            f"sum(CASE WHEN gap > {dormancy_days} THEN 1 ELSE 0 END) * 1000000"
+            " div count(1)"
+        ).alias("winback_ppm"),
+        (
+            F.sum(
+                F.when(F.col("gap") > F.lit(dormancy_days), F.col("cents")).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.lit(100.0)
+        ).alias("winback_revenue"),
+    ).select(
+        F.expr("yq div 4").alias("year"),
+        F.expr("yq % 4 + 1").alias("quarter"),
+        "n_orders",
+        "n_winback",
+        "winback_ppm",
+        "winback_revenue",
+    )

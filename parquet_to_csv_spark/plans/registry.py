@@ -8411,3 +8411,75 @@ SELECT ttype AS channel, sum(credit_milli) AS credit_milli,
        count(*) AS n_touchpoints
 FROM allc GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E292-E293 — win-back analysis, quality-metric agreement
+# --------------------------------------------------------------------------
+
+QUERIES["winback_orders"] = relational.winback_orders
+ORACLES["winback_orders"] = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_ms(o_orderdate) // 86400000 AS od,
+         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT) AS yq,
+         {duck_units("o_totalprice", 2)} AS cents
+  FROM orders
+), gapped AS (
+  SELECT yq, cents,
+         od - lag(od) OVER (PARTITION BY o_custkey
+                            ORDER BY od, o_orderkey) AS gap
+  FROM o
+)
+SELECT yq // 4 AS year, yq % 4 + 1 AS quarter,
+       count(*) AS n_orders,
+       sum(CASE WHEN gap > 90 THEN 1 ELSE 0 END) AS n_winback,
+       sum(CASE WHEN gap > 90 THEN 1 ELSE 0 END) * 1000000 // count(*)
+         AS winback_ppm,
+       sum(CASE WHEN gap > 90 THEN cents ELSE 0 END) / 100.0
+         AS winback_revenue
+FROM gapped GROUP BY 1, 2
+"""
+
+QUERIES["quality_metric_agreement"] = corpus.quality_metric_agreement
+ORACLES["quality_metric_agreement"] = f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) * 1000000
+           // CAST(len({_TOKS}) AS BIGINT) AS lex_ppm
+  FROM documents WHERE len({_TOKS}) > 0
+), pairs AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY doc_id, term
+), lmrel AS (
+  SELECT term, sum(tf) AS cnt FROM tf GROUP BY term
+), tot AS (
+  SELECT sum(cnt) AS t_total FROM lmrel
+), lm AS (
+  SELECT doc_id,
+         CAST(round(floor(sum(tf * CAST(round(ln(cnt / t_total) * 1000000)
+                                     AS BIGINT)) / sum(tf)) / 1000000.0
+                    * 1000000) AS BIGINT) AS lm_micro
+  FROM tf JOIN lmrel USING (term), tot
+  GROUP BY doc_id
+), j AS (
+  SELECT l.doc_id, l.lex_ppm, m.lm_micro FROM lex l JOIN lm m USING (doc_id)
+), ranked AS (
+  SELECT CASE WHEN row_number() OVER (ORDER BY lex_ppm DESC, doc_id ASC) * 10
+                   <= count(*) OVER () THEN 1 ELSE 0 END AS top_lex,
+         CASE WHEN row_number() OVER (ORDER BY lm_micro DESC, doc_id ASC) * 10
+                   <= count(*) OVER () THEN 1 ELSE 0 END AS top_lm
+  FROM j
+)
+SELECT count(*) AS n_docs,
+       sum(top_lex * top_lm) AS both_top,
+       sum(top_lex * (1 - top_lm)) AS lex_only,
+       sum((1 - top_lex) * top_lm) AS lm_only,
+       CASE WHEN sum(top_lex * top_lm) + sum(top_lex * (1 - top_lm))
+                 + sum((1 - top_lex) * top_lm) > 0
+            THEN sum(top_lex * top_lm) * 1000000
+                 // (sum(top_lex * top_lm) + sum(top_lex * (1 - top_lm))
+                     + sum((1 - top_lex) * top_lm))
+            ELSE 0 END AS top_jaccard_ppm
+FROM ranked
+"""

@@ -2690,3 +2690,87 @@ def test_position_based_attribution_replay(spark, sf_dir):
     assert got == expect
     # conservation: total credit = 1000 per purchase
     assert sum(v[0] for v in got.values()) == 1000 * len(purchases)
+
+
+def test_winback_orders_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    by_cust: dict = defaultdict(list)
+    for r in orders:
+        od = int(r.o_orderdate.timestamp() * 1000) // 86_400_000
+        q = (r.o_orderdate.month - 1) // 3 + 1
+        yq = r.o_orderdate.year * 4 + q - 1
+        by_cust[r.o_custkey].append((od, r.o_orderkey, yq, _cents(r.o_totalprice)))
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for rows in by_cust.values():
+        rows.sort()
+        prev = None
+        for od, _, yq, c in rows:
+            gap = od - prev if prev is not None else None
+            a = agg[yq]
+            a[0] += 1
+            if gap is not None and gap > 90:
+                a[1] += 1
+                a[2] += c
+            prev = od
+    expect = {
+        (yq // 4, yq % 4 + 1): (n, wb, wb * 1_000_000 // n, c / 100.0)
+        for yq, (n, wb, c) in agg.items()
+    }
+    got = {
+        (r.year, r.quarter): (r.n_orders, r.n_winback, r.winback_ppm, r.winback_revenue)
+        for r in relational.winback_orders(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # win-backs exist
+
+
+def test_quality_metric_agreement_replay(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from parquet_to_csv_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    toks = {
+        r.doc_id: [t for t in r.text.lower().split() if t] for r in docs
+    }
+    lex = {
+        d: len(set(t)) * 1_000_000 // len(t) for d, t in toks.items() if t
+    }
+    corpus_tf: Counter = Counter()
+    for t in toks.values():
+        corpus_tf.update(t)
+    t_total = sum(corpus_tf.values())
+    lm = {}
+    for d, t in toks.items():
+        if not t:
+            continue
+        tf = Counter(t)
+        units = sum(
+            c * int(round(math.log(corpus_tf[w] / t_total) * 1e6))
+            for w, c in tf.items()
+        )
+        lm[d] = int(round(math.floor(units / len(t)) / 1e6 * 1e6))
+    ids = [d for d in lex if d in lm]
+    n = len(ids)
+    top_lex = {
+        d for i, d in enumerate(
+            sorted(ids, key=lambda d: (-lex[d], d))
+        ) if (i + 1) * 10 <= n
+    }
+    top_lm = {
+        d for i, d in enumerate(
+            sorted(ids, key=lambda d: (-lm[d], d))
+        ) if (i + 1) * 10 <= n
+    }
+    both = len(top_lex & top_lm)
+    lex_only = len(top_lex - top_lm)
+    lm_only = len(top_lm - top_lex)
+    row = corpus.quality_metric_agreement(spark, sf_dir).collect()[0]
+    assert (row.n_docs, row.both_top, row.lex_only, row.lm_only) == (
+        n, both, lex_only, lm_only
+    )
+    denom = both + lex_only + lm_only
+    assert row.top_jaccard_ppm == (both * 1_000_000 // denom if denom else 0)

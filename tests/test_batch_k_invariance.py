@@ -101,6 +101,8 @@ BATCH_K = [
     "pair_review_queue",
     "knn_classifier_eval",
     "position_based_attribution",
+    "winback_orders",
+    "quality_metric_agreement",
 ]
 
 
