@@ -1302,3 +1302,38 @@ def hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n_occ)"
         ).alias("hapax_mass_ppm"),
     )
+
+
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E294: tokenizer fertility per language — characters per
+    whitespace token (milli-units) plus the same ratio under the
+    BPE-ish regex tokenizer, side by side. Fertility is THE tokenizer
+    sizing number (a language at 9 chars/token packs ~2× fewer tokens
+    per context window than one at 4.5); the two tokenizers' spread
+    shows how much segmentation choice moves the budget.
+
+    One scan, two array-size expressions per row (both tokenizers are
+    codegen'd column expressions), one tiny language rollup — exact
+    integer sums, cross-multiplied milli ratios.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens_col("text")
+    rx = regex_tokens_col("text")
+    base = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(ws).cast("long").alias("n_ws"),
+        F.size(rx).cast("long").alias("n_rx"),
+    ).filter((F.col("n_ws") > 0) & (F.col("n_rx") > 0))
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_rx").alias("rx_tokens"),
+    ).select(
+        "lang",
+        "n_docs",
+        F.expr("chars * 1000 div ws_tokens").alias("ws_fertility_milli"),
+        F.expr("chars * 1000 div rx_tokens").alias("rx_fertility_milli"),
+        F.expr("rx_tokens * 1000 div ws_tokens").alias("rx_per_ws_milli"),
+    )

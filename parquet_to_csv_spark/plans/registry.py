@@ -8483,3 +8483,24 @@ SELECT count(*) AS n_docs,
             ELSE 0 END AS top_jaccard_ppm
 FROM ranked
 """
+
+# --------------------------------------------------------------------------
+# EXT E294 — tokenizer fertility
+# --------------------------------------------------------------------------
+
+QUERIES["token_fertility"] = _text.token_fertility
+ORACLES["token_fertility"] = f"""
+WITH base AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({_TOKS}) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(lower(text),
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_rx
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_chars) * 1000 // sum(n_ws) AS ws_fertility_milli,
+       sum(n_chars) * 1000 // sum(n_rx) AS rx_fertility_milli,
+       sum(n_rx) * 1000 // sum(n_ws) AS rx_per_ws_milli
+FROM base WHERE n_ws > 0 AND n_rx > 0
+GROUP BY 1
+"""

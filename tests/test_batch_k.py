@@ -2774,3 +2774,37 @@ def test_quality_metric_agreement_replay(spark, sf_dir):
     )
     denom = both + lex_only + lm_only
     assert row.top_jaccard_ppm == (both * 1_000_000 // denom if denom else 0)
+
+
+def test_token_fertility_replay(spark, sf_dir):
+    import re
+
+    from parquet_to_csv_spark.operators import text as textops
+
+    RX = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    docs = load_table(spark, sf_dir, "documents").collect()
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        ws = [t for t in r.text.lower().split() if t]
+        rx = RX.findall(r.text.lower())
+        if not ws or not rx:
+            continue
+        a = agg[r.lang]
+        a[0] += 1
+        a[1] += len(r.text)
+        a[2] += len(ws)
+        a[3] += len(rx)
+    expect = {
+        lang: (
+            n, c * 1000 // w, c * 1000 // x, x * 1000 // w
+        )
+        for lang, (n, c, w, x) in agg.items()
+    }
+    got = {
+        r.lang: (r.n_docs, r.ws_fertility_milli, r.rx_fertility_milli, r.rx_per_ws_milli)
+        for r in textops.token_fertility(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the regex tokenizer splits punctuation off, so it always yields at
+    # least as many tokens (fertility no higher) than whitespace
+    assert all(v[3] >= 1000 for v in got.values())

@@ -103,6 +103,7 @@ BATCH_K = [
     "position_based_attribution",
     "winback_orders",
     "quality_metric_agreement",
+    "token_fertility",
 ]
 
 
