@@ -2361,3 +2361,39 @@ def position_based_attribution(
             F.count(F.lit(1)).alias("n_touchpoints"),
         )
     )
+
+
+def type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E295: event-type co-usage — for every pair of event types,
+    the Jaccard overlap of their USER bases (exact ppm): which
+    behaviors share an audience (click∩purchase high = the funnel is
+    one population) and which are disjoint segments. The audience
+    view that E272's value co-movement (time view) and E219's
+    transitions (sequence view) don't give.
+
+    One distinct (type, user) relation feeds everything: per-type
+    counts, and pair intersections via a self-join on user_id
+    (fan-out bounded by types-per-user ≤ 5). All exact integers.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ev.select(F.col("event_type").alias("ta"), "user_id")
+    b = ev.select(F.col("event_type").alias("tb"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_both",
+            F.expr("n_both * 1000000 div (na + nb - n_both)").alias("jaccard_ppm"),
+        )
+    )

@@ -8504,3 +8504,25 @@ SELECT lang, count(*) AS n_docs,
 FROM base WHERE n_ws > 0 AND n_rx > 0
 GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# EXT E295 — event-type user overlap
+# --------------------------------------------------------------------------
+
+QUERIES["type_user_overlap"] = timeops.type_user_overlap
+ORACLES["type_user_overlap"] = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM tu GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.ta, i.tb, i.n_both,
+       i.n_both * 1000000 // (sa.n + sb.n - i.n_both) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON i.ta = sa.event_type
+JOIN sizes sb ON i.tb = sb.event_type
+"""

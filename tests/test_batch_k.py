@@ -2808,3 +2808,29 @@ def test_token_fertility_replay(spark, sf_dir):
     # the regex tokenizer splits punctuation off, so it always yields at
     # least as many tokens (fertility no higher) than whitespace
     assert all(v[3] >= 1000 for v in got.values())
+
+
+def test_type_user_overlap_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops as tops
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    users: dict = defaultdict(set)
+    for r in ev:
+        users[r.event_type].add(r.user_id)
+    types = sorted(users)
+    expect = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            both = len(users[ta] & users[tb])
+            if both == 0:
+                continue
+            expect[(ta, tb)] = (
+                both,
+                both * 1_000_000 // (len(users[ta]) + len(users[tb]) - both),
+            )
+    got = {
+        (r.ta, r.tb): (r.n_both, r.jaccard_ppm)
+        for r in tops.type_user_overlap(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) >= 6  # most type pairs share users

@@ -104,6 +104,7 @@ BATCH_K = [
     "winback_orders",
     "quality_metric_agreement",
     "token_fertility",
+    "type_user_overlap",
 ]
 
 
