@@ -1273,7 +1273,7 @@ def hill_tail_index(spark: SparkSession, sf_dir: str, k: int = 200) -> DataFrame
 
 
 def simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT E244b/E245: Simpson's-paradox detector — compares the
+    """EXT E245: Simpson's-paradox detector — compares the
     weekend-vs-weekday difference in mean purchase value OVERALL
     against the same difference WITHIN each user-value quintile, and
     flags strata whose sign disagrees with the aggregate. The
@@ -1471,7 +1471,7 @@ def matched_pairs_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def engagement_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT E266b/E267: engagement×value quadrant segmentation — users
+    """EXT E267: engagement×value quadrant segmentation — users
     split at the median on BOTH activity (event count) and monetary
     value (exact cents), yielding the classic 2×2: champions
     (high/high), passengers (high activity, low value), whales
