@@ -2692,3 +2692,61 @@ def winback_orders(
         "winback_ppm",
         "winback_revenue",
     )
+
+
+def supplier_share_movers(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """EXT E296: supplier share movers — each supplier's revenue share
+    (ppm) in the dataset's FIRST full year vs its LAST, ranked by
+    absolute share delta: who is winning and losing the book of
+    business. The supply-side twin of the token rank movers (E?) at
+    the business grain; a big mover either earned share or inherited
+    a failing rival's — both worth a look.
+
+    Year bounds come from plan-internal min/max broadcast (no driver
+    action); per-(supplier, year) cents are one map-side-combined
+    aggregation; shares are exact ppm per year; the top-k movers by
+    |Δ| are TakeOrderedAndProject.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.year(F.col("l_shipdate").cast("date")).cast("long").alias("yr"),
+        exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "rev_u"
+        ),
+    )
+    bounds = li.agg(F.min("yr").alias("y0"), F.max("yr").alias("y1"))
+    tagged = li.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y1"))
+    )
+    per = tagged.groupBy("l_suppkey", (F.col("yr") == F.col("y0")).alias("is_first")).agg(
+        F.sum("rev_u").alias("r")
+    )
+    tot = per.groupBy("is_first").agg(F.sum("r").alias("t"))
+    shares = per.join(F.broadcast(tot), "is_first").select(
+        "l_suppkey",
+        "is_first",
+        F.expr("r * 1000000 div t").alias("share_ppm"),
+    )
+    first = shares.filter(F.col("is_first")).select(
+        "l_suppkey", F.col("share_ppm").alias("first_ppm")
+    )
+    last = shares.filter(~F.col("is_first")).select(
+        "l_suppkey", F.col("share_ppm").alias("last_ppm")
+    )
+    return (
+        first.join(last, "l_suppkey", "full")
+        .select(
+            "l_suppkey",
+            F.coalesce("first_ppm", F.lit(0)).alias("first_ppm"),
+            F.coalesce("last_ppm", F.lit(0)).alias("last_ppm"),
+            (
+                F.coalesce("last_ppm", F.lit(0)) - F.coalesce("first_ppm", F.lit(0))
+            ).alias("delta_ppm"),
+        )
+        .orderBy(F.desc(F.abs(F.col("delta_ppm"))), F.asc("l_suppkey"))
+        .limit(k)
+    )

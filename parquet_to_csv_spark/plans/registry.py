@@ -8526,3 +8526,40 @@ FROM inter i
 JOIN sizes sa ON i.ta = sa.event_type
 JOIN sizes sb ON i.tb = sb.event_type
 """
+
+# --------------------------------------------------------------------------
+# EXT E296 — supplier share movers
+# --------------------------------------------------------------------------
+
+QUERIES["supplier_share_movers"] = relational.supplier_share_movers
+ORACLES["supplier_share_movers"] = f"""
+WITH li AS (
+  SELECT l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+         {duck_units("l_extendedprice * (1 - l_discount)", 4)} AS rev_u
+  FROM lineitem
+), bounds AS (
+  SELECT min(yr) AS y0, max(yr) AS y1 FROM li
+), tagged AS (
+  SELECT l_suppkey, yr = y0 AS is_first, rev_u
+  FROM li CROSS JOIN bounds WHERE yr = y0 OR yr = y1
+), per AS (
+  SELECT l_suppkey, is_first, sum(rev_u) AS r FROM tagged GROUP BY 1, 2
+), tot AS (
+  SELECT is_first, sum(r) AS t FROM per GROUP BY 1
+), shares AS (
+  SELECT per.l_suppkey, per.is_first, per.r * 1000000 // tot.t AS share_ppm
+  FROM per JOIN tot USING (is_first)
+), f AS (
+  SELECT l_suppkey, share_ppm AS first_ppm FROM shares WHERE is_first
+), l AS (
+  SELECT l_suppkey, share_ppm AS last_ppm FROM shares WHERE NOT is_first
+)
+SELECT coalesce(f.l_suppkey, l.l_suppkey) AS l_suppkey,
+       coalesce(first_ppm, 0) AS first_ppm,
+       coalesce(last_ppm, 0) AS last_ppm,
+       coalesce(last_ppm, 0) - coalesce(first_ppm, 0) AS delta_ppm
+FROM f FULL JOIN l ON f.l_suppkey = l.l_suppkey
+ORDER BY abs(coalesce(last_ppm, 0) - coalesce(first_ppm, 0)) DESC,
+         coalesce(f.l_suppkey, l.l_suppkey) ASC
+LIMIT 10
+"""

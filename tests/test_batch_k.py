@@ -2834,3 +2834,37 @@ def test_type_user_overlap_replay(spark, sf_dir):
     }
     assert got == expect
     assert len(got) >= 6  # most type pairs share users
+
+
+def test_supplier_share_movers_replay(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    rows = [
+        (r.l_suppkey, r.l_shipdate.year,
+         int(r.l_extendedprice * (1 - r.l_discount) * 10000 + 0.5))
+        for r in li
+    ]
+    y0 = min(y for _, y, _ in rows)
+    y1 = max(y for _, y, _ in rows)
+    per: dict = defaultdict(int)
+    tot: dict = defaultdict(int)
+    for sk, y, u in rows:
+        if y in (y0, y1):
+            per[(sk, y == y0)] += u
+            tot[y == y0] += u
+    shares: dict = defaultdict(dict)
+    for (sk, is_first), r in per.items():
+        shares[sk][is_first] = r * 1_000_000 // tot[is_first]
+    scored = [
+        (sk, d.get(True, 0), d.get(False, 0), d.get(False, 0) - d.get(True, 0))
+        for sk, d in shares.items()
+    ]
+    scored.sort(key=lambda t: (-abs(t[3]), t[0]))
+    expect = scored[:10]
+    got = [
+        (r.l_suppkey, r.first_ppm, r.last_ppm, r.delta_ppm)
+        for r in relational.supplier_share_movers(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert any(d != 0 for _, _, _, d in got)  # real movement exists

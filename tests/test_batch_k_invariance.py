@@ -105,6 +105,7 @@ BATCH_K = [
     "quality_metric_agreement",
     "token_fertility",
     "type_user_overlap",
+    "supplier_share_movers",
 ]
 
 
