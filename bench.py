@@ -7,6 +7,15 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Each query is timed end-to-end (plan + execute + collect). A warmup
 query runs first so JVM/codegen startup isn't attributed to the first
 measured query.
+
+Artifact durability (round-2 postmortem): with 330+ per-query timings
+the single JSON line grew past what the driver's capture preserved —
+``BENCH_r02.json`` recorded only the tail of the line (``parsed:
+null``).  Now the full per-query map is written to ``BENCH_OUT.json``
+next to this file, and stdout carries the same JSON *without* the bulky
+``queries`` map unless it fits comfortably in one short line; the
+driver-contract fields (metric/value/unit/sf) are always present and
+the printed line is kept small enough to survive tail-capture.
 """
 
 from __future__ import annotations
@@ -45,17 +54,41 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": f"total_wall_sec_{len(timings)}_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    payload = {
+        "metric": f"total_wall_sec_{len(timings)}_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json")
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 3500:
+        # keep stdout tail-capture-safe: print the headline subset only,
+        # full map lives in BENCH_OUT.json
+        headline = {
+            k: timings[k]
+            for k in (
+                "ref_duration_pipeline", "ref_long_split", "q1_pricing_summary",
+                "q3_shipping_priority", "q5_region_revenue", "q18_large_orders",
+                "exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
+                "ngram_jaccard_pairs", "dup_clusters", "cosine_topk",
+                "ivf_topk", "embedding_neardup_pairs", "text_stats",
+                "quality_score", "token_counts", "tumbling_window_stats",
+                "session_windows", "asof_purchase_click",
+                "streaming_tumbling_drain", "corpus_curation_pipeline",
+            )
+            if k in timings
+        }
+        line = json.dumps(
+            {**payload, "queries": headline, "full_results": "BENCH_OUT.json"},
+            separators=(",", ":"),
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

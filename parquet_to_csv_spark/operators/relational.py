@@ -974,9 +974,15 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("prev_max"), F.lit(-1)),
     )
     dominated = (max_before >= F.col("cents")) | (max_upto > F.col("cents"))
+    # date surfaced as epoch-day long (registry parity convention —
+    # raw timestamps realize ns in Spark vs µs in DuckDB)
     return (
         j.filter(~dominated)
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .select(
+            "o_orderkey",
+            F.col("d").cast("long").alias("order_day"),
+            "o_totalprice",
+        )
     )
 
 
@@ -2543,13 +2549,16 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_regularity(
-    spark: SparkSession, sf_dir: str, min_orders: int = 5, k: int = 15
+    spark: SparkSession, sf_dir: str, min_gaps: int = 5, k: int = 15
 ) -> DataFrame:
     """EXT E287: purchase-regularity leaders — customers whose
     inter-order gaps are most METRONOMIC (lowest relative dispersion
     of day gaps, min support): the replenishment-subscription
     candidates of CRM, the behavioral complement of RFM (which sees
     volume, not rhythm).
+
+    Support is expressed in GAPS: ``min_gaps`` inter-order gaps means
+    at least ``min_gaps + 1`` orders for the customer.
 
     One orders scan → per-customer ordered day gaps via one lag window
     (shuffle on custkey); gap sufficient statistics are exact longs;
@@ -2579,7 +2588,7 @@ def order_regularity(
         " / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0) AS BIGINT)"
     )
     return (
-        s.filter((F.col("n_gaps") >= min_orders) & (F.col("sx") > 0))
+        s.filter((F.col("n_gaps") >= min_gaps) & (F.col("sx") > 0))
         .select(
             "o_custkey",
             "n_gaps",

@@ -508,6 +508,238 @@ def kmeans_iterations(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted IVF index (round-3): build-once / load-many centroid table.
+#
+# ``ivf_topk`` keeps its fixed-rule centroids (zero-job plan build, the
+# oracle-simple variant); this is the production lifecycle it names:
+# k-means-refined centroids WRITTEN as a parquet table, vectors
+# pre-assigned to cells in a second parquet table, queries served by
+# reading both. At 100 TB the index build is a scheduled job and the
+# query path never re-derives centroids — exactly this split.
+# ---------------------------------------------------------------------------
+
+_IVF_CACHE: dict[tuple[str, int, int], str] = {}
+_IVF_TMP: str | None = None
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = 16,
+    n_iter: int = 2,
+) -> None:
+    """Build the IVF index at ``index_dir``: Lloyd-refined centroids
+    (seeded by the first ``n_cells`` vectors, ``n_iter − 1`` exact
+    DECIMAL-mean updates — the ``kmeans_iterations`` recipe) written to
+    ``index_dir/centroids`` (cell, c: array<double>), and the full
+    vector→cell assignment to ``index_dir/assignments`` (vec_id, cell).
+
+    Both writes are plain parquet: mergeable into any catalog, readable
+    by any engine, refreshable by re-running this function.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("c")
+    )
+    for _ in range(n_iter - 1):
+        assigned = (
+            emb.join(F.broadcast(cents))
+            .select("vec_id", "v", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+            .groupBy("vec_id", "v")
+            .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
+        )
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell", "pos", (F.col("s").cast("double") / F.col("n")).alias("cval")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+                    lambda st: st["cval"],
+                ).alias("c")
+            )
+        )
+    import os
+
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    cents_t = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    final_assign = (
+        emb.join(F.broadcast(cents_t))
+        .select("vec_id", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
+    )
+    final_assign.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+
+
+def load_ivf_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) of a persisted IVF index — plain scans."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(index_dir, "centroids")),
+        spark.read.parquet(os.path.join(index_dir, "assignments")),
+    )
+
+
+def _ivf_index_dir(
+    spark: SparkSession, sf_dir: str, n_cells: int, n_iter: int
+) -> str:
+    """Process-level build-once: the registry/bench/check runs share one
+    index build per (sf_dir, n_cells, n_iter), same discipline as
+    ``dedup.dedup_edges``."""
+    import os
+    import tempfile
+
+    global _IVF_TMP
+    key = (sf_dir, n_cells, n_iter)
+    path = _IVF_CACHE.get(key)
+    if path is None:
+        if _IVF_TMP is None:
+            _IVF_TMP = tempfile.mkdtemp(prefix="ivf_index_")
+        path = os.path.join(
+            _IVF_TMP, f"c{n_cells}_i{n_iter}_{abs(hash(sf_dir)) % 10**8}"
+        )
+        build_ivf_index(spark, sf_dir, path, n_cells=n_cells, n_iter=n_iter)
+        _IVF_CACHE[key] = path
+    return path
+
+
+def ivf_indexed_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 2,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """IVF ANN through the PERSISTED index: probe the ``nprobe``
+    nearest centroids per query (squared distance — the index's own
+    geometry), then rank the probed cells' pre-assigned vectors by
+    exact cosine. No centroid derivation in the query plan — both
+    index relations are parquet scans, the probe table is broadcast.
+
+    Deterministic end to end, so the DuckDB oracle replays the build
+    (seed → one exact-mean Lloyd update) plus the query and the gate
+    checks values, not just shapes.
+    """
+    if index_dir is None:
+        index_dir = _ivf_index_dir(spark, sf_dir, n_cells, n_iter)
+    cents, assign = load_ivf_index(spark, index_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.asc("qd"), F.asc("cell"))
+    probes = (
+        F.broadcast(q)
+        .join(F.broadcast(cents))
+        .select(
+            "query_id", "q_v", "q_nrm", "cell",
+            _sqdist(F.col("q_v"), F.col("c")).alias("qd"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_v", "q_nrm", "cell")
+    )
+    cand = assign.join(emb, "vec_id")
+    denom = F.col("q_nrm") * F.col("nrm")
+    cos = F.when(denom > F.lit(0.0), dot_product(F.col("q_v"), F.col("v")) / denom)
+    w_k = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", F.round("sim", 6).alias("cosine"), "rnk")
+    )
+
+
+def ivf_index_staleness(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """Index-freshness report: assign TODAY's vectors to the PERSISTED
+    centroids, recompute each cell's mean from those members, and
+    report the squared distance between persisted and recomputed
+    centroid plus current member count — the number a refresh
+    scheduler thresholds on (drift ≈ 0 ⇒ skip rebuild; the per-label
+    twin of ``centroid_drift``). Assignment is recomputed rather than
+    read from the persisted table so rows added/changed since the
+    build are scored too. One data scan, exact DECIMAL means,
+    broadcast of the k-row centroid table.
+    """
+    if index_dir is None:
+        index_dir = _ivf_index_dir(spark, sf_dir, n_cells, n_iter)
+    cents, _ = load_ivf_index(spark, index_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assign = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "v", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+        .groupBy("vec_id", "v")
+        .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
+    )
+    fresh = (
+        assign.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cell", "pos", "n",
+            (F.col("s").cast("double") / F.col("n")).alias("cval"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+                lambda st: st["cval"],
+            ).alias("fresh_c"),
+        )
+    )
+    return (
+        fresh.join(F.broadcast(cents), "cell")
+        .select(
+            "cell",
+            "n_members",
+            F.round(_sqdist(F.col("fresh_c"), F.col("c")), 6).alias("drift_sqdist"),
+        )
+        .orderBy("cell")
+    )
+
+
 def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification + confusion matrix — the
     eval-loop pass of an embedding pipeline (does the label structure

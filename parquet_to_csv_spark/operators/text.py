@@ -1277,8 +1277,12 @@ def hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer ppm.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("source", tokens_col("text").alias("tk"))
-    idx = F.sequence(F.lit(0), F.greatest(F.size("tk") - 3, F.lit(0)))
+    # docs with <3 tokens cannot form a 3-gram — drop them, else index 0
+    # would emit a degenerate 1-/2-token "gram" into the vocabulary
+    toks = docs.select("source", tokens_col("text").alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    idx = F.sequence(F.lit(0), F.size("tk") - 3)
     grams = toks.select(
         "source",
         F.explode(

@@ -1749,7 +1749,9 @@ def test_hapax_rate_replay(spark, sf_dir):
     corpus: Counter = Counter()
     for r in docs:
         toks = [t for t in r.text.lower().split() if t]
-        for i in range(max(len(toks) - 3, 0) + 1):
+        if len(toks) < 3:  # <3 tokens cannot form a 3-gram (round-3 fix)
+            continue
+        for i in range(len(toks) - 2):
             g = " ".join(toks[i:i + 3])
             st[(r.source, g)] += 1
             corpus[g] += 1
@@ -2604,7 +2606,8 @@ def test_pair_review_queue_replay(spark, sf_dir):
     ]
     banded: dict = defaultdict(list)
     for a, b, j in pairs:
-        band = min(math.floor((j - 0.8) * 20), 3)
+        # integer 4dp banding (round-3 fix: IEEE floor misbins 0.90/0.95)
+        band = min((round(j * 10000) - 8000) // 500, 3)
         h = hashlib.md5(f"{a}_{b}".encode()).hexdigest()
         banded[band].append((h, a, b, j))
     expect = {}

@@ -1,0 +1,55 @@
+"""Materialized near-dup edge table (round-3): build-once semantics.
+
+The graph/report family (clusters, taint, novelty, pagerank, k-core,
+review queue, …) shares one verified Jaccard pair relation. At 100 TB
+rebuilding it per query is the dominant cost; ``dedup_edges``
+materializes it to parquet on first use and serves every later
+consumer as a scan. These tests pin (a) result identity with the
+direct build, (b) exactly one build per (sf_dir, threshold), and
+(c) superset reuse: a lower-threshold build serves higher thresholds
+without a second prefix-filter join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from parquet_to_csv_spark.operators import dedup
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
+    )
+
+
+def test_dedup_edges_identical_to_direct_build(spark, sf_dir):
+    direct = _rows(dedup.ngram_jaccard_pairs(spark, sf_dir, 0.8))
+    served = _rows(dedup.dedup_edges(spark, sf_dir, 0.8))
+    assert served == direct and len(served) > 0
+
+
+def test_dedup_edges_builds_once_and_superset_serves(spark, sf_dir):
+    # the cache is process-global: the first test (or an earlier suite
+    # module) already built 0.8 for this sf_dir
+    key = (sf_dir, 8000)
+    assert key in dedup._EDGE_CACHE
+    path = dedup._EDGE_CACHE[key]
+    mtime = max(
+        os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    )
+    # a second call must not rewrite the parquet
+    dedup.dedup_edges(spark, sf_dir, 0.8).count()
+    mtime2 = max(
+        os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    )
+    assert mtime2 == mtime
+
+    # a HIGHER threshold is served from the existing build (no new key,
+    # no new directory), values = direct build at that threshold
+    n_dirs_before = len(os.listdir(dedup._EDGE_DIR))
+    served = _rows(dedup.dedup_edges(spark, sf_dir, 0.9))
+    assert len(os.listdir(dedup._EDGE_DIR)) == n_dirs_before
+    assert (sf_dir, 9000) not in dedup._EDGE_CACHE
+    direct = _rows(dedup.ngram_jaccard_pairs(spark, sf_dir, 0.9))
+    assert served == direct

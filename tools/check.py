@@ -54,6 +54,15 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
         return problems
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # The driver's value-hash is dtype-sensitive: int64 5 and
+        # float64 5.0 hash differently even though they compare equal
+        # numerically.  Require realized-dtype parity so this class of
+        # divergence can never pass locally.  (Nullable-int columns are
+        # naturally legal: BOTH sides realize as float64.)
+        if str(sv.dtype) != str(ov.dtype):
+            problems.append(
+                f"dtype[{c}]: spark={sv.dtype} oracle={ov.dtype}"
+            )
         try:
             eq = (sv.isna() & ov.isna()) | (sv == ov)
         except Exception:
