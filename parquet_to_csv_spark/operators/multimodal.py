@@ -7,12 +7,18 @@ Arrow-batched Pandas functions over ``mapInPandas``.
 
 What is REAL here (and tested): the schema contract, the Arrow batch
 path, the partition-parallel execution, deterministic feature output,
-and the metadata-only fast path (never decodes when the question is
-answerable from metadata). What is STUBBED: the actual media decode —
-this container has no PIL/librosa/ffmpeg, so ``decode_media`` is a
-clearly-marked stub; ``fake_decode_features`` is the deterministic
-stand-in the tests pin down. Swapping in a real decoder changes ONE
-function body, no plan shape.
+the metadata-only fast path (never decodes when the question is
+answerable from metadata) — and, since round 3, ACTUAL image decoding
+for PNG and BMP via the pure-Python codec in
+``functions/imagecodec.py`` (stdlib zlib + numpy; no PIL needed).
+``decode_media`` decodes those two formats for real; feature
+extraction and thumbnailing use real pixels when a payload decodes
+and fall back to the deterministic byte-level stand-in otherwise
+(the fixture payloads are text bytes, so gate queries keep their
+oracle semantics; the real path is pinned by pytest with generated
+PNG/BMP payloads through the same ``mapInPandas`` plumbing).
+JPEG/WebP/audio/video remain the honest ``NotImplementedError``
+boundary — they need native libs this container lacks.
 """
 
 from __future__ import annotations
@@ -24,6 +30,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from parquet_to_csv_spark.functions import imagecodec
 from parquet_to_csv_spark.sources.tables import load_table
 
 N_FEATURES = 16
@@ -40,15 +47,16 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_media(payload: bytes, modality: str):
-    """REAL decoder hook — intentionally unimplemented in this
-    container (no PIL/librosa/ffmpeg). Replace with e.g.::
-
-        from PIL import Image; import io
-        return np.asarray(Image.open(io.BytesIO(payload)))
+    """Decoder hook: REAL for PNG and BMP (pure-Python codec —
+    ``functions/imagecodec.py``), returning an (H, W, C) uint8 numpy
+    array; ``NotImplementedError`` for formats that need native libs
+    (JPEG/WebP/audio/video — no PIL/librosa/ffmpeg in this container).
     """
+    if modality in ("image", "text") and imagecodec.sniff_format(payload):
+        return imagecodec.decode_image(payload)
     raise NotImplementedError(
-        "media decoding requires PIL/librosa/ffmpeg; use fake_decode_features "
-        "(deterministic stand-in) or install a decoder and replace this hook"
+        "only PNG/BMP decode in this container (pure-Python codec); "
+        "JPEG/WebP/audio/video need PIL/librosa/ffmpeg"
     )
 
 
@@ -63,6 +71,24 @@ def fake_decode_features(payload: bytes) -> list[float]:
         counts[b >> 4] += 1
     total = float(len(payload))
     return [c / total for c in counts]
+
+
+def decode_features(payload: bytes) -> list[float]:
+    """Feature vector for a payload: REAL pixel features when the
+    payload is a decodable image (16-bin luminance histogram of the
+    decoded pixels, normalized — a crude but genuine visual
+    signature: two renderings of the same image with different byte
+    encodings get the same features, which the byte stand-in cannot
+    do), else the byte-histogram stand-in."""
+    if payload and imagecodec.sniff_format(payload):
+        import numpy as np
+
+        img = imagecodec.decode_image(payload)
+        flat = imagecodec.luma(img).reshape(-1)
+        binned = np.bincount(flat >> 4, minlength=N_FEATURES)
+        total = float(flat.size)
+        return [int(c) / total for c in binned[:N_FEATURES]]
+    return fake_decode_features(payload)
 
 
 def attach_payloads(docs: DataFrame) -> DataFrame:
@@ -82,7 +108,8 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over ``mapInPandas``.
 
     Each partition streams in as pandas batches; per batch we compute
-    byte stats + the (stubbed) decoded feature vector. No shuffle —
+    byte stats + the decoded feature vector (REAL pixel features for
+    PNG/BMP payloads, byte-histogram stand-in otherwise). No shuffle —
     output partitioning follows the input, so a downstream ANN index
     build can co-partition for free.
     """
@@ -98,7 +125,7 @@ def extract_features(payloads: DataFrame) -> DataFrame:
                     "payload_sha": payloads_col.map(
                         lambda p: hashlib.sha256(p or b"").hexdigest()
                     ),
-                    "features": payloads_col.map(fake_decode_features),
+                    "features": payloads_col.map(decode_features),
                 }
             )
 
@@ -189,26 +216,32 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
-def resize_thumbnails(payloads: DataFrame, target_bytes: int = 64) -> DataFrame:
-    """Resize/downsample plumbing over ``mapInPandas`` — the image
-    resize stage with the decoder stubbed (no PIL here): the stand-in
-    "thumbnail" is a deterministic strided byte selection down to
-    ``target_bytes``, so the Spark-side contract (binary in → smaller
-    binary out, 1:1 rows, partitioning preserved, per-thumb digest) is
-    real and testable; a real implementation replaces ONE inner
-    function with decode→resize→encode."""
+def resize_thumbnails(
+    payloads: DataFrame, target_bytes: int = 64, thumb_px: int = 8
+) -> DataFrame:
+    """Resize/downsample over ``mapInPandas``. For PNG/BMP payloads
+    this is the REAL image path: decode → nearest-neighbor resample to
+    ``thumb_px``×``thumb_px`` → re-encode as BMP (deterministic byte
+    output, so digests are pinnable). Non-image payloads keep the
+    deterministic strided byte selection down to ``target_bytes`` —
+    the Spark-side contract (binary in → smaller binary out, 1:1 rows,
+    partitioning preserved, per-thumb digest) is identical either
+    way."""
+
+    def _thumb(p: bytes) -> bytes:
+        if p and imagecodec.sniff_format(p):
+            img = imagecodec.decode_image(p)
+            return imagecodec.encode_bmp(
+                imagecodec.resize_nearest(img, thumb_px, thumb_px)
+            )
+        if len(p) <= target_bytes:
+            return p
+        stride = len(p) / target_bytes
+        return bytes(p[int(i * stride)] for i in range(target_bytes))
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = []
-            for p in pdf["payload"]:
-                p = p or b""
-                if len(p) <= target_bytes:
-                    t = p
-                else:
-                    stride = len(p) / target_bytes
-                    t = bytes(p[int(i * stride)] for i in range(target_bytes))
-                thumbs.append(t)
+            thumbs = [_thumb(p or b"") for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
