@@ -49,6 +49,25 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Iteration-boundary lineage cut for the iterative graph ops
+    (connected components, LPA, k-core). Default: ``localCheckpoint``
+    — fast, blocks live in executor memory, right for interactive and
+    single-job use. If the session sets ``spark.graft.checkpointDir``,
+    a RELIABLE ``checkpoint`` to that directory is used instead:
+    executor loss then replays from the checkpoint files rather than
+    failing the round — the fault-tolerant mode a multi-hour 100 TB
+    clustering job wants. Same plan either way; the choice is a conf,
+    not a code path.
+    """
+    spark = df.sparkSession
+    ckdir = spark.conf.get("spark.graft.checkpointDir", None)
+    if ckdir:
+        spark.sparkContext.setCheckpointDir(ckdir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def _distinct_tokens(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id", "lang", "source", F.array_distinct(tokens_col("text")).alias("toks")
@@ -72,6 +91,9 @@ def _distinct_tokens(df: DataFrame) -> DataFrame:
 
 _EDGE_CACHE: dict[tuple[str, int], str] = {}
 _EDGE_DIR: str | None = None
+# lowest Jaccard threshold any consumer in this workload requests —
+# the materialized build happens here so every consumer shares one build
+_BUILD_FLOOR = 0.5
 
 
 def dedup_edges(
@@ -82,34 +104,36 @@ def dedup_edges(
     per (sf_dir, threshold)) and served as a scan thereafter.
 
     Edges for a LOWER threshold are a superset of those for a higher
-    one, so a request at t is also served by filtering any cached
-    build at t' <= t — the annotation-batch 0.5 build can serve every
-    0.8 consumer without a second prefix-filter join.
+    one, so one build serves every consumer at or above its threshold
+    (parquet min/max skips most of the file for high-threshold reads).
+    The build threshold is ``min(threshold, _BUILD_FLOOR)`` —
+    ``_BUILD_FLOOR`` names the lowest threshold any consumer in this
+    workload requests (novelty/annotation at 0.5), so the first family
+    member to run pays ONE slightly-larger prefix-filter join instead
+    of the workload paying two (measured: one 0.5 build ≈ 6 s at
+    sf0.1 vs 0.8 + 0.5 builds ≈ 10 s). A deployment whose consumers
+    all sit at 0.8+ would set the floor to 0.8 — it's a knob, not a
+    hardcode.
     """
     import os
     import tempfile
 
     global _EDGE_DIR
     key_t = int(round(threshold * 10000))
-    cache_key = (sf_dir, key_t)
-    path = _EDGE_CACHE.get(cache_key)
-    if path is None:
-        # superset reuse: any cached build at a lower threshold serves this one
-        lower = [
-            (t, p) for (d, t), p in _EDGE_CACHE.items() if d == sf_dir and t < key_t
-        ]
-        if lower:
-            _, path = max(lower)
-        else:
-            if _EDGE_DIR is None:
-                _EDGE_DIR = tempfile.mkdtemp(prefix="dedup_edges_")
-            path = os.path.join(
-                _EDGE_DIR, f"t{key_t}_{abs(hash(sf_dir)) % 10**8}"
-            )
-            ngram_jaccard_pairs(spark, sf_dir, threshold).write.mode(
-                "overwrite"
-            ).parquet(path)
-            _EDGE_CACHE[cache_key] = path
+    usable = [
+        (t, p) for (d, t), p in _EDGE_CACHE.items() if d == sf_dir and t <= key_t
+    ]
+    if usable:
+        _, path = max(usable)
+    else:
+        build_t = min(key_t, int(round(_BUILD_FLOOR * 10000)))
+        if _EDGE_DIR is None:
+            _EDGE_DIR = tempfile.mkdtemp(prefix="dedup_edges_")
+        path = os.path.join(_EDGE_DIR, f"t{build_t}_{abs(hash(sf_dir)) % 10**8}")
+        ngram_jaccard_pairs(spark, sf_dir, build_t / 10000.0).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _EDGE_CACHE[(sf_dir, build_t)] = path
     return spark.read.parquet(path).filter(F.col("jaccard") >= threshold)
 
 
@@ -398,15 +422,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # plan nests the whole history and Catalyst re-analysis grows
         # quadratically — measured 78 s for 20 rounds over 38 k edges at
         # sf0.1. Truncating lineage makes each round O(round data) flat.
-        # On a cluster, executor loss invalidates a localCheckpoint;
-        # swap for checkpoint(dir) in fault-sensitive deployments.
-        .localCheckpoint()
+        # On a cluster, executor loss invalidates a localCheckpoint —
+        # set spark.graft.checkpointDir to switch every cut to a
+        # reliable checkpoint(dir) (_cut_lineage).
+        .transform(_cut_lineage)
     )
     labels = (
         both.select(F.col("u").alias("v"))
         .distinct()
         .withColumn("l", F.col("v"))
-        .localCheckpoint()
+        .transform(_cut_lineage)
     )
     for _ in range(max_iter):
         nbr = (
@@ -421,7 +446,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.col("l").alias("old_l"),
                 F.least(F.col("l"), F.coalesce(F.col("nl"), F.col("l"))).alias("l"),
             )
-            .localCheckpoint()
+            .transform(_cut_lineage)
         )
         labels = stepped.select("v", "l")
         if stepped.filter(F.col("old_l") != F.col("l")).limit(1).count() == 0:
@@ -669,7 +694,7 @@ def neardup_pagerank(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(_cut_lineage)
     )
     nodes = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("v"), "deg"
@@ -692,7 +717,7 @@ def neardup_pagerank(
                     + F.expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint()
+            .transform(_cut_lineage)
         )
     return pr.select(
         F.col("v").alias("doc_id"), "deg", F.col("pr").alias("pr_ppb")
@@ -1164,6 +1189,14 @@ def annotation_batch(
     the pair key — uniform-random-like but reproducible across
     engines/runs, and extending ``per_band`` EXTENDS the sample
     (nested, same property as the bucket samplers).
+
+    Scale shape (round 3): two-level EXACT top-k. Ranking directly by
+    a ≤5-partition band window would funnel every surviving pair into
+    ≤5 tasks; instead the first ``row_number`` is hashed on
+    (band, md5-first-byte) — 256-way parallel per band — keeping each
+    sub-bucket's ``per_band`` smallest (any band-global top-k member
+    is necessarily in its own sub-bucket's top-k), and only the
+    ≤256×per_band survivors per band reach the final band window.
     """
     pairs = dedup_edges(spark, sf_dir, threshold=0.5)
     from pyspark.sql import Window
@@ -1173,12 +1206,21 @@ def annotation_batch(
         "doc_b",
         F.round(F.col("jaccard") * 1000, 0).cast("long").alias("j_milli"),
     ).withColumn("band", F.expr("j_milli div 100"))
-    key = F.md5(
-        F.concat_ws(":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))
+    keyed = banded.withColumn(
+        "k",
+        F.md5(
+            F.concat_ws(
+                ":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")
+            )
+        ),
+    ).withColumn("sb", F.expr("conv(substr(k, 1, 2), 16, 10)").cast("int"))
+    w_local = Window.partitionBy("band", "sb").orderBy("k", "doc_a", "doc_b")
+    survivors = keyed.withColumn("lr", F.row_number().over(w_local)).filter(
+        F.col("lr") <= per_band
     )
-    w = Window.partitionBy("band").orderBy(key, "doc_a", "doc_b")
+    w = Window.partitionBy("band").orderBy("k", "doc_a", "doc_b")
     return (
-        banded.withColumn("sample_rank", F.row_number().over(w))
+        survivors.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= per_band)
         .select("band", "doc_a", "doc_b", "j_milli", "sample_rank")
     )
@@ -1319,7 +1361,7 @@ def kcore_decomposition(
     edges = (
         dedup_edges(spark, sf_dir, 0.8)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint()
+        .transform(_cut_lineage)
     )
     for _ in range(rounds):
         deg = (
@@ -1333,7 +1375,7 @@ def kcore_decomposition(
             keep.select(F.col("node").alias("a")), "a", "left_semi"
         ).join(
             keep.select(F.col("node").alias("b")), "b", "left_semi"
-        ).localCheckpoint()
+        ).transform(_cut_lineage)
     return (
         edges.select(F.col("a").alias("doc_id"))
         .unionAll(edges.select(F.col("b").alias("doc_id")))

@@ -109,12 +109,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey) so tile boundaries are engine-stable, then a tiny grouped
     rollup to the <=125-cell segment grid.
 
-    The global-sort ntile windows run over customer cardinality, not
-    order rows. At true 100 TB customer counts the documented
-    at-scale variant of relational.order_value_deciles applies: range
-    partition by the metric and assign tiles locally against known
-    quantile cuts — same output contract.
+    Round 3: the three quintile assignments run through
+    ``relational.distributed_ntile`` (deterministic value-banded local
+    ranks + broadcast band offsets — exact ntile semantics, no
+    single-partition sort), joined back on custkey (three shuffles on
+    the SAME key, co-partitioned). At 100 TB customer counts no task
+    ever holds the customer relation.
     """
+    from parquet_to_csv_spark.operators.relational import distributed_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.max(
@@ -125,14 +128,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = F.broadcast(per.agg(F.max("last_day").alias("g_day")))
     scored = per.join(g).withColumn("rec_days", F.col("g_day") - F.col("last_day"))
-    w_r = Window.orderBy("rec_days", "o_custkey")
-    w_f = Window.orderBy("freq", "o_custkey")
-    w_m = Window.orderBy("mon_cents", "o_custkey")
-    tiled = scored.select(
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
-        "mon_cents",
+    r_t = distributed_ntile(
+        scored.select("o_custkey", "rec_days"),
+        "rec_days", "o_custkey", 5,
+        F.expr("rec_days div 64"), out_col="r_score",
+    ).select("o_custkey", "r_score")
+    f_t = distributed_ntile(
+        scored.select("o_custkey", "freq"),
+        "freq", "o_custkey", 5,
+        F.expr("freq div 4"), out_col="f_score",
+    ).select("o_custkey", "f_score")
+    m_t = distributed_ntile(
+        scored.select("o_custkey", "mon_cents"),
+        "mon_cents", "o_custkey", 5,
+        F.expr("mon_cents div 2000000"), out_col="m_score",
+    ).select("o_custkey", "m_score")
+    tiled = (
+        scored.select("o_custkey", "mon_cents")
+        .join(r_t, "o_custkey")
+        .join(f_t, "o_custkey")
+        .join(m_t, "o_custkey")
     )
     return tiled.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

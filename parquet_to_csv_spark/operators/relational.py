@@ -757,21 +757,80 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distributed_ntile(
+    df: DataFrame,
+    val_col: str,
+    key_col: str,
+    n_tiles: int,
+    band_col,
+    out_col: str = "tile",
+) -> DataFrame:
+    """EXACT ``ntile(n)`` over the unique total order (val, key)
+    WITHOUT a global single-partition sort — the at-scale form the
+    round-2 docstrings deferred.
+
+    ``band_col`` must be a deterministic, MONOTONE (non-decreasing in
+    ``val_col``) integer banding expression derived from the row
+    itself — e.g. ``floor(value / width)`` — NOT ``repartitionByRange``
+    (whose sampled boundaries aren't identical across plan branches).
+    Three steps, all bounded:
+
+    1. local rank: one ``row_number`` window hashed on the band
+       (parallel across bands — the only per-row window);
+    2. band offsets: per-band counts (tiny relation, one row per
+       band) prefix-summed with a single-partition window over the
+       band COUNT, not the data, then broadcast;
+    3. global rank = offset + local rank, folded to the exact ntile
+       tile: with n rows and t tiles, q = n div t, r = n mod t, the
+       first r tiles hold q+1 rows —
+       ``rank <= (q+1)*r ? ceil(rank/(q+1)) : r + ceil((rank-(q+1)*r)/q)``
+       in pure integer arithmetic (ceil(a/b) = (a+b-1) div b).
+
+    Output: the input rows plus ``out_col`` (int) — values identical
+    to ``F.ntile(n_tiles).over(W.orderBy(val, key))``, pinned by a
+    partition-count invariance test.
+    """
+    banded = df.withColumn("_band", band_col.cast("long"))
+    w_local = W.partitionBy("_band").orderBy(F.asc(val_col), F.asc(key_col))
+    local = banded.withColumn("_lr", F.row_number().over(w_local).cast("long"))
+    counts = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
+    w_off = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.select(
+        "_band",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+    )
+    tot = counts.agg(F.sum("_bn").alias("_n"))
+    rank = "(_off + _lr)"
+    t = n_tiles
+    tile = (
+        f"CASE WHEN {rank} <= ((_n div {t}) + 1) * (_n % {t}) "
+        f"THEN ({rank} + (_n div {t})) div ((_n div {t}) + 1) "
+        f"ELSE (_n % {t}) + ({rank} - ((_n div {t}) + 1) * (_n % {t}) "
+        f"      + greatest(_n div {t}, 1) - 1) div greatest(_n div {t}, 1) END"
+    )
+    return (
+        local.join(F.broadcast(offs), "_band")
+        .join(F.broadcast(tot))
+        .withColumn(out_col, F.expr(tile).cast("int"))
+        .drop("_band", "_lr", "_off", "_n")
+    )
+
+
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth decile bucketing of order values (`ntile`) — the
-    feature-engineering pass that turns a skewed monetary column into
-    a uniform categorical. Deterministic: the window orders on the
-    (unique) total order of (o_totalprice, o_orderkey), so tile
-    boundaries cannot flip between engines; one global-sort window is
-    the honest cost (at 100 TB: `repartitionByRange` + per-range local
-    ntile over known quantile boundaries is the same result cheaper).
+    """Equi-depth decile bucketing of order values — exact ``ntile``
+    semantics over the unique total order (o_totalprice, o_orderkey),
+    computed by :func:`distributed_ntile` (deterministic value-banded
+    local ranks + broadcast band offsets) instead of round 2's single
+    global-sort window, so no task ever holds the whole relation.
     Output aggregates per decile so the gate stays small."""
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    tiled = orders.select(
-        "o_orderkey",
+    tiled = distributed_ntile(
+        orders.select("o_orderkey", "o_totalprice"),
         "o_totalprice",
-        F.ntile(10).over(w).alias("decile"),
+        "o_orderkey",
+        10,
+        F.floor(F.col("o_totalprice") / F.lit(20000.0)),
+        out_col="decile",
     )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -25,6 +25,7 @@ from parquet_to_csv_spark.functions.stable import (
     stable_sum_2dp,
 )
 from parquet_to_csv_spark.sources.tables import load_table
+from parquet_to_csv_spark.operators.dedup import _cut_lineage as _dedup_cut
 
 
 def _ts_micros() -> Column:
@@ -1723,7 +1724,7 @@ def daily_acf(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
         F.expr("ts div 86400000000000").alias("day"),
         exact_units(F.col("value"), 2).alias("cents"),
     )
-    daily = ev.groupBy("day").agg(F.sum("cents").alias("y")).localCheckpoint()
+    daily = ev.groupBy("day").agg(F.sum("cents").alias("y")).transform(_dedup_cut)
     out = None
     num = (
         "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
@@ -2064,7 +2065,7 @@ def type_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.groupBy("event_type", "day")
         .agg(F.sum("cents").alias("y"))
-        .localCheckpoint()
+        .transform(_dedup_cut)
     )
     num = (
         "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"

@@ -31,8 +31,8 @@ def test_dedup_edges_identical_to_direct_build(spark, sf_dir):
 
 def test_dedup_edges_builds_once_and_superset_serves(spark, sf_dir):
     # the cache is process-global: the first test (or an earlier suite
-    # module) already built 0.8 for this sf_dir
-    key = (sf_dir, 8000)
+    # module) already built at the workload floor for this sf_dir
+    key = (sf_dir, int(round(dedup._BUILD_FLOOR * 10000)))
     assert key in dedup._EDGE_CACHE
     path = dedup._EDGE_CACHE[key]
     mtime = max(
@@ -53,3 +53,34 @@ def test_dedup_edges_builds_once_and_superset_serves(spark, sf_dir):
     assert (sf_dir, 9000) not in dedup._EDGE_CACHE
     direct = _rows(dedup.ngram_jaccard_pairs(spark, sf_dir, 0.9))
     assert served == direct
+
+
+def test_reliable_checkpoint_mode_identical(spark, sf_dir, tmp_path):
+    """With spark.graft.checkpointDir set, every iterative lineage cut
+    becomes a RELIABLE checkpoint(dir) (executor-loss-safe); results
+    must be identical to localCheckpoint mode and checkpoint files
+    must actually land in the directory."""
+    import os
+
+    from parquet_to_csv_spark.operators import dedup
+
+    base = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in dedup.dup_clusters(spark, sf_dir).collect()
+    )
+    ckdir = str(tmp_path / "ck")
+    spark.conf.set("spark.graft.checkpointDir", ckdir)
+    try:
+        ck = sorted(
+            (r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in dedup.dup_clusters(spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.unset("spark.graft.checkpointDir")
+    assert ck == base
+    found = [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(ckdir)
+        for f in fns
+    ]
+    assert found, "no reliable checkpoint files written"
