@@ -1636,3 +1636,64 @@ def pair_review_queue(
         .filter(F.col("pick") <= per_band)
         .select("band", "pick", "doc_a", "doc_b", "jaccard")
     )
+
+
+def leakage_safe_split(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, val_pct: int = 20
+) -> DataFrame:
+    """EXT E305: contamination-safe train/val assignment — the FIXER
+    for the E111 split-leakage audit: near-duplicate documents must
+    land on the SAME side of the split, or the validation set scores
+    memorization. Assignment unit = the near-dup CLUSTER (connected
+    component of the verified pair relation), not the document: each
+    cluster (and each singleton doc) goes to val iff
+    ``md5(unit_id) mod 100 < val_pct`` — deterministic, extensible,
+    and impossible to straddle by construction.
+
+    Output: per (split, is_clustered) — doc counts, cluster counts,
+    and the audit column that must be ZERO: pairs whose two members
+    sit in different splits. Rides the materialized edge table (E299)
+    and the E26 cluster relation; the audit is one join of the pair
+    relation against the assignment, aggregated.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dup_clusters(spark, sf_dir, threshold).select(
+        "doc_id", "cluster_id"
+    )
+    unit = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("unit_id"),
+        F.col("cluster_id").isNotNull().cast("long").alias("is_clustered"),
+    )
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    assigned = unit.withColumn(
+        "split",
+        F.when(md5_bucket(F.col("unit_id"), 100) < val_pct, F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+    pairs = dedup_edges(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    sa = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    sb = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    straddle = F.broadcast(
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.sum((F.col("sp_a") != F.col("sp_b")).cast("long")).alias(
+                "n_straddling_pairs"
+            )
+        )
+        .select(F.coalesce(F.col("n_straddling_pairs"), F.lit(0)).alias("n_straddling_pairs"))
+    )
+    return (
+        assigned.groupBy("split", "is_clustered")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("unit_id")).alias("n_units"),
+        )
+        .join(straddle)
+        .select(
+            "split", "is_clustered", "n_docs", "n_units", "n_straddling_pairs"
+        )
+    )

@@ -2283,3 +2283,131 @@ def knn_classifier_eval(
             (F.col("pred_label") == F.col("q_label")).cast("long").alias("correct"),
         )
     )
+
+
+def semdedup_prune(
+    spark: SparkSession,
+    sf_dir: str,
+    eps: float = 0.4,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """EXT E300: SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
+    within a cluster, and prune every vector whose cosine to an
+    EARLIER cluster-mate (vec_id order = arrival order, the repo's
+    min-survivor convention) exceeds ``eps``. (The synthetic fixture
+    embeddings are near-orthogonal, so the gate default is eps=0.4 —
+    low enough to exercise the prune path non-vacuously; production
+    text embeddings run this at 0.9+.) Catches paraphrase-level
+    duplicates that lexical MinHash misses — the semantic rung of the
+    dedup ladder (E1 exact → E2 lexical → E300 semantic).
+
+    Scale shape: rides the PERSISTED IVF index (E297) — clusters are
+    the index's cells, so the quadratic pair step is bounded per cell
+    (at 100 TB: cells sized ~|corpus|/k, with the E3 hot-block SRP
+    sub-bucketing recipe available past that). One parquet scan of
+    assignments joined to vectors, one within-cell self-join, one
+    groupBy(vec). No centroid derivation at query time.
+
+    Output: one row per PRUNED vector — (vec_id, cell, closest
+    earlier cell-mate, its cosine r6).
+    """
+    if index_dir is None:
+        index_dir = _ivf_index_dir(spark, sf_dir, n_cells, n_iter)
+    _, assign = load_ivf_index(spark, index_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    cand = assign.join(emb, "vec_id")
+    a = cand.select(
+        F.col("cell"),
+        F.col("vec_id").alias("earlier_id"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = cand.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    denom = F.col("n_a") * F.col("n_b")
+    cos = F.when(denom > F.lit(0.0), dot_product(F.col("e_a"), F.col("e_b")) / denom)
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("earlier_id") < F.col("vec_id"))
+        .select("cell", "vec_id", "earlier_id", cos.alias("cs"))
+        .filter(F.col("cs") >= eps)
+    )
+    return (
+        pairs.groupBy("vec_id", "cell")
+        .agg(
+            F.max_by(
+                "earlier_id", F.struct(F.col("cs"), -F.col("earlier_id"))
+            ).alias("dup_of"),
+            F.round(F.max("cs"), 6).alias("max_cosine"),
+            F.count(F.lit(1)).alias("n_earlier_dups"),
+        )
+        .select("vec_id", "cell", "dup_of", "max_cosine", "n_earlier_dups")
+    )
+
+
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, n_anchors: int = 8
+) -> DataFrame:
+    """EXT E302: contrastive-training pair mining — for each anchor,
+    the HARD POSITIVE (most-similar vector sharing its label) and the
+    HARD NEGATIVE (most-similar vector with a DIFFERENT label), plus
+    the margin between them in micro units. Anchors with negative
+    margin are the label-noise / boundary cases a contrastive run
+    learns from (and an annotation queue reviews first).
+
+    Plan: bounded broadcast of the anchor block against one scan of
+    the vector relation (the E3 cosine_topk shape — BNLJ by design,
+    the broadcast side is ``n_anchors`` rows); per-anchor argmax via
+    ``max_by`` on the raw IEEE cosine (identical fold both engines)
+    with id tie-break, map-side partial aggregation, no windows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    anchors = emb.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    denom = F.col("a_nrm") * F.col("nrm")
+    cos = F.when(
+        denom > F.lit(0.0), dot_product(F.col("a_emb"), F.col("embedding")) / denom
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(emb, F.col("anchor_id") != F.col("vec_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "vec_id",
+            "label",
+            cos.alias("cs"),
+            (F.col("label") == F.col("a_label")).alias("same"),
+        )
+    )
+    arg = F.struct(F.col("cs"), -F.col("vec_id"))
+    per = scored.groupBy("anchor_id", "a_label").agg(
+        F.max_by(F.when(F.col("same"), F.col("vec_id")), F.when(F.col("same"), arg)).alias("pos_id"),
+        F.max(F.when(F.col("same"), F.col("cs"))).alias("pos_cs"),
+        F.max_by(F.when(~F.col("same"), F.col("vec_id")), F.when(~F.col("same"), arg)).alias("neg_id"),
+        F.max(F.when(~F.col("same"), F.col("cs"))).alias("neg_cs"),
+    )
+    return per.select(
+        "anchor_id",
+        "a_label",
+        "pos_id",
+        F.round("pos_cs", 6).alias("pos_cosine"),
+        "neg_id",
+        F.round("neg_cs", 6).alias("neg_cosine"),
+        F.floor((F.col("pos_cs") - F.col("neg_cs")) * 1e6).cast("long").alias("margin_micro"),
+    )

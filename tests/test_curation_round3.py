@@ -1,0 +1,134 @@
+"""Round-3 curation tier: semantic dedup, DSIR, hard negatives,
+mixture allocation, secret scan, leakage-safe split.
+
+The driver-gate oracles pin exact values vs DuckDB; these tests pin
+the SEMANTIC properties each operator exists for (the things a value
+hash can't articulate: no straddling pairs, budget feasibility,
+target-lang lift, injection-derived hit counts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from parquet_to_csv_spark.operators import corpus, dedup, similarity
+from parquet_to_csv_spark.sources.tables import load_table
+
+
+def test_semdedup_prune_replay(spark, sf_dir):
+    out = similarity.semdedup_prune(spark, sf_dir, eps=0.4).collect()
+    idx = similarity._ivf_index_dir(spark, sf_dir, 16, 2)
+    _, assign = similarity.load_ivf_index(spark, idx)
+    cells = {r["vec_id"]: r["cell"] for r in assign.collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else None
+
+    expect = {}
+    for v, cv in cells.items():
+        mates = [
+            (cos(emb[u], emb[v]), u)
+            for u, cu in cells.items()
+            if cu == cv and u < v
+        ]
+        dups = [(c, u) for c, u in mates if c is not None and c >= 0.4]
+        if dups:
+            best = max(dups, key=lambda t: (t[0], -t[1]))
+            expect[v] = (cv, best[1], round(best[0], 6), len(dups))
+    got = {
+        r["vec_id"]: (r["cell"], r["dup_of"], r["max_cosine"], r["n_earlier_dups"])
+        for r in out
+    }
+    assert got == expect
+    assert len(got) > 0  # non-vacuous at fixture scale
+
+
+def test_hard_negative_mining_replay(spark, sf_dir):
+    emb_rows = load_table(spark, sf_dir, "embeddings").collect()
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb_rows}
+    lab = {r["vec_id"]: r["label"] for r in emb_rows}
+    out = {r["anchor_id"]: r for r in similarity.hard_negative_mining(spark, sf_dir).collect()}
+    assert set(out) == {v for v in emb if v < 8}
+    for aid, row in out.items():
+        a = emb[aid]
+
+        def cands(same):
+            res = []
+            for v, e in emb.items():
+                if v == aid or (lab[v] == lab[aid]) != same:
+                    continue
+                res.append((float(a @ e / (np.linalg.norm(a) * np.linalg.norm(e))), v))
+            return res
+
+        pc, pid = max(cands(True), key=lambda t: (t[0], -t[1]))
+        nc, nid = max(cands(False), key=lambda t: (t[0], -t[1]))
+        assert (row["pos_id"], row["neg_id"]) == (pid, nid)
+        assert row["pos_cosine"] == round(pc, 6)
+        assert row["neg_cosine"] == round(nc, 6)
+        assert row["margin_micro"] == int(np.floor((pc - nc) * 1e6))
+
+
+def test_dsir_weights_lift_target_lang(spark, sf_dir):
+    """DSIR's point: target-lang docs must score higher on average."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = corpus.dsir_weights(spark, sf_dir, target_lang="en").join(docs, "doc_id")
+    rows = w.groupBy(F.col("lang") == "en").agg(
+        F.avg("w_micro_per_token").alias("m")
+    ).collect()
+    means = {r[0]: r["m"] for r in rows}
+    assert means[True] > means[False]
+
+
+def test_mixture_allocation_feasible_and_uniform(spark, sf_dir):
+    rows = corpus.mixture_allocation(spark, sf_dir).collect()
+    avail = {r["source"]: r["avail_tokens"] for r in rows}
+    alloc = {r["source"]: r["alloc_tokens"] for r in rows}
+    total = sum(avail.values())
+    budget = total * 500000 // 1000000
+    k = len(rows)
+    assert all(0 <= alloc[s] <= avail[s] for s in avail)
+    # floored divisions may strand at most one token per source per pass
+    assert budget - 2 * k <= sum(alloc.values()) <= budget
+    # sources below the uniform share are taken in full
+    desired = budget // k
+    for s in avail:
+        if avail[s] <= desired:
+            assert alloc[s] == avail[s]
+    for r in rows:
+        assert r["fill_ppm"] == r["alloc_tokens"] * 10**6 // r["avail_tokens"]
+
+
+def test_secret_scan_matches_injection_schedule(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    expect_flagged: dict = {}
+    expect_aws: dict = {}
+    for r in docs:
+        d, s = r["doc_id"], r["source"]
+        planted = any(d % m == 0 for m in (19, 23, 29, 31, 37))
+        expect_flagged[s] = expect_flagged.get(s, 0) + (1 if planted else 0)
+        expect_aws[s] = expect_aws.get(s, 0) + (1 if d % 19 == 0 else 0)
+    out = {r["source"]: r for r in corpus.secret_scan(spark, sf_dir).collect()}
+    for s, row in out.items():
+        assert row["n_flagged"] == expect_flagged[s]
+        assert row["hits_aws_key"] == expect_aws[s]
+    # deterministic digest across invocations
+    out2 = {r["source"]: r for r in corpus.secret_scan(spark, sf_dir).collect()}
+    assert {s: r["redacted_digest"] for s, r in out.items()} == {
+        s: r["redacted_digest"] for s, r in out2.items()
+    }
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_dir):
+    rows = dedup.leakage_safe_split(spark, sf_dir).collect()
+    assert all(r["n_straddling_pairs"] == 0 for r in rows)
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val"}
