@@ -2411,3 +2411,173 @@ def hard_negative_mining(
         F.round("neg_cs", 6).alias("neg_cosine"),
         F.floor((F.col("pos_cs") - F.col("neg_cs")) * 1e6).cast("long").alias("margin_micro"),
     )
+
+
+def top_principal_component(
+    spark: SparkSession, sf_dir: str, n_iter: int = 2
+) -> DataFrame:
+    """EXT E306: top principal component of the centered embedding
+    cloud by POWER ITERATION expressed entirely as DataFrame algebra —
+    the covariance matrix is NEVER materialized (64×64 would be fine;
+    4096² at modern embedding widths would not): each iterate is
+    ``w ← Σ_i (v_i·w) v_i`` — one data scan with the 64-dim ``w``
+    broadcast as a one-row array, then a posexplode-sum back to the
+    next ``w``. The eigencolumn every embedding-drift monitor and
+    whitening pass needs, at 100 TB cost = ``n_iter`` scans.
+
+    Determinism: the per-element products are cast to DECIMAL(38,12)
+    before summation (order-independent exact sums — the E30/E56
+    recipe); normalization and the final Rayleigh quotient are single
+    IEEE ops on those exact sums, so the DuckDB oracle replays the
+    loop bit-for-bit. Seed = unit vector along dim 0 (fixture
+    embeddings have mass in every dim, so convergence is immediate);
+    sign follows the seed deterministically.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dim = F.broadcast(emb.select(F.size("v").alias("d")).limit(1))
+    mean = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (F.col("s").cast("double") / F.col("n")).alias("m"),
+                        )
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("mu")
+        )
+    )
+    centered = emb.join(F.broadcast(mean)).select(
+        "vec_id", F.zip_with("v", "mu", lambda a, b: a - b).alias("c")
+    )
+    # w as a one-row array relation; seed e_0
+    w = dim.select(
+        F.transform(
+            F.sequence(F.lit(0), F.col("d") - 1),
+            lambda i: F.when(i == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("w")
+    )
+    for _ in range(n_iter):
+        scored = centered.join(F.broadcast(w)).select(
+            "c", dot_product(F.col("c"), F.col("w")).alias("s")
+        )
+        upd = (
+            scored.select(F.col("s"), F.posexplode("c").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("s") * F.col("val")).cast("decimal(38,12)")).alias("u")
+            )
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("pos", F.col("u").cast("double").alias("uv"))
+                        )
+                    ),
+                    lambda st: st["uv"],
+                ).alias("raw")
+            )
+        )
+        w = upd.select(
+            F.transform(
+                "raw",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        "raw", F.lit(0.0), lambda acc, y: acc + y * y
+                    )
+                ),
+            ).alias("w")
+        )
+    # Rayleigh quotient λ = Σ s² / n on the final w
+    final = centered.join(F.broadcast(w)).select(
+        "c", dot_product(F.col("c"), F.col("w")).alias("s")
+    )
+    lam = F.broadcast(
+        final.agg(
+            (
+                F.sum((F.col("s") * F.col("s")).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("eigval")
+        )
+    )
+    return (
+        w.select(F.posexplode("w").alias("pos", "loading"))
+        .join(lam)
+        .select(
+            "pos",
+            F.round("loading", 6).alias("loading"),
+            F.round("eigval", 4).alias("eigval"),
+        )
+    )
+
+
+def label_cohesion_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E307: per-label MEAN PAIRWISE COSINE without a pair join —
+    the sum-vector identity ``Σ_{i≠j} û_i·û_j = ‖Σ û‖² − n`` on
+    unit-normalized vectors turns the O(n²) cohesion statistic into
+    ONE O(n) scan (normalize → per-(label, dim) exact component sums
+    → ‖·‖² fold on the k×64 relation). THE scale story is the
+    algebra: a 10⁹-vector label costs the same per row as a 10³ one.
+    Pytest cross-checks the identity against a brute-force numpy pair
+    loop; the oracle replays the identity itself.
+
+    Output: label, n_vecs, mean pairwise cosine in FLOORED micro units
+    (exact integer — engine-identical because the component sums are
+    DECIMAL-exact and the final quotient is one IEEE divide).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    unit = emb.filter(F.col("nrm") > 0).select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias(
+            "u"
+        ),
+    )
+    comp = (
+        unit.select("label", F.posexplode("u").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("val").cast("decimal(38,12)")).alias("s"))
+        .select(
+            "label",
+            # square in double (deterministic per element), then an
+            # order-independent DECIMAL-exact sum over the 64 dims
+            (F.col("s").cast("double") * F.col("s").cast("double"))
+            .cast("decimal(38,12)")
+            .alias("s2"),
+        )
+        .groupBy("label")
+        .agg(F.sum("s2").cast("double").alias("ssq"))
+    )
+    n = unit.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        n.join(comp, "label")
+        .filter(F.col("n_vecs") > 1)
+        .select(
+            "label",
+            "n_vecs",
+            F.floor(
+                (F.col("ssq") - F.col("n_vecs"))
+                / (F.col("n_vecs") * (F.col("n_vecs") - F.lit(1)))
+                * 1e6
+            )
+            .cast("long")
+            .alias("mean_pair_cos_micro"),
+        )
+    )

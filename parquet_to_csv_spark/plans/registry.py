@@ -8872,6 +8872,89 @@ FROM asg GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E306-E307 — power-iteration top PC, O(N) label cohesion
+# --------------------------------------------------------------------------
+
+_PI_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+QUERIES["top_principal_component"] = _sim.top_principal_component
+ORACLES["top_principal_component"] = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), mstats AS (
+  SELECT t.pos,
+         CAST(sum(CAST(v[t.pos + 1] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+  FROM emb, unnest(range(0, len(v))) AS t(pos) GROUP BY t.pos
+), mu AS (
+  SELECT list(m ORDER BY pos) AS mu FROM mstats
+), cent AS (
+  SELECT vec_id, list_transform(list_zip(v, mu.mu), p -> p[1] - p[2]) AS c
+  FROM emb CROSS JOIN mu
+), w0 AS (
+  SELECT list_transform(range(0, (SELECT len(v) FROM emb LIMIT 1)),
+         i -> CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS DOUBLE)) AS w
+), s1 AS (
+  SELECT c, {_PI_DOT.format(a='c', b='w0.w')} AS s FROM cent CROSS JOIN w0
+), u1 AS (
+  SELECT t.pos, CAST(sum(CAST(s * c[t.pos + 1] AS DECIMAL(38,12))) AS DOUBLE) AS u
+  FROM s1, unnest(range(0, len(c))) AS t(pos) GROUP BY t.pos
+), r1 AS (
+  SELECT list(u ORDER BY pos) AS raw FROM u1
+), w1 AS (
+  SELECT list_transform(raw, x -> x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS w
+  FROM r1
+), s2 AS (
+  SELECT c, {_PI_DOT.format(a='c', b='w1.w')} AS s FROM cent CROSS JOIN w1
+), u2 AS (
+  SELECT t.pos, CAST(sum(CAST(s * c[t.pos + 1] AS DECIMAL(38,12))) AS DOUBLE) AS u
+  FROM s2, unnest(range(0, len(c))) AS t(pos) GROUP BY t.pos
+), r2 AS (
+  SELECT list(u ORDER BY pos) AS raw FROM u2
+), w2 AS (
+  SELECT list_transform(raw, x -> x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS w
+  FROM r2
+), fin AS (
+  SELECT {_PI_DOT.format(a='c', b='w2.w')} AS s FROM cent CROSS JOIN w2
+), lam AS (
+  SELECT CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS eigval
+  FROM fin
+)
+SELECT CAST(t.pos AS INTEGER) AS pos,
+       round(w2.w[t.pos + 1], 6) AS loading,
+       round(lam.eigval, 4) AS eigval
+FROM w2 CROSS JOIN lam, unnest(range(0, len(w2.w))) AS t(pos)
+"""
+
+QUERIES["label_cohesion_exact"] = _sim.label_cohesion_exact
+ORACLES["label_cohesion_exact"] = """
+WITH emb AS (
+  SELECT label, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), unit AS (
+  SELECT label, nrm, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+  FROM emb WHERE nrm > 0
+), comp AS (
+  SELECT label, t.pos,
+         CAST(sum(CAST(u[t.pos + 1] AS DECIMAL(38,12))) AS DOUBLE) AS sd
+  FROM unit, unnest(range(0, len(u))) AS t(pos) GROUP BY 1, 2
+), sq AS (
+  SELECT label, CAST(sum(CAST(sd * sd AS DECIMAL(38,12))) AS DOUBLE) AS ssq
+  FROM comp GROUP BY 1
+), cnt AS (
+  SELECT label, count(*) AS n_vecs FROM unit GROUP BY 1
+)
+SELECT cnt.label, CAST(cnt.n_vecs AS BIGINT) AS n_vecs,
+       CAST(floor((sq.ssq - cnt.n_vecs)
+            / (cnt.n_vecs * (cnt.n_vecs - 1)) * 1000000) AS BIGINT)
+         AS mean_pair_cos_micro
+FROM cnt JOIN sq USING (label) WHERE cnt.n_vecs > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -132,3 +132,61 @@ def test_leakage_safe_split_never_straddles(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == n_docs_total
     splits = {r["split"] for r in rows}
     assert splits == {"train", "val"}
+
+
+def test_top_principal_component_replays_numpy(spark, sf_dir):
+    """The distributed power iteration must match the same algorithm
+    run in numpy (seed e0, 2 iterations, mean-centering) to rounding
+    tolerance — and the Rayleigh quotient must be at least the mean
+    per-dim variance (the top eigenvalue can't be below average)."""
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    c = emb - emb.mean(axis=0)
+    w = np.zeros(c.shape[1])
+    w[0] = 1.0
+    for _ in range(2):
+        w = c.T @ (c @ w)
+        w = w / np.linalg.norm(w)
+    lam = float(((c @ w) ** 2).sum() / c.shape[0])
+
+    rows = similarity.top_principal_component(spark, sf_dir).collect()
+    got = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["pos"])])
+    assert np.allclose(got, np.round(w, 6), atol=2e-6)
+    assert abs(rows[0]["eigval"] - round(lam, 4)) < 2e-3
+    assert rows[0]["eigval"] >= (c.var(axis=0).sum() / c.shape[1]) - 1e-6
+
+
+def test_label_cohesion_identity_equals_bruteforce(spark, sf_dir):
+    emb_rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict = {}
+    for r in emb_rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        if n > 0:
+            by_label.setdefault(r["label"], []).append(v / n)
+    got = {
+        r["label"]: (r["n_vecs"], r["mean_pair_cos_micro"])
+        for r in similarity.label_cohesion_exact(spark, sf_dir).collect()
+    }
+    for lab, vs in by_label.items():
+        if len(vs) < 2:
+            assert lab not in got
+            continue
+        n = len(vs)
+        brute = sum(
+            float(vs[i] @ vs[j])
+            for i in range(n)
+            for j in range(n)
+            if i != j
+        ) / (n * (n - 1))
+        n_got, micro = got[lab]
+        assert n_got == n
+        # identity and brute force agree to well under a micro unit
+        assert abs(micro / 1e6 - brute) < 5e-6
