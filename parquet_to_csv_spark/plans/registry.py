@@ -8955,6 +8955,14 @@ FROM cnt JOIN sq USING (label) WHERE cnt.n_vecs > 1
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E308 — streaming secret-scrub drain (batch/stream parity for E304)
+# --------------------------------------------------------------------------
+
+QUERIES["streaming_secret_scrub_drain"] = _stream.secret_scrub_drain_query
+ORACLES["streaming_secret_scrub_drain"] = ORACLES["secret_scan"]
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -509,3 +509,76 @@ def upsert_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="update",
     )
+
+
+def _stage_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage ``documents`` as a file-stream source directory (the E304
+    ingest shape: docs arrive as files, hygiene runs before anything
+    else sees them)."""
+    import tempfile
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    stage = tempfile.mkdtemp(prefix="docstream_")
+    load_table(spark, sf_dir, "documents").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    return stage
+
+
+def secret_scrub_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E308: streaming corpus hygiene — the E304 secret scan run on
+    a DOCUMENT STREAM and drained to the same per-source report, so the
+    gate proves batch/stream parity for the safety filter itself (the
+    one filter that must run at INGEST time, before quarantine-worthy
+    payloads reach the lake).
+
+    Scale shape: the detection/redaction projection is STATELESS
+    (per-micro-batch map, no state store, no watermark — hygiene never
+    buffers); only the tiny per-source rollup is a streaming
+    aggregation (complete mode over source-cardinality rows). Reuses
+    the exact batch expressions from ``operators.corpus`` — one
+    definition, two execution paths, same oracle.
+    """
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.operators.corpus import (
+        SECRET_ORDER,
+        SECRET_PATTERNS,
+        _secret_augmented_text,
+    )
+
+    stage = _stage_docs_dir(spark, sf_dir)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(stage)
+    )
+    aug = _secret_augmented_text()
+    counts = {
+        k: F.size(F.regexp_extract_all(aug, F.lit(p), F.lit(0)))
+        for k, p in SECRET_PATTERNS.items()
+    }
+    red = aug
+    for k in SECRET_ORDER:
+        red = F.regexp_replace(red, SECRET_PATTERNS[k], f"[{k.upper()}]")
+    hit = None
+    for c in counts.values():
+        hit = c if hit is None else hit + c
+    per_doc = stream.select(
+        "source",
+        *[counts[k].cast("long").alias(f"n_{k}") for k in SECRET_ORDER],
+        (hit > 0).cast("long").alias("flagged"),
+        F.md5(red).alias("red_fp"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("flagged").alias("n_flagged"),
+        *[F.sum(f"n_{k}").alias(f"hits_{k}") for k in SECRET_ORDER],
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("red_fp")))).alias(
+            "redacted_digest"
+        ),
+    )
+    name = "secret_scrub_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(agg, name, spark, output_mode="complete")

@@ -190,3 +190,19 @@ def test_label_cohesion_identity_equals_bruteforce(spark, sf_dir):
         assert n_got == n
         # identity and brute force agree to well under a micro unit
         assert abs(micro / 1e6 - brute) < 5e-6
+
+
+def test_streaming_secret_scrub_parity(spark, sf_dir):
+    """The streaming drain must equal the batch scan row-for-row —
+    one definition, two execution paths (the E9 parity contract
+    applied to the ingest-time safety filter)."""
+    from parquet_to_csv_spark.streaming import stream as st
+
+    batch = {
+        r["source"]: tuple(r) for r in corpus.secret_scan(spark, sf_dir).collect()
+    }
+    streamed = {
+        r["source"]: tuple(r)
+        for r in st.secret_scrub_drain_query(spark, sf_dir).collect()
+    }
+    assert streamed == batch
