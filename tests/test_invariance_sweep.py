@@ -49,6 +49,19 @@ FLOAT_ADJACENT = [
     "hll_distinct_estimate",
     "label_centroids",
     "shipping_sla_percentiles",
+    # round-3 additions: the new float-adjacent / windowless-rewrite tier
+    "order_value_deciles",
+    "rfm_segments",
+    "annotation_batch",
+    "ivf_indexed_topk",
+    "ivf_index_staleness",
+    "semdedup_prune",
+    "hard_negative_mining",
+    "dsir_weights",
+    "mixture_allocation",
+    "top_principal_component",
+    "label_cohesion_exact",
+    "leakage_safe_split",
 ]
 
 
