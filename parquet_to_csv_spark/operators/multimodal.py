@@ -380,3 +380,69 @@ def shared_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_frames"))
     )
+
+
+DECODE_GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("img_id", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+)
+
+
+def multimodal_real_decode(spark: SparkSession, sf_dir: str, n_images: int = 16) -> DataFrame:
+    """EXT E309: gate query for the REAL image-decode path.
+    ``n_images`` deterministic gradient images are ENCODED to PNG
+    bytes inside the plan (``mapInPandas``), decoded back through
+    :func:`decode_media` (zlib inflate + unfiltering — the real
+    codec), reduced to per-image integer luma histograms — and the
+    DuckDB oracle computes the SAME histograms independently from the
+    gradient FORMULA, never touching a byte. Any pixel-level decode
+    defect (filter reconstruction, channel order, row direction,
+    stride) shifts a histogram bin and fails the value hash. This
+    upgrades the multimodal decode tier from pytest-pinned to
+    driver-gate-checked.
+
+    (``sf_dir`` is unused — the workload is generated; the parameter
+    keeps the registry signature uniform.)
+
+    Scale shape: generation/encode/decode are a stateless
+    ``mapInPandas`` fan-out over ``spark.range`` (embarrassingly
+    parallel, no shuffle); the histogram rows (16 per image) feed one
+    tiny aggregation-free projection.
+    """
+    import numpy as np
+
+    from parquet_to_csv_spark.functions import imagecodec as ic
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, bins, cnts = [], [], [], [], []
+            for img_id in pdf["id"]:
+                img_id = int(img_id)
+                h = 8 + img_id % 5
+                w = 8 + (img_id * 3) % 7
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    for x in range(w):
+                        img[y, x, 0] = (x * 255) // (w - 1)
+                        img[y, x, 1] = (y * 255) // (h - 1)
+                        img[y, x, 2] = ((x + y) * 255) // (w + h - 2)
+                payload = ic.encode_png(img)
+                decoded = decode_media(payload, "image")
+                lum = ic.luma(decoded).reshape(-1)
+                hist = np.bincount(lum >> 4, minlength=16)
+                for b in range(16):
+                    ids.append(img_id)
+                    hs.append(h)
+                    ws.append(w)
+                    bins.append(b)
+                    cnts.append(int(hist[b]))
+            yield pd.DataFrame(
+                {"img_id": ids, "height": hs, "width": ws, "bin": bins, "n_px": cnts}
+            )
+
+    return spark.range(n_images).mapInPandas(_gen, DECODE_GATE_SCHEMA)

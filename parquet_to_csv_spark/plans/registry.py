@@ -8963,6 +8963,43 @@ QUERIES["streaming_secret_scrub_drain"] = _stream.secret_scrub_drain_query
 ORACLES["streaming_secret_scrub_drain"] = ORACLES["secret_scan"]
 
 
+# --------------------------------------------------------------------------
+# EXT E309 — oracle-checked REAL image decode (generated workload)
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators import multimodal as _mm  # noqa: E402
+
+# The Spark side encodes gradient images to PNG and DECODES them through
+# the real codec; the oracle computes the expected luma histograms from
+# the gradient FORMULA alone — pixel-level decode defects fail the hash.
+QUERIES["multimodal_real_decode"] = _mm.multimodal_real_decode
+ORACLES["multimodal_real_decode"] = """
+WITH imgs AS (
+  SELECT t.i AS img_id, 8 + t.i % 5 AS h, 8 + (t.i * 3) % 7 AS w
+  FROM unnest(range(0, 16)) AS t(i)
+), px AS (
+  SELECT img_id, h, w,
+         (x.x * 255) // (w - 1) AS r,
+         (y.y * 255) // (h - 1) AS g,
+         ((x.x + y.y) * 255) // (w + h - 2) AS b
+  FROM imgs, unnest(range(0, h)) AS y(y), unnest(range(0, w)) AS x(x)
+), lm AS (
+  SELECT img_id, h, w,
+         ((299 * r + 587 * g + 114 * b) // 1000) // 16 AS bin
+  FROM px
+), hist AS (
+  SELECT img_id, h, w, bin, count(*) AS n_px FROM lm GROUP BY 1, 2, 3, 4
+), allbins AS (
+  SELECT img_id, h, w, b.bin FROM imgs, unnest(range(0, 16)) AS b(bin)
+)
+SELECT a.img_id, CAST(a.h AS BIGINT) AS height, CAST(a.w AS BIGINT) AS width,
+       CAST(a.bin AS BIGINT) AS bin,
+       CAST(coalesce(hist.n_px, 0) AS BIGINT) AS n_px
+FROM allbins a
+LEFT JOIN hist ON a.img_id = hist.img_id AND a.bin = hist.bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
