@@ -123,6 +123,10 @@ def convert(
                 cooked, output_dir, long_threshold_ms=cfg.max_duration_ms
             )
         if cfg.write_sqlite:
+            # the CSV path mkdirs implicitly through Spark's committer; a
+            # SQLite-only run must create the output dir itself
+            # (sqlite3.connect does not create parent directories)
+            os.makedirs(output_dir, exist_ok=True)
             db_path = os.path.join(output_dir, "database.db")
             # UID is added inside the sink (P6), like the reference (main.js:342).
             result["sqlite_rows"] = write_sqlite(cooked, db_path)

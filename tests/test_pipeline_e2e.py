@@ -151,3 +151,31 @@ def test_cli_main_env_flags(spark, span_tree, tmp_path, monkeypatch):
     with open(parts[0]) as f:
         header = f.readline()
     assert "duration_ms" in header
+
+
+def test_sqlite_source_roundtrip(spark, span_tree, tmp_path):
+    """S12: read back what the sink wrote — full sink→source round
+    trip with exact value and type parity (INTEGER→long, TEXT→string,
+    NULLs preserved)."""
+    from parquet_to_csv_spark.sources.sqlite_source import read_sqlite
+
+    out = str(tmp_path / "out")
+    res = convert(spark, span_tree, out, ConvertConfig(write_sqlite=True))
+    back = read_sqlite(spark, res["sqlite_path"])
+    assert back.count() == res["sqlite_rows"]
+    assert dict(back.dtypes)["duration_ms"] == "bigint"
+    assert dict(back.dtypes)["event_type"] == "string"
+    # UID is unique (the sink's synthetic PK survived)
+    assert back.select("UID").distinct().count() == res["sqlite_rows"]
+    # value parity on a stable projection: same multiset of
+    # (duration_ms, event_type) as the sqlite table itself
+    import sqlite3 as _sq
+
+    con = _sq.connect(res["sqlite_path"])
+    want = sorted(con.execute("SELECT duration_ms, event_type FROM trace").fetchall())
+    con.close()
+    got = sorted(
+        (r["duration_ms"], r["event_type"])
+        for r in back.select("duration_ms", "event_type").collect()
+    )
+    assert got == want
