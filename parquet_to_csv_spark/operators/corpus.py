@@ -2047,3 +2047,68 @@ def mixture_allocation(
             F.expr("alloc_tokens * 1000000 div avail_tokens").alias("fill_ppm"),
         )
     )
+
+
+def curriculum_schedule(
+    spark: SparkSession, sf_dir: str, budget_ppm: int = 600000
+) -> DataFrame:
+    """EXT E311: quality-first curriculum admission — rank the corpus
+    by a deterministic quality key (unique-token ratio in exact 4dp
+    units, doc_id tiebreak) and admit the PREFIX that fits the token
+    budget (``budget_ppm`` of corpus tokens): the "train on the best
+    N tokens first" schedule a data-constrained run uses, reported per
+    source with the admission cutoff score.
+
+    The global prefix sum is the two-phase distributed scan (the E87 /
+    gini recipe): quality-band local cumsums in parallel (window hashed
+    on the deterministic band), band totals prefix-summed on the tiny
+    band relation and broadcast back — no global single-partition
+    window. The DuckDB oracle computes the SAME admission set with a
+    naive global window, which is the point: the distributed plan must
+    reproduce the naive semantics exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tok = F.size(toks).cast("long")
+    uniq = F.when(
+        n_tok > 0,
+        F.round(
+            F.size(F.array_distinct(toks)) / n_tok.cast("double") * 10000, 0
+        ).cast("long"),
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.coalesce(uniq, F.lit(-1)).alias("q"),
+    ).withColumn("band", F.expr("q div 500"))
+    budget = F.broadcast(
+        base.agg(
+            F.expr(f"sum(n_tokens) * {budget_ppm} div 1000000").alias("budget")
+        )
+    )
+    w_local = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("lcum", F.sum("n_tokens").over(w_local))
+    per_band = base.groupBy("band").agg(F.sum("n_tokens").alias("btok"))
+    w_off = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per_band.select(
+        "band", F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off")
+    )
+    cum = (
+        local.join(F.broadcast(offs), "band")
+        .join(budget)
+        .withColumn("admitted", (F.col("off") + F.col("lcum")) <= F.col("budget"))
+    )
+    return cum.groupBy("source").agg(
+        F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+        F.sum(F.when(F.col("admitted"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_admitted"
+        ),
+        F.min(F.when(F.col("admitted"), F.col("q"))).alias("cutoff_q"),
+    )

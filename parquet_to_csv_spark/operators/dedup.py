@@ -1697,3 +1697,45 @@ def leakage_safe_split(
             "split", "is_clustered", "n_docs", "n_units", "n_straddling_pairs"
         )
     )
+
+
+def dup_provenance(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """EXT E310: duplication provenance forest — inside each near-dup
+    cluster, every document with at least one EARLIER direct neighbor
+    (arrival order = doc_id) points at the most similar of them: the
+    who-copied-whom evidence trail behind a dedup decision, and the
+    structure a takedown/licensing review walks. Roots (is_root) are
+    the cluster canonicals (E26); a non-root whose direct edges all
+    lead to later arrivals keeps a NULL parent (it joined the cluster
+    through documents that came after it) — the honest reading.
+
+    One scan of the materialized edge table (E299): charge each pair to
+    its later member, one ``max_by`` argmax per doc (map-side partial
+    agg, no window), join the cluster relation for the cluster id.
+    """
+    pairs = dedup_edges(spark, sf_dir, threshold).select(
+        F.greatest("doc_a", "doc_b").alias("doc_id"),
+        F.least("doc_a", "doc_b").alias("earlier_doc"),
+        "jaccard",
+    )
+    parents = pairs.groupBy("doc_id").agg(
+        F.max_by(
+            "earlier_doc", F.struct(F.col("jaccard"), -F.col("earlier_doc"))
+        ).alias("parent_id"),
+        F.max("jaccard").alias("parent_jaccard"),
+    )
+    clusters = dup_clusters(spark, sf_dir, threshold).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+    return (
+        clusters.join(parents, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("is_canonical").cast("long").alias("is_root"),
+            "parent_id",
+            "parent_jaccard",
+        )
+    )

@@ -1648,3 +1648,103 @@ def structuring_screen(
         f"stack({len(thresholds)}, {rows})"
         " AS (threshold, n_below, n_above, ratio_ppm)"
     )
+
+
+def conformal_intervals(
+    spark: SparkSession, sf_dir: str, alpha_ppm: int = 100000
+) -> DataFrame:
+    """EXT E312: split-conformal prediction intervals for order value
+    by market segment — the distribution-free uncertainty wrapper
+    (Vovk et al.; Angelopoulos & Bates 2021 tutorial form): predict
+    with the TRAIN-split segment mean, take the ceil((n_cal+1)(1−α))-th
+    smallest absolute calibration residual as the interval half-width
+    q̂, and report realized coverage on the held-out EVAL split —
+    guaranteed ≥ 1−α in expectation regardless of the model.
+
+    Everything is exact integer cents. The k-th order statistic is NOT
+    a global per-segment sort: residuals are banded (r div 10000), band
+    counts locate the target band (tiny relation), and only that single
+    band's rows are ranked — the distributed exact-selection pattern.
+    Splits are md5-deterministic (E37 discipline).
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", exact_units(F.col("o_totalprice"), 2).alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    base = orders.join(cust, "o_custkey").withColumn(
+        "fold", md5_bucket(F.col("o_orderkey"), 3)
+    )
+    pred = (
+        base.filter(F.col("fold") == 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.expr("sum(cents) div count(1)").alias("pred_cents"),
+        )
+    )
+    cal = (
+        base.filter(F.col("fold") == 1)
+        .join(F.broadcast(pred), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.abs(F.col("cents") - F.col("pred_cents")).alias("r"),
+        )
+    )
+    n_cal = cal.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_cal"))
+    k = n_cal.select(
+        "c_mktsegment",
+        "n_cal",
+        F.expr(
+            f"least(((n_cal + 1) * (1000000 - {alpha_ppm}) + 999999) div 1000000,"
+            " n_cal)"
+        ).alias("k"),
+    )
+    banded = cal.withColumn("band", F.expr("r div 10000"))
+    bc = banded.groupBy("c_mktsegment", "band").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bc.withColumn("cum_before", F.coalesce(F.sum("bn").over(w_off), F.lit(0)))
+    target = offs.join(F.broadcast(k), "c_mktsegment").filter(
+        (F.col("cum_before") < F.col("k"))
+        & (F.col("k") <= F.col("cum_before") + F.col("bn"))
+    )
+    w_sel = Window.partitionBy("c_mktsegment", "band").orderBy("r", "o_orderkey")
+    qhat = (
+        banded.join(
+            F.broadcast(target.select("c_mktsegment", "band", "cum_before", "k")),
+            ["c_mktsegment", "band"],
+        )
+        .withColumn("rn", F.row_number().over(w_sel))
+        .filter(F.col("cum_before") + F.col("rn") == F.col("k"))
+        .select("c_mktsegment", F.col("r").alias("qhat_cents"))
+    )
+    ev = (
+        base.filter(F.col("fold") == 2)
+        .join(F.broadcast(pred), "c_mktsegment")
+        .join(F.broadcast(qhat), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.expr(
+                "sum(CASE WHEN abs(cents - pred_cents) <= qhat_cents"
+                " THEN 1 ELSE 0 END) * 1000000 div count(1)"
+            ).alias("coverage_ppm"),
+        )
+    )
+    return (
+        pred.join(n_cal, "c_mktsegment")
+        .join(qhat, "c_mktsegment")
+        .join(ev, "c_mktsegment")
+        .select(
+            "c_mktsegment", "n_train", "pred_cents", "n_cal",
+            "qhat_cents", "n_eval", "coverage_ppm",
+        )
+    )

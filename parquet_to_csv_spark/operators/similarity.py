@@ -2433,6 +2433,38 @@ def top_principal_component(
     embeddings have mass in every dim, so convergence is immediate);
     sign follows the seed deterministically.
     """
+    centered, w = _centered_and_top_pc(spark, sf_dir, n_iter)
+    final = centered.join(F.broadcast(w)).select(
+        "c", dot_product(F.col("c"), F.col("w")).alias("s")
+    )
+    lam = F.broadcast(
+        final.agg(
+            (
+                F.sum((F.col("s") * F.col("s")).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("eigval")
+        )
+    )
+    return (
+        w.select(F.posexplode("w").alias("pos", "loading"))
+        .join(lam)
+        .select(
+            "pos",
+            F.round("loading", 6).alias("loading"),
+            F.round("eigval", 4).alias("eigval"),
+        )
+    )
+
+
+def _centered_and_top_pc(
+    spark: SparkSession, sf_dir: str, n_iter: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Shared power-iteration core for E306/E313: returns the
+    mean-centered vector relation (vec_id, c) and the one-row unit
+    eigenvector relation (w). See :func:`top_principal_component` for
+    the determinism contract."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -2502,28 +2534,44 @@ def top_principal_component(
                 ),
             ).alias("w")
         )
-    # Rayleigh quotient λ = Σ s² / n on the final w
-    final = centered.join(F.broadcast(w)).select(
-        "c", dot_product(F.col("c"), F.col("w")).alias("s")
+    return centered, w
+
+
+def embedding_abtt(spark: SparkSession, sf_dir: str, n_iter: int = 2) -> DataFrame:
+    """EXT E313: all-but-the-top embedding post-processing (Mu &
+    Viswanath 2018, arXiv:1702.01417): subtract the corpus mean and
+    the projection on the dominant principal component from every
+    embedding — the two-line fix that removes the anisotropic common
+    direction and measurably improves cosine-similarity quality. Rides
+    the E306 power-iteration core (shared ``_centered_and_top_pc``).
+
+    Output is the audit relation a pipeline stores next to the
+    rewritten vectors: per vec, the projection coefficient on the top
+    PC and the norm before/after removal (all r6 — each is one IEEE
+    op over DECIMAL-exact folds, so the oracle replays it exactly).
+    Full-vector rewrite is the same ``zip_with`` minus the select of
+    these diagnostics — one scan either way.
+    """
+    centered, w = _centered_and_top_pc(spark, sf_dir, n_iter)
+    proj = centered.join(F.broadcast(w)).select(
+        "vec_id",
+        "c",
+        "w",
+        dot_product(F.col("c"), F.col("w")).alias("t"),
     )
-    lam = F.broadcast(
-        final.agg(
-            (
-                F.sum((F.col("s") * F.col("s")).cast("decimal(38,12)")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1))
-            ).alias("eigval")
-        )
+    out = proj.select(
+        "vec_id",
+        F.col("t"),
+        l2_norm(F.col("c")).alias("nb"),
+        l2_norm(
+            F.zip_with("c", "w", lambda cv, wv: cv - F.col("t") * wv)
+        ).alias("na"),
     )
-    return (
-        w.select(F.posexplode("w").alias("pos", "loading"))
-        .join(lam)
-        .select(
-            "pos",
-            F.round("loading", 6).alias("loading"),
-            F.round("eigval", 4).alias("eigval"),
-        )
+    return out.select(
+        "vec_id",
+        F.round("t", 6).alias("proj_coeff"),
+        F.round("nb", 6).alias("norm_before"),
+        F.round("na", 6).alias("norm_after"),
     )
 
 

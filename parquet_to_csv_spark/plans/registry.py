@@ -8878,8 +8878,7 @@ FROM asg GROUP BY 1, 2
 
 _PI_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
 
-QUERIES["top_principal_component"] = _sim.top_principal_component
-ORACLES["top_principal_component"] = f"""
+_PI_CTE = f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -8915,7 +8914,12 @@ WITH emb AS (
 ), w2 AS (
   SELECT list_transform(raw, x -> x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS w
   FROM r2
-), fin AS (
+)
+"""
+
+QUERIES["top_principal_component"] = _sim.top_principal_component
+ORACLES["top_principal_component"] = _PI_CTE + f"""
+, fin AS (
   SELECT {_PI_DOT.format(a='c', b='w2.w')} AS s FROM cent CROSS JOIN w2
 ), lam AS (
   SELECT CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS eigval
@@ -8925,6 +8929,20 @@ SELECT CAST(t.pos AS INTEGER) AS pos,
        round(w2.w[t.pos + 1], 6) AS loading,
        round(lam.eigval, 4) AS eigval
 FROM w2 CROSS JOIN lam, unnest(range(0, len(w2.w))) AS t(pos)
+"""
+
+QUERIES["embedding_abtt"] = _sim.embedding_abtt
+ORACLES["embedding_abtt"] = _PI_CTE + f"""
+, pr AS (
+  SELECT cent.vec_id, cent.c, w2.w,
+         {_PI_DOT.format(a='cent.c', b='w2.w')} AS t
+  FROM cent CROSS JOIN w2
+)
+SELECT vec_id, round(t, 6) AS proj_coeff,
+       round(sqrt(list_sum(list_transform(c, x -> x * x))), 6) AS norm_before,
+       round(sqrt(list_sum(list_transform(list_zip(c, w),
+             p -> (p[1] - t * p[2]) * (p[1] - t * p[2])))), 6) AS norm_after
+FROM pr
 """
 
 QUERIES["label_cohesion_exact"] = _sim.label_cohesion_exact
@@ -8997,6 +9015,127 @@ SELECT a.img_id, CAST(a.h AS BIGINT) AS height, CAST(a.w AS BIGINT) AS width,
        CAST(coalesce(hist.n_px, 0) AS BIGINT) AS n_px
 FROM allbins a
 LEFT JOIN hist ON a.img_id = hist.img_id AND a.bin = hist.bin
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E310 — duplication provenance forest
+# --------------------------------------------------------------------------
+
+QUERIES["dup_provenance"] = dedup.dup_provenance
+ORACLES["dup_provenance"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                      AS DOUBLE), 4) AS jaccard
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM prs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM prs
+), cc(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.l FROM edges e JOIN cc ON cc.v = e.w
+), cl AS (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM cc GROUP BY v
+), par AS (
+  SELECT doc_id, earlier_doc AS parent_id, jaccard AS parent_jaccard FROM (
+    SELECT doc_b AS doc_id, doc_a AS earlier_doc, jaccard,
+           row_number() OVER (PARTITION BY doc_b
+                              ORDER BY jaccard DESC, doc_a ASC) AS rn
+    FROM prs
+  ) WHERE rn = 1
+)
+SELECT cl.doc_id, cl.cluster_id,
+       CAST(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_root,
+       par.parent_id, par.parent_jaccard
+FROM cl LEFT JOIN par USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E311 — quality-first curriculum admission (token budget)
+# --------------------------------------------------------------------------
+
+QUERIES["curriculum_schedule"] = corpus.curriculum_schedule
+ORACLES["curriculum_schedule"] = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         coalesce(CASE WHEN len({_TOKS}) > 0
+           THEN CAST(round(len(list_distinct({_TOKS}))
+                     / CAST(len({_TOKS}) AS DOUBLE) * 10000) AS BIGINT)
+           END, -1) AS q
+  FROM documents
+), b AS (
+  SELECT sum(n_tokens) * 600000 // 1000000 AS budget FROM base
+), cum AS (
+  SELECT doc_id, source, n_tokens, q,
+         sum(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+), adm AS (
+  SELECT source, n_tokens, q, c <= (SELECT budget FROM b) AS admitted FROM cum
+)
+SELECT source,
+       CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(sum(CASE WHEN admitted THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_admitted,
+       min(CASE WHEN admitted THEN q END) AS cutoff_q
+FROM adm GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E312 — split-conformal prediction intervals
+# --------------------------------------------------------------------------
+
+QUERIES["conformal_intervals"] = mlmetrics.conformal_intervals
+ORACLES["conformal_intervals"] = f"""
+WITH base AS (
+  SELECT o.o_orderkey, {duck_units('o.o_totalprice', 2)} AS cents,
+         c.c_mktsegment, (((instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 4096 + (instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) * 256 + (instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1) * 1) % 3) AS fold
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), pred AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_train,
+         CAST(sum(cents) // count(*) AS BIGINT) AS pred_cents
+  FROM base WHERE fold = 0 GROUP BY 1
+), cal AS (
+  SELECT b.c_mktsegment, b.o_orderkey, abs(b.cents - p.pred_cents) AS r
+  FROM base b JOIN pred p USING (c_mktsegment) WHERE b.fold = 1
+), nc AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1
+), kk AS (
+  SELECT c_mktsegment, n_cal,
+         least(((n_cal + 1) * 900000 + 999999) // 1000000, n_cal) AS k
+  FROM nc
+), qh AS (
+  SELECT c_mktsegment, CAST(r AS BIGINT) AS qhat_cents FROM (
+    SELECT c.c_mktsegment, c.r,
+           row_number() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY c.r, c.o_orderkey) AS rn,
+           kk.k
+    FROM cal c JOIN kk USING (c_mktsegment)
+  ) WHERE rn = k
+), ev AS (
+  SELECT b.c_mktsegment, CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN abs(b.cents - p.pred_cents) <= q.qhat_cents
+                  THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           AS coverage_ppm
+  FROM base b JOIN pred p USING (c_mktsegment) JOIN qh q USING (c_mktsegment)
+  WHERE b.fold = 2 GROUP BY 1
+)
+SELECT p.c_mktsegment, p.n_train, p.pred_cents, nc.n_cal,
+       qh.qhat_cents, ev.n_eval, ev.coverage_ppm
+FROM pred p JOIN nc USING (c_mktsegment) JOIN qh USING (c_mktsegment)
+JOIN ev USING (c_mktsegment)
 """
 
 
