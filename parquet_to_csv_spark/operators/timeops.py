@@ -2398,3 +2398,156 @@ def type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_both * 1000000 div (na + nb - n_both)").alias("jaccard_ppm"),
         )
     )
+
+
+def markov_attribution(
+    spark: SparkSession, sf_dir: str, n_iter: int = 12
+) -> DataFrame:
+    """EXT E314: Markov removal-effect attribution — the data-driven
+    multi-touch model that completes the attribution family (E211
+    last-touch, E291 position-based): build the first-order journey
+    chain (START → touches → CONV/NULL, purchase absorbing), compute
+    the absorption probability P(CONV | START) by fixed-point
+    iteration, and credit each channel by its REMOVAL EFFECT — how
+    much conversion probability disappears when that channel's
+    inbound edges are redirected to NULL (Anderl et al. 2014).
+
+    Everything is relational and bounded: journeys are one ordered
+    window per user; the transition matrix is a tiny (states²)
+    relation; the ``n_iter`` fixed-point steps and the 1+k removal
+    scenarios iterate over SCENARIO-TAGGED copies of that tiny
+    relation (one groupBy per step, products cast to DECIMAL(38,18)
+    before summation so the ≤|states| additions are order-exact). The
+    DuckDB oracle unrolls the same iterations symbolically — bit-for-
+    bit parity, no tolerance.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w))
+    conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("crn"))
+    )
+    kept = (
+        seq.join(conv, "user_id", "left")
+        .filter(F.col("crn").isNull() | (F.col("rn") <= F.col("crn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("rn")
+    steps = (
+        kept.withColumn("nxt", F.coalesce(F.lead("st").over(w2), F.lit("NULL")))
+        .filter(F.col("st") != "CONV")
+        .select(F.col("st").alias("cur"), "nxt")
+    )
+    start = kept.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("cur"), F.col("st").alias("nxt")
+    )
+    trans = steps.union(start).groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outs = trans.groupBy("cur").agg(F.sum("n").alias("out_n"))
+    pm = trans.join(outs, "cur").select(
+        "cur", "nxt", (F.col("n") / F.col("out_n")).alias("p")
+    )
+
+    channels = ["view", "click", "signup", "error"]
+    scen = pm.withColumn("scenario", F.lit("base"))
+    for c in channels:
+        redirected = pm.filter(F.col("cur") != c).select(
+            "cur",
+            F.when(F.col("nxt") == c, F.lit("NULL")).otherwise(F.col("nxt")).alias(
+                "nxt"
+            ),
+            "p",
+            F.lit(c).alias("scenario"),
+        )
+        scen = scen.unionByName(redirected)
+    # merge duplicate (scenario, cur, nxt) rows created by redirection —
+    # <=2 doubles per group, summed DECIMAL-exact for order independence.
+    # The lineage cut matters: `scen` is referenced by all n_iter joins;
+    # without it Catalyst re-analyzes the full journey subtree at every
+    # level and the lazy plan goes quadratic (measured minutes at 12
+    # iterations) — cut once, iterate over a flat tiny relation.
+    scen = _dedup_cut(
+        scen.groupBy("scenario", "cur", "nxt")
+        .agg(F.sum(F.col("p").cast("decimal(38,18)")).cast("double").alias("p"))
+    )
+
+    scenarios = scen.select("scenario").distinct()
+    pk = scenarios.select("scenario", F.lit("CONV").alias("state"),
+                          F.lit(1.0).alias("pv"))
+    for i in range(n_iter):
+        s = scen.alias(f"s{i}")
+        q = pk.alias(f"q{i}")
+        stepped = (
+            s.join(
+                q,
+                (F.col(f"s{i}.scenario") == F.col(f"q{i}.scenario"))
+                & (F.col(f"s{i}.nxt") == F.col(f"q{i}.state")),
+            )
+            .groupBy(F.col(f"s{i}.scenario"), F.col(f"s{i}.cur"))
+            .agg(
+                F.sum((F.col(f"s{i}.p") * F.col(f"q{i}.pv")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("pv")
+            )
+            .select(
+                F.col("scenario"), F.col("cur").alias("state"), F.col("pv")
+            )
+        )
+        # periodic cut (the CC/LPA discipline): a tiny-relation join
+        # chain is cheap to ANALYZE three levels deep, so cutting every
+        # third round balances job overhead vs plan growth
+        pk = stepped.unionByName(
+            scenarios.select(
+                "scenario", F.lit("CONV").alias("state"), F.lit(1.0).alias("pv")
+            )
+        )
+        if i % 3 == 2:
+            pk = _dedup_cut(pk)
+    pstart = pk.filter(F.col("state") == "START").select("scenario", "pv")
+    base = F.broadcast(
+        pstart.filter(F.col("scenario") == "base").select(
+            F.col("pv").alias("p_base")
+        )
+    )
+    eff = (
+        pstart.filter(F.col("scenario") != "base")
+        .join(base)
+        .select(
+            F.col("scenario").alias("channel"),
+            "p_base",
+            F.col("pv").alias("p_removed"),
+            F.floor(
+                F.greatest(F.col("p_base") - F.col("pv"), F.lit(0.0)) * 1e6
+            ).cast("long").alias("effect_micro"),
+        )
+    )
+    tot = F.broadcast(eff.agg(F.sum("effect_micro").alias("tot_eff")))
+    return (
+        eff.join(tot)
+        .select(
+            "channel",
+            F.round("p_base", 6).alias("p_conv_base"),
+            F.round("p_removed", 6).alias("p_conv_removed"),
+            "effect_micro",
+            F.when(
+                F.col("tot_eff") > 0,
+                F.expr("effect_micro * 1000000 div tot_eff"),
+            ).otherwise(F.lit(0)).alias("share_ppm"),
+        )
+    )

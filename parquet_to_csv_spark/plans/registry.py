@@ -9139,6 +9139,98 @@ JOIN ev USING (c_mktsegment)
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E314 — Markov removal-effect attribution (unrolled fixed point)
+# --------------------------------------------------------------------------
+
+def _markov_oracle(n_iter: int = 12) -> str:
+    """Symbolically unrolls the same fixed-point iterations the Spark
+    builder runs — no recursive CTE (aggregation inside recursion is
+    engine-dependent), just n_iter generated CTE stages."""
+    chans = ["view", "click", "signup", "error"]
+    scen_union = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS scenario, cur,\n"
+        f"         CASE WHEN nxt = '{c}' THEN 'NULL' ELSE nxt END AS nxt, p\n"
+        f"  FROM pm WHERE cur <> '{c}'"
+        for c in chans
+    )
+    head = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+  FROM ev
+), conv AS (
+  SELECT user_id, min(rn) AS crn FROM seq WHERE event_type = 'purchase' GROUP BY 1
+), kept AS (
+  SELECT s.user_id, s.rn,
+         CASE WHEN s.event_type = 'purchase' THEN 'CONV' ELSE s.event_type END AS st
+  FROM seq s LEFT JOIN conv c USING (user_id)
+  WHERE c.crn IS NULL OR s.rn <= c.crn
+), steps AS (
+  SELECT user_id, st,
+         coalesce(lead(st) OVER (PARTITION BY user_id ORDER BY rn), 'NULL') AS nxt
+  FROM kept
+), st2 AS (
+  SELECT st AS cur, nxt FROM steps WHERE st <> 'CONV'
+  UNION ALL
+  SELECT 'START' AS cur, st AS nxt FROM kept WHERE rn = 1
+), trans AS (
+  SELECT cur, nxt, count(*) AS n FROM st2 GROUP BY 1, 2
+), outs AS (
+  SELECT cur, sum(n) AS out_n FROM trans GROUP BY 1
+), pm AS (
+  SELECT t.cur, t.nxt, t.n / CAST(o.out_n AS DOUBLE) AS p
+  FROM trans t JOIN outs o USING (cur)
+), scen0 AS (
+  SELECT 'base' AS scenario, cur, nxt, p FROM pm
+  UNION ALL
+{scen_union}
+), scen AS MATERIALIZED (
+  SELECT scenario, cur, nxt,
+         CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS p
+  FROM scen0 GROUP BY 1, 2, 3
+), scenarios AS MATERIALIZED (
+  SELECT DISTINCT scenario FROM scen
+), p0 AS (
+  SELECT scenario, 'CONV' AS state, CAST(1.0 AS DOUBLE) AS pv FROM scenarios
+)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f""", p{k} AS MATERIALIZED (
+  SELECT s.scenario, s.cur AS state,
+         CAST(sum(CAST(s.p * q.pv AS DECIMAL(38,18))) AS DOUBLE) AS pv
+  FROM scen s JOIN p{k - 1} q ON s.scenario = q.scenario AND s.nxt = q.state
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT scenario, 'CONV' AS state, CAST(1.0 AS DOUBLE) AS pv FROM scenarios
+)""")
+    tail = f""", pstart AS (
+  SELECT scenario, pv FROM p{n_iter} WHERE state = 'START'
+), base AS (
+  SELECT pv AS p_base FROM pstart WHERE scenario = 'base'
+), eff AS (
+  SELECT ps.scenario AS channel, b.p_base, ps.pv AS p_removed,
+         CAST(floor(greatest(b.p_base - ps.pv, 0.0) * 1000000) AS BIGINT)
+           AS effect_micro
+  FROM pstart ps CROSS JOIN base b WHERE ps.scenario <> 'base'
+), tot AS (
+  SELECT sum(effect_micro) AS tot_eff FROM eff
+)
+SELECT channel, round(p_base, 6) AS p_conv_base,
+       round(p_removed, 6) AS p_conv_removed, effect_micro,
+       CAST(CASE WHEN t.tot_eff > 0
+            THEN effect_micro * 1000000 // t.tot_eff ELSE 0 END AS BIGINT) AS share_ppm
+FROM eff CROSS JOIN tot t
+"""
+    return head + "".join(its) + tail
+
+
+QUERIES["markov_attribution"] = timeops.markov_attribution
+ORACLES["markov_attribution"] = _markov_oracle(12)
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

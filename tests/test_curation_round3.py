@@ -268,3 +268,59 @@ def test_embedding_abtt_removes_top_component(spark, sf_dir):
         # norm_after^2 + t^2 ≈ norm_before^2
         lhs = r["norm_after"] ** 2 + r["proj_coeff"] ** 2
         assert abs(lhs - r["norm_before"] ** 2) < 1e-3
+
+
+def test_markov_attribution_properties(spark, sf_dir):
+    """Removal-effect sanity: shares are a partition of ~1e6 ppm,
+    effects are non-negative, removing a channel can only REDUCE
+    conversion probability, and p_conv_base matches an independent
+    numpy absorbing-chain replay of the same 12 iterations."""
+    from collections import defaultdict
+
+    from parquet_to_csv_spark.operators import timeops
+
+    rows = timeops.markov_attribution(spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} == {"view", "click", "signup", "error"}
+    tot = sum(r["share_ppm"] for r in rows)
+    assert 0 < tot <= 10**6
+    for r in rows:
+        assert 0 <= r["p_conv_removed"] <= r["p_conv_base"] + 1e-9
+        assert r["effect_micro"] >= 0
+
+    # independent replay: rebuild journeys + base-chain absorption in python
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS us")
+        .collect(),
+        key=lambda r: (r["user_id"], r["us"], r["event_id"]),
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r["event_type"])
+    trans = defaultdict(int)
+    for types in by_user.values():
+        journey = []
+        for t in types:
+            journey.append("CONV" if t == "purchase" else t)
+            if t == "purchase":
+                break
+        trans[("START", journey[0])] += 1
+        for a, b in zip(journey, journey[1:]):
+            if a != "CONV":
+                trans[(a, b)] += 1
+        if journey[-1] != "CONV":
+            trans[(journey[-1], "NULL")] += 1
+    outs = defaultdict(int)
+    for (a, _), n in trans.items():
+        outs[a] += n
+    p = {k: n / outs[k[0]] for k, n in trans.items()}
+    pv = {"CONV": 1.0}
+    for _ in range(12):
+        nxt = {}
+        for s in outs:
+            nxt[s] = sum(pr * pv.get(t, 0.0) for (a, t), pr in p.items() if a == s)
+        nxt["CONV"] = 1.0
+        pv = nxt
+    base = {r["channel"]: r for r in rows}
+    some = next(iter(base.values()))
+    assert abs(some["p_conv_base"] - round(pv["START"], 6)) < 1e-5
