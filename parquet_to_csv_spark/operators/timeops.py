@@ -2482,9 +2482,13 @@ def markov_attribution(
     # without it Catalyst re-analyzes the full journey subtree at every
     # level and the lazy plan goes quadratic (measured minutes at 12
     # iterations) — cut once, iterate over a flat tiny relation.
+    # coalesce(1): the matrix is <=|states|^2 x 5 rows; every fixed-point
+    # job after the cut becomes a single task instead of 32 shuffle
+    # partitions of nothing
     scen = _dedup_cut(
         scen.groupBy("scenario", "cur", "nxt")
         .agg(F.sum(F.col("p").cast("decimal(38,18)")).cast("double").alias("p"))
+        .coalesce(1)
     )
 
     scenarios = scen.select("scenario").distinct()
@@ -2518,7 +2522,7 @@ def markov_attribution(
             )
         )
         if i % 3 == 2:
-            pk = _dedup_cut(pk)
+            pk = _dedup_cut(pk.coalesce(1))
     pstart = pk.filter(F.col("state") == "START").select("scenario", "pv")
     base = F.broadcast(
         pstart.filter(F.col("scenario") == "base").select(
