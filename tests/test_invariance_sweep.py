@@ -62,6 +62,12 @@ FLOAT_ADJACENT = [
     "top_principal_component",
     "label_cohesion_exact",
     "leakage_safe_split",
+    "dup_provenance",
+    "curriculum_schedule",
+    "conformal_intervals",
+    "embedding_abtt",
+    "markov_attribution",
+    "multimodal_real_decode",
 ]
 
 
