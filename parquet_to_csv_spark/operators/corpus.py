@@ -2112,3 +2112,81 @@ def curriculum_schedule(
         ),
         F.min(F.when(F.col("admitted"), F.col("q"))).alias("cutoff_q"),
     )
+
+
+def similarity_order_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E318: similarity-ordered layout benefit — quantifies the
+    compression/locality win of writing similar documents ADJACENTLY
+    (the sort-before-write trick behind Z-order for text: parquet
+    dictionary/page compression and dedup both improve when neighbors
+    share content). Per (lang, source) block: mean Jaccard of
+    CONSECUTIVE document pairs under (a) arrival order (doc_id) and
+    (b) a content sort key (distinct-token count, then minimum token) —
+    the delta in exact milli units is the measured adjacency gain a
+    rewrite would buy. (Key choice was MEASURED on the fixture:
+    token-prefix keys scored below arrival order; (size, min-token)
+    is the best portable key tried.)
+
+    The sort key is deliberately PORTABLE (no engine-private MinHash),
+    so the oracle replays the whole metric. Windows are partitioned by
+    the block — bounded, no global sort; Jaccard is exact over
+    distinct-token arrays.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_distinct(tokens_col("text")).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks"))
+        .withColumn("mintok", F.array_min("toks"))
+    )
+    inter = F.size(F.array_intersect("toks", "nxt_toks"))
+    union = F.size("toks") + F.size("nxt_toks") - inter
+    jac_milli = F.when(
+        F.col("usz") > 0,
+        F.expr("CAST(round(isz / CAST(usz AS DOUBLE) * 1000) AS BIGINT)"),
+    )
+
+    def adjacency(order_cols, label):
+        w = Window.partitionBy("lang", "source").orderBy(*order_cols)
+        pairs = t.select(
+            "lang",
+            "source",
+            "toks",
+            F.lead("toks").over(w).alias("nxt_toks"),
+        ).filter(F.col("nxt_toks").isNotNull())
+        return (
+            pairs.select(
+                "lang",
+                "source",
+                inter.alias("isz"),
+                union.alias("usz"),
+            )
+            .select("lang", "source", jac_milli.alias("j"))
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.expr("sum(j) div count(1)").alias(label),
+            )
+        )
+
+    a = adjacency([F.asc("doc_id")], "adj_milli_arrival")
+    b = adjacency(
+        [F.asc("sz"), F.asc("mintok"), F.asc("doc_id")], "adj_milli_sorted"
+    ).drop("n_pairs")
+    return (
+        a.join(b, ["lang", "source"])
+        .select(
+            "lang",
+            "source",
+            "n_pairs",
+            "adj_milli_arrival",
+            "adj_milli_sorted",
+            (F.col("adj_milli_sorted") - F.col("adj_milli_arrival")).alias(
+                "gain_milli"
+            ),
+        )
+    )

@@ -9231,6 +9231,53 @@ QUERIES["markov_attribution"] = timeops.markov_attribution
 ORACLES["markov_attribution"] = _markov_oracle(12)
 
 
+# --------------------------------------------------------------------------
+# EXT E318 — similarity-ordered layout benefit
+# --------------------------------------------------------------------------
+
+QUERIES["similarity_order_benefit"] = corpus.similarity_order_benefit
+ORACLES["similarity_order_benefit"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks,
+         len(list_distinct({_TOKS})) AS sz,
+         list_aggregate(list_distinct({_TOKS}), 'min') AS mintok
+  FROM documents
+), arr AS (
+  SELECT lang, source, toks,
+         lead(toks) OVER (PARTITION BY lang, source ORDER BY doc_id) AS nt
+  FROM t
+), srt AS (
+  SELECT lang, source, toks,
+         lead(toks) OVER (PARTITION BY lang, source
+                          ORDER BY sz, mintok, doc_id) AS nt
+  FROM t
+), ja AS (
+  SELECT lang, source,
+         CAST(round(len(list_intersect(toks, nt))
+              / CAST(len(toks) + len(nt) - len(list_intersect(toks, nt))
+                     AS DOUBLE) * 1000) AS BIGINT) AS j
+  FROM arr WHERE nt IS NOT NULL
+), js AS (
+  SELECT lang, source,
+         CAST(round(len(list_intersect(toks, nt))
+              / CAST(len(toks) + len(nt) - len(list_intersect(toks, nt))
+                     AS DOUBLE) * 1000) AS BIGINT) AS j
+  FROM srt WHERE nt IS NOT NULL
+), aa AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(j) // count(*) AS BIGINT) AS adj_milli_arrival
+  FROM ja GROUP BY 1, 2
+), bb AS (
+  SELECT lang, source, CAST(sum(j) // count(*) AS BIGINT) AS adj_milli_sorted
+  FROM js GROUP BY 1, 2
+)
+SELECT aa.lang, aa.source, aa.n_pairs, aa.adj_milli_arrival,
+       bb.adj_milli_sorted,
+       bb.adj_milli_sorted - aa.adj_milli_arrival AS gain_milli
+FROM aa JOIN bb USING (lang, source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -297,3 +297,173 @@ def sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cands)}, {rows})"
         " AS (column_name, n_distinct, expected_run_len, density_ppm)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 lakehouse-maintenance tier (E315-E317): versioned snapshots,
+# orphan detection / vacuum, compaction planning. Hand-rolled on stock
+# Spark + parquet the way minmax_manifest is: the manifest IS the table
+# (Delta/Iceberg's core idea), data files are immutable, and every
+# maintenance decision reads manifests, never the data.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    import os
+
+    return os.path.join(table_dir, "manifests", f"v{version}.json")
+
+
+def latest_version(table_dir: str) -> int | None:
+    """Highest committed snapshot version, or None for an empty table."""
+    import glob
+    import os
+    import re
+
+    vs = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(table_dir, "manifests", "v*.json"))
+        if (m := re.match(r"v(\d+)\.json$", os.path.basename(p)))
+    ]
+    return max(vs) if vs else None
+
+
+def commit_version(
+    spark: SparkSession, table_dir: str, df: DataFrame, mode: str = "append"
+) -> int:
+    """EXT E315 (write side): commit ``df`` as a new immutable snapshot.
+
+    Data files land under ``data/v{N}/`` (never rewritten); the
+    snapshot manifest ``manifests/v{N}.json`` lists EVERY live file of
+    the version — previous live files plus the new ones for
+    ``append``, only the new ones for ``overwrite``. Readers resolve a
+    manifest, never a directory listing, so concurrent/failed writes
+    can't tear a snapshot (the manifest write is the atomic commit
+    point — same contract as Delta's _delta_log, minus the JVM).
+    """
+    import json
+    import os
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(mode)
+    prev = latest_version(table_dir)
+    version = 0 if prev is None else prev + 1
+    data_dir = os.path.join(table_dir, "data", f"v{version}")
+    df.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    live: list[str] = []
+    if mode == "append" and prev is not None:
+        live = json.load(open(_manifest_path(table_dir, prev)))["files"]
+    manifest = {"version": version, "mode": mode, "files": live + new_files}
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, _manifest_path(table_dir, version))  # atomic commit
+    return version
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """EXT E315 (read side): time travel — read the table EXACTLY as of
+    ``version`` (default latest). A snapshot read is a parquet scan of
+    the manifest's file list; appends/overwrites committed later are
+    invisible by construction."""
+    import json
+
+    if version is None:
+        version = latest_version(table_dir)
+    if version is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    files = json.load(open(_manifest_path(table_dir, version)))["files"]
+    if not files:
+        raise ValueError(f"version {version} has no files")
+    return spark.read.parquet(*files)
+
+
+def orphan_files(table_dir: str, keep_versions: int = 1) -> list[str]:
+    """EXT E316: data files on disk referenced by NONE of the last
+    ``keep_versions`` snapshots — the safe-to-delete set (time travel
+    to retained versions keeps working). Pure manifest/directory
+    arithmetic; never opens a data file."""
+    import glob
+    import json
+    import os
+
+    latest = latest_version(table_dir)
+    if latest is None:
+        return []
+    referenced: set[str] = set()
+    for v in range(max(0, latest - keep_versions + 1), latest + 1):
+        p = _manifest_path(table_dir, v)
+        if os.path.exists(p):
+            referenced.update(json.load(open(p))["files"])
+    on_disk = set(
+        glob.glob(os.path.join(table_dir, "data", "v*", "*.parquet"))
+    )
+    return sorted(on_disk - referenced)
+
+
+def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+    """EXT E316: delete orphans (per :func:`orphan_files`) and any
+    manifest older than the retention window; returns deleted data
+    files. Deleting a still-referenced file is impossible by
+    construction — the orphan set is disk MINUS retained manifests."""
+    import glob
+    import os
+    import re
+
+    doomed = orphan_files(table_dir, keep_versions)
+    for p in doomed:
+        os.remove(p)
+    latest = latest_version(table_dir)
+    if latest is not None:
+        cutoff = latest - keep_versions + 1
+        for p in glob.glob(os.path.join(table_dir, "manifests", "v*.json")):
+            m = re.match(r"v(\d+)\.json$", os.path.basename(p))
+            if m and int(m.group(1)) < cutoff:
+                os.remove(p)
+    return doomed
+
+
+def compaction_plan(
+    manifest: DataFrame, target_rows: int = 100_000, order_col: str | None = None
+) -> DataFrame:
+    """EXT E317: small-file compaction planner over a
+    :func:`minmax_manifest`: order files (by ``min_{order_col}`` when
+    given — preserves clustering — else by file name) and greedily
+    bin files into merge batches of ~``target_rows``. Output is the
+    DECISION TABLE (batch_id, n_files, n_rows, needs_compaction) a
+    maintenance job executes; single-file batches already at target
+    are flagged no-op. The manifest is one row per FILE — metadata
+    scale, so the assignment window is explicitly fine at any data
+    size (it never touches data rows)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    key = f"min_{order_col}" if order_col else "file"
+    w = W.orderBy(key, "file").rowsBetween(W.unboundedPreceding, -1)
+    assigned = manifest.select(
+        "file",
+        "n_rows",
+        (F.coalesce(F.sum("n_rows").over(w), F.lit(0)) / F.lit(target_rows))
+        .cast("long")
+        .alias("batch_id"),
+    )
+    return (
+        assigned.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sort_array(F.collect_list("file")).alias("files"),
+        )
+        .withColumn(
+            "needs_compaction",
+            (F.col("n_files") > 1) | (F.col("n_rows") < target_rows),
+        )
+    )

@@ -324,3 +324,17 @@ def test_markov_attribution_properties(spark, sf_dir):
     base = {r["channel"]: r for r in rows}
     some = next(iter(base.values()))
     assert abs(some["p_conv_base"] - round(pv["START"], 6)) < 1e-5
+
+
+def test_similarity_order_benefit_measures_real_gain(spark, sf_dir):
+    """The content sort key must beat arrival order on average across
+    blocks (it was chosen by measurement), and every block's metrics
+    must be valid milli values."""
+    rows = corpus.similarity_order_benefit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["adj_milli_arrival"] <= 1000
+        assert 0 <= r["adj_milli_sorted"] <= 1000
+        assert r["gain_milli"] == r["adj_milli_sorted"] - r["adj_milli_arrival"]
+    mean_gain = sum(r["gain_milli"] for r in rows) / len(rows)
+    assert mean_gain > 0
