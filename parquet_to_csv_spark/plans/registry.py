@@ -9278,6 +9278,36 @@ FROM aa JOIN bb USING (lang, source)
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E319 — Python DataSource (Spark 4 API): synthetic corpus source
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.sources.pysource import synthetic_source_digest as _synth_digest  # noqa: E402
+
+# The oracle derives the digest from the CONTENT FORMULAS over
+# range(n) — the Python source never runs in DuckDB, so any
+# generation defect (partition boundaries, modulo drift) breaks a value.
+QUERIES["synthetic_source_digest"] = _synth_digest
+ORACLES["synthetic_source_digest"] = """
+WITH g AS (
+  SELECT t.i AS doc_id,
+         (['en','de','fr','es','pt'])[(t.i % 5) + 1] AS lang,
+         'synth' || CAST(t.i % 4 AS VARCHAR) AS source,
+         t.i % 13 + 3 AS reps,
+         t.i % 97 AS tokid
+  FROM unnest(range(0, 20000)) AS t(i)
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(reps) AS BIGINT) AS token_mass,
+       CAST(count(DISTINCT 'tok' || CAST(tokid AS VARCHAR) || '_'
+                  || CAST(reps AS VARCHAR)) AS BIGINT) AS n_distinct_texts,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(reps * length('tok' || CAST(tokid AS VARCHAR)) + reps - 1)
+            AS BIGINT) AS char_mass
+FROM g GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -1,0 +1,111 @@
+"""Python DataSource (Spark 4 API) — deterministic synthetic corpus.
+
+EXT E319: the newest extension surface in Spark (4.x
+``pyspark.sql.datasource``): a first-class, partition-parallel SOURCE
+implemented in Python and registered like any format. This one
+GENERATES a deterministic synthetic document corpus from row ids —
+the scale-testing workhorse: a 100 TB corpus materializes on demand
+across executors with zero storage, and because every field is a pure
+function of the row id, the DuckDB oracle replays aggregate digests
+with arithmetic alone (the E309 discipline applied to a source).
+
+Usage::
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (spark.read.format("synthetic_docs")
+          .option("n_rows", 100000).option("n_partitions", 32).load())
+
+Each partition generates its own contiguous id range — no driver
+bottleneck, no shuffle; parallelism is the ``n_partitions`` option.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+# Deterministic content model (pure functions of doc_id — keep in sync
+# with the oracle in plans/registry.py):
+#   lang    = LANGS[doc_id % 5]
+#   source  = "synth" || (doc_id % 4)
+#   text    = "tok<doc_id % 97>" repeated (doc_id % 13 + 3) times,
+#             joined by single spaces
+LANGS = ["en", "de", "fr", "es", "pt"]
+_SCHEMA = "doc_id bigint, lang string, source string, text string, n_tokens bigint"
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        per = (self.n_rows + self.n_partitions - 1) // self.n_partitions
+        return [
+            _RangePartition(i * per, min((i + 1) * per, self.n_rows))
+            for i in range(self.n_partitions)
+            if i * per < self.n_rows
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            reps = i % 13 + 3
+            tok = f"tok{i % 97}"
+            yield (
+                i,
+                LANGS[i % 5],
+                f"synth{i % 4}",
+                " ".join([tok] * reps),
+                reps,
+            )
+
+
+class SyntheticDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema: StructType) -> SyntheticDocsReader:
+        return SyntheticDocsReader(schema, self.options)
+
+
+def synthetic_docs(spark, n_rows: int = 100_000, n_partitions: int = 32):
+    """Register (idempotent) and read the synthetic corpus source."""
+    spark.dataSource.register(SyntheticDocsDataSource)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", n_rows)
+        .option("n_partitions", n_partitions)
+        .load()
+    )
+
+
+def synthetic_source_digest(spark, sf_dir: str, n_rows: int = 20_000):
+    """EXT E319 gate query: aggregate digest of the generated corpus —
+    per (lang, source): row count, token mass, distinct texts, and an
+    exact integer id-sum — which the DuckDB oracle derives from the
+    content FORMULAS over ``range(n_rows)`` without ever running the
+    Python source. Any generation defect (partition boundary bug,
+    modulo drift, repetition error) breaks a value. ``sf_dir`` unused
+    (generated workload; uniform registry signature)."""
+    from pyspark.sql import functions as F
+
+    df = synthetic_docs(spark, n_rows=n_rows)
+    return df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("token_mass"),
+        F.count_distinct("text").alias("n_distinct_texts"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("text")).alias("char_mass"),
+    )

@@ -338,3 +338,20 @@ def test_similarity_order_benefit_measures_real_gain(spark, sf_dir):
         assert r["gain_milli"] == r["adj_milli_sorted"] - r["adj_milli_arrival"]
     mean_gain = sum(r["gain_milli"] for r in rows) / len(rows)
     assert mean_gain > 0
+
+
+def test_python_datasource_partition_parallel(spark):
+    """E319: the Python DataSource generates the identical corpus at
+    any partition count (partition-boundary correctness), and the row
+    count / schema match the options."""
+    from parquet_to_csv_spark.sources.pysource import synthetic_docs
+
+    a = sorted(map(tuple, synthetic_docs(spark, n_rows=500, n_partitions=1).collect()))
+    b = sorted(map(tuple, synthetic_docs(spark, n_rows=500, n_partitions=7).collect()))
+    assert a == b and len(a) == 500
+    df = synthetic_docs(spark, n_rows=10, n_partitions=3)
+    assert df.rdd.getNumPartitions() == 3 or df.count() == 10
+    assert dict(df.dtypes) == {
+        "doc_id": "bigint", "lang": "string", "source": "string",
+        "text": "string", "n_tokens": "bigint",
+    }
