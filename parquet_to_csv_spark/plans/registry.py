@@ -9308,6 +9308,40 @@ FROM g GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E320 — custom stateful streaming anomaly detector
+# --------------------------------------------------------------------------
+
+QUERIES["streaming_anomaly_drain"] = _stream.anomaly_drain_query
+ORACLES["streaming_anomaly_drain"] = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), pre AS (
+  SELECT user_id, event_id, us, cents,
+         count(*) OVER w AS n_prior,
+         coalesce(sum(cents) OVER w, 0) AS sc_prior,
+         coalesce(sum(cents * cents) OVER w, 0) AS ss_prior
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), flagged AS (
+  SELECT user_id, us,
+         CASE WHEN n_prior >= 5
+              AND (cents * n_prior - sc_prior) * (cents * n_prior - sc_prior)
+                  > 9 * (n_prior * ss_prior - sc_prior * sc_prior)
+              THEN 1 ELSE 0 END AS flag
+  FROM pre
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(flag) AS BIGINT) AS n_flagged,
+       CAST(coalesce(max(CASE WHEN flag = 1 THEN us END), 0) AS BIGINT)
+         AS last_flag_us
+FROM flagged GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

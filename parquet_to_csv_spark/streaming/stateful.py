@@ -237,3 +237,97 @@ def stateful_latest_upsert(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sc", LongType()),
+        StructField("ss", LongType()),
+        StructField("n_flagged", LongType()),
+        StructField("last_flag_us", LongType()),
+    ]
+)
+
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_flagged", LongType()),
+        StructField("last_flag_us", LongType()),
+    ]
+)
+
+_ANOMALY_WARMUP = 5
+
+
+def _update_anomaly(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user streaming anomaly detector: an event is flagged when
+    its value deviates from the PRIOR running mean by more than 3
+    prior standard deviations (population), evaluated in EXACT integer
+    cents — the comparison is cross-multiplied to
+    ``(v·n − sc)² > 9·n·(n·ss − sc²) / n`` … concretely
+    ``(v·n − sc)² > 9·(n·ss − sc²)`` (both sides × n²), so no float
+    enters the decision and the emitted counts are reproducible and
+    oracle-hashable. Events inside the warmup (first 5 per user) are
+    never flagged. Overflow bound: |v·n − sc| ≤ max_cents·n — swap the
+    squares to Python ints (arbitrary precision, done here) or
+    DECIMAL in the SQL twin past ~1e9 events/key.
+    """
+    (user_id,) = key
+    n, sc, ss, n_flagged, last_flag = (
+        state.get if state.exists else (0, 0, 0, 0, 0)
+    )
+    # Arrow may hand one key's batch rows as several chunks — collect
+    # and sort ONCE so the per-event decision order is the true event
+    # order within the micro-batch (bounded by the key's batch rows).
+    chunks = list(pdfs)
+    batch = pd.concat(chunks) if chunks else pd.DataFrame()
+    for pdf in ([batch] if len(batch) else []):
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        cents = (pdf["value"] * 100).round().astype("int64")
+        for us, v in zip(pdf["ts_us"].astype("int64"), cents):
+            v = int(v)
+            if n >= _ANOMALY_WARMUP:
+                lhs = (v * n - sc) ** 2
+                rhs = 9 * (n * ss - sc * sc)
+                if lhs > rhs:
+                    n_flagged += 1
+                    last_flag = int(us)
+            n += 1
+            sc += v
+            ss += v * v
+    state.update((n, sc, ss, n_flagged, last_flag))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "n_flagged": [n_flagged],
+            "last_flag_us": [last_flag],
+        }
+    )
+
+
+def stateful_anomaly(stream: DataFrame) -> DataFrame:
+    """EXT E320: CEP-style per-key anomaly detection as a CUSTOM
+    stateful operator — the detector Spark has no primitive for
+    (per-event decisions against evolving per-key state, not a window
+    aggregate). State per key is five scalars; unbounded keyspaces
+    take the ``stateful_idle_eviction`` timeout pattern verbatim."""
+    from pyspark.sql import functions as F
+
+    typed = stream.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+    )
+    return typed.groupBy("user_id").applyInPandasWithState(
+        _update_anomaly,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -582,3 +582,25 @@ def secret_scrub_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "secret_scrub_drain_" + _uuid.uuid4().hex[:8]
     return run_to_memory(agg, name, spark, output_mode="complete")
+
+
+def anomaly_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E320 through the correctness gate: drain the custom
+    stateful per-user anomaly detector over the staged event stream
+    (one micro-batch ⇒ one final row per user). The flag decision is
+    exact integer arithmetic against prior running stats in event
+    order, so the DuckDB oracle replays it with prefix-window sums —
+    a per-EVENT decision procedure verified value-exactly through the
+    streaming execution path."""
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.streaming.stateful import stateful_anomaly
+
+    stage = _stage_events_dir(spark, sf_dir)
+    name = "t_anomaly_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        stateful_anomaly(read_event_stream(spark, stage)),
+        name,
+        spark,
+        output_mode="update",
+    )

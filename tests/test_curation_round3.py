@@ -355,3 +355,36 @@ def test_python_datasource_partition_parallel(spark):
         "doc_id": "bigint", "lang": "string", "source": "string",
         "text": "string", "n_tokens": "bigint",
     }
+
+
+def test_streaming_anomaly_detector_replay(spark, sf_dir):
+    """E320: the stateful streaming detector must equal a python
+    replay of the exact per-event decision procedure (warmup 5,
+    cross-multiplied 3-sigma rule on prior stats, event order)."""
+    from collections import defaultdict
+
+    from parquet_to_csv_spark.streaming import stream as st
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_flagged"], r["last_flag_us"])
+        for r in st.anomaly_drain_query(spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["us"], r["event_id"]),
+    )
+    stats = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, sc, ss, flags, last
+    for r in ev:
+        s = stats[r["user_id"]]
+        v = int(round(r["value"] * 100))
+        if s[0] >= 5 and (v * s[0] - s[1]) ** 2 > 9 * (s[0] * s[2] - s[1] ** 2):
+            s[3] += 1
+            s[4] = r["us"]
+        s[0] += 1
+        s[1] += v
+        s[2] += v * v
+    expect = {u: (s[0], s[3], s[4]) for u, s in stats.items()}
+    assert got == expect
+    assert sum(f for _, f, _ in got.values()) > 0  # detector non-vacuous
