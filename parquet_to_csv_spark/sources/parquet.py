@@ -53,3 +53,42 @@ def read_parquet_tree(
     if cache:
         df = df.persist(StorageLevel.DISK_ONLY)
     return df
+
+
+def read_jsonl_quarantined(
+    spark, path: str, schema: str, quarantine_dir: str | None = None
+):
+    """S13: malformed-record-tolerant JSONL ingestion — the line-level
+    sibling of S2's file-level corrupt tolerance: PERMISSIVE parse with
+    ``_corrupt_record`` capture splits the input into (good, bad)
+    DataFrames in ONE scan definition; ``quarantine_dir`` additionally
+    persists the bad lines for replay/forensics (the dead-letter
+    pattern) instead of silently dropping them (DROPMALFORMED) or
+    failing the job (FAILFAST).
+
+    Returns (good, bad): ``good`` carries the declared schema columns,
+    ``bad`` the raw offending lines. Spark requires the corrupt-record
+    query to run off a materialization boundary (the parsed relation
+    may not be re-derived lazily per SPARK-38398-adjacent semantics),
+    so ``bad`` reads from the cached parse — documented single-pass
+    cost.
+    """
+    from pyspark.sql import functions as F
+
+    full_schema = schema + ", _corrupt_record string"
+    parsed = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    if quarantine_dir:
+        bad.write.mode("overwrite").text(quarantine_dir)
+    return good, bad

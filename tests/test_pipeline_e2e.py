@@ -179,3 +179,35 @@ def test_sqlite_source_roundtrip(spark, span_tree, tmp_path):
         for r in back.select("duration_ms", "event_type").collect()
     )
     assert got == want
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """S13: malformed lines land in quarantine, good lines parse with
+    the declared schema, nothing is silently dropped."""
+    from parquet_to_csv_spark.sources.parquet import read_jsonl_quarantined
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"a": 1, "b": "x"}\n'
+        "this is not json\n"
+        '{"a": 2, "b": "y"}\n'
+        '{"a": "NaN-ish", "b": 3}\n'  # wrong types -> corrupt under schema
+        '{"a": 3, "b": "z"}\n'
+    )
+    qdir = str(tmp_path / "quarantine")
+    good, bad = read_jsonl_quarantined(
+        spark, str(src), "a long, b string", quarantine_dir=qdir
+    )
+    assert sorted((r["a"], r["b"]) for r in good.collect()) == [
+        (1, "x"), (2, "y"), (3, "z"),
+    ]
+    bad_lines = sorted(r["raw_line"] for r in bad.collect())
+    assert len(bad_lines) == 2 and "not json" in bad_lines[0] + bad_lines[1]
+    import glob
+
+    qfiles = glob.glob(qdir + "/part-*")
+    assert qfiles
+    quarantined = sorted(
+        ln for f in qfiles for ln in open(f).read().splitlines()
+    )
+    assert quarantined == bad_lines
