@@ -1675,8 +1675,12 @@ def conformal_intervals(
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    base = orders.join(cust, "o_custkey").withColumn(
-        "fold", md5_bucket(F.col("o_orderkey"), 3)
+    # base feeds three branches (train stats, calibration residuals,
+    # eval coverage) — persist so the orders⋈customer join runs once
+    base = (
+        orders.join(cust, "o_custkey")
+        .withColumn("fold", md5_bucket(F.col("o_orderkey"), 3))
+        .persist()
     )
     pred = (
         base.filter(F.col("fold") == 0)
