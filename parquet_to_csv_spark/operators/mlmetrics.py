@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_to_csv_spark.functions.stable import exact_units
+from parquet_to_csv_spark.functions.textfn import tokens_col
 from parquet_to_csv_spark.sources.tables import load_table
 
 __all__ = [
@@ -1750,5 +1751,120 @@ def conformal_intervals(
         .select(
             "c_mktsegment", "n_train", "pred_cents", "n_cal",
             "qhat_cents", "n_eval", "coverage_ppm",
+        )
+    )
+
+
+def purged_timeseries_folds(
+    spark: SparkSession, sf_dir: str, n_folds: int = 4, embargo_days: int = 7
+) -> DataFrame:
+    """EXT E323: purged time-series cross-validation folds (the
+    financial-ML discipline: López de Prado's purge+embargo): the
+    event timeline is cut into ``n_folds`` contiguous test blocks by
+    exact day quantiles; each fold's TRAIN set is everything strictly
+    before the test block minus an ``embargo_days`` purge window, so
+    label leakage through temporal adjacency is impossible by
+    construction. Output is the fold table a training job consumes
+    (per fold: train/test row counts, boundary days) plus the audit
+    column that must be ZERO: train rows inside test-or-embargo.
+
+    Fold boundaries are exact order statistics over DAYS (a bounded
+    relation — one groupBy(day) then the tiny quantile pick), never a
+    row-level global sort. Everything integer.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("(ts div 1000) div 86400000000").alias("day")
+    )
+    days = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = F.broadcast(days.agg(F.sum("n").alias("n_total")))
+    cum = days.withColumn("c", F.sum("n").over(w)).join(tot)
+    # fold id of each day: smallest f with c <= ceil(n_total * (f+1) / k)
+    fold_of_day = cum.select(
+        "day",
+        "n",
+        F.expr(
+            f"CAST(floor((c - 1) * {n_folds} / n_total) AS INT)"
+        ).alias("fold"),
+    )
+    per_fold = fold_of_day.groupBy("fold").agg(
+        F.min("day").alias("test_start_day"),
+        F.max("day").alias("test_end_day"),
+        F.sum("n").alias("n_test"),
+    )
+    # train = rows strictly before (test_start - embargo)
+    tr = (
+        fold_of_day.select(F.col("day").alias("d"), F.col("n").alias("m"))
+        .join(F.broadcast(per_fold))
+        .withColumn(
+            "in_train", F.col("d") < F.col("test_start_day") - embargo_days
+        )
+        .withColumn(
+            "leaked",
+            (F.col("d") >= F.col("test_start_day") - embargo_days)
+            & (F.col("d") < F.col("test_start_day")),
+        )
+    )
+    agg = tr.groupBy("fold", "test_start_day", "test_end_day", "n_test").agg(
+        F.sum(F.when(F.col("in_train"), F.col("m")).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("leaked"), F.col("m")).otherwise(0)).alias(
+            "n_embargoed"
+        ),
+        F.sum(
+            F.when(F.col("in_train") & (F.col("d") >= F.col("test_start_day")), F.col("m"))
+            .otherwise(0)
+        ).alias("n_leaking_train_rows"),
+    )
+    return agg.select(
+        "fold",
+        "test_start_day",
+        "test_end_day",
+        "n_test",
+        "n_train",
+        "n_embargoed",
+        "n_leaking_train_rows",
+    )
+
+
+def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E324: leave-one-source-out influence — the cheapest honest
+    data-valuation signal (the additive-metric special case of data
+    Shapley): for a corpus-level quality metric (here: corpus mean
+    unique-token ratio in exact ppm), the delta from REMOVING each
+    source in turn. Sources whose removal RAISES the metric are
+    quality liabilities; the ranking feeds the E303 mixing decision.
+
+    Additivity does the work: one scan computes per-source (Σ ratio_ppm,
+    n); every leave-one-out metric is then scalar arithmetic on the
+    k-row relation against broadcast corpus totals — k metrics for the
+    price of one scan, no per-scenario rescans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    ratio_ppm = F.when(
+        n_tok > 0,
+        F.round(
+            F.size(F.array_distinct(toks)) / n_tok.cast("double") * 1e6, 0
+        ).cast("long"),
+    )
+    per = (
+        docs.select("source", F.coalesce(ratio_ppm, F.lit(0)).alias("r"))
+        .groupBy("source")
+        .agg(F.sum("r").alias("sr"), F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.broadcast(
+        per.agg(F.sum("sr").alias("tsr"), F.sum("n").alias("tn"))
+    )
+    return (
+        per.join(tot)
+        .select(
+            "source",
+            "n",
+            F.expr("tsr div tn").alias("corpus_mean_ppm"),
+            F.expr("(tsr - sr) div (tn - n)").alias("loo_mean_ppm"),
+            F.expr("(tsr - sr) div (tn - n) - tsr div tn").alias(
+                "influence_ppm"
+            ),
         )
     )

@@ -9342,6 +9342,66 @@ FROM flagged GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E323-E324 — purged time-series CV folds, leave-one-source-out influence
+# --------------------------------------------------------------------------
+
+QUERIES["purged_timeseries_folds"] = mlmetrics.purged_timeseries_folds
+ORACLES["purged_timeseries_folds"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day FROM events
+), days AS (
+  SELECT day, count(*) AS n FROM ev GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS n_total FROM days
+), cum AS (
+  SELECT day, n,
+         sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS c
+  FROM days
+), fd AS (
+  SELECT day, n,
+         CAST(floor((c - 1) * 4 / (SELECT n_total FROM tot)) AS INT) AS fold
+  FROM cum
+), pf AS (
+  SELECT fold, min(day) AS test_start_day, max(day) AS test_end_day,
+         CAST(sum(n) AS BIGINT) AS n_test
+  FROM fd GROUP BY 1
+), tr AS (
+  SELECT pf.fold, pf.test_start_day, pf.test_end_day, pf.n_test,
+         fd.day AS d, fd.n AS m,
+         fd.day < pf.test_start_day - 7 AS in_train,
+         fd.day >= pf.test_start_day - 7 AND fd.day < pf.test_start_day AS leaked
+  FROM pf CROSS JOIN fd
+)
+SELECT fold, test_start_day, test_end_day, n_test,
+       CAST(sum(CASE WHEN in_train THEN m ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN leaked THEN m ELSE 0 END) AS BIGINT) AS n_embargoed,
+       CAST(sum(CASE WHEN in_train AND d >= test_start_day THEN m ELSE 0 END)
+            AS BIGINT) AS n_leaking_train_rows
+FROM tr GROUP BY 1, 2, 3, 4
+"""
+
+QUERIES["loo_source_influence"] = mlmetrics.loo_source_influence
+ORACLES["loo_source_influence"] = f"""
+WITH per AS (
+  SELECT source,
+         sum(coalesce(CASE WHEN len({_TOKS}) > 0
+             THEN CAST(round(len(list_distinct({_TOKS}))
+                       / CAST(len({_TOKS}) AS DOUBLE) * 1000000) AS BIGINT)
+             END, 0)) AS sr,
+         count(*) AS n
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(sr) AS tsr, sum(n) AS tn FROM per
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(tsr // tn AS BIGINT) AS corpus_mean_ppm,
+       CAST((tsr - sr) // (tn - n) AS BIGINT) AS loo_mean_ppm,
+       CAST((tsr - sr) // (tn - n) - tsr // tn AS BIGINT) AS influence_ppm
+FROM per CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

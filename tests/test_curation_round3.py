@@ -388,3 +388,34 @@ def test_streaming_anomaly_detector_replay(spark, sf_dir):
     expect = {u: (s[0], s[3], s[4]) for u, s in stats.items()}
     assert got == expect
     assert sum(f for _, f, _ in got.values()) > 0  # detector non-vacuous
+
+
+def test_purged_folds_never_leak(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    rows = mlmetrics.purged_timeseries_folds(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_leaking_train_rows"] == 0
+        assert r["test_start_day"] <= r["test_end_day"]
+        assert r["n_test"] > 0
+    # folds tile the timeline in order; fold 0 has no earlier train data
+    srt = sorted(rows, key=lambda r: r["fold"])
+    assert srt[0]["n_train"] == 0
+    for a, b in zip(srt, srt[1:]):
+        assert a["test_end_day"] < b["test_start_day"]
+        assert b["n_train"] >= a["n_train"]
+
+
+def test_loo_influence_additivity(spark, sf_dir):
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    rows = mlmetrics.loo_source_influence(spark, sf_dir).collect()
+    assert rows
+    means = {r["corpus_mean_ppm"] for r in rows}
+    assert len(means) == 1  # one corpus mean repeated
+    for r in rows:
+        assert r["influence_ppm"] == r["loo_mean_ppm"] - r["corpus_mean_ppm"]
+    # influence must be two-sided on a heterogeneous corpus
+    assert any(r["influence_ppm"] > 0 for r in rows)
+    assert any(r["influence_ppm"] < 0 for r in rows)
