@@ -2555,3 +2555,45 @@ def markov_attribution(
             ).otherwise(F.lit(0)).alias("share_ppm"),
         )
     )
+
+
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E325: DYNAMIC-GAP sessionization — Spark's
+    ``session_window`` with a per-event gap EXPRESSION (error events
+    hold a session open 1 day, normal activity 3 days): the activity-
+    episode model where incident-adjacent events glue together less
+    readily than routine ones. The fixed-gap E10 sessionizer can't
+    express this; the dynamic gap is a first-class Spark feature this
+    engine exposes and gate-verifies.
+
+    Exact semantics (oracle-replayed): each event spans
+    ``[ts, ts+gap(event))``; overlapping spans merge transitively; a
+    session's end is the max span end. The DuckDB twin rebuilds this
+    with a strictly-prior running max of span ends and a boundary
+    cumsum — new session iff ``ts >= max_prior_end`` (half-open
+    windows). Epochs in exact µs.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+    gap = F.when(F.col("event_type") == "error", F.lit("1 day")).otherwise(
+        F.lit("3 days")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("event_time", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("w.end")).alias("sess_end_us"),
+            "n_events",
+            "n_errors",
+        )
+    )

@@ -9402,6 +9402,44 @@ FROM per CROSS JOIN tot
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E325 — dynamic-gap sessionization
+# --------------------------------------------------------------------------
+
+QUERIES["dynamic_gap_sessions"] = timeops.dynamic_gap_sessions
+ORACLES["dynamic_gap_sessions"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'error' THEN 86400000000
+              ELSE 259200000000 END AS gap_us
+  FROM events
+), marked AS (
+  SELECT user_id, event_type, us, gap_us,
+         max(us + gap_us) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prior_end
+  FROM ev
+), bounded AS (
+  SELECT user_id, event_type, us, gap_us,
+         CASE WHEN prior_end IS NULL OR us >= prior_end THEN 1 ELSE 0 END
+           AS is_new
+  FROM marked
+), sess AS (
+  SELECT user_id, event_type, us, gap_us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM bounded
+)
+SELECT user_id,
+       CAST(min(us) AS BIGINT) AS sess_start_us,
+       CAST(max(us + gap_us) AS BIGINT) AS sess_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -419,3 +419,58 @@ def test_loo_influence_additivity(spark, sf_dir):
     # influence must be two-sided on a heterogeneous corpus
     assert any(r["influence_ppm"] > 0 for r in rows)
     assert any(r["influence_ppm"] < 0 for r in rows)
+
+
+def test_dynamic_gap_sessions_replay(spark, sf_dir):
+    """E325: the dynamic session_window must equal a python replay of
+    the half-open running-max merge rule with per-event gaps."""
+    from collections import defaultdict
+
+    from parquet_to_csv_spark.operators import timeops
+
+    got = sorted(
+        map(
+            tuple,
+            timeops.dynamic_gap_sessions(spark, sf_dir)
+            .select("user_id", "sess_start_us", "sess_end_us", "n_events", "n_errors")
+            .collect(),
+        )
+    )
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+        .collect(),
+        key=lambda r: (r["user_id"], r["us"]),
+    )
+    GAP = {"error": 86_400_000_000}
+    DEFAULT = 259_200_000_000
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["us"], r["event_type"]))
+    expect = []
+    for u, rows in by_user.items():
+        cur = None
+        for us, et in rows:
+            g = GAP.get(et, DEFAULT)
+            if cur is None or us >= cur["end"]:
+                if cur:
+                    expect.append(
+                        (u, cur["start"], cur["end"], cur["n"], cur["ne"])
+                    )
+                cur = {"start": us, "end": us + g, "n": 0, "ne": 0}
+            cur["end"] = max(cur["end"], us + g)
+            cur["n"] += 1
+            cur["ne"] += et == "error"
+        expect.append((u, cur["start"], cur["end"], cur["n"], cur["ne"]))
+    assert got == sorted(expect)
+    # dynamic gaps must actually split differently than a uniform 3-day
+    # gap somewhere (the feature is non-vacuous on the fixture)
+    n_uniform = 0
+    for u, rows in by_user.items():
+        cur_end = None
+        for us, _ in rows:
+            if cur_end is None or us >= cur_end:
+                n_uniform += 1
+                cur_end = us + DEFAULT
+            cur_end = max(cur_end, us + DEFAULT)
+    assert len(got) != n_uniform
