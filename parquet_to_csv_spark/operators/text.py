@@ -1341,3 +1341,37 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("chars * 1000 div rx_tokens").alias("rx_fertility_milli"),
         F.expr("rx_tokens * 1000 div ws_tokens").alias("rx_per_ws_milli"),
     )
+
+
+def quality_signals_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E326: UNPIVOT surface — the wide per-document quality-signal
+    relation melted to (doc_id, signal, value) long form via
+    ``DataFrame.unpivot`` (the metric-store layout: one row per
+    measurement, schema stable as signals are added), then rolled up
+    per signal. Completes the reshape pair with E6's pivot.
+
+    Values are carried in exact 4dp integer units through the melt so
+    the rollup stays engine-exact; the oracle rebuilds the long form
+    with a UNION (the portable spelling of UNPIVOT).
+    """
+    wide = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(round(uniq_ratio * 10000) AS BIGINT)").alias("uniq_ratio"),
+        F.expr("CAST(round(alpha_ratio * 10000) AS BIGINT)").alias("alpha_ratio"),
+        F.expr("CAST(round(mean_token_len * 10000) AS BIGINT)").alias(
+            "mean_token_len"
+        ),
+    )
+    long = wide.unpivot(
+        ids=["doc_id"],
+        values=["uniq_ratio", "alpha_ratio", "mean_token_len"],
+        variableColumnName="signal",
+        valueColumnName="v_4dp",
+    )
+    return long.groupBy("signal").agg(
+        F.count("v_4dp").alias("n_measured"),
+        F.sum("v_4dp").alias("sum_4dp"),
+        F.expr("sum(v_4dp) div count(v_4dp)").alias("mean_4dp"),
+        F.min("v_4dp").alias("min_4dp"),
+        F.max("v_4dp").alias("max_4dp"),
+    )

@@ -9440,6 +9440,44 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E326 — UNPIVOT (melt) surface: quality signals long-form rollup
+# --------------------------------------------------------------------------
+
+QUERIES["quality_signals_long"] = text.quality_signals_long
+ORACLES["quality_signals_long"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, text FROM documents
+), wide AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0
+              THEN CAST(round(round(len(list_distinct(toks))
+                   / CAST(len(toks) AS DOUBLE), 4) * 10000) AS BIGINT) END
+           AS uniq_ratio,
+         CASE WHEN length(text) > 0
+              THEN CAST(round(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE), 4) * 10000) AS BIGINT) END
+           AS alpha_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(round(round(list_sum(list_transform(toks, x -> length(x)))
+                   / CAST(len(toks) AS DOUBLE), 4) * 10000) AS BIGINT) END
+           AS mean_token_len
+  FROM t
+), long AS (
+  SELECT doc_id, 'uniq_ratio' AS signal, uniq_ratio AS v_4dp FROM wide
+  UNION ALL
+  SELECT doc_id, 'alpha_ratio', alpha_ratio FROM wide
+  UNION ALL
+  SELECT doc_id, 'mean_token_len', mean_token_len FROM wide
+)
+SELECT signal, CAST(count(v_4dp) AS BIGINT) AS n_measured,
+       CAST(sum(v_4dp) AS BIGINT) AS sum_4dp,
+       CAST(sum(v_4dp) // count(v_4dp) AS BIGINT) AS mean_4dp,
+       min(v_4dp) AS min_4dp, max(v_4dp) AS max_4dp
+FROM long GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
