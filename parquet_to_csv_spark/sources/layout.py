@@ -467,3 +467,91 @@ def compaction_plan(
             (F.col("n_files") > 1) | (F.col("n_rows") < target_rows),
         )
     )
+
+
+def files_for_box(
+    manifest: DataFrame, xcol: str, ycol: str, x_lo, x_hi, y_lo, y_hi
+) -> int:
+    """How many files a 2-D box predicate must open, per the min/max
+    manifest — the layout-quality metric :func:`zorder_benefit` scores."""
+    from pyspark.sql import functions as F
+
+    return manifest.filter(
+        (F.col(f"max_{xcol}") >= x_lo)
+        & (F.col(f"min_{xcol}") <= x_hi)
+        & (F.col(f"max_{ycol}") >= y_lo)
+        & (F.col(f"min_{ycol}") <= y_hi)
+    ).count()
+
+
+def zorder_benefit(
+    spark: SparkSession,
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    out_dir: str,
+    n_files: int = 16,
+    bits: int = 10,
+) -> dict:
+    """EXT E327: MEASURED Z-order payoff — write ``df`` three ways
+    (natural, sorted by ``xcol``, sorted by the Morton key of both),
+    manifest each layout (E50), and count the files each of THREE
+    query shapes must open: an x-band, a y-band, and a 2-D box. The
+    honest framing of the Z-order claim: a single-column sort is
+    UNBEATABLE on its own column and WORTHLESS on the other; the
+    interleaved key is good-not-optimal on BOTH — Z-order wins the
+    MINIMAX over query shapes, not every individual query (this
+    function's test pins exactly that, measured).
+
+    Returns {'n_files', 'queries': {...}, '<layout>': {'x_band': n,
+    'y_band': n, 'box': n, 'worst': n}} per layout.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(xcol).alias("x0"), F.max(xcol).alias("x1"),
+        F.min(ycol).alias("y0"), F.max(ycol).alias("y1"),
+    ).collect()[0]
+    # centered band covering ~1/16 of a dimension's range
+    def band(lo, hi):
+        span = (hi - lo) // 16 or 1
+        mid = (lo + hi) // 2
+        return mid - span // 2, mid + span // 2
+
+    x_lo, x_hi = band(stats["x0"], stats["x1"])
+    y_lo, y_hi = band(stats["y0"], stats["y1"])
+    # normalize both dims into [0, 2^bits) for the interleave
+    xr = stats["x1"] - stats["x0"] or 1
+    yr = stats["y1"] - stats["y0"] or 1
+    xn = ((F.col(xcol) - stats["x0"]) * ((1 << bits) - 1) / xr).cast("long")
+    yn = ((F.col(ycol) - stats["y0"]) * ((1 << bits) - 1) / yr).cast("long")
+
+    layouts = {
+        "natural": df.repartition(n_files),
+        "xsorted": df.repartitionByRange(n_files, F.col(xcol)),
+        "zorder": df.withColumn("_zk", morton_key(xn, yn, bits))
+        .repartitionByRange(n_files, F.col("_zk"))
+        .drop("_zk"),
+    }
+    out: dict = {
+        "n_files": n_files,
+        "queries": {"x_band": (x_lo, x_hi), "y_band": (y_lo, y_hi)},
+    }
+    for name, laid in layouts.items():
+        path = os.path.join(out_dir, name)
+        laid.write.mode("overwrite").parquet(path)
+        manifest = minmax_manifest(spark, path, xcol, ycol).cache()
+        m = {
+            "x_band": files_for_box(
+                manifest, xcol, ycol, x_lo, x_hi, stats["y0"], stats["y1"]
+            ),
+            "y_band": files_for_box(
+                manifest, xcol, ycol, stats["x0"], stats["x1"], y_lo, y_hi
+            ),
+            "box": files_for_box(manifest, xcol, ycol, x_lo, x_hi, y_lo, y_hi),
+        }
+        m["worst"] = max(m["x_band"], m["y_band"])
+        out[name] = m
+    return out

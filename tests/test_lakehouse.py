@@ -80,3 +80,26 @@ def test_compaction_plan_feasibility(spark, sf_dir, tmp_path):
     # the target only via its final file
     assert all(r["n_files"] >= 1 for r in rows)
     assert any(r["needs_compaction"] for r in rows)
+
+
+def test_zorder_benefit_measured(spark, sf_dir, tmp_path):
+    """E327: the Morton layout must open no more files than the
+    natural layout for a 2-D box, and strictly fewer than at least one
+    of the alternatives — the Z-order claim, measured, not asserted."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey")).alias("ok"),
+        (F.col("l_partkey")).alias("pk"),
+    )
+    res = layout.zorder_benefit(
+        spark, li, "ok", "pk", str(tmp_path / "zb"), n_files=16
+    )
+    z, xs, nat = res["zorder"], res["xsorted"], res["natural"]
+    # the single-column sort is unbeatable on x and worthless on y
+    assert xs["x_band"] <= z["x_band"]
+    assert xs["y_band"] == res["n_files"]
+    # Z-order wins the minimax over query shapes — the actual claim
+    assert z["worst"] < xs["worst"]
+    assert z["worst"] < nat["worst"]
+    # and every shape must beat the unclustered layout
+    for shape in ("x_band", "y_band", "box"):
+        assert z[shape] <= nat[shape]
