@@ -1868,3 +1868,72 @@ def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def cluster_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E328: intraclass correlation + design effect for
+    user-clustered sampling — the survey-statistics number that says
+    how much a BY-USER sample inflates variance versus independent
+    row sampling (DEFF = 1 + (m̄−1)·ρ, Kish): pipelines that sample
+    whole users (they must, for leakage reasons — E305) pay this
+    factor in effective sample size. Computed per event type over the
+    value column.
+
+    One-way ANOVA ICC from exact sufficient statistics: within/between
+    sums of squares from per-user Σcents/Σcents²/n (one scan, one
+    groupBy(user) then a tiny groupBy(type)); every sum is an exact
+    long; the final ICC/DEFF are fixed-order IEEE expressions rounded
+    to ppm — engine-identical.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", exact_units(F.col("value"), 2).alias("cents")
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    g = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("m").alias("n"),
+        F.sum("s").alias("ts"),
+        F.sum("ss").alias("tss"),
+        # between-group component Σ s_i²/m_i (exact rational per group,
+        # folded as one double sum in deterministic per-row order is NOT
+        # order-safe — use DECIMAL: s²/m at 12dp is exact enough and
+        # identically rounded both engines)
+        F.sum(
+            (
+                (F.col("s").cast("double") * F.col("s").cast("double"))
+                / F.col("m").cast("double")
+            ).cast("decimal(38,12)")
+        ).cast("double").alias("sb_raw"),
+    )
+    # SSW = Σss − Σ s²/m ; SSB = Σ s²/m − (Σs)²/n
+    # MSW = SSW/(n−k); MSB = SSB/(k−1); ICC = (MSB−MSW)/(MSB+(m̄−1)MSW)
+    expr = g.select(
+        "event_type",
+        "k",
+        "n",
+        F.expr("n div k").alias("mean_cluster_size"),
+        (F.col("tss").cast("double") - F.col("sb_raw")).alias("ssw"),
+        (
+            F.col("sb_raw")
+            - (F.col("ts").cast("double") * F.col("ts").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("ssb"),
+    )
+    msw = F.col("ssw") / (F.col("n") - F.col("k")).cast("double")
+    msb = F.col("ssb") / (F.col("k") - 1).cast("double")
+    mbar = F.col("n").cast("double") / F.col("k").cast("double")
+    icc = (msb - msw) / (msb + (mbar - F.lit(1.0)) * msw)
+    deff = F.lit(1.0) + (mbar - F.lit(1.0)) * icc
+    return expr.select(
+        "event_type",
+        "k",
+        "n",
+        "mean_cluster_size",
+        F.round(icc * 1e6, 0).cast("long").alias("icc_ppm"),
+        F.round(deff * 1e6, 0).cast("long").alias("deff_ppm"),
+        F.round((F.col("n").cast("double") / deff), 2).alias("effective_n"),
+    )

@@ -9478,6 +9478,49 @@ FROM long GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E328 — cluster-sampling design effect (ICC / DEFF)
+# --------------------------------------------------------------------------
+
+QUERIES["cluster_design_effect"] = mlmetrics.cluster_design_effect
+ORACLES["cluster_design_effect"] = f"""
+WITH ev AS (
+  SELECT event_type, user_id, {duck_units('value', 2)} AS cents FROM events
+), pu AS (
+  SELECT event_type, user_id, count(*) AS m, sum(cents) AS s,
+         sum(cents * cents) AS ss
+  FROM ev GROUP BY 1, 2
+), g AS (
+  SELECT event_type, count(*) AS k, sum(m) AS n, sum(s) AS ts, sum(ss) AS tss,
+         CAST(sum(CAST((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / CAST(m AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sb_raw
+  FROM pu GROUP BY 1
+), e AS (
+  SELECT event_type, k, n, n // k AS mean_cluster_size,
+         CAST(tss AS DOUBLE) - sb_raw AS ssw,
+         sb_raw - (CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)) / CAST(n AS DOUBLE)
+           AS ssb
+  FROM g
+), f AS (
+  SELECT event_type, k, n, mean_cluster_size,
+         ssw / CAST(n - k AS DOUBLE) AS msw,
+         ssb / CAST(k - 1 AS DOUBLE) AS msb,
+         CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS mbar
+  FROM e
+)
+SELECT event_type, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(mean_cluster_size AS BIGINT) AS mean_cluster_size,
+       CAST(round((msb - msw) / (msb + (mbar - 1.0) * msw) * 1000000)
+            AS BIGINT) AS icc_ppm,
+       CAST(round((1.0 + (mbar - 1.0) * (msb - msw)
+            / (msb + (mbar - 1.0) * msw)) * 1000000) AS BIGINT) AS deff_ppm,
+       round(CAST(n AS DOUBLE) / (1.0 + (mbar - 1.0) * (msb - msw)
+            / (msb + (mbar - 1.0) * msw)), 2) AS effective_n
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -474,3 +474,38 @@ def test_dynamic_gap_sessions_replay(spark, sf_dir):
                 cur_end = us + DEFAULT
             cur_end = max(cur_end, us + DEFAULT)
     assert len(got) != n_uniform
+
+
+def test_cluster_design_effect_sane(spark, sf_dir):
+    """DEFF >= ~1 when clustering is non-negative; effective_n <= n;
+    ICC replayed in numpy from raw values per event type."""
+    from collections import defaultdict
+
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    rows = {r["event_type"]: r for r in mlmetrics.cluster_design_effect(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "user_id", "CAST(round(value * 100) AS LONG) AS cents"
+    ).collect()
+    by = defaultdict(lambda: defaultdict(list))
+    for r in ev:
+        by[r["event_type"]][r["user_id"]].append(r["cents"])
+    for et, users in by.items():
+        groups = list(users.values())
+        k = len(groups)
+        n = sum(len(g) for g in groups)
+        tss = sum(v * v for g in groups for v in g)
+        ts = sum(v for g in groups for v in g)
+        sb = sum((sum(g) ** 2) / len(g) for g in groups)
+        ssw, ssb = tss - sb, sb - ts**2 / n
+        msw, msb = ssw / (n - k), ssb / (k - 1)
+        mbar = n / k
+        icc = (msb - msw) / (msb + (mbar - 1) * msw)
+        r = rows[et]
+        assert abs(r["icc_ppm"] / 1e6 - icc) < 5e-5
+        # internal consistency: DEFF = 1 + (m̄−1)·ICC and
+        # effective_n = n / DEFF (negative ICC ⇒ DEFF < 1 ⇒
+        # effective_n > n — legitimate for near-independent values)
+        deff = 1 + (mbar - 1) * icc
+        assert abs(r["deff_ppm"] / 1e6 - deff) < 5e-5
+        assert abs(r["effective_n"] - round(n / deff, 2)) < 0.5

@@ -68,6 +68,12 @@ FLOAT_ADJACENT = [
     "embedding_abtt",
     "markov_attribution",
     "multimodal_real_decode",
+    "purged_timeseries_folds",
+    "loo_source_influence",
+    "dynamic_gap_sessions",
+    "quality_signals_long",
+    "similarity_order_benefit",
+    "synthetic_source_digest",
 ]
 
 
