@@ -555,3 +555,31 @@ def zorder_benefit(
         m["worst"] = max(m["x_band"], m["y_band"])
         out[name] = m
     return out
+
+
+def schema_drift(
+    spark: SparkSession, table_dir: str, v_old: int, v_new: int
+) -> dict:
+    """EXT E329: schema drift between two snapshots of an E315
+    versioned table — added / removed / type-changed columns, from the
+    snapshot parquet footers only (no data read). The contract check a
+    consuming pipeline runs before trusting a new version; pairs with
+    the E32 CDC row diff (rows) and E102 DQ suite (values).
+    """
+    old_schema = {f.name: f.dataType.simpleString()
+                  for f in read_version(spark, table_dir, v_old).schema.fields}
+    new_schema = {f.name: f.dataType.simpleString()
+                  for f in read_version(spark, table_dir, v_new).schema.fields}
+    return {
+        "added": sorted(set(new_schema) - set(old_schema)),
+        "removed": sorted(set(old_schema) - set(new_schema)),
+        "type_changed": sorted(
+            c for c in set(old_schema) & set(new_schema)
+            if old_schema[c] != new_schema[c]
+        ),
+        "compatible": not (set(old_schema) - set(new_schema))
+        and not any(
+            old_schema[c] != new_schema[c]
+            for c in set(old_schema) & set(new_schema)
+        ),
+    }

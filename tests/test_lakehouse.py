@@ -103,3 +103,31 @@ def test_zorder_benefit_measured(spark, sf_dir, tmp_path):
     # and every shape must beat the unclustered layout
     for shape in ("x_band", "y_band", "box"):
         assert z[shape] <= nat[shape]
+
+
+def test_schema_drift_between_versions(spark, sf_dir, tmp_path):
+    """E329: drift report catches added / removed / retyped columns
+    across E315 snapshots; additive evolution stays 'compatible'."""
+    t = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir)
+    layout.commit_version(spark, t, base)
+    layout.commit_version(
+        spark, t, base.withColumn("discount_pct", F.lit(5)), mode="overwrite"
+    )
+    layout.commit_version(
+        spark,
+        t,
+        base.drop("o_totalprice").withColumn(
+            "o_custkey", F.col("o_custkey").cast("int")
+        ),
+        mode="overwrite",
+    )
+    d01 = layout.schema_drift(spark, t, 0, 1)
+    assert d01 == {
+        "added": ["discount_pct"], "removed": [], "type_changed": [],
+        "compatible": True,
+    }
+    d02 = layout.schema_drift(spark, t, 0, 2)
+    assert d02["removed"] == ["o_totalprice"]
+    assert d02["type_changed"] == ["o_custkey"]
+    assert d02["compatible"] is False
