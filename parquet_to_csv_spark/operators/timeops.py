@@ -2597,3 +2597,51 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_errors",
         )
     )
+
+
+def arrival_completeness(
+    spark: SparkSession, sf_dir: str, alert_below_ppm: int = 900000
+) -> DataFrame:
+    """EXT E330: data-arrival completeness monitor — the freshness/
+    completeness SLA check an ingest pipeline alerts on: each day's
+    row count scored against a SEASONAL baseline (exact median of the
+    same weekday's counts over all OTHER weeks — leave-one-out so a
+    partial day can't lower its own bar), in ppm, with the alert flag
+    a scheduler pages on.
+
+    The baseline median is an exact order statistic over a BOUNDED
+    relation (one row per day, grouped by weekday — at 100 TB the
+    day-count relation is still tiny); the leave-one-out median is
+    computed pairwise within the weekday group (≤ weeks² tiny rows).
+    All integer.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("(ts div 1000) div 86400000000").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    d = daily.withColumn("dow", F.expr("pmod(day + 4, 7)"))  # 1970-01-01 = Thursday
+    a = d.select("day", "dow", "n")
+    b = d.select(F.col("day").alias("o_day"), F.col("dow").alias("o_dow"),
+                 F.col("n").alias("o_n"))
+    # leave-one-out same-weekday peers
+    peers = a.join(b, (a.dow == b.o_dow) & (a.day != b.o_day))
+    w = Window.partitionBy("day").orderBy("o_n", "o_day")
+    ranked = peers.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("day"))
+    )
+    # exact lower median: element at ceil(cnt/2)
+    med = ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "day", "dow", "n", F.col("o_n").alias("baseline_n")
+    )
+    return med.select(
+        "day",
+        "dow",
+        "n",
+        "baseline_n",
+        F.expr("n * 1000000 div baseline_n").alias("completeness_ppm"),
+        (F.expr("n * 1000000 div baseline_n") < alert_below_ppm)
+        .cast("long")
+        .alias("alert"),
+    )

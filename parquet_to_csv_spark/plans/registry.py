@@ -9521,6 +9521,39 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E330 — data-arrival completeness monitor
+# --------------------------------------------------------------------------
+
+QUERIES["arrival_completeness"] = timeops.arrival_completeness
+ORACLES["arrival_completeness"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day FROM events
+), daily AS (
+  SELECT day, count(*) AS n FROM ev GROUP BY 1
+), d AS (
+  SELECT day, n, (day + 4) % 7 AS dow FROM daily
+), peers AS (
+  SELECT a.day, a.dow, a.n, b.day AS o_day, b.n AS o_n
+  FROM d a JOIN d b ON a.dow = b.dow AND a.day <> b.day
+), ranked AS (
+  SELECT day, dow, n, o_n,
+         row_number() OVER (PARTITION BY day ORDER BY o_n, o_day) AS rn,
+         count(*) OVER (PARTITION BY day) AS cnt
+  FROM peers
+), med AS (
+  SELECT day, dow, n, o_n AS baseline_n FROM ranked
+  WHERE rn = (cnt + 1) // 2
+)
+SELECT day, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+       CAST(baseline_n AS BIGINT) AS baseline_n,
+       CAST(n * 1000000 // baseline_n AS BIGINT) AS completeness_ppm,
+       CAST(CASE WHEN n * 1000000 // baseline_n < 900000 THEN 1 ELSE 0 END
+            AS BIGINT) AS alert
+FROM med
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -509,3 +509,29 @@ def test_cluster_design_effect_sane(spark, sf_dir):
         deff = 1 + (mbar - 1) * icc
         assert abs(r["deff_ppm"] / 1e6 - deff) < 5e-5
         assert abs(r["effective_n"] - round(n / deff, 2)) < 0.5
+
+
+def test_arrival_completeness_leave_one_out(spark, sf_dir):
+    """E330: baseline is the leave-one-out same-weekday median — a
+    day's own count never feeds its baseline; alert fires iff below
+    the ppm bar; replayed in python."""
+    from collections import defaultdict
+    from statistics import median_low
+
+    from parquet_to_csv_spark.operators import timeops
+
+    rows = {r["day"]: r for r in timeops.arrival_completeness(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "(ts div 1000) div 86400000000 AS day"
+    ).collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r["day"]] += 1
+    by_dow = defaultdict(list)
+    for day, n in daily.items():
+        by_dow[(day + 4) % 7].append((day, n))
+    for day, r in rows.items():
+        peers = sorted(n for d2, n in by_dow[(day + 4) % 7] if d2 != day)
+        assert r["baseline_n"] == median_low(peers)
+        assert r["completeness_ppm"] == r["n"] * 10**6 // r["baseline_n"]
+        assert r["alert"] == (1 if r["completeness_ppm"] < 900000 else 0)

@@ -74,6 +74,8 @@ FLOAT_ADJACENT = [
     "quality_signals_long",
     "similarity_order_benefit",
     "synthetic_source_digest",
+    "cluster_design_effect",
+    "arrival_completeness",
 ]
 
 
