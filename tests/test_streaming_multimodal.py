@@ -353,3 +353,54 @@ def test_stateful_idle_eviction_times_out_and_emits_totals(spark, sf_dir, tmp_pa
     assert got == batch
     # exactly-once close-out: no duplicate emissions per user
     assert spark.table("t_evict").count() == len(batch)
+
+
+def test_multibatch_out_of_order_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Statefulness across micro-batches under out-of-order arrival:
+    stage the events REVERSE-time-ordered into 5 files, feed them one
+    file per trigger (5 micro-batches, each batch older than the
+    last), aggregate in complete mode with an effectively-unbounded
+    watermark — the final emission must equal the batch aggregation
+    exactly. This is the incremental-state guarantee the single-batch
+    drains can't exercise."""
+    stage = str(tmp_path / "ooo")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.orderBy(F.desc("ts"))
+        .repartitionByRange(5, F.desc("ts"))
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    from parquet_to_csv_spark.functions.stable import stable_sum_2dp
+
+    agg = (
+        streaming.with_event_time(s)
+        .withWatermark("event_time", "3650 days")
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum_2dp(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("ws_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = streaming.run_to_memory(agg, "t_ooo_multibatch", spark, "complete")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(tuple, timeops.tumbling_window_stats(spark, sf_dir)
+            .select("ws_ms", "event_type", "n_events", "sum_value").collect())
+    )
+    assert got == want
