@@ -404,3 +404,56 @@ def test_multibatch_out_of_order_stream_matches_batch(spark, sf_dir, tmp_path):
             .select("ws_ms", "event_type", "n_events", "sum_value").collect())
     )
     assert got == want
+
+
+def test_tight_watermark_drops_late_rows_predictably(spark, sf_dir, tmp_path):
+    """Watermark SEMANTICS, not just wiring: with newest data arriving
+    in batch 1 and older data in later batches, a tight watermark must
+    drop aggregates for windows older than (max_seen_event_time −
+    delay) — and the surviving window set must match the closed-form
+    prediction computed from the data."""
+    stage = str(tmp_path / "late")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.orderBy(F.desc("ts"))
+        .repartitionByRange(3, F.desc("ts"))
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    delay_ms = 24 * 3600 * 1000
+    agg = (
+        streaming.with_event_time(s)
+        .withWatermark("event_time", "24 hours")
+        .groupBy(F.window("event_time", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("ws_ms"), "n")
+    )
+    out = streaming.run_to_memory(agg, "t_late_drop", spark, "append")
+    got = {r["ws_ms"] for r in out.collect()}
+
+    # semantic invariants (robust to the exact range-partition split):
+    # the FINAL watermark is global_max_event_time − delay (the newest
+    # rows arrived in batch 1), so (1) every emitted window must close
+    # at or below that bar; (2) the window holding the global max must
+    # NOT emit; (3) late arrival must have dropped strictly more than
+    # the above-the-bar windows alone — i.e. some below-the-bar window
+    # is missing too (its rows arrived in a later batch, below the
+    # already-advanced watermark).
+    ms = [r["ts"] // 1_000_000 for r in ev.select("ts").collect()]
+    final_wm = max(ms) - delay_ms
+    assert got, "append-mode drain emitted nothing"
+    assert all(w + 3600000 <= final_wm for w in got)
+    all_windows = {m // 3600000 * 3600000 for m in ms}
+    newest_window = max(ms) // 3600000 * 3600000
+    assert newest_window not in got
+    below_bar = {w for w in all_windows if w + 3600000 <= final_wm}
+    assert got < below_bar, "no late rows were dropped — watermark inert"
