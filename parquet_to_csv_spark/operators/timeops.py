@@ -2645,3 +2645,52 @@ def arrival_completeness(
         .cast("long")
         .alias("alert"),
     )
+
+
+def stl_lite_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E331: STL-lite decomposition of the daily revenue series —
+    value = trend + weekday seasonal + residual, the additive
+    decomposition every anomaly/forecast pipeline starts from (the
+    moving-average + seasonal-means skeleton of classical
+    decomposition; full LOESS-STL swaps the smoother, same shape).
+
+    All EXACT integer cents: trend = centered 7-day window mean
+    (floored div over however many neighbors exist at the edges),
+    seasonal = per-weekday mean of the detrended series (floored div),
+    residual = the exact remainder. Windows run over the bounded
+    one-row-per-day relation — series length, not event count.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("cents").alias("cents"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "cents",
+        F.expr(
+            "CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING"
+            " AND 3 FOLLOWING) div count(cents) OVER (ORDER BY day ROWS"
+            " BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)"
+        ).alias("trend_cents"),
+    ).withColumn("dow", F.expr("pmod(day + 4, 7)"))
+    det = t.withColumn("det", F.col("cents") - F.col("trend_cents"))
+    seas = det.groupBy("dow").agg(
+        F.expr("sum(det) div count(1)").alias("seasonal_cents")
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "dow",
+            "cents",
+            "trend_cents",
+            "seasonal_cents",
+            (
+                F.col("cents") - F.col("trend_cents") - F.col("seasonal_cents")
+            ).alias("residual_cents"),
+        )
+    )

@@ -9554,6 +9554,37 @@ FROM med
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E331 — STL-lite seasonal decomposition
+# --------------------------------------------------------------------------
+
+QUERIES["stl_lite_decomposition"] = timeops.stl_lite_decomposition
+ORACLES["stl_lite_decomposition"] = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, {duck_units('value', 2)} AS cents
+  FROM events
+), daily AS (
+  SELECT day, sum(cents) AS cents FROM ev GROUP BY 1
+), t AS (
+  SELECT day, cents,
+         sum(cents) OVER w // count(cents) OVER w AS trend_cents,
+         (day + 4) % 7 AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT day, dow, cents, trend_cents, cents - trend_cents AS det FROM t
+), seas AS (
+  SELECT dow, sum(det) // count(*) AS seasonal_cents FROM det GROUP BY 1
+)
+SELECT det.day, CAST(det.dow AS BIGINT) AS dow, CAST(det.cents AS BIGINT) AS cents,
+       CAST(det.trend_cents AS BIGINT) AS trend_cents,
+       CAST(seas.seasonal_cents AS BIGINT) AS seasonal_cents,
+       CAST(det.cents - det.trend_cents - seas.seasonal_cents AS BIGINT)
+         AS residual_cents
+FROM det JOIN seas USING (dow)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -535,3 +535,30 @@ def test_arrival_completeness_leave_one_out(spark, sf_dir):
         assert r["baseline_n"] == median_low(peers)
         assert r["completeness_ppm"] == r["n"] * 10**6 // r["baseline_n"]
         assert r["alert"] == (1 if r["completeness_ppm"] < 900000 else 0)
+
+
+def test_stl_lite_identity_and_seasonality(spark, sf_dir):
+    """E331: value == trend + seasonal + residual EXACTLY per day, and
+    weekday seasonal components sum (weighted by day counts) to ~0
+    relative to total mass (the decomposition centers the detrended
+    series per weekday)."""
+    from parquet_to_csv_spark.operators import timeops
+
+    rows = timeops.stl_lite_decomposition(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["cents"]
+            == r["trend_cents"] + r["seasonal_cents"] + r["residual_cents"]
+        )
+    # per-weekday residual means are in (-1, 1) cents of zero up to the
+    # floored-division remainder
+    from collections import defaultdict
+
+    res = defaultdict(list)
+    for r in rows:
+        res[r["dow"]].append(r["residual_cents"] + r["seasonal_cents"])
+    for dow, dets in res.items():
+        mean_det = sum(dets) / len(dets)
+        seas = next(r["seasonal_cents"] for r in rows if r["dow"] == dow)
+        assert abs(mean_det - seas) < 1  # seasonal = floor(mean detrended)
