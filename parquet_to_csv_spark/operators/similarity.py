@@ -2629,3 +2629,80 @@ def label_cohesion_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_pair_cos_micro"),
         )
     )
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """EXT E332: k-center greedy coreset selection (Sener & Savarese
+    2018, arXiv:1708.00489 — farthest-point sampling): starting from
+    the deterministic seed (vec_id 0), repeatedly add the vector whose
+    distance to the CURRENT selection is largest. The classic
+    diverse-eval-set / annotation-budget picker: k points that cover
+    the embedding cloud with minimax radius ≤ 2× optimal.
+
+    Distance = cosine distance (1 − cos), computed against the
+    selected set as a BROADCAST relation (|selected| ≤ k rows); each
+    of the k−1 rounds is one scan + map-side ``min``/``max_by`` — no
+    windows, no driver actions; round boundaries cut lineage
+    (coalesce(1) single-row relations, the E314 discipline). The
+    DuckDB oracle unrolls the same rounds as MATERIALIZED stages.
+
+    Output: the selection log (pick order, vec_id, and the selection
+    distance — the covering-radius curve a budget decision reads).
+    """
+    from parquet_to_csv_spark.operators.dedup import _cut_lineage
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    selected = _cut_lineage(
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(0).alias("pick"),
+            "vec_id",
+            F.lit(None).cast("double").alias("sel_dist"),
+            "embedding",
+            "nrm",
+        )
+        .coalesce(1)
+    )
+    denom = F.col("nrm") * F.col("s_nrm")
+    dist = F.lit(1.0) - F.when(
+        denom > F.lit(0.0), dot_product(F.col("embedding"), F.col("s_emb")) / denom
+    )
+    for r in range(1, k):
+        s = F.broadcast(
+            selected.select(
+                F.col("vec_id").alias("s_id"),
+                F.col("embedding").alias("s_emb"),
+                F.col("nrm").alias("s_nrm"),
+            )
+        )
+        mind = (
+            emb.join(s, F.col("vec_id") != F.col("s_id"))
+            .join(
+                F.broadcast(selected.select(F.col("vec_id").alias("x_id"))),
+                F.col("vec_id") == F.col("x_id"),
+                "left_anti",
+            )
+            .select("vec_id", "embedding", "nrm", dist.alias("d"))
+            .groupBy("vec_id", "embedding", "nrm")
+            .agg(F.min("d").alias("md"))
+        )
+        picked = (
+            mind.groupBy()
+            .agg(
+                F.max_by(
+                    F.struct("vec_id", "embedding", "nrm", "md"),
+                    F.struct(F.col("md"), -F.col("vec_id")),
+                ).alias("p")
+            )
+            .select(
+                F.lit(r).alias("pick"),
+                F.col("p.vec_id").alias("vec_id"),
+                F.round(F.col("p.md"), 6).alias("sel_dist"),
+                F.col("p.embedding").alias("embedding"),
+                F.col("p.nrm").alias("nrm"),
+            )
+        )
+        selected = _cut_lineage(selected.unionByName(picked).coalesce(1))
+    return selected.select("pick", "vec_id", "sel_dist")

@@ -9585,6 +9585,138 @@ FROM det JOIN seas USING (dow)
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E332 — k-center greedy coreset (farthest-point sampling)
+# --------------------------------------------------------------------------
+
+QUERIES["kcenter_coreset"] = _sim.kcenter_coreset
+ORACLES["kcenter_coreset"] = f"""
+WITH s0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS vec_id
+), m1 AS MATERIALIZED (
+  SELECT e.vec_id, min(1 - ({_duck_cos('e.embedding', 'se.embedding')})) AS md
+  FROM embeddings e
+  CROSS JOIN (SELECT x.vec_id, x.embedding FROM embeddings x
+              JOIN s0 USING (vec_id)) se
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM s0)
+  GROUP BY e.vec_id
+), p1 AS MATERIALIZED (
+  SELECT 1 AS pick, vec_id, round(md, 6) AS sel_dist FROM (
+    SELECT vec_id, md,
+           row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+    FROM m1
+  ) WHERE rn = 1
+), s1 AS MATERIALIZED (
+  SELECT vec_id FROM s0 UNION ALL SELECT vec_id FROM p1
+), m2 AS MATERIALIZED (
+  SELECT e.vec_id, min(1 - ({_duck_cos('e.embedding', 'se.embedding')})) AS md
+  FROM embeddings e
+  CROSS JOIN (SELECT x.vec_id, x.embedding FROM embeddings x
+              JOIN s1 USING (vec_id)) se
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM s1)
+  GROUP BY e.vec_id
+), p2 AS MATERIALIZED (
+  SELECT 2 AS pick, vec_id, round(md, 6) AS sel_dist FROM (
+    SELECT vec_id, md,
+           row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+    FROM m2
+  ) WHERE rn = 1
+), s2 AS MATERIALIZED (
+  SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM p2
+), m3 AS MATERIALIZED (
+  SELECT e.vec_id, min(1 - ({_duck_cos('e.embedding', 'se.embedding')})) AS md
+  FROM embeddings e
+  CROSS JOIN (SELECT x.vec_id, x.embedding FROM embeddings x
+              JOIN s2 USING (vec_id)) se
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM s2)
+  GROUP BY e.vec_id
+), p3 AS MATERIALIZED (
+  SELECT 3 AS pick, vec_id, round(md, 6) AS sel_dist FROM (
+    SELECT vec_id, md,
+           row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+    FROM m3
+  ) WHERE rn = 1
+), s3 AS MATERIALIZED (
+  SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM p3
+), m4 AS MATERIALIZED (
+  SELECT e.vec_id, min(1 - ({_duck_cos('e.embedding', 'se.embedding')})) AS md
+  FROM embeddings e
+  CROSS JOIN (SELECT x.vec_id, x.embedding FROM embeddings x
+              JOIN s3 USING (vec_id)) se
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM s3)
+  GROUP BY e.vec_id
+), p4 AS MATERIALIZED (
+  SELECT 4 AS pick, vec_id, round(md, 6) AS sel_dist FROM (
+    SELECT vec_id, md,
+           row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+    FROM m4
+  ) WHERE rn = 1
+), s4 AS MATERIALIZED (
+  SELECT vec_id FROM s3 UNION ALL SELECT vec_id FROM p4
+), m5 AS MATERIALIZED (
+  SELECT e.vec_id, min(1 - ({_duck_cos('e.embedding', 'se.embedding')})) AS md
+  FROM embeddings e
+  CROSS JOIN (SELECT x.vec_id, x.embedding FROM embeddings x
+              JOIN s4 USING (vec_id)) se
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM s4)
+  GROUP BY e.vec_id
+), p5 AS MATERIALIZED (
+  SELECT 5 AS pick, vec_id, round(md, 6) AS sel_dist FROM (
+    SELECT vec_id, md,
+           row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+    FROM m5
+  ) WHERE rn = 1
+), s5 AS MATERIALIZED (
+  SELECT vec_id FROM s4 UNION ALL SELECT vec_id FROM p5
+), m6 AS MATERIALIZED (
+  SELECT e.vec_id, min(1 - ({_duck_cos('e.embedding', 'se.embedding')})) AS md
+  FROM embeddings e
+  CROSS JOIN (SELECT x.vec_id, x.embedding FROM embeddings x
+              JOIN s5 USING (vec_id)) se
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM s5)
+  GROUP BY e.vec_id
+), p6 AS MATERIALIZED (
+  SELECT 6 AS pick, vec_id, round(md, 6) AS sel_dist FROM (
+    SELECT vec_id, md,
+           row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+    FROM m6
+  ) WHERE rn = 1
+), s6 AS MATERIALIZED (
+  SELECT vec_id FROM s5 UNION ALL SELECT vec_id FROM p6
+), m7 AS MATERIALIZED (
+  SELECT e.vec_id, min(1 - ({_duck_cos('e.embedding', 'se.embedding')})) AS md
+  FROM embeddings e
+  CROSS JOIN (SELECT x.vec_id, x.embedding FROM embeddings x
+              JOIN s6 USING (vec_id)) se
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM s6)
+  GROUP BY e.vec_id
+), p7 AS MATERIALIZED (
+  SELECT 7 AS pick, vec_id, round(md, 6) AS sel_dist FROM (
+    SELECT vec_id, md,
+           row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+    FROM m7
+  ) WHERE rn = 1
+), s7 AS MATERIALIZED (
+  SELECT vec_id FROM s6 UNION ALL SELECT vec_id FROM p7
+)
+SELECT 0 AS pick, CAST(0 AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS sel_dist
+UNION ALL
+SELECT pick, vec_id, sel_dist FROM p1
+UNION ALL
+SELECT pick, vec_id, sel_dist FROM p2
+UNION ALL
+SELECT pick, vec_id, sel_dist FROM p3
+UNION ALL
+SELECT pick, vec_id, sel_dist FROM p4
+UNION ALL
+SELECT pick, vec_id, sel_dist FROM p5
+UNION ALL
+SELECT pick, vec_id, sel_dist FROM p6
+UNION ALL
+SELECT pick, vec_id, sel_dist FROM p7
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

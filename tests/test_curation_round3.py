@@ -562,3 +562,35 @@ def test_stl_lite_identity_and_seasonality(spark, sf_dir):
         mean_det = sum(dets) / len(dets)
         seas = next(r["seasonal_cents"] for r in rows if r["dow"] == dow)
         assert abs(mean_det - seas) < 1  # seasonal = floor(mean detrended)
+
+
+def test_kcenter_coreset_greedy_replay(spark, sf_dir):
+    """E332: the distributed farthest-point sampler must equal the
+    numpy greedy (seed 0, cosine distance, min-id tie-break), and the
+    selection-distance curve must be non-increasing (each pick covers
+    the worst remaining gap)."""
+    rows = sorted(
+        similarity.kcenter_coreset(spark, sf_dir).collect(),
+        key=lambda r: r["pick"],
+    )
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    unit = {v: e / np.linalg.norm(e) for v, e in emb.items()}
+    sel = [0]
+    log = [(0, 0, None)]
+    for pick in range(1, 8):
+        best = None
+        for v, u in unit.items():
+            if v in sel:
+                continue
+            md = min(1.0 - float(u @ unit[s]) for s in sel)
+            if best is None or (md, -v) > (best[1], -best[0]):
+                best = (v, md)
+        sel.append(best[0])
+        log.append((pick, best[0], round(best[1], 6)))
+    got = [(r["pick"], r["vec_id"], r["sel_dist"]) for r in rows]
+    assert got == log
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
