@@ -76,6 +76,8 @@ FLOAT_ADJACENT = [
     "synthetic_source_digest",
     "cluster_design_effect",
     "arrival_completeness",
+    "stl_lite_decomposition",
+    "kcenter_coreset",
 ]
 
 
