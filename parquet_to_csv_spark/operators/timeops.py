@@ -2694,3 +2694,99 @@ def stl_lite_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual_cents"),
         )
     )
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E333: monthly growth accounting — the canonical MAU
+    decomposition (the "growth accounting" framework popularized by
+    a16z/Social Capital): every active user-month is NEW (first month
+    ever), RETAINED (active previous month) or RESURRECTED (active
+    before, not previous month); churn is last month's actives who
+    vanished. The identity ``MAU(t) = new + retained + resurrected``
+    holds by construction and the oracle checks it row by row.
+
+    One scan → distinct (user, month) → two lag windows per user
+    (previous active month + first month), tiny month rollup. E129's
+    weekly new/returning and E292's win-back are the adjacent views;
+    this is the full ledger.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("(ts div 1000) div 86400000000 div 30").alias("mo"),
+    )
+    um = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("mo")
+    tagged = um.select(
+        "user_id",
+        "mo",
+        F.lag("mo").over(w).alias("prev_mo"),
+        F.min("mo").over(
+            Window.partitionBy("user_id").orderBy("mo").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("first_mo"),
+    ).withColumn(
+        "status",
+        F.when(F.col("mo") == F.col("first_mo"), F.lit("new"))
+        .when(F.col("prev_mo") == F.col("mo") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected")),
+    )
+    mau = tagged.groupBy("mo").agg(
+        F.count(F.lit(1)).alias("mau"),
+        F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("status") == "retained").cast("long")).alias("n_retained"),
+        F.sum((F.col("status") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    # churned(t) = actives(t-1) − retained(t)
+    prev = mau.select((F.col("mo") + 1).alias("mo"), F.col("mau").alias("prev_mau"))
+    return (
+        mau.join(prev, "mo", "left")
+        .select(
+            "mo",
+            "mau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (F.coalesce(F.col("prev_mau"), F.lit(0)) - F.col("n_retained")).alias(
+                "n_churned"
+            ),
+        )
+    )
+
+
+def count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E334: overdispersion screen for daily event counts — the
+    variance-to-mean (Fisher dispersion) index per event type: ≈1e6
+    ppm means Poisson-like arrivals, ≫1e6 means bursty/contagious
+    processes (and invalidates Poisson-based alert thresholds —
+    pairs with E136 interarrival burstiness and the E330 SLA
+    monitor). Exact integer sufficient statistics over the bounded
+    day relation; index in floored ppm of the population
+    variance/mean ratio: ``(k·Σn² − (Σn)²) · 10⁶ div (k·Σn)``.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("k_days"),
+            F.sum("n").alias("total"),
+            F.sum(F.col("n") * F.col("n")).alias("ss"),
+        )
+        .select(
+            "event_type",
+            "k_days",
+            "total",
+            F.expr("total div k_days").alias("mean_daily"),
+            F.expr(
+                "(k_days * ss - total * total) * 1000000 div (k_days * total)"
+            ).alias("dispersion_ppm"),
+        )
+    )

@@ -9717,6 +9717,56 @@ SELECT pick, vec_id, sel_dist FROM p7
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E333-E334 — growth accounting, count overdispersion
+# --------------------------------------------------------------------------
+
+QUERIES["growth_accounting"] = timeops.growth_accounting
+ORACLES["growth_accounting"] = """
+WITH um AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 30 AS mo FROM events
+), tagged AS (
+  SELECT user_id, mo,
+         lag(mo) OVER (PARTITION BY user_id ORDER BY mo) AS prev_mo,
+         min(mo) OVER (PARTITION BY user_id ORDER BY mo
+                       ROWS UNBOUNDED PRECEDING) AS first_mo
+  FROM um
+), st AS (
+  SELECT mo,
+         CASE WHEN mo = first_mo THEN 'new'
+              WHEN prev_mo = mo - 1 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM tagged
+), mau AS (
+  SELECT mo, count(*) AS mau,
+         sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+         sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+         sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+           AS n_resurrected
+  FROM st GROUP BY 1
+)
+SELECT a.mo, CAST(a.mau AS BIGINT) AS mau, CAST(a.n_new AS BIGINT) AS n_new,
+       CAST(a.n_retained AS BIGINT) AS n_retained,
+       CAST(a.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(coalesce(b.mau, 0) - a.n_retained AS BIGINT) AS n_churned
+FROM mau a LEFT JOIN mau b ON b.mo = a.mo - 1
+"""
+
+QUERIES["count_overdispersion"] = timeops.count_overdispersion
+ORACLES["count_overdispersion"] = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS k_days,
+       CAST(sum(n) AS BIGINT) AS total,
+       CAST(sum(n) // count(*) AS BIGINT) AS mean_daily,
+       CAST((count(*) * sum(n * n) - sum(n) * sum(n)) * 1000000
+            // (count(*) * sum(n)) AS BIGINT) AS dispersion_ppm
+FROM daily GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -594,3 +594,47 @@ def test_kcenter_coreset_greedy_replay(spark, sf_dir):
     assert got == log
     dists = [d for _, _, d in got[1:]]
     assert dists == sorted(dists, reverse=True)
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """E333: MAU(t) == new + retained + resurrected per month, month 0
+    is all-new, and churn reconciles: churned(t) = MAU(t-1) −
+    retained(t) >= 0."""
+    from parquet_to_csv_spark.operators import timeops
+
+    rows = sorted(
+        timeops.growth_accounting(spark, sf_dir).collect(), key=lambda r: r["mo"]
+    )
+    assert rows
+    by_mo = {r["mo"]: r for r in rows}
+    first = rows[0]
+    assert first["n_new"] == first["mau"]
+    # no prior month: nothing retained, so churn = 0 − 0
+    assert first["n_retained"] == 0 and first["n_churned"] == 0
+    for r in rows:
+        assert r["mau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_churned"] == prev["mau"] - cur["n_retained"]
+        assert cur["n_churned"] >= 0
+
+
+def test_count_overdispersion_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_to_csv_spark.operators import timeops
+
+    got = {r["event_type"]: r for r in timeops.count_overdispersion(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "(ts div 1000) div 86400000000 AS day"
+    ).collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["day"])] += 1
+    per_type = defaultdict(list)
+    for (et, _), n in daily.items():
+        per_type[et].append(n)
+    for et, ns in per_type.items():
+        k, tot, ss = len(ns), sum(ns), sum(n * n for n in ns)
+        r = got[et]
+        assert (r["k_days"], r["total"]) == (k, tot)
+        assert r["dispersion_ppm"] == (k * ss - tot * tot) * 10**6 // (k * tot)
