@@ -78,6 +78,8 @@ FLOAT_ADJACENT = [
     "arrival_completeness",
     "stl_lite_decomposition",
     "kcenter_coreset",
+    "growth_accounting",
+    "count_overdispersion",
 ]
 
 
