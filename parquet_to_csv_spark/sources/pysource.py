@@ -109,3 +109,72 @@ def synthetic_source_digest(spark, sf_dir: str, n_rows: int = 20_000):
         F.sum("doc_id").alias("id_sum"),
         F.sum(F.length("text")).alias("char_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E335: the WRITE side of the Python DataSource API — a JSONL sink with
+# a real task-commit protocol (temp file per task → rename on driver
+# commit, delete on abort), i.e. the atomicity contract Spark's builtin
+# committers give, expressed in pure Python. Together with the reader
+# above, the engine demonstrates the full Spark-4 custom-connector
+# surface in both directions.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, rows):
+        _os.makedirs(_os.path.join(self.path, "_tmp"), exist_ok=True)
+        tmp = _os.path.join(self.path, "_tmp", f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in rows:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        total = 0
+        for i, m in enumerate(messages):
+            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            _os.rename(m.tmp_path, final)
+            total += m.n_rows
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and _os.path.exists(m.tmp_path):
+                _os.remove(m.tmp_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options)
+
+
+def write_jsonl_sink(df, path: str) -> None:
+    """Write ``df`` through the Python-DataSource JSONL sink (task-temp
+    → driver-commit rename protocol; `_SUCCESS` carries the row
+    count)."""
+    spark = df.sparkSession
+    spark.dataSource.register(JsonlSinkDataSource)
+    df.write.format("jsonl_sink").option("path", path).mode("append").save()

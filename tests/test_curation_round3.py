@@ -638,3 +638,26 @@ def test_count_overdispersion_replay(spark, sf_dir):
         r = got[et]
         assert (r["k_days"], r["total"]) == (k, tot)
         assert r["dispersion_ppm"] == (k * ss - tot * tot) * 10**6 // (k * tot)
+
+
+def test_python_datasource_jsonl_sink_roundtrip(spark, sf_dir, tmp_path):
+    """E335: the Python-DataSource JSONL SINK commits atomically
+    (task temp -> driver rename, _SUCCESS row count) and round-trips
+    the data exactly through Spark's JSON reader."""
+    import glob
+    import os
+
+    from parquet_to_csv_spark.sources.pysource import write_jsonl_sink
+
+    out = str(tmp_path / "sink")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    write_jsonl_sink(src, out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    n_total = src.count()
+    assert int(open(os.path.join(out, "_SUCCESS")).read()) == n_total
+    # no stray temp files after commit
+    assert glob.glob(os.path.join(out, "_tmp", "*")) == []
+    back = spark.read.schema("doc_id long, lang string, source string").json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
