@@ -2706,3 +2706,72 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
         )
         selected = _cut_lineage(selected.unionByName(picked).coalesce(1))
     return selected.select("pick", "vec_id", "sel_dist")
+
+
+def label_diag_fid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E336: diagonal-covariance Fréchet distance between label
+    distributions in embedding space — FID's tractable diagonal form
+    ``‖μ₁−μ₂‖² + Σ_d (σ₁d − σ₂d)²`` (full FID needs a matrix square
+    root no SQL engine should attempt; the diagonal form keeps the
+    mean-shift + per-dimension-spread semantics and is the standard
+    cheap variant). The distribution-level complement of E179's
+    centroid distances (means only): two labels can share a centroid
+    and still differ in spread.
+
+    One scan → per-(label, dim) DECIMAL-exact Σ and Σ² → per-label
+    mean/σ arrays (64-row folds) → k²/2 label pairs on the tiny
+    k-label relation. σ uses the population form with one sqrt per
+    dim — fixed IEEE order, oracle-identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    comp = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+            F.sum(
+                (F.col("val") * F.col("val")).cast("decimal(38,12)")
+            ).alias("ss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s").cast("double") / F.col("n")).alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    F.col("ss").cast("double") / F.col("n")
+                    - (F.col("s").cast("double") / F.col("n"))
+                    * (F.col("s").cast("double") / F.col("n")),
+                    F.lit(0.0),
+                )
+            ).alias("sigma"),
+        )
+    )
+    a = comp.select(
+        F.col("label").alias("label_a"),
+        "pos",
+        F.col("mu").alias("mu_a"),
+        F.col("sigma").alias("sg_a"),
+    )
+    b = comp.select(
+        F.col("label").alias("label_b"),
+        "pos",
+        F.col("mu").alias("mu_b"),
+        F.col("sigma").alias("sg_b"),
+    )
+    pairs = a.join(b, "pos").filter(F.col("label_a") < F.col("label_b"))
+    term = (F.col("mu_a") - F.col("mu_b")) * (F.col("mu_a") - F.col("mu_b")) + (
+        F.col("sg_a") - F.col("sg_b")
+    ) * (F.col("sg_a") - F.col("sg_b"))
+    return (
+        pairs.select(
+            "label_a",
+            "label_b",
+            term.cast("decimal(38,12)").alias("t"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("diag_fid"))
+    )

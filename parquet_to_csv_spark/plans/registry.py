@@ -9767,6 +9767,39 @@ FROM daily GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E336 — diagonal-covariance Frechet distance between labels
+# --------------------------------------------------------------------------
+
+QUERIES["label_diag_fid"] = _sim.label_diag_fid
+ORACLES["label_diag_fid"] = """
+WITH emb AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), comp AS (
+  SELECT label, t.pos,
+         CAST(sum(CAST(v[t.pos + 1] AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(v[t.pos + 1] * v[t.pos + 1] AS DECIMAL(38,12)))
+              AS DOUBLE) AS ss,
+         count(*) AS n
+  FROM emb, unnest(range(0, len(v))) AS t(pos)
+  GROUP BY 1, 2
+), ms AS (
+  SELECT label, pos, s / n AS mu,
+         sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sigma
+  FROM comp
+), pr AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.pos,
+         (a.mu - b.mu) * (a.mu - b.mu)
+         + (a.sigma - b.sigma) * (a.sigma - b.sigma) AS term
+  FROM ms a JOIN ms b ON a.pos = b.pos AND a.label < b.label
+)
+SELECT label_a, label_b,
+       round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS diag_fid
+FROM pr GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

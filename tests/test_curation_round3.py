@@ -661,3 +661,29 @@ def test_python_datasource_jsonl_sink_roundtrip(spark, sf_dir, tmp_path):
         os.path.join(out, "part-*.jsonl")
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_label_diag_fid_replay(spark, sf_dir):
+    """E336: diag-FID replayed in numpy (population sigma); symmetric
+    inputs produce strictly positive distances on distinct labels."""
+    from collections import defaultdict
+
+    got = {
+        (r["label_a"], r["label_b"]): r["diag_fid"]
+        for r in similarity.label_diag_fid(spark, sf_dir).collect()
+    }
+    by_label = defaultdict(list)
+    for r in load_table(spark, sf_dir, "embeddings").collect():
+        by_label[r["label"]].append(np.array(r["embedding"], dtype=np.float64))
+    stats = {
+        lab: (np.mean(vs, axis=0), np.std(vs, axis=0))
+        for lab, vs in by_label.items()
+    }
+    labs = sorted(stats)
+    for i, la in enumerate(labs):
+        for lb in labs[i + 1:]:
+            mu_a, sg_a = stats[la]
+            mu_b, sg_b = stats[lb]
+            fid = float(((mu_a - mu_b) ** 2).sum() + ((sg_a - sg_b) ** 2).sum())
+            assert abs(got[(la, lb)] - fid) < 1e-4
+            assert got[(la, lb)] > 0
