@@ -9800,6 +9800,24 @@ FROM pr GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E337 — Lambda backfill parity (batch half ∪ streaming half)
+# --------------------------------------------------------------------------
+
+# The oracle is the SINGLE full-range batch aggregation — equality
+# proves the batch-backfill + streaming-tail union reconstructs it
+# exactly (same windows, same counts, same exact-cents sums).
+QUERIES["hybrid_backfill_union"] = _stream.hybrid_backfill_union
+ORACLES["hybrid_backfill_union"] = f"""
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms,
+       event_type,
+       count(*) AS n_events,
+       {duck_sum_2dp("value", 2)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

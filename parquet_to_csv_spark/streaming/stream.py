@@ -604,3 +604,61 @@ def anomaly_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="update",
     )
+
+
+def hybrid_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E337: Lambda-architecture backfill parity — the historical
+    HALF of the events is aggregated in BATCH, the recent half is
+    staged as files and aggregated through the STREAMING path, and the
+    union must equal a single batch aggregation of everything (the
+    oracle): the one-definition/two-paths contract a batch-backfill +
+    live-tail deployment depends on. The split cutoff is the median
+    DAY boundary — hour windows cannot straddle it, so the two halves'
+    windows are disjoint by construction (the condition that makes the
+    union exact; a mid-window cutoff would double-count and the gate
+    would catch it).
+    """
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.functions.stable import stable_sum_2dp
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.expr("ts div 86400000000000").alias("day"))
+    bounds = days.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).collect()[0]
+    cutoff_ns = ((bounds["d0"] + bounds["d1"] + 1) // 2) * 86400000000000
+
+    hist = ev.filter(F.col("ts") < cutoff_ns)
+    batch_half = (
+        hist.select(
+            F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+            "event_type",
+            "value",
+        )
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum_2dp(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("ws_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="tailstream_")
+    ev.filter(F.col("ts") >= cutoff_ns).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    tail = run_to_memory(
+        streaming_tumbling_counts(read_event_stream(spark, stage)),
+        "t_backfill_tail_" + _uuid.uuid4().hex[:8],
+        spark,
+    )
+    return batch_half.unionByName(tail)
