@@ -1739,3 +1739,59 @@ def dup_provenance(
             "parent_jaccard",
         )
     )
+
+
+def lsh_parameter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E338: MinHash-LSH banding design table — for each candidate
+    (bands b, rows-per-band r) configuration of a 32-permutation
+    signature, the s-curve threshold ``(1/b)^(1/r)`` and the detection
+    probability ``1 − (1 − j^r)^b`` at reference Jaccard levels: the
+    table an engineer reads BEFORE picking E2's banding (this repo's
+    8×4 default is one row; the advisor shows what moving along the
+    precision/recall curve costs). Generated workload (pure math over
+    the config grid — the E309/E319 oracle discipline: DuckDB derives
+    every value from the formulas); ``sf_dir`` unused.
+
+    Probabilities in floored ppm; the double chain (powers of exact
+    rationals) is fixed-order and engine-identical.
+    """
+    # JVM-side literal grids (spark.range + array element_at): a
+    # python-side createDataFrame pays Python-worker startup per
+    # partition — measured ~10 s for 24 rows; this is milliseconds
+    configs = (
+        spark.range(4)
+        .coalesce(1)
+        .select(
+            F.expr(
+                "element_at(array(2, 4, 8, 16), CAST(id + 1 AS INT))"
+            ).alias("bands")
+        )
+        .withColumn("rows_per_band", F.expr("32 div bands").cast("int"))
+        .withColumn("bands", F.col("bands").cast("int"))
+    )
+    js = (
+        spark.range(6)
+        .coalesce(1)
+        .select(
+            F.expr(
+                "element_at(array(50, 60, 70, 80, 90, 95), CAST(id + 1 AS INT))"
+            ).cast("int").alias("j_centi")
+        )
+    )
+    grid = configs.crossJoin(js)
+    j = F.col("j_centi").cast("double") / 100.0
+    p_detect = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(j, F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    thresh = F.pow(
+        F.lit(1.0) / F.col("bands").cast("double"),
+        F.lit(1.0) / F.col("rows_per_band").cast("double"),
+    )
+    return grid.select(
+        "bands",
+        "rows_per_band",
+        F.floor(thresh * 1e6).cast("long").alias("threshold_ppm"),
+        "j_centi",
+        F.floor(p_detect * 1e6).cast("long").alias("p_detect_ppm"),
+    )

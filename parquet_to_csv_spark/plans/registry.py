@@ -9818,6 +9818,30 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E338 — MinHash-LSH banding design table
+# --------------------------------------------------------------------------
+
+QUERIES["lsh_parameter_advisor"] = dedup.lsh_parameter_advisor
+ORACLES["lsh_parameter_advisor"] = """
+WITH cfg AS (
+  SELECT b.b AS bands, 32 // b.b AS rows_per_band
+  FROM (SELECT unnest([2, 4, 8, 16]) AS b) b
+), js AS (
+  SELECT unnest([50, 60, 70, 80, 90, 95]) AS j_centi
+)
+SELECT CAST(bands AS INTEGER) AS bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       CAST(floor(pow(1.0 / bands, 1.0 / rows_per_band) * 1000000) AS BIGINT)
+         AS threshold_ppm,
+       CAST(j_centi AS INTEGER) AS j_centi,
+       CAST(floor((1.0 - pow(1.0 - pow(j_centi / 100.0, CAST(rows_per_band AS DOUBLE)),
+                             CAST(bands AS DOUBLE))) * 1000000) AS BIGINT)
+         AS p_detect_ppm
+FROM cfg CROSS JOIN js
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
