@@ -1795,3 +1795,55 @@ def lsh_parameter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j_centi",
         F.floor(p_detect * 1e6).cast("long").alias("p_detect_ppm"),
     )
+
+
+def dedup_savings_projection(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """EXT E339: the dedup business case in one row per source — what
+    near-dup removal at ``threshold`` actually SAVES: docs removed
+    (non-canonical cluster members), exact characters and tokens
+    reclaimed, and each as ppm of the source's corpus. The number that
+    justifies (or kills) running the pipeline at all, and the
+    per-source breakdown that says where the duplication lives.
+
+    Pure composition: E26 clusters (riding the materialized edge
+    table) joined once to the documents relation; all integer sums.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    removed = dup_clusters(spark, sf_dir, threshold).filter(
+        ~F.col("is_canonical")
+    ).select("doc_id")
+    tagged = docs.join(
+        removed.withColumn("gone", F.lit(1)), "doc_id", "left"
+    ).withColumn("gone", F.coalesce(F.col("gone"), F.lit(0)))
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("gone").alias("n_removed"),
+            F.sum(F.col("gone") * F.col("n_chars")).alias("chars_removed"),
+            F.sum(F.col("gone") * F.col("n_tokens")).alias("tokens_removed"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum("n_tokens").alias("tokens_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            F.expr("n_removed * 1000000 div n_docs").alias("docs_removed_ppm"),
+            "chars_removed",
+            F.expr("chars_removed * 1000000 div chars_total").alias(
+                "chars_removed_ppm"
+            ),
+            "tokens_removed",
+            F.expr("tokens_removed * 1000000 div tokens_total").alias(
+                "tokens_removed_ppm"
+            ),
+        )
+    )

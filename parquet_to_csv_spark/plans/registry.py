@@ -9842,6 +9842,51 @@ FROM cfg CROSS JOIN js
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E339 — dedup savings projection (the business case)
+# --------------------------------------------------------------------------
+
+QUERIES["dedup_savings_projection"] = dedup.dedup_savings_projection
+ORACLES["dedup_savings_projection"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM prs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM prs
+), cc(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.l FROM edges e JOIN cc ON cc.v = e.w
+), cl AS (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM cc GROUP BY v
+), tg AS (
+  SELECT d.doc_id, d.source,
+         CAST(length(d.text) AS BIGINT) AS n_chars,
+         CAST(len({_TOKS.replace('text', 'd.text')}) AS BIGINT) AS n_tokens,
+         CASE WHEN cl.doc_id IS NOT NULL AND cl.doc_id <> cl.cluster_id
+              THEN 1 ELSE 0 END AS gone
+  FROM documents d LEFT JOIN cl USING (doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(gone) AS BIGINT) AS n_removed,
+       CAST(sum(gone) * 1000000 // count(*) AS BIGINT) AS docs_removed_ppm,
+       CAST(sum(gone * n_chars) AS BIGINT) AS chars_removed,
+       CAST(sum(gone * n_chars) * 1000000 // sum(n_chars) AS BIGINT)
+         AS chars_removed_ppm,
+       CAST(sum(gone * n_tokens) AS BIGINT) AS tokens_removed,
+       CAST(sum(gone * n_tokens) * 1000000 // sum(n_tokens) AS BIGINT)
+         AS tokens_removed_ppm
+FROM tg GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
