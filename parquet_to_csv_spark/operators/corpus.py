@@ -2190,3 +2190,53 @@ def similarity_order_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def source_entropy_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E340: per-source unigram entropy + compression budget — the
+    information-theoretic floor on storage: Shannon entropy of the
+    source's token distribution (micro-nats/token, exact by the E39
+    single-`ln`-of-a-rational recipe) and the implied lower bound on
+    compressed size (entropy/ln2 bits × tokens / 8). Low-entropy
+    sources are templated (and compress/dedup well — read beside E90
+    repetition and E318 layout gain); the bytes number feeds capacity
+    planning.
+
+    One explode → per-(source, term) counts → per-source Σ n·ln(N/n)
+    with each ln micro-rounded before the exact long fold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("n").alias("nn"))
+    # per-term contribution n·round(ln(N/n)·1e6): micro-rounded ln of an
+    # exact rational, then exact long sums
+    j = tf.join(tot, "source").select(
+        "source",
+        "nn",
+        (
+            F.col("n")
+            * F.round(
+                F.log(F.col("nn").cast("double") / F.col("n").cast("double"))
+                * 1e6,
+                0,
+            ).cast("long")
+        ).alias("contrib"),
+    )
+    return (
+        j.groupBy("source", "nn")
+        .agg(F.sum("contrib").alias("sum_contrib"))
+        .select(
+            "source",
+            F.col("nn").alias("n_tokens"),
+            F.expr("sum_contrib div nn").alias("entropy_micronats_per_token"),
+            # bits = nats/ln2; bytes = bits/8 — floored exact chain from
+            # the micro-nat integer (ln2 in micro units = 693147)
+            F.expr("sum_contrib div 693147 div 8").alias(
+                "min_compressed_bytes"
+            ),
+        )
+    )

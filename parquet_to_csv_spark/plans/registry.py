@@ -9887,6 +9887,31 @@ FROM tg GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E340 — per-source entropy + compression budget
+# --------------------------------------------------------------------------
+
+QUERIES["source_entropy_budget"] = corpus.source_entropy_budget
+ORACLES["source_entropy_budget"] = f"""
+WITH tf AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+), c AS (
+  SELECT source, term, count(*) AS n FROM tf GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(n) AS nn FROM c GROUP BY 1
+), j AS (
+  SELECT c.source, t.nn,
+         c.n * CAST(round(ln(CAST(t.nn AS DOUBLE) / CAST(c.n AS DOUBLE))
+                          * 1000000) AS BIGINT) AS contrib
+  FROM c JOIN tot t USING (source)
+)
+SELECT source, CAST(nn AS BIGINT) AS n_tokens,
+       CAST(sum(contrib) // nn AS BIGINT) AS entropy_micronats_per_token,
+       CAST(sum(contrib) // 693147 // 8 AS BIGINT) AS min_compressed_bytes
+FROM j GROUP BY source, nn
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

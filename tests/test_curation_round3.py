@@ -687,3 +687,29 @@ def test_label_diag_fid_replay(spark, sf_dir):
             fid = float(((mu_a - mu_b) ** 2).sum() + ((sg_a - sg_b) ** 2).sum())
             assert abs(got[(la, lb)] - fid) < 1e-4
             assert got[(la, lb)] > 0
+
+
+def test_source_entropy_budget_replay(spark, sf_dir):
+    """E340: entropy replayed in python (same micro-rounded ln
+    contributions); bounds: 0 <= H <= ln(vocab) per source; the
+    compressed floor is below the raw token bytes."""
+    import math
+    from collections import defaultdict
+
+    got = {r["source"]: r for r in corpus.source_entropy_budget(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    cnt: dict = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        for t in r["text"].lower().split():
+            if t:
+                cnt[r["source"]][t] += 1
+    for src, terms in cnt.items():
+        nn = sum(terms.values())
+        contrib = sum(n * round(math.log(nn / n) * 1e6) for n in terms.values())
+        r = got[src]
+        assert r["n_tokens"] == nn
+        assert r["entropy_micronats_per_token"] == contrib // nn
+        assert 0 <= r["entropy_micronats_per_token"] <= round(
+            math.log(len(terms)) * 1e6
+        )
+        assert r["min_compressed_bytes"] == contrib // 693147 // 8
