@@ -412,14 +412,31 @@ def test_tight_watermark_drops_late_rows_predictably(spark, sf_dir, tmp_path):
     drop aggregates for windows older than (max_seen_event_time −
     delay) — and the surviving window set must match the closed-form
     prediction computed from the data."""
+    import glob
+    import os
+    import shutil
+
     stage = str(tmp_path / "late")
+    os.makedirs(stage)
     ev = load_table(spark, sf_dir, "events")
-    (
-        ev.orderBy(F.desc("ts"))
-        .repartitionByRange(3, F.desc("ts"))
-        .write.mode("overwrite")
-        .parquet(stage)
-    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    third = (hi - lo) // 3 + 1
+    # FileStreamSource orders files by (mtime, path): write each time
+    # range to its own single file and FORCE newest-data-first
+    # processing with explicit mtimes (task-completion mtimes are
+    # nondeterministic — this test was flaky without the utime pin)
+    base = 1_000_000_000
+    for i in range(3):  # i=0 newest range
+        r_lo = hi - (i + 1) * third + 1
+        r_hi = hi - i * third
+        tmp = str(tmp_path / f"w{i}")
+        ev.filter((F.col("ts") >= r_lo) & (F.col("ts") <= r_hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        (src_file,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(stage, f"batch{i}.parquet")
+        shutil.copy(src_file, dst)
+        os.utime(dst, (base + i, base + i))
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
@@ -427,6 +444,7 @@ def test_tight_watermark_drops_late_rows_predictably(spark, sf_dir, tmp_path):
     s = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
         .parquet(stage)
     )
     delay_ms = 24 * 3600 * 1000
