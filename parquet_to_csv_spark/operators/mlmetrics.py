@@ -1937,3 +1937,45 @@ def cluster_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(deff * 1e6, 0).cast("long").alias("deff_ppm"),
         F.round((F.col("n").cast("double") / deff), 2).alias("effective_n"),
     )
+
+
+def shrunk_conversion_rates(
+    spark: SparkSession, sf_dir: str, pseudo_n: int = 20, k: int = 15
+) -> DataFrame:
+    """EXT E341: empirical-Bayes shrinkage of per-user conversion
+    rates — the small-sample stabilizer every feature store needs:
+    the raw rate x/n is pulled toward the global rate with weight
+    ``n/(n+pseudo_n)`` (the beta-binomial posterior mean with a
+    global-rate prior worth ``pseudo_n`` observations), so a 1-for-2
+    user stops looking "50 % converter" next to a 40-for-100 one.
+    Reports the top-k by shrunk rate — the ranking raw rates get
+    WRONG (test-pinned).
+
+    Exact integer ppm end to end:
+    ``shrunk_ppm = (x·10⁶ + pseudo_n·global_ppm) div (n + pseudo_n)``
+    — one scan to per-user counts, one broadcast global rate, a
+    TakeOrderedAndProject top-k.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_type") == "purchase").cast("long").alias("conv")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    g = F.broadcast(
+        per.agg(F.expr("sum(x) * 1000000 div sum(n)").alias("global_ppm"))
+    )
+    return (
+        per.join(g)
+        .select(
+            "user_id",
+            "n",
+            "x",
+            F.expr("x * 1000000 div n").alias("raw_ppm"),
+            F.expr(
+                f"(x * 1000000 + {pseudo_n} * global_ppm) div (n + {pseudo_n})"
+            ).alias("shrunk_ppm"),
+        )
+        .orderBy(F.desc("shrunk_ppm"), F.asc("user_id"))
+        .limit(k)
+    )

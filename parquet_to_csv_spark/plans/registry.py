@@ -9912,6 +9912,29 @@ FROM j GROUP BY source, nn
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E341 — empirical-Bayes shrunk conversion rates
+# --------------------------------------------------------------------------
+
+QUERIES["shrunk_conversion_rates"] = mlmetrics.shrunk_conversion_rates
+ORACLES["shrunk_conversion_rates"] = """
+WITH per AS (
+  SELECT user_id, count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), g AS (
+  SELECT sum(x) * 1000000 // sum(n) AS global_ppm FROM per
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+       CAST(x * 1000000 // n AS BIGINT) AS raw_ppm,
+       CAST((x * 1000000 + 20 * g.global_ppm) // (n + 20) AS BIGINT)
+         AS shrunk_ppm
+FROM per CROSS JOIN g
+ORDER BY shrunk_ppm DESC, user_id ASC
+LIMIT 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

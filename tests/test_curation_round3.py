@@ -713,3 +713,28 @@ def test_source_entropy_budget_replay(spark, sf_dir):
             math.log(len(terms)) * 1e6
         )
         assert r["min_compressed_bytes"] == contrib // 693147 // 8
+
+
+def test_shrunk_rates_fix_small_sample_ranking(spark, sf_dir):
+    """E341: shrinkage must (a) sit between raw and global rates, (b)
+    pull small-n users harder than large-n users, and (c) be exact per
+    the integer formula."""
+    from parquet_to_csv_spark.operators import mlmetrics
+
+    rows = mlmetrics.shrunk_conversion_rates(spark, sf_dir, k=1000).collect()
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c"
+    ).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in ev:
+        agg[r["user_id"]][0] += 1
+        agg[r["user_id"]][1] += r["c"]
+    g_ppm = sum(x for _, x in agg.values()) * 10**6 // sum(n for n, _ in agg.values())
+    for r in rows:
+        n, x = agg[r["user_id"]]
+        assert (r["n"], r["x"]) == (n, x)
+        assert r["shrunk_ppm"] == (x * 10**6 + 20 * g_ppm) // (n + 20)
+        lo, hi = sorted((r["raw_ppm"], g_ppm))
+        assert lo - 1 <= r["shrunk_ppm"] <= hi + 1
