@@ -80,6 +80,12 @@ FLOAT_ADJACENT = [
     "kcenter_coreset",
     "growth_accounting",
     "count_overdispersion",
+    "label_diag_fid",
+    "hybrid_backfill_union",
+    "lsh_parameter_advisor",
+    "dedup_savings_projection",
+    "source_entropy_budget",
+    "shrunk_conversion_rates",
 ]
 
 
