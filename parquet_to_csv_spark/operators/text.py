@@ -1375,3 +1375,37 @@ def quality_signals_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v_4dp").alias("min_4dp"),
         F.max("v_4dp").alias("max_4dp"),
     )
+
+
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E342: expected calibration error — the one-number summary
+    of E121's reliability bins: ``ECE = Σ (n_b/N)·|acc_b − conf_b|``
+    in exact ppm, plus the worst bin and its signed gap (which tells
+    you WHERE the score lies: over-confident high bins vs
+    under-confident low bins). The go/no-go number before using a
+    score as a probability (threshold picking, expected-cost
+    decisions).
+
+    Pure composition over the oracle-verified bins relation — exact
+    integer cross-multiplied arithmetic, one tiny aggregate.
+    """
+    bins = calibration_bins(spark, sf_dir).select(
+        "bin",
+        "n_docs",
+        "pos_rate_ppm",
+        (F.col("mean_score_e4") * 100).alias("conf_ppm"),
+    )
+    gap = F.abs(F.col("pos_rate_ppm") - F.col("conf_ppm"))
+    signed = F.col("pos_rate_ppm") - F.col("conf_ppm")
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.expr(
+            "sum(n_docs * abs(pos_rate_ppm - conf_ppm)) div sum(n_docs)"
+        ).alias("ece_ppm"),
+        F.max(gap).alias("max_gap_ppm"),
+        F.max_by("bin", F.struct(gap, -F.col("bin"))).alias("worst_bin"),
+        F.max_by(signed, F.struct(gap, -F.col("bin"))).alias(
+            "worst_bin_signed_gap_ppm"
+        ),
+    )

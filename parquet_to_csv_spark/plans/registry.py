@@ -9935,6 +9935,39 @@ LIMIT 15
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E342 — expected calibration error (summary of E121's bins)
+# --------------------------------------------------------------------------
+
+# reuse the verified bins oracle as a subquery (pre-cast version is
+# fine: the arithmetic below re-derives exact integers)
+QUERIES["expected_calibration_error"] = text.expected_calibration_error
+ORACLES["expected_calibration_error"] = f"""
+WITH bins AS (
+{ORACLES["calibration_bins"]}
+), g AS (
+  SELECT bin, n_docs, CAST(pos_rate_ppm AS BIGINT) AS pos_rate_ppm,
+         CAST(mean_score_e4 * 100 AS BIGINT) AS conf_ppm
+  FROM bins
+), r AS (
+  SELECT bin, n_docs, pos_rate_ppm, conf_ppm,
+         abs(pos_rate_ppm - conf_ppm) AS gap,
+         pos_rate_ppm - conf_ppm AS signed_gap,
+         row_number() OVER (ORDER BY abs(pos_rate_ppm - conf_ppm) DESC,
+                            bin ASC) AS rn
+  FROM g
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_docs * gap) // sum(n_docs) AS BIGINT) AS ece_ppm,
+       CAST(max(gap) AS BIGINT) AS max_gap_ppm,
+       CAST(max(CASE WHEN rn = 1 THEN bin END) AS INTEGER) AS worst_bin,
+       CAST(max(CASE WHEN rn = 1 THEN signed_gap END) AS BIGINT)
+         AS worst_bin_signed_gap_ppm
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -738,3 +738,22 @@ def test_shrunk_rates_fix_small_sample_ranking(spark, sf_dir):
         assert r["shrunk_ppm"] == (x * 10**6 + 20 * g_ppm) // (n + 20)
         lo, hi = sorted((r["raw_ppm"], g_ppm))
         assert lo - 1 <= r["shrunk_ppm"] <= hi + 1
+
+
+def test_expected_calibration_error_consistency(spark, sf_dir):
+    """E342: ECE replayed from the bins relation; worst-bin gap equals
+    max gap; ECE <= max gap."""
+    from parquet_to_csv_spark.operators import text as textops
+
+    bins = textops.calibration_bins(spark, sf_dir).collect()
+    (r,) = textops.expected_calibration_error(spark, sf_dir).collect()
+    gaps = {
+        b["bin"]: abs(b["pos_rate_ppm"] - b["mean_score_e4"] * 100) for b in bins
+    }
+    n = sum(b["n_docs"] for b in bins)
+    ece = sum(b["n_docs"] * gaps[b["bin"]] for b in bins) // n
+    assert r["ece_ppm"] == ece
+    assert r["max_gap_ppm"] == max(gaps.values())
+    assert gaps[r["worst_bin"]] == r["max_gap_ppm"]
+    assert r["ece_ppm"] <= r["max_gap_ppm"]
+    assert r["n_docs"] == n and r["n_bins"] == len(bins)
