@@ -86,6 +86,7 @@ FLOAT_ADJACENT = [
     "dedup_savings_projection",
     "source_entropy_budget",
     "shrunk_conversion_rates",
+    "expected_calibration_error",
 ]
 
 
