@@ -968,29 +968,40 @@ def value_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     preprocessor applies to align heterogeneous feature scales.
 
     Both sides use the repo's TYPE-1 order-statistic convention
-    (explicit floor((n−1)·q) index over exact cents) — one rank window
-    per side, one conditional aggregate, deciles joined on the
-    quantile index. The ratio is floored integer ppm.
+    (explicit floor((n−1)·q) index over exact cents). Each side
+    collapses to DISTINCT cents with multiplicities first (the
+    auc_ranker trick — shuffle ∝ distinct values, not rows), takes the
+    running multiplicity from ``relational.banded_prefix_sum``
+    (value-banded local cumsums + broadcast band offsets — no
+    unpartitioned window over event rows), and picks the decile value
+    as the distinct row whose cumulative-count span covers the target
+    rank. The ratio is floored integer ppm.
     """
-    from pyspark.sql import Window
+    from parquet_to_csv_spark.operators.relational import banded_prefix_sum
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", exact_units(F.col("value"), 2).alias("cents")
     )
     def side(t: str, alias: str) -> DataFrame:
-        w = Window.orderBy("cents")
         base = ev.filter(F.col("event_type") == t)
-        ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy())
+        counts = base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+        cum = banded_prefix_sum(
+            counts, ["cents"], "cnt", F.expr("cents div 5000"), out_col="cum"
         )
+        n = F.broadcast(counts.agg(F.sum("cnt").alias("n")))
         picks = [
             F.expr(
-                f"max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * {q / 10}) AS BIGINT) + 1"
-                " THEN cents END)"
+                # identical float index formula to the rank-window form
+                # it replaces (and to the oracle): value at rank idx is
+                # the distinct cents whose (cum-cnt, cum] span covers it
+                f"max(CASE WHEN CAST(floor(CAST(n - 1 AS DOUBLE) * {q / 10}) AS BIGINT) + 1"
+                " > cum - cnt"
+                f" AND CAST(floor(CAST(n - 1 AS DOUBLE) * {q / 10}) AS BIGINT) + 1"
+                " <= cum THEN cents END)"
             ).alias(f"q{q}")
             for q in range(1, 10)
         ]
-        wide = ranked.agg(*picks)
+        wide = cum.join(n).agg(*picks)
         rows = [
             wide.select(F.lit(q).alias("decile"), F.col(f"q{q}").alias(alias))
             for q in range(1, 10)
@@ -1297,13 +1308,16 @@ def simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     better" conclusion ships: a reversal means the aggregate is
     confounded by user mix, not behavior.
 
-    Quintiles come from the per-user exact-cents total (ntile over
-    user cardinality, the RFM convention); per-(stratum × arm) means
-    are exact floored cents; differences are exact integer cents so
-    the sign comparison can never flap. Output: one row per stratum
+    Quintiles come from the per-user exact-cents total (exact ntile
+    semantics over the unique (total, user) order, the RFM
+    convention), computed by ``relational.distributed_ntile`` —
+    value-banded local ranks + broadcast band offsets, never an
+    unpartitioned window over the user grain; per-(stratum × arm)
+    means are exact floored cents; differences are exact integer cents
+    so the sign comparison can never flap. Output: one row per stratum
     plus the 'overall' row, each with both arms and the reversal flag.
     """
-    from pyspark.sql import Window as W
+    from parquet_to_csv_spark.operators.relational import distributed_ntile
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -1312,9 +1326,14 @@ def simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_units(F.col("value"), 2).alias("cents"),
     )
     per_user = ev.groupBy("user_id").agg(F.sum("cents").alias("tot"))
-    tiled = per_user.select(
-        "user_id", F.ntile(5).over(W.orderBy("tot", "user_id")).alias("stratum")
-    )
+    tiled = distributed_ntile(
+        per_user,
+        "tot",
+        "user_id",
+        5,
+        F.expr("tot div 20000"),
+        out_col="stratum",
+    ).select("user_id", "stratum")
     purch = (
         ev.filter(F.col("is_p"))
         .join(F.broadcast(tiled), "user_id")
@@ -1498,37 +1517,38 @@ def engagement_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Medians are selected order statistics of the per-user relation
     (the daily_value_bands convention — engine-literal type-1 picks,
-    exact integers); the quadrant label is pure integer comparison.
-    Per-user aggregation once, two tiny median relations broadcast
-    back, one 4-row rollup.
+    exact integers), each rank from ``relational.banded_row_number``
+    (value-banded local ranks + broadcast band offsets — no
+    unpartitioned window over the user grain); the quadrant label is
+    pure integer comparison. Per-user aggregation once, two tiny
+    median relations broadcast back, one 4-row rollup.
     """
-    from pyspark.sql import Window as W
+    from parquet_to_csv_spark.operators.relational import banded_row_number
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("act"),
         F.sum(exact_units(F.col("value"), 2)).alias("cents"),
     )
-    w_a = W.orderBy("act", "user_id")
-    w_v = W.orderBy("cents", "user_id")
-    wc = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = per_user.select(
-        "act",
-        "cents",
-        F.row_number().over(w_a).alias("ra"),
-        F.row_number().over(w_v).alias("rv"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    pick = (
+        "max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1"
+        " THEN {col} END)"
     )
-    med = ranked.agg(
-        F.expr(
-            "max(CASE WHEN ra = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1"
-            " THEN act END)"
-        ).alias("med_act"),
-        F.expr(
-            "max(CASE WHEN rv = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1"
-            " THEN cents END)"
-        ).alias("med_cents"),
-    )
+    med_a = banded_row_number(
+        per_user.select("user_id", "act"),
+        ["act", "user_id"],
+        F.expr("act div 8"),
+        out_col="rn",
+        total_col="n",
+    ).agg(F.expr(pick.format(col="act")).alias("med_act"))
+    med_v = banded_row_number(
+        per_user.select("user_id", "cents"),
+        ["cents", "user_id"],
+        F.expr("cents div 20000"),
+        out_col="rn",
+        total_col="n",
+    ).agg(F.expr(pick.format(col="cents")).alias("med_cents"))
+    med = med_a.crossJoin(med_v)
     labeled = per_user.crossJoin(F.broadcast(med)).select(
         F.concat(
             F.when(F.col("act") > F.col("med_act"), F.lit("hi_act")).otherwise(

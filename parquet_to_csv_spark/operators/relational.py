@@ -757,6 +757,120 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def banded_row_number(
+    df: DataFrame,
+    order_cols,
+    band_col,
+    out_col: str = "rn",
+    group_cols=(),
+    total_col: str | None = None,
+) -> DataFrame:
+    """EXACT ``row_number()`` over a unique total order — globally or
+    per group — WITHOUT an unpartitioned data window: the shared
+    two-phase banded rank behind :func:`distributed_ntile`,
+    ``gini_revenue``, and the round-4 sweep over the remaining
+    global-window operators.
+
+    ``order_cols`` is the ascending unique sort key (callers wanting a
+    DESC rank pre-negate the value into a helper column).
+    ``band_col`` must be a deterministic integer expression, MONOTONE
+    non-decreasing in the FIRST order column within each group, derived
+    from the row itself (``floor(value / width)``) — never
+    ``repartitionByRange``, whose sampled boundaries differ across plan
+    branches. Three bounded steps:
+
+    1. local rank: one ``row_number`` window hash-partitioned on
+       (group, band) — parallel across bands, the only per-row window;
+    2. band offsets: per-(group, band) counts (one row per band —
+       a tiny relation) prefix-summed over the BAND COUNT, not the
+       data, then broadcast back;
+    3. global rank = offset + local rank.
+
+    With ``total_col`` set, the per-group row count rides along as an
+    extra broadcast column (the n used by ntile folds / percentile
+    picks). Output: input rows + ``out_col`` (long, 1-based)
+    [+ ``total_col``], values identical to
+    ``row_number() OVER ([PARTITION BY group] ORDER BY order_cols)``.
+    """
+    g = list(group_cols)
+    banded = df.withColumn("_band", band_col.cast("long"))
+    w_local = W.partitionBy(*g, "_band").orderBy(*[F.asc(c) for c in order_cols])
+    local = banded.withColumn("_lr", F.row_number().over(w_local).cast("long"))
+    counts = banded.groupBy(*g, "_band").agg(F.count(F.lit(1)).alias("_bn"))
+    if g:
+        w_off = W.partitionBy(*g).orderBy("_band").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    else:
+        # over the band-count relation (one row per band), not the data
+        w_off = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.select(
+        *g,
+        "_band",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+    )
+    out = local.join(F.broadcast(offs), g + ["_band"]).withColumn(
+        out_col, F.col("_off") + F.col("_lr")
+    )
+    if total_col is not None:
+        if g:
+            tot = counts.groupBy(*g).agg(F.sum("_bn").alias(total_col))
+            out = out.join(F.broadcast(tot), g)
+        else:
+            tot = counts.agg(F.sum("_bn").alias(total_col))
+            out = out.join(F.broadcast(tot))
+    return out.drop("_band", "_lr", "_off")
+
+
+def banded_prefix_sum(
+    df: DataFrame,
+    order_cols,
+    sum_col: str,
+    band_col,
+    out_col: str = "cum",
+    group_cols=(),
+) -> DataFrame:
+    """EXACT inclusive running SUM of ``sum_col`` over a unique total
+    order — globally or per group — without an unpartitioned data
+    window; the weighted twin of :func:`banded_row_number` (weighted
+    medians, cumulative-weight order statistics).
+
+    Same banding contract; step 1 computes a local cumulative sum per
+    (group, band) and step 2 prefix-sums the per-band TOTALS (tiny
+    relation) for the broadcast offsets. Output: input rows +
+    ``out_col`` (long), identical to
+    ``sum(sum_col) OVER ([PARTITION BY group] ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING)``.
+    """
+    g = list(group_cols)
+    banded = df.withColumn("_band", band_col.cast("long"))
+    w_local = (
+        W.partitionBy(*g, "_band")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = banded.withColumn("_lc", F.sum(sum_col).over(w_local).cast("long"))
+    totals = banded.groupBy(*g, "_band").agg(
+        F.sum(sum_col).cast("long").alias("_bs")
+    )
+    if g:
+        w_off = W.partitionBy(*g).orderBy("_band").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    else:
+        w_off = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+    offs = totals.select(
+        *g,
+        "_band",
+        F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offs), g + ["_band"])
+        .withColumn(out_col, F.col("_off") + F.col("_lc"))
+        .drop("_band", "_lc", "_off")
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     val_col: str,
@@ -790,17 +904,10 @@ def distributed_ntile(
     to ``F.ntile(n_tiles).over(W.orderBy(val, key))``, pinned by a
     partition-count invariance test.
     """
-    banded = df.withColumn("_band", band_col.cast("long"))
-    w_local = W.partitionBy("_band").orderBy(F.asc(val_col), F.asc(key_col))
-    local = banded.withColumn("_lr", F.row_number().over(w_local).cast("long"))
-    counts = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
-    w_off = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
-    offs = counts.select(
-        "_band",
-        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+    ranked = banded_row_number(
+        df, [val_col, key_col], band_col, out_col="_grn", total_col="_n"
     )
-    tot = counts.agg(F.sum("_bn").alias("_n"))
-    rank = "(_off + _lr)"
+    rank = "_grn"
     t = n_tiles
     tile = (
         f"CASE WHEN {rank} <= ((_n div {t}) + 1) * (_n % {t}) "
@@ -809,10 +916,8 @@ def distributed_ntile(
         f"      + greatest(_n div {t}, 1) - 1) div greatest(_n div {t}, 1) END"
     )
     return (
-        local.join(F.broadcast(offs), "_band")
-        .join(F.broadcast(tot))
-        .withColumn(out_col, F.expr(tile).cast("int"))
-        .drop("_band", "_lr", "_off", "_n")
+        ranked.withColumn(out_col, F.expr(tile).cast("int"))
+        .drop("_grn", "_n")
     )
 
 
@@ -1209,15 +1314,14 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Definition: the smallest value v (in the unique total order value,
     orderkey, linenumber) whose running weight reaches half the group
-    total. One per-group ordered prefix-sum window + a broadcast of
-    the tiny per-group totals + a min_by-style relational argmin —
-    everything exact integer cents / integer quantity units, so both
-    engines agree bit-for-bit. The group window parallelizes across
-    groups; within a pathologically hot group the two-phase
-    distributed prefix sum (gini_revenue) is the documented drop-in.
+    total. The running weight comes from :func:`banded_prefix_sum`
+    partitioned on (returnflag × price band) — l_returnflag has only 3
+    values, so a flag-partitioned window would still push ~1/3 of
+    lineitem through one task's sort; price-banding caps every task at
+    one (flag, band) slice. Then a broadcast of the tiny per-group
+    totals + a min-style relational argmin — everything exact integer
+    cents / integer quantity units, so both engines agree bit-for-bit.
     """
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_orderkey",
@@ -1225,12 +1329,14 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") + 0.5).alias("w"),
         F.floor(F.col("l_extendedprice") * 100 + 0.5).alias("price_cents"),
     )
-    w_run = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price_cents", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    run = banded_prefix_sum(
+        li,
+        ["price_cents", "l_orderkey", "l_linenumber"],
+        "w",
+        F.expr("price_cents div 500000"),
+        out_col="cumw",
+        group_cols=["l_returnflag"],
     )
-    run = li.withColumn("cumw", F.sum("w").over(w_run))
     tot = run.groupBy("l_returnflag").agg(F.sum("w").alias("totw"))
     hit = (
         run.join(F.broadcast(tot), "l_returnflag")
@@ -1252,29 +1358,28 @@ def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp, but ppm integers remove even that).
 
     rank == row_number here (unique order), so pct = (rn−1)·1e6 div
-    (n−1) and cume = rn·1e6 div n. Global window — at warehouse scale
-    the gini_revenue two-phase rank is the documented drop-in.
+    (n−1) and cume = rn·1e6 div n. The rank comes from
+    :func:`banded_row_number` (value-banded local ranks + broadcast
+    prefix-summed band offsets) — no task ever sorts the whole
+    relation; the band width is the parallelism knob at 100 TB.
     """
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
     )
-    w = Window.orderBy("cents", "o_orderkey")
-    n = F.broadcast(base.agg(F.count(F.lit(1)).alias("n")))
-    return (
-        # row_number is INT — widen before the ppm multiply or ANSI
-        # mode overflows past rn ~ 2147
-        base.withColumn("rn", F.row_number().over(w).cast("long"))
-        .join(n)
-        .select(
-            "o_orderkey",
-            "cents",
-            F.expr("(rn - 1) * 1000000 div (n - 1)").alias("pct_rank_ppm"),
-            F.expr("rn * 1000000 div n").alias("cume_dist_ppm"),
-        )
+    ranked = banded_row_number(
+        base,
+        ["cents", "o_orderkey"],
+        F.expr("cents div 2000000"),
+        out_col="rn",
+        total_col="n",
+    )
+    return ranked.select(
+        "o_orderkey",
+        "cents",
+        F.expr("(rn - 1) * 1000000 div (n - 1)").alias("pct_rank_ppm"),
+        F.expr("rn * 1000000 div n").alias("cume_dist_ppm"),
     )
 
 

@@ -692,21 +692,29 @@ def calibration_bins(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> Data
     score vs empirical positive rate — the eval that tells you whether
     a filter's scores can be thresholded or merely ranked.
 
-    ``ntile`` runs over the UNIQUE total order (score units, doc_id)
-    so bin boundaries are engine-stable (order_value_deciles
-    convention); the score's 4-dp rounding makes its integer units
-    exact, so bin means are floored integer divisions — no float
-    aggregation anywhere.
+    ``ntile`` semantics run over the UNIQUE total order (score units,
+    doc_id) so bin boundaries are engine-stable (order_value_deciles
+    convention), computed by ``relational.distributed_ntile``
+    (score-banded local ranks + broadcast band offsets — no
+    unpartitioned window over the documents); the score's 4-dp
+    rounding makes its integer units exact, so bin means are floored
+    integer divisions — no float aggregation anywhere.
     """
-    from pyspark.sql import Window
+    from parquet_to_csv_spark.operators.relational import distributed_ntile
 
     pred = lang_id(spark, sf_dir).select(
         "doc_id",
         (F.col("lang") == "en").cast("int").alias("is_pos"),
         F.floor(F.col("en_score") * 10000 + 0.5).cast("long").alias("score_e4"),
     )
-    w = Window.orderBy("score_e4", "doc_id")
-    binned = pred.withColumn("bin", F.ntile(n_bins).over(w))
+    binned = distributed_ntile(
+        pred,
+        "score_e4",
+        "doc_id",
+        n_bins,
+        F.expr("score_e4 div 500"),
+        out_col="bin",
+    )
     return (
         binned.groupBy("bin")
         .agg(
@@ -933,13 +941,21 @@ def token_rank_movers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
     rank deltas are the scale-free way to spot vocabulary trends
     (raw-count deltas just mirror volume growth).
 
-    One explode → (half, token) counts; per-half dense ranks from one
-    window each (count desc, token asc tiebreak ⇒ unique total order);
-    an inner join on token (tokens present in both halves — absences
-    are the vocab_drift op's job) and a global top-k by |Δrank| with
-    deterministic tie-breaks. All integer arithmetic.
+    One explode → (half, token) counts; per-half ranks over the unique
+    (count desc, token asc) total order via
+    ``relational.banded_row_number`` grouped on the half — the band is
+    (−freq, first token char), monotone in the sort key, so the
+    Zipf-fat freq=1 tier splits across ~36 sub-bands instead of one
+    task (deepen the prefix for larger vocabularies); an inner join on
+    token (tokens present in both halves — absences are the
+    vocab_drift op's job) and a global top-k by |Δrank| planned as
+    TakeOrderedAndProject (per-partition heap, no global sort); the
+    final mover_rnk window runs over the k surviving rows only. All
+    integer arithmetic.
     """
     from pyspark.sql import Window
+
+    from parquet_to_csv_spark.operators.relational import banded_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     half = F.broadcast(
@@ -954,22 +970,40 @@ def token_rank_movers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
         .groupBy("late", "token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.partitionBy("late").orderBy(F.desc("freq"), F.asc("token"))
-    ranked = toks.withColumn("rnk", F.row_number().over(w))
+    ranked = banded_row_number(
+        toks.withColumn("negfreq", -F.col("freq")),
+        ["negfreq", "token"],
+        F.expr("negfreq * 256 + ascii(substr(token, 1, 1))"),
+        out_col="rnk",
+        group_cols=["late"],
+    )
     a = ranked.filter(F.col("late") == 0).select(
-        "token", F.col("rnk").alias("rank_early"), F.col("freq").alias("freq_early")
+        "token",
+        # int like the row_number() it replaces — the gate is dtype-strict
+        F.col("rnk").cast("int").alias("rank_early"),
+        F.col("freq").alias("freq_early"),
     )
     b = ranked.filter(F.col("late") == 1).select(
-        "token", F.col("rnk").alias("rank_late"), F.col("freq").alias("freq_late")
+        "token",
+        F.col("rnk").cast("int").alias("rank_late"),
+        F.col("freq").alias("freq_late"),
     )
     wr = Window.orderBy(
         F.desc(F.abs(F.col("rank_early") - F.col("rank_late"))),
         F.asc("token"),
     )
-    return (
+    topk = (
         a.join(b, "token")
+        .orderBy(
+            F.desc(F.abs(F.col("rank_early") - F.col("rank_late"))),
+            F.asc("token"),
+        )
+        .limit(k)
+    )
+    return (
+        topk
+        # over the k surviving rows only (bounded by the limit above)
         .withColumn("mover_rnk", F.row_number().over(wr))
-        .filter(F.col("mover_rnk") <= k)
         .select(
             "token",
             "rank_early",

@@ -1989,9 +1989,12 @@ def onboarding_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-signup event come from conditional ``min`` aggregates in a
     single groupBy (no window, no self-join); percentiles are selected
     order statistics of exact µs gaps over the users relation
-    (daily_value_bands convention).
+    (daily_value_bands convention), ranked by
+    ``relational.banded_row_number`` (hour-banded local ranks +
+    broadcast band offsets — no unpartitioned window over the user
+    grain).
     """
-    from pyspark.sql import Window as W
+    from parquet_to_csv_spark.operators.relational import banded_row_number
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("ts div 1000").alias("tus")
@@ -2016,13 +2019,13 @@ def onboarding_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("next_tus") - F.col("signup_tus")).alias("gap_us"),
         )
     )
-    w = W.orderBy("gap_us", "user_id")
-    wc = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = gaps.filter(F.col("gap_us").isNotNull()).select(
-        "gap_us",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
+    ranked = banded_row_number(
+        gaps.filter(F.col("gap_us").isNotNull()),
+        ["gap_us", "user_id"],
+        F.expr("gap_us div 3600000000"),
+        out_col="rn",
+        total_col="n",
+    ).select("gap_us", "rn", "n")
 
     def pick(p: str, alias: str):
         idx = f"CAST(floor(CAST(n - 1 AS DOUBLE) * {p}) AS BIGINT) + 1"
