@@ -1764,13 +1764,12 @@ def quality_metric_agreement(
 
     Both scores reduce to per-doc integers (micro-nat LM mean via the
     E? convention; uniq-token ppm); deciles are rank-threshold sets
-    via two windows over the doc relation; the overlap is one
-    aggregation of flag pairs. The global rank windows run over
-    document cardinality — the rfm_segments contract: at true corpus
-    scale they become range-partition + known-quantile-cut
-    assignments (the documented at-scale variant), same output.
+    via two ``relational.banded_row_number`` ranks over the doc
+    relation (score-banded local ranks + broadcast band offsets — no
+    unpartitioned window over document cardinality), re-joined on
+    doc_id; the overlap is one aggregation of flag pairs.
     """
-    from pyspark.sql import Window as W
+    from parquet_to_csv_spark.operators.relational import banded_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
@@ -1789,15 +1788,22 @@ def quality_metric_agreement(
         F.expr("CAST(round(avg_logprob * 1000000) AS BIGINT)").alias("lm_micro"),
     )
     j = lex.join(lm, "doc_id")
-    w_lex = W.orderBy(F.desc("lex_ppm"), F.asc("doc_id"))
-    w_lm = W.orderBy(F.desc("lm_micro"), F.asc("doc_id"))
-    wc = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = j.select(
-        "doc_id",
-        F.row_number().over(w_lex).alias("r_lex"),
-        F.row_number().over(w_lm).alias("r_lm"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    ).select(
+    # DESC ranks via negated keys; lex_ppm is in [0, 1e6] and lm_micro
+    # in roughly [-30e6, 0], so the band widths give a few dozen bands
+    r_lex = banded_row_number(
+        j.select("doc_id", (-F.col("lex_ppm")).alias("neg_lex")),
+        ["neg_lex", "doc_id"],
+        F.expr("neg_lex div 50000"),
+        out_col="r_lex",
+        total_col="n",
+    ).select("doc_id", "r_lex", "n")
+    r_lm = banded_row_number(
+        j.select("doc_id", (-F.col("lm_micro")).alias("neg_lm")),
+        ["neg_lm", "doc_id"],
+        F.expr("neg_lm div 1000000"),
+        out_col="r_lm",
+    ).select("doc_id", "r_lm")
+    ranked = r_lex.join(r_lm, "doc_id").select(
         (F.col("r_lex") * 10 <= F.col("n")).cast("long").alias("top_lex"),
         (F.col("r_lm") * 10 <= F.col("n")).cast("long").alias("top_lm"),
     )
