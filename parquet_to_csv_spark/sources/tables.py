@@ -39,9 +39,37 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+# Raw (pre-conversion) parquet schemas keyed by (path, stat salt):
+# schema inference runs a one-task footer job per spark.read.parquet
+# call, which a hot loop of plan builds (the registry runs load_table
+# ~2-3x per query) pays hundreds of times for identical files. With
+# the schema cached, later reads pass it explicitly and construct the
+# plan with ZERO jobs. The stat salt (mtime_ns, size) invalidates the
+# entry when a fixture is rewritten in-process.
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _stat_salt(path: str) -> tuple:
+    st = os.stat(path)
+    if os.path.isdir(path):
+        parts = []
+        for entry in sorted(os.listdir(path)):
+            est = os.stat(os.path.join(path, entry))
+            parts.append((entry, est.st_mtime_ns, est.st_size))
+        return tuple(parts)
+    return (st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_engine_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (path, _stat_salt(path))
+    raw_schema = _SCHEMA_CACHE.get(key)
+    if raw_schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(raw_schema).parquet(path)
     if name == "events" and not isinstance(df.schema["ts"].dataType, T.LongType):
         # Engine contract: events.ts is a ns-since-epoch long (the
         # reference's BigInt-ns trace arithmetic). Fixtures generated

@@ -606,31 +606,29 @@ def anomaly_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hybrid_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT E337: Lambda-architecture backfill parity — the historical
-    HALF of the events is aggregated in BATCH, the recent half is
-    staged as files and aggregated through the STREAMING path, and the
-    union must equal a single batch aggregation of everything (the
-    oracle): the one-definition/two-paths contract a batch-backfill +
-    live-tail deployment depends on. The split cutoff is the median
-    DAY boundary — hour windows cannot straddle it, so the two halves'
-    windows are disjoint by construction (the condition that makes the
-    union exact; a mid-window cutoff would double-count and the gate
-    would catch it).
-    """
-    import uuid as _uuid
-
+def _backfill_batch_half(spark: SparkSession, sf_dir: str):
+    """The batch (historical) half of E337 plus the shared in-plan
+    cutoff relation. Pure plan construction — building it runs no
+    Spark job (pinned by test_streaming_multimodal's job-group probe);
+    the one-row day-bounds aggregate becomes a broadcast join inside
+    whichever plan consumes it."""
     from parquet_to_csv_spark.functions.stable import stable_sum_2dp
     from parquet_to_csv_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select(F.expr("ts div 86400000000000").alias("day"))
-    bounds = days.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    ).collect()[0]
-    cutoff_ns = ((bounds["d0"] + bounds["d1"] + 1) // 2) * 86400000000000
-
-    hist = ev.filter(F.col("ts") < cutoff_ns)
+    cut = F.broadcast(
+        ev.agg(
+            F.min(F.expr("ts div 86400000000000")).alias("d0"),
+            F.max(F.expr("ts div 86400000000000")).alias("d1"),
+        ).select(
+            F.expr("((d0 + d1 + 1) div 2) * 86400000000000").alias("cutoff_ns")
+        )
+    )
+    hist = (
+        ev.crossJoin(cut)
+        .filter(F.col("ts") < F.col("cutoff_ns"))
+        .drop("cutoff_ns")
+    )
     batch_half = (
         hist.select(
             F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
@@ -649,13 +647,44 @@ def hybrid_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+    return batch_half, ev, cut
+
+
+def hybrid_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E337: Lambda-architecture backfill parity — the historical
+    HALF of the events is aggregated in BATCH, the recent half is
+    staged as files and aggregated through the STREAMING path, and the
+    union must equal a single batch aggregation of everything (the
+    oracle): the one-definition/two-paths contract a batch-backfill +
+    live-tail deployment depends on. The split cutoff is the median
+    DAY boundary — hour windows cannot straddle it, so the two halves'
+    windows are disjoint by construction (the condition that makes the
+    union exact; a mid-window cutoff would double-count and the gate
+    would catch it).
+
+    The cutoff is computed IN-PLAN: the one-row (d0, d1) bounds
+    aggregate rides a broadcast join into both halves (the
+    dead_stock_parts plan-internal-anchor pattern), so constructing
+    the batch half triggers NO Spark job — round 3 collected the
+    bounds at plan-build time, a full events scan before the query
+    even ran. The only build-time jobs left are the tail staging
+    write + drain, which ARE the streaming path under test.
+    """
+    import uuid as _uuid
+
+    batch_half, ev, cut = _backfill_batch_half(spark, sf_dir)
 
     import tempfile
 
     stage = tempfile.mkdtemp(prefix="tailstream_")
-    ev.filter(F.col("ts") >= cutoff_ns).coalesce(2).write.mode(
-        "overwrite"
-    ).parquet(stage)
+    (
+        ev.crossJoin(cut)
+        .filter(F.col("ts") >= F.col("cutoff_ns"))
+        .drop("cutoff_ns")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
     tail = run_to_memory(
         streaming_tumbling_counts(read_event_stream(spark, stage)),
         "t_backfill_tail_" + _uuid.uuid4().hex[:8],

@@ -475,3 +475,26 @@ def test_tight_watermark_drops_late_rows_predictably(spark, sf_dir, tmp_path):
     assert newest_window not in got
     below_bar = {w for w in all_windows if w + 3600000 <= final_wm}
     assert got < below_bar, "no late rows were dropped — watermark inert"
+
+
+def test_backfill_batch_half_builds_without_jobs(spark, sf_dir):
+    """Round-4 regression gate for the E337 plan-build collect: the
+    batch half's cutoff is an in-plan broadcast bounds join, so
+    CONSTRUCTING it must run zero Spark jobs (round 3 collected the
+    day bounds eagerly — a full events scan before the query ran)."""
+    sc = spark.sparkContext
+    # first touch of a parquet table can run a footer/schema-read job;
+    # warm it so the probe counts only plan-construction jobs
+    load_table(spark, sf_dir, "events").schema
+    sc.setJobGroup("bf_build_probe", "backfill plan build")
+    try:
+        batch_half, ev, cut = streaming._backfill_batch_half(spark, sf_dir)
+        _schema = batch_half.schema  # analysis only — still no job
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("bf_build_probe") == []
+    # and the plan really carries the bounds join, not a literal cutoff
+    plan = batch_half._sc._jvm.PythonSQLUtils.explainString(
+        batch_half._jdf.queryExecution(), "formatted"
+    )
+    assert "cutoff_ns" in plan
