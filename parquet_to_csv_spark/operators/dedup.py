@@ -68,6 +68,21 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Branch-shared materialization WITHOUT the session cache manager.
+
+    ``persist()`` registers the canonicalized plan with the
+    CacheManager, which then substitutes the cached rows into ANY
+    later query that builds an equal subtree — even after the input
+    files were rewritten (stale serves), and the entry leaks until an
+    explicit unpersist a lazy API can never place. A lazy
+    ``localCheckpoint`` materializes the RDD once for reuse across
+    this query's branches, is invisible to plan matching, and its
+    blocks are released with the RDD by the ContextCleaner.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 def _distinct_tokens(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id", "lang", "source", F.array_distinct(tokens_col("text")).alias("toks")
@@ -118,10 +133,18 @@ def dedup_edges(
     import os
     import tempfile
 
+    from parquet_to_csv_spark.sources.tables import source_salt
+
     global _EDGE_DIR
     key_t = int(round(threshold * 10000))
+    # CONTENT key, not path key: the salt folds in the documents
+    # parquet's (mtime, size), so rewriting the fixture mid-process
+    # invalidates every cached entry instead of serving stale edges,
+    # and the md5 directory name is reproducible across processes
+    # (Python's hash() is per-process salted).
+    salt = source_salt(sf_dir, "documents")
     usable = [
-        (t, p) for (d, t), p in _EDGE_CACHE.items() if d == sf_dir and t <= key_t
+        (t, p) for (s, t), p in _EDGE_CACHE.items() if s == salt and t <= key_t
     ]
     if usable:
         _, path = max(usable)
@@ -129,11 +152,11 @@ def dedup_edges(
         build_t = min(key_t, int(round(_BUILD_FLOOR * 10000)))
         if _EDGE_DIR is None:
             _EDGE_DIR = tempfile.mkdtemp(prefix="dedup_edges_")
-        path = os.path.join(_EDGE_DIR, f"t{build_t}_{abs(hash(sf_dir)) % 10**8}")
+        path = os.path.join(_EDGE_DIR, f"t{build_t}_{salt}")
         ngram_jaccard_pairs(spark, sf_dir, build_t / 10000.0).write.mode(
             "overwrite"
         ).parquet(path)
-        _EDGE_CACHE[(sf_dir, build_t)] = path
+        _EDGE_CACHE[(salt, build_t)] = path
     return spark.read.parquet(path).filter(F.col("jaccard") >= threshold)
 
 
@@ -168,7 +191,8 @@ def ngram_jaccard_pairs(
         "source",
         F.array_sort("toks").alias("toks"),
         F.size("toks").alias("sz"),
-    ).persist()
+    )
+    base = _materialize_once(base)
 
     plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     pref = base.select(
@@ -266,7 +290,7 @@ def minhash_lsh_pairs(
     # (signatures, both sides of the verify join) — without a persist,
     # Spark recomputes the shingling+hashing per branch. At warehouse
     # scale this is a real signature table, not a cache.
-    sh_df = _shingle_df(docs).persist()
+    sh_df = _materialize_once(_shingle_df(docs))
     sigs = minhash_signatures(sh_df, precomputed=True)
     n_bands = _N_PERM // _BAND_ROWS
     bands = sigs.select(
@@ -365,7 +389,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
     O(docs × 4 chunks)."""
     docs = load_table(spark, sf_dir, "documents")
     # persist: the self-join reads the signature relation twice.
-    sigs = simhash_signatures(docs).persist()
+    sigs = _materialize_once(simhash_signatures(docs))
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -543,7 +567,8 @@ def containment_pairs_quotes(
         "source",
         F.array_sort("toks").alias("toks"),
         F.size("toks").alias("sz"),
-    ).persist()
+    )
+    base = _materialize_once(base)
     plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     pref_a = base.select(
         "doc_id", "lang", "source", "sz",

@@ -1697,11 +1697,14 @@ def conformal_intervals(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
     # base feeds three branches (train stats, calibration residuals,
-    # eval coverage) — persist so the orders⋈customer join runs once
-    base = (
+    # eval coverage) — materialize once so the orders⋈customer join
+    # runs once (lazy localCheckpoint, not persist: no session
+    # CacheManager entry to stale-match or leak — see dedup._materialize_once)
+    from parquet_to_csv_spark.operators.dedup import _materialize_once
+
+    base = _materialize_once(
         orders.join(cust, "o_custkey")
         .withColumn("fold", md5_bucket(F.col("o_orderkey"), 3))
-        .persist()
     )
     pred = (
         base.filter(F.col("fold") == 0)

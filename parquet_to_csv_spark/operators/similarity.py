@@ -606,15 +606,19 @@ def _ivf_index_dir(
     import os
     import tempfile
 
+    from parquet_to_csv_spark.sources.tables import source_salt
+
     global _IVF_TMP
-    key = (sf_dir, n_cells, n_iter)
+    # content-salted like dedup_edges: rewriting embeddings.parquet
+    # mid-process invalidates the cached index; md5 path names are
+    # process-stable (Python hash() is salted per process)
+    salt = source_salt(sf_dir, "embeddings")
+    key = (salt, n_cells, n_iter)
     path = _IVF_CACHE.get(key)
     if path is None:
         if _IVF_TMP is None:
             _IVF_TMP = tempfile.mkdtemp(prefix="ivf_index_")
-        path = os.path.join(
-            _IVF_TMP, f"c{n_cells}_i{n_iter}_{abs(hash(sf_dir)) % 10**8}"
-        )
+        path = os.path.join(_IVF_TMP, f"c{n_cells}_i{n_iter}_{salt}")
         build_ivf_index(spark, sf_dir, path, n_cells=n_cells, n_iter=n_iter)
         _IVF_CACHE[key] = path
     return path

@@ -3,10 +3,12 @@
 The reference's two-layer JSON cache (S7/S8) existed to avoid
 recomputing one hard-coded pipeline. The engine generalizes the idea
 the Spark-native way: any DataFrame can be materialized once to
-parquet under a key derived from its ANALYZED-PLAN semantic hash
-(`DataFrame.semanticHash` — stable across sessions for the same
-logical plan, insensitive to alias/ordering noise the way
-`sameSemantics` is). A later run that builds the same plan gets a
+parquet under a key derived from its CANONICALIZED analyzed plan —
+md5 of the expression-id-normalized plan string plus the schema JSON
+(the full-width form of `DataFrame.semanticHash`: stable across
+sessions for the same logical plan, insensitive to alias/ordering
+noise the way `sameSemantics` is, without the 32-bit birthday-collision
+ceiling). A later run that builds the same plan gets a
 parquet scan instead of recomputation; a changed plan gets a new key
 and a fresh materialization — no stale-cache reads by construction.
 
@@ -29,11 +31,25 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _plan_key(df: DataFrame) -> str:
+    """Full-width semantic key: md5 of the CANONICALIZED analyzed plan
+    (expression ids normalized — the string `semanticHash` hashes)
+    plus the schema JSON. `semanticHash` alone is a 32-bit int, which
+    makes silent birthday collisions likely around 10^4-10^5 distinct
+    plans — at which point two different queries would serve each
+    other's parquet. 128 bits + the schema component puts collision
+    odds past any real workload."""
+    canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    import hashlib
+
+    return hashlib.md5((canon + df.schema.json()).encode()).hexdigest()[:16]
+
+
 def cached(df: DataFrame, cache_dir: str, salt: str = "") -> DataFrame:
     """Materialize-once: returns a parquet-backed DataFrame with the
     same rows as ``df``, computing and writing only on first call for
     this (plan, salt)."""
-    key = f"{df.semanticHash() & 0xFFFFFFFF:08x}" + (f"_{salt}" if salt else "")
+    key = _plan_key(df) + (f"_{salt}" if salt else "")
     path = os.path.join(cache_dir, key)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
@@ -69,5 +85,5 @@ def vacuum_cache(cache_dir: str, max_age_seconds: float, now: float) -> list[str
 
 def warm_hit(df: DataFrame, cache_dir: str, salt: str = "") -> bool:
     """True iff ``cached(df, ...)`` would be served without compute."""
-    key = f"{df.semanticHash() & 0xFFFFFFFF:08x}" + (f"_{salt}" if salt else "")
+    key = _plan_key(df) + (f"_{salt}" if salt else "")
     return os.path.exists(os.path.join(cache_dir, key, "_SUCCESS"))

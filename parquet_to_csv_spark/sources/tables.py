@@ -60,6 +60,19 @@ def _stat_salt(path: str) -> tuple:
     return (st.st_mtime_ns, st.st_size)
 
 
+def source_salt(sf_dir: str, name: str) -> str:
+    """16-hex content salt for build-once artifact keys (materialized
+    near-dup edges, persisted IVF indexes): md5 of the table path plus
+    its (mtime_ns, size) stat salt. Stable across processes for
+    unchanged data — unlike Python's per-process-salted ``hash()`` —
+    and different the moment the fixture is rewritten, so a cached
+    artifact can never silently serve stale rows."""
+    import hashlib
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return hashlib.md5(repr((path, _stat_salt(path))).encode()).hexdigest()[:16]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_engine_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")

@@ -32,7 +32,10 @@ def test_dedup_edges_identical_to_direct_build(spark, sf_dir):
 def test_dedup_edges_builds_once_and_superset_serves(spark, sf_dir):
     # the cache is process-global: the first test (or an earlier suite
     # module) already built at the workload floor for this sf_dir
-    key = (sf_dir, int(round(dedup._BUILD_FLOOR * 10000)))
+    from parquet_to_csv_spark.sources.tables import source_salt
+
+    salt = source_salt(sf_dir, "documents")
+    key = (salt, int(round(dedup._BUILD_FLOOR * 10000)))
     assert key in dedup._EDGE_CACHE
     path = dedup._EDGE_CACHE[key]
     mtime = max(
@@ -50,9 +53,48 @@ def test_dedup_edges_builds_once_and_superset_serves(spark, sf_dir):
     n_dirs_before = len(os.listdir(dedup._EDGE_DIR))
     served = _rows(dedup.dedup_edges(spark, sf_dir, 0.9))
     assert len(os.listdir(dedup._EDGE_DIR)) == n_dirs_before
-    assert (sf_dir, 9000) not in dedup._EDGE_CACHE
+    assert (salt, 9000) not in dedup._EDGE_CACHE
     direct = _rows(dedup.ngram_jaccard_pairs(spark, sf_dir, 0.9))
     assert served == direct
+
+
+def test_dedup_edges_content_keyed_invalidation(spark, sf_dir, tmp_path):
+    """Round-4 regression gate (round-3 verdict #4): the cache key is
+    the documents parquet's CONTENT salt, not its path — rewriting the
+    fixture mid-process must trigger a fresh build, never serve stale
+    edges from the old data."""
+    import shutil
+    import time
+
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    d = str(tmp_path / "sfmut")
+    os.makedirs(d)
+    shutil.copy(os.path.join(sf_dir, "documents.parquet"),
+                os.path.join(d, "documents.parquet"))
+
+    first = _rows(dedup.dedup_edges(spark, d, 0.8))
+    salt1 = source_salt(d, "documents")
+
+    # rewrite the fixture with HALF the documents (drop every odd id);
+    # ensure the stat salt actually moves even on coarse mtime clocks
+    half = load_table(spark, d, "documents").filter("doc_id % 2 = 0")
+    half_pd = half.toPandas()
+    time.sleep(0.05)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.remove(os.path.join(d, "documents.parquet"))
+    pq.write_table(pa.Table.from_pandas(half_pd), os.path.join(d, "documents.parquet"))
+
+    salt2 = source_salt(d, "documents")
+    assert salt2 != salt1
+
+    second = _rows(dedup.dedup_edges(spark, d, 0.8))
+    # stale-serve would return `first` verbatim; the halved corpus can
+    # keep only pairs whose BOTH endpoints are even
+    assert all(a % 2 == 0 and b % 2 == 0 for a, b, _ in second)
+    assert second != first
 
 
 def test_reliable_checkpoint_mode_identical(spark, sf_dir, tmp_path):
