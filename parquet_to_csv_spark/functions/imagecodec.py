@@ -29,13 +29,41 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 
 
+def _valid_bmp_header(payload: bytes) -> bool:
+    """Full header validation, not just magic bytes: any document whose
+    TEXT happens to start with 'BM' (>=54 bytes) would otherwise reach
+    decode_bmp, which sizes its pixel buffer from payload-controlled
+    width/height — a garbage header can demand a multi-GB allocation
+    or walk past the buffer and fail the whole Spark job. Only a
+    payload this function accepts is claimed as 'bmp'."""
+    try:
+        (data_off,) = struct.unpack("<I", payload[10:14])
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        width, height = struct.unpack("<ii", payload[18:26])
+        _planes, bpp = struct.unpack("<HH", payload[26:30])
+        (compression,) = struct.unpack("<I", payload[30:34])
+    except struct.error:
+        return False
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        return False
+    h = abs(height)
+    if width <= 0 or h <= 0 or width > 1 << 15 or h > 1 << 15:
+        return False
+    row_bytes = (width * 3 + 3) & ~3
+    return (
+        14 + hdr_size <= data_off <= len(payload)
+        and data_off + h * row_bytes <= len(payload)
+    )
+
+
 def sniff_format(payload: bytes) -> str | None:
-    """'png' / 'bmp' / None by magic bytes."""
+    """'png' / 'bmp' / None — magic bytes, plus full header validation
+    for BMP (the 2-byte 'BM' magic collides with ordinary text)."""
     if payload is None:
         return None
     if payload[:8] == PNG_MAGIC:
         return "png"
-    if payload[:2] == BMP_MAGIC and len(payload) >= 54:
+    if payload[:2] == BMP_MAGIC and len(payload) >= 54 and _valid_bmp_header(payload):
         return "bmp"
     return None
 
@@ -173,6 +201,17 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     flip = height > 0
     height = abs(height)
     row_bytes = (width * 3 + 3) & ~3
+    # defense in depth (sniff_format already validates): bound the
+    # allocation and the pixel walk BEFORE np.zeros sizes a buffer
+    # from payload-controlled dims
+    if (
+        width <= 0
+        or height <= 0
+        or width > 1 << 15
+        or height > 1 << 15
+        or data_off + height * row_bytes > len(payload)
+    ):
+        raise ValueError("BMP header dims/offsets inconsistent with payload size")
     img = np.zeros((height, width, 3), dtype=np.uint8)
     for y in range(height):
         off = data_off + y * row_bytes

@@ -83,7 +83,13 @@ def decode_features(payload: bytes) -> list[float]:
     if payload and imagecodec.sniff_format(payload):
         import numpy as np
 
-        img = imagecodec.decode_image(payload)
+        try:
+            img = imagecodec.decode_image(payload)
+        except Exception:
+            # sniffed-but-undecodable (truncated IDAT, header lies the
+            # sniff can't see): fall back to the byte stand-in instead
+            # of failing the whole Spark job on one bad payload
+            return fake_decode_features(payload)
         flat = imagecodec.luma(img).reshape(-1)
         binned = np.bincount(flat >> 4, minlength=N_FEATURES)
         total = float(flat.size)
@@ -230,10 +236,13 @@ def resize_thumbnails(
 
     def _thumb(p: bytes) -> bytes:
         if p and imagecodec.sniff_format(p):
-            img = imagecodec.decode_image(p)
-            return imagecodec.encode_bmp(
-                imagecodec.resize_nearest(img, thumb_px, thumb_px)
-            )
+            try:
+                img = imagecodec.decode_image(p)
+                return imagecodec.encode_bmp(
+                    imagecodec.resize_nearest(img, thumb_px, thumb_px)
+                )
+            except Exception:
+                pass  # undecodable despite the sniff — strided bytes below
         if len(p) <= target_bytes:
             return p
         stride = len(p) / target_bytes

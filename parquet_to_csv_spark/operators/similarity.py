@@ -2406,14 +2406,22 @@ def hard_negative_mining(
         F.max_by(F.when(~F.col("same"), F.col("vec_id")), F.when(~F.col("same"), arg)).alias("neg_id"),
         F.max(F.when(~F.col("same"), F.col("cs"))).alias("neg_cs"),
     )
-    return per.select(
-        "anchor_id",
-        "a_label",
-        "pos_id",
-        F.round("pos_cs", 6).alias("pos_cosine"),
-        "neg_id",
-        F.round("neg_cs", 6).alias("neg_cosine"),
-        F.floor((F.col("pos_cs") - F.col("neg_cs")) * 1e6).cast("long").alias("margin_micro"),
+    return (
+        # an anchor with no same-label peer (single-member label among
+        # the anchors' candidate pool) or no different-label peer has
+        # no (pos, neg) pair to mine — drop it, matching the oracle's
+        # inner p JOIN n semantics, instead of emitting NULL ids that
+        # the oracle would never produce
+        per.filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
+        .select(
+            "anchor_id",
+            "a_label",
+            "pos_id",
+            F.round("pos_cs", 6).alias("pos_cosine"),
+            "neg_id",
+            F.round("neg_cs", 6).alias("neg_cosine"),
+            F.floor((F.col("pos_cs") - F.col("neg_cs")) * 1e6).cast("long").alias("margin_micro"),
+        )
     )
 
 

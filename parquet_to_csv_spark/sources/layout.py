@@ -363,7 +363,22 @@ def commit_version(
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.rename(tmp, _manifest_path(table_dir, version))  # atomic commit
+    # PUT-IF-ABSENT commit: rename() silently REPLACES an existing
+    # manifest, so two racing writers computing the same next version
+    # would both "succeed" and the loser's snapshot (and data files)
+    # would be silently dropped. link() fails with EEXIST instead —
+    # the losing committer gets a loud error and can retry at
+    # version+1 (the Delta/Iceberg optimistic-concurrency contract).
+    final = _manifest_path(table_dir, version)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit: version {version} already exists in "
+            f"{table_dir}; retry at a higher version"
+        ) from None
+    finally:
+        os.remove(tmp)
     return version
 
 

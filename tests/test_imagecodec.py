@@ -153,3 +153,43 @@ def test_multimodal_real_path_through_spark(spark):
     assert thumbs[1]["thumb_sha"] == hashlib.sha256(t1).hexdigest()
     # non-image payload keeps the strided-byte stand-in (short → identity)
     assert bytes(thumbs[4]["thumb"]) == b"plain text payload"
+
+
+def test_bm_prefixed_text_is_not_sniffed_as_bmp():
+    """Round-4 ADVICE fix: a document whose TEXT starts with 'BM' must
+    not reach decode_bmp (which sizes buffers from payload-controlled
+    header fields) — sniff_format validates the full header."""
+    payload = b"BM" + b"this is just prose that happens to start with BM " * 3
+    assert len(payload) >= 54
+    assert ic.sniff_format(payload) is None
+    # the feature path falls back to the byte stand-in, no exception
+    feats = mm.decode_features(payload)
+    assert feats == mm.fake_decode_features(payload)
+
+
+def test_bmp_header_with_absurd_dims_rejected():
+    import struct
+
+    # syntactically valid BMP header claiming a 30000x30000 image on a
+    # 100-byte payload: sniff must reject, decode_bmp must raise
+    # (never allocate multi-GB)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 30000, 30000, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    payload = hdr + b"\x00" * 46
+    assert ic.sniff_format(payload) is None
+    import pytest
+
+    with pytest.raises((ValueError, NotImplementedError)):
+        ic.decode_bmp(payload)
+
+
+def test_sniffed_but_truncated_png_falls_back():
+    # real PNG magic, garbage after: decode raises inside, feature path
+    # must fall back to the stand-in instead of propagating
+    payload = ic.PNG_MAGIC + b"\x00" * 64
+    assert ic.sniff_format(payload) == "png"
+    feats = mm.decode_features(payload)
+    assert feats == mm.fake_decode_features(payload)

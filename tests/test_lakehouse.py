@@ -131,3 +131,31 @@ def test_schema_drift_between_versions(spark, sf_dir, tmp_path):
     assert d02["removed"] == ["o_totalprice"]
     assert d02["type_changed"] == ["o_custkey"]
     assert d02["compatible"] is False
+
+
+def test_commit_version_put_if_absent(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-4 ADVICE fix: the manifest commit is put-if-absent — a
+    racing writer that lands on an already-committed version number
+    must fail LOUDLY (and leave the winner's manifest untouched), not
+    silently replace it and orphan the winner's snapshot. The race is
+    simulated by pinning the loser's latest_version read to a stale
+    value while the winner's v1 manifest already exists."""
+    import json
+    import os
+
+    import pytest
+
+    t = str(tmp_path / "tbl_race")
+    base = _orders(spark, sf_dir)
+    layout.commit_version(spark, t, base.limit(10))
+    # the winner commits version 1 after the loser read latest=0
+    winner = {"version": 1, "mode": "append", "files": ["sentinel.parquet"]}
+    with open(os.path.join(t, "manifests", "v1.json"), "w") as f:
+        json.dump(winner, f)
+    monkeypatch.setattr(layout, "latest_version", lambda _d: 0)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        layout.commit_version(spark, t, base.limit(5))
+    # the winner's manifest survived untouched and no .tmp remains
+    kept = json.load(open(os.path.join(t, "manifests", "v1.json")))
+    assert kept["files"] == ["sentinel.parquet"]
+    assert not any(f.endswith(".tmp") for f in os.listdir(os.path.join(t, "manifests")))
