@@ -100,16 +100,43 @@ def run_to_memory(
     return spark.table(table_name)
 
 
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _staged_once(spark: SparkSession, sf_dir: str, table: str, prefix: str, write_fn) -> str:
+    """Build-once staging (round-4, verdict #8): the drain harness
+    previously re-wrote the staged source per query — ~21 s of the
+    sf0.1 bench spent writing the SAME events parquet again and again.
+    Staging dirs are now memoized per (prefix, content salt of the
+    source table), the dedup_edges discipline: first drain in the
+    process writes, later drains list-and-read. Each streaming query
+    still gets its own checkpoint/sink, so sharing the input dir does
+    not couple their offsets; the content salt invalidates the staging
+    when the fixture is rewritten in-process."""
+    import os
+    import tempfile
+
+    from parquet_to_csv_spark.sources.tables import source_salt
+
+    key = (prefix, source_salt(sf_dir, table))
+    path = _STAGE_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix=prefix)
+        write_fn(path)
+        _STAGE_CACHE[key] = path
+    return path
+
+
 def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Copy ``events`` into a temp dir shaped as a file-stream source.
     2 staged files < maxFilesPerTrigger ⇒ a drain is one micro-batch."""
-    import tempfile
-
     from parquet_to_csv_spark.sources.tables import load_table
 
-    stage = tempfile.mkdtemp(prefix="evstream_")
-    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(stage)
-    return stage
+    return _staged_once(
+        spark, sf_dir, "events", "evstream_",
+        lambda p: load_table(spark, sf_dir, "events").coalesce(2)
+        .write.mode("overwrite").parquet(p),
+    )
 
 
 def tumbling_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,10 +268,12 @@ def dedup_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from parquet_to_csv_spark.sources.tables import load_table
 
-    stage = tempfile.mkdtemp(prefix="evdedup_")
-    ev = load_table(spark, sf_dir, "events").coalesce(2)
-    ev.write.mode("append").parquet(stage)
-    ev.write.mode("append").parquet(stage)
+    def _write_twice(p: str) -> None:
+        ev = load_table(spark, sf_dir, "events").coalesce(2)
+        ev.write.mode("append").parquet(p)
+        ev.write.mode("append").parquet(p)
+
+    stage = _staged_once(spark, sf_dir, "events", "evdedup_", _write_twice)
     name = "t_dedup_drain_" + _uuid.uuid4().hex[:8]
     return run_to_memory(
         streaming_dedup(read_event_stream(spark, stage)),
@@ -426,27 +455,28 @@ def left_join_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     already an action-based harness step, so the one max() scan here
     is fine.
     """
-    import tempfile
     import uuid as _uuid
 
     from parquet_to_csv_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
-    mx_ns = ev.agg(F.max("ts")).first()[0]
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    s_ns = mx_ns + 2 * 3_600 * 10**9
-    sent = spark.createDataFrame(
-        [
-            (-1, s_ns, -1, "purchase", 0.0, "{}"),
-            (-2, s_ns, -1, "click", 0.0, "{}"),
-        ],
-        schema,
-    )
-    stage = tempfile.mkdtemp(prefix="evstream_")
-    ev.unionByName(sent).coalesce(2).write.mode("overwrite").parquet(stage)
+    def _write_with_sentinel(p: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        mx_ns = ev.agg(F.max("ts")).first()[0]
+        schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        s_ns = mx_ns + 2 * 3_600 * 10**9
+        sent = spark.createDataFrame(
+            [
+                (-1, s_ns, -1, "purchase", 0.0, "{}"),
+                (-2, s_ns, -1, "click", 0.0, "{}"),
+            ],
+            schema,
+        )
+        ev.unionByName(sent).coalesce(2).write.mode("overwrite").parquet(p)
+
+    stage = _staged_once(spark, sf_dir, "events", "evsent_", _write_with_sentinel)
     name = "t_ljoin_drain_" + _uuid.uuid4().hex[:8]
     joined = streaming_unattributed_purchases(
         read_event_stream(spark, stage), read_event_stream(spark, stage)
@@ -519,11 +549,11 @@ def _stage_docs_dir(spark: SparkSession, sf_dir: str) -> str:
 
     from parquet_to_csv_spark.sources.tables import load_table
 
-    stage = tempfile.mkdtemp(prefix="docstream_")
-    load_table(spark, sf_dir, "documents").coalesce(2).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    return stage
+    return _staged_once(
+        spark, sf_dir, "documents", "docstream_",
+        lambda p: load_table(spark, sf_dir, "documents").coalesce(2)
+        .write.mode("overwrite").parquet(p),
+    )
 
 
 def secret_scrub_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,17 +704,17 @@ def hybrid_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_half, ev, cut = _backfill_batch_half(spark, sf_dir)
 
-    import tempfile
+    def _write_tail(p: str) -> None:
+        (
+            ev.crossJoin(cut)
+            .filter(F.col("ts") >= F.col("cutoff_ns"))
+            .drop("cutoff_ns")
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
 
-    stage = tempfile.mkdtemp(prefix="tailstream_")
-    (
-        ev.crossJoin(cut)
-        .filter(F.col("ts") >= F.col("cutoff_ns"))
-        .drop("cutoff_ns")
-        .coalesce(2)
-        .write.mode("overwrite")
-        .parquet(stage)
-    )
+    stage = _staged_once(spark, sf_dir, "events", "tailstream_", _write_tail)
     tail = run_to_memory(
         streaming_tumbling_counts(read_event_stream(spark, stage)),
         "t_backfill_tail_" + _uuid.uuid4().hex[:8],

@@ -77,11 +77,20 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --first-50 replays EXACTLY the driver's sampled correctness
+    # window (the first 50 registry entries, insertion order) — the
+    # fast pre-round gate that catches any registry reordering or a
+    # regression inside the window before the driver sees it.
+    first_50 = "--first-50" in args
+    args = [a for a in args if a != "--first-50"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("check")
     con = duck_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if first_50:
+        qs = dict(list(qs.items())[:50])
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
