@@ -1,11 +1,14 @@
-"""Pure-Python image codec (PNG decode, BMP decode/encode).
+"""Pure-Python image codec (PNG decode, BMP decode/encode, baseline
+JPEG decode/encode).
 
 The container has no PIL/libjpeg, but PNG's format needs only stdlib
-``zlib`` plus the per-scanline unfiltering pass, and uncompressed BMP
-is plain byte layout — so these two formats get REAL decoders and the
-multimodal operators (`operators/multimodal.py`) gain actual
-capability for them; other formats (JPEG/WebP/audio/video) still raise
-``NotImplementedError`` from the decode hook.
+``zlib`` plus the per-scanline unfiltering pass, uncompressed BMP is
+plain byte layout, and baseline JPEG (public ITU-T T.81) is Huffman +
+8×8 DCT arithmetic numpy handles directly — so these formats get REAL
+decoders and the multimodal operators (`operators/multimodal.py`)
+gain actual capability for them; the rest (progressive JPEG, WebP,
+audio, video) still raise ``NotImplementedError`` from the decode
+hook.
 
 Scope (deliberately bounded to what the multimodal tier needs):
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
@@ -13,6 +16,12 @@ Scope (deliberately bounded to what the multimodal tier needs):
   fully implemented.
 - BMP: uncompressed 24-bit BI_RGB, bottom-up row order, and the
   matching encoder (used to emit real thumbnails).
+- JPEG: baseline sequential Huffman (SOF0/SOF1), 8-bit, grayscale or
+  YCbCr with any baseline sampling (4:4:4/4:2:2/4:2:0 via nearest
+  upsampling), DRI/RSTn restart markers; plus a deterministic 4:4:4
+  encoder (flat quant table) whose quant=1 DC-only blocks round-trip
+  EXACTLY — the property the cross-engine decode gate (E309/E343)
+  relies on. Progressive (SOF2) / arithmetic / 12-bit raise.
 
 Decoded form: ``numpy.ndarray`` of shape (H, W, C), dtype uint8 —
 C in {1, 3, 4}.
@@ -63,6 +72,8 @@ def sniff_format(payload: bytes) -> str | None:
         return None
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:3] == JPEG_MAGIC:
+        return "jpeg"
     if payload[:2] == BMP_MAGIC and len(payload) >= 54 and _valid_bmp_header(payload):
         return "bmp"
     return None
@@ -248,17 +259,509 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + body
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, Huffman)
+# ---------------------------------------------------------------------------
+# Pure-Python/numpy implementation of the baseline process from the
+# public JPEG specification (ITU-T T.81): SOI/APPn/DQT/SOF0/DHT/DRI/
+# SOS marker parsing, Huffman entropy decode with 0xFF00 unstuffing and
+# RSTn resynchronization, dequantize → de-zigzag → 8×8 IDCT → level
+# shift, nearest-neighbor chroma upsampling, JFIF YCbCr→RGB. Grayscale
+# (1 component) and YCbCr (3 components, any baseline sampling) are
+# supported; progressive (SOF2) / arithmetic / 12-bit stay the honest
+# NotImplementedError boundary.
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_basis() -> np.ndarray:
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+_DCT_M = _dct_basis()
+
+# Annex K (T.81) typical Huffman tables: (bits[1..16], huffval)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _build_huff_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, per T.81 canonical code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_huff_encode(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length)."""
+    return {v: (c, l) for (l, c), v in _build_huff_decode(bits, vals).items()}
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers,
+    resynchronizes across RSTn."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                # pad with 1s past the end (spec: fill bits are 1)
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # RST handled by caller via restart(); treat as end
+                    self.bitbuf = (self.bitbuf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:
+                    # real marker: logical end of segment
+                    self.bitbuf = (self.bitbuf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Skip to just past the next RSTn marker, byte-aligned."""
+        self.bitbuf = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("JPEG: expected restart marker")
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t raw bits to the signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline-sequential JPEG to (H, W, 3) RGB (or (H, W, 1)
+    grayscale) uint8. Raises NotImplementedError for progressive /
+    arithmetic / 12-bit variants, ValueError for corrupt streams."""
+    if payload[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG: marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        seg_len = int.from_bytes(payload[pos:pos + 2], "big")
+        seg = payload[pos + 2: pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i:i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg[i:i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": height, "w": width, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("JPEG: only baseline sequential Huffman (SOF0/SOF1)")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                tbl = _build_huff_decode(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
+            data_start = pos + seg_len
+            return _decode_scan(
+                payload, data_start, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seg_len
+    raise ValueError("JPEG: no SOS marker")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h_img, w_img = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w_img + mcu_w - 1) // mcu_w
+    mcus_y = (h_img + mcu_h - 1) // mcu_h
+    planes = []
+    for c in scan:
+        planes.append(np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64))
+    reader = _BitReader(data, pos)
+    dc_pred = [0] * len(scan)
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.restart()
+                dc_pred = [0] * len(scan)
+            for ci, c in enumerate(scan):
+                qtbl = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        t = _huff_decode(reader, huff_dc[c["td"]])
+                        diff = _extend(reader.read_bits(t), t)
+                        dc_pred[ci] += diff
+                        coeffs[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff_ac[c["ta"]])
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            coeffs[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coeffs * qtbl[np.arange(64)]
+                        spatial = _DCT_M.T @ block.reshape(8, 8) @ _DCT_M
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_index += 1
+    # upsample to full grid, crop, level shift
+    out_planes = []
+    for ci, c in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h_img, :w_img] + 128.0)
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_block(bw, coeffs, dc_pred, dc_tbl, ac_tbl):
+    diff = int(coeffs[0]) - dc_pred
+    t = _category(diff)
+    code, length = dc_tbl[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coeffs[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(coeffs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tbl[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_tbl[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tbl[0x00]  # EOB
+        bw.write(code, length)
+    return int(coeffs[0])
+
+
+def encode_jpeg(img: np.ndarray, quant: int = 1) -> bytes:
+    """Encode uint8 pixels as baseline JPEG, deterministically.
+
+    (H, W) / (H, W, 1) encodes a single-component grayscale stream;
+    (H, W, 3) encodes YCbCr 4:4:4 (JFIF matrix). ``quant`` is a flat
+    quantization value applied to every coefficient — quant=1 makes
+    DC-only (per-8×8-constant) images decode EXACTLY, which is what
+    the cross-engine decode gate relies on."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w = img.shape[:2]
+    if gray:
+        comps = [img[:, :, 0].astype(np.float64)]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+    qtbl = np.full(64, quant, dtype=np.int32)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 JFIF
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    # DQT (one table, id 0)
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(
+        int(qtbl[z]) for z in range(64)
+    )
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # 4:4:4, quant table 0
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    # DHT: luma DC/AC (+ chroma when color)
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+    out += dht(0, 0, *_STD_DC_LUMA) + dht(1, 0, *_STD_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, *_STD_DC_CHROMA) + dht(1, 1, *_STD_AC_CHROMA)
+    # SOS
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        tbl = 0 if cid == 1 else 1
+        sos += bytes([cid, (tbl << 4) | tbl])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    enc_dc = [_build_huff_encode(*_STD_DC_LUMA), _build_huff_encode(*_STD_DC_CHROMA)]
+    enc_ac = [_build_huff_encode(*_STD_AC_LUMA), _build_huff_encode(*_STD_AC_CHROMA)]
+    bw = _BitWriter()
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    dc_pred = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(ncomp):
+                plane = comps[ci]
+                blk = np.zeros((8, 8), dtype=np.float64)
+                ys, xs = by * 8, bx * 8
+                tile = plane[ys:min(ys + 8, h), xs:min(xs + 8, w)]
+                # edge replicate padding keeps DC-only blocks constant
+                blk[:tile.shape[0], :tile.shape[1]] = tile
+                if tile.shape[0] < 8:
+                    blk[tile.shape[0]:, :] = blk[tile.shape[0] - 1, :]
+                if tile.shape[1] < 8:
+                    blk[:, tile.shape[1]:] = blk[:, tile.shape[1] - 1:tile.shape[1]]
+                coeff = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+                zz = np.round(coeff.reshape(-1)[_ZIGZAG] / qtbl).astype(np.int64)
+                t = 0 if ci == 0 else 1
+                dc_pred[ci] = _encode_block(bw, zz, dc_pred[ci], enc_dc[t], enc_ac[t])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode PNG or BMP; raises ``NotImplementedError`` for anything
-    else — the honest boundary for formats needing native libs."""
+    """Decode PNG, BMP or baseline JPEG; raises ``NotImplementedError``
+    for anything else (progressive JPEG, WebP, audio, video) — the
+    honest boundary for formats needing native libs."""
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "jpeg":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG and BMP have pure-Python decoders in this container; "
-        "JPEG/WebP/audio/video need PIL/librosa/ffmpeg"
+        "only PNG, BMP and baseline JPEG have pure-Python decoders in "
+        "this container; progressive JPEG/WebP/audio/video need "
+        "PIL/librosa/ffmpeg"
     )
 
 

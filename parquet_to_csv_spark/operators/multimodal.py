@@ -394,6 +394,7 @@ def shared_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECODE_GATE_SCHEMA = T.StructType(
     [
         T.StructField("img_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
         T.StructField("height", T.LongType()),
         T.StructField("width", T.LongType()),
         T.StructField("bin", T.LongType()),
@@ -403,25 +404,33 @@ DECODE_GATE_SCHEMA = T.StructType(
 
 
 def multimodal_real_decode(spark: SparkSession, sf_dir: str, n_images: int = 16) -> DataFrame:
-    """EXT E309: gate query for the REAL image-decode path.
-    ``n_images`` deterministic gradient images are ENCODED to PNG
-    bytes inside the plan (``mapInPandas``), decoded back through
-    :func:`decode_media` (zlib inflate + unfiltering — the real
-    codec), reduced to per-image integer luma histograms — and the
-    DuckDB oracle computes the SAME histograms independently from the
-    gradient FORMULA, never touching a byte. Any pixel-level decode
-    defect (filter reconstruction, channel order, row direction,
-    stride) shifts a histogram bin and fails the value hash. This
-    upgrades the multimodal decode tier from pytest-pinned to
-    driver-gate-checked.
+    """EXT E309 + E343: gate query for the REAL image-decode paths.
+
+    PNG leg: ``n_images`` deterministic gradient images are ENCODED to
+    PNG bytes inside the plan (``mapInPandas``), decoded back through
+    :func:`decode_media` (zlib inflate + unfiltering — the real codec)
+    and reduced to per-image integer luma histograms.
+
+    JPEG leg (round 4): per-8×8-constant grayscale images are encoded
+    by the pure-Python baseline JPEG encoder (flat quant=1) and
+    decoded back through the full marker/Huffman/IDCT pipeline —
+    quant=1 DC-only blocks round-trip EXACTLY, so the decoded
+    histogram is formula-predictable with no lossy tolerance.
+
+    The DuckDB oracle computes BOTH legs' histograms independently
+    from the generating formulas, never touching a byte. Any
+    pixel-level decode defect (filter reconstruction, channel order,
+    row direction, stride, Huffman table handling, DC prediction,
+    dequantization, IDCT scaling) shifts a histogram bin and fails the
+    value hash.
 
     (``sf_dir`` is unused — the workload is generated; the parameter
     keeps the registry signature uniform.)
 
     Scale shape: generation/encode/decode are a stateless
     ``mapInPandas`` fan-out over ``spark.range`` (embarrassingly
-    parallel, no shuffle); the histogram rows (16 per image) feed one
-    tiny aggregation-free projection.
+    parallel, no shuffle); the histogram rows (2×16 per image) feed
+    one tiny aggregation-free projection.
     """
     import numpy as np
 
@@ -429,9 +438,20 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str, n_images: int = 16)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hs, ws, bins, cnts = [], [], [], [], []
+            ids, fmts, hs, ws, bins, cnts = [], [], [], [], [], []
+
+            def emit(img_id, fmt, h, w, hist):
+                for b in range(16):
+                    ids.append(img_id)
+                    fmts.append(fmt)
+                    hs.append(h)
+                    ws.append(w)
+                    bins.append(b)
+                    cnts.append(int(hist[b]))
+
             for img_id in pdf["id"]:
                 img_id = int(img_id)
+                # --- PNG leg: RGB gradient ---
                 h = 8 + img_id % 5
                 w = 8 + (img_id * 3) % 7
                 img = np.zeros((h, w, 3), dtype=np.uint8)
@@ -440,18 +460,24 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str, n_images: int = 16)
                         img[y, x, 0] = (x * 255) // (w - 1)
                         img[y, x, 1] = (y * 255) // (h - 1)
                         img[y, x, 2] = ((x + y) * 255) // (w + h - 2)
-                payload = ic.encode_png(img)
-                decoded = decode_media(payload, "image")
+                decoded = decode_media(ic.encode_png(img), "image")
                 lum = ic.luma(decoded).reshape(-1)
-                hist = np.bincount(lum >> 4, minlength=16)
-                for b in range(16):
-                    ids.append(img_id)
-                    hs.append(h)
-                    ws.append(w)
-                    bins.append(b)
-                    cnts.append(int(hist[b]))
+                emit(img_id, "png", h, w, np.bincount(lum >> 4, minlength=16))
+                # --- JPEG leg: constant 8x8 tiles, grayscale ---
+                ht = 1 + img_id % 3
+                wt = 1 + (img_id * 2) % 4
+                jimg = np.zeros((ht * 8, wt * 8), dtype=np.uint8)
+                for ty in range(ht):
+                    for tx in range(wt):
+                        jimg[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
+                            (img_id * 37 + ty * 19 + tx * 7) % 256
+                        )
+                jdec = decode_media(ic.encode_jpeg(jimg), "image")
+                jl = ic.luma(jdec).reshape(-1)
+                emit(img_id, "jpeg", ht * 8, wt * 8, np.bincount(jl >> 4, minlength=16))
             yield pd.DataFrame(
-                {"img_id": ids, "height": hs, "width": ws, "bin": bins, "n_px": cnts}
+                {"img_id": ids, "fmt": fmts, "height": hs, "width": ws,
+                 "bin": bins, "n_px": cnts}
             )
 
     return spark.range(n_images).mapInPandas(_gen, DECODE_GATE_SCHEMA)

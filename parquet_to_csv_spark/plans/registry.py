@@ -8987,9 +8987,11 @@ ORACLES["streaming_secret_scrub_drain"] = ORACLES["secret_scan"]
 
 from parquet_to_csv_spark.operators import multimodal as _mm  # noqa: E402
 
-# The Spark side encodes gradient images to PNG and DECODES them through
-# the real codec; the oracle computes the expected luma histograms from
-# the gradient FORMULA alone — pixel-level decode defects fail the hash.
+# The Spark side encodes gradient images to PNG (and, round 4,
+# constant-tile grayscale images to baseline JPEG with quant=1 — DC-only
+# blocks round-trip exactly) and DECODES them through the real codecs;
+# the oracle computes both legs' luma histograms from the generating
+# FORMULAS alone — pixel-level decode defects fail the hash.
 QUERIES["multimodal_real_decode"] = _mm.multimodal_real_decode
 ORACLES["multimodal_real_decode"] = """
 WITH imgs AS (
@@ -9009,12 +9011,35 @@ WITH imgs AS (
   SELECT img_id, h, w, bin, count(*) AS n_px FROM lm GROUP BY 1, 2, 3, 4
 ), allbins AS (
   SELECT img_id, h, w, b.bin FROM imgs, unnest(range(0, 16)) AS b(bin)
+), png_rows AS (
+  SELECT a.img_id, 'png' AS fmt,
+         CAST(a.h AS BIGINT) AS height, CAST(a.w AS BIGINT) AS width,
+         CAST(a.bin AS BIGINT) AS bin,
+         CAST(coalesce(hist.n_px, 0) AS BIGINT) AS n_px
+  FROM allbins a
+  LEFT JOIN hist ON a.img_id = hist.img_id AND a.bin = hist.bin
+), jimgs AS (
+  SELECT t.i AS img_id, 1 + t.i % 3 AS ht, 1 + (t.i * 2) % 4 AS wt
+  FROM unnest(range(0, 16)) AS t(i)
+), jtiles AS (
+  -- each 8x8 tile is constant: 64 pixels of the formula value
+  SELECT img_id, ht, wt,
+         ((img_id * 37 + ty.ty * 19 + tx.tx * 7) % 256) // 16 AS bin
+  FROM jimgs, unnest(range(0, ht)) AS ty(ty), unnest(range(0, wt)) AS tx(tx)
+), jhist AS (
+  SELECT img_id, ht, wt, bin, 64 * count(*) AS n_px
+  FROM jtiles GROUP BY 1, 2, 3, 4
+), jallbins AS (
+  SELECT img_id, ht, wt, b.bin FROM jimgs, unnest(range(0, 16)) AS b(bin)
+), jpeg_rows AS (
+  SELECT a.img_id, 'jpeg' AS fmt,
+         CAST(a.ht * 8 AS BIGINT) AS height, CAST(a.wt * 8 AS BIGINT) AS width,
+         CAST(a.bin AS BIGINT) AS bin,
+         CAST(coalesce(jhist.n_px, 0) AS BIGINT) AS n_px
+  FROM jallbins a
+  LEFT JOIN jhist ON a.img_id = jhist.img_id AND a.bin = jhist.bin
 )
-SELECT a.img_id, CAST(a.h AS BIGINT) AS height, CAST(a.w AS BIGINT) AS width,
-       CAST(a.bin AS BIGINT) AS bin,
-       CAST(coalesce(hist.n_px, 0) AS BIGINT) AS n_px
-FROM allbins a
-LEFT JOIN hist ON a.img_id = hist.img_id AND a.bin = hist.bin
+SELECT * FROM png_rows UNION ALL SELECT * FROM jpeg_rows
 """
 
 

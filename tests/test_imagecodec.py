@@ -93,7 +93,9 @@ def test_bmp_roundtrip_and_padding():
 
 
 def test_unsupported_formats_raise():
-    with pytest.raises(NotImplementedError):
+    # JPEG is now sniffed and routed to the real decoder (round 4), so
+    # fake bytes fail as CORRUPT (ValueError), not unsupported
+    with pytest.raises(ValueError):
         ic.decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"RIFF....WEBP", "image")
@@ -193,3 +195,84 @@ def test_sniffed_but_truncated_png_falls_back():
     assert ic.sniff_format(payload) == "png"
     feats = mm.decode_features(payload)
     assert feats == mm.fake_decode_features(payload)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _tile_image(h_tiles, w_tiles, seed):
+    """Per-8x8-constant grayscale image; tile value from an integer
+    formula (the E343 oracle replays the same formula in SQL)."""
+    img = np.zeros((h_tiles * 8, w_tiles * 8), dtype=np.uint8)
+    for ty in range(h_tiles):
+        for tx in range(w_tiles):
+            img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
+                (seed * 37 + ty * 19 + tx * 7) % 256
+            )
+    return img
+
+
+def test_jpeg_constant_tiles_roundtrip_exact():
+    """quant=1 DC-only blocks decode EXACTLY — the bit-level property
+    the cross-engine JPEG gate is built on."""
+    img = _tile_image(3, 4, seed=5)
+    payload = ic.encode_jpeg(img)
+    assert ic.sniff_format(payload) == "jpeg"
+    out = ic.decode_jpeg(payload)
+    assert out.shape == (24, 32, 1)
+    assert (out[:, :, 0] == img).all()
+
+
+def test_jpeg_rgb_gradient_roundtrip_close():
+    """Full pipeline (color transform + AC coefficients + Huffman) is
+    near-lossless at quant=1: max abs error <= 2."""
+    h, w = 24, 40
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = [(x * 255) // (w - 1), (y * 255) // (h - 1),
+                         ((x + y) * 255) // (w + h - 2)]
+    out = ic.decode_jpeg(ic.encode_jpeg(img))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    img = _tile_image(2, 2, seed=1)[:13, :11]
+    out = ic.decode_jpeg(ic.encode_jpeg(img))
+    assert out.shape == (13, 11, 1)
+    assert (out[:, :, 0] == img).all()
+
+
+def test_jpeg_quantized_roundtrip_tolerance():
+    img = _tile_image(2, 3, seed=9)
+    out = ic.decode_jpeg(ic.encode_jpeg(img, quant=4))
+    # flat blocks survive mild quantization within the quant step
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_progressive_raises():
+    payload = bytearray(ic.encode_jpeg(_tile_image(1, 1, seed=2)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        ic.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_decode_media_routing():
+    img = _tile_image(2, 2, seed=3)
+    payload = ic.encode_jpeg(img)
+    out = mm.decode_media(payload, "image")
+    assert (out[:, :, 0] == img).all()
+
+
+def test_jpeg_encoder_deterministic_digest():
+    """Pinned digest: the encoder is byte-deterministic (fixed Huffman
+    tables, flat quant, fixed traversal) — any drift breaks thumbnail
+    sha parity and the oracle gate."""
+    payload = ic.encode_jpeg(_tile_image(2, 2, seed=7))
+    d = hashlib.sha256(payload).hexdigest()
+    payload2 = ic.encode_jpeg(_tile_image(2, 2, seed=7))
+    assert hashlib.sha256(payload2).hexdigest() == d
