@@ -432,11 +432,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     near-dup clusters are shallow (pairs verified against one pivot,
     diameter ~2-4), so this converges in a handful of shuffles. The
     per-round driver action IS the convergence test (an iterative
-    algorithm, not a plan smell); at web scale the same loop with the
-    large-star/small-star contraction (Kiveris et al.) is the drop-in.
+    algorithm, not a plan smell).
+
+    At web scale — or whenever components may be DEEP (long chains) —
+    set ``spark.graft.ccAlgorithm=starcontraction`` to switch every
+    caller to :func:`_cc_star_contraction` (Kiveris et al.
+    large-star/small-star, O(log²) rounds on any graph shape); results
+    are identical, pinned by the conf-flag parity test.
 
     Returns (v, cluster_id) with cluster_id = min vertex id reachable.
     """
+    algo = edges.sparkSession.conf.get("spark.graft.ccAlgorithm", "minlabel")
+    if algo == "starcontraction":
+        return _cc_star_contraction(edges, max_iter)
     both = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
@@ -476,6 +484,91 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if stepped.filter(F.col("old_l") != F.col("l")).limit(1).count() == 0:
             break
     return labels.select(F.col("v"), F.col("l").alias("cluster_id"))
+
+
+def _cc_star_contraction(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the web-scale drop-in for :func:`connected_components`
+    when component DIAMETER is large: min-label propagation needs
+    diameter-many rounds, star contraction converges in O(log²)
+    rounds on any graph shape.
+
+    large-star(u): every neighbor v > u re-attaches to
+    m = min(N(u) ∪ {u}); small-star(u): every neighbor v ≤ u (and u)
+    attaches to m. Both steps are one groupBy(u) + one re-emit — no
+    joins at all — and strictly decrease the potential Σ(v − root(v)),
+    so the edge multiset reaches a fixpoint of star edges
+    (v, component-min). Labels read directly off the stars.
+
+    Returns (v, cluster_id) over every non-isolated vertex — the same
+    contract as the min-label loop, pinned identical by the
+    partition-count invariance test and the conf-flag parity test.
+    """
+    both = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+        .transform(_cut_lineage)
+    )
+    verts = both.select(F.col("u").alias("v")).distinct().transform(_cut_lineage)
+    e = both
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u re-attaches to
+        # m = min(N(u) ∪ {u}). Per-u mins by groupBy (map-side
+        # combine), re-emit by join — no collect_list, so a hot star
+        # root never materializes its whole component in one task.
+        mins = e.groupBy("u").agg(F.min("w").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        ls = (
+            e.join(mins, "u")
+            .filter(F.col("w") > F.col("u"))
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+        )
+        e = (
+            ls.union(ls.select(F.col("w").alias("u"), F.col("u").alias("w")))
+            .filter(F.col("u") != F.col("w"))
+            .distinct()
+            .transform(_cut_lineage)
+        )
+        # small-star: every neighbor v < u (and u itself) attaches to
+        # m = min of u's smaller neighborhood
+        smaller = e.filter(F.col("w") < F.col("u"))
+        smins = smaller.groupBy("u").agg(F.min("w").alias("m"))
+        ss = (
+            smaller.join(smins, "u")
+            .filter(F.col("w") != F.col("m"))
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+            .union(smins.select(F.col("u"), F.col("m").alias("w")))
+        )
+        e = (
+            ss.union(ss.select(F.col("w").alias("u"), F.col("u").alias("w")))
+            .filter(F.col("u") != F.col("w"))
+            .distinct()
+            .transform(_cut_lineage)
+        )
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold, not sum: ANSI mode overflows summing full-range
+            # hashes; xor is order-independent and overflow-free
+            F.expr("bit_xor(xxhash64(u, w))").alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint edges are stars (v, component-min) both ways; label =
+    # min neighbor, roots label themselves
+    labels = e.groupBy("u").agg(F.min("w").alias("m")).select(
+        F.col("u").alias("v"),
+        F.least(F.col("u"), F.col("m")).alias("cluster_id"),
+    )
+    return verts.join(labels, "v", "left").select(
+        "v", F.coalesce(F.col("cluster_id"), F.col("v")).alias("cluster_id")
+    )
 
 
 def dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
