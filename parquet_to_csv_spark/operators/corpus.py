@@ -2246,3 +2246,138 @@ def source_entropy_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def interleave_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E344: deterministic-interleave (training order) quality
+    audit. Training corpora are served in a SHUFFLED order — here the
+    md5(doc_id) order, the repo's reproducible-shuffle convention —
+    and a bad mix (long same-source runs) biases every gradient step
+    toward one distribution. This report answers "is the served order
+    actually well-mixed?" per source: adjacent-same-source rate vs the
+    exact hypergeometric expectation, and the longest same-source run.
+
+    Plan shape at 100 TB: the order rank comes from
+    :func:`relational.banded_row_number` banded by the first md5 byte
+    (md5 is uniform, so 256 equal bands; deepen the prefix for more) —
+    no unpartitioned window; adjacency is a self-join on rank+1 (one
+    shuffle on an integer key); runs use the islands trick with a
+    SECOND banded rank grouped by source. All outputs exact integers.
+    """
+    from parquet_to_csv_spark.operators.relational import banded_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("mk")
+    )
+    ranked = banded_row_number(
+        docs,
+        ["mk", "doc_id"],
+        F.expr("conv(substr(mk, 1, 2), 16, 10)").cast("long"),
+        out_col="rn",
+        total_col="n",
+    )
+    nxt = ranked.select(
+        (F.col("rn") - 1).alias("rn"), F.col("source").alias("next_source")
+    )
+    pairs = ranked.join(nxt, "rn").select(
+        "source",
+        (F.col("source") == F.col("next_source")).cast("long").alias("same"),
+    )
+    adj = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs_from"),
+        F.sum("same").alias("n_same"),
+    )
+    # islands: run id = order rank − per-source rank (constant within a
+    # consecutive same-source run)
+    per_src = banded_row_number(
+        ranked.select("doc_id", "source", "rn", "n"),
+        ["rn"],
+        F.expr("rn div 64"),
+        out_col="sr",
+        group_cols=["source"],
+    )
+    runs = (
+        per_src.withColumn("island", F.col("rn") - F.col("sr"))
+        .groupBy("source", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("source")
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    counts = per_src.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.max("n").alias("n")
+    )
+    return (
+        counts.join(adj, "source", "left")
+        .join(runs, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_pairs_from", F.lit(0)).alias("n_pairs_from"),
+            F.coalesce("n_same", F.lit(0)).alias("n_adjacent_same"),
+            F.expr(
+                "CASE WHEN coalesce(n_pairs_from, 0) > 0"
+                " THEN coalesce(n_same, 0) * 1000000 div n_pairs_from"
+                " ELSE 0 END"
+            ).alias("same_ppm"),
+            # exact conditional expectation for a uniform random order:
+            # P(next is same source | current is s) = (n_s-1)/(N-1)
+            F.expr("(n_docs - 1) * 1000000 div (n - 1)").alias("expected_ppm"),
+            "max_run",
+        )
+    )
+
+
+def batch_padding_efficiency(
+    spark: SparkSession, sf_dir: str, batch_size: int = 32
+) -> DataFrame:
+    """EXT E345: padding-waste report for length-grouped batching.
+    Training batches pad every sequence to the batch max, so tokens
+    burned = Σ_b (n_b·max_len_b − Σ len). Serving batches in arrival
+    (doc_id) order wastes on length variance; sorting by length first
+    (bucketed batching) collapses the waste — this table quantifies
+    the win EXACTLY for ``batch_size``, the number every
+    tokens-per-second projection needs before anyone changes the
+    loader.
+
+    Both rankings come from :func:`relational.banded_row_number`
+    (doc_id bands / token-length bands — monotone, no global window);
+    batch id is an integer division of the rank; per-batch max/sum
+    aggregate on the batch key. Output: one row per strategy with
+    exact token counts and floored ppm waste.
+    """
+    from parquet_to_csv_spark.operators.relational import banded_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+
+    def strategy(name: str, order_cols, band) -> DataFrame:
+        ranked = banded_row_number(docs, order_cols, band, out_col="rn")
+        batches = (
+            ranked.withColumn("batch", F.expr(f"(rn - 1) div {batch_size}"))
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).alias("n_b"),
+                F.max("n_tokens").alias("mx"),
+                F.sum("n_tokens").alias("real"),
+            )
+        )
+        return batches.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("real").alias("real_tokens"),
+            F.sum(F.col("n_b") * F.col("mx")).alias("padded_tokens"),
+        ).select(
+            F.lit(name).alias("strategy"),
+            "n_batches",
+            "real_tokens",
+            "padded_tokens",
+            F.expr(
+                "(padded_tokens - real_tokens) * 1000000 div padded_tokens"
+            ).alias("waste_ppm"),
+        )
+
+    arrival = strategy("arrival", ["doc_id"], F.expr("doc_id div 64"))
+    sorted_ = strategy(
+        "length_sorted", ["n_tokens", "doc_id"], F.expr("n_tokens div 64")
+    )
+    return arrival.unionByName(sorted_)

@@ -2002,3 +2002,132 @@ def shrunk_conversion_rates(
         .orderBy(F.desc("shrunk_ppm"), F.asc("user_id"))
         .limit(k)
     )
+
+
+def bradley_terry_sources(
+    spark: SparkSession, sf_dir: str, n_iter: int = 6
+) -> DataFrame:
+    """EXT E346: Bradley–Terry strength scores per source from pairwise
+    quality matches — the preference-aggregation step of an RLHF-style
+    data pipeline ("which corpus sources win head-to-head?") where raw
+    mean-quality comparisons are confounded by length/topic mix.
+
+    Matches are the DETERMINISTIC adjacent pairs of the md5(doc_id)
+    interleave order (E344's adjacency — linear, never the quadratic
+    all-pairs) whose endpoints come from different sources; the winner
+    has the higher unique-token-ppm quality key (tie → lower doc_id).
+    Strengths then follow ``n_iter`` Zermelo fixed-point rounds in
+    EXACT integer micro-units — every divide is a floor of a product
+    of longs, every sum is over integers, and each round renormalizes
+    to mean 10⁶ with a floor-1 clamp — so DuckDB replays the loop
+    bit-for-bit (AS MATERIALIZED per round; the iterative-oracle
+    discipline of markov_attribution).
+
+    Output: one row per source appearing in ≥1 match: matches, wins,
+    final strength (micro), rank (desc strength; the 5-row window is
+    whitelisted in the plan audit).
+    """
+    from pyspark.sql import Window as W
+
+    from parquet_to_csv_spark.operators.dedup import _cut_lineage
+    from parquet_to_csv_spark.operators.relational import banded_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("mk"),
+        F.expr(
+            "CAST(size(array_distinct(filter(split(lower(text), '\\\\s+'),"
+            " t -> t != ''))) AS BIGINT)"
+        ).alias("n_uniq"),
+        F.expr(
+            "CAST(size(filter(split(lower(text), '\\\\s+'), t -> t != ''))"
+            " AS BIGINT)"
+        ).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0).select(
+        "doc_id", "source", "mk",
+        F.expr("n_uniq * 1000000 div n_tok").alias("q"),
+    )
+    ranked = banded_row_number(
+        docs,
+        ["mk", "doc_id"],
+        F.expr("conv(substr(mk, 1, 2), 16, 10)").cast("long"),
+        out_col="rn",
+    )
+    nxt = ranked.select(
+        (F.col("rn") - 1).alias("rn"),
+        F.col("source").alias("src_b"),
+        F.col("q").alias("q_b"),
+        F.col("doc_id").alias("id_b"),
+    )
+    matches = (
+        ranked.join(nxt, "rn")
+        .filter(F.col("source") != F.col("src_b"))
+        .select(
+            F.col("source").alias("src_a"),
+            "src_b", "q", "q_b", "doc_id", "id_b",
+        )
+    )
+    # ordered (i, j) relation: matches and wins of i against j
+    a_side = matches.select(
+        F.col("src_a").alias("i"), F.col("src_b").alias("j"),
+        F.expr(
+            "CASE WHEN q > q_b OR (q = q_b AND doc_id < id_b) THEN 1 ELSE 0 END"
+        ).alias("win"),
+    )
+    b_side = matches.select(
+        F.col("src_b").alias("i"), F.col("src_a").alias("j"),
+        F.expr(
+            "CASE WHEN q_b > q OR (q_b = q AND id_b < doc_id) THEN 1 ELSE 0 END"
+        ).alias("win"),
+    )
+    pair_rel = (
+        a_side.unionByName(b_side)
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_ij"), F.sum("win").alias("w_ij"))
+        .transform(_cut_lineage)
+    )
+    totals = pair_rel.groupBy("i").agg(
+        F.sum("n_ij").alias("n_matches"), F.sum("w_ij").alias("n_wins")
+    ).transform(_cut_lineage)
+    n_src = totals.count()
+
+    s = totals.select("i", F.lit(1_000_000).cast("long").alias("s"))
+    for _ in range(n_iter):
+        si = s.select(F.col("i"), F.col("s").alias("s_i"))
+        sj = s.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+        denom = (
+            pair_rel.join(si, "i")
+            .join(sj, "j")
+            .select(
+                "i",
+                F.expr("n_ij * 1000000000000 div (s_i + s_j)").alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("den"))
+        )
+        raw = totals.join(denom, "i").select(
+            "i", F.expr("n_wins * 1000000000000 div den").alias("raw")
+        )
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        s = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "i",
+                F.greatest(
+                    F.expr(f"raw * {n_src} * 1000000 div tot"), F.lit(1)
+                ).cast("long").alias("s"),
+            )
+            .transform(_cut_lineage)
+        )
+    w_rank = W.orderBy(F.desc("strength_micro"), F.asc("source"))
+    return (
+        totals.join(s, "i")
+        .select(
+            F.col("i").alias("source"),
+            "n_matches",
+            "n_wins",
+            F.col("s").alias("strength_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+    )

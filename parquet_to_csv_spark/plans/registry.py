@@ -9993,6 +9993,219 @@ FROM r
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E344 — deterministic-interleave (training order) audit
+# --------------------------------------------------------------------------
+
+QUERIES["interleave_audit"] = corpus.interleave_audit
+ORACLES["interleave_audit"] = """
+WITH d AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS mk FROM documents
+), r AS (
+  SELECT doc_id, source, row_number() OVER (ORDER BY mk, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM d
+), pairs AS (
+  SELECT a.source, CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS same
+  FROM r a JOIN r b ON b.rn = a.rn + 1
+), adj AS (
+  SELECT source, count(*) AS n_pairs_from, sum(same) AS n_same
+  FROM pairs GROUP BY 1
+), per_src AS (
+  SELECT source, rn, n, row_number() OVER (PARTITION BY source ORDER BY rn) AS sr
+  FROM r
+), runs AS (
+  SELECT source, max(run_len) AS max_run FROM (
+    SELECT source, rn - sr AS island, count(*) AS run_len
+    FROM per_src GROUP BY source, rn - sr
+  ) GROUP BY 1
+), counts AS (
+  SELECT source, count(*) AS n_docs, max(n) AS n FROM per_src GROUP BY 1
+)
+SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(a.n_pairs_from, 0) AS BIGINT) AS n_pairs_from,
+       CAST(coalesce(a.n_same, 0) AS BIGINT) AS n_adjacent_same,
+       CAST(CASE WHEN coalesce(a.n_pairs_from, 0) > 0
+                 THEN coalesce(a.n_same, 0) * 1000000 // a.n_pairs_from
+                 ELSE 0 END AS BIGINT) AS same_ppm,
+       CAST((c.n_docs - 1) * 1000000 // (c.n - 1) AS BIGINT) AS expected_ppm,
+       CAST(ru.max_run AS BIGINT) AS max_run
+FROM counts c
+LEFT JOIN adj a USING (source)
+JOIN runs ru USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E345 — batch padding efficiency (length-grouped batching)
+# --------------------------------------------------------------------------
+
+QUERIES["batch_padding_efficiency"] = corpus.batch_padding_efficiency
+ORACLES["batch_padding_efficiency"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), arr AS (
+  SELECT n_tokens, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch
+  FROM d
+), srt AS (
+  SELECT n_tokens,
+         (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS batch
+  FROM d
+), agg_a AS (
+  SELECT batch, count(*) AS n_b, max(n_tokens) AS mx, sum(n_tokens) AS real
+  FROM arr GROUP BY 1
+), agg_s AS (
+  SELECT batch, count(*) AS n_b, max(n_tokens) AS mx, sum(n_tokens) AS real
+  FROM srt GROUP BY 1
+), rows_a AS (
+  SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+         CAST(sum(real) AS BIGINT) AS real_tokens,
+         CAST(sum(n_b * mx) AS BIGINT) AS padded_tokens
+  FROM agg_a
+), rows_s AS (
+  SELECT 'length_sorted' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+         CAST(sum(real) AS BIGINT) AS real_tokens,
+         CAST(sum(n_b * mx) AS BIGINT) AS padded_tokens
+  FROM agg_s
+), u AS (
+  SELECT * FROM rows_a UNION ALL SELECT * FROM rows_s
+)
+SELECT strategy, n_batches, real_tokens, padded_tokens,
+       CAST((padded_tokens - real_tokens) * 1000000 // padded_tokens
+            AS BIGINT) AS waste_ppm
+FROM u
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E346 — Bradley-Terry source-preference fit (iterative; oracle
+# unrolls the 6 Zermelo rounds with AS MATERIALIZED per round)
+# --------------------------------------------------------------------------
+
+QUERIES["bradley_terry_sources"] = mlmetrics.bradley_terry_sources
+ORACLES["bradley_terry_sources"] = f"""
+WITH d AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS mk,
+         len(list_distinct({_TOKS})) * 1000000 // len({_TOKS}) AS q
+  FROM documents
+  WHERE len({_TOKS}) > 0
+), r AS (
+  SELECT doc_id, source, q, row_number() OVER (ORDER BY mk, doc_id) AS rn
+  FROM d
+), m AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.q AS q, b.q AS q_b,
+         a.doc_id AS doc_id, b.doc_id AS id_b
+  FROM r a JOIN r b ON b.rn = a.rn + 1
+  WHERE a.source <> b.source
+), pr AS MATERIALIZED (
+  SELECT i, j, count(*) AS n_ij, CAST(sum(win) AS BIGINT) AS w_ij FROM (
+    SELECT src_a AS i, src_b AS j,
+           CASE WHEN q > q_b OR (q = q_b AND doc_id < id_b)
+                THEN 1 ELSE 0 END AS win
+    FROM m
+    UNION ALL
+    SELECT src_b, src_a,
+           CASE WHEN q_b > q OR (q_b = q AND id_b < doc_id)
+                THEN 1 ELSE 0 END
+    FROM m
+  ) GROUP BY 1, 2
+), tot AS MATERIALIZED (
+  SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_matches,
+         CAST(sum(w_ij) AS BIGINT) AS n_wins
+  FROM pr GROUP BY 1
+), ns AS (
+  SELECT count(*) AS n_src FROM tot
+), s0 AS MATERIALIZED (
+  SELECT i, CAST(1000000 AS BIGINT) AS s FROM tot
+), d1 AS MATERIALIZED (
+  SELECT pr.i, sum(pr.n_ij * 1000000000000 // (si.s + sj.s)) AS den
+  FROM pr JOIN s0 si ON si.i = pr.i JOIN s0 sj ON sj.i = pr.j
+  GROUP BY 1
+), r1 AS MATERIALIZED (
+  SELECT t.i, t.n_wins * 1000000000000 // d1.den AS raw
+  FROM tot t JOIN d1 ON d1.i = t.i
+), s1 AS MATERIALIZED (
+  SELECT r1.i,
+         greatest(CAST(r1.raw * ns.n_src * 1000000
+                       // (SELECT sum(raw) FROM r1) AS BIGINT),
+                  1) AS s
+  FROM r1, ns
+), d2 AS MATERIALIZED (
+  SELECT pr.i, sum(pr.n_ij * 1000000000000 // (si.s + sj.s)) AS den
+  FROM pr JOIN s1 si ON si.i = pr.i JOIN s1 sj ON sj.i = pr.j
+  GROUP BY 1
+), r2 AS MATERIALIZED (
+  SELECT t.i, t.n_wins * 1000000000000 // d2.den AS raw
+  FROM tot t JOIN d2 ON d2.i = t.i
+), s2 AS MATERIALIZED (
+  SELECT r2.i,
+         greatest(CAST(r2.raw * ns.n_src * 1000000
+                       // (SELECT sum(raw) FROM r2) AS BIGINT),
+                  1) AS s
+  FROM r2, ns
+), d3 AS MATERIALIZED (
+  SELECT pr.i, sum(pr.n_ij * 1000000000000 // (si.s + sj.s)) AS den
+  FROM pr JOIN s2 si ON si.i = pr.i JOIN s2 sj ON sj.i = pr.j
+  GROUP BY 1
+), r3 AS MATERIALIZED (
+  SELECT t.i, t.n_wins * 1000000000000 // d3.den AS raw
+  FROM tot t JOIN d3 ON d3.i = t.i
+), s3 AS MATERIALIZED (
+  SELECT r3.i,
+         greatest(CAST(r3.raw * ns.n_src * 1000000
+                       // (SELECT sum(raw) FROM r3) AS BIGINT),
+                  1) AS s
+  FROM r3, ns
+), d4 AS MATERIALIZED (
+  SELECT pr.i, sum(pr.n_ij * 1000000000000 // (si.s + sj.s)) AS den
+  FROM pr JOIN s3 si ON si.i = pr.i JOIN s3 sj ON sj.i = pr.j
+  GROUP BY 1
+), r4 AS MATERIALIZED (
+  SELECT t.i, t.n_wins * 1000000000000 // d4.den AS raw
+  FROM tot t JOIN d4 ON d4.i = t.i
+), s4 AS MATERIALIZED (
+  SELECT r4.i,
+         greatest(CAST(r4.raw * ns.n_src * 1000000
+                       // (SELECT sum(raw) FROM r4) AS BIGINT),
+                  1) AS s
+  FROM r4, ns
+), d5 AS MATERIALIZED (
+  SELECT pr.i, sum(pr.n_ij * 1000000000000 // (si.s + sj.s)) AS den
+  FROM pr JOIN s4 si ON si.i = pr.i JOIN s4 sj ON sj.i = pr.j
+  GROUP BY 1
+), r5 AS MATERIALIZED (
+  SELECT t.i, t.n_wins * 1000000000000 // d5.den AS raw
+  FROM tot t JOIN d5 ON d5.i = t.i
+), s5 AS MATERIALIZED (
+  SELECT r5.i,
+         greatest(CAST(r5.raw * ns.n_src * 1000000
+                       // (SELECT sum(raw) FROM r5) AS BIGINT),
+                  1) AS s
+  FROM r5, ns
+), d6 AS MATERIALIZED (
+  SELECT pr.i, sum(pr.n_ij * 1000000000000 // (si.s + sj.s)) AS den
+  FROM pr JOIN s5 si ON si.i = pr.i JOIN s5 sj ON sj.i = pr.j
+  GROUP BY 1
+), r6 AS MATERIALIZED (
+  SELECT t.i, t.n_wins * 1000000000000 // d6.den AS raw
+  FROM tot t JOIN d6 ON d6.i = t.i
+), s6 AS MATERIALIZED (
+  SELECT r6.i,
+         greatest(CAST(r6.raw * ns.n_src * 1000000
+                       // (SELECT sum(raw) FROM r6) AS BIGINT),
+                  1) AS s
+  FROM r6, ns
+)
+SELECT t.i AS source,
+       CAST(t.n_matches AS BIGINT) AS n_matches,
+       CAST(t.n_wins AS BIGINT) AS n_wins,
+       CAST(s6.s AS BIGINT) AS strength_micro,
+       CAST(row_number() OVER (ORDER BY s6.s DESC, t.i ASC) AS INTEGER)
+         AS rank
+FROM tot t JOIN s6 ON s6.i = t.i
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -1,0 +1,82 @@
+"""Round-4 breadth operators: E344 interleave audit, E345 batch padding
+efficiency, E346 Bradley-Terry source preferences."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from parquet_to_csv_spark.operators import corpus, mlmetrics
+from parquet_to_csv_spark.sources.tables import load_table
+
+
+def test_interleave_audit_invariants(spark, sf_dir):
+    rows = corpus.interleave_audit(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # one adjacency pair per rank except the last
+    assert sum(r["n_pairs_from"] for r in rows) == n_docs - 1
+    for r in rows:
+        assert 0 <= r["same_ppm"] <= 1_000_000
+        assert 0 <= r["expected_ppm"] <= 1_000_000
+        assert r["max_run"] >= 1
+        assert r["n_adjacent_same"] <= r["n_pairs_from"]
+
+
+def test_batch_padding_efficiency_sorted_wins(spark, sf_dir):
+    rows = {r["strategy"]: r for r in
+            corpus.batch_padding_efficiency(spark, sf_dir).collect()}
+    assert set(rows) == {"arrival", "length_sorted"}
+    a, s = rows["arrival"], rows["length_sorted"]
+    # same corpus either way
+    assert a["real_tokens"] == s["real_tokens"]
+    assert a["n_batches"] == s["n_batches"]
+    # padding can never be below the real token count, and sorting by
+    # length can only reduce the per-batch max spread
+    assert a["padded_tokens"] >= a["real_tokens"]
+    assert s["padded_tokens"] <= a["padded_tokens"]
+    assert s["waste_ppm"] <= a["waste_ppm"]
+
+
+def test_bradley_terry_invariants(spark, sf_dir):
+    rows = mlmetrics.bradley_terry_sources(spark, sf_dir).collect()
+    assert len(rows) > 1
+    # every match produces exactly one win
+    assert sum(r["n_wins"] for r in rows) * 2 == sum(r["n_matches"] for r in rows)
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["strength_micro"] >= 1
+        assert 0 <= r["n_wins"] <= r["n_matches"]
+    # ranks follow (strength desc, source asc)
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    keys = [(-r["strength_micro"], r["source"]) for r in by_rank]
+    assert keys == sorted(keys)
+
+
+def test_bradley_terry_dominant_source_wins(spark, tmp_path):
+    """A synthetic corpus where source 'champ' has strictly higher
+    unique-token ratio than every other source must rank it 1st."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i in range(120):
+        src = ["champ", "mid", "weak"][i % 3]
+        if src == "champ":
+            text = " ".join(f"w{i}_{k}" for k in range(20))       # all unique
+        elif src == "mid":
+            text = " ".join(f"m{k % 10}" for k in range(20))      # half unique
+        else:
+            text = " ".join("x" for _ in range(20))               # 1 unique
+        rows.append({"doc_id": i, "text": text, "lang": "en",
+                     "source": src, "n_chars": len(text)})
+    d = str(tmp_path / "sfbt")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(d, "documents.parquet"))
+    out = {r["source"]: r for r in
+           mlmetrics.bradley_terry_sources(spark, d).collect()}
+    assert out["champ"]["rank"] == 1
+    assert out["champ"]["n_wins"] == out["champ"]["n_matches"]
+    assert out["weak"]["rank"] == 3

@@ -61,6 +61,7 @@ _TINY_WINDOWS: dict[str, tuple[int, str]] = {
     "group_quota_sample": (2, "|languages| strata relation"),
     "neyman_allocation": (1, "|languages| strata relation"),
     "nation_league_table": (3, "25-nation relation"),
+    "bradley_terry_sources": (1, "|sources| relation (rank over the strength table)"),
 }
 
 
