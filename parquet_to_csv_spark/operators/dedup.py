@@ -1965,3 +1965,59 @@ def dedup_savings_projection(
             ),
         )
     )
+
+
+def weighted_pagerank(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, iters: int = 2
+) -> DataFrame:
+    """EXT E347: similarity-WEIGHTED PageRank over the near-dup graph —
+    :func:`neardup_pagerank` treats a 0.80 and a 0.99 edge alike;
+    here each neighbor's rank mass splits ∝ the exact Jaccard weight,
+    so the centrality ranks the documents sitting at the center of the
+    TIGHTEST duplication mass (the strongest canonical-keep signal),
+    not merely the best-connected ones.
+
+    Same iterative discipline (one join + one groupBy per round,
+    lineage cut per round, no driver action in the loop body) riding
+    the SAME materialized edge relation. All integer: edge weight =
+    round(jaccard·10⁴); contribution = pr·w div W_u with W_u the exact
+    out-weight sum; update = 0.15 + 0.85·incoming in ppb longs — the
+    DuckDB oracle replays both rounds as CTE levels bit-for-bit.
+    """
+    e = dedup_edges(spark, sf_dir, threshold).select(
+        "doc_a", "doc_b",
+        F.expr("CAST(round(jaccard * 10000) AS BIGINT)").alias("w"),
+    )
+    edges = (
+        e.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "w")
+        .union(e.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), "w"))
+        .distinct()
+        .transform(_cut_lineage)
+    )
+    nodes = edges.groupBy("src").agg(F.sum("w").alias("wdeg")).select(
+        F.col("src").alias("v"), "wdeg"
+    )
+    pr = nodes.select("v", "wdeg", F.lit(1_000_000_000).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            pr.select(F.col("v").alias("src"), "pr", "wdeg")
+            .join(edges, "src")
+            .select("dst", F.expr("(pr * w) div wdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.v == contrib.dst, "left")
+            .select(
+                nodes.v,
+                nodes.wdeg,
+                (
+                    F.lit(150_000_000)
+                    + F.expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .transform(_cut_lineage)
+        )
+    return pr.select(
+        F.col("v").alias("doc_id"), "wdeg", F.col("pr").alias("pr_ppb")
+    )

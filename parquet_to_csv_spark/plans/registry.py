@@ -10206,6 +10206,50 @@ FROM tot t JOIN s6 ON s6.i = t.i
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E347 — similarity-weighted PageRank (rides the materialized edges)
+# --------------------------------------------------------------------------
+
+QUERIES["weighted_pagerank"] = dedup.weighted_pagerank
+ORACLES["weighted_pagerank"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(round(round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                      AS DOUBLE), 4) * 10000) AS BIGINT) AS w
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst, w FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst, w FROM pairs
+), nodes AS (
+  SELECT src AS v, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY src
+), pr0 AS (
+  SELECT v, wdeg, 1000000000::BIGINT AS pr FROM nodes
+), c1 AS (
+  SELECT e.dst, CAST(sum((p.pr * e.w) // p.wdeg) AS BIGINT) AS inc
+  FROM pr0 p JOIN edges e ON p.v = e.src GROUP BY e.dst
+), pr1 AS (
+  SELECT n.v, n.wdeg,
+         CAST(150000000 + (85 * coalesce(c1.inc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c1 ON n.v = c1.dst
+), c2 AS (
+  SELECT e.dst, CAST(sum((p.pr * e.w) // p.wdeg) AS BIGINT) AS inc
+  FROM pr1 p JOIN edges e ON p.v = e.src GROUP BY e.dst
+), pr2 AS (
+  SELECT n.v, n.wdeg,
+         CAST(150000000 + (85 * coalesce(c2.inc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c2 ON n.v = c2.dst
+)
+SELECT v AS doc_id, wdeg, pr AS pr_ppb FROM pr2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

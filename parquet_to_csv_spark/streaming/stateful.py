@@ -331,3 +331,76 @@ def stateful_anomaly(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT E348 — transformWithStateInPandas (Spark 4 stateful API)
+# ---------------------------------------------------------------------------
+
+def tws_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running totals through ``transformWithStateInPandas`` —
+    the Spark 4 successor of ``applyInPandasWithState`` (E20): typed
+    state handles (ValueState/ListState/MapState), timers, TTL, and an
+    initial-state hook instead of one opaque tuple. Functionally the
+    twin of :func:`stateful_user_totals`, so the SAME batch oracle
+    gates both; keeping both surfaces pins engine parity across the
+    old and new stateful APIs.
+
+    State per user: (n_events, sv_cents, last_ts_us) in a ValueState —
+    exact integer cents, so emitted totals are order-independent and
+    oracle-hashable. Update-mode emit per micro-batch; a one-batch
+    availableNow drain therefore emits exactly the final row per user.
+
+    ENVIRONMENT BOUNDARY (documented, test-gated): executing a
+    transformWithState query requires the ``protobuf`` Python package
+    — PySpark's state-server protocol for this operator is
+    protobuf-encoded (``pyspark/sql/streaming/proto``), and the
+    package is absent from this container (no pip installs). The
+    parity test runs the drain when protobuf imports and SKIPS with
+    the reason pinned otherwise, the same honest-boundary discipline
+    as the JPEG-progressive / audio / video codecs. The E20
+    applyInPandasWithState twin (same semantics, same oracle) remains
+    fully driver-gate-checked.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, sv_cents long, last_ts_us long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, sv, last = 0, 0, None
+            if self._state.exists():
+                n, sv, last = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                sv += int(round(pdf["value"], 2).mul(100).round().sum())
+                batch_last = int(pdf["ts"].max()) // 1000
+                last = batch_last if last is None else max(last, batch_last)
+            self._state.update((n, sv, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [sv / 100.0],
+                    "last_ts_us": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            _Totals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -721,3 +721,24 @@ def hybrid_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return batch_half.unionByName(tail)
+
+
+def tws_totals_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E348 through the gate: the transformWithStateInPandas
+    running-totals processor (Spark 4 stateful API) drained
+    availableNow over the staged event stream — one micro-batch, so
+    update mode emits exactly one final row per user, equal to the
+    batch aggregation oracle (the same oracle that gates E20's
+    applyInPandasWithState twin)."""
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.streaming.stateful import tws_user_totals
+
+    stage = _stage_events_dir(spark, sf_dir)
+    name = "t_tws_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(
+        tws_user_totals(read_event_stream(spark, stage)),
+        name,
+        spark,
+        output_mode="update",
+    )
