@@ -2381,3 +2381,79 @@ def batch_padding_efficiency(
         "length_sorted", ["n_tokens", "doc_id"], F.expr("n_tokens div 64")
     )
     return arrival.unionByName(sorted_)
+
+
+def shard_rebalance_report(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> DataFrame:
+    """EXT E349: shard-placement rebalance cost — rendezvous (HRW)
+    hashing vs naive modulo, for growing ``n_shards`` → ``n_shards+1``.
+    Repartitioning 100 TB is dominated by MOVED bytes: HRW moves only
+    the ~1/(N+1) of keys the new shard wins (each key's shard is
+    argmax_s md5(key:s), so adding a shard can only steal), while
+    ``doc_id % N`` reassigns nearly everything. This table is the
+    placement-policy decision artifact, with realized balance included
+    (max shard share under the grown ring).
+
+    All comparisons are lexicographic on md5 hex (identical ASCII
+    ordering in any engine — the repo's md5 determinism convention);
+    the shard grid is a JVM-side ``spark.range`` crossJoin (constant
+    N+1 rows, broadcast), argmax via ``max_by``. Exact integers out.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    grid = F.broadcast(spark.range(n_shards + 1).select(F.col("id").alias("s")))
+    scored = docs.crossJoin(grid).select(
+        "doc_id",
+        "s",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("s"))).alias("hk"),
+    )
+    old = (
+        scored.filter(F.col("s") < n_shards)
+        .groupBy("doc_id")
+        .agg(F.expr("max_by(s, hk)").alias("shard_old"))
+    )
+    new = scored.groupBy("doc_id").agg(F.expr("max_by(s, hk)").alias("shard_new"))
+    hrw = (
+        old.join(new, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("shard_old") != F.col("shard_new")).cast("long")
+            ).alias("n_moved"),
+        )
+        .select(
+            F.lit("rendezvous").alias("strategy"),
+            "n_docs",
+            "n_moved",
+            F.expr("n_moved * 1000000 div n_docs").alias("moved_ppm"),
+        )
+    )
+    naive = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (
+                (F.col("doc_id") % n_shards)
+                != (F.col("doc_id") % (n_shards + 1))
+            ).cast("long")
+        ).alias("n_moved"),
+    ).select(
+        F.lit("mod").alias("strategy"),
+        "n_docs",
+        "n_moved",
+        F.expr("n_moved * 1000000 div n_docs").alias("moved_ppm"),
+    )
+    share = (
+        new.groupBy("shard_new")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .select(F.expr("mx * 1000000 div tot").alias("max_share_ppm"))
+    )
+    share_mod = (
+        docs.groupBy((F.col("doc_id") % (n_shards + 1)).alias("sh"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .select(F.expr("mx * 1000000 div tot").alias("max_share_ppm"))
+    )
+    return hrw.crossJoin(F.broadcast(share)).unionByName(
+        naive.crossJoin(F.broadcast(share_mod))
+    )

@@ -1443,3 +1443,83 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_bin_signed_gap_ppm"
         ),
     )
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E350: isotonic (monotone non-decreasing) calibration map
+    over E121's reliability bins — the PAV fit by the exact minmax
+    formula ``ŷ_i = max_{j≤i} min_{k≥i} avg(y over bins j..k)``
+    (doc-weighted). Raw per-bin positive rates can zig-zag on thin
+    bins; thresholding needs the monotone version — this is the
+    standard score→probability calibration table (isotonic beats Platt
+    when the reliability curve is non-sigmoid), computed relationally.
+
+    The bins relation is deliberately tiny (n_bins rows), so the
+    (i, j, k) triple enumeration is n³ rows of integer arithmetic —
+    never touches document grain. Interval averages are single IEEE
+    divides of exact long sums (num ≤ 10⁶·n, collision-free in
+    double); the reported fit is re-floored from the CHOSEN interval's
+    integers, so output is pure ppm longs. Also flags bins the raw
+    curve had out of order (what PAV pooled away).
+    """
+    bins = calibration_bins(spark, sf_dir).select(
+        "bin", "n_docs", "n_pos", "pos_rate_ppm", "mean_score_e4"
+    )
+    a = bins.select(
+        F.col("bin").alias("j"),
+        F.col("n_docs").alias("nd"),
+        F.col("n_pos").alias("np"),
+    )
+    b = bins.select(
+        F.col("bin").alias("k"),
+        F.col("n_docs").alias("nd2"),
+        F.col("n_pos").alias("np2"),
+    )
+    # interval sums avg(j..k): every (j<=k) pair via the tiny crossJoin
+    spans = (
+        a.crossJoin(b)
+        .filter(F.col("j") <= F.col("k"))
+        .join(
+            bins.select(F.col("bin").alias("m"), F.col("n_docs").alias("md"),
+                        F.col("n_pos").alias("mp")),
+            (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(F.sum("md").alias("cnt"), F.sum("mp").alias("pos"))
+        .select(
+            "j", "k", "cnt", "pos",
+            (F.col("pos").cast("double") / F.col("cnt").cast("double")).alias("avg"),
+        )
+    )
+    tri = bins.select("bin").crossJoin(
+        spans.select("j", "k", "cnt", "pos", "avg")
+    ).filter((F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")))
+    inner = (
+        tri.groupBy("bin", "j")
+        .agg(
+            F.min("avg").alias("mn"),
+            F.expr("min_by(pos, avg)").alias("mn_pos"),
+            F.expr("min_by(cnt, avg)").alias("mn_cnt"),
+        )
+    )
+    fit = (
+        inner.groupBy("bin")
+        .agg(
+            F.expr("max_by(mn_pos, mn)").alias("f_pos"),
+            F.expr("max_by(mn_cnt, mn)").alias("f_cnt"),
+        )
+        .select(
+            "bin", F.expr("f_pos * 1000000 div f_cnt").alias("iso_ppm")
+        )
+    )
+    return (
+        bins.join(fit, "bin")
+        .select(
+            "bin",
+            "n_docs",
+            "pos_rate_ppm",
+            "mean_score_e4",
+            "iso_ppm",
+            (F.col("iso_ppm") != F.col("pos_rate_ppm")).cast("int").alias("pooled"),
+        )
+    )

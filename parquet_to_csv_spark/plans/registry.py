@@ -10250,6 +10250,97 @@ SELECT v AS doc_id, wdeg, pr AS pr_ppb FROM pr2
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E349 — shard-placement rebalance cost (rendezvous vs modulo)
+# --------------------------------------------------------------------------
+
+QUERIES["shard_rebalance_report"] = corpus.shard_rebalance_report
+ORACLES["shard_rebalance_report"] = """
+WITH d AS (
+  SELECT doc_id FROM documents
+), grid AS (
+  SELECT s FROM unnest(generate_series(0, 4)) AS t(s)
+), scored AS (
+  SELECT doc_id, s, md5(doc_id || ':' || s) AS hk FROM d, grid
+), old AS (
+  SELECT doc_id, max_by(s, hk) AS shard_old FROM scored WHERE s < 4 GROUP BY 1
+), neu AS (
+  SELECT doc_id, max_by(s, hk) AS shard_new FROM scored GROUP BY 1
+), hrw AS (
+  SELECT 'rendezvous' AS strategy,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved
+  FROM old JOIN neu USING (doc_id)
+), mod_ AS (
+  SELECT 'mod' AS strategy,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN doc_id % 4 <> doc_id % 5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved
+  FROM d
+), share_h AS (
+  SELECT CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_share_ppm
+  FROM (SELECT shard_new, count(*) AS n FROM neu GROUP BY 1)
+), share_m AS (
+  SELECT CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_share_ppm
+  FROM (SELECT doc_id % 5 AS sh, count(*) AS n FROM d GROUP BY 1)
+)
+SELECT strategy, n_docs, n_moved,
+       CAST(n_moved * 1000000 // n_docs AS BIGINT) AS moved_ppm,
+       share_h.max_share_ppm
+FROM hrw, share_h
+UNION ALL
+SELECT strategy, n_docs, n_moved,
+       CAST(n_moved * 1000000 // n_docs AS BIGINT) AS moved_ppm,
+       share_m.max_share_ppm
+FROM mod_, share_m
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E350 — isotonic (PAV) calibration map over the reliability bins
+# (exact minmax formula on the tiny bins relation; reuses the verified
+# calibration_bins oracle as a subquery, like E342)
+# --------------------------------------------------------------------------
+
+QUERIES["isotonic_calibration"] = text.isotonic_calibration
+ORACLES["isotonic_calibration"] = f"""
+WITH bins AS (
+{ORACLES["calibration_bins"]}
+), g AS (
+  SELECT bin, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_pos AS BIGINT) AS n_pos,
+         CAST(pos_rate_ppm AS BIGINT) AS pos_rate_ppm,
+         CAST(mean_score_e4 AS BIGINT) AS mean_score_e4
+  FROM bins
+), spans AS (
+  SELECT a.bin AS j, b.bin AS k,
+         CAST(sum(m.n_docs) AS BIGINT) AS cnt,
+         CAST(sum(m.n_pos) AS BIGINT) AS pos,
+         CAST(sum(m.n_pos) AS DOUBLE) / CAST(sum(m.n_docs) AS DOUBLE) AS avg
+  FROM g a
+  JOIN g b ON a.bin <= b.bin
+  JOIN g m ON m.bin BETWEEN a.bin AND b.bin
+  GROUP BY 1, 2
+), tri AS (
+  SELECT g.bin, s.j, s.k, s.cnt, s.pos, s.avg
+  FROM g, spans s
+  WHERE s.j <= g.bin AND s.k >= g.bin
+), inner_ AS (
+  SELECT bin, j, min(avg) AS mn,
+         min_by(pos, avg) AS mn_pos, min_by(cnt, avg) AS mn_cnt
+  FROM tri GROUP BY 1, 2
+), fit AS (
+  SELECT bin, max_by(mn_pos, mn) AS f_pos, max_by(mn_cnt, mn) AS f_cnt
+  FROM inner_ GROUP BY 1
+)
+SELECT g.bin, g.n_docs, g.pos_rate_ppm, g.mean_score_e4,
+       CAST(f.f_pos * 1000000 // f.f_cnt AS BIGINT) AS iso_ppm,
+       CAST(CASE WHEN f.f_pos * 1000000 // f.f_cnt <> g.pos_rate_ppm
+                 THEN 1 ELSE 0 END AS INTEGER) AS pooled
+FROM g JOIN fit f ON f.bin = g.bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
@@ -10278,6 +10369,7 @@ _ORACLE_DTYPE_CASTS: dict[str, dict[str, str]] = {
     "blocklist_screen": {"flagged_ppm": "BIGINT", "n_flagged": "BIGINT", "total_hits": "BIGINT"},
     "bounce_rate": {"bounce_ppm": "BIGINT", "n_bounces": "BIGINT"},
     "bounded_funnel": {"click_to_purchase_ppm": "BIGINT", "n_click_1h": "BIGINT", "n_purchase_24h": "BIGINT", "n_view_users": "BIGINT", "view_to_click_ppm": "BIGINT"},
+    "isotonic_calibration": {"bin": "INTEGER"},
     "calibration_bins": {"bin": "INTEGER", "mean_score_e4": "BIGINT", "pos_rate_ppm": "BIGINT"},
     "chi2_distinctive_tokens": {"rnk": "INTEGER"},
     "chunk_dedup_report": {"dup_ppm": "BIGINT", "n_chunks": "BIGINT", "n_cross_doc_chunks": "BIGINT"},

@@ -113,3 +113,38 @@ def test_tws_totals_matches_batch_or_env_boundary(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_shard_rebalance_rendezvous_beats_mod(spark, sf_dir):
+    rows = {r["strategy"]: r for r in
+            corpus.shard_rebalance_report(spark, sf_dir).collect()}
+    assert set(rows) == {"rendezvous", "mod"}
+    h, m = rows["rendezvous"], rows["mod"]
+    assert h["n_docs"] == m["n_docs"] > 0
+    # contiguous ids: doc_id%4 == doc_id%5 only for doc_id%20 in 0..3
+    assert m["moved_ppm"] == 800_000
+    # HRW moves ~1/5 of keys; generous band for small corpora
+    assert 80_000 <= h["moved_ppm"] <= 350_000
+    assert h["moved_ppm"] < m["moved_ppm"]
+    for r in rows.values():
+        assert 0 < r["max_share_ppm"] <= 1_000_000
+
+
+def test_isotonic_calibration_monotone_and_faithful(spark, sf_dir):
+    from parquet_to_csv_spark.operators import text as text_ops
+
+    rows = sorted(text_ops.isotonic_calibration(spark, sf_dir).collect(),
+                  key=lambda r: r["bin"])
+    assert len(rows) == 10
+    iso = [r["iso_ppm"] for r in rows]
+    assert iso == sorted(iso)  # the whole point: monotone
+    raws = [r["pos_rate_ppm"] for r in rows]
+    assert min(raws) - 1 <= min(iso) and max(iso) <= max(raws) + 1
+    for r in rows:
+        # pooled flag marks exactly the bins PAV changed
+        assert r["pooled"] == (1 if r["iso_ppm"] != r["pos_rate_ppm"] else 0)
+    # weighted mass is preserved up to per-bin floor error
+    tot_raw = sum(r["n_docs"] * r["pos_rate_ppm"] for r in rows)
+    tot_iso = sum(r["n_docs"] * r["iso_ppm"] for r in rows)
+    n = sum(r["n_docs"] for r in rows)
+    assert abs(tot_raw - tot_iso) <= 10 * n
