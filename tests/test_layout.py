@@ -139,3 +139,44 @@ def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
     # 15-user domain)
     zx_kept, _ = kept(z_path, "x", 0, 3)
     assert zx_kept < 8
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
+    """EXT E351: partition-pruned layouts must prune DYNAMICALLY too —
+    when the filter arrives through a dim join rather than a literal,
+    Spark injects a dynamicpruning#... subquery on the fact scan's
+    partition column (the 100 TB star-join pattern: scan only the
+    partitions the filtered dim selects). Pins (a) the plan carries
+    the DPP expression, (b) results equal the literal-filter plan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    fact_dir = str(tmp_path / "orders_by_prio")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(fact_dir)
+
+    dim = (
+        orders.select("o_orderpriority").distinct()
+        .filter(F.col("o_orderpriority").startswith("1"))
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("s")
+    )
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    got = {(r["o_orderpriority"], r["n"], r["s"]) for r in joined.collect()}
+    want = {
+        (r["o_orderpriority"], r["n"], r["s"])
+        for r in orders.filter(F.col("o_orderpriority").startswith("1"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
