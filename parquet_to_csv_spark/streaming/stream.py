@@ -86,17 +86,39 @@ def run_to_memory(
     table_name: str,
     spark: SparkSession,
     output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a (bounded) stream into an in-memory table and return the
-    batch result — availableNow processes all pending input then stops."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    batch result — availableNow processes all pending input then stops.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` to the
+    query START (a streaming query pins its state-store partition
+    count from that conf at first checkpoint; it cannot be changed
+    later): a stateful drain instantiates one state store per
+    partition per stateful operator per micro-batch — a stream-stream
+    join is FOUR keyed stores, so a 2-file staged drain at the batch
+    default of 32 partitions pays 128 store open/commit cycles per
+    batch for kilobytes of state. 8 is the honest sizing for the
+    staged fixtures; a production deployment sizes this to its stream
+    volume exactly the same way. Values are partition-count-invariant
+    (the same oracle gates every drain). The conf is restored before
+    returning, and the drain is synchronous, so no other query can
+    observe the override."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table_name)
 
 
