@@ -2457,3 +2457,57 @@ def shard_rebalance_report(
     return hrw.crossJoin(F.broadcast(share)).unionByName(
         naive.crossJoin(F.broadcast(share_mod))
     )
+
+
+def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E353: multi-epoch shuffle decorrelation — training runs
+    reshuffle per epoch with a different seed; if the orders are
+    CORRELATED, the same neighborhoods repeat and batch diversity
+    silently degrades. For the md5(doc_id:epoch) order family this
+    reports the exact Spearman rank correlation between epochs in ppm
+    — e0~e0 pins the harness at 10⁶, e0~e1 must sit near 0.
+
+    ρ = 1 − 6·Σd²/(n(n²−1)) is integer-exact (ranks from
+    :func:`relational.banded_row_number` — md5-byte bands, no global
+    window; d are integer rank gaps; one long fold), floored to ppm;
+    max |d| rides along as the worst single-document displacement.
+    """
+    from parquet_to_csv_spark.operators.relational import banded_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def ranks(epoch: str, out: str) -> DataFrame:
+        keyed = docs.select(
+            "doc_id", F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(epoch))).alias("mk")
+        )
+        return banded_row_number(
+            keyed,
+            ["mk", "doc_id"],
+            F.expr("conv(substr(mk, 1, 2), 16, 10)").cast("long"),
+            out_col=out,
+        ).select("doc_id", out)
+
+    r0 = ranks("e0", "r0")
+    r1 = ranks("e1", "r1")
+
+    def rho(left: DataFrame, lcol: str, right: DataFrame, rcol: str, label: str) -> DataFrame:
+        j = left.join(right, "doc_id").select(
+            (F.col(lcol) - F.col(rcol)).alias("d")
+        )
+        return j.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("d") * F.col("d")).alias("sum_d2"),
+            F.max(F.abs("d")).alias("max_displacement"),
+        ).select(
+            F.lit(label).alias("pair"),
+            "n_docs",
+            "sum_d2",
+            F.expr(
+                "1000000 - 6 * sum_d2 * 1000000 div (n_docs * (n_docs * n_docs - 1))"
+            ).alias("rho_ppm"),
+            "max_displacement",
+        )
+
+    return rho(r0, "r0", r0.select("doc_id", F.col("r0").alias("rr")), "rr", "e0~e0").unionByName(
+        rho(r0, "r0", r1, "r1", "e0~e1")
+    )

@@ -2021,3 +2021,81 @@ def weighted_pagerank(
     return pr.select(
         F.col("v").alias("doc_id"), "wdeg", F.col("pr").alias("pr_ppb")
     )
+
+
+def incremental_neardup_edges(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """EXT E352: INCREMENTAL near-dup edge maintenance — the
+    append-a-shard production shape. A deterministic ~20 % of docs
+    (md5 bucket) plays the newly-arrived delta; edges are built as
+    base×base (what a standing edge table already holds) ∪ delta×all
+    (the only work an append actually requires: the delta's prefixes
+    probe the full inverted index — O(|delta|·prefix) shuffle, never a
+    rescan of base×base). The query RETURNS the maintained relation,
+    and its oracle is the FULL rebuild — the strongest possible gate
+    that incremental == recompute, pair for pair, jaccard for jaccard.
+
+    Same prefix-filter/verify machinery and float-soundness
+    (floor-lengthened prefixes, eps-slack size prune) as
+    :func:`ngram_jaccard_pairs`.
+    """
+    toks = _distinct_tokens(load_table(spark, sf_dir, "documents"))
+    base_rel = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort("toks").alias("toks"),
+        F.size("toks").alias("sz"),
+        (F.expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10)")
+         .cast("long") < 51).alias("is_delta"),
+    )
+    base_rel = _materialize_once(base_rel)
+
+    plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref = base_rel.select(
+        "doc_id", "lang", "source", "sz", "is_delta",
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("ptok"),
+    )
+    eps = 1e-9
+
+    def cand(left, right, extra):
+        a, b = left.alias("a"), right.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.ptok") == F.col("b.ptok"))
+                & extra
+                & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps))
+                & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps)),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    old = pref.filter(~F.col("is_delta"))
+    delta = pref.filter(F.col("is_delta"))
+    # standing edges: base×base (doc_a < doc_b directly)
+    base_cand = cand(old, old, F.col("a.doc_id") < F.col("b.doc_id"))
+    # append work: delta probes EVERYONE (delta×base + delta×delta);
+    # least/greatest canonicalization + distinct folds the two
+    # discovery directions of a delta×delta pair into one
+    delta_cand = cand(delta, pref, F.col("a.doc_id") != F.col("b.doc_id"))
+    cands = base_cand.union(delta_cand).distinct()
+
+    sa = base_rel.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = base_rel.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = F.when(union > 0, inter / union.cast("double"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -10341,6 +10341,53 @@ FROM g JOIN fit f ON f.bin = g.bin
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E352 — incremental near-dup edge maintenance. The oracle is the
+# FULL rebuild (the verified ngram_jaccard_pairs SQL): incremental
+# base-union-delta must equal recompute, pair for pair.
+# --------------------------------------------------------------------------
+
+QUERIES["incremental_neardup_edges"] = dedup.incremental_neardup_edges
+ORACLES["incremental_neardup_edges"] = ORACLES["ngram_jaccard_pairs"]
+
+
+# --------------------------------------------------------------------------
+# EXT E353 — multi-epoch shuffle decorrelation (exact Spearman in ppm)
+# --------------------------------------------------------------------------
+
+QUERIES["epoch_shuffle_decorrelation"] = corpus.epoch_shuffle_decorrelation
+ORACLES["epoch_shuffle_decorrelation"] = """
+WITH d AS (
+  SELECT doc_id FROM documents
+), r0 AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY md5(doc_id || ':' || 'e0'), doc_id) AS r
+  FROM d
+), r1 AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY md5(doc_id || ':' || 'e1'), doc_id) AS r
+  FROM d
+), p00 AS (
+  SELECT 'e0~e0' AS pair, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum((a.r - b.r) * (a.r - b.r)) AS BIGINT) AS sum_d2,
+         CAST(max(abs(a.r - b.r)) AS BIGINT) AS max_displacement
+  FROM r0 a JOIN r0 b USING (doc_id)
+), p01 AS (
+  SELECT 'e0~e1' AS pair, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum((a.r - b.r) * (a.r - b.r)) AS BIGINT) AS sum_d2,
+         CAST(max(abs(a.r - b.r)) AS BIGINT) AS max_displacement
+  FROM r0 a JOIN r1 b USING (doc_id)
+), u AS (
+  SELECT * FROM p00 UNION ALL SELECT * FROM p01
+)
+SELECT pair, n_docs, sum_d2,
+       CAST(1000000 - 6 * sum_d2 * 1000000
+            // (n_docs * (n_docs * n_docs - 1)) AS BIGINT) AS rho_ppm,
+       max_displacement
+FROM u
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

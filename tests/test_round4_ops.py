@@ -148,3 +148,27 @@ def test_isotonic_calibration_monotone_and_faithful(spark, sf_dir):
     tot_iso = sum(r["n_docs"] * r["iso_ppm"] for r in rows)
     n = sum(r["n_docs"] for r in rows)
     assert abs(tot_raw - tot_iso) <= 10 * n
+
+
+def test_incremental_edges_equal_full_rebuild(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup
+
+    full = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir, 0.8).collect()
+    )
+    inc = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.incremental_neardup_edges(spark, sf_dir, 0.8).collect()
+    )
+    assert inc == full and len(full) > 0
+
+
+def test_epoch_shuffle_decorrelation_bounds(spark, sf_dir):
+    rows = {r["pair"]: r for r in
+            corpus.epoch_shuffle_decorrelation(spark, sf_dir).collect()}
+    assert rows["e0~e0"]["rho_ppm"] == 1_000_000
+    assert rows["e0~e0"]["max_displacement"] == 0
+    # different-seed orders must be essentially uncorrelated
+    assert abs(rows["e0~e1"]["rho_ppm"]) < 200_000
+    assert rows["e0~e1"]["max_displacement"] > 0
