@@ -2131,3 +2131,52 @@ def bradley_terry_sources(
         )
         .withColumn("rank", F.row_number().over(w_rank))
     )
+
+
+def value_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E354: mutual information between a CONTINUOUS axis (event
+    value, collapsed to exact-ntile deciles via
+    ``relational.distributed_ntile``) and a bounded categorical axis
+    (hour of day) — "does spend depend on when?" The
+    quantile-binning-then-MI recipe is how dependence audits handle
+    continuous features (E213 covers the categorical×categorical
+    case); MI ≈ 0 clears hour-stratified sampling of the value column.
+
+    Output: the 10×24 cell table (observed, floored expected under
+    independence, integer micro-nat PMI, exact contribution) plus the
+    summable contribution column — Σ contrib = MI·N micro-nats.
+    Shuffle bounded by cell cardinality after the decile assignment;
+    per-cell ln of a ratio of exact longs, micro-rounded before
+    summing (the repo's entropy convention).
+    """
+    from parquet_to_csv_spark.operators.relational import distributed_ntile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        exact_units(F.col("value"), 2).alias("cents"),
+        F.expr("(ts div 3600000000000) % 24").alias("hour"),
+    )
+    tiled = distributed_ntile(
+        ev, "cents", "event_id", 10, F.expr("cents div 20000"), out_col="decile"
+    ).select("decile", "hour")
+    cells = tiled.groupBy("decile", "hour").agg(F.count(F.lit(1)).alias("c"))
+    dm = tiled.groupBy("decile").agg(F.count(F.lit(1)).alias("r"))
+    hm = tiled.groupBy("hour").agg(F.count(F.lit(1)).alias("s"))
+    n = tiled.agg(F.count(F.lit(1)).alias("n"))
+    pmi = (
+        "CAST(round(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)"
+        " / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))) * 1000000) AS BIGINT)"
+    )
+    return (
+        cells.join(F.broadcast(dm), "decile")
+        .join(F.broadcast(hm), "hour")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "decile",
+            "hour",
+            "c",
+            F.expr("(r * s) div n").alias("expected"),
+            F.expr(pmi).alias("pmi_micro"),
+            F.expr(f"c * {pmi}").alias("mi_contrib_micro"),
+        )
+    )

@@ -2923,3 +2923,74 @@ def supplier_share_movers(
         .orderBy(F.desc(F.abs(F.col("delta_ppm"))), F.asc("l_suppkey"))
         .limit(k)
     )
+
+
+def rec_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E356: catalog-coverage / popularity-concentration audit of
+    the E135 item-item recommender — the standard recsys health check:
+    a neighbor table that only ever surfaces the head of the catalog
+    amplifies popularity bias no matter how good its similarities are.
+
+    Reports, from the recommender's own output relation: catalog size,
+    items holding any recommendation slot (as source and as target),
+    coverage ppm of each, total slots, the share of slots captured by
+    the top-decile most-recommended neighbors (exact
+    ``distributed_ntile`` over neighbor slot counts), and the Gini
+    concentration of neighbor slots in ppm (the gini_revenue
+    banded-rank formula — no unpartitioned window anywhere).
+    """
+    recs = item_item_cosine_topk(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    n_cat = F.broadcast(part.agg(F.count(F.lit(1)).alias("n_catalog")))
+    slots = recs.groupBy("neighbor").agg(F.count(F.lit(1)).alias("n_slots"))
+    srcs = recs.select("item").distinct().agg(
+        F.count(F.lit(1)).alias("n_source_items")
+    )
+    tgts = slots.agg(
+        F.count(F.lit(1)).alias("n_target_items"),
+        F.sum("n_slots").alias("n_total_slots"),
+    )
+    tiled = distributed_ntile(
+        slots, "n_slots", "neighbor", 10, F.expr("n_slots div 4"), out_col="dec"
+    )
+    top_share = tiled.agg(
+        F.sum(F.when(F.col("dec") == 10, F.col("n_slots"))).alias("top_slots"),
+        F.sum("n_slots").alias("all_slots"),
+    ).select(
+        F.expr("top_slots * 1000000 div all_slots").alias("top_decile_share_ppm")
+    )
+    # Gini over neighbor slot counts: G = (2·Σ i·x_(i) − (n+1)·Σx) /
+    # (n·Σx) with ranks from the banded machinery, floored ppm
+    ranked = banded_row_number(
+        slots, ["n_slots", "neighbor"], F.expr("n_slots div 4"),
+        out_col="rn", total_col="n",
+    )
+    gini = ranked.agg(
+        F.sum(F.expr("rn * n_slots")).alias("swx"),
+        F.sum("n_slots").alias("sx"),
+        F.max("n").alias("nn"),
+    ).select(
+        F.expr(
+            "(2 * swx - (nn + 1) * sx) * 1000000 div (nn * sx)"
+        ).alias("gini_slots_ppm")
+    )
+    return (
+        srcs.crossJoin(F.broadcast(tgts))
+        .crossJoin(n_cat)
+        .crossJoin(F.broadcast(top_share))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "n_catalog",
+            "n_source_items",
+            F.expr("n_source_items * 1000000 div n_catalog").alias(
+                "source_coverage_ppm"
+            ),
+            "n_target_items",
+            F.expr("n_target_items * 1000000 div n_catalog").alias(
+                "target_coverage_ppm"
+            ),
+            "n_total_slots",
+            "top_decile_share_ppm",
+            "gini_slots_ppm",
+        )
+    )

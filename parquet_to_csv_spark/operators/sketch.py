@@ -526,3 +526,86 @@ def rolling_distinct_hll(
             F.round(est, 2).alias("hll_estimate"),
         )
     )
+
+
+def bbit_minhash_calibration(
+    spark: SparkSession, sf_dir: str, n_perm: int = 16
+) -> DataFrame:
+    """EXT E355: 1-bit (b-bit) minwise-hash estimator calibration
+    (Li & König) — storing only the LOWEST BIT of each minhash shrinks
+    signatures 64×, and Ĵ = 2·(bit-agreement) − 1 unbiases the
+    estimate; this table shows, per exact-Jaccard band, what the 1-bit
+    estimator actually reads on this corpus — the sizing evidence for
+    shipping 2-byte signatures at 100 TB instead of 256-byte ones.
+
+    Engine-exact construction: the "permutations" are md5 rings —
+    minhash_p(doc) = min over grams of md5(gram:p), compared
+    LEXICOGRAPHICALLY (identical in any engine; the md5 convention),
+    bit = parity of the first hex nibble. Candidate pairs ride the
+    materialized near-dup edge relation at its build floor; exact
+    Jaccard is recomputed over the SAME gram sets the sketch hashes.
+    All outputs floored integer milli units.
+    """
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+    from parquet_to_csv_spark.operators.dedup import _gram_strings, dedup_edges
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    grams = docs.select(
+        "doc_id", _gram_strings(F.col("toks"), 3).alias("grams")
+    )
+    ex = grams.select("doc_id", F.explode("grams").alias("g"))
+    bits_row = ex.groupBy("doc_id").agg(
+        *[
+            (
+                # LOW bit of the min (last hex nibble): the min's HIGH
+                # nibbles are biased toward 0 by the min itself (a 30-gram
+                # doc's min md5 starts with '0' ~86% of the time), so
+                # first-nibble parity of two unrelated docs agrees far
+                # above 1/2 — the low bit is uniform and independent
+                F.expr(
+                    f"ascii(substr(min(md5(concat(g, ':{p}'))), 32, 1))"
+                ) % 2
+            ).cast("long").alias(f"b{p}")
+            for p in range(n_perm)
+        ]
+    )
+    pairs = dedup_edges(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("gr_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gr_b"))
+    ba = bits_row.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{p}").alias(f"a{p}") for p in range(n_perm)],
+    )
+    bb = bits_row.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{p}").alias(f"c{p}") for p in range(n_perm)],
+    )
+    agree = sum(
+        (F.col(f"a{p}") == F.col(f"c{p}")).cast("long") for p in range(n_perm)
+    )
+    scored = (
+        pairs.join(ga, "doc_a").join(gb, "doc_b").join(ba, "doc_a").join(bb, "doc_b")
+        .select(
+            agree.alias("agree"),
+            F.expr(
+                f"size(array_intersect(gr_a, gr_b)) * 1000"
+                f" div (size(gr_a) + size(gr_b) - size(array_intersect(gr_a, gr_b)))"
+            ).alias("exact_milli"),
+        )
+        .select(
+            "agree",
+            "exact_milli",
+            F.expr(f"agree * 2000 div {n_perm} - 1000").alias("est_milli"),
+        )
+    )
+    return (
+        scored.withColumn("band", F.expr("exact_milli div 50"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(exact_milli) div count(*)").alias("mean_exact_milli"),
+            F.expr("sum(est_milli) div count(*)").alias("mean_est_milli"),
+        )
+    )

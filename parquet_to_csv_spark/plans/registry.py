@@ -10388,6 +10388,149 @@ FROM u
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E354 — continuous x categorical MI via exact quantile binning
+# --------------------------------------------------------------------------
+
+QUERIES["value_hour_mi"] = mlmetrics.value_hour_mi
+ORACLES["value_hour_mi"] = f"""
+WITH ev AS (
+  SELECT event_id, {duck_units("value", 2)} AS cents,
+         (epoch_us(ts) // 3600000000) % 24 AS hour
+  FROM events
+), tiled AS (
+  SELECT ntile(10) OVER (ORDER BY cents, event_id) AS decile, hour
+  FROM ev
+), cells AS (
+  SELECT decile, hour, CAST(count(*) AS BIGINT) AS c
+  FROM tiled GROUP BY 1, 2
+), dm AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS r FROM tiled GROUP BY 1
+), hm AS (
+  SELECT hour, CAST(count(*) AS BIGINT) AS s FROM tiled GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM tiled
+)
+SELECT cells.decile, cells.hour, cells.c,
+       CAST((dm.r * hm.s) // n.n AS BIGINT) AS expected,
+       CAST(round(ln(CAST(cells.c AS DOUBLE) * CAST(n.n AS DOUBLE)
+            / (CAST(dm.r AS DOUBLE) * CAST(hm.s AS DOUBLE))) * 1000000)
+         AS BIGINT) AS pmi_micro,
+       CAST(cells.c * CAST(round(ln(CAST(cells.c AS DOUBLE)
+            * CAST(n.n AS DOUBLE) / (CAST(dm.r AS DOUBLE)
+            * CAST(hm.s AS DOUBLE))) * 1000000) AS BIGINT)
+         AS BIGINT) AS mi_contrib_micro
+FROM cells JOIN dm USING (decile) JOIN hm USING (hour) CROSS JOIN n
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E355 — 1-bit minwise-hash estimator calibration (md5-ring
+# permutations, engine-exact; pairs = the near-dup relation at its
+# 0.5 build floor)
+# --------------------------------------------------------------------------
+
+QUERIES["bbit_minhash_calibration"] = _sketch.bbit_minhash_calibration
+ORACLES["bbit_minhash_calibration"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, lang, source, list_distinct(toks) AS dtoks FROM t
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(toks)-3, 0)+1),
+           i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS grams
+  FROM t
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tok a JOIN tok b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.dtoks, b.dtoks))
+        / CAST(len(list_distinct(list_concat(a.dtoks, b.dtoks)))
+               AS DOUBLE), 4) >= 0.5
+), gx AS (
+  SELECT doc_id, unnest(grams) AS gr FROM g
+), bits AS (
+  SELECT doc_id, pp.p,
+         ascii(substring(min(md5(gr || ':' || pp.p)), 32, 1)) % 2 AS b
+  FROM gx, unnest(range(0, 16)) AS pp(p)
+  GROUP BY 1, 2
+), agree AS (
+  SELECT ba.doc_id AS doc_a, bb.doc_id AS doc_b,
+         sum(CASE WHEN ba.b = bb.b THEN 1 ELSE 0 END) AS agree
+  FROM bits ba JOIN bits bb ON ba.p = bb.p AND ba.doc_id < bb.doc_id
+  JOIN pairs ON pairs.doc_a = ba.doc_id AND pairs.doc_b = bb.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.doc_a, p.doc_b, a.agree,
+         len(list_intersect(ga.grams, gb.grams)) * 1000
+           // (len(ga.grams) + len(gb.grams)
+               - len(list_intersect(ga.grams, gb.grams))) AS exact_milli
+  FROM pairs p
+  JOIN agree a ON a.doc_a = p.doc_a AND a.doc_b = p.doc_b
+  JOIN g ga ON ga.doc_id = p.doc_a
+  JOIN g gb ON gb.doc_id = p.doc_b
+)
+SELECT CAST(exact_milli // 50 AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(exact_milli) // count(*) AS BIGINT) AS mean_exact_milli,
+       CAST(sum(agree * 2000 // 16 - 1000) // count(*) AS BIGINT)
+         AS mean_est_milli
+FROM scored
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E356 — recommender coverage/concentration audit (reuses the
+# verified E135 relation as a subquery)
+# --------------------------------------------------------------------------
+
+QUERIES["rec_coverage_audit"] = relational.rec_coverage_audit
+ORACLES["rec_coverage_audit"] = f"""
+WITH recs AS (
+{ORACLES["item_item_cosine_topk"]}
+), slots AS (
+  SELECT neighbor, CAST(count(*) AS BIGINT) AS n_slots
+  FROM recs GROUP BY 1
+), srcs AS (
+  SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_source_items FROM recs
+), tgts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_target_items,
+         CAST(sum(n_slots) AS BIGINT) AS n_total_slots
+  FROM slots
+), cat AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM part
+), tiled AS (
+  SELECT n_slots, ntile(10) OVER (ORDER BY n_slots, neighbor) AS dec
+  FROM slots
+), top_share AS (
+  SELECT CAST(sum(CASE WHEN dec = 10 THEN n_slots END) * 1000000
+              // sum(n_slots) AS BIGINT) AS top_decile_share_ppm
+  FROM tiled
+), ranked AS (
+  SELECT n_slots,
+         row_number() OVER (ORDER BY n_slots, neighbor) AS rn,
+         count(*) OVER () AS nn
+  FROM slots
+), gini AS (
+  SELECT CAST((2 * sum(rn * n_slots) - (max(nn) + 1) * sum(n_slots))
+              * 1000000 // (max(nn) * sum(n_slots)) AS BIGINT)
+           AS gini_slots_ppm
+  FROM ranked
+)
+SELECT cat.n_catalog, srcs.n_source_items,
+       CAST(srcs.n_source_items * 1000000 // cat.n_catalog AS BIGINT)
+         AS source_coverage_ppm,
+       tgts.n_target_items,
+       CAST(tgts.n_target_items * 1000000 // cat.n_catalog AS BIGINT)
+         AS target_coverage_ppm,
+       tgts.n_total_slots, top_share.top_decile_share_ppm,
+       gini.gini_slots_ppm
+FROM srcs, tgts, cat, top_share, gini
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
@@ -10417,6 +10560,7 @@ _ORACLE_DTYPE_CASTS: dict[str, dict[str, str]] = {
     "bounce_rate": {"bounce_ppm": "BIGINT", "n_bounces": "BIGINT"},
     "bounded_funnel": {"click_to_purchase_ppm": "BIGINT", "n_click_1h": "BIGINT", "n_purchase_24h": "BIGINT", "n_view_users": "BIGINT", "view_to_click_ppm": "BIGINT"},
     "isotonic_calibration": {"bin": "INTEGER"},
+    "value_hour_mi": {"decile": "INTEGER"},
     "calibration_bins": {"bin": "INTEGER", "mean_score_e4": "BIGINT", "pos_rate_ppm": "BIGINT"},
     "chi2_distinctive_tokens": {"rnk": "INTEGER"},
     "chunk_dedup_report": {"dup_ppm": "BIGINT", "n_chunks": "BIGINT", "n_cross_doc_chunks": "BIGINT"},

@@ -172,3 +172,43 @@ def test_epoch_shuffle_decorrelation_bounds(spark, sf_dir):
     # different-seed orders must be essentially uncorrelated
     assert abs(rows["e0~e1"]["rho_ppm"]) < 200_000
     assert rows["e0~e1"]["max_displacement"] > 0
+
+
+def test_value_hour_mi_marginals_consistent(spark, sf_dir):
+    rows = mlmetrics.value_hour_mi(spark, sf_dir).collect()
+    n = sum(r["c"] for r in rows)
+    ev = load_table(spark, sf_dir, "events").count()
+    assert n == ev
+    deciles = {r["decile"] for r in rows}
+    assert deciles == set(range(1, 11))
+    assert all(0 <= r["hour"] <= 23 for r in rows)
+    # MI of the corpus must be >= 0 up to per-cell micro rounding
+    total_contrib = sum(r["mi_contrib_micro"] for r in rows)
+    assert total_contrib >= -len(rows)
+
+
+def test_bbit_minhash_estimator_tracks_exact(spark, sf_dir):
+    from parquet_to_csv_spark.operators import sketch
+
+    rows = sorted(sketch.bbit_minhash_calibration(spark, sf_dir).collect(),
+                  key=lambda r: r["band"])
+    assert rows and all(r["n_pairs"] > 0 for r in rows)
+    for r in rows:
+        # 1-bit estimate is noisy at 16 perms but must sit in range and
+        # correlate with the band: within +-375 milli of the exact mean
+        assert -1000 <= r["mean_est_milli"] <= 1000
+        assert abs(r["mean_est_milli"] - r["mean_exact_milli"]) <= 375
+    if len(rows) >= 2:
+        assert rows[-1]["mean_est_milli"] >= rows[0]["mean_est_milli"] - 100
+
+
+def test_rec_coverage_audit_bounds(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    r = relational.rec_coverage_audit(spark, sf_dir).collect()[0]
+    assert 0 < r["n_source_items"] <= r["n_catalog"]
+    assert 0 < r["n_target_items"] <= r["n_catalog"]
+    assert r["n_total_slots"] >= r["n_target_items"]
+    assert 0 < r["source_coverage_ppm"] <= 1_000_000
+    assert 100_000 <= r["top_decile_share_ppm"] <= 1_000_000
+    assert 0 <= r["gini_slots_ppm"] < 1_000_000
