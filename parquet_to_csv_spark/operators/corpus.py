@@ -2511,3 +2511,58 @@ def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rho(r0, "r0", r0.select("doc_id", F.col("r0").alias("rr")), "rr", "e0~e0").unionByName(
         rho(r0, "r0", r1, "r1", "e0~e1")
     )
+
+
+def packing_attention_stats(
+    spark: SparkSession, sf_dir: str, ctx_len: int = 256
+) -> DataFrame:
+    """EXT E357: cross-document attention exposure of the E87
+    concat-and-chunk packing — in a packed training sequence WITHOUT
+    block-diagonal masking, every causal attention pair that crosses a
+    document boundary leaks one document into another's context. This
+    one-row report quantifies exactly how much: total causal pairs
+    L(L+1)/2 per sequence vs the within-document Σ seg(seg+1)/2, the
+    cross share in ppm, and the per-sequence document mixing (mean
+    docs/sequence in milli, max docs in one sequence) — the number
+    that decides whether the trainer must implement the mask.
+
+    Rides :func:`sequence_packing`'s distributed prefix-sum layout;
+    each doc explodes into only the sequences it actually spans
+    (1→n_seqs fan-out), segments aggregate per sequence, then one
+    global fold. Exact integer arithmetic end to end.
+    """
+    packed = sequence_packing(spark, sf_dir, ctx_len=ctx_len)
+    c = ctx_len
+    segs = packed.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("seq_id"), F.col("seq_id") + F.col("n_seqs") - 1)
+        ).alias("s"),
+        "cum_before",
+        "n_tokens",
+    ).select(
+        "s",
+        (
+            F.least((F.col("s") + 1) * c, F.col("cum_before") + F.col("n_tokens"))
+            - F.greatest(F.col("s") * c, F.col("cum_before"))
+        ).alias("seg"),
+    )
+    per_seq = segs.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_docs_in_seq"),
+        F.sum("seg").alias("len"),
+        F.sum(F.expr("seg * (seg + 1) div 2")).alias("within_pairs"),
+    )
+    return per_seq.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum(F.expr("len * (len + 1) div 2")).alias("causal_pairs"),
+        F.sum(F.expr("len * (len + 1) div 2 - within_pairs")).alias("cross_pairs"),
+        F.expr("sum(n_docs_in_seq) * 1000 div count(*)").alias("mean_docs_per_seq_milli"),
+        F.max("n_docs_in_seq").alias("max_docs_in_seq"),
+    ).select(
+        "n_seqs",
+        "causal_pairs",
+        "cross_pairs",
+        F.expr("cross_pairs * 1000000 div causal_pairs").alias("cross_ppm"),
+        "mean_docs_per_seq_milli",
+        "max_docs_in_seq",
+    )

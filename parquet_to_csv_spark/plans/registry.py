@@ -10531,6 +10531,54 @@ FROM srcs, tgts, cat, top_share, gini
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E357 — cross-document attention exposure of packed sequences
+# --------------------------------------------------------------------------
+
+QUERIES["packing_attention_stats"] = corpus.packing_attention_stats
+ORACLES["packing_attention_stats"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), nz AS (
+  SELECT doc_id, n_tokens FROM d WHERE n_tokens > 0
+), packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM nz
+), spans AS (
+  SELECT doc_id, n_tokens, cum_before,
+         cum_before // 256 AS s0,
+         (cum_before + n_tokens - 1) // 256 AS s1
+  FROM packed
+), segs AS (
+  SELECT t.s,
+         least((t.s + 1) * 256, cum_before + n_tokens)
+           - greatest(t.s * 256, cum_before) AS seg
+  FROM spans, unnest(generate_series(s0, s1)) AS t(s)
+), per_seq AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_docs_in_seq,
+         CAST(sum(seg) AS BIGINT) AS len,
+         CAST(sum(seg * (seg + 1) // 2) AS BIGINT) AS within_pairs
+  FROM segs GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+         CAST(sum(len * (len + 1) // 2) AS BIGINT) AS causal_pairs,
+         CAST(sum(len * (len + 1) // 2 - within_pairs) AS BIGINT)
+           AS cross_pairs,
+         CAST(sum(n_docs_in_seq) * 1000 // count(*) AS BIGINT)
+           AS mean_docs_per_seq_milli,
+         CAST(max(n_docs_in_seq) AS BIGINT) AS max_docs_in_seq
+  FROM per_seq
+)
+SELECT n_seqs, causal_pairs, cross_pairs,
+       CAST(cross_pairs * 1000000 // causal_pairs AS BIGINT) AS cross_ppm,
+       mean_docs_per_seq_milli, max_docs_in_seq
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

@@ -212,3 +212,23 @@ def test_rec_coverage_audit_bounds(spark, sf_dir):
     assert 0 < r["source_coverage_ppm"] <= 1_000_000
     assert 100_000 <= r["top_decile_share_ppm"] <= 1_000_000
     assert 0 <= r["gini_slots_ppm"] < 1_000_000
+
+
+def test_packing_attention_stats_identities(spark, sf_dir):
+    r = corpus.packing_attention_stats(spark, sf_dir).collect()[0]
+    assert r["n_seqs"] > 0
+    assert 0 < r["cross_pairs"] < r["causal_pairs"]
+    assert 0 < r["cross_ppm"] < 1_000_000
+    assert r["max_docs_in_seq"] >= 2
+    # mean docs/seq in milli must be consistent with total tokens/ctx:
+    # every sequence holds at least one document
+    assert r["mean_docs_per_seq_milli"] >= 1000
+    # identity: total causal pairs equal the sum over sequence lengths
+    # recomputed from the packer directly
+    packed = corpus.sequence_packing(spark, sf_dir, ctx_len=256)
+    from pyspark.sql import functions as F2
+
+    total_tokens = packed.agg(F2.sum("n_tokens")).collect()[0][0]
+    full, rem = divmod(total_tokens, 256)
+    want_pairs = full * (256 * 257 // 2) + rem * (rem + 1) // 2
+    assert r["causal_pairs"] == want_pairs
