@@ -552,8 +552,22 @@ def bbit_minhash_calibration(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens_col("text").alias("toks")
     )
-    grams = docs.select(
-        "doc_id", _gram_strings(F.col("toks"), 3).alias("grams")
+    pairs = dedup_edges(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    # only pair members need gram sets or signatures — semi-join first
+    # (at 100 TB the pair-involved docs are a sliver of the corpus),
+    # and materialize the gram relation once: it feeds the exact-
+    # jaccard sides AND the 16 min-hash aggregates
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    from parquet_to_csv_spark.operators.dedup import _materialize_once
+
+    grams = _materialize_once(
+        docs.join(members, "doc_id", "left_semi").select(
+            "doc_id", _gram_strings(F.col("toks"), 3).alias("grams")
+        )
     )
     ex = grams.select("doc_id", F.explode("grams").alias("g"))
     bits_row = ex.groupBy("doc_id").agg(
@@ -571,7 +585,6 @@ def bbit_minhash_calibration(
             for p in range(n_perm)
         ]
     )
-    pairs = dedup_edges(spark, sf_dir, 0.5).select("doc_a", "doc_b")
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("gr_a"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gr_b"))
     ba = bits_row.select(
