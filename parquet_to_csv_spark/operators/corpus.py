@@ -2566,3 +2566,71 @@ def packing_attention_stats(
         "mean_docs_per_seq_milli",
         "max_docs_in_seq",
     )
+
+
+def inbatch_collision_audit(
+    spark: SparkSession, sf_dir: str, batch_size: int = 32
+) -> DataFrame:
+    """EXT E358: in-batch duplicate collision audit for contrastive
+    training. In-batch-negative losses (CLIP/SimCSE style) treat every
+    other document in the batch as a negative — a near-duplicate pair
+    landing in the SAME batch becomes a false negative that actively
+    pushes matching representations apart. Per batching strategy
+    (arrival order vs md5 shuffle) this reports: verified near-dup
+    pairs, how many collide in-batch, the collision rate, and the
+    EXACT expected rate for that strategy's batch-size profile under a
+    random order (Σ n_b(n_b−1) / (N(N−1)) — hypergeometric, remainder
+    batch included). Arrival order clusters same-source near-dups →
+    collisions far above expectation; the md5 shuffle should sit at it.
+
+    Rides the materialized edge relation and
+    :func:`relational.banded_row_number` batch assignments. Exact
+    integers; shuffle ∝ pairs + doc count.
+    """
+    from parquet_to_csv_spark.operators.dedup import dedup_edges
+    from parquet_to_csv_spark.operators.relational import banded_row_number
+
+    pairs = dedup_edges(spark, sf_dir, 0.8).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("mk")
+    )
+
+    def strategy(name: str, order_cols, band) -> DataFrame:
+        ranked = banded_row_number(docs, order_cols, band, out_col="rn")
+        batched = ranked.select(
+            "doc_id", F.expr(f"(rn - 1) div {batch_size}").alias("batch")
+        )
+        ba = batched.select(F.col("doc_id").alias("doc_a"), F.col("batch").alias("b_a"))
+        bb = batched.select(F.col("doc_id").alias("doc_b"), F.col("batch").alias("b_b"))
+        hits = (
+            pairs.join(ba, "doc_a")
+            .join(bb, "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum((F.col("b_a") == F.col("b_b")).cast("long")).alias("n_collisions"),
+            )
+        )
+        sizes = batched.groupBy("batch").agg(F.count(F.lit(1)).alias("n_b"))
+        expected = sizes.agg(
+            F.sum(F.expr("n_b * (n_b - 1)")).alias("same_slots"),
+            F.sum("n_b").alias("n"),
+        ).select(
+            F.expr("same_slots * 1000000 div (n * (n - 1))").alias("expected_ppm")
+        )
+        return hits.crossJoin(F.broadcast(expected)).select(
+            F.lit(name).alias("strategy"),
+            "n_pairs",
+            "n_collisions",
+            F.expr(
+                "CASE WHEN n_pairs > 0 THEN n_collisions * 1000000 div n_pairs"
+                " ELSE 0 END"
+            ).alias("collision_ppm"),
+            "expected_ppm",
+        )
+
+    arrival = strategy("arrival", ["doc_id"], F.expr("doc_id div 64"))
+    shuffled = strategy(
+        "md5_shuffle", ["mk", "doc_id"],
+        F.expr("conv(substr(mk, 1, 2), 16, 10)").cast("long"),
+    )
+    return arrival.unionByName(shuffled)

@@ -1523,3 +1523,65 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("iso_ppm") != F.col("pos_rate_ppm")).cast("int").alias("pooled"),
         )
     )
+
+
+def code_switching_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E359: code-switching / mixed-language detection — a doc
+    whose two HALVES score differently on the stopword lexicon is
+    likely a language mixture (boilerplate header in one language,
+    body in another; concatenation artifacts), which whole-doc lang-ID
+    (E?) silently averages away. Mixed docs poison monolingual
+    training shards, so the per-source mixture rate belongs on the
+    dataset card.
+
+    Per doc: the E? stopword score on the first and second half of the
+    token array (integer-exact: 4-dp floor of hits/distinct per half),
+    half-disagreement in e4 units, and the mixed flag
+    (|Δ| ≥ 0.05 with both halves non-trivial). Output: per source,
+    docs, mixed count + ppm, and the mean |Δ| — one scan, zero
+    shuffles before the per-source fold; the half split is array
+    slicing, no second tokenization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    base = docs.select("doc_id", "source", toks.alias("t"))
+    half = F.expr("size(t) div 2")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+
+    def score(arr) -> F.Column:
+        dn = F.size(F.array_distinct(arr))
+        hits = F.size(F.array_intersect(F.array_distinct(arr), sw))
+        return F.when(
+            dn > 0, F.floor(hits * 10000 / dn).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    scored = base.select(
+        "doc_id",
+        "source",
+        F.size("t").alias("n_tokens"),
+        score(F.slice(F.col("t"), F.lit(1), half)).alias("s1_e4"),
+        score(
+            F.slice(F.col("t"), half + 1, F.size("t") - half)
+        ).alias("s2_e4"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.abs(F.col("s1_e4") - F.col("s2_e4")).alias("gap_e4"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                ((F.col("gap_e4") >= 500) & (F.col("n_tokens") >= 8)).cast("long")
+            ).alias("n_mixed"),
+            F.sum("gap_e4").alias("sum_gap"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_mixed",
+            F.expr("n_mixed * 1000000 div n_docs").alias("mixed_ppm"),
+            F.expr("sum_gap div n_docs").alias("mean_gap_e4"),
+        )
+    )

@@ -10579,6 +10579,104 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E358 — in-batch duplicate collision audit (contrastive training)
+# --------------------------------------------------------------------------
+
+QUERIES["inbatch_collision_audit"] = corpus.inbatch_collision_audit
+ORACLES["inbatch_collision_audit"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+               AS DOUBLE), 4) >= 0.8
+), d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mk FROM documents
+), arr AS (
+  SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch
+  FROM d
+), shf AS (
+  SELECT doc_id, (row_number() OVER (ORDER BY mk, doc_id) - 1) // 32 AS batch
+  FROM d
+), hit_a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN ba.batch = bb.batch THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_collisions
+  FROM pairs JOIN arr ba ON ba.doc_id = pairs.doc_a
+             JOIN arr bb ON bb.doc_id = pairs.doc_b
+), hit_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN ba.batch = bb.batch THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_collisions
+  FROM pairs JOIN shf ba ON ba.doc_id = pairs.doc_a
+             JOIN shf bb ON bb.doc_id = pairs.doc_b
+), exp_a AS (
+  SELECT CAST(sum(n_b * (n_b - 1)) * 1000000
+              // (sum(n_b) * (sum(n_b) - 1)) AS BIGINT) AS expected_ppm
+  FROM (SELECT batch, count(*) AS n_b FROM arr GROUP BY 1)
+), exp_s AS (
+  SELECT CAST(sum(n_b * (n_b - 1)) * 1000000
+              // (sum(n_b) * (sum(n_b) - 1)) AS BIGINT) AS expected_ppm
+  FROM (SELECT batch, count(*) AS n_b FROM shf GROUP BY 1)
+)
+SELECT 'arrival' AS strategy, n_pairs, n_collisions,
+       CAST(CASE WHEN n_pairs > 0
+                 THEN n_collisions * 1000000 // n_pairs ELSE 0 END
+            AS BIGINT) AS collision_ppm,
+       expected_ppm
+FROM hit_a, exp_a
+UNION ALL
+SELECT 'md5_shuffle', n_pairs, n_collisions,
+       CAST(CASE WHEN n_pairs > 0
+                 THEN n_collisions * 1000000 // n_pairs ELSE 0 END
+            AS BIGINT) AS collision_ppm,
+       expected_ppm
+FROM hit_s, exp_s
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E359 — code-switching / mixed-language audit (half-score gap)
+# --------------------------------------------------------------------------
+
+QUERIES["code_switching_audit"] = text.code_switching_audit
+ORACLES["code_switching_audit"] = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+), halves AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         list_slice(toks, 1, len(toks) // 2) AS h1,
+         list_slice(toks, len(toks) // 2 + 1, len(toks)) AS h2
+  FROM t
+), scored AS (
+  SELECT source, n_tokens,
+         CASE WHEN len(list_distinct(h1)) > 0
+              THEN CAST(floor(len(list_intersect(list_distinct(h1), {_EN_SW}))
+                   * 10000 / len(list_distinct(h1))) AS BIGINT)
+              ELSE 0 END AS s1_e4,
+         CASE WHEN len(list_distinct(h2)) > 0
+              THEN CAST(floor(len(list_intersect(list_distinct(h2), {_EN_SW}))
+                   * 10000 / len(list_distinct(h2))) AS BIGINT)
+              ELSE 0 END AS s2_e4
+  FROM halves
+), g AS (
+  SELECT source, n_tokens, abs(s1_e4 - s2_e4) AS gap_e4 FROM scored
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN gap_e4 >= 500 AND n_tokens >= 8
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       CAST(sum(CASE WHEN gap_e4 >= 500 AND n_tokens >= 8
+                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS mixed_ppm,
+       CAST(sum(gap_e4) // count(*) AS BIGINT) AS mean_gap_e4
+FROM g GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

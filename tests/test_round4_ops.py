@@ -232,3 +232,35 @@ def test_packing_attention_stats_identities(spark, sf_dir):
     full, rem = divmod(total_tokens, 256)
     want_pairs = full * (256 * 257 // 2) + rem * (rem + 1) // 2
     assert r["causal_pairs"] == want_pairs
+
+
+def test_inbatch_collision_arrival_vs_shuffle(spark, sf_dir):
+    rows = {r["strategy"]: r for r in
+            corpus.inbatch_collision_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"arrival", "md5_shuffle"}
+    a, s = rows["arrival"], rows["md5_shuffle"]
+    assert a["n_pairs"] == s["n_pairs"] > 0
+    # the random-order expectation is an exact function of the batch
+    # size profile: ceil/floor batches of 32 over N docs
+    n = load_table(spark, sf_dir, "documents").count()
+    full, rem = divmod(n, 32)
+    same_slots = full * 32 * 31 + rem * (rem - 1)
+    assert a["expected_ppm"] == same_slots * 1_000_000 // (n * (n - 1))
+    assert s["expected_ppm"] == a["expected_ppm"]
+    for r in rows.values():
+        assert 0 <= r["n_collisions"] <= r["n_pairs"]
+        assert 0 <= r["collision_ppm"] <= 1_000_000
+    # the two strategies measure genuinely different orders
+    assert a["n_collisions"] != s["n_collisions"]
+
+
+def test_code_switching_audit_shape(spark, sf_dir):
+    from parquet_to_csv_spark.operators import text as text_ops
+
+    rows = text_ops.code_switching_audit(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["n_mixed"] <= r["n_docs"]
+        assert 0 <= r["mixed_ppm"] <= 1_000_000
+        assert r["mean_gap_e4"] >= 0
