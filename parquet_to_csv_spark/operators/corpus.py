@@ -2634,3 +2634,123 @@ def inbatch_collision_audit(
         F.expr("conv(substr(mk, 1, 2), 16, 10)").cast("long"),
     )
     return arrival.unionByName(shuffled)
+
+
+def adversarial_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E360: adversarial-validation audit of a train/val split —
+    "can a classifier tell the two sides apart from token features?"
+    If yes, the split is distribution-shifted (grouped leakage, time
+    drift, per-source clustering) and validation metrics will lie.
+    The reference has no eval surface at all (it is a fixed parquet→
+    CSV dataflow, /root/reference/main.js); this is the split-health
+    check a training-data platform runs before trusting any held-out
+    number.
+
+    Two split strategies are audited side by side:
+
+    - ``random``  — side = md5(doc_id) parity: the null case; the
+      in-sample separability of a truly random split (slightly above
+      500000 ppm because the weights are fit on the scored docs —
+      the audit's own calibration row).
+    - ``by_source`` — side = md5(source) parity: whole sources land
+      on one side (the grouped-split shape E305 produces); token
+      distributions differ per source, so AUC far above the random
+      row's means "a model can detect which side a doc came from".
+
+    Exact integer pipeline: per-token document-frequency rates on each
+    side in ppm (floored — exact longs at any scale, no count
+    products), per-doc score = mean over its DISTINCT tokens of the
+    rate difference, quantized to an e4 grid (score cardinality is
+    PROVABLY ≤ 20001 per strategy, so the AUC rank window — the
+    auc_ranker Mann-Whitney with exact tie correction — runs over a
+    tiny bounded relation, never doc grain). Shuffles: one explode→
+    groupBy(token), one token-keyed join back, one groupBy(doc), one
+    tiny AUC fold — all ∝ corpus token mass, the tf-idf cost shape.
+
+    In-sample by design (weights fit on all docs, no CV): the number
+    reported is the separability UPPER BOUND, which is exactly what a
+    split audit wants — a split is healthy only when even the
+    in-sample discriminator stays near 500000 ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    parity = (
+        "cast(substring(md5(cast({c} as string)), 32, 1)"
+        " in ('0','2','4','6','8','a','c','e') as int)"
+    )
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(tokens_col("text")).alias("toks"),
+        F.expr(parity.format(c="doc_id")).alias("side_r"),
+        F.expr(parity.format(c="source")).alias("side_s"),
+    )
+    tot = F.broadcast(
+        base.agg(
+            F.sum("side_r").alias("na_r"),
+            F.sum(F.expr("1 - side_r")).alias("nb_r"),
+            F.sum("side_s").alias("na_s"),
+            F.sum(F.expr("1 - side_s")).alias("nb_s"),
+        )
+    )
+    long = base.select(
+        "doc_id", "side_r", "side_s", F.explode("toks").alias("token")
+    )
+    tok_w = (
+        long.groupBy("token")
+        .agg(
+            F.sum("side_r").alias("ca_r"),
+            F.sum(F.expr("1 - side_r")).alias("cb_r"),
+            F.sum("side_s").alias("ca_s"),
+            F.sum(F.expr("1 - side_s")).alias("cb_s"),
+        )
+        .crossJoin(tot)
+        .select(
+            "token",
+            F.expr("ca_r * 1000000 div na_r - cb_r * 1000000 div nb_r").alias("w_r"),
+            F.expr("ca_s * 1000000 div na_s - cb_s * 1000000 div nb_s").alias("w_s"),
+        )
+    )
+    per_doc = (
+        long.join(tok_w, "token")
+        .groupBy("doc_id", "side_r", "side_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("w_r").alias("sw_r"),
+            F.sum("w_s").alias("sw_s"),
+        )
+    )
+    scored = per_doc.select(
+        F.expr(
+            "stack(2, 'random', side_r, sw_r div n_toks div 100,"
+            "         'by_source', side_s, sw_s div n_toks div 100)"
+            " as (strategy, is_pos, score_q)"
+        )
+    )
+    by_score = scored.groupBy("strategy", "score_q").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_pos").alias("p")
+    )
+    w = (
+        Window.partitionBy("strategy")
+        .orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = by_score.withColumn("cum_n", F.sum("n").over(w))
+    return (
+        ranked.groupBy("strategy")
+        .agg(
+            F.sum("p").alias("pos_n"),
+            (F.sum("n") - F.sum("p")).alias("neg_n"),
+            F.sum(
+                F.col("p") * (2 * (F.col("cum_n") - F.col("n")) + F.col("n") + 1)
+            ).alias("s2"),
+        )
+        .select(
+            "strategy",
+            "pos_n",
+            "neg_n",
+            F.expr(
+                "CASE WHEN pos_n > 0 AND neg_n > 0 THEN"
+                " (s2 - pos_n * (pos_n + 1)) * 1000000 div (2 * pos_n * neg_n)"
+                " ELSE 500000 END"
+            ).alias("auc_ppm"),
+        )
+    )

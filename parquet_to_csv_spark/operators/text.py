@@ -1585,3 +1585,61 @@ def code_switching_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum_gap div n_docs").alias("mean_gap_e4"),
         )
     )
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E361: Brier score decomposition (Murphy 1973) over E121's
+    reliability bins — ``Brier = reliability − resolution +
+    uncertainty``. ECE (E342) says HOW FAR the score is from
+    calibrated; the decomposition says whether the score is USEFUL at
+    all: a perfectly calibrated score with zero resolution never
+    separates the classes, and recalibration (E350's isotonic map) can
+    remove reliability but can never add resolution — so this is the
+    keep-or-drop decision number for a quality/lang score.
+
+    All three terms in exact micro units (1e−6 of the Brier scale)
+    from the bins' already-floored ppm integers, so both engines run
+    the identical long arithmetic: reliability = Σ n_b·(conf−obs)²
+    div N div 1e6, resolution the same against the pooled base rate,
+    uncertainty = ō(1e6−ō) div 1e6. One tiny aggregate over the
+    n_bins relation — never doc grain. Overflow bound: n_b·Δ² ≤
+    N·10¹² — exact in a long to N ≈ 9·10⁶ bins-worth of docs per
+    bin; past that carry DECIMAL(38,0), plan unchanged.
+    """
+    bins = calibration_bins(spark, sf_dir).select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "pos_rate_ppm",
+        (F.col("mean_score_e4") * 100).alias("conf_ppm"),
+    )
+    tot = F.broadcast(
+        bins.agg(
+            F.expr("sum(n_pos) * 1000000 div sum(n_docs)").alias("obar_ppm")
+        )
+    )
+    terms = bins.crossJoin(tot)
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.expr(
+            "sum(n_docs * (conf_ppm - pos_rate_ppm)"
+            " * (conf_ppm - pos_rate_ppm)) div sum(n_docs) div 1000000"
+        ).alias("reliability_micro"),
+        F.expr(
+            "sum(n_docs * (pos_rate_ppm - obar_ppm)"
+            " * (pos_rate_ppm - obar_ppm)) div sum(n_docs) div 1000000"
+        ).alias("resolution_micro"),
+        F.expr(
+            "min(obar_ppm * (1000000 - obar_ppm) div 1000000)"
+        ).alias("uncertainty_micro"),
+    ).select(
+        "n_bins",
+        "n_docs",
+        "reliability_micro",
+        "resolution_micro",
+        "uncertainty_micro",
+        F.expr(
+            "reliability_micro - resolution_micro + uncertainty_micro"
+        ).alias("brier_binned_micro"),
+    )

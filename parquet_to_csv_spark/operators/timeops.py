@@ -2793,3 +2793,82 @@ def count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dispersion_ppm"),
         )
     )
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E362: Mann–Kendall trend test on the daily value series —
+    the standard nonparametric "is this metric actually trending?"
+    test (no linearity or normality assumption, robust to outliers),
+    the inferential companion to E167's Theil–Sen slope: Theil–Sen
+    says how steep, Mann–Kendall says whether the monotone trend is
+    statistically real.
+
+    Exact integer statistics: S = Σ_{i<j} sign(y_j − y_i) over all
+    day pairs, and the tie-corrected variance carried as the integer
+    numerator var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (18·Var — no
+    division until the end). The z score applies the standard ±1
+    continuity correction and is the only float: two correctly-rounded
+    IEEE ops (sqrt, divide) on identical exact integers, so both
+    engines realize the same double bit-for-bit; the trend call
+    compares |z| to 1.96.
+
+    Scale: the raw scan collapses to the calendar-day grain first
+    (map-side combine); the O(n²) pair enumeration runs on the tiny
+    broadcast daily relation (n = days, bounded by the calendar — a
+    century is 36 525 rows), never on events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 86400000000000").alias("day"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("cents").alias("y")).transform(_dedup_cut)
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    s_stat = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("s")
+        )
+    )
+    n_agg = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            ).alias("tie_sum")
+        )
+    )
+    z = (
+        "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)"
+        " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+        " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)"
+        " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+        " ELSE 0.0 END"
+    )
+    return (
+        s_stat.crossJoin(F.broadcast(n_agg))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "s",
+            F.expr("n * (n - 1) * (2 * n + 5) - tie_sum").alias("var18"),
+        )
+        .select(
+            "n",
+            "s",
+            "var18",
+            F.expr(z).alias("z"),
+            F.expr(
+                f"CASE WHEN {z} > 1.96 THEN 'increasing'"
+                f" WHEN {z} < -1.96 THEN 'decreasing'"
+                " ELSE 'no_trend' END"
+            ).alias("trend"),
+        )
+    )

@@ -10677,6 +10677,138 @@ FROM g GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# EXT E360 — adversarial-validation split audit (train/val separability)
+# --------------------------------------------------------------------------
+
+QUERIES["adversarial_split_audit"] = corpus.adversarial_split_audit
+ORACLES["adversarial_split_audit"] = f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks,
+         CAST(substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+              IN ('0','2','4','6','8','a','c','e') AS INT) AS side_r,
+         CAST(substr(md5(source), 32, 1)
+              IN ('0','2','4','6','8','a','c','e') AS INT) AS side_s
+  FROM documents
+), tot AS (
+  SELECT sum(side_r) AS na_r, sum(1 - side_r) AS nb_r,
+         sum(side_s) AS na_s, sum(1 - side_s) AS nb_s
+  FROM base
+), lng AS (
+  SELECT doc_id, side_r, side_s, unnest(toks) AS token FROM base
+), tok_c AS (
+  SELECT token, sum(side_r) AS ca_r, sum(1 - side_r) AS cb_r,
+         sum(side_s) AS ca_s, sum(1 - side_s) AS cb_s
+  FROM lng GROUP BY 1
+), tok_w AS (
+  SELECT token,
+         ca_r * 1000000 // na_r - cb_r * 1000000 // nb_r AS w_r,
+         ca_s * 1000000 // na_s - cb_s * 1000000 // nb_s AS w_s
+  FROM tok_c CROSS JOIN tot
+), per_doc AS (
+  SELECT l.doc_id, l.side_r, l.side_s, count(*) AS n_toks,
+         sum(w.w_r) AS sw_r, sum(w.w_s) AS sw_s
+  FROM lng l JOIN tok_w w USING (token)
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT 'random' AS strategy, side_r AS is_pos,
+         sw_r // n_toks // 100 AS score_q FROM per_doc
+  UNION ALL
+  SELECT 'by_source', side_s, sw_s // n_toks // 100 FROM per_doc
+), by_score AS (
+  SELECT strategy, score_q, count(*) AS n, sum(is_pos) AS p
+  FROM scored GROUP BY 1, 2
+), ranked AS (
+  SELECT strategy, n, p,
+         sum(n) OVER (PARTITION BY strategy ORDER BY score_q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_n
+  FROM by_score
+)
+SELECT strategy, CAST(sum(p) AS BIGINT) AS pos_n,
+       CAST(sum(n) - sum(p) AS BIGINT) AS neg_n,
+       CAST(CASE WHEN sum(p) > 0 AND sum(n) - sum(p) > 0 THEN
+         (sum(p * (2 * (cum_n - n) + n + 1)) - sum(p) * (sum(p) + 1))
+           * 1000000 // (2 * sum(p) * (sum(n) - sum(p)))
+         ELSE 500000 END AS BIGINT) AS auc_ppm
+FROM ranked GROUP BY strategy
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E361 — Brier score decomposition (summary of E121's bins)
+# --------------------------------------------------------------------------
+
+QUERIES["brier_decomposition"] = text.brier_decomposition
+ORACLES["brier_decomposition"] = f"""
+WITH bins AS (
+{ORACLES["calibration_bins"]}
+), g AS (
+  SELECT bin, n_docs, n_pos, CAST(pos_rate_ppm AS BIGINT) AS pos_rate_ppm,
+         CAST(mean_score_e4 * 100 AS BIGINT) AS conf_ppm
+  FROM bins
+), tot AS (
+  SELECT sum(n_pos) * 1000000 // sum(n_docs) AS obar_ppm FROM g
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_docs * (conf_ppm - pos_rate_ppm)
+                * (conf_ppm - pos_rate_ppm))
+            // sum(n_docs) // 1000000 AS BIGINT) AS reliability_micro,
+       CAST(sum(n_docs * (pos_rate_ppm - obar_ppm)
+                * (pos_rate_ppm - obar_ppm))
+            // sum(n_docs) // 1000000 AS BIGINT) AS resolution_micro,
+       CAST(min(obar_ppm * (1000000 - obar_ppm) // 1000000) AS BIGINT)
+         AS uncertainty_micro,
+       CAST(sum(n_docs * (conf_ppm - pos_rate_ppm)
+                * (conf_ppm - pos_rate_ppm)) // sum(n_docs) // 1000000
+            - sum(n_docs * (pos_rate_ppm - obar_ppm)
+                  * (pos_rate_ppm - obar_ppm)) // sum(n_docs) // 1000000
+            + min(obar_ppm * (1000000 - obar_ppm) // 1000000) AS BIGINT)
+         AS brier_binned_micro
+FROM g CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# EXT E362 — Mann–Kendall monotone-trend test (daily value series)
+# --------------------------------------------------------------------------
+
+_MK_Z = (
+    "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " ELSE 0.0 END"
+)
+QUERIES["mann_kendall_trend"] = timeops.mann_kendall_trend
+ORACLES["mann_kendall_trend"] = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         sum({duck_units("value", 2)}) AS y
+  FROM events GROUP BY 1
+), s_stat AS (
+  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+), n_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+), ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_sum
+  FROM (SELECT count(*) AS t FROM daily GROUP BY y)
+), g AS (
+  SELECT n, s, CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS BIGINT) AS var18
+  FROM s_stat CROSS JOIN n_agg CROSS JOIN ties
+)
+SELECT n, s, var18, {_MK_Z} AS z,
+       CASE WHEN {_MK_Z} > 1.96 THEN 'increasing'
+            WHEN {_MK_Z} < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #

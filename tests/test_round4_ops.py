@@ -264,3 +264,85 @@ def test_code_switching_audit_shape(spark, sf_dir):
         assert 0 <= r["n_mixed"] <= r["n_docs"]
         assert 0 <= r["mixed_ppm"] <= 1_000_000
         assert r["mean_gap_e4"] >= 0
+
+
+def test_adversarial_split_audit_properties(spark, sf_dir):
+    rows = {r["strategy"]: r for r in
+            corpus.adversarial_split_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"random", "by_source"}
+    n = load_table(spark, sf_dir, "documents").count()
+    for r in rows.values():
+        assert r["pos_n"] + r["neg_n"] == n
+        assert r["pos_n"] > 0 and r["neg_n"] > 0
+        # AUC is a probability in ppm; the in-sample discriminator can
+        # never do worse than chance by construction of the weights
+        assert 450_000 <= r["auc_ppm"] <= 1_000_000
+    # the by_source split assigns whole sources: its sides match the
+    # md5 parity of the source names exactly
+    docs = load_table(spark, sf_dir, "documents")
+    side = docs.select(
+        F.expr(
+            "cast(substring(md5(cast(source as string)), 32, 1)"
+            " in ('0','2','4','6','8','a','c','e') as int)"
+        ).alias("s")
+    ).agg(F.sum("s")).collect()[0][0]
+    assert rows["by_source"]["pos_n"] == side
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    from parquet_to_csv_spark.operators import text as text_ops
+
+    r = text_ops.brier_decomposition(spark, sf_dir).collect()[0]
+    assert r["n_bins"] == 10
+    assert r["n_docs"] == load_table(spark, sf_dir, "documents").count()
+    # each term is a [0, 1] quantity in micro units; uncertainty is
+    # p(1-p) <= 1/4
+    assert 0 <= r["reliability_micro"] <= 1_000_000
+    assert 0 <= r["resolution_micro"] <= 1_000_000
+    assert 0 <= r["uncertainty_micro"] <= 250_000
+    # the decomposition identity as computed (floored terms)
+    assert r["brier_binned_micro"] == (
+        r["reliability_micro"] - r["resolution_micro"]
+        + r["uncertainty_micro"]
+    )
+    # resolution can never exceed uncertainty (variance decomposition)
+    assert r["resolution_micro"] <= r["uncertainty_micro"]
+
+
+def test_mann_kendall_trend_exact(spark, sf_dir):
+    from parquet_to_csv_spark.operators import timeops
+
+    r = timeops.mann_kendall_trend(spark, sf_dir).collect()[0]
+    n, s, var18 = r["n"], r["s"], r["var18"]
+    assert n > 2
+    # |S| is at most the number of pairs
+    assert abs(s) <= n * (n - 1) // 2
+    # tie correction only shrinks the no-tie variance
+    assert 0 < var18 <= n * (n - 1) * (2 * n + 5)
+    # recompute S and the variance numerator driver-side from the
+    # daily series
+    daily = sorted(
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr("ts div 86400000000000").alias("day"),
+            F.expr("cast(round(value * 100) as long)").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("y"))
+        .collect(),
+        key=lambda row: row["day"],
+    )
+    ys = [row["y"] for row in daily]
+    want_s = sum(
+        (1 if b > a else -1 if b < a else 0)
+        for i, a in enumerate(ys)
+        for b in ys[i + 1:]
+    )
+    assert s == want_s
+    from collections import Counter
+
+    ties = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(ys).values() if t > 1
+    )
+    assert var18 == len(ys) * (len(ys) - 1) * (2 * len(ys) + 5) - ties
+    assert r["trend"] in {"increasing", "decreasing", "no_trend"}
