@@ -2994,3 +2994,89 @@ def rec_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_slots_ppm",
         )
     )
+
+
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface (E363): monthly revenue spread WIDE across order
+    statuses — the long→wide twin of the UNPIVOT/melt surface (E326).
+    A reference user reshaping query output for a report gets
+    ``df.groupBy(...).pivot(...)`` here; values are passed EXPLICITLY
+    (``["F", "O", "P"]``) so the plan stays single-pass — an implicit
+    pivot first runs a distinct-collection job and yields a
+    data-dependent schema, both wrong at 100 TB.
+
+    Plan: one orders scan (2 columns read) → ``pivot`` lowers to ONE
+    hash aggregate of conditional sums (map-side combine, single
+    exchange on ym) — identical shape to hand-written
+    ``sum(CASE WHEN ...)`` columns. Exact integer cents throughout.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        "o_orderstatus",
+        exact_units(F.col("o_totalprice"), 2).alias("cents"),
+    )
+    wide = o.groupBy("ym").pivot("o_orderstatus", ["F", "O", "P"]).agg(
+        F.sum("cents")
+    )
+    filled = wide.select(
+        "ym",
+        F.coalesce(F.col("F"), F.lit(0).cast("long")).alias("f_cents"),
+        F.coalesce(F.col("O"), F.lit(0).cast("long")).alias("o_cents"),
+        F.coalesce(F.col("P"), F.lit(0).cast("long")).alias("p_cents"),
+    )
+    return filled.withColumn(
+        "total_cents",
+        F.col("f_cents") + F.col("o_cents") + F.col("p_cents"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface (E364): revenue by (region, priority) with
+    region subtotals and a grand total in ONE pass — the general form
+    of CUBE/ROLLUP (E18/E208) where the caller names exactly the
+    lattice levels wanted, with ``grouping()`` provenance flags so
+    subtotal rows are distinguishable from genuine NULL groups.
+
+    Plan: fact scan joins customer on the distributed key, then nation
+    → region as broadcast dims; ``groupingSets`` lowers to a single
+    Expand + hash aggregate — one data pass emits all three levels
+    (3× the exchange rows of the finest level, NOT 3 scans). The
+    grouping-flag ints are engine-portable (0 = grouped, 1 = rolled
+    up), unlike the bit-packed ``grouping_id`` whose bit order is
+    engine-specific.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        exact_units(F.col("o_totalprice"), 2).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("region", "priority", "cents")
+    )
+    return (
+        base.groupingSets(
+            [["region", "priority"], ["region"], []], "region", "priority"
+        )
+        .agg(
+            F.grouping("region").cast("int").alias("g_region"),
+            F.grouping("priority").cast("int").alias("g_priority"),
+            F.sum("cents").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "region", "priority", "g_region", "g_priority",
+            "rev_cents", "n_orders",
+        )
+    )

@@ -2787,3 +2787,65 @@ def label_diag_fid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label_a", "label_b")
         .agg(F.round(F.sum("t").cast("double"), 6).alias("diag_fid"))
     )
+
+
+def rbo_rank_agreement(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Rank-biased overlap (E365, Webber et al. 2010) between the EXACT
+    cosine ranking (:func:`cosine_topk`) and the IVF approximate
+    ranking (:func:`ivf_topk`), per query — the ranking-agreement
+    companion to recall@k (E174): recall only asks "did the right ids
+    surface?"; RBO weights agreement geometrically toward the TOP of
+    the lists, which is what an ANN serving stack actually sells.
+
+    Exactness: with persistence p = 1/2 every RBO weight is a dyadic
+    rational — truncated RBO = Σ_d (1−p)·p^(d−1)·|A_d∩B_d|/d over
+    depths d ≤ k. With common denominator D = 2^k·lcm(1..k), a matched
+    pair first co-present at depth m = max(rank_a, rank_b) contributes
+    the INTEGER suffix weight W_m = Σ_{d≥m} D/(d·2^d), so the whole
+    statistic is an exact BIGINT sum (`rbo_num`/D), oracle-hashable;
+    the display double is one division + round. Identical lists score
+    (D − 2^k·lcm/…)/D = 1 − p^k.
+
+    Plan: both rankings are tiny by construction (n_queries × k rows
+    AFTER their own distributed top-k plans); the RBO join + aggregate
+    adds no data-grain work beyond the two rankers it audits.
+    """
+    from math import gcd
+
+    lcm = 1
+    for d in range(1, k + 1):
+        lcm = lcm * d // gcd(lcm, d)
+    denom = (1 << k) * lcm
+    w_suffix = [
+        sum(denom // (d * (1 << d)) for d in range(m, k + 1))
+        for m in range(1, k + 1)
+    ]
+
+    exact = cosine_topk(spark, sf_dir, k=k).select(
+        "query_id", "cand_id", F.col("rnk").alias("ra")
+    )
+    approx = ivf_topk(spark, sf_dir, k=k).select(
+        "query_id", "cand_id", F.col("rnk").alias("rb")
+    )
+    weights = F.array(*[F.lit(w) for w in w_suffix])
+    pairs = exact.join(approx, ["query_id", "cand_id"]).select(
+        "query_id",
+        F.element_at(weights, F.greatest("ra", "rb")).alias("w"),
+    )
+    agg = pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("w").cast("long").alias("rbo_num"),
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias("n_common"),
+        F.coalesce(F.col("rbo_num"), F.lit(0).cast("long")).alias("rbo_num"),
+        F.round(
+            F.coalesce(F.col("rbo_num"), F.lit(0).cast("long"))
+            / F.lit(float(denom)),
+            6,
+        ).alias("rbo"),
+    )

@@ -1643,3 +1643,58 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reliability_micro - resolution_micro + uncertainty_micro"
         ).alias("brier_binned_micro"),
     )
+
+
+def vocab_coverage_ladder(
+    spark: SparkSession,
+    sf_dir: str,
+    ladder: tuple[int, ...] = (100, 300, 1000, 3000, 10000),
+) -> DataFrame:
+    """Vocab-size coverage ladder (E366): corpus token coverage bought
+    by the top-V vocabulary for a SWEEP of sizes V — the sizing curve
+    read before committing to a tokenizer vocab. E122 prices one vocab
+    (per-token cumulative coverage at fixed V); this prices the menu
+    (one row per candidate V), the diminishing-returns curve that
+    decides "16k or 32k entries?".
+
+    Plan: token counts (one explode + exchange with map-side combine) →
+    EXACT global rank over the unique (freq desc, token) order via
+    ``relational.banded_row_number`` — band −freq·256 + first-char, so
+    the Zipf-fat freq=1 tier splits across ~36 sub-bands instead of one
+    task — then ONE conditional aggregation over the vocab relation
+    emits every ladder rung in a single pass (no per-V scan, no
+    vocab × V fan-out): each rung is `sum(freq · [rank ≤ V])`. Output
+    is exact integers; coverage in ppm by integer division.
+    """
+    from parquet_to_csv_spark.operators.relational import banded_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = banded_row_number(
+        counts.withColumn("negfreq", -F.col("freq")),
+        ["negfreq", "token"],
+        F.expr("negfreq * 256 + ascii(substr(token, 1, 1))"),
+        out_col="rnk",
+    )
+    aggs = [F.sum("freq").alias("total")]
+    for v in ladder:
+        aggs.append(
+            F.sum(F.when(F.col("rnk") <= v, F.col("freq")).otherwise(0))
+            .alias(f"c_{v}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("rnk") <= v, 1).otherwise(0)).alias(f"n_{v}")
+        )
+    row = ranked.agg(*aggs)
+    stack_args = ", ".join(f"{v}, n_{v}, c_{v}" for v in ladder)
+    return row.selectExpr(
+        f"stack({len(ladder)}, {stack_args})"
+        " as (vocab_size, vocab_used, covered_tokens)",
+        "total as total_tokens",
+    ).withColumn(
+        "coverage_ppm", F.expr("covered_tokens * 1000000 div total_tokens")
+    )

@@ -10810,6 +10810,111 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# E363/E364 — relational reshaping surfaces: PIVOT (the long→wide twin
+# of E326's UNPIVOT) and GROUPING SETS with grouping() provenance.
+# ---------------------------------------------------------------------------
+
+QUERIES["pivot_status_revenue"] = relational.pivot_status_revenue
+ORACLES["pivot_status_revenue"] = f"""
+WITH o AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         o_orderstatus, {duck_units("o_totalprice", 2)} AS cents
+  FROM orders
+), wide AS (
+  SELECT ym,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN cents END), 0) AS BIGINT) AS f_cents,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN cents END), 0) AS BIGINT) AS o_cents,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN cents END), 0) AS BIGINT) AS p_cents
+  FROM o GROUP BY ym
+)
+SELECT ym, f_cents, o_cents, p_cents,
+       f_cents + o_cents + p_cents AS total_cents
+FROM wide
+"""
+
+QUERIES["grouping_sets_revenue"] = relational.grouping_sets_revenue
+ORACLES["grouping_sets_revenue"] = f"""
+WITH base AS (
+  SELECT r.r_name AS region, o.o_orderpriority AS priority,
+         {duck_units("o.o_totalprice", 2)} AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT region, priority,
+       CAST(grouping(region) AS INTEGER) AS g_region,
+       CAST(grouping(priority) AS INTEGER) AS g_priority,
+       CAST(sum(cents) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM base
+GROUP BY GROUPING SETS ((region, priority), (region), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# E365 — rank-biased overlap between the exact and IVF rankings.
+# p = 1/2 makes every truncated-RBO weight an exact dyadic rational:
+# D = 2^5 · lcm(1..5) = 1920; a matched pair first co-present at depth
+# m = max(rank_exact, rank_ivf) contributes the integer suffix weight
+# W_m = Σ_{d=m..5} D/(d·2^d) → [1322, 362, 122, 42, 12]. The oracle
+# reuses the two verified ranking oracles verbatim as CTEs.
+# ---------------------------------------------------------------------------
+
+QUERIES["rbo_rank_agreement"] = similarity.rbo_rank_agreement
+ORACLES["rbo_rank_agreement"] = f"""
+WITH exact_r AS (
+{ORACLES["cosine_topk"]}
+), approx_r AS (
+{ORACLES["ivf_topk"]}
+), matched AS (
+  SELECT e.query_id, greatest(e.rnk, a.rnk) AS m
+  FROM exact_r e JOIN approx_r a USING (query_id, cand_id)
+), agg AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(CASE m WHEN 1 THEN 1322 WHEN 2 THEN 362 WHEN 3 THEN 122
+                         WHEN 4 THEN 42 WHEN 5 THEN 12 END) AS BIGINT)
+           AS rbo_num
+  FROM matched GROUP BY query_id
+)
+SELECT q.query_id,
+       coalesce(n_common, CAST(0 AS BIGINT)) AS n_common,
+       coalesce(rbo_num, CAST(0 AS BIGINT)) AS rbo_num,
+       round(coalesce(rbo_num, CAST(0 AS BIGINT)) / 1920.0, 6) AS rbo
+FROM (SELECT DISTINCT query_id FROM exact_r) q LEFT JOIN agg USING (query_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E366 — vocab-size coverage ladder (the V-sweep pricing curve; E122
+# prices one vocab). The oracle may sort the whole vocab single-node;
+# the Spark plan uses the banded global rank.
+# ---------------------------------------------------------------------------
+
+QUERIES["vocab_coverage_ladder"] = text.vocab_coverage_ladder
+ORACLES["vocab_coverage_ladder"] = f"""
+WITH counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOKS}) AS token FROM documents) GROUP BY 1
+), ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rnk
+  FROM counts
+), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts),
+ladder AS (SELECT unnest([100, 300, 1000, 3000, 10000]) AS v)
+SELECT CAST(v AS INTEGER) AS vocab_size,
+       CAST(coalesce(sum(CASE WHEN rnk <= v THEN 1 END), 0) AS BIGINT)
+         AS vocab_used,
+       CAST(coalesce(sum(CASE WHEN rnk <= v THEN freq END), 0) AS BIGINT)
+         AS covered_tokens,
+       total AS total_tokens,
+       CAST(coalesce(sum(CASE WHEN rnk <= v THEN freq END), 0) AS BIGINT)
+         * 1000000 // total AS coverage_ppm
+FROM ladder CROSS JOIN ranked CROSS JOIN tot
+GROUP BY v, total
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

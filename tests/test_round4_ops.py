@@ -346,3 +346,102 @@ def test_mann_kendall_trend_exact(spark, sf_dir):
     )
     assert var18 == len(ys) * (len(ys) - 1) * (2 * len(ys) + 5) - ties
     assert r["trend"] in {"increasing", "decreasing", "no_trend"}
+
+
+def test_pivot_status_revenue_reconciles(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    rows = relational.pivot_status_revenue(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.select(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as long)"))
+    ).collect()[0][0]
+    # the wide columns jointly account for every order cent
+    assert sum(r["total_cents"] for r in rows) == total
+    assert len(rows) == orders.select(
+        F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    ).distinct().count()
+    for r in rows:
+        assert r["total_cents"] == r["f_cents"] + r["o_cents"] + r["p_cents"]
+
+
+def test_grouping_sets_levels_consistent(spark, sf_dir):
+    from parquet_to_csv_spark.operators import relational
+
+    rows = relational.grouping_sets_revenue(spark, sf_dir).collect()
+    fine = [r for r in rows if (r["g_region"], r["g_priority"]) == (0, 0)]
+    sub = [r for r in rows if (r["g_region"], r["g_priority"]) == (0, 1)]
+    grand = [r for r in rows if (r["g_region"], r["g_priority"]) == (1, 1)]
+    assert len(grand) == 1
+    # each lattice level sums to the same totals
+    assert (
+        sum(r["rev_cents"] for r in fine)
+        == sum(r["rev_cents"] for r in sub)
+        == grand[0]["rev_cents"]
+    )
+    assert (
+        sum(r["n_orders"] for r in fine)
+        == sum(r["n_orders"] for r in sub)
+        == grand[0]["n_orders"]
+    )
+    # subtotal rows null out the rolled-up column, fine rows don't
+    assert all(r["priority"] is None for r in sub)
+    assert all(r["priority"] is not None for r in fine)
+    # per-region subtotal equals its fine slice
+    for s in sub:
+        assert s["rev_cents"] == sum(
+            r["rev_cents"] for r in fine if r["region"] == s["region"]
+        )
+
+
+def test_rbo_bounds_and_recall_consistency(spark, sf_dir):
+    from parquet_to_csv_spark.operators import similarity
+
+    rows = similarity.rbo_rank_agreement(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_common"] <= 5
+        # max attainable rbo_num = 1322+362+122+42+12 = 1 - p^k scaled
+        assert 0 <= r["rbo_num"] <= 1860
+        assert abs(r["rbo"] - r["rbo_num"] / 1920.0) < 1e-6
+        # perfect overlap at every depth iff all 5 pairs match at rank
+        if r["n_common"] == 0:
+            assert r["rbo_num"] == 0
+
+
+def test_rbo_identical_lists_score_one_minus_p_k(spark, sf_dir):
+    """RBO of a ranking against itself is exactly 1 - p^k."""
+    from parquet_to_csv_spark.operators.similarity import cosine_topk
+
+    exact = cosine_topk(spark, sf_dir, k=5)
+    a = exact.select("query_id", "cand_id", F.col("rnk").alias("ra"))
+    b = exact.select("query_id", "cand_id", F.col("rnk").alias("rb"))
+    w = F.array(*[F.lit(x) for x in (1322, 362, 122, 42, 12)])
+    got = (
+        a.join(b, ["query_id", "cand_id"])
+        .select("query_id", F.element_at(w, F.greatest("ra", "rb")).alias("w"))
+        .groupBy("query_id")
+        .agg(F.sum("w").alias("num"))
+        .collect()
+    )
+    assert all(r["num"] == 1860 for r in got)  # (1 - 2^-5) * 1920
+
+
+def test_vocab_coverage_ladder_monotone(spark, sf_dir):
+    from parquet_to_csv_spark.operators import text as text_ops
+
+    rows = sorted(
+        text_ops.vocab_coverage_ladder(spark, sf_dir).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert [r["vocab_size"] for r in rows] == [100, 300, 1000, 3000, 10000]
+    # coverage and vocab_used are monotone in V; totals constant
+    for a, b in zip(rows, rows[1:]):
+        assert a["covered_tokens"] <= b["covered_tokens"]
+        assert a["vocab_used"] <= b["vocab_used"]
+        assert a["total_tokens"] == b["total_tokens"]
+    for r in rows:
+        assert r["vocab_used"] <= r["vocab_size"]
+        assert 0 < r["coverage_ppm"] <= 1_000_000
+    # the top-100 slice must already cover a non-trivial mass (Zipf)
+    assert rows[0]["coverage_ppm"] > 100_000
