@@ -2099,3 +2099,70 @@ def incremental_neardup_edges(
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def neardup_reach_hops(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_hops: int = 3,
+    seed_buckets: int = 20,
+) -> DataFrame:
+    """EXT E368: bounded BFS hop-distance from a deterministic seed set
+    over the near-dup graph, declared as a Spark 4 **recursive CTE**
+    (``WITH RECURSIVE`` — the first genuinely recursive SQL surface in
+    the engine; reference has no graph ops at all).
+
+    Contamination radius question: "if these docs are tainted, how
+    much of the corpus sits within h hops of one?" E178's taint
+    closure answers membership via an imperative checkpointed loop;
+    this answers *distance* declaratively: the recursive member joins
+    the frontier to the (symmetrized) materialized edge relation
+    (:func:`dedup_edges` — built once, served as a parquet scan) with
+    a hard ``hop < max_hops`` cap, then ``min(hop)`` collapses path
+    multiplicity (Spark recursion is UNION ALL; min-hop is
+    multiplicity-invariant, so the cap — not dedup — bounds work).
+
+    Scale note: UNION ALL recursion re-visits nodes once per distinct
+    path, fine for a sparse 0.8-threshold graph at small depth; at
+    100 TB/web-scale the drop-in is the iterative distinct-frontier
+    loop with lineage cuts (exactly :func:`dup_clusters`'s machinery),
+    trading declarativity for per-round ``dropDuplicates``. Output is
+    the hop histogram + corpus share (ppm, via a broadcast 1-row
+    total join) — the gate relation stays ≤ max_hops+1 rows.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup_edges(spark, sf_dir, threshold)
+    und = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
+    ).unionAll(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))
+    seeds = docs.select("doc_id").filter(
+        md5_bucket(F.col("doc_id"), seed_buckets) == 0
+    )
+    und.createOrReplaceTempView("t_reach_edges")
+    seeds.createOrReplaceTempView("t_reach_seeds")
+    reached = spark.sql(
+        f"""
+        WITH RECURSIVE r(doc_id, hop) AS (
+          SELECT doc_id, 0 FROM t_reach_seeds
+          UNION ALL
+          SELECT e.w, r.hop + 1
+          FROM r JOIN t_reach_edges e ON e.u = r.doc_id
+          WHERE r.hop < {int(max_hops)}
+        )
+        SELECT doc_id, CAST(min(hop) AS INT) AS hop FROM r GROUP BY doc_id
+        """
+    )
+    total = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n_docs")))
+    return (
+        reached.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(total)
+        .select(
+            "hop",
+            "n_docs",
+            F.expr("n_docs * 1000000 div _n_docs").alias("share_ppm"),
+        )
+    )

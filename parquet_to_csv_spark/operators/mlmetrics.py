@@ -2180,3 +2180,76 @@ def value_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"c * {pmi}").alias("mi_contrib_micro"),
         )
     )
+
+
+def lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E369: cumulative-gains / lift table — the targeting readout
+    behind every "top decile captures X% of revenue" claim. Customers
+    are ranked by a propensity score (stand-in: account balance,
+    exact cents, richer first), cut into exact deciles, and each
+    decile's captured order revenue is accumulated: gain = cumulative
+    revenue share, lift = gain ÷ cumulative population share.
+
+    Scale shape: the decile cut is :func:`relational.distributed_ntile`
+    over the unique (-cents, custkey) order — value-banded local ranks
+    + broadcast band offsets, never an unpartitioned window over the
+    customer grain; revenue lands via one hash join of the per-customer
+    order aggregate (shuffle ∝ customers, map-side combined); the only
+    ordered window runs over the 10-row decile relation. Integers
+    end-to-end: shares in exact ppm (BIGINT), lift as ONE correctly
+    rounded IEEE division of two exact ppm ints — bit-identical across
+    engines. Customers with no orders stay in their decile with zero
+    revenue (left join), so population shares are honest.
+    """
+    from pyspark.sql import Window
+
+    from parquet_to_csv_spark.operators.relational import distributed_ntile
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (-exact_units(F.col("c_acctbal"), 2)).alias("neg_cents")
+    )
+    tiled = distributed_ntile(
+        cust, "neg_cents", "c_custkey", 10,
+        F.expr("neg_cents div 50000"), out_col="decile",
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(exact_units(F.col("o_totalprice"), 2)).alias("rev_cents"))
+    )
+    per = (
+        tiled.join(rev, tiled.c_custkey == rev.o_custkey, "left")
+        .select("decile", F.coalesce("rev_cents", F.lit(0)).alias("rev_cents"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_cents").alias("rev_cents"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n_customers").alias("_tn"), F.sum("rev_cents").alias("_tr")
+        )
+    )
+    return (
+        per.withColumn("cum_customers", F.sum("n_customers").over(w))
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .join(tot)
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "rev_cents",
+            "cum_customers",
+            "cum_rev_cents",
+            F.expr("cum_rev_cents * 1000000 div _tr").alias("gain_ppm"),
+            F.expr("cum_customers * 1000000 div _tn").alias("pop_ppm"),
+            F.round(
+                F.expr(
+                    "cast(cum_rev_cents * 1000000 div _tr as double)"
+                    " / cast(cum_customers * 1000000 div _tn as double)"
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )

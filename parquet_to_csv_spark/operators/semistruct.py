@@ -66,3 +66,43 @@ def props_typed_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .join(health)
     )
+
+
+def variant_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E367: Spark 4 VARIANT ingestion of the props bag.
+
+    ``parse_json`` parses each JSON string ONCE into the binary
+    VARIANT encoding (shredded, field-indexed — Spark 4's answer to
+    the open-format semi-structured column); every subsequent
+    ``variant_get('$.path', type)`` is an O(depth) binary probe, not a
+    re-parse, so N typed path extractions cost one parse + N probes
+    instead of N parses (``get_json_object``'s model in
+    :func:`props_json_stats`). At 100 TB this is the difference
+    between CPU-bound JSON parsing and IO-bound scanning; VARIANT
+    also stays inside whole-stage codegen. The report extracts
+    ``$.k`` twice at different types (int aggregate + parity class)
+    from ONE variant value per row and surfaces parse health
+    (``try_parse_json`` → NULL on malformed rows, poison-pill-safe).
+
+    Oracle twin: DuckDB ``json_extract`` casts — the OUTPUT is plain
+    typed columns, so the gate checks the promotion, not the binary
+    encoding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.expr("try_parse_json(props)").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.col("v").isNull().cast("long").alias("unparsed"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_k"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_k_even"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.sum("unparsed").alias("n_unparsed"),
+    )

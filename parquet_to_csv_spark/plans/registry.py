@@ -10915,6 +10915,107 @@ GROUP BY v, total
 
 
 # ---------------------------------------------------------------------------
+# E367 — Spark 4 VARIANT ingestion surface. The oracle checks the
+# typed PROMOTION (plain columns out), not the binary encoding.
+# ---------------------------------------------------------------------------
+
+QUERIES["variant_promotion"] = semistruct.variant_promotion
+ORACLES["variant_promotion"] = """
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+         CASE WHEN props IS NULL OR NOT json_valid(props)
+              THEN 1 ELSE 0 END AS unparsed
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_k,
+       CAST(coalesce(sum(CASE WHEN k % 2 = 0 THEN 1 END), 0) AS BIGINT)
+         AS n_k_even,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(max(k) AS INTEGER) AS max_k,
+       CAST(sum(unparsed) AS BIGINT) AS n_unparsed
+FROM v GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# E368 — recursive-CTE BFS hop distance over the near-dup graph.
+# Both engines run a GENUINE recursive CTE (Spark 4.1 WITH RECURSIVE /
+# DuckDB WITH RECURSIVE), UNION ALL + hop cap; min(hop) collapses path
+# multiplicity so the two engines' different frontier orders can't
+# show. pairs/edges are MATERIALIZED: DuckDB re-inlines
+# multiply-referenced CTEs and the recursion re-reads edges per round.
+# ---------------------------------------------------------------------------
+
+QUERIES["neardup_reach_hops"] = dedup.neardup_reach_hops
+ORACLES["neardup_reach_hops"] = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+{ORACLES["ngram_jaccard_pairs"]}
+), edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+), seeds AS (
+  SELECT doc_id FROM documents WHERE {corpus.duck_md5_bucket("doc_id", 20)} = 0
+), r(doc_id, hop) AS (
+  SELECT doc_id, 0 FROM seeds
+  UNION ALL
+  SELECT e.w, r.hop + 1 FROM r JOIN edges e ON e.u = r.doc_id
+  WHERE r.hop < 3
+), m AS (
+  SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop FROM r GROUP BY doc_id
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT hop, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 1000000 // n AS BIGINT) AS share_ppm
+FROM m CROSS JOIN tot GROUP BY hop, n
+"""
+
+
+# ---------------------------------------------------------------------------
+# E369 — cumulative-gains / lift table over exact customer deciles.
+# lift is ONE correctly rounded IEEE division of two exact ppm ints.
+# ---------------------------------------------------------------------------
+
+QUERIES["lift_gains_table"] = mlmetrics.lift_gains_table
+ORACLES["lift_gains_table"] = f"""
+WITH c AS (
+  SELECT c_custkey, -({duck_units("c_acctbal", 2)}) AS neg_cents FROM customer
+), t AS (
+  SELECT c_custkey, ntile(10) OVER (ORDER BY neg_cents, c_custkey) AS decile
+  FROM c
+), rv AS (
+  SELECT o_custkey,
+         CAST(sum({duck_units("o_totalprice", 2)}) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+), per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(coalesce(sum(rev_cents), 0) AS BIGINT) AS rev_cents
+  FROM t LEFT JOIN rv ON t.c_custkey = rv.o_custkey GROUP BY decile
+), cum AS (
+  SELECT decile, n_customers, rev_cents,
+         CAST(sum(n_customers) OVER (ORDER BY decile) AS BIGINT)
+           AS cum_customers,
+         CAST(sum(rev_cents) OVER (ORDER BY decile) AS BIGINT)
+           AS cum_rev_cents
+  FROM per
+), tot AS (
+  SELECT CAST(sum(n_customers) AS BIGINT) AS tn,
+         CAST(sum(rev_cents) AS BIGINT) AS tr
+  FROM per
+)
+SELECT CAST(decile AS INTEGER) AS decile, n_customers, rev_cents,
+       cum_customers, cum_rev_cents,
+       CAST(cum_rev_cents * 1000000 // tr AS BIGINT) AS gain_ppm,
+       CAST(cum_customers * 1000000 // tn AS BIGINT) AS pop_ppm,
+       round(CAST(cum_rev_cents * 1000000 // tr AS DOUBLE)
+             / CAST(cum_customers * 1000000 // tn AS DOUBLE), 6) AS lift
+FROM cum CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

@@ -445,3 +445,72 @@ def test_vocab_coverage_ladder_monotone(spark, sf_dir):
         assert 0 < r["coverage_ppm"] <= 1_000_000
     # the top-100 slice must already cover a non-trivial mass (Zipf)
     assert rows[0]["coverage_ppm"] > 100_000
+
+
+def test_variant_promotion_matches_json_path(spark, sf_dir):
+    """VARIANT extraction agrees with the get_json_object path."""
+    from parquet_to_csv_spark.operators import semistruct
+
+    rows = {r["event_type"]: r for r in
+            semistruct.variant_promotion(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    ref = {
+        r["event_type"]: r
+        for r in ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_k"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(ref)
+    for t, r in rows.items():
+        assert r["n_events"] == ref[t]["n_events"]
+        assert r["n_k"] == ref[t]["n_k"]
+        assert r["sum_k"] == ref[t]["sum_k"]
+        assert r["n_k_even"] <= r["n_k"]
+        # the fixture's props bags are all well-formed JSON
+        assert r["n_unparsed"] == 0
+
+
+def test_neardup_reach_hops_invariants(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup as dedup_ops
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    rows = sorted(
+        dedup_ops.neardup_reach_hops(spark, sf_dir).collect(),
+        key=lambda r: r["hop"],
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_seeds = docs.filter(md5_bucket(F.col("doc_id"), 20) == 0).count()
+    by_hop = {r["hop"]: r["n_docs"] for r in rows}
+    # hop 0 is exactly the seed set (min-hop: seeds stay at 0)
+    assert by_hop[0] == n_seeds
+    assert all(0 <= h <= 3 for h in by_hop)
+    assert sum(by_hop.values()) <= n_docs
+    for r in rows:
+        assert r["share_ppm"] == r["n_docs"] * 1_000_000 // n_docs
+
+
+def test_lift_gains_monotone_and_reconciles(spark, sf_dir):
+    rows = sorted(
+        mlmetrics.lift_gains_table(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cust = load_table(spark, sf_dir, "customer").count()
+    assert rows[-1]["cum_customers"] == cust == sum(r["n_customers"] for r in rows)
+    assert rows[-1]["cum_rev_cents"] == sum(r["rev_cents"] for r in rows)
+    assert rows[-1]["gain_ppm"] == 1_000_000 == rows[-1]["pop_ppm"]
+    assert abs(rows[-1]["lift"] - 1.0) < 1e-9
+    # cumulative columns are running sums (monotone non-decreasing)
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_customers"] == a["cum_customers"] + b["n_customers"]
+        assert b["cum_rev_cents"] == a["cum_rev_cents"] + b["rev_cents"]
+        assert b["gain_ppm"] >= a["gain_ppm"]
