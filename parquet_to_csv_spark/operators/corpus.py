@@ -2754,3 +2754,43 @@ def adversarial_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc_ppm"),
         )
     )
+
+
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E370: XML source/sink round-trip — Spark 4's NATIVE XML
+    data source (built into the engine since 4.0; previously the
+    external spark-xml package), the interchange format of legacy
+    enterprise feeds. Documents are written with explicit
+    rootTag/rowTag, read back with an EXPLICIT schema (inference is a
+    full extra pass at 100 TB, and XML inference additionally
+    re-types-by-content), and content-digested per (lang, source)
+    against the original parquet-derived oracle — any row loss, text
+    mangling (XML entity escaping is the CSV-quoting analogue), or
+    type drift breaks the digest.
+
+    Avro remains the documented environment boundary: Spark ships it
+    as an external module jar absent from this container.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="xml_rt_")
+    (
+        docs.coalesce(4)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(stage)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(docs.schema)
+        .load(stage)
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
+    )

@@ -11016,6 +11016,21 @@ FROM cum CROSS JOIN tot
 
 
 # ---------------------------------------------------------------------------
+# E370 — native-XML round-trip: same digest oracle as the other
+# source/sink identities (the oracle sees the ORIGINAL parquet; only a
+# lossless write+read can match it).
+# ---------------------------------------------------------------------------
+
+QUERIES["xml_roundtrip"] = corpus.xml_roundtrip
+ORACLES["xml_roundtrip"] = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5
+FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

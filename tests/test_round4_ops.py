@@ -514,3 +514,23 @@ def test_lift_gains_monotone_and_reconciles(spark, sf_dir):
         assert b["cum_customers"] == a["cum_customers"] + b["n_customers"]
         assert b["cum_rev_cents"] == a["cum_rev_cents"] + b["rev_cents"]
         assert b["gain_ppm"] >= a["gain_ppm"]
+
+
+def test_xml_roundtrip_lossless(spark, sf_dir):
+    """Native-XML write+read is an identity on the documents table."""
+    rows = corpus.xml_roundtrip(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    ref = {
+        (r["lang"], r["source"]): r
+        for r in docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(ref)
+    for r in rows:
+        e = ref[(r["lang"], r["source"])]
+        assert r["n_docs"] == e["n_docs"]
+        assert r["n_distinct_md5"] == e["n_distinct_md5"]
