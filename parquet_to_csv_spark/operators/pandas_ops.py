@@ -290,3 +290,46 @@ def holt_linear_forecast(
         F.round((F.col("forecast_next") / 100.0), 4).alias("forecast_v"),
         F.round((F.col("sse") / 10000.0), 2).alias("sse_v2"),
     )
+
+
+def arrow_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E372: ``applyInArrow`` — Spark 4's Arrow-NATIVE grouped map.
+
+    One tier below the Pandas escape hatch: the worker hands each
+    group to Python as a ``pyarrow.Table`` and takes one back, with NO
+    pandas materialization on either side — no object-dtype strings,
+    no index bookkeeping, no copy out of Arrow buffers. For
+    numeric/kernel-style per-group logic (here: exact doc-length
+    profile per language via ``pyarrow.compute``) this is the cheapest
+    possible Python round-trip; the rule of thumb the repo enforces is
+    built-ins > applyInArrow > applyInPandas > never row-at-a-time.
+
+    The median is the LOWER median (sorted index (n-1)//2) — exactly
+    DuckDB's ``quantile_disc(0.5)`` — so the gate stays integer-exact.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.length("text").cast("long").alias("n_chars")
+    )
+
+    def profile(t: pa.Table) -> pa.Table:
+        chars = t.column("n_chars")
+        srt = pc.array_sort_indices(chars)
+        lower_median = chars.take([srt[(len(chars) - 1) // 2]])[0].as_py()
+        return pa.table(
+            {
+                "lang": [t.column("lang")[0].as_py()],
+                "n_docs": [len(chars)],
+                "sum_chars": [pc.sum(chars).as_py()],
+                "max_chars": [pc.max(chars).as_py()],
+                "median_chars": [lower_median],
+            }
+        )
+
+    return docs.groupBy("lang").applyInArrow(
+        profile,
+        "lang string, n_docs long, sum_chars long, max_chars long, "
+        "median_chars long",
+    )

@@ -1698,3 +1698,41 @@ def vocab_coverage_ladder(
     ).withColumn(
         "coverage_ppm", F.expr("covered_tokens * 1000000 div total_tokens")
     )
+
+
+def collated_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E373: collation-aware grouping — Spark 4 string COLLATE.
+
+    Case-insensitive semantics declared on the TYPE (``token COLLATE
+    UTF8_LCASE``) instead of materialized with ``lower()``: the
+    collated comparison runs inside codegen on the original bytes, no
+    derived column, and — the production point — composes with joins,
+    DISTINCT and sort the same way, so one declaration fixes every
+    operator downstream instead of N ``lower()`` call sites (and
+    generalizes to locale-aware collations ``lower()`` can't express).
+
+    The fixture corpus is all-lowercase, so the relation first
+    re-cases tokens deterministically (upper when ``doc_id`` is odd) —
+    giving every token exactly two case forms to merge. The gate
+    checks the merge: grouping N mixed-case forms under UTF8_LCASE
+    must reproduce the ``lower()``-keyed counts bit-for-bit (the
+    DuckDB twin), with ``n_forms`` proving the merge actually saw both
+    casings. Canonical display form = binary ``min`` of the raw forms.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("raw")
+    ).select(
+        F.when(F.col("doc_id") % 2 == 1, F.upper("raw"))
+        .otherwise(F.col("raw"))
+        .alias("token")
+    )
+    return (
+        toks.groupBy(F.expr("token COLLATE UTF8_LCASE").alias("ci_token"))
+        .agg(
+            F.min("token").alias("canonical"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("token").alias("n_forms"),
+        )
+        .select("canonical", "n_occ", "n_forms")
+    )

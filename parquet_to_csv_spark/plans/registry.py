@@ -11031,6 +11031,61 @@ FROM documents GROUP BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# E371 — Python STREAMING DataSource drain: the oracle replays the
+# drained stream from the generator formulas over range(n) — any
+# offset-advance bug (skipped range, double-read, replay drift) breaks
+# the exact sums.
+# ---------------------------------------------------------------------------
+
+from parquet_to_csv_spark.sources import pysource as _pysource  # noqa: E402
+
+QUERIES["python_stream_digest"] = _pysource.python_stream_digest
+ORACLES["python_stream_digest"] = """
+WITH g AS (
+  SELECT t.i AS id, (t.i * 2654435761) % 1000003 AS v
+  FROM unnest(range(0, 3000)) AS t(i)
+)
+SELECT v % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(id) AS BIGINT) AS id_sum,
+       CAST(sum(v) AS BIGINT) AS v_sum,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_distinct_ids
+FROM g GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# E372 — applyInArrow grouped profile; lower median (sorted index
+# (n-1)//2) == DuckDB quantile_disc(0.5), integer-exact.
+# ---------------------------------------------------------------------------
+
+QUERIES["arrow_grouped_profile"] = pandas_ops.arrow_grouped_profile
+ORACLES["arrow_grouped_profile"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars,
+       CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS median_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# E373 — collation-aware grouping: UTF8_LCASE groupBy must reproduce
+# the lower()-keyed oracle counts bit-for-bit.
+# ---------------------------------------------------------------------------
+
+QUERIES["collated_token_counts"] = text.collated_token_counts
+ORACLES["collated_token_counts"] = f"""
+WITH toks AS (
+  SELECT CASE WHEN doc_id % 2 = 1 THEN upper(token) ELSE token END AS token
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+)
+SELECT min(token) AS canonical, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_forms
+FROM toks GROUP BY lower(token)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

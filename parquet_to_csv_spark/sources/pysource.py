@@ -178,3 +178,108 @@ def write_jsonl_sink(df, path: str) -> None:
     spark = df.sparkSession
     spark.dataSource.register(JsonlSinkDataSource)
     df.write.format("jsonl_sink").option("path", path).mode("append").save()
+
+
+# ---------------------------------------------------------------------------
+# E371: the STREAMING side of the Python DataSource API (Spark 4
+# ``SimpleDataSourceStreamReader``) — a deterministic counter stream.
+# The reader owns its offset (a plain dict checkpointed by Spark),
+# advances at most ``step`` ids per micro-batch up to ``n_rows``, and
+# can replay any [start, end) range exactly (``readBetweenOffsets`` —
+# the recovery contract: offsets are durable, data is re-derivable).
+# Every value is a pure function of the row id, so the DuckDB oracle
+# replays the drained stream with arithmetic over ``range(n)`` — the
+# E319 discipline applied to a STREAM.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+_KNUTH = 2654435761
+_VMOD = 1000003
+
+
+class CounterStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 5000))
+        self.step = int(options.get("step", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        for i in range(start, end):
+            yield (i, (i * _KNUTH) % _VMOD)
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.step, self.n_rows)
+        # a PICKLABLE iterator (list_iterator), not a generator: the
+        # runner prefetches the batch on the driver (calls next() to
+        # cache it) and then pickles the entry to executors — a raw
+        # generator fails the pickle, a plain list fails the next()
+        return iter(list(self._rows(lo, hi))), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["pos"], end["pos"])))
+
+
+class CounterStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "counter_stream"
+
+    def schema(self) -> str:
+        return "id bigint, v bigint"
+
+    def simpleStreamReader(self, schema: StructType) -> CounterStreamReader:
+        return CounterStreamReader(self.options)
+
+
+_STREAM_DIGEST_CACHE: dict[tuple[int, int], str] = {}
+
+
+def python_stream_digest(spark, sf_dir: str, n_rows: int = 3000, step: int = 1000):
+    """EXT E371 gate query: drain the Python streaming source through a
+    real ``writeStream`` (parquet sink + checkpoint — the durable
+    exactly-once pairing), then digest the landed rows per value
+    bucket. ``processAllAvailable`` drives the reader through
+    ceil(n_rows/step) micro-batches until the offset stops moving; any
+    offset-advance bug (skipped range, double-read on the batch
+    boundary, replay drift) breaks the exact id/value sums. ``sf_dir``
+    unused (generated workload; uniform registry signature); the
+    drained parquet is memoized per (n_rows, step) per process —
+    build-once/serve-many, like every other staged artifact here.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    key = (n_rows, step)
+    if key not in _STREAM_DIGEST_CACHE:
+        spark.dataSource.register(CounterStreamDataSource)
+        out = tempfile.mkdtemp(prefix="pystream_out_")
+        ckpt = tempfile.mkdtemp(prefix="pystream_ckpt_")
+        q = (
+            spark.readStream.format("counter_stream")
+            .option("n_rows", n_rows)
+            .option("step", step)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _STREAM_DIGEST_CACHE[key] = out
+    landed = spark.read.schema("id bigint, v bigint").parquet(
+        _STREAM_DIGEST_CACHE[key]
+    )
+    return landed.groupBy((F.col("v") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("id_sum"),
+        F.sum("v").alias("v_sum"),
+        F.count_distinct("id").alias("n_distinct_ids"),
+    )

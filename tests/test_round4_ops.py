@@ -534,3 +534,62 @@ def test_xml_roundtrip_lossless(spark, sf_dir):
         e = ref[(r["lang"], r["source"])]
         assert r["n_docs"] == e["n_docs"]
         assert r["n_distinct_md5"] == e["n_distinct_md5"]
+
+
+def test_python_stream_digest_matches_formula(spark, sf_dir):
+    """The drained stream equals the arithmetic replay: no skipped or
+    double-read offset ranges across micro-batch boundaries."""
+    from parquet_to_csv_spark.sources.pysource import python_stream_digest
+
+    rows = {r["bucket"]: r for r in python_stream_digest(spark, sf_dir).collect()}
+    want: dict[int, list[int]] = {}
+    for i in range(3000):
+        v = (i * 2654435761) % 1000003
+        b = v % 10
+        agg = want.setdefault(b, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += i
+        agg[2] += v
+    assert set(rows) == set(want)
+    for b, (n, id_sum, v_sum) in want.items():
+        assert rows[b]["n"] == n == rows[b]["n_distinct_ids"]
+        assert rows[b]["id_sum"] == id_sum
+        assert rows[b]["v_sum"] == v_sum
+
+
+def test_arrow_grouped_profile_exact(spark, sf_dir):
+    from parquet_to_csv_spark.operators.pandas_ops import arrow_grouped_profile
+
+    rows = {r["lang"]: r for r in arrow_grouped_profile(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    for lang, r in rows.items():
+        lens = sorted(
+            x["n"] for x in docs.filter(F.col("lang") == lang)
+            .select(F.length("text").alias("n")).collect()
+        )
+        assert r["n_docs"] == len(lens)
+        assert r["sum_chars"] == sum(lens)
+        assert r["max_chars"] == lens[-1]
+        assert r["median_chars"] == lens[(len(lens) - 1) // 2]
+
+
+def test_collated_counts_merge_case_forms(spark, sf_dir):
+    from parquet_to_csv_spark.operators.text import collated_token_counts
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+
+    rows = collated_token_counts(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        r["t"]: r["c"]
+        for r in docs.select(F.explode(tokens_col("text")).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    got = {r["canonical"].lower(): r for r in rows}
+    assert set(got) == set(base)
+    for t, r in got.items():
+        assert r["n_occ"] == base[t]
+        # both casings exist for every token in this corpus (odd AND
+        # even doc_ids contain common tokens), so the merge saw >= 1
+        assert 1 <= r["n_forms"] <= 2
+    # at least one token must have genuinely merged two case forms
+    assert any(r["n_forms"] == 2 for r in rows)
