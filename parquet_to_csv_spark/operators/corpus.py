@@ -2794,3 +2794,56 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_doc_id"),
         F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
     )
+
+
+def fim_transform_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E375: fill-in-the-middle (FIM) transformation audit — the
+    code-LLM preprocessing step (Bavarian et al., public) that splits
+    each document into (prefix, middle, suffix) and re-serializes it
+    as PSM or SPM with sentinel tokens, teaching infilling.
+
+    Deterministic split in pure integer arithmetic — prefix =
+    chars [1, 4L div 10], middle = (4L div 10, 85L div 100], suffix =
+    the rest; mode = PSM for even doc_id, SPM for odd (the 50/50 rate
+    the paper recommends). The audit proves the transform is
+    LOSSLESS at corpus scale: per (lang, mode), span char masses must
+    sum exactly to the original text mass (any off-by-one at a split
+    boundary, the classic FIM bug, breaks conservation), plus the
+    sentinel-token overhead actually added. One scan, one aggregate;
+    the transform itself is three substrings inside codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n"),
+        F.expr("substring(text, 1, (length(text) * 4) div 10)").alias("p"),
+        F.expr(
+            "substring(text, (length(text) * 4) div 10 + 1,"
+            " (length(text) * 85) div 100 - (length(text) * 4) div 10)"
+        ).alias("m"),
+        F.expr(
+            "substring(text, (length(text) * 85) div 100 + 1,"
+            " length(text) - (length(text) * 85) div 100)"
+        ).alias("s"),
+    )
+    spans = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+        .alias("mode"),
+        "n",
+        F.length("p").alias("np"),
+        F.length("m").alias("nm"),
+        F.length("s").alias("ns"),
+    )
+    return spans.groupBy("lang", "mode").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("np").alias("prefix_chars"),
+        F.sum("nm").alias("middle_chars"),
+        F.sum("ns").alias("suffix_chars"),
+        F.sum("n").alias("total_chars"),
+        F.sum(
+            F.when(F.col("np") + F.col("nm") + F.col("ns") == F.col("n"), 0)
+            .otherwise(1)
+        ).alias("n_conservation_violations"),
+    )

@@ -3080,3 +3080,56 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents", "n_orders",
         )
     )
+
+
+def nullsafe_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E376: null-safe equality join (``<=>`` / IS NOT DISTINCT
+    FROM) — the join SQL equality silently drops. Entity-resolution
+    keys are routinely partial (email/phone/attribute NULL = unknown);
+    plain ``=`` evaluates NULL = NULL to NULL, so every
+    unknown-keyed row falls out of an inner join and the loss is
+    invisible. ``<=>`` treats NULL as a VALUE (matches NULL with
+    NULL, hashes and shuffles like any key — still a plain hash join,
+    no plan penalty).
+
+    Fixture: the props-bag ``k`` banded then NULLed on one band
+    (``nullif`` — the "unknown" class), distinct per-user keys from
+    the even/odd event-id halves, joined both ways. The audit row
+    quantifies exactly what ``=`` lost: ``n_nullsafe - n_eq`` =
+    unknown-to-unknown matches, the rows an entity-resolution run
+    would silently fail to link.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "nullif(cast(get_json_object(props, '$.k') as int) div 25, 1)"
+        ).alias("k_null"),
+    )
+    a = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "k_null").distinct()
+    b = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "k_null").distinct()
+    eq = a.join(
+        b,
+        (a.user_id == b.user_id) & (a.k_null == b.k_null),
+    )
+    ns = a.join(
+        b,
+        (a.user_id == b.user_id) & a.k_null.eqNullSafe(b.k_null),
+    )
+    return (
+        a.agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.sum(F.col("k_null").isNull().cast("long")).alias("n_null_a"),
+        )
+        .join(F.broadcast(b.agg(F.count(F.lit(1)).alias("n_b"))))
+        .join(F.broadcast(eq.agg(F.count(F.lit(1)).alias("n_eq"))))
+        .join(F.broadcast(ns.agg(F.count(F.lit(1)).alias("n_nullsafe"))))
+        .select(
+            "n_a",
+            "n_b",
+            "n_null_a",
+            "n_eq",
+            "n_nullsafe",
+            (F.col("n_nullsafe") - F.col("n_eq")).alias("n_rescued_links"),
+        )
+    )

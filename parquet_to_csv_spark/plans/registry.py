@@ -11086,6 +11086,84 @@ FROM toks GROUP BY lower(token)
 
 
 # ---------------------------------------------------------------------------
+# E374 — incremental snapshot consumption: the delta scan digest must
+# equal the %3==2 slice recomputed from the raw table (manifest file
+# set difference == exactly the appended rows).
+# ---------------------------------------------------------------------------
+
+from parquet_to_csv_spark.sources import layout as _layout  # noqa: E402
+
+QUERIES["snapshot_delta_scan"] = _layout.snapshot_delta_scan
+ORACLES["snapshot_delta_scan"] = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum({duck_units("o_totalprice", 2)}) AS BIGINT) AS rev_cents
+FROM orders WHERE o_orderkey % 3 = 2 GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# E375 — FIM split conservation audit; pure integer substring bounds,
+# identical 1-based substring semantics in both engines.
+# ---------------------------------------------------------------------------
+
+QUERIES["fim_transform_audit"] = corpus.fim_transform_audit
+ORACLES["fim_transform_audit"] = """
+WITH s AS (
+  SELECT lang,
+         CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+         length(text) AS n,
+         length(substring(text, 1, (length(text) * 4) // 10)) AS np,
+         length(substring(text, (length(text) * 4) // 10 + 1,
+                (length(text) * 85) // 100 - (length(text) * 4) // 10)) AS nm,
+         length(substring(text, (length(text) * 85) // 100 + 1,
+                length(text) - (length(text) * 85) // 100)) AS ns
+  FROM documents
+)
+SELECT lang, mode, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(np) AS BIGINT) AS prefix_chars,
+       CAST(sum(nm) AS BIGINT) AS middle_chars,
+       CAST(sum(ns) AS BIGINT) AS suffix_chars,
+       CAST(sum(n) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN np + nm + ns = n THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_conservation_violations
+FROM s GROUP BY lang, mode
+"""
+
+
+# ---------------------------------------------------------------------------
+# E376 — null-safe join audit: DuckDB IS NOT DISTINCT FROM is the
+# <=> twin; the distinct per-half key relations bound the join.
+# ---------------------------------------------------------------------------
+
+QUERIES["nullsafe_join_audit"] = relational.nullsafe_join_audit
+ORACLES["nullsafe_join_audit"] = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         nullif(CAST(json_extract(props, '$.k') AS INTEGER) // 25, 1) AS k_null
+  FROM events
+), a AS (SELECT DISTINCT user_id, k_null FROM ev WHERE event_id % 2 = 0),
+b AS (SELECT DISTINCT user_id, k_null FROM ev WHERE event_id % 2 = 1),
+eq AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eq
+  FROM a JOIN b ON a.user_id = b.user_id AND a.k_null = b.k_null
+), ns AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nullsafe
+  FROM a JOIN b ON a.user_id = b.user_id
+              AND a.k_null IS NOT DISTINCT FROM b.k_null
+), ca AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         CAST(coalesce(sum(CASE WHEN k_null IS NULL THEN 1 END), 0) AS BIGINT)
+           AS n_null_a
+  FROM a
+), cb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b)
+SELECT n_a, n_b, n_null_a, n_eq, n_nullsafe,
+       CAST(n_nullsafe - n_eq AS BIGINT) AS n_rescued_links
+FROM ca CROSS JOIN cb CROSS JOIN eq CROSS JOIN ns
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

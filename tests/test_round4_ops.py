@@ -593,3 +593,47 @@ def test_collated_counts_merge_case_forms(spark, sf_dir):
         assert 1 <= r["n_forms"] <= 2
     # at least one token must have genuinely merged two case forms
     assert any(r["n_forms"] == 2 for r in rows)
+
+
+def test_snapshot_delta_scan_incremental_only(spark, sf_dir):
+    """Delta v1->v2 contains exactly the appended third, and the delta
+    read plans a scan of ONLY the v2 data files."""
+    from parquet_to_csv_spark.sources import layout
+
+    rows = layout.snapshot_delta_scan(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    want = orders.filter(F.col("o_orderkey") % 3 == 2).count()
+    assert sum(r["n_orders"] for r in rows) == want
+    tdir = next(iter(layout._DELTA_TABLE_CACHE.values()))
+    delta = layout.read_version_delta(spark, tdir, 1, 2)
+    files = {
+        r["f"] for r in delta.select(
+            F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files and all("/data/v2/" in f for f in files)
+    # full-history sanity: v2 snapshot == whole table
+    assert layout.read_version(spark, tdir, 2).count() == orders.count()
+
+
+def test_fim_split_conserves_chars(spark, sf_dir):
+    rows = corpus.fim_transform_audit(spark, sf_dir).collect()
+    assert {r["mode"] for r in rows} == {"psm", "spm"}
+    for r in rows:
+        assert r["n_conservation_violations"] == 0
+        assert (
+            r["prefix_chars"] + r["middle_chars"] + r["suffix_chars"]
+            == r["total_chars"]
+        )
+        # the 40/45/15 split should roughly hold at corpus scale
+        assert abs(r["prefix_chars"] - r["total_chars"] * 0.4) < r["n_docs"]
+        assert abs(r["middle_chars"] - r["total_chars"] * 0.45) < 2 * r["n_docs"]
+
+
+def test_nullsafe_join_rescues_null_links(spark, sf_dir):
+    from parquet_to_csv_spark.operators.relational import nullsafe_join_audit
+
+    r = nullsafe_join_audit(spark, sf_dir).collect()[0]
+    assert r["n_null_a"] > 0          # the unknown class exists
+    assert r["n_nullsafe"] > r["n_eq"]  # and plain = silently drops it
+    assert r["n_rescued_links"] == r["n_nullsafe"] - r["n_eq"]
+    assert r["n_eq"] <= min(r["n_a"], r["n_b"]) ** 2  # sanity bound
