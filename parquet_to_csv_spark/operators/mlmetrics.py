@@ -2253,3 +2253,67 @@ def lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E377: SPRT / anytime-valid experiment monitor (Wald's
+    sequential probability ratio test — the peeking-proof monitor; a
+    fixed-horizon z-test read daily inflates false positives, the SPRT
+    LLR boundary crossing is valid at EVERY look).
+
+    Pre-registered simple hypotheses (the SPRT requirement — data-
+    independent): H0 purchase rate p0 = 4%, H1 p1 = 5%. Per calendar
+    day, the cumulative log-likelihood ratio over treatment-arm events
+    (md5 arm split) is
+
+        LLR_d = S_d·ln(p1/p0) + (N_d−S_d)·ln((1−p1)/(1−p0)),
+
+    computed EXACTLY as integer multiples of two micro-rounded ln
+    constants (each one ln of an exact rational — the repo's
+    cross-engine float recipe), so the daily ledger and the boundary
+    decisions (±ln 19, α=β=0.05) are bit-identical across engines.
+    Scale shape: one scan → per-day partial counts, a cumulative
+    window over the bounded CALENDAR grain only.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    daily = (
+        ev.filter(md5_bucket(F.col("user_id"), 2) == 1)
+        .select(
+            F.expr("ts div 86400000000000").alias("day"),
+            (F.col("event_type") == "purchase").cast("long").alias("x"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    )
+    # ln(5/4) and ln(95/96), micro-rounded once (exact-rational inputs)
+    lln1 = F.expr("cast(floor(ln(5e0 / 4e0) * 1000000 + 0.5) as long)")
+    lln0 = F.expr("cast(floor(ln(95e0 / 96e0) * 1000000 + 0.5) as long)")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n").over(w).alias("n_cum"),
+        F.sum("s").over(w).alias("s_cum"),
+    )
+    llr = cum.select(
+        "day",
+        "n_cum",
+        "s_cum",
+        (
+            F.col("s_cum") * lln1 + (F.col("n_cum") - F.col("s_cum")) * lln0
+        ).alias("llr_micro"),
+    )
+    upper = F.expr("cast(floor(ln(19e0) * 1000000 + 0.5) as long)")
+    return llr.select(
+        "day",
+        "n_cum",
+        "s_cum",
+        "llr_micro",
+        F.when(F.col("llr_micro") >= upper, F.lit("accept_h1"))
+        .when(F.col("llr_micro") <= -upper, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

@@ -2872,3 +2872,51 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trend"),
         )
     )
+
+
+def closing_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E379: semi-additive measure — the accounting aggregation
+    rule additive rollups get WRONG. A balance-like measure (here: a
+    user's running engagement value, stand-in for an account balance)
+    is additive ACROSS accounts but NOT across time: a month's figure
+    is the sum of each account's LAST observation in that month, not
+    the sum of all observations. Plan: per (user, month) closing value
+    via one PARTITIONED row_number window (user×month grain — hashes
+    across the cluster, never global), then an additive rollup across
+    users, then month-over-month delta over the bounded calendar
+    grain. Ties on ts break by event_id — deterministic in both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("cast((ts div 86400000000000) div 30 as int)").alias("month"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "month").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    closing = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("month", "cents")
+    )
+    monthly = closing.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_accounts"),
+        F.sum("cents").alias("closing_total_cents"),
+    )
+    wm = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n_accounts",
+        "closing_total_cents",
+        (
+            F.col("closing_total_cents")
+            - F.coalesce(
+                F.lag("closing_total_cents").over(wm), F.lit(0)
+            )
+        ).alias("mom_delta_cents"),
+    )

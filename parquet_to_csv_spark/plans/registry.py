@@ -11164,6 +11164,141 @@ FROM ca CROSS JOIN cb CROSS JOIN eq CROSS JOIN ns
 
 
 # ---------------------------------------------------------------------------
+# E377 — SPRT anytime-valid monitor: integer multiples of two
+# micro-rounded ln constants; decisions vs ±ln(19) thresholds.
+# ---------------------------------------------------------------------------
+
+QUERIES["sprt_monitor"] = mlmetrics.sprt_monitor
+ORACLES["sprt_monitor"] = f"""
+WITH daily AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+              AS BIGINT) AS s
+  FROM events
+  WHERE {corpus.duck_md5_bucket("user_id", 2)} = 1
+  GROUP BY 1
+), cum AS (
+  SELECT day,
+         CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS n_cum,
+         CAST(sum(s) OVER (ORDER BY day) AS BIGINT) AS s_cum
+  FROM daily
+), llr AS (
+  SELECT day, n_cum, s_cum,
+         CAST(s_cum * CAST(floor(ln(5.0 / 4.0) * 1000000 + 0.5) AS BIGINT)
+              + (n_cum - s_cum)
+                * CAST(floor(ln(95.0 / 96.0) * 1000000 + 0.5) AS BIGINT)
+              AS BIGINT) AS llr_micro
+  FROM cum
+)
+SELECT day, n_cum, s_cum, llr_micro,
+       CASE WHEN llr_micro >= CAST(floor(ln(19.0) * 1000000 + 0.5) AS BIGINT)
+              THEN 'accept_h1'
+            WHEN llr_micro <= -CAST(floor(ln(19.0) * 1000000 + 0.5) AS BIGINT)
+              THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+"""
+
+
+# ---------------------------------------------------------------------------
+# E378 — Bloom file-skipping: the oracle replays the exact k=3 md5 bit
+# positions over deterministic key-range shards.
+# ---------------------------------------------------------------------------
+
+QUERIES["bloom_skipping_report"] = _layout.bloom_skipping_report
+_BLOOM_POS = lambda expr, j: corpus.duck_md5_bucket(  # noqa: E731
+    f"CAST({expr} AS VARCHAR) || '#b{j}'", 8192
+)
+ORACLES["bloom_skipping_report"] = f"""
+WITH mx AS (SELECT max(o_orderkey) AS _mx FROM orders),
+keyed AS (
+  SELECT CAST(o_orderkey * 16 // (_mx + 1) AS INTEGER) AS shard, o_custkey
+  FROM orders CROSS JOIN mx
+),
+manifest AS (
+  SELECT DISTINCT shard, pos FROM (
+    SELECT shard, unnest([{_BLOOM_POS("o_custkey", 0)},
+                          {_BLOOM_POS("o_custkey", 1)},
+                          {_BLOOM_POS("o_custkey", 2)}]) AS pos
+    FROM keyed
+  )
+),
+probes AS (
+  SELECT c_custkey FROM customer
+  WHERE {corpus.duck_md5_bucket("c_custkey", 997)} < 50
+),
+ppos AS (
+  SELECT c_custkey, unnest([{_BLOOM_POS("c_custkey", 0)},
+                            {_BLOOM_POS("c_custkey", 1)},
+                            {_BLOOM_POS("c_custkey", 2)}]) AS pos
+  FROM probes
+),
+hits AS (
+  SELECT c_custkey, shard
+  FROM ppos JOIN manifest USING (pos)
+  GROUP BY c_custkey, shard HAVING count(*) = 3
+),
+truth AS (
+  SELECT DISTINCT p.c_custkey, k.shard
+  FROM keyed k JOIN probes p ON k.o_custkey = p.c_custkey
+),
+joined AS (
+  SELECT h.c_custkey IS NOT NULL AS bloom_hit,
+         t.c_custkey IS NOT NULL AS present
+  FROM hits h FULL OUTER JOIN truth t
+    ON h.c_custkey = t.c_custkey AND h.shard = t.shard
+),
+agg AS (
+  SELECT CAST(coalesce(sum(CASE WHEN bloom_hit THEN 1 END), 0) AS BIGINT)
+           AS n_bloom_hits,
+         CAST(coalesce(sum(CASE WHEN present THEN 1 END), 0) AS BIGINT)
+           AS n_true_pairs,
+         CAST(coalesce(sum(CASE WHEN bloom_hit AND NOT present THEN 1 END), 0)
+              AS BIGINT) AS n_false_positives,
+         CAST(coalesce(sum(CASE WHEN NOT bloom_hit AND present THEN 1 END), 0)
+              AS BIGINT) AS n_false_negatives
+  FROM joined
+), np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes)
+SELECT n_probes, n_bloom_hits, n_true_pairs, n_false_positives,
+       n_false_negatives,
+       CAST((n_probes * 16 - n_bloom_hits) * 1000000 // (n_probes * 16)
+            AS BIGINT) AS skip_rate_ppm
+FROM agg CROSS JOIN np
+"""
+
+
+# ---------------------------------------------------------------------------
+# E379 — semi-additive closing balance: last-per-(user, month) via a
+# PARTITIONED row_number, additive only across accounts.
+# ---------------------------------------------------------------------------
+
+QUERIES["closing_balance_report"] = timeops.closing_balance_report
+ORACLES["closing_balance_report"] = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST((epoch_ms(ts) // 86400000) // 30 AS INTEGER) AS month,
+         {duck_units("value", 2)} AS cents,
+         row_number() OVER (
+           PARTITION BY user_id, (epoch_ms(ts) // 86400000) // 30
+           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+), closing AS (
+  SELECT month, cents FROM ev WHERE rn = 1
+), monthly AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_accounts,
+         CAST(sum(cents) AS BIGINT) AS closing_total_cents
+  FROM closing GROUP BY month
+)
+SELECT month, n_accounts, closing_total_cents,
+       CAST(closing_total_cents
+            - coalesce(lag(closing_total_cents) OVER (ORDER BY month), 0)
+            AS BIGINT) AS mom_delta_cents
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

@@ -667,3 +667,129 @@ def snapshot_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         ),
     )
+
+
+def bloom_skipping_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 16,
+    m_bits: int = 8192,
+    n_probes: int = 50,
+) -> DataFrame:
+    """EXT E378: Bloom-filter file-skipping manifest — the point-lookup
+    complement of E50's min/max skipping. A sharded layout sorted on
+    one key (E60's range export: shard = orderkey range) cannot
+    min/max-prune lookups on a DIFFERENT column; per-file Bloom
+    bitmaps on that column can. Manifest build: per (shard, custkey),
+    k=3 md5-derived bit positions, collapsed to the shard's DISTINCT
+    position set (shuffle ∝ shards × m_bits at most — the manifest is
+    metadata-sized). Probe: a key hits a shard iff ALL 3 of its
+    positions are set (count == 3 on an equi-join against the
+    manifest); files not hit are skipped without reading a byte.
+
+    The report gates the two quantities that matter: skipped-file rate
+    (the read savings) and false-positive pairs (bloom hits where the
+    key is truly absent — must be FEW at these m/n ratios, and NEVER a
+    false negative, which the gate's exact true-membership join
+    proves). Shards are deterministic key ranges so the DuckDB twin
+    replays the exact bit arithmetic; on a real lakehouse the same
+    manifest hangs off E315's snapshot commits.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = F.broadcast(orders.agg(F.max("o_orderkey").alias("_mx")))
+    keyed = orders.join(bounds).select(
+        F.expr(f"cast(o_orderkey * {n_shards} div (_mx + 1) as int)").alias(
+            "shard"
+        ),
+        "o_custkey",
+    )
+    # manifest: distinct (shard, bit position) for k=3 salted hashes
+    pos = [
+        md5_bucket(
+            F.concat(F.col("o_custkey").cast("string"), F.lit(f"#b{j}")),
+            m_bits,
+        ).alias(f"p{j}")
+        for j in range(3)
+    ]
+    manifest = (
+        keyed.select("shard", *pos)
+        .select(
+            "shard",
+            F.explode(F.array("p0", "p1", "p2")).alias("pos"),
+        )
+        .distinct()
+    )
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(md5_bucket(F.col("c_custkey"), 997) < F.lit(n_probes))
+    )
+    ppos = probes.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                *[
+                    md5_bucket(
+                        F.concat(
+                            F.col("c_custkey").cast("string"), F.lit(f"#b{j}")
+                        ),
+                        m_bits,
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        ppos.join(manifest, "pos")
+        .groupBy("c_custkey", "shard")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .filter(F.col("k_hit") == 3)
+        .select("c_custkey", "shard")
+    )
+    truth = (
+        keyed.join(probes, keyed.o_custkey == probes.c_custkey)
+        .select("c_custkey", "shard")
+        .distinct()
+    )
+    joined = (
+        hits.withColumn("_bh", F.lit(1))
+        .join(
+            truth.withColumn("_pr", F.lit(1)),
+            ["c_custkey", "shard"],
+            "full_outer",
+        )
+        .select(
+            F.col("_bh").isNotNull().alias("bloom_hit"),
+            F.col("_pr").isNotNull().alias("present"),
+        )
+    )
+    return (
+        joined.agg(
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+            F.sum(F.col("present").cast("long")).alias("n_true_pairs"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("present")).cast("long")
+            ).alias("n_false_positives"),
+            F.sum(
+                (~F.col("bloom_hit") & F.col("present")).cast("long")
+            ).alias("n_false_negatives"),
+        )
+        .join(F.broadcast(probes.agg(F.count(F.lit(1)).alias("n_probes"))))
+        .select(
+            "n_probes",
+            "n_bloom_hits",
+            "n_true_pairs",
+            "n_false_positives",
+            "n_false_negatives",
+            F.expr(
+                f"(n_probes * {int(n_shards)} - n_bloom_hits) * 1000000"
+                f" div (n_probes * {int(n_shards)})"
+            ).alias("skip_rate_ppm"),
+        )
+    )

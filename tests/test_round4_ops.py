@@ -637,3 +637,65 @@ def test_nullsafe_join_rescues_null_links(spark, sf_dir):
     assert r["n_nullsafe"] > r["n_eq"]  # and plain = silently drops it
     assert r["n_rescued_links"] == r["n_nullsafe"] - r["n_eq"]
     assert r["n_eq"] <= min(r["n_a"], r["n_b"]) ** 2  # sanity bound
+
+
+def test_sprt_monitor_llr_ledger(spark, sf_dir):
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    rows = sorted(mlmetrics.sprt_monitor(spark, sf_dir).collect(),
+                  key=lambda r: r["day"])
+    ev = load_table(spark, sf_dir, "events").filter(
+        md5_bucket(F.col("user_id"), 2) == 1
+    )
+    assert rows[-1]["n_cum"] == ev.count()
+    assert rows[-1]["s_cum"] == ev.filter(
+        F.col("event_type") == "purchase").count()
+    # cumulative columns are monotone; llr is the exact integer form
+    import math
+    a = math.floor(math.log(5 / 4) * 1e6 + 0.5)
+    b = math.floor(math.log(95 / 96) * 1e6 + 0.5)
+    thr = math.floor(math.log(19) * 1e6 + 0.5)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_cum"] >= prev["n_cum"]
+        assert cur["s_cum"] >= prev["s_cum"]
+    for r in rows:
+        assert r["llr_micro"] == r["s_cum"] * a + (r["n_cum"] - r["s_cum"]) * b
+        want = ("accept_h1" if r["llr_micro"] >= thr
+                else "accept_h0" if r["llr_micro"] <= -thr else "continue")
+        assert r["decision"] == want
+
+
+def test_bloom_skipping_no_false_negatives(spark, sf_dir):
+    from parquet_to_csv_spark.sources.layout import bloom_skipping_report
+
+    r = bloom_skipping_report(spark, sf_dir).collect()[0]
+    assert r["n_probes"] > 0
+    # the bloom contract: zero false negatives, few false positives
+    assert r["n_false_negatives"] == 0
+    assert r["n_bloom_hits"] == r["n_true_pairs"] + r["n_false_positives"]
+    assert r["n_false_positives"] <= r["n_true_pairs"]  # m/n keeps fp low
+    assert 0 < r["skip_rate_ppm"] < 1_000_000
+
+
+def test_closing_balance_semi_additive(spark, sf_dir):
+    from parquet_to_csv_spark.operators.timeops import closing_balance_report
+
+    rows = sorted(closing_balance_report(spark, sf_dir).collect(),
+                  key=lambda r: r["month"])
+    ev = load_table(spark, sf_dir, "events")
+    # accounts per month == distinct users active that month
+    per_month = {
+        r["m"]: r["u"]
+        for r in ev.select(
+            F.expr("cast((ts div 86400000000000) div 30 as int)").alias("m"),
+            "user_id",
+        ).groupBy("m").agg(F.countDistinct("user_id").alias("u")).collect()
+    }
+    assert {r["month"] for r in rows} == set(per_month)
+    for r in rows:
+        assert r["n_accounts"] == per_month[r["month"]]
+    # mom_delta telescopes back to the level series
+    prev = 0
+    for r in rows:
+        assert r["mom_delta_cents"] == r["closing_total_cents"] - prev
+        prev = r["closing_total_cents"]
