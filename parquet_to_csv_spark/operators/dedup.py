@@ -2166,3 +2166,101 @@ def neardup_reach_hops(
             F.expr("n_docs * 1000000 div _n_docs").alias("share_ppm"),
         )
     )
+
+
+def fs_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E381: Fellegi–Sunter record linkage — probabilistic entity
+    matching across SYSTEMS (vs the within-corpus text near-dup tier):
+    candidate pairs from blocking, per-FIELD agreement vector, and a
+    match score that is the sum of pre-registered log-likelihood
+    weights ln(m/u) / ln((1−m)/(1−u)) per agreeing/disagreeing field
+    (m = P(agree | same entity), u = P(agree | different) — here
+    fixed, externally calibrated constants; the EM estimation loop is
+    the documented at-scale extension, same fixed-point machinery as
+    E56/E127).
+
+    Fixture: a deterministic "system B" extract — 25 % of customers,
+    ids offset by 10^7, with realistic corruptions (case-mangled name
+    on half, market segment miskeyed on a fifth, balance drifted 37
+    cents on a third). Blocking on nationkey keeps candidates
+    |block_A|×|block_B| per nation — the relational shape that holds
+    at any scale with a tight enough key. The gate groups pairs by
+    agreement PATTERN: each of the 8 patterns carries its exact
+    integer score (micro, via floored-ln constants on e0 double
+    literals), pair count, true-match count and precision — the
+    operating-characteristic table a linkage deployment tunes its
+    threshold on.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_nationkey").alias("nation"),
+        F.lower("c_name").alias("a_name_ci"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as long) div 1000").alias(
+            "a_band"
+        ),
+    )
+    src = cust.filter(md5_bucket(F.col("c_custkey"), 4) == 0)
+    b = src.select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("b_id"),
+        F.col("c_custkey").alias("b_orig"),
+        F.col("c_nationkey").alias("nation"),
+        # case mangling never survives the ci comparison — harmless;
+        # segment miskeying and balance drift are the real corruptions
+        F.lower("c_name").alias("b_name_ci"),
+        F.when(
+            md5_bucket(F.concat(F.col("c_custkey").cast("string"), F.lit("#seg")), 5)
+            == 0,
+            F.lit("CORRUPTED"),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        (
+            F.expr("cast(floor(c_acctbal * 100 + 0.5) as long)")
+            + F.when(
+                md5_bucket(
+                    F.concat(F.col("c_custkey").cast("string"), F.lit("#bal")), 3
+                )
+                == 0,
+                F.lit(37),
+            ).otherwise(F.lit(0))
+        ).alias("b_cents"),
+    ).withColumn("b_band", F.expr("b_cents div 1000"))
+    pairs = a.join(b, "nation").select(
+        (F.col("a_name_ci") == F.col("b_name_ci")).alias("name_agree"),
+        (F.col("a_seg") == F.col("b_seg")).alias("seg_agree"),
+        (F.col("a_band") == F.col("b_band")).alias("band_agree"),
+        (F.col("a_id") == F.col("b_orig")).cast("long").alias("is_true"),
+    )
+    # pre-registered (m, u) per field -> micro log-weights, the
+    # floor(ln(rational)*1e6 + 0.5) recipe on e0 double literals
+    w = {
+        "name": ("ln(99e0/1e0)", "ln(1e0/99e0)"),      # m=.99, u=.01
+        "seg": ("ln(80e0/20e0)", "ln(20e0/80e0)"),     # m=.80, u=.20
+        "band": ("ln(90e0/10e0)", "ln(10e0/90e0)"),    # m=.90, u=.10
+    }
+    def _w(expr: str):
+        return f"cast(floor(({expr}) * 1000000 + 0.5) as long)"
+
+    score = " + ".join(
+        f"if({f}_agree, {_w(agr)}, {_w(dis)})" for f, (agr, dis) in w.items()
+    )
+    return (
+        pairs.groupBy("name_agree", "seg_agree", "band_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_true").alias("n_true"),
+        )
+        .select(
+            "name_agree",
+            "seg_agree",
+            "band_agree",
+            F.expr(score).alias("score_micro"),
+            "n_pairs",
+            "n_true",
+            F.expr("n_true * 1000000 div n_pairs").alias("precision_ppm"),
+        )
+    )

@@ -3133,3 +3133,76 @@ def nullsafe_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_nullsafe") - F.col("n_eq")).alias("n_rescued_links"),
         )
     )
+
+
+def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E380: Oaxaca-style mix-vs-within decomposition — the "why
+    did the average move" readout. The change in overall mean order
+    value between two halves of the date range is attributed per
+    priority group g:
+
+        mix_g    = (share2_g − share1_g) · mean1_g     (composition)
+        within_g = share2_g · (mean2_g − mean1_g)      (behavior)
+
+    with Σ_g (mix_g + within_g) = Δmean exactly in rational
+    arithmetic; the integer-unit outputs quantize shares to ppm, so
+    the reconstruction residual is bounded by Σ_g mean_g/10^6 — a
+    few cents on dollar-scale means, pinned by the pytest bound.
+    Shares in exact ppm, means in 4dp-cents; both engines truncate
+    integer division identically (probed: both round toward zero).
+    One scan → (period × priority) partials (bounded grain); every
+    division happens on the tiny aggregate relation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            F.when(F.year("o_orderdate") <= 1997, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("period"),
+            F.col("o_orderpriority").alias("priority"),
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as long)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("period", "priority")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("cents").alias("s"))
+    )
+    tot = per.groupBy("period").agg(
+        F.sum("c").alias("tc"), F.sum("s").alias("ts")
+    )
+    j = (
+        per.join(F.broadcast(tot), "period")
+        .select(
+            "period",
+            "priority",
+            F.expr("c * 1000000 div tc").alias("share_ppm"),
+            F.expr("s * 10000 div c").alias("mean_c4"),
+            F.expr("ts * 10000 div tc").alias("gmean_c4"),
+        )
+    )
+    p1 = j.filter(F.col("period") == 1).select(
+        "priority",
+        F.col("share_ppm").alias("share1_ppm"),
+        F.col("mean_c4").alias("mean1_c4"),
+        F.col("gmean_c4").alias("gmean1_c4"),
+    )
+    p2 = j.filter(F.col("period") == 2).select(
+        "priority",
+        F.col("share_ppm").alias("share2_ppm"),
+        F.col("mean_c4").alias("mean2_c4"),
+        F.col("gmean_c4").alias("gmean2_c4"),
+    )
+    return p1.join(p2, "priority").select(
+        "priority",
+        "share1_ppm",
+        "share2_ppm",
+        "mean1_c4",
+        "mean2_c4",
+        F.expr("(share2_ppm - share1_ppm) * mean1_c4 div 1000000").alias(
+            "mix_c4"
+        ),
+        F.expr("share2_ppm * (mean2_c4 - mean1_c4) div 1000000").alias(
+            "within_c4"
+        ),
+        (F.col("gmean2_c4") - F.col("gmean1_c4")).alias("delta_mean_c4"),
+    )

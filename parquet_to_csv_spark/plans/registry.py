@@ -11299,6 +11299,86 @@ FROM monthly
 
 
 # ---------------------------------------------------------------------------
+# E380 — mix-vs-within decomposition; all divisions on the tiny
+# (period × priority) aggregate, identical truncation both engines.
+# ---------------------------------------------------------------------------
+
+QUERIES["mix_shift_decomposition"] = relational.mix_shift_decomposition
+ORACLES["mix_shift_decomposition"] = f"""
+WITH per AS (
+  SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 2 END AS period,
+         o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum({duck_units("o_totalprice", 2)}) AS BIGINT) AS s
+  FROM orders GROUP BY 1, 2
+), tot AS (
+  SELECT period, CAST(sum(c) AS BIGINT) AS tc, CAST(sum(s) AS BIGINT) AS ts
+  FROM per GROUP BY period
+), j AS (
+  SELECT per.period, priority,
+         CAST(c * 1000000 // tc AS BIGINT) AS share_ppm,
+         CAST(s * 10000 // c AS BIGINT) AS mean_c4,
+         CAST(ts * 10000 // tc AS BIGINT) AS gmean_c4
+  FROM per JOIN tot ON per.period = tot.period
+)
+SELECT p1.priority AS priority,
+       p1.share_ppm AS share1_ppm, p2.share_ppm AS share2_ppm,
+       p1.mean_c4 AS mean1_c4, p2.mean_c4 AS mean2_c4,
+       CAST((p2.share_ppm - p1.share_ppm) * p1.mean_c4 // 1000000 AS BIGINT)
+         AS mix_c4,
+       CAST(p2.share_ppm * (p2.mean_c4 - p1.mean_c4) // 1000000 AS BIGINT)
+         AS within_c4,
+       CAST(p2.gmean_c4 - p1.gmean_c4 AS BIGINT) AS delta_mean_c4
+FROM (SELECT * FROM j WHERE period = 1) p1
+JOIN (SELECT * FROM j WHERE period = 2) p2 USING (priority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E381 — Fellegi–Sunter linkage pattern table; identical e0-literal ln
+# constants, identical md5 corruption model.
+# ---------------------------------------------------------------------------
+
+QUERIES["fs_linkage_patterns"] = dedup.fs_linkage_patterns
+_FS_W = lambda e: f"CAST(floor(({e}) * 1000000 + 0.5) AS BIGINT)"  # noqa: E731
+ORACLES["fs_linkage_patterns"] = f"""
+WITH a AS (
+  SELECT c_custkey AS a_id, c_nationkey AS nation,
+         lower(c_name) AS a_name_ci, c_mktsegment AS a_seg,
+         {duck_units("c_acctbal", 2)} // 1000 AS a_band
+  FROM customer
+), b AS (
+  SELECT c_custkey + 10000000 AS b_id, c_custkey AS b_orig,
+         c_nationkey AS nation, lower(c_name) AS b_name_ci,
+         CASE WHEN {corpus.duck_md5_bucket("CAST(c_custkey AS VARCHAR) || '#seg'", 5)} = 0
+              THEN 'CORRUPTED' ELSE c_mktsegment END AS b_seg,
+         ({duck_units("c_acctbal", 2)}
+          + CASE WHEN {corpus.duck_md5_bucket("CAST(c_custkey AS VARCHAR) || '#bal'", 3)} = 0
+                 THEN 37 ELSE 0 END) // 1000 AS b_band
+  FROM customer
+  WHERE {corpus.duck_md5_bucket("c_custkey", 4)} = 0
+), pairs AS (
+  SELECT (a_name_ci = b_name_ci) AS name_agree,
+         (a_seg = b_seg) AS seg_agree,
+         (a_band = b_band) AS band_agree,
+         CASE WHEN a_id = b_orig THEN 1 ELSE 0 END AS is_true
+  FROM a JOIN b USING (nation)
+)
+SELECT name_agree, seg_agree, band_agree,
+       CAST(CASE WHEN name_agree THEN {_FS_W("ln(99e0/1e0)")}
+                 ELSE {_FS_W("ln(1e0/99e0)")} END
+          + CASE WHEN seg_agree THEN {_FS_W("ln(80e0/20e0)")}
+                 ELSE {_FS_W("ln(20e0/80e0)")} END
+          + CASE WHEN band_agree THEN {_FS_W("ln(90e0/10e0)")}
+                 ELSE {_FS_W("ln(10e0/90e0)")} END AS BIGINT) AS score_micro,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(is_true) AS BIGINT) AS n_true,
+       CAST(sum(is_true) * 1000000 // count(*) AS BIGINT) AS precision_ppm
+FROM pairs GROUP BY name_agree, seg_agree, band_agree
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

@@ -699,3 +699,51 @@ def test_closing_balance_semi_additive(spark, sf_dir):
     for r in rows:
         assert r["mom_delta_cents"] == r["closing_total_cents"] - prev
         prev = r["closing_total_cents"]
+
+
+def test_mix_shift_telescopes(spark, sf_dir):
+    from parquet_to_csv_spark.operators.relational import mix_shift_decomposition
+
+    rows = mix_shift_decomposition(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per priority
+    delta = rows[0]["delta_mean_c4"]
+    assert all(r["delta_mean_c4"] == delta for r in rows)
+    # exact-rational identity holds up to per-group floor quantization
+    attributed = sum(r["mix_c4"] + r["within_c4"] for r in rows)
+    # ppm share quantization scales with the means: per group the
+    # floor error is <= (mean1 + |mean2 - mean1|) / 1e6 + 1
+    bound = sum(
+        (r["mean1_c4"] + abs(r["mean2_c4"] - r["mean1_c4"])) // 1_000_000 + 1
+        for r in rows
+    ) + 2
+    assert abs(attributed - delta) <= bound
+    # shares are honest ppm partitions of each period
+    assert abs(sum(r["share1_ppm"] for r in rows) - 1_000_000) <= len(rows)
+    assert abs(sum(r["share2_ppm"] for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_fs_linkage_pattern_table(spark, sf_dir):
+    from parquet_to_csv_spark.operators.dedup import fs_linkage_patterns
+
+    rows = fs_linkage_patterns(spark, sf_dir).collect()
+    by_pat = {
+        (r["name_agree"], r["seg_agree"], r["band_agree"]): r for r in rows
+    }
+    # every true match agrees on (ci) name; name-disagree patterns are
+    # pure non-matches
+    n_true = sum(r["n_true"] for r in rows)
+    cust = load_table(spark, sf_dir, "customer").count()
+    assert n_true > 0
+    assert sum(
+        r["n_true"] for r in rows if not r["name_agree"]
+    ) == 0
+    # score orders patterns sensibly: all-agree > all-disagree
+    full = by_pat.get((True, True, True))
+    none = by_pat.get((False, False, False))
+    assert full is not None and none is not None
+    assert full["score_micro"] > 0 > none["score_micro"]
+    # high-score pattern is near-pure true matches (names are unique)
+    assert full["precision_ppm"] > 900_000
+    for r in rows:
+        assert 0 <= r["precision_ppm"] <= 1_000_000
+        assert r["n_true"] <= r["n_pairs"]
