@@ -3206,3 +3206,44 @@ def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("gmean2_c4") - F.col("gmean1_c4")).alias("delta_mean_c4"),
     )
+
+
+def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E382: approx_count_distinct error audit — the measurement
+    that justifies every "HLL++ is the 100 TB drop-in" note in this
+    repo's exact-distinct operators. Per event_type, the exact
+    distinct user count runs next to the sketch at two precisions
+    (rsd 5 % and 1 %), and the audit emits the exact count plus
+    in-bound flags (|approx − exact| ≤ 4·rsd·exact — HLL++'s rsd is a
+    standard deviation, so 4σ is a generous determinism-safe bound).
+
+    Oracle subtlety: DuckDB cannot replay Spark's HLL++ register
+    values, but it doesn't need to — the sketch is DETERMINISTIC for
+    fixed input data, so the bound FLAGS are stable engine-side facts
+    the oracle asserts as constants (TRUE). If a Spark upgrade or a
+    data rewrite ever pushed the sketch out of bound, the gate goes
+    red. Scale note: the sketch is mergeable and fixed-size (2^p
+    registers) — at 100 TB it replaces exact distinct wherever the
+    consumer tolerates the published rsd; this audit is how that
+    tolerance gets decided.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("_a5"),
+        F.approx_count_distinct("user_id", 0.01).alias("_a1"),
+    )
+    return per.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_a5") - F.col("n_exact"))
+            <= F.lit(4) * F.lit(0.05) * F.col("n_exact")
+        ).alias("rsd5_within_4sigma"),
+        (
+            F.abs(F.col("_a1") - F.col("n_exact"))
+            <= F.lit(4) * F.lit(0.01) * F.col("n_exact")
+        ).alias("rsd1_within_4sigma"),
+    )
+
+

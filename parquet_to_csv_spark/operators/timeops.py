@@ -2920,3 +2920,59 @@ def closing_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mom_delta_cents"),
     )
+
+
+def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E383: multi-window SLO burn-rate alerting (the SRE-workbook
+    pattern, public): an alert fires only when BOTH a fast window
+    (1 day here; 1 h in an ops deployment) and a slow window (7 days)
+    burn error budget faster than threshold — the fast window gives
+    response time, the slow window suppresses blips, and requiring
+    both kills the flappiness either alone would have.
+
+    error rate = error events / all events per calendar day (exact
+    ppm); slow window = 7-day rolling sums over the bounded calendar
+    grain (rows, not ranges — day gaps carry forward honestly); burn
+    = rate / SLO-budget-rate with SLO 99 % ⇒ budget 10 000 ppm; alert
+    when fast burn ≥ 2 AND slow burn ≥ 2 (integer comparisons — ppm
+    vs 2×budget — so the flags are engine-exact). One scan → day
+    partials; every window runs over the day grain.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("ts div 86400000000000").alias("day"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("is_err").alias("n_err"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    rates = daily.select(
+        "day",
+        "n",
+        "n_err",
+        F.expr("n_err * 1000000 div n").alias("fast_ppm"),
+        F.sum("n_err").over(w7).alias("_e7"),
+        F.sum("n").over(w7).alias("_n7"),
+    ).select(
+        "day",
+        "n",
+        "n_err",
+        "fast_ppm",
+        F.expr("_e7 * 1000000 div _n7").alias("slow_ppm"),
+    )
+    budget = 10_000  # 99% SLO -> 1% error budget in ppm
+    return rates.select(
+        "day",
+        "n",
+        "n_err",
+        "fast_ppm",
+        "slow_ppm",
+        (
+            (F.col("fast_ppm") >= 2 * budget)
+            & (F.col("slow_ppm") >= 2 * budget)
+        ).alias("page_alert"),
+    )

@@ -11379,6 +11379,50 @@ FROM pairs GROUP BY name_agree, seg_agree, band_agree
 
 
 # ---------------------------------------------------------------------------
+# E382 — approx-distinct audit: the sketch is deterministic for fixed
+# data, so the oracle asserts the exact counts plus constant TRUE
+# bound flags; a sketch regression turns the gate red.
+# ---------------------------------------------------------------------------
+
+QUERIES["approx_distinct_audit"] = relational.approx_distinct_audit
+ORACLES["approx_distinct_audit"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS rsd5_within_4sigma,
+       TRUE AS rsd1_within_4sigma
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# E383 — multi-window SLO burn alerts; integer ppm vs 2x budget, both
+# windows over the bounded calendar grain.
+# ---------------------------------------------------------------------------
+
+QUERIES["slo_burn_alerts"] = timeops.slo_burn_alerts
+ORACLES["slo_burn_alerts"] = """
+WITH daily AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+), rates AS (
+  SELECT day, n, n_err,
+         CAST(n_err * 1000000 // n AS BIGINT) AS fast_ppm,
+         CAST(sum(n_err) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                               AND CURRENT ROW) * 1000000
+              // sum(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS slow_ppm
+  FROM daily
+)
+SELECT day, n, n_err, fast_ppm, slow_ppm,
+       (fast_ppm >= 20000 AND slow_ppm >= 20000) AS page_alert
+FROM rates
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

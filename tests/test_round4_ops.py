@@ -747,3 +747,35 @@ def test_fs_linkage_pattern_table(spark, sf_dir):
     for r in rows:
         assert 0 <= r["precision_ppm"] <= 1_000_000
         assert r["n_true"] <= r["n_pairs"]
+
+
+def test_approx_distinct_within_bounds(spark, sf_dir):
+    from parquet_to_csv_spark.operators.relational import approx_distinct_audit
+
+    rows = approx_distinct_audit(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_exact"] > 0
+        assert r["rsd5_within_4sigma"] and r["rsd1_within_4sigma"]
+
+
+def test_slo_burn_alert_semantics(spark, sf_dir):
+    from parquet_to_csv_spark.operators.timeops import slo_burn_alerts
+
+    rows = sorted(slo_burn_alerts(spark, sf_dir).collect(),
+                  key=lambda r: r["day"])
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert sum(r["n_err"] for r in rows) == ev.filter(
+        F.col("event_type") == "error").count()
+    # replay the 7-row rolling slow window and the AND-of-windows rule
+    for i, r in enumerate(rows):
+        lo = max(0, i - 6)
+        e7 = sum(x["n_err"] for x in rows[lo:i + 1])
+        n7 = sum(x["n"] for x in rows[lo:i + 1])
+        assert r["slow_ppm"] == e7 * 1_000_000 // n7
+        assert r["fast_ppm"] == r["n_err"] * 1_000_000 // r["n"]
+        assert r["page_alert"] == (
+            r["fast_ppm"] >= 20_000 and r["slow_ppm"] >= 20_000
+        )
