@@ -2317,3 +2317,175 @@ def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+def fairness_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E384: group-fairness audit — demographic parity and
+    equalized-odds gaps, the pre-deployment sign-off table for any
+    scoring model. A fixed "flagging model" (value ≥ $50) is audited
+    against outcome labels (purchase) across groups (md5 user buckets
+    — a deterministic stand-in where a real deployment joins its
+    demographic attribute; the MATH is the product here).
+
+    Per group, selection rate / TPR / FPR in exact ppm; gaps vs the
+    reference group (bucket 0) via one broadcast join of its 1-row
+    aggregate. Demographic parity reads off sel_gap; equalized odds
+    needs BOTH tpr_gap and fpr_gap near zero — the audit emits all
+    three so the reviewer applies whichever criterion governs. One
+    scan → per-(group) partials; everything downstream is
+    metadata-sized.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        md5_bucket(F.col("user_id"), 3).alias("grp"),
+        (exact_units(F.col("value"), 2) >= 5000).cast("long").alias("pred"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    per = ev.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pred").alias("n_sel"),
+        F.sum("label").alias("n_pos"),
+        F.sum(F.col("pred") * F.col("label")).alias("n_tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("n_fp"),
+    )
+    rates = per.select(
+        "grp",
+        "n",
+        F.expr("n_sel * 1000000 div n").alias("sel_ppm"),
+        F.expr("n_tp * 1000000 div n_pos").alias("tpr_ppm"),
+        F.expr("n_fp * 1000000 div (n - n_pos)").alias("fpr_ppm"),
+    )
+    ref = F.broadcast(
+        rates.filter(F.col("grp") == 0).select(
+            F.col("sel_ppm").alias("_rs"),
+            F.col("tpr_ppm").alias("_rt"),
+            F.col("fpr_ppm").alias("_rf"),
+        )
+    )
+    return rates.join(ref).select(
+        "grp",
+        "n",
+        "sel_ppm",
+        "tpr_ppm",
+        "fpr_ppm",
+        (F.col("sel_ppm") - F.col("_rs")).alias("dp_gap_ppm"),
+        (F.col("tpr_ppm") - F.col("_rt")).alias("eo_tpr_gap_ppm"),
+        (F.col("fpr_ppm") - F.col("_rf")).alias("eo_fpr_gap_ppm"),
+    )
+
+
+# Benjamini-Hochberg critical |z| values for q = 0.10 over m = 20
+# two-sided tests: zcrit_k = Phi^-1(1 - k*q/(2m)), generated once from
+# the stdlib normal inverse CDF (public math; identical literals are
+# inlined into the Spark expression AND the DuckDB oracle, so neither
+# engine ever evaluates an inverse CDF).
+def _bh_crit_milli(m: int = 20, q: float = 0.10) -> list[int]:
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [
+        int(nd.inv_cdf(1.0 - (k * q) / (2 * m)) * 1000) for k in range(1, m + 1)
+    ]
+
+
+def bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E385: Benjamini–Hochberg FDR screen over a metric BATTERY —
+    the multiple-testing correction an experimentation platform needs
+    the moment it ships 20 readouts per run (at α=.05 each, a null
+    run "discovers" one effect by luck alone). Hypotheses: for each
+    (event_type × 6-hour band) cell, did the high-value event rate
+    change between the first and second half of the date range?
+    (two-proportion z per cell — E171's one-fixed-IEEE-pipeline
+    recipe).
+
+    BH on p-values == BH on |z| against precomputed critical values:
+    reject all cells ranked ≤ k* where k* = max{k : |z|_(k) ≥
+    zcrit_k} — both ranks and the k* fold run over the 20-row
+    hypothesis relation (whitelisted tiny window), never data grain.
+    Output: the full decision table (z, rank, critical value,
+    rejected) — auditable, unlike a bare "significant" flag.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = F.broadcast(
+        ev.agg(
+            (
+                F.min(F.expr("ts div 86400000000000"))
+                + F.max(F.expr("ts div 86400000000000"))
+            ).alias("_sumd")
+        )
+    )
+    cells = (
+        ev.join(mid)
+        .select(
+            "event_type",
+            F.expr("cast((ts div 3600000000000) % 24 div 6 as int)").alias(
+                "hband"
+            ),
+            (F.expr("ts div 86400000000000") >= F.expr("_sumd div 2"))
+            .cast("int")
+            .alias("half"),
+            (exact_units(F.col("value"), 2) >= 5000).cast("long").alias("hi"),
+        )
+        .groupBy("event_type", "hband", "half")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("hi").alias("x"))
+    )
+    h1 = cells.filter(F.col("half") == 0).select(
+        "event_type", "hband",
+        F.col("n").alias("n1"), F.col("x").alias("x1"),
+    )
+    h2 = cells.filter(F.col("half") == 1).select(
+        "event_type", "hband",
+        F.col("n").alias("n2"), F.col("x").alias("x2"),
+    )
+    zexpr = (
+        "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+    )
+    scored = (
+        h1.join(h2, ["event_type", "hband"])
+        .filter(F.expr("x1 + x2 > 0 AND x1 + x2 < n1 + n2"))
+        .select(
+            "event_type",
+            "hband",
+            "n1", "x1", "n2", "x2",
+            F.expr(f"abs(CAST(floor({zexpr} * 1000.0) AS BIGINT))").alias(
+                "abs_z_milli"
+            ),
+        )
+    )
+    crit = _bh_crit_milli()
+    crit_arr = F.array(*[F.lit(c) for c in crit])
+    wr = Window.orderBy(
+        F.desc("abs_z_milli"), F.col("event_type"), F.col("hband")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(wr)).withColumn(
+        "crit_milli", F.element_at(crit_arr, F.col("rnk"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ranked.withColumn(
+        "_kstar",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("abs_z_milli") >= F.col("crit_milli"), F.col("rnk")
+                )
+            ).over(wall),
+            F.lit(0),
+        ),
+    ).select(
+        "event_type",
+        "hband",
+        "n1", "x1", "n2", "x2",
+        "abs_z_milli",
+        "rnk",
+        "crit_milli",
+        (F.col("rnk") <= F.col("_kstar")).alias("rejected"),
+    )

@@ -11423,6 +11423,90 @@ FROM rates
 
 
 # ---------------------------------------------------------------------------
+# E384 — fairness gaps: per-group exact ppm rates, gaps vs bucket 0.
+# ---------------------------------------------------------------------------
+
+QUERIES["fairness_gap_audit"] = mlmetrics.fairness_gap_audit
+ORACLES["fairness_gap_audit"] = f"""
+WITH ev AS (
+  SELECT {corpus.duck_md5_bucket("user_id", 3)} AS grp,
+         CASE WHEN {duck_units("value", 2)} >= 5000 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), per AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pred) AS BIGINT) AS n_sel,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(pred * label) AS BIGINT) AS n_tp,
+         CAST(sum(pred * (1 - label)) AS BIGINT) AS n_fp
+  FROM ev GROUP BY grp
+), rates AS (
+  SELECT grp, n,
+         CAST(n_sel * 1000000 // n AS BIGINT) AS sel_ppm,
+         CAST(n_tp * 1000000 // n_pos AS BIGINT) AS tpr_ppm,
+         CAST(n_fp * 1000000 // (n - n_pos) AS BIGINT) AS fpr_ppm
+  FROM per
+), ref AS (
+  SELECT sel_ppm AS _rs, tpr_ppm AS _rt, fpr_ppm AS _rf FROM rates WHERE grp = 0
+)
+SELECT CAST(grp AS INTEGER) AS grp, n, sel_ppm, tpr_ppm, fpr_ppm,
+       CAST(sel_ppm - _rs AS BIGINT) AS dp_gap_ppm,
+       CAST(tpr_ppm - _rt AS BIGINT) AS eo_tpr_gap_ppm,
+       CAST(fpr_ppm - _rf AS BIGINT) AS eo_fpr_gap_ppm
+FROM rates CROSS JOIN ref
+"""
+
+
+# ---------------------------------------------------------------------------
+# E385 — BH-FDR screen: identical zcrit literals inlined into both
+# engines (stdlib inverse normal CDF, evaluated once in Python).
+# ---------------------------------------------------------------------------
+
+QUERIES["bh_fdr_screen"] = mlmetrics.bh_fdr_screen
+_BH_CRIT_SQL = "[" + ", ".join(str(c) for c in mlmetrics._bh_crit_milli()) + "]"
+ORACLES["bh_fdr_screen"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST((epoch_ms(ts) // 3600000) % 24 // 6 AS INTEGER) AS hband,
+         epoch_ms(ts) // 86400000 AS day,
+         CASE WHEN {duck_units("value", 2)} >= 5000 THEN 1 ELSE 0 END AS hi
+  FROM events
+), mid AS (
+  SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS _mid FROM ev
+), cells AS (
+  SELECT event_type, hband,
+         CASE WHEN day >= _mid THEN 1 ELSE 0 END AS half,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(hi) AS BIGINT) AS x
+  FROM ev CROSS JOIN mid GROUP BY 1, 2, 3
+), h1 AS (
+  SELECT event_type, hband, n AS n1, x AS x1 FROM cells WHERE half = 0
+), h2 AS (
+  SELECT event_type, hband, n AS n2, x AS x2 FROM cells WHERE half = 1
+), scored AS (
+  SELECT event_type, hband, n1, x1, n2, x2,
+         abs(CAST(floor(((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))))
+              * 1000.0) AS BIGINT)) AS abs_z_milli
+  FROM h1 JOIN h2 USING (event_type, hband)
+  WHERE x1 + x2 > 0 AND x1 + x2 < n1 + n2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+              ORDER BY abs_z_milli DESC, event_type, hband) AS INTEGER) AS rnk
+  FROM scored
+), withcrit AS (
+  SELECT *, CAST(({_BH_CRIT_SQL})[rnk] AS INTEGER) AS crit_milli FROM ranked
+)
+SELECT event_type, hband, n1, x1, n2, x2, abs_z_milli, rnk, crit_milli,
+       rnk <= coalesce(max(CASE WHEN abs_z_milli >= crit_milli THEN rnk END)
+                       OVER (), 0) AS rejected
+FROM withcrit
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

@@ -779,3 +779,37 @@ def test_slo_burn_alert_semantics(spark, sf_dir):
         assert r["page_alert"] == (
             r["fast_ppm"] >= 20_000 and r["slow_ppm"] >= 20_000
         )
+
+
+def test_fairness_gaps_reference_zero(spark, sf_dir):
+    rows = {r["grp"]: r for r in
+            mlmetrics.fairness_gap_audit(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    ref = rows[0]
+    assert ref["dp_gap_ppm"] == ref["eo_tpr_gap_ppm"] == ref["eo_fpr_gap_ppm"] == 0
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n"] for r in rows.values()) == ev.count()
+    for r in rows.values():
+        assert 0 <= r["sel_ppm"] <= 1_000_000
+        assert 0 <= r["tpr_ppm"] <= 1_000_000
+        assert r["dp_gap_ppm"] == r["sel_ppm"] - ref["sel_ppm"]
+
+
+def test_bh_fdr_decision_rule(spark, sf_dir):
+    rows = sorted(mlmetrics.bh_fdr_screen(spark, sf_dir).collect(),
+                  key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    # critical |z| values decrease with rank (p thresholds loosen)
+    crits = [r["crit_milli"] for r in rows]
+    assert crits == sorted(crits, reverse=True)
+    # |z| is sorted desc by construction of the rank
+    zs = [r["abs_z_milli"] for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    # replay BH: k* = max rank with z >= crit; rejected iff rnk <= k*
+    kstar = max((r["rnk"] for r in rows
+                 if r["abs_z_milli"] >= r["crit_milli"]), default=0)
+    for r in rows:
+        assert r["rejected"] == (r["rnk"] <= kstar)
+    # step-up property: rejections are a prefix of the ranking
+    rejected = [r["rejected"] for r in rows]
+    assert rejected == sorted(rejected, reverse=True)

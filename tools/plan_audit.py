@@ -62,6 +62,7 @@ _TINY_WINDOWS: dict[str, tuple[int, str]] = {
     "neyman_allocation": (1, "|languages| strata relation"),
     "nation_league_table": (3, "25-nation relation"),
     "bradley_terry_sources": (1, "|sources| relation (rank over the strength table)"),
+    "bh_fdr_screen": (2, "20-cell hypothesis relation (5 types x 4 hour-bands)"),
 }
 
 
