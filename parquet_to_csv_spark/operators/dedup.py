@@ -2119,15 +2119,20 @@ def neardup_reach_hops(
     this answers *distance* declaratively: the recursive member joins
     the frontier to the (symmetrized) materialized edge relation
     (:func:`dedup_edges` — built once, served as a parquet scan) with
-    a hard ``hop < max_hops`` cap, then ``min(hop)`` collapses path
-    multiplicity (Spark recursion is UNION ALL; min-hop is
-    multiplicity-invariant, so the cap — not dedup — bounds work).
+    a hard ``hop < max_hops`` cap AND a DISTINCT on each recursive
+    level, then ``min(hop)`` collapses residual cross-level
+    multiplicity. The DISTINCT is load-bearing: near-dup clusters are
+    cliques, so raw UNION-ALL path counts grow ~cᵈ and blow the
+    engine's recursion row limit at sf0.1 (observed); deduping the
+    working level bounds every iteration at ≤|V| rows — the same
+    frontier-contraction the iterative BFS loop would do, declared
+    in-dialect.
 
-    Scale note: UNION ALL recursion re-visits nodes once per distinct
-    path, fine for a sparse 0.8-threshold graph at small depth; at
-    100 TB/web-scale the drop-in is the iterative distinct-frontier
-    loop with lineage cuts (exactly :func:`dup_clusters`'s machinery),
-    trading declarativity for per-round ``dropDuplicates``. Output is
+    Scale note: per-level DISTINCT makes each of the ≤max_hops
+    iterations one shuffle over ≤|V| rows; at 100 TB/web-scale the
+    drop-in is still the explicit iterative loop with lineage cuts
+    (exactly :func:`dup_clusters`'s machinery) for checkpoint control
+    across hundreds of rounds. Output is
     the hop histogram + corpus share (ppm, via a broadcast 1-row
     total join) — the gate relation stays ≤ max_hops+1 rows.
     """
@@ -2148,7 +2153,7 @@ def neardup_reach_hops(
         WITH RECURSIVE r(doc_id, hop) AS (
           SELECT doc_id, 0 FROM t_reach_seeds
           UNION ALL
-          SELECT e.w, r.hop + 1
+          SELECT DISTINCT e.w, r.hop + 1
           FROM r JOIN t_reach_edges e ON e.u = r.doc_id
           WHERE r.hop < {int(max_hops)}
         )

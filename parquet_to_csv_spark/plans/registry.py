@@ -10962,7 +10962,7 @@ WITH RECURSIVE pairs AS MATERIALIZED (
 ), r(doc_id, hop) AS (
   SELECT doc_id, 0 FROM seeds
   UNION ALL
-  SELECT e.w, r.hop + 1 FROM r JOIN edges e ON e.u = r.doc_id
+  SELECT DISTINCT e.w, r.hop + 1 FROM r JOIN edges e ON e.u = r.doc_id
   WHERE r.hop < 3
 ), m AS (
   SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop FROM r GROUP BY doc_id
