@@ -2269,3 +2269,48 @@ def fs_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_true * 1000000 div n_pairs").alias("precision_ppm"),
         )
     )
+
+
+def dup_weighted_mixture(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """EXT E386: duplicate-aware loss weighting — the dedup strategy
+    that KEEPS duplicates: instead of dropping near-dup rows, each doc
+    is weighted 1/|cluster| so every distinct content unit contributes
+    one unit of training mass regardless of how many copies exist
+    (publicly documented alternative to hard dedup; preserves natural
+    up-weighting debates by making the choice explicit). Singleton
+    docs weigh 1.
+
+    Plan: the materialized near-dup cluster relation (E26, built on
+    the shared edge table) left-joined onto the corpus — shuffle ∝
+    clustered docs only; per (lang, source) the report emits raw vs
+    effective doc counts (Σ 1/|cluster| in exact ppm) and the mass
+    the weighting removed — the number a mixture planner (E303) would
+    consume instead of raw counts.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    sizes = (
+        dup_clusters(spark, sf_dir, threshold)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("csize"))
+    )
+    membership = dup_clusters(spark, sf_dir, threshold).join(
+        sizes, "cluster_id"
+    ).select("doc_id", "csize")
+    weighted = docs.join(membership, "doc_id", "left").select(
+        "lang",
+        "source",
+        F.coalesce(F.col("csize"), F.lit(1)).alias("csize"),
+    )
+    return weighted.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("csize") > 1).cast("long")).alias("n_dup_docs"),
+        F.sum(F.expr("1000000 div csize")).alias("eff_docs_ppm"),
+        (
+            F.count(F.lit(1)) * F.lit(1_000_000)
+            - F.sum(F.expr("1000000 div csize"))
+        ).alias("removed_mass_ppm"),
+    )

@@ -2976,3 +2976,79 @@ def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("slow_ppm") >= 2 * budget)
         ).alias("page_alert"),
     )
+
+
+def median_polish_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E387: Tukey median polish of the (day-of-week × event-type)
+    revenue table — the ROBUST two-way decomposition (E257's mosaic
+    uses Pearson residuals under independence; this fits additive
+    row + column effects by medians, so a single wild cell cannot
+    drag the fit the way mean-based two-way ANOVA lets it).
+
+    Two full sweeps (row medians subtracted into row effects, then
+    column medians into column effects — the classic fixed-iteration
+    form). Every median is the LOWER median over a tiny bounded axis
+    (7 rows / 5 columns, both odd ⇒ true middle element), computed as
+    ``element_at(sort_array(collect_list(...)))`` on exact cents —
+    integers end-to-end, DuckDB ``quantile_disc(0.5)`` is the twin.
+    The data touch is ONE scan into the 35-cell table; the polish
+    itself runs on metadata-sized relations.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.expr("cast(((ts div 86400000000000) + 4) % 7 as int)").alias(
+                "dow"
+            ),
+            "event_type",
+            exact_units(F.col("value"), 2).alias("cents"),
+        )
+        .groupBy("dow", "event_type")
+        .agg(F.sum("cents").alias("z"))
+    )
+    lower_med = "element_at(sort_array(collect_list(z)), cast((count(*) + 1) div 2 as int))"
+    z = cells
+    reff = None
+    ceff = None
+    for _ in range(2):
+        rm = z.groupBy("dow").agg(F.expr(lower_med).alias("_rm"))
+        z = z.join(F.broadcast(rm), "dow").select(
+            "dow", "event_type", (F.col("z") - F.col("_rm")).alias("z")
+        )
+        reff = (
+            rm.select("dow", F.col("_rm").alias("row_effect"))
+            if reff is None
+            else reff.join(rm, "dow").select(
+                "dow",
+                (F.col("row_effect") + F.col("_rm")).alias("row_effect"),
+            )
+        )
+        cm = z.groupBy("event_type").agg(F.expr(lower_med).alias("_cm"))
+        z = z.join(F.broadcast(cm), "event_type").select(
+            "dow", "event_type", (F.col("z") - F.col("_cm")).alias("z")
+        )
+        ceff = (
+            cm.select("event_type", F.col("_cm").alias("col_effect"))
+            if ceff is None
+            else ceff.join(cm, "event_type").select(
+                "event_type",
+                (F.col("col_effect") + F.col("_cm")).alias("col_effect"),
+            )
+        )
+    return (
+        cells.select("dow", "event_type", F.col("z").alias("cell_cents"))
+        .join(F.broadcast(reff), "dow")
+        .join(F.broadcast(ceff), "event_type")
+        .join(
+            z.select("dow", "event_type", F.col("z").alias("residual_cents")),
+            ["dow", "event_type"],
+        )
+        .select(
+            "dow",
+            "event_type",
+            "cell_cents",
+            "row_effect",
+            "col_effect",
+            "residual_cents",
+        )
+    )

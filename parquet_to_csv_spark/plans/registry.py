@@ -11507,6 +11507,72 @@ FROM withcrit
 
 
 # ---------------------------------------------------------------------------
+# E386 — duplicate-aware loss weighting; reuses the verified cluster
+# oracle as a CTE, floored ppm weights identical in both engines.
+# ---------------------------------------------------------------------------
+
+QUERIES["dup_weighted_mixture"] = dedup.dup_weighted_mixture
+ORACLES["dup_weighted_mixture"] = f"""
+WITH clusters AS MATERIALIZED (
+{ORACLES["dup_clusters"]}
+), sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+  FROM clusters GROUP BY cluster_id
+), membership AS (
+  SELECT c.doc_id, s.csize FROM clusters c JOIN sizes s USING (cluster_id)
+), weighted AS (
+  SELECT d.lang, d.source, coalesce(m.csize, 1) AS csize
+  FROM documents d LEFT JOIN membership m ON d.doc_id = m.doc_id
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN csize > 1 THEN 1 END), 0) AS BIGINT)
+         AS n_dup_docs,
+       CAST(sum(1000000 // csize) AS BIGINT) AS eff_docs_ppm,
+       CAST(count(*) * 1000000 - sum(1000000 // csize) AS BIGINT)
+         AS removed_mass_ppm
+FROM weighted GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# E387 — Tukey median polish, two unrolled sweeps; lower medians via
+# quantile_disc on exact cents.
+# ---------------------------------------------------------------------------
+
+QUERIES["median_polish_dow_type"] = timeops.median_polish_dow_type
+ORACLES["median_polish_dow_type"] = f"""
+WITH cells AS MATERIALIZED (
+  SELECT CAST(((epoch_ms(ts) // 86400000) + 4) % 7 AS INTEGER) AS dow,
+         event_type,
+         CAST(sum({duck_units("value", 2)}) AS BIGINT) AS z
+  FROM events GROUP BY 1, 2
+), rm1 AS (SELECT dow, quantile_disc(z, 0.5) AS m FROM cells GROUP BY dow),
+z1 AS MATERIALIZED (
+  SELECT c.dow, c.event_type, c.z - rm1.m AS z FROM cells c JOIN rm1 USING (dow)
+), cm1 AS (SELECT event_type, quantile_disc(z, 0.5) AS m FROM z1 GROUP BY event_type),
+z2 AS MATERIALIZED (
+  SELECT z1.dow, z1.event_type, z1.z - cm1.m AS z
+  FROM z1 JOIN cm1 USING (event_type)
+), rm2 AS (SELECT dow, quantile_disc(z, 0.5) AS m FROM z2 GROUP BY dow),
+z3 AS MATERIALIZED (
+  SELECT z2.dow, z2.event_type, z2.z - rm2.m AS z FROM z2 JOIN rm2 USING (dow)
+), cm2 AS (SELECT event_type, quantile_disc(z, 0.5) AS m FROM z3 GROUP BY event_type),
+z4 AS MATERIALIZED (
+  SELECT z3.dow, z3.event_type, z3.z - cm2.m AS z
+  FROM z3 JOIN cm2 USING (event_type)
+)
+SELECT c.dow, c.event_type, c.z AS cell_cents,
+       CAST(rm1.m + rm2.m AS BIGINT) AS row_effect,
+       CAST(cm1.m + cm2.m AS BIGINT) AS col_effect,
+       CAST(z4.z AS BIGINT) AS residual_cents
+FROM cells c
+JOIN rm1 USING (dow) JOIN rm2 USING (dow)
+JOIN cm1 USING (event_type) JOIN cm2 USING (event_type)
+JOIN z4 ON z4.dow = c.dow AND z4.event_type = c.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

@@ -813,3 +813,42 @@ def test_bh_fdr_decision_rule(spark, sf_dir):
     # step-up property: rejections are a prefix of the ranking
     rejected = [r["rejected"] for r in rows]
     assert rejected == sorted(rejected, reverse=True)
+
+
+def test_dup_weighted_mixture_mass(spark, sf_dir):
+    from parquet_to_csv_spark.operators import dedup as dd
+
+    rows = dd.dup_weighted_mixture(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    clustered = dd.dup_clusters(spark, sf_dir).count()
+    assert sum(r["n_dup_docs"] for r in rows) == clustered
+    for r in rows:
+        # effective mass: never more than raw, at least raw/max-cluster
+        assert r["eff_docs_ppm"] <= r["n_docs"] * 1_000_000
+        assert r["removed_mass_ppm"] == r["n_docs"] * 1_000_000 - r["eff_docs_ppm"]
+        if r["n_dup_docs"] == 0:
+            assert r["eff_docs_ppm"] == r["n_docs"] * 1_000_000
+
+
+def test_median_polish_identity_and_robustness(spark, sf_dir):
+    from parquet_to_csv_spark.operators.timeops import median_polish_dow_type
+
+    rows = median_polish_dow_type(spark, sf_dir).collect()
+    assert len(rows) == 35  # 7 dows x 5 event types
+    for r in rows:
+        # additive reconstruction: cell = row + col + residual exactly
+        assert (
+            r["cell_cents"]
+            == r["row_effect"] + r["col_effect"] + r["residual_cents"]
+        )
+    # after a full polish, the lower median of residuals per row and
+    # per column is (close to) zero — the fixed point the sweeps chase
+    from collections import defaultdict
+    by_dow, by_et = defaultdict(list), defaultdict(list)
+    for r in rows:
+        by_dow[r["dow"]].append(r["residual_cents"])
+        by_et[r["event_type"]].append(r["residual_cents"])
+    for vals in by_et.values():
+        vals.sort()
+        assert vals[(len(vals) - 1) // 2] == 0  # last sweep zeroed cols
