@@ -3247,3 +3247,38 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def lateral_topk_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E388: correlated LATERAL subquery — the "for each outer row,
+    run this parameterized query" SQL surface (Spark 4 LATERAL): per
+    region, the top-2 customers by account balance, written exactly as
+    the analyst thinks it ("for each region: SELECT ... ORDER BY ...
+    LIMIT 2"), with the deterministic (cents DESC, custkey) tie-break.
+
+    The honest scale note: Catalyst DECORRELATES this — the physical
+    plan is a join + per-group limit, not an N-times re-execution of
+    the inner query, so the surface costs what the equivalent
+    window/top-k plan costs (E11). The gate pins both the decorrelated
+    semantics and the tie-break against DuckDB's own LATERAL.
+    """
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("t_lat_region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("t_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "t_lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, t.c_custkey, t.c_name, t.bal_cents
+        FROM t_lat_region r,
+        LATERAL (
+          SELECT c.c_custkey, c.c_name,
+                 cast(floor(c.c_acctbal * 100 + 0.5) as long) AS bal_cents
+          FROM t_lat_customer c
+          JOIN t_lat_nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY bal_cents DESC, c.c_custkey
+          LIMIT 2
+        ) t
+        """
+    )

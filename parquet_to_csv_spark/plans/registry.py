@@ -11573,6 +11573,25 @@ JOIN z4 ON z4.dow = c.dow AND z4.event_type = c.event_type
 
 
 # ---------------------------------------------------------------------------
+# E388 — correlated LATERAL top-k; DuckDB's own LATERAL is the twin.
+# ---------------------------------------------------------------------------
+
+QUERIES["lateral_topk_per_region"] = relational.lateral_topk_per_region
+ORACLES["lateral_topk_per_region"] = f"""
+SELECT r.r_name AS region, t.c_custkey, t.c_name, t.bal_cents
+FROM region r,
+LATERAL (
+  SELECT c.c_custkey, c.c_name, {duck_units("c.c_acctbal", 2)} AS bal_cents
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY bal_cents DESC, c.c_custkey
+  LIMIT 2
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

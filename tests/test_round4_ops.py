@@ -852,3 +852,34 @@ def test_median_polish_identity_and_robustness(spark, sf_dir):
     for vals in by_et.values():
         vals.sort()
         assert vals[(len(vals) - 1) // 2] == 0  # last sweep zeroed cols
+
+
+def test_lateral_topk_decorrelated_semantics(spark, sf_dir):
+    from parquet_to_csv_spark.operators.relational import lateral_topk_per_region
+
+    df = lateral_topk_per_region(spark, sf_dir)
+    rows = df.collect()
+    # 5 regions x top-2
+    from collections import Counter
+    per_region = Counter(r["region"] for r in rows)
+    assert all(v == 2 for v in per_region.values()) and len(per_region) == 5
+    # replay with the window equivalent
+    from pyspark.sql import Window
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    w = Window.partitionBy("r_name").orderBy(
+        F.desc("bal_cents"), F.col("c_custkey"))
+    want = {
+        (r["r_name"], r["c_custkey"])
+        for r in cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("r_name", "c_custkey",
+                F.expr("cast(floor(c_acctbal * 100 + 0.5) as long)").alias("bal_cents"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2).collect()
+    }
+    assert {(r["region"], r["c_custkey"]) for r in rows} == want
+    # the plan must be decorrelated: no per-row re-execution artifact
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan or "Window" in plan or "Join" in plan
