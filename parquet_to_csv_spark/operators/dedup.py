@@ -2314,3 +2314,141 @@ def dup_weighted_mixture(
             - F.sum(F.expr("1000000 div csize"))
         ).alias("removed_mass_ppm"),
     )
+
+
+def _fs_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared with :func:`fs_linkage_patterns`: blocked candidate-pair
+    agreement patterns, collapsed to the 8-row (a_name, a_seg, a_band,
+    n) relation EM iterates on."""
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_nationkey").alias("nation"),
+        F.lower("c_name").alias("a_name_ci"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as long) div 1000").alias(
+            "a_band"
+        ),
+    )
+    b = cust.filter(md5_bucket(F.col("c_custkey"), 4) == 0).select(
+        F.col("c_custkey").alias("b_orig"),
+        F.col("c_nationkey").alias("nation"),
+        F.lower("c_name").alias("b_name_ci"),
+        F.when(
+            md5_bucket(
+                F.concat(F.col("c_custkey").cast("string"), F.lit("#seg")), 5
+            )
+            == 0,
+            F.lit("CORRUPTED"),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        (
+            F.expr("cast(floor(c_acctbal * 100 + 0.5) as long)")
+            + F.when(
+                md5_bucket(
+                    F.concat(F.col("c_custkey").cast("string"), F.lit("#bal")),
+                    3,
+                )
+                == 0,
+                F.lit(37),
+            ).otherwise(F.lit(0))
+        ).alias("b_cents"),
+    ).withColumn("b_band", F.expr("b_cents div 1000"))
+    return (
+        a.join(b, "nation")
+        .select(
+            (F.col("a_name_ci") == F.col("b_name_ci")).alias("a1"),
+            (F.col("a_seg") == F.col("b_seg")).alias("a2"),
+            (F.col("a_band") == F.col("b_band")).alias("a3"),
+        )
+        .groupBy("a1", "a2", "a3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def fs_em_weights(
+    spark: SparkSession, sf_dir: str, iterations: int = 3
+) -> DataFrame:
+    """EXT E390: EM-estimated Fellegi–Sunter parameters — closing
+    E381's documented extension. When no labeled pairs exist, the
+    (p, m_f, u_f) parameters are a latent two-class mixture over the
+    agreement-pattern table, fit by EM (Winkler's classic formulation,
+    public): E-step weights every PATTERN (8 rows — EM never touches
+    pair grain, the property that makes it free at any scale once the
+    pattern counts exist), M-step re-estimates parameters from
+    weighted pattern counts in EXACT integer arithmetic.
+
+    Cross-engine determinism: parameters live as micro ints; the
+    E-step's mixture products run in doubles with identical
+    parenthesization and are immediately re-quantized with
+    floor(·1e6 + 0.5), so no float drift survives an iteration; the
+    M-step is pure integer (Σ n·w products stay < 2^63 through sf0.1;
+    a 10^9-pair deployment divides by 10^6 before the multiply).
+    Output: the 8 patterns with final posterior match weight, plus
+    the fitted parameters — initialized at p=1 %, m=90 %, u=10 %.
+    """
+    # 8 rows carrying the whole blocked pair join: materialize once so
+    # the per-iteration branches never recompute the pair relation
+    pat = _materialize_once(_fs_pattern_counts(spark, sf_dir))
+    p, m, u = (
+        1_0000,
+        [900_000, 900_000, 900_000],
+        [100_000, 100_000, 100_000],
+    )
+
+    def _w_expr(p_: str, m_: list[str], u_: list[str]) -> str:
+        pm = f"({p_} / 1e6)"
+        pu = f"((1000000 - {p_}) / 1e6)"
+        for i in (0, 1, 2):
+            pm += (
+                f" * if(a{i+1}, {m_[i]} / 1e6, 1e0 - {m_[i]} / 1e6)"
+            )
+            pu += (
+                f" * if(a{i+1}, {u_[i]} / 1e6, 1e0 - {u_[i]} / 1e6)"
+            )
+        return (
+            f"cast(floor(({pm}) / (({pm}) + ({pu})) * 1e6 + 0.5) as long)"
+        )
+
+    cur = pat
+    pc, mc, uc = str(p), [str(x) for x in m], [str(x) for x in u]
+    for _ in range(iterations):
+        w = cur.withColumn("w", F.expr(_w_expr(pc, mc, uc)))
+        agg = w.agg(
+            F.sum(F.expr("n * w")).alias("sw"),
+            F.sum(F.expr("n * (1000000 - w)")).alias("swc"),
+            F.sum("n").alias("nn"),
+            *[
+                F.sum(F.expr(f"if(a{i+1}, n * w, 0)")).alias(f"swa{i+1}")
+                for i in (0, 1, 2)
+            ],
+            *[
+                F.sum(
+                    F.expr(f"if(a{i+1}, n * (1000000 - w), 0)")
+                ).alias(f"swca{i+1}")
+                for i in (0, 1, 2)
+            ],
+        )
+        cur = cur.join(F.broadcast(agg))
+        pc = "(sw div nn)"
+        mc = [f"(swa{i+1} * 1000000 div sw)" for i in (0, 1, 2)]
+        uc = [f"(swca{i+1} * 1000000 div swc)" for i in (0, 1, 2)]
+        cur = cur.select(
+            "a1", "a2", "a3", "n",
+            F.expr(pc).alias("p_micro"),
+            *[F.expr(mc[i]).alias(f"m{i+1}_micro") for i in (0, 1, 2)],
+            *[F.expr(uc[i]).alias(f"u{i+1}_micro") for i in (0, 1, 2)],
+        )
+        pc = "p_micro"
+        mc = [f"m{i+1}_micro" for i in (0, 1, 2)]
+        uc = [f"u{i+1}_micro" for i in (0, 1, 2)]
+    return cur.select(
+        "a1", "a2", "a3", "n",
+        F.expr(_w_expr(pc, mc, uc)).alias("w_micro"),
+        "p_micro",
+        "m1_micro", "m2_micro", "m3_micro",
+        "u1_micro", "u2_micro", "u3_micro",
+    )

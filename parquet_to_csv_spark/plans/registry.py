@@ -11592,6 +11592,100 @@ LATERAL (
 
 
 # ---------------------------------------------------------------------------
+# E389 — streaming VARIANT promotion drain; batch SQL is the oracle
+# (stream/batch parity on the typed extraction).
+# ---------------------------------------------------------------------------
+
+QUERIES["streaming_variant_drain"] = _stream.streaming_variant_drain
+ORACLES["streaming_variant_drain"] = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS n_k,
+       CAST(coalesce(sum(CAST(json_extract(props, '$.k') AS INTEGER)), 0)
+            AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# E390 — EM-fitted FS parameters: the oracle unrolls the same three
+# E/M iterations, generated by the same loop shape as the Spark side
+# (identical double parenthesization, identical integer M-steps).
+# ---------------------------------------------------------------------------
+
+QUERIES["fs_em_weights"] = dedup.fs_em_weights
+
+
+def _fs_em_oracle(iterations: int = 3) -> str:
+    def w_expr(p: str, m: list[str], u: list[str]) -> str:
+        pm = f"({p} / 1e6)"
+        pu = f"((1000000 - {p}) / 1e6)"
+        for i in (0, 1, 2):
+            pm += f" * if(a{i+1}, {m[i]} / 1e6, 1e0 - {m[i]} / 1e6)"
+            pu += f" * if(a{i+1}, {u[i]} / 1e6, 1e0 - {u[i]} / 1e6)"
+        return f"CAST(floor(({pm}) / (({pm}) + ({pu})) * 1e6 + 0.5) AS BIGINT)"
+
+    pat = f"""pat AS MATERIALIZED (
+  SELECT (a_name_ci = b_name_ci) AS a1, (a_seg = b_seg) AS a2,
+         (a_band = b_band) AS a3, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT c_custkey AS a_id, c_nationkey AS nation,
+           lower(c_name) AS a_name_ci, c_mktsegment AS a_seg,
+           {duck_units("c_acctbal", 2)} // 1000 AS a_band
+    FROM customer
+  ) a JOIN (
+    SELECT c_custkey AS b_orig, c_nationkey AS nation,
+           lower(c_name) AS b_name_ci,
+           CASE WHEN {corpus.duck_md5_bucket("CAST(c_custkey AS VARCHAR) || '#seg'", 5)} = 0
+                THEN 'CORRUPTED' ELSE c_mktsegment END AS b_seg,
+           ({duck_units("c_acctbal", 2)}
+            + CASE WHEN {corpus.duck_md5_bucket("CAST(c_custkey AS VARCHAR) || '#bal'", 3)} = 0
+                   THEN 37 ELSE 0 END) // 1000 AS b_band
+    FROM customer
+    WHERE {corpus.duck_md5_bucket("c_custkey", 4)} = 0
+  ) b USING (nation)
+  GROUP BY 1, 2, 3
+)"""
+    ctes = [pat]
+    p, m, u = "10000", ["900000"] * 3, ["100000"] * 3
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"w{k} AS (SELECT *, {w_expr(p, m, u)} AS w FROM pat"
+            + ("" if k == 1 else f" CROSS JOIN par{k-1}")
+            + ")"
+        )
+        ctes.append(
+            f"""agg{k} AS (
+  SELECT CAST(sum(n * w) AS BIGINT) AS sw,
+         CAST(sum(n * (1000000 - w)) AS BIGINT) AS swc,
+         CAST(sum(n) AS BIGINT) AS nn,
+         {", ".join(f"CAST(sum(CASE WHEN a{i+1} THEN n * w ELSE 0 END) AS BIGINT) AS swa{i+1}" for i in (0, 1, 2))},
+         {", ".join(f"CAST(sum(CASE WHEN a{i+1} THEN n * (1000000 - w) ELSE 0 END) AS BIGINT) AS swca{i+1}" for i in (0, 1, 2))}
+  FROM w{k})"""
+        )
+        ctes.append(
+            f"""par{k} AS (
+  SELECT CAST(sw // nn AS BIGINT) AS p_micro,
+         {", ".join(f"CAST(swa{i+1} * 1000000 // sw AS BIGINT) AS m{i+1}_micro" for i in (0, 1, 2))},
+         {", ".join(f"CAST(swca{i+1} * 1000000 // swc AS BIGINT) AS u{i+1}_micro" for i in (0, 1, 2))}
+  FROM agg{k})"""
+        )
+        p = "p_micro"
+        m = [f"m{i+1}_micro" for i in (0, 1, 2)]
+        u = [f"u{i+1}_micro" for i in (0, 1, 2)]
+    final = f"""
+SELECT a1, a2, a3, n, {w_expr(p, m, u)} AS w_micro,
+       p_micro, m1_micro, m2_micro, m3_micro, u1_micro, u2_micro, u3_micro
+FROM pat CROSS JOIN par{iterations}"""
+    return "WITH " + ",\n".join(ctes) + final
+
+
+ORACLES["fs_em_weights"] = _fs_em_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

@@ -764,3 +764,45 @@ def tws_totals_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="update",
     )
+
+
+def streaming_variant_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E389: VARIANT inside Structured Streaming — E367's
+    parse-once/probe-N semi-structured promotion running on the
+    streaming execution path. Each micro-batch parses the props bag
+    into a binary VARIANT and extracts ``$.k`` typed, BEFORE the
+    watermarked aggregation — so only the pruned typed column crosses
+    the shuffle, never the JSON string (the rule the batch twin
+    documents, proven here to hold under incremental execution: the
+    drained result must equal the batch oracle bit-for-bit).
+    """
+    import uuid as _uuid
+
+    stage = _stage_events_dir(spark, sf_dir)
+    stream = read_event_stream(spark, stage)
+    promoted = (
+        with_event_time(stream)
+        .withWatermark("event_time", "1 hour")
+        .select(
+            "event_type",
+            "event_time",
+            F.expr("variant_get(try_parse_json(props), '$.k', 'int')").alias(
+                "k"
+            ),
+        )
+        .groupBy(F.window("event_time", "1 day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_k"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("day_ms"),
+            "event_type",
+            "n_events",
+            "n_k",
+            "sum_k",
+        )
+    )
+    name = "t_variant_drain_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(promoted, name, spark)

@@ -883,3 +883,49 @@ def test_lateral_topk_decorrelated_semantics(spark, sf_dir):
     # the plan must be decorrelated: no per-row re-execution artifact
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan or "Window" in plan or "Join" in plan
+
+
+def test_streaming_variant_drain_parity(spark, sf_dir):
+    from parquet_to_csv_spark.streaming.stream import streaming_variant_drain
+
+    got = {
+        (r["day_ms"], r["event_type"]): (r["n_events"], r["n_k"], r["sum_k"])
+        for r in streaming_variant_drain(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["day_ms"], r["event_type"]): (r["n"], r["nk"], r["sk"])
+        for r in ev.select(
+            F.expr("(ts div 86400000000000) * 86400000").alias("day_ms"),
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("day_ms", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("nk"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sk"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_fs_em_separates_matches(spark, sf_dir):
+    """EM must drive the all-agree pattern's posterior toward 1 and
+    the all-disagree pattern's toward 0, and fitted m > u per field."""
+    from parquet_to_csv_spark.operators.dedup import fs_em_weights
+
+    rows = {(r["a1"], r["a2"], r["a3"]): r
+            for r in fs_em_weights(spark, sf_dir).collect()}
+    full = rows[(True, True, True)]
+    none = rows[(False, False, False)]
+    assert full["w_micro"] > 990_000
+    assert none["w_micro"] < 10_000
+    for f in (1, 2, 3):
+        assert full[f"m{f}_micro"] > full[f"u{f}_micro"]
+    # the match class is a minority of candidate pairs (the fixture's
+    # $10 balance bands collide often, so after 3 iterations EM's
+    # "match" component also absorbs band-coincidence mass — still
+    # well under half)
+    assert 0 < full["p_micro"] < 500_000
