@@ -529,6 +529,7 @@ def build_ivf_index(
     index_dir: str,
     n_cells: int = 16,
     n_iter: int = 2,
+    where=None,
 ) -> None:
     """Build the IVF index at ``index_dir``: Lloyd-refined centroids
     (seeded by the first ``n_cells`` vectors, ``n_iter − 1`` exact
@@ -542,6 +543,10 @@ def build_ivf_index(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    if where is not None:
+        # restrict the indexed corpus — the base-vs-delta lifecycle
+        # hook used by ivf_index_append_topk (E391)
+        emb = emb.filter(where)
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("c")
     )
@@ -2848,4 +2853,86 @@ def rbo_rank_agreement(
             / F.lit(float(denom)),
             6,
         ).alias("rbo"),
+    )
+
+
+_IVF_APPEND_CACHE: dict[tuple, str] = {}
+
+
+def ivf_index_append_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    delta_buckets: int = 5,
+) -> DataFrame:
+    """EXT E391: IVF index APPEND — the lifecycle step between E297's
+    build and E298's staleness-triggered rebuild. New vectors arrive
+    (delta = a deterministic md5 fifth of the corpus); instead of
+    rebuilding, they are assigned to the PERSISTED centroids with the
+    index's own rule (min squared distance, cell tie-break) and
+    parquet-APPENDED to the assignments relation — an O(delta)
+    maintenance write, no base re-scan, no centroid churn.
+
+    The gate then queries top-k THROUGH the appended index. Because
+    append uses the same assignment rule the builder applies, the
+    appended index is bit-identical to "assign everything to the base
+    centroids" — which is exactly what the DuckDB oracle replays
+    (base-filtered Lloyd build + full-corpus assignment). What drifts
+    after an append is the CENTROIDS' fit, not the assignment — E298's
+    staleness report prices the rebuild decision.
+    """
+    import os
+    import tempfile
+
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+    from parquet_to_csv_spark.sources.tables import source_salt
+
+    salt = source_salt(sf_dir, "embeddings")
+    key = (salt, n_cells, delta_buckets)
+    path = _IVF_APPEND_CACHE.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="ivf_append_"), f"idx_{salt}"
+        )
+        base_pred = md5_bucket(F.col("vec_id"), delta_buckets) != 0
+        build_ivf_index(
+            spark, sf_dir, path, n_cells=n_cells, n_iter=2, where=base_pred
+        )
+        cents_t = spark.read.parquet(os.path.join(path, "centroids"))
+        delta = (
+            load_table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias(
+                    "v"
+                ),
+            )
+            .filter(md5_bucket(F.col("vec_id"), delta_buckets) == 0)
+        )
+        (
+            delta.join(F.broadcast(cents_t))
+            .select(
+                "vec_id", "cell", _sqdist(F.col("v"), F.col("c")).alias("d")
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias(
+                    "cell"
+                )
+            )
+            .write.mode("append")
+            .parquet(os.path.join(path, "assignments"))
+        )
+        _IVF_APPEND_CACHE[key] = path
+    return ivf_indexed_topk(
+        spark,
+        sf_dir,
+        n_queries=n_queries,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        index_dir=path,
     )

@@ -11686,6 +11686,29 @@ ORACLES["fs_em_weights"] = _fs_em_oracle()
 
 
 # ---------------------------------------------------------------------------
+# E391 — IVF index append: the oracle is E297's verified replay with
+# the BUILD CTEs base-filtered (append == assign-all to base
+# centroids, by construction of the shared assignment rule).
+# ---------------------------------------------------------------------------
+
+QUERIES["ivf_index_append_topk"] = similarity.ivf_index_append_topk
+_IVF_BASE_PRED = corpus.duck_md5_bucket("vec_id", 5) + " <> 0"
+ORACLES["ivf_index_append_topk"] = (
+    ORACLES["ivf_indexed_topk"]
+    .replace(
+        "SELECT vec_id AS cell, v AS c FROM emb WHERE vec_id < 16",
+        "SELECT vec_id AS cell, v AS c FROM emb WHERE vec_id < 16"
+        f" AND {_IVF_BASE_PRED}",
+    )
+    .replace(
+        "FROM emb e CROSS JOIN c0",
+        f"FROM (SELECT * FROM emb WHERE {_IVF_BASE_PRED}) e CROSS JOIN c0",
+    )
+)
+assert ORACLES["ivf_index_append_topk"] != ORACLES["ivf_indexed_topk"]
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

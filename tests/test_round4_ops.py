@@ -929,3 +929,23 @@ def test_fs_em_separates_matches(spark, sf_dir):
     # "match" component also absorbs band-coincidence mass — still
     # well under half)
     assert 0 < full["p_micro"] < 500_000
+
+
+def test_ivf_append_matches_full_assignment(spark, sf_dir):
+    """The appended index == assign-everything-to-base-centroids, and
+    the assignments relation physically contains base + delta files."""
+    from parquet_to_csv_spark.operators import similarity as sim
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    out = sim.ivf_index_append_topk(spark, sf_dir).collect()
+    assert len(out) == 25  # 5 queries x top-5
+    # the persisted assignments cover EVERY vector exactly once
+    path = next(iter(sim._IVF_APPEND_CACHE.values()))
+    import os
+    assign = spark.read.parquet(os.path.join(path, "assignments"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert assign.count() == emb.count()
+    assert assign.select("vec_id").distinct().count() == emb.count()
+    # delta rows really went through the append write
+    n_delta = emb.filter(md5_bucket(F.col("vec_id"), 5) == 0).count()
+    assert 0 < n_delta < emb.count()
