@@ -11709,6 +11709,55 @@ assert ORACLES["ivf_index_append_topk"] != ORACLES["ivf_indexed_topk"]
 
 
 # ---------------------------------------------------------------------------
+# E392 — SQL scripting walk: the oracle computes the loop's fixed
+# point set-wise (min k with n_above(k) < 100 over the same exact
+# integer power ladder).
+# ---------------------------------------------------------------------------
+
+QUERIES["scripted_threshold_walk"] = sqlapi.scripted_threshold_walk
+ORACLES["scripted_threshold_walk"] = f"""
+WITH q AS (
+  SELECT {duck_units("o_totalprice", 2)} // 10000 AS q FROM orders
+  WHERE {duck_units("o_totalprice", 2)} // 10000 >= 1
+), powers AS (
+  SELECT CAST(t.i AS INTEGER) AS b, CAST(power(2, t.i) AS BIGINT) AS lo
+  FROM unnest(range(0, 40)) AS t(i)
+), buck AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT q, max(b) AS b FROM q JOIN powers ON q >= lo GROUP BY q
+  ) GROUP BY b
+), lad AS (
+  SELECT k.i AS k,
+         CAST(coalesce((SELECT sum(n) FROM buck WHERE b >= k.i), 0) AS BIGINT)
+           AS n_above
+  FROM unnest(range(0, 41)) AS k(i)
+), fixp AS (
+  SELECT CAST(min(k) AS INTEGER) AS steps FROM lad WHERE n_above < 100
+)
+SELECT steps,
+       CAST(10000 * power(2, steps) AS BIGINT) AS final_threshold_cents,
+       (SELECT n_above FROM lad WHERE k = steps) AS n_above_final
+FROM fixp
+"""
+
+
+# ---------------------------------------------------------------------------
+# E393 — parameterized SQL: the oracle inlines the same constants the
+# parser binds; identical plans by constant folding.
+# ---------------------------------------------------------------------------
+
+QUERIES["parameterized_orders_report"] = sqlapi.parameterized_orders_report
+ORACLES["parameterized_orders_report"] = f"""
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({duck_units("o_totalprice", 2)}) AS BIGINT) AS rev_cents
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) >= 1996
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

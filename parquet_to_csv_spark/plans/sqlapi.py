@@ -45,3 +45,100 @@ def register_query_views(
         QUERIES[name](spark, sf_dir).createOrReplaceTempView(view)
         created.append(view)
     return created
+
+
+def scripted_threshold_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E392: Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE/END) — the
+    procedural orchestration surface: a data-DEPENDENT loop ("double
+    the threshold until fewer than 100 orders exceed it") that no
+    single static SELECT expresses without recursion.
+
+    Scale discipline: the script does NOT rescan orders per iteration.
+    One declarative pass collapses the table to a ≤40-row power-of-two
+    ladder (exact integer bucketing via a broadcast power join — no
+    float log2, whose boundary rounding differs across engines); the
+    WHILE walks that tiny view, so the procedural part touches
+    metadata-sized state only — the pattern for any scripted
+    orchestration at 100 TB: aggregate declaratively, iterate
+    procedurally over aggregates. The DuckDB oracle computes the same
+    fixed point set-wise (min k with n_above(k) < 100), proving the
+    loop's final state exactly.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    powers = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("b"),
+        F.expr("cast(pow(2, id) as bigint)").alias("lo"),
+    )
+    buckets = (
+        orders.select(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as long) div 10000")
+            .alias("q")
+        )
+        .filter(F.col("q") >= 1)
+        .join(F.broadcast(powers), F.expr("q >= lo"))
+        .groupBy("q")
+        .agg(F.max("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buckets.createOrReplaceTempView("t_script_buckets")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE k INT DEFAULT 0;
+          DECLARE steps INT DEFAULT 0;
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT coalesce(sum(n), 0) FROM t_script_buckets
+                   WHERE b >= k);
+          WHILE n >= 100 DO
+            SET k = k + 1;
+            SET steps = steps + 1;
+            SET n = (SELECT coalesce(sum(n), 0) FROM t_script_buckets
+                     WHERE b >= k);
+          END WHILE;
+          SELECT steps,
+                 CAST(10000 * pow(2, steps) AS BIGINT)
+                   AS final_threshold_cents,
+                 n AS n_above_final;
+        END
+        """
+    )
+
+
+def parameterized_orders_report(
+    spark: SparkSession,
+    sf_dir: str,
+    priority: str = "1-URGENT",
+    min_year: int = 1996,
+) -> DataFrame:
+    """EXT E393: parameterized SQL (named parameter markers) — the
+    injection-safe templating surface: ``spark.sql(query, args=...)``
+    binds ``:priority`` / ``:min_year`` as TYPED literals in the
+    parser, never by string concatenation, so a hostile parameter
+    value cannot change the query shape (the dashboard/API contract).
+    Catalyst constant-folds the bound literals — the plan is identical
+    to the hand-inlined query, pushdown included. (``EXECUTE
+    IMMEDIATE ... USING`` is the pure-SQL spelling of the same
+    binding; same engine path.)
+    """
+    from parquet_to_csv_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                 AS ym,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cast(floor(o_totalprice * 100 + 0.5) as long))
+                    AS BIGINT) AS rev_cents
+        FROM orders
+        WHERE o_orderpriority = :priority
+          AND year(o_orderdate) >= :min_year
+        GROUP BY 1
+        """,
+        args={"priority": priority, "min_year": min_year},
+    )

@@ -949,3 +949,44 @@ def test_ivf_append_matches_full_assignment(spark, sf_dir):
     # delta rows really went through the append write
     n_delta = emb.filter(md5_bucket(F.col("vec_id"), 5) == 0).count()
     assert 0 < n_delta < emb.count()
+
+
+def test_scripted_walk_matches_setwise_fixpoint(spark, sf_dir):
+    from parquet_to_csv_spark.plans.sqlapi import scripted_threshold_walk
+
+    r = scripted_threshold_walk(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders")
+    cents = [
+        x["c"] for x in orders.select(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as long)").alias("c")
+        ).collect()
+    ]
+    def n_above(k):
+        return sum(1 for c in cents if c >= 10_000 * (2 ** k))
+    steps = 0
+    while n_above(steps) >= 100:
+        steps += 1
+    assert r["steps"] == steps
+    assert r["final_threshold_cents"] == 10_000 * 2 ** steps
+    assert r["n_above_final"] == n_above(steps) < 100
+    if steps > 0:
+        assert n_above(steps - 1) >= 100
+
+
+def test_parameterized_query_binds_typed_literals(spark, sf_dir):
+    from parquet_to_csv_spark.plans.sqlapi import parameterized_orders_report
+
+    rows = parameterized_orders_report(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    want = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") >= 1996)
+    ).count()
+    assert sum(r["n_orders"] for r in rows) == want
+    assert all(r["ym"] >= 199601 for r in rows)
+    # a hostile parameter cannot change the query shape: the quote is
+    # data, not SQL
+    evil = parameterized_orders_report(
+        spark, sf_dir, priority="' OR 1=1 --"
+    ).collect()
+    assert evil == []
