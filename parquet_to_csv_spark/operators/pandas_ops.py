@@ -333,3 +333,46 @@ def arrow_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, n_docs long, sum_chars long, max_chars long, "
         "median_chars long",
     )
+
+
+def udtf_polymorphic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E395: POLYMORPHIC Python UDTF — the ``analyze`` phase (Spark
+    4): output schema computed at plan time FROM the input table's
+    schema (pass-through columns + an appended audit column), so one
+    UDTF serves any relation — the generic-tool contract static
+    ``returnType`` UDTFs (E12/E168) cannot express.
+
+    Scale discipline: the UDTF consumes a PRE-AGGREGATED 5-row
+    relation (TABLE(... GROUP BY lang)), never document grain — the
+    rule for any row-at-a-time Python surface; the heavy lifting
+    stays in the JVM aggregate below it.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    from parquet_to_csv_spark.sources.tables import register_views
+
+    class ExpandRow:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for f in t.dataType.fields:
+                st = st.add(f.name, f.dataType)
+            st = st.add("n_fields", IntegerType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, row):
+            yield (*row, len(row))
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("pq_expandrow", udtf(ExpandRow))
+    return spark.sql(
+        """
+        SELECT * FROM pq_expandrow(TABLE(
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(length(text)) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY lang
+        ))
+        """
+    )

@@ -11758,6 +11758,38 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# E394 — SQL UDFs (scalar + table-valued): oracle inlines the bodies.
+# ---------------------------------------------------------------------------
+
+QUERIES["sql_udf_report"] = sqlapi.sql_udf_report
+ORACLES["sql_udf_report"] = f"""
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum({duck_units("o_totalprice", 2)}) AS BIGINT) AS rev_cents
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1, 2
+)
+SELECT priority, ym, n_orders, rev_cents FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# E395 — polymorphic UDTF: schema computed by analyze(); oracle checks
+# the pass-through values plus the appended audit column.
+# ---------------------------------------------------------------------------
+
+QUERIES["udtf_polymorphic_profile"] = pandas_ops.udtf_polymorphic_profile
+ORACLES["udtf_polymorphic_profile"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(3 AS INTEGER) AS n_fields
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

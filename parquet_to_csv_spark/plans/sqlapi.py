@@ -142,3 +142,42 @@ def parameterized_orders_report(
         """,
         args={"priority": priority, "min_year": min_year},
     )
+
+
+def sql_udf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E394: SQL UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``) —
+    reusable logic declared IN SQL, both scalar and table-valued. The
+    scalar ``f_cents`` captures the repo's exact-cents recipe once;
+    the TVF ``monthly_rev(p)`` is a parameterized VIEW (the body
+    references the orders table and binds ``p`` per call). Both stay
+    fully declarative: Catalyst inlines the function bodies into the
+    calling plan, so pushdown/codegen behave exactly as hand-written
+    SQL — a governance surface (one vetted definition, N callers), not
+    an execution detour. Gate: the TVF called twice with different
+    binds, union-tagged; oracle inlines the bodies.
+    """
+    from parquet_to_csv_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION f_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN cast(floor(x * 100 + 0.5) as bigint)"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION monthly_rev(p STRING)
+        RETURNS TABLE(ym INT, n_orders BIGINT, rev_cents BIGINT)
+        RETURN SELECT
+            CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT),
+            count(*),
+            sum(f_cents(o_totalprice))
+        FROM orders WHERE o_orderpriority = p GROUP BY 1
+        """
+    )
+    return spark.sql(
+        """
+        SELECT '1-URGENT' AS priority, * FROM monthly_rev('1-URGENT')
+        UNION ALL
+        SELECT '5-LOW' AS priority, * FROM monthly_rev('5-LOW')
+        """
+    )

@@ -990,3 +990,34 @@ def test_parameterized_query_binds_typed_literals(spark, sf_dir):
         spark, sf_dir, priority="' OR 1=1 --"
     ).collect()
     assert evil == []
+
+
+def test_sql_udf_inlined_plan(spark, sf_dir):
+    from parquet_to_csv_spark.plans.sqlapi import sql_udf_report
+
+    df = sql_udf_report(spark, sf_dir)
+    rows = df.collect()
+    assert {r["priority"] for r in rows} == {"1-URGENT", "5-LOW"}
+    orders = load_table(spark, sf_dir, "orders")
+    want = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).count()
+    assert sum(r["n_orders"] for r in rows) == want
+    # the SQL function bodies are INLINED: scan-level pushdown survives
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderpriority" in plan and "PushedFilters" in plan
+
+
+def test_udtf_analyze_schema_follows_input(spark, sf_dir):
+    from parquet_to_csv_spark.operators.pandas_ops import (
+        udtf_polymorphic_profile,
+    )
+
+    df = udtf_polymorphic_profile(spark, sf_dir)
+    # schema = input columns + the appended audit column, derived by
+    # analyze() at plan time
+    assert df.columns == ["lang", "n_docs", "sum_chars", "n_fields"]
+    rows = df.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.select("lang").distinct().count()
+    assert all(r["n_fields"] == 3 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == docs.count()
