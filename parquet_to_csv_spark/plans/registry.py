@@ -11710,21 +11710,23 @@ assert ORACLES["ivf_index_append_topk"] != ORACLES["ivf_indexed_topk"]
 
 # ---------------------------------------------------------------------------
 # E392 — SQL scripting walk: the oracle computes the loop's fixed
-# point set-wise (min k with n_above(k) < 100 over the same exact
+# point set-wise (min k with n_above(k) < 1000 over the same exact
 # integer power ladder).
 # ---------------------------------------------------------------------------
 
 QUERIES["scripted_threshold_walk"] = sqlapi.scripted_threshold_walk
 ORACLES["scripted_threshold_walk"] = f"""
 WITH q AS (
-  SELECT {duck_units("o_totalprice", 2)} // 10000 AS q FROM orders
-  WHERE {duck_units("o_totalprice", 2)} // 10000 >= 1
+  SELECT o_orderkey, {duck_units("o_totalprice", 2)} // 1000000 AS q
+  FROM orders
+  WHERE {duck_units("o_totalprice", 2)} // 1000000 >= 1
 ), powers AS (
   SELECT CAST(t.i AS INTEGER) AS b, CAST(power(2, t.i) AS BIGINT) AS lo
   FROM unnest(range(0, 40)) AS t(i)
 ), buck AS (
   SELECT b, CAST(count(*) AS BIGINT) AS n FROM (
-    SELECT q, max(b) AS b FROM q JOIN powers ON q >= lo GROUP BY q
+    SELECT o_orderkey, max(b) AS b
+    FROM q JOIN powers ON q.q >= lo GROUP BY o_orderkey
   ) GROUP BY b
 ), lad AS (
   SELECT k.i AS k,
@@ -11732,10 +11734,10 @@ WITH q AS (
            AS n_above
   FROM unnest(range(0, 41)) AS k(i)
 ), fixp AS (
-  SELECT CAST(min(k) AS INTEGER) AS steps FROM lad WHERE n_above < 100
+  SELECT CAST(min(k) AS INTEGER) AS steps FROM lad WHERE n_above < 1000
 )
 SELECT steps,
-       CAST(10000 * power(2, steps) AS BIGINT) AS final_threshold_cents,
+       CAST(1000000 * power(2, steps) AS BIGINT) AS final_threshold_cents,
        (SELECT n_above FROM lad WHERE k = steps) AS n_above_final
 FROM fixp
 """

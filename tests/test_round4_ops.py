@@ -962,15 +962,15 @@ def test_scripted_walk_matches_setwise_fixpoint(spark, sf_dir):
         ).collect()
     ]
     def n_above(k):
-        return sum(1 for c in cents if c >= 10_000 * (2 ** k))
+        return sum(1 for c in cents if c >= 1_000_000 * (2 ** k))
     steps = 0
-    while n_above(steps) >= 100:
+    while n_above(steps) >= 1000:
         steps += 1
     assert r["steps"] == steps
-    assert r["final_threshold_cents"] == 10_000 * 2 ** steps
-    assert r["n_above_final"] == n_above(steps) < 100
+    assert r["final_threshold_cents"] == 1_000_000 * 2 ** steps
+    assert r["n_above_final"] == n_above(steps) < 1000
     if steps > 0:
-        assert n_above(steps - 1) >= 100
+        assert n_above(steps - 1) >= 1000
 
 
 def test_parameterized_query_binds_typed_literals(spark, sf_dir):
