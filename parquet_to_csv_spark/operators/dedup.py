@@ -2452,3 +2452,126 @@ def fs_em_weights(
         "m1_micro", "m2_micro", "m3_micro",
         "u1_micro", "u2_micro", "u3_micro",
     )
+
+
+def leakage_release_certificate(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    val_pct: int = 20,
+    benchmark_source: str = "src0",
+) -> DataFrame:
+    """EXT E396: the release GATE certificate — one table a data
+    release ships with, certifying the three leakage classes every
+    LLM-data audit asks about, each as (check, n_checked,
+    n_violations, passed):
+
+    - ``split_straddle_pairs``: near-dup pairs whose members sit on
+      different sides of the E305 cluster-unit split — MUST be 0 (the
+      split assigns whole clusters, so a violation means the split
+      rule itself broke);
+    - ``exact_dup_split_crossover``: exact-content groups spanning
+      splits. NOT subsumed by the straddle check: the near-dup pair
+      relation is blocked by lang x source, so identical text
+      re-labeled under another source/lang never becomes an edge,
+      lands in no cluster, and CAN straddle (observed: 3 groups at
+      sf0.1) — the certificate catches precisely the blocking scheme's
+      blind spot, which an argument-by-subsumption would have missed;
+    - ``benchmark_contamination_train``: training docs sharing a
+      5-gram with the benchmark source — honest count, `passed` only
+      when zero (on this fixture it is NOT zero: the row is the
+      action item, which is the point of a certificate).
+
+    Everything rides already-verified relations: the materialized
+    edge table (E299), the cluster relation (E26), the E27
+    contamination probe — the certificate costs three small joins,
+    not new scans, and its oracle composes the same verified SQL.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dup_clusters(spark, sf_dir, threshold).select(
+        "doc_id", "cluster_id"
+    )
+    assign = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                md5_bucket(
+                    F.coalesce(F.col("cluster_id"), F.col("doc_id")), 100
+                )
+                < val_pct,
+                F.lit("val"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+    edges = dedup_edges(spark, sf_dir, threshold)
+    straddle = (
+        edges.join(
+            assign.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum((F.col("sa") != F.col("sb")).cast("long")).alias(
+                "n_violations"
+            ),
+        )
+        .select(F.lit("split_straddle_pairs").alias("check"), "n_checked",
+                F.coalesce("n_violations", F.lit(0)).alias("n_violations"))
+    )
+    exact_groups = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(assign, "doc_id")
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.count_distinct("split").alias("nsplits"),
+        )
+        .filter(F.col("sz") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.coalesce(
+                F.sum((F.col("nsplits") > 1).cast("long")), F.lit(0)
+            ).alias("n_violations"),
+        )
+        .select(F.lit("exact_dup_split_crossover").alias("check"),
+                "n_checked", "n_violations")
+    )
+    contaminated = (
+        contamination_pairs(spark, sf_dir, benchmark_source=benchmark_source)
+        .select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    n_train_docs = docs.filter(
+        F.col("source") != benchmark_source
+    ).agg(F.count(F.lit(1)).alias("n_checked"))
+    contam = (
+        F.broadcast(n_train_docs)
+        .join(F.broadcast(contaminated))
+        .select(F.lit("benchmark_contamination_train").alias("check"),
+                "n_checked", "n_violations")
+    )
+    return (
+        straddle.unionByName(exact_groups)
+        .unionByName(contam)
+        .select(
+            "check",
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )

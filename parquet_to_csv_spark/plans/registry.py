@@ -11792,6 +11792,57 @@ FROM documents GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# E396 — leakage release certificate: composes the verified cluster,
+# pair, and contamination oracles; the contamination row is expected
+# NOT to pass on this fixture (the action-item row).
+# ---------------------------------------------------------------------------
+
+QUERIES["leakage_release_certificate"] = dedup.leakage_release_certificate
+ORACLES["leakage_release_certificate"] = f"""
+WITH clusters AS MATERIALIZED (
+{ORACLES["dup_clusters"]}
+), assign AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN {corpus.duck_md5_bucket("coalesce(c.cluster_id, d.doc_id)", 100)} < 20
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+), pairs AS MATERIALIZED (
+{ORACLES["ngram_jaccard_pairs"]}
+), straddle AS (
+  SELECT 'split_straddle_pairs' AS "check",
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 END), 0)
+              AS BIGINT) AS n_violations
+  FROM pairs p
+  JOIN assign a ON p.doc_a = a.doc_id
+  JOIN assign b ON p.doc_b = b.doc_id
+), exact_g AS (
+  SELECT 'exact_dup_split_crossover' AS "check",
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(coalesce(sum(CASE WHEN nsplits > 1 THEN 1 END), 0) AS BIGINT)
+           AS n_violations
+  FROM (
+    SELECT md5(text) AS h, count(*) AS sz,
+           count(DISTINCT a.split) AS nsplits
+    FROM documents d JOIN assign a ON d.doc_id = a.doc_id
+    GROUP BY md5(text) HAVING count(*) > 1
+  )
+), contam_hits AS (
+{ORACLES["contamination_pairs"]}
+), contam AS (
+  SELECT 'benchmark_contamination_train' AS "check",
+         (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE source <> 'src0') AS n_checked,
+         (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM contam_hits)
+           AS n_violations
+)
+SELECT "check", n_checked, n_violations, n_violations = 0 AS passed
+FROM (SELECT * FROM straddle UNION ALL SELECT * FROM exact_g
+      UNION ALL SELECT * FROM contam)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

@@ -1021,3 +1021,31 @@ def test_udtf_analyze_schema_follows_input(spark, sf_dir):
     assert len(rows) == docs.select("lang").distinct().count()
     assert all(r["n_fields"] == 3 for r in rows)
     assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_release_certificate_rows(spark, sf_dir):
+    from parquet_to_csv_spark.operators.dedup import (
+        leakage_release_certificate,
+    )
+
+    rows = {r["check"]: r for r in
+            leakage_release_certificate(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "split_straddle_pairs",
+        "exact_dup_split_crossover",
+        "benchmark_contamination_train",
+    }
+    # the split assigns whole clusters: straddle MUST be zero
+    s = rows["split_straddle_pairs"]
+    assert s["n_violations"] == 0 and s["passed"]
+    assert s["n_checked"] > 0  # the pair relation is non-empty
+    # exact dups are NOT subsumed by the straddle check (lang x source
+    # blocking): crossover can be non-zero (it is at sf0.1); the
+    # certificate's contract is consistency, not a fixture constant
+    e = rows["exact_dup_split_crossover"]
+    assert 0 <= e["n_violations"] <= e["n_checked"]
+    assert e["passed"] == (e["n_violations"] == 0)
+    # the fixture IS contaminated: the row is the action item
+    c = rows["benchmark_contamination_train"]
+    assert c["n_violations"] > 0 and not c["passed"]
+    assert c["n_violations"] <= c["n_checked"]
