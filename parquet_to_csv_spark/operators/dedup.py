@@ -2575,3 +2575,94 @@ def leakage_release_certificate(
             (F.col("n_violations") == 0).alias("passed"),
         )
     )
+
+
+def leakage_safe_split_v2(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    val_pct: int = 20,
+) -> DataFrame:
+    """EXT E397: the FIX for the blind spot E396 certifies — split
+    units are connected components over the UNION of the near-dup
+    edge relation and exact-content-hash star edges (each duplicate
+    group's docs linked to the group's min id). Cross-block identical
+    text — invisible to the lang×source-blocked Jaccard join — now
+    shares a unit with its twins, so neither leakage class can
+    straddle BY CONSTRUCTION, and the output re-runs both certificate
+    checks to prove it (the audit→fix→re-certify loop closed in one
+    lineage).
+
+    Cost: the exact-hash edges are one map-side hash aggregate (star
+    edges, not pairwise — a 10^6-copy group contributes 10^6−1 edges,
+    never quadratic), unioned into the same CC machinery (min-label
+    here; `spark.graft.ccAlgorithm=starcontraction` at web scale).
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    exact_edges = (
+        hashed.join(
+            hashed.groupBy("h").agg(
+                F.min("doc_id").alias("root"), F.count(F.lit(1)).alias("sz")
+            ),
+            "h",
+        )
+        .filter((F.col("sz") > 1) & (F.col("doc_id") != F.col("root")))
+        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    nd_edges = dedup_edges(spark, sf_dir, threshold).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(nd_edges.unionByName(exact_edges))
+    assign = (
+        docs.select("doc_id")
+        .join(cc.select(F.col("v").alias("doc_id"), "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                md5_bucket(
+                    F.coalesce(F.col("cluster_id"), F.col("doc_id")), 100
+                )
+                < val_pct,
+                F.lit("val"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+    def _straddle(edges: DataFrame, name: str) -> DataFrame:
+        return (
+            edges.join(
+                assign.select(
+                    F.col("doc_id").alias("src"), F.col("split").alias("sa")
+                ),
+                "src",
+            )
+            .join(
+                assign.select(
+                    F.col("doc_id").alias("dst"), F.col("split").alias("sb")
+                ),
+                "dst",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.coalesce(
+                    F.sum((F.col("sa") != F.col("sb")).cast("long")), F.lit(0)
+                ).alias("n_violations"),
+            )
+            .select(F.lit(name).alias("check"), "n_checked", "n_violations")
+        )
+
+    return (
+        _straddle(nd_edges, "near_dup_straddle_pairs")
+        .unionByName(_straddle(exact_edges, "exact_dup_straddle_edges"))
+        .select(
+            "check",
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )

@@ -11843,6 +11843,74 @@ FROM (SELECT * FROM straddle UNION ALL SELECT * FROM exact_g
 
 
 # ---------------------------------------------------------------------------
+# E397 — the fix for E396's blind spot: CC over near-dup ∪ exact-hash
+# edges; both straddle checks must certify zero.
+# ---------------------------------------------------------------------------
+
+QUERIES["leakage_safe_split_v2"] = dedup.leakage_safe_split_v2
+ORACLES["leakage_safe_split_v2"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS toks
+  FROM documents
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+        >= 0.8
+), hx AS (
+  SELECT md5(text) AS h, doc_id FROM documents
+), roots AS (
+  SELECT h, min(doc_id) AS root, count(*) AS sz FROM hx GROUP BY h
+), exact_edges AS MATERIALIZED (
+  SELECT r.root AS src, hx.doc_id AS dst
+  FROM hx JOIN roots r USING (h)
+  WHERE r.sz > 1 AND hx.doc_id <> r.root
+), edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+  UNION
+  SELECT src AS u, dst AS w FROM exact_edges
+  UNION
+  SELECT dst AS u, src AS w FROM exact_edges
+), cc(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.l FROM edges e JOIN cc ON cc.v = e.w
+), comp AS MATERIALIZED (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM cc GROUP BY v
+), assign AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN {corpus.duck_md5_bucket("coalesce(c.cluster_id, d.doc_id)", 100)} < 20
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+), nd AS (
+  SELECT 'near_dup_straddle_pairs' AS "check",
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 END), 0)
+              AS BIGINT) AS n_violations
+  FROM pairs p
+  JOIN assign a ON p.doc_a = a.doc_id
+  JOIN assign b ON p.doc_b = b.doc_id
+), ex AS (
+  SELECT 'exact_dup_straddle_edges' AS "check",
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 END), 0)
+              AS BIGINT) AS n_violations
+  FROM exact_edges e
+  JOIN assign a ON e.src = a.doc_id
+  JOIN assign b ON e.dst = b.doc_id
+)
+SELECT "check", n_checked, n_violations, n_violations = 0 AS passed
+FROM (SELECT * FROM nd UNION ALL SELECT * FROM ex)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

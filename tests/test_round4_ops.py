@@ -1049,3 +1049,16 @@ def test_release_certificate_rows(spark, sf_dir):
     c = rows["benchmark_contamination_train"]
     assert c["n_violations"] > 0 and not c["passed"]
     assert c["n_violations"] <= c["n_checked"]
+
+
+def test_split_v2_certifies_clean_at_both_scales(spark, sf_dir):
+    from parquet_to_csv_spark.operators.dedup import leakage_safe_split_v2
+
+    rows = {r["check"]: r for r in
+            leakage_safe_split_v2(spark, sf_dir).collect()}
+    assert set(rows) == {"near_dup_straddle_pairs",
+                         "exact_dup_straddle_edges"}
+    # BY CONSTRUCTION zero: units close over BOTH edge relations
+    for r in rows.values():
+        assert r["n_violations"] == 0 and r["passed"]
+    assert rows["near_dup_straddle_pairs"]["n_checked"] > 0
