@@ -1736,3 +1736,63 @@ def collated_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("canonical", "n_occ", "n_forms")
     )
+
+
+def bm25_dedup_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    pool: int = 30,
+) -> DataFrame:
+    """EXT E398: duplicate-collapsed retrieval — search-result dedup,
+    the retrieval-stack twin of corpus dedup: a query whose best match
+    exists in N near-identical copies should spend ONE result slot on
+    that content, not N. Production shape used by every retrieval
+    pipeline over un-deduplicated corpora (and the RAG answer to
+    "my top-10 is the same doc ten times").
+
+    Plan: the verified BM25 scorer produces a ``pool``-sized candidate
+    list (TakeOrdered — bounded); ONE left join against the
+    materialized cluster relation maps candidates to content units
+    (singletons = their own unit); per unit keep the best-scoring
+    member (score desc, doc_id tie-break) while counting collapsed
+    members; final rank runs over the ≤pool-row relation. Every stage
+    after BM25 is candidate-sized — the collapse costs nothing at any
+    corpus scale.
+    """
+    from pyspark.sql import Window
+
+    from parquet_to_csv_spark.operators.dedup import dup_clusters
+
+    cands = bm25_topk(spark, sf_dir, k=pool)
+    clusters = dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    units = cands.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "n_matched",
+        "score",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("unit_id"),
+    )
+    wu = Window.partitionBy("unit_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = (
+        units.withColumn("_rn", F.row_number().over(wu))
+        .withColumn(
+            "n_collapsed", F.count(F.lit(1)).over(Window.partitionBy("unit_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    wk = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        best.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            "unit_id",
+            "n_matched",
+            "score",
+            F.col("n_collapsed").cast("long").alias("n_collapsed"),
+        )
+    )

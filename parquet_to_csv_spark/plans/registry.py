@@ -11911,6 +11911,40 @@ FROM (SELECT * FROM nd UNION ALL SELECT * FROM ex)
 
 
 # ---------------------------------------------------------------------------
+# E398 — dup-collapsed retrieval: composes the verified BM25 (pool=30)
+# and cluster oracles; collapse + final rank over the 30-row pool.
+# ---------------------------------------------------------------------------
+
+QUERIES["bm25_dedup_topk"] = text.bm25_dedup_topk
+assert ORACLES["bm25_topk"].rstrip().endswith("LIMIT 10")
+ORACLES["bm25_dedup_topk"] = f"""
+WITH cands AS MATERIALIZED (
+{ORACLES["bm25_topk"].rstrip()[: -len("LIMIT 10")]} LIMIT 30
+), clusters AS MATERIALIZED (
+{ORACLES["dup_clusters"]}
+), units AS (
+  SELECT c.doc_id, c.n_matched, c.score,
+         coalesce(cl.cluster_id, c.doc_id) AS unit_id
+  FROM cands c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+), best AS (
+  SELECT doc_id, n_matched, score, unit_id, n_collapsed FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY unit_id
+                              ORDER BY score DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY unit_id) AS n_collapsed
+    FROM units
+  ) WHERE rn = 1
+)
+SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, unit_id, n_matched, score,
+       CAST(n_collapsed AS BIGINT) AS n_collapsed
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM best
+) WHERE rnk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

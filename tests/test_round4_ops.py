@@ -1062,3 +1062,28 @@ def test_split_v2_certifies_clean_at_both_scales(spark, sf_dir):
     for r in rows.values():
         assert r["n_violations"] == 0 and r["passed"]
     assert rows["near_dup_straddle_pairs"]["n_checked"] > 0
+
+
+def test_bm25_dedup_collapses_clusters(spark, sf_dir):
+    from parquet_to_csv_spark.operators.text import bm25_dedup_topk, bm25_topk
+    from parquet_to_csv_spark.operators.dedup import dup_clusters
+
+    rows = sorted(bm25_dedup_topk(spark, sf_dir).collect(),
+                  key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    # one result slot per content unit
+    assert len({r["unit_id"] for r in rows}) == len(rows)
+    # scores are non-increasing in rank
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every surviving doc is its unit's best-scoring candidate
+    pool = {r["doc_id"]: r["score"]
+            for r in bm25_topk(spark, sf_dir, k=30).collect()}
+    cl = {r["doc_id"]: r["cluster_id"]
+          for r in dup_clusters(spark, sf_dir).collect()}
+    for r in rows:
+        assert r["n_collapsed"] >= 1
+        members = [d for d in pool
+                   if cl.get(d, d) == r["unit_id"]]
+        assert r["n_collapsed"] == len(members)
+        assert r["score"] == max(pool[d] for d in members)

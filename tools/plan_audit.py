@@ -63,6 +63,7 @@ _TINY_WINDOWS: dict[str, tuple[int, str]] = {
     "nation_league_table": (3, "25-nation relation"),
     "bradley_terry_sources": (1, "|sources| relation (rank over the strength table)"),
     "bh_fdr_screen": (2, "20-cell hypothesis relation (5 types x 4 hour-bands)"),
+    "bm25_dedup_topk": (1, "post-TakeOrdered(pool=30) candidate relation"),
 }
 
 
