@@ -2502,8 +2502,14 @@ def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("pair"),
             "n_docs",
             "sum_d2",
+            # 6·sum_d2·10⁶ overflows int64 past ~21k decorrelated docs
+            # (sum_d2 ~ n³/3); route the ratio through DECIMAL(38,0) —
+            # good to n ~ 2e9 — and div back to BIGINT. The oracle takes
+            # the same path via HUGEINT, so values stay integer-exact.
             F.expr(
-                "1000000 - 6 * sum_d2 * 1000000 div (n_docs * (n_docs * n_docs - 1))"
+                "cast(1000000 - (6 * cast(sum_d2 as decimal(38,0)) * 1000000)"
+                " div (cast(n_docs as decimal(38,0)) * n_docs * n_docs - n_docs)"
+                " as bigint)"
             ).alias("rho_ppm"),
             "max_displacement",
         )

@@ -2375,17 +2375,22 @@ def fairness_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Benjamini-Hochberg critical |z| values for q = 0.10 over m = 20
-# two-sided tests: zcrit_k = Phi^-1(1 - k*q/(2m)), generated once from
-# the stdlib normal inverse CDF (public math; identical literals are
-# inlined into the Spark expression AND the DuckDB oracle, so neither
-# engine ever evaluates an inverse CDF).
-def _bh_crit_milli(m: int = 20, q: float = 0.10) -> list[int]:
+# Benjamini-Hochberg critical |z| values for q = 0.10, two-sided:
+# zcrit_k = Phi^-1(1 - k*q/(2m)) depends only on the RATIO k/m, so one
+# 1000-step ratio table serves ANY data-dependent hypothesis count m
+# (index ceil(1000k/m); exact BH whenever 1000k/m is integral — e.g.
+# every k at the fixture's m=20 — and a conservatively larger crit
+# otherwise). Generated once from the stdlib normal inverse CDF
+# (public math; identical literals are inlined into the Spark
+# expression AND the DuckDB oracle, so neither engine ever evaluates
+# an inverse CDF, and m never needs to be known at plan-build time).
+def _bh_crit_ratio_milli(steps: int = 1000, q: float = 0.10) -> list[int]:
     from statistics import NormalDist
 
     nd = NormalDist()
     return [
-        int(nd.inv_cdf(1.0 - (k * q) / (2 * m)) * 1000) for k in range(1, m + 1)
+        int(nd.inv_cdf(1.0 - (r * q) / (2 * steps)) * 1000)
+        for r in range(1, steps + 1)
     ]
 
 
@@ -2459,16 +2464,28 @@ def bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    crit = _bh_crit_milli()
+    crit = _bh_crit_ratio_milli()
     crit_arr = F.array(*[F.lit(c) for c in crit])
     wr = Window.orderBy(
         F.desc("abs_z_milli"), F.col("event_type"), F.col("hband")
     )
-    ranked = scored.withColumn("rnk", F.row_number().over(wr)).withColumn(
-        "crit_milli", F.element_at(crit_arr, F.col("rnk"))
-    )
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # m = surviving hypothesis count (data-dependent: event_type ×
+    # hband cells past the degenerate-cell filter); ceil(1000·k/m)
+    # indexes the ratio table and is always ≤ 1000, so no rank can
+    # run off the critical-value array whatever the fixture yields.
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .withColumn("_m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "crit_milli",
+            F.element_at(
+                crit_arr,
+                F.expr("cast((rnk * 1000 + _m - 1) div _m as int)"),
+            ),
+        )
     )
     return ranked.withColumn(
         "_kstar",

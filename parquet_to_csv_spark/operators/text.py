@@ -973,7 +973,10 @@ def token_rank_movers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
     ranked = banded_row_number(
         toks.withColumn("negfreq", -F.col("freq")),
         ["negfreq", "token"],
-        F.expr("negfreq * 256 + ascii(substr(token, 1, 1))"),
+        # ascii() yields the full first-char codepoint; clamp at 255 so
+        # non-ASCII tokens can't produce a band above a higher-freq class
+        # (banded_row_number requires the band monotone in the sort key).
+        F.expr("negfreq * 256 + least(ascii(substr(token, 1, 1)), 255)"),
         out_col="rnk",
         group_cols=["late"],
     )
@@ -1677,7 +1680,8 @@ def vocab_coverage_ladder(
     ranked = banded_row_number(
         counts.withColumn("negfreq", -F.col("freq")),
         ["negfreq", "token"],
-        F.expr("negfreq * 256 + ascii(substr(token, 1, 1))"),
+        # clamp: non-ASCII first chars must not escape their negfreq band
+        F.expr("negfreq * 256 + least(ascii(substr(token, 1, 1)), 255)"),
         out_col="rnk",
     )
     aggs = [F.sum("freq").alias("total")]

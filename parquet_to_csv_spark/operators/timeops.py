@@ -2896,8 +2896,11 @@ def closing_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast((ts div 86400000000000) div 30 as int)").alias("month"),
         exact_units(F.col("value"), 2).alias("cents"),
     )
+    # Order at µs grain (the fixture's timestamp resolution): Spark holds
+    # ns-as-long, DuckDB truncates to µs — ordering raw ns here against an
+    # ms/µs oracle would pick a different "last" row on sub-grain ties.
     w = Window.partitionBy("user_id", "month").orderBy(
-        F.desc("ts"), F.desc("event_id")
+        F.desc(F.expr("ts div 1000")), F.desc("event_id")
     )
     closing = (
         ev.withColumn("_rn", F.row_number().over(w))

@@ -10381,8 +10381,8 @@ WITH d AS (
   SELECT * FROM p00 UNION ALL SELECT * FROM p01
 )
 SELECT pair, n_docs, sum_d2,
-       CAST(1000000 - 6 * sum_d2 * 1000000
-            // (n_docs * (n_docs * n_docs - 1)) AS BIGINT) AS rho_ppm,
+       CAST(1000000 - 6 * CAST(sum_d2 AS HUGEINT) * 1000000
+            // (CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs) AS BIGINT) AS rho_ppm,
        max_displacement
 FROM u
 """
@@ -11281,7 +11281,7 @@ WITH ev AS (
          {duck_units("value", 2)} AS cents,
          row_number() OVER (
            PARTITION BY user_id, (epoch_ms(ts) // 86400000) // 30
-           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events
 ), closing AS (
   SELECT month, cents FROM ev WHERE rn = 1
@@ -11463,7 +11463,9 @@ FROM rates CROSS JOIN ref
 # ---------------------------------------------------------------------------
 
 QUERIES["bh_fdr_screen"] = mlmetrics.bh_fdr_screen
-_BH_CRIT_SQL = "[" + ", ".join(str(c) for c in mlmetrics._bh_crit_milli()) + "]"
+_BH_CRIT_SQL = (
+    "[" + ", ".join(str(c) for c in mlmetrics._bh_crit_ratio_milli()) + "]"
+)
 ORACLES["bh_fdr_screen"] = f"""
 WITH ev AS (
   SELECT event_type,
@@ -11496,8 +11498,13 @@ WITH ev AS (
   SELECT *, CAST(row_number() OVER (
               ORDER BY abs_z_milli DESC, event_type, hband) AS INTEGER) AS rnk
   FROM scored
+), withm AS (
+  SELECT *, count(*) OVER () AS _m FROM ranked
 ), withcrit AS (
-  SELECT *, CAST(({_BH_CRIT_SQL})[rnk] AS INTEGER) AS crit_milli FROM ranked
+  SELECT * EXCLUDE (_m),
+         CAST(({_BH_CRIT_SQL})[CAST((rnk * 1000 + _m - 1) // _m AS INTEGER)]
+              AS INTEGER) AS crit_milli
+  FROM withm
 )
 SELECT event_type, hband, n1, x1, n2, x2, abs_z_milli, rnk, crit_milli,
        rnk <= coalesce(max(CASE WHEN abs_z_milli >= crit_milli THEN rnk END)

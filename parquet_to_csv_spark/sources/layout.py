@@ -619,11 +619,21 @@ def read_version_delta(
 
     a = json.load(open(_manifest_path(table_dir, from_version)))
     b = json.load(open(_manifest_path(table_dir, to_version)))
-    if b.get("mode") == "overwrite":
-        raise ValueError(
-            "delta scan is only defined across append commits; "
-            f"v{to_version} is an overwrite"
+    # Every commit strictly inside (from, to] must be append-mode: an
+    # overwrite ANYWHERE in the range rewrites base files, and a later
+    # append would make the file-set difference include pre-existing
+    # rows even though to_version itself is an append.
+    for v in range(from_version + 1, to_version + 1):
+        m = (
+            b
+            if v == to_version
+            else json.load(open(_manifest_path(table_dir, v)))
         )
+        if m.get("mode") == "overwrite":
+            raise ValueError(
+                "delta scan is only defined across append commits; "
+                f"v{v} in ({from_version}, {to_version}] is an overwrite"
+            )
     new_files = sorted(set(b["files"]) - set(a["files"]))
     if not new_files:
         raise ValueError(
