@@ -18,10 +18,11 @@ Four tiers, each a different cost/recall point for 100 TB corpora:
 
 All four are pure DataFrame ops — the signatures are computed with
 native higher-order array expressions (xxhash64 per shingle, min over
-affine reshashes), so everything stays in whole-stage codegen.
-MinHash/SimHash use Spark's xxhash64 (engine-private), hence rows-only
-checks; the Jaccard verifier itself is oracle-checked via
-``ngram_jaccard_pairs``.
+affine reshashes), so everything stays in whole-stage codegen. Every
+query here is full-strength oracle-checked: the DuckDB oracles replay
+the exact xxhash64 construction via the engine-shared ``_h60`` helper
+(built in this module), so MinHash/SimHash values — not just row
+counts — are verified cross-engine.
 """
 
 from __future__ import annotations

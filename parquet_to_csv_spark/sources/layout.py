@@ -329,57 +329,76 @@ def latest_version(table_dir: str) -> int | None:
 
 
 def commit_version(
-    spark: SparkSession, table_dir: str, df: DataFrame, mode: str = "append"
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    mode: str = "append",
+    max_attempts: int = 5,
 ) -> int:
     """EXT E315 (write side): commit ``df`` as a new immutable snapshot.
 
-    Data files land under ``data/v{N}/`` (never rewritten); the
-    snapshot manifest ``manifests/v{N}.json`` lists EVERY live file of
-    the version — previous live files plus the new ones for
-    ``append``, only the new ones for ``overwrite``. Readers resolve a
-    manifest, never a directory listing, so concurrent/failed writes
-    can't tear a snapshot (the manifest write is the atomic commit
-    point — same contract as Delta's _delta_log, minus the JVM).
+    Data files are written ONCE, under ``data/v{N}/`` for the first
+    version this writer observes (a writer-unique suffix if a racer
+    already claimed that directory — manifests reference files
+    explicitly, so the directory name is cosmetic); they are never
+    rewritten. The snapshot manifest ``manifests/v{N}.json`` lists
+    EVERY live file of the version — previous live files plus the new
+    ones for ``append``, only the new ones for ``overwrite``. Readers
+    resolve a manifest, never a directory listing, so concurrent or
+    failed writes can't tear a snapshot.
+
+    The manifest write is the atomic commit point, PUT-IF-ABSENT via
+    ``os.link`` (rename() silently replaces, which would drop the
+    winner's snapshot). A loser re-reads ``latest_version`` and
+    retries at the next number — Delta/Iceberg's optimistic
+    concurrency, bounded at ``max_attempts`` so livelock fails loudly.
+    On an append retry the live-file base is re-read from the NEW
+    latest manifest, so both racers' rows land.
     """
     import json
     import os
+    import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
     prev = latest_version(table_dir)
-    version = 0 if prev is None else prev + 1
-    data_dir = os.path.join(table_dir, "data", f"v{version}")
+    guess = 0 if prev is None else prev + 1
+    data_dir = os.path.join(table_dir, "data", f"v{guess}")
+    if os.path.exists(data_dir):
+        data_dir = os.path.join(
+            table_dir, "data", f"v{guess}.{uuid.uuid4().hex[:8]}"
+        )
     df.write.parquet(data_dir)
     new_files = sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    live: list[str] = []
-    if mode == "append" and prev is not None:
-        live = json.load(open(_manifest_path(table_dir, prev)))["files"]
-    manifest = {"version": version, "mode": mode, "files": live + new_files}
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-    tmp = _manifest_path(table_dir, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    # PUT-IF-ABSENT commit: rename() silently REPLACES an existing
-    # manifest, so two racing writers computing the same next version
-    # would both "succeed" and the loser's snapshot (and data files)
-    # would be silently dropped. link() fails with EEXIST instead —
-    # the losing committer gets a loud error and can retry at
-    # version+1 (the Delta/Iceberg optimistic-concurrency contract).
-    final = _manifest_path(table_dir, version)
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent commit: version {version} already exists in "
-            f"{table_dir}; retry at a higher version"
-        ) from None
-    finally:
-        os.remove(tmp)
-    return version
+    token = uuid.uuid4().hex[:8]
+    version = guess
+    for _ in range(max_attempts):
+        prev = latest_version(table_dir)
+        version = 0 if prev is None else prev + 1
+        live: list[str] = []
+        if mode == "append" and prev is not None:
+            live = json.load(open(_manifest_path(table_dir, prev)))["files"]
+        manifest = {"version": version, "mode": mode, "files": live + new_files}
+        final = _manifest_path(table_dir, version)
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)
+            return version
+        except FileExistsError:
+            continue  # a racer landed this version; recompute on top
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(
+        f"concurrent commit: lost the race for versions up to {version} in "
+        f"{table_dir} {max_attempts} times; giving up"
+    )
 
 
 def read_version(

@@ -134,12 +134,12 @@ def test_schema_drift_between_versions(spark, sf_dir, tmp_path):
 
 
 def test_commit_version_put_if_absent(spark, sf_dir, tmp_path, monkeypatch):
-    """Round-4 ADVICE fix: the manifest commit is put-if-absent — a
-    racing writer that lands on an already-committed version number
-    must fail LOUDLY (and leave the winner's manifest untouched), not
-    silently replace it and orphan the winner's snapshot. The race is
-    simulated by pinning the loser's latest_version read to a stale
-    value while the winner's v1 manifest already exists."""
+    """The manifest commit is put-if-absent — a racing writer that
+    PERMANENTLY lands on an already-committed version number (here:
+    latest_version pinned stale, so every bounded retry collides) must
+    fail LOUDLY after exhausting retries, leaving the winner's
+    manifest untouched and no .tmp litter — never silently replace it
+    and orphan the winner's snapshot."""
     import json
     import os
 
@@ -158,4 +158,50 @@ def test_commit_version_put_if_absent(spark, sf_dir, tmp_path, monkeypatch):
     # the winner's manifest survived untouched and no .tmp remains
     kept = json.load(open(os.path.join(t, "manifests", "v1.json")))
     assert kept["files"] == ["sentinel.parquet"]
-    assert not any(f.endswith(".tmp") for f in os.listdir(os.path.join(t, "manifests")))
+    assert not any(".tmp" in f for f in os.listdir(os.path.join(t, "manifests")))
+
+
+def test_commit_version_retry_lands_both_writers(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-5: optimistic-concurrency retry — a loser whose
+    latest_version read was stale ONCE must re-read, rebase its live
+    set on the winner's manifest, and land at the next version: both
+    snapshots durable, the final append containing BOTH writers' rows,
+    zero orphaned data files."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl_retry")
+    base = _orders(spark, sf_dir)
+    layout.commit_version(spark, t, base.limit(10))  # v0
+
+    real = layout.latest_version
+    stale_reads = {"n": 0}
+
+    def flaky_latest(d):
+        # first read inside the loser's commit returns the pre-winner
+        # view; the winner's v1 appears only on the retry re-read
+        stale_reads["n"] += 1
+        if stale_reads["n"] == 1:
+            winner = {
+                "version": 1,
+                "mode": "append",
+                "files": json.load(
+                    open(os.path.join(t, "manifests", "v0.json"))
+                )["files"],
+            }
+            with open(os.path.join(t, "manifests", "v1.json"), "w") as f:
+                json.dump(winner, f)
+            return 0
+        return real(d)
+
+    monkeypatch.setattr(layout, "latest_version", flaky_latest)
+    v = layout.commit_version(spark, t, base.limit(5))
+    monkeypatch.setattr(layout, "latest_version", real)
+    assert v == 2
+    files_v2 = json.load(open(os.path.join(t, "manifests", "v2.json")))["files"]
+    files_v1 = json.load(open(os.path.join(t, "manifests", "v1.json")))["files"]
+    # rebased on the winner: v2 ⊃ v1 plus the loser's new files
+    assert set(files_v1) < set(files_v2)
+    assert layout.read_version(spark, t, 2).count() == 15
+    assert layout.orphan_files(t, keep_versions=3) == []
+    assert not any(".tmp" in f for f in os.listdir(os.path.join(t, "manifests")))
