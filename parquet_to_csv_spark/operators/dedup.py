@@ -138,12 +138,20 @@ def dedup_edges(
 
     global _EDGE_DIR
     key_t = int(round(threshold * 10000))
+    # spark.graft.unblockedEdges=true switches the whole edge family to
+    # the high-recall unblocked prefix-filter build (cross-block pairs
+    # included); keyed separately so blocked and unblocked artifacts
+    # never serve each other.
+    blocked = (
+        str(spark.conf.get("spark.graft.unblockedEdges", "false")).lower()
+        != "true"
+    )
     # CONTENT key, not path key: the salt folds in the documents
     # parquet's (mtime, size), so rewriting the fixture mid-process
     # invalidates every cached entry instead of serving stale edges,
     # and the md5 directory name is reproducible across processes
     # (Python's hash() is per-process salted).
-    salt = source_salt(sf_dir, "documents")
+    salt = source_salt(sf_dir, "documents") + ("" if blocked else "_ub")
     usable = [
         (t, p) for (s, t), p in _EDGE_CACHE.items() if s == salt and t <= key_t
     ]
@@ -154,18 +162,29 @@ def dedup_edges(
         if _EDGE_DIR is None:
             _EDGE_DIR = tempfile.mkdtemp(prefix="dedup_edges_")
         path = os.path.join(_EDGE_DIR, f"t{build_t}_{salt}")
-        ngram_jaccard_pairs(spark, sf_dir, build_t / 10000.0).write.mode(
-            "overwrite"
-        ).parquet(path)
+        ngram_jaccard_pairs(
+            spark, sf_dir, build_t / 10000.0, blocked=blocked
+        ).write.mode("overwrite").parquet(path)
         _EDGE_CACHE[(salt, build_t)] = path
     return spark.read.parquet(path).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8,
+    blocked: bool = True,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via prefix filtering (the canonical
     set-similarity join), blocked by lang×source.
+
+    ``blocked=False`` drops the lang×source equi-keys and keeps only
+    the prefix-token join plus the size-ratio (length-band) prune —
+    the HIGH-RECALL audit path: still an inverted-index join (never
+    all-pairs), but candidates now cross block boundaries, so pairs a
+    mislabeled lang/source would hide are found. Costlier (prefix
+    postings collide corpus-wide instead of per block); production
+    keeps blocking, audits run this to MEASURE what blocking loses
+    (see :func:`blocking_recall_report`). Also reachable via the
+    ``spark.graft.unblockedEdges`` conf on :func:`dedup_edges`.
 
     Prefix-filter theorem: J(A,B) >= t forces an overlap α >= t·|A|
     (and symmetrically t·|B|); with both token sets in one global sort
@@ -203,17 +222,21 @@ def ngram_jaccard_pairs(
     a = pref.alias("a")
     b = pref.alias("b")
     eps = 1e-9
-    cand = (
-        a.join(
-            b,
+    cond = (
+        (F.col("a.ptok") == F.col("b.ptok"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # J >= t ⇒ min(sz)/max(sz) >= t — prune with float slack
+        & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps))
+        & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps))
+    )
+    if blocked:
+        cond = (
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.ptok") == F.col("b.ptok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # J >= t ⇒ min(sz)/max(sz) >= t — prune with float slack
-            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps))
-            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps)),
+            & cond
         )
+    cand = (
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -1160,6 +1183,14 @@ def dedup_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ⊂ normalized ⊂ near-dup, no double counting. Exact and
     normalized cost one hash aggregation each; the near-dup tier
     reuses the prefix-filtered Jaccard join — nothing new is quadratic.
+
+    Each row carries ``blocking_recall_ppm`` — MEASURED, not assumed:
+    the hash tiers aggregate globally (no blocking ⇒ 10⁶ by
+    construction), while the near-dup row takes the E235 sampled
+    blocking-recall audit's 10⁶ − missed_ppm, so the decision table
+    states the recall its own near-dup tier actually achieves under
+    lang×source blocking (E399 ``blocking_recall_report`` is the
+    full-corpus exact version).
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1199,9 +1230,23 @@ def dedup_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("nt"), F.lit(0)).alias("tokens_removable"),
         )
 
-    out = tier_row("exact", exact_dups)
-    out = out.unionAll(tier_row("normalized", norm_dups))
-    out = out.unionAll(tier_row("near_dup_j08", near_docs))
+    full = F.lit(1000000).cast("long")
+    measured = F.broadcast(
+        blocking_recall_audit(spark, sf_dir).select(
+            (full - F.col("missed_ppm")).alias("_recall")
+        )
+    )
+    out = tier_row("exact", exact_dups).withColumn("blocking_recall_ppm", full)
+    out = out.unionAll(
+        tier_row("normalized", norm_dups).withColumn(
+            "blocking_recall_ppm", full
+        )
+    )
+    out = out.unionAll(
+        tier_row("near_dup_j08", near_docs)
+        .crossJoin(measured)
+        .withColumnRenamed("_recall", "blocking_recall_ppm")
+    )
     return out
 
 
@@ -1611,6 +1656,67 @@ def blocking_recall_audit(
                 "CASE WHEN n_true_pairs > 0"
                 " THEN n_cross_block * 1000000 div n_true_pairs ELSE 0 END"
             ).alias("missed_ppm"),
+        )
+    )
+
+
+def blocking_recall_report(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """EXT E399: FULL-corpus measured blocking recall at the production
+    threshold — the exact complement to E235's sampled quadratic audit.
+    The UNBLOCKED prefix-filter join (:func:`ngram_jaccard_pairs` with
+    ``blocked=False`` — inverted-index shaped, never all-pairs) finds
+    every true pair ≥ t corpus-wide; classifying each by whether it
+    shares a lang×source block yields the exact blocked vs unblocked
+    pair counts and the recall the production blocked join actually
+    achieves (10⁶ ppm = blocking is lossless on this corpus). This is
+    the measured number :func:`dedup_strategy_report` carries per tier
+    — run it before trusting a blocked dedup at a new corpus mix.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold, blocked=False)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("la"),
+        F.col("source").alias("sa"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lb"),
+        F.col("source").alias("sb"),
+    )
+    flagged = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            ((F.col("la") == F.col("lb")) & (F.col("sa") == F.col("sb")))
+            .cast("long")
+            .alias("same_block")
+        )
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).alias("n_pairs_unblocked"),
+            F.coalesce(F.sum("same_block"), F.lit(0)).alias("n_pairs_blocked"),
+            F.coalesce(F.sum(1 - F.col("same_block")), F.lit(0)).alias(
+                "n_pairs_cross_block"
+            ),
+        )
+        .select(
+            F.lit(int(round(threshold * 10000))).cast("long").alias(
+                "threshold_bp"
+            ),
+            "n_pairs_unblocked",
+            "n_pairs_blocked",
+            "n_pairs_cross_block",
+            F.expr(
+                "CASE WHEN n_pairs_unblocked > 0"
+                " THEN n_pairs_blocked * 1000000 div n_pairs_unblocked"
+                " ELSE 1000000 END"
+            ).alias("recall_ppm"),
         )
     )
 

@@ -4779,13 +4779,32 @@ WITH d AS (
   JOIN d USING (doc_id)
   WHERE nd.doc_id NOT IN (SELECT doc_id FROM norm_all)
     AND nd.doc_id NOT IN (SELECT doc_id FROM exact_dups)
+), bsample AS (
+  SELECT doc_id, lang, source, toks FROM d
+  WHERE {corpus.duck_md5_bucket("doc_id", 100)} < 10
+), bpairs AS (
+  SELECT CASE WHEN a.lang = b.lang AND a.source = b.source
+              THEN 1 ELSE 0 END AS same_block
+  FROM bsample a JOIN bsample b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+              / CAST(len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 4)
+        >= 0.8
+), baudit AS (
+  SELECT 1000000 - CASE WHEN count(*) > 0
+           THEN coalesce(sum(1 - same_block), 0) * 1000000 // count(*)
+           ELSE 0 END AS recall_ppm
+  FROM bpairs
 )
 SELECT 'exact' AS tier, count(*) AS n_docs_removable,
-       coalesce(sum(nt), 0) AS tokens_removable FROM exact_dups
+       coalesce(sum(nt), 0) AS tokens_removable,
+       CAST(1000000 AS BIGINT) AS blocking_recall_ppm FROM exact_dups
 UNION ALL
-SELECT 'normalized', count(*), coalesce(sum(nt), 0) FROM norm_dups
+SELECT 'normalized', count(*), coalesce(sum(nt), 0),
+       CAST(1000000 AS BIGINT) FROM norm_dups
 UNION ALL
-SELECT 'near_dup_j08', count(*), coalesce(sum(nt), 0) FROM near_docs
+SELECT 'near_dup_j08', count(*), coalesce(sum(nt), 0),
+       CAST((SELECT recall_ppm FROM baudit) AS BIGINT) FROM near_docs
 """
 
 # --------------------------------------------------------------------------
@@ -11948,6 +11967,37 @@ FROM (
   SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
   FROM best
 ) WHERE rnk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# E399 — full-corpus measured blocking recall: the UNBLOCKED
+# prefix-filter join (inverted index, never all-pairs) finds every
+# true pair ≥ t; the oracle replays the exact set-Jaccard quadratically
+# (fixture-sized) and classifies pairs by lang×source block membership.
+# ---------------------------------------------------------------------------
+
+QUERIES["blocking_recall_report"] = dedup.blocking_recall_report
+ORACLES["blocking_recall_report"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), p AS (
+  SELECT CASE WHEN a.lang = b.lang AND a.source = b.source
+              THEN 1 ELSE 0 END AS same_block
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+              / CAST(len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 4)
+        >= 0.8
+)
+SELECT CAST(8000 AS BIGINT) AS threshold_bp,
+       CAST(count(*) AS BIGINT) AS n_pairs_unblocked,
+       CAST(coalesce(sum(same_block), 0) AS BIGINT) AS n_pairs_blocked,
+       CAST(coalesce(sum(1 - same_block), 0) AS BIGINT) AS n_pairs_cross_block,
+       CAST(CASE WHEN count(*) > 0
+                 THEN coalesce(sum(same_block), 0) * 1000000 // count(*)
+                 ELSE 1000000 END AS BIGINT) AS recall_ppm
+FROM p
 """
 
 
