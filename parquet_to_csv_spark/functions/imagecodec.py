@@ -455,6 +455,233 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _find_scan_end(payload: bytes, pos: int) -> int:
+    """Index of the first real marker (not stuffing, not RSTn) at or
+    after ``pos`` — the end of an entropy-coded scan segment."""
+    n = len(payload)
+    i = pos
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                i += 1
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _comp_blocks(frame: dict, c: dict) -> tuple[int, int]:
+    """(rows, cols) of the component's OWN block grid — the iteration
+    space of a non-interleaved progressive scan (T.81 A.2.2)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _ac_first_block(reader, table, cof, ss, se, al, eobrun):
+    """Progressive AC first scan for one block (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG: progressive AC index overflow")
+        cof[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, table, cof, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 G.1.2.3):
+    correction bits for already-nonzero coefficients, ±2^Al insertion
+    for newly-nonzero ones, EOB-run carry across blocks."""
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and (cof[k] & p1) == 0:
+            cof[k] += p1 if cof[k] >= 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, table)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: pass 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad refinement magnitude")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if cof[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                cof[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if cof[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan, coef, huff_dc, huff_ac,
+    restart_interval, ss, se, ah, al, dc_shift_pred,
+):
+    """One progressive SOS segment: updates ``coef`` in place, returns
+    the byte offset of the marker that ends the scan. DC scans may be
+    interleaved (MCU order across components); AC scans are always
+    single-component over that component's own block grid."""
+    reader = _BitReader(payload, pos)
+    interleaved = len(scan) > 1
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    eobrun = 0
+    unit = 0  # restart counting: MCUs (interleaved) or blocks (single)
+
+    def maybe_restart():
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.restart()
+            eobrun = 0
+            for cid in dc_shift_pred:
+                dc_shift_pred[cid] = 0
+
+    if ss == 0:  # DC scan (first or refinement)
+        if interleaved:
+            for _my in range(mcus_y):
+                for _mx in range(mcus_x):
+                    maybe_restart()
+                    for c in scan:
+                        ci = next(
+                            i for i, x in enumerate(comps) if x["id"] == c["id"]
+                        )
+                        my, mx = _my, _mx
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                row = my * c["v"] + by
+                                col = mx * c["h"] + bx
+                                _dc_unit(
+                                    reader, huff_dc, c, coef[ci], row, col,
+                                    ah, al, dc_shift_pred,
+                                )
+                    unit += 1
+        else:
+            c = scan[0]
+            ci = next(i for i, x in enumerate(comps) if x["id"] == c["id"])
+            rows, cols = _comp_blocks(frame, c)
+            for row in range(rows):
+                for col in range(cols):
+                    maybe_restart()
+                    _dc_unit(
+                        reader, huff_dc, c, coef[ci], row, col,
+                        ah, al, dc_shift_pred,
+                    )
+                    unit += 1
+    else:  # AC scan — single component by spec
+        c = scan[0]
+        ci = next(i for i, x in enumerate(comps) if x["id"] == c["id"])
+        rows, cols = _comp_blocks(frame, c)
+        tbl = huff_ac[c["ta"]]
+        for row in range(rows):
+            for col in range(cols):
+                maybe_restart()
+                cof = coef[ci][row, col]
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, tbl, cof, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, tbl, cof, ss, se, al, eobrun)
+                unit += 1
+    return _find_scan_end(payload, reader.pos)
+
+
+def _dc_unit(reader, huff_dc, c, carr, row, col, ah, al, dc_shift_pred):
+    if ah == 0:  # first scan: Huffman diff of DC >> Al
+        t = _huff_decode(reader, huff_dc[c["td"]])
+        diff = _extend(reader.read_bits(t), t)
+        dc_shift_pred[c["id"]] += diff
+        carr[row, col, 0] = dc_shift_pred[c["id"]] << al
+    else:  # refinement: one raw bit per block
+        if reader.read_bit():
+            carr[row, col, 0] |= 1 << al
+
+
+def _planes_to_image(out_planes: list) -> np.ndarray:
+    """Shared tail: level-shifted component planes → uint8 image
+    (grayscale passthrough or JFIF YCbCr→RGB)."""
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _reconstruct_progressive(frame, coef, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the image (upsample, crop, level shift — same math as the
+    sequential path)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h_img, w_img = frame["h"], frame["w"]
+    out_planes = []
+    for ci, c in enumerate(comps):
+        arr = coef[ci]
+        qtbl = qt[c["tq"]]
+        by, bx = arr.shape[:2]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        for y in range(by):
+            for x in range(bx):
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = arr[y, x] * qtbl[np.arange(64)]
+                plane[y * 8:(y + 1) * 8, x * 8:(x + 1) * 8] = (
+                    _DCT_M.T @ block.reshape(8, 8) @ _DCT_M
+                )
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h_img, :w_img] + 128.0)
+    return _planes_to_image(out_planes)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline-sequential JPEG to (H, W, 3) RGB (or (H, W, 1)
     grayscale) uint8. Raises NotImplementedError for progressive /
