@@ -21,7 +21,12 @@ Scope (deliberately bounded to what the multimodal tier needs):
   upsampling), DRI/RSTn restart markers; plus a deterministic 4:4:4
   encoder (flat quant table) whose quant=1 DC-only blocks round-trip
   EXACTLY — the property the cross-engine decode gate (E309/E343)
-  relies on. Progressive (SOF2) / arithmetic / 12-bit raise.
+  relies on. Round 5: PROGRESSIVE (SOF2) decode per T.81 Annex G —
+  DC first/refinement, AC spectral-band first/refinement with
+  EOB-run coding, coefficients accumulated across scans and IDCT'd
+  once — plus a deterministic grayscale progressive encoder (four-
+  scan script) pinned bit-exact against the sequential decoder
+  (E400). Arithmetic / lossless / 12-bit still raise.
 
 Decoded form: ``numpy.ndarray`` of shape (H, W, C), dtype uint8 —
 C in {1, 3, 4}.
@@ -683,9 +688,12 @@ def _reconstruct_progressive(frame, coef, qt) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JPEG to (H, W, 3) RGB (or (H, W, 1)
-    grayscale) uint8. Raises NotImplementedError for progressive /
-    arithmetic / 12-bit variants, ValueError for corrupt streams."""
+    """Decode a baseline-sequential OR progressive (SOF2) JPEG to
+    (H, W, 3) RGB / (H, W, 1) grayscale uint8. Progressive streams
+    accumulate coefficients across all SOS scans (DC first/refine,
+    AC spectral bands first/refine with EOB-runs, per T.81 Annex G)
+    and IDCT once at EOI. Raises NotImplementedError for arithmetic /
+    lossless / 12-bit variants, ValueError for corrupt streams."""
     if payload[:3] != JPEG_MAGIC:
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -694,13 +702,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coef: list[np.ndarray] | None = None
+    dc_shift_pred: dict[int, int] = {}
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: marker expected")
         marker = payload[pos + 1]
         pos += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
         seg_len = int.from_bytes(payload[pos:pos + 2], "big")
         seg = payload[pos + 2: pos + seg_len]
@@ -716,7 +728,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[i:i + 128], dtype=">u2").astype(np.int32)
                     i += 128
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -727,9 +739,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": height, "w": width, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("JPEG: only baseline sequential Huffman (SOF0/SOF1)")
+            frame = {
+                "h": height, "w": width, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG: only sequential (SOF0/SOF1) and progressive (SOF2) Huffman"
+            )
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -752,11 +769,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
             data_start = pos + seg_len
-            return _decode_scan(
-                payload, data_start, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, data_start, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if coef is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mx = -(-frame["w"] // (8 * hmax))
+                my = -(-frame["h"] // (8 * vmax))
+                coef = [
+                    np.zeros((my * c["v"], mx * c["h"], 64), dtype=np.int32)
+                    for c in frame["comps"]
+                ]
+            if ss == 0 and ah == 0:
+                # each DC-first scan starts a fresh shifted-domain pred
+                for c in scan:
+                    dc_shift_pred[c["id"]] = 0
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, scan, coef, huff_dc, huff_ac,
+                restart_interval, ss, se, ah, al, dc_shift_pred,
             )
+            continue
         pos += seg_len
+    if frame is not None and frame["progressive"] and coef is not None:
+        return _reconstruct_progressive(frame, coef, qt)
     raise ValueError("JPEG: no SOS marker")
 
 
@@ -974,10 +1015,203 @@ def encode_jpeg(img: np.ndarray, quant: int = 1) -> bytes:
     return bytes(out)
 
 
+# Progressive AC scans emit EOBn symbols ((r << 4) | 0 for r = 1..14)
+# that the Annex-K sequential tables don't contain, so the progressive
+# encoder ships its own flat table: every symbol it can emit at code
+# length 8 (175 symbols < 256 — canonical, trivially prefix-free).
+_PROG_AC_SYMS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(15)}
+    | {0xF0}
+)
+_PROG_AC_TBL = ([0] * 7 + [len(_PROG_AC_SYMS)] + [0] * 8, _PROG_AC_SYMS)
+
+
+def _emit_eobrun(bw, ac_tbl, eobrun: int, pending_bits: list[int]) -> int:
+    """Flush a buffered EOB run (T.81 G.1.2.2 EOBn coding) plus any
+    correction bits deferred behind it; returns the reset run (0)."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        code, length = ac_tbl[r << 4]
+        bw.write(code, length)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+    for b in pending_bits:
+        bw.write(b, 1)
+    pending_bits.clear()
+    return 0
+
+
+def encode_jpeg_progressive(img: np.ndarray, quant: int = 1) -> bytes:
+    """Encode uint8 GRAYSCALE pixels as a progressive (SOF2) JPEG,
+    deterministically, with a four-scan script that exercises every
+    progressive decode procedure:
+
+    1. DC first          (Ss=0, Se=0,  Ah=0, Al=1)
+    2. AC first, band    (Ss=1, Se=63, Ah=0, Al=1) — EOB-run coding
+    3. DC refinement     (Ss=0, Se=0,  Ah=1, Al=0) — raw bits
+    4. AC refinement     (Ss=1, Se=63, Ah=1, Al=0) — correction bits
+
+    Coefficients are identical to :func:`encode_jpeg`'s at the same
+    ``quant``, so ``decode_jpeg(progressive) == decode_jpeg(baseline)``
+    exactly — the property the codec tests and the E400 gate pin."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 3:
+        if img.shape[2] != 1:
+            raise NotImplementedError("progressive encoder is grayscale-only")
+        img = img[:, :, 0]
+    h, w = img.shape
+    plane = img.astype(np.float64)
+    qtbl = np.full(64, quant, dtype=np.int32)
+
+    blocks: list[np.ndarray] = []
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    for by in range(bh):
+        for bx in range(bwid):
+            blk = np.zeros((8, 8), dtype=np.float64)
+            ys, xs = by * 8, bx * 8
+            tile = plane[ys:min(ys + 8, h), xs:min(xs + 8, w)]
+            blk[:tile.shape[0], :tile.shape[1]] = tile
+            if tile.shape[0] < 8:
+                blk[tile.shape[0]:, :] = blk[tile.shape[0] - 1, :]
+            if tile.shape[1] < 8:
+                blk[:, tile.shape[1]:] = blk[:, tile.shape[1] - 1:tile.shape[1]]
+            coeff = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+            blocks.append(
+                np.round(coeff.reshape(-1)[_ZIGZAG] / qtbl).astype(np.int64)
+            )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(
+        int(qtbl[z]) for z in range(64)
+    )
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1])
+    sof += bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+    out += dht(0, 0, *_STD_DC_LUMA) + dht(1, 0, *_PROG_AC_TBL)
+    dc_tbl = _build_huff_encode(*_STD_DC_LUMA)
+    ac_tbl = _build_huff_encode(*_PROG_AC_TBL)
+
+    def sos_header(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + body
+
+    # --- scan 1: DC first, Al=1 (DPCM over arithmetically-shifted DC)
+    out += sos_header(0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> 1
+        diff = v - pred
+        pred = v
+        t = _category(diff)
+        code, length = dc_tbl[t]
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.out
+
+    # --- scan 2: AC first, band 1..63, Al=1
+    out += sos_header(1, 63, 0, 1)
+    bw = _BitWriter()
+    eobrun = 0
+    for zz in blocks:
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            t = abs(v) >> 1
+            if t == 0:
+                run += 1
+                continue
+            eobrun = _emit_eobrun(bw, ac_tbl, eobrun, [])
+            while run > 15:
+                code, length = ac_tbl[0xF0]
+                bw.write(code, length)
+                run -= 16
+            size = t.bit_length()
+            v2 = t if v >= 0 else -t
+            code, length = ac_tbl[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(v2 if v2 >= 0 else v2 + (1 << size) - 1, size)
+            run = 0
+        if run > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(bw, ac_tbl, eobrun, [])
+    _emit_eobrun(bw, ac_tbl, eobrun, [])
+    bw.flush()
+    out += bw.out
+
+    # --- scan 3: DC refinement (bit Al=0 of every DC, raw)
+    out += sos_header(0, 0, 1, 0)
+    bw = _BitWriter()
+    for zz in blocks:
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # --- scan 4: AC refinement, Al=0 (T.81 G.1.2.3 / jcphuff shape:
+    # correction bits buffered behind EOB runs and ZRL/newly-nonzero
+    # symbols; EOB = last newly-nonzero index)
+    out += sos_header(1, 63, 1, 0)
+    bw = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+    for zz in blocks:
+        absval = [abs(int(zz[k])) for k in range(64)]
+        eob = 0
+        for k in range(1, 64):
+            if absval[k] == 1:
+                eob = k
+        run = 0
+        br: list[int] = []
+        for k in range(1, 64):
+            t = absval[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                eobrun = _emit_eobrun(bw, ac_tbl, eobrun, pending)
+                code, length = ac_tbl[0xF0]
+                bw.write(code, length)
+                run -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            eobrun = _emit_eobrun(bw, ac_tbl, eobrun, pending)
+            code, length = ac_tbl[(run << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(bw, ac_tbl, eobrun, pending)
+    _emit_eobrun(bw, ac_tbl, eobrun, pending)
+    bw.flush()
+    out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode PNG, BMP or baseline JPEG; raises ``NotImplementedError``
-    for anything else (progressive JPEG, WebP, audio, video) — the
-    honest boundary for formats needing native libs."""
+    """Decode PNG, BMP, or JPEG (baseline sequential or progressive);
+    raises ``NotImplementedError`` for anything else (WebP, audio,
+    video) — the honest boundary for formats needing native libs."""
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload)
@@ -986,8 +1220,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     if fmt == "jpeg":
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG, BMP and baseline JPEG have pure-Python decoders in "
-        "this container; progressive JPEG/WebP/audio/video need "
+        "only PNG, BMP and JPEG (sequential + progressive) have "
+        "pure-Python decoders in this container; WebP/audio/video need "
         "PIL/librosa/ffmpeg"
     )
 

@@ -475,6 +475,23 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str, n_images: int = 16)
                 jdec = decode_media(ic.encode_jpeg(jimg), "image")
                 jl = ic.luma(jdec).reshape(-1)
                 emit(img_id, "jpeg", ht * 8, wt * 8, np.bincount(jl >> 4, minlength=16))
+                # --- progressive JPEG leg (round 5): a DIFFERENT
+                # constant-tile formula, encoded through the four-scan
+                # SOF2 script and decoded through the full progressive
+                # pipeline (DC first/refine, AC band first/refine,
+                # EOB runs) — quant=1 DC-only blocks stay exact, so the
+                # histogram is formula-predictable with no tolerance.
+                pt = 1 + (img_id * 3) % 3
+                pw = 1 + img_id % 4
+                pimg = np.zeros((pt * 8, pw * 8), dtype=np.uint8)
+                for ty in range(pt):
+                    for tx in range(pw):
+                        pimg[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
+                            (img_id * 53 + ty * 11 + tx * 29) % 256
+                        )
+                pdec = decode_media(ic.encode_jpeg_progressive(pimg), "image")
+                pl = ic.luma(pdec).reshape(-1)
+                emit(img_id, "jpegp", pt * 8, pw * 8, np.bincount(pl >> 4, minlength=16))
             yield pd.DataFrame(
                 {"img_id": ids, "fmt": fmts, "height": hs, "width": ws,
                  "bin": bins, "n_px": cnts}

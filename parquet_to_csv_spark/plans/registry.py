@@ -9057,8 +9057,30 @@ WITH imgs AS (
          CAST(coalesce(jhist.n_px, 0) AS BIGINT) AS n_px
   FROM jallbins a
   LEFT JOIN jhist ON a.img_id = jhist.img_id AND a.bin = jhist.bin
+), pimgs AS (
+  -- progressive-JPEG leg (round 5): distinct constant-tile formula,
+  -- decoded through the full SOF2 scan-accumulation pipeline
+  SELECT t.i AS img_id, 1 + (t.i * 3) % 3 AS ht, 1 + t.i % 4 AS wt
+  FROM unnest(range(0, 16)) AS t(i)
+), ptiles AS (
+  SELECT img_id, ht, wt,
+         ((img_id * 53 + ty.ty * 11 + tx.tx * 29) % 256) // 16 AS bin
+  FROM pimgs, unnest(range(0, ht)) AS ty(ty), unnest(range(0, wt)) AS tx(tx)
+), phist AS (
+  SELECT img_id, ht, wt, bin, 64 * count(*) AS n_px
+  FROM ptiles GROUP BY 1, 2, 3, 4
+), pallbins AS (
+  SELECT img_id, ht, wt, b.bin FROM pimgs, unnest(range(0, 16)) AS b(bin)
+), jpegp_rows AS (
+  SELECT a.img_id, 'jpegp' AS fmt,
+         CAST(a.ht * 8 AS BIGINT) AS height, CAST(a.wt * 8 AS BIGINT) AS width,
+         CAST(a.bin AS BIGINT) AS bin,
+         CAST(coalesce(phist.n_px, 0) AS BIGINT) AS n_px
+  FROM pallbins a
+  LEFT JOIN phist ON a.img_id = phist.img_id AND a.bin = phist.bin
 )
 SELECT * FROM png_rows UNION ALL SELECT * FROM jpeg_rows
+UNION ALL SELECT * FROM jpegp_rows
 """
 
 

@@ -253,10 +253,48 @@ def test_jpeg_quantized_roundtrip_tolerance():
     assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 4
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Round 5 (E400): the progressive (SOF2) decode path — DC
+    first/refine, AC band first/refine, EOB runs — accumulates exactly
+    the coefficients the sequential path decodes, so pixels match
+    bit-exactly at every quant, including lossy ones with dense AC."""
+    import numpy as np
+
+    for q in (1, 2, 8):
+        for (h, w) in ((8, 8), (16, 24), (13, 21)):
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x * 7 + y * 13 + (x * y) // 3) % 256).astype(np.uint8)
+            base = ic.decode_jpeg(ic.encode_jpeg(img, quant=q))
+            prog = ic.decode_jpeg(ic.encode_jpeg_progressive(img, quant=q))
+            assert np.array_equal(base, prog), (q, h, w)
+
+
+def test_jpeg_progressive_constant_tiles_exact():
+    """quant=1 DC-only constant tiles decode EXACTLY through the
+    four-scan progressive script — the E400 gate formula property."""
+    import numpy as np
+
+    img = _tile_image(2, 3, seed=5)
+    out = ic.decode_jpeg(ic.encode_jpeg_progressive(img))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_jpeg_progressive_eobrun_heavy_stream():
+    """A smooth wide image quantizes to sparse AC -> multi-block EOB
+    runs and ZRL paths in both first and refinement AC scans."""
+    import numpy as np
+
+    y, x = np.mgrid[0:64, 0:64]
+    img = (128 + 60 * np.sin(x / 30.0)).astype(np.uint8)
+    base = ic.decode_jpeg(ic.encode_jpeg(img, quant=2))
+    prog = ic.decode_jpeg(ic.encode_jpeg_progressive(img, quant=2))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_arithmetic_still_raises():
     payload = bytearray(ic.encode_jpeg(_tile_image(1, 1, seed=2)))
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    payload[i + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic sequential)
     with pytest.raises(NotImplementedError):
         ic.decode_jpeg(bytes(payload))
 
