@@ -12024,6 +12024,24 @@ FROM p
 
 
 # ---------------------------------------------------------------------------
+# E401 — bounded-rate ingestion: maxFilesPerTrigger=2 over a 6-file
+# staged source ⇒ exactly 3 availableNow micro-batches; per-batch
+# partial aggregates merge declaratively and must equal the batch
+# totals whatever the file→batch assignment was.
+# ---------------------------------------------------------------------------
+
+QUERIES["streaming_backpressure_drain"] = _stream.backpressure_drain_query
+ORACLES["streaming_backpressure_drain"] = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({duck_units("value", 2)}) AS BIGINT) AS value_cents,
+       CAST(3 AS BIGINT) AS n_batches
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Realized-dtype parity layer (round 3).
 #
 # The driver's correctness gate hashes REALIZED values, so an oracle

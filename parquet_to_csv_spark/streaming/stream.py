@@ -806,3 +806,85 @@ def streaming_variant_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "t_variant_drain_" + _uuid.uuid4().hex[:8]
     return run_to_memory(promoted, name, spark)
+
+
+def backpressure_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E401: bounded-rate ingestion (backpressure) — the one
+    Structured Streaming ingestion knob the suite didn't exercise.
+    ``events`` is staged as SIX parquet files and the file stream
+    reads them with ``maxFilesPerTrigger=2``, so the availableNow
+    drain processes exactly ceil(6/2) = 3 micro-batches (availableNow
+    honors source rate limits — that IS the feature under test: a
+    backfill over a month of files must not load the whole directory
+    into one batch).
+
+    Each micro-batch's ``foreachBatch`` appends its PARTIAL per-type
+    aggregate (plus the batch id) to a parquet ledger — a few rows per
+    batch, the incremental-aggregation discipline: the driver never
+    holds data rows, and at 100 TB the ledger is still micro-batch ×
+    type sized. The returned plan merges the ledger DECLARATIVELY
+    (groupBy over partials) and carries the observed micro-batch
+    count, so the oracle gates both: totals must survive arbitrary
+    file→batch assignment, and ``n_batches`` pins that the rate limit
+    actually split the drain (3, not 1)."""
+    import tempfile
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    stage = _staged_once(
+        spark, sf_dir, "events", "evbp6_",
+        lambda p: load_table(spark, sf_dir, "events").repartition(6)
+        .write.mode("overwrite").parquet(p),
+    )
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stage)
+    )
+    ledger = tempfile.mkdtemp(prefix="bp_ledger_")
+    ckpt = tempfile.mkdtemp(prefix="bp_ckpt_")
+
+    def _partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.expr("cast(floor(value * 100 + 0.5) as long)")
+                ).alias("cents"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(ledger)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_partial)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    parts = spark.read.parquet(ledger)
+    nb = F.broadcast(
+        parts.agg(F.countDistinct("batch_id").alias("n_batches"))
+    )
+    return (
+        parts.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .crossJoin(nb)
+    )

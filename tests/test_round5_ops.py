@@ -69,3 +69,28 @@ def test_unblocked_edges_conf_switches_build(spark, sf_dir):
     )
     # the conf reset serves the BLOCKED artifact again (no key bleed)
     assert _pairset(dedup.dedup_edges(spark, sf_dir, 0.8)) == blocked_edges
+
+
+def test_backpressure_drain_splits_batches(spark, sf_dir):
+    """E401: the maxFilesPerTrigger=2 rate limit must actually split
+    the 6-file drain into >1 micro-batch (exactly 3), and the merged
+    partials must equal the batch aggregation."""
+    from parquet_to_csv_spark.sources.tables import load_table
+    from parquet_to_csv_spark.streaming.stream import backpressure_drain_query
+
+    rows = backpressure_drain_query(spark, sf_dir).collect()
+    assert rows and all(r["n_batches"] == 3 for r in rows)
+    want = {
+        r["event_type"]: (r["n"], r["cents"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(floor(value * 100 + 0.5) as long)")).alias(
+                "cents"
+            ),
+        )
+        .collect()
+    }
+    got = {r["event_type"]: (r["n_events"], r["value_cents"]) for r in rows}
+    assert got == want
