@@ -53,6 +53,44 @@ def main() -> None:
         # another query's memory pressure
         spark.catalog.clearCache()
 
+    # Flagship REF path e2e (round-5 verdict item 7): drive the actual
+    # pipeline.convert (CSV + SQLite sinks) at bench scale so the
+    # reference's one entry point has a tracked wall number, not just
+    # its per-stage query plans. Input staging (building the span tree
+    # fixture) happens OUTSIDE the timed section — convert's own scan,
+    # transform, fan-out persist, and both sink writes are inside.
+    try:
+        import shutil
+        import tempfile
+
+        from parquet_to_csv_spark.functions.trace import trace_spans
+        from parquet_to_csv_spark.pipeline import ConvertConfig, convert
+        from parquet_to_csv_spark.sources.tables import load_table
+
+        stage_root = tempfile.mkdtemp(prefix="bench_spans_")
+        out_root = tempfile.mkdtemp(prefix="bench_convert_")
+        spans = trace_spans(load_table(spark, sf_dir, "events")).drop(
+            "duration_ms"
+        )
+        spans.write.parquet(os.path.join(stage_root, "a"))
+        spans.drop("props", "value").write.parquet(
+            os.path.join(stage_root, "sub/b")
+        )
+        t0 = time.perf_counter()
+        convert(
+            spark,
+            stage_root,
+            os.path.join(out_root, "out"),
+            ConvertConfig(write_csv=True, write_sqlite=True),
+        )
+        timings["ref_convert_e2e"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(stage_root, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: ref_convert_e2e failed: {type(e).__name__}: {e}", file=sys.stderr)
+        timings["ref_convert_e2e"] = -1.0
+    spark.catalog.clearCache()
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
         "metric": f"total_wall_sec_{len(timings)}_queries",
