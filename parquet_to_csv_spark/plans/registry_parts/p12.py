@@ -1,0 +1,983 @@
+"""Registry segment 12/13 — mechanically split from the
+round-4 plans/registry.py (12k lines). QUERIES insertion order is
+load-bearing (the driver's correctness window samples the first 50
+entries), so each segment imports its predecessor: importing ANY
+segment executes the full prefix in the original order.
+"""
+from __future__ import annotations
+
+from parquet_to_csv_spark.plans.registry_core import (QUERIES, ORACLES, query)  # noqa: F401
+from parquet_to_csv_spark.plans.registry_parts import p11 as _prev_segment  # noqa: F401
+from parquet_to_csv_spark.plans.registry_parts.p01 import (  # noqa: F401
+    _TOKS,
+    dedup,
+    duck_units,
+    pandas_ops,
+    relational,
+    similarity,
+    sqlapi,
+    text,
+    timeops,
+)
+from parquet_to_csv_spark.plans.registry_parts.p02 import _stream, corpus  # noqa: F401
+from parquet_to_csv_spark.plans.registry_parts.p03 import mlmetrics  # noqa: F401
+from parquet_to_csv_spark.plans.registry_parts.p07 import _layout  # noqa: F401
+
+ORACLES["python_stream_digest"] = """
+WITH g AS (
+  SELECT t.i AS id, (t.i * 2654435761) % 1000003 AS v
+  FROM unnest(range(0, 3000)) AS t(i)
+)
+SELECT v % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(id) AS BIGINT) AS id_sum,
+       CAST(sum(v) AS BIGINT) AS v_sum,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_distinct_ids
+FROM g GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# E372 — applyInArrow grouped profile; lower median (sorted index
+# (n-1)//2) == DuckDB quantile_disc(0.5), integer-exact.
+# ---------------------------------------------------------------------------
+
+QUERIES["arrow_grouped_profile"] = pandas_ops.arrow_grouped_profile
+ORACLES["arrow_grouped_profile"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars,
+       CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS median_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# E373 — collation-aware grouping: UTF8_LCASE groupBy must reproduce
+# the lower()-keyed oracle counts bit-for-bit.
+# ---------------------------------------------------------------------------
+
+QUERIES["collated_token_counts"] = text.collated_token_counts
+ORACLES["collated_token_counts"] = f"""
+WITH toks AS (
+  SELECT CASE WHEN doc_id % 2 = 1 THEN upper(token) ELSE token END AS token
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+)
+SELECT min(token) AS canonical, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_forms
+FROM toks GROUP BY lower(token)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E374 — incremental snapshot consumption: the delta scan digest must
+# equal the %3==2 slice recomputed from the raw table (manifest file
+# set difference == exactly the appended rows).
+# ---------------------------------------------------------------------------
+
+from parquet_to_csv_spark.sources import layout as _layout  # noqa: E402
+
+QUERIES["snapshot_delta_scan"] = _layout.snapshot_delta_scan
+ORACLES["snapshot_delta_scan"] = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum({duck_units("o_totalprice", 2)}) AS BIGINT) AS rev_cents
+FROM orders WHERE o_orderkey % 3 = 2 GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# E375 — FIM split conservation audit; pure integer substring bounds,
+# identical 1-based substring semantics in both engines.
+# ---------------------------------------------------------------------------
+
+QUERIES["fim_transform_audit"] = corpus.fim_transform_audit
+ORACLES["fim_transform_audit"] = """
+WITH s AS (
+  SELECT lang,
+         CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+         length(text) AS n,
+         length(substring(text, 1, (length(text) * 4) // 10)) AS np,
+         length(substring(text, (length(text) * 4) // 10 + 1,
+                (length(text) * 85) // 100 - (length(text) * 4) // 10)) AS nm,
+         length(substring(text, (length(text) * 85) // 100 + 1,
+                length(text) - (length(text) * 85) // 100)) AS ns
+  FROM documents
+)
+SELECT lang, mode, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(np) AS BIGINT) AS prefix_chars,
+       CAST(sum(nm) AS BIGINT) AS middle_chars,
+       CAST(sum(ns) AS BIGINT) AS suffix_chars,
+       CAST(sum(n) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN np + nm + ns = n THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_conservation_violations
+FROM s GROUP BY lang, mode
+"""
+
+
+# ---------------------------------------------------------------------------
+# E376 — null-safe join audit: DuckDB IS NOT DISTINCT FROM is the
+# <=> twin; the distinct per-half key relations bound the join.
+# ---------------------------------------------------------------------------
+
+QUERIES["nullsafe_join_audit"] = relational.nullsafe_join_audit
+ORACLES["nullsafe_join_audit"] = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         nullif(CAST(json_extract(props, '$.k') AS INTEGER) // 25, 1) AS k_null
+  FROM events
+), a AS (SELECT DISTINCT user_id, k_null FROM ev WHERE event_id % 2 = 0),
+b AS (SELECT DISTINCT user_id, k_null FROM ev WHERE event_id % 2 = 1),
+eq AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eq
+  FROM a JOIN b ON a.user_id = b.user_id AND a.k_null = b.k_null
+), ns AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nullsafe
+  FROM a JOIN b ON a.user_id = b.user_id
+              AND a.k_null IS NOT DISTINCT FROM b.k_null
+), ca AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         CAST(coalesce(sum(CASE WHEN k_null IS NULL THEN 1 END), 0) AS BIGINT)
+           AS n_null_a
+  FROM a
+), cb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b)
+SELECT n_a, n_b, n_null_a, n_eq, n_nullsafe,
+       CAST(n_nullsafe - n_eq AS BIGINT) AS n_rescued_links
+FROM ca CROSS JOIN cb CROSS JOIN eq CROSS JOIN ns
+"""
+
+
+# ---------------------------------------------------------------------------
+# E377 — SPRT anytime-valid monitor: integer multiples of two
+# micro-rounded ln constants; decisions vs ±ln(19) thresholds.
+# ---------------------------------------------------------------------------
+
+QUERIES["sprt_monitor"] = mlmetrics.sprt_monitor
+ORACLES["sprt_monitor"] = f"""
+WITH daily AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+              AS BIGINT) AS s
+  FROM events
+  WHERE {corpus.duck_md5_bucket("user_id", 2)} = 1
+  GROUP BY 1
+), cum AS (
+  SELECT day,
+         CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS n_cum,
+         CAST(sum(s) OVER (ORDER BY day) AS BIGINT) AS s_cum
+  FROM daily
+), llr AS (
+  SELECT day, n_cum, s_cum,
+         CAST(s_cum * CAST(floor(ln(5.0 / 4.0) * 1000000 + 0.5) AS BIGINT)
+              + (n_cum - s_cum)
+                * CAST(floor(ln(95.0 / 96.0) * 1000000 + 0.5) AS BIGINT)
+              AS BIGINT) AS llr_micro
+  FROM cum
+)
+SELECT day, n_cum, s_cum, llr_micro,
+       CASE WHEN llr_micro >= CAST(floor(ln(19.0) * 1000000 + 0.5) AS BIGINT)
+              THEN 'accept_h1'
+            WHEN llr_micro <= -CAST(floor(ln(19.0) * 1000000 + 0.5) AS BIGINT)
+              THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+"""
+
+
+# ---------------------------------------------------------------------------
+# E378 — Bloom file-skipping: the oracle replays the exact k=3 md5 bit
+# positions over deterministic key-range shards.
+# ---------------------------------------------------------------------------
+
+QUERIES["bloom_skipping_report"] = _layout.bloom_skipping_report
+_BLOOM_POS = lambda expr, j: corpus.duck_md5_bucket(  # noqa: E731
+    f"CAST({expr} AS VARCHAR) || '#b{j}'", 8192
+)
+ORACLES["bloom_skipping_report"] = f"""
+WITH mx AS (SELECT max(o_orderkey) AS _mx FROM orders),
+keyed AS (
+  SELECT CAST(o_orderkey * 16 // (_mx + 1) AS INTEGER) AS shard, o_custkey
+  FROM orders CROSS JOIN mx
+),
+manifest AS (
+  SELECT DISTINCT shard, pos FROM (
+    SELECT shard, unnest([{_BLOOM_POS("o_custkey", 0)},
+                          {_BLOOM_POS("o_custkey", 1)},
+                          {_BLOOM_POS("o_custkey", 2)}]) AS pos
+    FROM keyed
+  )
+),
+probes AS (
+  SELECT c_custkey FROM customer
+  WHERE {corpus.duck_md5_bucket("c_custkey", 997)} < 50
+),
+ppos AS (
+  SELECT c_custkey, unnest([{_BLOOM_POS("c_custkey", 0)},
+                            {_BLOOM_POS("c_custkey", 1)},
+                            {_BLOOM_POS("c_custkey", 2)}]) AS pos
+  FROM probes
+),
+hits AS (
+  SELECT c_custkey, shard
+  FROM ppos JOIN manifest USING (pos)
+  GROUP BY c_custkey, shard HAVING count(*) = 3
+),
+truth AS (
+  SELECT DISTINCT p.c_custkey, k.shard
+  FROM keyed k JOIN probes p ON k.o_custkey = p.c_custkey
+),
+joined AS (
+  SELECT h.c_custkey IS NOT NULL AS bloom_hit,
+         t.c_custkey IS NOT NULL AS present
+  FROM hits h FULL OUTER JOIN truth t
+    ON h.c_custkey = t.c_custkey AND h.shard = t.shard
+),
+agg AS (
+  SELECT CAST(coalesce(sum(CASE WHEN bloom_hit THEN 1 END), 0) AS BIGINT)
+           AS n_bloom_hits,
+         CAST(coalesce(sum(CASE WHEN present THEN 1 END), 0) AS BIGINT)
+           AS n_true_pairs,
+         CAST(coalesce(sum(CASE WHEN bloom_hit AND NOT present THEN 1 END), 0)
+              AS BIGINT) AS n_false_positives,
+         CAST(coalesce(sum(CASE WHEN NOT bloom_hit AND present THEN 1 END), 0)
+              AS BIGINT) AS n_false_negatives
+  FROM joined
+), np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes)
+SELECT n_probes, n_bloom_hits, n_true_pairs, n_false_positives,
+       n_false_negatives,
+       CAST((n_probes * 16 - n_bloom_hits) * 1000000 // (n_probes * 16)
+            AS BIGINT) AS skip_rate_ppm
+FROM agg CROSS JOIN np
+"""
+
+
+# ---------------------------------------------------------------------------
+# E379 — semi-additive closing balance: last-per-(user, month) via a
+# PARTITIONED row_number, additive only across accounts.
+# ---------------------------------------------------------------------------
+
+QUERIES["closing_balance_report"] = timeops.closing_balance_report
+ORACLES["closing_balance_report"] = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST((epoch_ms(ts) // 86400000) // 30 AS INTEGER) AS month,
+         {duck_units("value", 2)} AS cents,
+         row_number() OVER (
+           PARTITION BY user_id, (epoch_ms(ts) // 86400000) // 30
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+), closing AS (
+  SELECT month, cents FROM ev WHERE rn = 1
+), monthly AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_accounts,
+         CAST(sum(cents) AS BIGINT) AS closing_total_cents
+  FROM closing GROUP BY month
+)
+SELECT month, n_accounts, closing_total_cents,
+       CAST(closing_total_cents
+            - coalesce(lag(closing_total_cents) OVER (ORDER BY month), 0)
+            AS BIGINT) AS mom_delta_cents
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# E380 — mix-vs-within decomposition; all divisions on the tiny
+# (period × priority) aggregate, identical truncation both engines.
+# ---------------------------------------------------------------------------
+
+QUERIES["mix_shift_decomposition"] = relational.mix_shift_decomposition
+ORACLES["mix_shift_decomposition"] = f"""
+WITH per AS (
+  SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 2 END AS period,
+         o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum({duck_units("o_totalprice", 2)}) AS BIGINT) AS s
+  FROM orders GROUP BY 1, 2
+), tot AS (
+  SELECT period, CAST(sum(c) AS BIGINT) AS tc, CAST(sum(s) AS BIGINT) AS ts
+  FROM per GROUP BY period
+), j AS (
+  SELECT per.period, priority,
+         CAST(c * 1000000 // tc AS BIGINT) AS share_ppm,
+         CAST(s * 10000 // c AS BIGINT) AS mean_c4,
+         CAST(ts * 10000 // tc AS BIGINT) AS gmean_c4
+  FROM per JOIN tot ON per.period = tot.period
+)
+SELECT p1.priority AS priority,
+       p1.share_ppm AS share1_ppm, p2.share_ppm AS share2_ppm,
+       p1.mean_c4 AS mean1_c4, p2.mean_c4 AS mean2_c4,
+       CAST((p2.share_ppm - p1.share_ppm) * p1.mean_c4 // 1000000 AS BIGINT)
+         AS mix_c4,
+       CAST(p2.share_ppm * (p2.mean_c4 - p1.mean_c4) // 1000000 AS BIGINT)
+         AS within_c4,
+       CAST(p2.gmean_c4 - p1.gmean_c4 AS BIGINT) AS delta_mean_c4
+FROM (SELECT * FROM j WHERE period = 1) p1
+JOIN (SELECT * FROM j WHERE period = 2) p2 USING (priority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E381 — Fellegi–Sunter linkage pattern table; identical e0-literal ln
+# constants, identical md5 corruption model.
+# ---------------------------------------------------------------------------
+
+QUERIES["fs_linkage_patterns"] = dedup.fs_linkage_patterns
+_FS_W = lambda e: f"CAST(floor(({e}) * 1000000 + 0.5) AS BIGINT)"  # noqa: E731
+ORACLES["fs_linkage_patterns"] = f"""
+WITH a AS (
+  SELECT c_custkey AS a_id, c_nationkey AS nation,
+         lower(c_name) AS a_name_ci, c_mktsegment AS a_seg,
+         {duck_units("c_acctbal", 2)} // 1000 AS a_band
+  FROM customer
+), b AS (
+  SELECT c_custkey + 10000000 AS b_id, c_custkey AS b_orig,
+         c_nationkey AS nation, lower(c_name) AS b_name_ci,
+         CASE WHEN {corpus.duck_md5_bucket("CAST(c_custkey AS VARCHAR) || '#seg'", 5)} = 0
+              THEN 'CORRUPTED' ELSE c_mktsegment END AS b_seg,
+         ({duck_units("c_acctbal", 2)}
+          + CASE WHEN {corpus.duck_md5_bucket("CAST(c_custkey AS VARCHAR) || '#bal'", 3)} = 0
+                 THEN 37 ELSE 0 END) // 1000 AS b_band
+  FROM customer
+  WHERE {corpus.duck_md5_bucket("c_custkey", 4)} = 0
+), pairs AS (
+  SELECT (a_name_ci = b_name_ci) AS name_agree,
+         (a_seg = b_seg) AS seg_agree,
+         (a_band = b_band) AS band_agree,
+         CASE WHEN a_id = b_orig THEN 1 ELSE 0 END AS is_true
+  FROM a JOIN b USING (nation)
+)
+SELECT name_agree, seg_agree, band_agree,
+       CAST(CASE WHEN name_agree THEN {_FS_W("ln(99e0/1e0)")}
+                 ELSE {_FS_W("ln(1e0/99e0)")} END
+          + CASE WHEN seg_agree THEN {_FS_W("ln(80e0/20e0)")}
+                 ELSE {_FS_W("ln(20e0/80e0)")} END
+          + CASE WHEN band_agree THEN {_FS_W("ln(90e0/10e0)")}
+                 ELSE {_FS_W("ln(10e0/90e0)")} END AS BIGINT) AS score_micro,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(is_true) AS BIGINT) AS n_true,
+       CAST(sum(is_true) * 1000000 // count(*) AS BIGINT) AS precision_ppm
+FROM pairs GROUP BY name_agree, seg_agree, band_agree
+"""
+
+
+# ---------------------------------------------------------------------------
+# E382 — approx-distinct audit: the sketch is deterministic for fixed
+# data, so the oracle asserts the exact counts plus constant TRUE
+# bound flags; a sketch regression turns the gate red.
+# ---------------------------------------------------------------------------
+
+QUERIES["approx_distinct_audit"] = relational.approx_distinct_audit
+ORACLES["approx_distinct_audit"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS rsd5_within_4sigma,
+       TRUE AS rsd1_within_4sigma
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# E383 — multi-window SLO burn alerts; integer ppm vs 2x budget, both
+# windows over the bounded calendar grain.
+# ---------------------------------------------------------------------------
+
+QUERIES["slo_burn_alerts"] = timeops.slo_burn_alerts
+ORACLES["slo_burn_alerts"] = """
+WITH daily AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+), rates AS (
+  SELECT day, n, n_err,
+         CAST(n_err * 1000000 // n AS BIGINT) AS fast_ppm,
+         CAST(sum(n_err) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                               AND CURRENT ROW) * 1000000
+              // sum(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS slow_ppm
+  FROM daily
+)
+SELECT day, n, n_err, fast_ppm, slow_ppm,
+       (fast_ppm >= 20000 AND slow_ppm >= 20000) AS page_alert
+FROM rates
+"""
+
+
+# ---------------------------------------------------------------------------
+# E384 — fairness gaps: per-group exact ppm rates, gaps vs bucket 0.
+# ---------------------------------------------------------------------------
+
+QUERIES["fairness_gap_audit"] = mlmetrics.fairness_gap_audit
+ORACLES["fairness_gap_audit"] = f"""
+WITH ev AS (
+  SELECT {corpus.duck_md5_bucket("user_id", 3)} AS grp,
+         CASE WHEN {duck_units("value", 2)} >= 5000 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), per AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pred) AS BIGINT) AS n_sel,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(pred * label) AS BIGINT) AS n_tp,
+         CAST(sum(pred * (1 - label)) AS BIGINT) AS n_fp
+  FROM ev GROUP BY grp
+), rates AS (
+  SELECT grp, n,
+         CAST(n_sel * 1000000 // n AS BIGINT) AS sel_ppm,
+         CAST(n_tp * 1000000 // n_pos AS BIGINT) AS tpr_ppm,
+         CAST(n_fp * 1000000 // (n - n_pos) AS BIGINT) AS fpr_ppm
+  FROM per
+), ref AS (
+  SELECT sel_ppm AS _rs, tpr_ppm AS _rt, fpr_ppm AS _rf FROM rates WHERE grp = 0
+)
+SELECT CAST(grp AS INTEGER) AS grp, n, sel_ppm, tpr_ppm, fpr_ppm,
+       CAST(sel_ppm - _rs AS BIGINT) AS dp_gap_ppm,
+       CAST(tpr_ppm - _rt AS BIGINT) AS eo_tpr_gap_ppm,
+       CAST(fpr_ppm - _rf AS BIGINT) AS eo_fpr_gap_ppm
+FROM rates CROSS JOIN ref
+"""
+
+
+# ---------------------------------------------------------------------------
+# E385 — BH-FDR screen: identical zcrit literals inlined into both
+# engines (stdlib inverse normal CDF, evaluated once in Python).
+# ---------------------------------------------------------------------------
+
+QUERIES["bh_fdr_screen"] = mlmetrics.bh_fdr_screen
+_BH_CRIT_SQL = (
+    "[" + ", ".join(str(c) for c in mlmetrics._bh_crit_ratio_milli()) + "]"
+)
+ORACLES["bh_fdr_screen"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST((epoch_ms(ts) // 3600000) % 24 // 6 AS INTEGER) AS hband,
+         epoch_ms(ts) // 86400000 AS day,
+         CASE WHEN {duck_units("value", 2)} >= 5000 THEN 1 ELSE 0 END AS hi
+  FROM events
+), mid AS (
+  SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS _mid FROM ev
+), cells AS (
+  SELECT event_type, hband,
+         CASE WHEN day >= _mid THEN 1 ELSE 0 END AS half,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(hi) AS BIGINT) AS x
+  FROM ev CROSS JOIN mid GROUP BY 1, 2, 3
+), h1 AS (
+  SELECT event_type, hband, n AS n1, x AS x1 FROM cells WHERE half = 0
+), h2 AS (
+  SELECT event_type, hband, n AS n2, x AS x2 FROM cells WHERE half = 1
+), scored AS (
+  SELECT event_type, hband, n1, x1, n2, x2,
+         abs(CAST(floor(((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))))
+              * 1000.0) AS BIGINT)) AS abs_z_milli
+  FROM h1 JOIN h2 USING (event_type, hband)
+  WHERE x1 + x2 > 0 AND x1 + x2 < n1 + n2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+              ORDER BY abs_z_milli DESC, event_type, hband) AS INTEGER) AS rnk
+  FROM scored
+), withm AS (
+  SELECT *, count(*) OVER () AS _m FROM ranked
+), withcrit AS (
+  SELECT * EXCLUDE (_m),
+         CAST(({_BH_CRIT_SQL})[CAST((rnk * 1000 + _m - 1) // _m AS INTEGER)]
+              AS INTEGER) AS crit_milli
+  FROM withm
+)
+SELECT event_type, hband, n1, x1, n2, x2, abs_z_milli, rnk, crit_milli,
+       rnk <= coalesce(max(CASE WHEN abs_z_milli >= crit_milli THEN rnk END)
+                       OVER (), 0) AS rejected
+FROM withcrit
+"""
+
+
+# ---------------------------------------------------------------------------
+# E386 — duplicate-aware loss weighting; reuses the verified cluster
+# oracle as a CTE, floored ppm weights identical in both engines.
+# ---------------------------------------------------------------------------
+
+QUERIES["dup_weighted_mixture"] = dedup.dup_weighted_mixture
+ORACLES["dup_weighted_mixture"] = f"""
+WITH clusters AS MATERIALIZED (
+{ORACLES["dup_clusters"]}
+), sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+  FROM clusters GROUP BY cluster_id
+), membership AS (
+  SELECT c.doc_id, s.csize FROM clusters c JOIN sizes s USING (cluster_id)
+), weighted AS (
+  SELECT d.lang, d.source, coalesce(m.csize, 1) AS csize
+  FROM documents d LEFT JOIN membership m ON d.doc_id = m.doc_id
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN csize > 1 THEN 1 END), 0) AS BIGINT)
+         AS n_dup_docs,
+       CAST(sum(1000000 // csize) AS BIGINT) AS eff_docs_ppm,
+       CAST(count(*) * 1000000 - sum(1000000 // csize) AS BIGINT)
+         AS removed_mass_ppm
+FROM weighted GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# E387 — Tukey median polish, two unrolled sweeps; lower medians via
+# quantile_disc on exact cents.
+# ---------------------------------------------------------------------------
+
+QUERIES["median_polish_dow_type"] = timeops.median_polish_dow_type
+ORACLES["median_polish_dow_type"] = f"""
+WITH cells AS MATERIALIZED (
+  SELECT CAST(((epoch_ms(ts) // 86400000) + 4) % 7 AS INTEGER) AS dow,
+         event_type,
+         CAST(sum({duck_units("value", 2)}) AS BIGINT) AS z
+  FROM events GROUP BY 1, 2
+), rm1 AS (SELECT dow, quantile_disc(z, 0.5) AS m FROM cells GROUP BY dow),
+z1 AS MATERIALIZED (
+  SELECT c.dow, c.event_type, c.z - rm1.m AS z FROM cells c JOIN rm1 USING (dow)
+), cm1 AS (SELECT event_type, quantile_disc(z, 0.5) AS m FROM z1 GROUP BY event_type),
+z2 AS MATERIALIZED (
+  SELECT z1.dow, z1.event_type, z1.z - cm1.m AS z
+  FROM z1 JOIN cm1 USING (event_type)
+), rm2 AS (SELECT dow, quantile_disc(z, 0.5) AS m FROM z2 GROUP BY dow),
+z3 AS MATERIALIZED (
+  SELECT z2.dow, z2.event_type, z2.z - rm2.m AS z FROM z2 JOIN rm2 USING (dow)
+), cm2 AS (SELECT event_type, quantile_disc(z, 0.5) AS m FROM z3 GROUP BY event_type),
+z4 AS MATERIALIZED (
+  SELECT z3.dow, z3.event_type, z3.z - cm2.m AS z
+  FROM z3 JOIN cm2 USING (event_type)
+)
+SELECT c.dow, c.event_type, c.z AS cell_cents,
+       CAST(rm1.m + rm2.m AS BIGINT) AS row_effect,
+       CAST(cm1.m + cm2.m AS BIGINT) AS col_effect,
+       CAST(z4.z AS BIGINT) AS residual_cents
+FROM cells c
+JOIN rm1 USING (dow) JOIN rm2 USING (dow)
+JOIN cm1 USING (event_type) JOIN cm2 USING (event_type)
+JOIN z4 ON z4.dow = c.dow AND z4.event_type = c.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# E388 — correlated LATERAL top-k; DuckDB's own LATERAL is the twin.
+# ---------------------------------------------------------------------------
+
+QUERIES["lateral_topk_per_region"] = relational.lateral_topk_per_region
+ORACLES["lateral_topk_per_region"] = f"""
+SELECT r.r_name AS region, t.c_custkey, t.c_name, t.bal_cents
+FROM region r,
+LATERAL (
+  SELECT c.c_custkey, c.c_name, {duck_units("c.c_acctbal", 2)} AS bal_cents
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY bal_cents DESC, c.c_custkey
+  LIMIT 2
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# E389 — streaming VARIANT promotion drain; batch SQL is the oracle
+# (stream/batch parity on the typed extraction).
+# ---------------------------------------------------------------------------
+
+QUERIES["streaming_variant_drain"] = _stream.streaming_variant_drain
+ORACLES["streaming_variant_drain"] = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS n_k,
+       CAST(coalesce(sum(CAST(json_extract(props, '$.k') AS INTEGER)), 0)
+            AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# E390 — EM-fitted FS parameters: the oracle unrolls the same three
+# E/M iterations, generated by the same loop shape as the Spark side
+# (identical double parenthesization, identical integer M-steps).
+# ---------------------------------------------------------------------------
+
+QUERIES["fs_em_weights"] = dedup.fs_em_weights
+
+
+def _fs_em_oracle(iterations: int = 3) -> str:
+    def w_expr(p: str, m: list[str], u: list[str]) -> str:
+        pm = f"({p} / 1e6)"
+        pu = f"((1000000 - {p}) / 1e6)"
+        for i in (0, 1, 2):
+            pm += f" * if(a{i+1}, {m[i]} / 1e6, 1e0 - {m[i]} / 1e6)"
+            pu += f" * if(a{i+1}, {u[i]} / 1e6, 1e0 - {u[i]} / 1e6)"
+        return f"CAST(floor(({pm}) / (({pm}) + ({pu})) * 1e6 + 0.5) AS BIGINT)"
+
+    pat = f"""pat AS MATERIALIZED (
+  SELECT (a_name_ci = b_name_ci) AS a1, (a_seg = b_seg) AS a2,
+         (a_band = b_band) AS a3, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT c_custkey AS a_id, c_nationkey AS nation,
+           lower(c_name) AS a_name_ci, c_mktsegment AS a_seg,
+           {duck_units("c_acctbal", 2)} // 1000 AS a_band
+    FROM customer
+  ) a JOIN (
+    SELECT c_custkey AS b_orig, c_nationkey AS nation,
+           lower(c_name) AS b_name_ci,
+           CASE WHEN {corpus.duck_md5_bucket("CAST(c_custkey AS VARCHAR) || '#seg'", 5)} = 0
+                THEN 'CORRUPTED' ELSE c_mktsegment END AS b_seg,
+           ({duck_units("c_acctbal", 2)}
+            + CASE WHEN {corpus.duck_md5_bucket("CAST(c_custkey AS VARCHAR) || '#bal'", 3)} = 0
+                   THEN 37 ELSE 0 END) // 1000 AS b_band
+    FROM customer
+    WHERE {corpus.duck_md5_bucket("c_custkey", 4)} = 0
+  ) b USING (nation)
+  GROUP BY 1, 2, 3
+)"""
+    ctes = [pat]
+    p, m, u = "10000", ["900000"] * 3, ["100000"] * 3
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"w{k} AS (SELECT *, {w_expr(p, m, u)} AS w FROM pat"
+            + ("" if k == 1 else f" CROSS JOIN par{k-1}")
+            + ")"
+        )
+        ctes.append(
+            f"""agg{k} AS (
+  SELECT CAST(sum(n * w) AS BIGINT) AS sw,
+         CAST(sum(n * (1000000 - w)) AS BIGINT) AS swc,
+         CAST(sum(n) AS BIGINT) AS nn,
+         {", ".join(f"CAST(sum(CASE WHEN a{i+1} THEN n * w ELSE 0 END) AS BIGINT) AS swa{i+1}" for i in (0, 1, 2))},
+         {", ".join(f"CAST(sum(CASE WHEN a{i+1} THEN n * (1000000 - w) ELSE 0 END) AS BIGINT) AS swca{i+1}" for i in (0, 1, 2))}
+  FROM w{k})"""
+        )
+        ctes.append(
+            f"""par{k} AS (
+  SELECT CAST(sw // nn AS BIGINT) AS p_micro,
+         {", ".join(f"CAST(swa{i+1} * 1000000 // sw AS BIGINT) AS m{i+1}_micro" for i in (0, 1, 2))},
+         {", ".join(f"CAST(swca{i+1} * 1000000 // swc AS BIGINT) AS u{i+1}_micro" for i in (0, 1, 2))}
+  FROM agg{k})"""
+        )
+        p = "p_micro"
+        m = [f"m{i+1}_micro" for i in (0, 1, 2)]
+        u = [f"u{i+1}_micro" for i in (0, 1, 2)]
+    final = f"""
+SELECT a1, a2, a3, n, {w_expr(p, m, u)} AS w_micro,
+       p_micro, m1_micro, m2_micro, m3_micro, u1_micro, u2_micro, u3_micro
+FROM pat CROSS JOIN par{iterations}"""
+    return "WITH " + ",\n".join(ctes) + final
+
+
+ORACLES["fs_em_weights"] = _fs_em_oracle()
+
+
+# ---------------------------------------------------------------------------
+# E391 — IVF index append: the oracle is E297's verified replay with
+# the BUILD CTEs base-filtered (append == assign-all to base
+# centroids, by construction of the shared assignment rule).
+# ---------------------------------------------------------------------------
+
+QUERIES["ivf_index_append_topk"] = similarity.ivf_index_append_topk
+_IVF_BASE_PRED = corpus.duck_md5_bucket("vec_id", 5) + " <> 0"
+ORACLES["ivf_index_append_topk"] = (
+    ORACLES["ivf_indexed_topk"]
+    .replace(
+        "SELECT vec_id AS cell, v AS c FROM emb WHERE vec_id < 16",
+        "SELECT vec_id AS cell, v AS c FROM emb WHERE vec_id < 16"
+        f" AND {_IVF_BASE_PRED}",
+    )
+    .replace(
+        "FROM emb e CROSS JOIN c0",
+        f"FROM (SELECT * FROM emb WHERE {_IVF_BASE_PRED}) e CROSS JOIN c0",
+    )
+)
+assert ORACLES["ivf_index_append_topk"] != ORACLES["ivf_indexed_topk"]
+
+
+# ---------------------------------------------------------------------------
+# E392 — SQL scripting walk: the oracle computes the loop's fixed
+# point set-wise (min k with n_above(k) < 1000 over the same exact
+# integer power ladder).
+# ---------------------------------------------------------------------------
+
+QUERIES["scripted_threshold_walk"] = sqlapi.scripted_threshold_walk
+ORACLES["scripted_threshold_walk"] = f"""
+WITH q AS (
+  SELECT o_orderkey, {duck_units("o_totalprice", 2)} // 1000000 AS q
+  FROM orders
+  WHERE {duck_units("o_totalprice", 2)} // 1000000 >= 1
+), powers AS (
+  SELECT CAST(t.i AS INTEGER) AS b, CAST(power(2, t.i) AS BIGINT) AS lo
+  FROM unnest(range(0, 40)) AS t(i)
+), buck AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT o_orderkey, max(b) AS b
+    FROM q JOIN powers ON q.q >= lo GROUP BY o_orderkey
+  ) GROUP BY b
+), lad AS (
+  SELECT k.i AS k,
+         CAST(coalesce((SELECT sum(n) FROM buck WHERE b >= k.i), 0) AS BIGINT)
+           AS n_above
+  FROM unnest(range(0, 41)) AS k(i)
+), fixp AS (
+  SELECT CAST(min(k) AS INTEGER) AS steps FROM lad WHERE n_above < 1000
+)
+SELECT steps,
+       CAST(1000000 * power(2, steps) AS BIGINT) AS final_threshold_cents,
+       (SELECT n_above FROM lad WHERE k = steps) AS n_above_final
+FROM fixp
+"""
+
+
+# ---------------------------------------------------------------------------
+# E393 — parameterized SQL: the oracle inlines the same constants the
+# parser binds; identical plans by constant folding.
+# ---------------------------------------------------------------------------
+
+QUERIES["parameterized_orders_report"] = sqlapi.parameterized_orders_report
+ORACLES["parameterized_orders_report"] = f"""
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({duck_units("o_totalprice", 2)}) AS BIGINT) AS rev_cents
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) >= 1996
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# E394 — SQL UDFs (scalar + table-valued): oracle inlines the bodies.
+# ---------------------------------------------------------------------------
+
+QUERIES["sql_udf_report"] = sqlapi.sql_udf_report
+ORACLES["sql_udf_report"] = f"""
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum({duck_units("o_totalprice", 2)}) AS BIGINT) AS rev_cents
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1, 2
+)
+SELECT priority, ym, n_orders, rev_cents FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# E395 — polymorphic UDTF: schema computed by analyze(); oracle checks
+# the pass-through values plus the appended audit column.
+# ---------------------------------------------------------------------------
+
+QUERIES["udtf_polymorphic_profile"] = pandas_ops.udtf_polymorphic_profile
+ORACLES["udtf_polymorphic_profile"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(3 AS INTEGER) AS n_fields
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# E396 — leakage release certificate: composes the verified cluster,
+# pair, and contamination oracles; the contamination row is expected
+# NOT to pass on this fixture (the action-item row).
+# ---------------------------------------------------------------------------
+
+QUERIES["leakage_release_certificate"] = dedup.leakage_release_certificate
+ORACLES["leakage_release_certificate"] = f"""
+WITH clusters AS MATERIALIZED (
+{ORACLES["dup_clusters"]}
+), assign AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN {corpus.duck_md5_bucket("coalesce(c.cluster_id, d.doc_id)", 100)} < 20
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+), pairs AS MATERIALIZED (
+{ORACLES["ngram_jaccard_pairs"]}
+), straddle AS (
+  SELECT 'split_straddle_pairs' AS "check",
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 END), 0)
+              AS BIGINT) AS n_violations
+  FROM pairs p
+  JOIN assign a ON p.doc_a = a.doc_id
+  JOIN assign b ON p.doc_b = b.doc_id
+), exact_g AS (
+  SELECT 'exact_dup_split_crossover' AS "check",
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(coalesce(sum(CASE WHEN nsplits > 1 THEN 1 END), 0) AS BIGINT)
+           AS n_violations
+  FROM (
+    SELECT md5(text) AS h, count(*) AS sz,
+           count(DISTINCT a.split) AS nsplits
+    FROM documents d JOIN assign a ON d.doc_id = a.doc_id
+    GROUP BY md5(text) HAVING count(*) > 1
+  )
+), contam_hits AS (
+{ORACLES["contamination_pairs"]}
+), contam AS (
+  SELECT 'benchmark_contamination_train' AS "check",
+         (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE source <> 'src0') AS n_checked,
+         (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM contam_hits)
+           AS n_violations
+)
+SELECT "check", n_checked, n_violations, n_violations = 0 AS passed
+FROM (SELECT * FROM straddle UNION ALL SELECT * FROM exact_g
+      UNION ALL SELECT * FROM contam)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E397 — the fix for E396's blind spot: CC over near-dup ∪ exact-hash
+# edges; both straddle checks must certify zero.
+# ---------------------------------------------------------------------------
+
+QUERIES["leakage_safe_split_v2"] = dedup.leakage_safe_split_v2
+ORACLES["leakage_safe_split_v2"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS toks
+  FROM documents
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+        >= 0.8
+), hx AS (
+  SELECT md5(text) AS h, doc_id FROM documents
+), roots AS (
+  SELECT h, min(doc_id) AS root, count(*) AS sz FROM hx GROUP BY h
+), exact_edges AS MATERIALIZED (
+  SELECT r.root AS src, hx.doc_id AS dst
+  FROM hx JOIN roots r USING (h)
+  WHERE r.sz > 1 AND hx.doc_id <> r.root
+), edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+  UNION
+  SELECT src AS u, dst AS w FROM exact_edges
+  UNION
+  SELECT dst AS u, src AS w FROM exact_edges
+), cc(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.l FROM edges e JOIN cc ON cc.v = e.w
+), comp AS MATERIALIZED (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM cc GROUP BY v
+), assign AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN {corpus.duck_md5_bucket("coalesce(c.cluster_id, d.doc_id)", 100)} < 20
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+), nd AS (
+  SELECT 'near_dup_straddle_pairs' AS "check",
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 END), 0)
+              AS BIGINT) AS n_violations
+  FROM pairs p
+  JOIN assign a ON p.doc_a = a.doc_id
+  JOIN assign b ON p.doc_b = b.doc_id
+), ex AS (
+  SELECT 'exact_dup_straddle_edges' AS "check",
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 END), 0)
+              AS BIGINT) AS n_violations
+  FROM exact_edges e
+  JOIN assign a ON e.src = a.doc_id
+  JOIN assign b ON e.dst = b.doc_id
+)
+SELECT "check", n_checked, n_violations, n_violations = 0 AS passed
+FROM (SELECT * FROM nd UNION ALL SELECT * FROM ex)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E398 — dup-collapsed retrieval: composes the verified BM25 (pool=30)
+# and cluster oracles; collapse + final rank over the 30-row pool.
+# ---------------------------------------------------------------------------
+
+QUERIES["bm25_dedup_topk"] = text.bm25_dedup_topk
+assert ORACLES["bm25_topk"].rstrip().endswith("LIMIT 10")
+ORACLES["bm25_dedup_topk"] = f"""
+WITH cands AS MATERIALIZED (
+{ORACLES["bm25_topk"].rstrip()[: -len("LIMIT 10")]} LIMIT 30
+), clusters AS MATERIALIZED (
+{ORACLES["dup_clusters"]}
+), units AS (
+  SELECT c.doc_id, c.n_matched, c.score,
+         coalesce(cl.cluster_id, c.doc_id) AS unit_id
+  FROM cands c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+), best AS (
+  SELECT doc_id, n_matched, score, unit_id, n_collapsed FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY unit_id
+                              ORDER BY score DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY unit_id) AS n_collapsed
+    FROM units
+  ) WHERE rn = 1
+)
+SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, unit_id, n_matched, score,
+       CAST(n_collapsed AS BIGINT) AS n_collapsed
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM best
+) WHERE rnk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# E399 — full-corpus measured blocking recall: the UNBLOCKED
+# prefix-filter join (inverted index, never all-pairs) finds every
+# true pair ≥ t; the oracle replays the exact set-Jaccard quadratically
+# (fixture-sized) and classifies pairs by lang×source block membership.
+# ---------------------------------------------------------------------------
+
+QUERIES["blocking_recall_report"] = dedup.blocking_recall_report
+ORACLES["blocking_recall_report"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), p AS (
+  SELECT CASE WHEN a.lang = b.lang AND a.source = b.source
+              THEN 1 ELSE 0 END AS same_block
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+              / CAST(len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 4)
+        >= 0.8
+)
+SELECT CAST(8000 AS BIGINT) AS threshold_bp,
+       CAST(count(*) AS BIGINT) AS n_pairs_unblocked,
+       CAST(coalesce(sum(same_block), 0) AS BIGINT) AS n_pairs_blocked,
+       CAST(coalesce(sum(1 - same_block), 0) AS BIGINT) AS n_pairs_cross_block,
+       CAST(CASE WHEN count(*) > 0
+                 THEN coalesce(sum(same_block), 0) * 1000000 // count(*)
+                 ELSE 1000000 END AS BIGINT) AS recall_ppm
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# E401 — bounded-rate ingestion: maxFilesPerTrigger=2 over a 6-file
+# staged source ⇒ exactly 3 availableNow micro-batches; per-batch
+# partial aggregates merge declaratively and must equal the batch
+# totals whatever the file→batch assignment was.
+# ---------------------------------------------------------------------------
+
+QUERIES["streaming_backpressure_drain"] = _stream.backpressure_drain_query
+ORACLES["streaming_backpressure_drain"] = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({duck_units("value", 2)}) AS BIGINT) AS value_cents,
+       CAST(3 AS BIGINT) AS n_batches
+FROM events
+GROUP BY event_type
+"""
