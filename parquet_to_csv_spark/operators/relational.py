@@ -3282,3 +3282,80 @@ def lateral_topk_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E403: incremental view maintenance with RETRACTIONS — keep a
+    materialized AGGREGATE current by applying a CDC delta to the
+    aggregate itself, never re-scanning the base. The IVM contract:
+    count/sum aggregates are self-maintainable, so inserts contribute
+    (+1, +cents), deletes (−1, −cents), and updates (0, Δcents); the
+    maintained view must equal a full recompute over the post-CDC
+    table. Maintenance cost is O(|delta|) whatever the base size —
+    at 100 TB the delta is the day's changes, the base is never read.
+
+    Deterministic CDC workload over ``events`` (md5-bucket arithmetic,
+    engine-replayable): base = buckets 0–79, inserts = buckets 80–99,
+    deletes = base buckets ≡ 0 (mod 7), updates = base buckets ≡ 1
+    (mod 7) with value + 10.00. Output carries the maintained state
+    AND the per-type delta audit columns, so a wrong retraction sign
+    or a missed update shifts a visible column, not just the total.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as long)").alias("cents"),
+        md5_bucket(F.col("event_id"), 100).alias("b"),
+    )
+    base = ev.filter(F.col("b") < 80)
+    view = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum("cents").alias("c0")
+    )
+    # delta stream with per-row (dn, dc) contributions
+    inserts = ev.filter(F.col("b") >= 80).select(
+        "event_type",
+        F.lit(1).cast("long").alias("dn"),
+        F.col("cents").alias("dc"),
+        F.lit("insert").alias("op"),
+    )
+    deletes = base.filter(F.col("b") % 7 == 0).select(
+        "event_type",
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("cents")).alias("dc"),
+        F.lit("delete").alias("op"),
+    )
+    updates = base.filter(F.col("b") % 7 == 1).select(
+        "event_type",
+        F.lit(0).cast("long").alias("dn"),
+        F.lit(1000).cast("long").alias("dc"),  # +10.00 per updated row
+        F.lit("update").alias("op"),
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .unionByName(updates)
+        .groupBy("event_type")
+        .agg(
+            F.sum("dn").alias("dn"),
+            F.sum("dc").alias("dc"),
+            F.sum((F.col("op") == "insert").cast("long")).alias("n_inserted"),
+            F.sum((F.col("op") == "delete").cast("long")).alias("n_deleted"),
+            F.sum((F.col("op") == "update").cast("long")).alias("n_updated"),
+        )
+    )
+    return (
+        view.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_events"
+            ),
+            (F.coalesce("c0", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias(
+                "value_cents"
+            ),
+            F.coalesce("n_inserted", F.lit(0)).alias("n_inserted"),
+            F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"),
+            F.coalesce("n_updated", F.lit(0)).alias("n_updated"),
+        )
+    )

@@ -1800,3 +1800,54 @@ def bm25_dedup_topk(
             F.col("n_collapsed").cast("long").alias("n_collapsed"),
         )
     )
+
+
+def encoding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E404: encoding-health audit — the corpus-hygiene pass a web
+    ingest runs before any text op is trusted. Per (lang, source):
+
+    - ``n_replacement_docs`` — docs carrying U+FFFD, the decoder's
+      "I gave up" marker (a lossy transcode upstream);
+    - ``n_control_docs`` — docs with C0 control chars other than
+      tab/newline/CR (binary bleed-through, broken scrapers);
+    - ``n_mojibake_docs`` — docs matching the classic UTF-8-read-as-
+      CP1252 artifacts (``â€™``-family, ``Ã©``-family, stray BOM);
+    - ``nonascii_ppm`` — corpus-level non-ASCII character share, the
+      drift signal that catches an encoding regression upstream even
+      when no individual marker fires.
+
+    One scan, per-group integer counters; regex classes are shared
+    Java-regex/RE2 syntax so the DuckDB oracle replays them verbatim.
+    At 100 TB this is a map-side-combined aggregation — no quadratic
+    anything, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    repl = "�"
+    moji = "(â€|Ã[©¤¼¨¶]|ï»¿)"
+    ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.col("text").contains(repl).cast("long").alias("has_repl"),
+            F.col("text").rlike(ctrl).cast("long").alias("has_ctrl"),
+            F.col("text").rlike(moji).cast("long").alias("has_moji"),
+            F.length("text").cast("long").alias("n_chars"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^\\x00-\\x7f]", ""))
+            ).cast("long").alias("n_nonascii"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_repl").alias("n_replacement_docs"),
+            F.sum("has_ctrl").alias("n_control_docs"),
+            F.sum("has_moji").alias("n_mojibake_docs"),
+            F.expr(
+                "CASE WHEN sum(n_chars) > 0"
+                " THEN sum(n_nonascii) * 1000000 div sum(n_chars)"
+                " ELSE 0 END"
+            ).alias("nonascii_ppm"),
+        )
+    )

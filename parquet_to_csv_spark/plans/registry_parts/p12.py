@@ -981,3 +981,123 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+# ---------------------------------------------------------------------------
+# E402 — clustering-depth audit: simulated date-range vs hash-ingest
+# layouts of orders, measured as probe overlap depth + skip ratio on
+# the o_orderdate predicate column (the OPTIMIZE decision metric).
+# ---------------------------------------------------------------------------
+
+from parquet_to_csv_spark.sources import layout as _layout2  # noqa: E402
+
+QUERIES["clustering_depth_report"] = _layout2.clustering_depth_report
+ORACLES["clustering_depth_report"] = """
+WITH o AS (
+  SELECT o_orderkey, epoch_ms(o_orderdate) // 86400000 AS day FROM orders
+), b AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM o
+), assigned AS (
+  SELECT day,
+         CAST((day - d0) * 16 // (d1 - d0 + 1) AS INTEGER) AS f_date,
+         CAST(o_orderkey % 16 AS INTEGER) AS f_hash
+  FROM o CROSS JOIN b
+), manif AS (
+  SELECT 'date_range' AS layout, f_date AS f, min(day) AS mn, max(day) AS mx
+  FROM assigned GROUP BY 2
+  UNION ALL
+  SELECT 'hash_ingest', f_hash, min(day), max(day) FROM assigned GROUP BY 2
+), probes AS (
+  SELECT d0 + t.i * (d1 - d0) // 10 AS p
+  FROM b, unnest(range(0, 11)) AS t(i)
+), hits AS (
+  SELECT layout, p,
+         CAST(sum(CASE WHEN p BETWEEN mn AND mx THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM manif CROSS JOIN probes GROUP BY 1, 2
+), pf AS (
+  SELECT layout, CAST(count(DISTINCT f) AS BIGINT) AS n_files
+  FROM manif GROUP BY 1
+), agg AS (
+  SELECT layout,
+         CAST(sum(n_hit) * 1000 // count(*) AS BIGINT) AS avg_overlap_milli,
+         CAST(max(n_hit) AS BIGINT) AS max_overlap,
+         CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(n_hit) AS BIGINT) AS _tot
+  FROM hits GROUP BY 1
+)
+SELECT a.layout, pf.n_files, a.n_probes, a.avg_overlap_milli, a.max_overlap,
+       CAST(1000000 - _tot * 1000000 // (a.n_probes * pf.n_files) AS BIGINT)
+         AS skip_ppm
+FROM agg a JOIN pf USING (layout)
+"""
+
+# ---------------------------------------------------------------------------
+# E403 — incremental view maintenance with retractions: the maintained
+# aggregate (base view + CDC delta applied to the AGGREGATE) must equal
+# the oracle's independent full recompute of the post-CDC table.
+# ---------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators.corpus import duck_md5_bucket  # noqa: E402
+
+QUERIES["incremental_view_maintenance"] = relational.incremental_view_maintenance
+ORACLES["incremental_view_maintenance"] = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         {duck_md5_bucket("event_id", 100)} AS b
+  FROM events
+), final AS (
+  SELECT event_type,
+         CASE WHEN b < 80 AND b % 7 = 1 THEN cents + 1000
+              ELSE cents END AS cents
+  FROM ev
+  WHERE b >= 80 OR (b < 80 AND b % 7 <> 0)
+), audit AS (
+  SELECT event_type,
+         CAST(coalesce(sum(CASE WHEN b >= 80 THEN 1 END), 0) AS BIGINT)
+           AS n_inserted,
+         CAST(coalesce(sum(CASE WHEN b < 80 AND b % 7 = 0 THEN 1 END), 0)
+           AS BIGINT) AS n_deleted,
+         CAST(coalesce(sum(CASE WHEN b < 80 AND b % 7 = 1 THEN 1 END), 0)
+           AS BIGINT) AS n_updated
+  FROM ev GROUP BY 1
+), fin AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS value_cents
+  FROM final GROUP BY 1
+)
+SELECT a.event_type, coalesce(f.n_events, 0) AS n_events,
+       coalesce(f.value_cents, 0) AS value_cents,
+       a.n_inserted, a.n_deleted, a.n_updated
+FROM audit a LEFT JOIN fin f USING (event_type)
+"""
+
+# ---------------------------------------------------------------------------
+# E404 — encoding-health audit; regex classes are shared Java/RE2
+# syntax, replayed verbatim by the oracle.
+# ---------------------------------------------------------------------------
+
+QUERIES["encoding_health_report"] = text.encoding_health_report
+ORACLES["encoding_health_report"] = """
+WITH d AS (
+  SELECT lang, source,
+         CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS has_repl,
+         CASE WHEN regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+              THEN 1 ELSE 0 END AS has_ctrl,
+         CASE WHEN regexp_matches(text, '(â€|Ã[©¤¼¨¶]|ï»¿)')
+              THEN 1 ELSE 0 END AS has_moji,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(text) - len(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+              AS BIGINT) AS n_nonascii
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(has_repl) AS BIGINT) AS n_replacement_docs,
+       CAST(sum(has_ctrl) AS BIGINT) AS n_control_docs,
+       CAST(sum(has_moji) AS BIGINT) AS n_mojibake_docs,
+       CAST(CASE WHEN sum(n_chars) > 0
+                 THEN sum(n_nonascii) * 1000000 // sum(n_chars)
+                 ELSE 0 END AS BIGINT) AS nonascii_ppm
+FROM d GROUP BY 1, 2
+"""

@@ -822,3 +822,106 @@ def bloom_skipping_report(
             ).alias("skip_rate_ppm"),
         )
     )
+
+
+def clustering_depth_report(
+    spark: SparkSession, sf_dir: str, n_files: int = 16, n_probes: int = 11
+) -> DataFrame:
+    """EXT E402: clustering-depth audit — the metric an OPTIMIZE /
+    re-cluster decision actually runs on. For a layout to skip files
+    on a predicate column, per-file [min, max] ranges on that column
+    must be NARROW; this report measures it directly as overlap depth:
+    for a grid of probe points over the date domain, how many files'
+    ranges CONTAIN each probe (= files a point query must open).
+
+    Two deterministic layouts of ``orders``, compared on the
+    ``o_orderdate`` predicate column:
+
+    - ``date_range``   — files assigned by date-range (the layout a
+      time-ordered ingest or an OPTIMIZE BY date produces): ranges are
+      near-disjoint, overlap depth ≈ 1, skip ratio ≈ (n_files−1)/n_files;
+    - ``hash_ingest``  — files assigned by ``o_orderkey % n_files``
+      (the layout hash-parallel ingest produces): every file spans the
+      whole date domain, overlap depth = n_files, skip ratio 0.
+
+    File assignment, manifests, probes, and the depth fold are all
+    in-plan integer arithmetic (one scan per layout → n_files rows →
+    tiny probe cross join), so the DuckDB oracle replays the metric
+    exactly; at 100 TB the same report runs over the real
+    :func:`minmax_manifest` instead of the simulated assignment —
+    rows stay file-count sized either way.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .alias("day"),
+    )
+    bounds = F.broadcast(
+        orders.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    assigned = orders.join(bounds).select(
+        "day",
+        F.expr(f"cast((day - d0) * {n_files} div (d1 - d0 + 1) as int)").alias(
+            "f_date"
+        ),
+        F.expr(f"cast(o_orderkey % {n_files} as int)").alias("f_hash"),
+    )
+
+    def manifest(col: str, label: str) -> DataFrame:
+        return (
+            assigned.groupBy(F.col(col).alias("f"))
+            .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+            .select(F.lit(label).alias("layout"), "f", "mn", "mx")
+        )
+
+    manif = manifest("f_date", "date_range").unionByName(
+        manifest("f_hash", "hash_ingest")
+    )
+    probes = (
+        spark.range(n_probes)
+        .join(bounds)
+        .select(
+            F.expr(f"d0 + id * (d1 - d0) div {n_probes - 1}").alias("p")
+        )
+    )
+    hits = (
+        manif.crossJoin(F.broadcast(probes))
+        .select(
+            "layout",
+            "p",
+            ((F.col("p") >= F.col("mn")) & (F.col("p") <= F.col("mx")))
+            .cast("long")
+            .alias("contains"),
+        )
+        .groupBy("layout", "p")
+        .agg(F.sum("contains").alias("n_hit"))
+    )
+    per_file = manif.groupBy("layout").agg(
+        F.countDistinct("f").alias("n_files")
+    )
+    return (
+        hits.groupBy("layout")
+        .agg(
+            F.expr("sum(n_hit) * 1000 div count(*)").alias(
+                "avg_overlap_milli"
+            ),
+            F.max("n_hit").alias("max_overlap"),
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("n_hit").alias("_tot_hit"),
+        )
+        .join(per_file, "layout")
+        .select(
+            "layout",
+            "n_files",
+            "n_probes",
+            "avg_overlap_milli",
+            "max_overlap",
+            F.expr(
+                "1000000 - _tot_hit * 1000000 div (n_probes * n_files)"
+            ).alias("skip_ppm"),
+        )
+    )
