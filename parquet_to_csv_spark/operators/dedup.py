@@ -2773,3 +2773,117 @@ def leakage_safe_split_v2(
             (F.col("n_violations") == 0).alias("passed"),
         )
     )
+
+
+def shingle_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact SHINGLE-set Jaccard pairs via the prefix-filter join —
+    the non-circular ground truth for evaluating MinHash-LSH (E405):
+    same inverted-index theorem as :func:`ngram_jaccard_pairs` but over
+    the sorted 64-bit shingle-hash arrays the MinHash tier itself is
+    built on, UNBLOCKED (candidates cross lang×source), so a recall
+    loss in the LSH banding cannot hide behind the generator under
+    test. O(docs × prefix) shuffle, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = _materialize_once(
+        _shingle_df(docs).select(
+            "doc_id", F.array_sort("sh").alias("sh"), F.size("sh").alias("sz")
+        )
+    )
+    plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref = base.select(
+        "doc_id", "sz", F.explode(F.slice("sh", F.lit(1), plen)).alias("ph")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    eps = 1e-9
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ph") == F.col("b.ph"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps)),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter / union.cast("double"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# LSH s-curve P(candidate | J=s) = 1 - (1 - s^r)^b for the repo's
+# r=4 rows × b=8 bands, evaluated ONCE in Python at band midpoints and
+# inlined as literals into BOTH engines (the BH-crit discipline: JVM
+# Math.pow and C libm pow are each ≤1 ulp but not bit-identical, so
+# neither engine evaluates the curve).
+def _lsh_theory_micro(bands_bp: list[int], r: int = 4, b: int = 8) -> list[int]:
+    import math
+    out = []
+    for lo in bands_bp:
+        s = (lo + 250) / 10000.0
+        p = 1.0 - (1.0 - s**r) ** b
+        out.append(int(math.floor(p * 1e6 + 0.5)))
+    return out
+
+
+_LSH_BANDS_BP = [5000 + 500 * i for i in range(10)]
+
+
+def lsh_operating_point_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E405: MinHash-LSH operating-point report — measured recall
+    per exact-Jaccard band against the s-curve theory. Complements
+    E399 (which measures what BLOCKING loses): here the approximation
+    under audit is the LSH candidate generator itself.
+
+    Ground truth = :func:`shingle_jaccard_pairs` (exact, unblocked,
+    prefix-filter — independent machinery from the banding under
+    test); found = :func:`minhash_lsh_pairs` verified output. Rows:
+    one per 0.05-wide Jaccard band in [0.5, 1.0] that contains true
+    pairs, with true/found counts, measured recall ppm, and the
+    theoretical candidate probability at the band midpoint — the
+    table that says whether 8×4 banding is the right operating point
+    for this corpus or bands/rows need retuning."""
+    truth = shingle_jaccard_pairs(spark, sf_dir, 0.5).select(
+        "doc_a",
+        "doc_b",
+        F.least(
+            F.expr("cast(floor(jaccard * 10000) as long) div 500 * 500"),
+            F.lit(9500),
+        ).alias("band_lo_bp"),
+    )
+    found = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    theory = _lsh_theory_micro(_LSH_BANDS_BP)
+    theory_arr = F.array(*[F.lit(t) for t in theory])
+    return (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .groupBy("band_lo_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_lsh_found"),
+        )
+        .select(
+            "band_lo_bp",
+            "n_true_pairs",
+            "n_lsh_found",
+            F.expr("n_lsh_found * 1000000 div n_true_pairs").alias(
+                "recall_ppm"
+            ),
+            F.element_at(
+                theory_arr,
+                ((F.col("band_lo_bp") - 5000) / 500).cast("int") + 1,
+            ).cast("long").alias("theory_candidate_micro"),
+        )
+    )

@@ -1101,3 +1101,42 @@ SELECT lang, source,
                  ELSE 0 END AS BIGINT) AS nonascii_ppm
 FROM d GROUP BY 1, 2
 """
+
+# ---------------------------------------------------------------------------
+# E405 — LSH operating-point report: exact shingle-Jaccard truth per
+# 0.05 band vs the MinHash-LSH verified output; the oracle replays the
+# exact quadratic truth and pins the 100%-recall contract per band
+# (the s-curve theory column is Python-evaluated literals — the
+# BH-crit discipline, neither engine touches pow()).
+# ---------------------------------------------------------------------------
+
+from parquet_to_csv_spark.plans.registry_parts.p01 import _DUCK_SHINGLES  # noqa: E402,F401
+
+_LSH_THEORY_SQL = "[" + ", ".join(
+    str(t) for t in dedup._lsh_theory_micro(dedup._LSH_BANDS_BP)
+) + "]"
+_SHJ = (
+    "round(len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh)"
+    " - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4)"
+)
+
+QUERIES["lsh_operating_point_report"] = dedup.lsh_operating_point_report
+ORACLES["lsh_operating_point_report"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t
+), pairs AS (
+  SELECT least(CAST(floor({_SHJ} * 10000) AS BIGINT) // 500 * 500, 9500)
+           AS band_lo_bp
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {_SHJ} >= 0.5
+)
+SELECT band_lo_bp,
+       CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(count(*) AS BIGINT) AS n_lsh_found,
+       CAST(1000000 AS BIGINT) AS recall_ppm,
+       CAST(({_LSH_THEORY_SQL})[CAST((band_lo_bp - 5000) // 500 AS INTEGER) + 1]
+            AS BIGINT) AS theory_candidate_micro
+FROM pairs GROUP BY 1
+"""
