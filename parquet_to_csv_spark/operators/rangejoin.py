@@ -379,3 +379,76 @@ def asof_nearest_join(
             F.abs(F.col("e_us") - F.col("nearest.c_us")).alias("gap_us"),
         )
     )
+
+
+def bitemporal_asof_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E406: BITEMPORAL as-of join — two time axes, not one.
+    SCD-2 (E55) answers "which version was valid at time V"; an
+    auditable store must also answer "which version did we BELIEVE at
+    transaction time T" — the axis that makes corrections reproducible
+    (a restated balance must not rewrite history reports generated
+    before the restatement).
+
+    The versioned dim is synthesized deterministically per customer
+    (the fixtures carry no history; the join shape is the real thing):
+
+    - v1: valid [0, 100), recorded tx [0, ∞)      — bal = cents
+    - v2: valid [100, ∞), recorded tx [0, 50)     — bal = cents + 500
+    - v3: valid [100, ∞), recorded tx [50, ∞)     — bal = cents + 700
+      (the correction: at tx 50 the belief about the [100, ∞) period
+      was restated from +500 to +700)
+
+    Four probes (valid V × as-of T) hit every quadrant: (50, 25) and
+    (50, 75) must agree (v1 — history untouched by the restatement);
+    (150, 25) sees the PRE-correction v2; (150, 75) the corrected v3.
+    Both interval predicates are half-open, the dim is version-bounded
+    (3 × customers) and the probe table broadcast — one scan, map-side
+    heavy, no window."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as long)").alias("cents"),
+    )
+    ver = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("vf"), F.lit(100).alias("vt"),
+                    F.lit(0).alias("tf"), F.lit(1000000).alias("tt"),
+                    F.col("cents").alias("bal"),
+                ),
+                F.struct(
+                    F.lit(100).alias("vf"), F.lit(1000000).alias("vt"),
+                    F.lit(0).alias("tf"), F.lit(50).alias("tt"),
+                    (F.col("cents") + 500).alias("bal"),
+                ),
+                F.struct(
+                    F.lit(100).alias("vf"), F.lit(1000000).alias("vt"),
+                    F.lit(50).alias("tf"), F.lit(1000000).alias("tt"),
+                    (F.col("cents") + 700).alias("bal"),
+                ),
+            )
+        ).alias("v"),
+    ).select("c_custkey", "c_mktsegment", "v.*")
+    probes = F.broadcast(
+        spark.createDataFrame(
+            [(50, 25), (150, 25), (150, 75), (50, 75)],
+            "probe_v int, probe_t int",
+        )
+    )
+    return (
+        ver.join(
+            probes,
+            (F.col("probe_v") >= F.col("vf"))
+            & (F.col("probe_v") < F.col("vt"))
+            & (F.col("probe_t") >= F.col("tf"))
+            & (F.col("probe_t") < F.col("tt")),
+        )
+        .groupBy("probe_v", "probe_t", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal").alias("bal_cents"),
+        )
+    )

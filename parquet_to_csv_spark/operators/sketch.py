@@ -622,3 +622,72 @@ def bbit_minhash_calibration(
             F.expr("sum(est_milli) div count(*)").alias("mean_est_milli"),
         )
     )
+
+
+def join_size_prediction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E407: sketch-based join-size prediction vs ground truth —
+    the estimate a distributed planner makes BEFORE committing to a
+    shuffle strategy. For each join pair the report carries the
+    textbook uniformity estimate |A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B)
+    with both NDVs from the engine-replayable HLL sketch (E88 math:
+    string-op rho, exact power-of-two register sums), next to the
+    exact join cardinality and the signed error ppm — the table that
+    says where uniformity lies (FK joins: near-exact; skewed/filtered
+    keys: the planner's blind spot, quantified).
+
+    Sketch cost: one pass per side, ≤ 256 register rows per sketch —
+    at 100 TB this is how you size a join without running it."""
+    spec = [
+        ("customer_orders", ("customer", "c_custkey"), ("orders", "o_custkey")),
+        ("orders_lineitem", ("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+        ("part_lineitem", ("part", "p_partkey"), ("lineitem", "l_partkey")),
+    ]
+    keyed = None
+    for jn, left, right in spec:
+        for side, (t, k) in (("l", left), ("r", right)):
+            df = load_table(spark, sf_dir, t).select(
+                F.lit(f"{jn}|{side}").alias("tag"),
+                F.col(k).cast("long").alias("key"),
+            )
+            keyed = df if keyed is None else keyed.unionByName(df)
+    est = _hll_estimate_by_tag(hll_registers_by(keyed, "key", "tag"))
+    counts = keyed.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+    meta = est.join(counts, "tag").select(
+        F.split("tag", "\\|")[0].alias("join_name"),
+        F.split("tag", "\\|")[1].alias("side"),
+        "n",
+        "est",
+    )
+    l = meta.filter(F.col("side") == "l").select(
+        "join_name",
+        F.col("n").alias("n_left"),
+        F.col("est").alias("ndv_left_est"),
+    )
+    r = meta.filter(F.col("side") == "r").select(
+        "join_name",
+        F.col("n").alias("n_right"),
+        F.col("est").alias("ndv_right_est"),
+    )
+    actual = None
+    for jn, (lt, lk), (rt, rk) in spec:
+        a = load_table(spark, sf_dir, lt).select(F.col(lk).alias("k"))
+        b = load_table(spark, sf_dir, rt).select(F.col(rk).alias("k"))
+        row = a.join(b, "k").agg(
+            F.count(F.lit(1)).alias("actual_rows")
+        ).select(F.lit(jn).alias("join_name"), "actual_rows")
+        actual = row if actual is None else actual.unionByName(row)
+    return (
+        l.join(r, "join_name")
+        .join(actual, "join_name")
+        .withColumn(
+            "predicted_rows",
+            F.expr(
+                "cast(floor(cast(n_left as double) * cast(n_right as double)"
+                " / greatest(ndv_left_est, ndv_right_est)) as bigint)"
+            ),
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr("(predicted_rows - actual_rows) * 1000000 div actual_rows"),
+        )
+    )

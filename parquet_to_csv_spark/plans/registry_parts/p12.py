@@ -1140,3 +1140,118 @@ SELECT band_lo_bp,
             AS BIGINT) AS theory_candidate_micro
 FROM pairs GROUP BY 1
 """
+
+# ---------------------------------------------------------------------------
+# E406 — bitemporal as-of join: valid-time x transaction-time probes
+# over a deterministic versioned dim; corrections must not rewrite
+# reports generated before the restatement.
+# ---------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators import rangejoin  # noqa: E402
+
+QUERIES["bitemporal_asof_report"] = rangejoin.bitemporal_asof_report
+ORACLES["bitemporal_asof_report"] = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), ver AS (
+  SELECT c_custkey, c_mktsegment, 0 AS vf, 100 AS vt, 0 AS tf,
+         1000000 AS tt, cents AS bal FROM c
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, 100, 1000000, 0, 50, cents + 500 FROM c
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, 100, 1000000, 50, 1000000, cents + 700 FROM c
+), probes AS (
+  SELECT * FROM (VALUES (50, 25), (150, 25), (150, 75), (50, 75))
+    AS t(probe_v, probe_t)
+)
+SELECT CAST(probe_v AS INTEGER) AS probe_v,
+       CAST(probe_t AS INTEGER) AS probe_t,
+       c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal) AS BIGINT) AS bal_cents
+FROM ver JOIN probes
+  ON probe_v >= vf AND probe_v < vt AND probe_t >= tf AND probe_t < tt
+GROUP BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
+# E407 — sketch-based join-size prediction: the E88 HLL replay per join
+# side (generated SQL, 6 sketches), uniformity estimate vs exact count.
+# ---------------------------------------------------------------------------
+
+from parquet_to_csv_spark.plans.registry_parts.p03 import _sketch  # noqa: E402,F401
+
+
+def _duck_hll_scalar(table: str, key: str) -> str:
+    """Scalar subquery: the E88 HLL estimate for ``key`` of ``table``."""
+    return f"""(
+WITH hh AS (
+  SELECT (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS bucket,
+         ltrim(substring(h, 3, 15), '0') AS t
+  FROM (SELECT md5(CAST({key} AS VARCHAR)) AS h FROM {table})
+), r AS (
+  SELECT bucket,
+         CASE WHEN t = '' THEN 61
+              ELSE (15 - length(t)) * 4 +
+                   CASE WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 8 THEN 1
+                        WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 4 THEN 2
+                        WHEN (instr('0123456789abcdef', substring(t, 1, 1)) - 1) >= 2 THEN 3
+                        ELSE 4 END
+         END AS rho
+  FROM hh
+), regs AS (
+  SELECT bucket, max(rho) AS m FROM r GROUP BY bucket
+), acc AS (
+  SELECT count(*) AS n_present,
+         sum(1::BIGINT << CAST(61 - m AS INTEGER)) AS s_present
+  FROM regs
+), s AS (
+  SELECT (256 - n_present) AS n_zero,
+         CAST(s_present + (256 - n_present)::HUGEINT
+              * 2305843009213693952::HUGEINT AS DOUBLE) AS s_total
+  FROM acc
+), e AS (
+  SELECT n_zero,
+         (0.7213 / (1 + 1.079 / 256.0)) * 65536.0
+           * 2305843009213693952.0 / s_total AS raw
+  FROM s
+)
+SELECT round(CASE WHEN raw <= 640.0 AND n_zero > 0
+                  THEN 256.0 * ln(256.0 / n_zero)
+                  ELSE raw END, 2) FROM e)"""
+
+
+_JOIN_SPEC = [
+    ("customer_orders", ("customer", "c_custkey"), ("orders", "o_custkey")),
+    ("orders_lineitem", ("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+    ("part_lineitem", ("part", "p_partkey"), ("lineitem", "l_partkey")),
+]
+
+_JOIN_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT '{jn}' AS join_name,
+       CAST((SELECT count(*) FROM {lt}) AS BIGINT) AS n_left,
+       CAST((SELECT count(*) FROM {rt}) AS BIGINT) AS n_right,
+       {_duck_hll_scalar(lt, lk)} AS ndv_left_est,
+       {_duck_hll_scalar(rt, rk)} AS ndv_right_est,
+       CAST((SELECT count(*) FROM {lt} a JOIN {rt} b ON a.{lk} = b.{rk})
+            AS BIGINT) AS actual_rows"""
+    for jn, (lt, lk), (rt, rk) in _JOIN_SPEC
+)
+
+QUERIES["join_size_prediction_report"] = _sketch.join_size_prediction_report
+ORACLES["join_size_prediction_report"] = f"""
+WITH base AS (
+{_JOIN_ROWS}
+)
+SELECT join_name, n_left, n_right, ndv_left_est, ndv_right_est, actual_rows,
+       CAST(floor(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                  / greatest(ndv_left_est, ndv_right_est)) AS BIGINT)
+         AS predicted_rows,
+       CAST((CAST(floor(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                  / greatest(ndv_left_est, ndv_right_est)) AS BIGINT)
+             - actual_rows) * 1000000 // actual_rows AS BIGINT) AS err_ppm
+FROM base
+"""

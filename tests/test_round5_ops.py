@@ -94,3 +94,78 @@ def test_backpressure_drain_splits_batches(spark, sf_dir):
     }
     got = {r["event_type"]: (r["n_events"], r["value_cents"]) for r in rows}
     assert got == want
+
+
+def test_clustering_depth_layouts_differ(spark, sf_dir):
+    from parquet_to_csv_spark.sources.layout import clustering_depth_report
+
+    rows = {r["layout"]: r for r in clustering_depth_report(spark, sf_dir).collect()}
+    dr, hi = rows["date_range"], rows["hash_ingest"]
+    # hash layout: most files span most of the domain (at tiny sf some
+    # files are sparse, so not exactly n_files deep — but close)
+    assert hi["avg_overlap_milli"] > 10000
+    # date-range layout is near-disjoint: depth ~1, real skipping
+    assert dr["avg_overlap_milli"] < 2000 and dr["max_overlap"] <= 2
+    assert dr["skip_ppm"] > 800000 > hi["skip_ppm"]
+
+
+def test_ivm_equals_recompute(spark, sf_dir):
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+    from parquet_to_csv_spark.operators.relational import (
+        incremental_view_maintenance,
+        load_table,
+    )
+
+    got = {
+        r["event_type"]: (r["n_events"], r["value_cents"])
+        for r in incremental_view_maintenance(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as long)").alias("cents"),
+        md5_bucket(F.col("event_id"), 100).alias("b"),
+    )
+    final = ev.filter(
+        (F.col("b") >= 80) | ((F.col("b") < 80) & (F.col("b") % 7 != 0))
+    ).select(
+        "event_type",
+        F.when(
+            (F.col("b") < 80) & (F.col("b") % 7 == 1), F.col("cents") + 1000
+        ).otherwise(F.col("cents")).alias("cents"),
+    )
+    want = {
+        r["event_type"]: (r["n"], r["c"])
+        for r in final.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_bitemporal_restatement_preserves_history(spark, sf_dir):
+    from parquet_to_csv_spark.operators.rangejoin import bitemporal_asof_report
+
+    rows = bitemporal_asof_report(spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault((r["probe_v"], r["probe_t"]), {})[
+            r["c_mktsegment"]
+        ] = (r["n_customers"], r["bal_cents"])
+    # history (valid 50) identical before and after the tx-50 restatement
+    assert by_probe[(50, 25)] == by_probe[(50, 75)]
+    # the restated period differs: +200 cents per customer at T=75
+    for seg, (n, bal) in by_probe[(150, 25)].items():
+        n2, bal2 = by_probe[(150, 75)][seg]
+        assert n2 == n and bal2 == bal + 200 * n
+
+
+def test_join_size_prediction_fk_near_exact(spark, sf_dir):
+    from parquet_to_csv_spark.operators.sketch import join_size_prediction_report
+
+    rows = {r["join_name"]: r for r in join_size_prediction_report(spark, sf_dir).collect()}
+    # FK joins with near-uniform fan-out: HLL-based uniformity estimate
+    # must land within a few percent of truth
+    for jn in ("customer_orders", "orders_lineitem", "part_lineitem"):
+        r = rows[jn]
+        assert r["actual_rows"] > 0
+        assert abs(r["err_ppm"]) < 100000, (jn, r["err_ppm"])
