@@ -2887,3 +2887,60 @@ def lsh_operating_point_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("theory_candidate_micro"),
         )
     )
+
+
+def kcore_decomposition(
+    spark: SparkSession, sf_dir: str, ks: tuple = (2, 3)
+) -> DataFrame:
+    """EXT E409: k-core decomposition of the near-dup graph — the
+    density tier the flat cluster relation can't express: a k-core is
+    the maximal subgraph where EVERY member has ≥ k in-core neighbors,
+    the standard "dense duplication nucleus" detector (template farms,
+    mirror rings) vs incidental pairwise matches.
+
+    Peeling to FIXPOINT per k: drop nodes with degree < k, recompute
+    degrees over the induced subgraph, repeat until stable (each round
+    one groupBy + two semi-joins on the edge relation, lineage-cut; at
+    100 TB rounds are O(log) on real graphs and every step is
+    edge-partitioned — no vertex ever collects its neighborhood). The
+    oracle unrolls the same peeling a fixed 6 rounds and carries an
+    ``n_unstable`` guard column — 0 means its unrolled depth reached
+    the same fixpoint the Spark loop proved, so convergence itself is
+    gated, not assumed.
+    """
+    pairs = dedup_edges(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    und = _cut_lineage(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+    )
+    out = None
+    for k in ks:
+        e = und
+        n_prev = -1
+        while True:
+            keep = (
+                e.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select("u")
+            )
+            n_now = keep.count()
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+            e = _cut_lineage(
+                e.join(keep, "u", "left_semi").join(
+                    keep.withColumnRenamed("u", "v"), "v", "left_semi"
+                )
+            )
+        row = e.agg(
+            F.lit(k).alias("k"),
+            F.count_distinct("u").alias("n_core_nodes"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"),
+            F.lit(0).cast("long").alias("n_unstable"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

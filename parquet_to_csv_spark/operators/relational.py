@@ -3359,3 +3359,88 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_updated", F.lit(0)).alias("n_updated"),
         )
     )
+
+
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E408: largest-remainder (Hamilton) allocation — the exact
+    penny-splitting rule finance pipelines need: allocate each order's
+    total price across its line items proportionally to quantity, in
+    integer cents, such that the parts sum EXACTLY to the order total
+    (floor every share, then distribute the remaining pennies one each
+    to the largest fractional remainders, ties by line number).
+
+    Naive proportional rounding drifts by ±n/2 cents per order and the
+    books don't balance; this is the standard fix. All arithmetic is
+    integer (shares in cents, remainders in exact numerator units), so
+    the oracle replays it bit-for-bit. Plan shape: one orders⋈lineitem
+    join partitioned on the order key, one per-order window for the
+    remainder ranks — the window grain is the order (bounded fan-out),
+    never global. Output digests per-order allocations corpus-wide so
+    the gate sees every order: total allocation drift must be ZERO.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("qty")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as long)").alias("total_c"),
+    )
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select("l_orderkey", "l_linenumber", "qty", "total_c")
+    sums = j.groupBy("l_orderkey").agg(F.sum("qty").alias("qsum"))
+    base = (
+        j.join(sums, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "total_c",
+            "qsum",
+            "qty",
+            F.expr("total_c * qty div qsum").alias("floor_c"),
+            # remainder numerator (exact integers; comparing these IS
+            # comparing fractional parts at common denominator qsum)
+            F.expr("total_c * qty % qsum").alias("rem_num"),
+        )
+    )
+    # the fixture carries duplicate (orderkey, linenumber) pairs, so
+    # qty joins the tie-break; fully-identical rows are interchangeable
+    # (any assignment yields the same per-order aggregates)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("rem_num"), F.asc("l_linenumber"), F.asc("qty")
+    )
+    alloc = base.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "extra",
+        (
+            F.col("rnk")
+            <= F.col("total_c")
+            - F.sum("floor_c").over(
+                Window.partitionBy("l_orderkey")
+            )
+        ).cast("long"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("floor_c") + F.col("extra")).alias("alloc_c"),
+    )
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_c").alias("alloc_sum"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.max("alloc_c").alias("max_line_c"),
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("alloc_sum") - F.col("total_c")).alias("drift_c"),
+            "n_lines",
+            "max_line_c",
+        )
+        .groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.abs("drift_c")).alias("total_abs_drift_c"),
+            F.sum("max_line_c").alias("sum_max_line_c"),
+        )
+    )

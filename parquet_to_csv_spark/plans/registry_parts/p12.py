@@ -1255,3 +1255,104 @@ SELECT join_name, n_left, n_right, ndv_left_est, ndv_right_est, actual_rows,
              - actual_rows) * 1000000 // actual_rows AS BIGINT) AS err_ppm
 FROM base
 """
+
+# ---------------------------------------------------------------------------
+# E408 — largest-remainder (Hamilton) penny allocation: floor shares +
+# remainder-ranked pennies; books must balance to ZERO drift.
+# ---------------------------------------------------------------------------
+
+QUERIES["largest_remainder_allocation"] = relational.largest_remainder_allocation
+ORACLES["largest_remainder_allocation"] = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), o AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+  FROM orders
+), j AS (
+  SELECT l_orderkey, l_linenumber, qty, total_c
+  FROM li JOIN o ON l_orderkey = o_orderkey
+), s AS (
+  SELECT l_orderkey, CAST(sum(qty) AS BIGINT) AS qsum FROM j GROUP BY 1
+), base AS (
+  SELECT j.l_orderkey, l_linenumber, qty, total_c, qsum,
+         total_c * qty // qsum AS floor_c,
+         total_c * qty % qsum AS rem_num
+  FROM j JOIN s ON j.l_orderkey = s.l_orderkey
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem_num DESC, l_linenumber ASC, qty ASC) AS rnk,
+         sum(floor_c) OVER (PARTITION BY l_orderkey) AS floor_sum
+  FROM base
+), alloc AS (
+  SELECT l_orderkey, l_linenumber,
+         floor_c + CASE WHEN rnk <= total_c - floor_sum THEN 1 ELSE 0 END
+           AS alloc_c
+  FROM ranked
+), per_order AS (
+  SELECT a.l_orderkey,
+         CAST(sum(alloc_c) AS BIGINT) AS alloc_sum,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(max(alloc_c) AS BIGINT) AS max_line_c
+  FROM alloc a GROUP BY 1
+)
+SELECT n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(abs(alloc_sum - total_c)) AS BIGINT) AS total_abs_drift_c,
+       CAST(sum(max_line_c) AS BIGINT) AS sum_max_line_c
+FROM per_order JOIN o ON per_order.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# E409 — k-core decomposition: Spark peels to fixpoint; the oracle
+# unrolls 6 peel rounds (MATERIALIZED — DuckDB re-inlines
+# multiply-referenced CTEs) and gates convergence via n_unstable = 0.
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle_sql(ks=(2, 3), rounds=6) -> str:
+    ctes = [
+        f"""t AS MATERIALIZED (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), p AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+        >= 0.5
+), e0 AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+)"""
+    ]
+    finals = []
+    for k in ks:
+        prev = "e0"
+        for r in range(1, rounds + 1):
+            name = f"k{k}r{r}"
+            ctes.append(
+                f"""{name} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k})
+    AND v IN (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k})
+)"""
+            )
+            prev = name
+        finals.append(
+            f"""SELECT CAST({k} AS INTEGER) AS k,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_core_nodes,
+       CAST(count(*) // 2 AS BIGINT) AS n_core_edges,
+       CAST((SELECT count(*) FROM (
+              SELECT u FROM {prev} GROUP BY u HAVING count(*) < {k}))
+            AS BIGINT) AS n_unstable
+FROM {prev}"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+QUERIES["kcore_decomposition"] = dedup.kcore_decomposition
+ORACLES["kcore_decomposition"] = _kcore_oracle_sql()
