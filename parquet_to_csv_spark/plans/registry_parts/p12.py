@@ -1356,3 +1356,24 @@ FROM {prev}"""
 
 QUERIES["kcore_decomposition"] = dedup.kcore_decomposition
 ORACLES["kcore_decomposition"] = _kcore_oracle_sql()
+
+# ---------------------------------------------------------------------------
+# E410 — append-mode watermark finalization audit (out-of-order files):
+# emitted = windows with end <= ms-floored global max event time - 30 min,
+# exactly once; deep-late rows land because their windows were never
+# finalized (numRowsDroppedByWatermark == 0 pinned in pytest).
+# ---------------------------------------------------------------------------
+
+QUERIES["streaming_latedrop_drain"] = _stream.latedrop_drain_query
+ORACLES["streaming_latedrop_drain"] = """
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS ems FROM events
+), wm AS (
+  SELECT max(ems) - 1800000 AS wm3 FROM ev
+)
+SELECT (ems // 3600000) * 3600000 AS ws_ms, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ev CROSS JOIN wm
+WHERE (ems // 3600000 + 1) * 3600000 <= wm3
+GROUP BY 1, 2
+"""

@@ -888,3 +888,100 @@ def backpressure_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(nb)
     )
+
+
+def _stage_latedrop_dirs(spark: SparkSession, sf_dir: str) -> str:
+    """Three single-file chunks of ``events`` with CONTROLLED
+    modification times so the file stream (latestFirst=false,
+    maxFilesPerTrigger=1) processes middle → old → new:
+
+    - f1 (oldest mtime): the MIDDLE 40-80%% of the ts range — first
+      batch, establishes the watermark;
+    - f2: the OLD 0-40%% — arrives second, i.e. LATE;
+    - f3 (newest mtime): the NEW 80-100%% tail — advances the
+      watermark and flushes surviving windows.
+    """
+    import glob
+    import os
+    import shutil
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    def _write(p: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        bounds = F.broadcast(
+            ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t3"))
+        )
+        cuts = [
+            ("f1", "ts >= t0 + (t3 - t0) * 2 div 5 AND ts < t0 + (t3 - t0) * 4 div 5"),
+            ("f2", "ts < t0 + (t3 - t0) * 2 div 5"),
+            ("f3", "ts >= t0 + (t3 - t0) * 4 div 5"),
+        ]
+        for i, (name, cond) in enumerate(cuts):
+            tmp = os.path.join(p, "_tmp_" + name)
+            (
+                ev.crossJoin(bounds)
+                .filter(F.expr(cond))
+                .drop("t0", "t3")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(p, f"{name}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+
+    return _staged_once(spark, sf_dir, "events", "evlate_", _write)
+
+
+def latedrop_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E410: watermark FINALIZATION audit under out-of-order
+    arrival — every other drain in the suite equals its batch twin
+    because nothing arrives late; this one stages lateness
+    deliberately (middle → old → new micro-batches, one file each,
+    mtime-ordered) and gates what Spark's append mode actually
+    guarantees, measured on this engine build:
+
+    - deep-late rows whose windows were NEVER finalized are accepted
+      into state and emitted when the watermark next passes —
+      ``numRowsDroppedByWatermark`` stays 0 for streaming aggregation
+      here (the drop path belongs to already-evicted state; pytest
+      pins the metric so a semantics change in a Spark upgrade
+      surfaces loudly);
+    - a window is emitted EXACTLY ONCE, when the watermark passes its
+      end (pytest asserts no duplicate append rows);
+    - tail windows whose end exceeds the final watermark
+      (ms-floored global max event time − 30 min) are withheld.
+
+    The oracle replays that finalization rule exactly — windows with
+    end ≤ final watermark, counts over all rows — so any deviation in
+    eviction predicate (≤ vs <), watermark arithmetic (ms flooring,
+    delay subtraction), or file ordering shifts the hash."""
+    import uuid as _uuid
+
+    stage = _stage_latedrop_dirs(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = (
+        with_event_time(stream)
+        .withWatermark("event_time", "30 minutes")
+        .groupBy(
+            F.window("event_time", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("ws_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = "t_latedrop_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(agg, name, spark, output_mode="append")

@@ -169,3 +169,56 @@ def test_join_size_prediction_fk_near_exact(spark, sf_dir):
         r = rows[jn]
         assert r["actual_rows"] > 0
         assert abs(r["err_ppm"]) < 100000, (jn, r["err_ppm"])
+
+
+def test_latedrop_drain_semantics_pinned(spark, sf_dir):
+    """E410: pin the engine's measured append-mode semantics — 4
+    micro-batches in mtime order, ZERO rows dropped by watermark for
+    the never-finalized late windows, no duplicate append emissions,
+    and the tail (end > final watermark) withheld."""
+    import tempfile
+
+    from parquet_to_csv_spark.streaming.stream import (
+        _stage_latedrop_dirs,
+        latedrop_drain_query,
+        with_event_time,
+    )
+
+    rows = latedrop_drain_query(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        k = (r["ws_ms"], r["event_type"])
+        assert k not in seen, f"duplicate append emission {k}"
+        seen.add(k)
+
+    # re-run the raw query with a progress probe for the drop metric
+    stage = _stage_latedrop_dirs(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = (
+        with_event_time(stream)
+        .withWatermark("event_time", "30 minutes")
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .count()
+    )
+    ck = tempfile.mkdtemp()
+    q = (
+        agg.writeStream.foreachBatch(lambda df, bid: df.count())
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == 3  # one per staged file, mtime order
+    for p in progress:
+        for so in p["stateOperators"]:
+            assert so["numRowsDroppedByWatermark"] == 0
