@@ -2506,3 +2506,98 @@ def bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "crit_milli",
         (F.col("rnk") <= F.col("_kstar")).alias("rejected"),
     )
+
+
+# Poisson(1) inverse-CDF cumulative thresholds quantized to the 16-bit
+# md5-bucket domain (the repo's deterministic uniform draw is 16-bit),
+# evaluated once in Python (math.exp) and inlined into BOTH engines —
+# the BH-crit discipline: a u16 draw maps to weight w = #{t <= u}, so
+# resample weights are integer-exact and engine-identical. The 2^-16
+# CDF quantization is a documented bootstrap approximation; P(w > 9)
+# mass is truncated to 9.
+def _poisson1_thresholds_u16(kmax: int = 9) -> list[int]:
+    import math
+
+    cum = 0.0
+    fact = 1.0
+    out = []
+    for k in range(kmax):
+        if k > 0:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        out.append(min(65536, int(math.floor(cum * 65536 + 0.5))))
+    return out
+
+
+def bootstrap_mean_ci(
+    spark: SparkSession, sf_dir: str, n_resamples: int = 32
+) -> DataFrame:
+    """EXT E412: distributed bootstrap confidence interval — the
+    Poisson bootstrap (the only bootstrap that works on a cluster:
+    independent per-row Poisson(1) weights replace the global
+    with-replacement draw, so no resample ever needs the full dataset
+    in one place). Per (mktsegment, resample b): weight each order by
+    the deterministic md5-u16 Poisson draw, mean = exact weighted cent
+    sums with ONE final division; the CI is the 2.5%/97.5% order
+    statistics of the B resample means (a B-row relation per segment —
+    window grain is (segment), bounded by B).
+
+    Everything random is md5-derived and the Poisson inverse-CDF
+    thresholds are Python-evaluated literals, so the oracle replays
+    the full bootstrap bit-for-bit — a CI you can regression-test.
+    """
+    from pyspark.sql import Window
+
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    th = _poisson1_thresholds_u16()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as long)").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    keyed = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "cents", F.col("c_mktsegment").alias("seg"))
+    b = F.broadcast(
+        spark.range(n_resamples).select(F.col("id").cast("int").alias("b"))
+    )
+    u = md5_bucket(
+        F.concat_ws(":", F.col("o_orderkey"), F.col("b")), 65536
+    )
+    w = sum(
+        [(u >= F.lit(t)).cast("long") for t in th], F.lit(0).cast("long")
+    )
+    means = (
+        keyed.join(b)
+        .select("seg", "b", (w * F.col("cents")).alias("wc"), w.alias("w"))
+        .groupBy("seg", "b")
+        .agg(F.sum("wc").alias("swc"), F.sum("w").alias("sw"))
+        .select(
+            "seg",
+            "b",
+            F.expr(
+                "CASE WHEN sw > 0 THEN swc * 100 div sw ELSE 0 END"
+            ).alias("mean_c4"),
+        )
+    )
+    wr = Window.partitionBy("seg").orderBy("mean_c4", "b")
+    ranked = means.withColumn("rnk", F.row_number().over(wr))
+    lo_idx = max(1, int(n_resamples * 0.025))
+    hi_idx = int(round(n_resamples * 0.975))
+    point = keyed.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(cents) * 100 div count(*)").alias("point_mean_c4"),
+    )
+    ci = ranked.groupBy("seg").agg(
+        F.max(F.when(F.col("rnk") == lo_idx, F.col("mean_c4"))).alias(
+            "ci_lo_c4"
+        ),
+        F.max(F.when(F.col("rnk") == hi_idx, F.col("mean_c4"))).alias(
+            "ci_hi_c4"
+        ),
+    )
+    return point.join(ci, "seg")

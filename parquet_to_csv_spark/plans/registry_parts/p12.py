@@ -1377,3 +1377,71 @@ FROM ev CROSS JOIN wm
 WHERE (ems // 3600000 + 1) * 3600000 <= wm3
 GROUP BY 1, 2
 """
+
+# ---------------------------------------------------------------------------
+# E411 — denormalize-once serving table: Spark scans the materialized
+# wide artifact; the oracle recomputes from the NORMALIZED tables, so
+# flattening defects (fan-out dups, dropped rows) shift the hash.
+# ---------------------------------------------------------------------------
+
+QUERIES["denormalized_serving_report"] = _layout2.denormalized_serving_report
+ORACLES["denormalized_serving_report"] = """
+SELECT r_name AS region, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# E412 — Poisson bootstrap CI: 16-bit-quantized inverse-CDF weights
+# (Python-evaluated literals), exact integer resample means, CI = order
+# statistics of the B-row means relation; oracle replays the full
+# bootstrap bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_P1_TH = mlmetrics._poisson1_thresholds_u16()
+_BOOT_U = duck_md5_bucket("o_orderkey || ':' || b", 65536)
+_BOOT_W = " + ".join(f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _P1_TH)
+
+QUERIES["bootstrap_mean_ci"] = mlmetrics.bootstrap_mean_ci
+ORACLES["bootstrap_mean_ci"] = f"""
+WITH keyed AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), rs AS (
+  SELECT o_orderkey, cents, seg, t.b,
+         {_BOOT_U} AS u
+  FROM keyed, unnest(range(0, 32)) AS t(b)
+), wgt AS (
+  SELECT seg, b, cents, ({_BOOT_W}) AS w FROM rs
+), means AS (
+  SELECT seg, b,
+         CAST(CASE WHEN sum(w) > 0
+              THEN sum(w * cents) * 100 // sum(w) ELSE 0 END AS BIGINT)
+           AS mean_c4
+  FROM wgt GROUP BY 1, 2
+), ranked AS (
+  SELECT seg, b, mean_c4,
+         row_number() OVER (PARTITION BY seg ORDER BY mean_c4, b) AS rnk
+  FROM means
+), point AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) * 100 // count(*) AS BIGINT) AS point_mean_c4
+  FROM keyed GROUP BY 1
+), ci AS (
+  SELECT seg,
+         CAST(max(CASE WHEN rnk = 1 THEN mean_c4 END) AS BIGINT) AS ci_lo_c4,
+         CAST(max(CASE WHEN rnk = 31 THEN mean_c4 END) AS BIGINT) AS ci_hi_c4
+  FROM ranked GROUP BY 1
+)
+SELECT point.seg, n_orders, point_mean_c4, ci_lo_c4, ci_hi_c4
+FROM point JOIN ci USING (seg)
+"""

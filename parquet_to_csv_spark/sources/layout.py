@@ -925,3 +925,71 @@ def clustering_depth_report(
             ).alias("skip_ppm"),
         )
     )
+
+
+_WIDE_CACHE: dict[str, str] = {}
+
+
+def denormalized_serving_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E411: denormalize-once / serve-many — the star-schema
+    flattening a 100 TB serving layer does so that per-query joins
+    disappear. The wide table (orders ⋈ customer ⋈ nation ⋈ region,
+    dims broadcast) is MATERIALIZED to parquet once per process
+    (content-salted, the dedup_edges discipline); the report is then a
+    pure scan of the wide artifact — projection pruned to 4 of its
+    columns, zero joins at query time.
+
+    The gate is cross-representation: the DuckDB oracle computes the
+    same numbers from the NORMALIZED tables (three joins), so any
+    flattening defect — dropped rows on the join path, duplicate
+    fan-out, misaligned dim version — shifts the hash. That is exactly
+    the parity a serving-table deployment must re-verify after every
+    rebuild."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    salt = source_salt(sf_dir, "orders")
+    path = _WIDE_CACHE.get(salt)
+    if path is None or not os.path.isdir(path):
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_nationkey"
+        )
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        region = load_table(spark, sf_dir, "region").select(
+            "r_regionkey", "r_name"
+        )
+        wide = (
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            )
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                "o_totalprice",
+                "c_mktsegment",
+                F.col("n_name").alias("nation"),
+                F.col("r_name").alias("region"),
+            )
+        )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="wide_orders_"), f"w_{salt}"
+        )
+        wide.write.mode("overwrite").parquet(path)
+        _WIDE_CACHE[salt] = path
+    w = spark.read.parquet(path)
+    return w.groupBy("region", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as long)")
+        ).alias("rev_cents"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
