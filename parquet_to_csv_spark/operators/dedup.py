@@ -2944,3 +2944,43 @@ def kcore_decomposition(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def golden_record_report(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """EXT E413: golden-record survivorship — the MDM step after
+    clustering: E26 picks a canonical by min-id (stable, arbitrary);
+    production keeps the BEST member and merges cluster-level facts.
+    Survivorship rule here: keep the longest text (ties → min doc_id),
+    and carry the merged evidence a steward needs — member count,
+    distinct sources/langs (a cross-source cluster is a syndication
+    signal, not an ingest bug), total vs kept chars (the mass dedup
+    removes). One partitioned window at cluster grain (bounded by
+    cluster size), aggregates map-side; the oracle recomputes the
+    same survivorship over the recursive-CTE closure."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.length("text").cast("long").alias("len")
+    )
+    members = dup_clusters(spark, sf_dir, threshold).select(
+        "doc_id", "cluster_id"
+    ).join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("len"), F.asc("doc_id")
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    facts = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("len").alias("total_chars"),
+    )
+    survivors = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("len").alias("keep_chars"),
+        F.col("source").alias("keep_source"),
+    )
+    return survivors.join(facts, "cluster_id")

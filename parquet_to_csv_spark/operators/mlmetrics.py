@@ -2601,3 +2601,77 @@ def bootstrap_mean_ci(
         ),
     )
     return point.join(ci, "seg")
+
+
+def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E414: off-policy REPLAY evaluation (Li et al.'s estimator —
+    public) — how a recommendation policy is scored offline before it
+    ships: learn a deterministic target policy on the first half of
+    the log (per context, the arm with the highest historical
+    conversion rate), then REPLAY the second half keeping only rounds
+    where the logged arm equals the policy's choice; the kept rounds'
+    reward rate is an unbiased estimate of the policy's online CVR
+    when logging was uniform.
+
+    Fixture framing: context = 6-hour band, arm = event_type, reward =
+    value ≥ 50.00. Exact ppm integer math end to end (train CVRs,
+    argmax with name tie-break, replay rate, lift vs the logged
+    baseline), so the oracle replays the whole estimator. Plan: two
+    grouped aggregations + one broadcast policy join — the per-context
+    argmax window runs on the (context × arm) relation, never the log
+    grain."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = F.broadcast(
+        ev.agg(
+            (
+                (
+                    F.min(F.expr("ts div 86400000000000"))
+                    + F.max(F.expr("ts div 86400000000000"))
+                )
+                / 2
+            ).cast("long").alias("midday")
+        )
+    )
+    log = ev.join(mid).select(
+        F.expr("cast((ts div 3600000000000) % 24 div 6 as int)").alias("ctx"),
+        F.col("event_type").alias("arm"),
+        (exact_units(F.col("value"), 2) >= 5000).cast("long").alias("reward"),
+        (F.expr("ts div 86400000000000") < F.col("midday")).alias("is_train"),
+    )
+    train = (
+        log.filter("is_train")
+        .groupBy("ctx", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("reward").alias("r"),
+        )
+        .select(
+            "ctx", "arm", F.expr("r * 1000000 div n").alias("cvr_ppm")
+        )
+    )
+    wp = Window.partitionBy("ctx").orderBy(F.desc("cvr_ppm"), F.asc("arm"))
+    policy = F.broadcast(
+        train.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("ctx", F.col("arm").alias("policy_arm"))
+    )
+    ev2 = log.filter(~F.col("is_train")).join(policy, "ctx")
+    return ev2.groupBy("ctx", "policy_arm").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum((F.col("arm") == F.col("policy_arm")).cast("long")).alias(
+            "n_matched"
+        ),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN arm = policy_arm THEN 1 ELSE 0 END) > 0"
+            " THEN sum(CASE WHEN arm = policy_arm THEN reward ELSE 0 END)"
+            " * 1000000 div sum(CASE WHEN arm = policy_arm THEN 1 ELSE 0 END)"
+            " ELSE 0 END"
+        ).alias("replay_cvr_ppm"),
+        F.expr("sum(reward) * 1000000 div count(*)").alias(
+            "baseline_cvr_ppm"
+        ),
+    ).withColumn(
+        "lift_ppm", F.col("replay_cvr_ppm") - F.col("baseline_cvr_ppm")
+    )

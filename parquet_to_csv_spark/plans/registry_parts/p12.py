@@ -1445,3 +1445,87 @@ WITH keyed AS (
 SELECT point.seg, n_orders, point_mean_c4, ci_lo_c4, ci_hi_c4
 FROM point JOIN ci USING (seg)
 """
+
+# ---------------------------------------------------------------------------
+# E413 — golden-record survivorship: longest-text keep + merged
+# cluster facts over the verified closure (composes the dup_clusters
+# oracle as a CTE, the dup_weighted_mixture pattern).
+# ---------------------------------------------------------------------------
+
+QUERIES["golden_record_report"] = dedup.golden_record_report
+ORACLES["golden_record_report"] = f"""
+WITH clusters AS MATERIALIZED (
+{ORACLES["dup_clusters"]}
+), d AS (
+  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS len
+  FROM documents
+), members AS (
+  SELECT c.doc_id, c.cluster_id, d.lang, d.source, d.len
+  FROM clusters c JOIN d USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY len DESC, doc_id ASC) AS rn
+  FROM members
+), facts AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(len) AS BIGINT) AS total_chars
+  FROM members GROUP BY 1
+)
+SELECT r.cluster_id, r.doc_id AS keep_doc_id, r.len AS keep_chars,
+       r.source AS keep_source, f.n_members, f.n_sources, f.n_langs,
+       f.total_chars
+FROM ranked r JOIN facts f USING (cluster_id)
+WHERE r.rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# E414 — off-policy bandit replay: train-half argmax policy, eval-half
+# replay estimator; exact ppm integers end to end.
+# ---------------------------------------------------------------------------
+
+QUERIES["bandit_replay_eval"] = mlmetrics.bandit_replay_eval
+ORACLES["bandit_replay_eval"] = f"""
+WITH ev AS (
+  SELECT (epoch_ms(ts) // 3600000) % 24 // 6 AS ctx,
+         event_type AS arm,
+         CASE WHEN {duck_units("value", 2)} >= 5000 THEN 1 ELSE 0 END
+           AS reward,
+         epoch_ms(ts) // 86400000 AS day
+  FROM events
+), mid AS (
+  SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS midday FROM ev
+), log AS (
+  SELECT ctx, arm, reward, day < midday AS is_train
+  FROM ev CROSS JOIN mid
+), train AS (
+  SELECT ctx, arm,
+         CAST(sum(reward) * 1000000 // count(*) AS BIGINT) AS cvr_ppm
+  FROM log WHERE is_train GROUP BY 1, 2
+), policy AS (
+  SELECT ctx, arm AS policy_arm FROM (
+    SELECT *, row_number() OVER (PARTITION BY ctx
+                                 ORDER BY cvr_ppm DESC, arm ASC) AS rn
+    FROM train
+  ) WHERE rn = 1
+)
+SELECT CAST(l.ctx AS INTEGER) AS ctx, p.policy_arm,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN l.arm = p.policy_arm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(CASE WHEN sum(CASE WHEN l.arm = p.policy_arm THEN 1 ELSE 0 END) > 0
+            THEN sum(CASE WHEN l.arm = p.policy_arm THEN reward ELSE 0 END)
+                 * 1000000 // sum(CASE WHEN l.arm = p.policy_arm THEN 1 ELSE 0 END)
+            ELSE 0 END AS BIGINT) AS replay_cvr_ppm,
+       CAST(sum(reward) * 1000000 // count(*) AS BIGINT) AS baseline_cvr_ppm,
+       CAST(CASE WHEN sum(CASE WHEN l.arm = p.policy_arm THEN 1 ELSE 0 END) > 0
+            THEN sum(CASE WHEN l.arm = p.policy_arm THEN reward ELSE 0 END)
+                 * 1000000 // sum(CASE WHEN l.arm = p.policy_arm THEN 1 ELSE 0 END)
+            ELSE 0 END
+            - sum(reward) * 1000000 // count(*) AS BIGINT) AS lift_ppm
+FROM log l JOIN policy p ON l.ctx = p.ctx
+WHERE NOT l.is_train
+GROUP BY 1, 2
+"""
