@@ -1702,7 +1702,7 @@ def blocking_recall_report(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source"
     )
-    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold, blocked=False)
+    pairs = _unblocked_edges(spark, sf_dir, threshold)
     a = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("la"),
@@ -3013,3 +3013,131 @@ def golden_record_report(
         F.col("source").alias("keep_source"),
     )
     return survivors.join(facts, "cluster_id")
+
+
+_UB_EDGE_CACHE: dict[str, str] = {}
+
+
+def _unblocked_edges(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Write-once/read-many UNBLOCKED near-dup edge artifact at the
+    given threshold — shared by the blocking-recall audit (E399) and
+    the v3 leakage split (E415) so the corpus-wide prefix-filter join
+    is paid once per process, not once per consumer."""
+    import os
+    import tempfile
+
+    from parquet_to_csv_spark.sources.tables import source_salt
+
+    global _EDGE_DIR
+    key = source_salt(sf_dir, "documents") + f"_ub{int(threshold * 10000)}"
+    path = _UB_EDGE_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        if _EDGE_DIR is None:
+            _EDGE_DIR = tempfile.mkdtemp(prefix="dedup_edges_")
+        path = os.path.join(_EDGE_DIR, key)
+        ngram_jaccard_pairs(spark, sf_dir, threshold, blocked=False).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _UB_EDGE_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+def leakage_safe_split_v3(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    val_pct: int = 20,
+) -> DataFrame:
+    """EXT E415: the round-5 audit→fix→re-certify sequel to E396/E397.
+    E399 MEASURED lang×source blocking recall at this corpus's
+    near-dup tier (12,780 ppm at sf0.1 — 2.93 M true pairs cross
+    blocks), which means E397's v2 split units (BLOCKED near-dup CC ∪
+    exact-hash star edges) still let cross-block NEAR duplicates —
+    non-byte-identical rewrites of the same text under a different
+    lang/source label — straddle the train/val boundary. This query
+    quantifies the v2 exposure against the UNBLOCKED truth, then fixes
+    it: v3 units = connected components over UNBLOCKED edges ∪ exact
+    star edges, so no true pair at the threshold can straddle BY
+    CONSTRUCTION; both versions' checks ship in one output (the v2
+    row's violations are the finding, the v3 rows re-certify zero).
+
+    Scale: the unblocked edge relation is the E399 artifact (rare-
+    first prefix-filter join, built once per process); CC is the same
+    min-label/star-contraction machinery as every cluster op.
+    """
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    exact_edges = (
+        hashed.join(
+            hashed.groupBy("h").agg(
+                F.min("doc_id").alias("root"), F.count(F.lit(1)).alias("sz")
+            ),
+            "h",
+        )
+        .filter((F.col("sz") > 1) & (F.col("doc_id") != F.col("root")))
+        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    ub_edges = _unblocked_edges(spark, sf_dir, threshold).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    blocked_edges = dedup_edges(spark, sf_dir, threshold).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+
+    def assign(cc: DataFrame) -> DataFrame:
+        return (
+            docs.select("doc_id")
+            .join(
+                cc.select(F.col("v").alias("doc_id"), "cluster_id"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.when(
+                    md5_bucket(
+                        F.coalesce(F.col("cluster_id"), F.col("doc_id")), 100
+                    )
+                    < val_pct,
+                    F.lit("val"),
+                )
+                .otherwise(F.lit("train"))
+                .alias("split"),
+            )
+        )
+
+    a_v2 = assign(connected_components(blocked_edges.unionByName(exact_edges)))
+    a_v3 = assign(connected_components(ub_edges.unionByName(exact_edges)))
+
+    def straddle(edges: DataFrame, asg: DataFrame, name: str) -> DataFrame:
+        return (
+            edges.join(
+                asg.select(F.col("doc_id").alias("src"), F.col("split").alias("sa")),
+                "src",
+            )
+            .join(
+                asg.select(F.col("doc_id").alias("dst"), F.col("split").alias("sb")),
+                "dst",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.coalesce(
+                    F.sum((F.col("sa") != F.col("sb")).cast("long")), F.lit(0)
+                ).alias("n_violations"),
+            )
+            .select(F.lit(name).alias("check"), "n_checked", "n_violations")
+        )
+
+    return (
+        straddle(ub_edges, a_v2, "v2_unblocked_near_dup_straddle")
+        .unionByName(straddle(ub_edges, a_v3, "v3_unblocked_near_dup_straddle"))
+        .unionByName(straddle(exact_edges, a_v3, "v3_exact_dup_straddle"))
+        .select(
+            "check",
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )

@@ -1529,3 +1529,88 @@ FROM log l JOIN policy p ON l.ctx = p.ctx
 WHERE NOT l.is_train
 GROUP BY 1, 2
 """
+
+# ---------------------------------------------------------------------------
+# E415 — leakage-safe split v3: E399's measured blocking gap applied to
+# the E397 certificate — v2 units straddle under the UNBLOCKED truth
+# (the finding, 7,484/30,328 pairs at sf0.01); v3 units = CC over
+# unblocked ∪ exact star edges re-certify zero. Oracle replays both
+# closures recursively (per-level DISTINCT via UNION — clique graphs).
+# ---------------------------------------------------------------------------
+
+QUERIES["leakage_safe_split_v3"] = dedup.leakage_safe_split_v3
+ORACLES["leakage_safe_split_v3"] = f"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), up AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN a.lang = b.lang AND a.source = b.source
+              THEN 1 ELSE 0 END AS same_block
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+        >= 0.8
+), ex AS MATERIALIZED (
+  SELECT r.root AS src, d.doc_id AS dst
+  FROM (SELECT md5(text) AS h, doc_id FROM documents) d
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS root, count(*) AS c
+        FROM documents GROUP BY 1) r USING (h)
+  WHERE r.c > 1 AND d.doc_id <> r.root
+), e2 AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS w FROM up WHERE same_block = 1
+  UNION SELECT doc_b, doc_a FROM up WHERE same_block = 1
+  UNION SELECT src, dst FROM ex
+  UNION SELECT dst, src FROM ex
+), e3 AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS w FROM up
+  UNION SELECT doc_b, doc_a FROM up
+  UNION SELECT src, dst FROM ex
+  UNION SELECT dst, src FROM ex
+), cc2(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e2)
+  UNION
+  SELECT e2.u, cc2.l FROM e2 JOIN cc2 ON cc2.v = e2.w
+), cc3(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e3)
+  UNION
+  SELECT e3.u, cc3.l FROM e3 JOIN cc3 ON cc3.v = e3.w
+), lab2 AS MATERIALIZED (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM cc2 GROUP BY v
+), lab3 AS MATERIALIZED (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM cc3 GROUP BY v
+), asg2 AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN {duck_md5_bucket("coalesce(l.cluster_id, d.doc_id)", 100)}
+              < 20 THEN 'val' ELSE 'train' END AS split
+  FROM documents d LEFT JOIN lab2 l USING (doc_id)
+), asg3 AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN {duck_md5_bucket("coalesce(l.cluster_id, d.doc_id)", 100)}
+              < 20 THEN 'val' ELSE 'train' END AS split
+  FROM documents d LEFT JOIN lab3 l USING (doc_id)
+)
+SELECT 'v2_unblocked_near_dup_straddle' AS check,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violations,
+       coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) = 0
+         AS passed
+FROM up JOIN asg2 sa ON up.doc_a = sa.doc_id
+        JOIN asg2 sb ON up.doc_b = sb.doc_id
+UNION ALL
+SELECT 'v3_unblocked_near_dup_straddle',
+       CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+       coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) = 0
+FROM up JOIN asg3 sa ON up.doc_a = sa.doc_id
+        JOIN asg3 sb ON up.doc_b = sb.doc_id
+UNION ALL
+SELECT 'v3_exact_dup_straddle',
+       CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+       coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) = 0
+FROM ex JOIN asg3 sa ON ex.src = sa.doc_id
+        JOIN asg3 sb ON ex.dst = sb.doc_id
+"""
