@@ -3141,3 +3141,56 @@ def leakage_safe_split_v3(
             (F.col("n_violations") == 0).alias("passed"),
         )
     )
+
+
+def dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str, thresholds: tuple = (0.5, 0.65, 0.8)
+) -> DataFrame:
+    """EXT E416: dedup ROI curve — what each Jaccard threshold would
+    remove, measured, so the threshold is a decision instead of a
+    default. Per threshold: true pair count, docs touched, clusters,
+    and the token mass a keep-one-per-cluster policy deletes. All
+    thresholds FILTER the one materialized floor-0.5 edge artifact
+    (edges at a higher threshold are a subset — the family's
+    build-once design), so the sweep costs one CC per threshold over a
+    shrinking edge set, never a rebuild.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("nt")
+    )
+    out = None
+    for t in thresholds:
+        pairs = dedup_edges(spark, sf_dir, t).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        cc = connected_components(pairs)
+        members = cc.select(F.col("v").alias("doc_id"), "cluster_id").join(
+            docs, "doc_id"
+        )
+        row = (
+            members.agg(
+                F.count(F.lit(1)).alias("n_docs_touched"),
+                F.count_distinct("cluster_id").alias("n_clusters"),
+                F.sum("nt").alias("_toks_all"),
+                F.sum(
+                    F.when(F.col("doc_id") == F.col("cluster_id"), F.col("nt"))
+                    .otherwise(0)
+                ).alias("_toks_kept"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+                )
+            )
+            .select(
+                F.lit(int(round(t * 100))).cast("int").alias("threshold_pct"),
+                "n_pairs",
+                "n_docs_touched",
+                "n_clusters",
+                (F.col("_toks_all") - F.col("_toks_kept")).alias(
+                    "tokens_removable"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1614,3 +1614,66 @@ SELECT 'v3_exact_dup_straddle',
 FROM ex JOIN asg3 sa ON ex.src = sa.doc_id
         JOIN asg3 sb ON ex.dst = sb.doc_id
 """
+
+# ---------------------------------------------------------------------------
+# E416 — dedup ROI threshold sweep: one blocked pair base at the 0.5
+# floor, per-threshold recursive closures + keep-one token mass.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_sweep_oracle(thresholds=(0.5, 0.65, 0.8)) -> str:
+    ctes = [
+        f"""t AS MATERIALIZED (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), dt AS MATERIALIZED (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt FROM documents
+), allp AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                      AS DOUBLE), 4) AS j
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+        >= 0.5
+)"""
+    ]
+    finals = []
+    for t in thresholds:
+        g = int(round(t * 100))
+        ctes.append(
+            f"""p{g} AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM allp WHERE j >= {t}
+), e{g} AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS w FROM p{g}
+  UNION SELECT doc_b, doc_a FROM p{g}
+), cc{g}(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e{g})
+  UNION
+  SELECT e{g}.u, cc{g}.l FROM e{g} JOIN cc{g} ON cc{g}.v = e{g}.w
+), mem{g} AS MATERIALIZED (
+  SELECT lab.doc_id, lab.cluster_id, dt.nt
+  FROM (SELECT v AS doc_id, min(l) AS cluster_id FROM cc{g} GROUP BY v) lab
+  JOIN dt USING (doc_id)
+)"""
+        )
+        finals.append(
+            f"""SELECT CAST({g} AS INTEGER) AS threshold_pct,
+       (SELECT CAST(count(*) AS BIGINT) FROM p{g}) AS n_pairs,
+       CAST(count(*) AS BIGINT) AS n_docs_touched,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(nt) - sum(CASE WHEN doc_id = cluster_id THEN nt ELSE 0 END)
+            AS BIGINT) AS tokens_removable
+FROM mem{g}"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
+QUERIES["dedup_threshold_sweep"] = dedup.dedup_threshold_sweep
+ORACLES["dedup_threshold_sweep"] = _dedup_sweep_oracle()
