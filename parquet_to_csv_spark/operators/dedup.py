@@ -2918,24 +2918,24 @@ def lsh_operating_point_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kcore_decomposition(
+def kcore_summary_sweep(
     spark: SparkSession, sf_dir: str, ks: tuple = (2, 3)
 ) -> DataFrame:
-    """EXT E409: k-core decomposition of the near-dup graph — the
-    density tier the flat cluster relation can't express: a k-core is
-    the maximal subgraph where EVERY member has ≥ k in-core neighbors,
-    the standard "dense duplication nucleus" detector (template farms,
-    mirror rings) vs incidental pairwise matches.
+    """EXT E409: multi-k k-core FIXPOINT summary — extends E223's
+    bounded single-k peel (:func:`kcore_decomposition`, 3 rounds at
+    k=2, per-node output) along the two axes a density survey needs:
+    peel to PROVEN fixpoint (loop until the survivor count stops
+    moving, not a fixed round budget) and sweep k, emitting one
+    summary row per k (core size in nodes/edges) — the curve that says
+    how deep the corpus's dense duplication nuclei go.
 
-    Peeling to FIXPOINT per k: drop nodes with degree < k, recompute
-    degrees over the induced subgraph, repeat until stable (each round
-    one groupBy + two semi-joins on the edge relation, lineage-cut; at
-    100 TB rounds are O(log) on real graphs and every step is
-    edge-partitioned — no vertex ever collects its neighborhood). The
-    oracle unrolls the same peeling a fixed 6 rounds and carries an
-    ``n_unstable`` guard column — 0 means its unrolled depth reached
-    the same fixpoint the Spark loop proved, so convergence itself is
-    gated, not assumed.
+    Each round is one groupBy + two semi-joins on the (shrinking) edge
+    relation, lineage-cut; at 100 TB rounds are O(log) on real graphs
+    and every step is edge-partitioned — no vertex ever collects its
+    neighborhood. The oracle unrolls the same peeling a fixed 6 rounds
+    and carries an ``n_unstable`` guard column — 0 means its unrolled
+    depth reached the same fixpoint the Spark loop proved, so
+    convergence itself is gated, not assumed.
     """
     pairs = dedup_edges(spark, sf_dir, 0.5).select("doc_a", "doc_b")
     und = _cut_lineage(

@@ -1306,7 +1306,8 @@ GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
-# E409 — k-core decomposition: Spark peels to fixpoint; the oracle
+# E409 — multi-k k-core fixpoint summary (extends E223): Spark peels
+# to proven fixpoint per k; the oracle
 # unrolls 6 peel rounds (MATERIALIZED — DuckDB re-inlines
 # multiply-referenced CTEs) and gates convergence via n_unstable = 0.
 # ---------------------------------------------------------------------------
@@ -1354,8 +1355,8 @@ FROM {prev}"""
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
 
 
-QUERIES["kcore_decomposition"] = dedup.kcore_decomposition
-ORACLES["kcore_decomposition"] = _kcore_oracle_sql()
+QUERIES["kcore_summary_sweep"] = dedup.kcore_summary_sweep
+ORACLES["kcore_summary_sweep"] = _kcore_oracle_sql()
 
 # ---------------------------------------------------------------------------
 # E410 — append-mode watermark finalization audit (out-of-order files):
