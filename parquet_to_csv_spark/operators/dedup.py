@@ -90,6 +90,56 @@ def _distinct_tokens(df: DataFrame) -> DataFrame:
     )
 
 
+_TOKEN_BASE_CACHE: dict[str, str] = {}
+
+
+def _token_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once/read-many RARE-FIRST token-set base for every prefix-
+    filter consumer: (doc_id, lang, source, toks ordered by ascending
+    global df then token, sz). Built once per process per corpus salt
+    (one df groupBy + one explode/join/collect), then every blocked or
+    unblocked build at any threshold is a parquet scan — the bench
+    previously paid the reorder 2-3×."""
+    import os
+    import tempfile
+
+    from parquet_to_csv_spark.sources.tables import source_salt
+
+    global _EDGE_DIR
+    key = source_salt(sf_dir, "documents") + "_tokbase"
+    path = _TOKEN_BASE_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        toks = _distinct_tokens(load_table(spark, sf_dir, "documents"))
+        df_tbl = (
+            toks.select(F.explode("toks").alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        base = (
+            toks.select(
+                "doc_id", "lang", "source", F.explode("toks").alias("t")
+            )
+            .join(df_tbl, "t")
+            .groupBy("doc_id", "lang", "source")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st")
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.expr("transform(st, x -> x.t)").alias("toks"),
+                F.size("st").alias("sz"),
+            )
+        )
+        if _EDGE_DIR is None:
+            _EDGE_DIR = tempfile.mkdtemp(prefix="dedup_edges_")
+        path = os.path.join(_EDGE_DIR, key)
+        base.write.mode("overwrite").parquet(path)
+        _TOKEN_BASE_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # Materialized edge relation (round-3): the graph/report family
 # (dup_clusters, taint closure, novelty, cluster sizes, canonical gap,
@@ -214,30 +264,7 @@ def ngram_jaccard_pairs(
     groupBy), the reorder one explode+join+collect per build, both
     amortized behind ``_materialize_once``.
     """
-    toks = _distinct_tokens(load_table(spark, sf_dir, "documents"))
-    df_tbl = (
-        toks.select(F.explode("toks").alias("t"))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    base = (
-        toks.select(
-            "doc_id", "lang", "source", F.explode("toks").alias("t")
-        )
-        .join(df_tbl, "t")
-        .groupBy("doc_id", "lang", "source")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st")
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.expr("transform(st, x -> x.t)").alias("toks"),
-            F.size("st").alias("sz"),
-        )
-    )
-    base = _materialize_once(base)
+    base = _token_base(spark, sf_dir)
 
     plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     pref = base.select(
