@@ -3221,3 +3221,73 @@ def dedup_threshold_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def paraphrase_contamination_report(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    benchmark_source: str = "src0",
+) -> DataFrame:
+    """EXT E417: PARAPHRASE-level benchmark contamination — the tier
+    E27's shared-n-gram probe cannot see (a reworded leak shares few
+    exact 5-grams but keeps a high token-set Jaccard) and the blocked
+    joins structurally cannot reach (a benchmark doc leaked under a
+    training source label is BY DEFINITION cross-block). Rides the
+    already-built unblocked edge artifact (E399/E415 — marginal cost
+    is one scan), so the expensive corpus-wide join is paid once per
+    process and this report is nearly free.
+
+    Per training source: contaminated-pair count vs the benchmark
+    source, distinct benchmark docs reached, distinct training docs
+    implicated — the per-source action list a decontamination pass
+    works through."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _unblocked_edges(spark, sf_dir, threshold)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    cross = j.filter(
+        (F.col("sa") == benchmark_source) != (F.col("sb") == benchmark_source)
+    ).select(
+        F.when(F.col("sa") == benchmark_source, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("bench_doc"),
+        F.when(F.col("sa") == benchmark_source, F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("train_doc"),
+        F.when(F.col("sa") == benchmark_source, F.col("sb"))
+        .otherwise(F.col("sa"))
+        .alias("train_source"),
+    )
+    return cross.groupBy("train_source").agg(
+        F.count(F.lit(1)).alias("n_contaminated_pairs"),
+        F.count_distinct("bench_doc").alias("n_bench_docs_reached"),
+        F.count_distinct("train_doc").alias("n_train_docs_implicated"),
+    )
+
+
+def syndication_matrix(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """EXT E418: cross-source syndication matrix — which source pairs
+    share near-duplicate content, the data-sourcing dashboard that
+    decides which feeds are redundant purchases. One scan of the
+    unblocked edge artifact joined to doc metadata; source pairs are
+    canonicalized (least, greatest) so the matrix is upper-triangular
+    including the diagonal (within-source redundancy)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _unblocked_edges(spark, sf_dir, threshold)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    j = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_1"),
+            F.greatest("sa", "sb").alias("source_2"),
+        )
+    )
+    return j.groupBy("source_1", "source_2").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -1678,3 +1678,52 @@ FROM mem{g}"""
 
 QUERIES["dedup_threshold_sweep"] = dedup.dedup_threshold_sweep
 ORACLES["dedup_threshold_sweep"] = _dedup_sweep_oracle()
+
+# ---------------------------------------------------------------------------
+# E417/E418 — riders on the unblocked edge artifact: paraphrase-level
+# benchmark contamination per training source, and the cross-source
+# syndication matrix. Oracles replay the exact unblocked pair base.
+# ---------------------------------------------------------------------------
+
+_UB_PAIR_BASE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+), up AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+        >= 0.8
+), meta AS (
+  SELECT doc_id, source FROM documents
+)"""
+
+QUERIES["paraphrase_contamination_report"] = dedup.paraphrase_contamination_report
+ORACLES["paraphrase_contamination_report"] = f"""{_UB_PAIR_BASE}
+, cross_p AS (
+  SELECT CASE WHEN ma.source = 'src0' THEN up.doc_a ELSE up.doc_b END
+           AS bench_doc,
+         CASE WHEN ma.source = 'src0' THEN up.doc_b ELSE up.doc_a END
+           AS train_doc,
+         CASE WHEN ma.source = 'src0' THEN mb.source ELSE ma.source END
+           AS train_source
+  FROM up JOIN meta ma ON up.doc_a = ma.doc_id
+          JOIN meta mb ON up.doc_b = mb.doc_id
+  WHERE (ma.source = 'src0') <> (mb.source = 'src0')
+)
+SELECT train_source,
+       CAST(count(*) AS BIGINT) AS n_contaminated_pairs,
+       CAST(count(DISTINCT bench_doc) AS BIGINT) AS n_bench_docs_reached,
+       CAST(count(DISTINCT train_doc) AS BIGINT) AS n_train_docs_implicated
+FROM cross_p GROUP BY 1
+"""
+
+QUERIES["syndication_matrix"] = dedup.syndication_matrix
+ORACLES["syndication_matrix"] = f"""{_UB_PAIR_BASE}
+SELECT least(ma.source, mb.source) AS source_1,
+       greatest(ma.source, mb.source) AS source_2,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM up JOIN meta ma ON up.doc_a = ma.doc_id
+        JOIN meta mb ON up.doc_b = mb.doc_id
+GROUP BY 1, 2
+"""
