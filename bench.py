@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from parquet_to_csv_spark.plans.registry import QUERIES  # noqa: E402
-from parquet_to_csv_spark.session import get_spark  # noqa: E402
+from parquet_to_csv_spark.session import get_spark, read_codegen_failures  # noqa: E402
 
 
 def main() -> None:
@@ -40,6 +40,8 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
+    codegen_fallbacks: dict[str, int] = {}
+    cg_off, _ = read_codegen_failures(0)  # skip anything warmup logged
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         try:
@@ -48,6 +50,17 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # codegen-fallback sniffer (round-5 verdict item 4): a Janino
+        # CompileException means this query silently ran interpreted —
+        # correct answer, wrong execution tier. Attribute it here so a
+        # fallback can never ship green again.
+        cg_off, n_cg = read_codegen_failures(cg_off)
+        if n_cg:
+            codegen_fallbacks[name] = n_cg
+            print(
+                f"bench: {name}: {n_cg} whole-stage-codegen compile "
+                "failure(s) — ran interpreted", file=sys.stderr,
+            )
         # drop persisted blocks a query left behind (minhash shingle
         # relation, CC checkpoints) so later queries aren't timed under
         # another query's memory pressure
@@ -98,7 +111,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "codegen_fallback_total": sum(codegen_fallbacks.values()),
     }
+    if codegen_fallbacks:
+        payload["codegen_fallbacks"] = codegen_fallbacks
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json")
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)

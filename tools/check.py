@@ -18,7 +18,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-from parquet_to_csv_spark.session import get_spark  # noqa: E402
+from parquet_to_csv_spark.session import get_spark, read_codegen_failures  # noqa: E402
 from parquet_to_csv_spark.sources.tables import TABLE_NAMES  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
@@ -92,6 +92,7 @@ def main() -> int:
     if first_50:
         qs = dict(list(qs.items())[:50])
     n_fail = 0
+    cg_off, _ = read_codegen_failures(0)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -100,6 +101,18 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        # codegen-fallback sniffer: a CompileException during this query
+        # means Spark silently ran it interpreted. Values may still
+        # match the oracle — that is exactly why this must be a FAIL
+        # here, not a footnote (round-5 verdict item 4).
+        cg_off, n_cg = read_codegen_failures(cg_off)
+        if n_cg:
+            print(
+                f"FAIL {name}: {n_cg} whole-stage-codegen compile "
+                "failure(s) — silent interpreted fallback"
+            )
             n_fail += 1
             continue
         if name not in oracles:
