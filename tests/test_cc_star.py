@@ -84,3 +84,32 @@ def test_conf_flag_parity_on_real_neardup_graph(spark, sf_dir):
     finally:
         spark.conf.unset("spark.graft.ccAlgorithm")
     assert star == base and len(base) > 0
+
+
+def test_auto_shallow_graph_stays_on_minlabel_probe(spark):
+    # two shallow components: the default auto path must converge inside
+    # the min-label probe and never engage star contraction
+    edges = [(0, 1), (1, 2), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["v"]: r["cluster_id"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+    assert dedup.LAST_CC_ROUNDS["algo"] == "auto"
+    assert dedup.LAST_CC_ROUNDS["star"] == 0
+    assert 1 <= dedup.LAST_CC_ROUNDS["minlabel"] <= 8
+
+
+def test_auto_deep_chain_switches_to_star_contraction(spark):
+    # round-6 verdict item 3: a 10k-vertex path graph (diameter 10k)
+    # must NOT pay diameter rounds — the auto probe bails after
+    # ccProbeRounds and star contraction converges in ~log² rounds.
+    n = 10_000
+    df = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels = dedup.connected_components(df).collect()
+    assert len(labels) == n
+    assert all(r["cluster_id"] == 0 for r in labels)
+    assert dedup.LAST_CC_ROUNDS["algo"] == "auto"
+    assert dedup.LAST_CC_ROUNDS["minlabel"] == 8       # probe exhausted
+    assert 1 <= dedup.LAST_CC_ROUNDS["star"] <= 20     # ~log²(10k), not 10k
