@@ -34,6 +34,16 @@ from parquet_to_csv_spark.session import get_spark, read_codegen_failures  # noq
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # fresh artifact root per bench run: shared build-once artifacts
+    # (dedup edge tables, IVF indexes) are put-if-absent across
+    # processes since round 6 — the bench must keep PAYING the first
+    # build so its numbers stay comparable across rounds instead of
+    # silently serving a previous process's build
+    import tempfile
+
+    os.environ.setdefault(
+        "SPARK_GRAFT_ARTIFACT_DIR", tempfile.mkdtemp(prefix="bench_artifacts_")
+    )
     spark = get_spark("bench")
 
     # warmup: touch the biggest table so JVM/codegen startup is excluded

@@ -99,43 +99,48 @@ def _token_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     global df then token, sz). Built once per process per corpus salt
     (one df groupBy + one explode/join/collect), then every blocked or
     unblocked build at any threshold is a parquet scan — the bench
-    previously paid the reorder 2-3×."""
-    import os
-    import tempfile
+    previously paid the reorder 2-3×.
 
+    Round 6: staged through ``layout.claim_artifact`` (put-if-absent
+    DONE-manifest commit) instead of a per-process mkdtemp — two
+    processes share one build, and a builder crash mid-write can never
+    leave a directory a later call would trust."""
+    import os
+
+    from parquet_to_csv_spark.sources.layout import claim_artifact
     from parquet_to_csv_spark.sources.tables import source_salt
 
-    global _EDGE_DIR
-    key = source_salt(sf_dir, "documents") + "_tokbase"
+    key = "tokbase_" + source_salt(sf_dir, "documents")
     path = _TOKEN_BASE_CACHE.get(key)
     if path is None or not os.path.isdir(path):
-        toks = _distinct_tokens(load_table(spark, sf_dir, "documents"))
-        df_tbl = (
-            toks.select(F.explode("toks").alias("t"))
-            .groupBy("t")
-            .agg(F.count(F.lit(1)).alias("df"))
-        )
-        base = (
-            toks.select(
-                "doc_id", "lang", "source", F.explode("toks").alias("t")
+
+        def _build(stage: str) -> None:
+            toks = _distinct_tokens(load_table(spark, sf_dir, "documents"))
+            df_tbl = (
+                toks.select(F.explode("toks").alias("t"))
+                .groupBy("t")
+                .agg(F.count(F.lit(1)).alias("df"))
             )
-            .join(df_tbl, "t")
-            .groupBy("doc_id", "lang", "source")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st")
+            base = (
+                toks.select(
+                    "doc_id", "lang", "source", F.explode("toks").alias("t")
+                )
+                .join(df_tbl, "t")
+                .groupBy("doc_id", "lang", "source")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st")
+                )
+                .select(
+                    "doc_id",
+                    "lang",
+                    "source",
+                    F.expr("transform(st, x -> x.t)").alias("toks"),
+                    F.size("st").alias("sz"),
+                )
             )
-            .select(
-                "doc_id",
-                "lang",
-                "source",
-                F.expr("transform(st, x -> x.t)").alias("toks"),
-                F.size("st").alias("sz"),
-            )
-        )
-        if _EDGE_DIR is None:
-            _EDGE_DIR = tempfile.mkdtemp(prefix="dedup_edges_")
-        path = os.path.join(_EDGE_DIR, key)
-        base.write.mode("overwrite").parquet(path)
+            base.write.parquet(stage)
+
+        path = claim_artifact(spark, key, _build)
         _TOKEN_BASE_CACHE[key] = path
     return spark.read.parquet(path)
 
@@ -156,7 +161,6 @@ def _token_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EDGE_CACHE: dict[tuple[str, int], str] = {}
-_EDGE_DIR: str | None = None
 # lowest Jaccard threshold any consumer in this workload requests —
 # the materialized build happens here so every consumer shares one build
 _BUILD_FLOOR = 0.5
@@ -180,13 +184,14 @@ def dedup_edges(
     sf0.1 vs 0.8 + 0.5 builds ≈ 10 s). A deployment whose consumers
     all sit at 0.8+ would set the floor to 0.8 — it's a knob, not a
     hardcode.
-    """
-    import os
-    import tempfile
 
+    Round 6: the parquet artifact commits through
+    ``layout.claim_artifact`` — shared across processes, atomic DONE
+    manifest, crash-safe (verdict item 5).
+    """
+    from parquet_to_csv_spark.sources.layout import claim_artifact
     from parquet_to_csv_spark.sources.tables import source_salt
 
-    global _EDGE_DIR
     key_t = int(round(threshold * 10000))
     # spark.graft.unblockedEdges=true switches the whole edge family to
     # the high-recall unblocked prefix-filter build (cross-block pairs
@@ -209,12 +214,13 @@ def dedup_edges(
         _, path = max(usable)
     else:
         build_t = min(key_t, int(round(_BUILD_FLOOR * 10000)))
-        if _EDGE_DIR is None:
-            _EDGE_DIR = tempfile.mkdtemp(prefix="dedup_edges_")
-        path = os.path.join(_EDGE_DIR, f"t{build_t}_{salt}")
-        ngram_jaccard_pairs(
-            spark, sf_dir, build_t / 10000.0, blocked=blocked
-        ).write.mode("overwrite").parquet(path)
+
+        def _build(stage: str) -> None:
+            ngram_jaccard_pairs(
+                spark, sf_dir, build_t / 10000.0, blocked=blocked
+            ).write.parquet(stage)
+
+        path = claim_artifact(spark, f"edges_t{build_t}_{salt}", _build)
         _EDGE_CACHE[(salt, build_t)] = path
     return spark.read.parquet(path).filter(F.col("jaccard") >= threshold)
 
@@ -3076,22 +3082,23 @@ def _unblocked_edges(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -
     """Write-once/read-many UNBLOCKED near-dup edge artifact at the
     given threshold — shared by the blocking-recall audit (E399) and
     the v3 leakage split (E415) so the corpus-wide prefix-filter join
-    is paid once per process, not once per consumer."""
+    is paid once (per artifact store — shared across processes since
+    round 6 via ``layout.claim_artifact``), not once per consumer."""
     import os
-    import tempfile
 
+    from parquet_to_csv_spark.sources.layout import claim_artifact
     from parquet_to_csv_spark.sources.tables import source_salt
 
-    global _EDGE_DIR
-    key = source_salt(sf_dir, "documents") + f"_ub{int(threshold * 10000)}"
+    key = f"ubedges_t{int(threshold * 10000)}_" + source_salt(sf_dir, "documents")
     path = _UB_EDGE_CACHE.get(key)
     if path is None or not os.path.isdir(path):
-        if _EDGE_DIR is None:
-            _EDGE_DIR = tempfile.mkdtemp(prefix="dedup_edges_")
-        path = os.path.join(_EDGE_DIR, key)
-        ngram_jaccard_pairs(spark, sf_dir, threshold, blocked=False).write.mode(
-            "overwrite"
-        ).parquet(path)
+
+        def _build(stage: str) -> None:
+            ngram_jaccard_pairs(
+                spark, sf_dir, threshold, blocked=False
+            ).write.parquet(stage)
+
+        path = claim_artifact(spark, key, _build)
         _UB_EDGE_CACHE[key] = path
     return spark.read.parquet(path)
 

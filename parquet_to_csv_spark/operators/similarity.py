@@ -520,7 +520,6 @@ def kmeans_iterations(
 # ---------------------------------------------------------------------------
 
 _IVF_CACHE: dict[tuple[str, int, int], str] = {}
-_IVF_TMP: str | None = None
 
 
 def build_ivf_index(
@@ -605,26 +604,31 @@ def load_ivf_index(
 def _ivf_index_dir(
     spark: SparkSession, sf_dir: str, n_cells: int, n_iter: int
 ) -> str:
-    """Process-level build-once: the registry/bench/check runs share one
-    index build per (sf_dir, n_cells, n_iter), same discipline as
-    ``dedup.dedup_edges``."""
-    import os
-    import tempfile
-
+    """Build-once IVF index: the registry/bench/check runs share one
+    index build per (corpus salt, n_cells, n_iter), same discipline as
+    ``dedup.dedup_edges``. Round 6: committed through
+    ``layout.claim_artifact`` — the whole two-relation index
+    (centroids + assignments) lands in one stage directory and becomes
+    visible atomically via the DONE manifest, so a second process
+    serves the first build and a crash mid-write can never expose a
+    centroids-only index (verdict item 5)."""
+    from parquet_to_csv_spark.sources.layout import claim_artifact
     from parquet_to_csv_spark.sources.tables import source_salt
 
-    global _IVF_TMP
     # content-salted like dedup_edges: rewriting embeddings.parquet
     # mid-process invalidates the cached index; md5 path names are
     # process-stable (Python hash() is salted per process)
     salt = source_salt(sf_dir, "embeddings")
     key = (salt, n_cells, n_iter)
+    import os
+
     path = _IVF_CACHE.get(key)
-    if path is None:
-        if _IVF_TMP is None:
-            _IVF_TMP = tempfile.mkdtemp(prefix="ivf_index_")
-        path = os.path.join(_IVF_TMP, f"c{n_cells}_i{n_iter}_{salt}")
-        build_ivf_index(spark, sf_dir, path, n_cells=n_cells, n_iter=n_iter)
+    if path is None or not os.path.isdir(path):
+
+        def _build(stage: str) -> None:
+            build_ivf_index(spark, sf_dir, stage, n_cells=n_cells, n_iter=n_iter)
+
+        path = claim_artifact(spark, f"ivf_c{n_cells}_i{n_iter}_{salt}", _build)
         _IVF_CACHE[key] = path
     return path
 

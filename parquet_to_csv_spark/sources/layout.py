@@ -308,6 +308,76 @@ def sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Shared build-once artifacts (round-6, verdict item 5): the put-if-
+# absent protocol of the snapshot store, generalized to MULTI-FILE
+# artifact directories (near-dup edge tables, IVF index dirs). The
+# round-5 versions lived in per-process tempfile.mkdtemp roots: two
+# processes each paid the build, and a crash between `mkdir` and the
+# final parquet write could leave a directory a later same-process call
+# trusted. Here:
+#
+# - the artifact root is SHARED across processes
+#   (spark.graft.artifactDir > $SPARK_GRAFT_ARTIFACT_DIR >
+#   /tmp/spark_graft_artifacts) and keys are CONTENT-salted by the
+#   caller (sources.tables.source_salt folds in input mtime+size), so
+#   a second process serves the first one's build instead of repeating
+#   it, and a rewritten input can never be served a stale artifact;
+# - the commit point is one os.link(tmp, DONE.json) — put-if-absent,
+#   atomic on POSIX. A builder that crashes mid-write leaves only an
+#   unreferenced stage-* directory (invisible: readers resolve
+#   DONE.json, never a listing); the race loser deletes its stage and
+#   serves the winner's directory.
+# ---------------------------------------------------------------------------
+
+
+def artifact_root(spark: SparkSession) -> str:
+    """Resolve the shared artifact root (created if missing)."""
+    import os
+
+    root = spark.conf.get(
+        "spark.graft.artifactDir",
+        os.environ.get("SPARK_GRAFT_ARTIFACT_DIR", "/tmp/spark_graft_artifacts"),
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def claim_artifact(spark: SparkSession, key: str, build_to) -> str:
+    """Build-once/serve-many artifact directory for ``key``.
+
+    ``build_to(stage_dir)`` materializes the artifact's files under the
+    given (fresh, writer-private) directory. Returns the directory of
+    the COMMITTED artifact — the caller's stage if it won the race, an
+    earlier/concurrent winner's otherwise. The key must be content-
+    salted by the caller; this function only guarantees atomicity.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    adir = os.path.join(artifact_root(spark), key)
+    done = os.path.join(adir, "DONE.json")
+    if os.path.exists(done):
+        return json.load(open(done))["dir"]
+    os.makedirs(adir, exist_ok=True)
+    stage = os.path.join(adir, f"stage-{uuid.uuid4().hex[:12]}")
+    build_to(stage)
+    tmp = done + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"dir": stage}, f)
+    try:
+        os.link(tmp, done)
+        return stage
+    except FileExistsError:
+        # a racer committed first: serve its build, drop ours
+        shutil.rmtree(stage, ignore_errors=True)
+        return json.load(open(done))["dir"]
+    finally:
+        os.remove(tmp)
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     import os
 

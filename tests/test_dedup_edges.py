@@ -49,10 +49,14 @@ def test_dedup_edges_builds_once_and_superset_serves(spark, sf_dir):
     assert mtime2 == mtime
 
     # a HIGHER threshold is served from the existing build (no new key,
-    # no new directory), values = direct build at that threshold
-    n_dirs_before = len(os.listdir(dedup._EDGE_DIR))
+    # no new artifact committed), values = direct build at that threshold
+    from parquet_to_csv_spark.sources.layout import artifact_root
+
+    root = artifact_root(spark)
+    n_dirs_before = len([d for d in os.listdir(root) if d.startswith("edges_")])
     served = _rows(dedup.dedup_edges(spark, sf_dir, 0.9))
-    assert len(os.listdir(dedup._EDGE_DIR)) == n_dirs_before
+    n_dirs_after = len([d for d in os.listdir(root) if d.startswith("edges_")])
+    assert n_dirs_after == n_dirs_before
     assert (salt, 9000) not in dedup._EDGE_CACHE
     direct = _rows(dedup.ngram_jaccard_pairs(spark, sf_dir, 0.9))
     assert served == direct
