@@ -50,6 +50,23 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
+    # Pre-build the shared rare-first token base as an EXPLICIT, timed
+    # infra entry (round-5 verdict item 6): it is write-once
+    # infrastructure consumed by the whole prefix-filter family, and
+    # letting whichever family member ran first absorb its ~10 s made
+    # per-query numbers incomparable across rounds (8.4 s vs 4.7 s for
+    # ngram_jaccard_pairs was first-payer attribution, not a
+    # regression — warm best-of-3 at sf0.1 is 3.4-4.0 s).
+    try:
+        from parquet_to_csv_spark.operators.dedup import _token_base
+
+        t0 = time.perf_counter()
+        _token_base(spark, sf_dir).count()
+        timings["tokbase_build"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: tokbase_build failed: {type(e).__name__}: {e}", file=sys.stderr)
+        timings["tokbase_build"] = -1.0
+    spark.catalog.clearCache()
     codegen_fallbacks: dict[str, int] = {}
     cg_off, _ = read_codegen_failures(0)  # skip anything warmup logged
     for name, fn in QUERIES.items():
@@ -115,6 +132,25 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Tier split (round-5 verdict item 7): the corpus-wide exact audits
+    # are deliberately expensive — they enumerate/verify EVERY true
+    # pair — and their cost is the product, not overhead. Reporting
+    # them inside one flat total let a hot-path regression hide under
+    # audit noise (and vice versa); BASELINE.md tracks the two
+    # subtotals separately.
+    AUDIT_TIER = {
+        "blocking_recall_report",       # E399: all unblocked true pairs
+        "leakage_release_certificate",  # E396: full-corpus release cert
+        "leakage_safe_split_v2",        # E397: blocked-CC split audit
+        "leakage_safe_split_v3",        # E415: unblocked-CC split audit
+    }
+    audit_sec = round(
+        sum(t for k, t in timings.items() if k in AUDIT_TIER and t >= 0), 3
+    )
+    INFRA_TIER = {"tokbase_build"}
+    infra_sec = round(
+        sum(t for k, t in timings.items() if k in INFRA_TIER and t >= 0), 3
+    )
     payload = {
         "metric": f"total_wall_sec_{len(timings)}_queries",
         "value": total,
@@ -122,6 +158,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "codegen_fallback_total": sum(codegen_fallbacks.values()),
+        "audit_tier_sec": audit_sec,
+        "infra_tier_sec": infra_sec,
+        "hot_tier_sec": round(total - audit_sec - infra_sec, 3),
+        "audit_tier": sorted(AUDIT_TIER & set(timings)),
     }
     if codegen_fallbacks:
         payload["codegen_fallbacks"] = codegen_fallbacks
