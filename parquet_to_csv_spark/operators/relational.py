@@ -3444,3 +3444,72 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("max_line_c").alias("sum_max_line_c"),
         )
     )
+
+
+def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E419: approx_percentile error audit — the percentile twin of
+    E382's approx_count_distinct audit, and the measurement behind
+    every "swap percentile() for approx_percentile at scale" note in
+    this repo. Per l_returnflag over lineitem: the EXACT interpolated
+    p50/p90 (``percentile()``, the semantics the DuckDB oracle replays
+    with quantile_cont) runs next to ``approx_percentile`` at accuracy
+    1 000, and the audit emits the exact values plus in-bound flags on
+    the approx answer's ACTUAL RANK DISPLACEMENT: Greenwald-Khanna
+    guarantees the returned element's rank r satisfies
+    |r − q·n| ≤ n/accuracy, so the flag checks the observed rank
+    interval [count(<x), count(≤x)] against q·n ± (n/accuracy + 1).
+
+    Oracle subtlety (the E382 discipline): DuckDB cannot replay the GK
+    sketch, and doesn't need to — the flags are deterministic
+    engine-side facts (the guarantee is an algorithm invariant, valid
+    under ANY merge order, so partition scrambling cannot flip them);
+    the oracle asserts them as constants and recomputes the exact
+    percentiles. Scale: the sketch is mergeable and O(accuracy·log n)
+    — the 100 TB drop-in wherever the consumer tolerates the published
+    rank error; this audit is how that tolerance gets decided.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("round(percentile(l_extendedprice, 0.5), 2)").alias("p50_exact"),
+        F.expr("round(percentile(l_extendedprice, 0.9), 2)").alias("p90_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("_a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 1000)").alias("_a90"),
+    )
+    ranks = (
+        li.join(
+            F.broadcast(agg.select("l_returnflag", "_a50", "_a90")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("_a50"), 1).otherwise(0)
+            ).alias("r50_lt"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_a50"), 1).otherwise(0)
+            ).alias("r50_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("_a90"), 1).otherwise(0)
+            ).alias("r90_lt"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_a90"), 1).otherwise(0)
+            ).alias("r90_le"),
+        )
+    )
+    slack = F.col("n") / 1000 + 1
+
+    def within(q, lt, le):
+        target = F.lit(q) * F.col("n")
+        return (F.col(le) >= target - slack) & (F.col(lt) <= target + slack)
+
+    return agg.join(ranks, "l_returnflag").select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        "p50_exact",
+        "p90_exact",
+        within(0.5, "r50_lt", "r50_le").alias("p50_within_guarantee"),
+        within(0.9, "r90_lt", "r90_le").alias("p90_within_guarantee"),
+    )

@@ -2940,3 +2940,52 @@ def ivf_index_append_topk(
         nprobe=nprobe,
         index_dir=path,
     )
+
+
+def embedding_contamination_report(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """EXT E422: EMBEDDING-level benchmark contamination — the semantic
+    sibling of the token-based checks (E27 n-gram containment, E417
+    paraphrase shingles): a benchmark item leaks into training data as
+    a TRANSLATION or free rewrite that shares almost no surface tokens
+    but sits next to the original in embedding space. Label-0 vectors
+    play the held-out benchmark suite; every other vector is training
+    corpus. Per training label: corpus size, how many vectors clear
+    the cosine contamination threshold against ANY benchmark item, and
+    the hottest similarity observed (the triage number).
+
+    Scale shape: benchmark suites are small and bounded by definition
+    (thousands of items, not corpus-sized), so the benchmark side is a
+    broadcast and the scan is ONE pass over the training vectors —
+    cost O(corpus × |bench|) multiply-adds with no shuffle on the
+    corpus side; the per-vector max collapses in the same aggregation.
+    The threshold (0.35) sits above this fixture's cross-label p99
+    (~0.29, measured) so the report is selective, not a row dump.
+    """
+    from parquet_to_csv_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("e")
+    )
+    bench = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("e").alias("be")
+    )
+    train = emb.filter(F.col("label") != 0)
+    per_vec = (
+        train.join(F.broadcast(bench))
+        .select(
+            "label",
+            "vec_id",
+            F.round(cosine_similarity(F.col("e"), F.col("be")), 6).alias("cos"),
+        )
+        .groupBy("label", "vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("max_cos") >= threshold, 1).otherwise(0)
+        ).cast("long").alias("n_contaminated"),
+        F.max("max_cos").alias("max_similarity"),
+    )

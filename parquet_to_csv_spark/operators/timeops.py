@@ -3101,3 +3101,65 @@ def median_polish_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual_cents",
         )
     )
+
+
+def sequential_pattern_topk(
+    spark: SparkSession, sf_dir: str, k: int = 15
+) -> DataFrame:
+    """EXT E423: sequential pattern mining — top-k length-3 SUBSEQUENCE
+    patterns (gaps allowed) by distinct-user support, the
+    PrefixSpan-family generalization of E153's CONTIGUOUS trigrams: a
+    user supports pattern a→b→c iff positions pa < pb < pc exist in
+    their event stream, regardless of what happens in between — the
+    shape behavioral-funnel and session-abandonment analyses actually
+    want (users rarely click three steps back-to-back).
+
+    Distributed shape: one windowed position per event, then ONE
+    per-(user, type) reduction to a sorted position array with its
+    min/max — after which support needs NO per-occurrence work:
+    a→b→c is supported iff some pb ∈ pos(b) has min(pos(a)) < pb <
+    max(pos(c)) (any such pb proves pa<pb<pc exists, and none can be
+    missed because min/max are the loosest witnesses). The 3-way
+    self-join is on the COMPRESSED (user × present-type) relation —
+    ≤ |types|³ candidate rows per user, never events³ — and all three
+    legs share one hash partitioning on user_id. The final top-k
+    window ranks a ≤|types|³-row aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    pos = ev.withColumn("rn", F.row_number().over(w))
+    utp = pos.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.sort_array(F.collect_list("rn")).alias("ps"),
+        F.min("rn").alias("minp"),
+        F.max("rn").alias("maxp"),
+    )
+    a, b, c = utp.alias("a"), utp.alias("b"), utp.alias("c")
+    supported = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .join(c, F.col("a.user_id") == F.col("c.user_id"))
+        .filter(
+            F.exists(
+                F.col("b.ps"),
+                lambda p: (p > F.col("a.minp")) & (p < F.col("c.maxp")),
+            )
+        )
+        .groupBy(
+            F.col("a.t").alias("step_1"),
+            F.col("b.t").alias("step_2"),
+            F.col("c.t").alias("step_3"),
+        )
+        .agg(F.count_distinct(F.col("a.user_id")).alias("support"))
+    )
+    wr = W.orderBy(
+        F.col("support").desc(), "step_1", "step_2", "step_3"
+    )
+    return (
+        supported.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("step_1", "step_2", "step_3", "support",
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -1727,3 +1727,91 @@ FROM up JOIN meta ma ON up.doc_a = ma.doc_id
         JOIN meta mb ON up.doc_b = mb.doc_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 6 — E419-E423
+# ---------------------------------------------------------------------------
+
+from parquet_to_csv_spark.plans.registry_parts.p01 import _duck_cos  # noqa: E402
+
+QUERIES["approx_percentile_audit"] = relational.approx_percentile_audit
+# E382 discipline: the guarantee flags are deterministic engine-side
+# invariants (GK rank error <= n/accuracy under ANY merge order), so
+# the oracle asserts them as constants and recomputes the exact side.
+ORACLES["approx_percentile_audit"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
+       TRUE AS p50_within_guarantee,
+       TRUE AS p90_within_guarantee
+FROM lineitem GROUP BY 1
+"""
+
+QUERIES["pipe_syntax_report"] = sqlapi.pipe_syntax_report
+ORACLES["pipe_syntax_report"] = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_returned_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS returned_charge_cents
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY 1
+HAVING count(*) > 10
+"""
+
+QUERIES["statestore_introspection_drain"] = _stream.statestore_introspection_drain
+ORACLES["statestore_introspection_drain"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+QUERIES["embedding_contamination_report"] = similarity.embedding_contamination_report
+ORACLES["embedding_contamination_report"] = f"""
+WITH b AS (
+  SELECT vec_id AS bench_id, embedding AS be FROM embeddings WHERE label = 0
+), t AS (
+  SELECT vec_id, label, embedding AS e FROM embeddings WHERE label <> 0
+), pv AS (
+  SELECT t.label, t.vec_id,
+         max(round({_duck_cos('t.e', 'b.be')}, 6)) AS max_cos
+  FROM t CROSS JOIN b GROUP BY 1, 2
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN max_cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       max(max_cos) AS max_similarity
+FROM pv GROUP BY 1
+"""
+
+QUERIES["sequential_pattern_topk"] = timeops.sequential_pattern_topk
+ORACLES["sequential_pattern_topk"] = """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+), utp AS (
+  SELECT user_id, event_type AS t, list_sort(list(rn)) AS ps,
+         min(rn) AS minp, max(rn) AS maxp
+  FROM e GROUP BY 1, 2
+), supp AS (
+  SELECT a.t AS step_1, b.t AS step_2, c.t AS step_3,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS support
+  FROM utp a
+  JOIN utp b ON a.user_id = b.user_id
+  JOIN utp c ON a.user_id = c.user_id
+  WHERE len(list_filter(b.ps, p -> p > a.minp AND p < c.maxp)) > 0
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (
+           ORDER BY support DESC, step_1, step_2, step_3
+         ) AS rnk
+  FROM supp
+)
+SELECT step_1, step_2, step_3, support, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 15
+"""

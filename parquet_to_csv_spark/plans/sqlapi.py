@@ -194,3 +194,36 @@ def sql_udf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT '5-LOW' AS priority, * FROM monthly_rev('5-LOW')
         """
     )
+
+
+def pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E420: SQL PIPE syntax (Spark 4 ``|>`` operators) — the
+    linear query spelling where each stage reads top-to-bottom
+    (FROM … |> WHERE … |> EXTEND … |> AGGREGATE … |> ORDER BY), the
+    surface SQL:2023's pipe proposal and BigQuery standardized and
+    Spark 4 ships natively. Same parser → same Catalyst plan as the
+    nested spelling — pushdown, partial aggregation and AQE all apply
+    unchanged; this query is the parity witness (its DuckDB oracle is
+    the classical nested form of the identical computation).
+
+    The computation: per ship-year report over RETURNED lineitem rows —
+    filter, derive the discounted charge in exact cents, aggregate per
+    year, post-filter on the aggregate (pipe WHERE after AGGREGATE is
+    the HAVING spelling).
+    """
+    from parquet_to_csv_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_returnflag = 'R'
+        |> EXTEND cast(year(l_shipdate) as int) AS ship_year,
+                  cast(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) as long) AS charge_cents
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_returned_lines,
+                     CAST(sum(charge_cents) AS BIGINT) AS returned_charge_cents
+           GROUP BY ship_year
+        |> WHERE n_returned_lines > 10
+        """
+    )

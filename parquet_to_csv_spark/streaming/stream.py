@@ -985,3 +985,51 @@ def latedrop_drain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "t_latedrop_" + _uuid.uuid4().hex[:8]
     return run_to_memory(agg, name, spark, output_mode="append")
+
+
+def statestore_introspection_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E421: STATE STORE READER — Spark 4's ``statestore`` batch
+    data source turns a streaming query's checkpointed state into a
+    queryable table (key struct, value struct, partition_id). This is
+    the ops surface a production streaming deployment lives on:
+    inspecting what a stateful operator is actually holding — skewed
+    keys, runaway cardinality, stuck sessions — WITHOUT stopping the
+    query or instrumenting its code.
+
+    The drain: a per-event-type streaming count runs availableNow over
+    the staged events into a throwaway sink; the RESULT IS DISCARDED —
+    what this query returns is the aggregation state read back from
+    the checkpoint through the statestore source. The DuckDB oracle is
+    the batch twin (count per type over the same rows), so the gate
+    proves state introspection reconstructs the aggregation exactly.
+
+    Scale: the state source reads the HDFS/RocksDB state files
+    directly, one task per store partition — inspection cost is
+    O(state), never a replay of the stream.
+    """
+    import tempfile
+    import uuid as _uuid
+
+    stage = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ss_introspect_")
+    src = read_event_stream(spark, stage)
+    counts = src.groupBy("event_type").count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("t_ss_sink_" + _uuid.uuid4().hex[:8])
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )

@@ -1,0 +1,132 @@
+"""Round-6 operators E419–E423 — targeted semantics tests
+(the registry oracle gate covers value parity; these pin the claims
+the oracle can't express)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_percentile_guarantee_flags(spark):
+    from parquet_to_csv_spark.operators.relational import approx_percentile_audit
+
+    rows = approx_percentile_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_within_guarantee"] and r["p90_within_guarantee"]
+        assert r["p50_exact"] <= r["p90_exact"]
+
+
+def test_pipe_syntax_equals_nested_spelling(spark):
+    from parquet_to_csv_spark.plans.sqlapi import pipe_syntax_report
+    from parquet_to_csv_spark.sources.tables import register_views
+
+    piped = {tuple(r) for r in pipe_syntax_report(spark, SF_DIR).collect()}
+    register_views(spark, SF_DIR)
+    nested = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT cast(year(l_shipdate) as int) AS ship_year,
+                   CAST(count(*) AS BIGINT) AS n_returned_lines,
+                   CAST(sum(cast(floor(l_extendedprice * (1 - l_discount)
+                        * 100 + 0.5) as long)) AS BIGINT)
+                     AS returned_charge_cents
+            FROM lineitem WHERE l_returnflag = 'R'
+            GROUP BY 1 HAVING count(*) > 10
+            """
+        ).collect()
+    }
+    assert piped == nested and piped
+
+
+def test_statestore_read_matches_batch_counts(spark):
+    from parquet_to_csv_spark.sources.tables import load_table
+    from parquet_to_csv_spark.streaming.stream import (
+        statestore_introspection_drain,
+    )
+
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in statestore_introspection_drain(spark, SF_DIR).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_embedding_contamination_matches_numpy(spark):
+    from parquet_to_csv_spark.operators.similarity import (
+        embedding_contamination_report,
+    )
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    got = {
+        r["label"]: (r["n_vectors"], r["n_contaminated"])
+        for r in embedding_contamination_report(spark, SF_DIR).collect()
+    }
+    pdf = load_table(spark, SF_DIR, "embeddings").toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bench = mat[pdf["label"] == 0]
+    want = {}
+    for lbl in sorted(set(pdf["label"]) - {0}):
+        rows = mat[pdf["label"] == lbl]
+        sims = np.round(rows @ bench.T, 6)
+        mx = sims.max(axis=1)
+        want[lbl] = (len(rows), int((mx >= 0.35).sum()))
+    assert got == want and got
+
+
+def test_sequential_patterns_match_bruteforce(spark):
+    from parquet_to_csv_spark.operators.timeops import sequential_pattern_topk
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    got = {
+        (r["step_1"], r["step_2"], r["step_3"]): r["support"]
+        for r in sequential_pattern_topk(spark, SF_DIR, k=10).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "event_type",
+                F.expr("ts div 1000").alias("us"))
+        .collect()
+    )
+    seqs: dict = {}
+    for r in sorted(ev, key=lambda r: (r["us"], r["event_id"])):
+        seqs.setdefault(r["user_id"], []).append(r["event_type"])
+
+    def supports(seq, pat):
+        i = 0
+        for s in seq:
+            if s == pat[i]:
+                i += 1
+                if i == 3:
+                    return True
+        return False
+
+    from collections import Counter
+
+    types = sorted({r["event_type"] for r in ev})
+    support: Counter = Counter()
+    for seq in seqs.values():
+        for a in types:
+            for b in types:
+                for c in types:
+                    if supports(seq, (a, b, c)):
+                        support[(a, b, c)] += 1
+    for pat, s in got.items():
+        assert support[pat] == s, (pat, s, support[pat])
+    # top-k really is the top: no unreported pattern beats the cutoff
+    if got:
+        cutoff = min(got.values())
+        better = [p for p, s in support.items() if s > cutoff and p not in got]
+        assert not better
