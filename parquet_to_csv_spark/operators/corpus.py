@@ -2853,3 +2853,145 @@ def fim_transform_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(1)
         ).alias("n_conservation_violations"),
     )
+
+
+def doremi_lite_weights(
+    spark: SparkSession, sf_dir: str, n_steps: int = 4
+) -> DataFrame:
+    """EXT E424: DoReMi-style domain mixture reweighting (Xie et al.
+    2023, multiplicative-weights variant) — the operator that decides
+    HOW MUCH of each source a training mixture should sample. Each
+    source's "difficulty" is its mean per-token unigram surprisal
+    under the corpus-global model (the proxy for a reference model's
+    excess loss); ``n_steps`` rounds of multiplicative weights shift
+    probability mass toward high-excess domains, with the per-step
+    renormalization done by the largest-remainder rule (E408) so the
+    weights are EXACT ppm integers summing to 1,000,000 at every step.
+
+    Cross-engine exactness: the only float op is ONE ln of an exact
+    rational per vocabulary token, micro-floored (the repo's standard
+    recipe); everything after — per-source sums, integer-div losses,
+    excess scaling to a 200,000-ppm max gain, the MW products, the
+    floor shares and remainder ranks — is BIGINT arithmetic the DuckDB
+    oracle replays bit for bit (unrolled, MATERIALIZED).
+
+    Scale shape: one explode + vocabulary groupBy for the model, one
+    vocab-sized broadcast join back to occurrences, ONE per-source
+    aggregate; the MW loop then iterates over a |sources|-row relation
+    (window ranks over ≤ dozens of rows). With a trained reference
+    model the surprisal column would come from a Pandas-UDF scorer;
+    the mixture algebra downstream is unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens_col("text").alias("toks")
+    )
+    occ = docs.select("source", F.explode("toks").alias("w"))
+    model = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("t"))
+    scored = model.join(F.broadcast(total)).select(
+        "w",
+        "cnt",
+        F.expr(
+            "cast(floor(ln(cast(t as double) / cnt) * 1000000 + 0.5) as long)"
+        ).alias("s_micro"),
+    )
+    per_src = (
+        occ.join(scored.select("w", "s_micro"), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s_micro").alias("sum_s"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("sum_s div n_tokens").alias("loss_micro"),
+        )
+    )
+    lo = per_src.agg(F.min("loss_micro").alias("lo"))
+    ex = per_src.join(F.broadcast(lo)).select(
+        "source",
+        "n_tokens",
+        "loss_micro",
+        (F.col("loss_micro") - F.col("lo")).alias("excess_micro"),
+    )
+    hi = ex.agg(F.max("excess_micro").alias("hi"))
+    gains = (
+        ex.join(F.broadcast(hi))
+        .select(
+            "source",
+            "n_tokens",
+            "loss_micro",
+            "excess_micro",
+            F.expr(
+                "case when hi > 0 then excess_micro * 200000 div hi "
+                "else 0 end"
+            ).alias("gain_ppm"),
+        )
+        .coalesce(1)
+    )
+    # materialize the |sources|-row relation once: the unrolled MW
+    # steps and the k-count below would otherwise each replay the
+    # corpus scan
+    from parquet_to_csv_spark.operators.dedup import _materialize_once
+
+    gains = _materialize_once(gains)
+    k = gains.count()
+    # uniform start in exact ppm: base + one extra ppm to the first
+    # (1e6 mod k) sources by name — largest remainder of the uniform
+    # fraction itself
+    wname = W.orderBy("source")
+    state = gains.withColumn("rn0", F.row_number().over(wname)).select(
+        "source", "n_tokens", "loss_micro", "excess_micro", "gain_ppm",
+        (
+            F.lit(1000000 // k)
+            + F.when(F.col("rn0") <= 1000000 % k, 1).otherwise(0)
+        ).cast("long").alias("w_ppm"),
+    )
+    from parquet_to_csv_spark.operators.dedup import _cut_lineage
+
+    for _ in range(n_steps):
+        # lineage cut per MW step (the markov/CC discipline): each step
+        # references its predecessor three ways (shares → fl/rem, the
+        # slack aggregate, the remainder-rank window), so an uncut
+        # chain replicates subtrees ~3^steps — measured 511 exchanges
+        # in the audited plan before the cut, ~10 after.
+        raw = state.withColumn(
+            "raw", F.col("w_ppm") * (F.lit(1000000) + F.col("gain_ppm"))
+        )
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        shares = _cut_lineage(
+            raw.join(F.broadcast(tot))
+            .select(
+                "source", "n_tokens", "loss_micro", "excess_micro",
+                "gain_ppm",
+                F.expr("raw * 1000000 div tot").alias("fl"),
+                F.expr("raw * 1000000 % tot").alias("rem"),
+            )
+            .coalesce(1)
+        )
+        wrem = W.orderBy(F.desc("rem"), F.asc("source"))
+        short = shares.agg(
+            (F.lit(1000000) - F.sum("fl")).alias("short")
+        )
+        state = (
+            shares.withColumn("rnk", F.row_number().over(wrem))
+            .join(F.broadcast(short))
+            .select(
+                "source", "n_tokens", "loss_micro", "excess_micro",
+                "gain_ppm",
+                (
+                    F.col("fl")
+                    + F.when(F.col("rnk") <= F.col("short"), 1).otherwise(0)
+                ).cast("long").alias("w_ppm"),
+            )
+        )
+    return state.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "loss_micro",
+        "excess_micro",
+        F.col("w_ppm").alias("weight_ppm"),
+    )

@@ -3325,3 +3325,65 @@ def syndication_matrix(
     return j.groupBy("source_1", "source_2").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+def cluster_modularity_report(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """EXT E428: Newman modularity of the dup-cluster partition over
+    the near-dup graph — the one-number answer to "is this clustering
+    real structure or an artifact of the threshold?" that belongs next
+    to every E26/E201 consumer:
+    Q = Σ_c [ e_c/m − (deg_c / 2m)² ] (fraction of edges inside
+    clusters minus the expectation under the degree-preserving null).
+    Near 0 ⇒ the partition is no better than random wiring; CC on a
+    clean near-dup graph should sit high (every edge is intra-cluster
+    by construction, so the report's value is the null-model term —
+    how much of that perfection mere degree structure explains).
+
+    Exactness: e_c, deg_c and m are exact integers off the shared edge
+    artifact; Q is two integer-ratio divisions and one subtract done
+    identically in both engines, micro-floored. One scan + one tiny
+    aggregate — rides ``dedup_edges``, adds no join on the data grain.
+    """
+    edges = dedup_edges(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    labels = connected_components(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).select(F.col("v").alias("doc_id"), "cluster_id")
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+    tagged = edges.join(la, "doc_a").join(lb, "doc_b")
+    m = tagged.count()
+    # degree sums per cluster: each edge contributes 1 to both endpoints
+    deg = (
+        tagged.select(F.col("ca").alias("c"))
+        .unionAll(tagged.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("deg_c"))
+    )
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    per_c = deg.join(intra, "c", "left").select(
+        "c",
+        F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+        "deg_c",
+    )
+    sums = per_c.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("e_c").alias("se"),
+        F.sum(F.col("deg_c") * F.col("deg_c")).alias("sd2"),
+    )
+    # Q from exact integers in one double expression (identical IEEE
+    # shape in the oracle): se/m − sd2/(4m²); all operands < 2^53.
+    q = (
+        F.col("se").cast("double") / F.lit(float(m))
+        - F.col("sd2").cast("double") / F.lit(4.0 * m * m)
+    )
+    return sums.select(
+        F.lit(m).cast("long").alias("m_edges"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.floor(q * 1e6 + F.lit(0.5)).cast("long").alias("modularity_micro"),
+    )

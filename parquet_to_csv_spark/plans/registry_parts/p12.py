@@ -1815,3 +1815,205 @@ WITH e AS (
 SELECT step_1, step_2, step_3, support, CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= 15
 """
+
+
+QUERIES["identifier_parameterized_report"] = sqlapi.identifier_parameterized_report
+ORACLES["identifier_parameterized_report"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders GROUP BY 1
+"""
+
+# E428 — modularity of the dup-cluster partition; pairs + min-label CC
+# replayed exactly as in the dup_clusters oracle, then Q from exact
+# integers in one shared-shape double expression.
+QUERIES["cluster_modularity_report"] = dedup.cluster_modularity_report
+ORACLES["cluster_modularity_report"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM pairs
+), cc(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.l FROM edges e JOIN cc ON cc.v = e.w
+), labels AS MATERIALIZED (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM cc GROUP BY v
+), tagged AS MATERIALIZED (
+  SELECT la.cluster_id AS ca, lb.cluster_id AS cb
+  FROM pairs p
+  JOIN labels la ON p.doc_a = la.doc_id
+  JOIN labels lb ON p.doc_b = lb.doc_id
+), mm AS (
+  SELECT count(*) AS m FROM tagged
+), deg AS (
+  SELECT c, count(*) AS deg_c FROM (
+    SELECT ca AS c FROM tagged UNION ALL SELECT cb AS c FROM tagged
+  ) GROUP BY 1
+), intra AS (
+  SELECT ca AS c, count(*) AS e_c FROM tagged WHERE ca = cb GROUP BY 1
+), per_c AS (
+  SELECT d.c, coalesce(i.e_c, 0) AS e_c, d.deg_c
+  FROM deg d LEFT JOIN intra i USING (c)
+), sums AS (
+  SELECT count(*) AS n_clusters, sum(e_c) AS se, sum(deg_c * deg_c) AS sd2
+  FROM per_c
+)
+SELECT CAST(mm.m AS BIGINT) AS m_edges,
+       CAST(sums.n_clusters AS BIGINT) AS n_clusters,
+       CAST(floor((CAST(sums.se AS DOUBLE) / mm.m
+                   - CAST(sums.sd2 AS DOUBLE)
+                     / (CAST(4 AS DOUBLE) * mm.m * mm.m)) * 1e6
+                  + 0.5) AS BIGINT) AS modularity_micro
+FROM sums, mm
+"""
+
+
+# E427 — RAKE keywords; corpus-defined stopword set (top-15 df), the
+# same window cumsum / integer scoring replayed in DuckDB.
+QUERIES["rake_keywords"] = text.rake_keywords
+ORACLES["rake_keywords"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+         i -> {{'pos': i, 'w': toks[i+1]}})) AS pw
+  FROM t
+), tk AS (
+  SELECT doc_id, (pw).pos AS pos, (pw).w AS w FROM tok
+), stop AS (
+  SELECT w AS sw FROM (
+    SELECT w, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1
+    ORDER BY df DESC, w LIMIT 15
+  )
+), marked AS (
+  SELECT tk.doc_id, tk.pos, tk.w, (stop.sw IS NOT NULL) AS is_stop
+  FROM tk LEFT JOIN stop ON tk.w = stop.sw
+), ph AS (
+  SELECT doc_id, pos, w, is_stop,
+         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM marked
+), phr AS (
+  SELECT doc_id, phrase_id, list(w ORDER BY pos) AS ws, count(*) AS plen
+  FROM ph WHERE NOT is_stop
+  GROUP BY 1, 2
+  HAVING count(*) <= 4
+), member AS (
+  SELECT doc_id, phrase_id, plen,
+         array_to_string(ws, ' ') AS phrase, unnest(ws) AS w
+  FROM phr
+), wscore AS (
+  SELECT w, (1000 * sum(plen)) // count(*) AS wscore_milli
+  FROM member GROUP BY 1
+), occ AS (
+  SELECT m.doc_id, m.phrase_id, m.phrase,
+         sum(ws.wscore_milli) AS occ_score
+  FROM member m JOIN wscore ws USING (w)
+  GROUP BY 1, 2, 3
+), agg AS (
+  SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(max(occ_score) AS BIGINT) AS score_milli
+  FROM occ GROUP BY 1
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score_milli DESC, phrase) AS rnk
+  FROM agg
+)
+SELECT phrase, n_docs, score_milli, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 15
+"""
+
+
+# E426 — position delete vectors: non-error types untouched, error rows
+# deleted positionally then re-appended for value > 2 only.
+QUERIES["position_delete_scan"] = _layout.position_delete_scan
+ORACLES["position_delete_scan"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+FROM events WHERE event_type <> 'error'
+GROUP BY 1
+UNION ALL
+SELECT 'error' AS event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+FROM events WHERE event_type = 'error' AND value > 2.0
+HAVING count(*) > 0
+"""
+
+
+# E424 — DoReMi-lite mixture reweighting: the MW fixed point unrolled
+# (MATERIALIZED per step — DuckDB re-inlines multiply-referenced CTEs
+# otherwise); every step is BIGINT arithmetic, replayed bit for bit.
+def _doremi_oracle(n_steps: int = 4) -> str:
+    head = f"""
+WITH t AS (
+  SELECT source, {_TOKS} AS toks FROM documents
+), occ AS MATERIALIZED (
+  SELECT source, unnest(toks) AS w FROM t
+), model AS MATERIALIZED (
+  SELECT w, count(*) AS cnt FROM occ GROUP BY 1
+), scored AS MATERIALIZED (
+  SELECT w, CAST(floor(ln(CAST((SELECT sum(cnt) FROM model) AS DOUBLE) / cnt)
+                 * 1000000 + 0.5) AS BIGINT) AS s_micro
+  FROM model
+), per_src AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(s_micro) AS BIGINT) AS sum_s
+  FROM occ JOIN scored USING (w) GROUP BY 1
+), base AS MATERIALIZED (
+  SELECT source, n_tokens, CAST(sum_s // n_tokens AS BIGINT) AS loss_micro
+  FROM per_src
+), ex AS MATERIALIZED (
+  SELECT source, n_tokens, loss_micro,
+         loss_micro - (SELECT min(loss_micro) FROM base) AS excess_micro
+  FROM base
+), gains AS MATERIALIZED (
+  SELECT source, n_tokens, loss_micro, excess_micro,
+         CASE WHEN (SELECT max(excess_micro) FROM ex) > 0
+              THEN excess_micro * 200000 // (SELECT max(excess_micro) FROM ex)
+              ELSE 0 END AS gain_ppm
+  FROM ex
+), w0 AS MATERIALIZED (
+  SELECT source, n_tokens, loss_micro, excess_micro, gain_ppm,
+         CAST(1000000 // (SELECT count(*) FROM gains)
+              + CASE WHEN row_number() OVER (ORDER BY source)
+                     <= 1000000 % (SELECT count(*) FROM gains)
+                THEN 1 ELSE 0 END AS BIGINT) AS w_ppm
+  FROM gains
+)"""
+    steps = []
+    for i in range(1, n_steps + 1):
+        p = f"w{i - 1}"
+        steps.append(f""", r{i} AS MATERIALIZED (
+  SELECT *, w_ppm * (1000000 + gain_ppm) AS raw FROM {p}
+), s{i} AS MATERIALIZED (
+  SELECT source, n_tokens, loss_micro, excess_micro, gain_ppm,
+         raw * 1000000 // (SELECT sum(raw) FROM r{i}) AS fl,
+         raw * 1000000 % (SELECT sum(raw) FROM r{i}) AS rem
+  FROM r{i}
+), w{i} AS MATERIALIZED (
+  SELECT source, n_tokens, loss_micro, excess_micro, gain_ppm,
+         CAST(fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                        <= 1000000 - (SELECT sum(fl) FROM s{i})
+                   THEN 1 ELSE 0 END AS BIGINT) AS w_ppm
+  FROM s{i}
+)""")
+    tail = f"""
+SELECT source, n_tokens, loss_micro, excess_micro,
+       CAST(w_ppm AS BIGINT) AS weight_ppm
+FROM w{n_steps}
+"""
+    return head + "".join(steps) + tail
+
+
+QUERIES["doremi_lite_weights"] = corpus.doremi_lite_weights
+ORACLES["doremi_lite_weights"] = _doremi_oracle()

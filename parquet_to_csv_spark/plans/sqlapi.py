@@ -227,3 +227,37 @@ def pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_returned_lines > 10
         """
     )
+
+
+def identifier_parameterized_report(
+    spark: SparkSession, sf_dir: str, table: str = "orders"
+) -> DataFrame:
+    """EXT E425: the ``IDENTIFIER()`` clause — parameterized TABLE
+    NAMES, the half of SQL templating that parameter markers (E393)
+    cannot cover: ``:tbl`` binds values, never identifiers, so
+    dashboards that fan one query over many tables historically
+    string-concatenated the name — the injection hole. IDENTIFIER(
+    :tbl) promotes the bound STRING to an identifier inside the
+    parser: the value can only ever name a relation, never splice
+    query text (``'orders; DROP ...'`` fails to resolve as a name
+    instead of executing).
+
+    The report: per-priority order counts and exact-cent revenue from
+    whichever table the parameter names; Catalyst resolves the
+    identifier before optimization so pushdown/pruning are identical
+    to the literal spelling.
+    """
+    from parquet_to_csv_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cast(floor(o_totalprice * 100 + 0.5) as long))
+                    AS BIGINT) AS rev_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY 1
+        """,
+        args={"tbl": table},
+    )

@@ -451,9 +451,17 @@ def commit_version(
         prev = latest_version(table_dir)
         version = 0 if prev is None else prev + 1
         live: list[str] = []
+        # append must CARRY FORWARD any position delete vectors (E426):
+        # they bind to files that remain live; overwrite drops both the
+        # files and their deletes.
+        carried_dels: list[str] = []
         if mode == "append" and prev is not None:
-            live = json.load(open(_manifest_path(table_dir, prev)))["files"]
+            prev_man = json.load(open(_manifest_path(table_dir, prev)))
+            live = prev_man["files"]
+            carried_dels = prev_man.get("delete_files", [])
         manifest = {"version": version, "mode": mode, "files": live + new_files}
+        if carried_dels:
+            manifest["delete_files"] = carried_dels
         final = _manifest_path(table_dir, version)
         tmp = final + f".tmp-{token}"
         with open(tmp, "w") as f:
@@ -471,23 +479,128 @@ def commit_version(
     )
 
 
+def commit_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    max_attempts: int = 5,
+) -> int:
+    """EXT E426 (write side): row-level DELETE as POSITION DELETE
+    VECTORS — the Iceberg-v2 / Delta-deletion-vector mechanism: data
+    files stay IMMUTABLE; the rows matching ``predicate`` in the
+    current snapshot are identified by (file_path, row_index) through
+    Spark's ``_metadata`` struct and written to a small sidecar
+    parquet; the new manifest lists the same data files plus the
+    accumulated delete files, and the read side anti-joins them out.
+
+    Why this beats copy-on-write at 100 TB: deleting 0.1 % of rows
+    rewrites NOTHING — the sidecar is ∝ deleted rows, the commit is
+    still one atomic put-if-absent manifest link, and time travel to
+    pre-delete versions keeps working because nothing was touched.
+    Later APPENDs are naturally unaffected (their files are not
+    referenced by any earlier delete vector) — position semantics,
+    pinned by the registry query. Compaction (E317) is where deletes
+    eventually get physically applied.
+    """
+    import json
+    import os
+    import uuid
+
+    prev = latest_version(table_dir)
+    if prev is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    from pyspark.sql import functions as F
+
+    man = json.load(open(_manifest_path(table_dir, prev)))
+    files = man["files"]
+    existing_dels = man.get("delete_files", [])
+    base = spark.read.parquet(*files).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+        "*",
+    )
+    if existing_dels:
+        dd = spark.read.parquet(*existing_dels)
+        base = base.join(dd, ["file_path", "row_index"], "left_anti")
+    new_dels = base.filter(predicate).select("file_path", "row_index")
+    del_dir = os.path.join(
+        table_dir, "deletes", f"d{prev + 1}.{uuid.uuid4().hex[:8]}"
+    )
+    new_dels.write.parquet(del_dir)
+    del_files = sorted(
+        os.path.join(del_dir, f)
+        for f in os.listdir(del_dir)
+        if f.endswith(".parquet")
+    )
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    for _ in range(max_attempts):
+        prev2 = latest_version(table_dir)
+        version = prev2 + 1
+        man2 = json.load(open(_manifest_path(table_dir, prev2)))
+        manifest = {
+            "version": version,
+            "mode": "delete",
+            "files": man2["files"],
+            "delete_files": man2.get("delete_files", []) + del_files,
+        }
+        final = _manifest_path(table_dir, version)
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)
+            return version
+        except FileExistsError:
+            continue
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(f"concurrent commit: delete lost races in {table_dir}")
+
+
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """EXT E315 (read side): time travel — read the table EXACTLY as of
     ``version`` (default latest). A snapshot read is a parquet scan of
     the manifest's file list; appends/overwrites committed later are
-    invisible by construction."""
+    invisible by construction. Snapshots carrying position delete
+    vectors (E426) anti-join them out by (file_path, row_index) — the
+    sidecar is ∝ deleted rows and broadcast-sized in any sane layout,
+    so the read stays one scan + one broadcast anti-join."""
     import json
 
     if version is None:
         version = latest_version(table_dir)
     if version is None:
         raise ValueError(f"no snapshots in {table_dir}")
-    files = json.load(open(_manifest_path(table_dir, version)))["files"]
+    man = json.load(open(_manifest_path(table_dir, version)))
+    files = man["files"]
     if not files:
         raise ValueError(f"version {version} has no files")
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*files)
+    del_files = man.get("delete_files", [])
+    if del_files:
+        from pyspark.sql import functions as F
+
+        dels = spark.read.parquet(*del_files)
+        cols = df.columns
+        df = (
+            df.select(
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+                "*",
+            )
+            .join(
+                F.broadcast(dels).withColumnsRenamed(
+                    {"file_path": "__fp", "row_index": "__ri"}
+                ),
+                ["__fp", "__ri"],
+                "left_anti",
+            )
+            .select(*cols)
+        )
+    return df
 
 
 def orphan_files(table_dir: str, keep_versions: int = 1) -> list[str]:
@@ -1062,4 +1175,44 @@ def denormalized_serving_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(floor(o_totalprice * 100 + 0.5) as long)")
         ).alias("rev_cents"),
         F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+def position_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E426 (gate query): the delete-vector lifecycle end to end —
+    commit events as snapshot v0, DELETE the error rows as a position
+    vector (v1, zero data files rewritten), then APPEND the
+    high-value error rows as new files (v2). The final read must show
+    every non-error type untouched and exactly the appended errors
+    visible — proving deletes bind to POSITIONS in the files that
+    existed at delete time, never to values, and never to files
+    committed later. Built once per corpus salt through the shared
+    artifact store; the gate read is a manifest-resolved scan + one
+    broadcast anti-join.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev)
+        commit_deletes(spark, tdir, "event_type = 'error'")
+        commit_version(
+            spark,
+            tdir,
+            ev.filter((F.col("event_type") == "error") & (F.col("value") > 2.0)),
+            mode="append",
+        )
+
+    root = claim_artifact(spark, "posdel_" + source_salt(sf_dir, "events"), _build)
+    final = read_version(spark, os.path.join(root, "tbl"))
+    return final.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("event_id").cast("long").alias("n_distinct_ids"),
     )

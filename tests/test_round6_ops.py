@@ -130,3 +130,120 @@ def test_sequential_patterns_match_bruteforce(spark):
         cutoff = min(got.values())
         better = [p for p, s in support.items() if s > cutoff and p not in got]
         assert not better
+
+
+def test_doremi_weights_exact_ppm_and_monotone(spark):
+    from parquet_to_csv_spark.operators.corpus import doremi_lite_weights
+
+    rows = doremi_lite_weights(spark, SF_DIR).collect()
+    assert sum(r["weight_ppm"] for r in rows) == 1_000_000
+    hardest = max(rows, key=lambda r: r["excess_micro"])
+    easiest = min(rows, key=lambda r: r["excess_micro"])
+    assert hardest["weight_ppm"] >= max(r["weight_ppm"] for r in rows) - 1
+    assert easiest["weight_ppm"] <= hardest["weight_ppm"]
+
+
+def test_position_delete_lifecycle(spark, tmp_path):
+    from parquet_to_csv_spark.sources.layout import (
+        commit_deletes,
+        commit_version,
+        read_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(10)], "id long, tag string"
+    )
+    v0 = commit_version(spark, tdir, df)
+    v1 = commit_deletes(spark, tdir, "tag = 'drop'")
+    assert (v0, v1) == (0, 1)
+    assert read_version(spark, tdir, 1).count() == 5
+    # time travel: pre-delete snapshot untouched
+    assert read_version(spark, tdir, 0).count() == 10
+    # append AFTER the delete: new rows visible even when they would
+    # match the old predicate — position semantics, not value semantics
+    spark_df2 = spark.createDataFrame([(100, "drop"), (101, "keep")],
+                                      "id long, tag string")
+    v2 = commit_version(spark, tdir, spark_df2, mode="append")
+    assert v2 == 2
+    final = read_version(spark, tdir)
+    assert final.count() == 7
+    assert final.filter("tag = 'drop'").count() == 1  # only the appended one
+    # a second delete layers on top of the first
+    commit_deletes(spark, tdir, "id = 1")
+    assert read_version(spark, tdir).count() == 6
+
+
+def test_rake_phrases_contain_no_stopwords(spark):
+    import pyspark.sql.functions as F
+
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+    from parquet_to_csv_spark.operators.text import rake_keywords
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    rows = rake_keywords(spark, SF_DIR).collect()
+    assert rows and all(1 <= len(r["phrase"].split()) <= 4 for r in rows)
+    tok = load_table(spark, SF_DIR, "documents").select(
+        F.explode(tokens_col("text")).alias("w"), "doc_id"
+    )
+    stop = {
+        r["w"]
+        for r in tok.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "w")
+        .limit(15)
+        .collect()
+    }
+    for r in rows:
+        assert not (set(r["phrase"].split()) & stop), r["phrase"]
+    scores = [r["score_milli"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cluster_modularity_matches_python(spark):
+    from parquet_to_csv_spark.operators.dedup import (
+        cluster_modularity_report,
+        connected_components,
+        dedup_edges,
+    )
+    import math
+
+    got = cluster_modularity_report(spark, SF_DIR).collect()[0]
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_edges(spark, SF_DIR, 0.8).collect()
+    ]
+    import pyspark.sql.functions as F  # noqa: F401
+
+    lbl = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    m = len(edges)
+    deg: dict = {}
+    e_c: dict = {}
+    for a, b in edges:
+        ca, cb = lbl[a], lbl[b]
+        deg[ca] = deg.get(ca, 0) + 1
+        deg[cb] = deg.get(cb, 0) + 1
+        if ca == cb:
+            e_c[ca] = e_c.get(ca, 0) + 1
+    se = sum(e_c.values())
+    sd2 = sum(d * d for d in deg.values())
+    q = se / m - sd2 / (4.0 * m * m)
+    assert got["m_edges"] == m
+    assert got["modularity_micro"] == math.floor(q * 1e6 + 0.5)
+
+
+def test_identifier_clause_rejects_injection(spark):
+    import pytest
+    from parquet_to_csv_spark.plans.sqlapi import identifier_parameterized_report
+
+    ok = identifier_parameterized_report(spark, SF_DIR).collect()
+    assert ok
+    with pytest.raises(Exception):
+        identifier_parameterized_report(
+            spark, SF_DIR, table="orders WHERE 1=1; DROP TABLE orders"
+        ).collect()

@@ -64,6 +64,10 @@ _TINY_WINDOWS: dict[str, tuple[int, str]] = {
     "bradley_terry_sources": (1, "|sources| relation (rank over the strength table)"),
     "bh_fdr_screen": (2, "20-cell hypothesis relation (5 types x 4 hour-bands)"),
     "bm25_dedup_topk": (1, "post-TakeOrdered(pool=30) candidate relation"),
+    # round 6
+    "sequential_pattern_topk": (1, "|event types|^3 pattern relation"),
+    "rake_keywords": (1, "phrase-vocabulary aggregate (post word-score join)"),
+    "doremi_lite_weights": (6, "|sources| relation (uniform init + 4 MW renorm ranks + slack)"),
 }
 
 
