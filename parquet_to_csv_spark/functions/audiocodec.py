@@ -1,0 +1,101 @@
+"""Pure-Python WAV (RIFF PCM) audio codec — the audio half of the
+multimodal tier (round 6, E429).
+
+The round-5 boundary said "audio needs librosa/ffmpeg"; that is true
+for COMPRESSED audio (MP3/Opus/AAC), but linear-PCM WAV is a plain
+RIFF container and deserves a real decoder, same as PNG/BMP/JPEG got
+on the image side. This module implements:
+
+- ``encode_wav``: int16 PCM samples (mono or interleaved stereo) → a
+  spec-correct RIFF/WAVE byte stream (fmt + data chunks);
+- ``decode_wav``: a chunk-walking parser (handles unknown/padded
+  ancillary chunks the way real encoders emit them) → (sample_rate,
+  channels, int16 sample array).
+
+Everything is integer-exact, so decoded features (sums, extrema, zero
+crossings) are formula-predictable and DuckDB-oracle-checkable with no
+tolerance. Compressed audio and video remain honest
+``NotImplementedError`` boundaries (``decode_audio``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 samples — shape (n,) mono or (n, channels) — as a
+    PCM RIFF/WAVE byte stream."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    payload = arr.reshape(-1).tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    if len(payload) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE byte stream → (sample_rate, channels, samples)
+    with samples shaped (n, channels) int16. Only PCM (format 1) at 16
+    bits is supported; ancillary chunks are skipped per the RIFF
+    walk rules (word alignment included)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise NotImplementedError("WAVE stream missing fmt/data chunk")
+    audio_format, channels, rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is supported (format={audio_format}, "
+            f"bits={bits}); compressed audio needs native codecs"
+        )
+    arr = np.frombuffer(data, dtype="<i2")
+    n = len(arr) // channels
+    return rate, channels, arr[: n * channels].reshape(n, channels)
+
+
+def sniff_audio(payload: bytes) -> str | None:
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        return "mp3"
+    if payload[:4] == b"OggS":
+        return "ogg"
+    return None
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode WAV (PCM); raise the honest boundary for compressed
+    audio formats, which need native codec libraries."""
+    fmt = sniff_audio(payload)
+    if fmt == "wav":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        f"only PCM WAV has a pure-Python decoder in this container "
+        f"(got {fmt or 'unknown'}); MP3/Ogg/AAC need ffmpeg/librosa"
+    )

@@ -498,3 +498,70 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str, n_images: int = 16)
             )
 
     return spark.range(n_images).mapInPandas(_gen, DECODE_GATE_SCHEMA)
+
+
+AUDIO_GATE_SCHEMA = (
+    "clip_id long, channels int, sample_rate int, n_samples long, "
+    "sum_abs long, max_abs long, n_zero_cross long"
+)
+
+
+def multimodal_audio_decode(
+    spark: SparkSession, sf_dir: str, n_clips: int = 16
+) -> DataFrame:
+    """EXT E429: gate query for the REAL audio-decode path — the audio
+    twin of E309/E343/E400. Per clip, a deterministic square wave
+    (amplitude 500·(id+1), half-period 2+id%5, length 400·(1+id%4),
+    mono for even ids / interleaved stereo with an inverted right
+    channel for odd ids) is ENCODED to RIFF/WAVE PCM bytes inside the
+    plan, parsed back through the chunk-walking WAV decoder
+    (``functions/audiocodec.py`` — real RIFF parsing: fmt/data chunk
+    walk, word alignment, PCM validation), and reduced to exact
+    integer features: sample counts, Σ|s|, max|s|, zero crossings.
+
+    The DuckDB oracle regenerates the waveforms from the same formula
+    set-wise, never touching a byte — any parser defect (chunk stride,
+    channel de-interleave, sample width, truncation) shifts an integer
+    and fails the hash. Compressed audio (MP3/Ogg) remains the honest
+    ``NotImplementedError`` boundary (SURVEY §2.7).
+
+    Scale shape: stateless ``mapInPandas`` over ``spark.range`` —
+    embarrassingly parallel, no shuffle; this is exactly how a real
+    100 TB audio corpus would fan a decode+featurize pass.
+    """
+    import numpy as np
+
+    from parquet_to_csv_spark.functions import audiocodec as ac
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "clip_id", "channels", "sample_rate", "n_samples",
+                "sum_abs", "max_abs", "n_zero_cross",
+            )}
+            for cid in pdf["id"]:
+                cid = int(cid)
+                amp = 500 * (cid + 1)
+                half = 2 + cid % 5
+                n = 400 * (1 + cid % 4)
+                rate = 8000 + 1000 * (cid % 3)
+                t = np.arange(n)
+                mono = np.where((t // half) % 2 == 0, amp, -amp).astype(np.int16)
+                stereo = cid % 2 == 1
+                samples = np.stack([mono, -mono], axis=1) if stereo else mono
+                payload = ac.encode_wav(samples, rate)
+                drate, dch, dec = ac.decode_audio(payload)
+                flat = dec.astype(np.int64)
+                left = flat[:, 0]
+                out["clip_id"].append(cid)
+                out["channels"].append(dch)
+                out["sample_rate"].append(drate)
+                out["n_samples"].append(int(flat.shape[0]))
+                out["sum_abs"].append(int(np.abs(flat).sum()))
+                out["max_abs"].append(int(np.abs(flat).max()))
+                out["n_zero_cross"].append(
+                    int((np.sign(left[1:]) != np.sign(left[:-1])).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(n_clips).mapInPandas(_gen, AUDIO_GATE_SCHEMA)

@@ -2017,3 +2017,64 @@ FROM w{n_steps}
 
 QUERIES["doremi_lite_weights"] = corpus.doremi_lite_weights
 ORACLES["doremi_lite_weights"] = _doremi_oracle()
+
+
+# E429 — REAL WAV (RIFF PCM) decode gate: the oracle regenerates every
+# waveform's features from the closed-form square-wave formulas without
+# touching a byte (the E309 discipline, audio edition).
+from parquet_to_csv_spark.operators import multimodal as _mm  # noqa: E402
+
+QUERIES["multimodal_audio_decode"] = _mm.multimodal_audio_decode
+ORACLES["multimodal_audio_decode"] = """
+WITH c AS (SELECT unnest(range(0, 16)) AS cid)
+SELECT CAST(cid AS BIGINT) AS clip_id,
+       CAST(CASE WHEN cid % 2 = 1 THEN 2 ELSE 1 END AS INT) AS channels,
+       CAST(8000 + 1000 * (cid % 3) AS INT) AS sample_rate,
+       CAST(400 * (1 + cid % 4) AS BIGINT) AS n_samples,
+       CAST(400 * (1 + cid % 4) * 500 * (cid + 1)
+            * (CASE WHEN cid % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS sum_abs,
+       CAST(500 * (cid + 1) AS BIGINT) AS max_abs,
+       CAST((400 * (1 + cid % 4) - 1) // (2 + cid % 5) AS BIGINT)
+         AS n_zero_cross
+FROM c
+"""
+
+
+QUERIES["state_metadata_report"] = _stream.state_metadata_report
+ORACLES["state_metadata_report"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'stateStoreSave', 'default', CAST(8 AS INT),
+   CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), 'dedupe', 'default', CAST(8 AS INT), CAST(1 AS BIGINT))
+) AS t(operator_id, operator_name, state_store_name, n_partitions, n_batches)
+"""
+
+
+# E431 — Hilbert key digest: the oracle replays the SAME per-round SQL
+# text (shared generator, '//' for DuckDB's integer division) through a
+# generated CTE chain.
+from parquet_to_csv_spark.sources.layout import _hilbert_round_exprs  # noqa: E402
+
+
+def _hilbert_oracle(bits: int = 12) -> str:
+    parts = [
+        "WITH r_init AS (SELECT CAST(o_orderkey % 4096 AS BIGINT) AS _hx, "
+        "CAST(o_custkey % 4096 AS BIGINT) AS _hy, CAST(0 AS BIGINT) AS _hd "
+        "FROM orders)"
+    ]
+    prev = "r_init"
+    for i in range(bits - 1, -1, -1):
+        sa, sb = _hilbert_round_exprs(1 << i, "//")
+        parts.append(f", a{i} AS (SELECT *, {', '.join(sa)} FROM {prev})")
+        parts.append(f", b{i} AS (SELECT {', '.join(sb)} FROM a{i})")
+        prev = f"b{i}"
+    parts.append(
+        f" SELECT CAST(_hd // 1048576 AS BIGINT) AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(_hd) AS BIGINT) AS key_sum FROM {prev} GROUP BY 1"
+    )
+    return "".join(parts)
+
+
+QUERIES["hilbert_layout_digest"] = _layout.hilbert_layout_digest
+ORACLES["hilbert_layout_digest"] = _hilbert_oracle()

@@ -1216,3 +1216,91 @@ def position_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count_distinct("event_id").cast("long").alias("n_distinct_ids"),
     )
+
+
+def _hilbert_round_exprs(s: int, divop: str) -> tuple[list[str], list[str]]:
+    """One xy→d Hilbert round (classic Lam–Shapiro iteration) as TWO
+    projection stages of engine-shared SQL (``divop`` = 'div' for
+    Spark, '//' for DuckDB — the only dialect difference). Stage A
+    extracts the bit-pair; stage B accumulates the quadrant distance
+    and applies the rotation/reflection. Arithmetic only (div/%/CASE):
+    no bitwise ops, so both engines evaluate the identical expressions.
+    """
+    a = [
+        f"CAST((_hx {divop} {s}) % 2 AS BIGINT) AS _rx",
+        f"CAST((_hy {divop} {s}) % 2 AS BIGINT) AS _ry",
+        # mask the consumed bit away IMMEDIATELY: the classic rot()
+        # variant lets coordinates go transiently negative, where
+        # Python's floor division and SQL's truncating `div`/% disagree
+        # — masking first keeps every intermediate in [0, s), validated
+        # bit-identical to the canonical xy2d on full 64×64 grids
+        f"_hx % {s} AS _hxm",
+        f"_hy % {s} AS _hym",
+    ]
+    quad = ("CASE WHEN _rx = 0 AND _ry = 0 THEN 0 "
+            "WHEN _rx = 0 THEN 1 WHEN _ry = 0 THEN 3 ELSE 2 END")
+    b = [
+        f"_hd + CAST({s} AS BIGINT) * {s} * ({quad}) AS _hd",
+        f"CASE WHEN _ry = 1 THEN _hxm WHEN _rx = 1 THEN {s - 1} - _hym "
+        "ELSE _hym END AS _hx",
+        f"CASE WHEN _ry = 1 THEN _hym WHEN _rx = 1 THEN {s - 1} - _hxm "
+        "ELSE _hxm END AS _hy",
+    ]
+    return a, b
+
+
+def hilbert_key_df(
+    df: DataFrame, xcol: str, ycol: str, bits: int = 12, out: str = "hkey"
+) -> DataFrame:
+    """EXT E431: Hilbert-curve clustering key — the locality upgrade
+    over Z-order (E69): Morton interleaving has quadrant seams where
+    consecutive keys jump across the grid, while the Hilbert curve is
+    CONTINUOUS (every consecutive key pair is grid-adjacent), so a
+    contiguous key range maps to a tighter bounding box and per-file
+    min/max stats prune better on BOTH dimensions — Databricks' liquid
+    clustering and modern Iceberg layouts use exactly this curve for
+    exactly this reason.
+
+    Stepwise projections (two per bit level) keep the plan LINEAR in
+    ``bits`` — a single nested expression would reference each
+    intermediate twice per round and explode combinatorially; the same
+    staging is what lets the DuckDB oracle replay identical SQL text.
+    """
+    work = df.selectExpr(
+        "*",
+        f"CAST({xcol} AS BIGINT) AS _hx",
+        f"CAST({ycol} AS BIGINT) AS _hy",
+        "CAST(0 AS BIGINT) AS _hd",
+    )
+    keep = df.columns
+    for i in range(bits - 1, -1, -1):
+        sa, sb = _hilbert_round_exprs(1 << i, "div")
+        work = work.selectExpr("*", *sa)
+        work = work.selectExpr(*keep, *sb).selectExpr(
+            "*"
+        )
+    return work.selectExpr(*keep, f"_hd AS {out}")
+
+
+def hilbert_layout_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E431 gate query: Hilbert keys over the orders table
+    (x = custkey % 4096, y = orderkey % 4096, 12-bit curve), digested
+    corpus-wide — per top-4-bit key bucket: row count and the exact
+    key sum — so ANY defect in the 12 unrolled rounds (rotation,
+    reflection, quadrant order) moves a bucket sum. The DuckDB oracle
+    replays the identical per-round SQL through a generated CTE chain.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey % 4096 AS x", "o_custkey % 4096 AS y"
+    )
+    keyed = hilbert_key_df(orders, "x", "y", bits=12)
+    return keyed.groupBy(
+        F.expr("hkey div 1048576").cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("hkey").cast("long").alias("key_sum"),
+    )

@@ -1033,3 +1033,53 @@ def statestore_introspection_drain(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n_events"),
     )
+
+
+def state_metadata_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E430: the ``state-metadata`` batch source — the companion of
+    E421's state reader: BEFORE touching a single state row, an
+    operator can list WHICH stateful operators a checkpoint holds,
+    under what store names, across how many partitions and batches —
+    the first call every state-inspection / state-migration tool makes
+    (repartitioning a stateful query requires exactly this check, since
+    the store partition count is pinned at first checkpoint).
+
+    The drain runs a TWO-stateful-operator pipeline (streaming
+    dropDuplicates feeding a per-type count) so the metadata lists two
+    distinct operators; the DuckDB oracle asserts the full expected
+    inventory as constants — deterministic because the staged input is
+    one availableNow pass (2 files < maxFilesPerTrigger ⇒ batch 0
+    only) and the state partition count is pinned to 8 by the drain
+    harness.
+    """
+    import tempfile
+    import uuid as _uuid
+
+    stage = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ss_meta_")
+    src = read_event_stream(spark, stage)
+    agg = src.dropDuplicates(["event_id"]).groupBy("event_type").count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_ssmeta_" + _uuid.uuid4().hex[:8])
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    meta = spark.read.format("state-metadata").load(ckpt)
+    return meta.select(
+        F.col("operatorId").cast("long").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("state_store_name"),
+        F.col("numPartitions").cast("int").alias("n_partitions"),
+        (F.col("maxBatchId") - F.col("minBatchId") + 1)
+        .cast("long")
+        .alias("n_batches"),
+    )

@@ -247,3 +247,139 @@ def test_identifier_clause_rejects_injection(spark):
         identifier_parameterized_report(
             spark, SF_DIR, table="orders WHERE 1=1; DROP TABLE orders"
         ).collect()
+
+
+def test_wav_codec_roundtrip_and_boundaries(spark):
+    import numpy as np
+    import pytest
+    import struct
+
+    from parquet_to_csv_spark.functions import audiocodec as ac
+
+    # mono + stereo round-trips
+    mono = (np.arange(1000) % 7 * 100 - 300).astype(np.int16)
+    rate, ch, got = ac.decode_wav(ac.encode_wav(mono, 16000))
+    assert (rate, ch) == (16000, 1) and np.array_equal(got[:, 0], mono)
+    st = np.stack([mono, -mono], axis=1)
+    rate, ch, got = ac.decode_wav(ac.encode_wav(st, 44100))
+    assert (rate, ch) == (44100, 2) and np.array_equal(got, st)
+    # ancillary chunk before data is skipped (word-aligned walk)
+    raw = ac.encode_wav(mono, 8000)
+    body = raw[12:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + b"WAVE" + extra + body
+    rate, ch, got = ac.decode_wav(patched)
+    assert rate == 8000 and np.array_equal(got[:, 0], mono)
+    # compressed formats stay honest boundaries
+    with pytest.raises(NotImplementedError):
+        ac.decode_audio(b"ID3\x04" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        ac.decode_audio(b"OggS" + b"\x00" * 64)
+
+
+def test_hilbert_key_matches_reference_and_is_continuous(spark):
+    from parquet_to_csv_spark.sources.layout import hilbert_key_df
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in hilbert_key_df(grid, "x", "y", bits=4).collect()
+    }
+    want = {(x, y): xy2d(n, x, y) for x in range(n) for y in range(n)}
+    assert got == want
+    # continuity: consecutive keys are grid-adjacent (the property that
+    # beats Z-order's quadrant seams)
+    inv = {d: xy for xy, d in got.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+
+
+def test_cbo_stats_propagate_after_analyze(spark):
+    import shutil
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    # in-memory catalog forgets tables across sessions but leaves the
+    # warehouse directory behind (the write_bucketed gotcha)
+    spark.sql("DROP TABLE IF EXISTS t_cbo_nation")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        wh.removeprefix("file:").lstrip(":") + "/t_cbo_nation",
+        ignore_errors=True,
+    )
+    load_table(spark, SF_DIR, "nation").write.mode("overwrite").saveAsTable(
+        "t_cbo_nation"
+    )
+    spark.sql("ANALYZE TABLE t_cbo_nation COMPUTE STATISTICS")
+    n = spark.table("t_cbo_nation").count()
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        # the ANALYZE-computed exact rowCount reaches the optimizer's
+        # cost model (only surfaced when CBO is on)
+        cost = spark.sql(
+            "EXPLAIN COST SELECT * FROM t_cbo_nation"
+        ).collect()[0][0]
+        assert f"rowCount={n}" in cost
+        joined = spark.sql(
+            """
+            SELECT count(*) AS n FROM t_cbo_nation a
+            JOIN t_cbo_nation b ON a.n_regionkey = b.n_regionkey
+            """
+        ).collect()[0]["n"]
+        assert joined > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+        spark.sql("DROP TABLE IF EXISTS t_cbo_nation")
+
+
+def test_native_parquet_bloom_filter_write(spark, tmp_path):
+    import os
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    ev.coalesce(1).write.parquet(plain)
+    (
+        ev.coalesce(1)
+        .write.option("parquet.bloom.filter.enabled#event_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#event_id", "10000")
+        .parquet(bloomed)
+    )
+
+    def psize(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    # the bloom filter physically lands in the footer region
+    assert psize(bloomed) > psize(plain) + 1000
+    # and the file stays a verbatim-readable parquet table
+    a = sorted(r["event_id"] for r in spark.read.parquet(bloomed).collect())
+    b = sorted(r["event_id"] for r in ev.collect())
+    assert a == b
