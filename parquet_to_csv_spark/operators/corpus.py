@@ -2995,3 +2995,205 @@ def doremi_lite_weights(
         "excess_micro",
         F.col("w_ppm").alias("weight_ppm"),
     )
+
+
+def trigram_backoff_score(
+    spark: SparkSession, sf_dir: str, train_pct: int = 80
+) -> DataFrame:
+    """EXT E434: TRIGRAM LM with STUPID BACKOFF (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the model class
+    that ran web-scale MT before neural LMs, and the top of this
+    repo's LM ladder (E39 unigram → E140 bigram → E282 held-out
+    bigram): S(w3|w1w2) = c123/c12 when the trigram was seen in
+    training, else 0.4·c23/c2 when the bigram was, else
+    0.4²·(c3+1)/(N+V) (add-one floor so unseen tokens stay finite).
+    No normalization — scores, not probabilities: exactly the Brants
+    trade that makes the estimator one count-ratio lookup per token at
+    any scale.
+
+    Fit on the deterministic md5 80 % split, scored on the held-out
+    20 %, reported per source with the TIER MIX (ppm of trigram
+    lookups served by each backoff level) — the coverage diagnostic
+    that tells you whether a source is in-domain (high trigram-hit
+    rate) or the model is effectively a unigram for it.
+
+    Cross-engine exactness: each tier's score is ONE ln of an exact
+    integer rational (the 0.4 factors fold INTO the rational:
+    4·c23/(10·c2), 16·(c3+1)/(100·(N+V))), micro-rounded before
+    summation; tier flags and sums are integers. Plan: three keyed
+    LEFT joins (trigram, two bigram contexts, unigram) against
+    count relations ∝ train vocabulary, one broadcast (N, V) row —
+    shuffle ∝ distinct held-out trigrams, never corpus².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        tokens_col("text").alias("tk"),
+        (md5_bucket(F.col("doc_id"), 100) < train_pct).alias("is_train"),
+    ).filter(F.size("tk") >= 3)
+    tri = tagged.select(
+        "source",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 2),"
+                " i -> struct(element_at(tk, i) AS w1,"
+                " element_at(tk, i + 1) AS w2,"
+                " element_at(tk, i + 2) AS w3))"
+            )
+        ).alias("t"),
+    ).select("source", "is_train", "t.w1", "t.w2", "t.w3")
+    train_tri = (
+        tri.filter("is_train").groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    bi = tagged.select(
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS w1,"
+                " element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("is_train", "p.w1", "p.w2")
+    train_bi = (
+        bi.filter("is_train").groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    uni = tagged.filter("is_train").select(F.explode("tk").alias("t"))
+    train_uni = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c3"))
+    nv = F.broadcast(
+        uni.agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count_distinct("t").alias("v"),
+        )
+    )
+    held = tri.filter(~F.col("is_train"))
+    b12 = train_bi.select(
+        F.col("w1").alias("b1"), F.col("w2").alias("b2"), F.col("cb").alias("c12")
+    )
+    b23 = train_bi.select(
+        F.col("w1").alias("b2_"), F.col("w2").alias("b3_"), F.col("cb").alias("c23")
+    )
+    # left-context totals for the backoff denominator c(w2,·)
+    b2tot = train_bi.groupBy("w1").agg(F.sum("cb").alias("c2b")).select(
+        F.col("w1").alias("l2"), "c2b"
+    )
+    scored = (
+        held.join(train_tri, ["w1", "w2", "w3"], "left")
+        .join(b12, (held.w1 == b12.b1) & (held.w2 == b12.b2), "left")
+        .join(b23, (held.w2 == b23.b2_) & (held.w3 == b23.b3_), "left")
+        .join(b2tot, held.w2 == b2tot.l2, "left")
+        .join(train_uni, held.w3 == train_uni.t, "left")
+        .join(nv)
+        .select(
+            "source",
+            F.when(F.col("c123").isNotNull(), 1)
+            .when(F.col("c23").isNotNull(), 2)
+            .otherwise(3)
+            .alias("tier"),
+            F.round(
+                F.when(
+                    F.col("c123").isNotNull(),
+                    F.expr("ln(cast(c123 as double) / c12)"),
+                )
+                .when(
+                    F.col("c23").isNotNull(),
+                    F.expr("ln(cast(4 * c23 as double) / (10 * c2b))"),
+                )
+                .otherwise(
+                    F.expr(
+                        "ln(cast(16 * (coalesce(c3, 0) + 1) as double)"
+                        " / (100 * (n_tok + v)))"
+                    )
+                )
+                * 1e6,
+                0,
+            ).cast("long").alias("u"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.expr("sum(u) div count(1)").alias("mean_score_micro"),
+        F.expr(
+            "sum(case when tier = 1 then 1 else 0 end) * 1000000 div count(1)"
+        ).alias("trigram_hit_ppm"),
+        F.expr(
+            "sum(case when tier = 2 then 1 else 0 end) * 1000000 div count(1)"
+        ).alias("bigram_hit_ppm"),
+    )
+
+
+def pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E435: Luhn-checksum validation behind card-number detection
+    — the PRECISION upgrade every production PII scanner ships: a bare
+    ``\\d{16}`` regex (E38's detection tier) flags invoice numbers and
+    hash fragments as payment cards; the Luhn mod-10 check rejects
+    ~90 % of random digit strings, so "regex hits" vs "Luhn-valid
+    hits" IS the detector's measured precision.
+
+    The gate plants one 16-digit candidate in every 5th document —
+    check digit CORRECT for even doc_ids, off-by-one for odd — so both
+    engines know exactly which candidates must validate. The checksum
+    is pure integer arithmetic over substrings (one aggregate lambda
+    in Spark, one list_transform in DuckDB — same math, no floats).
+    Per source: candidates found, Luhn-valid count, precision ppm.
+    One regex pass + one explode; no shuffle beyond the final
+    per-source aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pfx = F.lpad(((d * 2654435761) % F.lit(10**15)).cast("string"), 15, "0")
+    # Luhn partial sum over the 15-digit prefix (positions 1..15 of the
+    # final number; odd positions are doubled with 9-subtraction)
+    partial = F.expr(
+        "aggregate(sequence(1, 15), 0, (acc, i) -> acc + ("
+        " CASE WHEN i % 2 = 1 THEN"
+        "  CASE WHEN 2 * cast(substring(_pfx, i, 1) as int) < 10"
+        "       THEN 2 * cast(substring(_pfx, i, 1) as int)"
+        "       ELSE 2 * cast(substring(_pfx, i, 1) as int) - 9 END"
+        " ELSE cast(substring(_pfx, i, 1) as int) END))"
+    )
+    staged = docs.withColumn("_pfx", pfx).withColumn("_partial", partial)
+    check = (F.lit(10) - F.col("_partial") % 10) % 10
+    digit = F.when(d % 2 == 0, check).otherwise((check + 1) % 10)
+    aug = staged.withColumn(
+        "_text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" card "), F.col("_pfx"), digit.cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    cands = aug.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(r"regexp_extract_all(_text, '\\b\\d{16}\\b', 0)")
+        ).alias("cand"),
+    )
+    luhn_ok = (
+        F.expr(
+            "aggregate(sequence(1, 16), 0, (acc, i) -> acc + ("
+            " CASE WHEN i % 2 = 1 THEN"
+            "  CASE WHEN 2 * cast(substring(cand, i, 1) as int) < 10"
+            "       THEN 2 * cast(substring(cand, i, 1) as int)"
+            "       ELSE 2 * cast(substring(cand, i, 1) as int) - 9 END"
+            " ELSE cast(substring(cand, i, 1) as int) END))"
+        )
+        % 10
+        == 0
+    )
+    return (
+        cands.select("source", luhn_ok.cast("int").alias("ok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("ok").cast("long").alias("n_luhn_valid"),
+            F.expr("sum(ok) * 1000000 div count(1)").alias("precision_ppm"),
+        )
+    )

@@ -106,3 +106,33 @@ def variant_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum("unparsed").alias("n_unparsed"),
     )
+
+
+def props_map_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E436: schema-LESS JSON promotion through the MAP type — the
+    third leg of the semi-structured ladder: E19 extracts KNOWN paths
+    (``$.k``), E367 defers typing to VARIANT, and this operator
+    handles the "keys unknown until runtime" case every event-props
+    pipeline hits: ``from_json(props, 'map<string,string>')`` turns
+    each document into a key→value MAP with NO schema declaration,
+    ``explode`` fans the entries to rows, and per-(event_type, key)
+    aggregates profile whatever keys the data actually carries.
+
+    This is the generic ingestion shape for heterogeneous JSON at
+    100 TB: one parse per row, entry fan-out ∝ actual keys (never a
+    declared superset), aggregation keyed on (type, key) — high
+    cardinality, parallelizes. The DuckDB oracle walks the same keys
+    dynamically with json_keys/json_extract_string.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "key", "val"
+        ),
+    )
+    return entries.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entries"),
+        F.sum(F.col("val").cast("long")).cast("long").alias("sum_val"),
+        F.count_distinct("val").cast("long").alias("n_distinct_vals"),
+    )

@@ -2078,3 +2078,137 @@ def _hilbert_oracle(bits: int = 12) -> str:
 
 QUERIES["hilbert_layout_digest"] = _layout.hilbert_layout_digest
 ORACLES["hilbert_layout_digest"] = _hilbert_oracle()
+
+
+# E434 — trigram stupid backoff on the md5 heldout split; each tier's
+# score is one ln of an exact integer rational (0.4 factors folded in).
+QUERIES["trigram_backoff_score"] = corpus.trigram_backoff_score
+ORACLES["trigram_backoff_score"] = f"""
+WITH tagged0 AS (
+  SELECT doc_id, source, {_TOKS} AS tk,
+         {duck_md5_bucket("doc_id", 100)} < 80 AS is_train
+  FROM documents
+), tagged AS MATERIALIZED (
+  SELECT * FROM tagged0 WHERE len(tk) >= 3
+), tri AS MATERIALIZED (
+  SELECT source, is_train, p[1] AS w1, p[2] AS w2, p[3] AS w3
+  FROM (
+    SELECT source, is_train,
+           unnest(list_zip(list_slice(tk, 1, greatest(len(tk) - 2, 0)),
+                           list_slice(tk, 2, len(tk) - 1),
+                           list_slice(tk, 3, len(tk)))) AS p
+    FROM tagged
+  ) WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL AND p[3] IS NOT NULL
+), train_tri AS MATERIALIZED (
+  SELECT w1, w2, w3, count(*) AS c123 FROM tri WHERE is_train GROUP BY 1, 2, 3
+), bi AS MATERIALIZED (
+  SELECT is_train, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT is_train,
+           unnest(list_zip(list_slice(tk, 1, greatest(len(tk) - 1, 0)),
+                           list_slice(tk, 2, len(tk)))) AS p
+    FROM tagged
+  ) WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+), train_bi AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS cb FROM bi WHERE is_train GROUP BY 1, 2
+), b2tot AS MATERIALIZED (
+  SELECT w1 AS l2, sum(cb) AS c2b FROM train_bi GROUP BY 1
+), train_uni AS MATERIALIZED (
+  SELECT t, count(*) AS c3
+  FROM (SELECT unnest(tk) AS t FROM tagged WHERE is_train) GROUP BY 1
+), nv AS (
+  SELECT count(*) AS n_tok, count(DISTINCT t) AS v
+  FROM (SELECT unnest(tk) AS t FROM tagged WHERE is_train)
+), scored AS MATERIALIZED (
+  SELECT h.source,
+         CASE WHEN tt.c123 IS NOT NULL THEN 1
+              WHEN t23.cb IS NOT NULL THEN 2 ELSE 3 END AS tier,
+         CAST(round(CASE
+           WHEN tt.c123 IS NOT NULL
+             THEN ln(CAST(tt.c123 AS DOUBLE) / t12.cb)
+           WHEN t23.cb IS NOT NULL
+             THEN ln(CAST(4 * t23.cb AS DOUBLE) / (10 * b2.c2b))
+           ELSE ln(CAST(16 * (coalesce(tu.c3, 0) + 1) AS DOUBLE)
+                   / (100 * (nv.n_tok + nv.v)))
+         END * 1000000) AS BIGINT) AS u
+  FROM tri h
+  LEFT JOIN train_tri tt ON h.w1 = tt.w1 AND h.w2 = tt.w2 AND h.w3 = tt.w3
+  LEFT JOIN train_bi t12 ON h.w1 = t12.w1 AND h.w2 = t12.w2
+  LEFT JOIN train_bi t23 ON h.w2 = t23.w1 AND h.w3 = t23.w2
+  LEFT JOIN b2tot b2 ON h.w2 = b2.l2
+  LEFT JOIN train_uni tu ON h.w3 = tu.t
+  CROSS JOIN nv
+  WHERE NOT h.is_train
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(u) // count(*) AS BIGINT) AS mean_score_micro,
+       CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS trigram_hit_ppm,
+       CAST(sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS bigram_hit_ppm
+FROM scored GROUP BY 1
+"""
+
+
+# E435 — Luhn audit; the checksum is the same integer lambda in both
+# engines, and the planted check digits make precision exact.
+QUERIES["pii_luhn_audit"] = corpus.pii_luhn_audit
+ORACLES["pii_luhn_audit"] = r"""
+WITH staged AS (
+  SELECT doc_id, source, text,
+         lpad(CAST((doc_id * 2654435761) % 1000000000000000 AS VARCHAR),
+              15, '0') AS pfx
+  FROM documents
+), withpart AS (
+  SELECT *,
+         list_sum(list_transform(range(1, 16), i ->
+           CASE WHEN i % 2 = 1 THEN
+             CASE WHEN 2 * CAST(substr(pfx, CAST(i AS INT), 1) AS INT) < 10
+                  THEN 2 * CAST(substr(pfx, CAST(i AS INT), 1) AS INT)
+                  ELSE 2 * CAST(substr(pfx, CAST(i AS INT), 1) AS INT) - 9 END
+           ELSE CAST(substr(pfx, CAST(i AS INT), 1) AS INT) END)) AS partial
+  FROM staged
+), aug AS (
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 5 = 0
+           THEN ' card ' || pfx || CAST(
+             CASE WHEN doc_id % 2 = 0 THEN (10 - partial % 10) % 10
+                  ELSE ((10 - partial % 10) % 10 + 1) % 10 END AS VARCHAR)
+           ELSE '' END AS t
+  FROM withpart
+), cands AS (
+  SELECT source, unnest(regexp_extract_all(t, '\b\d{16}\b')) AS cand
+  FROM aug
+), flagged AS (
+  SELECT source,
+         CASE WHEN list_sum(list_transform(range(1, 17), i ->
+           CASE WHEN i % 2 = 1 THEN
+             CASE WHEN 2 * CAST(substr(cand, CAST(i AS INT), 1) AS INT) < 10
+                  THEN 2 * CAST(substr(cand, CAST(i AS INT), 1) AS INT)
+                  ELSE 2 * CAST(substr(cand, CAST(i AS INT), 1) AS INT) - 9 END
+           ELSE CAST(substr(cand, CAST(i AS INT), 1) AS INT) END)) % 10 = 0
+         THEN 1 ELSE 0 END AS ok
+  FROM cands
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(ok) AS BIGINT) AS n_luhn_valid,
+       CAST(sum(ok) * 1000000 // count(*) AS BIGINT) AS precision_ppm
+FROM flagged GROUP BY 1
+"""
+
+
+from parquet_to_csv_spark.operators import semistruct as _semi  # noqa: E402
+
+QUERIES["props_map_promotion"] = _semi.props_map_promotion
+ORACLES["props_map_promotion"] = """
+SELECT event_type, k AS key,
+       CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+            AS BIGINT) AS sum_val,
+       CAST(count(DISTINCT json_extract_string(props, '$.' || k)) AS BIGINT)
+         AS n_distinct_vals
+FROM (
+  SELECT event_type, props, unnest(json_keys(props)) AS k FROM events
+)
+GROUP BY 1, 2
+"""

@@ -383,3 +383,55 @@ def test_native_parquet_bloom_filter_write(spark, tmp_path):
     a = sorted(r["event_id"] for r in spark.read.parquet(bloomed).collect())
     b = sorted(r["event_id"] for r in ev.collect())
     assert a == b
+
+
+def test_rebalance_hint_splits_skewed_write(spark, tmp_path):
+    """E437: the AQE REBALANCE hint — write-side skew remediation. A
+    plain repartition(key) write puts each key in ONE task/file, so a
+    hot key produces one giant file (the small-files problem's evil
+    twin); /*+ REBALANCE(key) */ lets AQE split oversized partitions
+    at the advisory size, bounding the largest output file while
+    keeping same-key rows mostly together."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    # fan the input across mappers first: AQE splits skewed REBALANCE
+    # partitions at map-output block granularity, so a single-mapper
+    # input physically cannot be split
+    ev = (
+        load_table(spark, "/root/testdata/sf0.01", "events")
+        .repartition(16)
+        .withColumn(
+            "skew", F.when(F.col("event_id") % 10 < 9, "hot").otherwise("cold")
+        )
+    )
+    plain_dir = str(tmp_path / "plain")
+    reb_dir = str(tmp_path / "reb")
+    prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    try:
+        ev.repartition("skew").write.mode("overwrite").parquet(plain_dir)
+        ev.createOrReplaceTempView("t_reb_events")
+        spark.sql(
+            "SELECT /*+ REBALANCE(skew) */ * FROM t_reb_events"
+        ).write.mode("overwrite").parquet(reb_dir)
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+
+    def files(d):
+        return [
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+
+    plain, reb = files(plain_dir), files(reb_dir)
+    # repartition(key): ~2 populated files, the hot one huge;
+    # REBALANCE: the hot partition split at the advisory size
+    assert len(reb) > len([s for s in plain if s > 1000])
+    assert max(reb) < max(plain)
+    # and nothing was lost
+    assert spark.read.parquet(reb_dir).count() == ev.count()
