@@ -2675,3 +2675,55 @@ def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "lift_ppm", F.col("replay_cvr_ppm") - F.col("baseline_cvr_ppm")
     )
+
+
+def dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E439: differentially-private count release (ε = 1 Laplace
+    mechanism) with DETERMINISTIC noise — the privacy-release
+    companion of the k-anonymity audit (E151): per event_type, the
+    count is released with Laplace(1/ε) noise drawn by inverse CDF
+    from a SEEDED md5 uniform, so the release is reproducible (the
+    property an auditable pipeline needs: re-running the release
+    yields the same noised table, no fresh privacy budget burned) and
+    the DuckDB oracle replays it bit for bit.
+
+    Determinism recipe: u16 ∈ [0, 65535] from the shared md5-bucket
+    helper (16-bit quantization — the E412 lesson), u = (u16+1)/65537
+    strictly inside (0,1); noise = −sign(u−½)·ln(1−2|u−½|)/ε where the
+    ln argument is the EXACT rational (65535−2·|u16−32767|+1)/65537 —
+    one micro-floored ln per group, everything else integers. The
+    released count adds the micro-noise rounded to an integer.
+
+    ε accounting: one count query per event_type over disjoint rows =
+    parallel composition ⇒ the whole table costs ε = 1, reported as
+    epsilon_ppm so downstream budget ledgers can sum releases.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u16 = md5_bucket(F.concat(F.col("event_type"), F.lit("_dp1")), 65536)
+    # |2u − 1| in 65537ths: k = |2·u16 + 2 − 65537| ⇒ ln arg = (65537−k)/65537
+    staged = per.select(
+        "event_type",
+        "n",
+        u16.alias("u16"),
+    ).select(
+        "event_type",
+        "n",
+        F.expr("abs(2 * u16 + 2 - 65537)").alias("k"),
+        F.expr("case when 2 * u16 + 2 - 65537 >= 0 then 1 else -1 end").alias("sgn"),
+    )
+    noise_micro = F.expr(
+        "-sgn * cast(floor(ln(cast(65537 - k as double) / 65537) * 1000000"
+        " + 0.5) as long)"
+    )
+    return staged.select(
+        "event_type",
+        noise_micro.alias("noise_micro"),
+        (F.col("n") + F.expr(
+            "cast(floor((-sgn * cast(floor(ln(cast(65537 - k as double)"
+            " / 65537) * 1000000 + 0.5) as long)) / 1e6 + 0.5) as long)"
+        )).alias("released_count"),
+        F.lit(1000000).cast("long").alias("epsilon_ppm"),
+    )

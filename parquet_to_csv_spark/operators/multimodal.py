@@ -565,3 +565,53 @@ def multimodal_audio_decode(
             yield pd.DataFrame(out)
 
     return spark.range(n_clips).mapInPandas(_gen, AUDIO_GATE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "clip_id long, major_brand string, timescale int, duration long, "
+    "n_tracks int, duration_ms long"
+)
+
+
+def multimodal_video_meta(
+    spark: SparkSession, sf_dir: str, n_clips: int = 16
+) -> DataFrame:
+    """EXT E438: REAL MP4 container-metadata extraction — the video
+    sibling of E429 (WAV) and E309 (PNG): deterministic clips are
+    BUILT as ISO-BMFF byte streams in-plan (ftyp + free + moov with
+    mvhd and a variable trak count), then parsed back through the box
+    walker (``functions/videomd.py`` — 32-bit box sizes, unknown-box
+    skipping, container recursion) into the fields a video corpus
+    pipeline needs before any codec runs: brand, timescale, duration,
+    track count, derived duration_ms (exact integer div). The DuckDB
+    oracle recomputes every field from the generating formulas without
+    touching a byte; FRAME decode remains the honest boundary.
+
+    Scale shape: stateless ``mapInPandas`` over ``spark.range`` — the
+    same embarrassingly-parallel fan-out a 100 TB video-manifest pass
+    would run.
+    """
+    from parquet_to_csv_spark.functions import videomd as vm
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "clip_id", "major_brand", "timescale", "duration",
+                "n_tracks", "duration_ms",
+            )}
+            for cid in pdf["id"]:
+                cid = int(cid)
+                ts = 1000 * (1 + cid % 3)
+                dur = 2500 * (cid + 1)
+                ntr = 1 + cid % 2
+                brand = b"isom" if cid % 2 == 0 else b"mp42"
+                meta = vm.parse_mp4_meta(vm.build_mp4(ts, dur, ntr, brand))
+                out["clip_id"].append(cid)
+                out["major_brand"].append(meta["major_brand"])
+                out["timescale"].append(meta["timescale"])
+                out["duration"].append(meta["duration"])
+                out["n_tracks"].append(meta["n_tracks"])
+                out["duration_ms"].append(meta["duration"] * 1000 // meta["timescale"])
+            yield pd.DataFrame(out)
+
+    return spark.range(n_clips).mapInPandas(_gen, VIDEO_META_SCHEMA)

@@ -3163,3 +3163,60 @@ def sequential_pattern_topk(
         .select("step_1", "step_2", "step_3", "support",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def pinball_loss_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E440: quantile-forecast backtest under PINBALL LOSS — the
+    proper scoring rule for quantile forecasts (the metric of the M5
+    competition and every SLA-band forecaster): a trailing-week
+    order-statistic forecast of the daily value total is scored at
+    q = 0.5 and q = 0.9 with
+    L_q(y, ŷ) = q·(y−ŷ)⁺ + (1−q)·(ŷ−y)⁺, and — the part a mean-error
+    backtest can't show — the ASYMMETRY is the point: under-forecast
+    days dominate the q=0.9 loss 9:1, so a forecaster that nails the
+    median but misses spikes scores well at 0.5 and badly at 0.9
+    (E142's seasonal-naive backtest measures central error; this
+    measures band calibration).
+
+    Exactness: daily totals are exact cents; the forecast is a
+    TYPE-1 (discrete) order statistic of the trailing 7 days (the
+    E-band convention — engine interpolation internals never touch
+    it); pinball losses are integers in MILLI-cents (q folded in as
+    500/900 per-mille). One day-grain aggregate + one 7-row trailing
+    window ordered by day — bounded frame, day grain.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 86400000000000").alias("day"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("cents").alias("y"))
+    wt = W.orderBy("day").rowsBetween(-7, -1)
+    trail = daily.withColumn(
+        "hist", F.array_sort(F.collect_list("y").over(wt))
+    ).filter(F.size("hist") == 7)
+    fore = trail.select(
+        "day",
+        "y",
+        F.element_at("hist", 4).alias("f50"),   # 4th of 7 = median
+        F.element_at("hist", 7).alias("f90"),   # ceil(0.9*7) = 7th
+    )
+    loss = fore.select(
+        "day",
+        F.expr(
+            "case when y >= f50 then 500 * (y - f50)"
+            " else 500 * (f50 - y) end"
+        ).alias("l50_milli"),
+        F.expr(
+            "case when y >= f90 then 900 * (y - f90)"
+            " else 100 * (f90 - y) end"
+        ).alias("l90_milli"),
+    )
+    return loss.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("l50_milli").cast("long").alias("pinball50_milli"),
+        F.sum("l90_milli").cast("long").alias("pinball90_milli"),
+        F.expr("sum(l50_milli) div count(1)").alias("mean50_milli"),
+        F.expr("sum(l90_milli) div count(1)").alias("mean90_milli"),
+    )

@@ -2212,3 +2212,76 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+# E438 — MP4 container metadata: oracle recomputes from the clip
+# formulas (E309/E429 discipline, video edition).
+QUERIES["multimodal_video_meta"] = _mm.multimodal_video_meta
+ORACLES["multimodal_video_meta"] = """
+WITH c AS (SELECT unnest(range(0, 16)) AS cid)
+SELECT CAST(cid AS BIGINT) AS clip_id,
+       CASE WHEN cid % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+       CAST(1000 * (1 + cid % 3) AS INT) AS timescale,
+       CAST(2500 * (cid + 1) AS BIGINT) AS duration,
+       CAST(1 + cid % 2 AS INT) AS n_tracks,
+       CAST(2500 * (cid + 1) * 1000 // (1000 * (1 + cid % 3)) AS BIGINT)
+         AS duration_ms
+FROM c
+"""
+
+
+# E439 — deterministic DP release; md5-u16 inverse-CDF Laplace, one
+# micro-floored ln of an exact rational per group.
+QUERIES["dp_release_counts"] = mlmetrics.dp_release_counts
+_DP_U16 = duck_md5_bucket("event_type || '_dp1'", 65536)
+ORACLES["dp_release_counts"] = f"""
+WITH per AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+), st AS (
+  SELECT event_type, n,
+         abs(2 * {_DP_U16} + 2 - 65537) AS k,
+         CASE WHEN 2 * {_DP_U16} + 2 - 65537 >= 0 THEN 1 ELSE -1 END AS sgn
+  FROM per
+)
+SELECT event_type,
+       CAST(-sgn * CAST(floor(ln(CAST(65537 - k AS DOUBLE) / 65537)
+            * 1000000 + 0.5) AS BIGINT) AS BIGINT) AS noise_micro,
+       CAST(n + CAST(floor((-sgn * CAST(floor(ln(CAST(65537 - k AS DOUBLE)
+            / 65537) * 1000000 + 0.5) AS BIGINT)) / 1e6 + 0.5) AS BIGINT)
+            AS BIGINT) AS released_count,
+       CAST(1000000 AS BIGINT) AS epsilon_ppm
+FROM st
+"""
+
+
+# E440 — pinball-loss quantile backtest; trailing 7-day order-statistic
+# forecast, milli-cent integer losses.
+QUERIES["pinball_loss_backtest"] = timeops.pinball_loss_backtest
+ORACLES["pinball_loss_backtest"] = """
+WITH daily AS (
+  SELECT tns // 86400000000000 AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+  FROM (SELECT epoch_us(ts) * 1000 AS tns, value FROM events) GROUP BY 1
+), trail AS (
+  SELECT day, y,
+         list_sort(list(y) OVER (ORDER BY day
+           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS hist
+  FROM daily
+), fore AS (
+  SELECT day, y, hist[4] AS f50, hist[7] AS f90
+  FROM trail WHERE len(hist) = 7
+), loss AS (
+  SELECT day,
+         CASE WHEN y >= f50 THEN 500 * (y - f50)
+              ELSE 500 * (f50 - y) END AS l50,
+         CASE WHEN y >= f90 THEN 900 * (y - f90)
+              ELSE 100 * (f90 - y) END AS l90
+  FROM fore
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(l50) AS BIGINT) AS pinball50_milli,
+       CAST(sum(l90) AS BIGINT) AS pinball90_milli,
+       CAST(sum(l50) // count(*) AS BIGINT) AS mean50_milli,
+       CAST(sum(l90) // count(*) AS BIGINT) AS mean90_milli
+FROM loss
+"""

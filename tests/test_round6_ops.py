@@ -435,3 +435,43 @@ def test_rebalance_hint_splits_skewed_write(spark, tmp_path):
     assert max(reb) < max(plain)
     # and nothing was lost
     assert spark.read.parquet(reb_dir).count() == ev.count()
+
+
+def test_mp4_parser_roundtrip_and_boundaries():
+    import pytest
+
+    from parquet_to_csv_spark.functions import videomd as vm
+
+    raw = vm.build_mp4(30000, 123456, 3, b"mp42")
+    meta = vm.parse_mp4_meta(raw)
+    assert meta == {
+        "major_brand": "mp42", "timescale": 30000,
+        "duration": 123456, "n_tracks": 3,
+    }
+    with pytest.raises(NotImplementedError):
+        vm.parse_mp4_meta(b"\x00" * 32)  # not ISO-BMFF
+    with pytest.raises(NotImplementedError):
+        vm.decode_video_frames(raw)  # frame decode stays a boundary
+    # truncated moov (no mvhd) is a loud failure, not a silent zero
+    ftyp_only = raw[:raw.index(b"moov") - 4]
+    with pytest.raises(NotImplementedError):
+        vm.parse_mp4_meta(ftyp_only)
+
+
+def test_dp_release_reproducible_and_bounded(spark):
+    from parquet_to_csv_spark.operators.mlmetrics import dp_release_counts
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    a = {r["event_type"]: tuple(r) for r in dp_release_counts(spark, SF_DIR).collect()}
+    b = {r["event_type"]: tuple(r) for r in dp_release_counts(spark, SF_DIR).collect()}
+    assert a == b and a  # reproducible release — no fresh budget burned
+    true = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for et, row in a.items():
+        noise_micro, released = row[1], row[2]
+        # Laplace(1) inverse-CDF from u16 is bounded by ln(65537) ≈ 11.09
+        assert abs(noise_micro) <= 11_100_000
+        assert abs(released - true[et]) <= 12
