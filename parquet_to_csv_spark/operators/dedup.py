@@ -3387,3 +3387,91 @@ def cluster_modularity_report(
         F.col("n_clusters").cast("long").alias("n_clusters"),
         F.floor(q * 1e6 + F.lit(0.5)).cast("long").alias("modularity_micro"),
     )
+
+
+def personalized_pagerank(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8,
+    iters: int = 3, k: int = 20,
+) -> DataFrame:
+    """EXT E441: PERSONALIZED PageRank over the near-dup graph, seeded
+    at the benchmark source (src0) — the GRADED contamination-risk
+    ranking that completes the contamination family: E27/E417 flag
+    direct hits, E178 computes the hard taint closure (in/out), and
+    this op answers the triage question between those extremes —
+    "which training documents sit CLOSEST to benchmark material
+    through any number of near-dup hops, and how close?" Restart mass
+    teleports to the seed set instead of uniformly (Haveliwala 2002),
+    so rank decays geometrically with graph distance from benchmarks.
+
+    Same iterative discipline as ``neardup_pagerank``: one join + one
+    groupBy per round, lineage cut per round, NO driver action in the
+    loop; mass carried as exact integer ppb (teleport = (15 % of
+    1e9 div |seeds|) on seeds; propagation = 85 % of pr div deg), so
+    every engine/partitioning yields identical longs and the DuckDB
+    oracle unrolls the ``iters`` levels MATERIALIZED. Output: top-k
+    NON-seed documents by rank (the actionable review queue).
+
+    The graph is the UNBLOCKED edge artifact (E399) by necessity, not
+    preference: lang×source blocking makes every neighbor of a seed a
+    seed (src0 only joins src0), so seed-personalized rank can never
+    leave the benchmark — the E415 lesson again, from the ranking
+    side. Cross-source contamination analysis REQUIRES cross-block
+    edges.
+    """
+    pairs = _unblocked_edges(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .transform(_cut_lineage)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    nodes = (
+        edges.groupBy("src").agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("v"), "deg")
+        .join(docs, F.col("v") == docs.doc_id)
+        .select("v", "deg", (F.col("source") == "src0").alias("is_seed"))
+    )
+    nseed = F.broadcast(
+        nodes.filter("is_seed").agg(F.count(F.lit(1)).alias("ns"))
+    )
+    base = nodes.join(nseed).select(
+        "v", "deg", "is_seed",
+        F.expr(
+            "case when is_seed then 1000000000 div ns else cast(0 as bigint) end"
+        ).alias("e"),
+    ).transform(_cut_lineage)
+    pr = base.select("v", "deg", "is_seed", "e", F.col("e").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            pr.select(F.col("v").alias("src"), F.expr("pr div deg").alias("c"))
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        pr = (
+            base.join(contrib, base.v == contrib.dst, "left")
+            .select(
+                base.v, base.deg, base.is_seed, base.e,
+                (
+                    F.expr("(15 * e) div 100")
+                    + F.expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .transform(_cut_lineage)
+        )
+    from pyspark.sql import Window as W
+
+    # TakeOrdered first (no global window over the node relation);
+    # the rank window then runs over <=k rows
+    top = (
+        pr.filter(~F.col("is_seed") & (F.col("pr") > 0))
+        .orderBy(F.col("pr").desc(), F.col("v"))
+        .limit(k)
+    )
+    wr = W.orderBy(F.col("pr").desc(), F.col("v"))
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        F.col("v").alias("doc_id"), "deg",
+        F.col("pr").alias("ppr_ppb"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -2285,3 +2285,50 @@ SELECT CAST(count(*) AS BIGINT) AS n_days,
        CAST(sum(l90) // count(*) AS BIGINT) AS mean90_milli
 FROM loss
 """
+
+
+# E441 — personalized PageRank, 3 unrolled MATERIALIZED levels over the
+# blocked 0.8 pair relation; integer ppb mass.
+def _ppr_oracle(iters: int = 3, k: int = 20) -> str:
+    head = f"""{_UB_PAIR_BASE}
+, pairs AS (SELECT doc_a, doc_b FROM up)
+, edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT e.src AS v, count(*) AS deg, (d.source = 'src0') AS is_seed
+  FROM edges e JOIN documents d ON e.src = d.doc_id
+  GROUP BY e.src, d.source
+), ns AS (
+  SELECT count(*) AS ns FROM nodes WHERE is_seed
+), base AS MATERIALIZED (
+  SELECT v, deg, is_seed,
+         CASE WHEN is_seed THEN 1000000000 // ns ELSE 0 END AS e
+  FROM nodes, ns
+), p0 AS MATERIALIZED (
+  SELECT v, deg, is_seed, e, e AS pr FROM base
+)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS MATERIALIZED (
+  SELECT e2.dst, sum(p.pr // p.deg) AS inc
+  FROM p{i - 1} p JOIN edges e2 ON p.v = e2.src GROUP BY 1
+), p{i} AS MATERIALIZED (
+  SELECT b.v, b.deg, b.is_seed, b.e,
+         (15 * b.e) // 100 + (85 * coalesce(c{i}.inc, 0)) // 100 AS pr
+  FROM base b LEFT JOIN c{i} ON b.v = c{i}.dst
+)""")
+    parts.append(f"""
+SELECT v AS doc_id, CAST(deg AS BIGINT) AS deg,
+       CAST(pr AS BIGINT) AS ppr_ppb, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY pr DESC, v) AS rnk
+  FROM p{iters} WHERE NOT is_seed AND pr > 0
+) WHERE rnk <= {k}
+""")
+    return "".join(parts)
+
+
+QUERIES["personalized_pagerank"] = dedup.personalized_pagerank
+ORACLES["personalized_pagerank"] = _ppr_oracle()

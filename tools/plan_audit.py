@@ -68,6 +68,7 @@ _TINY_WINDOWS: dict[str, tuple[int, str]] = {
     "sequential_pattern_topk": (1, "|event types|^3 pattern relation"),
     "rake_keywords": (1, "phrase-vocabulary aggregate (post word-score join)"),
     "doremi_lite_weights": (6, "|sources| relation (uniform init + 4 MW renorm ranks + slack)"),
+    "personalized_pagerank": (1, "post-TakeOrdered(k=20) relation"),
 }
 
 
