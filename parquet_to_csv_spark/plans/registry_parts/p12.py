@@ -2332,3 +2332,63 @@ FROM (
 
 QUERIES["personalized_pagerank"] = dedup.personalized_pagerank
 ORACLES["personalized_pagerank"] = _ppr_oracle()
+
+
+# E442 — Hilbert vs Morton pruning comparison; both curve constructions
+# replayed arithmetically in the oracle.
+from parquet_to_csv_spark.sources.layout import _morton_arith_expr  # noqa: E402
+
+
+def _curve_pruning_oracle(bits: int = 12, n_files: int = 24) -> str:
+    span = (4 ** bits) // n_files
+    parts = ["""
+WITH hsrc AS (
+  SELECT o_orderkey % 4096 AS x, o_custkey % 4096 AS y,
+         CAST(o_orderkey % 4096 AS BIGINT) AS _hx,
+         CAST(o_custkey % 4096 AS BIGINT) AS _hy,
+         CAST(0 AS BIGINT) AS _hd
+  FROM orders
+)"""]
+    prev = "hsrc"
+    for i in range(bits - 1, -1, -1):
+        sa, sb = _hilbert_round_exprs(1 << i, "//")
+        parts.append(f", ha{i} AS (SELECT *, {', '.join(sa)} FROM {prev})")
+        parts.append(f", hb{i} AS (SELECT x, y, {', '.join(sb)} FROM ha{i})")
+        prev = f"hb{i}"
+    parts.append(f""", keyed AS MATERIALIZED (
+  SELECT x, y, 'hilbert' AS curve, _hd AS key FROM {prev}
+  UNION ALL
+  SELECT x, y, 'morton' AS curve,
+         CAST({_morton_arith_expr('//')} AS BIGINT) AS key
+  FROM (SELECT o_orderkey % 4096 AS x, o_custkey % 4096 AS y FROM orders)
+), manifest AS MATERIALIZED (
+  SELECT curve, key // {span} AS fid,
+         min(x) AS minx, max(x) AS maxx,
+         min(y) AS miny, max(y) AS maxy, count(*) AS n_rows
+  FROM keyed GROUP BY 1, 2
+), boxes AS (
+  SELECT CAST(i AS INT) AS box_id, CAST((i * 512) % 4096 AS INT) AS x0,
+         CAST((i * 1280 + 256) % 4096 AS INT) AS y0
+  FROM (SELECT unnest(range(0, 8)) AS i)
+), kept AS (
+  SELECT curve, box_id, CAST(count(*) AS BIGINT) AS n_files_kept,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows_scanned
+  FROM manifest m JOIN boxes b
+    ON m.maxx >= b.x0 AND m.minx <= b.x0 + 255
+   AND m.maxy >= b.y0 AND m.miny <= b.y0 + 255
+  GROUP BY 1, 2
+), matches AS (
+  SELECT box_id, CAST(count(*) AS BIGINT) AS n_rows_matching
+  FROM (SELECT o_orderkey % 4096 AS x, o_custkey % 4096 AS y FROM orders) d
+  JOIN boxes b ON d.x >= b.x0 AND d.x <= b.x0 + 255
+              AND d.y >= b.y0 AND d.y <= b.y0 + 255
+  GROUP BY 1
+)
+SELECT k.curve, k.box_id, k.n_files_kept, k.n_rows_scanned,
+       coalesce(m.n_rows_matching, CAST(0 AS BIGINT)) AS n_rows_matching
+FROM kept k LEFT JOIN matches m USING (box_id)""")
+    return "".join(parts)
+
+
+QUERIES["curve_pruning_comparison"] = _layout.curve_pruning_comparison
+ORACLES["curve_pruning_comparison"] = _curve_pruning_oracle()

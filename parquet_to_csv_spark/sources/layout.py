@@ -1304,3 +1304,95 @@ def hilbert_layout_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("hkey").cast("long").alias("key_sum"),
     )
+
+
+def _morton_arith_expr(divop: str, bits: int = 12) -> str:
+    """Morton interleave as pure div/%-arithmetic SQL (engine-shared;
+    the bitwise-shift spelling differs across engines, the arithmetic
+    one doesn't): bit i of x → key bit 2i, bit i of y → key bit 2i+1."""
+    return " + ".join(
+        f"((x {divop} {1 << i}) % 2) * {4 ** i}"
+        f" + ((y {divop} {1 << i}) % 2) * {2 * 4 ** i}"
+        for i in range(bits)
+    )
+
+
+def curve_pruning_comparison(
+    spark: SparkSession, sf_dir: str, bits: int = 12, n_files: int = 24
+) -> DataFrame:
+    """EXT E442: MEASURED pruning payoff of Hilbert vs Z-order
+    clustering — the number every "use a space-filling curve" claim
+    owes you (E327 measured Z-order vs single-column sort; this
+    measures the curves against each other): orders are laid out into
+    ``n_files`` key-range files under BOTH curves, per-file min/max
+    (x, y) manifests are built exactly as the skipping machinery (E50)
+    would, and 8 deterministic 256×256 box queries report how many
+    files and rows each layout would scan vs the true match count.
+    Hilbert's continuity gives tighter per-range bounding boxes, so it
+    should scan no more than Morton on every box — measured, not
+    asserted.
+
+    Everything is arithmetic on exact integers (the curve keys, the
+    file split at key div (keyspace/n_files), box intersection), so
+    the DuckDB oracle replays the full comparison including both curve
+    constructions.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey % 4096 AS x", "o_custkey % 4096 AS y"
+    )
+    hil = hilbert_key_df(base, "x", "y", bits=bits).selectExpr(
+        "x", "y", "'hilbert' AS curve", "hkey AS key"
+    )
+    mor = base.selectExpr(
+        "x", "y", "'morton' AS curve",
+        f"CAST({_morton_arith_expr('div', bits)} AS BIGINT) AS key",
+    )
+    per_file_span = (4 ** bits) // n_files
+    manifest = (
+        hil.unionByName(mor)
+        .selectExpr("curve", "x", "y", f"key div {per_file_span} AS fid")
+        .groupBy("curve", "fid")
+        .agg(
+            F.min("x").alias("minx"), F.max("x").alias("maxx"),
+            F.min("y").alias("miny"), F.max("y").alias("maxy"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    boxes = F.broadcast(
+        spark.range(8).selectExpr(
+            "cast(id as int) AS box_id",
+            "cast((id * 512) % 4096 as int) AS x0",
+            "cast((id * 1280 + 256) % 4096 as int) AS y0",
+        )
+    )
+    kept = (
+        manifest.join(
+            boxes,
+            (F.col("maxx") >= F.col("x0")) & (F.col("minx") <= F.col("x0") + 255)
+            & (F.col("maxy") >= F.col("y0")) & (F.col("miny") <= F.col("y0") + 255),
+        )
+        .groupBy("curve", "box_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files_kept"),
+            F.sum("n_rows").cast("long").alias("n_rows_scanned"),
+        )
+    )
+    matches = (
+        base.join(
+            boxes,
+            (F.col("x") >= F.col("x0")) & (F.col("x") <= F.col("x0") + 255)
+            & (F.col("y") >= F.col("y0")) & (F.col("y") <= F.col("y0") + 255),
+        )
+        .groupBy("box_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows_matching"))
+    )
+    return kept.join(matches, "box_id", "left").select(
+        "curve", "box_id", "n_files_kept", "n_rows_scanned",
+        F.coalesce(F.col("n_rows_matching"), F.lit(0).cast("long")).alias(
+            "n_rows_matching"
+        ),
+    )

@@ -475,3 +475,22 @@ def test_dp_release_reproducible_and_bounded(spark):
         # Laplace(1) inverse-CDF from u16 is bounded by ln(65537) ≈ 11.09
         assert abs(noise_micro) <= 11_100_000
         assert abs(released - true[et]) <= 12
+
+
+def test_hilbert_prunes_no_worse_than_morton(spark):
+    import pyspark.sql.functions as F
+
+    from parquet_to_csv_spark.sources.layout import curve_pruning_comparison
+
+    tot = {
+        r["curve"]: (r["files"], r["rows"])
+        for r in curve_pruning_comparison(spark, "/root/testdata/sf0.1")
+        .groupBy("curve")
+        .agg(F.sum("n_files_kept").alias("files"),
+             F.sum("n_rows_scanned").alias("rows"))
+        .collect()
+    }
+    # continuity pays: across the box workload Hilbert never scans
+    # more than Morton (individual boxes may flip — measured honesty)
+    assert tot["hilbert"][0] <= tot["morton"][0]
+    assert tot["hilbert"][1] <= tot["morton"][1]
