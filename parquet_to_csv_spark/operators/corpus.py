@@ -3197,3 +3197,43 @@ def pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(ok) * 1000000 div count(1)").alias("precision_ppm"),
         )
     )
+
+
+def contributor_cap_sample(
+    spark: SparkSession, sf_dir: str, cap: int = 5
+) -> DataFrame:
+    """EXT E443: CONTRIBUTOR CAPPING — bound any single contributor's
+    share of the training mix (the anti-memorization / anti-dominance
+    sampler: one prolific user, domain or crawl seed must not define
+    the model; see the per-author caps in public LM data recipes).
+    Each user keeps at most ``cap`` events, selected DETERMINISTICALLY
+    by md5 order (engine-reproducible, no rand()); the report shows
+    per event_type what capping did: rows before/after, contributing
+    users, and the LARGEST single-user share in ppm before/after —
+    the dominance number the cap exists to push down.
+
+    Plan: one md5 projection, one PARTITIONED (per-user) rank window,
+    two aggregates sharing the (type, user) grain — no global windows,
+    no joins on the data grain beyond the shared exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.md5(F.concat_ws("_", F.col("event_id"), F.lit("cap"))), "event_id"
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    kept = ranked.withColumn("is_kept", F.col("rn") <= cap)
+    per_ut = kept.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(F.col("is_kept").cast("int")).alias("n_a"),
+    )
+    return per_ut.groupBy("event_type").agg(
+        F.sum("n_b").cast("long").alias("n_before"),
+        F.sum("n_a").cast("long").alias("n_after"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.expr("max(n_b) * 1000000 div sum(n_b)").alias("max_user_share_before_ppm"),
+        F.expr("max(n_a) * 1000000 div sum(n_a)").alias("max_user_share_after_ppm"),
+    )

@@ -2392,3 +2392,30 @@ FROM kept k LEFT JOIN matches m USING (box_id)""")
 
 QUERIES["curve_pruning_comparison"] = _layout.curve_pruning_comparison
 ORACLES["curve_pruning_comparison"] = _curve_pruning_oracle()
+
+
+# E443 — contributor capping; md5-ordered deterministic per-user keep.
+QUERIES["contributor_cap_sample"] = corpus.contributor_cap_sample
+ORACLES["contributor_cap_sample"] = """
+WITH ranked AS (
+  SELECT event_type, user_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY md5(CAST(event_id AS VARCHAR) || '_cap'), event_id
+         ) AS rn
+  FROM events
+), per_ut AS (
+  SELECT event_type, user_id, count(*) AS n_b,
+         sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS n_a
+  FROM ranked GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(n_b) AS BIGINT) AS n_before,
+       CAST(sum(n_a) AS BIGINT) AS n_after,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(max(n_b) * 1000000 // sum(n_b) AS BIGINT)
+         AS max_user_share_before_ppm,
+       CAST(max(n_a) * 1000000 // sum(n_a) AS BIGINT)
+         AS max_user_share_after_ppm
+FROM per_ut GROUP BY 1
+"""
