@@ -1935,3 +1935,85 @@ def rake_keywords(spark: SparkSession, sf_dir: str, k: int = 15) -> DataFrame:
         .select("phrase", "n_docs", "score_milli",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def tokenizer_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E444: tokenizer ROUND-TRIP fidelity — how much of the raw
+    text the tokenize→detokenize cycle destroys, per source. Every
+    pipeline that stores tokens instead of text (packing, n-gram
+    stores, LM training) silently commits to this loss; the audit
+    prices it BEFORE the decision: detok = join(tokens, ' ') compared
+    against the RAW text — case folding and whitespace collapse are
+    exactly the differences, so sources with heavy formatting (code,
+    tables) show low exact-round-trip rates and high char loss while
+    plain prose round-trips clean.
+
+    One projection + one aggregate; all metrics integers (char loss is
+    provably non-negative: folding preserves length, collapse/trim
+    only removes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    detok = F.array_join(tokens_col("text"), " ")
+    per = docs.select(
+        "source",
+        (detok == F.col("text")).cast("int").alias("exact"),
+        (F.length("text") - F.length(detok)).alias("lost"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("exact").cast("long").alias("n_roundtrip_exact"),
+        F.expr("sum(exact) * 1000000 div count(1)").alias("exact_ppm"),
+        F.sum("lost").cast("long").alias("chars_lost"),
+    )
+
+
+def postings_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E445: delta+varint SIZE ESTIMATE for the inverted index —
+    the storage-engineering number behind E100's posting lists: doc-id
+    lists compress to gap deltas + varints (the Lucene/PForDelta
+    family's baseline), and the payoff depends entirely on the df
+    distribution — dense lists have tiny gaps (1-byte varints), rare
+    tokens pay full first-id cost. Per df band: tokens, postings, raw
+    bytes (8/posting), delta+varint bytes, savings ppm — the estimate
+    that decides whether an index ships compressed.
+
+    All integer arithmetic (gap sequences from sorted distinct ids,
+    varint width by threshold CASE), one explode + one per-token
+    aggregate + one band aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    posting = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("t"))
+        .distinct()
+        .groupBy("t")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    vb = F.expr(
+        "aggregate(transform(sequence(1, size(ids)),"
+        " i -> CASE WHEN i = 1 THEN element_at(ids, 1) + 1"
+        " ELSE element_at(ids, i) - element_at(ids, i - 1) END),"
+        " cast(0 as bigint), (a, g) -> a + ("
+        " CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2"
+        " WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4"
+        " ELSE 5 END))"
+    )
+    per_tok = posting.select(
+        F.size("ids").alias("df"),
+        vb.alias("varint_bytes"),
+    ).select(
+        F.expr(
+            "CASE WHEN df = 1 THEN '1' WHEN df <= 10 THEN '2-10'"
+            " WHEN df <= 100 THEN '11-100' ELSE '101+' END"
+        ).alias("df_band"),
+        "df",
+        "varint_bytes",
+    )
+    return per_tok.groupBy("df_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("df").cast("long").alias("n_postings"),
+        (F.sum("df") * 8).cast("long").alias("raw_bytes"),
+        F.sum("varint_bytes").cast("long").alias("varint_bytes"),
+        F.expr(
+            "(sum(df) * 8 - sum(varint_bytes)) * 1000000 div (sum(df) * 8)"
+        ).alias("savings_ppm"),
+    )

@@ -2419,3 +2419,58 @@ SELECT event_type,
          AS max_user_share_after_ppm
 FROM per_ut GROUP BY 1
 """
+
+
+# E444 — tokenizer round-trip fidelity vs RAW text.
+QUERIES["tokenizer_roundtrip_audit"] = text.tokenizer_roundtrip_audit
+ORACLES["tokenizer_roundtrip_audit"] = f"""
+WITH per AS (
+  SELECT source,
+         CASE WHEN array_to_string({_TOKS}, ' ') = text THEN 1 ELSE 0 END
+           AS exact,
+         length(text) - length(array_to_string({_TOKS}, ' ')) AS lost
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(exact) AS BIGINT) AS n_roundtrip_exact,
+       CAST(sum(exact) * 1000000 // count(*) AS BIGINT) AS exact_ppm,
+       CAST(sum(lost) AS BIGINT) AS chars_lost
+FROM per GROUP BY 1
+"""
+
+
+# E445 — posting-list delta+varint estimate; identical integer CASE
+# ladders in both engines.
+QUERIES["postings_compression_estimate"] = text.postings_compression_estimate
+ORACLES["postings_compression_estimate"] = f"""
+WITH posting AS (
+  SELECT t, list_sort(list(DISTINCT doc_id)) AS ids
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY 1
+), per_tok AS (
+  SELECT len(ids) AS df,
+         list_sum(list_transform(range(1, len(ids) + 1), i ->
+           CASE WHEN (CASE WHEN i = 1 THEN ids[1] + 1
+                      ELSE ids[CAST(i AS INT)] - ids[CAST(i AS INT) - 1] END) < 128 THEN 1
+                WHEN (CASE WHEN i = 1 THEN ids[1] + 1
+                      ELSE ids[CAST(i AS INT)] - ids[CAST(i AS INT) - 1] END) < 16384 THEN 2
+                WHEN (CASE WHEN i = 1 THEN ids[1] + 1
+                      ELSE ids[CAST(i AS INT)] - ids[CAST(i AS INT) - 1] END) < 2097152 THEN 3
+                WHEN (CASE WHEN i = 1 THEN ids[1] + 1
+                      ELSE ids[CAST(i AS INT)] - ids[CAST(i AS INT) - 1] END) < 268435456 THEN 4
+                ELSE 5 END)) AS varint_bytes
+  FROM posting
+), banded AS (
+  SELECT CASE WHEN df = 1 THEN '1' WHEN df <= 10 THEN '2-10'
+              WHEN df <= 100 THEN '11-100' ELSE '101+' END AS df_band,
+         df, varint_bytes
+  FROM per_tok
+)
+SELECT df_band, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+       CAST(sum(varint_bytes) AS BIGINT) AS varint_bytes,
+       CAST((sum(df) * 8 - sum(varint_bytes)) * 1000000 // (sum(df) * 8)
+            AS BIGINT) AS savings_ppm
+FROM banded GROUP BY 1
+"""
