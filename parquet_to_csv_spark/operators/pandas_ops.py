@@ -376,3 +376,59 @@ def udtf_polymorphic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         """
     )
+
+
+def udtf_table_partition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E446: Python UDTF with a TABLE ARGUMENT + ``PARTITION BY``
+    (Spark 4) — the SQL-native spelling of "run this stateful function
+    once per group, streaming the group's rows through it": the
+    planner shuffles on the partition expression and feeds each
+    partition's rows to one UDTF instance (``eval`` per row,
+    ``terminate`` emits the group summary). This is the fourth leg of
+    the UDTF surface (E168 static schema, E395 polymorphic analyze,
+    E392/E394 SQL-side): where applyInPandas needs a DataFrame-API
+    call site, a TABLE-argument UDTF composes in PLAIN SQL — any BI
+    tool or scripted statement can invoke it.
+
+    Exactness: cents are pre-computed relationally and summed as
+    Python ints (arbitrary precision), so the gate is integer-exact
+    against the relational twin. Scale: one shuffle on the partition
+    key, one UDTF instance per group — the same execution shape as
+    applyInPandas, minus Arrow batching (documented trade: per-row
+    Python eval, so this surface is for LOW-VOLUME-per-group logic;
+    the vectorized escape hatches remain the data-grain tools).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n_events bigint, sum_cents bigint")
+    class PartitionSummary:
+        def __init__(self) -> None:
+            self._type = None
+            self._n = 0
+            self._cents = 0
+
+        def eval(self, row) -> None:
+            self._type = row["event_type"]
+            self._n += 1
+            self._cents += row["cents"]
+
+        def terminate(self):
+            if self._type is not None:
+                yield self._type, self._n, self._cents
+
+    spark.udtf.register("t_partition_summary", PartitionSummary)
+    from parquet_to_csv_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM t_partition_summary(
+          TABLE(
+            SELECT event_type,
+                   cast(floor(value * 100 + 0.5) as bigint) AS cents
+            FROM events
+          )
+          PARTITION BY event_type
+        )
+        """
+    )

@@ -2474,3 +2474,13 @@ SELECT df_band, CAST(count(*) AS BIGINT) AS n_tokens,
             AS BIGINT) AS savings_ppm
 FROM banded GROUP BY 1
 """
+
+
+# E446 — UDTF with TABLE argument + PARTITION BY; relational twin.
+QUERIES["udtf_table_partition_summary"] = pandas_ops.udtf_table_partition_summary
+ORACLES["udtf_table_partition_summary"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1
+"""
