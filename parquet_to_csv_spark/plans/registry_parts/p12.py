@@ -2484,3 +2484,40 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
          AS sum_cents
 FROM events GROUP BY 1
 """
+
+
+# E447 — shallow clone lifecycle; closed-form per-table counts.
+QUERIES["shallow_clone_scan"] = _layout.shallow_clone_scan
+ORACLES["shallow_clone_scan"] = """
+WITH base AS (
+  SELECT event_type, count(*) AS n FROM events
+  WHERE event_type <> 'error' GROUP BY 1
+), extra AS (
+  SELECT event_type, count(*) AS n FROM events
+  WHERE value > 3.0 AND event_type IN ('click', 'purchase') GROUP BY 1
+)
+SELECT 'source' AS tbl, b.event_type,
+       CAST(b.n + CASE WHEN b.event_type = 'purchase'
+                       THEN coalesce(e.n, 0) ELSE 0 END AS BIGINT) AS n_rows
+FROM base b LEFT JOIN extra e USING (event_type)
+UNION ALL
+SELECT 'clone' AS tbl, b.event_type,
+       CAST(b.n + CASE WHEN b.event_type = 'click'
+                       THEN coalesce(e.n, 0) ELSE 0 END AS BIGINT) AS n_rows
+FROM base b LEFT JOIN extra e USING (event_type)
+"""
+
+
+# E448 — CDC feed over the posdel lifecycle artifact.
+QUERIES["snapshot_cdc_report"] = _layout.snapshot_cdc_report
+ORACLES["snapshot_cdc_report"] = """
+SELECT 'delete' AS _change_type, 'error' AS event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'insert' AS _change_type, 'error' AS event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+FROM events WHERE event_type = 'error' AND value > 2.0
+"""

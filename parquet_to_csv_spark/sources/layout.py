@@ -1396,3 +1396,206 @@ def curve_pruning_comparison(
             "n_rows_matching"
         ),
     )
+
+
+def clone_table(src_dir: str, dst_dir: str) -> int:
+    """EXT E447: SHALLOW CLONE — a zero-copy fork of a snapshot table:
+    the clone's v0 manifest references the SOURCE's live data files
+    (and its delete vectors) verbatim; no byte is copied, and the two
+    tables diverge independently from that point (appends/deletes to
+    either are invisible to the other — manifests are per-table).
+    Delta/Iceberg ship exactly this for dev/test forks of 100 TB
+    tables, with the same documented hazard this implementation
+    carries: VACUUM on the source only consults the source's own
+    manifests, so it can delete files a clone still references — run
+    retention on cloned lineages together, or promote the clone with a
+    deep copy first.
+    """
+    import json
+    import os
+    import uuid
+
+    src_v = latest_version(src_dir)
+    if src_v is None:
+        raise ValueError(f"no snapshots in {src_dir}")
+    man = json.load(open(_manifest_path(src_dir, src_v)))
+    os.makedirs(os.path.join(dst_dir, "manifests"), exist_ok=True)
+    manifest = {
+        "version": 0,
+        "mode": "clone",
+        "files": man["files"],
+        "cloned_from": {"table": src_dir, "version": src_v},
+    }
+    if man.get("delete_files"):
+        manifest["delete_files"] = man["delete_files"]
+    final = _manifest_path(dst_dir, 0)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as e:
+        raise RuntimeError(f"{dst_dir} already has a v0 manifest") from e
+    finally:
+        os.remove(tmp)
+    return 0
+
+
+def shallow_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E447 gate query: the clone lifecycle end to end — snapshot
+    events (v0), DELETE the error rows (v1, position vector), SHALLOW
+    CLONE at v1, then DIVERGE: append click rows to the CLONE only and
+    purchase rows to the SOURCE only. The final reads must show the
+    delete inherited by the clone, the clone's append invisible to the
+    source and vice versa — zero data files copied (pytest asserts the
+    file-level sharing). Output: per (table, event_type) row counts.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        dst = os.path.join(stage, "clone")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, src, ev)
+        commit_deletes(spark, src, "event_type = 'error'")
+        clone_table(src, dst)
+        commit_version(
+            spark, dst,
+            ev.filter((F.col("event_type") == "click") & (F.col("value") > 3.0)),
+            mode="append",
+        )
+        commit_version(
+            spark, src,
+            ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 3.0)),
+            mode="append",
+        )
+
+    root = claim_artifact(
+        spark, "clone_" + source_salt(sf_dir, "events"), _build
+    )
+    src = read_version(spark, os.path.join(root, "src")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+        F.lit("source").alias("tbl"), "event_type", "n_rows"
+    )
+    dst = read_version(spark, os.path.join(root, "clone")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+        F.lit("clone").alias("tbl"), "event_type", "n_rows"
+    )
+    return src.unionByName(dst)
+
+
+def snapshot_cdc_feed(
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int
+) -> DataFrame:
+    """EXT E448: CHANGE DATA FEED between two snapshot versions — the
+    read-side completion of the store's write surfaces (E315 commits,
+    E374 append deltas, E426 delete vectors): every row-level change
+    from ``v_from`` to ``v_to`` tagged with ``_change_type``:
+
+    - ``insert``: rows in data files the later manifest added;
+    - ``delete``: rows whose (file_path, row_index) entered a delete
+      vector between the versions — RECOVERED from the still-immutable
+      data files by joining the new vector entries back, so the feed
+      carries full before-images without the writer having logged any.
+
+    This is what incremental consumers (materialized views, downstream
+    syncs, E403-style maintenance) read instead of diffing snapshots.
+    Overwrite commits are rejected loudly — an overwrite is a table
+    replacement, not a row-level change stream.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    man_a = json.load(open(_manifest_path(table_dir, v_from)))
+    man_b = json.load(open(_manifest_path(table_dir, v_to)))
+    files_a, files_b = set(man_a["files"]), set(man_b["files"])
+    if files_a - files_b:
+        raise ValueError(
+            "files were removed between versions (overwrite commit) — "
+            "the row-level feed is append/delete only"
+        )
+    added = sorted(files_b - files_a)
+    dels_a = set(man_a.get("delete_files", []))
+    new_dels = sorted(set(man_b.get("delete_files", [])) - dels_a)
+    parts = []
+    if added:
+        parts.append(
+            spark.read.parquet(*added).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    if new_dels:
+        dd = spark.read.parquet(*new_dels)
+        base = spark.read.parquet(*sorted(files_a)).select(
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+            "*",
+        )
+        if dels_a:
+            old = spark.read.parquet(*sorted(dels_a))
+            base = base.join(
+                F.broadcast(old).withColumnsRenamed(
+                    {"file_path": "__fp", "row_index": "__ri"}
+                ),
+                ["__fp", "__ri"],
+                "left_anti",
+            )
+        deleted = (
+            base.join(
+                F.broadcast(dd).withColumnsRenamed(
+                    {"file_path": "__fp", "row_index": "__ri"}
+                ),
+                ["__fp", "__ri"],
+            )
+            .drop("__fp", "__ri")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        parts.append(deleted)
+    if not parts:
+        raise ValueError(f"no row-level changes between v{v_from} and v{v_to}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def snapshot_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E448 gate query: the CDC feed over the E426 lifecycle table
+    (v0 base → v1 error delete vector → v2 error value>2 append),
+    reduced to per-(change_type, event_type) counts: every v0 error
+    row surfaces as a ``delete`` WITH its recovered before-image, the
+    appended rows as ``insert``s — closed-form for the oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev)
+        commit_deletes(spark, tdir, "event_type = 'error'")
+        commit_version(
+            spark, tdir,
+            ev.filter((F.col("event_type") == "error") & (F.col("value") > 2.0)),
+            mode="append",
+        )
+
+    root = claim_artifact(spark, "posdel_" + source_salt(sf_dir, "events"), _build)
+    feed = snapshot_cdc_feed(spark, os.path.join(root, "tbl"), 0, 2)
+    return feed.groupBy("_change_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("event_id").cast("long").alias("n_distinct_ids"),
+    )

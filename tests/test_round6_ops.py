@@ -494,3 +494,45 @@ def test_hilbert_prunes_no_worse_than_morton(spark):
     # more than Morton (individual boxes may flip — measured honesty)
     assert tot["hilbert"][0] <= tot["morton"][0]
     assert tot["hilbert"][1] <= tot["morton"][1]
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    import json
+    import os
+
+    from parquet_to_csv_spark.sources.layout import (
+        clone_table,
+        commit_deletes,
+        commit_version,
+        latest_version,
+        read_version,
+        _manifest_path,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    df = spark.createDataFrame(
+        [(i, "drop" if i % 3 == 0 else "keep") for i in range(12)],
+        "id long, tag string",
+    )
+    commit_version(spark, src, df)
+    commit_deletes(spark, src, "tag = 'drop'")
+    clone_table(src, dst)
+    # zero copy: the clone's manifest references the SOURCE's files and
+    # the clone dir holds no data of its own
+    man = json.load(open(_manifest_path(dst, 0)))
+    assert all(f.startswith(src) for f in man["files"])
+    assert all(f.startswith(src) for f in man.get("delete_files", []))
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    # delete vector inherited
+    assert read_version(spark, dst).count() == 8
+    # divergence: appends to one side are invisible to the other
+    commit_version(spark, dst,
+                   spark.createDataFrame([(100, "clone-only")], "id long, tag string"),
+                   mode="append")
+    commit_version(spark, src,
+                   spark.createDataFrame([(200, "src-only")], "id long, tag string"),
+                   mode="append")
+    assert read_version(spark, dst).filter("tag = 'src-only'").count() == 0
+    assert read_version(spark, src).filter("tag = 'clone-only'").count() == 0
+    assert (latest_version(src), latest_version(dst)) == (2, 1)
