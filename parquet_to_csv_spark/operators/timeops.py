@@ -32,6 +32,44 @@ def _ts_micros() -> Column:
     return F.timestamp_micros(F.expr("ts div 1000"))
 
 
+import contextlib as _contextlib
+import threading as _threading
+
+# Serializes session-conf toggles (one SparkSession conf is process-
+# global): overlapping scoped_session_conf blocks on other threads
+# would otherwise race the save/restore and can restore the WRONG
+# previous value on nesting. A single lock + depth counter makes the
+# toggle re-entrant and excludes concurrent planners for the (short,
+# plan-construction-only) critical section.
+_CONF_TOGGLE_LOCK = _threading.RLock()
+_CONF_TOGGLE_DEPTH: dict[str, int] = {}
+
+
+@_contextlib.contextmanager
+def scoped_session_conf(spark: SparkSession, key: str, value: str):
+    """Set ``key`` to ``value`` for the block, restoring the previous
+    value on exit — serialized process-wide so concurrent/nested scopes
+    can't interleave a wrong restore. Hold only around PLAN
+    construction (the returned DataFrames are already optimized-enough
+    snapshots of the conf state); never around long-running actions.
+    """
+    with _CONF_TOGGLE_LOCK:
+        depth = _CONF_TOGGLE_DEPTH.get(key, 0)
+        prev = spark.conf.get(key, None) if depth == 0 else None
+        if depth == 0:
+            spark.conf.set(key, value)
+        _CONF_TOGGLE_DEPTH[key] = depth + 1
+        try:
+            yield
+        finally:
+            _CONF_TOGGLE_DEPTH[key] = depth
+            if depth == 0:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+
+
 def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9: 1-hour tumbling windows × event_type."""
     ev = load_table(spark, sf_dir, "events")
@@ -2484,13 +2522,15 @@ def markov_attribution(
     # the optimizer treats each loop join as "probably shuffle" and
     # would bolt two bloom_filter_agg full scans onto a ~26-row join —
     # pure overhead at any scale, and the trigger for the Janino
-    # fallback documented above). Restored in `finally`; the returned
-    # plan is post-cut and join-free except 1-row broadcasts, so the
-    # caller-side execution never needed the filters either.
+    # fallback documented above). The toggle is process-global session
+    # conf, so it runs under scoped_session_conf's lock: concurrent
+    # planners on other threads are excluded for the (construction-
+    # only) critical section instead of silently losing runtime-filter
+    # injection, and nesting restores the right previous value. The
+    # returned plan is post-cut and join-free except 1-row broadcasts,
+    # so the caller-side execution never needed the filters either.
     rbf_key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
-    rbf_prev = spark.conf.get(rbf_key, "true")
-    spark.conf.set(rbf_key, "false")
-    try:
+    with scoped_session_conf(spark, rbf_key, "false"):
 
         channels = ["view", "click", "signup", "error"]
         scen = pm.withColumn("scenario", F.lit("base"))
@@ -2570,8 +2610,6 @@ def markov_attribution(
             )
             if i % 3 == 2:
                 pk = _dedup_cut(pk.coalesce(1))
-    finally:
-        spark.conf.set(rbf_key, rbf_prev)
     pstart = pk.filter(F.col("state") == "START").select("scenario", "pv")
     base = F.broadcast(
         pstart.filter(F.col("scenario") == "base").select(

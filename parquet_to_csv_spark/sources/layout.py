@@ -332,14 +332,33 @@ def sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def artifact_root(spark: SparkSession) -> str:
-    """Resolve the shared artifact root (created if missing)."""
+    """Resolve the shared artifact root (created if missing).
+
+    The DEFAULT root is per-user (`/tmp/spark_graft_artifacts_<uid>`,
+    mode 0700, ownership verified) — a fixed world-predictable path
+    would let another local user pre-create the directory and plant
+    DONE.json manifests, substituting arbitrary parquet under every
+    artifact consumer (cache poisoning). The conf/env overrides remain
+    for DELIBERATE sharing between trusted processes; an override is
+    trusted as given.
+    """
     import os
 
-    root = spark.conf.get(
+    override = spark.conf.get(
         "spark.graft.artifactDir",
-        os.environ.get("SPARK_GRAFT_ARTIFACT_DIR", "/tmp/spark_graft_artifacts"),
+        os.environ.get("SPARK_GRAFT_ARTIFACT_DIR", None),
     )
-    os.makedirs(root, exist_ok=True)
+    if override:
+        os.makedirs(override, exist_ok=True)
+        return override
+    root = f"/tmp/spark_graft_artifacts_{os.getuid()}"
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"artifact root {root} is owned by uid {st.st_uid}, not the "
+            f"current user ({os.getuid()}) — refusing a poisonable cache"
+        )
     return root
 
 
@@ -352,15 +371,30 @@ def claim_artifact(spark: SparkSession, key: str, build_to) -> str:
     earlier/concurrent winner's otherwise. The key must be content-
     salted by the caller; this function only guarantees atomicity.
     """
+    import contextlib
     import json
     import os
     import shutil
     import uuid
 
+    def _committed_dir(done_path: str) -> str | None:
+        # Trust DONE.json only while the directory it points at still
+        # exists: a /tmp reaper (or manual cleanup) can remove a
+        # committed stage-* dir while DONE.json survives, and a bare
+        # fast-path return would then serve a dead path to every later
+        # call in every process.
+        try:
+            d = json.load(open(done_path))["dir"]
+        except (OSError, ValueError, KeyError):
+            return None
+        return d if os.path.isdir(d) else None
+
     adir = os.path.join(artifact_root(spark), key)
     done = os.path.join(adir, "DONE.json")
     if os.path.exists(done):
-        return json.load(open(done))["dir"]
+        committed = _committed_dir(done)
+        if committed is not None:
+            return committed
     os.makedirs(adir, exist_ok=True)
     stage = os.path.join(adir, f"stage-{uuid.uuid4().hex[:12]}")
     build_to(stage)
@@ -371,11 +405,18 @@ def claim_artifact(spark: SparkSession, key: str, build_to) -> str:
         os.link(tmp, done)
         return stage
     except FileExistsError:
-        # a racer committed first: serve its build, drop ours
-        shutil.rmtree(stage, ignore_errors=True)
-        return json.load(open(done))["dir"]
+        committed = _committed_dir(done)
+        if committed is not None:
+            # a racer committed first: serve its build, drop ours
+            shutil.rmtree(stage, ignore_errors=True)
+            return committed
+        # DONE.json exists but points at a reaped directory: repair by
+        # atomically REPLACING it with our fresh build.
+        os.replace(tmp, done)
+        return stage
     finally:
-        os.remove(tmp)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(tmp)
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -538,6 +579,20 @@ def commit_deletes(
         prev2 = latest_version(table_dir)
         version = prev2 + 1
         man2 = json.load(open(_manifest_path(table_dir, prev2)))
+        # The delete vector was computed against the snapshot read at
+        # ENTRY. A concurrent APPEND keeps those files live (the vector
+        # stays valid; appended rows are untouched by position
+        # semantics), but a concurrent OVERWRITE replaces the file set —
+        # committing anyway would "succeed" while the vectors reference
+        # files no longer in the manifest, i.e. the DELETE would
+        # silently remove nothing. Conflict loudly instead.
+        if not set(files) <= set(man2["files"]):
+            raise RuntimeError(
+                f"write conflict in {table_dir}: files the delete vector "
+                f"was computed from are no longer live at v{prev2} (a "
+                "concurrent overwrite landed) — recompute the delete "
+                "against the current snapshot"
+            )
         manifest = {
             "version": version,
             "mode": "delete",
@@ -1506,6 +1561,17 @@ def snapshot_cdc_feed(
       data files by joining the new vector entries back, so the feed
       carries full before-images without the writer having logged any.
 
+    Semantics are NET-CHANGE over the window (Delta CDF's "net changes"
+    mode): applying the feed to the v_from state yields exactly the
+    v_to state. New delete vectors are matched against ALL files live
+    at v_to — including files APPENDED inside the window (an
+    append-then-delete history binds vectors to the appended files;
+    matching only v_from's files would silently drop those delete
+    events and mis-emit the deleted rows as plain inserts). A row both
+    inserted and deleted within the window nets out: it is anti-joined
+    out of the inserts and not emitted as a delete (it was never live
+    at either endpoint).
+
     This is what incremental consumers (materialized views, downstream
     syncs, E403-style maintenance) read instead of diffing snapshots.
     Overwrite commits are rejected loudly — an overwrite is a table
@@ -1526,15 +1592,31 @@ def snapshot_cdc_feed(
     added = sorted(files_b - files_a)
     dels_a = set(man_a.get("delete_files", []))
     new_dels = sorted(set(man_b.get("delete_files", [])) - dels_a)
+    dd = spark.read.parquet(*new_dels) if new_dels else None
     parts = []
     if added:
-        parts.append(
-            spark.read.parquet(*added).withColumn(
-                "_change_type", F.lit("insert")
+        ins = spark.read.parquet(*added)
+        if dd is not None:
+            # net out rows appended AND deleted inside the window
+            ins = (
+                ins.select(
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                    "*",
+                )
+                .join(
+                    F.broadcast(dd).withColumnsRenamed(
+                        {"file_path": "__fp", "row_index": "__ri"}
+                    ),
+                    ["__fp", "__ri"],
+                    "left_anti",
+                )
+                .drop("__fp", "__ri")
             )
-        )
+        parts.append(ins.withColumn("_change_type", F.lit("insert")))
     if new_dels:
-        dd = spark.read.parquet(*new_dels)
+        # before-images come from every file live at v_from — appended
+        # files' delete entries were netted out of the inserts above.
         base = spark.read.parquet(*sorted(files_a)).select(
             F.col("_metadata.file_path").alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
