@@ -2521,3 +2521,89 @@ SELECT 'insert' AS _change_type, 'error' AS event_type,
        CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
 FROM events WHERE event_type = 'error' AND value > 2.0
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7 — lakehouse write-path completion (E449-E451).
+# ---------------------------------------------------------------------------
+
+# E449 — MERGE INTO (upsert): final state after two merges, where the
+# second merge's delete vector binds to files appended by the first.
+QUERIES["merge_upsert_report"] = _layout.merge_upsert_report
+ORACLES["merge_upsert_report"] = """
+WITH base AS (SELECT event_id, event_type, value FROM events),
+final AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN value + 7.0
+              WHEN event_id % 7 = 0 THEN value + 100.0
+              ELSE value END AS value
+  FROM base
+  UNION ALL
+  SELECT event_id + 100000000, 'merged', value + 1000.0
+  FROM base WHERE event_id % 11 = 0
+  UNION ALL
+  SELECT event_id + 200000000, 'merged2', value
+  FROM base WHERE event_id % 17 = 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+FROM final GROUP BY event_type
+"""
+
+# E449 (CDC side) — v0→v2 net change feed: update = delete + insert;
+# rows merged at v1 then re-merged at v2 net out of the inserts.
+QUERIES["merge_cdc_report"] = _layout.merge_cdc_report
+ORACLES["merge_cdc_report"] = """
+WITH base AS (SELECT event_id, event_type FROM events),
+changes AS (
+  SELECT 'delete' AS _change_type, event_id, event_type FROM base
+  WHERE event_id % 7 = 0 OR event_id % 13 = 0
+  UNION ALL
+  SELECT 'insert', event_id, event_type FROM base
+  WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+  UNION ALL
+  SELECT 'insert', event_id, event_type FROM base WHERE event_id % 13 = 0
+  UNION ALL
+  SELECT 'insert', event_id + 100000000, 'merged' FROM base
+  WHERE event_id % 11 = 0
+  UNION ALL
+  SELECT 'insert', event_id + 200000000, 'merged2' FROM base
+  WHERE event_id % 17 = 0
+)
+SELECT _change_type, event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+FROM changes GROUP BY 1, 2
+"""
+
+# E450 — OPTIMIZE executor: pre- and post-rewrite states must agree.
+QUERIES["optimize_table_report"] = _layout.optimize_table_report
+ORACLES["optimize_table_report"] = """
+WITH agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events WHERE value > 1.0 GROUP BY 1
+)
+SELECT s.stage, a.event_type, a.n_rows, a.sum_cents
+FROM (VALUES ('pre'), ('post')) s(stage) CROSS JOIN agg a
+"""
+
+# E451 — schema evolution on snapshot append (mergeSchema semantics).
+QUERIES["schema_evolution_report"] = _layout.schema_evolution_report
+ORACLES["schema_evolution_report"] = """
+SELECT event_type, CAST(NULL AS VARCHAR) AS channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'evolved' AS event_type,
+       CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'app'
+            ELSE 'api' END AS channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+"""

@@ -439,12 +439,67 @@ def latest_version(table_dir: str) -> int | None:
     return max(vs) if vs else None
 
 
+def _table_schema(spark: SparkSession, man: dict):
+    """Authoritative schema of a committed snapshot: the manifest's
+    recorded schema when present (manifests record it since round 7),
+    else derived from the live files (mergeSchema-aware fallback for
+    manifests written before schemas were recorded)."""
+    from pyspark.sql.types import StructType
+
+    if "schema" in man:
+        return StructType.fromJson(man["schema"])
+    reader = spark.read
+    if man.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*man["files"]).schema
+
+
+def _evolved_schema(table_schema, df_schema, merge_schema: bool):
+    """Validate an append's schema against the table and return the
+    (possibly widened) post-commit schema + whether evolution occurred.
+
+    Rules (Delta ``mergeSchema`` semantics): identical name→type maps
+    commit as-is; NEW columns require ``merge_schema=True`` and are
+    null-filled backward at read; columns MISSING from the append are
+    null-filled forward (the reference's S3 cross-file union, applied
+    to the versioned store); a TYPE CHANGE on a shared column is
+    rejected loudly in both modes — silent coercion corrupts readers.
+    """
+    from pyspark.sql.types import StructType
+
+    tmap = {f.name: f.dataType for f in table_schema.fields}
+    dmap = {f.name: f.dataType for f in df_schema.fields}
+    conflicts = sorted(
+        n for n in tmap.keys() & dmap.keys() if tmap[n] != dmap[n]
+    )
+    if conflicts:
+        raise ValueError(
+            "schema evolution cannot CHANGE column types: "
+            + ", ".join(
+                f"{n}: {tmap[n].simpleString()} -> {dmap[n].simpleString()}"
+                for n in conflicts
+            )
+        )
+    new_cols = [f for f in df_schema.fields if f.name not in tmap]
+    missing = sorted(tmap.keys() - dmap.keys())
+    if (new_cols or missing) and not merge_schema:
+        raise ValueError(
+            f"append schema differs from table schema (new columns "
+            f"{[f.name for f in new_cols]}, missing columns {missing}) — "
+            "pass merge_schema=True to evolve, or align the DataFrame"
+        )
+    if not new_cols and not missing:
+        return table_schema, False
+    return StructType(list(table_schema.fields) + new_cols), True
+
+
 def commit_version(
     spark: SparkSession,
     table_dir: str,
     df: DataFrame,
     mode: str = "append",
     max_attempts: int = 5,
+    merge_schema: bool = False,
 ) -> int:
     """EXT E315 (write side): commit ``df`` as a new immutable snapshot.
 
@@ -473,6 +528,17 @@ def commit_version(
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
     prev = latest_version(table_dir)
+    if mode == "append" and prev is not None:
+        # validate BEFORE writing data files so a schema rejection
+        # leaves no orphans; the retry loop re-validates against
+        # whatever manifest is latest at commit time.
+        _evolved_schema(
+            _table_schema(
+                spark, json.load(open(_manifest_path(table_dir, prev)))
+            ),
+            df.schema,
+            merge_schema,
+        )
     guess = 0 if prev is None else prev + 1
     data_dir = os.path.join(table_dir, "data", f"v{guess}")
     if os.path.exists(data_dir):
@@ -496,11 +562,24 @@ def commit_version(
         # they bind to files that remain live; overwrite drops both the
         # files and their deletes.
         carried_dels: list[str] = []
+        schema = df.schema
+        evolved = False
         if mode == "append" and prev is not None:
             prev_man = json.load(open(_manifest_path(table_dir, prev)))
             live = prev_man["files"]
             carried_dels = prev_man.get("delete_files", [])
-        manifest = {"version": version, "mode": mode, "files": live + new_files}
+            schema, evolved = _evolved_schema(
+                _table_schema(spark, prev_man), df.schema, merge_schema
+            )
+            evolved = evolved or bool(prev_man.get("merge_schema"))
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": live + new_files,
+            "schema": schema.jsonValue(),
+        }
+        if evolved:
+            manifest["merge_schema"] = True
         if carried_dels:
             manifest["delete_files"] = carried_dels
         final = _manifest_path(table_dir, version)
@@ -555,7 +634,10 @@ def commit_deletes(
     man = json.load(open(_manifest_path(table_dir, prev)))
     files = man["files"]
     existing_dels = man.get("delete_files", [])
-    base = spark.read.parquet(*files).select(
+    reader = spark.read
+    if man.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    base = reader.parquet(*files).select(
         F.col("_metadata.file_path").alias("file_path"),
         F.col("_metadata.row_index").alias("row_index"),
         "*",
@@ -599,6 +681,9 @@ def commit_deletes(
             "files": man2["files"],
             "delete_files": man2.get("delete_files", []) + del_files,
         }
+        for k in ("schema", "merge_schema"):
+            if k in man2:
+                manifest[k] = man2[k]
         final = _manifest_path(table_dir, version)
         tmp = final + f".tmp-{token}"
         with open(tmp, "w") as f:
@@ -633,7 +718,13 @@ def read_version(
     files = man["files"]
     if not files:
         raise ValueError(f"version {version} has no files")
-    df = spark.read.parquet(*files)
+    reader = spark.read
+    if man.get("merge_schema"):
+        # the snapshot's files carry evolved (widened) schemas: union
+        # them, null-filling columns absent from older files — the
+        # footer-merge job is per-FILE metadata work, not a data scan.
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*files)
     del_files = man.get("delete_files", [])
     if del_files:
         from pyspark.sql import functions as F
@@ -1481,8 +1572,9 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         "files": man["files"],
         "cloned_from": {"table": src_dir, "version": src_v},
     }
-    if man.get("delete_files"):
-        manifest["delete_files"] = man["delete_files"]
+    for k in ("delete_files", "schema", "merge_schema"):
+        if man.get(k):
+            manifest[k] = man[k]
     final = _manifest_path(dst_dir, 0)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -1593,9 +1685,12 @@ def snapshot_cdc_feed(
     dels_a = set(man_a.get("delete_files", []))
     new_dels = sorted(set(man_b.get("delete_files", [])) - dels_a)
     dd = spark.read.parquet(*new_dels) if new_dels else None
+    reader = spark.read
+    if man_b.get("merge_schema") or man_a.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
     parts = []
     if added:
-        ins = spark.read.parquet(*added)
+        ins = reader.parquet(*added)
         if dd is not None:
             # net out rows appended AND deleted inside the window
             ins = (
@@ -1617,7 +1712,7 @@ def snapshot_cdc_feed(
     if new_dels:
         # before-images come from every file live at v_from — appended
         # files' delete entries were netted out of the inserts above.
-        base = spark.read.parquet(*sorted(files_a)).select(
+        base = reader.parquet(*sorted(files_a)).select(
             F.col("_metadata.file_path").alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
             "*",
@@ -1646,7 +1741,7 @@ def snapshot_cdc_feed(
         raise ValueError(f"no row-level changes between v{v_from} and v{v_to}")
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -1680,4 +1775,395 @@ def snapshot_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.groupBy("_change_type", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count_distinct("event_id").cast("long").alias("n_distinct_ids"),
+    )
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_cols: list[str] | str,
+    max_attempts: int = 5,
+) -> int:
+    """EXT E449: MERGE INTO (upsert) on the versioned snapshot store —
+    the Delta/Iceberg ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN
+    NOT MATCHED THEN INSERT *`` write path, completing E315 (commits) +
+    E426 (position deletes) + E448 (CDC feed).
+
+    Mechanics: because WHEN MATCHED replaces the FULL row image, the
+    append side is simply ``changes`` verbatim (matched rows' new
+    images and unmatched inserts alike), written ONCE; the delete side
+    is a position vector over the CURRENT images of matched keys. Both
+    land in ONE atomic manifest link (mode ``merge``), so readers see
+    either the whole upsert or none of it, and the E448 change feed
+    shows each update as delete(before-image) + insert(after-image).
+
+    Why this scales to 100 TB: data files are never rewritten — cost is
+    ∝ |changes| (append) + one key semi-join against the live snapshot
+    for the vector (Catalyst picks broadcast when ``changes`` is small,
+    the common CDC-batch case). Copy-on-write MERGE would rewrite every
+    file containing a matched row.
+
+    Concurrency: optimistic, like ``commit_version``. The appended
+    files depend only on ``changes`` and are reused across retries; the
+    delete vector depends on the snapshot, so losing the manifest race
+    recomputes the vector against the new latest (a racer's appends
+    are matched too — no lost update) and retries. ANSI MERGE
+    cardinality is enforced: duplicate keys in ``changes`` are
+    rejected loudly (a multi-match would apply an arbitrary image).
+
+    The schema of ``changes`` must match the table exactly (evolution
+    belongs to ``commit_version(merge_schema=True)``, not to upserts).
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    prev = latest_version(table_dir)
+    if prev is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    man0 = json.load(open(_manifest_path(table_dir, prev)))
+    # strict schema parity (names+types, order-insensitive)
+    _evolved_schema(_table_schema(spark, man0), changes.schema, False)
+    dup = (
+        changes.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source has duplicate keys on "
+            f"{key_cols} — ANSI MERGE cardinality violation"
+        )
+    # append side: written ONCE, valid across retries
+    data_dir = os.path.join(
+        table_dir, "data", f"m{prev + 1}.{uuid.uuid4().hex[:8]}"
+    )
+    changes.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    keys = changes.select(*key_cols)
+    for _ in range(max_attempts):
+        at = latest_version(table_dir)
+        man = json.load(open(_manifest_path(table_dir, at)))
+        files = man["files"]
+        existing_dels = man.get("delete_files", [])
+        reader = spark.read
+        if man.get("merge_schema"):
+            reader = reader.option("mergeSchema", "true")
+        base = reader.parquet(*files).select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+            *key_cols,
+        )
+        if existing_dels:
+            dd = spark.read.parquet(*existing_dels)
+            base = base.join(dd, ["file_path", "row_index"], "left_anti")
+        matched = base.join(keys, key_cols, "left_semi").select(
+            "file_path", "row_index"
+        )
+        del_dir = os.path.join(
+            table_dir, "deletes", f"m{at + 1}.{uuid.uuid4().hex[:8]}"
+        )
+        matched.write.parquet(del_dir)
+        del_files = sorted(
+            os.path.join(del_dir, f)
+            for f in os.listdir(del_dir)
+            if f.endswith(".parquet")
+        )
+        manifest = {
+            "version": at + 1,
+            "mode": "merge",
+            "files": files + new_files,
+            "delete_files": existing_dels + del_files,
+        }
+        for k in ("schema", "merge_schema"):
+            if k in man:
+                manifest[k] = man[k]
+        final = _manifest_path(table_dir, at + 1)
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)
+            return at + 1
+        except FileExistsError:
+            # a racer landed this version: the vector is stale (it may
+            # miss rows the racer appended) — drop it and recompute
+            # against the new latest. The append side stays valid.
+            shutil.rmtree(del_dir, ignore_errors=True)
+            continue
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(f"concurrent commit: MERGE lost races in {table_dir}")
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """EXT E450: OPTIMIZE executor — executes what E317 only PLANS:
+    rewrite the current snapshot into ~``target_file_bytes`` files,
+    squashing accumulated position delete vectors (E426) into the
+    rewritten files, as ONE rewrite commit (mode ``optimize``). Same
+    rows, fewer files, zero delete sidecars; every PRE-optimize version
+    still reads bit-identically because old manifests and old data
+    files are untouched (vacuum reclaims them later, E316).
+
+    Scale: this local executor rewrites the whole table in one job
+    (one shuffle, ``repartition`` to the byte-budgeted file count —
+    chosen over ``coalesce`` because compaction inputs are skewed
+    small files and coalesce would glue them unevenly without
+    rebalancing). On a 100 TB table you run the SAME commit protocol
+    per E317 batch — each batch rewrites only its own small files and
+    commits manifest = (untouched files + batch rewrite), so OPTIMIZE
+    is incremental and restartable; the whole-table path here is the
+    sf-local specialization, not the design.
+
+    Concurrency: an OPTIMIZE is a read-rewrite of the WHOLE snapshot;
+    any commit that lands after the snapshot was read invalidates the
+    rewrite (a racer's delete vectors or appends would be silently
+    dropped). It therefore conflicts loudly instead of retrying —
+    re-run against the new snapshot.
+    """
+    import json
+    import os
+    import uuid
+
+    prev = latest_version(table_dir)
+    if prev is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    man = json.load(open(_manifest_path(table_dir, prev)))
+    df = read_version(spark, table_dir, prev)  # deletes applied
+    live_bytes = sum(os.path.getsize(f) for f in man["files"])
+    n_target = max(1, min(len(man["files"]), -(-live_bytes // target_file_bytes)))
+    data_dir = os.path.join(
+        table_dir, "data", f"opt{prev + 1}.{uuid.uuid4().hex[:8]}"
+    )
+    df.repartition(n_target).write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    manifest = {
+        "version": prev + 1,
+        "mode": "optimize",
+        "files": new_files,
+        # rewritten files all share the current (possibly evolved)
+        # schema: the merge_schema flag is intentionally DROPPED —
+        # OPTIMIZE normalizes layout and schema alike.
+        "schema": df.schema.jsonValue(),
+    }
+    final = _manifest_path(table_dir, prev + 1)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, final)
+        return prev + 1
+    except FileExistsError as e:
+        raise RuntimeError(
+            f"concurrent commit during OPTIMIZE of {table_dir} — the "
+            "rewrite was computed against a stale snapshot; re-run"
+        ) from e
+    finally:
+        os.remove(tmp)
+
+
+def _merge_lifecycle_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once artifact for the E449 MERGE lifecycle: v0 = events
+    base, v1 = merge #1 (update every id%7 row to value+100; insert
+    id%11 rows as fresh 'merged' keys), v2 = merge #2 (update ALL the
+    merged keys to value+1000, update id%13 originals to value+7,
+    insert id%17 rows as 'merged2'). Merge #2's delete vector binds to
+    files APPENDED by merge #1 — exactly the CDC path the round-6
+    advisor flagged — and to v0 files, in one commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev)  # v0
+        c1 = (
+            ev.filter(F.col("event_id") % 7 == 0)
+            .withColumn("value", F.col("value") + F.lit(100.0))
+            .unionByName(
+                ev.filter(F.col("event_id") % 11 == 0).select(
+                    (F.col("event_id") + F.lit(100000000)).alias("event_id"),
+                    F.lit("merged").alias("event_type"),
+                    F.col("value"),
+                )
+            )
+        )
+        merge_into(spark, tdir, c1, "event_id")  # v1
+        c2 = (
+            ev.filter(F.col("event_id") % 11 == 0)
+            .select(
+                (F.col("event_id") + F.lit(100000000)).alias("event_id"),
+                F.lit("merged").alias("event_type"),
+                (F.col("value") + F.lit(1000.0)).alias("value"),
+            )
+            .unionByName(
+                ev.filter(F.col("event_id") % 13 == 0).withColumn(
+                    "value", F.col("value") + F.lit(7.0)
+                )
+            )
+            .unionByName(
+                ev.filter(F.col("event_id") % 17 == 0).select(
+                    (F.col("event_id") + F.lit(200000000)).alias("event_id"),
+                    F.lit("merged2").alias("event_type"),
+                    F.col("value"),
+                )
+            )
+        )
+        merge_into(spark, tdir, c2, "event_id")  # v2
+
+    return claim_artifact(
+        spark, "merge_" + source_salt(sf_dir, "events"), _build
+    )
+
+
+def merge_upsert_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E449 gate query: read back the post-MERGE table state and
+    reduce to per-type exact aggregates — the oracle recomputes the
+    same state relationally (last-writer image per key), so a lost
+    update, double-apply, or phantom duplicate flips the hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    root = _merge_lifecycle_root(spark, sf_dir)
+    return (
+        read_version(spark, os.path.join(root, "tbl"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+            F.count_distinct("event_id").cast("long").alias("n_ids"),
+        )
+    )
+
+
+def merge_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E449 gate query (CDC side): the E448 change feed across BOTH
+    merges (v0→v2) — every update surfaces as delete(before-image) +
+    insert(after-image); rows merged at v1 and re-merged at v2 net out
+    of the inserts (their vector entries bind to v1-APPENDED files,
+    the advisor-flagged path, now load-bearing in the oracle gate)."""
+    from pyspark.sql import functions as F
+
+    import os
+
+    root = _merge_lifecycle_root(spark, sf_dir)
+    feed = snapshot_cdc_feed(spark, os.path.join(root, "tbl"), 0, 2)
+    return feed.groupBy("_change_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("event_id").cast("long").alias("n_ids"),
+    )
+
+
+def optimize_table_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E450 gate query: OPTIMIZE rewrites a 12-file + delete-vector
+    snapshot into byte-budgeted files; the report aggregates the table
+    BEFORE (v1, vectors live) and AFTER (v2, vectors squashed) — the
+    oracle emits the same relation for both stages, so any row lost,
+    duplicated, or resurrected (a deleted row escaping the squash) by
+    the rewrite breaks the gate. File-count reduction and pre-version
+    bit-identity are pinned by the lifecycle pytest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev.repartition(12))  # v0: 12 files
+        commit_deletes(spark, tdir, "value <= 1.0")      # v1: vectors
+        optimize_table(spark, tdir)                      # v2: rewrite
+
+    root = claim_artifact(
+        spark, "optimize_" + source_salt(sf_dir, "events"), _build
+    )
+    tdir = os.path.join(root, "tbl")
+
+    def agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+        ).select(F.lit(stage).alias("stage"), "*")
+
+    return agg(read_version(spark, tdir, 1), "pre").unionByName(
+        agg(read_version(spark, tdir, 2), "post")
+    )
+
+
+def schema_evolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E451 gate query: mergeSchema-style append on the versioned
+    store — v0 is (event_id, event_type, value); v1 appends rows that
+    CARRY A NEW COLUMN ``channel`` under ``merge_schema=True``. The
+    read of v1 must union the schemas with old rows null-filled
+    backward (the reference's S3 growing-schema semantics applied to
+    the snapshot store — cf. main.js schema-union handling and
+    src/notFoundKeys.js); type CHANGES are rejected loudly (pytest).
+    Output: per (event_type, channel) exact aggregates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events")
+        base = ev.select("event_id", "event_type", "value")
+        commit_version(spark, tdir, base)  # v0
+        evolved = ev.filter(F.col("event_type") == "purchase").select(
+            (F.col("event_id") + F.lit(300000000)).alias("event_id"),
+            F.lit("evolved").alias("event_type"),
+            F.col("value"),
+            F.element_at(
+                F.array(F.lit("web"), F.lit("app"), F.lit("api")),
+                (F.col("user_id") % 3 + 1).cast("int"),
+            ).alias("channel"),
+        )
+        commit_version(spark, tdir, evolved, mode="append", merge_schema=True)
+
+    root = claim_artifact(
+        spark, "schemaevo_" + source_salt(sf_dir, "events"), _build
+    )
+    return (
+        read_version(spark, os.path.join(root, "tbl"))
+        .groupBy("event_type", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+        )
     )
