@@ -131,6 +131,24 @@ def main() -> None:
         timings["ref_convert_e2e"] = -1.0
     spark.catalog.clearCache()
 
+    # Streaming throughput tier (round-7, verdict item 6): measured
+    # drain RATES (rows/sec) for the stateless / windowed-agg / dedup
+    # paths, state rows read back via the statestore source. Kept
+    # OUTSIDE the query total so round-over-round totals stay
+    # comparable; BASELINE.md tracks the rates separately.
+    streaming_tier: dict = {}
+    try:
+        from parquet_to_csv_spark.streaming.stream import streaming_throughput
+
+        streaming_tier = streaming_throughput(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        print(
+            f"bench: streaming_tier failed: {type(e).__name__}: {e}",
+            file=sys.stderr,
+        )
+        streaming_tier = {"error": f"{type(e).__name__}: {e}"}
+    spark.catalog.clearCache()
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Tier split (round-5 verdict item 7): the corpus-wide exact audits
     # are deliberately expensive — they enumerate/verify EVERY true
@@ -162,6 +180,7 @@ def main() -> None:
         "infra_tier_sec": infra_sec,
         "hot_tier_sec": round(total - audit_sec - infra_sec, 3),
         "audit_tier": sorted(AUDIT_TIER & set(timings)),
+        "streaming_tier": streaming_tier,
     }
     if codegen_fallbacks:
         payload["codegen_fallbacks"] = codegen_fallbacks

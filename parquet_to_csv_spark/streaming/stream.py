@@ -1083,3 +1083,116 @@ def state_metadata_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_batches"),
     )
+
+
+def streaming_throughput(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> dict:
+    """Round-7 bench tier (verdict item 6): sustained drain RATES for
+    the streaming path — every drain in the registry is
+    correctness-gated, but none was benched for throughput, so a
+    state-store or per-micro-batch regression was invisible. Three
+    measured legs over the same ``n_files``-file staged ``events``
+    source, each an availableNow drain into the ``noop`` sink (no sink
+    I/O in the number):
+
+    - ``stateless``: projection+filter only — the ingestion ceiling of
+      the file source (micro-batch overhead + scan + expression eval);
+    - ``window_agg``: watermarked 1-hour-window × type aggregation —
+      the stateful-aggregation path, state rows counted back from the
+      checkpoint through the E421 ``statestore`` reader;
+    - ``dedup``: ``dropDuplicates(event_id)`` — the max-cardinality
+      state shape (one state row per input row, the worst case a
+      dedup-at-ingest deployment sustains).
+
+    Returns rates (rows/sec) + walls + state-row counts; bench.py
+    records it as ``streaming_tier`` in BENCH_OUT.json — OUTSIDE the
+    query total, so round-over-round query comparisons stay stable.
+    Multi-batch by construction (``maxFilesPerTrigger=2`` over
+    ``n_files`` staged files ⇒ n_files/2 micro-batches), because a
+    single mega-batch would hide per-batch state-commit overhead —
+    the thing most likely to regress.
+    """
+    import tempfile
+    import time
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    stage = _staged_once(
+        spark, sf_dir, "events", f"evtp{n_files}_",
+        lambda p: load_table(spark, sf_dir, "events").repartition(n_files)
+        .write.mode("overwrite").parquet(p),
+    )
+    n_rows = spark.read.parquet(stage).count()
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def _source() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stage)
+        )
+
+    def _drain(df: DataFrame, mode: str, ckpt: str) -> float:
+        t0 = time.perf_counter()
+        q = (
+            df.writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return time.perf_counter() - t0
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stateless = _source().filter(F.col("value") > 0).select(
+            "event_id", "event_type",
+            F.expr("cast(floor(value * 100 + 0.5) as long)").alias("cents"),
+        )
+        w_stateless = _drain(
+            stateless, "append", tempfile.mkdtemp(prefix="tp_sl_")
+        )
+
+        agg_ckpt = tempfile.mkdtemp(prefix="tp_agg_")
+        agg = (
+            _source()
+            .withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ets", "1 hour")
+            .groupBy(F.window("ets", "1 hour"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w_agg = _drain(agg, "update", agg_ckpt)
+        agg_state_rows = (
+            spark.read.format("statestore").load(agg_ckpt).count()
+        )
+
+        dedup_ckpt = tempfile.mkdtemp(prefix="tp_dd_")
+        dedup = _source().dropDuplicates(["event_id"])
+        w_dedup = _drain(dedup, "append", dedup_ckpt)
+        dedup_state_rows = (
+            spark.read.format("statestore").load(dedup_ckpt).count()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def rate(w: float) -> int:
+        return int(n_rows / w) if w > 0 else -1
+
+    return {
+        "rows": n_rows,
+        "n_batches": -(-n_files // 2),
+        "stateless_sec": round(w_stateless, 3),
+        "stateless_rows_per_sec": rate(w_stateless),
+        "window_agg_sec": round(w_agg, 3),
+        "window_agg_rows_per_sec": rate(w_agg),
+        "window_agg_state_rows": agg_state_rows,
+        "dedup_sec": round(w_dedup, 3),
+        "dedup_rows_per_sec": rate(w_dedup),
+        "dedup_state_rows": dedup_state_rows,
+    }

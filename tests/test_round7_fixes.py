@@ -246,3 +246,20 @@ def test_scoped_session_conf_unsets_when_previously_unset(spark):
     with scoped_session_conf(spark, key, "x"):
         assert spark.conf.get(key) == "x"
     assert spark.conf.get(key, None) is None
+
+
+# --- streaming throughput tier (bench, round-7 verdict item 6)
+
+
+def test_streaming_throughput_tier_shape(spark, sf_dir):
+    from parquet_to_csv_spark.streaming.stream import streaming_throughput
+
+    st = streaming_throughput(spark, sf_dir)
+    assert st["rows"] > 0 and st["n_batches"] == 4
+    for leg in ("stateless", "window_agg", "dedup"):
+        assert st[f"{leg}_sec"] > 0
+        assert st[f"{leg}_rows_per_sec"] > 0
+    # dedup state is one row per distinct event_id — the max-cardinality
+    # state shape this leg exists to track
+    assert st["dedup_state_rows"] == st["rows"]
+    assert 0 < st["window_agg_state_rows"] <= st["rows"]
