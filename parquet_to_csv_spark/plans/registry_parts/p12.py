@@ -2607,3 +2607,65 @@ SELECT 'evolved' AS event_type,
          AS sum_cents
 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 """
+
+# E452 — CDC apply / replication: feed(v0→v2) applied to a v0 clone
+# must reproduce the source's post-merge state exactly.
+QUERIES["cdc_replication_report"] = _layout.cdc_replication_report
+ORACLES["cdc_replication_report"] = """
+WITH base AS (SELECT event_id, event_type, value FROM events),
+final AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN value + 7.0
+              WHEN event_id % 7 = 0 THEN value + 100.0
+              ELSE value END AS value
+  FROM base
+  UNION ALL
+  SELECT event_id + 100000000, 'merged', value + 1000.0
+  FROM base WHERE event_id % 11 = 0
+  UNION ALL
+  SELECT event_id + 200000000, 'merged2', value
+  FROM base WHERE event_id % 17 = 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+FROM final GROUP BY event_type
+"""
+
+# E453 — streaming MERGE sink: per-micro-batch upsert into the
+# snapshot store; final state invariant to the batch split.
+from parquet_to_csv_spark.streaming import stream as _stream_mod  # noqa: E402
+
+QUERIES["streaming_merge_sink_drain"] = _stream_mod.streaming_merge_sink_drain
+ORACLES["streaming_merge_sink_drain"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+FROM events GROUP BY event_type
+"""
+
+# E454 — stats-pruned snapshot scan: band predicate over the clustered
+# table; a wrongly-skipped file loses rows.
+QUERIES["pruned_snapshot_scan"] = _layout.pruned_snapshot_scan
+ORACLES["pruned_snapshot_scan"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events WHERE value > 0.5 AND value >= 2.0 AND value <= 4.0
+GROUP BY event_type
+"""
+
+# E455 — clustered OPTIMIZE preserves content across the rewrite.
+QUERIES["clustered_optimize_report"] = _layout.clustered_optimize_report
+ORACLES["clustered_optimize_report"] = """
+WITH agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events WHERE value > 0.5 GROUP BY 1
+)
+SELECT s.stage, a.event_type, a.n_rows, a.sum_cents
+FROM (VALUES ('pre'), ('post')) s(stage) CROSS JOIN agg a
+"""

@@ -1914,6 +1914,7 @@ def optimize_table(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int = 128 << 20,
+    order_col: str | None = None,
 ) -> int:
     """EXT E450: OPTIMIZE executor — executes what E317 only PLANS:
     rewrite the current snapshot into ~``target_file_bytes`` files,
@@ -1943,6 +1944,8 @@ def optimize_table(
     import os
     import uuid
 
+    from pyspark.sql import functions as F
+
     prev = latest_version(table_dir)
     if prev is None:
         raise ValueError(f"no snapshots in {table_dir}")
@@ -1953,7 +1956,20 @@ def optimize_table(
     data_dir = os.path.join(
         table_dir, "data", f"opt{prev + 1}.{uuid.uuid4().hex[:8]}"
     )
-    df.repartition(n_target).write.parquet(data_dir)
+    if order_col is not None:
+        # CLUSTERED rewrite (E455): range-partition + sort by the
+        # clustering key so footer min/max (E454) become disjoint
+        # bands and a band predicate opens O(band) files — the
+        # OPTIMIZE ZORDER analogue (single-column here; multi-column
+        # callers pass a precomputed Hilbert/Morton key column, E69/
+        # E431).
+        part = (
+            df.repartitionByRange(n_target, F.col(order_col))
+            .sortWithinPartitions(order_col)
+        )
+    else:
+        part = df.repartition(n_target)
+    part.write.parquet(data_dir)
     new_files = sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
@@ -2166,4 +2182,333 @@ def schema_evolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
         )
+    )
+
+
+def apply_cdc_feed(
+    spark: SparkSession,
+    table_dir: str,
+    feed: DataFrame,
+    key_cols: list[str] | str,
+    max_attempts: int = 5,
+) -> int:
+    """EXT E452: CDC APPLY / table replication — consume an E448
+    change feed on a REPLICA: delete rows whose keys carry a
+    ``delete`` change, append the ``insert`` images, in ONE atomic
+    commit (mode ``cdc_apply``). This is the downstream half of the
+    replication contract the feed's net-change semantics guarantee:
+    applying feed(v_from→v_to) to any replica in the v_from state
+    yields exactly the v_to state — cross-region sync, a reporting
+    replica, or an E403-style incremental view all ride this.
+
+    Mechanics mirror :func:`merge_into` (position-delete + append, one
+    manifest link) but keyed off the feed's ``_change_type`` column
+    instead of key matching: the upstream already decided WHAT
+    changed, so no cardinality guard and no change-key semi-join
+    against the replica's full key set — the delete vector is built by
+    one semi-join of the replica's live images against the feed's
+    delete keys. Cost ∝ |feed| + one keyed probe of the replica.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    prev = latest_version(table_dir)
+    if prev is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    inserts = feed.filter(F.col("_change_type") == "insert").drop("_change_type")
+    del_keys = feed.filter(F.col("_change_type") == "delete").select(*key_cols)
+    man0 = json.load(open(_manifest_path(table_dir, prev)))
+    _evolved_schema(_table_schema(spark, man0), inserts.schema, False)
+    data_dir = os.path.join(
+        table_dir, "data", f"cdc{prev + 1}.{uuid.uuid4().hex[:8]}"
+    )
+    inserts.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    for _ in range(max_attempts):
+        at = latest_version(table_dir)
+        man = json.load(open(_manifest_path(table_dir, at)))
+        files = man["files"]
+        existing_dels = man.get("delete_files", [])
+        reader = spark.read
+        if man.get("merge_schema"):
+            reader = reader.option("mergeSchema", "true")
+        base = reader.parquet(*files).select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+            *key_cols,
+        )
+        if existing_dels:
+            dd = spark.read.parquet(*existing_dels)
+            base = base.join(dd, ["file_path", "row_index"], "left_anti")
+        doomed = base.join(del_keys, key_cols, "left_semi").select(
+            "file_path", "row_index"
+        )
+        del_dir = os.path.join(
+            table_dir, "deletes", f"cdc{at + 1}.{uuid.uuid4().hex[:8]}"
+        )
+        doomed.write.parquet(del_dir)
+        del_files = sorted(
+            os.path.join(del_dir, f)
+            for f in os.listdir(del_dir)
+            if f.endswith(".parquet")
+        )
+        manifest = {
+            "version": at + 1,
+            "mode": "cdc_apply",
+            "files": files + new_files,
+            "delete_files": existing_dels + del_files,
+        }
+        for k in ("schema", "merge_schema"):
+            if k in man:
+                manifest[k] = man[k]
+        final = _manifest_path(table_dir, at + 1)
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)
+            return at + 1
+        except FileExistsError:
+            shutil.rmtree(del_dir, ignore_errors=True)
+            continue
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(f"concurrent commit: CDC apply lost races in {table_dir}")
+
+
+def cdc_replication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E452 gate query: REPLICATION round-trip over the E449 merge
+    lifecycle — shallow-clone the source at v0, read the upstream's
+    v0→v2 change feed, APPLY it to the replica, and aggregate the
+    REPLICA's final state. The oracle recomputes the source's
+    post-merge state (same SQL as ``merge_upsert_report``), so the
+    gate proves feed production and feed application compose to an
+    exact replica — any dropped delete, double-applied insert, or
+    net-out mistake diverges the hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import source_salt
+
+    src_root = _merge_lifecycle_root(spark, sf_dir)
+
+    def _build(stage: str) -> None:
+        replica = os.path.join(stage, "replica")
+        src = os.path.join(src_root, "tbl")
+        # fork the replica at v0: a manifest referencing the source's
+        # v0 files verbatim (clone_table clones LATEST, so write the
+        # v0-pinned manifest directly — zero-copy like E447)
+        import json as _json
+        import uuid as _uuid
+
+        man0 = _json.load(open(_manifest_path(src, 0)))
+        os.makedirs(os.path.join(replica, "manifests"), exist_ok=True)
+        man = dict(man0)
+        man["mode"] = "clone"
+        man["cloned_from"] = {"table": src, "version": 0}
+        final = _manifest_path(replica, 0)
+        tmp = final + f".tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            _json.dump(man, f)
+        os.link(tmp, final)
+        os.remove(tmp)
+        feed = snapshot_cdc_feed(spark, src, 0, 2)
+        apply_cdc_feed(spark, replica, feed, "event_id")
+
+    root = claim_artifact(
+        spark, "cdcrepl_" + source_salt(sf_dir, "events"), _build
+    )
+    return (
+        read_version(spark, os.path.join(root, "replica"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+            F.count_distinct("event_id").cast("long").alias("n_ids"),
+        )
+    )
+
+
+def snapshot_file_stats(
+    table_dir: str, col: str, version: int | None = None
+) -> dict[str, tuple]:
+    """EXT E454 (stats side): per-live-file (min, max) of ``col`` for a
+    snapshot version, read from the parquet FOOTERS only (same
+    catalog-sized driver call as E238 — KBs per file, zero data pages;
+    at million-file scale the identical pyarrow call moves into
+    ``mapInPandas`` over the file list). Iceberg/Delta persist exactly
+    these bounds in their manifests; deriving them from footers keeps
+    historical snapshots stat-able without rewriting old manifests."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    if version is None:
+        version = latest_version(table_dir)
+    man = json.load(open(_manifest_path(table_dir, version)))
+    out: dict[str, tuple] = {}
+    for f in man["files"]:
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    if s.has_min_max:
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+        out[f] = (lo, hi)
+    return out
+
+
+def pruned_snapshot_read(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """EXT E454 (read side): data-skipping scan of a snapshot — open
+    ONLY the live files whose footer [min, max] of ``col`` overlaps
+    [lo, hi], apply the residual predicate, and anti-join the delete
+    vectors exactly like :func:`read_version`. Returns (df,
+    files_opened, files_total) so callers and the pytest can assert
+    the skip actually happened; correctness never depends on the
+    stats (a file with absent stats is conservatively opened).
+
+    At 100 TB this is THE scan path — a clustered table (E455) turns a
+    selective band predicate from an all-files scan into O(band)
+    files, which is the entire point of Z-order/Hilbert layouts."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(table_dir)
+    man = json.load(open(_manifest_path(table_dir, version)))
+    stats = snapshot_file_stats(table_dir, col, version)
+    keep = [
+        f
+        for f in man["files"]
+        if stats[f][0] is None or not (stats[f][1] < lo or stats[f][0] > hi)
+    ]
+    if not keep:
+        raise ValueError(f"no file overlaps [{lo}, {hi}] on {col}")
+    reader = spark.read
+    if man.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*keep).filter(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+    del_files = man.get("delete_files", [])
+    if del_files:
+        dels = spark.read.parquet(*del_files)
+        cols = [c for c in df.columns]
+        df = (
+            df.select(
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+                "*",
+            )
+            .join(
+                F.broadcast(dels).withColumnsRenamed(
+                    {"file_path": "__fp", "row_index": "__ri"}
+                ),
+                ["__fp", "__ri"],
+                "left_anti",
+            )
+            .select(*cols)
+        )
+    return df, len(keep), len(man["files"])
+
+
+def _clustered_table_root(spark: SparkSession, sf_dir: str) -> str:
+    """Shared E454/E455 lifecycle artifact: v0 = events in 12
+    value-agnostic files + a delete vector (worst pruning case), then a
+    CLUSTERED OPTIMIZE (order_col='value') at v2 — the rewrite that
+    turns footer stats into actual file skipping."""
+    import os
+
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev.repartition(12))
+        commit_deletes(spark, tdir, "value <= 0.5")
+        optimize_table(
+            spark, tdir, target_file_bytes=1 << 16, order_col="value"
+        )
+
+    return claim_artifact(
+        spark, "clustered_" + source_salt(sf_dir, "events"), _build
+    )
+
+
+def pruned_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E454 gate query: band predicate ``value IN [2, 4]`` through
+    the stats-pruned scan of the CLUSTERED table (post-E455 rewrite,
+    delete vector squashed by the rewrite so the v1 deletes must stay
+    gone). The oracle runs the same band over ``events`` — a file
+    wrongly skipped loses rows, a wrongly-opened one costs only time,
+    and the deleted band edge proves pruning composes with deletes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    root = _clustered_table_root(spark, sf_dir)
+    df, _, _ = pruned_snapshot_read(
+        spark, os.path.join(root, "tbl"), "value", 2.0, 4.0
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+    )
+
+
+def clustered_optimize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E455 gate query: the clustered rewrite preserves content —
+    aggregate the table at v1 (pre-rewrite, vectors live) and at v2
+    (post-rewrite, value-clustered, vectors squashed); the oracle
+    emits the same relation for both stages. The pruning PAYOFF
+    (files opened drops for a band scan) is measured by the pytest
+    via :func:`pruned_snapshot_read`'s file counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    root = _clustered_table_root(spark, sf_dir)
+    tdir = os.path.join(root, "tbl")
+
+    def agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+        ).select(F.lit(stage).alias("stage"), "*")
+
+    return agg(read_version(spark, tdir, 1), "pre").unionByName(
+        agg(read_version(spark, tdir, 2), "post")
     )

@@ -1196,3 +1196,75 @@ def streaming_throughput(
         "dedup_rows_per_sec": rate(w_dedup),
         "dedup_state_rows": dedup_state_rows,
     }
+
+
+def streaming_merge_sink_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E453: STREAMING UPSERT SINK into the versioned snapshot
+    store — the lakehouse ingestion pattern (Delta's foreachBatch-
+    MERGE idiom): each micro-batch is applied with :func:`layout.
+    merge_into`, so the table advances one atomic snapshot per batch,
+    updates replace stale images, and a failed batch leaves no torn
+    state (manifest link is all-or-nothing; availableNow replays the
+    batch on restart).
+
+    The drain: the table starts at v0 holding the EVEN event_ids with
+    STALE values (value + 1000); the stream replays ALL events over
+    four staged files (``maxFilesPerTrigger=2`` ⇒ two micro-batch
+    merges). Final state must hold every event_id exactly once with
+    the TRUE value — evens UPDATED from stale, odds INSERTED — so the
+    oracle is a plain aggregate over ``events``, invariant to the
+    file→batch assignment. E246's stateful upsert holds the latest
+    image in STREAM STATE; this one lands it in the TABLE.
+    """
+    import os
+
+    from parquet_to_csv_spark.sources import layout
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "files")
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        ev.repartition(4).write.parquet(src)
+        layout.commit_version(
+            spark, tdir,
+            ev.filter(F.col("event_id") % 2 == 0)
+            .withColumn("value", F.col("value") + F.lit(1000.0)),
+        )
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+
+        def _merge(batch_df: DataFrame, batch_id: int) -> None:
+            layout.merge_into(spark, tdir, batch_df, "event_id")
+
+        import tempfile
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(_merge)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="ms_ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    root = _staged_once(spark, sf_dir, "events", "mergesink_", _build)
+    return (
+        layout.read_version(spark, os.path.join(root, "tbl"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+            F.count_distinct("event_id").cast("long").alias("n_ids"),
+        )
+    )

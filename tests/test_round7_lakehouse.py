@@ -300,3 +300,102 @@ def test_schema_evolution_survives_optimize_and_deletes(
     cur = layout.read_version(spark, t)
     assert cur.count() == n_del
     assert "extra" in cur.columns
+
+
+# --- E452 CDC apply / E453 streaming merge sink ------------------------------
+
+
+def test_apply_cdc_feed_replicates_exactly(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ev = _events(spark, sf_dir)
+    layout.commit_version(spark, src, ev)
+    changes = ev.filter(F.col("event_id") % 6 == 0).withColumn(
+        "value", F.col("value") + F.lit(5.0)
+    )
+    layout.merge_into(spark, src, changes, "event_id")
+    layout.commit_deletes(spark, src, "event_type = 'error'")
+    # replica forks at v0 and consumes the full feed
+    layout.clone_table(src, dst)  # clones LATEST — so clone from a fresh v0 copy instead
+    import shutil
+
+    shutil.rmtree(dst)
+    layout.commit_version(spark, dst, ev)  # replica starts equal to src v0
+    feed = layout.snapshot_cdc_feed(spark, src, 0, 2)
+    layout.apply_cdc_feed(spark, dst, feed, "event_id")
+    a = sorted(
+        layout.read_version(spark, src).collect(), key=lambda r: r["event_id"]
+    )
+    b = sorted(
+        layout.read_version(spark, dst).collect(), key=lambda r: r["event_id"]
+    )
+    assert a == b
+
+
+def test_streaming_merge_sink_is_batch_split_invariant(spark, sf_dir):
+    """The drain's final table equals the plain batch truth regardless
+    of how files landed in micro-batches (oracle pins values; here we
+    pin the version count: one merge commit per micro-batch + v0)."""
+    import os
+
+    from parquet_to_csv_spark.streaming.stream import (
+        _staged_once, streaming_merge_sink_drain,
+    )
+
+    streaming_merge_sink_drain(spark, sf_dir).collect()
+    root = _staged_once(spark, sf_dir, "events", "mergesink_", lambda p: None)
+    t = os.path.join(root, "tbl")
+    # 4 files / maxFilesPerTrigger=2 ⇒ 2 micro-batches ⇒ versions 0..2
+    assert layout.latest_version(t) == 2
+    assert _manifest(t, 1)["mode"] == "merge"
+    assert _manifest(t, 2)["mode"] == "merge"
+
+
+# --- E454 pruned reads / E455 clustered optimize ----------------------------
+
+
+def test_pruned_read_skips_files_only_after_clustering(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    ev = _events(spark, sf_dir)
+    layout.commit_version(spark, t, ev.repartition(12))
+    truth = ev.filter("value >= 2.0 AND value <= 3.0").count()
+    df, opened_pre, total_pre = layout.pruned_snapshot_read(
+        spark, t, "value", 2.0, 3.0
+    )
+    assert df.count() == truth
+    assert total_pre == 12
+    # random layout: value spans every file — nothing skippable
+    assert opened_pre == 12
+    layout.optimize_table(spark, t, target_file_bytes=1 << 13, order_col="value")
+    df2, opened_post, total_post = layout.pruned_snapshot_read(
+        spark, t, "value", 2.0, 3.0
+    )
+    assert df2.count() == truth
+    assert total_post > 1
+    assert opened_post < total_post  # clustering made stats selective
+
+
+def test_pruned_read_composes_with_delete_vectors(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    ev = _events(spark, sf_dir)
+    layout.commit_version(spark, t, ev.repartition(6))
+    layout.commit_deletes(spark, t, "value >= 2.5 AND value <= 2.7")
+    df, _, _ = layout.pruned_snapshot_read(spark, t, "value", 2.0, 3.0)
+    assert df.count() == ev.filter(
+        "value >= 2.0 AND value <= 3.0 AND NOT (value >= 2.5 AND value <= 2.7)"
+    ).count()
+
+
+def test_clustered_optimize_preserves_rows_exactly(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    ev = _events(spark, sf_dir)
+    layout.commit_version(spark, t, ev.repartition(10))
+    layout.commit_deletes(spark, t, "value <= 1.0")
+    pre = sorted(
+        layout.read_version(spark, t).collect(), key=lambda r: r["event_id"]
+    )
+    layout.optimize_table(spark, t, target_file_bytes=1 << 16, order_col="value")
+    post = sorted(
+        layout.read_version(spark, t).collect(), key=lambda r: r["event_id"]
+    )
+    assert pre == post
