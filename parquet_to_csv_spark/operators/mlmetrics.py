@@ -2749,3 +2749,50 @@ def dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("released_count"),
         F.lit(1000000).cast("long").alias("epsilon_ppm"),
     )
+
+
+def cohen_kappa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E456: inter-annotator agreement — Cohen's κ per source
+    between two deterministic 'annotators' (the calibration every
+    labeling/quality pipeline runs before trusting its raters; here
+    the raters are two quality heuristics, so the gate is exact):
+    rater A flags a document long-by-characters (n_chars > 400), rater
+    B long-by-tokens (n_tokens > 80). κ = (pₒ − pₑ)/(1 − pₑ) with pₑ
+    the marginal-product chance agreement.
+
+    One scan → per-source 2×2 contingency counts (map-side combine,
+    one exchange on source); κ/pₒ/pₑ are scalar doubles derived from
+    the exact longs in ONE fixed expression each, emitted as
+    floor(x·1e6 + 0.5) ppm longs — the engine-stable integer contract.
+    At 100 TB this is a counting pass; nothing holds more than a
+    source's five longs."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "source",
+        (F.length("text") > 400).alias("a"),
+        (F.size(tokens_col("text")) > 80).alias("b"),
+    )
+    g = lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("a") & F.col("b"), 1)).alias("n11"),
+        F.count(F.when(F.col("a") & ~F.col("b"), 1)).alias("n10"),
+        F.count(F.when(~F.col("a") & F.col("b"), 1)).alias("n01"),
+        F.count(F.when(~F.col("a") & ~F.col("b"), 1)).alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pa = (F.col("n11") + F.col("n10")) / F.col("n")
+    pb = (F.col("n11") + F.col("n01")) / F.col("n")
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    kappa = (po - pe) / (F.lit(1.0) - pe)
+
+    def ppm(c):
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("n_both"),
+        ppm(po).alias("po_ppm"),
+        ppm(pe).alias("pe_ppm"),
+        F.when(pe < F.lit(1.0), ppm(kappa)).alias("kappa_ppm"),
+    )

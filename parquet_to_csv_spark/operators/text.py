@@ -2017,3 +2017,305 @@ def postings_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             "(sum(df) * 8 - sum(varint_bytes)) * 1000000 div (sum(df) * 8)"
         ).alias("savings_ppm"),
     )
+
+
+def js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E457: Jensen–Shannon divergence between every source pair's
+    unigram distribution — the SYMMETRIC, bounded (≤ ln 2) companion of
+    the E61 KL drift: the standard "how different are these two
+    corpora" number behind mixture design (E303/E424) and source-merge
+    decisions. JS(P,Q) = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)) over the
+    UNION vocabulary; zero-count terms contribute p·ln2 exactly (no
+    smoothing needed — JS is defined at the boundary).
+
+    Determinism recipe (E61's): each term's log-ratio is ln of an
+    EXACT integer rational — 2p/(p+q) = 2·ca·nb / (ca·nb + cb·na), all
+    long products — rounded to integer µnats, then weighted by the
+    integer count and summed exactly; only the final ÷n happens in
+    float, one fixed expression per pair. One token scan; the pair
+    fan-out is (source-pairs × union-vocab) rows — |sources|²-bounded
+    metadata-scale, partial-aggregated before its one exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    srcs = tot.select("source", "n")
+    pairs = (
+        srcs.select(F.col("source").alias("s1"), F.col("n").alias("na"))
+        .join(
+            srcs.select(F.col("source").alias("s2"), F.col("n").alias("nb")),
+            F.col("s1") < F.col("s2"),
+        )
+    )
+    # union vocabulary per pair: tokens present in either side — two
+    # EQUI-joins unioned (an OR-join would plan as a nested loop)
+    toks1 = cnt.select(F.col("source").alias("s1"), "token")
+    toks2 = cnt.select(F.col("source").alias("s2"), "token")
+    vocab = (
+        F.broadcast(pairs).join(toks1, "s1")
+        .select("s1", "s2", "na", "nb", "token")
+        .unionByName(
+            F.broadcast(pairs).join(toks2, "s2")
+            .select("s1", "s2", "na", "nb", "token")
+        )
+        .distinct()
+    )
+    ca = cnt.select(
+        F.col("source").alias("s1"), "token", F.col("c").alias("ca")
+    )
+    cb = cnt.select(
+        F.col("source").alias("s2"), "token", F.col("c").alias("cb")
+    )
+    j = (
+        vocab.join(ca, ["s1", "token"], "left")
+        .join(cb, ["s2", "token"], "left")
+        .select(
+            "s1", "s2", "na", "nb",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    # per-term µnat units: ln of exact long rationals (2·ca·nb, ca·nb + cb·na)
+    ra = F.lit(2.0) * F.col("ca") * F.col("nb") / (
+        F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")
+    )
+    rb = F.lit(2.0) * F.col("cb") * F.col("na") / (
+        F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")
+    )
+    ua = F.when(F.col("ca") > 0, F.round(F.log(ra) * F.lit(1e6), 0).cast("long")).otherwise(F.lit(0))
+    ub = F.when(F.col("cb") > 0, F.round(F.log(rb) * F.lit(1e6), 0).cast("long")).otherwise(F.lit(0))
+    agg = j.groupBy("s1", "s2", "na", "nb").agg(
+        F.sum(F.col("ca") * ua).alias("sa"),
+        F.sum(F.col("cb") * ub).alias("sb"),
+        F.count(F.lit(1)).cast("long").alias("n_union_vocab"),
+    )
+    js = F.lit(0.5) * (
+        F.col("sa") / F.col("na") + F.col("sb") / F.col("nb")
+    )
+    return agg.select(
+        "s1", "s2", "n_union_vocab",
+        F.col("na").cast("long").alias("n_tokens_a"),
+        F.col("nb").cast("long").alias("n_tokens_b"),
+        F.floor(js + F.lit(0.5)).cast("long").alias("js_micro_nats"),
+    )
+
+
+def textrank_keywords(
+    spark: SparkSession, sf_dir: str, min_freq: int = 50, iters: int = 2,
+    k: int = 25,
+) -> DataFrame:
+    """EXT E459: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+    PageRank over the word CO-OCCURRENCE graph: nodes are tokens with
+    corpus frequency ≥ ``min_freq`` (the standard candidate filter,
+    here also the graph-size bound: vocabulary-scale, not token-scale),
+    undirected edges link tokens ADJACENT in some document. Unlike
+    frequency/tf-idf rankers (E5/E28) this scores a word by the
+    centrality of its neighborhood — the graph rung of the keyword
+    ladder beside RAKE (E427) and chi² (E141).
+
+    Same integer-ppb fixed-point discipline as the E91 PageRank:
+    contribution = pr div deg, update = 0.15 + 0.85·incoming in exact
+    long arithmetic, per-round lineage cut — any engine or
+    partitioning yields identical longs, and the oracle unrolls the
+    ``iters`` rounds as MATERIALIZED CTE levels. Plan: one token scan
+    → adjacent-pair explode (map-local) → distinct edge relation
+    (vocabulary²-bounded, sparse) → |V|-scale iteration relations.
+    Top-k via TakeOrderedAndProject."""
+    from parquet_to_csv_spark.operators.dedup import _cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col("text").alias("w"))
+    freq = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    adj = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("u"), y.alias("v")),
+            )
+        ).alias("p")
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    fu = freq.select(F.col("t").alias("u"))
+    fv = freq.select(F.col("t").alias("v"))
+    und = adj.join(F.broadcast(fu), "u").join(F.broadcast(fv), "v")
+    edges = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+        .transform(_cut_lineage)
+    )
+    nodes = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("t"), "deg"
+    )
+    pr = nodes.select("t", "deg", F.lit(1_000_000_000).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            pr.select(F.col("t").alias("src"), F.expr("pr div deg").alias("c"))
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.t == contrib.dst, "left")
+            .select(
+                nodes.t,
+                nodes.deg,
+                (
+                    F.lit(150_000_000)
+                    + F.expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .transform(_cut_lineage)
+        )
+    return (
+        pr.select(F.col("t").alias("token"), "deg", F.col("pr").alias("pr_ppb"))
+        .orderBy(F.desc("pr_ppb"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def rocchio_prf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = ("vector", "hash", "scan"),
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+) -> DataFrame:
+    """EXT E458: pseudo-relevance-feedback retrieval (Rocchio, term
+    form): seed BM25 pass over the literal query terms → take the top
+    ``fb_docs`` documents as pseudo-relevant → mine ``fb_terms``
+    expansion terms from them (fb-set term count × corpus idf, length
+    ≥ 4, query terms excluded) → rescore the corpus with the EXPANDED
+    query, originals at weight 2 and expansions at weight 1 (the
+    α/β mix in integer form). The classic recall lever of a sparse
+    retrieval stack (Rocchio 1971; standard PRF as in Robertson's
+    BM25 expansion) — one extra corpus scan and two tiny broadcast
+    relations on top of E84.
+
+    Determinism: every score is the E84 integer-µ-unit BM25
+    contribution (idf·norm rounded to µ-units, exact long sums),
+    expansion weights are long products (fb count × µ-idf), every
+    top-N is (units DESC, key ASC) — both stages and the oracle
+    replay bit-identically. Plan: token scan → array-local filter /
+    broadcast-term joins only; no unbounded fan-out; final top-k is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    stats = toks.select("doc_id", F.size("toks").alias("dl"), "toks")
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("long")).alias("sum_dl"),
+    )
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    idf_units = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    norm = (
+        F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2
+            * (0.25 + 0.75 * (F.col("dl") * F.col("n_docs")) / F.col("sum_dl"))
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+    )
+
+    # --- stage 1: seed BM25 over the literal terms (E84's exact core)
+    tf1 = (
+        stats.select(
+            "doc_id", "dl",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: F.array_contains(term_lits, t))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df1 = tf1.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    seed = (
+        tf1.join(F.broadcast(df1), "term")
+        .join(F.broadcast(corpus))
+        .select("doc_id", F.round(idf * norm * 1e6).cast("long").alias("u"))
+        .groupBy("doc_id")
+        .agg(F.sum("u").alias("su"))
+        .orderBy(F.desc("su"), F.asc("doc_id"))
+        .limit(fb_docs)
+        .select("doc_id")
+    )
+
+    # --- stage 2: expansion terms mined from the pseudo-relevant set
+    fb_cnt = (
+        stats.join(F.broadcast(seed), "doc_id", "left_semi")
+        .select(F.explode("toks").alias("t"))
+        .filter(
+            (F.length("t") >= 4) & ~F.array_contains(term_lits, F.col("t"))
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_fb"))
+    )
+    cand_df = (
+        stats.select(F.explode(F.array_distinct("toks")).alias("t"))
+        .join(F.broadcast(fb_cnt.select("t")), "t", "left_semi")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    expansion = (
+        fb_cnt.join(F.broadcast(cand_df), "t")
+        .join(F.broadcast(corpus))
+        .select("t", (F.col("c_fb") * idf_units).alias("w"))
+        .orderBy(F.desc("w"), F.asc("t"))
+        .limit(fb_terms)
+        .select(F.col("t").alias("term"), F.lit(1).cast("long").alias("qw"))
+    )
+    qterms = spark.createDataFrame(
+        [(t, 2) for t in terms], "term string, qw long"
+    ).unionByName(expansion)
+
+    # --- stage 3: rescore with the expanded, weighted query
+    tf2 = (
+        stats.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "dl", "term", "qw")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df2 = tf2.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = (
+        tf2.join(F.broadcast(df2), "term")
+        .join(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (F.col("qw") * F.round(idf * norm * 1e6).cast("long")).alias("u"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("u").alias("score_units"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_units"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id", "n_matched",
+            F.col("score_units").cast("long").alias("score_units"),
+        )
+    )

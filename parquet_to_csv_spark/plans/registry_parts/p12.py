@@ -2669,3 +2669,195 @@ WITH agg AS (
 SELECT s.stage, a.event_type, a.n_rows, a.sum_cents
 FROM (VALUES ('pre'), ('post')) s(stage) CROSS JOIN agg a
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7 analytics batch (E456-E459).
+# ---------------------------------------------------------------------------
+
+# E456 — Cohen's kappa inter-annotator agreement per source; counts are
+# exact longs, kappa/po/pe emitted as floor-ppm integers.
+QUERIES["cohen_kappa_report"] = mlmetrics.cohen_kappa_report
+ORACLES["cohen_kappa_report"] = f"""
+WITH lab AS (
+  SELECT source, (length(text) > 400) AS a, (len({_TOKS}) > 80) AS b
+  FROM documents
+), g AS (
+  SELECT source, count(*) AS n,
+         count(*) FILTER (a AND b) AS n11,
+         count(*) FILTER (a AND NOT b) AS n10,
+         count(*) FILTER (NOT a AND b) AS n01,
+         count(*) FILTER (NOT a AND NOT b) AS n00
+  FROM lab GROUP BY 1
+), p AS (
+  SELECT source, n, n11,
+         (n11 + n00) / CAST(n AS DOUBLE) AS po,
+         ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+         + (1.0 - (n11 + n10) / CAST(n AS DOUBLE))
+           * (1.0 - (n11 + n01) / CAST(n AS DOUBLE)) AS pe
+  FROM g
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n_both,
+       CAST(floor(po * 1000000.0 + 0.5) AS BIGINT) AS po_ppm,
+       CAST(floor(pe * 1000000.0 + 0.5) AS BIGINT) AS pe_ppm,
+       CASE WHEN pe < 1.0 THEN
+         CAST(floor((po - pe) / (1.0 - pe) * 1000000.0 + 0.5) AS BIGINT)
+       END AS kappa_ppm
+FROM p
+"""
+
+# E457 — Jensen-Shannon divergence between source unigram
+# distributions; per-term µnats from exact long rationals, exact sums.
+QUERIES["js_source_divergence"] = text.js_source_divergence
+ORACLES["js_source_divergence"] = f"""
+WITH cnt AS MATERIALIZED (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({_TOKS}) AS token FROM documents)
+  GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(c) AS n FROM cnt GROUP BY 1
+), pairs AS (
+  SELECT a.source AS s1, b.source AS s2, a.n AS na, b.n AS nb
+  FROM tot a JOIN tot b ON a.source < b.source
+), vocab AS (
+  SELECT DISTINCT s1, s2, na, nb, token FROM (
+    SELECT p.s1, p.s2, p.na, p.nb, c.token
+    FROM pairs p JOIN cnt c ON c.source = p.s1
+    UNION ALL
+    SELECT p.s1, p.s2, p.na, p.nb, c.token
+    FROM pairs p JOIN cnt c ON c.source = p.s2
+  )
+), j AS (
+  SELECT v.s1, v.s2, v.na, v.nb,
+         coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+  FROM vocab v
+  LEFT JOIN cnt ca ON ca.source = v.s1 AND ca.token = v.token
+  LEFT JOIN cnt cb ON cb.source = v.s2 AND cb.token = v.token
+), u AS (
+  SELECT s1, s2, na, nb, ca, cb,
+    CASE WHEN ca > 0 THEN CAST(round(
+      ln(2.0 * ca * nb / (ca * nb + cb * na)) * 1000000.0) AS BIGINT)
+    ELSE 0 END AS ua,
+    CASE WHEN cb > 0 THEN CAST(round(
+      ln(2.0 * cb * na / (ca * nb + cb * na)) * 1000000.0) AS BIGINT)
+    ELSE 0 END AS ub
+  FROM j
+)
+SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_union_vocab,
+       CAST(na AS BIGINT) AS n_tokens_a, CAST(nb AS BIGINT) AS n_tokens_b,
+       CAST(floor(0.5 * (sum(ca * ua) / CAST(na AS DOUBLE)
+                         + sum(cb * ub) / CAST(nb AS DOUBLE)) + 0.5)
+            AS BIGINT) AS js_micro_nats
+FROM u GROUP BY s1, s2, na, nb
+"""
+
+# E458 — Rocchio PRF: seed BM25 -> expansion mining -> weighted
+# rescore; every stage in integer µ-units, every top-N (units DESC,
+# key ASC).
+QUERIES["rocchio_prf_topk"] = text.rocchio_prf_topk
+ORACLES["rocchio_prf_topk"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), stats AS MATERIALIZED (
+  SELECT doc_id, len(toks) AS dl, toks FROM toks
+), n AS MATERIALIZED (
+  SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM toks
+), tf1 AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, dl,
+           unnest(list_filter(toks, t -> t IN ('vector', 'hash', 'scan'))) AS term
+    FROM stats
+  ) GROUP BY 1, 2, 3
+), df1 AS (
+  SELECT term, count(*) AS df_docs FROM tf1 GROUP BY 1
+), seed AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT tf1.doc_id, sum(CAST(round(
+      ln(1.0 + (n.n_docs - df1.df_docs + 0.5) / (df1.df_docs + 0.5))
+      * (tf1.tf * 2.2 / (tf1.tf + 1.2 * (0.25 + 0.75 * (tf1.dl * n.n_docs) / n.sum_dl)))
+      * 1000000.0) AS BIGINT)) AS su
+    FROM tf1 JOIN df1 USING (term) CROSS JOIN n GROUP BY 1
+  ) ORDER BY su DESC, doc_id ASC LIMIT 5
+), fb_cnt AS MATERIALIZED (
+  SELECT t, count(*) AS c_fb FROM (
+    SELECT unnest(toks) AS t FROM stats JOIN seed USING (doc_id)
+  ) WHERE length(t) >= 4 AND t NOT IN ('vector', 'hash', 'scan')
+  GROUP BY 1
+), cand_df AS (
+  SELECT t, count(*) AS df_docs FROM (
+    SELECT unnest(list_distinct(toks)) AS t FROM stats
+  ) WHERE t IN (SELECT t FROM fb_cnt) GROUP BY 1
+), expansion AS (
+  SELECT term, CAST(1 AS BIGINT) AS qw FROM (
+    SELECT fb.t AS term,
+           fb.c_fb * CAST(round(
+             ln(1.0 + (n.n_docs - cd.df_docs + 0.5) / (cd.df_docs + 0.5))
+             * 1000000.0) AS BIGINT) AS w
+    FROM fb_cnt fb JOIN cand_df cd ON fb.t = cd.t CROSS JOIN n
+  ) ORDER BY w DESC, term ASC LIMIT 5
+), qterms AS MATERIALIZED (
+  SELECT term, CAST(qw AS BIGINT) AS qw
+  FROM (VALUES ('vector', 2), ('hash', 2), ('scan', 2)) q(term, qw)
+  UNION ALL SELECT term, qw FROM expansion
+), tf2 AS (
+  SELECT doc_id, dl, term, qw, count(*) AS tf FROM (
+    SELECT s.doc_id, s.dl, unnest(s.toks) AS term FROM stats s
+  ) x JOIN qterms USING (term) GROUP BY 1, 2, 3, 4
+), df2 AS (
+  SELECT term, count(*) AS df_docs FROM tf2 GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_matched, CAST(sum(u) AS BIGINT) AS score_units
+FROM (
+  SELECT tf2.doc_id, tf2.qw * CAST(round(
+    ln(1.0 + (n.n_docs - df2.df_docs + 0.5) / (df2.df_docs + 0.5))
+    * (tf2.tf * 2.2 / (tf2.tf + 1.2 * (0.25 + 0.75 * (tf2.dl * n.n_docs) / n.sum_dl)))
+    * 1000000.0) AS BIGINT) AS u
+  FROM tf2 JOIN df2 USING (term) CROSS JOIN n
+) GROUP BY doc_id
+ORDER BY score_units DESC, doc_id ASC
+LIMIT 10
+"""
+
+# E459 — TextRank keywords: integer-ppb PageRank over the adjacent-
+# token co-occurrence graph, iterations unrolled as CTE levels.
+QUERIES["textrank_keywords"] = text.textrank_keywords
+ORACLES["textrank_keywords"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT {_TOKS} AS w FROM documents
+), freq AS (
+  SELECT t FROM (SELECT unnest(w) AS t FROM toks)
+  GROUP BY 1 HAVING count(*) >= 50
+), adj AS (
+  SELECT p[1] AS u, p[2] AS v
+  FROM (SELECT unnest(list_zip(w[:-1], w[2:])) AS p FROM toks)
+  WHERE p[2] IS NOT NULL AND p[1] <> p[2]
+), und AS (
+  SELECT a.u, a.v FROM adj a
+  WHERE a.u IN (SELECT t FROM freq) AND a.v IN (SELECT t FROM freq)
+), edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION
+  SELECT v AS src, u AS dst FROM und
+), nodes AS MATERIALIZED (
+  SELECT src AS t, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), pr0 AS (
+  SELECT t, deg, 1000000000::BIGINT AS pr FROM nodes
+), c1 AS (
+  SELECT e.dst, CAST(sum(p.pr // p.deg) AS BIGINT) AS inc
+  FROM pr0 p JOIN edges e ON p.t = e.src GROUP BY e.dst
+), pr1 AS MATERIALIZED (
+  SELECT n.t, n.deg,
+         CAST(150000000 + (85 * coalesce(c1.inc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c1 ON n.t = c1.dst
+), c2 AS (
+  SELECT e.dst, CAST(sum(p.pr // p.deg) AS BIGINT) AS inc
+  FROM pr1 p JOIN edges e ON p.t = e.src GROUP BY e.dst
+), pr2 AS (
+  SELECT n.t, n.deg,
+         CAST(150000000 + (85 * coalesce(c2.inc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c2 ON n.t = c2.dst
+)
+SELECT t AS token, deg, pr AS pr_ppb FROM pr2
+ORDER BY pr_ppb DESC, token ASC
+LIMIT 25
+"""

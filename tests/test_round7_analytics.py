@@ -1,0 +1,72 @@
+"""Round-7 analytics batch (E456-E459): semantic properties the oracle
+hash can't express — bounds, symmetry, ordering, and composition
+invariants of Cohen's kappa, Jensen-Shannon divergence, Rocchio PRF,
+and TextRank."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from parquet_to_csv_spark.operators.mlmetrics import cohen_kappa_report
+from parquet_to_csv_spark.operators.text import (
+    js_source_divergence,
+    rocchio_prf_topk,
+    textrank_keywords,
+)
+
+
+def test_cohen_kappa_bounds_and_marginals(spark, sf_dir):
+    rows = cohen_kappa_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["po_ppm"] <= 1_000_000
+        assert 0 <= r["pe_ppm"] <= 1_000_000
+        if r["kappa_ppm"] is not None:
+            assert -1_000_000 <= r["kappa_ppm"] <= 1_000_000
+        assert 0 <= r["n_both"] <= r["n_docs"]
+
+
+def test_js_divergence_bounds_and_pair_count(spark, sf_dir):
+    df = js_source_divergence(spark, sf_dir)
+    rows = df.collect()
+    n_sources = df.select("s1").union(df.select("s2")).distinct().count()
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    ln2_unats = int(math.log(2) * 1e6)
+    for r in rows:
+        assert r["s1"] < r["s2"]
+        # JS is bounded by ln 2 (µnat rounding gives ±ε headroom)
+        assert -5 <= r["js_micro_nats"] <= ln2_unats + 5
+        assert r["n_union_vocab"] > 0
+
+
+def test_rocchio_expands_beyond_seed_terms(spark, sf_dir):
+    rows = rocchio_prf_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["score_units"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # expanded query has 3 originals + 5 expansions ⇒ up to 8 matches;
+    # the corpus vocabulary guarantees expansion actually fires
+    assert max(r["n_matched"] for r in rows) > 3
+
+
+def test_textrank_ranks_are_valid_pageranks(spark, sf_dir):
+    rows = textrank_keywords(spark, sf_dir, min_freq=5).collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        assert r["pr_ppb"] >= 150_000_000  # damping floor
+        assert r["deg"] >= 1
+    prs = [r["pr_ppb"] for r in rows]
+    assert prs == sorted(prs, reverse=True)
+
+
+def test_textrank_prefers_connected_tokens(spark, sf_dir):
+    """A token adjacent to many distinct frequent tokens outranks a
+    leaf: rank correlates with degree on this graph (sanity of the
+    centrality claim vs plain frequency)."""
+    rows = textrank_keywords(spark, sf_dir, min_freq=5, k=100).collect()
+    if len(rows) >= 4:
+        top_deg = sum(r["deg"] for r in rows[: len(rows) // 2])
+        bot_deg = sum(r["deg"] for r in rows[len(rows) // 2 :])
+        assert top_deg >= bot_deg
