@@ -2319,3 +2319,39 @@ def rocchio_prf_topk(
             F.col("score_units").cast("long").alias("score_units"),
         )
     )
+
+
+def good_turing_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E460: Good–Turing frequency estimation per source — the
+    classic answer to "how much probability mass belongs to words this
+    source has never shown us": p₀ = N₁/N (singleton share of tokens),
+    and the smoothed count for once-seen words r₁* = 2·N₂/N₁. The LM
+    data-curation use: a source with high unseen mass is under-sampled
+    (pair with the Heaps-law curve E203 and coverage ladder E366).
+
+    Two stacked counting passes (token → type frequency → frequency of
+    frequencies), each map-side combined; ratios of exact longs emitted
+    as floor-ppm. Nothing holds more than a source's frequency table
+    row counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens_col("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    fof = tf.groupBy("source").agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.count(F.when(F.col("r") == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("r") == 2, 1)).cast("long").alias("n2"),
+    )
+    p0 = F.col("n1") / F.col("n_tokens")
+    r1s = F.lit(2.0) * F.col("n2") / F.col("n1")
+    return fof.select(
+        "source", "n_tokens", "vocab", "n1", "n2",
+        F.floor(p0 * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("p0_ppm"),
+        F.when(
+            F.col("n1") > 0,
+            F.floor(r1s * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+        ).alias("r1_star_ppm"),
+    )

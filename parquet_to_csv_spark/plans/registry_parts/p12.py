@@ -2861,3 +2861,72 @@ SELECT t AS token, deg, pr AS pr_ppb FROM pr2
 ORDER BY pr_ppb DESC, token ASC
 LIMIT 25
 """
+
+# E460 — Good-Turing unseen-mass estimate per source.
+QUERIES["good_turing_estimate"] = text.good_turing_estimate
+ORACLES["good_turing_estimate"] = f"""
+WITH tf AS (
+  SELECT source, t, count(*) AS r
+  FROM (SELECT source, unnest({_TOKS}) AS t FROM documents) GROUP BY 1, 2
+), fof AS (
+  SELECT source, CAST(sum(r) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(count(*) FILTER (r = 1) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (r = 2) AS BIGINT) AS n2
+  FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, vocab, n1, n2,
+       CAST(floor(n1 / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         AS p0_ppm,
+       CASE WHEN n1 > 0 THEN
+         CAST(floor(2.0 * n2 / n1 * 1000000.0 + 0.5) AS BIGINT)
+       END AS r1_star_ppm
+FROM fof
+"""
+
+# E461+E462 — RESTORE + DESCRIBE HISTORY over the lifecycle table.
+QUERIES["table_history_report"] = _layout.table_history_report
+ORACLES["table_history_report"] = """
+WITH n AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS errs,
+         CAST(count(*) FILTER (event_type = 'error' AND value > 2.0)
+              AS BIGINT) AS errs_hi
+  FROM events
+)
+SELECT 0 AS version, 'append' AS mode, total AS n_live_rows,
+       -1 AS restored_from FROM n
+UNION ALL
+SELECT 1, 'delete', total - errs, -1 FROM n
+UNION ALL
+SELECT 2, 'append', total - errs + errs_hi, -1 FROM n
+UNION ALL
+SELECT 3, 'restore', total, 0 FROM n
+"""
+
+# E464 — CHECK constraint validation report over the events batch.
+QUERIES["constraint_validation_report"] = _layout.constraint_validation_report
+ORACLES["constraint_validation_report"] = """
+WITH n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (NOT (event_id >= 0)) AS BIGINT) AS v_id,
+         CAST(count(*) FILTER (NOT (event_type <> 'error')) AS BIGINT)
+           AS v_err,
+         CAST(count(*) FILTER (NOT (value > 1.0)) AS BIGINT) AS v_val
+  FROM events
+)
+SELECT 'id_nonneg' AS constraint_name, v_id AS n_violations, n_rows,
+       (v_id = 0) AS passes FROM n
+UNION ALL
+SELECT 'no_errors', v_err, n_rows, (v_err = 0) FROM n
+UNION ALL
+SELECT 'value_floor', v_val, n_rows, (v_val = 0) FROM n
+"""
+
+# E463 — RocksDB state-store provider: state read back through the
+# statestore source equals the batch aggregate.
+QUERIES["rocksdb_state_drain"] = _stream_mod.rocksdb_state_drain
+ORACLES["rocksdb_state_drain"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""

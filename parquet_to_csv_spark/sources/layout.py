@@ -527,6 +527,7 @@ def commit_version(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
+    _enforce_constraints(spark, table_dir, df)
     prev = latest_version(table_dir)
     if mode == "append" and prev is not None:
         # validate BEFORE writing data files so a schema rejection
@@ -1830,6 +1831,7 @@ def merge_into(
     man0 = json.load(open(_manifest_path(table_dir, prev)))
     # strict schema parity (names+types, order-insensitive)
     _evolved_schema(_table_schema(spark, man0), changes.schema, False)
+    _enforce_constraints(spark, table_dir, changes)
     dup = (
         changes.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -2225,6 +2227,7 @@ def apply_cdc_feed(
     del_keys = feed.filter(F.col("_change_type") == "delete").select(*key_cols)
     man0 = json.load(open(_manifest_path(table_dir, prev)))
     _evolved_schema(_table_schema(spark, man0), inserts.schema, False)
+    _enforce_constraints(spark, table_dir, inserts)
     data_dir = os.path.join(
         table_dir, "data", f"cdc{prev + 1}.{uuid.uuid4().hex[:8]}"
     )
@@ -2512,3 +2515,236 @@ def clustered_optimize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_version(spark, tdir, 1), "pre").unionByName(
         agg(read_version(spark, tdir, 2), "post")
     )
+
+
+def restore_table(
+    spark: SparkSession, table_dir: str, to_version: int
+) -> int:
+    """EXT E461: RESTORE — roll the table back to an earlier version
+    AS A NEW COMMIT (Delta `RESTORE TABLE ... VERSION AS OF` / Iceberg
+    rollback): the new manifest re-references ``to_version``'s files
+    and delete vectors verbatim, so the restore is zero-copy, the bad
+    versions remain readable for forensics, and the operation is
+    itself time-travelable (a restore of a restore works). Loudly
+    put-if-absent like every commit; no retry loop — a restore races
+    nothing (it reads only immutable history), so a lost link means a
+    concurrent writer advanced the table and the caller must decide
+    whether rolling back over THEIR commit is still intended.
+    """
+    import json
+    import os
+    import uuid
+
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    man = json.load(open(_manifest_path(table_dir, to_version)))
+    manifest = {
+        "version": cur + 1,
+        "mode": "restore",
+        "files": man["files"],
+        "restored_from": to_version,
+    }
+    for k in ("delete_files", "schema", "merge_schema"):
+        if man.get(k):
+            manifest[k] = man[k]
+    final = _manifest_path(table_dir, cur + 1)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, final)
+        return cur + 1
+    except FileExistsError as e:
+        raise RuntimeError(
+            f"concurrent commit during RESTORE of {table_dir} — re-examine "
+            "before rolling back over the racer's commit"
+        ) from e
+    finally:
+        os.remove(tmp)
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """EXT E462: DESCRIBE HISTORY — the audit/ops surface of the
+    snapshot store: one row per committed version with its mode,
+    file/delete-vector counts, provenance (clone/restore sources), and
+    live row count. Manifest-only except the row counts, which come
+    from the footers' row-group metadata minus the delete-vector
+    row counts — still a metadata-scale pass (no data pages read),
+    exactly how Delta's history view stays cheap on 100 TB tables."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    rows = []
+    for v in range(cur + 1):
+        man = json.load(open(_manifest_path(table_dir, v)))
+        n_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in man["files"]
+        )
+        n_del = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in man.get("delete_files", [])
+        )
+        rows.append(
+            (
+                v,
+                man.get("mode", "append"),
+                len(man["files"]),
+                len(man.get("delete_files", [])),
+                n_rows - n_del,
+                man.get("restored_from"),
+                (man.get("cloned_from") or {}).get("version"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, mode string, n_files int, n_delete_files int, "
+        "n_live_rows long, restored_from int, cloned_from_version int",
+    )
+
+
+def set_table_constraints(table_dir: str, constraints: dict[str, str]) -> None:
+    """EXT E464 (definition side): attach named CHECK constraints
+    (SQL boolean expressions over the table's columns) to the table —
+    stored in ``constraints.json`` beside the manifests, enforced by
+    every subsequent :func:`commit_version` append/overwrite (Delta's
+    `ALTER TABLE ADD CONSTRAINT CHECK` semantics: reject the WRITE,
+    don't quarantine rows — quarantining belongs to the S13 ingest
+    path)."""
+    import json
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    with open(os.path.join(table_dir, "constraints.json"), "w") as f:
+        json.dump(constraints, f)
+
+
+def validate_constraints(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> DataFrame:
+    """EXT E464 (report side): per-constraint violation counts of a
+    candidate batch — the report a pipeline inspects BEFORE writing
+    (or after a rejected commit). One pass, all constraints evaluated
+    as aggregate filters (map-side combine, one 1-row exchange)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(table_dir, "constraints.json")
+    cons = json.load(open(path)) if os.path.exists(path) else {}
+    if not cons:
+        raise ValueError(f"no constraints defined on {table_dir}")
+    aggs = [
+        F.count(F.when(~F.expr(expr), 1)).cast("long").alias(name)
+        for name, expr in sorted(cons.items())
+    ]
+    wide = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *aggs)
+    stack = ", ".join(
+        f"'{name}', {name}" for name in sorted(cons)
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cons)}, {stack}) AS (constraint_name, n_violations)"
+        ),
+    ).select(
+        "constraint_name",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passes"),
+    )
+
+
+def _enforce_constraints(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> None:
+    """EXT E464 (enforcement): reject a write whose batch violates any
+    table CHECK constraint — called by commit_version and merge_into
+    before any data file lands. One aggregate pass over the batch,
+    only when constraints are defined."""
+    import json
+    import os
+
+    path = os.path.join(table_dir, "constraints.json")
+    if not os.path.exists(path):
+        return
+    bad = [
+        (r["constraint_name"], r["n_violations"])
+        for r in validate_constraints(spark, table_dir, df)
+        .filter("NOT passes")
+        .collect()
+    ]
+    if bad:
+        raise ValueError(
+            "CHECK constraint violation(s), write rejected: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in bad)
+        )
+
+
+def table_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E461+E462 gate query: the RESTORE lifecycle read back
+    through DESCRIBE HISTORY — v0 events base → v1 position-delete the
+    errors → v2 append the value>2 errors → v3 RESTORE to v0. Live row
+    counts per version are metadata-derived (footer row counts minus
+    delete-vector rows), and v3 must equal v0 exactly — rollback is
+    zero-copy re-reference, not a rewrite (pytest pins file identity).
+    ``restored_from`` is −1 except on the restore commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev)
+        commit_deletes(spark, tdir, "event_type = 'error'")
+        commit_version(
+            spark, tdir,
+            ev.filter((F.col("event_type") == "error") & (F.col("value") > 2.0)),
+            mode="append",
+        )
+        restore_table(spark, os.path.join(stage, "tbl"), 0)
+
+    root = claim_artifact(
+        spark, "restore_" + source_salt(sf_dir, "events"), _build
+    )
+    return table_history(spark, os.path.join(root, "tbl")).select(
+        "version",
+        "mode",
+        "n_live_rows",
+        F.coalesce(F.col("restored_from"), F.lit(-1)).cast("int").alias(
+            "restored_from"
+        ),
+    )
+
+
+def constraint_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E464 gate query: three CHECK constraints validated against
+    the ``events`` batch — one passing, two with closed-form violation
+    counts; the write-rejection path is pinned by pytest."""
+    import tempfile
+
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    tdir = tempfile.mkdtemp(prefix="constraints_")
+    set_table_constraints(
+        tdir,
+        {
+            "id_nonneg": "event_id >= 0",
+            "no_errors": "event_type <> 'error'",
+            "value_floor": "value > 1.0",
+        },
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return validate_constraints(spark, tdir, ev)

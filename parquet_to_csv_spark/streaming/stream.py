@@ -1268,3 +1268,55 @@ def streaming_merge_sink_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("event_id").cast("long").alias("n_ids"),
         )
     )
+
+
+def rocksdb_state_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E463: the ROCKSDB state-store provider — the provider every
+    production Spark streaming deployment runs (bounded JVM heap:
+    state lives off-heap in RocksDB with changelog/zip checkpointing)
+    versus the default HDFS-backed in-memory map. The drain runs the
+    per-type count aggregation with
+    ``RocksDBStateStoreProvider`` scoped to the query, reads the
+    final state back through the E421 ``statestore`` source (which
+    must speak the RocksDB layout too), and returns it — the oracle is
+    the plain batch aggregate, so the gate proves the provider swap
+    changes WHERE state lives, never WHAT it holds. The provider conf
+    is snapshotted at query START, so scoping the session conf around
+    ``start()`` is sound; the pytest additionally asserts the
+    checkpoint really contains RocksDB zip snapshots (provider
+    actually engaged, not silently defaulted)."""
+    import tempfile
+    import uuid as _uuid
+
+    from parquet_to_csv_spark.operators.timeops import scoped_session_conf
+
+    stage = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="rocksdb_state_")
+    src = read_event_stream(spark, stage)
+    counts = src.groupBy("event_type").count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with scoped_session_conf(
+            spark,
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ):
+            q = (
+                counts.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # expose the checkpoint for the engagement pytest
+    rocksdb_state_drain.last_checkpoint = ckpt  # type: ignore[attr-defined]
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )

@@ -263,3 +263,64 @@ def test_streaming_throughput_tier_shape(spark, sf_dir):
     # state shape this leg exists to track
     assert st["dedup_state_rows"] == st["rows"]
     assert 0 < st["window_agg_state_rows"] <= st["rows"]
+
+
+# --- E463 RocksDB provider engagement / E461 restore / E464 constraints
+
+
+def test_rocksdb_drain_actually_used_rocksdb(spark, sf_dir):
+    import glob
+
+    from parquet_to_csv_spark.streaming.stream import rocksdb_state_drain
+
+    rows = {r["event_type"]: r["n_events"]
+            for r in rocksdb_state_drain(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    truth = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert rows == truth
+    ckpt = rocksdb_state_drain.last_checkpoint
+    # RocksDB layout: zip snapshots + SSTs dir, not the HDFS .delta files
+    zips = glob.glob(os.path.join(ckpt, "state", "0", "*", "*.zip"))
+    assert zips, f"no RocksDB zip snapshots under {ckpt}"
+    # the provider conf was restored after the scoped drain
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    ) is None
+
+
+def test_restore_is_zero_copy_and_rejects_race(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    ev = _events(spark, sf_dir)
+    layout.commit_version(spark, t, ev)
+    layout.commit_deletes(spark, t, "event_type = 'error'")
+    v = layout.restore_table(spark, t, 0)
+    assert v == 2
+    m0 = json.load(open(os.path.join(t, "manifests", "v0.json")))
+    m2 = json.load(open(os.path.join(t, "manifests", "v2.json")))
+    assert m2["files"] == m0["files"]  # zero-copy re-reference
+    assert layout.read_version(spark, t, 2).count() == ev.count()
+    assert layout.read_version(spark, t, 1).count() == ev.filter(
+        "event_type <> 'error'"
+    ).count()
+
+
+def test_constraints_reject_violating_writes_everywhere(
+    spark, sf_dir, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    ev = _events(spark, sf_dir)
+    layout.set_table_constraints(t, {"no_errors": "event_type <> 'error'"})
+    ok = ev.filter("event_type <> 'error'")
+    layout.commit_version(spark, t, ok)  # clean write passes
+    with pytest.raises(ValueError, match="no_errors"):
+        layout.commit_version(spark, t, ev, mode="append")
+    with pytest.raises(ValueError, match="no_errors"):
+        layout.merge_into(
+            spark, t,
+            ev.filter("event_type = 'error'").limit(5),
+            "event_id",
+        )
+    # table unchanged after the rejections
+    assert layout.latest_version(t) == 0
+    assert layout.read_version(spark, t).count() == ok.count()
