@@ -2796,3 +2796,48 @@ def cohen_kappa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm(pe).alias("pe_ppm"),
         F.when(pe < F.lit(1.0), ppm(kappa)).alias("kappa_ppm"),
     )
+
+
+def class_balance_weights(
+    spark: SparkSession, sf_dir: str, beta: float = 0.999
+) -> DataFrame:
+    """EXT E466: class-imbalance report with EFFECTIVE sample sizes
+    (Cui et al. 2019, class-balanced loss): eₙ = (1−βⁿ)/(1−β) — the
+    de-duplicated "information content" of n samples under overlap
+    rate β — and the normalized per-label loss weights ∝ 1/eₙ. The
+    reweighting table a trainer joins against when labels are skewed.
+
+    Determinism: n per label is an exact long; βⁿ = exp(n·ln β) is one
+    fixed double expression; 1/eₙ is µ-rounded to a long BEFORE the
+    cross-label normalization, so the normalizing sum is exact integer
+    arithmetic (a double sum over labels would be fold-order-
+    sensitive). One counting pass; everything after is |labels| rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # (1 − β) as an explicit DOUBLE subtraction: the oracle mirrors
+    # CAST(1 AS DOUBLE) - CAST(β AS DOUBLE) — a decimal-exact 0.001
+    # literal on one side and float subtraction on the other differ at
+    # 2e-16 and can flip the µ-floor.
+    eff = (
+        F.lit(1.0) - F.exp(F.col("n") * F.log(F.lit(beta)))
+    ) / (F.lit(1.0) - F.lit(beta))
+    inv_u = F.floor(F.lit(1e6) / eff + F.lit(0.5)).cast("long")
+    scored = g.select(
+        "label", "n",
+        F.floor(eff * F.lit(1e6) + F.lit(0.5)).cast("long").alias("eff_n_micro"),
+        inv_u.alias("inv_u"),
+    )
+    tot = F.broadcast(
+        scored.agg(
+            F.sum("inv_u").alias("sum_inv"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+        )
+    )
+    return scored.join(tot).select(
+        "label", "n", "eff_n_micro",
+        F.floor(
+            F.col("inv_u") * F.col("n_labels") / F.col("sum_inv") * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("weight_ppm"),
+    )

@@ -2355,3 +2355,36 @@ def good_turing_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(r1s * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
         ).alias("r1_star_ppm"),
     )
+
+
+def token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E467: Simpson lexical concentration per source — λ =
+    Σr(r−1)/(N(N−1)), the probability two random tokens are the same
+    type, and its inverse (effective number of equally-common types).
+    The diversity rung beside Heaps growth (E203) and Zipf slope
+    (E212): a source whose λ spikes is template/boilerplate-heavy even
+    when its raw vocabulary looks fine. The numerator is an exact long
+    sum over the frequency table; only the two final ratios are
+    floats, each one fixed expression → floor-µ integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens_col("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    g = tf.groupBy("source").agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("r") * (F.col("r") - 1)).cast("long").alias("num"),
+    )
+    lam = F.col("num") / (F.col("n_tokens") * (F.col("n_tokens") - 1))
+    return g.select(
+        "source", "n_tokens", "vocab",
+        F.floor(lam * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "simpson_ppm"
+        ),
+        F.floor(
+            (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double")
+            / F.col("num") * F.lit(1000.0) + F.lit(0.5)
+        ).cast("long").alias("inv_simpson_milli"),
+    )

@@ -2930,3 +2930,60 @@ ORACLES["rocksdb_state_drain"] = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type
 """
+
+# E465 — incremental (batched) OPTIMIZE: one bounded rewrite batch,
+# content exactly preserved, vector applied to the rewritten subset.
+QUERIES["incremental_optimize_report"] = _layout.incremental_optimize_report
+ORACLES["incremental_optimize_report"] = """
+WITH agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events WHERE value > 1.5 GROUP BY 1
+)
+SELECT s.stage, a.event_type, a.n_rows, a.sum_cents
+FROM (VALUES ('pre'), ('post')) s(stage) CROSS JOIN agg a
+"""
+
+# E466 — class-balanced effective sample sizes + loss weights.
+QUERIES["class_balance_weights"] = mlmetrics.class_balance_weights
+ORACLES["class_balance_weights"] = """
+WITH g AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
+), s AS (
+  SELECT label, n,
+         CAST(floor((1.0 - exp(n * ln(0.999)))
+              / (CAST(1 AS DOUBLE) - CAST(0.999 AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS eff_n_micro,
+         CAST(floor(1000000.0 / ((1.0 - exp(n * ln(0.999)))
+              / (CAST(1 AS DOUBLE) - CAST(0.999 AS DOUBLE))) + 0.5)
+              AS BIGINT) AS inv_u
+  FROM g
+), t AS (
+  SELECT sum(inv_u) AS sum_inv, CAST(count(*) AS BIGINT) AS n_labels FROM s
+)
+SELECT label, n, eff_n_micro,
+       CAST(floor(inv_u * n_labels / CAST(sum_inv AS DOUBLE) * 1000000.0
+                  + 0.5) AS BIGINT) AS weight_ppm
+FROM s CROSS JOIN t
+"""
+
+# E467 — Simpson lexical concentration per source.
+QUERIES["token_simpson_diversity"] = text.token_simpson_diversity
+ORACLES["token_simpson_diversity"] = f"""
+WITH tf AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS r
+  FROM (SELECT source, unnest({_TOKS}) AS t FROM documents) GROUP BY 1, 2
+), g AS (
+  SELECT source, CAST(sum(r) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(r * (r - 1)) AS BIGINT) AS num
+  FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, vocab,
+       CAST(floor(num / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) AS simpson_ppm,
+       CAST(floor(CAST(n_tokens * (n_tokens - 1) AS DOUBLE) / num
+                  * 1000.0 + 0.5) AS BIGINT) AS inv_simpson_milli
+FROM g
+"""

@@ -22,6 +22,8 @@ with the read-side plans that exploit them.
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -586,7 +588,7 @@ def commit_version(
         final = _manifest_path(table_dir, version)
         tmp = final + f".tmp-{token}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump({**manifest, "ts": _time.time()}, f)
         try:
             os.link(tmp, final)
             return version
@@ -688,7 +690,7 @@ def commit_deletes(
         final = _manifest_path(table_dir, version)
         tmp = final + f".tmp-{token}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump({**manifest, "ts": _time.time()}, f)
         try:
             os.link(tmp, final)
             return version
@@ -767,6 +769,20 @@ def orphan_files(table_dir: str, keep_versions: int = 1) -> list[str]:
         p = _manifest_path(table_dir, v)
         if os.path.exists(p):
             referenced.update(json.load(open(p))["files"])
+    # EXT E468: clones registered by clone_table keep their referenced
+    # files alive — closes the documented E447 hazard (source-side
+    # vacuum deleting files a shallow clone still reads). A clone dir
+    # that no longer exists is dropped from consideration.
+    reg = os.path.join(table_dir, "clones.json")
+    if os.path.exists(reg):
+        for clone_dir in json.load(open(reg)):
+            cv = latest_version(clone_dir)
+            if cv is None:
+                continue
+            for v in range(cv + 1):
+                p = _manifest_path(clone_dir, v)
+                if os.path.exists(p):
+                    referenced.update(json.load(open(p))["files"])
     on_disk = set(
         glob.glob(os.path.join(table_dir, "data", "v*", "*.parquet"))
     )
@@ -1579,13 +1595,26 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     final = _manifest_path(dst_dir, 0)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump({**manifest, "ts": _time.time()}, f)
     try:
         os.link(tmp, final)
     except FileExistsError as e:
         raise RuntimeError(f"{dst_dir} already has a v0 manifest") from e
     finally:
         os.remove(tmp)
+    # EXT E468: register the clone with its source so source-side
+    # vacuum keeps the shared files alive (last-writer-wins append is
+    # fine here: clone creation is not a hot concurrent path, and a
+    # lost registration fails TOWARD the pre-round-7 documented
+    # hazard, never toward deleting extra files).
+    reg = os.path.join(src_dir, "clones.json")
+    clones = json.load(open(reg)) if os.path.exists(reg) else []
+    if dst_dir not in clones:
+        clones.append(dst_dir)
+        rtmp = reg + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(rtmp, "w") as f:
+            json.dump(clones, f)
+        os.replace(rtmp, reg)
     return 0
 
 
@@ -1897,7 +1926,7 @@ def merge_into(
         final = _manifest_path(table_dir, at + 1)
         tmp = final + f".tmp-{token}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump({**manifest, "ts": _time.time()}, f)
         try:
             os.link(tmp, final)
             return at + 1
@@ -1989,7 +2018,7 @@ def optimize_table(
     final = _manifest_path(table_dir, prev + 1)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump({**manifest, "ts": _time.time()}, f)
     try:
         os.link(tmp, final)
         return prev + 1
@@ -2279,7 +2308,7 @@ def apply_cdc_feed(
         final = _manifest_path(table_dir, at + 1)
         tmp = final + f".tmp-{token}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump({**manifest, "ts": _time.time()}, f)
         try:
             os.link(tmp, final)
             return at + 1
@@ -2326,7 +2355,7 @@ def cdc_replication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = _manifest_path(replica, 0)
         tmp = final + f".tmp-{_uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            _json.dump(man, f)
+            _json.dump({**man, "ts": _time.time()}, f)
         os.link(tmp, final)
         os.remove(tmp)
         feed = snapshot_cdc_feed(spark, src, 0, 2)
@@ -2551,7 +2580,7 @@ def restore_table(
     final = _manifest_path(table_dir, cur + 1)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump({**manifest, "ts": _time.time()}, f)
     try:
         os.link(tmp, final)
         return cur + 1
@@ -2748,3 +2777,193 @@ def constraint_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     return validate_constraints(spark, tdir, ev)
+
+
+def read_as_of_timestamp(
+    spark: SparkSession, table_dir: str, ts: float
+) -> DataFrame:
+    """EXT E469: `AS OF TIMESTAMP` time travel — resolve the highest
+    version whose manifest commit timestamp is ≤ ``ts`` and read it.
+    Every manifest writer stamps ``ts`` at its atomic link point, so
+    the timestamp order IS the commit order (same clock, same
+    process-group; cross-writer clock skew is the documented
+    Delta/Iceberg caveat — version pins beat timestamp pins for exact
+    reproducibility, which is why the gate queries pin versions)."""
+    import json
+
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    best = None
+    for v in range(cur + 1):
+        man = json.load(open(_manifest_path(table_dir, v)))
+        if man.get("ts") is not None and man["ts"] <= ts:
+            best = v
+    if best is None:
+        raise ValueError(f"no version committed at or before ts={ts}")
+    return read_version(spark, table_dir, best)
+
+
+def optimize_batches(
+    spark: SparkSession,
+    table_dir: str,
+    target_rows: int = 100_000,
+    max_batches: int = 1,
+) -> int:
+    """EXT E465: INCREMENTAL OPTIMIZE — execute the E317 compaction
+    plan one batch at a time: greedily bin the current live files by
+    footer row counts into ~``target_rows`` batches (file order, the
+    E317 rule), rewrite only the first ``max_batches`` multi-file
+    batches, and commit manifest = (untouched files + rewritten
+    files). This is the shape the whole-table E450 docstring promises
+    for 100 TB: each run touches a bounded byte budget, is
+    restartable (the next run picks the next batch), and never holds
+    the table — the real OPTIMIZE loop of a petabyte lakehouse.
+
+    Delete vectors are APPLIED to the rewritten subset (its rows are
+    filtered through them before the rewrite) and carried verbatim for
+    everything else; entries pointing at rewritten files match nothing
+    afterwards — dead weight until a later full OPTIMIZE, never a
+    correctness issue. Conflict rule (Delta's file-level OPTIMIZE
+    rule): commit only if the chosen files are still live and NO new
+    delete vector landed since the plan was made (a fresh vector may
+    reference the rewritten files — committing would resurrect its
+    rows); concurrent APPENDs compose fine and are rebased onto.
+    """
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    prev = latest_version(table_dir)
+    if prev is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    man = json.load(open(_manifest_path(table_dir, prev)))
+    dels0 = man.get("delete_files", [])
+    # greedy row-budget binning in file order (the E317 rule)
+    batches: list[list[str]] = [[]]
+    acc = 0
+    for f in man["files"]:
+        n = pq.ParquetFile(f).metadata.num_rows
+        if acc + n > target_rows and batches[-1]:
+            batches.append([])
+            acc = 0
+        batches[-1].append(f)
+        acc += n
+    todo = [b for b in batches if len(b) > 1][:max_batches]
+    if not todo:
+        return prev  # nothing to compact
+    subset = [f for b in todo for f in b]
+    reader = spark.read
+    if man.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*subset)
+    if dels0:
+        dd = spark.read.parquet(*dels0)
+        cols = df.columns
+        df = (
+            df.select(
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+                "*",
+            )
+            .join(
+                F.broadcast(dd).withColumnsRenamed(
+                    {"file_path": "__fp", "row_index": "__ri"}
+                ),
+                ["__fp", "__ri"],
+                "left_anti",
+            )
+            .select(*cols)
+        )
+    data_dir = os.path.join(
+        table_dir, "data", f"optb{prev + 1}.{uuid.uuid4().hex[:8]}"
+    )
+    df.repartition(1).write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    token = uuid.uuid4().hex[:8]
+    for _ in range(5):
+        at = latest_version(table_dir)
+        man2 = json.load(open(_manifest_path(table_dir, at)))
+        if not set(subset) <= set(man2["files"]) or (
+            man2.get("delete_files", []) != dels0
+        ):
+            raise RuntimeError(
+                f"conflict during incremental OPTIMIZE of {table_dir}: the "
+                "planned files were replaced or new delete vectors landed — "
+                "re-plan against the current snapshot"
+            )
+        manifest = {
+            "version": at + 1,
+            "mode": "optimize",
+            "files": [f for f in man2["files"] if f not in set(subset)]
+            + new_files,
+        }
+        for k in ("delete_files", "schema", "merge_schema"):
+            if man2.get(k):
+                manifest[k] = man2[k]
+        final = _manifest_path(table_dir, at + 1)
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump({**manifest, "ts": _time.time()}, f)
+        try:
+            os.link(tmp, final)
+            return at + 1
+        except FileExistsError:
+            continue  # racer appended: rebase the untouched-file list
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(f"incremental OPTIMIZE lost races in {table_dir}")
+
+
+def incremental_optimize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E465 gate query: one bounded OPTIMIZE batch over a
+    many-small-files table with a live delete vector — content must be
+    EXACTLY preserved (oracle emits the same relation for pre and
+    post); partial-ness (some original files still live) and vector
+    application are pinned by pytest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev.repartition(10))
+        commit_deletes(spark, tdir, "value <= 1.5")
+        # batch budget = ~40% of rows ⇒ first few files compact, rest stay
+        n = ev.count()
+        optimize_batches(spark, tdir, target_rows=max(n * 2 // 5, 1))
+
+    root = claim_artifact(
+        spark, "incropt_" + source_salt(sf_dir, "events"), _build
+    )
+    tdir = os.path.join(root, "tbl")
+
+    def agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+        ).select(F.lit(stage).alias("stage"), "*")
+
+    return agg(read_version(spark, tdir, 1), "pre").unionByName(
+        agg(read_version(spark, tdir, 2), "post")
+    )
+
+
+def json_manifest_files(table_dir: str, version: int) -> list[str]:
+    import json
+
+    return json.load(open(_manifest_path(table_dir, version)))["files"]

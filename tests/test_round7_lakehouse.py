@@ -399,3 +399,101 @@ def test_clustered_optimize_preserves_rows_exactly(spark, sf_dir, tmp_path):
         layout.read_version(spark, t).collect(), key=lambda r: r["event_id"]
     )
     assert pre == post
+
+
+# --- E465 incremental optimize / E468 clone-aware vacuum / E469 AS OF -------
+
+
+def test_incremental_optimize_is_partial_and_restartable(
+    spark, sf_dir, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    ev = _events(spark, sf_dir)
+    layout.commit_version(spark, t, ev.repartition(10))
+    layout.commit_deletes(spark, t, "value <= 1.5")
+    truth = sorted(
+        layout.read_version(spark, t).collect(), key=lambda r: r["event_id"]
+    )
+    n = ev.count()
+    files0 = set(_manifest(t, 1)["files"])
+    v2 = layout.optimize_batches(spark, t, target_rows=max(n * 2 // 5, 1))
+    assert v2 == 2
+    files2 = set(_manifest(t, 2)["files"])
+    # PARTIAL: some original files still live, some were rewritten
+    assert files0 & files2 and files2 - files0
+    assert len(files2) < len(files0)
+    assert sorted(
+        layout.read_version(spark, t).collect(), key=lambda r: r["event_id"]
+    ) == truth
+    # restartable: the next run compacts the next batch, same rows
+    v3 = layout.optimize_batches(spark, t, target_rows=max(n * 2 // 5, 1))
+    if v3 != v2:  # something left to compact
+        assert sorted(
+            layout.read_version(spark, t).collect(),
+            key=lambda r: r["event_id"],
+        ) == truth
+        assert len(_manifest(t, v3)["files"]) <= len(files2)
+
+
+def test_incremental_optimize_conflicts_on_new_delete_vector(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    t = str(tmp_path / "tbl")
+    ev = _events(spark, sf_dir)
+    layout.commit_version(spark, t, ev.repartition(8))
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig = DataFrameWriter.parquet
+    state = {"fired": False}
+
+    def hooked(self, path, *a, **kw):
+        if "/data/optb" in path and not state["fired"]:
+            state["fired"] = True
+            layout.commit_deletes(spark, t, "value <= 1.0")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", hooked)
+    with pytest.raises(RuntimeError, match="conflict"):
+        layout.optimize_batches(spark, t, target_rows=ev.count() // 2)
+    assert state["fired"]
+
+
+def test_vacuum_respects_registered_clones(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    ev = _events(spark, sf_dir)
+    layout.commit_version(spark, src, ev)
+    layout.clone_table(src, dst)
+    # source moves on: overwrite would orphan v0's files WITHOUT the
+    # clone registry — the E447 documented hazard
+    layout.commit_version(spark, src, ev.limit(10), mode="overwrite")
+    assert layout.orphan_files(src, keep_versions=1) == []
+    deleted = layout.vacuum(src, keep_versions=1)
+    assert deleted == []
+    # the clone still reads its full snapshot
+    assert layout.read_version(spark, dst).count() == ev.count()
+    # deregistering (simulating clone deletion) frees the files
+    import shutil
+
+    shutil.rmtree(dst)
+    orphans = layout.orphan_files(src, keep_versions=1)
+    assert orphans  # now safe to reclaim
+
+
+def test_read_as_of_timestamp(spark, sf_dir, tmp_path):
+    import json
+    import time
+
+    t = str(tmp_path / "tbl")
+    ev = _events(spark, sf_dir)
+    layout.commit_version(spark, t, ev.limit(100))
+    ts_between = time.time()
+    layout.commit_version(spark, t, ev.limit(50), mode="append")
+    man0 = _manifest(t, 0)
+    man1 = _manifest(t, 1)
+    assert man0["ts"] <= ts_between <= man1["ts"]
+    assert layout.read_as_of_timestamp(spark, t, ts_between).count() == 100
+    assert layout.read_as_of_timestamp(spark, t, time.time()).count() == 150
+    with pytest.raises(ValueError, match="no version"):
+        layout.read_as_of_timestamp(spark, t, man0["ts"] - 10.0)
