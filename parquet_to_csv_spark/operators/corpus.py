@@ -3237,3 +3237,93 @@ def contributor_cap_sample(
         F.expr("max(n_b) * 1000000 div sum(n_b)").alias("max_user_share_before_ppm"),
         F.expr("max(n_a) * 1000000 div sum(n_a)").alias("max_user_share_after_ppm"),
     )
+
+
+def kneser_ney_bigram_score(
+    spark: SparkSession, sf_dir: str, discount: float = 0.75
+) -> DataFrame:
+    """EXT E470: interpolated Kneser–Ney bigram LM (Kneser & Ney 1995;
+    Chen & Goodman 1999 — the strongest classical n-gram smoother, the
+    one KenLM implements) trained per lang on the 90 % doc_id-split and
+    scored on the 10 % heldout — completing the LM-quality ladder:
+    unigram (E39) → bigram add-k (E140) → trigram stupid backoff
+    (E434) → KN (absolute discounting + CONTINUATION unigrams, which
+    fixes the "san francisco" pathology add-k keeps).
+
+    P(w₂|w₁) = max(c(w₁w₂)−D,0)/c(w₁•) + D·N₁₊(w₁•)/c(w₁•) ·
+    N₁₊(•w₂)/|bigram types|. All counts are exact longs from two
+    grouped passes; the per-bigram log is ONE double expression
+    µnat-rounded then count-weighted exactly (the E61/E140 recipe).
+    Heldout bigrams whose probability is 0 (unseen continuation) are
+    counted separately, never ln'd. Output per lang: scored/unseen
+    bigram counts and avg log-prob in µnats."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", tokens_col("text").alias("w"),
+        (F.col("doc_id") % 10 == 0).alias("is_heldout"),
+    )
+    big = toks.select(
+        "lang", "is_heldout",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("lang", "is_heldout", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    train = big.filter(~F.col("is_heldout"))
+    c12 = train.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = c12.groupBy("lang", "w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n_follow"),  # N1+(w1 •)
+    )
+    cont = c12.groupBy("lang", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_precede")  # N1+(• w2)
+    )
+    types = c12.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    held = big.filter(F.col("is_heldout")).groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    j = (
+        held.join(c12, ["lang", "w1", "w2"], "left")
+        .join(c1, ["lang", "w1"], "left")
+        .join(cont, ["lang", "w2"], "left")
+        .join(F.broadcast(types), "lang")
+        .select(
+            "lang", "n_obs",
+            F.coalesce("c12", F.lit(0)).alias("c12"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.coalesce("n_precede", F.lit(0)).alias("n_precede"),
+            "n_types",
+        )
+    )
+    d = F.lit(discount)
+    p = F.when(
+        F.col("c1") > 0,
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("n_follow") / F.col("c1")
+        * (F.col("n_precede") / F.col("n_types")),
+    ).otherwise(F.col("n_precede") / F.col("n_types"))
+    unit = F.round(F.log(p) * F.lit(1e6), 0).cast("long")
+    scored = j.select(
+        "lang", "n_obs",
+        F.when(p > F.lit(0.0), unit).alias("u"),
+    )
+    agg = scored.groupBy("lang").agg(
+        F.sum(F.when(F.col("u").isNotNull(), F.col("n_obs")).otherwise(F.lit(0)))
+        .cast("long").alias("n_scored"),
+        F.sum(F.when(F.col("u").isNull(), F.col("n_obs")).otherwise(F.lit(0)))
+        .cast("long").alias("n_unseen"),
+        F.sum(F.col("n_obs") * F.coalesce(F.col("u"), F.lit(0))).alias("su"),
+    )
+    return agg.select(
+        "lang", "n_scored", "n_unseen",
+        F.floor(F.col("su") / F.col("n_scored") + F.lit(0.5)).cast("long")
+        .alias("avg_logprob_unats"),
+    )

@@ -2841,3 +2841,115 @@ def class_balance_weights(
             + F.lit(0.5)
         ).cast("long").alias("weight_ppm"),
     )
+
+
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E471: Qini uplift curve (Radcliffe 2007) — the evaluation
+    every targeting/uplift model ships with: rank users by a score,
+    then at each decile compare cumulative conversions in TREATED vs
+    CONTROL (scaled to the treated exposure). Here treatment is the
+    deterministic user_id parity split (the repo's A/B harness, E57)
+    and the ranking score is per-user click count, so the whole curve
+    is closed-form for the oracle.
+
+    Decile assignment uses :func:`relational.distributed_ntile` over
+    the unique (score, user) order — no global window; the cumulative
+    sums run over the 10-row decile relation. Qini(d) = cumTreatConv −
+    cumCtrlConv·(cumTreatN/cumCtrlN), emitted in exact milli-units
+    (the only division is long/long → double, one fixed expression)."""
+    from parquet_to_csv_spark.operators.relational import distributed_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("converted"),
+    ).withColumn("treated", (F.col("user_id") % 2 == 0).cast("long"))
+    # decile 1 = highest score (negate for the ascending ntile order)
+    tiled = distributed_ntile(
+        per.withColumn("neg", -F.col("score")),
+        "neg", "user_id", 10,
+        F.expr("neg div 4"), out_col="decile",
+    )
+    g = tiled.groupBy("decile").agg(
+        F.sum("treated").alias("n_treat"),
+        F.sum(F.lit(1) - F.col("treated")).alias("n_ctrl"),
+        F.sum(F.col("treated") * F.col("converted")).alias("conv_treat"),
+        F.sum((F.lit(1) - F.col("treated")) * F.col("converted")).alias(
+            "conv_ctrl"
+        ),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "decile",
+        F.sum("n_treat").over(w).alias("ct_n"),
+        F.sum("n_ctrl").over(w).alias("cc_n"),
+        F.sum("conv_treat").over(w).alias("ct_conv"),
+        F.sum("conv_ctrl").over(w).alias("cc_conv"),
+    )
+    qini = F.col("ct_conv") - F.col("cc_conv") * (
+        F.col("ct_n") / F.col("cc_n")
+    )
+    return cum.select(
+        "decile",
+        F.col("ct_n").cast("long").alias("cum_treated"),
+        F.col("cc_n").cast("long").alias("cum_control"),
+        F.col("ct_conv").cast("long").alias("cum_treated_conv"),
+        F.col("cc_conv").cast("long").alias("cum_control_conv"),
+        F.floor(qini * F.lit(1000.0) + F.lit(0.5)).cast("long").alias(
+            "qini_milli"
+        ),
+    )
+
+
+def did_estimate(
+    spark: SparkSession, sf_dir: str, cutover_ms: int = 1_705_276_800_000
+) -> DataFrame:
+    """EXT E472: difference-in-differences — the workhorse
+    quasi-experimental estimator (Card & Krueger 1994 canon): treated
+    group (user parity, the E57 split) vs control, before vs after the
+    cutover; DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre). Means
+    are exact-cents ratios of longs; the four-cell layout also exposes
+    the parallel-trends inputs so the reader can audit the assumption.
+    One scan, one 4-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.expr("ts div 1000000") >= cutover_ms).alias("post"),
+        exact_units(F.col("value"), 2).alias("cents"),
+    ).groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    flat = cells.select(
+        F.when(F.col("treated") & F.col("post"), F.col("cents")).alias("tp_c"),
+        F.when(F.col("treated") & F.col("post"), F.col("n")).alias("tp_n"),
+        F.when(F.col("treated") & ~F.col("post"), F.col("cents")).alias("tq_c"),
+        F.when(F.col("treated") & ~F.col("post"), F.col("n")).alias("tq_n"),
+        F.when(~F.col("treated") & F.col("post"), F.col("cents")).alias("cp_c"),
+        F.when(~F.col("treated") & F.col("post"), F.col("n")).alias("cp_n"),
+        F.when(~F.col("treated") & ~F.col("post"), F.col("cents")).alias("cq_c"),
+        F.when(~F.col("treated") & ~F.col("post"), F.col("n")).alias("cq_n"),
+    ).agg(
+        F.sum("tp_c").alias("tp_c"), F.sum("tp_n").alias("tp_n"),
+        F.sum("tq_c").alias("tq_c"), F.sum("tq_n").alias("tq_n"),
+        F.sum("cp_c").alias("cp_c"), F.sum("cp_n").alias("cp_n"),
+        F.sum("cq_c").alias("cq_c"), F.sum("cq_n").alias("cq_n"),
+    )
+    did = (
+        F.col("tp_c") / F.col("tp_n") - F.col("tq_c") / F.col("tq_n")
+    ) - (F.col("cp_c") / F.col("cp_n") - F.col("cq_c") / F.col("cq_n"))
+    return flat.select(
+        F.col("tp_n").cast("long").alias("n_treated_post"),
+        F.col("tq_n").cast("long").alias("n_treated_pre"),
+        F.col("cp_n").cast("long").alias("n_control_post"),
+        F.col("cq_n").cast("long").alias("n_control_pre"),
+        F.floor(
+            (F.col("tp_c") / F.col("tp_n")) * F.lit(10.0) + F.lit(0.5)
+        ).cast("long").alias("treated_post_mean_milli"),
+        F.floor(did * F.lit(10.0) + F.lit(0.5)).cast("long").alias(
+            "did_milli"
+        ),
+    )

@@ -2987,3 +2987,133 @@ SELECT source, n_tokens, vocab,
                   * 1000.0 + 0.5) AS BIGINT) AS inv_simpson_milli
 FROM g
 """
+
+# E470 — interpolated Kneser-Ney bigram LM scored on the 10% heldout.
+QUERIES["kneser_ney_bigram_score"] = corpus.kneser_ney_bigram_score
+ORACLES["kneser_ney_bigram_score"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT lang, doc_id, {_TOKS} AS w, (doc_id % 10 = 0) AS is_heldout
+  FROM documents
+), big AS MATERIALIZED (
+  SELECT lang, is_heldout, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT lang, is_heldout,
+           unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+    FROM toks
+  )
+), c12 AS MATERIALIZED (
+  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM big WHERE NOT is_heldout GROUP BY 1, 2, 3
+), c1 AS (
+  SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n_follow
+  FROM c12 GROUP BY 1, 2
+), cont AS (
+  SELECT lang, w2, CAST(count(*) AS BIGINT) AS n_precede
+  FROM c12 GROUP BY 1, 2
+), types AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_types FROM c12 GROUP BY 1
+), held AS (
+  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n_obs
+  FROM big WHERE is_heldout GROUP BY 1, 2, 3
+), j AS (
+  SELECT h.lang, h.n_obs,
+         coalesce(c12.c12, 0) AS c12, coalesce(c1.c1, 0) AS c1,
+         coalesce(c1.n_follow, 0) AS n_follow,
+         coalesce(cont.n_precede, 0) AS n_precede, t.n_types
+  FROM held h
+  LEFT JOIN c12 ON c12.lang = h.lang AND c12.w1 = h.w1 AND c12.w2 = h.w2
+  LEFT JOIN c1 ON c1.lang = h.lang AND c1.w1 = h.w1
+  LEFT JOIN cont ON cont.lang = h.lang AND cont.w2 = h.w2
+  JOIN types t ON t.lang = h.lang
+), scored AS (
+  SELECT lang, n_obs,
+    CASE WHEN p > 0.0 THEN CAST(round(ln(p) * 1000000.0) AS BIGINT) END AS u
+  FROM (
+    SELECT lang, n_obs,
+      CASE WHEN c1 > 0 THEN
+        greatest(c12 - 0.75, 0.0) / c1
+        + 0.75 * n_follow / c1 * (n_precede / CAST(n_types AS DOUBLE))
+      ELSE n_precede / CAST(n_types AS DOUBLE) END AS p
+    FROM j
+  )
+)
+SELECT lang,
+       CAST(sum(CASE WHEN u IS NOT NULL THEN n_obs ELSE 0 END) AS BIGINT)
+         AS n_scored,
+       CAST(sum(CASE WHEN u IS NULL THEN n_obs ELSE 0 END) AS BIGINT)
+         AS n_unseen,
+       CAST(floor(sum(n_obs * coalesce(u, 0))
+                  / CAST(sum(CASE WHEN u IS NOT NULL THEN n_obs ELSE 0 END)
+                         AS DOUBLE) + 0.5) AS BIGINT) AS avg_logprob_unats
+FROM scored GROUP BY lang
+"""
+
+# E471 — Qini uplift curve over the parity treatment split.
+QUERIES["qini_uplift_curve"] = mlmetrics.qini_uplift_curve
+ORACLES["qini_uplift_curve"] = """
+WITH per AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS score,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted,
+         CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS treated
+  FROM events GROUP BY user_id
+), tiled AS (
+  SELECT *, ntile(10) OVER (ORDER BY -score ASC, user_id ASC) AS decile
+  FROM per
+), g AS (
+  SELECT decile,
+         sum(treated) AS n_treat, sum(1 - treated) AS n_ctrl,
+         sum(treated * converted) AS conv_treat,
+         sum((1 - treated) * converted) AS conv_ctrl
+  FROM tiled GROUP BY decile
+), cum AS (
+  SELECT decile,
+         sum(n_treat) OVER w AS ct_n, sum(n_ctrl) OVER w AS cc_n,
+         sum(conv_treat) OVER w AS ct_conv, sum(conv_ctrl) OVER w AS cc_conv
+  FROM g WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(decile AS INTEGER) AS decile, CAST(ct_n AS BIGINT) AS cum_treated,
+       CAST(cc_n AS BIGINT) AS cum_control,
+       CAST(ct_conv AS BIGINT) AS cum_treated_conv,
+       CAST(cc_conv AS BIGINT) AS cum_control_conv,
+       CAST(floor((ct_conv - cc_conv * (ct_n / CAST(cc_n AS DOUBLE)))
+                  * 1000.0 + 0.5) AS BIGINT) AS qini_milli
+FROM cum
+"""
+
+# E472 — difference-in-differences over (parity treatment × cutover).
+QUERIES["did_estimate"] = mlmetrics.did_estimate
+ORACLES["did_estimate"] = """
+WITH cells AS (
+  SELECT (user_id % 2 = 0) AS treated,
+         (epoch_us(ts) // 1000 >= 1705276800000) AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+), flat AS (
+  SELECT
+    sum(CASE WHEN treated AND post THEN cents END) AS tp_c,
+    sum(CASE WHEN treated AND post THEN n END) AS tp_n,
+    sum(CASE WHEN treated AND NOT post THEN cents END) AS tq_c,
+    sum(CASE WHEN treated AND NOT post THEN n END) AS tq_n,
+    sum(CASE WHEN NOT treated AND post THEN cents END) AS cp_c,
+    sum(CASE WHEN NOT treated AND post THEN n END) AS cp_n,
+    sum(CASE WHEN NOT treated AND NOT post THEN cents END) AS cq_c,
+    sum(CASE WHEN NOT treated AND NOT post THEN n END) AS cq_n
+  FROM cells
+)
+SELECT CAST(tp_n AS BIGINT) AS n_treated_post,
+       CAST(tq_n AS BIGINT) AS n_treated_pre,
+       CAST(cp_n AS BIGINT) AS n_control_post,
+       CAST(cq_n AS BIGINT) AS n_control_pre,
+       CAST(floor((tp_c / CAST(tp_n AS DOUBLE)) * 10.0 + 0.5) AS BIGINT)
+         AS treated_post_mean_milli,
+       CAST(floor(((tp_c / CAST(tp_n AS DOUBLE) - tq_c / CAST(tq_n AS DOUBLE))
+                   - (cp_c / CAST(cp_n AS DOUBLE) - cq_c / CAST(cq_n AS DOUBLE)))
+                  * 10.0 + 0.5) AS BIGINT) AS did_milli
+FROM flat
+"""

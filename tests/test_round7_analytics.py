@@ -70,3 +70,45 @@ def test_textrank_prefers_connected_tokens(spark, sf_dir):
         top_deg = sum(r["deg"] for r in rows[: len(rows) // 2])
         bot_deg = sum(r["deg"] for r in rows[len(rows) // 2 :])
         assert top_deg >= bot_deg
+
+
+def test_kneser_ney_scores_are_valid_logprobs(spark, sf_dir):
+    from parquet_to_csv_spark.operators.corpus import kneser_ney_bigram_score
+
+    rows = kneser_ney_bigram_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_scored"] > 0
+        assert r["avg_logprob_unats"] < 0  # log of probabilities < 1
+        # KN probabilities over the 31-word vocab can't be worse than
+        # a uniform guess over the bigram-type inventory by much
+        assert r["avg_logprob_unats"] > -20_000_000
+
+
+def test_qini_curve_is_cumulative_and_exhaustive(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import qini_uplift_curve
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    rows = sorted(
+        qini_uplift_curve(spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_treated"] >= a["cum_treated"]
+        assert b["cum_treated_conv"] >= a["cum_treated_conv"]
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1]["cum_treated"] + rows[-1]["cum_control"] == n_users
+
+
+def test_did_four_cells_cover_all_events(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import did_estimate
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    r = did_estimate(spark, sf_dir).collect()[0]
+    total = (
+        r["n_treated_post"] + r["n_treated_pre"]
+        + r["n_control_post"] + r["n_control_pre"]
+    )
+    assert total == load_table(spark, sf_dir, "events").count()
