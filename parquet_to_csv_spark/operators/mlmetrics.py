@@ -2953,3 +2953,202 @@ def did_estimate(
             "did_milli"
         ),
     )
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E473: sample-ratio-mismatch check — the FIRST validity gate
+    of any experiment readout (Fabijan et al. 2019 report ~6 % of
+    experiments at scale fail it): under the designed 50/50 parity
+    split, is the realized treated/control USER count consistent with
+    chance? Two-cell χ² = (n_t − n_c)²/(n_t + n_c), flagged against
+    the 1-df α=0.05 critical value 3.841459 — constants literal, the
+    statistic an exact-long ratio, so the gate is deterministic. An
+    SRM flag means the assignment or logging is broken and every
+    downstream effect estimate (E57/E171/E377/E472/E474) is void."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id", (F.col("user_id") % 2 == 0).alias("treated")
+    ).distinct().agg(
+        F.count(F.when(F.col("treated"), 1)).cast("long").alias("n_treated"),
+        F.count(F.when(~F.col("treated"), 1)).cast("long").alias("n_control"),
+    )
+    d = F.col("n_treated") - F.col("n_control")
+    chi2 = (d * d) / (F.col("n_treated") + F.col("n_control"))
+    return g.select(
+        "n_treated", "n_control",
+        F.floor(chi2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "chi2_micro"
+        ),
+        (chi2 > F.lit(3.841459)).alias("srm_flag"),
+    )
+
+
+def cuped_adjusted_effect(
+    spark: SparkSession, sf_dir: str, cutover_ms: int = 1_705_276_800_000
+) -> DataFrame:
+    """EXT E474: CUPED variance reduction (Deng, Xu, Kohavi & Walker,
+    WSDM 2013) — the industry-standard experiment sensitivity boost:
+    adjust each user's post-period metric Y by their PRE-period
+    covariate X, Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), then
+    difference treated vs control means. Reports the raw and adjusted
+    effects plus the achieved variance-reduction ratio (= 1 − ρ²
+    realized).
+
+    Determinism: X/Y are exact per-user cents longs; ΣX, ΣY, ΣXY, ΣX²,
+    ΣY² are exact long sums; θ, means, variances and both effects are
+    fixed scalar double expressions over those longs — no float ever
+    crosses an aggregation boundary (the grouped-OLS/E145 recipe)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        "user_id",
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        F.when(
+            F.expr("ts div 1000000") < cutover_ms,
+            exact_units(F.col("value"), 2),
+        ).otherwise(F.lit(0)).alias("x"),
+        F.when(
+            F.expr("ts div 1000000") >= cutover_ms,
+            exact_units(F.col("value"), 2),
+        ).otherwise(F.lit(0)).alias("y"),
+    ).groupBy("user_id", "treated").agg(
+        F.sum("x").cast("long").alias("x"),
+        F.sum("y").cast("long").alias("y"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.when(F.col("treated"), F.col("y"))).cast("long").alias("syt"),
+        F.count(F.when(F.col("treated"), 1)).cast("long").alias("nt"),
+        F.sum(F.when(~F.col("treated"), F.col("y"))).cast("long").alias("syc"),
+        F.count(F.when(~F.col("treated"), 1)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treated"), F.col("x"))).cast("long").alias("sxt"),
+        F.sum(F.when(~F.col("treated"), F.col("x"))).cast("long").alias("sxc"),
+    )
+    n = F.col("n").cast("double")
+    varx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    covxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    vary = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    theta = covxy / varx
+    raw = F.col("syt") / F.col("nt") - F.col("syc") / F.col("nc")
+    # adjusted effect = raw − θ·(mean x_t − mean x_c)
+    adj = raw - theta * (
+        F.col("sxt") / F.col("nt") - F.col("sxc") / F.col("nc")
+    )
+    rho2 = covxy * covxy / (varx * vary)
+    return g.select(
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        F.floor(theta * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "theta_micro"
+        ),
+        F.floor(raw * F.lit(10.0) + F.lit(0.5)).cast("long").alias(
+            "raw_effect_milli"
+        ),
+        F.floor(adj * F.lit(10.0) + F.lit(0.5)).cast("long").alias(
+            "cuped_effect_milli"
+        ),
+        F.floor(rho2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "variance_reduction_ppm"
+        ),
+    )
+
+
+def experiment_power_mde(
+    spark: SparkSession, sf_dir: str, cutover_ms: int = 1_705_276_800_000
+) -> DataFrame:
+    """EXT E475: power analysis / minimum-detectable-effect calculator
+    — the planning half of the experimentation suite: given the
+    realized per-user metric variance and arm sizes, the smallest true
+    effect a two-sample test detects at α=0.05 (two-sided) with 80 %
+    power: MDE = (z_{α/2} + z_β)·√(σ²/n_t + σ²/n_c), z constants
+    1.959964 + 0.841621 (literals both engines). σ² is the pooled
+    per-user post-period variance from exact long sums; one √ at the
+    end. Also reports MDE relative to the control mean (the "we can
+    detect an X % lift" number)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.filter(F.expr("ts div 1000000") >= cutover_ms).select(
+        "user_id",
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        exact_units(F.col("value"), 2).alias("y"),
+    ).groupBy("user_id", "treated").agg(
+        F.sum("y").cast("long").alias("y")
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.count(F.when(F.col("treated"), 1)).cast("long").alias("nt"),
+        F.count(F.when(~F.col("treated"), 1)).cast("long").alias("nc"),
+        F.sum(F.when(~F.col("treated"), F.col("y"))).cast("long").alias("syc"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1.0))
+    mde = F.lit(1.959964 + 0.841621) * F.sqrt(
+        var / F.col("nt") + var / F.col("nc")
+    )
+    ctrl_mean = F.col("syc") / F.col("nc")
+    return g.select(
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        F.floor(var * F.lit(10.0) + F.lit(0.5)).cast("long").alias(
+            "variance_deci_cents2"
+        ),
+        F.floor(mde * F.lit(10.0) + F.lit(0.5)).cast("long").alias(
+            "mde_milli"
+        ),
+        F.floor(mde / ctrl_mean * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "mde_relative_ppm"
+        ),
+    )
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E476: Kendall τ-b between daily click and purchase volumes
+    — the rank-association companion of Spearman (E146): counts
+    CONCORDANT vs DISCORDANT day pairs with full tie correction,
+    τ-b = (C−D)/√((n₀−t₁)(n₀−t₂)). Preferred over Spearman when ties
+    are heavy (small counts) and its pair semantics are what
+    "do these two series move together" actually asks.
+
+    The data grain collapses to ONE ROW PER DAY first (bounded
+    calendar relation), so the exact pair enumeration is a self-join
+    over days — |days|² metadata-scale, never data-scale. All pair
+    counts exact longs; τ-b is one √ expression, floor-ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("ts div 86400000000000").alias("day")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long")
+        .alias("a"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("long")
+        .alias("b"),
+    )
+    l = daily.select(
+        F.col("day").alias("d1"), F.col("a").alias("a1"), F.col("b").alias("b1")
+    )
+    r = daily.select(
+        F.col("day").alias("d2"), F.col("a").alias("a2"), F.col("b").alias("b2")
+    )
+    pairs = l.join(r, F.col("d1") < F.col("d2"))
+    sa = F.signum(F.col("a2") - F.col("a1"))
+    sb = F.signum(F.col("b2") - F.col("b1"))
+    g = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.count(F.when(sa * sb > 0, 1)).cast("long").alias("concordant"),
+        F.count(F.when(sa * sb < 0, 1)).cast("long").alias("discordant"),
+        F.count(F.when(sa == 0, 1)).cast("long").alias("ties_a"),
+        F.count(F.when(sb == 0, 1)).cast("long").alias("ties_b"),
+    )
+    denom = F.sqrt(
+        (F.col("n0") - F.col("ties_a")).cast("double")
+        * (F.col("n0") - F.col("ties_b")).cast("double")
+    )
+    tau = (F.col("concordant") - F.col("discordant")) / denom
+    return g.select(
+        "n0", "concordant", "discordant", "ties_a", "ties_b",
+        F.floor(tau * F.lit(1e6) + F.lit(0.5)).cast("long").alias("tau_b_ppm"),
+    )

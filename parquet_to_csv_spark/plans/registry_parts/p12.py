@@ -3117,3 +3117,130 @@ SELECT CAST(tp_n AS BIGINT) AS n_treated_post,
                   * 10.0 + 0.5) AS BIGINT) AS did_milli
 FROM flat
 """
+
+# E473 — sample-ratio-mismatch check over the parity split.
+QUERIES["srm_check"] = mlmetrics.srm_check
+ORACLES["srm_check"] = """
+WITH u AS (
+  SELECT DISTINCT user_id, (user_id % 2 = 0) AS treated FROM events
+), g AS (
+  SELECT CAST(count(*) FILTER (treated) AS BIGINT) AS n_treated,
+         CAST(count(*) FILTER (NOT treated) AS BIGINT) AS n_control
+  FROM u
+)
+SELECT n_treated, n_control,
+       CAST(floor((n_treated - n_control) * (n_treated - n_control)
+                  / CAST(n_treated + n_control AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS chi2_micro,
+       ((n_treated - n_control) * (n_treated - n_control)
+        / CAST(n_treated + n_control AS DOUBLE) > 3.841459) AS srm_flag
+FROM g
+"""
+
+# E474 — CUPED variance-reduced treatment effect.
+QUERIES["cuped_adjusted_effect"] = mlmetrics.cuped_adjusted_effect
+ORACLES["cuped_adjusted_effect"] = """
+WITH per AS (
+  SELECT user_id, (user_id % 2 = 0) AS treated,
+         CAST(sum(CASE WHEN epoch_us(ts) // 1000 < 1705276800000
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch_us(ts) // 1000 >= 1705276800000
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(CASE WHEN treated THEN y END) AS BIGINT) AS syt,
+         CAST(count(*) FILTER (treated) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN NOT treated THEN y END) AS BIGINT) AS syc,
+         CAST(count(*) FILTER (NOT treated) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN treated THEN x END) AS BIGINT) AS sxt,
+         CAST(sum(CASE WHEN NOT treated THEN x END) AS BIGINT) AS sxc
+  FROM per
+), e AS (
+  SELECT nt, nc,
+    ((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+      / ((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS theta,
+    (syt / CAST(nt AS DOUBLE) - syc / CAST(nc AS DOUBLE)) AS raw,
+    (sxt / CAST(nt AS DOUBLE) - sxc / CAST(nc AS DOUBLE)) AS xdiff,
+    ((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+      * ((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+      / (((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+         * ((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+      AS rho2
+  FROM g
+)
+SELECT nt AS n_treated, nc AS n_control,
+       CAST(floor(theta * 1000000.0 + 0.5) AS BIGINT) AS theta_micro,
+       CAST(floor(raw * 10.0 + 0.5) AS BIGINT) AS raw_effect_milli,
+       CAST(floor((raw - theta * xdiff) * 10.0 + 0.5) AS BIGINT)
+         AS cuped_effect_milli,
+       CAST(floor(rho2 * 1000000.0 + 0.5) AS BIGINT)
+         AS variance_reduction_ppm
+FROM e
+"""
+
+# E475 — power / minimum-detectable-effect calculator.
+QUERIES["experiment_power_mde"] = mlmetrics.experiment_power_mde
+ORACLES["experiment_power_mde"] = """
+WITH per AS (
+  SELECT user_id, (user_id % 2 = 0) AS treated,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE epoch_us(ts) // 1000 >= 1705276800000
+  GROUP BY 1, 2
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(count(*) FILTER (treated) AS BIGINT) AS nt,
+         CAST(count(*) FILTER (NOT treated) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN NOT treated THEN y END) AS BIGINT) AS syc
+  FROM per
+), e AS (
+  SELECT nt, nc, syc,
+    (syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var
+  FROM g
+)
+SELECT nt AS n_treated, nc AS n_control,
+       CAST(floor(var * 10.0 + 0.5) AS BIGINT) AS variance_deci_cents2,
+       CAST(floor((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                  * sqrt(var / nt + var / nc) * 10.0 + 0.5) AS BIGINT)
+         AS mde_milli,
+       CAST(floor((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                  * sqrt(var / nt + var / nc)
+                  / (syc / CAST(nc AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         AS mde_relative_ppm
+FROM e
+"""
+
+# E476 — Kendall tau-b between daily click and purchase volumes.
+QUERIES["kendall_tau_daily"] = mlmetrics.kendall_tau_daily
+ORACLES["kendall_tau_daily"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS a,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS b
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT sign(r.a - l.a) AS sa, sign(r.b - l.b) AS sb
+  FROM daily l JOIN daily r ON l.day < r.day
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(count(*) FILTER (sa * sb > 0) AS BIGINT) AS concordant,
+         CAST(count(*) FILTER (sa * sb < 0) AS BIGINT) AS discordant,
+         CAST(count(*) FILTER (sa = 0) AS BIGINT) AS ties_a,
+         CAST(count(*) FILTER (sb = 0) AS BIGINT) AS ties_b
+  FROM pairs
+)
+SELECT n0, concordant, discordant, ties_a, ties_b,
+       CAST(floor((concordant - discordant)
+                  / sqrt(CAST(n0 - ties_a AS DOUBLE)
+                         * CAST(n0 - ties_b AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS tau_b_ppm
+FROM g
+"""

@@ -112,3 +112,32 @@ def test_did_four_cells_cover_all_events(spark, sf_dir):
         + r["n_control_post"] + r["n_control_pre"]
     )
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_experiment_suite_consistency(spark, sf_dir):
+    """SRM/CUPED/MDE/τ-b are mutually consistent on the same split:
+    the parity split passes SRM, CUPED reduces (or matches) nothing
+    worse than the raw estimator's variance, MDE is positive, and
+    Kendall counts partition the pair universe."""
+    from parquet_to_csv_spark.operators.mlmetrics import (
+        cuped_adjusted_effect,
+        experiment_power_mde,
+        kendall_tau_daily,
+        srm_check,
+    )
+
+    srm = srm_check(spark, sf_dir).collect()[0]
+    assert not srm["srm_flag"]  # parity split is balanced by design
+    assert srm["n_treated"] + srm["n_control"] > 0
+
+    cuped = cuped_adjusted_effect(spark, sf_dir).collect()[0]
+    assert 0 <= cuped["variance_reduction_ppm"] <= 1_000_000
+
+    mde = experiment_power_mde(spark, sf_dir).collect()[0]
+    assert mde["mde_milli"] > 0 and mde["mde_relative_ppm"] > 0
+
+    kt = kendall_tau_daily(spark, sf_dir).collect()[0]
+    assert -1_000_000 <= kt["tau_b_ppm"] <= 1_000_000
+    assert (
+        kt["concordant"] + kt["discordant"] <= kt["n0"]
+    )
