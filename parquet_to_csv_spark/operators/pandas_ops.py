@@ -432,3 +432,70 @@ def udtf_table_partition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+def croston_forecast(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.1
+) -> DataFrame:
+    """EXT E478: Croston's method (Croston 1972) — THE intermittent-
+    demand forecaster (spare parts, slow movers), where Holt/seasonal
+    models (E234/E142) break down because most periods are zero:
+    smooth demand SIZES and demand INTERVALS separately over demand
+    points only; forecast rate = z/p per day. Scoped to the
+    ``l_partkey % 97 = 0`` slow-mover cohort (≈1 % of parts — the
+    population the method exists for).
+
+    The recurrence is genuinely sequential, so it runs as the E48/E234
+    shape: one shuffle on partkey into ``applyInPandas``, state O(1)
+    per part, rows pre-sorted by the (ship-day) total order. Both
+    engines execute the IDENTICAL float64 op sequence (α·x + (1−α)·s —
+    the oracle replays it with a recursive CTE over the same
+    integer-day/quantity sequence), so results are bit-identical; the
+    6-dp display round is JVM-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    demands = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.expr("datediff(l_shipdate, DATE'1970-01-01')").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("cast(floor(l_quantity + 0.5) as long)"))
+            .alias("q")
+        )
+    )
+
+    def _croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        z = p = None
+        prev_day = None
+        for day, q in zip(pdf["day"], pdf["q"]):
+            if z is None:
+                z, p = float(q), 1.0
+            else:
+                z = alpha * float(q) + (1.0 - alpha) * z
+                p = alpha * float(day - prev_day) + (1.0 - alpha) * p
+            prev_day = day
+        part = int(pdf["part"].iloc[0])
+        return pd.DataFrame(
+            {
+                "part": [part],
+                "n_demands": [len(pdf)],
+                "total_qty": [int(pdf["q"].sum())],
+                "z": [z],
+                "p": [p],
+                "rate": [z / p],
+            }
+        )
+
+    out = demands.groupBy("part").applyInPandas(
+        _croston,
+        "part long, n_demands long, total_qty long, z double, p double, "
+        "rate double",
+    )
+    return out.select(
+        "part", "n_demands", "total_qty",
+        F.round("z", 6).alias("z_smoothed"),
+        F.round("p", 6).alias("interval_smoothed"),
+        F.round("rate", 6).alias("demand_rate"),
+    )

@@ -3258,3 +3258,81 @@ def pinball_loss_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(l50_milli) div count(1)").alias("mean50_milli"),
         F.expr("sum(l90_milli) div count(1)").alias("mean90_milli"),
     )
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E477: exact SHAPLEY-value channel attribution — the
+    game-theoretic top of the attribution ladder (E211 last-touch →
+    E291 position → E314 Markov removal → Shapley): each channel's
+    credit is its average marginal contribution over ALL coalition
+    orderings (Shapley 1953; Dalessandro et al. 2012 for the marketing
+    form). Characteristic function v(S) = conversions among users
+    whose touched-channel set ⊆ S (journeys fully explained by the
+    coalition).
+
+    EXACT and INTEGER end to end: users collapse to a 4-bit channel
+    mask (≤16 distinct masks — the data-scale work is ONE groupBy),
+    v(·) is a 16-row subset-sum, and φᵢ is computed ×24 (= 4!) so the
+    |S|!·(3−|S|)! weights are integers — no float anywhere, and the
+    efficiency axiom Σφᵢ = v(full) − v(∅) is a pytest assertion.
+    Everything past the first aggregate is broadcast metadata."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.bit_or(bit).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    by_mask = per_user.filter(F.col("converted") == 1).groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conv")
+    )
+    coal = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        F.broadcast(coal)
+        .join(by_mask, F.expr("(mask & (15 - s)) = 0"))
+        .groupBy("s")
+        .agg(F.sum("n_conv").alias("v"))
+    )
+    # all-16 coalition table with v=0 for empty coalitions
+    v = coal.join(v, "s", "left").select(
+        "s", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    channels = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (4, "signup"), (8, "error")],
+        "bit int, channel string",
+    )
+    pop = (
+        "((s & 1) + ((s div 2) & 1) + ((s div 4) & 1) + ((s div 8) & 1))"
+    )
+    weight = F.expr(
+        f"CASE {pop} WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"
+    )
+    pairs = (
+        F.broadcast(channels)
+        .join(coal, F.expr("(s & bit) = 0"))
+        .select("channel", "bit", "s", weight.cast("long").alias("w"))
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vsi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    phi = (
+        pairs.join(F.broadcast(vs), F.col("s") == F.col("s0"))
+        .join(F.broadcast(vsi), F.expr("(s | bit) = s1"))
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.col("v1") - F.col("v0"))).cast("long")
+            .alias("shapley_conv_x24")
+        )
+    )
+    tot = F.broadcast(
+        v.filter(F.col("s") == 15).select(F.col("v").alias("n_conv_covered"))
+    )
+    return phi.join(tot).select(
+        "channel", "shapley_conv_x24", "n_conv_covered"
+    )

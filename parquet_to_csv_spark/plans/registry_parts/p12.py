@@ -3244,3 +3244,81 @@ SELECT n0, concordant, discordant, ties_a, ties_b,
                   * 1000000.0 + 0.5) AS BIGINT) AS tau_b_ppm
 FROM g
 """
+
+# E477 — exact Shapley channel attribution (integer x24 credits).
+QUERIES["shapley_attribution"] = timeops.shapley_attribution
+ORACLES["shapley_attribution"] = """
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END)
+           AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1
+), by_mask AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS n_conv FROM per_user
+  WHERE converted = 1 GROUP BY 1
+), coal AS (
+  SELECT CAST(i AS INTEGER) AS s FROM range(0, 16) t(i)
+), v AS MATERIALIZED (
+  SELECT c.s, CAST(coalesce(sum(b.n_conv), 0) AS BIGINT) AS v
+  FROM coal c LEFT JOIN by_mask b ON (b.mask & (15 - c.s)) = 0
+  GROUP BY c.s
+), channels AS (
+  SELECT * FROM (VALUES (1, 'view'), (2, 'click'), (4, 'signup'),
+                        (8, 'error')) ch(bit, channel)
+), pairs AS (
+  SELECT ch.channel, ch.bit, c.s,
+    CAST(CASE ((c.s & 1) + ((c.s // 2) & 1) + ((c.s // 4) & 1)
+               + ((c.s // 8) & 1))
+      WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS BIGINT) AS w
+  FROM channels ch JOIN coal c ON (c.s & ch.bit) = 0
+)
+SELECT p.channel,
+       CAST(sum(p.w * (v1.v - v0.v)) AS BIGINT) AS shapley_conv_x24,
+       CAST(max(t.v) AS BIGINT) AS n_conv_covered
+FROM pairs p
+JOIN v v0 ON v0.s = p.s
+JOIN v v1 ON v1.s = (p.s | p.bit)
+CROSS JOIN (SELECT v FROM v WHERE s = 15) t
+GROUP BY p.channel
+"""
+
+# E478 — Croston intermittent-demand forecast; the oracle replays the
+# identical float64 fold with a recursive CTE over the same sequence.
+QUERIES["croston_forecast"] = pandas_ops.croston_forecast
+ORACLES["croston_forecast"] = """
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT l_partkey AS part,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem WHERE l_partkey % 97 = 0 GROUP BY 1, 2
+), rk AS MATERIALIZED (
+  SELECT part, day, q,
+         row_number() OVER (PARTITION BY part ORDER BY day) AS i
+  FROM d
+), steps AS (
+  SELECT part, i, day, CAST(q AS DOUBLE) AS z, CAST(1 AS DOUBLE) AS p
+  FROM rk WHERE i = 1
+  UNION ALL
+  SELECT r.part, r.i, r.day,
+         CAST(0.1 AS DOUBLE) * r.q
+           + (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * s.z,
+         CAST(0.1 AS DOUBLE) * (r.day - s.day)
+           + (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * s.p
+  FROM steps s JOIN rk r ON r.part = s.part AND r.i = s.i + 1
+), final AS (
+  SELECT s.part, s.z, s.p FROM steps s
+  JOIN (SELECT part, max(i) AS mi FROM steps GROUP BY 1) m
+    ON s.part = m.part AND s.i = m.mi
+)
+SELECT f.part, t.n AS n_demands, t.tq AS total_qty,
+       round(f.z, 6) AS z_smoothed,
+       round(f.p, 6) AS interval_smoothed,
+       round(f.z / f.p, 6) AS demand_rate
+FROM final f JOIN (
+  SELECT part, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS tq
+  FROM d GROUP BY 1
+) t USING (part)
+"""

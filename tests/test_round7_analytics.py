@@ -141,3 +141,39 @@ def test_experiment_suite_consistency(spark, sf_dir):
     assert (
         kt["concordant"] + kt["discordant"] <= kt["n0"]
     )
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Sum of Shapley values = v(grand coalition) − v(∅), exactly
+    (integer ×24 arithmetic makes this an equality, not an approx)."""
+    from parquet_to_csv_spark.operators.timeops import shapley_attribution
+
+    rows = shapley_attribution(spark, sf_dir).collect()
+    assert len(rows) == 4
+    total = sum(r["shapley_conv_x24"] for r in rows)
+    # v(∅) = conversions with NO touched channels (mask 0) — users who
+    # only purchased; subtract it from the covered total
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).alias("t"),
+    )
+    v_empty = per.filter((F.col("c") == 1) & (F.col("t") == 0)).count()
+    v_full = rows[0]["n_conv_covered"]
+    assert total == 24 * (v_full - v_empty)
+
+
+def test_croston_base_and_fold(spark, sf_dir):
+    from parquet_to_csv_spark.operators.pandas_ops import croston_forecast
+
+    rows = croston_forecast(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["interval_smoothed"] >= 1.0  # intervals are >= 1 day
+        assert r["demand_rate"] > 0
+        if r["n_demands"] == 1:
+            # base case: z = first demand, p = 1
+            assert r["interval_smoothed"] == 1.0
+            assert r["z_smoothed"] == r["total_qty"]
