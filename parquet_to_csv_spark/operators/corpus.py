@@ -3327,3 +3327,62 @@ def kneser_ney_bigram_score(
         F.floor(F.col("su") / F.col("n_scored") + F.lit(0.5)).cast("long")
         .alias("avg_logprob_unats"),
     )
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E481: l-diversity audit (Machanavajjhala et al. 2007) — the
+    privacy rung ABOVE k-anonymity (E151): a quasi-identifier group can
+    be large (k-anonymous) yet still leak its sensitive attribute if
+    every member shares one value (the homogeneity attack). Here the
+    quasi-ID is (lang, 100-char length band) and the sensitive
+    attribute is ``source`` — "which publisher contributed this text"
+    is exactly the kind of provenance a released corpus may need to
+    hide.
+
+    Per group: distinct-l (how many sensitive values appear), the
+    group's sensitive-value entropy in integer micro-nats (entropy
+    l-diversity requires H ≥ ln(l) — low entropy means one value
+    dominates even when distinct-l looks fine), and the dominant
+    value's share. Determinism: entropy sums per-VALUE floor-micro
+    terms ``floor((c/n)·ln(n/c)·1e6 + 0.5)`` — exact long addition in
+    any order; shares are integer ppm.
+
+    Scale: one groupBy to the (QI, source) grain (domain-bounded),
+    one to the QI grain — never wider than the attribute domains.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", F.expr("n_chars div 100").alias("len_band"), "source")
+        .groupBy("lang", "len_band", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.groupBy("lang", "len_band").agg(F.sum("c").alias("n_docs"))
+    joined = cells.join(tot, ["lang", "len_band"])
+    term = F.floor(
+        F.col("c").cast("double")
+        / F.col("n_docs")
+        * F.log(F.col("n_docs").cast("double") / F.col("c"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        joined.groupBy("lang", "len_band", "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.sum(term).alias("entropy_micro"),
+            F.max("c").cast("long").alias("dominant_count"),
+        )
+        .select(
+            "lang",
+            "len_band",
+            "n_docs",
+            "l_distinct",
+            "entropy_micro",
+            F.expr("dominant_count * 1000000 div n_docs").alias(
+                "dominant_share_ppm"
+            ),
+            F.when(F.col("l_distinct") >= 3, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("l3_ok"),
+        )
+    )

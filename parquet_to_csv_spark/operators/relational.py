@@ -3513,3 +3513,57 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(0.5, "r50_lt", "r50_le").alias("p50_within_guarantee"),
         within(0.9, "r90_lt", "r90_le").alias("p90_within_guarantee"),
     )
+
+
+def hits_copurchase(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """EXT E483: HITS hubs & authorities (Kleinberg 1999) on the
+    bipartite customer↔part co-purchase graph — the OTHER classic
+    link-analysis fixpoint beside PageRank (E91/E347/E441): a part is
+    an authority when bought by strong hub customers; a customer is a
+    hub when buying strong authority parts. On retail data this
+    surfaces catalogue anchors (authorities) and taste-making broad
+    buyers (hubs), which degree alone misranks.
+
+    Two mutual-reinforcement rounds from h₀ = 1, unnormalized so every
+    score is an exact long (a₁ = part degree; h₁(c) = Σ_{p∼c} a₁(p);
+    a₂(p) = Σ_{c∼p} h₁(c)) — normalization only rescales ranks, so
+    dropping it preserves the ranking while removing every float. The
+    part cohort is bounded (partkey ≡ 0 mod 7) to hold score growth
+    ~deg² inside long headroom at any SF. Top-k authorities break ties
+    on partkey.
+
+    Scale: the edge relation (distinct cust–part) is the unit of
+    work; each round is one keyed exchange (join + groupBy on the
+    edge's own keys), never a cartesian, and the top-k is a
+    TakeOrderedAndProject over the part aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 7 == 0
+    ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
+    edges = orders.join(li, "ok").select("cust", "part").distinct()
+    a1 = edges.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("a1"))
+    h1 = (
+        edges.join(a1, "part")
+        .groupBy("cust")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "cust")
+        .groupBy("part")
+        .agg(F.sum("h1").alias("auth_score"), F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        a2.orderBy(F.desc("auth_score"), F.asc("part"))
+        .limit(k)
+        .select(
+            "part",
+            F.col("degree").cast("long").alias("degree"),
+            "auth_score",
+            F.row_number()
+            .over(W.orderBy(F.desc("auth_score"), F.asc("part")))
+            .alias("rnk"),
+        )
+    )

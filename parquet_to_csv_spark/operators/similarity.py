@@ -2998,3 +2998,71 @@ def embedding_contamination_report(
         ).cast("long").alias("n_contaminated"),
         F.max("max_cos").alias("max_similarity"),
     )
+
+
+def map_label_match(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """EXT E482: average precision @k (AP) of the exact cosine
+    retriever against label-match relevance — the third leg of the
+    ranking-eval triad beside NDCG (E114, graded-discount view) and
+    MRR (E215, first-hit view): AP integrates precision over every
+    relevant position, so it rewards putting ALL relevant items early,
+    not just one.
+
+    AP@k = (1/min(R,k)) Σ_{i≤k, rel_i} P@i, with R = the query's
+    relevant-corpus size (label count − 1). Composes the gate-verified
+    :func:`cosine_topk` total order; P@i = cum_rel/i becomes an exact
+    floor(x·1e6+0.5) integer per position (no divisor ≤ k can place
+    the true rational ON a rounding boundary: every i ≤ 10 divides
+    2·10⁶ to an even quotient), the per-query sum is exact long
+    addition, and the final normalization is one integer floor
+    division. Scale: rides cosine_topk's broadcast-bounded contract.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_lab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    c_lab = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label")
+    )
+    lab_n = F.broadcast(
+        emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    )
+    w = W.partitionBy("query_id").orderBy("rnk")
+    scored = (
+        ranked.join(F.broadcast(q_lab), "query_id")
+        .join(c_lab, "cand_id")
+        .withColumn(
+            "rel", (F.col("q_label") == F.col("c_label")).cast("long")
+        )
+        .withColumn("cum_rel", F.sum("rel").over(w))
+        .withColumn(
+            "p_at_i_micro",
+            F.floor(
+                F.col("cum_rel").cast("double") / F.col("rnk") * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    per_q = scored.groupBy("query_id", "q_label").agg(
+        F.sum(F.col("rel") * F.col("p_at_i_micro")).alias("ap_sum_micro"),
+        F.sum("rel").alias("n_rel_at_k"),
+    )
+    r_norm = F.least(F.lit(k).cast("long"), F.col("n_label") - 1)
+    return (
+        per_q.join(lab_n, per_q.q_label == lab_n.label)
+        .withColumn("r_norm", r_norm)
+        .select(
+            "query_id",
+            "n_rel_at_k",
+            "r_norm",
+            F.when(
+                F.col("r_norm") > 0,
+                F.expr("ap_sum_micro div r_norm"),
+            ).alias("ap_micro"),
+        )
+    )

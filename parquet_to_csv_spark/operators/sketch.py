@@ -691,3 +691,154 @@ def join_size_prediction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(predicted_rows - actual_rows) * 1000000 div actual_rows"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E479 — KMV / theta distinct sketch with set intersection
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_DOMAIN = 1 << 48  # 48-bit hash universe (12 md5 nibbles)
+
+
+def _md5_hash48(col: Column) -> Column:
+    """Uniform 48-bit integer from the first 12 hex nibbles of
+    md5(col) — the same instr-per-nibble construction as
+    :func:`_md5_slice_bucket`, widened to a full sortable value (no
+    modulo) so order statistics over it are well-defined."""
+    h = F.md5(col.cast("string"))
+    v = F.lit(0).cast("long")
+    for i in range(12):
+        d = F.call_function("instr", F.lit(_HEX), F.substring(h, 1 + i, 1)) - 1
+        v = v * F.lit(16) + d.cast("long")
+    return v
+
+
+def duck_md5_hash48(expr: str) -> str:
+    """DuckDB twin of :func:`_md5_hash48` — keep in sync."""
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(12):
+        d = f"(instr('{_HEX}', substring({h}, {1 + i}, 1)) - 1)"
+        acc = f"({acc} * 16 + {d})"
+    return acc
+
+
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E479: KMV (k-minimum-values) / theta distinct sketch
+    (Bar-Yossef et al. 2002; Dasu et al.; the DataSketches theta
+    family) — the OTHER mergeable distinct sketch beside HLL (E88),
+    and the one that supports set INTERSECTION natively, which HLL
+    only reaches through inclusion–exclusion (E101) with error that
+    explodes on small overlaps.
+
+    Sketch = the k smallest 48-bit hash values of the key set. With
+    n ≥ k the unbiased estimate is (k−1)/θ where θ = h₍ₖ₎/2⁴⁸ (the
+    k-th minimum normalized); with n < k the sketch holds the whole
+    hash set and is EXACT. Intersection (theta algebra): cut both
+    k-sets at θ = min(θ_a, θ_b), count common hashes below the cut,
+    estimate = c/θ. Everything is order statistics + integer floor
+    division over md5-derived longs — deterministic in any engine, at
+    any partitioning.
+
+    Scale shape: one distinct-project per type (map-side combined),
+    then a TWO-PHASE k-set — a local rank partitioned by
+    (type, spark_partition_id) keeps each task's own k smallest
+    (the k smallest of a union is contained in the union of local
+    k-sets, so this prunes losslessly), and the global rank then
+    orders only ≤ k·n_partitions survivors per type. No single task
+    ever sorts a type's full ndv; the result is partitioning-
+    invariant. The set algebra runs over 2×k = 128 rows.
+
+    Gate: per-type rows (est vs exact ndv of user_id) + one
+    ``view&click`` intersection row — abs error in ppm of truth.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    hashed = pairs.select(
+        F.col("event_type").alias("scope"),
+        _md5_hash48(F.col("user_id")).alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    rn_local = F.row_number().over(
+        W.partitionBy("scope", "pid").orderBy(F.asc("h"))
+    )
+    pruned = (
+        hashed.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn_l", rn_local)
+        .filter(F.col("rn_l") <= KMV_K)
+        .select("scope", "h")
+    )
+    rn = F.row_number().over(W.partitionBy("scope").orderBy(F.asc("h")))
+    kset = pruned.withColumn("rn", rn).filter(F.col("rn") <= KMV_K)
+    stats = kset.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    )
+    truth = pairs.groupBy(F.col("event_type").alias("scope")).agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    per_type = stats.join(truth, "scope").select(
+        "scope",
+        "n_kept",
+        F.when(F.col("n_kept") < KMV_K, F.col("true_distinct"))
+        .otherwise(
+            F.expr(f"({KMV_K} - 1) * {KMV_DOMAIN}L div kth_hash")
+        )
+        .alias("est_distinct"),
+        "true_distinct",
+    )
+    # theta intersection of the view/click k-sets
+    theta = lambda scope: F.when(  # noqa: E731
+        F.col(f"n_{scope}") < KMV_K, F.lit(KMV_DOMAIN).cast("long")
+    ).otherwise(F.col(f"kth_{scope}"))
+    v = kset.filter(F.col("scope") == "view").select("h")
+    c = kset.filter(F.col("scope") == "click").select("h")
+    vs = stats.filter(F.col("scope") == "view").select(
+        F.col("n_kept").alias("n_view"), F.col("kth_hash").alias("kth_view")
+    )
+    cs = stats.filter(F.col("scope") == "click").select(
+        F.col("n_kept").alias("n_click"), F.col("kth_hash").alias("kth_click")
+    )
+    cut = F.least(theta("view"), theta("click"))
+    common = (
+        v.join(c, "h")
+        .join(F.broadcast(vs.join(cs)))
+        .filter(F.col("h") < cut)
+        .select(F.lit(1).alias("one"), cut.alias("cut"))
+    )
+    both_true = (
+        pairs.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .join(
+            pairs.filter(F.col("event_type") == "click").select("user_id"),
+            "user_id",
+        )
+        .agg(F.countDistinct("user_id").alias("true_distinct"))
+    )
+    inter = (
+        common.groupBy("cut")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(both_true)
+        .select(
+            F.lit("view&click").alias("scope"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.when(
+                F.col("cut") == KMV_DOMAIN, F.col("n_kept").cast("long")
+            )
+            .otherwise(F.expr(f"n_kept * {KMV_DOMAIN}L div cut"))
+            .alias("est_distinct"),
+            "true_distinct",
+        )
+    )
+    out = per_type.select(
+        "scope", F.col("n_kept").cast("long").alias("n_kept"),
+        "est_distinct", "true_distinct",
+    ).unionByName(inter)
+    return out.select(
+        "scope", "n_kept", "est_distinct", "true_distinct",
+        F.expr(
+            "abs(est_distinct - true_distinct) * 1000000 div true_distinct"
+        ).alias("abs_err_ppm"),
+    )

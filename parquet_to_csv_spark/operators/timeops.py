@@ -3336,3 +3336,92 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phi.join(tot).select(
         "channel", "shapley_conv_x24", "n_conv_covered"
     )
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E480: Nelson–Aalen cumulative-hazard estimator for
+    signup→purchase conversion — the counting-process complement to
+    the Kaplan–Meier curve (E149): Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ. Survival
+    analysis reports both because they answer different questions —
+    KM gives P(not yet converted), NA gives accumulated instantaneous
+    risk, is defined even where KM hits zero, and its increments are
+    the raw material for hazard-ratio models.
+
+    Cohort: each user's FIRST signup; event = first purchase at-or-
+    after it; users with no qualifying purchase are right-censored at
+    the corpus horizon. Same relational shape as E149 (one row per
+    distinct duration day; risk set = total − prefix via one
+    calendar-bounded global window), so the two curves are directly
+    comparable row for row.
+
+    Determinism: each step dᵢ/nᵢ becomes a floor(x·1e6 + 0.5) integer
+    FIRST (the quotient's double is correctly rounded, and the only
+    representable ties land exactly ON .5 where floor(+0.5) is exact
+    in both engines), then the cumulative sum is exact long addition.
+    The −ln KM step is emitted beside it in the same micro-units: the
+    classical inequality Ĥ_NA(t) ≤ −ln Ŝ_KM(t) is asserted by pytest.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    first_buy = (
+        signups.join(
+            buys,
+            (F.col("user_id") == F.col("b_user")) & (F.col("b_ts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("b_ts").alias("p_ts"))
+    )
+    horizon = F.broadcast(ev.agg(F.max("ts").alias("h_ts")))
+    durs = first_buy.join(horizon).select(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr("(p_ts - s_ts) div 86400000000000"),
+        )
+        .otherwise(F.expr("(h_ts - s_ts) div 86400000000000"))
+        .alias("dur"),
+        F.col("p_ts").isNotNull().cast("long").alias("is_event"),
+    )
+    steps = durs.groupBy("dur").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(1 - F.col("is_event")).alias("c"),
+    )
+    total = F.broadcast(durs.agg(F.count(F.lit(1)).alias("n_total")))
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = steps.join(total).withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    na_step = F.floor(
+        F.col("d").cast("double") / F.col("n_risk") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    km_step = F.round(
+        -F.log(F.expr("CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)"))
+        * 1e6,
+        0,
+    ).cast("long")
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        at_risk.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+        .withColumn("na_step_micro", na_step)
+        .withColumn("neg_log_km_step_micro", km_step)
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.sum("na_step_micro").over(w_cum).alias("na_cum_micro"),
+            F.sum("neg_log_km_step_micro")
+            .over(w_cum)
+            .alias("neg_log_km_cum_micro"),
+        )
+    )

@@ -3322,3 +3322,223 @@ FROM final f JOIN (
   FROM d GROUP BY 1
 ) t USING (part)
 """
+
+# --------------------------------------------------------------------------
+# E479–E483 — KMV theta sketch, Nelson–Aalen, l-diversity, MAP, HITS
+# --------------------------------------------------------------------------
+from parquet_to_csv_spark.operators import sketch as _sketch  # noqa: E402
+from parquet_to_csv_spark.operators.sketch import duck_md5_hash48  # noqa: E402
+
+# E479 — KMV/theta distinct sketch: per-type estimates + one theta-
+# algebra intersection row; the oracle replays the identical 48-bit
+# hash order statistics.
+QUERIES["kmv_distinct_estimate"] = _sketch.kmv_distinct_estimate
+_H48 = duck_md5_hash48("user_id")
+ORACLES["kmv_distinct_estimate"] = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT event_type AS scope, {_H48} AS h FROM pairs
+), ranked AS (
+  SELECT scope, h,
+         row_number() OVER (PARTITION BY scope ORDER BY h ASC) AS rn
+  FROM hashed
+), kset AS MATERIALIZED (
+  SELECT scope, h FROM ranked WHERE rn <= 64
+), stats AS MATERIALIZED (
+  SELECT scope, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+  FROM kset GROUP BY scope
+), truth AS (
+  SELECT event_type AS scope,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+  FROM pairs GROUP BY event_type
+), per_type AS (
+  SELECT s.scope, s.n_kept,
+         CASE WHEN s.n_kept < 64 THEN t.true_distinct
+              ELSE CAST((63 * 281474976710656) // s.kth AS BIGINT) END
+           AS est_distinct,
+         t.true_distinct
+  FROM stats s JOIN truth t USING (scope)
+), cutrel AS (
+  SELECT least(
+    (SELECT CASE WHEN n_kept < 64 THEN 281474976710656 ELSE kth END
+     FROM stats WHERE scope = 'view'),
+    (SELECT CASE WHEN n_kept < 64 THEN 281474976710656 ELSE kth END
+     FROM stats WHERE scope = 'click')) AS cut
+), common AS (
+  SELECT r.cut, CAST(count(*) AS BIGINT) AS n_kept
+  FROM kset a JOIN kset b ON a.h = b.h
+  CROSS JOIN cutrel r
+  WHERE a.scope = 'view' AND b.scope = 'click' AND a.h < r.cut
+  GROUP BY r.cut
+), both_true AS (
+  SELECT CAST(count(*) AS BIGINT) AS true_distinct
+  FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+  JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+    USING (user_id)
+), inter AS (
+  SELECT 'view&click' AS scope, g.n_kept,
+         CASE WHEN g.cut = 281474976710656 THEN g.n_kept
+              ELSE CAST(g.n_kept * 281474976710656 // g.cut AS BIGINT) END
+           AS est_distinct,
+         bt.true_distinct
+  FROM common g CROSS JOIN both_true bt
+), unioned AS (
+  SELECT * FROM per_type UNION ALL SELECT * FROM inter
+)
+SELECT scope, n_kept, est_distinct, true_distinct,
+       CAST(abs(est_distinct - true_distinct) * 1000000 // true_distinct
+            AS BIGINT) AS abs_err_ppm
+FROM unioned
+"""
+
+# E480 — Nelson–Aalen cumulative hazard (signup→purchase), beside the
+# −ln Kaplan–Meier steps in the same micro-units.
+QUERIES["nelson_aalen_hazard"] = timeops.nelson_aalen_hazard
+ORACLES["nelson_aalen_hazard"] = """
+WITH signups AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), fb AS (
+  SELECT v.user_id, v.s_us, min(epoch_us(b.ts)) AS p_us
+  FROM signups v LEFT JOIN events b
+    ON b.user_id = v.user_id AND b.event_type = 'purchase'
+   AND epoch_us(b.ts) >= v.s_us
+  GROUP BY v.user_id, v.s_us
+), hz AS (
+  SELECT max(epoch_us(ts)) AS h_us FROM events
+), durs AS (
+  SELECT CASE WHEN p_us IS NOT NULL THEN (p_us - s_us) // 86400000000
+              ELSE (h_us - s_us) // 86400000000 END AS dur,
+         CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM fb, hz
+), steps AS (
+  SELECT dur, sum(is_event) AS d, sum(1 - is_event) AS c
+  FROM durs GROUP BY dur
+), tot AS (
+  SELECT count(*) AS n_total FROM durs
+), at_risk AS (
+  SELECT dur, d, c,
+         n_total - coalesce(sum(d + c) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM steps, tot
+), terms AS (
+  SELECT dur, d, n_risk,
+         CAST(floor(CAST(d AS DOUBLE) / n_risk * 1000000 + 0.5) AS BIGINT)
+           AS na_step_micro,
+         CAST(round(-ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                    * 1000000) AS BIGINT) AS km_step_micro
+  FROM at_risk WHERE d > 0 AND n_risk > d
+)
+SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(sum(na_step_micro) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS na_cum_micro,
+       CAST(sum(km_step_micro) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS neg_log_km_cum_micro
+FROM terms
+"""
+
+# E481 — l-diversity audit: sensitive attribute = source, QI =
+# (lang, 100-char band); per-value floor-micro entropy terms.
+QUERIES["l_diversity_audit"] = corpus.l_diversity_audit
+ORACLES["l_diversity_audit"] = """
+WITH cells AS (
+  SELECT lang, n_chars // 100 AS len_band, source,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+), tot AS (
+  SELECT lang, len_band, CAST(sum(c) AS BIGINT) AS n_docs
+  FROM cells GROUP BY 1, 2
+), joined AS (
+  SELECT cells.lang, cells.len_band, tot.n_docs, cells.c,
+         CAST(floor(CAST(cells.c AS DOUBLE) / tot.n_docs
+                    * ln(CAST(tot.n_docs AS DOUBLE) / cells.c)
+                    * 1000000 + 0.5) AS BIGINT) AS term
+  FROM cells JOIN tot USING (lang, len_band)
+)
+SELECT lang, len_band, n_docs,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       CAST(sum(term) AS BIGINT) AS entropy_micro,
+       CAST(max(c) * 1000000 // n_docs AS BIGINT) AS dominant_share_ppm,
+       CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS l3_ok
+FROM joined
+GROUP BY lang, len_band, n_docs
+"""
+
+# E482 — AP@k against label-match relevance (the MAP leg of the
+# NDCG/MRR/AP triad); replays cosine_topk's total order.
+QUERIES["map_label_match"] = similarity.map_label_match
+ORACLES["map_label_match"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb, label AS c_label
+  FROM embeddings
+), ranked AS (
+  SELECT query_id, q_label, c_label,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_duck_cos('q_emb', 'c_emb')} DESC, cand_id ASC
+         ) AS rnk
+  FROM q JOIN c ON query_id <> cand_id
+), top AS (
+  SELECT query_id, q_label, rnk,
+         CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rnk <= 10
+), cum AS (
+  SELECT query_id, q_label, rnk, rel,
+         sum(rel) OVER (PARTITION BY query_id ORDER BY rnk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rel
+  FROM top
+), scored AS (
+  SELECT query_id, q_label, rel,
+         CAST(floor(CAST(cum_rel AS DOUBLE) / rnk * 1000000 + 0.5) AS BIGINT)
+           AS p_at_i_micro
+  FROM cum
+), per_q AS (
+  SELECT query_id, q_label,
+         CAST(sum(rel * p_at_i_micro) AS BIGINT) AS ap_sum_micro,
+         CAST(sum(rel) AS BIGINT) AS n_rel_at_k
+  FROM scored GROUP BY query_id, q_label
+), lab AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM embeddings GROUP BY 1
+)
+SELECT p.query_id, p.n_rel_at_k,
+       least(10, l.n_label - 1) AS r_norm,
+       CASE WHEN least(10, l.n_label - 1) > 0
+            THEN CAST(p.ap_sum_micro // least(10, l.n_label - 1) AS BIGINT)
+       END AS ap_micro
+FROM per_q p JOIN lab l ON p.q_label = l.label
+"""
+
+# E483 — HITS authorities on the bounded customer↔part co-purchase
+# bipartite graph: two exact-integer reinforcement rounds, top-20.
+QUERIES["hits_copurchase"] = relational.hits_copurchase
+ORACLES["hits_copurchase"] = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_partkey % 7 = 0
+), a1 AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS a1 FROM edges GROUP BY part
+), h1 AS (
+  SELECT e.cust, CAST(sum(a.a1) AS BIGINT) AS h1
+  FROM edges e JOIN a1 a USING (part) GROUP BY e.cust
+), a2 AS (
+  SELECT e.part, CAST(sum(h.h1) AS BIGINT) AS auth_score,
+         CAST(count(*) AS BIGINT) AS degree
+  FROM edges e JOIN h1 h USING (cust) GROUP BY e.part
+)
+SELECT part, degree, auth_score,
+       CAST(row_number() OVER (ORDER BY auth_score DESC, part ASC)
+            AS INTEGER) AS rnk
+FROM a2
+ORDER BY auth_score DESC, part ASC
+LIMIT 20
+"""

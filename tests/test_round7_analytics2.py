@@ -1,0 +1,110 @@
+"""Round-7 analytics batch 2 (E479-E483): semantic properties the
+oracle hash can't express — sketch error bounds and exact-mode
+behavior, the NA/KM inequality, l-diversity consistency, AP bounds,
+and HITS reinforcement structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_to_csv_spark.operators.corpus import l_diversity_audit
+from parquet_to_csv_spark.operators.relational import hits_copurchase
+from parquet_to_csv_spark.operators.similarity import map_label_match
+from parquet_to_csv_spark.operators.sketch import (
+    KMV_K,
+    kmv_distinct_estimate,
+)
+from parquet_to_csv_spark.operators.timeops import nelson_aalen_hazard
+
+
+def test_kmv_exact_mode_and_error_bound(spark, sf_dir):
+    rows = {r["scope"]: r for r in kmv_distinct_estimate(spark, sf_dir).collect()}
+    # all five event types + the intersection row
+    assert set(rows) == {
+        "view", "click", "signup", "purchase", "error", "view&click"
+    }
+    for scope, r in rows.items():
+        assert r["n_kept"] <= KMV_K
+        assert r["est_distinct"] >= 1
+        # exact mode: fewer than k values kept => the sketch IS the set
+        if scope != "view&click" and r["n_kept"] < KMV_K:
+            assert r["est_distinct"] == r["true_distinct"]
+            assert r["abs_err_ppm"] == 0
+        # estimation mode: KMV with k=64 has ~1/sqrt(k-2) ≈ 13% rel
+        # stderr; 60% is a >4-sigma regression guard, not a bound claim
+        assert r["abs_err_ppm"] <= 600_000
+    inter = rows["view&click"]
+    assert inter["true_distinct"] <= min(
+        rows["view"]["true_distinct"], rows["click"]["true_distinct"]
+    )
+
+
+def test_nelson_aalen_dominates_and_monotone(spark, sf_dir):
+    rows = nelson_aalen_hazard(spark, sf_dir).orderBy("duration_days").collect()
+    assert rows
+    prev_na = prev_km = 0
+    prev_risk = None
+    for r in rows:
+        # both cumulative curves are nondecreasing
+        assert r["na_cum_micro"] >= prev_na
+        assert r["neg_log_km_cum_micro"] >= prev_km
+        # classical inequality: H_NA(t) <= -ln S_KM(t); per-step micro
+        # rounding adds at most 1 micro-nat per step of slack
+        assert r["na_cum_micro"] <= r["neg_log_km_cum_micro"] + len(rows)
+        prev_na, prev_km = r["na_cum_micro"], r["neg_log_km_cum_micro"]
+        # risk set shrinks over time
+        if prev_risk is not None:
+            assert r["n_risk"] < prev_risk
+        prev_risk = r["n_risk"]
+        assert 0 < r["n_events"] < r["n_risk"]
+
+
+def test_l_diversity_consistency(spark, sf_dir):
+    df = l_diversity_audit(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    n_docs_total = df.agg(F.sum("n_docs")).collect()[0][0]
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    assert n_docs_total == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 1 <= r["l_distinct"] <= r["n_docs"]
+        assert r["l3_ok"] == (1 if r["l_distinct"] >= 3 else 0)
+        # dominant share at least the uniform share, at most 100%
+        assert r["dominant_share_ppm"] <= 1_000_000
+        assert r["dominant_share_ppm"] >= 1_000_000 // r["l_distinct"] - 1
+        # entropy of an l-value distribution is at most ln(l)
+        import math
+
+        assert 0 <= r["entropy_micro"] <= int(math.log(max(r["l_distinct"], 1)) * 1e6) + r["l_distinct"]
+        # a single-source group has zero entropy
+        if r["l_distinct"] == 1:
+            assert r["entropy_micro"] == 0
+            assert r["dominant_share_ppm"] == 1_000_000
+
+
+def test_map_bounds_and_perfect_prefix(spark, sf_dir):
+    rows = map_label_match(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_rel_at_k"] <= 10
+        assert 1 <= r["r_norm"] <= 10
+        assert 0 <= r["ap_micro"] <= 1_000_000
+        # AP can only reach 1.0 when the full normalization quota is
+        # retrieved (every counted position relevant)
+        if r["ap_micro"] == 1_000_000:
+            assert r["n_rel_at_k"] >= r["r_norm"]
+
+
+def test_hits_reinforcement_structure(spark, sf_dir):
+    rows = hits_copurchase(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    # ranked by auth_score desc, part asc; scores positive longs
+    for i, r in enumerate(rows):
+        assert r["rnk"] == i + 1
+        assert r["auth_score"] >= r["degree"] >= 1
+    scores = [(r["auth_score"], -r["part"]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # authority >= degree * min hub mass: each contributing customer
+    # carries h1 >= 1, and h1 itself sums part degrees >= 1 each
+    # (already asserted via auth_score >= degree)

@@ -57,6 +57,8 @@ _TINY_WINDOWS: dict[str, tuple[int, str]] = {
     "region_share_report": (1, "calendar month grain"),
     "spc_control_limits": (2, "calendar month grain"),
     "conversion_survival_curve": (2, "distinct whole-day durations, calendar-bounded"),
+    "nelson_aalen_hazard": (2, "distinct whole-day durations, calendar-bounded"),
+    "hits_copurchase": (1, "post-limit(k) top-k authority relation"),
     "top_event_trigrams": (1, "|event types|^3 trigram-type relation"),
     "group_quota_sample": (2, "|languages| strata relation"),
     "neyman_allocation": (1, "|languages| strata relation"),
