@@ -3475,3 +3475,73 @@ def personalized_pagerank(
         F.col("pr").alias("ppr_ppb"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str, window: int = 4, tau_milli: int = 500
+) -> DataFrame:
+    """EXT E484: sorted-neighborhood blocking (Hernández & Stolfo
+    1995/1998 — THE classic record-linkage blocking method beside
+    LSH): sort the corpus by a deterministic key, compare only records
+    within a sliding window of ``window`` positions, and verify the
+    candidates exactly. Where MinHash-LSH (E2) buckets by content
+    sketch, SNM exploits the sort ORDER — near-identical records
+    (shared prefixes, template families) land adjacent, so candidate
+    count is a flat (window−1)·N regardless of similarity skew.
+
+    Key = first 24 chars of whitespace-normalized lowercase text.
+    The global rank uses :func:`~parquet_to_csv_spark.operators.
+    relational.banded_row_number` (band = first key byte — monotone in
+    the key), so no task ever sorts the whole corpus; the window join
+    is ``window−1`` keyed equi-joins on rank+offset (one exchange each,
+    exactly the multi-pass SNM of the original paper). Verification is
+    exact distinct-token Jaccard per candidate — O(w·N), never N².
+
+    Emits verified pairs (Jaccard ≥ ``tau_milli``): the gate pins both
+    the blocking geometry and the verifier.
+    """
+    from parquet_to_csv_spark.functions.textfn import normalized_text_col
+    from parquet_to_csv_spark.operators.relational import banded_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(normalized_text_col("text"), 1, 24).alias("snm_key"),
+        F.array_distinct(tokens_col("text")).alias("toks"),
+    )
+    ranked = banded_row_number(
+        docs,
+        ["snm_key", "doc_id"],
+        F.ascii(F.substring(F.col("snm_key"), 1, 1)),
+        out_col="rn",
+    )
+    offsets = spark.range(1, window).select(F.col("id").alias("off"))
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("rn_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    cands = (
+        a.join(F.broadcast(offsets))
+        .withColumn("rn_b", F.col("rn_a") + F.col("off"))
+        .join(b, ["rn_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cands.withColumn("_i", inter.cast("long"))
+        .withColumn("_u", union.cast("long"))
+        .filter(F.col("_u") > 0)
+        .withColumn("jaccard_milli", F.expr("_i * 1000 div _u"))
+        .filter(F.col("jaccard_milli") >= tau_milli)
+        .select(
+            F.col("doc_a"),
+            F.col("doc_b"),
+            F.col("off").cast("long").alias("window_offset"),
+            "jaccard_milli",
+        )
+    )

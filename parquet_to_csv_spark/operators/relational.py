@@ -3567,3 +3567,52 @@ def hits_copurchase(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
             .alias("rnk"),
         )
     )
+
+
+def candidate_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E485: candidate-key discovery over ``orders`` — the data-
+    profiling question BEFORE the functional-dependency audit (E283):
+    which column (sets) uniquely identify a row? Classic TANE/profiling
+    territory, scoped to a fixed candidate lattice (4 single columns +
+    the 3 business-plausible pairs) so the search is a declared
+    relation, not a combinatorial sweep.
+
+    ONE aggregate pass computes every exact distinct count
+    side-by-side (Spark plans multi-distinct via a single expand —
+    still one scan of the table); uniqueness = ndv/n in exact ppm;
+    ``is_key`` is the exact equality. At 100 TB you'd screen with
+    approx_count_distinct first (E382 prices that error) and confirm
+    only the screened winners exactly — documented trade, same shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    singles = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    pairs = [
+        ("o_custkey", "o_orderdate"),
+        ("o_custkey", "o_totalprice"),
+        ("o_orderdate", "o_totalprice"),
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    names = []
+    for c in singles:
+        names.append(c)
+        aggs.append(F.countDistinct(c).alias(f"ndv_{len(names)}"))
+    for c1, c2 in pairs:
+        names.append(f"{c1},{c2}")
+        aggs.append(F.countDistinct(c1, c2).alias(f"ndv_{len(names)}"))
+    wide = orders.agg(*aggs)
+    rows = [
+        wide.select(
+            F.lit(nm).alias("col_set"),
+            "n_rows",
+            F.col(f"ndv_{i + 1}").alias("n_distinct"),
+            F.expr(f"ndv_{i + 1} * 1000000 div n_rows").alias("unique_ppm"),
+            (F.col(f"ndv_{i + 1}") == F.col("n_rows"))
+            .cast("long")
+            .alias("is_key"),
+        )
+        for i, nm in enumerate(names)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -3066,3 +3066,116 @@ def map_label_match(
             ).alias("ap_micro"),
         )
     )
+
+
+def knn_shapley_values(
+    spark: SparkSession, sf_dir: str, n_test: int = 4, knn_k: int = 5
+) -> DataFrame:
+    """EXT E486: exact KNN-Shapley data valuation (Jia et al., VLDB
+    2019) — the training-data-valuation method with a CLOSED FORM:
+    for a KNN surrogate model, each training point's exact Shapley
+    contribution to test accuracy follows the recurrence
+    s_N = 𝟙[y_N = y]/N,  s_i = s_{i+1} + (𝟙_i − 𝟙_{i+1})/max(i, K)
+    over train points sorted by distance to the test point — no
+    coalition enumeration (contrast E477's 2^|channels| lattice).
+    The LLM-pipeline use: score every corpus document's marginal value
+    against a trusted eval set, then drop negative-value data.
+
+    All-relational: broadcast the ``n_test`` held-out points, rank
+    train by cosine DESC (nearest first) per test point via
+    ``banded_row_number`` (no unpartitioned window, no single-task
+    sort), fetch 𝟙_{i+1} with ONE rank+1 self-equi-join, turn each
+    recurrence step into an exact integer (numerator ∈ {−1,0,1} ×
+    ``1e6 div max(i,K)``), and realize s_i as a banded SUFFIX sum
+    (per-test total minus exclusive prefix). Top/bottom-k by summed
+    value close the report — the highest-value and most-harmful
+    training points.
+    """
+    from parquet_to_csv_spark.operators.relational import (
+        banded_prefix_sum,
+        banded_row_number,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") < n_test).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("label").alias("t_label"),
+        l2_norm(F.col("embedding")).alias("t_nrm"),
+    )
+    train = emb.filter(F.col("vec_id") >= n_test).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+        l2_norm(F.col("embedding")).alias("c_nrm"),
+    )
+    sim = dot_product(F.col("t_emb"), F.col("c_emb")) / (
+        F.col("t_nrm") * F.col("c_nrm")
+    )
+    scored = (
+        F.broadcast(test)
+        .join(train)
+        .select(
+            "test_id",
+            "cand_id",
+            (-sim).alias("neg_sim"),
+            (F.col("t_label") == F.col("c_label")).cast("long").alias("m"),
+        )
+    )
+    ranked = banded_row_number(
+        scored,
+        ["neg_sim", "cand_id"],
+        F.floor(F.col("neg_sim") * 32),
+        out_col="rn",
+        group_cols=["test_id"],
+        total_col="n_train",
+    )
+    nxt = ranked.select(
+        "test_id",
+        (F.col("rn") - 1).alias("rn"),
+        F.col("m").alias("m_next"),
+    )
+    steps = ranked.join(nxt, ["test_id", "rn"], "left").withColumn(
+        "d_micro",
+        F.when(
+            F.col("m_next").isNotNull(),
+            (F.col("m") - F.col("m_next"))
+            * F.expr(f"1000000 div greatest(rn, {knn_k})"),
+        ).otherwise(F.col("m") * F.expr("1000000 div n_train")),
+    )
+    # suffix sum s_i = total - exclusive prefix = total - (cum_i - d_i)
+    cum = banded_prefix_sum(
+        steps,
+        ["rn"],
+        "d_micro",
+        (F.col("rn") - 1) / F.lit(64),
+        out_col="cum_micro",
+        group_cols=["test_id"],
+    )
+    totals = cum.groupBy("test_id").agg(
+        F.sum("d_micro").cast("long").alias("tot_micro")
+    )
+    vals = (
+        cum.join(F.broadcast(totals), "test_id")
+        .withColumn(
+            "s_micro", F.col("tot_micro") - F.col("cum_micro") + F.col("d_micro")
+        )
+        .groupBy("cand_id")
+        .agg(
+            F.sum("s_micro").cast("long").alias("shap_sum_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_tests"),
+        )
+    )
+    top = (
+        vals.orderBy(F.desc("shap_sum_micro"), F.asc("cand_id"))
+        .limit(20)
+        .withColumn("side", F.lit("top"))
+    )
+    bottom = (
+        vals.orderBy(F.asc("shap_sum_micro"), F.asc("cand_id"))
+        .limit(20)
+        .withColumn("side", F.lit("bottom"))
+    )
+    return top.unionByName(bottom).select(
+        "side", "cand_id", "shap_sum_micro", "n_tests"
+    )

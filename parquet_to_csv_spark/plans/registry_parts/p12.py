@@ -3542,3 +3542,107 @@ FROM a2
 ORDER BY auth_score DESC, part ASC
 LIMIT 20
 """
+
+# --------------------------------------------------------------------------
+# E484–E486 — sorted-neighborhood blocking, candidate keys, KNN-Shapley
+# --------------------------------------------------------------------------
+
+# E484 — SNM blocking + exact Jaccard verification of window candidates.
+QUERIES["sorted_neighborhood_pairs"] = dedup.sorted_neighborhood_pairs
+ORACLES["sorted_neighborhood_pairs"] = f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id,
+         substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   1, 24) AS snm_key,
+         list_distinct({_TOKS}) AS toks
+  FROM documents
+), ranked AS MATERIALIZED (
+  SELECT doc_id, toks,
+         row_number() OVER (ORDER BY snm_key, doc_id) AS rn
+  FROM docs
+), cands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, o.off,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS i,
+         CAST(len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS u
+  FROM ranked a
+  JOIN (SELECT unnest(range(1, 4)) AS off) o ON TRUE
+  JOIN ranked b ON b.rn = a.rn + o.off
+)
+SELECT doc_a, doc_b, CAST(off AS BIGINT) AS window_offset,
+       CAST(i * 1000 // u AS BIGINT) AS jaccard_milli
+FROM cands
+WHERE u > 0 AND i * 1000 // u >= 500
+"""
+
+# E485 — candidate-key discovery: one multi-distinct aggregate pass.
+QUERIES["candidate_key_discovery"] = relational.candidate_key_discovery
+_CKD_SETS = [
+    ("o_orderkey", "count(DISTINCT o_orderkey)"),
+    ("o_custkey", "count(DISTINCT o_custkey)"),
+    ("o_orderdate", "count(DISTINCT o_orderdate)"),
+    ("o_totalprice", "count(DISTINCT o_totalprice)"),
+    ("o_custkey,o_orderdate", "count(DISTINCT (o_custkey, o_orderdate))"),
+    ("o_custkey,o_totalprice", "count(DISTINCT (o_custkey, o_totalprice))"),
+    ("o_orderdate,o_totalprice", "count(DISTINCT (o_orderdate, o_totalprice))"),
+]
+ORACLES["candidate_key_discovery"] = "WITH wide AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " + ", ".join(
+    f"CAST({expr} AS BIGINT) AS ndv_{i + 1}" for i, (_, expr) in enumerate(_CKD_SETS)
+) + " FROM orders)\n" + "\nUNION ALL\n".join(
+    f"SELECT '{nm}' AS col_set, n_rows, ndv_{i + 1} AS n_distinct, "
+    f"CAST(ndv_{i + 1} * 1000000 // n_rows AS BIGINT) AS unique_ppm, "
+    f"CAST(CASE WHEN ndv_{i + 1} = n_rows THEN 1 ELSE 0 END AS BIGINT) AS is_key "
+    "FROM wide"
+    for i, (nm, _) in enumerate(_CKD_SETS)
+)
+
+# E486 — exact KNN-Shapley: the oracle replays the closed-form
+# recurrence with lead() + a suffix-sum window over the same total
+# order (cosine DESC, cand_id) in the same integer micro-units.
+QUERIES["knn_shapley_values"] = similarity.knn_shapley_values
+ORACLES["knn_shapley_values"] = f"""
+WITH test AS (
+  SELECT vec_id AS test_id, embedding AS t_emb, label AS t_label
+  FROM embeddings WHERE vec_id < 4
+), train AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb, label AS c_label
+  FROM embeddings WHERE vec_id >= 4
+), scored AS (
+  SELECT test_id, cand_id,
+         -({_duck_cos('t_emb', 'c_emb')}) AS neg_sim,
+         CASE WHEN t_label = c_label THEN 1 ELSE 0 END AS m
+  FROM test, train
+), ranked AS MATERIALIZED (
+  SELECT test_id, cand_id, m,
+         row_number() OVER (PARTITION BY test_id
+                            ORDER BY neg_sim, cand_id) AS rn,
+         count(*) OVER (PARTITION BY test_id) AS n_train
+  FROM scored
+), steps AS (
+  SELECT test_id, cand_id, m, rn, n_train,
+         lead(m) OVER (PARTITION BY test_id ORDER BY rn) AS m_next
+  FROM ranked
+), d AS (
+  SELECT test_id, cand_id, rn,
+         CASE WHEN m_next IS NOT NULL
+              THEN (m - m_next) * (1000000 // greatest(rn, 5))
+              ELSE m * (1000000 // n_train) END AS d_micro
+  FROM steps
+), s AS (
+  SELECT test_id, cand_id,
+         sum(d_micro) OVER (PARTITION BY test_id ORDER BY rn
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s_micro
+  FROM d
+), vals AS MATERIALIZED (
+  SELECT cand_id, CAST(sum(s_micro) AS BIGINT) AS shap_sum_micro,
+         CAST(count(*) AS BIGINT) AS n_tests
+  FROM s GROUP BY cand_id
+), top AS (
+  SELECT 'top' AS side, cand_id, shap_sum_micro, n_tests
+  FROM vals ORDER BY shap_sum_micro DESC, cand_id ASC LIMIT 20
+), bottom AS (
+  SELECT 'bottom' AS side, cand_id, shap_sum_micro, n_tests
+  FROM vals ORDER BY shap_sum_micro ASC, cand_id ASC LIMIT 20
+)
+SELECT * FROM top UNION ALL SELECT * FROM bottom
+"""

@@ -1,4 +1,4 @@
-"""Round-7 analytics batch 2 (E479-E483): semantic properties the
+"""Round-7 analytics batches 2-3 (E479-E486): semantic properties the
 oracle hash can't express — sketch error bounds and exact-mode
 behavior, the NA/KM inequality, l-diversity consistency, AP bounds,
 and HITS reinforcement structure."""
@@ -108,3 +108,63 @@ def test_hits_reinforcement_structure(spark, sf_dir):
     # authority >= degree * min hub mass: each contributing customer
     # carries h1 >= 1, and h1 itself sums part degrees >= 1 each
     # (already asserted via auth_score >= degree)
+
+
+def test_snm_finds_exact_duplicates(spark, sf_dir):
+    """Every exact-duplicate pair within the SNM window must be found
+    with Jaccard 1000 — identical normalized text sorts adjacent."""
+    from parquet_to_csv_spark.operators.dedup import sorted_neighborhood_pairs
+    from parquet_to_csv_spark.functions.textfn import fingerprint_col
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    pairs = sorted_neighborhood_pairs(spark, sf_dir)
+    rows = pairs.collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] != r["doc_b"]
+        assert 1 <= r["window_offset"] <= 3
+        assert 500 <= r["jaccard_milli"] <= 1000
+    # adjacent exact dups (fingerprint-identical, rank distance 1 by
+    # identical sort key + id order within a <=4-run) score 1000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_col("text").alias("fp")
+    )
+    dup_groups = docs.groupBy("fp").count().filter(F.col("count") > 1).count()
+    if dup_groups:
+        perfect = [r for r in rows if r["jaccard_milli"] == 1000]
+        assert perfect
+
+
+def test_candidate_key_discovery_knows_the_pk(spark, sf_dir):
+    from parquet_to_csv_spark.operators.relational import candidate_key_discovery
+
+    rows = {r["col_set"]: r for r in candidate_key_discovery(spark, sf_dir).collect()}
+    assert rows["o_orderkey"]["is_key"] == 1
+    assert rows["o_orderkey"]["unique_ppm"] == 1_000_000
+    # a customer places many orders: custkey alone is never a key
+    assert rows["o_custkey"]["is_key"] == 0
+    for r in rows.values():
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+        # a superset's ndv is >= each member column's ndv
+    assert rows["o_custkey,o_orderdate"]["n_distinct"] >= rows["o_custkey"]["n_distinct"]
+
+
+def test_knn_shapley_efficiency_and_bounds(spark, sf_dir):
+    """Per-test Shapley values telescope: sum_i s_i = v(all) = the
+    fraction of test points whose NEAREST neighbor matches (for K>=1
+    the recurrence's total equals recall@1 of the KNN surrogate) —
+    bounded by n_tests; and every per-candidate sum is bounded by
+    n_tests micro-units."""
+    from parquet_to_csv_spark.operators.similarity import knn_shapley_values
+
+    rows = knn_shapley_values(spark, sf_dir).collect()
+    assert len(rows) == 40
+    tops = [r for r in rows if r["side"] == "top"]
+    bots = [r for r in rows if r["side"] == "bottom"]
+    assert len(tops) == 20 and len(bots) == 20
+    assert all(r["n_tests"] == 4 for r in rows)
+    for r in rows:
+        assert abs(r["shap_sum_micro"]) <= 4 * 1_000_000
+    assert min(t["shap_sum_micro"] for t in tops) >= max(
+        b["shap_sum_micro"] for b in bots
+    ) or {t["cand_id"] for t in tops} & {b["cand_id"] for b in bots}
