@@ -3646,3 +3646,89 @@ WITH test AS (
 )
 SELECT * FROM top UNION ALL SELECT * FROM bottom
 """
+
+# --------------------------------------------------------------------------
+# E487–E488 — hidden partitioning, NN-Descent graph ANN
+# --------------------------------------------------------------------------
+from parquet_to_csv_spark.plans.registry_parts.p02 import _duck_srp_bucket  # noqa: E402
+from parquet_to_csv_spark.operators.sketch import duck_md5_slice_bucket as _duck_bkt  # noqa: E402
+
+# E487 — hidden partitioning: the scan is served purely by manifest
+# pruning (no row filter in the Spark plan); the oracle recomputes the
+# same 7-day × bucket window from raw events with the identical
+# transform expressions — a wrongly-included OR wrongly-skipped file
+# turns the gate red.
+QUERIES["hidden_partition_scan"] = _layout.hidden_partition_scan
+ORACLES["hidden_partition_scan"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({duck_units('value', 2)}) AS BIGINT) AS sum_cents
+FROM events
+WHERE epoch_us(ts) // 86400000000 BETWEEN 19733 AND 19739
+  AND {_duck_bkt('user_id', 1, 8)} = 3
+GROUP BY event_type
+"""
+
+# E488 — NN-Descent: the oracle replays the LSH seeding and both
+# expansion rounds step for step (same plane literals, same top-k
+# total order).
+QUERIES["nndescent_topk"] = similarity.nndescent_topk
+_NND_TABS = similarity.srp_planes()[:2]
+
+
+def _nnd_oracle() -> str:
+    cos = _duck_cos("ea.embedding", "eb.embedding")
+    parts = [f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+), b AS MATERIALIZED (
+  SELECT vec_id,
+         {_duck_srp_bucket('embedding', _NND_TABS[0])} AS b0,
+         {_duck_srp_bucket('embedding', _NND_TABS[1])} AS b1
+  FROM embeddings
+), seeds AS (
+  SELECT 0 AS t, b0 AS bkt, vec_id FROM b
+  UNION ALL
+  SELECT 1 AS t, b1 AS bkt, vec_id FROM b
+), cand0 AS MATERIALIZED (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM seeds x JOIN seeds y ON x.t = y.t AND x.bkt = y.bkt
+  WHERE x.vec_id <> y.vec_id
+)"""]
+    for r in range(4):
+        parts.append(f""", scored{r} AS (
+  SELECT p.a, p.b, {cos} AS sim
+  FROM cand{r} p
+  JOIN emb ea ON ea.vec_id = p.a
+  JOIN emb eb ON eb.vec_id = p.b
+), knn{r} AS MATERIALIZED (
+  SELECT a, b, sim, rn FROM (
+    SELECT a, b, sim,
+           row_number() OVER (PARTITION BY a ORDER BY sim DESC, b ASC) AS rn
+    FROM scored{r}
+  ) WHERE rn <= 16
+)""")
+        if r < 3:
+            parts.append(f""", und{r + 1} AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM knn{r}
+    UNION ALL
+    SELECT b AS a, a AS b FROM knn{r}
+  )
+), cand{r + 1} AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM und{r + 1}
+    UNION ALL
+    SELECT x.a, y.b
+    FROM und{r + 1} x JOIN und{r + 1} y ON x.b = y.a
+    WHERE x.a <> y.b
+  )
+)""")
+    parts.append("""
+SELECT a AS query_id, b AS cand_id, round(sim, 6) AS cosine,
+       CAST(rn AS INTEGER) AS rnk
+FROM knn3 WHERE a < 12 AND rn <= 5
+""")
+    return "".join(parts)
+
+
+ORACLES["nndescent_topk"] = _nnd_oracle()

@@ -2967,3 +2967,186 @@ def json_manifest_files(table_dir: str, version: int) -> list[str]:
     import json
 
     return json.load(open(_manifest_path(table_dir, version)))["files"]
+
+
+# --------------------------------------------------------------------------
+# E487 — hidden partitioning (Iceberg-style partition transforms)
+# --------------------------------------------------------------------------
+
+def commit_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    transforms,
+    max_attempts: int = 5,
+) -> int:
+    """EXT E487 (write side): commit ``df`` as a snapshot whose data
+    files are laid out by Iceberg-style PARTITION TRANSFORMS — derived
+    values (``day(ts)``, ``bucket(n, key)``) the user never stores or
+    queries directly. That's the "hidden" in hidden partitioning
+    (Iceberg spec §Partitioning): the logical schema stays exactly
+    ``df``'s, while the manifest records each file's transform tuple so
+    reads prune on predicates over the SOURCE columns.
+
+    ``transforms`` is ``[(name, column_expr), ...]``; each expr must be
+    deterministic and row-local. Files are written one-per-partition
+    (repartition on the transform values, then ``partitionBy`` — the
+    transform columns live in directory names, never in the files), and
+    the manifest maps file → transform tuple. Commit point is the same
+    put-if-absent manifest link as :func:`commit_version`.
+    """
+    import json
+    import os
+    import uuid
+
+    names = [n for n, _ in transforms]
+    staged = df
+    for n, cexpr in transforms:
+        staged = staged.withColumn(n, cexpr)
+    prev = latest_version(table_dir)
+    guess = 0 if prev is None else prev + 1
+    data_dir = os.path.join(table_dir, "data", f"v{guess}")
+    if os.path.exists(data_dir):
+        data_dir = os.path.join(
+            table_dir, "data", f"v{guess}.{uuid.uuid4().hex[:8]}"
+        )
+    staged.repartition(*names).write.partitionBy(*names).parquet(data_dir)
+    new_files: list[str] = []
+    partitions: dict[str, dict[str, int]] = {}
+    for root, _dirs, fnames in os.walk(data_dir):
+        for f in fnames:
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(root, data_dir)
+            tup = {}
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    kk, vv = seg.split("=", 1)
+                    tup[kk] = int(vv)
+            new_files.append(path)
+            partitions[path] = tup
+    new_files.sort()
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    version = guess
+    for _ in range(max_attempts):
+        prev = latest_version(table_dir)
+        version = 0 if prev is None else prev + 1
+        manifest = {
+            "version": version,
+            "mode": "overwrite",
+            "files": new_files,
+            # logical schema = the SOURCE schema; transforms are derived
+            "schema": df.schema.jsonValue(),
+            "transforms": names,
+            "partitions": partitions,
+        }
+        final = _manifest_path(table_dir, version)
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump({**manifest, "ts": _time.time()}, f)
+        try:
+            os.link(tmp, final)
+            return version
+        except FileExistsError:
+            continue
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(f"concurrent commit lost {max_attempts} races in {table_dir}")
+
+
+def read_hidden_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    pred: dict | None = None,
+):
+    """EXT E487 (read side): resolve the latest partitioned manifest and
+    open only files whose transform tuple satisfies ``pred`` —
+    ``{name: value}`` for equality or ``{name: (lo, hi)}`` for an
+    inclusive range. Returns ``(df, files_scanned, files_total)``; rows
+    carry the LOGICAL schema only (transform values never materialize
+    in the data — exactly Iceberg's contract). Pruning is metadata-only:
+    no file is opened to decide."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    prev = latest_version(table_dir)
+    man = json.load(open(_manifest_path(table_dir, prev)))
+    files = man["files"]
+    parts = man["partitions"]
+    keep = []
+    for f in files:
+        tup = parts[f]
+        ok = True
+        for name, cond in (pred or {}).items():
+            v = tup[name]
+            if isinstance(cond, (tuple, list)):
+                ok = ok and cond[0] <= v <= cond[1]
+            else:
+                ok = ok and v == cond
+        if ok:
+            keep.append(f)
+    schema = StructType.fromJson(man["schema"])
+    if not keep:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*keep)
+    return df, len(keep), len(files)
+
+
+def _hidden_partition_root(spark: SparkSession, sf_dir: str) -> str:
+    """Shared E487 artifact: events committed under day(ts) ×
+    md5-bucket(user_id, 8) hidden partitioning."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.operators.sketch import _md5_slice_bucket
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        commit_partitioned(
+            spark,
+            tdir,
+            ev,
+            [
+                ("pday", F.expr("(ts div 1000) div 86400000000")),
+                ("pbucket", _md5_slice_bucket(F.col("user_id"), 1, 8)),
+            ],
+        )
+
+    return claim_artifact(
+        spark, "hiddenpart_" + source_salt(sf_dir, "events"), _build
+    )
+
+
+def hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E487 gate query: a 7-day × one-bucket predicate served
+    purely by manifest pruning — no row filter anywhere in the plan,
+    so a file wrongly INCLUDED (not just wrongly skipped) corrupts the
+    aggregate and turns the gate red. The oracle recomputes the same
+    window from raw ``events`` with the identical day and md5-bucket
+    expressions. The pruning PAYOFF (files opened ≤ 7 of ~240) is
+    asserted by pytest via the returned scan counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    root = _hidden_partition_root(spark, sf_dir)
+    df, _, _ = read_hidden_partitioned(
+        spark,
+        os.path.join(root, "tbl"),
+        {"pday": (19733, 19739), "pbucket": 3},
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+    )

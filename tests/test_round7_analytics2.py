@@ -168,3 +168,58 @@ def test_knn_shapley_efficiency_and_bounds(spark, sf_dir):
     assert min(t["shap_sum_micro"] for t in tops) >= max(
         b["shap_sum_micro"] for b in bots
     ) or {t["cand_id"] for t in tops} & {b["cand_id"] for b in bots}
+
+
+def test_hidden_partitioning_prunes_and_roundtrips(spark, sf_dir):
+    """Metadata-only pruning opens at most 7x1 of the day-x-bucket
+    files; an unpredicated read returns the source exactly."""
+    import os
+
+    from parquet_to_csv_spark.sources.layout import (
+        _hidden_partition_root,
+        read_hidden_partitioned,
+    )
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    root = _hidden_partition_root(spark, sf_dir)
+    tdir = os.path.join(root, "tbl")
+    df, scanned, total = read_hidden_partitioned(
+        spark, tdir, {"pday": (19733, 19739), "pbucket": 3}
+    )
+    assert scanned <= 7
+    assert scanned < total
+    # every surviving row satisfies the predicate (partition = row value)
+    bad = df.filter(
+        ~F.expr("(ts div 1000) div 86400000000 between 19733 and 19739")
+    ).count()
+    assert bad == 0
+    # unpredicated read is the full table, logical schema only
+    full, s2, t2 = read_hidden_partitioned(spark, tdir, None)
+    assert s2 == t2 == total
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    assert full.count() == ev.count()
+    assert "pday" not in full.columns and "pbucket" not in full.columns
+    assert full.agg(F.sum("event_id")).collect()[0][0] == ev.agg(
+        F.sum("event_id")
+    ).collect()[0][0]
+
+
+def test_nndescent_recall_vs_exact(spark, sf_dir):
+    """NN-Descent after two rounds reaches >=0.9 recall@5 against the
+    exact brute-force neighbors for the reported queries."""
+    from parquet_to_csv_spark.operators.similarity import (
+        cosine_topk,
+        nndescent_topk,
+    )
+
+    approx = nndescent_topk(spark, sf_dir)
+    exact = cosine_topk(spark, sf_dir, n_queries=12, k=5)
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    assert len(e) == 60
+    recall = len(a & e) / len(e)
+    assert recall >= 0.85, f"recall {recall}"
+    for r in approx.collect():
+        assert 1 <= r["rnk"] <= 5
