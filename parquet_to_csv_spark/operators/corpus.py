@@ -3386,3 +3386,66 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l3_ok"),
         )
     )
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E490: t-closeness audit (Li, Li & Venkatasubramanian, ICDE
+    2007) — the top privacy rung above k-anonymity (E151) and
+    l-diversity (E481): a group can be diverse yet still leak if its
+    sensitive-value DISTRIBUTION deviates from the corpus's (skewness
+    attack). For categorical attributes with uniform ground distance,
+    the spec's earth-mover distance reduces to total variation:
+    t = ½ Σ_v |P_group(v) − P_global(v)|.
+
+    Exact arithmetic: the per-value gap |c_v·N − C_v·n_g| is an exact
+    long (cross-multiplied to the common denominator n_g·N); one
+    summed numerator, ONE floor-ppm division per group. The group ×
+    value lattice is built by crossing the two bounded dimension
+    relations so absent values contribute their full global mass —
+    the term a naive inner join silently drops.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", F.expr("n_chars div 100").alias("len_band"), "source")
+        .groupBy("lang", "len_band", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    groups = cells.groupBy("lang", "len_band").agg(
+        F.sum("c").alias("n_docs")
+    )
+    glob = cells.groupBy("source").agg(F.sum("c").alias("gc"))
+    total = F.broadcast(glob.agg(F.sum("gc").alias("n_total")))
+    lattice = (
+        groups.join(F.broadcast(glob))
+        .join(total)
+        .join(cells, ["lang", "len_band", "source"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    gap = F.abs(
+        F.col("c") * F.col("n_total") - F.col("gc") * F.col("n_docs")
+    )
+    return (
+        lattice.groupBy("lang", "len_band", "n_docs", "n_total")
+        .agg(
+            F.sum(gap).alias("gap_sum"),
+            F.max(gap).alias("gap_max"),
+        )
+        .select(
+            "lang",
+            "len_band",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(
+                "gap_sum * 1000000 div (2 * n_docs * n_total)"
+            ).alias("tv_ppm"),
+            F.expr(
+                "gap_max * 1000000 div (n_docs * n_total)"
+            ).alias("worst_value_gap_ppm"),
+            F.when(
+                F.expr("gap_sum * 1000000 div (2 * n_docs * n_total)")
+                <= 200_000,
+                F.lit(1).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("t02_ok"),
+        )
+    )

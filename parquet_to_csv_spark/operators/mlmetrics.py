@@ -3152,3 +3152,81 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0", "concordant", "discordant", "ties_a", "ties_b",
         F.floor(tau * F.lit(1e6) + F.lit(0.5)).cast("long").alias("tau_b_ppm"),
     )
+
+
+def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E489: DeLong AUC variance and confidence interval (DeLong,
+    DeLong & Clarke-Pearson 1988) — the standard error the point
+    estimate E104 doesn't carry, computed EXACTLY from the same
+    score-grain relation (no bootstrap, no sklearn). The placement
+    decomposition: V10ᵢ = fraction of negatives each positive outranks
+    (ties ½), V01ⱼ symmetrically; var(AUC) = S10/m + S01/n with S10 =
+    sample variance of the V10s.
+
+    All placements collapse to the DISTINCT-SCORE grain: every
+    positive at score s shares the integer numerator a(s) =
+    2·(#neg < s) + (#neg = s) over denominator 2n, so the V10 moments
+    are three exact long sums (Σp·a, Σp·a², m) — same for V01. The
+    final variance/CI arithmetic is a fixed double expression over
+    those exact longs (IEEE sqrt is correctly rounded — engine-
+    identical). Overflow bound: Σp·a² ≤ m·(2n)², a long to ~sf0.3 on
+    this corpus; past that carry DECIMAL(38,0), plan unchanged.
+
+    Ranker under test: ``n_chars`` predicting ``lang = 'en'`` —
+    identical to E104, so ``auc_ppm`` must agree row-for-row with
+    ``auc_ranker`` (pinned by pytest).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    by_score = docs.groupBy(F.col("n_chars").alias("score")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("p"),
+    ).withColumn("g", F.col("n") - F.col("p"))
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = by_score.withColumn(
+        "g_lt", F.coalesce(F.sum("g").over(w), F.lit(0))
+    ).withColumn("p_lt", F.coalesce(F.sum("p").over(w), F.lit(0)))
+    a = 2 * F.col("g_lt") + F.col("g")
+    b = 2 * F.col("p_lt") + F.col("p")
+    tot = ranked.agg(
+        F.sum("p").cast("long").alias("m"),
+        F.sum("g").cast("long").alias("nn"),
+        F.sum(F.col("p") * a).cast("long").alias("s_a"),
+        F.sum(F.col("p") * a * a).cast("long").alias("q_a"),
+        F.sum(F.col("g") * b).cast("long").alias("s_b"),
+        F.sum(F.col("g") * b * b).cast("long").alias("q_b"),
+    )
+    # s10 = (Q·m − A²) / (m·(m−1)) / (2n)²  — exact long numerator,
+    # then fixed double divisions; same for s01 with m↔n swapped.
+    s10 = (
+        (F.col("q_a") * F.col("m") - F.col("s_a") * F.col("s_a")).cast("double")
+        / (F.col("m") * (F.col("m") - 1)).cast("double")
+        / (2 * F.col("nn") * 2 * F.col("nn")).cast("double")
+    )
+    s01 = (
+        (F.col("q_b") * F.col("nn") - F.col("s_b") * F.col("s_b")).cast("double")
+        / (F.col("nn") * (F.col("nn") - 1)).cast("double")
+        / (2 * F.col("m") * 2 * F.col("m")).cast("double")
+    )
+    auc = F.col("s_a").cast("double") / (
+        2 * F.col("m") * F.col("nn")
+    ).cast("double")
+    out = tot.withColumn("var_auc", s10 / F.col("m") + s01 / F.col("nn"))
+    se = F.sqrt(F.col("var_auc"))
+    z = F.lit(1.959964)
+    return out.select(
+        F.col("m").alias("pos_n"),
+        F.col("nn").alias("neg_n"),
+        F.expr("s_a * 1000000 div (2 * m * nn)").alias("auc_ppm"),
+        F.floor(F.col("var_auc") * F.lit(1e12) + F.lit(0.5))
+        .cast("long")
+        .alias("var_e12"),
+        F.floor(se * F.lit(1e6) + F.lit(0.5)).cast("long").alias("se_micro"),
+        F.floor((auc - z * se) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("ci_lo_micro"),
+        F.floor((auc + z * se) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("ci_hi_micro"),
+    )

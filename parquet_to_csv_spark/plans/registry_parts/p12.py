@@ -3732,3 +3732,133 @@ FROM knn3 WHERE a < 12 AND rn <= 5
 
 
 ORACLES["nndescent_topk"] = _nnd_oracle()
+
+# --------------------------------------------------------------------------
+# E489–E491 — DeLong AUC CI, t-closeness, multi-table transactions
+# --------------------------------------------------------------------------
+
+# E489 — DeLong variance/CI from exact placement moments at the
+# distinct-score grain; auc_ppm must agree with E104.
+QUERIES["delong_auc_ci"] = mlmetrics.delong_auc_ci
+ORACLES["delong_auc_ci"] = """
+WITH by_score AS (
+  SELECT n_chars AS score, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM documents GROUP BY 1
+), g AS (
+  SELECT score, n, p, n - p AS gneg FROM by_score
+), ranked AS (
+  SELECT score, n, p, gneg,
+         CAST(coalesce(sum(gneg) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS g_lt,
+         CAST(coalesce(sum(p) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS p_lt
+  FROM g
+), tot AS (
+  SELECT CAST(sum(p) AS BIGINT) AS m, CAST(sum(gneg) AS BIGINT) AS nn,
+         CAST(sum(p * (2 * g_lt + gneg)) AS BIGINT) AS s_a,
+         CAST(sum(p * (2 * g_lt + gneg) * (2 * g_lt + gneg)) AS BIGINT) AS q_a,
+         CAST(sum(gneg * (2 * p_lt + p)) AS BIGINT) AS s_b,
+         CAST(sum(gneg * (2 * p_lt + p) * (2 * p_lt + p)) AS BIGINT) AS q_b
+  FROM ranked
+), v AS (
+  SELECT m, nn, s_a,
+         CAST(q_a * m - s_a * s_a AS DOUBLE)
+           / CAST(m * (m - 1) AS DOUBLE)
+           / CAST(2 * nn * 2 * nn AS DOUBLE) / m
+         + CAST(q_b * nn - s_b * s_b AS DOUBLE)
+           / CAST(nn * (nn - 1) AS DOUBLE)
+           / CAST(2 * m * 2 * m AS DOUBLE) / nn AS var_auc,
+         CAST(s_a AS DOUBLE) / CAST(2 * m * nn AS DOUBLE) AS auc
+  FROM tot
+)
+SELECT m AS pos_n, nn AS neg_n,
+       CAST(s_a * 1000000 // (2 * m * nn) AS BIGINT) AS auc_ppm,
+       CAST(floor(var_auc * 1e12 + 0.5) AS BIGINT) AS var_e12,
+       CAST(floor(sqrt(var_auc) * 1e6 + 0.5) AS BIGINT) AS se_micro,
+       CAST(floor((auc - 1.959964 * sqrt(var_auc)) * 1e6 + 0.5) AS BIGINT)
+         AS ci_lo_micro,
+       CAST(floor((auc + 1.959964 * sqrt(var_auc)) * 1e6 + 0.5) AS BIGINT)
+         AS ci_hi_micro
+FROM v
+"""
+
+# E490 — t-closeness: TV distance to the global sensitive distribution
+# over the full group × value lattice (absent values keep their global
+# mass), one floor-ppm division per group.
+QUERIES["t_closeness_audit"] = corpus.t_closeness_audit
+ORACLES["t_closeness_audit"] = """
+WITH cells AS (
+  SELECT lang, n_chars // 100 AS len_band, source,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+), groups AS (
+  SELECT lang, len_band, CAST(sum(c) AS BIGINT) AS n_docs
+  FROM cells GROUP BY 1, 2
+), gdist AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS gc FROM cells GROUP BY 1
+), total AS (
+  SELECT CAST(sum(gc) AS BIGINT) AS n_total FROM gdist
+), lattice AS (
+  SELECT g.lang, g.len_band, g.n_docs, t.n_total,
+         abs(coalesce(cl.c, 0) * t.n_total - v.gc * g.n_docs) AS gap
+  FROM groups g
+  CROSS JOIN gdist v
+  CROSS JOIN total t
+  LEFT JOIN cells cl
+    ON cl.lang = g.lang AND cl.len_band = g.len_band AND cl.source = v.source
+)
+SELECT lang, len_band, n_docs,
+       CAST(sum(gap) * 1000000 // (2 * n_docs * n_total) AS BIGINT) AS tv_ppm,
+       CAST(max(gap) * 1000000 // (n_docs * n_total) AS BIGINT)
+         AS worst_value_gap_ppm,
+       CAST(CASE WHEN sum(gap) * 1000000 // (2 * n_docs * n_total) <= 200000
+                 THEN 1 ELSE 0 END AS BIGINT) AS t02_ok
+FROM lattice
+GROUP BY lang, len_band, n_docs, n_total
+"""
+
+# E491 — multi-table atomic transactions: the gate reads both tables
+# through the catalog at each tx; the oracle recomputes the two
+# consistent snapshots from raw data (the abandoned poison commit is
+# in NEITHER — catalog isolation is the thing under test).
+QUERIES["tx_snapshot_report"] = _layout.tx_snapshot_report
+ORACLES["tx_snapshot_report"] = f"""
+WITH ord0 AS (
+  SELECT o_orderkey AS okey, {duck_units('o_totalprice', 2)} AS cents
+  FROM orders
+), rev0 AS (
+  SELECT l_orderkey AS okey,
+         CAST(sum({duck_units('l_extendedprice * (1 - l_discount)', 4)})
+              AS BIGINT) AS rev_4dp_units
+  FROM lineitem GROUP BY 1
+), mark_ord AS (
+  SELECT -i AS okey, i * 100 AS cents FROM range(1, 9) t(i)
+), mark_rev AS (
+  SELECT -i AS okey, i * 1000000 AS rev_4dp_units FROM range(1, 9) t(i)
+), tx0 AS (
+  SELECT 0 AS tx, o.okey AS ok_o, r.okey AS ok_r, o.cents, r.rev_4dp_units
+  FROM ord0 o FULL JOIN rev0 r ON o.okey = r.okey
+), tx1 AS (
+  SELECT 1 AS tx, o.okey AS ok_o, r.okey AS ok_r, o.cents, r.rev_4dp_units
+  FROM (SELECT * FROM ord0 UNION ALL SELECT * FROM mark_ord) o
+  FULL JOIN (SELECT * FROM rev0 UNION ALL SELECT * FROM mark_rev) r
+    ON o.okey = r.okey
+), unioned_tx AS (
+  SELECT * FROM tx0 UNION ALL SELECT * FROM tx1
+)
+SELECT CAST(tx AS BIGINT) AS tx,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS rev_only,
+       CAST(sum(CASE WHEN rev_4dp_units IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS ord_only,
+       CAST(sum(CASE WHEN coalesce(ok_o, ok_r) < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_marker,
+       CAST(sum(CASE WHEN coalesce(ok_o, ok_r) = -999999 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_poison,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM unioned_tx GROUP BY tx
+"""

@@ -502,6 +502,7 @@ def commit_version(
     mode: str = "append",
     max_attempts: int = 5,
     merge_schema: bool = False,
+    base_version: int | None = None,
 ) -> int:
     """EXT E315 (write side): commit ``df`` as a new immutable snapshot.
 
@@ -522,6 +523,13 @@ def commit_version(
     concurrency, bounded at ``max_attempts`` so livelock fails loudly.
     On an append retry the live-file base is re-read from the NEW
     latest manifest, so both racers' rows land.
+
+    ``base_version`` (E491): append relative to THAT version's live
+    files instead of the latest manifest — the transactional append,
+    where the caller's catalog pins the visible base and any newer
+    table-level versions are un-catalogued debris that must NOT leak
+    into this commit's lineage. Version NUMBERING still advances past
+    latest (manifests are immutable history).
     """
     import json
     import os
@@ -531,13 +539,15 @@ def commit_version(
         raise ValueError(mode)
     _enforce_constraints(spark, table_dir, df)
     prev = latest_version(table_dir)
-    if mode == "append" and prev is not None:
+    base_for_schema = base_version if base_version is not None else prev
+    if mode == "append" and base_for_schema is not None:
         # validate BEFORE writing data files so a schema rejection
         # leaves no orphans; the retry loop re-validates against
-        # whatever manifest is latest at commit time.
+        # whatever manifest is the append base at commit time.
         _evolved_schema(
             _table_schema(
-                spark, json.load(open(_manifest_path(table_dir, prev)))
+                spark,
+                json.load(open(_manifest_path(table_dir, base_for_schema))),
             ),
             df.schema,
             merge_schema,
@@ -567,8 +577,9 @@ def commit_version(
         carried_dels: list[str] = []
         schema = df.schema
         evolved = False
-        if mode == "append" and prev is not None:
-            prev_man = json.load(open(_manifest_path(table_dir, prev)))
+        base = base_version if base_version is not None else prev
+        if mode == "append" and base is not None:
+            prev_man = json.load(open(_manifest_path(table_dir, base)))
             live = prev_man["files"]
             carried_dels = prev_man.get("delete_files", [])
             schema, evolved = _evolved_schema(
@@ -3150,3 +3161,230 @@ def hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# E491 — multi-table atomic transactions (catalog-level commit)
+# --------------------------------------------------------------------------
+
+def _tx_path(tx_root: str, tx: int) -> str:
+    import os
+
+    return os.path.join(tx_root, "txlog", f"t{tx}.json")
+
+
+def latest_tx(tx_root: str) -> int | None:
+    import os
+    import re
+
+    d = os.path.join(tx_root, "txlog")
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for f in os.listdir(d):
+        m = re.fullmatch(r"t(\d+)\.json", f)
+        if m:
+            v = int(m.group(1))
+            best = v if best is None or v > best else best
+    return best
+
+
+def commit_transaction(
+    spark: SparkSession,
+    tx_root: str,
+    writes: dict,
+    max_attempts: int = 5,
+) -> int:
+    """EXT E491: ATOMIC multi-table transaction — the catalog-level
+    commit Delta Lake lacks per table-pair and Iceberg only gets via a
+    REST catalog: several tables change together or not at all, so a
+    reader can never observe table A's new version beside table B's
+    old one (the classic orders/lineitem torn read).
+
+    ``writes`` maps table name → ``(df, mode)``. Protocol (snapshot
+    isolation at the catalog): each table's data+manifest commit via
+    :func:`commit_version` FIRST — those versions exist at table level
+    but are INVISIBLE to catalog readers until the single put-if-absent
+    tx-log link lands, which is the only commit point. On a tx-log
+    collision the loser re-reads the catalog: if a racer moved any of
+    ITS OWN tables it raises (write-write conflict — the staged
+    versions become vacuum-able orphans); disjoint-table racers
+    interleave safely because every tx pins EVERY table's version
+    (read-committed snapshots, monotone per table).
+    """
+    import json
+    import os
+    import uuid
+
+    base = read_tx_catalog(tx_root)
+    staged: dict[str, int] = {}
+    for name, (df, mode) in writes.items():
+        staged[name] = commit_version(
+            spark,
+            os.path.join(tx_root, "tables", name),
+            df,
+            mode=mode,
+            # append relative to the CATALOG pin: table-level versions
+            # outside the catalog (in-flight/abandoned txs) must not
+            # leak into this transaction's lineage
+            base_version=base.get(name),
+        )
+    os.makedirs(os.path.join(tx_root, "txlog"), exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    for _ in range(max_attempts):
+        prev = latest_tx(tx_root)
+        cur = read_tx_catalog(tx_root)
+        for name in writes:
+            if cur.get(name, -1) != base.get(name, -1):
+                raise RuntimeError(
+                    f"tx conflict on table {name!r}: catalog moved "
+                    f"{base.get(name)} -> {cur.get(name)} during this tx"
+                )
+        tx = 0 if prev is None else prev + 1
+        pinned = {**cur, **staged}
+        final = _tx_path(tx_root, tx)
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump({"tx": tx, "tables": pinned, "ts": _time.time()}, f)
+        try:
+            os.link(tmp, final)
+            return tx
+        except FileExistsError:
+            continue
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(f"tx livelock after {max_attempts} attempts in {tx_root}")
+
+
+def read_tx_catalog(tx_root: str, tx: int | None = None) -> dict:
+    """Pinned table→version map of a transaction (latest by default);
+    empty when no tx has committed."""
+    import json
+
+    t = latest_tx(tx_root) if tx is None else tx
+    if t is None:
+        return {}
+    return json.load(open(_tx_path(tx_root, t)))["tables"]
+
+
+def read_tx_table(
+    spark: SparkSession, tx_root: str, name: str, tx: int | None = None
+) -> DataFrame:
+    """Read a table AT the version pinned by the (latest) transaction —
+    never the table's own latest manifest, which may hold versions from
+    in-flight or abandoned transactions."""
+    import os
+
+    pins = read_tx_catalog(tx_root, tx)
+    if name not in pins:
+        raise KeyError(f"table {name!r} not in tx catalog of {tx_root}")
+    return read_version(
+        spark, os.path.join(tx_root, "tables", name), pins[name]
+    )
+
+
+def _tx_lifecycle_root(spark: SparkSession, sf_dir: str) -> str:
+    """Shared E491 artifact: two consistent multi-table transactions
+    with an ABANDONED table-level commit in between — the torn-read
+    bait a catalog reader must never see.
+
+    - tx0: ``ord`` = orders header cents; ``rev`` = per-order revenue
+      from lineitem (same orderkey universe — the invariant).
+    - interloper: a DIRECT commit_version to ``ord`` (poison rows,
+      orderkey < 0) that never gets a tx entry — an in-flight/crashed
+      transaction's table-level debris.
+    - tx1: both tables appended one consistent marker batch
+      (orderkey −1..−8 in BOTH) — committed atomically.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        troot = os.path.join(stage, "tx")
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"),
+            exact_units(F.col("o_totalprice"), 2).alias("cents"),
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        rev = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+            F.sum(
+                exact_units(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                )
+            ).alias("rev_4dp_units")
+        )
+        commit_transaction(
+            spark, troot, {"ord": (orders, "append"), "rev": (rev, "append")}
+        )
+        # abandoned table-level write: visible in ord's manifests,
+        # never in the catalog
+        poison = spark.range(1).select(
+            F.lit(-999999).cast("long").alias("okey"),
+            F.lit(10**15).cast("long").alias("cents"),
+        )
+        commit_version(
+            spark, os.path.join(troot, "tables", "ord"), poison, mode="append"
+        )
+        marker_ord = spark.range(1, 9).select(
+            (-F.col("id")).alias("okey"), (F.col("id") * 100).alias("cents")
+        )
+        marker_rev = spark.range(1, 9).select(
+            (-F.col("id")).alias("okey"),
+            (F.col("id") * 1000000).alias("rev_4dp_units"),
+        )
+        commit_transaction(
+            spark,
+            troot,
+            {"ord": (marker_ord, "append"), "rev": (marker_rev, "append")},
+        )
+
+    return claim_artifact(spark, "txcat_" + source_salt(sf_dir, "orders"), _build)
+
+
+def tx_snapshot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E491 gate query: read BOTH tables through the catalog at
+    each committed transaction and report the cross-table invariant —
+    every ``rev`` orderkey joins an ``ord`` orderkey, the marker batch
+    is either in BOTH tables (tx1) or NEITHER (tx0), and the abandoned
+    poison write (orderkey −999999, committed at table level between
+    the txs) appears in NO catalog read. The oracle recomputes both
+    snapshots from the raw tables."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = _tx_lifecycle_root(spark, sf_dir)
+    troot = os.path.join(root, "tx")
+    out = None
+    for tx in (0, 1):
+        ords = read_tx_table(spark, troot, "ord", tx)
+        rev = read_tx_table(spark, troot, "rev", tx)
+        joined = ords.join(rev, "okey", "full").select(
+            F.lit(tx).cast("long").alias("tx"),
+            F.col("okey"),
+            F.col("cents"),
+            F.col("rev_4dp_units"),
+        )
+        r = joined.agg(
+            F.max("tx").alias("tx"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("rev_only"),
+            F.sum(F.when(F.col("rev_4dp_units").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("ord_only"),
+            F.sum(F.when(F.col("okey") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_marker"),
+            F.sum(F.when(F.col("okey") == -999999, 1).otherwise(0))
+            .cast("long")
+            .alias("n_poison"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -223,3 +223,43 @@ def test_nndescent_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.85, f"recall {recall}"
     for r in approx.collect():
         assert 1 <= r["rnk"] <= 5
+
+
+def test_delong_agrees_with_auc_ranker(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import (
+        auc_ranker,
+        delong_auc_ci,
+    )
+
+    d = delong_auc_ci(spark, sf_dir).collect()[0]
+    a = auc_ranker(spark, sf_dir).collect()[0]
+    assert d["auc_ppm"] == a["auc_ppm"]
+    assert d["pos_n"] == a["pos_n"] and d["neg_n"] == a["neg_n"]
+    assert d["var_e12"] > 0 and d["se_micro"] > 0
+    # the CI brackets the point estimate (ppm vs micro: same scale)
+    assert d["ci_lo_micro"] <= d["auc_ppm"] + 1
+    assert d["ci_hi_micro"] >= d["auc_ppm"] - 1
+    # CI is symmetric around AUC to within rounding
+    assert abs(
+        (d["ci_hi_micro"] - d["auc_ppm"]) - (d["auc_ppm"] - d["ci_lo_micro"])
+    ) <= 2
+
+
+def test_t_closeness_bounds_and_degenerate_groups(spark, sf_dir):
+    from parquet_to_csv_spark.operators.corpus import (
+        l_diversity_audit,
+        t_closeness_audit,
+    )
+
+    tc = {(r["lang"], r["len_band"]): r for r in t_closeness_audit(spark, sf_dir).collect()}
+    ld = {(r["lang"], r["len_band"]): r for r in l_diversity_audit(spark, sf_dir).collect()}
+    assert set(tc) == set(ld)
+    for key, r in tc.items():
+        assert 0 <= r["tv_ppm"] <= 1_000_000
+        assert r["t02_ok"] == (1 if r["tv_ppm"] <= 200_000 else 0)
+        # TV = half the sum of gaps, so the worst single gap <= 2*TV
+        assert r["worst_value_gap_ppm"] <= 2 * r["tv_ppm"] + 2
+        # a single-source group concentrates all mass on one value:
+        # TV >= 1 - that source's global share >= 1 - max share
+        if ld[key]["l_distinct"] == 1:
+            assert r["tv_ppm"] >= 500_000  # no source holds half the corpus

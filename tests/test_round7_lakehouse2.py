@@ -1,0 +1,99 @@
+"""E491 multi-table transaction lifecycle: catalog isolation, the
+base_version transactional append, write-write conflicts, and
+disjoint-table interleaving. Plus E487 partition-evolution guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import parquet_to_csv_spark.sources.layout as L
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_tx_catalog_isolation_and_base_version(spark, tmp_path):
+    """A table-level commit outside any tx is invisible to catalog
+    reads, and a transactional append's lineage excludes it."""
+    import os
+
+    troot = str(tmp_path / "tx")
+    L.commit_transaction(spark, troot, {"a": (_df(spark, 0, 5), "append")})
+    tdir = os.path.join(troot, "tables", "a")
+    # abandoned table-level write
+    L.commit_version(spark, tdir, _df(spark, 100, 103), mode="append")
+    assert L.latest_version(tdir) == 1
+    # catalog still pins v0
+    assert L.read_tx_table(spark, troot, "a").count() == 5
+    # transactional append: base = catalog pin, debris excluded
+    L.commit_transaction(spark, troot, {"a": (_df(spark, 5, 8), "append")})
+    got = sorted(r["k"] for r in L.read_tx_table(spark, troot, "a").collect())
+    assert got == list(range(8))
+    # the table-level history kept everything (manifests are immutable)
+    assert L.latest_version(tdir) == 2
+    direct = sorted(r["k"] for r in L.read_version(spark, tdir, 1).collect())
+    assert direct == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_tx_write_write_conflict_raises(spark, tmp_path, monkeypatch):
+    troot = str(tmp_path / "tx")
+    L.commit_transaction(spark, troot, {"a": (_df(spark, 0, 3), "append")})
+    orig = L.commit_version
+    state = {"fired": False}
+
+    def sneaky(spark_, tdir, df, **kw):
+        v = orig(spark_, tdir, df, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            # a competing tx on the SAME table lands between our staging
+            # and our tx-log link
+            L.commit_transaction(
+                spark_, troot, {"a": (_df(spark_, 50, 52), "append")}
+            )
+        return v
+
+    monkeypatch.setattr(L, "commit_version", sneaky)
+    with pytest.raises(RuntimeError, match="tx conflict"):
+        L.commit_transaction(spark, troot, {"a": (_df(spark, 3, 6), "append")})
+    # the loser's staged version is debris; catalog holds the racer's rows
+    got = sorted(r["k"] for r in L.read_tx_table(spark, troot, "a").collect())
+    assert got == [0, 1, 2, 50, 51]
+
+
+def test_tx_disjoint_tables_interleave(spark, tmp_path, monkeypatch):
+    troot = str(tmp_path / "tx")
+    L.commit_transaction(spark, troot, {"a": (_df(spark, 0, 3), "append")})
+    orig = L.commit_version
+    state = {"fired": False}
+
+    def sneaky(spark_, tdir, df, **kw):
+        v = orig(spark_, tdir, df, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            L.commit_transaction(
+                spark_, troot, {"b": (_df(spark_, 90, 92), "append")}
+            )
+        return v
+
+    monkeypatch.setattr(L, "commit_version", sneaky)
+    # disjoint tables: our tx must succeed AND keep the racer's pin
+    L.commit_transaction(spark, troot, {"a": (_df(spark, 3, 6), "append")})
+    pins = L.read_tx_catalog(troot)
+    assert set(pins) == {"a", "b"}
+    assert L.read_tx_table(spark, troot, "a").count() == 6
+    assert L.read_tx_table(spark, troot, "b").count() == 2
+
+
+def test_hidden_partitioning_rejects_unknown_pred(spark, tmp_path):
+    troot = str(tmp_path / "hp")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v")
+    )
+    L.commit_partitioned(spark, troot, df, [("pv", F.col("v"))])
+    sub, scanned, total = L.read_hidden_partitioned(spark, troot, {"pv": 2})
+    assert scanned == 1 and total == 4
+    assert sorted(r["k"] for r in sub.collect()) == [2, 6, 10, 14, 18]
+    with pytest.raises(KeyError):
+        L.read_hidden_partitioned(spark, troot, {"nope": 1})
