@@ -499,3 +499,57 @@ def croston_forecast(
         F.round("p", 6).alias("interval_smoothed"),
         F.round("rate", 6).alias("demand_rate"),
     )
+
+
+def pandas_udaf_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E492: pandas GROUPED_AGG UDAF — the one vectorized-Python
+    surface the suite didn't yet exercise (scalar E12, grouped-map
+    E33, cogrouped E64, Arrow E372, UDTF E168/E395/E446 all exist):
+    ``F.pandas_udf`` aggregations compose INSIDE a normal ``agg(...)``
+    beside JVM aggregates, receiving each group's column as one Arrow
+    batch — the right escape hatch when the reduction needs numpy but
+    the query shape stays relational.
+
+    Metrics: per-event-type value quartiles and the interquartile
+    (trimmed) mean. Determinism: everything computes on exact integer
+    CENTS; quartile interpolation fractions are quarters, so
+    ``a + (b−a)·f`` is EXACT in doubles (no rounding step exists for
+    engines to disagree on), and the trimmed mean replays the
+    stable_avg_2dp integer recipe. At scale each UDF ships one
+    (type, column) Arrow batch per group — for million-row groups
+    you'd pre-aggregate to cents×count or switch to the E73
+    distributed-ntile path; this is the bounded-group tool.
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def q_cents(v: pd.Series, q: pd.Series) -> float:
+        cents = np.floor(v.values * 100.0 + 0.5).astype(np.int64)
+        return float(np.percentile(cents, float(q.iloc[0])))
+
+    @F.pandas_udf("double")
+    def iq_mean(v: pd.Series) -> float:
+        cents = np.floor(v.values * 100.0 + 0.5).astype(np.int64)
+        lo = np.percentile(cents, 25.0)
+        hi = np.percentile(cents, 75.0)
+        kept = cents[(cents >= lo) & (cents <= hi)]
+        return float(np.floor(kept.sum() * 100.0 / len(kept)) / 10000.0)
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a
+    # pandas aggregate too — the constraint is part of the surface.
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n_rows(F.col("value")).alias("n"),
+            q_cents(F.col("value"), F.lit(25.0)).alias("q25_cents"),
+            q_cents(F.col("value"), F.lit(50.0)).alias("q50_cents"),
+            q_cents(F.col("value"), F.lit(75.0)).alias("q75_cents"),
+            iq_mean(F.col("value")).alias("iq_mean"),
+        )
+    )

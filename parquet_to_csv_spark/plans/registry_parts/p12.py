@@ -3862,3 +3862,39 @@ SELECT CAST(tx AS BIGINT) AS tx,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM unioned_tx GROUP BY tx
 """
+
+# --------------------------------------------------------------------------
+# E492 / E494 — pandas GROUPED_AGG UDAF, streaming exactly-once resume
+# --------------------------------------------------------------------------
+
+# E492 — grouped-agg pandas UDAF: quartiles + interquartile mean on
+# exact cents (interpolation fractions are quarters — no rounding step
+# exists, so numpy and DuckDB agree bit-for-bit).
+QUERIES["pandas_udaf_quartiles"] = pandas_ops.pandas_udaf_quartiles
+ORACLES["pandas_udaf_quartiles"] = f"""
+WITH c AS (
+  SELECT event_type, {duck_units('value', 2)} AS cents FROM events
+), q AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         quantile_cont(cents, 0.25) AS q25_cents,
+         quantile_cont(cents, 0.50) AS q50_cents,
+         quantile_cont(cents, 0.75) AS q75_cents
+  FROM c GROUP BY event_type
+)
+SELECT q.event_type, q.n, q.q25_cents, q.q50_cents, q.q75_cents,
+       (SELECT floor(sum(cents) * 100.0 / count(*)) / 10000.0
+        FROM c
+        WHERE c.event_type = q.event_type
+          AND c.cents >= q.q25_cents AND c.cents <= q.q75_cents)
+         AS iq_mean
+FROM q
+"""
+
+# E494 — exactly-once resume: the drained two-incarnation sink must
+# equal the batch aggregate over ALL events (each row exactly once).
+QUERIES["streaming_resume_drain"] = _stream.streaming_resume_drain
+ORACLES["streaming_resume_drain"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({duck_units('value', 2)}) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""

@@ -1320,3 +1320,67 @@ def rocksdb_state_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n_events"),
     )
+
+
+def streaming_resume_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E494: exactly-once RESUME from a checkpoint — the recovery
+    contract every production stream lives on, executed end-to-end:
+    drain half the input to a parquet sink, STOP, append new source
+    files, start a NEW query on the SAME checkpoint + sink, drain
+    again. The checkpoint's source log must skip everything the first
+    incarnation committed and the sink's ``_spark_metadata`` log must
+    make both incarnations' output read as one atomic table — each
+    input row exactly once, which is precisely what the batch oracle
+    over the full input checks.
+
+    (E59 pins sink idempotency for a REPLAYED batch; this pins the
+    complement — cross-restart source-offset dedup.)
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="resume_drain_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_once()
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain_once()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(exact_units(F.col("value"), 2)).cast("long").alias(
+                "sum_cents"
+            ),
+        )
+    )
