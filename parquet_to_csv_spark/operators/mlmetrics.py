@@ -3230,3 +3230,111 @@ def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ci_hi_micro"),
     )
+
+
+def krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E496: Krippendorff's alpha (nominal, 3 raters, no missing
+    data) per source — the inter-annotator agreement coefficient that
+    generalizes Cohen's κ (E456) past two raters, the standard for
+    labeling-quality audits on annotation pipelines. Raters here are
+    three deterministic binary heuristics (char-length, whitespace
+    token count, digit count) judging "substantial document".
+
+    With mᵤ = 3 everywhere the coincidence algebra collapses to exact
+    integers: per-unit disagreement mass kᵤ(3−kᵤ) (k = positive
+    votes ∈ {0..3}), Do/De = Σk(3−k)·(3n−1) / (2·n₀·n₁), so
+    α_ppm = 1e6 − floor-div — no float anywhere. One scan, one
+    per-source aggregate; degenerate sources (a rater marginal of
+    zero ⇒ De = 0) emit NULL, the spec's undefined case.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = (
+        (F.col("n_chars") >= 250).cast("int")
+        + (F.size(tokens_col("text")) >= 40).cast("int")
+        + (
+            F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) >= 3
+        ).cast("int")
+    )
+    per_unit = docs.select("source", k.alias("k"))
+    g = per_unit.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("k").cast("long").alias("n1"),
+        F.sum(F.col("k") * (3 - F.col("k"))).cast("long").alias("dis"),
+    )
+    n0 = 3 * F.col("n_units") - F.col("n1")
+    denom = 2 * n0 * F.col("n1")
+    return g.select(
+        "source",
+        "n_units",
+        F.col("n1").alias("pos_votes"),
+        F.col("dis").alias("disagree_mass"),
+        F.when(
+            denom > 0,
+            F.lit(1_000_000).cast("long")
+            - F.floor(
+                F.col("dis").cast("double")
+                * (3 * F.col("n_units") - 1)
+                * F.lit(1e6)
+                / denom.cast("double")
+            ).cast("long"),
+        ).alias("alpha_ppm"),
+    )
+
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E497: Cochran–Armitage trend test — does conversion rate
+    rise MONOTONICALLY with engagement? The χ² independence test
+    (E456's cousin) can't see order; CA weights the buckets with
+    ordered scores and tests the linear component, the standard
+    dose-response screen (here: engagement band → purchase).
+
+    Users band by total event count (fixed width, ordered scores
+    w = band); all five CA sums (N, R, Σwn, Σwr, Σw²n) are exact
+    longs off a bounded per-band relation; z folds them in one fixed
+    double expression (single sqrt — IEEE-exact), emitted floor-micro
+    with the ±1.96 verdict.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    banded = per_user.select(
+        F.least(F.expr("n_ev div 5"), F.lit(9)).cast("long").alias("w"),
+        F.col("conv").cast("long").alias("r"),
+    )
+    bands = banded.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("r"),
+    )
+    tot = bands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+        F.sum("n").alias("big_n"),
+        F.sum("r").alias("big_r"),
+        F.sum(F.col("w") * F.col("n")).alias("swn"),
+        F.sum(F.col("w") * F.col("r")).alias("swr"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).alias("sw2n"),
+    )
+    t_num = F.col("big_n") * F.col("swr") - F.col("big_r") * F.col("swn")
+    var_core = (
+        F.col("big_r")
+        * (F.col("big_n") - F.col("big_r"))
+        * (F.col("big_n") * F.col("sw2n") - F.col("swn") * F.col("swn"))
+    )
+    z = (
+        t_num.cast("double")
+        * F.sqrt(F.col("big_n").cast("double"))
+        / F.sqrt(var_core.cast("double"))
+    )
+    return tot.select(
+        "n_bands",
+        F.col("big_n").alias("n_users"),
+        F.col("big_r").alias("n_converters"),
+        F.when(
+            var_core > 0,
+            F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("z_micro"),
+        F.when(
+            var_core > 0, (F.abs(z) > F.lit(1.959964)).cast("long")
+        ).alias("significant"),
+    )

@@ -3898,3 +3898,94 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum({duck_units('value', 2)}) AS BIGINT) AS sum_cents
 FROM events GROUP BY event_type
 """
+
+# --------------------------------------------------------------------------
+# E495–E497 — partition evolution, Krippendorff's alpha, CA trend
+# --------------------------------------------------------------------------
+
+# E495 — partition evolution: old-spec files (no bucket dimension) are
+# conservatively kept inside the day window, so the oracle's window
+# predicate is `even-id OR bucket = 3`.
+QUERIES["partition_evolution_scan"] = _layout.partition_evolution_scan
+ORACLES["partition_evolution_scan"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_even,
+       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_odd,
+       CAST(sum({duck_units('value', 2)}) AS BIGINT) AS sum_cents
+FROM events
+WHERE epoch_us(ts) // 86400000000 BETWEEN 19733 AND 19739
+  AND (event_id % 2 = 0 OR {_duck_bkt('user_id', 1, 8)} = 3)
+GROUP BY event_type
+"""
+
+# E496 — Krippendorff's alpha: exact integer coincidence algebra at
+# m=3 raters; De=0 sources emit NULL (the spec's undefined case).
+QUERIES["krippendorff_alpha"] = mlmetrics.krippendorff_alpha
+ORACLES["krippendorff_alpha"] = f"""
+WITH per_unit AS (
+  SELECT source,
+         (CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END)
+         + (CASE WHEN len({_TOKS}) >= 40 THEN 1 ELSE 0 END)
+         + (CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) >= 3
+                 THEN 1 ELSE 0 END) AS k
+  FROM documents
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(k) AS BIGINT) AS n1,
+         CAST(sum(k * (3 - k)) AS BIGINT) AS dis
+  FROM per_unit GROUP BY source
+)
+SELECT source, n_units, n1 AS pos_votes, dis AS disagree_mass,
+       CASE WHEN 2 * (3 * n_units - n1) * n1 > 0
+            THEN 1000000 - CAST(floor(
+                   CAST(dis AS DOUBLE) * (3 * n_units - 1) * 1e6
+                   / CAST(2 * (3 * n_units - n1) * n1 AS DOUBLE))
+                 AS BIGINT)
+       END AS alpha_ppm
+FROM g
+"""
+
+# E497 — Cochran–Armitage: five exact long sums over the band
+# relation, one fixed double z expression.
+QUERIES["cochran_armitage_trend"] = mlmetrics.cochran_armitage_trend
+ORACLES["cochran_armitage_trend"] = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), banded AS (
+  SELECT least(n_ev // 5, 9) AS w, conv AS r FROM per_user
+), bands AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS r
+  FROM banded GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bands,
+         CAST(sum(n) AS BIGINT) AS big_n,
+         CAST(sum(r) AS BIGINT) AS big_r,
+         CAST(sum(w * n) AS BIGINT) AS swn,
+         CAST(sum(w * r) AS BIGINT) AS swr,
+         CAST(sum(w * w * n) AS BIGINT) AS sw2n
+  FROM bands
+)
+SELECT n_bands, big_n AS n_users, big_r AS n_converters,
+       CASE WHEN big_r * (big_n - big_r) * (big_n * sw2n - swn * swn) > 0
+            THEN CAST(floor(
+                   CAST(big_n * swr - big_r * swn AS DOUBLE)
+                   * sqrt(CAST(big_n AS DOUBLE))
+                   / sqrt(CAST(big_r * (big_n - big_r)
+                               * (big_n * sw2n - swn * swn) AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT)
+       END AS z_micro,
+       CASE WHEN big_r * (big_n - big_r) * (big_n * sw2n - swn * swn) > 0
+            THEN CAST(CASE WHEN abs(
+                   CAST(big_n * swr - big_r * swn AS DOUBLE)
+                   * sqrt(CAST(big_n AS DOUBLE))
+                   / sqrt(CAST(big_r * (big_n - big_r)
+                               * (big_n * sw2n - swn * swn) AS DOUBLE)))
+                   > 1.959964 THEN 1 ELSE 0 END AS BIGINT)
+       END AS significant
+FROM tot
+"""

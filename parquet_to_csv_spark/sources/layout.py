@@ -2989,6 +2989,7 @@ def commit_partitioned(
     table_dir: str,
     df: DataFrame,
     transforms,
+    mode: str = "overwrite",
     max_attempts: int = 5,
 ) -> int:
     """EXT E487 (write side): commit ``df`` as a snapshot whose data
@@ -3005,11 +3006,21 @@ def commit_partitioned(
     transform columns live in directory names, never in the files), and
     the manifest maps file → transform tuple. Commit point is the same
     put-if-absent manifest link as :func:`commit_version`.
+
+    ``mode='append'`` is PARTITION EVOLUTION (E495, Iceberg spec
+    §Partition Evolution): the new commit may use a DIFFERENT transform
+    spec; carried-forward files keep their own tuples, and pruning
+    evaluates each file against ITS tuple — a file whose tuple lacks a
+    predicate's transform is conservatively kept (it predates that
+    dimension), never wrongly skipped. No data is rewritten to change
+    the spec, which is the whole point.
     """
     import json
     import os
     import uuid
 
+    if mode not in ("append", "overwrite"):
+        raise ValueError(mode)
     names = [n for n, _ in transforms]
     staged = df
     for n, cexpr in transforms:
@@ -3044,14 +3055,26 @@ def commit_partitioned(
     for _ in range(max_attempts):
         prev = latest_version(table_dir)
         version = 0 if prev is None else prev + 1
+        live: list[str] = []
+        carried_parts: dict[str, dict[str, int]] = {}
+        spec_union = list(names)
+        if mode == "append" and prev is not None:
+            prev_man = json.load(open(_manifest_path(table_dir, prev)))
+            live = prev_man["files"]
+            carried_parts = prev_man.get("partitions", {})
+            for t in prev_man.get("transforms", []):
+                if t not in spec_union:
+                    spec_union.append(t)
         manifest = {
             "version": version,
-            "mode": "overwrite",
-            "files": new_files,
+            "mode": mode,
+            "files": live + new_files,
             # logical schema = the SOURCE schema; transforms are derived
             "schema": df.schema.jsonValue(),
-            "transforms": names,
-            "partitions": partitions,
+            # current spec first, then every spec any live file was
+            # written under (the pruning-key universe)
+            "transforms": spec_union,
+            "partitions": {**carried_parts, **partitions},
         }
         final = _manifest_path(table_dir, version)
         tmp = final + f".tmp-{token}"
@@ -3087,11 +3110,21 @@ def read_hidden_partitioned(
     man = json.load(open(_manifest_path(table_dir, prev)))
     files = man["files"]
     parts = man["partitions"]
+    known = set(man.get("transforms", []))
+    for name in (pred or {}):
+        if name not in known:
+            raise KeyError(
+                f"predicate transform {name!r} not in table spec {known}"
+            )
     keep = []
     for f in files:
         tup = parts[f]
         ok = True
         for name, cond in (pred or {}).items():
+            if name not in tup:
+                # partition evolution: this file predates the
+                # transform — conservatively keep it
+                continue
             v = tup[name]
             if isinstance(cond, (tuple, list)):
                 ok = ok and cond[0] <= v <= cond[1]
@@ -3388,3 +3421,67 @@ def tx_snapshot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def _partition_evolution_root(spark: SparkSession, sf_dir: str) -> str:
+    """Shared E495 artifact: v0 = even-id events under day(ts)
+    partitioning only; v1 = odd-id events APPENDED under the evolved
+    (day, bucket) spec — two specs live in one table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.operators.sketch import _md5_slice_bucket
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        day = F.expr("(ts div 1000) div 86400000000")
+        commit_partitioned(
+            spark,
+            tdir,
+            ev.filter(F.col("event_id") % 2 == 0),
+            [("pday", day)],
+        )
+        commit_partitioned(
+            spark,
+            tdir,
+            ev.filter(F.col("event_id") % 2 == 1),
+            [("pday", day), ("pbucket", _md5_slice_bucket(F.col("user_id"), 1, 8))],
+            mode="append",
+        )
+
+    return claim_artifact(
+        spark, "partevo_" + source_salt(sf_dir, "events"), _build
+    )
+
+
+def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E495 gate query: a (day-range, bucket) predicate against the
+    EVOLVED table. Old-spec files carry no bucket dimension, so pruning
+    must keep every old file in the day range (their rows appear for
+    ALL buckets) while new-spec files prune to the one bucket — the
+    conservative-keep semantics the Iceberg spec requires, and exactly
+    what the oracle recomputes as ``even-id OR bucket=3`` inside the
+    window. The parity split columns prove both specs contributed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    root = _partition_evolution_root(spark, sf_dir)
+    df, _, _ = read_hidden_partitioned(
+        spark,
+        os.path.join(root, "tbl"),
+        {"pday": (19733, 19739), "pbucket": 3},
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("event_id") % 2 == 0).cast("long")).alias("n_even"),
+        F.sum((F.col("event_id") % 2 == 1).cast("long")).alias("n_odd"),
+        F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+    )

@@ -263,3 +263,28 @@ def test_t_closeness_bounds_and_degenerate_groups(spark, sf_dir):
         # TV >= 1 - that source's global share >= 1 - max share
         if ld[key]["l_distinct"] == 1:
             assert r["tv_ppm"] >= 500_000  # no source holds half the corpus
+
+
+def test_krippendorff_bounds_and_agreement_extremes(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import krippendorff_alpha
+
+    rows = krippendorff_alpha(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["pos_votes"] <= 3 * r["n_units"]
+        assert r["disagree_mass"] >= 0
+        if r["alpha_ppm"] is not None:
+            assert r["alpha_ppm"] <= 1_000_000
+            # perfect agreement iff zero disagreement mass
+            if r["disagree_mass"] == 0:
+                assert r["alpha_ppm"] == 1_000_000
+
+
+def test_cochran_armitage_shape(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import cochran_armitage_trend
+
+    r = cochran_armitage_trend(spark, sf_dir).collect()[0]
+    assert r["n_bands"] >= 1
+    assert 0 <= r["n_converters"] <= r["n_users"]
+    if r["z_micro"] is not None:
+        assert r["significant"] == (1 if abs(r["z_micro"]) > 1_959_964 else 0)

@@ -97,3 +97,32 @@ def test_hidden_partitioning_rejects_unknown_pred(spark, tmp_path):
     assert sorted(r["k"] for r in sub.collect()) == [2, 6, 10, 14, 18]
     with pytest.raises(KeyError):
         L.read_hidden_partitioned(spark, troot, {"nope": 1})
+
+
+def test_partition_evolution_conservative_keep(spark, tmp_path):
+    """Files written under the OLD spec are kept whenever the predicate
+    uses a transform they never recorded; unknown transforms raise."""
+    import pytest as _pytest
+
+    df0 = spark.range(0, 12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v"),
+        (F.col("id") % 2).alias("b"),
+    )
+    troot = str(tmp_path / "pe")
+    L.commit_partitioned(spark, troot, df0.filter("k < 6"), [("pv", F.col("v"))])
+    L.commit_partitioned(
+        spark, troot, df0.filter("k >= 6"),
+        [("pv", F.col("v")), ("pb", F.col("b"))], mode="append",
+    )
+    # pb predicate: old files (3 pv dirs) all kept; new files prune
+    sub, scanned, total = L.read_hidden_partitioned(spark, troot, {"pb": 1})
+    old_rows = {r["k"] for r in sub.collect() if r["k"] < 6}
+    new_rows = {r["k"] for r in sub.collect() if r["k"] >= 6}
+    assert old_rows == {0, 1, 2, 3, 4, 5}          # conservative keep
+    assert new_rows == {7, 9, 11}                   # pruned to b=1
+    assert scanned < total
+    # pv predicate prunes BOTH specs
+    sub2, s2, _ = L.read_hidden_partitioned(spark, troot, {"pv": 2})
+    assert {r["k"] for r in sub2.collect()} == {2, 5, 8, 11}
+    with _pytest.raises(KeyError):
+        L.read_hidden_partitioned(spark, troot, {"nope": 1})
