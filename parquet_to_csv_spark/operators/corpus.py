@@ -3449,3 +3449,85 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t02_ok"),
         )
     )
+
+
+def unimax_allocation(
+    spark: SparkSession, sf_dir: str, budget_ppm: int = 500_000
+) -> DataFrame:
+    """EXT E500: UniMax language sampling (Chung et al., NeurIPS 2023)
+    — the principled multilingual mixture: allocate a token budget as
+    UNIFORMLY as possible across languages, capped at each language's
+    available tokens (no epoch exceeds 1 here), instead of
+    proportional sampling (head languages dominate) or temperature
+    hacks (tail languages over-epoch). This is exact waterfilling on
+    the language-grain relation.
+
+    Closed form, all integers: sort languages by size ascending; the
+    largest j with ``prefix_j + (n−j)·s_j ≤ B`` takes languages 1..j
+    whole, and the rest share ``T = (B − prefix_j) div (n − j)`` each.
+    The language relation is domain-bounded (the window is over
+    |langs| rows), so the whole optimizer is metadata-scale at any
+    corpus size; only the token count scans data.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.select("lang", F.explode(tokens_col("text")).alias("t")).groupBy(
+        "lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    tot = F.broadcast(
+        sizes.agg(
+            F.sum("n_tokens").alias("total"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+    )
+    w = Window.orderBy("n_tokens", "lang")
+    ranked = sizes.join(tot).select(
+        "lang",
+        "n_tokens",
+        "n_langs",
+        F.expr(f"total * {budget_ppm} div 1000000").alias("budget"),
+        F.row_number().over(w).alias("i"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+    )
+    # whole-take prefix: languages small enough that taking them whole
+    # leaves >= their size for every larger language
+    feasible = ranked.withColumn(
+        "whole_ok",
+        (
+            F.col("prefix")
+            + (F.col("n_langs") - F.col("i")) * F.col("n_tokens")
+            <= F.col("budget")
+        ).cast("long"),
+    )
+    jrel = F.broadcast(
+        feasible.agg(
+            F.sum(F.when(F.col("whole_ok") == 1, 1).otherwise(0)).alias("j"),
+            F.sum(
+                F.when(F.col("whole_ok") == 1, F.col("n_tokens")).otherwise(0)
+            ).alias("prefix_j"),
+        )
+    )
+    out = feasible.join(jrel).withColumn(
+        "fill",
+        F.when(
+            F.col("n_langs") > F.col("j"),
+            F.expr("(budget - prefix_j) div (n_langs - j)"),
+        ).otherwise(F.lit(None).cast("long")),
+    )
+    alloc = F.when(F.col("i") <= F.col("j"), F.col("n_tokens")).otherwise(
+        F.least(F.col("n_tokens"), F.col("fill"))
+    )
+    return out.select(
+        "lang",
+        "n_tokens",
+        alloc.alias("alloc_tokens"),
+        F.expr(
+            "case when n_tokens > 0 then "
+            "(case when i <= j then n_tokens else least(n_tokens, fill) end)"
+            " * 1000000 div n_tokens end"
+        ).alias("epoch_ppm"),
+        (F.col("i") <= F.col("j")).cast("long").alias("taken_whole"),
+    )

@@ -3338,3 +3338,97 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             var_core > 0, (F.abs(z) > F.lit(1.959964)).cast("long")
         ).alias("significant"),
     )
+
+
+def obf_interim_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E498: group-sequential interim monitoring with O'Brien–
+    Fleming boundaries — the OTHER principled peeking regime beside
+    the anytime-valid SPRT (E377): classical trials look K times and
+    compare the cumulative z to c·√(K/k), spending almost no alpha
+    early (the boundary starts huge and decays to ~1.96 at the final
+    look). Units: users in the E57/E474 md5-parity arms; metric:
+    converted-by-day (first purchase ≤ look day).
+
+    Relational shape: one per-user relation (first-seen day, first-
+    purchase day), two bounded day-grain prefix sums (the calendar,
+    not the data), z per look from exact cumulative longs in one fixed
+    double expression, boundary = 2.2414/√(k/K) (the two-sided
+    α≈0.05 OBF constant as a literal in both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("(ts div 1000) div 86400000000")
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("conv_day"),
+    ).select(
+        md5_bucket(F.col("user_id"), 2).alias("arm"), "first_day", "conv_day"
+    )
+    spine = ev.select(day.alias("day")).distinct()
+    horizon = F.broadcast(
+        spine.agg(
+            F.min("day").alias("d0"), F.count(F.lit(1)).alias("big_k")
+        )
+    )
+    # per (arm, day) enters/conversions, prefix-summed over the day grain
+    enters = per_user.groupBy("arm", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("e")
+    )
+    convs = per_user.filter(F.col("conv_day").isNotNull()).groupBy(
+        "arm", F.col("conv_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        spine.join(F.broadcast(spark.range(2).select(F.col("id").alias("arm"))))
+        .join(enters, ["arm", "day"], "left")
+        .join(convs, ["arm", "day"], "left")
+        .fillna(0, ["e", "c"])
+    )
+    w = Window.partitionBy("arm").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "arm", "day",
+        F.sum("e").over(w).alias("n"), F.sum("c").over(w).alias("x"),
+    )
+    a0 = cum.filter(F.col("arm") == 0).select(
+        "day", F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    a1 = cum.filter(F.col("arm") == 1).select(
+        "day", F.col("n").alias("n2"), F.col("x").alias("x2")
+    )
+    looks = a0.join(a1, "day").join(horizon)
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n1").cast("double")
+            + F.lit(1.0) / F.col("n2").cast("double")
+        )
+    )
+    k = F.col("day") - F.col("d0") + 1
+    z = (p1 - p2) / se
+    boundary = F.lit(2.2414) / F.sqrt(
+        k.cast("double") / F.col("big_k").cast("double")
+    )
+    defined = (F.col("n1") > 0) & (F.col("n2") > 0) & (se > 0)
+    return looks.select(
+        k.cast("long").alias("look"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("x2").cast("long").alias("x2"),
+        F.when(defined, F.floor(z * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("z_micro"),
+        F.floor(boundary * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("boundary_micro"),
+        F.when(defined, (F.abs(z) > boundary).cast("long")).alias("crossed"),
+    )

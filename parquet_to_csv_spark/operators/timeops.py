@@ -3425,3 +3425,43 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("neg_log_km_cum_micro"),
         )
     )
+
+
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E499: build an SCD-2 dimension FROM a change stream — the
+    write-side complement to the E55 point-in-time JOIN (which assumed
+    the validity intervals already existed): collapse each user's
+    event history into versioned rows (state, valid_from, valid_to,
+    version_no) where the tracked state is the user's value band and
+    a new version opens only when the band actually CHANGES
+    (consecutive-duplicate suppression — Kimball's type-2 contract).
+
+    One per-user window (ordered by ts, event_id — a unique total
+    order) does everything: ``lag`` detects the change points,
+    ``lead`` over the surviving rows closes each interval; the current
+    version stays open (valid_to NULL). Exact µs-epoch longs
+    throughout.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    states = ev.select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        F.least(F.floor(F.col("value") / 2).cast("long"), F.lit(4)).alias(
+            "band"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = states.withColumn("prev_band", F.lag("band").over(w)).filter(
+        F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).alias("version_no"),
+        "band",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"),
+    )

@@ -3989,3 +3989,143 @@ SELECT n_bands, big_n AS n_users, big_r AS n_converters,
        END AS significant
 FROM tot
 """
+
+# --------------------------------------------------------------------------
+# E498–E500 — OBF interim monitor, SCD2 build, UniMax allocation
+# --------------------------------------------------------------------------
+# E498 — O'Brien–Fleming interim looks over the md5-parity arms.
+QUERIES["obf_interim_monitor"] = mlmetrics.obf_interim_monitor
+ORACLES["obf_interim_monitor"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(epoch_us(ts) // 86400000000) AS first_day,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) // 86400000000 END) AS conv_day,
+         ((instr('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+          + (instr('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+          + (instr('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+          + (instr('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)) % 2
+           AS arm
+  FROM events GROUP BY user_id
+), spine AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events
+), hz AS (
+  SELECT min(day) AS d0, CAST(count(*) AS BIGINT) AS big_k FROM spine
+), grid AS (
+  SELECT s.day, a.arm,
+         CAST(coalesce(sum(CASE WHEN u.first_day = s.day THEN 1 END)
+             FILTER (WHERE u.arm = a.arm), 0) AS BIGINT) AS e,
+         CAST(coalesce(sum(CASE WHEN u.conv_day = s.day THEN 1 END)
+             FILTER (WHERE u.arm = a.arm), 0) AS BIGINT) AS c
+  FROM spine s
+  CROSS JOIN (SELECT unnest([0, 1]) AS arm) a
+  LEFT JOIN per_user u ON u.arm = a.arm
+  GROUP BY s.day, a.arm
+), cum AS (
+  SELECT arm, day,
+         CAST(sum(e) OVER (PARTITION BY arm ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n,
+         CAST(sum(c) OVER (PARTITION BY arm ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS x
+  FROM grid
+), looks AS (
+  SELECT a0.day, a0.n AS n1, a0.x AS x1, a1.n AS n2, a1.x AS x2,
+         h.d0, h.big_k
+  FROM (SELECT day, n, x FROM cum WHERE arm = 0) a0
+  JOIN (SELECT day, n, x FROM cum WHERE arm = 1) a1 USING (day)
+  CROSS JOIN hz h
+), scored AS (
+  SELECT day - d0 + 1 AS look, n1, x1, n2, x2, big_k,
+         CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2 AS diff,
+         sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+              * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS se,
+         2.2414 / sqrt(CAST(day - d0 + 1 AS DOUBLE) / CAST(big_k AS DOUBLE))
+           AS boundary
+  FROM looks
+)
+SELECT CAST(look AS BIGINT) AS look, n1, x1, n2, x2,
+       CASE WHEN n1 > 0 AND n2 > 0 AND se > 0
+            THEN CAST(floor(diff / se * 1e6 + 0.5) AS BIGINT) END AS z_micro,
+       CAST(floor(boundary * 1e6 + 0.5) AS BIGINT) AS boundary_micro,
+       CASE WHEN n1 > 0 AND n2 > 0 AND se > 0
+            THEN CAST(CASE WHEN abs(diff / se) > boundary THEN 1 ELSE 0 END
+                      AS BIGINT) END AS crossed
+FROM scored
+"""
+
+# E499 — SCD-2 dimension build: change-point + interval-close windows.
+QUERIES["scd2_build"] = timeops.scd2_build
+ORACLES["scd2_build"] = """
+WITH states AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         least(CAST(floor(value / 2) AS BIGINT), 4) AS band
+  FROM events
+), lagged AS (
+  SELECT user_id, us, event_id, band,
+         lag(band) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS prev_band
+  FROM states
+), changes AS (
+  SELECT user_id, us, event_id, band FROM lagged
+  WHERE prev_band IS NULL OR band <> prev_band
+)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+            AS INTEGER) AS version_no,
+       band, us AS valid_from_us,
+       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         AS valid_to_us
+FROM changes
+"""
+
+# E500 — UniMax waterfilling on the language-grain relation.
+QUERIES["unimax_allocation"] = corpus.unimax_allocation
+ORACLES["unimax_allocation"] = f"""
+WITH sizes AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM (SELECT lang, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM sizes
+), ranked AS (
+  SELECT lang, n_tokens, n_langs,
+         total * 500000 // 1000000 AS budget,
+         CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i,
+         CAST(sum(n_tokens) OVER (ORDER BY n_tokens, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS prefix
+  FROM sizes CROSS JOIN tot
+), feasible AS (
+  SELECT *, CASE WHEN prefix + (n_langs - i) * n_tokens <= budget
+                 THEN 1 ELSE 0 END AS whole_ok
+  FROM ranked
+), jrel AS (
+  SELECT CAST(sum(whole_ok) AS BIGINT) AS j,
+         CAST(coalesce(sum(CASE WHEN whole_ok = 1 THEN n_tokens END), 0)
+              AS BIGINT) AS prefix_j
+  FROM feasible
+), filled AS (
+  SELECT f.*, r.j, r.prefix_j,
+         CASE WHEN f.n_langs > r.j
+              THEN CAST((f.budget - r.prefix_j) // (f.n_langs - r.j)
+                        AS BIGINT) END AS fill
+  FROM feasible f CROSS JOIN jrel r
+)
+SELECT lang, n_tokens,
+       CAST(CASE WHEN i <= j THEN n_tokens
+                 ELSE least(n_tokens, fill) END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN n_tokens > 0 THEN
+            (CASE WHEN i <= j THEN n_tokens ELSE least(n_tokens, fill) END)
+            * 1000000 // n_tokens END AS BIGINT) AS epoch_ppm,
+       CAST(CASE WHEN i <= j THEN 1 ELSE 0 END AS BIGINT) AS taken_whole
+FROM filled
+"""

@@ -288,3 +288,66 @@ def test_cochran_armitage_shape(spark, sf_dir):
     assert 0 <= r["n_converters"] <= r["n_users"]
     if r["z_micro"] is not None:
         assert r["significant"] == (1 if abs(r["z_micro"]) > 1_959_964 else 0)
+
+
+def test_obf_boundary_decays_and_brackets(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import obf_interim_monitor
+
+    rows = obf_interim_monitor(spark, sf_dir).orderBy("look").collect()
+    assert rows
+    # boundary decays monotonically toward ~1.96 at the final look
+    bounds = [r["boundary_micro"] for r in rows]
+    assert bounds == sorted(bounds, reverse=True)
+    assert abs(bounds[-1] - 2_241_400) < 2_241_400  # final = c/sqrt(1)
+    assert bounds[-1] == 2_241_400
+    for r in rows:
+        # cumulative counts are monotone within each arm
+        assert 0 <= r["x1"] <= r["n1"] and 0 <= r["x2"] <= r["n2"]
+        if r["crossed"] is not None and r["z_micro"] is not None:
+            assert r["crossed"] == (
+                1 if abs(r["z_micro"]) > r["boundary_micro"] else 0
+            )
+
+
+def test_scd2_build_intervals_partition_history(spark, sf_dir):
+    from parquet_to_csv_spark.operators.timeops import scd2_build
+    from pyspark.sql import Window
+
+    dim = scd2_build(spark, sf_dir)
+    rows = dim.orderBy("user_id", "version_no").collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_open = 0
+    for vs in by_user.values():
+        for i, r in enumerate(vs):
+            assert r["version_no"] == i + 1
+            if r["valid_to_us"] is None:
+                n_open += 1
+            else:
+                # intervals chain: to == next from; bands change
+                assert r["valid_to_us"] == vs[i + 1]["valid_from_us"]
+                assert r["band"] != vs[i + 1]["band"]
+    # exactly one open (current) version per user
+    assert n_open == len(by_user)
+
+
+def test_unimax_waterfilling_properties(spark, sf_dir):
+    from parquet_to_csv_spark.operators.corpus import unimax_allocation
+
+    rows = unimax_allocation(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * 500_000 // 1_000_000
+    used = sum(r["alloc_tokens"] for r in rows)
+    # never exceeds budget; within n_langs of it (floor division slack)
+    assert used <= budget
+    assert budget - used <= len(rows) * 2
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["n_tokens"]
+        assert r["epoch_ppm"] <= 1_000_000
+        if r["taken_whole"]:
+            assert r["alloc_tokens"] == r["n_tokens"]
+    # uniformity: all non-whole languages get the same fill
+    fills = {r["alloc_tokens"] for r in rows if not r["taken_whole"]}
+    assert len(fills) <= 1

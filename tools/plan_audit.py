@@ -59,6 +59,8 @@ _TINY_WINDOWS: dict[str, tuple[int, str]] = {
     "conversion_survival_curve": (2, "distinct whole-day durations, calendar-bounded"),
     "nelson_aalen_hazard": (2, "distinct whole-day durations, calendar-bounded"),
     "hits_copurchase": (1, "post-limit(k) top-k authority relation"),
+    "unimax_allocation": (2, "language-grain relation, |langs| rows"),
+    "delong_auc_ci": (1, "distinct score grid, same relation as auc_ranker"),
     "top_event_trigrams": (1, "|event types|^3 trigram-type relation"),
     "group_quota_sample": (2, "|languages| strata relation"),
     "neyman_allocation": (1, "|languages| strata relation"),
