@@ -842,3 +842,93 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(est_distinct - true_distinct) * 1000000 div true_distinct"
         ).alias("abs_err_ppm"),
     )
+
+
+OPH_BINS = 32
+
+
+def oph_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E502: one-permutation hashing (Li, Owen & Zhang, NIPS 2012)
+    — the O(tokens) MinHash: instead of k independent hash passes
+    (E2's k=128 permutations), hash every token ONCE, partition the
+    hash space into k bins, and keep the per-bin minimum. Same sketch
+    size, k× less hashing — the variant you actually run over 100 TB.
+    Estimator on matched non-empty bins: Ĵ = matches / both_nonempty
+    (the paper's unbiased form; empty bins are skipped rather than
+    densified — the densified rotation is E355's b-bit cousin's
+    territory).
+
+    Gate = a calibration table (the E355 discipline): deterministic
+    doc pairs (id offsets 1 and 5), OPH estimate vs EXACT distinct-
+    token Jaccard, banded; a broken sketch shifts whole bands. All
+    order statistics on md5-derived longs — engine-exact.
+    """
+    from parquet_to_csv_spark.functions.textfn import tokens_col
+    from parquet_to_csv_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("t"))
+    hashed = tok.select(
+        "doc_id",
+        _md5_hash48(F.col("t")).alias("h"),
+    )
+    sketch = hashed.groupBy(
+        "doc_id", (F.col("h") % OPH_BINS).alias("bin")
+    ).agg(F.min("h").alias("mh"))
+    offsets = spark.range(1).select(F.lit(1).alias("off")).unionAll(
+        spark.range(1).select(F.lit(5).alias("off"))
+    )
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.join(F.broadcast(offsets))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + F.col("off")).alias("doc_b"),
+        )
+        .join(ids.select(F.col("doc_id").alias("doc_b")), "doc_b")
+    )
+    sa = sketch.select(
+        F.col("doc_id").alias("doc_a"), "bin", F.col("mh").alias("ma")
+    )
+    sb = sketch.select(
+        F.col("doc_id").alias("doc_b"), "bin", F.col("mh").alias("mb")
+    )
+    matched = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "bin"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("both_bins"),
+            F.sum((F.col("ma") == F.col("mb")).cast("long")).alias("match_bins"),
+        )
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    exact = matched.join(ta, "doc_a").join(tb, "doc_b").select(
+        "doc_a",
+        "both_bins",
+        "match_bins",
+        F.expr("match_bins * 1000 div both_bins").alias("oph_milli"),
+        (
+            inter.cast("long") * 1000
+        ).alias("_in1000"),
+        (F.size("toks_a") + F.size("toks_b") - inter).cast("long").alias("_u"),
+    ).withColumn("exact_milli", F.expr("_in1000 div _u"))
+    # integer mean (exact long sum, one correctly-rounded division) —
+    # avg() over doubles would be summation-order-dependent
+    return (
+        exact.groupBy(F.expr("oph_milli div 100").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.floor(
+                F.sum("exact_milli").cast("double") / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_exact_milli"),
+        )
+        .filter(F.col("band").isNotNull())
+    )

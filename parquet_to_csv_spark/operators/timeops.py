@@ -3465,3 +3465,93 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("us").alias("valid_from_us"),
         F.lead("us").over(w2).alias("valid_to_us"),
     )
+
+
+def incremental_sessionization(
+    spark: SparkSession, sf_dir: str, split_day: int = 19746, gap: str = "30 minutes"
+) -> DataFrame:
+    """EXT E501: INCREMENTAL sessionization — merge a new batch of
+    events into an existing session table without re-sessionizing
+    history, completing the incremental family (E54 aggs, E160 dedup,
+    E262 joins, E403 views). The subtle case is the BOUNDARY: a new
+    event inside the gap of a user's last old session must extend it,
+    not open a new one.
+
+    With an event-time split (delta strictly after base), only the
+    LAST old session and FIRST new session per user can fuse:
+    sessionize each side independently (the native
+    ``session_window``), then one keyed join merges the fusable pairs
+    (first-delta start < last-state end, i.e. within gap of the last
+    old event, since end = last + gap). Work is O(|delta| + one pass
+    over the per-user session heads) — history is never rescanned,
+    which is the whole point at 100 TB/day ingest. Counts and cent
+    sums are additive longs, so merged rows are exact.
+
+    The oracle sessionizes ALL events from scratch — incremental ==
+    rebuild is the gate.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("(ts div 1000) div 86400000000")
+
+    def sessions_of(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.session_window(_ts_micros(), gap).alias("s"),
+                F.col("user_id"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum(exact_units(F.col("value"), 2)).alias("sum_cents"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("s.start")).alias("session_start_us"),
+                F.unix_micros(F.col("s.end")).alias("session_end_us"),
+                "n_events",
+                "sum_cents",
+            )
+        )
+
+    state = sessions_of(ev.filter(day < split_day))
+    delta = sessions_of(ev.filter(day >= split_day))
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("session_end_us"))
+    w_first = Window.partitionBy("user_id").orderBy(F.asc("session_start_us"))
+    last_state = (
+        state.withColumn("_r", F.row_number().over(w_last))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    first_delta = (
+        delta.withColumn("_r", F.row_number().over(w_first))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    fused = (
+        last_state.alias("l")
+        .join(first_delta.alias("d"), "user_id")
+        .filter(F.col("d.session_start_us") < F.col("l.session_end_us"))
+        .select(
+            "user_id",
+            F.col("l.session_start_us").alias("session_start_us"),
+            F.col("d.session_end_us").alias("session_end_us"),
+            (F.col("l.n_events") + F.col("d.n_events")).alias("n_events"),
+            (F.col("l.sum_cents") + F.col("d.sum_cents")).alias("sum_cents"),
+        )
+    )
+    fkeys = fused.select("user_id", F.col("session_start_us").alias("_ls"))
+    dkeys = fused.select("user_id", F.col("session_end_us").alias("_de"))
+    keep_state = state.join(
+        fkeys,
+        (state.user_id == fkeys.user_id)
+        & (state.session_start_us == fkeys._ls),
+        "left_anti",
+    )
+    keep_delta = delta.join(
+        dkeys,
+        (delta.user_id == dkeys.user_id)
+        & (delta.session_end_us == dkeys._de),
+        "left_anti",
+    )
+    return keep_state.unionByName(keep_delta).unionByName(fused)

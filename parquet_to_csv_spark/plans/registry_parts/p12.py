@@ -4129,3 +4129,87 @@ SELECT lang, n_tokens,
        CAST(CASE WHEN i <= j THEN 1 ELSE 0 END AS BIGINT) AS taken_whole
 FROM filled
 """
+
+# --------------------------------------------------------------------------
+# E501–E503 — incremental sessionization, OPH MinHash, watermark dedup
+# --------------------------------------------------------------------------
+
+# E501 — incremental == rebuild: the oracle sessionizes ALL events
+# from scratch (E10's gaps-and-islands), cents exact.
+QUERIES["incremental_sessionization"] = timeops.incremental_sessionization
+ORACLES["incremental_sessionization"] = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+), flagged AS (
+  SELECT user_id, tus, value,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                   OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                      >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sessions AS (
+  SELECT user_id, tus, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(tus) AS session_start_us,
+       max(tus) + 1800000000 AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({duck_units("value", 2)}) AS BIGINT) AS sum_cents
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+# E502 — OPH calibration: full replay of the one-pass sketch.
+QUERIES["oph_minhash_calibration"] = _sketch.oph_minhash_calibration
+_H48T = duck_md5_hash48("t")
+ORACLES["oph_minhash_calibration"] = f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM docs
+), sketch AS MATERIALIZED (
+  SELECT doc_id, ({_H48T}) % 32 AS bin, min({_H48T}) AS mh
+  FROM tok GROUP BY doc_id, ({_H48T}) % 32
+), pairs AS (
+  SELECT a.doc_id AS doc_a, a.doc_id + o.off AS doc_b
+  FROM docs a
+  CROSS JOIN (SELECT unnest([1, 5]) AS off) o
+  JOIN docs b ON b.doc_id = a.doc_id + o.off
+), matched AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(count(*) AS BIGINT) AS both_bins,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS match_bins
+  FROM pairs p
+  JOIN sketch sa ON sa.doc_id = p.doc_a
+  JOIN sketch sb ON sb.doc_id = p.doc_b AND sb.bin = sa.bin
+  GROUP BY p.doc_a, p.doc_b
+), exact AS (
+  SELECT m.doc_a, m.match_bins * 1000 // m.both_bins AS oph_milli,
+         (CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) * 1000)
+         // (len(ta.toks) + len(tb.toks)
+             - len(list_intersect(ta.toks, tb.toks))) AS exact_milli
+  FROM matched m
+  JOIN docs ta ON ta.doc_id = m.doc_a
+  JOIN docs tb ON tb.doc_id = m.doc_b
+)
+SELECT oph_milli // 100 AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(floor(CAST(sum(exact_milli) AS DOUBLE) / count(*) + 0.5)
+            AS BIGINT) AS mean_exact_milli
+FROM exact
+GROUP BY oph_milli // 100
+"""
+
+# E503 — watermark-bounded streaming dedup: drained aggregate equals
+# the batch aggregate over the ORIGINAL (pre-injection) events.
+QUERIES["streaming_dedup_watermark_drain"] = _stream.streaming_dedup_watermark_drain
+ORACLES["streaming_dedup_watermark_drain"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({duck_units('value', 2)}) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""

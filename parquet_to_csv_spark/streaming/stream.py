@@ -1384,3 +1384,51 @@ def streaming_resume_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def streaming_dedup_watermark_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E503: ``dropDuplicatesWithinWatermark`` — the Spark 3.5+
+    streaming dedup that BOUNDS state by event time where plain
+    ``dropDuplicates`` (E41) keeps keys forever: a duplicate arriving
+    within the watermark of its first sighting is dropped, and the
+    key's state is evicted once the watermark passes it — the only
+    dedup you can run on an unbounded CDC/ingest stream.
+
+    The staged fixture injects a duplicate of every 10th event into
+    the source files; the drained per-type aggregate must equal the
+    batch aggregate over the ORIGINAL events (every injected dup
+    inside the horizon, hence dropped).
+    """
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    src = tempfile.mkdtemp(prefix="dedup_wm_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    dups = ev.filter(F.col("event_id") % 10 == 0)
+    ev.unionByName(dups).coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(src, "files")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(os.path.join(src, "files"))
+    )
+    deduped = (
+        with_event_time(stream)
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+    )
+    name = "t_dedup_wm_" + _uuid.uuid4().hex[:8]
+    return run_to_memory(agg, name, spark, output_mode="complete")

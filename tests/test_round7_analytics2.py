@@ -351,3 +351,39 @@ def test_unimax_waterfilling_properties(spark, sf_dir):
     # uniformity: all non-whole languages get the same fill
     fills = {r["alloc_tokens"] for r in rows if not r["taken_whole"]}
     assert len(fills) <= 1
+
+
+def test_incremental_sessionization_fuses_boundary(spark, sf_dir):
+    """The incremental result must contain FUSED sessions spanning the
+    split day whenever a user's delta activity starts within the gap of
+    their last old session — and every session's n_events must sum to
+    the corpus total exactly once."""
+    from parquet_to_csv_spark.operators.timeops import (
+        incremental_sessionization,
+    )
+    from parquet_to_csv_spark.sources.tables import load_table
+
+    dim = incremental_sessionization(spark, sf_dir)
+    total = dim.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "events").count()
+    split_us = 19746 * 86400 * 1_000_000
+    spanning = dim.filter(
+        (F.col("session_start_us") < split_us)
+        & (F.col("session_end_us") > split_us)
+    ).count()
+    # the fixture's sessions are dense enough that some span the split
+    assert spanning > 0
+
+
+def test_oph_calibration_is_monotone_ish(spark, sf_dir):
+    """Higher OPH estimate bands must carry higher exact Jaccard on
+    average at the extremes (band 10 = exact dups)."""
+    from parquet_to_csv_spark.operators.sketch import oph_minhash_calibration
+
+    rows = {r["band"]: r for r in oph_minhash_calibration(spark, sf_dir).collect()}
+    assert rows
+    for b, r in rows.items():
+        assert 0 <= b <= 10
+        assert 0 <= r["mean_exact_milli"] <= 1000
+    if 10 in rows and 0 in rows:
+        assert rows[10]["mean_exact_milli"] > rows[0]["mean_exact_milli"]
