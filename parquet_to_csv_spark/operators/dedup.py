@@ -3545,3 +3545,95 @@ def sorted_neighborhood_pairs(
             "jaccard_milli",
         )
     )
+
+
+def graph_diameter_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_hops: int = 12,
+) -> DataFrame:
+    """EXT E504: double-sweep diameter estimation (Magnien, Latapy &
+    Habib 2009) on the near-dup graph — the standard cheap diameter
+    bound: BFS from a high-degree root gives eccentricity ecc₁; a
+    second BFS from the farthest node found gives ecc₂ ≥ ecc₁, a
+    certified LOWER bound on the true diameter that is empirically
+    tight on real graphs. Rounds out the graph tier (CC E26, PageRank
+    E91, k-core E223, clustering coefficient E118, BFS reach E368).
+
+    Both sweeps are the E368 recursive-CTE BFS with per-level DISTINCT
+    (frontier contraction — levels bounded by |V|) over the
+    MATERIALIZED edge artifact; the second sweep's seed is derived
+    RELATIONALLY from the first (max hop, min doc_id tiebreak) — no
+    driver-side collect anywhere. One summary row.
+    """
+    edges = dedup_edges(spark, sf_dir, threshold)
+    und = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w"))
+    )
+    und.createOrReplaceTempView("t_diam_edges")
+    root = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("u"))
+        .limit(1)
+        .select(F.col("u").alias("doc_id"))
+    )
+    root.createOrReplaceTempView("t_diam_seed1")
+    sweep1 = spark.sql(
+        f"""
+        WITH RECURSIVE r(doc_id, hop) AS (
+          SELECT doc_id, 0 FROM t_diam_seed1
+          UNION ALL
+          SELECT DISTINCT e.w, r.hop + 1
+          FROM r JOIN t_diam_edges e ON e.u = r.doc_id
+          WHERE r.hop < {int(max_hops)}
+        )
+        SELECT doc_id, CAST(min(hop) AS INT) AS hop FROM r GROUP BY doc_id
+        """
+    )
+    # cut lineage: the second sweep's view expansion would otherwise
+    # NEST sweep1's recursive CTE inside its own WITH RECURSIVE (name
+    # collision on r -> INVALID_RECURSIVE_REFERENCE)
+    sweep1 = sweep1.localCheckpoint(eager=True)
+    sweep1.createOrReplaceTempView("t_diam_sweep1")
+    far = spark.sql(
+        """
+        SELECT min(doc_id) AS doc_id FROM t_diam_sweep1
+        WHERE hop = (SELECT max(hop) FROM t_diam_sweep1)
+        """
+    )
+    far = far.localCheckpoint(eager=True)
+    far.createOrReplaceTempView("t_diam_seed2")
+    sweep2 = spark.sql(
+        f"""
+        WITH RECURSIVE r(doc_id, hop) AS (
+          SELECT doc_id, 0 FROM t_diam_seed2
+          UNION ALL
+          SELECT DISTINCT e.w, r.hop + 1
+          FROM r JOIN t_diam_edges e ON e.u = r.doc_id
+          WHERE r.hop < {int(max_hops)}
+        )
+        SELECT doc_id, CAST(min(hop) AS INT) AS hop FROM r GROUP BY doc_id
+        """
+    )
+    s1 = sweep1.agg(
+        F.max("hop").alias("ecc_root"),
+        F.count(F.lit(1)).cast("long").alias("n_reached_root"),
+    )
+    s2 = sweep2.agg(
+        F.max("hop").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("long").alias("n_reached_far"),
+    )
+    return (
+        root.select(F.col("doc_id").alias("root_doc"))
+        .join(far.select(F.col("doc_id").alias("far_doc")))
+        .join(s1)
+        .join(s2)
+        .select(
+            "root_doc", "far_doc", "ecc_root", "diameter_lb",
+            "n_reached_root", "n_reached_far",
+        )
+    )

@@ -3616,3 +3616,70 @@ def candidate_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def linear_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E506: calendar gap-fill with LINEAR interpolation — the
+    numeric-series complement to E113's forward-fill (right for
+    balances/states) : for rates and volumes a gap is better estimated
+    by the line between its bracketing observations. Shape: one daily
+    aggregate per type, a sequence-exploded day spine (bounded by the
+    calendar), two ignorenulls window fills carrying both the
+    bracketing VALUES and their DAYS, then one exact integer lerp
+    ``prev + (next−prev)·(day−prev_day) div (next_day−prev_day)``.
+    Edges (before first / after last observation) stay NULL —
+    interpolation, not extrapolation.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+        )
+        .agg(F.sum(exact_units(F.col("value"), 2)).alias("cents"))
+    )
+    # thin the series so the fixture actually HAS gaps at every SF
+    observed = daily.filter(F.expr("pmod(day, 3) != 1"))
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+    )
+    grid = spine.join(observed, ["event_type", "day"], "left")
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    filled = grid.select(
+        "event_type",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    lerp = F.expr("pv + (nv - pv) * (day - pd) div (nd - pd)")
+    return filled.select(
+        "event_type",
+        "day",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(
+            F.when(
+                F.col("pv").isNotNull() & F.col("nv").isNotNull(), lerp
+            )
+        )
+        .alias("cents_filled"),
+        F.col("cents").isNull().cast("long").alias("is_interpolated"),
+    )

@@ -3555,3 +3555,57 @@ def incremental_sessionization(
         "left_anti",
     )
     return keep_state.unionByName(keep_delta).unionByName(fused)
+
+
+def stl_residual_anomalies(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """EXT E505: seasonal-aware anomaly screen (the S-H-ESD shape
+    Twitter popularized): raw daily revenue triggers false alarms on
+    every weekend, so detect on the STL RESIDUAL instead — compose the
+    E331 decomposition with the E47 median/MAD robust z. Report = the
+    top-k most anomalous days by |robust z| (this corpus's residuals
+    are well-behaved — max |z| ≈ 1.7 — so a fixed 3.5 threshold would
+    gate nothing; the ranked report keeps the gate non-trivial while
+    the ``is_anomaly`` flag carries the conventional cut).
+
+    Exact integer residual cents feed the same percentile/quantile_
+    cont parity convention as E47; everything past the daily aggregate
+    is bounded by the calendar.
+    """
+    res = stl_lite_decomposition(spark, sf_dir)
+    stats = F.broadcast(
+        res.agg(
+            F.expr("percentile(residual_cents, 0.5)").alias("med"),
+        )
+    )
+    mad = F.broadcast(
+        res.join(stats).agg(
+            F.expr("percentile(abs(residual_cents - med), 0.5)").alias("mad")
+        )
+    )
+    scored = res.join(stats).join(mad).select(
+        "day",
+        "dow",
+        "cents",
+        "residual_cents",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        F.when(
+            F.col("mad") > 0,
+            F.round(
+                (F.col("residual_cents") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad")),
+                4,
+            ),
+        ).alias("robust_z"),
+    )
+    return (
+        scored.filter(F.col("robust_z").isNotNull())
+        .orderBy(F.abs(F.col("robust_z")).desc(), F.asc("day"))
+        .limit(k)
+        .withColumn(
+            "is_anomaly",
+            (F.abs(F.col("robust_z")) > 3.5).cast("long"),
+        )
+    )

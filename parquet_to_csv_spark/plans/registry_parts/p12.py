@@ -4213,3 +4213,142 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum({duck_units('value', 2)}) AS BIGINT) AS sum_cents
 FROM events GROUP BY event_type
 """
+
+# --------------------------------------------------------------------------
+# E504–E506 — double-sweep diameter, STL anomalies, linear gap-fill
+# --------------------------------------------------------------------------
+# E504 — double-sweep diameter over the same 0.8-threshold edge
+# relation E368 uses (its oracle pair relation nested verbatim); the
+# oracle replays both BFS sweeps. Recursive members use UNION (set
+# semantics): a node's first appearance is its BFS level, so min(hop)
+# is exact and the recursion is guaranteed to terminate.
+QUERIES["graph_diameter_sweep"] = dedup.graph_diameter_sweep
+ORACLES["graph_diameter_sweep"] = f"""
+WITH edges AS MATERIALIZED (
+{ORACLES["ngram_jaccard_pairs"]}
+), und AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS w FROM edges
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS w FROM edges
+), seed1 AS (
+  SELECT u AS doc_id FROM (
+    SELECT u, count(*) AS deg FROM und GROUP BY u
+    ORDER BY deg DESC, u ASC LIMIT 1
+  )
+), s1 AS MATERIALIZED (
+  WITH RECURSIVE r(doc_id, hop) AS (
+    SELECT doc_id, 0 FROM seed1
+    UNION
+    SELECT e.w, r.hop + 1
+    FROM r JOIN und e ON e.u = r.doc_id
+    WHERE r.hop < 12
+  )
+  SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop FROM r GROUP BY doc_id
+), seed2 AS (
+  SELECT min(doc_id) AS doc_id FROM s1
+  WHERE hop = (SELECT max(hop) FROM s1)
+), s2 AS MATERIALIZED (
+  WITH RECURSIVE r(doc_id, hop) AS (
+    SELECT doc_id, 0 FROM seed2
+    UNION
+    SELECT e.w, r.hop + 1
+    FROM r JOIN und e ON e.u = r.doc_id
+    WHERE r.hop < 12
+  )
+  SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop FROM r GROUP BY doc_id
+)
+SELECT (SELECT doc_id FROM seed1) AS root_doc,
+       (SELECT doc_id FROM seed2) AS far_doc,
+       (SELECT max(hop) FROM s1) AS ecc_root,
+       (SELECT max(hop) FROM s2) AS diameter_lb,
+       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_reached_root,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_reached_far
+"""
+
+# E505 — STL residual anomalies: E331's exact decomposition feeding
+# the E47 percentile parity convention.
+QUERIES["stl_residual_anomalies"] = timeops.stl_residual_anomalies
+ORACLES["stl_residual_anomalies"] = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(sum({duck_units('value', 2)}) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, cents,
+         CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+              3 FOLLOWING)
+              // count(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+              AND 3 FOLLOWING) AS BIGINT) AS trend_cents,
+         CAST(((day + 4) % 7 + 7) % 7 AS BIGINT) AS dow
+  FROM daily
+), det AS (
+  SELECT day, dow, cents, trend_cents, cents - trend_cents AS det FROM t
+), seas AS (
+  SELECT dow, CAST(sum(det) // count(*) AS BIGINT) AS seasonal_cents
+  FROM det GROUP BY dow
+), res AS MATERIALIZED (
+  SELECT d.day, d.dow, d.cents,
+         d.det - s.seasonal_cents AS residual_cents
+  FROM det d JOIN seas s USING (dow)
+), med AS (
+  SELECT quantile_cont(residual_cents, 0.5) AS med FROM res
+), mad AS (
+  SELECT quantile_cont(abs(r.residual_cents - m.med), 0.5) AS mad
+  FROM res r CROSS JOIN med m
+), scored AS (
+  SELECT r.day, r.dow, r.cents, r.residual_cents,
+         round(m.med, 4) AS med, round(d.mad, 4) AS mad,
+         CASE WHEN d.mad > 0
+              THEN round((r.residual_cents - m.med) / (1.4826 * d.mad), 4)
+         END AS robust_z
+  FROM res r CROSS JOIN med m CROSS JOIN mad d
+)
+SELECT *, CAST(CASE WHEN abs(robust_z) > 3.5 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_anomaly
+FROM scored WHERE robust_z IS NOT NULL
+ORDER BY abs(robust_z) DESC, day ASC LIMIT 5
+"""
+
+# E506 — linear-interpolation gap-fill: exact integer lerp between the
+# bracketing observations; edges stay NULL.
+QUERIES["linear_interp_gapfill"] = relational.linear_interp_gapfill
+ORACLES["linear_interp_gapfill"] = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum({duck_units('value', 2)}) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'signup')
+  GROUP BY 1, 2
+), observed AS (
+  SELECT * FROM daily WHERE ((day % 3) + 3) % 3 <> 1
+), span AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM span
+), grid AS (
+  SELECT s.event_type, s.day, o.cents
+  FROM spine s LEFT JOIN observed o USING (event_type, day)
+), filled AS (
+  SELECT event_type, day, cents,
+         last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pv,
+         last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(cents IGNORE NULLS) OVER (PARTITION BY event_type
+           ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS nv,
+         first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM grid
+)
+SELECT event_type, day,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                 THEN pv + (nv - pv) * (day - pd) // (nd - pd)
+            END AS BIGINT) AS cents_filled,
+       CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_interpolated
+FROM filled
+"""

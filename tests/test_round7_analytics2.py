@@ -387,3 +387,58 @@ def test_oph_calibration_is_monotone_ish(spark, sf_dir):
         assert 0 <= r["mean_exact_milli"] <= 1000
     if 10 in rows and 0 in rows:
         assert rows[10]["mean_exact_milli"] > rows[0]["mean_exact_milli"]
+
+
+def test_graph_diameter_double_sweep_properties(spark, sf_dir):
+    from parquet_to_csv_spark.operators.dedup import graph_diameter_sweep
+
+    r = graph_diameter_sweep(spark, sf_dir).collect()[0]
+    # second sweep can only improve the bound
+    assert r["diameter_lb"] >= r["ecc_root"]
+    # both sweeps explore the same component
+    assert r["n_reached_far"] == r["n_reached_root"]
+    assert r["n_reached_root"] >= 1
+    assert r["root_doc"] != r["far_doc"] or r["diameter_lb"] == 0
+
+
+def test_stl_residual_anomalies_ranked(spark, sf_dir):
+    from parquet_to_csv_spark.operators.timeops import stl_residual_anomalies
+
+    rows = stl_residual_anomalies(spark, sf_dir).collect()
+    assert len(rows) == 5
+    zs = [abs(r["robust_z"]) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    for r in rows:
+        assert r["is_anomaly"] == (1 if abs(r["robust_z"]) > 3.5 else 0)
+        # residual identity: cents = trend + seasonal + residual holds
+        # upstream; here just sanity on mad positivity
+        assert r["mad"] > 0
+
+
+def test_linear_interp_gapfill_exactness(spark, sf_dir):
+    from parquet_to_csv_spark.operators.relational import linear_interp_gapfill
+
+    rows = linear_interp_gapfill(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["day"]] = r
+    for days in by_type.values():
+        ds = sorted(days)
+        # spine is contiguous
+        assert ds == list(range(ds[0], ds[-1] + 1))
+        for d, r in days.items():
+            if r["is_interpolated"] and r["cents_filled"] is not None:
+                # bracketing observations exist and the value is between
+                prev = max(
+                    (x for x in ds if x < d and not days[x]["is_interpolated"]),
+                    default=None,
+                )
+                nxt = min(
+                    (x for x in ds if x > d and not days[x]["is_interpolated"]),
+                    default=None,
+                )
+                assert prev is not None and nxt is not None
+                lo = min(days[prev]["cents_filled"], days[nxt]["cents_filled"])
+                hi = max(days[prev]["cents_filled"], days[nxt]["cents_filled"])
+                assert lo - 1 <= r["cents_filled"] <= hi + 1
