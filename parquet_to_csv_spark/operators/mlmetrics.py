@@ -3432,3 +3432,165 @@ def obf_interim_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("boundary_micro"),
         F.when(defined, (F.abs(z) > boundary).cast("long")).alias("crossed"),
     )
+
+
+def wilson_conversion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E508: Wilson score intervals for per-type user conversion
+    rates — the binomial CI that behaves at the boundaries where the
+    Wald interval (p̂ ± z√(p̂q̂/n)) collapses (p̂ near 0/1, small n):
+    center (p̂ + z²/2n)/(1 + z²/n), the interval recommended by Brown/
+    Cai/DasGupta and what E341's empirical-Bayes shrinkage converges
+    toward. One exact (x, n) pair per event type, one fixed double
+    expression per bound — floor-ppm output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    rows = []
+    for t in ("view", "click", "signup", "error"):
+        rows.append(
+            per_user.agg(
+                F.lit(t).alias("event_type"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.array_contains("types", t).cast("long")
+                    * F.array_contains("types", "purchase").cast("long")
+                ).alias("x"),
+            )
+        )
+    base = rows[0]
+    for r in rows[1:]:
+        base = base.unionAll(r)
+    z = F.lit(1.959964)
+    n = F.col("n").cast("double")
+    p = F.col("x").cast("double") / n
+    z2n = z * z / n
+    center = (p + z2n / 2) / (1 + z2n)
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (4 * n * n))
+        / (1 + z2n)
+    )
+    return base.select(
+        "event_type",
+        "n",
+        "x",
+        F.expr("x * 1000000 div n").alias("p_hat_ppm"),
+        F.floor((center - half) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("wilson_lo_ppm"),
+        F.floor((center + half) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("wilson_hi_ppm"),
+    )
+
+
+def ridge_cv_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E509: closed-form ridge regression with leakage-safe
+    cross-validation — the regularization-path sweep (λ grid × k
+    folds) done the way 100 TB allows: ONE scan reduces the data to
+    exact per-fold sufficient statistics (n, Σx, Σxxᵀ, Σxy, Σy²; the
+    second moments in decimal so Σy² can't overflow a long), and
+    everything after — train-moment assembly (total − fold), the 3×3
+    normal-equation solve (Cramer/cofactors, intercept unpenalized),
+    and the test error — is metadata-scale algebra on a (λ × fold)
+    grid. Test MSE never touches a per-row float: SSE = Σy² − 2βᵀXᵀy
+    + βᵀ(XᵀX)β from the held-out fold's exact moments, so the whole
+    sweep is deterministic at any partitioning.
+
+    Model: l_extendedprice ~ l_quantity + p_retailprice (folds by
+    md5(orderkey) — order-grain, leakage-safe). The gate pins the full
+    grid; pytest asserts λ=0 equals OLS and coefficients shrink
+    monotonically in λ.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", exact_units(F.col("p_retailprice"), 2).alias("x2")
+    )
+    rows = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            md5_bucket(F.col("l_orderkey"), 3).alias("fold"),
+            F.expr("cast(floor(l_quantity + 0.5) as long)").alias("x1"),
+            "x2",
+            exact_units(F.col("l_extendedprice"), 2).alias("y"),
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(14,0)")  # noqa: E731
+    mom = rows.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(d("x1") * d("x1")).alias("s11"),
+        F.sum(d("x1") * d("x2")).alias("s12"),
+        F.sum(d("x2") * d("x2")).alias("s22"),
+        F.sum(d("x1") * d("y")).alias("s1y"),
+        F.sum(d("x2") * d("y")).alias("s2y"),
+        F.sum(d("y") * d("y")).alias("syy"),
+    )
+    cols = ["n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]
+    tot = F.broadcast(mom.agg(*[F.sum(c).alias(f"t_{c}") for c in cols]))
+    lams = F.broadcast(
+        spark.createDataFrame(
+            [(0.0,), (1e4,), (1e7,), (1e10,)], ["lam"]
+        )
+    )
+    g = mom.join(tot).join(lams)
+    # train moments = total − held-out fold, all as doubles
+    tr = {c: (F.col(f"t_{c}") - F.col(c)).cast("double") for c in cols}
+    te = {c: F.col(c).cast("double") for c in cols}
+    lam = F.col("lam")
+    # A = [[n,s1,s2],[s1,s11+λ,s12],[s2,s12,s22+λ]], rhs = [sy,s1y,s2y]
+    a11, a12, a13 = tr["n"], tr["s1"], tr["s2"]
+    a22 = tr["s11"] + lam
+    a23 = tr["s12"]
+    a33 = tr["s22"] + lam
+    b1, b2, b3 = tr["sy"], tr["s1y"], tr["s2y"]
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det1 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    )
+    det2 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    det3 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    )
+    beta0, beta1, beta2 = det1 / det, det2 / det, det3 / det
+    sse = (
+        te["syy"]
+        - 2 * (beta0 * te["sy"] + beta1 * te["s1y"] + beta2 * te["s2y"])
+        + beta0 * (beta0 * te["n"] + beta1 * te["s1"] + beta2 * te["s2"])
+        + beta1 * (beta0 * te["s1"] + beta1 * te["s11"] + beta2 * te["s12"])
+        + beta2 * (beta0 * te["s2"] + beta1 * te["s12"] + beta2 * te["s22"])
+    )
+    # floor(x·scale + 0.5) integers, not round(): Spark rounds the
+    # double's shortest decimal representation while DuckDB rounds the
+    # binary value — they disagree exactly ON .5 boundaries (observed
+    # here at sf0.001), whereas floor/+ are exact IEEE ops.
+    return g.select(
+        F.col("lam"),
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").alias("n_test"),
+        F.floor(beta0 * F.lit(1e4) + F.lit(0.5)).cast("long").alias("beta0_e4"),
+        F.floor(beta1 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("beta1_micro"),
+        F.floor(beta2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("beta2_micro"),
+        F.floor(sse / te["n"] * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("test_mse_cents2_x100"),
+    ).orderBy("lam", "fold")

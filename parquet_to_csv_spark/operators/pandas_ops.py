@@ -553,3 +553,86 @@ def pandas_udaf_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             iq_mean(F.col("value")).alias("iq_mean"),
         )
     )
+
+
+def theta_forecast(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.5, horizon: int = 7
+) -> DataFrame:
+    """EXT E507: the Theta method (Assimakopoulos & Nikolopoulos 2000)
+    — the M3-competition winner and still the univariate baseline to
+    beat: decompose the series into theta-lines θ=0 (the linear trend,
+    carrying long-run drift) and θ=2 (2y − trend, double the local
+    curvature), forecast the first by extrapolation and the second by
+    SES, and average. Completes the forecast ladder E142 (seasonal
+    naive) → E234 (Holt) → E478 (Croston).
+
+    Series: daily order revenue in exact cents per order-priority
+    class. The trend coefficients come from exact long moments (Σt,
+    Σy, Σty, Σt²) — closed form, no iteration; only the SES recursion
+    is sequential, run as the E478 shape (one shuffle into
+    ``applyInPandas``, identical float64 op sequence replayed by the
+    oracle's recursive CTE). Emits h=1..horizon forecasts per class.
+    """
+    import numpy as np  # noqa: F401
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from pyspark.sql import functions as FF
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.expr(
+                "CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT)"
+            ).alias("day"),
+        )
+        .agg(F.sum(exact_units(F.col("o_totalprice"), 2)).alias("cents"))
+    )
+
+    def _theta(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        n = len(pdf)
+        t = pdf.index.values.astype("int64")  # 0-based position
+        y = pdf["cents"].values.astype("float64")
+        st, sy = float(t.sum()), float(y.sum())
+        sty = float((t * y).sum())
+        stt = float((t * t).sum())
+        # OLS on position: b = (n·Σty − Σt·Σy)/(n·Σt² − (Σt)²)
+        den = n * stt - st * st
+        b = (n * sty - st * sy) / den
+        a = (sy - b * st) / n
+        level = None
+        for i in range(n):
+            x2 = 2.0 * y[i] - (a + b * i)
+            level = x2 if level is None else alpha * x2 + (1.0 - alpha) * level
+        prio = pdf["prio"].iloc[0]
+        out = []
+        for h in range(1, horizon + 1):
+            theta0 = a + b * (n - 1 + h)
+            fc = 0.5 * (theta0 + level)
+            out.append((prio, h, n, a, b, level, fc))
+        return pd.DataFrame(
+            out,
+            columns=["prio", "h", "n_days", "a_cents", "b_cents",
+                     "ses_level_cents", "forecast_cents"],
+        )
+
+    raw = daily.groupBy("prio").applyInPandas(
+        _theta,
+        "prio string, h int, n_days long, a_cents double, b_cents double, "
+        "ses_level_cents double, forecast_cents double",
+    )
+    # floor(x·1e4 + 0.5) integers, not round(): the engines' round()
+    # disagree exactly ON .5 boundaries (the documented Spark-shortest-
+    # decimal vs DuckDB-binary divergence); floor/+ are exact IEEE ops
+    return raw.select(
+        "prio", "h", "n_days",
+        F.floor(F.col("a_cents") * F.lit(1e4) + F.lit(0.5))
+        .cast("long").alias("a_cents_e4"),
+        F.floor(F.col("b_cents") * F.lit(1e4) + F.lit(0.5))
+        .cast("long").alias("b_cents_e4"),
+        F.floor(F.col("ses_level_cents") * F.lit(1e4) + F.lit(0.5))
+        .cast("long").alias("ses_level_e4"),
+        F.floor(F.col("forecast_cents") * F.lit(1e4) + F.lit(0.5))
+        .cast("long").alias("forecast_e4"),
+    )

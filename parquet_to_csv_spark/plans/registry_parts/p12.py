@@ -4352,3 +4352,166 @@ SELECT event_type, day,
          AS is_interpolated
 FROM filled
 """
+
+# --------------------------------------------------------------------------
+# E507–E509 — Theta forecast, Wilson intervals, ridge CV sweep
+# --------------------------------------------------------------------------
+
+# E507 — Theta: trend from exact integer moments (sums of exact
+# integers stay exact in float64 — order-free), SES replayed by a
+# recursive CTE with the identical 0.5·x2 + 0.5·level op sequence.
+QUERIES["theta_forecast"] = pandas_ops.theta_forecast
+ORACLES["theta_forecast"] = f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT o_orderpriority AS prio,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum({duck_units('o_totalprice', 2)}) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), rk AS MATERIALIZED (
+  SELECT prio, day, cents,
+         row_number() OVER (PARTITION BY prio ORDER BY day) - 1 AS t,
+         CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+  FROM daily
+), mom AS MATERIALIZED (
+  SELECT prio, max(n) AS n,
+         CAST(sum(t) AS DOUBLE) AS st,
+         CAST(sum(cents) AS DOUBLE) AS sy,
+         CAST(sum(t * cents) AS DOUBLE) AS sty,
+         CAST(sum(t * t) AS DOUBLE) AS stt
+  FROM rk GROUP BY prio
+), coefs AS MATERIALIZED (
+  SELECT prio, n,
+         (n * sty - st * sy) / (n * stt - st * st) AS b,
+         (sy - ((n * sty - st * sy) / (n * stt - st * st)) * st)
+           / CAST(n AS DOUBLE) AS a
+  FROM mom
+), ses(prio, i, lvl) AS (
+  SELECT r.prio, CAST(0 AS BIGINT),
+         2.0 * r.cents - (c.a + c.b * 0)
+  FROM rk r JOIN coefs c USING (prio) WHERE r.t = 0
+  UNION ALL
+  SELECT s.prio, s.i + 1,
+         0.5 * (2.0 * r.cents - (c.a + c.b * (s.i + 1))) + 0.5 * s.lvl
+  FROM ses s
+  JOIN rk r ON r.prio = s.prio AND r.t = s.i + 1
+  JOIN coefs c ON c.prio = s.prio
+), final AS (
+  SELECT s.prio, s.lvl FROM ses s
+  JOIN (SELECT prio, max(i) AS mi FROM ses GROUP BY 1) m
+    ON s.prio = m.prio AND s.i = m.mi
+)
+SELECT c.prio, CAST(h.h AS INTEGER) AS h, c.n AS n_days,
+       CAST(floor(c.a * 1e4 + 0.5) AS BIGINT) AS a_cents_e4,
+       CAST(floor(c.b * 1e4 + 0.5) AS BIGINT) AS b_cents_e4,
+       CAST(floor(f.lvl * 1e4 + 0.5) AS BIGINT) AS ses_level_e4,
+       CAST(floor(0.5 * ((c.a + c.b * (c.n - 1 + h.h)) + f.lvl) * 1e4 + 0.5)
+            AS BIGINT) AS forecast_e4
+FROM coefs c
+JOIN final f USING (prio)
+CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+"""
+
+# E508 — Wilson score intervals per event type.
+QUERIES["wilson_conversion_intervals"] = mlmetrics.wilson_conversion_intervals
+_WILSON_TYPES = ("view", "click", "signup", "error")
+ORACLES["wilson_conversion_intervals"] = "WITH per_user AS (SELECT user_id, " + ", ".join(
+    f"max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS has_{t}"
+    for t in list(_WILSON_TYPES) + ["purchase"]
+) + """ FROM events GROUP BY user_id
+), base AS (
+""" + "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(has_{t} * has_purchase) AS BIGINT) AS x FROM per_user"""
+    for t in _WILSON_TYPES
+) + """
+)
+SELECT event_type, n, x,
+       CAST(x * 1000000 // n AS BIGINT) AS p_hat_ppm,
+       CAST(floor((
+         ((CAST(x AS DOUBLE) / n + 1.959964 * 1.959964 / n / 2)
+          - 1.959964 * sqrt(CAST(x AS DOUBLE) / n
+              * (1.0 - CAST(x AS DOUBLE) / n) / n
+              + 1.959964 * 1.959964 / (4 * CAST(n AS DOUBLE) * n)))
+         / (1 + 1.959964 * 1.959964 / n)) * 1e6 + 0.5) AS BIGINT)
+         AS wilson_lo_ppm,
+       CAST(floor((
+         ((CAST(x AS DOUBLE) / n + 1.959964 * 1.959964 / n / 2)
+          + 1.959964 * sqrt(CAST(x AS DOUBLE) / n
+              * (1.0 - CAST(x AS DOUBLE) / n) / n
+              + 1.959964 * 1.959964 / (4 * CAST(n AS DOUBLE) * n)))
+         / (1 + 1.959964 * 1.959964 / n)) * 1e6 + 0.5) AS BIGINT)
+         AS wilson_hi_ppm
+FROM base
+"""
+
+# E509 — ridge CV: exact (HUGEINT) moments, the identical double
+# Cramer solve and moment-form SSE.
+QUERIES["ridge_cv_sweep"] = mlmetrics.ridge_cv_sweep
+ORACLES["ridge_cv_sweep"] = f"""
+WITH rows_ AS (
+  SELECT {corpus.duck_md5_bucket('l_orderkey', 3)} AS fold,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+         {duck_units('p_retailprice', 2)} AS x2,
+         {duck_units('l_extendedprice', 2)} AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), mom AS MATERIALIZED (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+         sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+         sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+         sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+         sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM rows_ GROUP BY fold
+), tot AS (
+  SELECT sum(n) AS t_n, sum(s1) AS t_s1, sum(s2) AS t_s2, sum(sy) AS t_sy,
+         sum(s11) AS t_s11, sum(s12) AS t_s12, sum(s22) AS t_s22,
+         sum(s1y) AS t_s1y, sum(s2y) AS t_s2y, sum(syy) AS t_syy
+  FROM mom
+), g AS (
+  SELECT m.*, t.*, l.lam,
+         CAST(t.t_n - m.n AS DOUBLE) AS a11,
+         CAST(t.t_s1 - m.s1 AS DOUBLE) AS a12,
+         CAST(t.t_s2 - m.s2 AS DOUBLE) AS a13,
+         CAST(t.t_s11 - m.s11 AS DOUBLE) + l.lam AS a22,
+         CAST(t.t_s12 - m.s12 AS DOUBLE) AS a23,
+         CAST(t.t_s22 - m.s22 AS DOUBLE) + l.lam AS a33,
+         CAST(t.t_sy - m.sy AS DOUBLE) AS b1,
+         CAST(t.t_s1y - m.s1y AS DOUBLE) AS b2,
+         CAST(t.t_s2y - m.s2y AS DOUBLE) AS b3
+  FROM mom m CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest([0.0, 1e4, 1e7, 1e10]) AS lam) l
+), solved AS (
+  SELECT *,
+    (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+     + a13 * (a12 * a23 - a22 * a13)) AS det,
+    (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+     + a13 * (b2 * a23 - a22 * b3)) AS det1,
+    (a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13)
+     + a13 * (a12 * b3 - b2 * a13)) AS det2,
+    (a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+     + b1 * (a12 * a23 - a22 * a13)) AS det3
+  FROM g
+), betas AS (
+  SELECT *, det1 / det AS beta0, det2 / det AS beta1, det3 / det AS beta2
+  FROM solved
+)
+SELECT lam, CAST(fold AS BIGINT) AS fold, n AS n_test,
+       CAST(floor(beta0 * 1e4 + 0.5) AS BIGINT) AS beta0_e4,
+       CAST(floor(beta1 * 1e6 + 0.5) AS BIGINT) AS beta1_micro,
+       CAST(floor(beta2 * 1e6 + 0.5) AS BIGINT) AS beta2_micro,
+       CAST(floor(((CAST(syy AS DOUBLE)
+              - 2 * (beta0 * CAST(sy AS DOUBLE) + beta1 * CAST(s1y AS DOUBLE)
+                     + beta2 * CAST(s2y AS DOUBLE))
+              + beta0 * (beta0 * CAST(n AS DOUBLE) + beta1 * CAST(s1 AS DOUBLE)
+                         + beta2 * CAST(s2 AS DOUBLE))
+              + beta1 * (beta0 * CAST(s1 AS DOUBLE) + beta1 * CAST(s11 AS DOUBLE)
+                         + beta2 * CAST(s12 AS DOUBLE))
+              + beta2 * (beta0 * CAST(s2 AS DOUBLE) + beta1 * CAST(s12 AS DOUBLE)
+                         + beta2 * CAST(s22 AS DOUBLE)))
+             / CAST(n AS DOUBLE)) * 100.0 + 0.5) AS BIGINT)
+         AS test_mse_cents2_x100
+FROM betas
+"""

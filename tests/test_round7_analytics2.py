@@ -442,3 +442,55 @@ def test_linear_interp_gapfill_exactness(spark, sf_dir):
                 lo = min(days[prev]["cents_filled"], days[nxt]["cents_filled"])
                 hi = max(days[prev]["cents_filled"], days[nxt]["cents_filled"])
                 assert lo - 1 <= r["cents_filled"] <= hi + 1
+
+
+def test_theta_forecast_combines_trend_and_level(spark, sf_dir):
+    from parquet_to_csv_spark.operators.pandas_ops import theta_forecast
+
+    rows = theta_forecast(spark, sf_dir).collect()
+    assert rows
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r["prio"], []).append(r)
+    for vs in by_prio.values():
+        vs.sort(key=lambda r: r["h"])
+        assert [r["h"] for r in vs] == list(range(1, 8))
+        # forecast h-step delta equals b/2 per step (trend half-weight)
+        b = vs[0]["b_cents_e4"]
+        for i in range(1, 7):
+            step = vs[i]["forecast_e4"] - vs[i - 1]["forecast_e4"]
+            assert abs(step - b // 2) <= 1 + abs(b) // 10000
+
+
+def test_wilson_brackets_p_hat(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import (
+        wilson_conversion_intervals,
+    )
+
+    rows = wilson_conversion_intervals(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 <= r["wilson_lo_ppm"] <= r["p_hat_ppm"] + 1
+        assert r["p_hat_ppm"] - 1 <= r["wilson_hi_ppm"] <= 1_000_000 + 1
+        assert r["wilson_lo_ppm"] <= r["wilson_hi_ppm"]
+
+
+def test_ridge_lambda_zero_is_ols_and_shrinks(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import ridge_cv_sweep
+
+    rows = ridge_cv_sweep(spark, sf_dir).collect()
+    assert len(rows) == 12  # 4 lambdas x 3 folds
+    by_fold = {}
+    for r in rows:
+        by_fold.setdefault(r["fold"], {})[r["lam"]] = r
+    for lams in by_fold.values():
+        assert set(lams) == {0.0, 1e4, 1e7, 1e10}
+        # slope coefficients shrink toward zero as lambda grows huge
+        b1_0 = abs(lams[0.0]["beta1_micro"])
+        b1_inf = abs(lams[1e10]["beta1_micro"])
+        assert b1_inf <= b1_0
+        b2_0 = abs(lams[0.0]["beta2_micro"])
+        b2_inf = abs(lams[1e10]["beta2_micro"])
+        assert b2_inf <= b2_0
+        for r in lams.values():
+            assert r["test_mse_cents2_x100"] >= 0
