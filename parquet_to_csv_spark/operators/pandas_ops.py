@@ -636,3 +636,75 @@ def theta_forecast(
         F.floor(F.col("forecast_cents") * F.lit(1e4) + F.lit(0.5))
         .cast("long").alias("forecast_e4"),
     )
+
+
+def holt_winters_forecast(
+    spark: SparkSession, sf_dir: str, horizon: int = 7
+) -> DataFrame:
+    """EXT E511: additive Holt–Winters (triple exponential smoothing,
+    Winters 1960) on the daily revenue series — the classical seasonal
+    forecaster that tops the ladder E142 (seasonal naive) → E234
+    (Holt, no seasonality) → E507 (Theta, deseasonalized): level,
+    trend AND a period-7 seasonal state updated jointly.
+
+    α=0.3, β=0.1, γ=0.2; textbook init (level = first-week mean,
+    trend = week-over-week mean diff / 7, s_j = y_j − level). The
+    recursion is genuinely sequential with an 9-number state
+    (l, b, s₀..s₆) — run as the E478 fold; the oracle replays the
+    IDENTICAL float64 op sequence via a recursive CTE carrying all
+    nine columns, updating exactly one seasonal slot per step (slot =
+    position mod 7; every (1−α) is written as the literal subtraction
+    in BOTH engines so the multipliers are bit-identical). Output:
+    final state + h=1..7 forecasts, floor-e4 integers.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr("(ts div 1000) div 86400000000").alias("day"))
+        .agg(F.sum(exact_units(F.col("value"), 2)).alias("cents"))
+    )
+
+    A, B, G = 0.3, 0.1, 0.2
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = pdf["cents"].values.astype("float64")
+        n = len(y)
+        w1 = y[:7].sum() / 7.0
+        w2 = y[7:14].sum() / 7.0
+        level = w1
+        trend = (w2 - w1) / 7.0
+        s = [y[j] - w1 for j in range(7)]
+        for t in range(7, n):
+            j = t % 7
+            l_new = A * (y[t] - s[j]) + (1.0 - A) * (level + trend)
+            trend = B * (l_new - level) + (1.0 - B) * trend
+            s[j] = G * (y[t] - l_new) + (1.0 - G) * s[j]
+            level = l_new
+        out = []
+        for h in range(1, horizon + 1):
+            slot = (n - 1 + h) % 7
+            fc = level + h * trend + s[slot]
+            out.append((h, n, level, trend, fc))
+        return pd.DataFrame(
+            out, columns=["h", "n_days", "level", "trend", "forecast"]
+        )
+
+    raw = daily.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(
+        lambda pdf: _hw(pdf),
+        "h int, n_days long, level double, trend double, forecast double",
+    )
+    return raw.select(
+        "h",
+        "n_days",
+        F.floor(F.col("level") * F.lit(1e4) + F.lit(0.5))
+        .cast("long")
+        .alias("level_e4"),
+        F.floor(F.col("trend") * F.lit(1e4) + F.lit(0.5))
+        .cast("long")
+        .alias("trend_e4"),
+        F.floor(F.col("forecast") * F.lit(1e4) + F.lit(0.5))
+        .cast("long")
+        .alias("forecast_e4"),
+    )

@@ -4515,3 +4515,95 @@ SELECT lam, CAST(fold AS BIGINT) AS fold, n AS n_test,
          AS test_mse_cents2_x100
 FROM betas
 """
+
+# --------------------------------------------------------------------------
+# E510–E511 — MERGE with DELETE branch, Holt–Winters
+# --------------------------------------------------------------------------
+
+# E510 — MERGE applying upsert + DELETE branches atomically; the
+# oracle recomputes the surviving-row state from raw events.
+QUERIES["merge_delete_report"] = _layout.merge_delete_report
+ORACLES["merge_delete_report"] = f"""
+WITH survived AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 THEN {duck_units('value * 2', 2)}
+              ELSE {duck_units('value', 2)} END AS cents
+  FROM events
+  WHERE event_id % 17 <> 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM survived GROUP BY event_type
+"""
+
+# E511 — Holt–Winters: recursive CTE carrying the full 9-number state,
+# one seasonal slot updated per step, identical float64 op sequence.
+QUERIES["holt_winters_forecast"] = pandas_ops.holt_winters_forecast
+
+
+def _hw_oracle() -> str:
+    sel_s = lambda i: " ".join(  # noqa: E731
+        [f"CASE ({i}) % 7"]
+        + [f"WHEN {j} THEN s{j}" for j in range(7)]
+        + ["END"]
+    )
+    l_new = (
+        f"0.3 * (r.cents - ({sel_s('hw.i + 1')})) "
+        "+ (1.0 - 0.3) * (hw.level + hw.trend)"
+    )
+    s_updates = ",\n         ".join(
+        f"CASE WHEN (hw.i + 1) % 7 = {j} "
+        f"THEN 0.2 * (r.cents - ({l_new})) + (1.0 - 0.2) * hw.s{j} "
+        f"ELSE hw.s{j} END AS s{j}"
+        for j in range(7)
+    )
+    s_init_cols = ",\n         ".join(
+        f"(SELECT cents FROM rk WHERE t = {j}) - w1 AS s{j}"
+        for j in range(7)
+    )
+    fc_slot = " ".join(
+        ["CASE (f.n - 1 + h.h) % 7"]
+        + [f"WHEN {j} THEN f.s{j}" for j in range(7)]
+        + ["END"]
+    )
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(sum({duck_units('value', 2)}) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), rk AS MATERIALIZED (
+  SELECT day, CAST(cents AS DOUBLE) AS cents,
+         row_number() OVER (ORDER BY day) - 1 AS t,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+), init AS (
+  SELECT CAST((SELECT sum(cents) FROM rk WHERE t < 7) AS DOUBLE) / 7.0 AS w1,
+         CAST((SELECT sum(cents) FROM rk WHERE t >= 7 AND t < 14) AS DOUBLE)
+           / 7.0 AS w2
+), s_init AS (
+  SELECT w1 AS level, (w2 - w1) / 7.0 AS trend,
+         {s_init_cols}
+  FROM init
+), hw(i, level, trend, s0, s1, s2, s3, s4, s5, s6) AS (
+  SELECT CAST(6 AS BIGINT), level, trend, s0, s1, s2, s3, s4, s5, s6
+  FROM s_init
+  UNION ALL
+  SELECT hw.i + 1,
+         {l_new} AS level,
+         0.1 * (({l_new}) - hw.level) + (1.0 - 0.1) * hw.trend AS trend,
+         {s_updates}
+  FROM hw JOIN rk r ON r.t = hw.i + 1
+), fin AS (
+  SELECT hw.*, (SELECT max(n) FROM rk) AS n FROM hw
+  WHERE hw.i = (SELECT max(i) FROM hw)
+)
+SELECT CAST(h.h AS INTEGER) AS h, f.n AS n_days,
+       CAST(floor(f.level * 1e4 + 0.5) AS BIGINT) AS level_e4,
+       CAST(floor(f.trend * 1e4 + 0.5) AS BIGINT) AS trend_e4,
+       CAST(floor((f.level + h.h * f.trend + ({fc_slot})) * 1e4 + 0.5)
+            AS BIGINT) AS forecast_e4
+FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+"""
+
+
+ORACLES["holt_winters_forecast"] = _hw_oracle()

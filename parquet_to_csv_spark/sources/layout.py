@@ -1825,6 +1825,7 @@ def merge_into(
     changes: DataFrame,
     key_cols: list[str] | str,
     max_attempts: int = 5,
+    delete_keys: DataFrame | None = None,
 ) -> int:
     """EXT E449: MERGE INTO (upsert) on the versioned snapshot store —
     the Delta/Iceberg ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN
@@ -1855,6 +1856,13 @@ def merge_into(
 
     The schema of ``changes`` must match the table exactly (evolution
     belongs to ``commit_version(merge_schema=True)``, not to upserts).
+
+    ``delete_keys`` (E510) is the ``WHEN MATCHED ... THEN DELETE``
+    branch: a key-only relation whose matched current images are
+    position-deleted WITHOUT re-insertion — the caller splits its CDC
+    batch into upsert images and delete keys (the op-column idiom).
+    Keys in BOTH relations are rejected (ambiguous clause order);
+    everything still lands in the ONE atomic manifest link.
     """
     import json
     import os
@@ -1884,6 +1892,19 @@ def merge_into(
             "MERGE source has duplicate keys on "
             f"{key_cols} — ANSI MERGE cardinality violation"
         )
+    if delete_keys is not None:
+        delete_keys = delete_keys.select(*key_cols)
+        overlap = (
+            changes.select(*key_cols)
+            .join(delete_keys, key_cols, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                "MERGE key appears in both the upsert and the DELETE "
+                "branch — ambiguous clause order"
+            )
     # append side: written ONCE, valid across retries
     data_dir = os.path.join(
         table_dir, "data", f"m{prev + 1}.{uuid.uuid4().hex[:8]}"
@@ -1897,6 +1918,8 @@ def merge_into(
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
     token = uuid.uuid4().hex[:8]
     keys = changes.select(*key_cols)
+    if delete_keys is not None:
+        keys = keys.unionByName(delete_keys)
     for _ in range(max_attempts):
         at = latest_version(table_dir)
         man = json.load(open(_manifest_path(table_dir, at)))
@@ -3483,5 +3506,44 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum((F.col("event_id") % 2 == 0).cast("long")).alias("n_even"),
         F.sum((F.col("event_id") % 2 == 1).cast("long")).alias("n_odd"),
+        F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+    )
+
+
+def merge_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E510 gate query: one MERGE applying BOTH branches — upsert
+    images (value re-priced for event_id ≡ 0 mod 13) and a DELETE
+    branch (event_id ≡ 0 mod 17; overlap keys excluded from upserts by
+    the caller's op-split, as the ambiguity rule requires) — in one
+    atomic commit. The post-merge table aggregates per type; the
+    oracle recomputes the surviving-row state directly from events.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev, mode="append")
+        upserts = ev.filter(
+            (F.col("event_id") % 13 == 0) & (F.col("event_id") % 17 != 0)
+        ).select(
+            "event_id", "event_type", (F.col("value") * 2).alias("value")
+        )
+        deletes = ev.filter(F.col("event_id") % 17 == 0).select("event_id")
+        merge_into(spark, tdir, upserts, "event_id", delete_keys=deletes)
+
+    root = claim_artifact(
+        spark, "mergedel_" + source_salt(sf_dir, "events"), _build
+    )
+    df = read_version(spark, os.path.join(root, "tbl"), 1)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
     )

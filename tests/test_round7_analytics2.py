@@ -494,3 +494,20 @@ def test_ridge_lambda_zero_is_ols_and_shrinks(spark, sf_dir):
         assert b2_inf <= b2_0
         for r in lams.values():
             assert r["test_mse_cents2_x100"] >= 0
+
+
+def test_holt_winters_state_and_forecast_shape(spark, sf_dir):
+    from parquet_to_csv_spark.operators.pandas_ops import holt_winters_forecast
+
+    rows = holt_winters_forecast(spark, sf_dir).orderBy("h").collect()
+    assert [r["h"] for r in rows] == list(range(1, 8))
+    n = rows[0]["n_days"]
+    assert n >= 14  # init needs two full weeks
+    level, trend = rows[0]["level_e4"], rows[0]["trend_e4"]
+    for r in rows:
+        assert r["level_e4"] == level and r["trend_e4"] == trend
+        # forecast = level + h*trend + seasonal; seasonal bounded by
+        # the data, so forecast - (level + h*trend) repeats with
+        # period 7 -- h and h+7 share the slot (horizon=7 so just
+        # check the decomposition is finite and level-anchored)
+        assert abs(r["forecast_e4"] - (level + r["h"] * trend)) < 10**12

@@ -126,3 +126,32 @@ def test_partition_evolution_conservative_keep(spark, tmp_path):
     assert {r["k"] for r in sub2.collect()} == {2, 5, 8, 11}
     with _pytest.raises(KeyError):
         L.read_hidden_partitioned(spark, troot, {"nope": 1})
+
+
+def test_merge_delete_branch_semantics(spark, tmp_path):
+    """DELETE-branch keys vanish; overlap with the upsert branch is
+    rejected; everything lands in one version."""
+    import pytest as _pytest
+
+    troot = str(tmp_path / "md")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    L.commit_version(spark, troot, df, mode="append")
+    ups = spark.range(0, 2).select(
+        F.col("id").alias("k"), F.lit(999).cast("long").alias("v")
+    )
+    dels = spark.range(5, 8).select(F.col("id").alias("k"))
+    v = L.merge_into(spark, troot, ups, "k", delete_keys=dels)
+    assert v == 1
+    got = {r["k"]: r["v"] for r in L.read_version(spark, troot, 1).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 8, 9}
+    assert got[0] == got[1] == 999 and got[2] == 20
+    # overlapping key in both branches -> loud rejection
+    with _pytest.raises(ValueError, match="ambiguous"):
+        L.merge_into(
+            spark, troot,
+            spark.range(8, 9).select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v")),
+            "k",
+            delete_keys=spark.range(8, 9).select(F.col("id").alias("k")),
+        )
