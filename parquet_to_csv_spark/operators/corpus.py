@@ -3531,3 +3531,78 @@ def unimax_allocation(
         ).alias("epoch_ppm"),
         (F.col("i") <= F.col("j")).cast("long").alias("taken_whole"),
     )
+
+
+def negative_sampling_quota(
+    spark: SparkSession, sf_dir: str, budget: int = 100_000
+) -> DataFrame:
+    """EXT E512: word2vec-style negative-sampling table (Mikolov et
+    al. 2013) — sample quota per token ∝ count^0.75, the tempering
+    that keeps frequent tokens from dominating negatives while still
+    over-representing them vs uniform. The budget is allocated with
+    the largest-remainder rule (E408's Hamilton machinery) so quotas
+    are integers summing EXACTLY to the budget — the property a
+    deterministic sampler build needs.
+
+    Determinism: the tempered weight becomes an exact integer FIRST
+    (w = floor(n^0.75·1000 + 0.5) — pow is one fixed double expression,
+    floor exact), so Σw, every share numerator (w·budget), the floored
+    base quota and the REMAINDER used for penny ranking are all exact
+    long arithmetic — a float weight sum would be summation-order-
+    dependent and could reorder near-tied remainders. The token-grain
+    relation bounds everything after the one counting scan (at web
+    scale the remainder rank swaps to the banded machinery). Output:
+    top-40 quota rows + a checksum row proving Σquota = budget.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens_col("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    powed = tf.select(
+        "t",
+        "n",
+        F.floor(
+            F.pow(F.col("n").cast("double"), F.lit(0.75)) * F.lit(1000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    tot = F.broadcast(powed.agg(F.sum("w").alias("wsum")))
+    flo = (
+        powed.join(tot)
+        .withColumn("num", F.col("w") * F.lit(budget))
+        .withColumn("base_q", F.expr("num div wsum"))
+        .withColumn("rem_num", F.expr("num % wsum"))
+    )
+    short = F.broadcast(
+        flo.agg(
+            (F.lit(budget) - F.sum("base_q")).cast("long").alias("pennies")
+        )
+    )
+    w = Window.orderBy(F.desc("rem_num"), F.asc("t"))
+    ranked = flo.join(short).withColumn("rk", F.row_number().over(w))
+    quotas = ranked.select(
+        "t",
+        "n",
+        (
+            F.col("base_q")
+            + F.when(F.col("rk") <= F.col("pennies"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    top = (
+        quotas.orderBy(F.desc("quota"), F.asc("t"))
+        .limit(40)
+        .select(F.lit("top").alias("kind"), "t", "n", "quota")
+    )
+    checksum = quotas.agg(
+        F.lit("checksum").alias("kind"),
+        F.lit("*").alias("t"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("quota").cast("long").alias("quota"),
+    )
+    return top.unionByName(checksum)

@@ -3294,3 +3294,162 @@ def nndescent_topk(
             F.col("rn").alias("rnk"),
         )
     )
+
+
+def jl_distortion_audit(
+    spark: SparkSession, sf_dir: str, out_dim: int = 16
+) -> DataFrame:
+    """EXT E513: Johnson–Lindenstrauss random-projection distortion
+    audit — before shipping a cheap 64→16 projection (the dim-
+    reduction rung beside PQ E173, int8 E42 and matryoshka E175),
+    measure what it does to pairwise geometry: distortion =
+    ‖Px−Py‖/√k / ‖x−y‖ per pair (Gaussian rows have unit variance, so
+    E‖Pz‖² = k‖z‖² and 1/√k is the unbiasing scale), banded. JL says the spread
+    concentrates near 1; a broken projection (correlated rows, wrong
+    scaling) shifts whole bands.
+
+    The projection is a seeded Gaussian literal matrix (the E46 plane
+    machinery — no data pass); pairs are the deterministic id-offset
+    set (1, 5); every distance is a fixed double expression, bands via
+    floor. One scan, pair set linear in N.
+    """
+    tabs = srp_planes(n_bits=out_dim, n_tables=1, dim=64, seed=99)[0]
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def project(col):
+        return F.array(
+            *[
+                dot_product(col, F.array(*[F.lit(v) for v in plane]))
+                for plane in tabs
+            ]
+        )
+
+    base = emb.select("vec_id", "embedding", project(F.col("embedding")).alias("p"))
+    offsets = spark.range(1).select(F.lit(1).alias("off")).unionAll(
+        spark.range(1).select(F.lit(5).alias("off"))
+    )
+    ids = base.select(F.col("vec_id").alias("doc_b"))
+    pairs = (
+        base.select(
+            F.col("vec_id").alias("doc_a"),
+            F.col("embedding").alias("ea"),
+            F.col("p").alias("pa"),
+        )
+        .join(F.broadcast(offsets))
+        .withColumn("doc_b", F.col("doc_a") + F.col("off"))
+        .join(ids, "doc_b")
+        .join(
+            base.select(
+                F.col("vec_id").alias("doc_b"),
+                F.col("embedding").alias("eb"),
+                F.col("p").alias("pb"),
+            ),
+            "doc_b",
+        )
+    )
+    d_full = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("ea"), F.col("eb"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    d_proj = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("pa"), F.col("pb"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / F.lit(float(out_dim))
+    )
+    ratio = d_proj / d_full
+    scored = pairs.filter(d_full > 0).select(
+        F.floor(ratio * F.lit(10.0)).cast("long").alias("band")
+    )
+    return scored.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def maxsim_late_interaction_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """EXT E514: late-interaction MaxSim retrieval (the ColBERT scoring
+    rule, Khattab & Zaharia 2020) expressed relationally: treat each
+    embedding as FOUR 16-dim sub-vectors ("token vectors"); score(q, d)
+    = Σ over query sub-vectors of the MAX dot product against any doc
+    sub-vector. Unlike single-vector cosine (E3), MaxSim rewards a doc
+    that matches EACH facet of the query somewhere, the property that
+    made late interaction the retrieval-quality standard.
+
+    Shape: explode both sides to (id, slot, subvec) — 4 rows each —
+    join query-sub × doc-sub per candidate (16 dot products per pair,
+    still one broadcast-bounded pass), MAX per (query, doc, q_slot),
+    SUM per (query, doc), top-k per query. Every reduction is max/sum
+    over fixed doubles — engine-exact; ranking breaks ties on cand_id.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    slots = F.array(*[
+        F.slice(F.col("embedding"), 1 + 16 * j, 16) for j in range(4)
+    ])
+    base = emb.select("vec_id", F.posexplode(slots).alias("slot", "sub"))
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("slot").alias("q_slot"),
+        F.col("sub").alias("q_sub"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("slot").alias("c_slot"),
+        F.col("sub").alias("c_sub"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "q_slot",
+            dot_product(F.col("q_sub"), F.col("c_sub")).alias("dp"),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("q_slot") == j, F.col("dp"))).alias(
+                    f"b{j}"
+                )
+                for j in range(4)
+            ]
+        )
+        # FIXED-ORDER addition (b0+b1)+(b2+b3): a float sum aggregate
+        # would be summation-order-dependent across engines
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                (F.col("b0") + F.col("b1")) + (F.col("b2") + F.col("b3"))
+            ).alias("maxsim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.floor(F.col("maxsim") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("maxsim_micro"),
+            "rnk",
+        )
+    )

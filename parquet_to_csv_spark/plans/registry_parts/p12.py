@@ -4607,3 +4607,119 @@ FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
 
 
 ORACLES["holt_winters_forecast"] = _hw_oracle()
+
+# --------------------------------------------------------------------------
+# E512–E514 — negative-sampling quotas, JL distortion, MaxSim retrieval
+# --------------------------------------------------------------------------
+
+# E512 — unigram^0.75 quotas by exact integer largest remainder.
+QUERIES["negative_sampling_quota"] = corpus.negative_sampling_quota
+ORACLES["negative_sampling_quota"] = f"""
+WITH tf AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t
+), powed AS (
+  SELECT t, n,
+         CAST(floor(pow(CAST(n AS DOUBLE), 0.75) * 1000.0 + 0.5) AS BIGINT)
+           AS w
+  FROM tf
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS wsum FROM powed
+), flo AS MATERIALIZED (
+  SELECT t, n, w * 100000 // wsum AS base_q,
+         (w * 100000) % wsum AS rem_num
+  FROM powed CROSS JOIN tot
+), short AS (
+  SELECT CAST(100000 - sum(base_q) AS BIGINT) AS pennies FROM flo
+), quotas AS MATERIALIZED (
+  SELECT t, n,
+         CAST(base_q + CASE WHEN row_number() OVER (
+                ORDER BY rem_num DESC, t ASC) <= pennies
+              THEN 1 ELSE 0 END AS BIGINT) AS quota
+  FROM flo CROSS JOIN short
+)
+SELECT 'top' AS kind, t, n, quota FROM (
+  SELECT t, n, quota FROM quotas ORDER BY quota DESC, t ASC LIMIT 40
+)
+UNION ALL
+SELECT 'checksum' AS kind, '*' AS t, CAST(sum(n) AS BIGINT) AS n,
+       CAST(sum(quota) AS BIGINT) AS quota
+FROM quotas
+"""
+
+# E513 — JL distortion bands: identical projection literals both sides.
+QUERIES["jl_distortion_audit"] = similarity.jl_distortion_audit
+_JL_TABS = similarity.srp_planes(n_bits=16, n_tables=1, dim=64, seed=99)[0]
+_JL_PROJ = ", ".join(
+    "list_sum(list_transform(list_zip(embedding, ["
+    + ", ".join(repr(v) for v in plane)
+    + "]), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    for plane in _JL_TABS
+)
+ORACLES["jl_distortion_audit"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding, [{_JL_PROJ}] AS p FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS doc_a, a.embedding AS ea, a.p AS pa,
+         b.vec_id AS doc_b, b.embedding AS eb, b.p AS pb
+  FROM base a
+  CROSS JOIN (SELECT unnest([1, 5]) AS off) o
+  JOIN base b ON b.vec_id = a.vec_id + o.off
+), scored AS (
+  SELECT sqrt(list_sum(list_transform(list_zip(ea, eb),
+           q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))))) AS d_full,
+         sqrt(list_sum(list_transform(list_zip(pa, pb),
+           q -> (q[1] - q[2]) * (q[1] - q[2]))) / 16.0) AS d_proj
+  FROM pairs
+)
+SELECT CAST(floor(d_proj / d_full * 10.0) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM scored WHERE d_full > 0
+GROUP BY 1
+"""
+
+# E514 — MaxSim: 4×16 sub-vector decomposition, per-slot max pivoted
+# into FIXED-ORDER addition (no float sum aggregate).
+QUERIES["maxsim_late_interaction_topk"] = similarity.maxsim_late_interaction_topk
+_MS_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+ORACLES["maxsim_late_interaction_topk"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, s.slot,
+         list_slice(embedding, 1 + 16 * s.slot, 16 + 16 * s.slot) AS sub
+  FROM embeddings
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS slot) s
+), q AS (
+  SELECT vec_id AS query_id, slot AS q_slot, sub AS q_sub
+  FROM base WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, sub AS c_sub FROM base
+), dots AS (
+  SELECT q.query_id, c.cand_id, q.q_slot,
+         max({_MS_DOT.format(a='q.q_sub', b='c.c_sub')}) AS best
+  FROM q JOIN c ON q.query_id <> c.cand_id
+  GROUP BY q.query_id, c.cand_id, q.q_slot
+), pivoted AS (
+  SELECT query_id, cand_id,
+         max(CASE WHEN q_slot = 0 THEN best END) AS b0,
+         max(CASE WHEN q_slot = 1 THEN best END) AS b1,
+         max(CASE WHEN q_slot = 2 THEN best END) AS b2,
+         max(CASE WHEN q_slot = 3 THEN best END) AS b3
+  FROM dots GROUP BY query_id, cand_id
+), summed AS (
+  SELECT query_id, cand_id, ((b0 + b1) + (b2 + b3)) AS maxsim
+  FROM pivoted
+), ranked AS (
+  SELECT query_id, cand_id, maxsim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY maxsim DESC, cand_id ASC) AS rnk
+  FROM summed
+)
+SELECT query_id, cand_id,
+       CAST(floor(maxsim * 1e6 + 0.5) AS BIGINT) AS maxsim_micro,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+"""

@@ -511,3 +511,49 @@ def test_holt_winters_state_and_forecast_shape(spark, sf_dir):
         # period 7 -- h and h+7 share the slot (horizon=7 so just
         # check the decomposition is finite and level-anchored)
         assert abs(r["forecast_e4"] - (level + r["h"] * trend)) < 10**12
+
+
+def test_negative_sampling_budget_exact(spark, sf_dir):
+    from parquet_to_csv_spark.operators.corpus import negative_sampling_quota
+
+    rows = negative_sampling_quota(spark, sf_dir).collect()
+    ch = [r for r in rows if r["kind"] == "checksum"]
+    assert len(ch) == 1 and ch[0]["quota"] == 100_000
+    tops = [r for r in rows if r["kind"] == "top"]
+    assert tops
+    # tempering: quota per occurrence is HIGHER for rare tokens
+    # (n^0.75/n decreasing); compare the most and least frequent tops
+    hi = max(tops, key=lambda r: r["n"])
+    lo = min(tops, key=lambda r: r["n"])
+    if hi["n"] > lo["n"] * 2:
+        assert hi["quota"] * lo["n"] < lo["quota"] * hi["n"]
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    from parquet_to_csv_spark.operators.similarity import jl_distortion_audit
+
+    rows = jl_distortion_audit(spark, sf_dir).collect()
+    total = sum(r["n_pairs"] for r in rows)
+    # JL concentration: most pairs land within ratio [0.6, 1.4]
+    core = sum(r["n_pairs"] for r in rows if 6 <= r["band"] <= 13)
+    assert core / total >= 0.5
+
+
+def test_maxsim_dominates_single_vector_bound(spark, sf_dir):
+    """MaxSim >= full dot product / 1 (each slot's best >= its own
+    aligned slot), so the top-1 maxsim is at least the aligned dot of
+    the best cosine candidate scaled consistently. Structural checks:
+    5 queries x 5 ranks, ties broken by cand_id."""
+    from parquet_to_csv_spark.operators.similarity import (
+        maxsim_late_interaction_topk,
+    )
+
+    rows = maxsim_late_interaction_topk(spark, sf_dir).collect()
+    assert len(rows) == 25
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for vs in by_q.values():
+        vs.sort(key=lambda r: r["rnk"])
+        scores = [r["maxsim_micro"] for r in vs]
+        assert scores == sorted(scores, reverse=True)
