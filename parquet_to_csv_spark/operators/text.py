@@ -2388,3 +2388,54 @@ def token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("num") * F.lit(1000.0) + F.lit(0.5)
         ).cast("long").alias("inv_simpson_milli"),
     )
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E516: Flesch-style readability per source — the classic
+    text-quality signal (reading-ease from sentence length and word
+    complexity) beside the Gopher repetition stats (E90) and
+    length/punct heuristics (E21). Syllables use the standard
+    vowel-group proxy (contiguous [aeiouy]+ runs, the textbook
+    approximation when no dictionary ships with the engine).
+
+    All three inputs are exact long counts from ONE scan (words,
+    sentence terminators + 1 per doc, vowel groups); the two Flesch
+    ratios and the final score are fixed double expressions over the
+    per-SOURCE totals — corpus-level reading ease, floor-milli.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(tokens_col("text"))
+    sents = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]"),
+            lambda s: F.trim(s) != F.lit(""),
+        )
+    )
+    sylls = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(words).cast("long").alias("n_words"),
+        F.sum(F.greatest(sents, F.lit(1))).cast("long").alias("n_sents"),
+        F.sum(sylls).cast("long").alias("n_sylls"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_sylls").cast("double") / F.col("n_words")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sents",
+        "n_sylls",
+        F.floor(wps * F.lit(1000.0) + F.lit(0.5)).cast("long").alias(
+            "words_per_sent_milli"
+        ),
+        F.floor(spw * F.lit(1000.0) + F.lit(0.5)).cast("long").alias(
+            "sylls_per_word_milli"
+        ),
+        F.floor(flesch * F.lit(1000.0) + F.lit(0.5)).cast("long").alias(
+            "flesch_milli"
+        ),
+    )

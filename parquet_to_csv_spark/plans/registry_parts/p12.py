@@ -4723,3 +4723,53 @@ SELECT query_id, cand_id,
        CAST(rnk AS INTEGER) AS rnk
 FROM ranked WHERE rnk <= 5
 """
+
+# --------------------------------------------------------------------------
+# E515–E516 — branch/tag refs, readability
+# --------------------------------------------------------------------------
+
+# E515 — write-audit-publish on refs: the oracle recomputes all three
+# staged states from raw events (mod-3 batches).
+QUERIES["branch_refs_report"] = _layout.branch_refs_report
+ORACLES["branch_refs_report"] = f"""
+WITH staged AS (
+  SELECT 'main_before_ff' AS stage, event_type, value
+  FROM events WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT 'exp_head', event_type, value FROM events
+  UNION ALL
+  SELECT 'main_after_ff', event_type, value FROM events
+)
+SELECT stage, event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({duck_units('value', 2)}) AS BIGINT) AS sum_cents
+FROM staged GROUP BY stage, event_type
+"""
+
+# E516 — Flesch readability from exact counts.
+QUERIES["readability_scores"] = text.readability_scores
+ORACLES["readability_scores"] = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len({_TOKS}) AS BIGINT) AS words,
+         CAST(greatest(len(list_filter(string_split_regex(text, '[.!?]'),
+              s -> trim(s) <> '')), 1) AS BIGINT) AS sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0))
+              AS BIGINT) AS sylls
+  FROM documents
+), per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS n_words,
+         CAST(sum(sents) AS BIGINT) AS n_sents,
+         CAST(sum(sylls) AS BIGINT) AS n_sylls
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_words, n_sents, n_sylls,
+       CAST(floor(CAST(n_words AS DOUBLE) / n_sents * 1000.0 + 0.5)
+            AS BIGINT) AS words_per_sent_milli,
+       CAST(floor(CAST(n_sylls AS DOUBLE) / n_words * 1000.0 + 0.5)
+            AS BIGINT) AS sylls_per_word_milli,
+       CAST(floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                   - 84.6 * (CAST(n_sylls AS DOUBLE) / n_words)) * 1000.0
+                  + 0.5) AS BIGINT) AS flesch_milli
+FROM per_source
+"""

@@ -3547,3 +3547,185 @@ def merge_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# E515 — branch / tag refs (git-like) on the snapshot store
+# --------------------------------------------------------------------------
+
+def _ref_dir(table_dir: str, name: str) -> str:
+    import os
+
+    return os.path.join(table_dir, "refs", name)
+
+
+def ref_head(table_dir: str, name: str):
+    """(seq, version, ancestry) of a ref's head, or None. The head is
+    the highest h{K}.json in the ref's append-only log."""
+    import json
+    import os
+    import re
+
+    d = _ref_dir(table_dir, name)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for f in os.listdir(d):
+        m = re.fullmatch(r"h(\d+)\.json", f)
+        if m:
+            k = int(m.group(1))
+            best = k if best is None or k > best else best
+    if best is None:
+        return None
+    e = json.load(open(os.path.join(d, f"h{best}.json")))
+    return best, e["version"], e.get("ancestry", [e["version"]])
+
+
+def _advance_ref(
+    table_dir: str, name: str, version: int, ancestry: list[int]
+) -> int:
+    """Append a new head entry put-if-absent; returns the head seq."""
+    import json
+    import os
+    import uuid
+
+    d = _ref_dir(table_dir, name)
+    os.makedirs(d, exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    for _ in range(10):
+        cur = ref_head(table_dir, name)
+        k = 0 if cur is None else cur[0] + 1
+        final = os.path.join(d, f"h{k}.json")
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "ancestry": ancestry, "ts": _time.time()},
+                f,
+            )
+        try:
+            os.link(tmp, final)
+            return k
+        except FileExistsError:
+            continue
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(f"ref {name!r} livelock in {table_dir}")
+
+
+def create_ref(table_dir: str, name: str, from_ref: str | None = None) -> int:
+    """EXT E515: create a branch/tag ref. With ``from_ref`` the new ref
+    starts at that ref's head (branching); otherwise at the table's
+    current latest version (tagging the present)."""
+    if from_ref is not None:
+        cur = ref_head(table_dir, from_ref)
+        if cur is None:
+            raise ValueError(f"ref {from_ref!r} does not exist")
+        _, v, anc = cur
+    else:
+        v = latest_version(table_dir)
+        if v is None:
+            raise ValueError(f"no snapshots in {table_dir}")
+        anc = [v]
+    return _advance_ref(table_dir, name, v, list(anc))
+
+
+def commit_to_ref(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    df: DataFrame,
+    mode: str = "append",
+) -> int:
+    """EXT E515: commit ON a ref — Iceberg's write-audit-publish /
+    branch-isolation pattern: the data commit is an ordinary immutable
+    snapshot version whose APPEND BASE is the ref's head (the E491
+    ``base_version`` plumbing), so commits on other refs never leak in;
+    only this ref's head advances — readers of other refs are
+    untouched. Returns the new version."""
+    cur = ref_head(table_dir, name)
+    if cur is None:
+        raise ValueError(f"ref {name!r} does not exist")
+    _, head_v, anc = cur
+    v = commit_version(spark, table_dir, df, mode=mode, base_version=head_v)
+    _advance_ref(table_dir, name, v, list(anc) + [v])
+    return v
+
+
+def fast_forward(table_dir: str, target_ref: str, source_ref: str) -> int:
+    """EXT E515: fast-forward ``target_ref`` to ``source_ref``'s head —
+    allowed ONLY when the target's head is in the source's ancestry
+    (the git rule; anything else needs a merge, which for table
+    snapshots is MERGE INTO territory). Returns the published version."""
+    t = ref_head(table_dir, target_ref)
+    s = ref_head(table_dir, source_ref)
+    if t is None or s is None:
+        raise ValueError("both refs must exist")
+    _, tv, _ = t
+    _, sv, s_anc = s
+    if tv not in s_anc:
+        raise ValueError(
+            f"non-fast-forward: {target_ref!r}@{tv} not in "
+            f"{source_ref!r} ancestry {s_anc}"
+        )
+    _advance_ref(table_dir, target_ref, sv, list(s_anc))
+    return sv
+
+
+def read_ref(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    cur = ref_head(table_dir, name)
+    if cur is None:
+        raise ValueError(f"ref {name!r} does not exist")
+    return read_version(spark, table_dir, cur[1])
+
+
+def branch_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E515 gate query: the write-audit-publish lifecycle — main
+    tagged at v0; an ``exp`` branch takes two append commits (staging
+    writes main's readers never see); then main FAST-FORWARDS to exp.
+    Three staged reads (main-before, exp head, main-after) aggregate
+    per event type; the oracle recomputes all three states from raw
+    events. The non-FF rejection and branch isolation are pytest-pinned.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev.filter(F.col("event_id") % 3 == 0))
+        create_ref(tdir, "main")
+        create_ref(tdir, "exp", from_ref="main")
+        commit_to_ref(
+            spark, tdir, "exp", ev.filter(F.col("event_id") % 3 == 1)
+        )
+        commit_to_ref(
+            spark, tdir, "exp", ev.filter(F.col("event_id") % 3 == 2)
+        )
+        # tag main's pre-publish state, then publish — all INSIDE the
+        # build so the shared artifact is immutable across gate runs
+        create_ref(tdir, "main_pre", from_ref="main")
+        fast_forward(tdir, "main", "exp")
+
+    root = claim_artifact(
+        spark, "branchref_" + source_salt(sf_dir, "events"), _build
+    )
+    tdir = os.path.join(root, "tbl")
+
+    def agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(exact_units(F.col("value"), 2)).cast("long").alias(
+                "sum_cents"
+            ),
+        ).select(F.lit(stage).alias("stage"), "*")
+
+    before = agg(read_ref(spark, tdir, "main_pre"), "main_before_ff")
+    exp_head = agg(read_ref(spark, tdir, "exp"), "exp_head")
+    after = agg(read_ref(spark, tdir, "main"), "main_after_ff")
+    return before.unionByName(exp_head).unionByName(after)

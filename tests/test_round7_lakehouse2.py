@@ -155,3 +155,23 @@ def test_merge_delete_branch_semantics(spark, tmp_path):
             "k",
             delete_keys=spark.range(8, 9).select(F.col("id").alias("k")),
         )
+
+
+def test_branch_refs_isolation_and_ff_rules(spark, tmp_path):
+    troot = str(tmp_path / "refs")
+    L.commit_version(spark, troot, _df(spark, 0, 4))
+    L.create_ref(troot, "main")
+    L.create_ref(troot, "exp", from_ref="main")
+    # branch commit: main untouched
+    L.commit_to_ref(spark, troot, "exp", _df(spark, 4, 6))
+    assert L.read_ref(spark, troot, "main").count() == 4
+    assert L.read_ref(spark, troot, "exp").count() == 6
+    # a DIVERGENT main commit forbids fast-forward from exp
+    L.commit_to_ref(spark, troot, "main", _df(spark, 100, 101))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-fast-forward"):
+        L.fast_forward(troot, "main", "exp")
+    # and exp's lineage never absorbed main's divergent row
+    got = sorted(r["k"] for r in L.read_ref(spark, troot, "exp").collect())
+    assert got == [0, 1, 2, 3, 4, 5]
