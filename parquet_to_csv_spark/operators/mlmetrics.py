@@ -3594,3 +3594,133 @@ def ridge_cv_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("test_mse_cents2_x100"),
     ).orderBy("lam", "fold")
+
+
+def dp_user_sum_release(
+    spark: SparkSession, sf_dir: str, cap_cents: int = 50_000
+) -> DataFrame:
+    """EXT E518: USER-LEVEL differentially-private sum release — the
+    rung above E439's event-count release: protecting a user means
+    bounding each user's total CONTRIBUTION first (clip Σ value to
+    ``cap_cents``), which fixes the sensitivity the Laplace scale
+    needs (Δ = cap; unbounded per-user sums have unbounded
+    sensitivity and no finite noise protects them). Per event type:
+    clipped user sums → exact long total → deterministic seeded
+    Laplace(cap/ε) by the E439 inverse-CDF recipe.
+
+    Emits the released sum, the noise, and the clipping tax (exact
+    clipped-away cents + users clipped) — the bias/variance dial a DP
+    deployment tunes. ε = 1 per type over disjoint users ⇒ parallel
+    composition, table cost ε = 1.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(exact_units(F.col("value"), 2)).alias("cents")
+    )
+    clipped = per_user.select(
+        "event_type",
+        F.least(F.col("cents"), F.lit(cap_cents)).alias("clipped"),
+        (
+            F.col("cents") - F.least(F.col("cents"), F.lit(cap_cents))
+        ).alias("excess"),
+    )
+    per = clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("clipped").cast("long").alias("true_sum_cents"),
+        F.sum("excess").cast("long").alias("clipped_away_cents"),
+        F.sum((F.col("excess") > 0).cast("long")).alias("n_clipped"),
+    )
+    u16 = md5_bucket(F.concat(F.col("event_type"), F.lit("_dpu1")), 65536)
+    staged = per.withColumn("u16", u16).select(
+        "*",
+        F.expr("abs(2 * u16 + 2 - 65537)").alias("k"),
+        F.expr(
+            "case when 2 * u16 + 2 - 65537 >= 0 then 1 else -1 end"
+        ).alias("sgn"),
+    )
+    # Laplace(cap/eps): noise = -sgn·cap·ln((65537−k)/65537), micro-floored
+    noise_cents = F.expr(
+        f"cast(floor(-sgn * {cap_cents} * "
+        "ln(cast(65537 - k as double) / 65537) + 0.5) as long)"
+    )
+    return staged.select(
+        "event_type",
+        "n_users",
+        "true_sum_cents",
+        noise_cents.alias("noise_cents"),
+        (F.col("true_sum_cents") + noise_cents).alias("released_sum_cents"),
+        "clipped_away_cents",
+        "n_clipped",
+        F.lit(1_000_000).cast("long").alias("epsilon_ppm"),
+    )
+
+
+def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E519: instrumental-variable (Wald) estimator — the causal
+    rung the suite's DiD (E472) / CUPED (E474) / uplift (E471) ladder
+    lacked: when treatment uptake is endogenous, an exogenous
+    ENCOURAGEMENT z identifies the local effect as
+    (E[y|z=1] − E[y|z=0]) / (E[x|z=1] − E[x|z=0]).
+    Here z = the md5-parity assignment (exogenous by construction),
+    x = clicked (uptake), y = purchase spend in exact cents — the
+    classic encouragement-design readout.
+
+    Four cell aggregates (exact longs), one fixed double expression;
+    the first-stage strength (uptake difference) is emitted beside the
+    estimate because a weak first stage makes the ratio explode — the
+    diagnostic every IV report must carry.
+    """
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.operators.corpus import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "click").cast("long")
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                exact_units(F.col("value"), 2),
+            ).otherwise(F.lit(0))
+        ).alias("y_cents"),
+    ).select(md5_bucket(F.col("user_id"), 2).alias("z"), "x", "y_cents")
+    cells = per_user.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y_cents").cast("long").alias("sy"),
+    )
+    z0 = cells.filter(F.col("z") == 0).select(
+        F.col("n").alias("n0"), F.col("sx").alias("sx0"), F.col("sy").alias("sy0")
+    )
+    z1 = cells.filter(F.col("z") == 1).select(
+        F.col("n").alias("n1"), F.col("sx").alias("sx1"), F.col("sy").alias("sy1")
+    )
+    j = z0.join(z1)
+    dy = (
+        F.col("sy1").cast("double") / F.col("n1")
+        - F.col("sy0").cast("double") / F.col("n0")
+    )
+    dx = (
+        F.col("sx1").cast("double") / F.col("n1")
+        - F.col("sx0").cast("double") / F.col("n0")
+    )
+    return j.select(
+        "n0",
+        "n1",
+        F.expr("sx0 * 1000000 div n0").alias("uptake0_ppm"),
+        F.expr("sx1 * 1000000 div n1").alias("uptake1_ppm"),
+        F.floor(dy * F.lit(1000.0) + F.lit(0.5)).cast("long").alias(
+            "reduced_form_milli_cents"
+        ),
+        F.floor(dx * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "first_stage_micro"
+        ),
+        F.when(
+            F.abs(dx) > 0,
+            F.floor(dy / dx * F.lit(1000.0) + F.lit(0.5)).cast("long"),
+        ).alias("wald_late_milli_cents"),
+    )

@@ -4773,3 +4773,95 @@ SELECT source, n_docs, n_words, n_sents, n_sylls,
                   + 0.5) AS BIGINT) AS flesch_milli
 FROM per_source
 """
+
+# --------------------------------------------------------------------------
+# E517–E519 — replaceWhere, user-level DP sums, IV/Wald
+# --------------------------------------------------------------------------
+
+# E517 — predicate-scoped atomic overwrite.
+QUERIES["replace_where_report"] = _layout.replace_where_report
+ORACLES["replace_where_report"] = f"""
+WITH state AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'error' THEN 0
+              ELSE {duck_units('value', 2)} END AS cents
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM state GROUP BY event_type
+"""
+
+# E518 — user-level DP sum: clip → exact sums → deterministic Laplace.
+QUERIES["dp_user_sum_release"] = mlmetrics.dp_user_sum_release
+_DPU_U16 = corpus.duck_md5_bucket("event_type || '_dpu1'", 65536)
+ORACLES["dp_user_sum_release"] = f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum({duck_units('value', 2)}) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), clipped AS (
+  SELECT event_type, least(cents, 50000) AS clipped,
+         cents - least(cents, 50000) AS excess
+  FROM per_user
+), per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(clipped) AS BIGINT) AS true_sum_cents,
+         CAST(sum(excess) AS BIGINT) AS clipped_away_cents,
+         CAST(sum(CASE WHEN excess > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped
+  FROM clipped GROUP BY event_type
+), staged AS (
+  SELECT *, abs(2 * ({_DPU_U16}) + 2 - 65537) AS k,
+         CASE WHEN 2 * ({_DPU_U16}) + 2 - 65537 >= 0 THEN 1 ELSE -1 END
+           AS sgn
+  FROM per
+)
+SELECT event_type, n_users, true_sum_cents,
+       CAST(floor(-sgn * 50000 * ln(CAST(65537 - k AS DOUBLE) / 65537)
+                  + 0.5) AS BIGINT) AS noise_cents,
+       true_sum_cents
+         + CAST(floor(-sgn * 50000 * ln(CAST(65537 - k AS DOUBLE) / 65537)
+                      + 0.5) AS BIGINT) AS released_sum_cents,
+       clipped_away_cents, n_clipped,
+       CAST(1000000 AS BIGINT) AS epsilon_ppm
+FROM staged
+"""
+
+# E519 — IV / Wald encouragement-design estimator.
+QUERIES["iv_wald_estimate"] = mlmetrics.iv_wald_estimate
+ORACLES["iv_wald_estimate"] = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN {duck_units('value', 2)} ELSE 0 END)
+              AS BIGINT) AS y_cents,
+         {corpus.duck_md5_bucket('user_id', 2)} AS z
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT z, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y_cents) AS BIGINT) AS sy
+  FROM per_user GROUP BY z
+), j AS (
+  SELECT z0.n AS n0, z0.sx AS sx0, z0.sy AS sy0,
+         z1.n AS n1, z1.sx AS sx1, z1.sy AS sy1
+  FROM (SELECT * FROM cells WHERE z = 0) z0
+  CROSS JOIN (SELECT * FROM cells WHERE z = 1) z1
+)
+SELECT n0, n1,
+       CAST(sx0 * 1000000 // n0 AS BIGINT) AS uptake0_ppm,
+       CAST(sx1 * 1000000 // n1 AS BIGINT) AS uptake1_ppm,
+       CAST(floor((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+                  * 1000.0 + 0.5) AS BIGINT) AS reduced_form_milli_cents,
+       CAST(floor((CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+                  * 1e6 + 0.5) AS BIGINT) AS first_stage_micro,
+       CASE WHEN abs(CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0) > 0
+            THEN CAST(floor(
+                   (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+                   / (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+                   * 1000.0 + 0.5) AS BIGINT)
+       END AS wald_late_milli_cents
+FROM j
+"""

@@ -3729,3 +3729,136 @@ def branch_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp_head = agg(read_ref(spark, tdir, "exp"), "exp_head")
     after = agg(read_ref(spark, tdir, "main"), "main_after_ff")
     return before.unionByName(exp_head).unionByName(after)
+
+
+def replace_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    df: DataFrame,
+    max_attempts: int = 5,
+) -> int:
+    """EXT E517: predicate-scoped atomic overwrite — Delta's
+    ``replaceWhere``: delete every live row matching ``predicate`` and
+    append ``df`` in ONE commit, the idiom for reprocessing a day /
+    partition / source without touching the rest of the table. Unlike
+    MERGE (key-matched, E449/E510) the scope is a PREDICATE, and the
+    write is REJECTED if any incoming row falls outside it (Delta's
+    constraint — silent scope escape corrupts the next reprocess).
+
+    Mechanics: position-delete vector over current matching images +
+    append, one manifest link (mode ``replace_where``); data files are
+    never rewritten, cost ∝ matches + |df|. Optimistic retries like
+    MERGE: the vector recomputes against the new latest on a lost race.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    prev = latest_version(table_dir)
+    if prev is None:
+        raise ValueError(f"no snapshots in {table_dir}")
+    man0 = json.load(open(_manifest_path(table_dir, prev)))
+    _evolved_schema(_table_schema(spark, man0), df.schema, False)
+    _enforce_constraints(spark, table_dir, df)
+    n_outside = df.filter(f"NOT ({predicate})").limit(1).count()
+    if n_outside:
+        raise ValueError(
+            f"replaceWhere: incoming rows violate the scope {predicate!r}"
+        )
+    data_dir = os.path.join(
+        table_dir, "data", f"rw{prev + 1}.{uuid.uuid4().hex[:8]}"
+    )
+    df.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    for _ in range(max_attempts):
+        at = latest_version(table_dir)
+        man = json.load(open(_manifest_path(table_dir, at)))
+        files = man["files"]
+        existing_dels = man.get("delete_files", [])
+        reader = spark.read
+        if man.get("merge_schema"):
+            reader = reader.option("mergeSchema", "true")
+        base = reader.parquet(*files).select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+            "*",
+        )
+        if existing_dels:
+            dd = spark.read.parquet(*existing_dels)
+            base = base.join(dd, ["file_path", "row_index"], "left_anti")
+        matched = base.filter(predicate).select("file_path", "row_index")
+        del_dir = os.path.join(
+            table_dir, "deletes", f"rw{at + 1}.{uuid.uuid4().hex[:8]}"
+        )
+        matched.write.parquet(del_dir)
+        del_files = sorted(
+            os.path.join(del_dir, f)
+            for f in os.listdir(del_dir)
+            if f.endswith(".parquet")
+        )
+        manifest = {
+            "version": at + 1,
+            "mode": "replace_where",
+            "files": files + new_files,
+            "delete_files": existing_dels + del_files,
+        }
+        for k in ("schema", "merge_schema"):
+            if k in man:
+                manifest[k] = man[k]
+        final = _manifest_path(table_dir, at + 1)
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump({**manifest, "ts": _time.time()}, f)
+        try:
+            os.link(tmp, final)
+            return at + 1
+        except FileExistsError:
+            shutil.rmtree(del_dir, ignore_errors=True)
+            continue
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(f"replaceWhere lost races in {table_dir}")
+
+
+def replace_where_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E517 gate query: reprocess the ``error`` slice — replace
+    every error event with a corrected image (value zeroed) in one
+    atomic commit; the post-replace table aggregates per type, the
+    oracle recomputes the expected state. Scope-escape rejection is
+    pytest-pinned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+    from parquet_to_csv_spark.sources.tables import load_table, source_salt
+
+    def _build(stage: str) -> None:
+        tdir = os.path.join(stage, "tbl")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_version(spark, tdir, ev)
+        corrected = ev.filter(F.col("event_type") == "error").select(
+            "event_id", "event_type", F.lit(0.0).alias("value")
+        )
+        replace_where(spark, tdir, "event_type = 'error'", corrected)
+
+    root = claim_artifact(
+        spark, "replwhere_" + source_salt(sf_dir, "events"), _build
+    )
+    df = read_version(spark, os.path.join(root, "tbl"), 1)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(exact_units(F.col("value"), 2)).cast("long").alias("sum_cents"),
+    )

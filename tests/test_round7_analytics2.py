@@ -557,3 +557,32 @@ def test_maxsim_dominates_single_vector_bound(spark, sf_dir):
         vs.sort(key=lambda r: r["rnk"])
         scores = [r["maxsim_micro"] for r in vs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_dp_user_sum_clipping_and_budget(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import dp_user_sum_release
+
+    rows = dp_user_sum_release(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["true_sum_cents"] <= r["n_users"] * 50_000
+        assert r["released_sum_cents"] == r["true_sum_cents"] + r["noise_cents"]
+        assert r["epsilon_ppm"] == 1_000_000
+        assert 0 <= r["n_clipped"] <= r["n_users"]
+        if r["n_clipped"] == 0:
+            assert r["clipped_away_cents"] == 0
+
+
+def test_iv_wald_consistency(spark, sf_dir):
+    from parquet_to_csv_spark.operators.mlmetrics import iv_wald_estimate
+
+    r = iv_wald_estimate(spark, sf_dir).collect()[0]
+    assert r["n0"] > 0 and r["n1"] > 0
+    assert 0 <= r["uptake0_ppm"] <= 1_000_000
+    assert 0 <= r["uptake1_ppm"] <= 1_000_000
+    if r["wald_late_milli_cents"] is not None and r["first_stage_micro"] != 0:
+        # wald = reduced form / first stage (within rounding slack)
+        approx = r["reduced_form_milli_cents"] * 1_000_000 / r["first_stage_micro"]
+        assert abs(approx - r["wald_late_milli_cents"]) <= max(
+            5, abs(r["wald_late_milli_cents"]) // 100
+        )

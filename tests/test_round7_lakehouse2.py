@@ -175,3 +175,30 @@ def test_branch_refs_isolation_and_ff_rules(spark, tmp_path):
     # and exp's lineage never absorbed main's divergent row
     got = sorted(r["k"] for r in L.read_ref(spark, troot, "exp").collect())
     assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_replace_where_scope_rejection(spark, tmp_path):
+    troot = str(tmp_path / "rw")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+    )
+    L.commit_version(spark, troot, df)
+    import pytest as _pytest
+
+    # incoming rows escaping the predicate scope are rejected
+    with _pytest.raises(ValueError, match="violate the scope"):
+        L.replace_where(
+            spark, troot, "g = 1",
+            spark.range(100, 102).select(
+                F.col("id").alias("k"), F.lit(0).cast("long").alias("g")
+            ),
+        )
+    # a clean replace swaps exactly the scoped slice
+    L.replace_where(
+        spark, troot, "g = 1",
+        spark.range(100, 102).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("g")
+        ),
+    )
+    got = sorted(r["k"] for r in L.read_version(spark, troot, 1).collect())
+    assert got == [0, 2, 4, 6, 8, 100, 101]
