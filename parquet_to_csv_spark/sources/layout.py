@@ -763,6 +763,29 @@ def read_version(
     return df
 
 
+def _ref_pinned_versions(table_dir: str) -> set[int]:
+    """Versions pinned by any branch/tag ref head (E515/E520) — every
+    entry in each ref's append-only head log counts, so rolling a ref
+    back never strands an intermediate version it may re-publish."""
+    import json
+    import os
+    import re
+
+    pinned: set[int] = set()
+    refs_root = os.path.join(table_dir, "refs")
+    if not os.path.isdir(refs_root):
+        return pinned
+    for name in os.listdir(refs_root):
+        d = os.path.join(refs_root, name)
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if re.fullmatch(r"h\d+\.json", f):
+                e = json.load(open(os.path.join(d, f)))
+                pinned.add(int(e["version"]))
+    return pinned
+
+
 def orphan_files(table_dir: str, keep_versions: int = 1) -> list[str]:
     """EXT E316: data files on disk referenced by NONE of the last
     ``keep_versions`` snapshots — the safe-to-delete set (time travel
@@ -794,6 +817,14 @@ def orphan_files(table_dir: str, keep_versions: int = 1) -> list[str]:
                 p = _manifest_path(clone_dir, v)
                 if os.path.exists(p):
                     referenced.update(json.load(open(p))["files"])
+    # EXT E520: branch/tag refs (E515) keep their pinned versions alive
+    # — a ref head outside the keep_versions window would otherwise
+    # lose its data files to vacuum (the hazard E468 closed for clones,
+    # re-opened by refs, closed again here).
+    for v in _ref_pinned_versions(table_dir):
+        p = _manifest_path(table_dir, v)
+        if os.path.exists(p):
+            referenced.update(json.load(open(p))["files"])
     on_disk = set(
         glob.glob(os.path.join(table_dir, "data", "v*", "*.parquet"))
     )
@@ -815,9 +846,11 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
     latest = latest_version(table_dir)
     if latest is not None:
         cutoff = latest - keep_versions + 1
+        pinned = _ref_pinned_versions(table_dir)
         for p in glob.glob(os.path.join(table_dir, "manifests", "v*.json")):
             m = re.match(r"v(\d+)\.json$", os.path.basename(p))
-            if m and int(m.group(1)) < cutoff:
+            # ref-pinned manifests survive the retention cutoff (E520)
+            if m and int(m.group(1)) < cutoff and int(m.group(1)) not in pinned:
                 os.remove(p)
     return doomed
 

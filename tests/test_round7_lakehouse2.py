@@ -202,3 +202,34 @@ def test_replace_where_scope_rejection(spark, tmp_path):
     )
     got = sorted(r["k"] for r in L.read_version(spark, troot, 1).collect())
     assert got == [0, 2, 4, 6, 8, 100, 101]
+
+
+def test_vacuum_is_ref_aware(spark, tmp_path):
+    """E520: a branch ref pinning an old version keeps that version's
+    files AND manifest through vacuum(keep_versions=1); an unpinned old
+    version is reclaimed as before."""
+    troot = str(tmp_path / "refvac")
+    L.commit_version(spark, troot, _df(spark, 0, 4))          # v0
+    L.create_ref(troot, "pin")                                 # pins v0
+    L.commit_version(spark, troot, _df(spark, 4, 6))           # v1
+    L.commit_version(spark, troot, _df(spark, 6, 8))           # v2
+    deleted = L.vacuum(troot, keep_versions=1)
+    # v0's files are pinned by the ref: still readable end to end
+    assert sorted(r["k"] for r in L.read_ref(spark, troot, "pin").collect()) == [0, 1, 2, 3]
+    assert sorted(r["k"] for r in L.read_version(spark, troot, 2).collect()) == list(range(8))
+    # an append-only store: appends share v0's files, so nothing was
+    # actually orphaned here — now drop the ref scenario: a table with
+    # an UNPINNED overwritten version loses its files
+    troot2 = str(tmp_path / "novac")
+    L.commit_version(spark, troot2, _df(spark, 0, 4))
+    L.commit_version(spark, troot2, _df(spark, 10, 12), mode="overwrite")
+    deleted2 = L.vacuum(troot2, keep_versions=1)
+    assert deleted2  # v0's files reclaimed
+    # and the pinned variant of the SAME shape keeps them
+    troot3 = str(tmp_path / "pinvac")
+    L.commit_version(spark, troot3, _df(spark, 0, 4))
+    L.create_ref(troot3, "keep")
+    L.commit_version(spark, troot3, _df(spark, 10, 12), mode="overwrite")
+    deleted3 = L.vacuum(troot3, keep_versions=1)
+    assert deleted3 == []
+    assert sorted(r["k"] for r in L.read_ref(spark, troot3, "keep").collect()) == [0, 1, 2, 3]
