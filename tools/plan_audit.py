@@ -61,7 +61,7 @@ _TINY_WINDOWS: dict[str, tuple[int, str]] = {
     "hits_copurchase": (1, "post-limit(k) top-k authority relation"),
     "unimax_allocation": (2, "language-grain relation, |langs| rows"),
     "delong_auc_ci": (1, "distinct score grid, same relation as auc_ranker"),
-    "negative_sampling_quota": (1, "vocab-grain remainder rank (fixture vocab is dozens of tokens; web scale swaps to banded rank)"),
+    "negative_sampling_quota": (2, "vocab-grain remainder rank, duplicated by the top/checksum union branches (fixture vocab is dozens of tokens; web scale swaps to banded rank)"),
     "top_event_trigrams": (1, "|event types|^3 trigram-type relation"),
     "group_quota_sample": (2, "|languages| strata relation"),
     "neyman_allocation": (1, "|languages| strata relation"),
