@@ -3606,3 +3606,61 @@ def negative_sampling_quota(
         F.sum("quota").cast("long").alias("quota"),
     )
     return top.unionByName(checksum)
+
+
+def perplexity_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E522: perplexity-based corpus pruning — the CCNet/
+    Wenzek-style quality pass every pretraining corpus gets: score
+    each document under a cheap LM (the E39 unigram scorer), cut the
+    worst decile GLOBALLY (per-corpus P10 of mean log-prob), and
+    report what the cut does to each source: docs/tokens retained,
+    share shift, and the mean score before/after (exact micro
+    integers, long sums — no float aggregation).
+
+    The threshold is ONE exact-percentile scalar (the E47
+    percentile/quantile_cont parity convention) broadcast back; at
+    100 TB the scorer is the linear pass and the report is
+    source-grain metadata.
+    """
+    lm = unigram_lm_score(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST(round(avg_logprob * 1000000) AS BIGINT)").alias(
+            "lm_micro"
+        ),
+        "avg_logprob",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = lm.join(docs, "doc_id")
+    cut = F.broadcast(
+        scored.agg(F.expr("percentile(avg_logprob, 0.1)").alias("p10"))
+    )
+    flagged = scored.join(cut).withColumn(
+        "keep", (F.col("avg_logprob") >= F.col("p10")).cast("long")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum(F.col("keep") * F.col("n_tokens")).cast("long").alias(
+                "tokens_kept"
+            ),
+            F.sum("lm_micro").alias("lm_sum_micro"),
+            F.sum(F.col("keep") * F.col("lm_micro")).alias("lm_kept_micro"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr("n_kept * 1000000 div n_docs").alias("kept_ppm"),
+            "tokens",
+            "tokens_kept",
+            F.expr("lm_sum_micro div n_docs").alias("mean_lm_before_micro"),
+            F.when(
+                F.col("n_kept") > 0,
+                F.expr("lm_kept_micro div n_kept"),
+            ).alias("mean_lm_after_micro"),
+        )
+    )

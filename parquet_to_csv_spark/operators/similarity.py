@@ -3453,3 +3453,197 @@ def maxsim_late_interaction_topk(
             "rnk",
         )
     )
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+    nprobe: int = 8,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """EXT E521: IVF-PQ — the production FAISS composite the suite had
+    only as separate parts (IVF cells E15/E297, PQ codes E173):
+    coarse-quantize to a cell, PRODUCT-quantize the RESIDUAL
+    (v − centroid), and answer max-inner-product queries from the
+    compressed form alone: score ≈ ⟨q, centroid⟩ + Σ_m ⟨q_m, code_m⟩.
+    This is the memory layout that serves billion-vector indexes —
+    8 code bytes + a cell id per vector.
+
+    All deterministic fixed rules: centroids = first ``n_cells``
+    vectors (the E15 convention), codebooks = the residual subvectors
+    of training rows [n_cells, 2·n_cells). The per-subspace partial
+    scores pivot into FIXED-ORDER addition (the E514 discipline — a
+    float sum aggregate is summation-order-dependent). The compressed
+    score is a SHORTLIST (4k per query), refined by an exact re-rank
+    on the original vectors — FAISS's IVFPQR idiom; on this
+    quasi-uniform corpus the 16-codeword residual books scramble fine
+    ordering (recall 0.28 compressed-only → refined recovers the
+    probe-limited ceiling). Recall vs the exact inner-product top-k is
+    pytest-asserted; the oracle replays assignment, residual encoding,
+    compressed shortlisting and the refine step for step.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("cent"),
+        )
+    )
+    # coarse assignment: max inner product over cells, id tiebreak
+    asg = (
+        emb.join(cents)
+        .select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            "cent",
+            dot_product(F.col("embedding"), F.col("cent")).alias("ip"),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.max_by(
+                F.struct("cell_id", "cent"),
+                F.struct(F.col("ip"), (-F.col("cell_id")).alias("tb")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("best.cell_id").alias("cell"),
+            F.zip_with(
+                "embedding", "best.cent", lambda x, y: x.cast("double") - y
+            ).alias("resid"),
+        )
+    )
+    sub_expr = (
+        "transform(sequence(0, 3), s -> slice(resid, s * 16 + 1, 16))"
+    )
+    subs = asg.select(
+        "vec_id", "cell", F.posexplode(F.expr(sub_expr)).alias("m", "rsub")
+    )
+    books = F.broadcast(
+        subs.filter(
+            (F.col("vec_id") >= n_cells) & (F.col("vec_id") < 2 * n_cells)
+        ).select(
+            F.col("m"),
+            (F.col("vec_id") - n_cells).alias("code"),
+            F.col("rsub").alias("cw"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("rsub"), F.col("cw"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    coded = (
+        subs.join(books, "m")
+        .select("vec_id", "cell", "m", "code", "cw", d2.alias("d2"))
+        .groupBy("vec_id", "cell", "m")
+        .agg(
+            F.min_by(
+                F.struct("code", "cw"), F.struct(F.col("d2"), F.col("code"))
+            ).alias("best")
+        )
+        .select("vec_id", "cell", "m", F.col("best.code").alias("code"))
+    )
+    # queries probe nprobe cells by centroid inner product
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.desc("cip"), F.asc("cell_id")
+    )
+    probes = (
+        F.broadcast(q)
+        .join(cents)
+        .select(
+            "query_id",
+            "q_emb",
+            "cell_id",
+            dot_product(F.col("q_emb"), F.col("cent")).alias("cip"),
+        )
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", F.col("cell_id").alias("cell"), "cip")
+    )
+    # per-subspace lookup score ⟨q_m, codeword⟩ for the candidate codes
+    q_subs = probes.select(
+        "query_id",
+        "cell",
+        "cip",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " s -> slice(q_emb, s * 16 + 1, 16))"
+            )
+        ).alias("m", "q_sub"),
+    )
+    partials = (
+        q_subs.join(coded, ["cell", "m"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(books, ["m", "code"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            "cip",
+            "m",
+            dot_product(F.col("q_sub"), F.col("cw")).alias("p"),
+        )
+        .groupBy("query_id", "cand_id", "cip")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == j, F.col("p"))).alias(f"p{j}")
+                for j in range(4)
+            ]
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.col("cip")
+                + ((F.col("p0") + F.col("p1")) + (F.col("p2") + F.col("p3")))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    shortlist = (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4 * k)
+        .select("query_id", "cand_id")
+    )
+    # exact refine on the shortlist (IVFPQR): 4k original-vector dot
+    # products per query — the compressed pass did the pruning
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+    refined = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            dot_product(F.col("qe"), F.col("ce")).alias("score"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        refined.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("score_micro"),
+            "rnk",
+        )
+    )

@@ -4865,3 +4865,135 @@ SELECT n0, n1,
        END AS wald_late_milli_cents
 FROM j
 """
+
+# --------------------------------------------------------------------------
+# E521–E522 — IVF-PQ composite index, perplexity pruning
+# --------------------------------------------------------------------------
+
+# E521 — IVF-PQ: full replay (assignment → residual → codebook argmin
+# → compressed MIP scoring with fixed-order subspace addition).
+QUERIES["ivfpq_topk"] = similarity.ivfpq_topk
+_PQ_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_PQ_DOT_DD = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> p[1] * p[2]))"
+)
+ORACLES["ivfpq_topk"] = f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+), cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, embedding AS cent FROM emb WHERE vec_id < 16
+), asg AS MATERIALIZED (
+  SELECT vec_id, cell, list_transform(list_zip(embedding, cent),
+           p -> CAST(p[1] AS DOUBLE) - p[2]) AS resid
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id AS cell, c.cent,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_PQ_DOT.format(a='e.embedding', b='c.cent')} DESC,
+                      c.cell_id ASC) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+), subs AS MATERIALIZED (
+  SELECT vec_id, cell, s.m,
+         list_slice(resid, 1 + 16 * s.m, 16 + 16 * s.m) AS rsub
+  FROM asg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) s
+), books AS MATERIALIZED (
+  SELECT m, vec_id - 16 AS code, rsub AS cw
+  FROM subs WHERE vec_id >= 16 AND vec_id < 32
+), coded AS MATERIALIZED (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT s.vec_id, s.cell, s.m, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY list_sum(list_transform(list_zip(s.rsub, b.cw),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                      b.code ASC) AS rn
+    FROM subs s JOIN books b ON b.m = s.m
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM emb WHERE vec_id < 5
+), probes AS MATERIALIZED (
+  SELECT query_id, q_emb, cell, cip FROM (
+    SELECT q.query_id, q.q_emb, c.cell_id AS cell,
+           {_PQ_DOT.format(a='q.q_emb', b='c.cent')} AS cip,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_PQ_DOT.format(a='q.q_emb', b='c.cent')} DESC,
+                      c.cell_id ASC) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= 8
+), q_subs AS (
+  SELECT query_id, cell, cip, s.m,
+         list_transform(
+           list_slice(q_emb, 1 + 16 * s.m, 16 + 16 * s.m),
+           x -> CAST(x AS DOUBLE)) AS q_sub
+  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) s
+), partials AS (
+  SELECT qs.query_id, cd.vec_id AS cand_id, qs.cip,
+         max(CASE WHEN qs.m = 0
+             THEN {_PQ_DOT_DD.format(a='qs.q_sub', b='b.cw')} END) AS p0,
+         max(CASE WHEN qs.m = 1
+             THEN {_PQ_DOT_DD.format(a='qs.q_sub', b='b.cw')} END) AS p1,
+         max(CASE WHEN qs.m = 2
+             THEN {_PQ_DOT_DD.format(a='qs.q_sub', b='b.cw')} END) AS p2,
+         max(CASE WHEN qs.m = 3
+             THEN {_PQ_DOT_DD.format(a='qs.q_sub', b='b.cw')} END) AS p3
+  FROM q_subs qs
+  JOIN coded cd ON cd.cell = qs.cell AND cd.m = qs.m
+  JOIN books b ON b.m = qs.m AND b.code = cd.code
+  WHERE qs.query_id <> cd.vec_id
+  GROUP BY qs.query_id, cd.vec_id, qs.cip
+), shortlist AS MATERIALIZED (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cip + ((p0 + p1) + (p2 + p3)) DESC, cand_id ASC)
+             AS rnk
+    FROM partials
+  ) WHERE rnk <= 20
+), refined AS (
+  SELECT s.query_id, s.cand_id,
+         {_PQ_DOT.format(a='qe.embedding', b='ce.embedding')} AS score
+  FROM shortlist s
+  JOIN emb qe ON qe.vec_id = s.query_id
+  JOIN emb ce ON ce.vec_id = s.cand_id
+), ranked AS (
+  SELECT query_id, cand_id, score,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, cand_id ASC) AS rnk
+  FROM refined
+)
+SELECT query_id, cand_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micro,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+# E522 — perplexity pruning: nests the E39 per-doc scorer verbatim.
+QUERIES["perplexity_pruning_report"] = corpus.perplexity_pruning_report
+ORACLES["perplexity_pruning_report"] = f"""
+WITH perdoc AS MATERIALIZED (
+{ORACLES["unigram_lm_score"]}
+), scored AS (
+  SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+         CAST(round(p.avg_logprob * 1000000) AS BIGINT) AS lm_micro,
+         p.avg_logprob, d.source
+  FROM perdoc p JOIN documents d USING (doc_id)
+), cut AS (
+  SELECT quantile_cont(avg_logprob, 0.1) AS p10 FROM scored
+), flagged AS (
+  SELECT s.*, CASE WHEN s.avg_logprob >= c.p10 THEN 1 ELSE 0 END AS keep
+  FROM scored s CROSS JOIN cut c
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(sum(keep) * 1000000 // count(*) AS BIGINT) AS kept_ppm,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(sum(keep * n_tokens) AS BIGINT) AS tokens_kept,
+       CAST(sum(lm_micro) // count(*) AS BIGINT) AS mean_lm_before_micro,
+       CASE WHEN sum(keep) > 0
+            THEN CAST(sum(keep * lm_micro) // sum(keep) AS BIGINT)
+       END AS mean_lm_after_micro
+FROM flagged GROUP BY source
+"""

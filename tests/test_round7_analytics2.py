@@ -586,3 +586,58 @@ def test_iv_wald_consistency(spark, sf_dir):
         assert abs(approx - r["wald_late_milli_cents"]) <= max(
             5, abs(r["wald_late_milli_cents"]) // 100
         )
+
+
+def test_ivfpq_recall_vs_exact_ip(spark, sf_dir):
+    """IVF-PQ answers from the compressed form must recover most of
+    the exact max-inner-product top-5 (compression + nprobe both cost
+    recall; the floor here is the regression guard)."""
+    from parquet_to_csv_spark.operators.similarity import ivfpq_topk
+    from parquet_to_csv_spark.functions.vectors import dot_product
+    from parquet_to_csv_spark.sources.tables import load_table
+    from pyspark.sql import Window as W
+
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in ivfpq_topk(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("cand_id")
+    )
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in (
+            F.broadcast(q)
+            .join(c, F.col("query_id") != F.col("cand_id"))
+            .select(
+                "query_id", "cand_id",
+                dot_product(F.col("qe"), F.col("ce")).alias("ip"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .collect()
+        )
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall {recall}"
+
+
+def test_perplexity_pruning_cuts_a_decile(spark, sf_dir):
+    from parquet_to_csv_spark.operators.corpus import perplexity_pruning_report
+
+    rows = perplexity_pruning_report(spark, sf_dir).collect()
+    n = sum(r["n_docs"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    # global P10 cut keeps ~90% (ties keep a bit more)
+    assert 0.85 <= kept / n <= 0.96
+    for r in rows:
+        assert r["n_kept"] <= r["n_docs"]
+        assert r["tokens_kept"] <= r["tokens"]
+        if r["mean_lm_after_micro"] is not None and r["n_kept"] < r["n_docs"]:
+            # dropping the worst tail can only raise the mean
+            assert r["mean_lm_after_micro"] >= r["mean_lm_before_micro"]
