@@ -3081,6 +3081,37 @@ def commit_partitioned(
     staged = df
     for n, cexpr in transforms:
         staged = staged.withColumn(n, cexpr)
+    # Round-8 ADVICE hardening: the manifest recovers each file's
+    # transform tuple by parsing hive directory names with int(), so a
+    # NULL transform value (__HIVE_DEFAULT_PARTITION__) or a
+    # non-integer transform would blow up AFTER the data is written,
+    # stranding orphan files. Validate up front instead: the transform
+    # expressions must be integer-typed (schema check, free) and
+    # null-free (one aggregation, before any file is written).
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _int_types = (ByteType, ShortType, IntegerType, LongType)
+    smap = {f.name: f.dataType for f in staged.schema.fields}
+    bad = [n for n in names if not isinstance(smap[n], _int_types)]
+    if bad:
+        raise ValueError(
+            "partition transforms must be integer-typed expressions: "
+            + ", ".join(f"{n}: {smap[n].simpleString()}" for n in bad)
+        )
+    null_counts = staged.agg(
+        *[
+            F.sum(F.col(n).isNull().cast("long")).alias(n)
+            for n in names
+        ]
+    ).first()
+    nullable = [n for n in names if (null_counts[n] or 0) > 0]
+    if nullable:
+        raise ValueError(
+            f"partition transforms produced NULLs for {nullable} — a null "
+            "tuple has no hive directory encoding; filter or coalesce "
+            "before committing"
+        )
     prev = latest_version(table_dir)
     guess = 0 if prev is None else prev + 1
     data_dir = os.path.join(table_dir, "data", f"v{guess}")
@@ -3614,10 +3645,26 @@ def ref_head(table_dir: str, name: str):
     return best, e["version"], e.get("ancestry", [e["version"]])
 
 
+_REF_SEQ_UNSET = object()
+
+
 def _advance_ref(
-    table_dir: str, name: str, version: int, ancestry: list[int]
+    table_dir: str,
+    name: str,
+    version: int,
+    ancestry: list[int],
+    expected_seq=_REF_SEQ_UNSET,
 ) -> int:
-    """Append a new head entry put-if-absent; returns the head seq."""
+    """Append a new head entry put-if-absent; returns the head seq.
+
+    ``expected_seq`` is the compare-and-swap guard (round-8 ADVICE fix):
+    the head seq the caller observed when it READ the ref (``None`` =
+    ref absent). If the ref has moved since — a racer published — the
+    advance raises loudly instead of appending on top of the racer,
+    which would silently drop the racer's rows from this lineage (the
+    published version's append base predates the racer's commit).
+    Callers rebase: re-read the head, recommit against it, retry.
+    """
     import json
     import os
     import uuid
@@ -3627,7 +3674,13 @@ def _advance_ref(
     token = uuid.uuid4().hex[:8]
     for _ in range(10):
         cur = ref_head(table_dir, name)
-        k = 0 if cur is None else cur[0] + 1
+        cur_seq = None if cur is None else cur[0]
+        if expected_seq is not _REF_SEQ_UNSET and cur_seq != expected_seq:
+            raise RuntimeError(
+                f"ref {name!r} moved in {table_dir}: expected head seq "
+                f"{expected_seq}, found {cur_seq} — rebase and recommit"
+            )
+        k = 0 if cur_seq is None else cur_seq + 1
         final = os.path.join(d, f"h{k}.json")
         tmp = final + f".tmp-{token}"
         with open(tmp, "w") as f:
@@ -3639,6 +3692,8 @@ def _advance_ref(
             os.link(tmp, final)
             return k
         except FileExistsError:
+            # a racer landed this seq; the next iteration re-reads the
+            # head, so with a CAS guard this raises "ref moved" there.
             continue
         finally:
             os.remove(tmp)
@@ -3659,7 +3714,9 @@ def create_ref(table_dir: str, name: str, from_ref: str | None = None) -> int:
         if v is None:
             raise ValueError(f"no snapshots in {table_dir}")
         anc = [v]
-    return _advance_ref(table_dir, name, v, list(anc))
+    # CAS on "ref absent": creating an already-existing ref conflicts
+    # loudly instead of silently advancing its head.
+    return _advance_ref(table_dir, name, v, list(anc), expected_seq=None)
 
 
 def commit_to_ref(
@@ -3668,40 +3725,83 @@ def commit_to_ref(
     name: str,
     df: DataFrame,
     mode: str = "append",
+    max_attempts: int = 5,
 ) -> int:
     """EXT E515: commit ON a ref — Iceberg's write-audit-publish /
     branch-isolation pattern: the data commit is an ordinary immutable
     snapshot version whose APPEND BASE is the ref's head (the E491
     ``base_version`` plumbing), so commits on other refs never leak in;
     only this ref's head advances — readers of other refs are
-    untouched. Returns the new version."""
-    cur = ref_head(table_dir, name)
-    if cur is None:
-        raise ValueError(f"ref {name!r} does not exist")
-    _, head_v, anc = cur
-    v = commit_version(spark, table_dir, df, mode=mode, base_version=head_v)
-    _advance_ref(table_dir, name, v, list(anc) + [v])
-    return v
+    untouched. Returns the new version.
+
+    The head advance is a CAS on the seq read at entry (round-8 ADVICE
+    fix): if a racer advanced the ref between our read and our publish,
+    publishing anyway would point the ref at a version whose append
+    base EXCLUDES the racer's rows — a silent lost update. Instead we
+    rebase: re-read the head, recommit the DataFrame against it, retry.
+    The superseded version stays in table history unreferenced by the
+    ref (an unpublished write-audit-publish snapshot; vacuum-eligible).
+    """
+    last_err: Exception | None = None
+    for _ in range(max_attempts):
+        cur = ref_head(table_dir, name)
+        if cur is None:
+            raise ValueError(f"ref {name!r} does not exist")
+        seq, head_v, anc = cur
+        v = commit_version(
+            spark, table_dir, df, mode=mode, base_version=head_v
+        )
+        try:
+            _advance_ref(
+                table_dir, name, v, list(anc) + [v], expected_seq=seq
+            )
+            return v
+        except RuntimeError as e:
+            last_err = e
+            continue  # ref moved: rebase on the new head and recommit
+    raise RuntimeError(
+        f"commit_to_ref lost {max_attempts} races on ref {name!r} in "
+        f"{table_dir}: {last_err}"
+    )
 
 
-def fast_forward(table_dir: str, target_ref: str, source_ref: str) -> int:
+def fast_forward(
+    table_dir: str, target_ref: str, source_ref: str, max_attempts: int = 5
+) -> int:
     """EXT E515: fast-forward ``target_ref`` to ``source_ref``'s head —
     allowed ONLY when the target's head is in the source's ancestry
     (the git rule; anything else needs a merge, which for table
-    snapshots is MERGE INTO territory). Returns the published version."""
-    t = ref_head(table_dir, target_ref)
-    s = ref_head(table_dir, source_ref)
-    if t is None or s is None:
-        raise ValueError("both refs must exist")
-    _, tv, _ = t
-    _, sv, s_anc = s
-    if tv not in s_anc:
-        raise ValueError(
-            f"non-fast-forward: {target_ref!r}@{tv} not in "
-            f"{source_ref!r} ancestry {s_anc}"
-        )
-    _advance_ref(table_dir, target_ref, sv, list(s_anc))
-    return sv
+    snapshots is MERGE INTO territory). Returns the published version.
+
+    The advance is a CAS on the target head seq read at validation time
+    (round-8 ADVICE fix): if the target moved after the ancestry check,
+    the check is stale — re-read both heads and re-validate rather than
+    clobbering the racer's publish."""
+    last_err: Exception | None = None
+    for _ in range(max_attempts):
+        t = ref_head(table_dir, target_ref)
+        s = ref_head(table_dir, source_ref)
+        if t is None or s is None:
+            raise ValueError("both refs must exist")
+        t_seq, tv, _ = t
+        _, sv, s_anc = s
+        if tv not in s_anc:
+            raise ValueError(
+                f"non-fast-forward: {target_ref!r}@{tv} not in "
+                f"{source_ref!r} ancestry {s_anc}"
+            )
+        try:
+            _advance_ref(
+                table_dir, target_ref, sv, list(s_anc), expected_seq=t_seq
+            )
+            return sv
+        except RuntimeError as e:
+            last_err = e
+            continue  # target moved: re-validate against the new head
+    raise RuntimeError(
+        f"fast_forward lost {max_attempts} races on {target_ref!r} in "
+        f"{table_dir}: {last_err}"
+    )
 
 
 def read_ref(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
