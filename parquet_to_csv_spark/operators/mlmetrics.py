@@ -3354,6 +3354,14 @@ def obf_interim_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the data), z per look from exact cumulative longs in one fixed
     double expression, boundary = 2.2414/√(k/K) (the two-sided
     α≈0.05 OBF constant as a literal in both engines).
+
+    The look index k is the RANK of the day on the distinct-day spine
+    (round-8 ADVICE fix), not ``day - d0 + 1``: a gap in the event-day
+    calendar would push k/K above 1 and drop late-look boundaries below
+    the 2.2414 final-look constant — too-liberal crossing verdicts. Via
+    row_number, k ≤ K by construction (k/K = 1 exactly at the final
+    look). The rank window is a global order over the bounded day-grain
+    calendar — the documented plan-audit whitelist shape.
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("(ts div 1000) div 86400000000")
@@ -3368,10 +3376,12 @@ def obf_interim_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_bucket(F.col("user_id"), 2).alias("arm"), "first_day", "conv_day"
     )
     spine = ev.select(day.alias("day")).distinct()
+    spine_ranked = spine.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("look_k"),
+    )
     horizon = F.broadcast(
-        spine.agg(
-            F.min("day").alias("d0"), F.count(F.lit(1)).alias("big_k")
-        )
+        spine.agg(F.count(F.lit(1)).alias("big_k"))
     )
     # per (arm, day) enters/conversions, prefix-summed over the day grain
     enters = per_user.groupBy("arm", F.col("first_day").alias("day")).agg(
@@ -3399,7 +3409,9 @@ def obf_interim_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = cum.filter(F.col("arm") == 1).select(
         "day", F.col("n").alias("n2"), F.col("x").alias("x2")
     )
-    looks = a0.join(a1, "day").join(horizon)
+    looks = (
+        a0.join(a1, "day").join(F.broadcast(spine_ranked), "day").join(horizon)
+    )
     p1 = F.col("x1").cast("double") / F.col("n1")
     p2 = F.col("x2").cast("double") / F.col("n2")
     pp = (F.col("x1") + F.col("x2")).cast("double") / (
@@ -3412,7 +3424,7 @@ def obf_interim_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1.0) / F.col("n2").cast("double")
         )
     )
-    k = F.col("day") - F.col("d0") + 1
+    k = F.col("look_k")
     z = (p1 - p2) / se
     boundary = F.lit(2.2414) / F.sqrt(
         k.cast("double") / F.col("big_k").cast("double")
@@ -3442,6 +3454,12 @@ def wilson_conversion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cai/DasGupta and what E341's empirical-Bayes shrinkage converges
     toward. One exact (x, n) pair per event type, one fixed double
     expression per bound — floor-ppm output.
+
+    Denominator semantics (round-8 ADVICE fix): n counts users EXPOSED
+    to the event type (did t at least once) and x the exposed users who
+    also purchased — so p̂ = x/n is the conversion rate AMONG users with
+    the type, not the joint probability P(did t AND purchased) over all
+    users. n now varies per type; the oracle conditions identically.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -3452,7 +3470,7 @@ def wilson_conversion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             per_user.agg(
                 F.lit(t).alias("event_type"),
-                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.array_contains("types", t).cast("long")).alias("n"),
                 F.sum(
                     F.array_contains("types", t).cast("long")
                     * F.array_contains("types", "purchase").cast("long")

@@ -4012,9 +4012,10 @@ WITH per_user AS (
            AS arm
   FROM events GROUP BY user_id
 ), spine AS (
-  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS look_k
+  FROM (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events)
 ), hz AS (
-  SELECT min(day) AS d0, CAST(count(*) AS BIGINT) AS big_k FROM spine
+  SELECT CAST(count(*) AS BIGINT) AS big_k FROM spine
 ), grid AS (
   SELECT s.day, a.arm,
          CAST(coalesce(sum(CASE WHEN u.first_day = s.day THEN 1 END)
@@ -4035,18 +4036,19 @@ WITH per_user AS (
            AS x
   FROM grid
 ), looks AS (
-  SELECT a0.day, a0.n AS n1, a0.x AS x1, a1.n AS n2, a1.x AS x2,
-         h.d0, h.big_k
+  SELECT a0.day, s.look_k, a0.n AS n1, a0.x AS x1, a1.n AS n2, a1.x AS x2,
+         h.big_k
   FROM (SELECT day, n, x FROM cum WHERE arm = 0) a0
   JOIN (SELECT day, n, x FROM cum WHERE arm = 1) a1 USING (day)
+  JOIN spine s USING (day)
   CROSS JOIN hz h
 ), scored AS (
-  SELECT day - d0 + 1 AS look, n1, x1, n2, x2, big_k,
+  SELECT look_k AS look, n1, x1, n2, x2, big_k,
          CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2 AS diff,
          sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
               * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
               * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS se,
-         2.2414 / sqrt(CAST(day - d0 + 1 AS DOUBLE) / CAST(big_k AS DOUBLE))
+         2.2414 / sqrt(CAST(look_k AS DOUBLE) / CAST(big_k AS DOUBLE))
            AS boundary
   FROM looks
 )
@@ -4420,7 +4422,7 @@ ORACLES["wilson_conversion_intervals"] = "WITH per_user AS (SELECT user_id, " + 
 ) + """ FROM events GROUP BY user_id
 ), base AS (
 """ + "\nUNION ALL\n".join(
-    f"""SELECT '{t}' AS event_type, CAST(count(*) AS BIGINT) AS n,
+    f"""SELECT '{t}' AS event_type, CAST(sum(has_{t}) AS BIGINT) AS n,
        CAST(sum(has_{t} * has_purchase) AS BIGINT) AS x FROM per_user"""
     for t in _WILSON_TYPES
 ) + """
