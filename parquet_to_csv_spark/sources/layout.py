@@ -441,7 +441,261 @@ def latest_version(table_dir: str) -> int | None:
     return max(vs) if vs else None
 
 
-def _table_schema(spark: SparkSession, man: dict):
+# --------------------------------------------------------------------------
+# Two-level manifests (round 8): manifest LIST + immutable SEGMENT manifests
+#
+# Iceberg's metadata shape (spec: "Manifests" / "Manifest Lists"), re-done
+# for this store: the atomic commit point stays the put-if-absent
+# ``manifests/v{N}.json`` link, but that file is now a MANIFEST LIST — one
+# small entry per segment, carrying rolled-up stats for pruning — while the
+# per-file detail (paths, per-file min/max, row counts, partition tuples)
+# lives in immutable ``segments/s-*.json`` files written ONCE by the commit
+# that created them and re-referenced verbatim by every later commit.
+#
+# Why this is the 100×-scale fix: pre-round-8 every ``v{N}.json`` listed
+# EVERY live file, so commit AND read metadata cost grew with table size
+# (O(10^6) file paths serialized per commit on a 100 TB table). Now an
+# append writes one new segment (∝ files it adds) plus a manifest list
+# (∝ number of segments ≈ number of commits since last OPTIMIZE), a
+# delete-vector commit appends one delete segment, and OPTIMIZE naturally
+# compacts the segment count back to 1. Commit bytes are ∝ files TOUCHED.
+#
+# Legacy single-level manifests (a ``files`` key) remain readable — every
+# consumer goes through the accessors below.
+# --------------------------------------------------------------------------
+
+_SEGMENT_CACHE: dict[str, dict] = {}
+
+# columns stats are collected for must be JSON-round-trippable
+_STATS_OK_TYPES = (bool, int, float, str)
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    import json
+
+    return json.load(open(_manifest_path(table_dir, version)))
+
+
+def _seg_load(entry: dict) -> dict:
+    """Load (cached) the immutable segment manifest behind an entry."""
+    import json
+
+    path = entry["path"]
+    seg = _SEGMENT_CACHE.get(path)
+    if seg is None:
+        seg = json.load(open(path))
+        if len(_SEGMENT_CACHE) > 8192:
+            _SEGMENT_CACHE.clear()
+        _SEGMENT_CACHE[path] = seg
+    return seg
+
+
+def _file_footer_stats(path: str) -> tuple[int, dict]:
+    """(n_rows, {col: [min, max]}) from ONE parquet footer — KBs of
+    metadata, zero data pages; the same bounds Iceberg/Delta persist in
+    their manifests at write time."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    bounds: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            s = c.statistics
+            if s is None or not s.has_min_max:
+                continue
+            lo, hi = s.min, s.max
+            if not (
+                isinstance(lo, _STATS_OK_TYPES)
+                and isinstance(hi, _STATS_OK_TYPES)
+            ):
+                continue
+            name = c.path_in_schema
+            cur = bounds.get(name)
+            if cur is None:
+                bounds[name] = [lo, hi]
+            else:
+                bounds[name] = [min(cur[0], lo), max(cur[1], hi)]
+    return md.num_rows, bounds
+
+
+def _write_segment(
+    table_dir: str,
+    files: list[str],
+    kind: str = "data",
+    collect_stats: bool = True,
+    partitions: dict | None = None,
+) -> dict:
+    """Write one immutable segment manifest for ``files`` and return its
+    manifest-list ENTRY (path + n_files/n_rows + rolled-up column
+    bounds). Cost ∝ len(files): one footer read per NEW file — exactly
+    the files this commit touched."""
+    import json
+    import os
+    import uuid
+
+    seg_dir = os.path.join(table_dir, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    per_rows: dict[str, int] = {}
+    per_stats: dict[str, dict] = {}
+    roll: dict = {}
+    n_rows = 0
+    for f in files:
+        try:
+            nr, bounds = _file_footer_stats(f) if collect_stats else (None, {})
+        except Exception:
+            nr, bounds = None, {}
+        if nr is not None:
+            per_rows[f] = nr
+            n_rows += nr
+        if bounds:
+            per_stats[f] = bounds
+            for col, (lo, hi) in bounds.items():
+                cur = roll.get(col)
+                if cur is None:
+                    roll[col] = [lo, hi]
+                else:
+                    roll[col] = [min(cur[0], lo), max(cur[1], hi)]
+    seg = {"files": list(files)}
+    if per_rows:
+        seg["n_rows"] = per_rows
+    if per_stats:
+        seg["stats"] = per_stats
+    if partitions:
+        seg["partitions"] = partitions
+    path = os.path.join(seg_dir, f"s-{uuid.uuid4().hex[:16]}.json")
+    with open(path, "w") as f:
+        json.dump(seg, f)
+    _SEGMENT_CACHE[path] = seg
+    entry = {"path": path, "kind": kind, "n_files": len(files)}
+    if per_rows and len(per_rows) == len(files):
+        entry["n_rows"] = n_rows
+    if roll:
+        # rolled-up bounds let a planner prune WHOLE segments from the
+        # manifest list without opening the segment JSON (E454 at the
+        # segment grain)
+        entry["stats"] = roll
+    return entry
+
+
+def _man_data_segments(table_dir: str, man: dict) -> list[dict]:
+    """Manifest-list entries for the snapshot's DATA segments. A legacy
+    single-level manifest is wrapped by persisting its file list as one
+    segment (writers re-reference the result; readers get a cached
+    view) — the upgrade path for pre-round-8 tables."""
+    if "segments" in man:
+        return man["segments"]
+    return [
+        _write_segment(
+            table_dir,
+            man.get("files", []),
+            partitions=man.get("partitions") or None,
+        )
+    ]
+
+
+def _man_delete_segments(table_dir: str, man: dict) -> list[dict]:
+    if "segments" in man:
+        return man.get("delete_segments", [])
+    dels = man.get("delete_files", [])
+    if not dels:
+        return []
+    return [_write_segment(table_dir, dels, kind="delete")]
+
+
+def _man_files(table_dir: str, man: dict) -> list[str]:
+    """Every live data file of a snapshot, in segment order."""
+    if "segments" not in man:
+        return man["files"]
+    out: list[str] = []
+    for e in man["segments"]:
+        out.extend(_seg_load(e)["files"])
+    return out
+
+
+def _man_delete_files(table_dir: str, man: dict) -> list[str]:
+    """Every delete-vector sidecar file of a snapshot."""
+    if "segments" not in man:
+        return man.get("delete_files", [])
+    out: list[str] = []
+    for e in man.get("delete_segments", []):
+        out.extend(_seg_load(e)["files"])
+    return out
+
+
+def _man_partitions(table_dir: str, man: dict) -> dict:
+    """file → transform-tuple map across all data segments (E487)."""
+    if "segments" not in man:
+        return man.get("partitions", {})
+    out: dict = {}
+    for e in man["segments"]:
+        out.update(_seg_load(e).get("partitions", {}))
+    return out
+
+
+def _man_file_rows(table_dir: str, man: dict) -> dict[str, int]:
+    """file → row count, from segment metadata where recorded."""
+    if "segments" not in man:
+        return {}
+    out: dict[str, int] = {}
+    for e in man.get("segments", []) + man.get("delete_segments", []):
+        out.update(_seg_load(e).get("n_rows", {}))
+    return out
+
+
+def _man_file_stats(table_dir: str, man: dict, col: str) -> dict[str, tuple]:
+    """file → (min, max) of ``col`` from segment metadata; files with no
+    recorded bounds map to (None, None) — callers treat those
+    conservatively (E454's contract)."""
+    out: dict[str, tuple] = {}
+    if "segments" not in man:
+        return out
+    for e in man["segments"]:
+        seg = _seg_load(e)
+        stats = seg.get("stats", {})
+        for f in seg["files"]:
+            b = stats.get(f, {}).get(col)
+            out[f] = (b[0], b[1]) if b else (None, None)
+    return out
+
+
+def _segments_without(
+    table_dir: str, entries: list[dict], remove: set[str]
+) -> list[dict]:
+    """Segment entries after dropping ``remove`` files: untouched
+    segments are carried BY REFERENCE (zero bytes written); a touched
+    segment is rewritten with only its survivors (1 segment rewrite per
+    touched segment — the O(files-touched) contract); emptied segments
+    vanish."""
+    out: list[dict] = []
+    for e in entries:
+        seg = _seg_load(e)
+        files = seg["files"]
+        hit = [f for f in files if f in remove]
+        if not hit:
+            out.append(e)
+            continue
+        survivors = [f for f in files if f not in remove]
+        if not survivors:
+            continue
+        out.append(
+            _write_segment(
+                table_dir,
+                survivors,
+                kind=e.get("kind", "data"),
+                partitions={
+                    f: t
+                    for f, t in seg.get("partitions", {}).items()
+                    if f in set(survivors)
+                }
+                or None,
+            )
+        )
+    return out
+
+
+def _table_schema(spark: SparkSession, man: dict, table_dir: str | None = None):
     """Authoritative schema of a committed snapshot: the manifest's
     recorded schema when present (manifests record it since round 7),
     else derived from the live files (mergeSchema-aware fallback for
@@ -453,7 +707,7 @@ def _table_schema(spark: SparkSession, man: dict):
     reader = spark.read
     if man.get("merge_schema"):
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*man["files"]).schema
+    return reader.parquet(*_man_files(table_dir or "", man)).schema
 
 
 def _evolved_schema(table_schema, df_schema, merge_schema: bool):
@@ -510,11 +764,13 @@ def commit_version(
     version this writer observes (a writer-unique suffix if a racer
     already claimed that directory — manifests reference files
     explicitly, so the directory name is cosmetic); they are never
-    rewritten. The snapshot manifest ``manifests/v{N}.json`` lists
-    EVERY live file of the version — previous live files plus the new
-    ones for ``append``, only the new ones for ``overwrite``. Readers
-    resolve a manifest, never a directory listing, so concurrent or
-    failed writes can't tear a snapshot.
+    rewritten. The snapshot manifest ``manifests/v{N}.json`` is a
+    MANIFEST LIST (round 8): one entry per immutable segment manifest,
+    where this commit wrote exactly ONE new segment (its own files,
+    with embedded footer stats) and re-references the append base's
+    segments verbatim — commit bytes are ∝ files touched, not table
+    size. Readers resolve a manifest list, never a directory listing,
+    so concurrent or failed writes can't tear a snapshot.
 
     The manifest write is the atomic commit point, PUT-IF-ABSENT via
     ``os.link`` (rename() silently replaces, which would drop the
@@ -547,7 +803,8 @@ def commit_version(
         _evolved_schema(
             _table_schema(
                 spark,
-                json.load(open(_manifest_path(table_dir, base_for_schema))),
+                _load_manifest(table_dir, base_for_schema),
+                table_dir,
             ),
             df.schema,
             merge_schema,
@@ -564,38 +821,45 @@ def commit_version(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    # ONE new segment for this commit's files (footer stats embedded);
+    # valid across retries — segment manifests are commit-independent.
+    new_entry = _write_segment(table_dir, new_files)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
     token = uuid.uuid4().hex[:8]
     version = guess
     for _ in range(max_attempts):
         prev = latest_version(table_dir)
         version = 0 if prev is None else prev + 1
-        live: list[str] = []
+        seg_entries: list[dict] = []
         # append must CARRY FORWARD any position delete vectors (E426):
         # they bind to files that remain live; overwrite drops both the
         # files and their deletes.
-        carried_dels: list[str] = []
+        carried_del_entries: list[dict] = []
         schema = df.schema
         evolved = False
         base = base_version if base_version is not None else prev
         if mode == "append" and base is not None:
-            prev_man = json.load(open(_manifest_path(table_dir, base)))
-            live = prev_man["files"]
-            carried_dels = prev_man.get("delete_files", [])
+            prev_man = _load_manifest(table_dir, base)
+            seg_entries = list(_man_data_segments(table_dir, prev_man))
+            carried_del_entries = list(
+                _man_delete_segments(table_dir, prev_man)
+            )
             schema, evolved = _evolved_schema(
-                _table_schema(spark, prev_man), df.schema, merge_schema
+                _table_schema(spark, prev_man, table_dir),
+                df.schema,
+                merge_schema,
             )
             evolved = evolved or bool(prev_man.get("merge_schema"))
         manifest = {
             "version": version,
             "mode": mode,
-            "files": live + new_files,
+            "segments": seg_entries + [new_entry],
             "schema": schema.jsonValue(),
         }
         if evolved:
             manifest["merge_schema"] = True
-        if carried_dels:
-            manifest["delete_files"] = carried_dels
+        if carried_del_entries:
+            manifest["delete_segments"] = carried_del_entries
         final = _manifest_path(table_dir, version)
         tmp = final + f".tmp-{token}"
         with open(tmp, "w") as f:
@@ -645,9 +909,9 @@ def commit_deletes(
         raise ValueError(f"no snapshots in {table_dir}")
     from pyspark.sql import functions as F
 
-    man = json.load(open(_manifest_path(table_dir, prev)))
-    files = man["files"]
-    existing_dels = man.get("delete_files", [])
+    man = _load_manifest(table_dir, prev)
+    files = _man_files(table_dir, man)
+    existing_dels = _man_delete_files(table_dir, man)
     reader = spark.read
     if man.get("merge_schema"):
         reader = reader.option("mergeSchema", "true")
@@ -669,12 +933,16 @@ def commit_deletes(
         for f in os.listdir(del_dir)
         if f.endswith(".parquet")
     )
+    # one new DELETE segment ∝ this commit's sidecars; data segments are
+    # re-referenced verbatim — a 0.1 % delete on a 10^6-file table now
+    # writes a handful of KBs of metadata, not a million-path JSON.
+    new_del_entry = _write_segment(table_dir, del_files, kind="delete")
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
     token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         prev2 = latest_version(table_dir)
         version = prev2 + 1
-        man2 = json.load(open(_manifest_path(table_dir, prev2)))
+        man2 = _load_manifest(table_dir, prev2)
         # The delete vector was computed against the snapshot read at
         # ENTRY. A concurrent APPEND keeps those files live (the vector
         # stays valid; appended rows are untouched by position
@@ -682,7 +950,7 @@ def commit_deletes(
         # committing anyway would "succeed" while the vectors reference
         # files no longer in the manifest, i.e. the DELETE would
         # silently remove nothing. Conflict loudly instead.
-        if not set(files) <= set(man2["files"]):
+        if not set(files) <= set(_man_files(table_dir, man2)):
             raise RuntimeError(
                 f"write conflict in {table_dir}: files the delete vector "
                 f"was computed from are no longer live at v{prev2} (a "
@@ -692,8 +960,9 @@ def commit_deletes(
         manifest = {
             "version": version,
             "mode": "delete",
-            "files": man2["files"],
-            "delete_files": man2.get("delete_files", []) + del_files,
+            "segments": _man_data_segments(table_dir, man2),
+            "delete_segments": _man_delete_segments(table_dir, man2)
+            + [new_del_entry],
         }
         for k in ("schema", "merge_schema"):
             if k in man2:
@@ -728,8 +997,8 @@ def read_version(
         version = latest_version(table_dir)
     if version is None:
         raise ValueError(f"no snapshots in {table_dir}")
-    man = json.load(open(_manifest_path(table_dir, version)))
-    files = man["files"]
+    man = _load_manifest(table_dir, version)
+    files = _man_files(table_dir, man)
     if not files:
         raise ValueError(f"version {version} has no files")
     reader = spark.read
@@ -739,7 +1008,7 @@ def read_version(
         # footer-merge job is per-FILE metadata work, not a data scan.
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*files)
-    del_files = man.get("delete_files", [])
+    del_files = _man_delete_files(table_dir, man)
     if del_files:
         from pyspark.sql import functions as F
 
@@ -802,7 +1071,7 @@ def orphan_files(table_dir: str, keep_versions: int = 1) -> list[str]:
     for v in range(max(0, latest - keep_versions + 1), latest + 1):
         p = _manifest_path(table_dir, v)
         if os.path.exists(p):
-            referenced.update(json.load(open(p))["files"])
+            referenced.update(_man_files(table_dir, _load_manifest(table_dir, v)))
     # EXT E468: clones registered by clone_table keep their referenced
     # files alive — closes the documented E447 hazard (source-side
     # vacuum deleting files a shallow clone still reads). A clone dir
@@ -816,7 +1085,9 @@ def orphan_files(table_dir: str, keep_versions: int = 1) -> list[str]:
             for v in range(cv + 1):
                 p = _manifest_path(clone_dir, v)
                 if os.path.exists(p):
-                    referenced.update(json.load(open(p))["files"])
+                    referenced.update(
+                        _man_files(clone_dir, _load_manifest(clone_dir, v))
+                    )
     # EXT E520: branch/tag refs (E515) keep their pinned versions alive
     # — a ref head outside the keep_versions window would otherwise
     # lose its data files to vacuum (the hazard E468 closed for clones,
@@ -824,7 +1095,7 @@ def orphan_files(table_dir: str, keep_versions: int = 1) -> list[str]:
     for v in _ref_pinned_versions(table_dir):
         p = _manifest_path(table_dir, v)
         if os.path.exists(p):
-            referenced.update(json.load(open(p))["files"])
+            referenced.update(_man_files(table_dir, _load_manifest(table_dir, v)))
     on_disk = set(
         glob.glob(os.path.join(table_dir, "data", "v*", "*.parquet"))
     )
@@ -835,8 +1106,11 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
     """EXT E316: delete orphans (per :func:`orphan_files`) and any
     manifest older than the retention window; returns deleted data
     files. Deleting a still-referenced file is impossible by
-    construction — the orphan set is disk MINUS retained manifests."""
+    construction — the orphan set is disk MINUS retained manifests.
+    Segment manifests (round 8) referenced by NO surviving manifest —
+    local, clone-registered, or ref-pinned — are reclaimed too."""
     import glob
+    import json
     import os
     import re
 
@@ -852,6 +1126,31 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
             # ref-pinned manifests survive the retention cutoff (E520)
             if m and int(m.group(1)) < cutoff and int(m.group(1)) not in pinned:
                 os.remove(p)
+    # reclaim unreferenced segment manifests: keep every segment any
+    # SURVIVING manifest references — this table's, its registered
+    # clones' (a clone's manifest re-references the source's segments,
+    # the E468 hazard at the metadata level), and ref-pinned versions'.
+    seg_dir = os.path.join(table_dir, "segments")
+    if os.path.isdir(seg_dir):
+        keep_segs: set[str] = set()
+
+        def _collect(tdir: str) -> None:
+            for p in glob.glob(os.path.join(tdir, "manifests", "v*.json")):
+                man = json.load(open(p))
+                for e in man.get("segments", []) + man.get(
+                    "delete_segments", []
+                ):
+                    keep_segs.add(e["path"])
+
+        _collect(table_dir)
+        reg = os.path.join(table_dir, "clones.json")
+        if os.path.exists(reg):
+            for clone_dir in json.load(open(reg)):
+                _collect(clone_dir)
+        for p in glob.glob(os.path.join(seg_dir, "s-*.json")):
+            if p not in keep_segs:
+                os.remove(p)
+                _SEGMENT_CACHE.pop(p, None)
     return doomed
 
 
@@ -1026,24 +1325,34 @@ def read_version_delta(
     diff — enforced here.)"""
     import json
 
-    a = json.load(open(_manifest_path(table_dir, from_version)))
-    b = json.load(open(_manifest_path(table_dir, to_version)))
+    a = _load_manifest(table_dir, from_version)
+    b = _load_manifest(table_dir, to_version)
     # Every commit strictly inside (from, to] must be append-mode: an
     # overwrite ANYWHERE in the range rewrites base files, and a later
     # append would make the file-set difference include pre-existing
     # rows even though to_version itself is an append.
     for v in range(from_version + 1, to_version + 1):
-        m = (
-            b
-            if v == to_version
-            else json.load(open(_manifest_path(table_dir, v)))
-        )
+        m = b if v == to_version else _load_manifest(table_dir, v)
         if m.get("mode") == "overwrite":
             raise ValueError(
                 "delta scan is only defined across append commits; "
                 f"v{v} in ({from_version}, {to_version}] is an overwrite"
             )
-    new_files = sorted(set(b["files"]) - set(a["files"]))
+    # append commits re-reference base segments verbatim, so the delta
+    # is computable at the SEGMENT level first (entries present in b
+    # but not a) — O(new segments) metadata, not O(live files).
+    a_seg_paths = {e["path"] for e in a.get("segments", [])}
+    if "segments" in a and "segments" in b:
+        new_files = sorted(
+            f
+            for e in b["segments"]
+            if e["path"] not in a_seg_paths
+            for f in _seg_load(e)["files"]
+        )
+    else:
+        new_files = sorted(
+            set(_man_files(table_dir, b)) - set(_man_files(table_dir, a))
+        )
     if not new_files:
         raise ValueError(
             f"no files added between v{from_version} and v{to_version}"
@@ -1625,15 +1934,21 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     src_v = latest_version(src_dir)
     if src_v is None:
         raise ValueError(f"no snapshots in {src_dir}")
-    man = json.load(open(_manifest_path(src_dir, src_v)))
+    man = _load_manifest(src_dir, src_v)
     os.makedirs(os.path.join(dst_dir, "manifests"), exist_ok=True)
     manifest = {
         "version": 0,
         "mode": "clone",
-        "files": man["files"],
+        # zero-copy at BOTH levels: the clone's manifest list re-uses
+        # the source's segment entries verbatim — O(segments) metadata,
+        # no file list rewrite, no data bytes
+        "segments": _man_data_segments(src_dir, man),
         "cloned_from": {"table": src_dir, "version": src_v},
     }
-    for k in ("delete_files", "schema", "merge_schema"):
+    del_segs = _man_delete_segments(src_dir, man)
+    if del_segs:
+        manifest["delete_segments"] = del_segs
+    for k in ("schema", "merge_schema"):
         if man.get(k):
             manifest[k] = man[k]
     final = _manifest_path(dst_dir, 0)
@@ -1747,17 +2062,18 @@ def snapshot_cdc_feed(
 
     from pyspark.sql import functions as F
 
-    man_a = json.load(open(_manifest_path(table_dir, v_from)))
-    man_b = json.load(open(_manifest_path(table_dir, v_to)))
-    files_a, files_b = set(man_a["files"]), set(man_b["files"])
+    man_a = _load_manifest(table_dir, v_from)
+    man_b = _load_manifest(table_dir, v_to)
+    files_a = set(_man_files(table_dir, man_a))
+    files_b = set(_man_files(table_dir, man_b))
     if files_a - files_b:
         raise ValueError(
             "files were removed between versions (overwrite commit) — "
             "the row-level feed is append/delete only"
         )
     added = sorted(files_b - files_a)
-    dels_a = set(man_a.get("delete_files", []))
-    new_dels = sorted(set(man_b.get("delete_files", [])) - dels_a)
+    dels_a = set(_man_delete_files(table_dir, man_a))
+    new_dels = sorted(set(_man_delete_files(table_dir, man_b)) - dels_a)
     dd = spark.read.parquet(*new_dels) if new_dels else None
     reader = spark.read
     if man_b.get("merge_schema") or man_a.get("merge_schema"):
@@ -1909,9 +2225,11 @@ def merge_into(
     prev = latest_version(table_dir)
     if prev is None:
         raise ValueError(f"no snapshots in {table_dir}")
-    man0 = json.load(open(_manifest_path(table_dir, prev)))
+    man0 = _load_manifest(table_dir, prev)
     # strict schema parity (names+types, order-insensitive)
-    _evolved_schema(_table_schema(spark, man0), changes.schema, False)
+    _evolved_schema(
+        _table_schema(spark, man0, table_dir), changes.schema, False
+    )
     _enforce_constraints(spark, table_dir, changes)
     dup = (
         changes.groupBy(*key_cols)
@@ -1948,6 +2266,7 @@ def merge_into(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    new_entry = _write_segment(table_dir, new_files)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
     token = uuid.uuid4().hex[:8]
     keys = changes.select(*key_cols)
@@ -1955,9 +2274,9 @@ def merge_into(
         keys = keys.unionByName(delete_keys)
     for _ in range(max_attempts):
         at = latest_version(table_dir)
-        man = json.load(open(_manifest_path(table_dir, at)))
-        files = man["files"]
-        existing_dels = man.get("delete_files", [])
+        man = _load_manifest(table_dir, at)
+        files = _man_files(table_dir, man)
+        existing_dels = _man_delete_files(table_dir, man)
         reader = spark.read
         if man.get("merge_schema"):
             reader = reader.option("mergeSchema", "true")
@@ -1981,11 +2300,13 @@ def merge_into(
             for f in os.listdir(del_dir)
             if f.endswith(".parquet")
         )
+        del_entry = _write_segment(table_dir, del_files, kind="delete")
         manifest = {
             "version": at + 1,
             "mode": "merge",
-            "files": files + new_files,
-            "delete_files": existing_dels + del_files,
+            "segments": _man_data_segments(table_dir, man) + [new_entry],
+            "delete_segments": _man_delete_segments(table_dir, man)
+            + [del_entry],
         }
         for k in ("schema", "merge_schema"):
             if k in man:
@@ -2047,10 +2368,11 @@ def optimize_table(
     prev = latest_version(table_dir)
     if prev is None:
         raise ValueError(f"no snapshots in {table_dir}")
-    man = json.load(open(_manifest_path(table_dir, prev)))
+    man = _load_manifest(table_dir, prev)
+    live = _man_files(table_dir, man)
     df = read_version(spark, table_dir, prev)  # deletes applied
-    live_bytes = sum(os.path.getsize(f) for f in man["files"])
-    n_target = max(1, min(len(man["files"]), -(-live_bytes // target_file_bytes)))
+    live_bytes = sum(os.path.getsize(f) for f in live)
+    n_target = max(1, min(len(live), -(-live_bytes // target_file_bytes)))
     data_dir = os.path.join(
         table_dir, "data", f"opt{prev + 1}.{uuid.uuid4().hex[:8]}"
     )
@@ -2076,7 +2398,9 @@ def optimize_table(
     manifest = {
         "version": prev + 1,
         "mode": "optimize",
-        "files": new_files,
+        # OPTIMIZE also compacts the METADATA: the rewrite is one fresh
+        # segment, resetting manifest-list growth accumulated by appends
+        "segments": [_write_segment(table_dir, new_files)],
         # rewritten files all share the current (possibly evolved)
         # schema: the merge_schema flag is intentionally DROPPED —
         # OPTIMIZE normalizes layout and schema alike.
@@ -2321,8 +2645,10 @@ def apply_cdc_feed(
         raise ValueError(f"no snapshots in {table_dir}")
     inserts = feed.filter(F.col("_change_type") == "insert").drop("_change_type")
     del_keys = feed.filter(F.col("_change_type") == "delete").select(*key_cols)
-    man0 = json.load(open(_manifest_path(table_dir, prev)))
-    _evolved_schema(_table_schema(spark, man0), inserts.schema, False)
+    man0 = _load_manifest(table_dir, prev)
+    _evolved_schema(
+        _table_schema(spark, man0, table_dir), inserts.schema, False
+    )
     _enforce_constraints(spark, table_dir, inserts)
     data_dir = os.path.join(
         table_dir, "data", f"cdc{prev + 1}.{uuid.uuid4().hex[:8]}"
@@ -2333,13 +2659,14 @@ def apply_cdc_feed(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    new_entry = _write_segment(table_dir, new_files)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
     token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         at = latest_version(table_dir)
-        man = json.load(open(_manifest_path(table_dir, at)))
-        files = man["files"]
-        existing_dels = man.get("delete_files", [])
+        man = _load_manifest(table_dir, at)
+        files = _man_files(table_dir, man)
+        existing_dels = _man_delete_files(table_dir, man)
         reader = spark.read
         if man.get("merge_schema"):
             reader = reader.option("mergeSchema", "true")
@@ -2363,11 +2690,13 @@ def apply_cdc_feed(
             for f in os.listdir(del_dir)
             if f.endswith(".parquet")
         )
+        del_entry = _write_segment(table_dir, del_files, kind="delete")
         manifest = {
             "version": at + 1,
             "mode": "cdc_apply",
-            "files": files + new_files,
-            "delete_files": existing_dels + del_files,
+            "segments": _man_data_segments(table_dir, man) + [new_entry],
+            "delete_segments": _man_delete_segments(table_dir, man)
+            + [del_entry],
         }
         for k in ("schema", "merge_schema"):
             if k in man:
@@ -2450,17 +2779,23 @@ def snapshot_file_stats(
     catalog-sized driver call as E238 — KBs per file, zero data pages;
     at million-file scale the identical pyarrow call moves into
     ``mapInPandas`` over the file list). Iceberg/Delta persist exactly
-    these bounds in their manifests; deriving them from footers keeps
-    historical snapshots stat-able without rewriting old manifests."""
-    import json
-
+    these bounds in their manifests — and since round 8 so does this
+    store: segment manifests embed per-file min/max at write time, so
+    the common path reads NO footers; the footer pass remains the
+    fallback for legacy manifests and columns without recorded stats,
+    keeping historical snapshots stat-able without rewriting them."""
     import pyarrow.parquet as pq
 
     if version is None:
         version = latest_version(table_dir)
-    man = json.load(open(_manifest_path(table_dir, version)))
+    man = _load_manifest(table_dir, version)
+    recorded = _man_file_stats(table_dir, man, col)
     out: dict[str, tuple] = {}
-    for f in man["files"]:
+    for f in _man_files(table_dir, man):
+        b = recorded.get(f)
+        if b is not None and b[0] is not None:
+            out[f] = (b[0], b[1])
+            continue
         md = pq.ParquetFile(f).metadata
         lo = hi = None
         for rg in range(md.num_row_groups):
@@ -2494,20 +2829,39 @@ def pruned_snapshot_read(
 
     At 100 TB this is THE scan path — a clustered table (E455) turns a
     selective band predicate from an all-files scan into O(band)
-    files, which is the entire point of Z-order/Hilbert layouts."""
-    import json
-
+    files, which is the entire point of Z-order/Hilbert layouts.
+    Since round 8 it is TWO-LEVEL: segments whose manifest-list rollup
+    bounds miss [lo, hi] are skipped without even opening their segment
+    JSON, then per-file bounds (embedded at write) prune within the
+    surviving segments."""
     from pyspark.sql import functions as F
 
     if version is None:
         version = latest_version(table_dir)
-    man = json.load(open(_manifest_path(table_dir, version)))
-    stats = snapshot_file_stats(table_dir, col, version)
-    keep = [
-        f
-        for f in man["files"]
-        if stats[f][0] is None or not (stats[f][1] < lo or stats[f][0] > hi)
-    ]
+    man = _load_manifest(table_dir, version)
+    all_files = _man_files(table_dir, man)
+    if "segments" in man:
+        keep = []
+        for e in man["segments"]:
+            # level 1: skip whole segments on manifest-list rollup
+            # bounds — their segment JSON is never opened
+            rb = e.get("stats", {}).get(col)
+            if rb is not None and (rb[1] < lo or rb[0] > hi):
+                continue
+            # level 2: per-file bounds embedded in the segment
+            seg = _seg_load(e)
+            for f in seg["files"]:
+                b = seg.get("stats", {}).get(f, {}).get(col)
+                if b is None or not (b[1] < lo or b[0] > hi):
+                    keep.append(f)
+    else:
+        stats = snapshot_file_stats(table_dir, col, version)
+        keep = [
+            f
+            for f in all_files
+            if stats[f][0] is None
+            or not (stats[f][1] < lo or stats[f][0] > hi)
+        ]
     if not keep:
         raise ValueError(f"no file overlaps [{lo}, {hi}] on {col}")
     reader = spark.read
@@ -2516,7 +2870,7 @@ def pruned_snapshot_read(
     df = reader.parquet(*keep).filter(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
-    del_files = man.get("delete_files", [])
+    del_files = _man_delete_files(table_dir, man)
     if del_files:
         dels = spark.read.parquet(*del_files)
         cols = [c for c in df.columns]
@@ -2535,7 +2889,7 @@ def pruned_snapshot_read(
             )
             .select(*cols)
         )
-    return df, len(keep), len(man["files"])
+    return df, len(keep), len(all_files)
 
 
 def _clustered_table_root(spark: SparkSession, sf_dir: str) -> str:
@@ -2634,14 +2988,18 @@ def restore_table(
     cur = latest_version(table_dir)
     if cur is None:
         raise ValueError(f"no snapshots in {table_dir}")
-    man = json.load(open(_manifest_path(table_dir, to_version)))
+    man = _load_manifest(table_dir, to_version)
     manifest = {
         "version": cur + 1,
         "mode": "restore",
-        "files": man["files"],
+        # zero-copy at both levels: segment entries re-referenced verbatim
+        "segments": _man_data_segments(table_dir, man),
         "restored_from": to_version,
     }
-    for k in ("delete_files", "schema", "merge_schema"):
+    del_segs = _man_delete_segments(table_dir, man)
+    if del_segs:
+        manifest["delete_segments"] = del_segs
+    for k in ("schema", "merge_schema"):
         if man.get(k):
             manifest[k] = man[k]
     final = _manifest_path(table_dir, cur + 1)
@@ -2664,33 +3022,37 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
     """EXT E462: DESCRIBE HISTORY — the audit/ops surface of the
     snapshot store: one row per committed version with its mode,
     file/delete-vector counts, provenance (clone/restore sources), and
-    live row count. Manifest-only except the row counts, which come
-    from the footers' row-group metadata minus the delete-vector
-    row counts — still a metadata-scale pass (no data pages read),
-    exactly how Delta's history view stays cheap on 100 TB tables."""
-    import json
-
+    live row count. Manifest-only: row counts come from the segments'
+    recorded per-file counts (round 8; footer fallback for files whose
+    counts predate recording) minus the delete-vector counts — no data
+    pages read, exactly how Delta's history view stays cheap on 100 TB
+    tables."""
     import pyarrow.parquet as pq
 
     cur = latest_version(table_dir)
     if cur is None:
         raise ValueError(f"no snapshots in {table_dir}")
+
+    def _rows_of(man: dict, files: list[str]) -> int:
+        recorded = _man_file_rows(table_dir, man)
+        return sum(
+            recorded.get(f) or pq.ParquetFile(f).metadata.num_rows
+            for f in files
+        )
+
     rows = []
     for v in range(cur + 1):
-        man = json.load(open(_manifest_path(table_dir, v)))
-        n_rows = sum(
-            pq.ParquetFile(f).metadata.num_rows for f in man["files"]
-        )
-        n_del = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in man.get("delete_files", [])
-        )
+        man = _load_manifest(table_dir, v)
+        files = _man_files(table_dir, man)
+        del_files = _man_delete_files(table_dir, man)
+        n_rows = _rows_of(man, files)
+        n_del = _rows_of(man, del_files)
         rows.append(
             (
                 v,
                 man.get("mode", "append"),
-                len(man["files"]),
-                len(man.get("delete_files", [])),
+                len(files),
+                len(del_files),
                 n_rows - n_del,
                 man.get("restored_from"),
                 (man.get("cloned_from") or {}).get("version"),
@@ -2863,7 +3225,7 @@ def read_as_of_timestamp(
         raise ValueError(f"no snapshots in {table_dir}")
     best = None
     for v in range(cur + 1):
-        man = json.load(open(_manifest_path(table_dir, v)))
+        man = _load_manifest(table_dir, v)
         if man.get("ts") is not None and man["ts"] <= ts:
             best = v
     if best is None:
@@ -2908,13 +3270,16 @@ def optimize_batches(
     prev = latest_version(table_dir)
     if prev is None:
         raise ValueError(f"no snapshots in {table_dir}")
-    man = json.load(open(_manifest_path(table_dir, prev)))
-    dels0 = man.get("delete_files", [])
-    # greedy row-budget binning in file order (the E317 rule)
+    man = _load_manifest(table_dir, prev)
+    dels0 = _man_delete_files(table_dir, man)
+    recorded_rows = _man_file_rows(table_dir, man)
+    # greedy row-budget binning in file order (the E317 rule); row
+    # counts come from segment metadata (round 8) — the planner opens
+    # NO footers on a segment-backed table
     batches: list[list[str]] = [[]]
     acc = 0
-    for f in man["files"]:
-        n = pq.ParquetFile(f).metadata.num_rows
+    for f in _man_files(table_dir, man):
+        n = recorded_rows.get(f) or pq.ParquetFile(f).metadata.num_rows
         if acc + n > target_rows and batches[-1]:
             batches.append([])
             acc = 0
@@ -2955,25 +3320,33 @@ def optimize_batches(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    new_entry = _write_segment(table_dir, new_files)
     token = uuid.uuid4().hex[:8]
     for _ in range(5):
         at = latest_version(table_dir)
-        man2 = json.load(open(_manifest_path(table_dir, at)))
-        if not set(subset) <= set(man2["files"]) or (
-            man2.get("delete_files", []) != dels0
+        man2 = _load_manifest(table_dir, at)
+        if not set(subset) <= set(_man_files(table_dir, man2)) or (
+            _man_delete_files(table_dir, man2) != dels0
         ):
             raise RuntimeError(
                 f"conflict during incremental OPTIMIZE of {table_dir}: the "
                 "planned files were replaced or new delete vectors landed — "
                 "re-plan against the current snapshot"
             )
+        # untouched segments carried by reference; only segments the
+        # batch intersects are rewritten — commit bytes ∝ files touched
         manifest = {
             "version": at + 1,
             "mode": "optimize",
-            "files": [f for f in man2["files"] if f not in set(subset)]
-            + new_files,
+            "segments": _segments_without(
+                table_dir, _man_data_segments(table_dir, man2), set(subset)
+            )
+            + [new_entry],
         }
-        for k in ("delete_files", "schema", "merge_schema"):
+        del_segs = _man_delete_segments(table_dir, man2)
+        if del_segs:
+            manifest["delete_segments"] = del_segs
+        for k in ("schema", "merge_schema"):
             if man2.get(k):
                 manifest[k] = man2[k]
         final = _manifest_path(table_dir, at + 1)
@@ -3031,9 +3404,7 @@ def incremental_optimize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def json_manifest_files(table_dir: str, version: int) -> list[str]:
-    import json
-
-    return json.load(open(_manifest_path(table_dir, version)))["files"]
+    return _man_files(table_dir, _load_manifest(table_dir, version))
 
 
 # --------------------------------------------------------------------------
@@ -3136,32 +3507,33 @@ def commit_partitioned(
             new_files.append(path)
             partitions[path] = tup
     new_files.sort()
+    # partition tuples ride in the new segment (round 8): carried
+    # segments keep their own tuples, so partition evolution stays
+    # zero-rewrite at the metadata level too
+    new_entry = _write_segment(table_dir, new_files, partitions=partitions)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
     token = uuid.uuid4().hex[:8]
     version = guess
     for _ in range(max_attempts):
         prev = latest_version(table_dir)
         version = 0 if prev is None else prev + 1
-        live: list[str] = []
-        carried_parts: dict[str, dict[str, int]] = {}
+        seg_entries: list[dict] = []
         spec_union = list(names)
         if mode == "append" and prev is not None:
-            prev_man = json.load(open(_manifest_path(table_dir, prev)))
-            live = prev_man["files"]
-            carried_parts = prev_man.get("partitions", {})
+            prev_man = _load_manifest(table_dir, prev)
+            seg_entries = list(_man_data_segments(table_dir, prev_man))
             for t in prev_man.get("transforms", []):
                 if t not in spec_union:
                     spec_union.append(t)
         manifest = {
             "version": version,
             "mode": mode,
-            "files": live + new_files,
+            "segments": seg_entries + [new_entry],
             # logical schema = the SOURCE schema; transforms are derived
             "schema": df.schema.jsonValue(),
             # current spec first, then every spec any live file was
             # written under (the pruning-key universe)
             "transforms": spec_union,
-            "partitions": {**carried_parts, **partitions},
         }
         final = _manifest_path(table_dir, version)
         tmp = final + f".tmp-{token}"
@@ -3189,14 +3561,12 @@ def read_hidden_partitioned(
     carry the LOGICAL schema only (transform values never materialize
     in the data — exactly Iceberg's contract). Pruning is metadata-only:
     no file is opened to decide."""
-    import json
-
     from pyspark.sql.types import StructType
 
     prev = latest_version(table_dir)
-    man = json.load(open(_manifest_path(table_dir, prev)))
-    files = man["files"]
-    parts = man["partitions"]
+    man = _load_manifest(table_dir, prev)
+    files = _man_files(table_dir, man)
+    parts = _man_partitions(table_dir, man)
     known = set(man.get("transforms", []))
     for name in (pred or {}):
         if name not in known:
@@ -3894,8 +4264,8 @@ def replace_where(
     prev = latest_version(table_dir)
     if prev is None:
         raise ValueError(f"no snapshots in {table_dir}")
-    man0 = json.load(open(_manifest_path(table_dir, prev)))
-    _evolved_schema(_table_schema(spark, man0), df.schema, False)
+    man0 = _load_manifest(table_dir, prev)
+    _evolved_schema(_table_schema(spark, man0, table_dir), df.schema, False)
     _enforce_constraints(spark, table_dir, df)
     n_outside = df.filter(f"NOT ({predicate})").limit(1).count()
     if n_outside:
@@ -3911,13 +4281,14 @@ def replace_where(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    new_entry = _write_segment(table_dir, new_files)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
     token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         at = latest_version(table_dir)
-        man = json.load(open(_manifest_path(table_dir, at)))
-        files = man["files"]
-        existing_dels = man.get("delete_files", [])
+        man = _load_manifest(table_dir, at)
+        files = _man_files(table_dir, man)
+        existing_dels = _man_delete_files(table_dir, man)
         reader = spark.read
         if man.get("merge_schema"):
             reader = reader.option("mergeSchema", "true")
@@ -3939,11 +4310,13 @@ def replace_where(
             for f in os.listdir(del_dir)
             if f.endswith(".parquet")
         )
+        del_entry = _write_segment(table_dir, del_files, kind="delete")
         manifest = {
             "version": at + 1,
             "mode": "replace_where",
-            "files": files + new_files,
-            "delete_files": existing_dels + del_files,
+            "segments": _man_data_segments(table_dir, man) + [new_entry],
+            "delete_segments": _man_delete_segments(table_dir, man)
+            + [del_entry],
         }
         for k in ("schema", "merge_schema"):
             if k in man:

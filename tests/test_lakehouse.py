@@ -185,9 +185,7 @@ def test_commit_version_retry_lands_both_writers(spark, sf_dir, tmp_path, monkey
             winner = {
                 "version": 1,
                 "mode": "append",
-                "files": json.load(
-                    open(os.path.join(t, "manifests", "v0.json"))
-                )["files"],
+                "files": layout.json_manifest_files(t, 0),
             }
             with open(os.path.join(t, "manifests", "v1.json"), "w") as f:
                 json.dump(winner, f)
@@ -198,8 +196,8 @@ def test_commit_version_retry_lands_both_writers(spark, sf_dir, tmp_path, monkey
     v = layout.commit_version(spark, t, base.limit(5))
     monkeypatch.setattr(layout, "latest_version", real)
     assert v == 2
-    files_v2 = json.load(open(os.path.join(t, "manifests", "v2.json")))["files"]
-    files_v1 = json.load(open(os.path.join(t, "manifests", "v1.json")))["files"]
+    files_v2 = layout.json_manifest_files(t, 2)
+    files_v1 = layout.json_manifest_files(t, 1)
     # rebased on the winner: v2 ⊃ v1 plus the loser's new files
     assert set(files_v1) < set(files_v2)
     assert layout.read_version(spark, t, 2).count() == 15

@@ -506,6 +506,8 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
         commit_version,
         latest_version,
         read_version,
+        _man_delete_files,
+        _man_files,
         _manifest_path,
     )
 
@@ -521,8 +523,8 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     # zero copy: the clone's manifest references the SOURCE's files and
     # the clone dir holds no data of its own
     man = json.load(open(_manifest_path(dst, 0)))
-    assert all(f.startswith(src) for f in man["files"])
-    assert all(f.startswith(src) for f in man.get("delete_files", []))
+    assert all(f.startswith(src) for f in _man_files(dst, man))
+    assert all(f.startswith(src) for f in _man_delete_files(dst, man))
     assert not os.path.isdir(os.path.join(dst, "data"))
     # delete vector inherited
     assert read_version(spark, dst).count() == 8

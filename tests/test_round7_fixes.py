@@ -182,7 +182,8 @@ def test_commit_deletes_conflicts_with_concurrent_overwrite(
     man = json.load(
         open(os.path.join(t, "manifests", f"v{layout.latest_version(t)}.json"))
     )
-    assert man["mode"] == "overwrite" and not man.get("delete_files")
+    assert man["mode"] == "overwrite"
+    assert not layout._man_delete_files(t, man)
 
 
 def test_commit_deletes_still_fine_with_concurrent_append(
@@ -298,7 +299,10 @@ def test_restore_is_zero_copy_and_rejects_race(spark, sf_dir, tmp_path):
     assert v == 2
     m0 = json.load(open(os.path.join(t, "manifests", "v0.json")))
     m2 = json.load(open(os.path.join(t, "manifests", "v2.json")))
-    assert m2["files"] == m0["files"]  # zero-copy re-reference
+    # zero-copy re-reference at BOTH metadata levels (round 8): the
+    # restore's manifest list reuses v0's segment entries verbatim
+    assert m2["segments"] == m0["segments"]
+    assert layout._man_files(t, m2) == layout._man_files(t, m0)
     assert layout.read_version(spark, t, 2).count() == ev.count()
     assert layout.read_version(spark, t, 1).count() == ev.filter(
         "event_type <> 'error'"

@@ -28,7 +28,12 @@ def _events(spark, sf_dir):
 
 
 def _manifest(t, v):
-    return json.load(open(os.path.join(t, "manifests", f"v{v}.json")))
+    """Manifest view with the round-8 two-level file lists materialized
+    (tests assert on file sets; the on-disk format is segment-based)."""
+    man = dict(json.load(open(os.path.join(t, "manifests", f"v{v}.json"))))
+    man["files"] = layout._man_files(t, man)
+    man["delete_files"] = layout._man_delete_files(t, man)
+    return man
 
 
 # --- MERGE INTO ------------------------------------------------------------

@@ -115,3 +115,84 @@ def test_commit_partitioned_rejects_non_integer_transform(spark, tmp_path):
     with pytest.raises(ValueError, match="integer-typed"):
         L.commit_partitioned(spark, t, df, [("ps", F.col("s"))])
     assert not os.path.exists(os.path.join(t, "data"))
+
+
+# --- two-level manifests: commit bytes are proportional to files touched ----
+
+
+def _meta_bytes(t):
+    import glob
+    import os
+
+    return sum(
+        os.path.getsize(p)
+        for pat in ("manifests/v*.json", "segments/s-*.json")
+        for p in glob.glob(os.path.join(t, pat))
+    )
+
+
+def test_commit_metadata_cost_is_o_files_touched(spark, tmp_path):
+    """Round-8 manifest redesign contract: appending ONE file to a
+    table writes metadata ∝ files touched, NOT ∝ table size. A table
+    with 20x the live files must not pay materially more per-append
+    metadata than a small one (pre-redesign the big table's manifest
+    re-serialized every live path: ~20x)."""
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    L.commit_version(spark, small, _df(spark, 0, 100).repartition(10))
+    for i in range(3):
+        L.commit_version(
+            spark, big,
+            _df(spark, i * 1000, (i + 1) * 1000).repartition(64),
+        )
+    assert len(L.json_manifest_files(big, 2)) >= 150
+
+    def append_cost(t):
+        before = _meta_bytes(t)
+        L.commit_version(spark, t, _df(spark, 9000, 9010).repartition(1))
+        return _meta_bytes(t) - before
+
+    c_small, c_big = append_cost(small), append_cost(big)
+    # pre-redesign this ratio tracked the live-file ratio (~20x); the
+    # manifest list still grows by one ENTRY per commit, so allow the
+    # small constant factor, nothing like O(files)
+    assert c_big < 4 * c_small, (c_small, c_big)
+
+
+def test_segment_stats_embedded_and_pruning_uses_them(spark, tmp_path):
+    """Segments embed per-file min/max at write; snapshot_file_stats
+    serves them without footer reads and pruned_snapshot_read skips
+    whole segments via manifest-list rollup bounds."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    L.commit_version(spark, t, _df(spark, 0, 100).repartition(2))
+    L.commit_version(spark, t, _df(spark, 1000, 1100).repartition(2))
+    man = json.load(open(os.path.join(t, "manifests", "v1.json")))
+    assert [e["kind"] for e in man["segments"]] == ["data", "data"]
+    # rollup bounds on the manifest-list entries
+    assert man["segments"][0]["stats"]["k"] == [0, 99]
+    assert man["segments"][1]["stats"]["k"] == [1000, 1099]
+    assert man["segments"][1]["n_rows"] == 100
+    stats = L.snapshot_file_stats(t, "k")
+    assert all(lo is not None for lo, _ in stats.values())
+    df, opened, total = L.pruned_snapshot_read(spark, t, "k", 1050, 1060)
+    assert total == 4 and opened <= 2
+    assert df.count() == 11
+
+
+def test_vacuum_reclaims_unreferenced_segments(spark, tmp_path):
+    import glob
+    import os
+
+    t = str(tmp_path / "tbl")
+    L.commit_version(spark, t, _df(spark, 0, 50))
+    L.commit_version(spark, t, _df(spark, 50, 90), mode="overwrite")
+    n_segs_pre = len(glob.glob(os.path.join(t, "segments", "s-*.json")))
+    assert n_segs_pre == 2
+    L.vacuum(t, keep_versions=1)
+    survivors = glob.glob(os.path.join(t, "segments", "s-*.json"))
+    assert len(survivors) == 1
+    # the surviving segment is exactly v1's
+    assert L.read_version(spark, t, 1).count() == 40
