@@ -66,6 +66,34 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench: tokbase_build failed: {type(e).__name__}: {e}", file=sys.stderr)
         timings["tokbase_build"] = -1.0
+    # Lakehouse gate artifacts as EXPLICIT infra entries (round-7
+    # verdict item 2, same precedent): these five gates read a
+    # build-once table whose one-time construction (commits, MERGE,
+    # partitioned writes, transactions) is write-path infrastructure.
+    # Pricing the build into the gate's single-pass number made a
+    # 0.2-0.8 s metadata-pruned warm read look like a 29-39x
+    # "regression". The builds are now timed here; the gate query in
+    # the main loop times the warm read — the number the 100 TB design
+    # actually promises.
+    from parquet_to_csv_spark.sources import layout as _layout
+
+    for build_name, builder in (
+        ("partition_evolution_build", _layout._partition_evolution_root),
+        ("hidden_partition_build", _layout._hidden_partition_root),
+        ("merge_delete_build", _layout._merge_delete_root),
+        ("tx_lifecycle_build", _layout._tx_lifecycle_root),
+        ("replace_where_build", _layout._replace_where_root),
+    ):
+        t0 = time.perf_counter()
+        try:
+            builder(spark, sf_dir)
+            timings[build_name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"bench: {build_name} failed: {type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+            timings[build_name] = -1.0
     spark.catalog.clearCache()
     codegen_fallbacks: dict[str, int] = {}
     cg_off, _ = read_codegen_failures(0)  # skip anything warmup logged
@@ -165,7 +193,14 @@ def main() -> None:
     audit_sec = round(
         sum(t for k, t in timings.items() if k in AUDIT_TIER and t >= 0), 3
     )
-    INFRA_TIER = {"tokbase_build"}
+    INFRA_TIER = {
+        "tokbase_build",
+        "partition_evolution_build",
+        "hidden_partition_build",
+        "merge_delete_build",
+        "tx_lifecycle_build",
+        "replace_where_build",
+    }
     infra_sec = round(
         sum(t for k, t in timings.items() if k in INFRA_TIER and t >= 0), 3
     )

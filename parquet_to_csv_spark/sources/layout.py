@@ -3944,19 +3944,13 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merge_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT E510 gate query: one MERGE applying BOTH branches — upsert
-    images (value re-priced for event_id ≡ 0 mod 13) and a DELETE
-    branch (event_id ≡ 0 mod 17; overlap keys excluded from upserts by
-    the caller's op-split, as the ambiguity rule requires) — in one
-    atomic commit. The post-merge table aggregates per type; the
-    oracle recomputes the surviving-row state directly from events.
-    """
+def _merge_delete_root(spark: SparkSession, sf_dir: str) -> str:
+    """Shared E510 artifact (build-once; priced as a bench infra
+    entry since round 8): events base + one two-branch MERGE."""
     import os
 
     from pyspark.sql import functions as F
 
-    from parquet_to_csv_spark.functions.stable import exact_units
     from parquet_to_csv_spark.sources.tables import load_table, source_salt
 
     def _build(stage: str) -> None:
@@ -3973,9 +3967,26 @@ def merge_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         deletes = ev.filter(F.col("event_id") % 17 == 0).select("event_id")
         merge_into(spark, tdir, upserts, "event_id", delete_keys=deletes)
 
-    root = claim_artifact(
+    return claim_artifact(
         spark, "mergedel_" + source_salt(sf_dir, "events"), _build
     )
+
+
+def merge_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E510 gate query: one MERGE applying BOTH branches — upsert
+    images (value re-priced for event_id ≡ 0 mod 13) and a DELETE
+    branch (event_id ≡ 0 mod 17; overlap keys excluded from upserts by
+    the caller's op-split, as the ambiguity rule requires) — in one
+    atomic commit. The post-merge table aggregates per type; the
+    oracle recomputes the surviving-row state directly from events.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    root = _merge_delete_root(spark, sf_dir)
     df = read_version(spark, os.path.join(root, "tbl"), 1)
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -4336,17 +4347,13 @@ def replace_where(
     raise RuntimeError(f"replaceWhere lost races in {table_dir}")
 
 
-def replace_where_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT E517 gate query: reprocess the ``error`` slice — replace
-    every error event with a corrected image (value zeroed) in one
-    atomic commit; the post-replace table aggregates per type, the
-    oracle recomputes the expected state. Scope-escape rejection is
-    pytest-pinned."""
+def _replace_where_root(spark: SparkSession, sf_dir: str) -> str:
+    """Shared E517 artifact (build-once; priced as a bench infra
+    entry since round 8): events base + one scoped replaceWhere."""
     import os
 
     from pyspark.sql import functions as F
 
-    from parquet_to_csv_spark.functions.stable import exact_units
     from parquet_to_csv_spark.sources.tables import load_table, source_salt
 
     def _build(stage: str) -> None:
@@ -4360,9 +4367,24 @@ def replace_where_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         replace_where(spark, tdir, "event_type = 'error'", corrected)
 
-    root = claim_artifact(
+    return claim_artifact(
         spark, "replwhere_" + source_salt(sf_dir, "events"), _build
     )
+
+
+def replace_where_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT E517 gate query: reprocess the ``error`` slice — replace
+    every error event with a corrected image (value zeroed) in one
+    atomic commit; the post-replace table aggregates per type, the
+    oracle recomputes the expected state. Scope-escape rejection is
+    pytest-pinned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_csv_spark.functions.stable import exact_units
+
+    root = _replace_where_root(spark, sf_dir)
     df = read_version(spark, os.path.join(root, "tbl"), 1)
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
