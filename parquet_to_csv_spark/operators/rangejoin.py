@@ -432,11 +432,26 @@ def bitemporal_asof_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("v"),
     ).select("c_custkey", "c_mktsegment", "v.*")
+    # pure-JVM literal relation (round 8): createDataFrame routed the
+    # 4-row probe table through a Python RDD (Scan ExistingRDD →
+    # applySchemaToPythonRDD), paying a Python-worker round trip on
+    # every cold execution of an otherwise all-JVM plan
     probes = F.broadcast(
-        spark.createDataFrame(
-            [(50, 25), (150, 25), (150, 75), (50, 75)],
-            "probe_v int, probe_t int",
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(v).cast("int").alias("probe_v"),
+                            F.lit(t).cast("int").alias("probe_t"),
+                        )
+                        for v, t in ((50, 25), (150, 25), (150, 75), (50, 75))
+                    ]
+                )
+            ).alias("p")
         )
+        .select("p.*")
     )
     return (
         ver.join(
