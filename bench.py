@@ -77,12 +77,18 @@ def main() -> None:
     # actually promises.
     from parquet_to_csv_spark.sources import layout as _layout
 
+    from parquet_to_csv_spark.operators import corpus as _corpus
+
     for build_name, builder in (
         ("partition_evolution_build", _layout._partition_evolution_root),
         ("hidden_partition_build", _layout._hidden_partition_root),
         ("merge_delete_build", _layout._merge_delete_root),
         ("tx_lifecycle_build", _layout._tx_lifecycle_root),
         ("replace_where_build", _layout._replace_where_root),
+        # round-8 verdict item 4: the doc-grain unigram-LM score base
+        # (consumed by unigram_lm_score, the lex/LM overlap report and
+        # perplexity_pruning_report — the last referenced it twice)
+        ("uniglm_build", _corpus._unigram_lm_base),
     ):
         t0 = time.perf_counter()
         try:
@@ -200,6 +206,7 @@ def main() -> None:
         "merge_delete_build",
         "tx_lifecycle_build",
         "replace_where_build",
+        "uniglm_build",
     }
     infra_sec = round(
         sum(t for k, t in timings.items() if k in INFRA_TIER and t >= 0), 3

@@ -174,9 +174,47 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIGRAM_LM_CACHE: dict[str, str] = {}
+
+
+def _unigram_lm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once/read-many doc-grain unigram-LM score base (round-8
+    verdict item 4): the (doc_id, n_tokens, avg_logprob) relation is
+    consumed by several registry queries (the E39 scorer itself, the
+    lexical/LM overlap report, E522 perplexity pruning — the last of
+    which referenced it TWICE: once for the global P10 threshold and
+    once for the flagging pass, recomputing the whole scoring pipeline
+    each time). Staged through ``layout.claim_artifact`` like the
+    dedup token base; the build is priced as the bench infra entry
+    ``uniglm_build``, consumers pay a parquet scan."""
+    import os
+
+    from parquet_to_csv_spark.sources.layout import claim_artifact
+    from parquet_to_csv_spark.sources.tables import source_salt
+
+    key = "uniglm_" + source_salt(sf_dir, "documents")
+    path = _UNIGRAM_LM_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+
+        def _build(stage: str) -> None:
+            _unigram_lm_compute(spark, sf_dir).write.parquet(stage)
+
+        path = claim_artifact(spark, key, _build)
+        _UNIGRAM_LM_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean log-probability under the corpus unigram LM —
     the classic cheap quality/outlier signal for corpus filtering.
+    Served from the build-once artifact base (see
+    :func:`_unigram_lm_base`); the scoring plan itself is
+    :func:`_unigram_lm_compute`."""
+    return _unigram_lm_base(spark, sf_dir)
+
+
+def _unigram_lm_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual unigram-LM scoring plan.
 
     Plan: explode once → (doc, term) tf with map-side partial agg; the
     LM term counts REUSE that relation (``sum(tf)`` per term) instead
