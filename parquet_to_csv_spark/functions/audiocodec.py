@@ -82,6 +82,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 def sniff_audio(payload: bytes) -> str | None:
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
         return "mp3"
     if payload[:4] == b"OggS":
@@ -90,12 +92,19 @@ def sniff_audio(payload: bytes) -> str | None:
 
 
 def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode WAV (PCM); raise the honest boundary for compressed
-    audio formats, which need native codec libraries."""
+    """Decode WAV (PCM) or FLAC (lossless, pure-Python bitstream
+    decoder since round 8 — ``functions/flaccodec.py``); raise the
+    honest boundary for lossy transform codecs (MP3/Ogg/AAC), which
+    genuinely need native DSP libraries."""
     fmt = sniff_audio(payload)
     if fmt == "wav":
         return decode_wav(payload)
+    if fmt == "flac":
+        from parquet_to_csv_spark.functions.flaccodec import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
-        f"only PCM WAV has a pure-Python decoder in this container "
-        f"(got {fmt or 'unknown'}); MP3/Ogg/AAC need ffmpeg/librosa"
+        f"only PCM WAV and FLAC have pure-Python decoders in this "
+        f"container (got {fmt or 'unknown'}); MP3/Ogg/AAC need "
+        "ffmpeg/librosa"
     )

@@ -567,6 +567,80 @@ def multimodal_audio_decode(
     return spark.range(n_clips).mapInPandas(_gen, AUDIO_GATE_SCHEMA)
 
 
+def multimodal_flac_decode(
+    spark: SparkSession, sf_dir: str, n_clips: int = 16
+) -> DataFrame:
+    """EXT E523: gate query for the pure-Python FLAC decode path —
+    the compressed-audio sibling of E429 (WAV). Per clip, a
+    deterministic waveform (constant amplitude 300·(id+1) for id ≡ 0
+    mod 5, else a square wave with half-period 2+id%5; length
+    400·(1+id%4); mono for even ids, inverted-right stereo for odd) is
+    ENCODED to a spec-correct FLAC stream inside the plan — the
+    encoder cycles subframe strategies per frame (best-FIXED with
+    2-partition Rice, FIXED-0 with forced escape partitions, explicit
+    LPC, VERBATIM; CONSTANT arises on the flat clips) and uses
+    mid/side decorrelation on odd stereo frames — then decoded back
+    through the full bitstream machinery (``functions/flaccodec.py``:
+    UTF-8 frame numbers, CRC-8/16 verification, Rice partitions incl.
+    escapes, fixed+LPC predictors, stereo reconstruction, STREAMINFO
+    MD5 check) and reduced to exact integer features.
+
+    The DuckDB oracle regenerates the features from the waveform
+    formulas set-wise, never touching a byte — any bitstream defect
+    (partition stride, zigzag, predictor order, channel
+    decorrelation, CRC placement) shifts an integer and fails the
+    hash. Lossy codecs (MP3/Ogg/AAC) remain the honest
+    ``NotImplementedError`` boundary (SURVEY §2.7).
+
+    Scale shape: stateless ``mapInPandas`` over ``spark.range`` — the
+    same embarrassingly-parallel decode+featurize fan-out as E429.
+    """
+    import numpy as np
+
+    from parquet_to_csv_spark.functions import audiocodec as ac
+    from parquet_to_csv_spark.functions import flaccodec as fc
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "clip_id", "channels", "sample_rate", "n_samples",
+                "sum_abs", "max_abs", "n_zero_cross",
+            )}
+            for cid in pdf["id"]:
+                cid = int(cid)
+                amp = 300 * (cid + 1)
+                half = 2 + cid % 5
+                n = 400 * (1 + cid % 4)
+                rate = 8000 + 1000 * (cid % 3)
+                t = np.arange(n)
+                if cid % 5 == 0:
+                    mono = np.full(n, amp, dtype=np.int16)
+                else:
+                    mono = np.where(
+                        (t // half) % 2 == 0, amp, -amp
+                    ).astype(np.int16)
+                stereo = cid % 2 == 1
+                samples = (
+                    np.stack([mono, -mono], axis=1) if stereo else mono
+                )
+                payload = fc.encode_flac(samples, rate, block_size=256)
+                drate, dch, dec = ac.decode_audio(payload)
+                flat = dec.astype(np.int64)
+                left = flat[:, 0]
+                out["clip_id"].append(cid)
+                out["channels"].append(dch)
+                out["sample_rate"].append(drate)
+                out["n_samples"].append(int(flat.shape[0]))
+                out["sum_abs"].append(int(np.abs(flat).sum()))
+                out["max_abs"].append(int(np.abs(flat).max()))
+                out["n_zero_cross"].append(
+                    int((np.sign(left[1:]) != np.sign(left[:-1])).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(n_clips).mapInPandas(_gen, AUDIO_GATE_SCHEMA)
+
+
 VIDEO_META_SCHEMA = (
     "clip_id long, major_brand string, timescale int, duration long, "
     "n_tracks int, duration_ms long"

@@ -2040,6 +2040,28 @@ FROM c
 """
 
 
+# E523 — FLAC decode gate (round 8): same feature formulas as E429 but
+# through the pure-Python FLAC bitstream (fixed/LPC predictors, Rice
+# partitions + escapes, mid/side stereo, CRC-8/16, STREAMINFO MD5).
+# Constant clips (cid % 5 = 0) have zero crossings 0; square clips
+# (n-1) // half. sum_abs and max_abs share one closed form.
+QUERIES["multimodal_flac_decode"] = _mm.multimodal_flac_decode
+ORACLES["multimodal_flac_decode"] = """
+WITH c AS (SELECT unnest(range(0, 16)) AS cid)
+SELECT CAST(cid AS BIGINT) AS clip_id,
+       CAST(CASE WHEN cid % 2 = 1 THEN 2 ELSE 1 END AS INT) AS channels,
+       CAST(8000 + 1000 * (cid % 3) AS INT) AS sample_rate,
+       CAST(400 * (1 + cid % 4) AS BIGINT) AS n_samples,
+       CAST(400 * (1 + cid % 4) * 300 * (cid + 1)
+            * (CASE WHEN cid % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS sum_abs,
+       CAST(300 * (cid + 1) AS BIGINT) AS max_abs,
+       CAST(CASE WHEN cid % 5 = 0 THEN 0
+                 ELSE (400 * (1 + cid % 4) - 1) // (2 + cid % 5) END
+            AS BIGINT) AS n_zero_cross
+FROM c
+"""
+
+
 QUERIES["state_metadata_report"] = _stream.state_metadata_report
 ORACLES["state_metadata_report"] = """
 SELECT * FROM (VALUES
