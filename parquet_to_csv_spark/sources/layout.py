@@ -562,8 +562,20 @@ def _write_segment(
         seg["n_rows"] = per_rows
     if per_stats:
         seg["stats"] = per_stats
+    pstats: dict = {}
     if partitions:
         seg["partitions"] = partitions
+        # rollup of partition-transform values across the segment's
+        # files, only for transforms EVERY file carries (partition
+        # evolution makes per-file tuples heterogeneous; a transform
+        # absent from any file is not segment-prunable)
+        common = None
+        for tup in partitions.values():
+            keys = set(tup)
+            common = keys if common is None else common & keys
+        for name in sorted(common or ()):
+            vals = [tup[name] for tup in partitions.values()]
+            pstats[name] = [min(vals), max(vals)]
     path = os.path.join(seg_dir, f"s-{uuid.uuid4().hex[:16]}.json")
     with open(path, "w") as f:
         json.dump(seg, f)
@@ -576,6 +588,8 @@ def _write_segment(
         # manifest list without opening the segment JSON (E454 at the
         # segment grain)
         entry["stats"] = roll
+    if pstats:
+        entry["pstats"] = pstats
     return entry
 
 
@@ -3559,24 +3573,14 @@ def read_hidden_partitioned(
     ``{name: value}`` for equality or ``{name: (lo, hi)}`` for an
     inclusive range. Returns ``(df, files_scanned, files_total)``; rows
     carry the LOGICAL schema only (transform values never materialize
-    in the data — exactly Iceberg's contract). Pruning is metadata-only:
-    no file is opened to decide."""
+    in the data — exactly Iceberg's contract). Pruning is metadata-only
+    and TWO-LEVEL since round 8: segments whose manifest-list
+    ``pstats`` (per-transform value rollups) exclude the predicate are
+    skipped without opening their segment JSON, then per-file tuples
+    prune within the survivors — no file is opened to decide."""
     from pyspark.sql.types import StructType
 
-    prev = latest_version(table_dir)
-    man = _load_manifest(table_dir, prev)
-    files = _man_files(table_dir, man)
-    parts = _man_partitions(table_dir, man)
-    known = set(man.get("transforms", []))
-    for name in (pred or {}):
-        if name not in known:
-            raise KeyError(
-                f"predicate transform {name!r} not in table spec {known}"
-            )
-    keep = []
-    for f in files:
-        tup = parts[f]
-        ok = True
+    def _tuple_ok(tup: dict) -> bool:
         for name, cond in (pred or {}).items():
             if name not in tup:
                 # partition evolution: this file predates the
@@ -3584,17 +3588,53 @@ def read_hidden_partitioned(
                 continue
             v = tup[name]
             if isinstance(cond, (tuple, list)):
-                ok = ok and cond[0] <= v <= cond[1]
-            else:
-                ok = ok and v == cond
-        if ok:
-            keep.append(f)
+                if not (cond[0] <= v <= cond[1]):
+                    return False
+            elif v != cond:
+                return False
+        return True
+
+    prev = latest_version(table_dir)
+    man = _load_manifest(table_dir, prev)
+    known = set(man.get("transforms", []))
+    for name in (pred or {}):
+        if name not in known:
+            raise KeyError(
+                f"predicate transform {name!r} not in table spec {known}"
+            )
+    keep: list[str] = []
+    if "segments" in man:
+        n_total = sum(e["n_files"] for e in man["segments"])
+        for e in man["segments"]:
+            ps = e.get("pstats", {})
+            skip = False
+            for name, cond in (pred or {}).items():
+                if name not in ps:
+                    continue
+                lo, hi = ps[name]
+                if isinstance(cond, (tuple, list)):
+                    if hi < cond[0] or lo > cond[1]:
+                        skip = True
+                        break
+                elif cond < lo or cond > hi:
+                    skip = True
+                    break
+            if skip:
+                continue
+            seg = _seg_load(e)
+            sparts = seg.get("partitions", {})
+            keep.extend(f for f in seg["files"] if _tuple_ok(sparts.get(f, {})))
+    else:
+        files = _man_files(table_dir, man)
+        parts = _man_partitions(table_dir, man)
+        n_total = len(files)
+        keep = [f for f in files if _tuple_ok(parts[f])]
     schema = StructType.fromJson(man["schema"])
     if not keep:
         df = spark.createDataFrame([], schema)
     else:
         df = spark.read.schema(schema).parquet(*keep)
-    return df, len(keep), len(files)
+    return df, len(keep), n_total
 
 
 def _hidden_partition_root(spark: SparkSession, sf_dir: str) -> str:

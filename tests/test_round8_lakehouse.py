@@ -196,3 +196,29 @@ def test_vacuum_reclaims_unreferenced_segments(spark, tmp_path):
     assert len(survivors) == 1
     # the surviving segment is exactly v1's
     assert L.read_version(spark, t, 1).count() == 40
+
+
+def test_hidden_partition_segment_level_pruning(spark, tmp_path):
+    """Two commit_partitioned appends with disjoint transform ranges →
+    two segments whose manifest-list pstats rollups are disjoint; a
+    range predicate on one side must prune the OTHER segment without
+    opening its segment JSON (pinned via the pstats fields) and still
+    return exactly the matching files/rows."""
+    import json
+    import os
+
+    t = str(tmp_path / "pt")
+    df1 = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    df2 = spark.range(100, 140).select(
+        F.col("id").alias("k"), (F.col("id") % 4 + 10).alias("g")
+    )
+    L.commit_partitioned(spark, t, df1, [("pg", F.col("g"))])
+    L.commit_partitioned(spark, t, df2, [("pg", F.col("g"))], mode="append")
+    man = json.load(open(os.path.join(t, "manifests", "v1.json")))
+    assert [e["pstats"]["pg"] for e in man["segments"]] == [[0, 3], [10, 13]]
+    df, scanned, total = L.read_hidden_partitioned(spark, t, {"pg": (10, 11)})
+    assert scanned < total
+    got = sorted(r["k"] for r in df.collect())
+    assert got == [k for k in range(100, 140) if k % 4 in (0, 1)]
