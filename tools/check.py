@@ -5,7 +5,12 @@ Runs every ``queries()`` entry at a scale factor and diffs it against
 order-insensitive value comparison (columns sorted by name, rows sorted
 by all columns, exact equality — same bar as a value-hash).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--first-50] [--log PATH] [sf_dir] [query ...]
+
+``--log PATH`` writes a JSON artifact (per-query status/rows/seconds +
+summary) — the committed full-registry check log the round-7 verdict
+asked for (CHECKLOG_r{N}.json), auditable and diffable from the repo
+alone.
 """
 
 from __future__ import annotations
@@ -84,6 +89,11 @@ def main() -> int:
     # regression inside the window before the driver sees it.
     first_50 = "--first-50" in args
     args = [a for a in args if a != "--first-50"]
+    log_path = None
+    if "--log" in args:
+        i = args.index("--log")
+        log_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("check")
@@ -92,6 +102,16 @@ def main() -> int:
     if first_50:
         qs = dict(list(qs.items())[:50])
     n_fail = 0
+    log: dict[str, dict] = {}
+
+    def record(name: str, status: str, t0: float, rows=None, detail=None):
+        e = {"status": status, "sec": round(time.time() - t0, 2)}
+        if rows is not None:
+            e["rows"] = int(rows)
+        if detail:
+            e["detail"] = detail
+        log[name] = e
+
     cg_off, _ = read_codegen_failures(0)
     for name, fn in qs.items():
         if only and name not in only:
@@ -101,6 +121,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            record(name, "FAIL", t0, detail=f"spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
         # codegen-fallback sniffer: a CompileException during this query
@@ -113,15 +134,18 @@ def main() -> int:
                 f"FAIL {name}: {n_cg} whole-stage-codegen compile "
                 "failure(s) — silent interpreted fallback"
             )
+            record(name, "FAIL", t0, detail=f"{n_cg} codegen fallback(s)")
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            record(name, "ROWS_ONLY", t0, rows=len(sdf))
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            record(name, "FAIL", t0, detail=f"oracle raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
@@ -130,9 +154,31 @@ def main() -> int:
             print(f"FAIL {name} ({time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"  - {p}")
+            record(name, "FAIL", t0, rows=len(sdf), detail="; ".join(problems))
         else:
             print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            record(name, "PASS", t0, rows=len(sdf))
     print(f"\n{n_fail} failures")
+    if log_path:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "ts": time.time(),
+            "strictness": "value+dtype+codegen",
+            "n_checked": len(log),
+            "n_pass": sum(1 for e in log.values() if e["status"] == "PASS"),
+            "n_rows_only": sum(
+                1 for e in log.values() if e["status"] == "ROWS_ONLY"
+            ),
+            "n_fail": n_fail,
+            "total_sec": round(sum(e["sec"] for e in log.values()), 1),
+            "queries": log,
+        }
+        with open(log_path, "w") as f:
+            json.dump(summary, f, indent=1)
+            f.write("\n")
+        print(f"log written to {log_path}")
     return 1 if n_fail else 0
 
 
