@@ -546,6 +546,10 @@ def _write_segment(
             nr, bounds = _file_footer_stats(f) if collect_stats else (None, {})
         except Exception:
             nr, bounds = None, {}
+        if kind != "data":
+            # delete sidecars need row counts (DESCRIBE HISTORY) but
+            # their (file_path, row_index) bounds prune nothing
+            bounds = {}
         if nr is not None:
             per_rows[f] = nr
             n_rows += nr
