@@ -222,3 +222,87 @@ def test_hidden_partition_segment_level_pruning(spark, tmp_path):
     assert scanned < total
     got = sorted(r["k"] for r in df.collect())
     assert got == [k for k in range(100, 140) if k % 4 in (0, 1)]
+
+
+# --- stateful property test: random op sequences vs a Python model ---------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_snapshot_store_random_op_sequences(spark, data):
+    """Random append/overwrite/delete/optimize/restore sequences over
+    the two-level store: every committed version must read back exactly
+    the Python model's state for that version (multiset equality), and
+    vacuum at the end must not disturb the latest read."""
+    import itertools
+    import tempfile
+
+    t = tempfile.mkdtemp(prefix="prop_store_") + "/tbl"
+    ks = itertools.count()
+
+    def fresh_rows(m):
+        return [(next(ks), None) for _ in range(m)]
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            [(k, k % 7) for k, _ in rows], "k long, g long"
+        )
+
+    state: list[int] = []       # live ks
+    history: list[list[int]] = []  # per committed version
+
+    # v0 seed
+    seed = [k for k, _ in fresh_rows(data.draw(st.integers(3, 8)))]
+    L.commit_version(spark, t, mk_df([(k, None) for k in seed]))
+    state = list(seed)
+    history.append(list(state))
+
+    n_ops = data.draw(st.integers(2, 5))
+    for _ in range(n_ops):
+        op = data.draw(
+            st.sampled_from(["append", "overwrite", "delete", "optimize", "restore"])
+        )
+        if op == "append":
+            rows = [k for k, _ in fresh_rows(data.draw(st.integers(1, 6)))]
+            L.commit_version(spark, t, mk_df([(k, None) for k in rows]))
+            state = state + rows
+        elif op == "overwrite":
+            rows = [k for k, _ in fresh_rows(data.draw(st.integers(1, 6)))]
+            L.commit_version(
+                spark, t, mk_df([(k, None) for k in rows]), mode="overwrite"
+            )
+            state = rows
+        elif op == "delete":
+            g = data.draw(st.integers(0, 6))
+            if not any(k % 7 == g for k in state):
+                # empty delete vectors are a no-op shape the store
+                # rejects upstream; draw a live g when one exists
+                if state:
+                    g = state[0] % 7
+                else:
+                    continue
+            L.commit_deletes(spark, t, f"g = {g}")
+            state = [k for k in state if k % 7 != g]
+        elif op == "optimize":
+            L.optimize_table(spark, t)
+        elif op == "restore":
+            v = data.draw(st.integers(0, len(history) - 1))
+            L.restore_table(spark, t, v)
+            state = list(history[v])
+        history.append(list(state))
+
+    assert L.latest_version(t) == len(history) - 1
+    # every version reads back its model state exactly
+    for v, want in enumerate(history):
+        got = sorted(r["k"] for r in L.read_version(spark, t, v).collect())
+        assert got == sorted(want), (v, got, want)
+    # vacuum keeps the latest version intact
+    L.vacuum(t, keep_versions=1)
+    got = sorted(r["k"] for r in L.read_version(spark, t).collect())
+    assert got == sorted(history[-1])
