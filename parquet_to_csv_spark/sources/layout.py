@@ -3567,6 +3567,113 @@ def commit_partitioned(
     raise RuntimeError(f"concurrent commit lost {max_attempts} races in {table_dir}")
 
 
+def rewrite_segments(
+    table_dir: str, max_entries: int = 8, max_attempts: int = 5
+) -> int:
+    """Metadata-only segment compaction (round 8) — Iceberg's
+    ``rewriteManifests``: when the manifest list has accumulated more
+    than ``max_entries`` data-segment entries (one per commit since
+    the last rewrite/OPTIMIZE), merge them into ONE segment manifest
+    and commit a new version re-referencing the SAME data files. No
+    data byte moves; per-file stats, row counts and partition tuples
+    are carried from the old segments (no footer re-reads). This keeps
+    manifest-list size bounded on append-heavy tables that never need
+    a data OPTIMIZE — at one append per minute, a year is ~5×10⁵
+    entries without it, 1 + recent-tail with it.
+
+    Conflict rule: the rewrite is pure metadata over an observed
+    snapshot; losing the put-if-absent race just re-reads and retries
+    (rebasing is always safe — the new latest's segments are merged
+    instead). Returns the committed version, or the current latest
+    unchanged if the list is already within budget."""
+    import json
+    import os
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    for _ in range(max_attempts):
+        prev = latest_version(table_dir)
+        if prev is None:
+            raise ValueError(f"no snapshots in {table_dir}")
+        man = _load_manifest(table_dir, prev)
+        entries = _man_data_segments(table_dir, man)
+        if len(entries) <= max_entries:
+            return prev
+        files: list[str] = []
+        rows: dict[str, int] = {}
+        stats: dict[str, dict] = {}
+        parts: dict[str, dict] = {}
+        for e in entries:
+            seg = _seg_load(e)
+            files.extend(seg["files"])
+            rows.update(seg.get("n_rows", {}))
+            stats.update(seg.get("stats", {}))
+            parts.update(seg.get("partitions", {}))
+        merged_seg: dict = {"files": files}
+        if rows:
+            merged_seg["n_rows"] = rows
+        if stats:
+            merged_seg["stats"] = stats
+        if parts:
+            merged_seg["partitions"] = parts
+        seg_dir = os.path.join(table_dir, "segments")
+        os.makedirs(seg_dir, exist_ok=True)
+        spath = os.path.join(seg_dir, f"s-{uuid.uuid4().hex[:16]}.json")
+        with open(spath, "w") as f:
+            json.dump(merged_seg, f)
+        _SEGMENT_CACHE[spath] = merged_seg
+        entry: dict = {"path": spath, "kind": "data", "n_files": len(files)}
+        if rows and len(rows) == len(files):
+            entry["n_rows"] = sum(rows.values())
+        roll: dict = {}
+        for b in stats.values():
+            for col, (lo, hi) in b.items():
+                cur = roll.get(col)
+                roll[col] = (
+                    [lo, hi] if cur is None
+                    else [min(cur[0], lo), max(cur[1], hi)]
+                )
+        if roll and len(stats) == len(files):
+            entry["stats"] = roll
+        if parts:
+            common = None
+            for tup in parts.values():
+                keys = set(tup)
+                common = keys if common is None else common & keys
+            pstats = {
+                name: [
+                    min(t[name] for t in parts.values()),
+                    max(t[name] for t in parts.values()),
+                ]
+                for name in sorted(common or ())
+            }
+            if pstats and len(parts) == len(files):
+                entry["pstats"] = pstats
+        manifest = {
+            "version": prev + 1,
+            "mode": "rewrite_manifests",
+            "segments": [entry],
+        }
+        del_segs = _man_delete_segments(table_dir, man)
+        if del_segs:
+            manifest["delete_segments"] = del_segs
+        for k in ("schema", "merge_schema", "transforms"):
+            if man.get(k):
+                manifest[k] = man[k]
+        final = _manifest_path(table_dir, prev + 1)
+        tmp = final + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump({**manifest, "ts": _time.time()}, f)
+        try:
+            os.link(tmp, final)
+            return prev + 1
+        except FileExistsError:
+            continue  # racer committed: re-read and merge the new latest
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(f"rewrite_segments lost races in {table_dir}")
+
+
 def read_hidden_partitioned(
     spark: SparkSession,
     table_dir: str,

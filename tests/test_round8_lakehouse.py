@@ -306,3 +306,74 @@ def test_snapshot_store_random_op_sequences(spark, data):
     L.vacuum(t, keep_versions=1)
     got = sorted(r["k"] for r in L.read_version(spark, t).collect())
     assert got == sorted(history[-1])
+
+
+# --- metadata-only segment compaction (rewriteManifests) --------------------
+
+
+def test_rewrite_segments_is_metadata_only_and_bounds_list(spark, tmp_path):
+    """10 appends → 10 manifest-list entries; rewrite_segments merges
+    them into ONE without moving a data byte (same file set), carries
+    per-file stats/rows (pruning still skips), keeps delete vectors
+    live, and leaves time travel intact. A second call is a no-op."""
+    import glob
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    for i in range(10):
+        L.commit_version(
+            spark, t,
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+            ),
+        )
+    L.commit_deletes(spark, t, "g = 3")
+    pre_files = set(L.json_manifest_files(t, 10))
+    pre_rows = sorted(r["k"] for r in L.read_version(spark, t).collect())
+    man_pre = json.load(open(os.path.join(t, "manifests", "v10.json")))
+    assert len(man_pre["segments"]) == 10
+
+    v = L.rewrite_segments(t, max_entries=4)
+    assert v == 11
+    man = json.load(open(os.path.join(t, "manifests", "v11.json")))
+    assert len(man["segments"]) == 1
+    assert man["mode"] == "rewrite_manifests"
+    # same data files — zero bytes moved
+    assert set(L.json_manifest_files(t, 11)) == pre_files
+    # rows identical, delete vector still applied
+    got = sorted(r["k"] for r in L.read_version(spark, t).collect())
+    assert got == pre_rows and not any(k % 7 == 3 for k in got)
+    # merged entry carries rollup stats; stats pruning still works
+    assert man["segments"][0]["stats"]["k"] == [0, 999]
+    df, opened, total = L.pruned_snapshot_read(spark, t, "k", 450, 460)
+    assert opened < total
+    # time travel to pre-rewrite versions intact
+    assert L.read_version(spark, t, 5).count() == 600
+    # under budget → no-op
+    assert L.rewrite_segments(t, max_entries=4) == 11
+
+
+def test_rewrite_segments_preserves_partition_pruning(spark, tmp_path):
+    import json
+    import os
+
+    t = str(tmp_path / "pt")
+    for lo in (0, 100):
+        L.commit_partitioned(
+            spark, t,
+            spark.range(lo, lo + 40).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 4 + (10 if lo else 0)).alias("g"),
+            ),
+            [("pg", F.col("g"))],
+            mode="append" if lo else "overwrite",
+        )
+    v = L.rewrite_segments(t, max_entries=1)
+    man = json.load(open(os.path.join(t, "manifests", f"v{v}.json")))
+    assert len(man["segments"]) == 1
+    assert man["segments"][0]["pstats"]["pg"] == [0, 13]
+    df, scanned, total = L.read_hidden_partitioned(spark, t, {"pg": (10, 11)})
+    assert scanned < total
+    got = sorted(r["k"] for r in df.collect())
+    assert got == [k for k in range(100, 140) if k % 4 in (0, 1)]
