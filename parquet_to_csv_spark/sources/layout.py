@@ -540,6 +540,7 @@ def _write_segment(
     per_rows: dict[str, int] = {}
     per_stats: dict[str, dict] = {}
     roll: dict = {}
+    col_cover: dict[str, int] = {}
     n_rows = 0
     for f in files:
         try:
@@ -556,11 +557,17 @@ def _write_segment(
         if bounds:
             per_stats[f] = bounds
             for col, (lo, hi) in bounds.items():
+                col_cover[col] = col_cover.get(col, 0) + 1
                 cur = roll.get(col)
                 if cur is None:
                     roll[col] = [lo, hi]
                 else:
                     roll[col] = [min(cur[0], lo), max(cur[1], hi)]
+    # a rollup bound is only sound for segment-level pruning if EVERY
+    # file in the segment contributed bounds for that column — a
+    # partial rollup would let level-1 pruning skip a bounds-less file
+    # that may contain matching rows (the conservative contract)
+    roll = {c: b for c, b in roll.items() if col_cover.get(c) == len(files)}
     seg = {"files": list(files)}
     if per_rows:
         seg["n_rows"] = per_rows
@@ -597,20 +604,31 @@ def _write_segment(
     return entry
 
 
+_LEGACY_WRAP_CACHE: dict[tuple, list[dict]] = {}
+
+
 def _man_data_segments(table_dir: str, man: dict) -> list[dict]:
     """Manifest-list entries for the snapshot's DATA segments. A legacy
-    single-level manifest is wrapped by persisting its file list as one
-    segment (writers re-reference the result; readers get a cached
-    view) — the upgrade path for pre-round-8 tables."""
+    single-level manifest is wrapped ONCE per (table, version) by
+    persisting its file list as one segment — memoized so commit retry
+    loops on pre-round-8 tables don't re-read every footer and litter
+    orphan segments per iteration (manifests are immutable, so the
+    cache can never go stale)."""
     if "segments" in man:
         return man["segments"]
-    return [
-        _write_segment(
-            table_dir,
-            man.get("files", []),
-            partitions=man.get("partitions") or None,
-        )
-    ]
+    key = (table_dir, "data", man.get("version"))
+    cached = _LEGACY_WRAP_CACHE.get(key)
+    if cached is None or man.get("version") is None:
+        cached = [
+            _write_segment(
+                table_dir,
+                man.get("files", []),
+                partitions=man.get("partitions") or None,
+            )
+        ]
+        if man.get("version") is not None:
+            _LEGACY_WRAP_CACHE[key] = cached
+    return cached
 
 
 def _man_delete_segments(table_dir: str, man: dict) -> list[dict]:
@@ -619,7 +637,13 @@ def _man_delete_segments(table_dir: str, man: dict) -> list[dict]:
     dels = man.get("delete_files", [])
     if not dels:
         return []
-    return [_write_segment(table_dir, dels, kind="delete")]
+    key = (table_dir, "delete", man.get("version"))
+    cached = _LEGACY_WRAP_CACHE.get(key)
+    if cached is None or man.get("version") is None:
+        cached = [_write_segment(table_dir, dels, kind="delete")]
+        if man.get("version") is not None:
+            _LEGACY_WRAP_CACHE[key] = cached
+    return cached
 
 
 def _man_files(table_dir: str, man: dict) -> list[str]:
@@ -1165,10 +1189,21 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
         if os.path.exists(reg):
             for clone_dir in json.load(open(reg)):
                 _collect(clone_dir)
+        removed: set[str] = set()
         for p in glob.glob(os.path.join(seg_dir, "s-*.json")):
             if p not in keep_segs:
                 os.remove(p)
                 _SEGMENT_CACHE.pop(p, None)
+                removed.add(p)
+        if removed:
+            # drop memoized legacy wraps whose segment file was just
+            # reclaimed (it was unreferenced by any manifest)
+            for k in [
+                k
+                for k, entries in _LEGACY_WRAP_CACHE.items()
+                if any(e["path"] in removed for e in entries)
+            ]:
+                _LEGACY_WRAP_CACHE.pop(k, None)
     return doomed
 
 
@@ -1345,22 +1380,31 @@ def read_version_delta(
 
     a = _load_manifest(table_dir, from_version)
     b = _load_manifest(table_dir, to_version)
-    # Every commit strictly inside (from, to] must be append-mode: an
-    # overwrite ANYWHERE in the range rewrites base files, and a later
-    # append would make the file-set difference include pre-existing
-    # rows even though to_version itself is an append.
+    # Every commit strictly inside (from, to] must preserve file
+    # lineage: an overwrite/OPTIMIZE/restore ANYWHERE in the range
+    # replaces or re-packages base files, making the file-set
+    # difference include pre-existing rows even though to_version
+    # itself is an append.
+    all_appends = True
     for v in range(from_version + 1, to_version + 1):
         m = b if v == to_version else _load_manifest(table_dir, v)
-        if m.get("mode") == "overwrite":
+        mode = m.get("mode", "append")
+        if mode in ("overwrite", "optimize", "restore"):
             raise ValueError(
-                "delta scan is only defined across append commits; "
-                f"v{v} in ({from_version}, {to_version}] is an overwrite"
+                "delta scan is only defined across lineage-preserving "
+                f"commits; v{v} in ({from_version}, {to_version}] is "
+                f"a {mode}"
             )
+        if mode != "append":
+            all_appends = False
     # append commits re-reference base segments verbatim, so the delta
     # is computable at the SEGMENT level first (entries present in b
-    # but not a) — O(new segments) metadata, not O(live files).
+    # but not a) — O(new segments) metadata, not O(live files). A
+    # rewrite_manifests commit in the range invalidates path identity
+    # (same FILES repackaged under a new segment path), so anything
+    # non-append falls back to the exact file-set difference.
     a_seg_paths = {e["path"] for e in a.get("segments", [])}
-    if "segments" in a and "segments" in b:
+    if all_appends and "segments" in a and "segments" in b:
         new_files = sorted(
             f
             for e in b["segments"]
@@ -3053,8 +3097,12 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
 
     def _rows_of(man: dict, files: list[str]) -> int:
         recorded = _man_file_rows(table_dir, man)
+        # `is None`, not `or`: a recorded count of 0 (empty part-file)
+        # must not fall through to a footer read
         return sum(
-            recorded.get(f) or pq.ParquetFile(f).metadata.num_rows
+            pq.ParquetFile(f).metadata.num_rows
+            if recorded.get(f) is None
+            else recorded[f]
             for f in files
         )
 
@@ -3297,7 +3345,9 @@ def optimize_batches(
     batches: list[list[str]] = [[]]
     acc = 0
     for f in _man_files(table_dir, man):
-        n = recorded_rows.get(f) or pq.ParquetFile(f).metadata.num_rows
+        n = recorded_rows.get(f)
+        if n is None:  # `is None`, not `or`: 0-row files are recorded
+            n = pq.ParquetFile(f).metadata.num_rows
         if acc + n > target_rows and batches[-1]:
             batches.append([])
             acc = 0
@@ -3626,14 +3676,19 @@ def rewrite_segments(
         if rows and len(rows) == len(files):
             entry["n_rows"] = sum(rows.values())
         roll: dict = {}
+        cover: dict[str, int] = {}
         for b in stats.values():
             for col, (lo, hi) in b.items():
+                cover[col] = cover.get(col, 0) + 1
                 cur = roll.get(col)
                 roll[col] = (
                     [lo, hi] if cur is None
                     else [min(cur[0], lo), max(cur[1], hi)]
                 )
-        if roll and len(stats) == len(files):
+        # per-column coverage guard (same soundness rule as
+        # _write_segment): only columns EVERY file has bounds for
+        roll = {c: b for c, b in roll.items() if cover.get(c) == len(files)}
+        if roll:
             entry["stats"] = roll
         if parts:
             common = None

@@ -377,3 +377,68 @@ def test_rewrite_segments_preserves_partition_pruning(spark, tmp_path):
     assert scanned < total
     got = sorted(r["k"] for r in df.collect())
     assert got == [k for k in range(100, 140) if k % 4 in (0, 1)]
+
+
+# --- round-8 self-review regressions ---------------------------------------
+
+
+def test_delta_scan_correct_across_rewrite_manifests(spark, tmp_path):
+    """A rewrite_manifests commit inside the range repackages the SAME
+    files under a new segment path; the delta must still be exactly
+    the appended rows (segment-path fast diff would have re-emitted
+    every pre-rewrite row as new)."""
+    t = str(tmp_path / "tbl")
+    L.commit_version(spark, t, _df(spark, 0, 5))     # v0
+    L.commit_version(spark, t, _df(spark, 5, 8))     # v1
+    assert L.rewrite_segments(t, max_entries=1) == 2  # v2: metadata only
+    L.commit_version(spark, t, _df(spark, 8, 11))    # v3
+    got = sorted(r["k"] for r in L.read_version_delta(spark, t, 1, 3).collect())
+    assert got == [8, 9, 10]
+    # lineage-replacing commits in range still reject loudly
+    L.optimize_table(spark, t)                        # v4
+    with pytest.raises(ValueError, match="optimize"):
+        L.read_version_delta(spark, t, 3, L.latest_version(t))
+
+
+def test_segment_rollup_requires_full_column_coverage(spark, tmp_path):
+    """A column whose bounds only SOME files carry must not appear in
+    the segment-entry rollup — a partial rollup would let level-1
+    pruning skip the bounds-less file (silent missing rows)."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    L.commit_version(spark, t, _df(spark, 0, 100).repartition(2))
+    man = json.load(open(os.path.join(t, "manifests", "v0.json")))
+    entry = man["segments"][0]
+    seg = json.load(open(entry["path"]))
+    # sanity: full coverage -> rollup present
+    assert entry["stats"]["k"] == [0, 99]
+    # simulate a file with unrecordable bounds: strip one file's stats
+    # and re-wrap through _write_segment's accounting by direct check
+    # of the invariant on a hand-built partial-stats segment
+    import parquet_to_csv_spark.sources.layout as layout_mod
+
+    files = seg["files"]
+    orig = layout_mod._file_footer_stats
+    try:
+        def flaky(path):
+            if path == files[0]:
+                raise OSError("transient footer read failure")
+            return orig(path)
+
+        layout_mod._file_footer_stats = flaky
+        e2 = L._write_segment(t, files)
+    finally:
+        layout_mod._file_footer_stats = orig
+    assert "stats" not in e2 or "k" not in e2.get("stats", {})
+    # and pruning through a manifest carrying that entry stays
+    # conservative: the bounds-less file is opened, rows intact
+    man2 = {
+        "version": 99, "mode": "append", "segments": [e2],
+        "schema": man["schema"],
+    }
+    with open(os.path.join(t, "manifests", "v1.json"), "w") as f:
+        json.dump(man2, f)
+    df, opened, total = L.pruned_snapshot_read(spark, t, "k", 0, 5, version=1)
+    assert opened >= 1 and df.count() == 6

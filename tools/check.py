@@ -92,6 +92,9 @@ def main() -> int:
     log_path = None
     if "--log" in args:
         i = args.index("--log")
+        if i + 1 >= len(args):
+            print("usage: check.py [--first-50] [--log PATH] [sf_dir] [query ...]")
+            return 2
         log_path = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
