@@ -1150,7 +1150,14 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
     files. Deleting a still-referenced file is impossible by
     construction — the orphan set is disk MINUS retained manifests.
     Segment manifests (round 8) referenced by NO surviving manifest —
-    local, clone-registered, or ref-pinned — are reclaimed too."""
+    local, clone-registered, or ref-pinned — are reclaimed too.
+
+    Documented hazard (same class Delta/Iceberg document for data
+    files): an IN-FLIGHT commit's freshly written files/segments are
+    unreferenced until its manifest links, so a concurrently running
+    vacuum can reclaim them and fail that commit. Retention jobs and
+    writers are expected not to overlap — vacuum is maintenance, not a
+    hot-path concurrent writer."""
     import glob
     import json
     import os
