@@ -100,20 +100,42 @@ def main() -> None:
         legacy_bytes = len(
             json.dumps(live + ["x"])
         )  # what the old manifest re-serialized per commit
+        # read-side metadata resolution: cold (fresh segment cache)
+        # full-file-list expansion, and a stats-pruned plan that needs
+        # only the manifest list + surviving segments
+        L._SEGMENT_CACHE.clear()
+        v = L.latest_version(t)
+        t0 = time.time()
+        L.json_manifest_files(t, v)
+        read_cold = time.time() - t0
+        L._SEGMENT_CACHE.clear()
+        t0 = time.time()
+        # a selective band over the narrow last commit — level-1 rollup
+        # pruning should open few segment JSONs
+        L.pruned_snapshot_read(spark, t, "id", 0, 4, version=v)
+        prune_cold = time.time() - t0
         rows.append(
-            (len(live), wall, new_bytes, legacy_bytes, legacy_bytes / new_bytes)
+            (
+                len(live), wall, new_bytes, legacy_bytes,
+                legacy_bytes / new_bytes, read_cold, prune_cold,
+            )
         )
         print(
             f"rung {n_files}: live={len(live)} wall={wall:.2f}s "
-            f"new={new_bytes}B legacy={legacy_bytes}B",
+            f"new={new_bytes}B legacy={legacy_bytes}B "
+            f"read={read_cold*1000:.1f}ms prune={prune_cold*1000:.1f}ms",
             file=sys.stderr,
         )
 
     print("| live files | 1-file append wall (s) | metadata bytes written "
-          "| legacy counterfactual (B) | legacy/new |")
-    print("| --- | --- | --- | --- | --- |")
-    for n, wall, nb, lb, ratio in rows:
-        print(f"| {n} | {wall:.2f} | {nb} | {lb} | {ratio:.1f}x |")
+          "| legacy counterfactual (B) | legacy/new | full-list resolve "
+          "(ms) | pruned-plan resolve (ms) |")
+    print("| --- | --- | --- | --- | --- | --- | --- |")
+    for n, wall, nb, lb, ratio, rc, pc in rows:
+        print(
+            f"| {n} | {wall:.2f} | {nb} | {lb} | {ratio:.1f}x "
+            f"| {rc*1000:.1f} | {pc*1000:.1f} |"
+        )
     # growth exponent of metadata-bytes-written vs live files
     if len(rows) >= 2:
         e_new = math.log(rows[-1][2] / rows[0][2]) / math.log(
