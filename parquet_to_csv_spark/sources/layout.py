@@ -604,6 +604,31 @@ def _write_segment(
     return entry
 
 
+def _claim_data_dir(table_dir: str, prefix: str) -> str:
+    """Atomically claim a data directory for ONE writer (round 8: the
+    exists()-then-write pattern was a TOCTOU window — two real threads
+    both saw the bare name absent, both wrote, and their Hadoop
+    ``_temporary/0`` job-attempt trees clobbered each other). ``mkdir``
+    is the atomic primitive: the bare ``v{N}`` name goes to whoever
+    creates it; losers take a writer-unique suffix. The claimant then
+    writes with mode('overwrite') — safe because it exclusively owns
+    the (empty) directory. Directory names are cosmetic; manifests
+    reference files explicitly."""
+    import os
+    import uuid
+
+    base = os.path.join(table_dir, "data", prefix)
+    try:
+        os.makedirs(base, exist_ok=False)
+        return base
+    except FileExistsError:
+        alt = os.path.join(
+            table_dir, "data", f"{prefix}.{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(alt, exist_ok=False)
+        return alt
+
+
 _LEGACY_WRAP_CACHE: dict[tuple, list[dict]] = {}
 
 
@@ -852,12 +877,8 @@ def commit_version(
             merge_schema,
         )
     guess = 0 if prev is None else prev + 1
-    data_dir = os.path.join(table_dir, "data", f"v{guess}")
-    if os.path.exists(data_dir):
-        data_dir = os.path.join(
-            table_dir, "data", f"v{guess}.{uuid.uuid4().hex[:8]}"
-        )
-    df.write.parquet(data_dir)
+    data_dir = _claim_data_dir(table_dir, f"v{guess}")
+    df.write.mode("overwrite").parquet(data_dir)
     new_files = sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
@@ -3560,12 +3581,10 @@ def commit_partitioned(
         )
     prev = latest_version(table_dir)
     guess = 0 if prev is None else prev + 1
-    data_dir = os.path.join(table_dir, "data", f"v{guess}")
-    if os.path.exists(data_dir):
-        data_dir = os.path.join(
-            table_dir, "data", f"v{guess}.{uuid.uuid4().hex[:8]}"
-        )
-    staged.repartition(*names).write.partitionBy(*names).parquet(data_dir)
+    data_dir = _claim_data_dir(table_dir, f"v{guess}")
+    staged.repartition(*names).write.mode("overwrite").partitionBy(
+        *names
+    ).parquet(data_dir)
     new_files: list[str] = []
     partitions: dict[str, dict[str, int]] = {}
     for root, _dirs, fnames in os.walk(data_dir):

@@ -442,3 +442,77 @@ def test_segment_rollup_requires_full_column_coverage(spark, tmp_path):
         json.dump(man2, f)
     df, opened, total = L.pruned_snapshot_read(spark, t, "k", 0, 5, version=1)
     assert opened >= 1 and df.count() == 6
+
+
+# --- true-thread concurrency stress (no monkeypatch injection) --------------
+
+
+def test_concurrent_commits_all_land(spark, tmp_path):
+    """4 real threads x 3 appends each against one table: optimistic
+    concurrency must land ALL 12 commits (contiguous versions, no
+    losses) and the final snapshot must contain every writer's rows
+    exactly once."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    L.commit_version(spark, t, _df(spark, 0, 1))  # v0 seed
+
+    errors = []
+
+    def writer(w):
+        try:
+            for j in range(3):
+                lo = 1000 * (w + 1) + 10 * j
+                L.commit_version(
+                    spark, t, _df(spark, lo, lo + 5), max_attempts=20
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert L.latest_version(t) == 12  # v0 + 12 appends, none lost
+    got = sorted(r["k"] for r in L.read_version(spark, t).collect())
+    want = [0] + sorted(
+        k
+        for w in range(4)
+        for j in range(3)
+        for k in range(1000 * (w + 1) + 10 * j, 1000 * (w + 1) + 10 * j + 5)
+    )
+    assert got == want
+
+
+def test_concurrent_ref_commits_all_land(spark, tmp_path):
+    """3 real threads publishing on the SAME ref concurrently: the CAS
+    + rebase path must land every commit's rows at the final head."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    L.commit_version(spark, t, _df(spark, 0, 1))
+    L.create_ref(t, "main")
+    errors = []
+
+    def writer(w):
+        try:
+            lo = 100 * (w + 1)
+            L.commit_to_ref(
+                spark, t, "main", _df(spark, lo, lo + 3), max_attempts=20
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    got = sorted(r["k"] for r in L.read_ref(spark, t, "main").collect())
+    want = [0] + sorted(
+        k for w in range(3) for k in range(100 * (w + 1), 100 * (w + 1) + 3)
+    )
+    assert got == want
