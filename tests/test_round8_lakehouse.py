@@ -516,3 +516,37 @@ def test_concurrent_ref_commits_all_land(spark, tmp_path):
         k for w in range(3) for k in range(100 * (w + 1), 100 * (w + 1) + 3)
     )
     assert got == want
+
+
+def test_concurrent_merges_all_land(spark, tmp_path):
+    """3 real threads MERGE disjoint key ranges concurrently: the
+    manifest retry loop recomputes each loser's delete vector against
+    the racer's snapshot, so all upserts land and no update is lost."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    L.commit_version(spark, t, base)
+    errors = []
+
+    def writer(w):
+        try:
+            lo = 10 * w
+            changes = spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"), F.lit(w + 1).alias("v")
+            )
+            L.merge_into(spark, t, changes, "k", max_attempts=20)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    rows = {r["k"]: r["v"] for r in L.read_version(spark, t).collect()}
+    assert len(rows) == 30
+    assert all(rows[k] == k // 10 + 1 for k in range(30))
