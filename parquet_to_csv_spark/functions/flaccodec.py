@@ -366,12 +366,11 @@ def encode_flac(
     frames = bytearray()
     pos = 0
     frame_no = 0
-    min_bs = max_bs = None
+    block_sizes: list[int] = []
     while pos < n:
         fr = arr[pos : pos + block_size]
         block = fr.shape[0]
-        min_bs = block if min_bs is None else min(min_bs, block)
-        max_bs = block if max_bs is None else max(max_bs, block)
+        block_sizes.append(block)
         mode = ("fixed", "escape", "lpc", "verbatim")[frame_no % 4]
         midside = channels == 2 and frame_no % 2 == 1
         assignment = 10 if midside else channels - 1
@@ -406,6 +405,13 @@ def encode_flac(
         pos += block
         frame_no += 1
 
+    # RFC 9639 §8.2: STREAMINFO min/max blocksize EXCLUDE the last block,
+    # which may legitimately be short — including a short tail would
+    # advertise a fixed-blocksize stream as variable-blocksize to
+    # third-party decoders. A single-frame stream records its one size.
+    body_bs = block_sizes[:-1] if len(block_sizes) > 1 else block_sizes
+    min_bs = min(body_bs) if body_bs else 0
+    max_bs = max(body_bs) if body_bs else 0
     si = _BitWriter()
     si.write(min_bs or 0, 16)
     si.write(max_bs or 0, 16)

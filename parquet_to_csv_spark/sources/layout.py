@@ -599,7 +599,12 @@ def _write_segment(
         # manifest list without opening the segment JSON (E454 at the
         # segment grain)
         entry["stats"] = roll
-    if pstats:
+    if pstats and len(partitions) == len(files):
+        # full-file-coverage guard (same soundness rule as the column
+        # rollup above and as rewrite_segments): a segment-level
+        # partition rollup is only sound for level-1 pruning if EVERY
+        # file contributed a tuple — otherwise skipping the segment
+        # would skip tuple-less files the per-file path keeps.
         entry["pstats"] = pstats
     return entry
 

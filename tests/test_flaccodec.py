@@ -163,3 +163,25 @@ def test_flac_roundtrip_random(n, channels, block, rate, seed, kind):
     want = s if s.ndim == 2 else s[:, None]
     assert (r, ch) == (rate, want.shape[1])
     assert np.array_equal(dec, want)
+
+
+def test_flac_streaminfo_blocksize_excludes_short_tail():
+    """RFC 9639 §8.2: min/max blocksize in STREAMINFO exclude the final
+    (possibly short) frame, so a fixed-blocksize stream with a short
+    tail still advertises min == max == block_size. Single-frame streams
+    record their one (short) size."""
+    import struct
+
+    def _streaminfo_bs(payload: bytes) -> tuple[int, int]:
+        # fLaC magic (4) + block header (4) -> STREAMINFO starts at 8
+        mn, mx = struct.unpack(">HH", payload[8:12])
+        return mn, mx
+
+    tail = encode_flac(_square(256 * 3 + 50, 600, 4), 8000, block_size=256)
+    assert _streaminfo_bs(tail) == (256, 256)
+
+    exact = encode_flac(_square(256 * 2, 600, 4), 8000, block_size=256)
+    assert _streaminfo_bs(exact) == (256, 256)
+
+    single = encode_flac(_square(37, 90, 2), 8000, block_size=256)
+    assert _streaminfo_bs(single) == (37, 37)
