@@ -22,7 +22,9 @@ with the read-side plans that exploit them.
 
 from __future__ import annotations
 
+import threading as _threading
 import time as _time
+from collections import OrderedDict as _OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -464,7 +466,17 @@ def latest_version(table_dir: str) -> int | None:
 # consumer goes through the accessors below.
 # --------------------------------------------------------------------------
 
-_SEGMENT_CACHE: dict[str, dict] = {}
+# Segment manifests are immutable, so the cache can never serve stale
+# content — but it IS shared by true-thread concurrent writers (the
+# round-8 stress tests), so both memo dicts are guarded by one lock and
+# bounded by LRU eviction (round 9: the previous clear-all at capacity
+# forced every cached segment to be re-read at once on a hot
+# multi-table driver; _LEGACY_WRAP_CACHE was unbounded).
+_SEGMENT_CACHE: _OrderedDict[str, dict] = _OrderedDict()
+_SEGMENT_CACHE_MAX = 8192
+_LEGACY_WRAP_CACHE: _OrderedDict[tuple, list[dict]] = _OrderedDict()
+_LEGACY_WRAP_CACHE_MAX = 1024
+_CACHE_LOCK = _threading.Lock()
 
 # columns stats are collected for must be JSON-round-trippable
 _STATS_OK_TYPES = (bool, int, float, str)
@@ -476,17 +488,26 @@ def _load_manifest(table_dir: str, version: int) -> dict:
     return json.load(open(_manifest_path(table_dir, version)))
 
 
+def _seg_cache_put(path: str, seg: dict) -> None:
+    with _CACHE_LOCK:
+        _SEGMENT_CACHE[path] = seg
+        _SEGMENT_CACHE.move_to_end(path)
+        while len(_SEGMENT_CACHE) > _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.popitem(last=False)
+
+
 def _seg_load(entry: dict) -> dict:
     """Load (cached) the immutable segment manifest behind an entry."""
     import json
 
     path = entry["path"]
-    seg = _SEGMENT_CACHE.get(path)
-    if seg is None:
-        seg = json.load(open(path))
-        if len(_SEGMENT_CACHE) > 8192:
-            _SEGMENT_CACHE.clear()
-        _SEGMENT_CACHE[path] = seg
+    with _CACHE_LOCK:
+        seg = _SEGMENT_CACHE.get(path)
+        if seg is not None:
+            _SEGMENT_CACHE.move_to_end(path)
+            return seg
+    seg = json.load(open(path))  # I/O outside the lock
+    _seg_cache_put(path, seg)
     return seg
 
 
@@ -590,7 +611,7 @@ def _write_segment(
     path = os.path.join(seg_dir, f"s-{uuid.uuid4().hex[:16]}.json")
     with open(path, "w") as f:
         json.dump(seg, f)
-    _SEGMENT_CACHE[path] = seg
+    _seg_cache_put(path, seg)
     entry = {"path": path, "kind": kind, "n_files": len(files)}
     if per_rows and len(per_rows) == len(files):
         entry["n_rows"] = n_rows
@@ -634,7 +655,20 @@ def _claim_data_dir(table_dir: str, prefix: str) -> str:
         return alt
 
 
-_LEGACY_WRAP_CACHE: dict[tuple, list[dict]] = {}
+def _legacy_wrap_get(key: tuple) -> list[dict] | None:
+    with _CACHE_LOCK:
+        cached = _LEGACY_WRAP_CACHE.get(key)
+        if cached is not None:
+            _LEGACY_WRAP_CACHE.move_to_end(key)
+        return cached
+
+
+def _legacy_wrap_put(key: tuple, entries: list[dict]) -> None:
+    with _CACHE_LOCK:
+        _LEGACY_WRAP_CACHE[key] = entries
+        _LEGACY_WRAP_CACHE.move_to_end(key)
+        while len(_LEGACY_WRAP_CACHE) > _LEGACY_WRAP_CACHE_MAX:
+            _LEGACY_WRAP_CACHE.popitem(last=False)
 
 
 def _man_data_segments(table_dir: str, man: dict) -> list[dict]:
@@ -643,11 +677,12 @@ def _man_data_segments(table_dir: str, man: dict) -> list[dict]:
     persisting its file list as one segment — memoized so commit retry
     loops on pre-round-8 tables don't re-read every footer and litter
     orphan segments per iteration (manifests are immutable, so the
-    cache can never go stale)."""
+    cache can never go stale; racing wraps are benign — the loser's
+    segment is merely unreferenced and reclaimed by vacuum)."""
     if "segments" in man:
         return man["segments"]
     key = (table_dir, "data", man.get("version"))
-    cached = _LEGACY_WRAP_CACHE.get(key)
+    cached = _legacy_wrap_get(key)
     if cached is None or man.get("version") is None:
         cached = [
             _write_segment(
@@ -657,7 +692,7 @@ def _man_data_segments(table_dir: str, man: dict) -> list[dict]:
             )
         ]
         if man.get("version") is not None:
-            _LEGACY_WRAP_CACHE[key] = cached
+            _legacy_wrap_put(key, cached)
     return cached
 
 
@@ -668,11 +703,11 @@ def _man_delete_segments(table_dir: str, man: dict) -> list[dict]:
     if not dels:
         return []
     key = (table_dir, "delete", man.get("version"))
-    cached = _LEGACY_WRAP_CACHE.get(key)
+    cached = _legacy_wrap_get(key)
     if cached is None or man.get("version") is None:
         cached = [_write_segment(table_dir, dels, kind="delete")]
         if man.get("version") is not None:
-            _LEGACY_WRAP_CACHE[key] = cached
+            _legacy_wrap_put(key, cached)
     return cached
 
 
@@ -1170,7 +1205,11 @@ def orphan_files(table_dir: str, keep_versions: int = 1) -> list[str]:
     return sorted(on_disk - referenced)
 
 
-def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str,
+    keep_versions: int = 1,
+    grace_seconds: float = 600.0,
+) -> list[str]:
     """EXT E316: delete orphans (per :func:`orphan_files`) and any
     manifest older than the retention window; returns deleted data
     files. Deleting a still-referenced file is impossible by
@@ -1178,18 +1217,29 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
     Segment manifests (round 8) referenced by NO surviving manifest —
     local, clone-registered, or ref-pinned — are reclaimed too.
 
-    Documented hazard (same class Delta/Iceberg document for data
-    files): an IN-FLIGHT commit's freshly written files/segments are
-    unreferenced until its manifest links, so a concurrently running
-    vacuum can reclaim them and fail that commit. Retention jobs and
-    writers are expected not to overlap — vacuum is maintenance, not a
-    hot-path concurrent writer."""
+    ``grace_seconds`` (round 9, ADVICE): an IN-FLIGHT commit's freshly
+    written data files and segment manifests are unreferenced until its
+    manifest links, so a concurrently running vacuum could reclaim them
+    and fail that commit. Artifacts younger than the grace window are
+    skipped — Delta's ``deletedFileRetentionDuration`` idiom (its
+    default is 7 days; 10 minutes here bounds any sane commit's
+    claim→write→publish span). Pass ``0`` to force immediate reclaim
+    when no writer can be live (tests, decommissioning)."""
     import glob
     import json
     import os
     import re
 
-    doomed = orphan_files(table_dir, keep_versions)
+    now = _time.time()
+
+    def _in_grace(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) < grace_seconds
+        except OSError:
+            return True  # can't stat → assume in-flight, keep
+
+    doomed = [p for p in orphan_files(table_dir, keep_versions)
+              if not _in_grace(p)]
     for p in doomed:
         os.remove(p)
     latest = latest_version(table_dir)
@@ -1224,19 +1274,21 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
                 _collect(clone_dir)
         removed: set[str] = set()
         for p in glob.glob(os.path.join(seg_dir, "s-*.json")):
-            if p not in keep_segs:
+            if p not in keep_segs and not _in_grace(p):
                 os.remove(p)
-                _SEGMENT_CACHE.pop(p, None)
                 removed.add(p)
         if removed:
-            # drop memoized legacy wraps whose segment file was just
-            # reclaimed (it was unreferenced by any manifest)
-            for k in [
-                k
-                for k, entries in _LEGACY_WRAP_CACHE.items()
-                if any(e["path"] in removed for e in entries)
-            ]:
-                _LEGACY_WRAP_CACHE.pop(k, None)
+            with _CACHE_LOCK:
+                for p in removed:
+                    _SEGMENT_CACHE.pop(p, None)
+                # drop memoized legacy wraps whose segment file was just
+                # reclaimed (it was unreferenced by any manifest)
+                for k in [
+                    k
+                    for k, entries in _LEGACY_WRAP_CACHE.items()
+                    if any(e["path"] in removed for e in entries)
+                ]:
+                    _LEGACY_WRAP_CACHE.pop(k, None)
     return doomed
 
 
@@ -3702,7 +3754,7 @@ def rewrite_segments(
         spath = os.path.join(seg_dir, f"s-{uuid.uuid4().hex[:16]}.json")
         with open(spath, "w") as f:
             json.dump(merged_seg, f)
-        _SEGMENT_CACHE[spath] = merged_seg
+        _seg_cache_put(spath, merged_seg)
         entry: dict = {"path": spath, "kind": "data", "n_files": len(files)}
         if rows and len(rows) == len(files):
             entry["n_rows"] = sum(rows.values())

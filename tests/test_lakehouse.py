@@ -53,7 +53,7 @@ def test_orphans_and_vacuum_safety(spark, sf_dir, tmp_path):
     # retaining both versions → nothing is deletable
     assert layout.orphan_files(t, keep_versions=2) == []
     # vacuum removes exactly the orphans; the latest snapshot still reads
-    deleted = layout.vacuum(t, keep_versions=1)
+    deleted = layout.vacuum(t, keep_versions=1, grace_seconds=0)
     assert deleted == orphans
     assert all(not os.path.exists(p) for p in deleted)
     assert layout.read_version(spark, t).count() == 30

@@ -474,7 +474,7 @@ def test_vacuum_respects_registered_clones(spark, sf_dir, tmp_path):
     # clone registry — the E447 documented hazard
     layout.commit_version(spark, src, ev.limit(10), mode="overwrite")
     assert layout.orphan_files(src, keep_versions=1) == []
-    deleted = layout.vacuum(src, keep_versions=1)
+    deleted = layout.vacuum(src, keep_versions=1, grace_seconds=0)
     assert deleted == []
     # the clone still reads its full snapshot
     assert layout.read_version(spark, dst).count() == ev.count()

@@ -213,7 +213,7 @@ def test_vacuum_is_ref_aware(spark, tmp_path):
     L.create_ref(troot, "pin")                                 # pins v0
     L.commit_version(spark, troot, _df(spark, 4, 6))           # v1
     L.commit_version(spark, troot, _df(spark, 6, 8))           # v2
-    deleted = L.vacuum(troot, keep_versions=1)
+    deleted = L.vacuum(troot, keep_versions=1, grace_seconds=0)
     # v0's files are pinned by the ref: still readable end to end
     assert sorted(r["k"] for r in L.read_ref(spark, troot, "pin").collect()) == [0, 1, 2, 3]
     assert sorted(r["k"] for r in L.read_version(spark, troot, 2).collect()) == list(range(8))
@@ -223,13 +223,13 @@ def test_vacuum_is_ref_aware(spark, tmp_path):
     troot2 = str(tmp_path / "novac")
     L.commit_version(spark, troot2, _df(spark, 0, 4))
     L.commit_version(spark, troot2, _df(spark, 10, 12), mode="overwrite")
-    deleted2 = L.vacuum(troot2, keep_versions=1)
+    deleted2 = L.vacuum(troot2, keep_versions=1, grace_seconds=0)
     assert deleted2  # v0's files reclaimed
     # and the pinned variant of the SAME shape keeps them
     troot3 = str(tmp_path / "pinvac")
     L.commit_version(spark, troot3, _df(spark, 0, 4))
     L.create_ref(troot3, "keep")
     L.commit_version(spark, troot3, _df(spark, 10, 12), mode="overwrite")
-    deleted3 = L.vacuum(troot3, keep_versions=1)
+    deleted3 = L.vacuum(troot3, keep_versions=1, grace_seconds=0)
     assert deleted3 == []
     assert sorted(r["k"] for r in L.read_ref(spark, troot3, "keep").collect()) == [0, 1, 2, 3]

@@ -191,7 +191,7 @@ def test_vacuum_reclaims_unreferenced_segments(spark, tmp_path):
     L.commit_version(spark, t, _df(spark, 50, 90), mode="overwrite")
     n_segs_pre = len(glob.glob(os.path.join(t, "segments", "s-*.json")))
     assert n_segs_pre == 2
-    L.vacuum(t, keep_versions=1)
+    L.vacuum(t, keep_versions=1, grace_seconds=0)
     survivors = glob.glob(os.path.join(t, "segments", "s-*.json"))
     assert len(survivors) == 1
     # the surviving segment is exactly v1's
@@ -303,7 +303,7 @@ def test_snapshot_store_random_op_sequences(spark, data):
         got = sorted(r["k"] for r in L.read_version(spark, t, v).collect())
         assert got == sorted(want), (v, got, want)
     # vacuum keeps the latest version intact
-    L.vacuum(t, keep_versions=1)
+    L.vacuum(t, keep_versions=1, grace_seconds=0)
     got = sorted(r["k"] for r in L.read_version(spark, t).collect())
     assert got == sorted(history[-1])
 
