@@ -313,6 +313,171 @@ def sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Atomic-commit backend (round 9, verdict item 1): ONE pluggable seam
+# for the two primitives every commit in this store is built from —
+#
+#   put_if_absent(path, payload) -> bool   (the commit point)
+#   claim_dir(path)              -> bool   (exclusive writer staging)
+#
+# The POSIX backend uses os.link (put-if-absent; rename() would
+# silently replace and drop a racer's committed snapshot) and atomic
+# mkdir — correct on local disk and HDFS. Object stores (S3/GCS) have
+# NEITHER primitive; their public idiom is a conditional PUT
+# (`If-None-Match: *` on S3, `ifGenerationMatch=0` on GCS) — the same
+# seam Delta solves with LogStore and Iceberg with its catalog commit.
+# At the 100 TB design point the store runs on an object store, so the
+# primitive is swappable: `set_commit_backend` / `commit_backend`
+# install one process-wide, and ConditionalPutCommitBackend emulates
+# conditional-PUT semantics (atomic check-and-create, marker-object
+# directory claims, an interpose hook for lost-race injection) so the
+# whole commit protocol is testable against object-store rules without
+# an object store. Deployment contract documented in SURVEY §2.7.
+# ---------------------------------------------------------------------------
+
+
+class PosixCommitBackend:
+    """``os.link`` put-if-absent + atomic ``mkdir`` (POSIX, HDFS)."""
+
+    name = "posix"
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        import os
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def put(self, path: str, payload: str) -> None:
+        """Unconditional atomic PUT (last-writer-wins): readers see the
+        old or the new content, never a torn write."""
+        import os
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+    def claim_dir(self, path: str) -> bool:
+        import os
+
+        try:
+            os.makedirs(path, exist_ok=False)
+            return True
+        except FileExistsError:
+            return False
+
+
+class ConditionalPutCommitBackend:
+    """Object-store commit semantics, emulated for tests: no link(), no
+    atomic mkdir — only a conditional PUT whose check-and-create is
+    atomic store-side (the lock stands in for the store's internal
+    serialization). Directory claims become put-if-absent on a
+    ``<dir>.__claim__`` MARKER OBJECT, because object stores have no
+    directories at all.
+
+    ``interpose(path, payload)`` runs before each conditional PUT,
+    outside the lock — a test injects a competing writer there (e.g.
+    committing through this same backend) to force THIS put to lose the
+    race at exactly the commit point. Counters record traffic."""
+
+    name = "conditional-put"
+
+    def __init__(self, interpose=None):
+        self._lock = _threading.Lock()
+        self.interpose = interpose
+        self.puts = 0
+        self.wins = 0
+        self.losses = 0
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        import os
+        import uuid
+
+        if self.interpose is not None:
+            self.interpose(path, payload)
+        with self._lock:
+            self.puts += 1
+            if os.path.exists(path):
+                self.losses += 1
+                return False
+            # object-store PUT is atomic: stage + rename so no reader
+            # (even one bypassing the backend) sees a torn object
+            tmp = f"{path}.staged-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+            self.wins += 1
+            return True
+
+    def put(self, path: str, payload: str) -> None:
+        import os
+        import uuid
+
+        with self._lock:
+            tmp = f"{path}.staged-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+
+    def claim_dir(self, path: str) -> bool:
+        import os
+
+        marker = path.rstrip(os.sep) + ".__claim__"
+        if not self.put_if_absent(marker, "{}"):
+            return False
+        os.makedirs(path, exist_ok=True)
+        return True
+
+
+_COMMIT_BACKEND = PosixCommitBackend()
+
+
+def get_commit_backend():
+    return _COMMIT_BACKEND
+
+
+def set_commit_backend(backend):
+    """Install ``backend`` process-wide; returns the previous one."""
+    global _COMMIT_BACKEND
+    prev = _COMMIT_BACKEND
+    _COMMIT_BACKEND = backend
+    return prev
+
+
+def commit_backend(backend):
+    """Context manager: run a block under ``backend``, then restore."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        prev = set_commit_backend(backend)
+        try:
+            yield backend
+        finally:
+            set_commit_backend(prev)
+
+    return _cm()
+
+
+def _put_if_absent(path: str, obj: dict) -> bool:
+    """Serialize ``obj`` and atomically publish it at ``path`` iff
+    nothing is committed there — THE commit point; every snapshot /
+    ref-head / tx publish goes through this seam."""
+    import json
+
+    return _COMMIT_BACKEND.put_if_absent(path, json.dumps(obj))
+
+
+# ---------------------------------------------------------------------------
 # Shared build-once artifacts (round-6, verdict item 5): the put-if-
 # absent protocol of the snapshot store, generalized to MULTI-FILE
 # artifact directories (near-dup edge tables, IVF index dirs). The
@@ -375,7 +540,6 @@ def claim_artifact(spark: SparkSession, key: str, build_to) -> str:
     earlier/concurrent winner's otherwise. The key must be content-
     salted by the caller; this function only guarantees atomicity.
     """
-    import contextlib
     import json
     import os
     import shutil
@@ -402,25 +566,17 @@ def claim_artifact(spark: SparkSession, key: str, build_to) -> str:
     os.makedirs(adir, exist_ok=True)
     stage = os.path.join(adir, f"stage-{uuid.uuid4().hex[:12]}")
     build_to(stage)
-    tmp = done + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"dir": stage}, f)
-    try:
-        os.link(tmp, done)
+    if _put_if_absent(done, {"dir": stage}):
         return stage
-    except FileExistsError:
-        committed = _committed_dir(done)
-        if committed is not None:
-            # a racer committed first: serve its build, drop ours
-            shutil.rmtree(stage, ignore_errors=True)
-            return committed
-        # DONE.json exists but points at a reaped directory: repair by
-        # atomically REPLACING it with our fresh build.
-        os.replace(tmp, done)
-        return stage
-    finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(tmp)
+    committed = _committed_dir(done)
+    if committed is not None:
+        # a racer committed first: serve its build, drop ours
+        shutil.rmtree(stage, ignore_errors=True)
+        return committed
+    # DONE.json exists but points at a reaped directory: repair by
+    # atomically REPLACING it with our fresh build.
+    _COMMIT_BACKEND.put(done, json.dumps({"dir": stage}))
+    return stage
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -639,20 +795,21 @@ def _claim_data_dir(table_dir: str, prefix: str) -> str:
     creates it; losers take a writer-unique suffix. The claimant then
     writes with mode('overwrite') — safe because it exclusively owns
     the (empty) directory. Directory names are cosmetic; manifests
-    reference files explicitly."""
+    reference files explicitly. The claim goes through the pluggable
+    commit backend (round 9): atomic mkdir on POSIX, a put-if-absent
+    marker object on stores without directories."""
     import os
     import uuid
 
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     base = os.path.join(table_dir, "data", prefix)
-    try:
-        os.makedirs(base, exist_ok=False)
+    if _COMMIT_BACKEND.claim_dir(base):
         return base
-    except FileExistsError:
-        alt = os.path.join(
-            table_dir, "data", f"{prefix}.{uuid.uuid4().hex[:8]}"
-        )
-        os.makedirs(alt, exist_ok=False)
-        return alt
+    alt = os.path.join(table_dir, "data", f"{prefix}.{uuid.uuid4().hex[:8]}")
+    if not _COMMIT_BACKEND.claim_dir(alt):
+        raise RuntimeError(f"could not claim a writer directory under "
+                           f"{table_dir}/data ({alt} already exists)")
+    return alt
 
 
 def _legacy_wrap_get(key: tuple) -> list[dict] | None:
@@ -896,7 +1053,6 @@ def commit_version(
     """
     import json
     import os
-    import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
@@ -928,7 +1084,6 @@ def commit_version(
     # valid across retries — segment manifests are commit-independent.
     new_entry = _write_segment(table_dir, new_files)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-    token = uuid.uuid4().hex[:8]
     version = guess
     for _ in range(max_attempts):
         prev = latest_version(table_dir)
@@ -964,16 +1119,9 @@ def commit_version(
         if carried_del_entries:
             manifest["delete_segments"] = carried_del_entries
         final = _manifest_path(table_dir, version)
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump({**manifest, "ts": _time.time()}, f)
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(final, {**manifest, "ts": _time.time()}):
             return version
-        except FileExistsError:
-            continue  # a racer landed this version; recompute on top
-        finally:
-            os.remove(tmp)
+        continue  # a racer landed this version; recompute on top
     raise RuntimeError(
         f"concurrent commit: lost the race for versions up to {version} in "
         f"{table_dir} {max_attempts} times; giving up"
@@ -1003,7 +1151,6 @@ def commit_deletes(
     pinned by the registry query. Compaction (E317) is where deletes
     eventually get physically applied.
     """
-    import json
     import os
     import uuid
 
@@ -1041,7 +1188,6 @@ def commit_deletes(
     # writes a handful of KBs of metadata, not a million-path JSON.
     new_del_entry = _write_segment(table_dir, del_files, kind="delete")
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-    token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         prev2 = latest_version(table_dir)
         version = prev2 + 1
@@ -1071,16 +1217,9 @@ def commit_deletes(
             if k in man2:
                 manifest[k] = man2[k]
         final = _manifest_path(table_dir, version)
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump({**manifest, "ts": _time.time()}, f)
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(final, {**manifest, "ts": _time.time()}):
             return version
-        except FileExistsError:
-            continue
-        finally:
-            os.remove(tmp)
+        continue
     raise RuntimeError(f"concurrent commit: delete lost races in {table_dir}")
 
 
@@ -1094,7 +1233,6 @@ def read_version(
     vectors (E426) anti-join them out by (file_path, row_index) — the
     sidecar is ∝ deleted rows and broadcast-sized in any sane layout,
     so the read stays one scan + one broadcast anti-join."""
-    import json
 
     if version is None:
         version = latest_version(table_dir)
@@ -1461,7 +1599,6 @@ def read_version_delta(
     row-level diffing. (Overwrite commits change file lineage, so
     consumers detect them by the mode field and fall back to a full
     diff — enforced here.)"""
-    import json
 
     a = _load_manifest(table_dir, from_version)
     b = _load_manifest(table_dir, to_version)
@@ -2076,7 +2213,6 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     """
     import json
     import os
-    import uuid
 
     src_v = latest_version(src_dir)
     if src_v is None:
@@ -2099,15 +2235,8 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         if man.get(k):
             manifest[k] = man[k]
     final = _manifest_path(dst_dir, 0)
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({**manifest, "ts": _time.time()}, f)
-    try:
-        os.link(tmp, final)
-    except FileExistsError as e:
-        raise RuntimeError(f"{dst_dir} already has a v0 manifest") from e
-    finally:
-        os.remove(tmp)
+    if not _put_if_absent(final, {**manifest, "ts": _time.time()}):
+        raise RuntimeError(f"{dst_dir} already has a v0 manifest")
     # EXT E468: register the clone with its source so source-side
     # vacuum keeps the shared files alive (last-writer-wins append is
     # fine here: clone creation is not a hot concurrent path, and a
@@ -2117,10 +2246,7 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     clones = json.load(open(reg)) if os.path.exists(reg) else []
     if dst_dir not in clones:
         clones.append(dst_dir)
-        rtmp = reg + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(rtmp, "w") as f:
-            json.dump(clones, f)
-        os.replace(rtmp, reg)
+        _COMMIT_BACKEND.put(reg, json.dumps(clones))
     return 0
 
 
@@ -2205,7 +2331,6 @@ def snapshot_cdc_feed(
     Overwrite commits are rejected loudly — an overwrite is a table
     replacement, not a row-level change stream.
     """
-    import json
 
     from pyspark.sql import functions as F
 
@@ -2360,7 +2485,6 @@ def merge_into(
     Keys in BOTH relations are rejected (ambiguous clause order);
     everything still lands in the ONE atomic manifest link.
     """
-    import json
     import os
     import shutil
     import uuid
@@ -2415,7 +2539,6 @@ def merge_into(
     )
     new_entry = _write_segment(table_dir, new_files)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-    token = uuid.uuid4().hex[:8]
     keys = changes.select(*key_cols)
     if delete_keys is not None:
         keys = keys.unionByName(delete_keys)
@@ -2459,20 +2582,13 @@ def merge_into(
             if k in man:
                 manifest[k] = man[k]
         final = _manifest_path(table_dir, at + 1)
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump({**manifest, "ts": _time.time()}, f)
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(final, {**manifest, "ts": _time.time()}):
             return at + 1
-        except FileExistsError:
-            # a racer landed this version: the vector is stale (it may
-            # miss rows the racer appended) — drop it and recompute
-            # against the new latest. The append side stays valid.
-            shutil.rmtree(del_dir, ignore_errors=True)
-            continue
-        finally:
-            os.remove(tmp)
+        # a racer landed this version: the vector is stale (it may
+        # miss rows the racer appended) — drop it and recompute
+        # against the new latest. The append side stays valid.
+        shutil.rmtree(del_dir, ignore_errors=True)
+        continue
     raise RuntimeError(f"concurrent commit: MERGE lost races in {table_dir}")
 
 
@@ -2506,7 +2622,6 @@ def optimize_table(
     dropped). It therefore conflicts loudly instead of retrying —
     re-run against the new snapshot.
     """
-    import json
     import os
     import uuid
 
@@ -2554,19 +2669,12 @@ def optimize_table(
         "schema": df.schema.jsonValue(),
     }
     final = _manifest_path(table_dir, prev + 1)
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({**manifest, "ts": _time.time()}, f)
-    try:
-        os.link(tmp, final)
-        return prev + 1
-    except FileExistsError as e:
+    if not _put_if_absent(final, {**manifest, "ts": _time.time()}):
         raise RuntimeError(
             f"concurrent commit during OPTIMIZE of {table_dir} — the "
             "rewrite was computed against a stale snapshot; re-run"
-        ) from e
-    finally:
-        os.remove(tmp)
+        )
+    return prev + 1
 
 
 def _merge_lifecycle_root(spark: SparkSession, sf_dir: str) -> str:
@@ -2778,7 +2886,6 @@ def apply_cdc_feed(
     one semi-join of the replica's live images against the feed's
     delete keys. Cost ∝ |feed| + one keyed probe of the replica.
     """
-    import json
     import os
     import shutil
     import uuid
@@ -2808,7 +2915,6 @@ def apply_cdc_feed(
     )
     new_entry = _write_segment(table_dir, new_files)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-    token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         at = latest_version(table_dir)
         man = _load_manifest(table_dir, at)
@@ -2849,17 +2955,10 @@ def apply_cdc_feed(
             if k in man:
                 manifest[k] = man[k]
         final = _manifest_path(table_dir, at + 1)
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump({**manifest, "ts": _time.time()}, f)
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(final, {**manifest, "ts": _time.time()}):
             return at + 1
-        except FileExistsError:
-            shutil.rmtree(del_dir, ignore_errors=True)
-            continue
-        finally:
-            os.remove(tmp)
+        shutil.rmtree(del_dir, ignore_errors=True)
+        continue
     raise RuntimeError(f"concurrent commit: CDC apply lost races in {table_dir}")
 
 
@@ -2888,7 +2987,6 @@ def cdc_replication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # v0 files verbatim (clone_table clones LATEST, so write the
         # v0-pinned manifest directly — zero-copy like E447)
         import json as _json
-        import uuid as _uuid
 
         man0 = _json.load(open(_manifest_path(src, 0)))
         os.makedirs(os.path.join(replica, "manifests"), exist_ok=True)
@@ -2896,11 +2994,8 @@ def cdc_replication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         man["mode"] = "clone"
         man["cloned_from"] = {"table": src, "version": 0}
         final = _manifest_path(replica, 0)
-        tmp = final + f".tmp-{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            _json.dump({**man, "ts": _time.time()}, f)
-        os.link(tmp, final)
-        os.remove(tmp)
+        if not _put_if_absent(final, {**man, "ts": _time.time()}):
+            raise RuntimeError(f"{replica} already has a v0 manifest")
         feed = snapshot_cdc_feed(spark, src, 0, 2)
         apply_cdc_feed(spark, replica, feed, "event_id")
 
@@ -3128,9 +3223,6 @@ def restore_table(
     concurrent writer advanced the table and the caller must decide
     whether rolling back over THEIR commit is still intended.
     """
-    import json
-    import os
-    import uuid
 
     cur = latest_version(table_dir)
     if cur is None:
@@ -3150,19 +3242,12 @@ def restore_table(
         if man.get(k):
             manifest[k] = man[k]
     final = _manifest_path(table_dir, cur + 1)
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({**manifest, "ts": _time.time()}, f)
-    try:
-        os.link(tmp, final)
-        return cur + 1
-    except FileExistsError as e:
+    if not _put_if_absent(final, {**manifest, "ts": _time.time()}):
         raise RuntimeError(
             f"concurrent commit during RESTORE of {table_dir} — re-examine "
             "before rolling back over the racer's commit"
-        ) from e
-    finally:
-        os.remove(tmp)
+        )
+    return cur + 1
 
 
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -3369,7 +3454,6 @@ def read_as_of_timestamp(
     process-group; cross-writer clock skew is the documented
     Delta/Iceberg caveat — version pins beat timestamp pins for exact
     reproducibility, which is why the gate queries pin versions)."""
-    import json
 
     cur = latest_version(table_dir)
     if cur is None:
@@ -3410,7 +3494,6 @@ def optimize_batches(
     reference the rewritten files — committing would resurrect its
     rows); concurrent APPENDs compose fine and are rebased onto.
     """
-    import json
     import os
     import uuid
 
@@ -3474,7 +3557,6 @@ def optimize_batches(
         if f.endswith(".parquet")
     )
     new_entry = _write_segment(table_dir, new_files)
-    token = uuid.uuid4().hex[:8]
     for _ in range(5):
         at = latest_version(table_dir)
         man2 = _load_manifest(table_dir, at)
@@ -3503,16 +3585,9 @@ def optimize_batches(
             if man2.get(k):
                 manifest[k] = man2[k]
         final = _manifest_path(table_dir, at + 1)
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump({**manifest, "ts": _time.time()}, f)
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(final, {**manifest, "ts": _time.time()}):
             return at + 1
-        except FileExistsError:
-            continue  # racer appended: rebase the untouched-file list
-        finally:
-            os.remove(tmp)
+        continue  # racer appended: rebase the untouched-file list
     raise RuntimeError(f"incremental OPTIMIZE lost races in {table_dir}")
 
 
@@ -3595,9 +3670,7 @@ def commit_partitioned(
     dimension), never wrongly skipped. No data is rewritten to change
     the spec, which is the whole point.
     """
-    import json
     import os
-    import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
@@ -3663,7 +3736,6 @@ def commit_partitioned(
     # zero-rewrite at the metadata level too
     new_entry = _write_segment(table_dir, new_files, partitions=partitions)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-    token = uuid.uuid4().hex[:8]
     version = guess
     for _ in range(max_attempts):
         prev = latest_version(table_dir)
@@ -3687,16 +3759,9 @@ def commit_partitioned(
             "transforms": spec_union,
         }
         final = _manifest_path(table_dir, version)
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump({**manifest, "ts": _time.time()}, f)
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(final, {**manifest, "ts": _time.time()}):
             return version
-        except FileExistsError:
-            continue
-        finally:
-            os.remove(tmp)
+        continue
     raise RuntimeError(f"concurrent commit lost {max_attempts} races in {table_dir}")
 
 
@@ -3723,7 +3788,6 @@ def rewrite_segments(
     import os
     import uuid
 
-    token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         prev = latest_version(table_dir)
         if prev is None:
@@ -3799,16 +3863,9 @@ def rewrite_segments(
             if man.get(k):
                 manifest[k] = man[k]
         final = _manifest_path(table_dir, prev + 1)
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump({**manifest, "ts": _time.time()}, f)
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(final, {**manifest, "ts": _time.time()}):
             return prev + 1
-        except FileExistsError:
-            continue  # racer committed: re-read and merge the new latest
-        finally:
-            os.remove(tmp)
+        continue  # racer committed: re-read and merge the new latest
     raise RuntimeError(f"rewrite_segments lost races in {table_dir}")
 
 
@@ -3991,9 +4048,7 @@ def commit_transaction(
     interleave safely because every tx pins EVERY table's version
     (read-committed snapshots, monotone per table).
     """
-    import json
     import os
-    import uuid
 
     base = read_tx_catalog(tx_root)
     staged: dict[str, int] = {}
@@ -4009,7 +4064,6 @@ def commit_transaction(
             base_version=base.get(name),
         )
     os.makedirs(os.path.join(tx_root, "txlog"), exist_ok=True)
-    token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         prev = latest_tx(tx_root)
         cur = read_tx_catalog(tx_root)
@@ -4022,16 +4076,11 @@ def commit_transaction(
         tx = 0 if prev is None else prev + 1
         pinned = {**cur, **staged}
         final = _tx_path(tx_root, tx)
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump({"tx": tx, "tables": pinned, "ts": _time.time()}, f)
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(
+            final, {"tx": tx, "tables": pinned, "ts": _time.time()}
+        ):
             return tx
-        except FileExistsError:
-            continue
-        finally:
-            os.remove(tmp)
+        continue
     raise RuntimeError(f"tx livelock after {max_attempts} attempts in {tx_root}")
 
 
@@ -4337,11 +4386,9 @@ def _advance_ref(
     """
     import json
     import os
-    import uuid
 
     d = _ref_dir(table_dir, name)
     os.makedirs(d, exist_ok=True)
-    token = uuid.uuid4().hex[:8]
     for _ in range(10):
         cur = ref_head(table_dir, name)
         cur_seq = None if cur is None else cur[0]
@@ -4352,21 +4399,14 @@ def _advance_ref(
             )
         k = 0 if cur_seq is None else cur_seq + 1
         final = os.path.join(d, f"h{k}.json")
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"version": version, "ancestry": ancestry, "ts": _time.time()},
-                f,
-            )
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(
+            final,
+            {"version": version, "ancestry": ancestry, "ts": _time.time()},
+        ):
             return k
-        except FileExistsError:
-            # a racer landed this seq; the next iteration re-reads the
-            # head, so with a CAS guard this raises "ref moved" there.
-            continue
-        finally:
-            os.remove(tmp)
+        # a racer landed this seq; the next iteration re-reads the
+        # head, so with a CAS guard this raises "ref moved" there.
+        continue
     raise RuntimeError(f"ref {name!r} livelock in {table_dir}")
 
 
@@ -4554,7 +4594,6 @@ def replace_where(
     never rewritten, cost ∝ matches + |df|. Optimistic retries like
     MERGE: the vector recomputes against the new latest on a lost race.
     """
-    import json
     import os
     import shutil
     import uuid
@@ -4583,7 +4622,6 @@ def replace_where(
     )
     new_entry = _write_segment(table_dir, new_files)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-    token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         at = latest_version(table_dir)
         man = _load_manifest(table_dir, at)
@@ -4622,17 +4660,10 @@ def replace_where(
             if k in man:
                 manifest[k] = man[k]
         final = _manifest_path(table_dir, at + 1)
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            json.dump({**manifest, "ts": _time.time()}, f)
-        try:
-            os.link(tmp, final)
+        if _put_if_absent(final, {**manifest, "ts": _time.time()}):
             return at + 1
-        except FileExistsError:
-            shutil.rmtree(del_dir, ignore_errors=True)
-            continue
-        finally:
-            os.remove(tmp)
+        shutil.rmtree(del_dir, ignore_errors=True)
+        continue
     raise RuntimeError(f"replaceWhere lost races in {table_dir}")
 
 

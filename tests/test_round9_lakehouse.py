@@ -125,3 +125,122 @@ def test_vacuum_grace_period_spares_fresh_artifacts(spark, tmp_path):
     deleted = L.vacuum(t, keep_versions=1)
     assert sorted(deleted) == sorted(orphans)
     assert len(glob.glob(os.path.join(t, "segments", "s-*.json"))) == 1
+
+
+# --- pluggable atomic-commit backend (verdict item 1) -----------------------
+
+
+def test_conditional_put_backend_primitives(tmp_path):
+    """The object-store double: put_if_absent is first-writer-wins with
+    whole-object visibility; claim_dir claims via a marker OBJECT (no
+    directories in an object store)."""
+    be = L.ConditionalPutCommitBackend()
+    p = str(tmp_path / "obj.json")
+    assert be.put_if_absent(p, '{"w": 1}')
+    assert not be.put_if_absent(p, '{"w": 2}')
+    assert json.load(open(p)) == {"w": 1}  # loser never tore the object
+    assert (be.puts, be.wins, be.losses) == (2, 1, 1)
+    d = str(tmp_path / "data" / "v0")
+    os.makedirs(str(tmp_path / "data"), exist_ok=True)
+    assert be.claim_dir(d)
+    assert os.path.exists(d + ".__claim__")  # marker object, not mkdir
+    assert not be.claim_dir(d)  # second claimant loses via the marker
+
+
+def test_commit_backend_swap_restores():
+    be = L.ConditionalPutCommitBackend()
+    prev = L.get_commit_backend()
+    with L.commit_backend(be) as active:
+        assert L.get_commit_backend() is be is active
+    assert L.get_commit_backend() is prev
+
+
+def test_commit_storm_through_conditional_put(spark, tmp_path):
+    """Verdict item 1 'done' gate: the round-8 commit-storm stress
+    tests replayed with the object-store double installed — the whole
+    claim→write→publish protocol must hold under conditional-PUT
+    semantics (no os.link, no atomic mkdir anywhere)."""
+    import tests.test_round8_lakehouse as r8
+
+    with L.commit_backend(L.ConditionalPutCommitBackend()) as be:
+        for sub, scenario in (
+            ("a", r8.test_concurrent_commits_all_land),
+            ("b", r8.test_concurrent_ref_commits_all_land),
+            ("c", r8.test_concurrent_merges_all_land),
+        ):
+            d = tmp_path / sub
+            d.mkdir()
+            scenario(spark, d)
+        assert be.wins > 0
+    assert isinstance(L.get_commit_backend(), L.PosixCommitBackend)
+
+
+def test_ref_cas_through_conditional_put(spark, tmp_path, monkeypatch):
+    """Round-8 ref-CAS races replayed through the double."""
+    import tests.test_round8_lakehouse as r8
+
+    with L.commit_backend(L.ConditionalPutCommitBackend()):
+        for sub, scenario in (
+            ("a", r8.test_ref_commit_race_rebase_keeps_both),
+            ("b", r8.test_ref_fast_forward_race_revalidates),
+        ):
+            d = tmp_path / sub
+            d.mkdir()
+            scenario(spark, d, monkeypatch)
+
+
+def test_lost_race_injection_at_commit_point(spark, tmp_path):
+    """The interpose hook simulates losing the conditional PUT to a
+    concurrent writer at EXACTLY the commit point: a racer's v1 lands
+    between our claim and our publish, our put must lose, and the
+    retry loop must rebase so both writers' rows land."""
+    t = str(tmp_path / "tbl")
+    with L.commit_backend(L.ConditionalPutCommitBackend()) as be:
+        L.commit_version(spark, t, _df(spark, 0, 5))  # v0
+        racer_df = _df(spark, 100, 105)
+        state = {"fired": False}
+
+        def interpose(path, payload):
+            if path.endswith("v1.json") and not state["fired"]:
+                state["fired"] = True  # guard before recursing
+                L.commit_version(spark, t, racer_df, max_attempts=5)
+
+        be.interpose = interpose
+        v = L.commit_version(spark, t, _df(spark, 200, 205), max_attempts=5)
+        be.interpose = None
+        assert state["fired"]
+        assert v == 2  # lost v1 to the injected racer, rebased to v2
+        assert be.losses >= 1
+        got = sorted(r["k"] for r in L.read_version(spark, t).collect())
+        assert got == list(range(0, 5)) + list(range(100, 105)) + list(
+            range(200, 205)
+        )
+
+
+def test_lakehouse_lifecycle_through_conditional_put(spark, tmp_path):
+    """End-to-end lifecycle (append, delete vectors, merge, time
+    travel, optimize, rewrite_segments, restore, vacuum) with the
+    object-store double installed — zero protocol step may assume
+    link/mkdir atomicity."""
+    t = str(tmp_path / "tbl")
+    with L.commit_backend(L.ConditionalPutCommitBackend()):
+        L.commit_version(spark, t, _df(spark, 0, 50))
+        L.commit_version(spark, t, _df(spark, 50, 80))
+        L.commit_deletes(spark, t, "k >= 70")
+        assert L.read_version(spark, t).count() == 70
+        assert L.read_version(spark, t, 1).count() == 80  # time travel
+        changes = spark.range(0, 10).select(
+            F.col("id").alias("k")
+        )  # upsert same keys (no-op values, exercises merge commit)
+        L.merge_into(spark, t, changes, "k")
+        assert L.read_version(spark, t).count() == 70
+        L.optimize_table(spark, t)
+        assert L.read_version(spark, t).count() == 70
+        for lo in range(5):
+            L.commit_version(
+                spark, t, _df(spark, 1000 + lo * 10, 1000 + lo * 10 + 5)
+            )
+        v = L.rewrite_segments(t, max_entries=2)
+        assert L.read_version(spark, t, v).count() == 95
+        L.vacuum(t, keep_versions=1, grace_seconds=0)
+        assert L.read_version(spark, t).count() == 95
