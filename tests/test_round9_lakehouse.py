@@ -244,3 +244,72 @@ def test_lakehouse_lifecycle_through_conditional_put(spark, tmp_path):
         assert L.read_version(spark, t, v).count() == 95
         L.vacuum(t, keep_versions=1, grace_seconds=0)
         assert L.read_version(spark, t).count() == 95
+
+
+# --- auto metadata compaction policy (verdict item 2) -----------------------
+
+
+def test_auto_compaction_bounds_manifest_list_over_300_appends(spark, tmp_path):
+    """300 appends with spark.graft.manifest.maxEntries=16: the commit-
+    time policy must keep the manifest list bounded (<= threshold + the
+    in-flight tail) with NO manual rewrite_segments call, and every
+    append's own snapshot must still reference exactly the files that
+    were live at that commit (rewrites are metadata-only)."""
+    t = str(tmp_path / "tbl")
+    spark.conf.set("spark.graft.manifest.maxEntries", "16")
+    try:
+        expected: dict[int, set] = {}
+        live: set = set()
+        max_seen = 0
+        for i in range(300):
+            v = L.commit_version(
+                spark, t, _df(spark, 10 * i, 10 * i + 2).coalesce(1)
+            )
+            man = L._load_manifest(t, v)
+            files = set(L._man_files(t, man))
+            new = files - live
+            assert len(new) >= 1  # this commit's own file(s)
+            live = files
+            expected[v] = files
+            max_seen = max(
+                max_seen, len(L._man_data_segments(t, man))
+            )
+        latest = L._load_manifest(t, L.latest_version(t))
+        n_entries = len(L._man_data_segments(t, latest))
+        # bounded: the fold fires when the list EXCEEDS 16, so the
+        # steady state oscillates in (1, 17]; without the policy this
+        # would be 300
+        assert n_entries <= 17, n_entries
+        assert max_seen <= 17, max_seen
+        # metadata-only: every append's own version still resolves the
+        # exact file set that was live when it committed
+        for v, files in expected.items():
+            assert set(L._man_files(t, L._load_manifest(t, v))) == files
+        # and the final table has every row exactly once
+        rows = [r["k"] for r in L.read_version(spark, t).collect()]
+        assert sorted(rows) == sorted(
+            k for i in range(300) for k in (10 * i, 10 * i + 1)
+        )
+        assert len(rows) == len(set(rows)) == 600
+    finally:
+        spark.conf.unset("spark.graft.manifest.maxEntries")
+
+
+def test_auto_compaction_policy_disable_and_default(spark, tmp_path):
+    """maxEntries<=0 disables the policy (list grows per commit, the
+    pre-round-9 behavior); the 100-entry default leaves short histories
+    untouched."""
+    t = str(tmp_path / "off")
+    spark.conf.set("spark.graft.manifest.maxEntries", "0")
+    try:
+        for i in range(20):
+            L.commit_version(spark, t, _df(spark, i, i + 1).coalesce(1))
+        man = L._load_manifest(t, L.latest_version(t))
+        assert len(L._man_data_segments(t, man)) == 20
+    finally:
+        spark.conf.unset("spark.graft.manifest.maxEntries")
+    t2 = str(tmp_path / "default")
+    for i in range(5):
+        L.commit_version(spark, t2, _df(spark, i, i + 1).coalesce(1))
+    man2 = L._load_manifest(t2, L.latest_version(t2))
+    assert len(L._man_data_segments(t2, man2)) == 5  # under the 100 default
