@@ -384,3 +384,35 @@ def test_multiprocess_commit_stress(spark, tmp_path):
     # version, nothing on disk is unreferenced
     n_versions = L.latest_version(t) + 1
     assert L.orphan_files(t, keep_versions=n_versions) == []
+
+
+# --- executor-retry idempotence probe (verdict item 7) ----------------------
+
+
+def test_commit_survives_task_retry(tmp_path):
+    """spark.task.maxFailures=3 (local[4,3]) with one injected
+    first-attempt task failure inside commit_version's data write: the
+    committed manifest must reference exactly the files that survived
+    task commit (failed attempt's partial output invisible), row counts
+    must be exact, and the embedded footer stats must agree."""
+    import subprocess
+    import sys
+
+    t = str(tmp_path / "tbl")
+    marker = str(tmp_path / "injection.fired")
+    script = os.path.join(
+        os.path.dirname(__file__), "helpers", "retry_probe_worker.py"
+    )
+    p = subprocess.run(
+        [sys.executable, script, t, marker],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["injection_fired"]  # the probe actually failed a task
+    assert out["version"] == 0
+    assert out["rows"] == 1000
+    assert out["ksum"] == 999 * 1000 // 2
+    assert out["seg_rows"] == 1000  # footer stats see no duplicate rows
+    assert out["referenced_equals_disk"]  # no partial-attempt survivors
+    assert out["leftovers"] == []
