@@ -67,8 +67,17 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
 
     def set_artifact_root(tag: str) -> None:
-        # fresh root per phase: timed builds stay COLD builds, while the
-        # session itself is warm (codegen/JIT paid in the warmup phase)
+        # fresh root per phase AND cleared process memos: timed builds
+        # stay COLD builds, while the session itself is warm
+        # (codegen/JIT paid in the warmup phase). Without clearing the
+        # memos, the timed sf0.1 "build" is a no-op dict hit serving the
+        # warmup root and the build ratio reads as fake superlinear.
+        import parquet_to_csv_spark.operators.corpus as _c
+        import parquet_to_csv_spark.operators.dedup as _d
+
+        _d._TOKEN_BASE_CACHE.clear()
+        _d._EDGE_CACHE.clear()
+        _c._UNIGRAM_LM_CACHE.clear()
         spark.conf.set(
             "spark.graft.artifactDir",
             tempfile.mkdtemp(prefix=f"ladder_{tag}_"),
