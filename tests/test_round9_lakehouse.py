@@ -162,6 +162,7 @@ def test_commit_storm_through_conditional_put(spark, tmp_path):
     semantics (no os.link, no atomic mkdir anywhere)."""
     import tests.test_round8_lakehouse as r8
 
+    prev = L.get_commit_backend()
     with L.commit_backend(L.ConditionalPutCommitBackend()) as be:
         for sub, scenario in (
             ("a", r8.test_concurrent_commits_all_land),
@@ -172,7 +173,7 @@ def test_commit_storm_through_conditional_put(spark, tmp_path):
             d.mkdir()
             scenario(spark, d)
         assert be.wins > 0
-    assert isinstance(L.get_commit_backend(), L.PosixCommitBackend)
+    assert L.get_commit_backend() is prev  # context restored the backend
 
 
 def test_ref_cas_through_conditional_put(spark, tmp_path, monkeypatch):
