@@ -417,3 +417,55 @@ def test_commit_survives_task_retry(tmp_path):
     assert out["seg_rows"] == 1000  # footer stats see no duplicate rows
     assert out["referenced_equals_disk"]  # no partial-attempt survivors
     assert out["leftovers"] == []
+
+
+def test_vacuum_concurrent_with_writers_under_grace(spark, tmp_path):
+    """The ADVICE hazard under real concurrency: vacuum(keep_versions=1)
+    runs repeatedly WHILE two threads append — with the default grace
+    window no in-flight commit's freshly written data files or segment
+    manifests may be reclaimed, so every commit must succeed and every
+    row must land. (With grace 0 this interleaving could reclaim a
+    claimed-but-unpublished commit's files — the documented pre-round-9
+    hazard.)"""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    L.commit_version(spark, t, _df(spark, 0, 1))
+    errors = []
+    stop = threading.Event()
+
+    def writer(w):
+        try:
+            for j in range(5):
+                lo = 1000 * (w + 1) + 10 * j
+                L.commit_version(
+                    spark, t, _df(spark, lo, lo + 5), max_attempts=20
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def vacuumer():
+        while not stop.is_set():
+            try:
+                L.vacuum(t, keep_versions=1)  # default grace window
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    vt = threading.Thread(target=vacuumer)
+    vt.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    stop.set()
+    vt.join()
+    assert not errors, errors
+    got = sorted(r["k"] for r in L.read_version(spark, t).collect())
+    want = [0] + sorted(
+        k
+        for w in range(2)
+        for j in range(5)
+        for k in range(1000 * (w + 1) + 10 * j, 1000 * (w + 1) + 10 * j + 5)
+    )
+    assert got == want
