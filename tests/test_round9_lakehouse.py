@@ -469,3 +469,31 @@ def test_vacuum_concurrent_with_writers_under_grace(spark, tmp_path):
         for k in range(1000 * (w + 1) + 10 * j, 1000 * (w + 1) + 10 * j + 5)
     )
     assert got == want
+
+
+def test_backends_agree_exactly_one_winner(tmp_path):
+    """Backend contract, both implementations: N threads racing
+    put_if_absent on one path produce EXACTLY one winner, and the
+    committed object is byte-exactly the winner's payload (no tear, no
+    last-writer-wins clobber)."""
+    import threading
+
+    for i, be in enumerate(
+        (L.PosixCommitBackend(), L.ConditionalPutCommitBackend())
+    ):
+        p = str(tmp_path / f"obj{i}.json")
+        results = [None] * 16
+
+        def racer(j, path=p, backend=be, out=results):
+            out[j] = backend.put_if_absent(path, json.dumps({"writer": j}))
+
+        threads = [
+            threading.Thread(target=racer, args=(j,)) for j in range(16)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sum(1 for r in results if r) == 1, (be.name, results)
+        winner = results.index(True)
+        assert json.load(open(p)) == {"writer": winner}, be.name
