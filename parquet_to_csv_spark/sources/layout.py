@@ -446,7 +446,13 @@ def get_commit_backend():
 
 
 def set_commit_backend(backend):
-    """Install ``backend`` process-wide; returns the previous one."""
+    """Install ``backend`` process-wide; returns the previous one.
+
+    Deployment contract: install ONCE at process startup, before any
+    concurrent writer exists — the global is intentionally unguarded
+    (every commit would otherwise pay a lock for a value that never
+    changes in production). Mid-flight swapping is a test-harness
+    affordance (`commit_backend`), used only around quiesced tables."""
     global _COMMIT_BACKEND
     prev = _COMMIT_BACKEND
     _COMMIT_BACKEND = backend
