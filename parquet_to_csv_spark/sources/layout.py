@@ -377,12 +377,15 @@ class PosixCommitBackend:
 
 
 class ConditionalPutCommitBackend:
-    """Object-store commit semantics, emulated for tests: no link(), no
-    atomic mkdir — only a conditional PUT whose check-and-create is
-    atomic store-side (the lock stands in for the store's internal
-    serialization). Directory claims become put-if-absent on a
-    ``<dir>.__claim__`` MARKER OBJECT, because object stores have no
-    directories at all.
+    """Object-store commit semantics, emulated for tests: the PROTOCOL
+    under test gets no link(), no atomic mkdir — only a conditional PUT
+    whose check-and-create is atomic store-side. Internally the double
+    realizes that atomicity with the host filesystem's own primitive
+    (staged payload + ``os.link``), so it is correct even ACROSS
+    processes sharing a filesystem (round-10 ADVICE; the in-process
+    lock alone serializes nothing between two interpreters). Directory
+    claims become put-if-absent on a ``<dir>.__claim__`` MARKER OBJECT,
+    because object stores have no directories at all.
 
     ``interpose(path, payload)`` runs before each conditional PUT,
     outside the lock — a test injects a competing writer there (e.g.
@@ -406,15 +409,29 @@ class ConditionalPutCommitBackend:
             self.interpose(path, payload)
         with self._lock:
             self.puts += 1
-            if os.path.exists(path):
-                self.losses += 1
-                return False
-            # object-store PUT is atomic: stage + rename so no reader
-            # (even one bypassing the backend) sees a torn object
+            # Round-10 ADVICE (low): the former exists()+replace pair was
+            # serialized only by the IN-PROCESS lock — two PROCESSES
+            # sharing a filesystem (conftest installs this backend
+            # suite-wide via env var, and subprocess-based tests run
+            # real second processes) could both "win" and the later
+            # replace silently clobbered the earlier committed manifest.
+            # The check-and-create itself must be the filesystem's:
+            # stage the full payload, then os.link — atomic and
+            # torn-read-free ACROSS processes. This is the DOUBLE's
+            # internal mechanics, not the protocol under test: callers
+            # still get only conditional-PUT semantics (the "no link /
+            # no mkdir" rule constrains what the commit protocol may
+            # rely on, not how the emulation keeps itself honest).
             tmp = f"{path}.staged-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
                 f.write(payload)
-            os.replace(tmp, path)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                self.losses += 1
+                return False
+            finally:
+                os.remove(tmp)
             self.wins += 1
             return True
 
@@ -1069,15 +1086,20 @@ def commit_version(
         # validate BEFORE writing data files so a schema rejection
         # leaves no orphans; the retry loop re-validates against
         # whatever manifest is the append base at commit time.
-        _evolved_schema(
-            _table_schema(
-                spark,
-                _load_manifest(table_dir, base_for_schema),
-                table_dir,
-            ),
-            df.schema,
-            merge_schema,
-        )
+        try:
+            _evolved_schema(
+                _table_schema(
+                    spark,
+                    _load_manifest(table_dir, base_for_schema),
+                    table_dir,
+                ),
+                df.schema,
+                merge_schema,
+            )
+        except FileNotFoundError:
+            if base_version is not None:
+                raise  # pinned base reclaimed by retention — genuine error
+            pass  # lost race with vacuum; the retry loop re-validates
     guess = 0 if prev is None else prev + 1
     data_dir = _claim_data_dir(table_dir, f"v{guess}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -1103,7 +1125,17 @@ def commit_version(
         evolved = False
         base = base_version if base_version is not None else prev
         if mode == "append" and base is not None:
-            prev_man = _load_manifest(table_dir, base)
+            try:
+                prev_man = _load_manifest(table_dir, base)
+            except FileNotFoundError:
+                if base_version is not None:
+                    raise  # caller pinned a base that retention reclaimed
+                # Round-10 ADVICE (medium): the base we resolved via
+                # latest_version() was vacuumed between resolution and
+                # load — a racer committed a newer version and raised
+                # the retention cutoff. That is a LOST RACE, not an
+                # error: re-resolve latest and retry on top of it.
+                continue
             seg_entries = list(_man_data_segments(table_dir, prev_man))
             carried_del_entries = list(
                 _man_delete_segments(table_dir, prev_man)
@@ -1241,11 +1273,24 @@ def read_version(
     sidecar is ∝ deleted rows and broadcast-sized in any sane layout,
     so the read stays one scan + one broadcast anti-join."""
 
+    explicit = version is not None
     if version is None:
         version = latest_version(table_dir)
     if version is None:
         raise ValueError(f"no snapshots in {table_dir}")
-    man = _load_manifest(table_dir, version)
+    try:
+        man = _load_manifest(table_dir, version)
+    except FileNotFoundError:
+        if explicit:
+            raise  # caller asked for a version retention reclaimed
+        # Round-10 ADVICE (medium): latest-resolution race — a racer
+        # committed a newer version and a concurrent vacuum raised the
+        # retention cutoff past the version we just resolved. Re-resolve
+        # once; the new latest is at least as fresh as what we asked for.
+        version = latest_version(table_dir)
+        if version is None:
+            raise ValueError(f"no snapshots in {table_dir}") from None
+        man = _load_manifest(table_dir, version)
     files = _man_files(table_dir, man)
     if not files:
         raise ValueError(f"version {version} has no files")
@@ -1389,12 +1434,30 @@ def vacuum(
         os.remove(p)
     latest = latest_version(table_dir)
     if latest is not None:
+        # Round-10 ADVICE (medium): manifest deletion honors the same
+        # mtime-grace protection as data files — a freshly committed
+        # vN.json is in-flight metadata (its writer may still be inside
+        # _auto_compact_manifests, a reader may have just resolved it).
+        # Grace alone cannot close the resolution→load race for an OLD
+        # vN (reader resolves latest=N, racer commits N+1, vacuum raises
+        # the cutoff and deletes vN.json before the reader loads it), so
+        # the other half of the fix lives at the clients: commit_version
+        # and read_version treat FileNotFoundError on a latest-resolved
+        # manifest as a LOST RACE and re-resolve, exactly like losing a
+        # put-if-absent. (A retained-margin manifest was considered and
+        # rejected: after an overwrite its data files are legitimately
+        # reclaimed, leaving a manifest that lies about readable data.)
         cutoff = latest - keep_versions + 1
         pinned = _ref_pinned_versions(table_dir)
         for p in glob.glob(os.path.join(table_dir, "manifests", "v*.json")):
             m = re.match(r"v(\d+)\.json$", os.path.basename(p))
             # ref-pinned manifests survive the retention cutoff (E520)
-            if m and int(m.group(1)) < cutoff and int(m.group(1)) not in pinned:
+            if (
+                m
+                and int(m.group(1)) < cutoff
+                and int(m.group(1)) not in pinned
+                and not _in_grace(p)
+            ):
                 os.remove(p)
     # reclaim unreferenced segment manifests: keep every segment any
     # SURVIVING manifest references — this table's, its registered
@@ -1434,6 +1497,52 @@ def vacuum(
                     if any(e["path"] in removed for e in entries)
                 ]:
                     _LEGACY_WRAP_CACHE.pop(k, None)
+    # Round-10 ADVICE (low): reclaim ``<dir>.__claim__`` marker objects
+    # (the object-store backend's directory claims) whose claimed writer
+    # directory holds NO parquet files — the debris of failed/raced
+    # commits, which would otherwise accumulate one marker per loser
+    # forever on an object-store deployment. A marker whose directory
+    # still holds ANY parquet must stay: the claim is exactly what stops
+    # a future writer from re-claiming the bare name and clobbering
+    # committed files with mode("overwrite"). Grace applies to the
+    # NEWEST mtime anywhere under the directory tree (a live writer's
+    # Hadoop ``_temporary`` staging updates deep subdirs, not the top).
+    import shutil
+
+    def _tree_newest_mtime(root: str) -> float:
+        newest = 0.0
+        try:
+            newest = os.path.getmtime(root)
+        except OSError:
+            return _time.time()  # can't stat → treat as just-touched
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, name))
+                    )
+                except OSError:
+                    newest = _time.time()
+        return newest
+
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for marker in glob.glob(os.path.join(data_root, "*.__claim__")):
+            if _in_grace(marker):
+                continue  # freshly claimed — writer may still be staging
+            d = marker[: -len(".__claim__")]
+            if os.path.isdir(d):
+                if any(f.endswith(".parquet") for f in os.listdir(d)):
+                    continue  # published files — claim stays forever
+                if now - _tree_newest_mtime(d) < grace_seconds:
+                    continue  # staging activity inside the window
+                shutil.rmtree(d, ignore_errors=True)
+                if os.path.isdir(d):
+                    continue  # a racer re-populated it mid-sweep; keep claim
+            try:
+                os.remove(marker)
+            except FileNotFoundError:
+                pass
     return doomed
 
 
@@ -3794,8 +3903,15 @@ def _auto_compact_manifests(spark: SparkSession, table_dir: str) -> None:
         return
     try:
         rewrite_segments(table_dir, max_entries=max_entries)
-    except RuntimeError:
-        pass  # racers own the fold now; policy re-fires on next commit
+    except Exception:  # noqa: BLE001 — deliberate: see docstring contract
+        # Round-10 ADVICE (low): the append ALREADY COMMITTED by the
+        # time this policy fires, so NO failure of the fold may escape
+        # to the caller — a propagated OSError/JSONDecodeError (e.g. a
+        # segment reclaimed mid-fold by a grace_seconds=0 vacuum) would
+        # make the application retry a commit that succeeded, producing
+        # duplicates. RuntimeError (lost race) and any I/O error alike:
+        # racers/next commit own the fold; the policy re-fires.
+        pass
 
 
 def rewrite_segments(

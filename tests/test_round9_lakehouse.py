@@ -116,12 +116,16 @@ def test_vacuum_grace_period_spares_fresh_artifacts(spark, tmp_path):
     assert L.vacuum(t, keep_versions=1) == []
     assert set(glob.glob(os.path.join(t, "segments", "s-*.json"))) == segs_pre
     assert all(os.path.exists(p) for p in orphans)
-    # aged-out artifacts (mtime pushed past the window) are reclaimed
+    # aged-out artifacts (mtime pushed past the window) are reclaimed.
+    # Round 10: out-of-retention MANIFESTS are grace-protected too, and
+    # a surviving manifest keeps its segment referenced — so the aging
+    # must cover v0.json as well for its segment to become reclaimable.
     past = L._time.time() - 3600
     for p in orphans:
         os.utime(p, (past, past))
     for p in segs_pre:
         os.utime(p, (past, past))
+    os.utime(os.path.join(t, "manifests", "v0.json"), (past, past))
     deleted = L.vacuum(t, keep_versions=1)
     assert sorted(deleted) == sorted(orphans)
     assert len(glob.glob(os.path.join(t, "segments", "s-*.json"))) == 1
