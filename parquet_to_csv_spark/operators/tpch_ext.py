@@ -35,6 +35,7 @@ Scale notes applied throughout:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from parquet_to_csv_spark.functions.stable import exact_units, stable_sum_2dp
 from parquet_to_csv_spark.sources.tables import load_table
@@ -373,13 +374,18 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """TPC-H Q2 shape: minimum-cost supplier per part in a region —
-    the correlated MIN subquery, decorrelated into a per-part min-cost
-    aggregate joined back on (partkey, cost). EUROPE suppliers, SMALL
-    parts; top-k by (acctbal desc, suppkey) via TakeOrderedAndProject.
+    the correlated MIN subquery, decorrelated into a per-part window
+    MIN + filter (round 10, verdict item 4: the former agg + self-join
+    resolved only via plan-id lineage, logging "trivially true equals
+    predicate" warnings, and paid TWO exchanges — one for the partial
+    agg, one to shuffle eu_ps back for the join; the window computes
+    the same min-per-partkey and keeps every tying row in ONE exchange
+    on ps_partkey). EUROPE suppliers, SMALL parts; top-k by
+    (acctbal desc, name, partkey) via TakeOrderedAndProject.
 
-    partsupp/supplier/nation/region are all dim-sized here — AQE
-    broadcasts them; at 100 TB partsupp is fact-sized and the
-    (partkey, cost) equi-join degrades gracefully to shuffle."""
+    partsupp/supplier/nation/region are all dim-sized here; at 100 TB
+    partsupp is fact-sized and the single ps_partkey exchange is
+    exactly the shuffle the decorrelated MIN needs — no second pass."""
     ps = synth_partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -391,16 +397,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eu_ps = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey)
-    min_cost = eu_ps.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    w = Window.partitionBy("ps_partkey")
     return (
-        eu_ps.join(
-            min_cost,
-            (eu_ps.ps_partkey == min_cost.ps_partkey)
-            & (eu_ps.ps_supplycost == min_cost.min_cost),
-        )
-        .drop(min_cost.ps_partkey)
+        eu_ps.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .drop("min_cost")
         .join(part, F.col("ps_partkey") == part.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
