@@ -97,11 +97,19 @@ def get_spark(
     app_name: str = "parquet_to_csv_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local runs;
     on a real cluster, leave it unset and let spark-submit provide it.
+
+    ``extra_conf`` (round 10) is applied LAST, overriding any default —
+    the hook the measurement harnesses use to e.g. re-enable the UI for
+    the status REST API or shrink the heap for constrained-memory
+    probes, without forking this factory's defaults. Launch-time
+    options (heap size, UI) only take effect for the process's FIRST
+    session.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -132,6 +140,9 @@ def get_spark(
         # only effective at JVM launch (first session in the process)
         .config("spark.driver.extraJavaOptions", _codegen_log_jvm_opt())
     )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
     # Only force master when not already launched under a cluster manager.
     if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
         builder = builder.master(master)
