@@ -71,14 +71,17 @@ def _valid_bmp_header(payload: bytes) -> bool:
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'png' / 'bmp' / None — magic bytes, plus full header validation
-    for BMP (the 2-byte 'BM' magic collides with ordinary text)."""
+    """'png' / 'bmp' / 'jpeg' / 'webp' / None — magic bytes, plus full
+    header validation for BMP (the 2-byte 'BM' magic collides with
+    ordinary text)."""
     if payload is None:
         return None
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:3] == JPEG_MAGIC:
         return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:2] == BMP_MAGIC and len(payload) >= 54 and _valid_bmp_header(payload):
         return "bmp"
     return None
@@ -1209,8 +1212,9 @@ def encode_jpeg_progressive(img: np.ndarray, quant: int = 1) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode PNG, BMP, or JPEG (baseline sequential or progressive);
-    raises ``NotImplementedError`` for anything else (WebP, audio,
+    """Decode PNG, BMP, JPEG (baseline sequential or progressive), or
+    WebP-lossless (VP8L — round 10, ``functions/webpcodec.py``); raises
+    ``NotImplementedError`` for anything else (lossy WebP/VP8, audio,
     video) — the honest boundary for formats needing native libs."""
     fmt = sniff_format(payload)
     if fmt == "png":
@@ -1219,10 +1223,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "jpeg":
         return decode_jpeg(payload)
+    if fmt == "webp":
+        from parquet_to_csv_spark.functions.webpcodec import decode_vp8l
+
+        return decode_vp8l(payload)
     raise NotImplementedError(
-        "only PNG, BMP and JPEG (sequential + progressive) have "
-        "pure-Python decoders in this container; WebP/audio/video need "
-        "PIL/librosa/ffmpeg"
+        "only PNG, BMP, JPEG (sequential + progressive) and "
+        "WebP-lossless (VP8L) have pure-Python decoders in this "
+        "container; lossy WebP/audio/video need PIL/librosa/ffmpeg"
     )
 
 

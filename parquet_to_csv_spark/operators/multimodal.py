@@ -47,16 +47,18 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_media(payload: bytes, modality: str):
-    """Decoder hook: REAL for PNG and BMP (pure-Python codec —
-    ``functions/imagecodec.py``), returning an (H, W, C) uint8 numpy
-    array; ``NotImplementedError`` for formats that need native libs
-    (JPEG/WebP/audio/video — no PIL/librosa/ffmpeg in this container).
-    """
+    """Decoder hook: REAL for PNG, BMP, JPEG (sequential +
+    progressive) and WebP-lossless (pure-Python codecs —
+    ``functions/imagecodec.py`` + ``functions/webpcodec.py``),
+    returning an (H, W, C) uint8 numpy array; ``NotImplementedError``
+    for formats that need native libs (lossy WebP/audio/video — no
+    PIL/librosa/ffmpeg in this container)."""
     if modality in ("image", "text") and imagecodec.sniff_format(payload):
         return imagecodec.decode_image(payload)
     raise NotImplementedError(
-        "only PNG/BMP decode in this container (pure-Python codec); "
-        "JPEG/WebP/audio/video need PIL/librosa/ffmpeg"
+        "only PNG/BMP/JPEG/WebP-lossless decode in this container "
+        "(pure-Python codecs); lossy WebP/audio/video need "
+        "PIL/librosa/ffmpeg"
     )
 
 
@@ -689,3 +691,70 @@ def multimodal_video_meta(
             yield pd.DataFrame(out)
 
     return spark.range(n_clips).mapInPandas(_gen, VIDEO_META_SCHEMA)
+
+
+def multimodal_webp_decode(
+    spark: SparkSession, sf_dir: str, n_images: int = 16
+) -> DataFrame:
+    """EXT E524 (round 10): gate query for the REAL WebP-lossless
+    (VP8L) decode path — the WebP twin of E309/E343/E400/E429/E523.
+
+    Per image id, a deterministic RGB image is generated with 4-pixel
+    horizontal runs (so the encoder's LZ77 references actually fire),
+    encoded by the pure-Python VP8L encoder (``functions/webpcodec``)
+    with id-varied options — SUBTRACT_GREEN on even ids, color-cache
+    bits cycling 0/4/8 — and decoded back through the full container +
+    prefix-code + LZ77 + inverse-transform pipeline via
+    :func:`decode_media`. VP8L is LOSSLESS, so the decoded pixels must
+    equal the generating formula EXACTLY; the reduced per-image
+    16-bin integer luma histogram is what the DuckDB oracle recomputes
+    from the same formula without touching a byte. Any defect in the
+    bit reader, canonical code reconstruction, distance mapping,
+    cache hashing, or transform inversion shifts a bin and fails the
+    value hash.
+
+    (``sf_dir`` is unused — the workload is generated; the parameter
+    keeps the registry signature uniform.)
+
+    Scale shape: generation/encode/decode are a stateless
+    ``mapInPandas`` fan-out over ``spark.range`` — embarrassingly
+    parallel, no shuffle, exactly the 100 TB decode-sweep shape."""
+    import numpy as np
+
+    from parquet_to_csv_spark.functions import webpcodec as wc
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, hs, ws, bins, cnts = [], [], [], [], [], []
+            for img_id in pdf["id"]:
+                img_id = int(img_id)
+                h = 8 + img_id % 5
+                w = 8 + (img_id * 5) % 9
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    for x in range(w):
+                        img[y, x, 0] = ((x // 4) * 40 + img_id * 7) % 256
+                        img[y, x, 1] = ((y // 2) * 23 + img_id * 11) % 256
+                        img[y, x, 2] = ((x // 4) + y * 3 + img_id) % 256
+                payload = wc.encode_vp8l(
+                    img,
+                    subtract_green=(img_id % 2 == 0),
+                    cache_bits=(img_id % 3) * 4,
+                    use_lz77=True,
+                )
+                decoded = decode_media(payload, "image")
+                lum = imagecodec.luma(decoded).reshape(-1)
+                hist = np.bincount(lum >> 4, minlength=16)
+                for b in range(16):
+                    ids.append(img_id)
+                    fmts.append("vp8l")
+                    hs.append(h)
+                    ws.append(w)
+                    bins.append(b)
+                    cnts.append(int(hist[b]))
+            yield pd.DataFrame(
+                {"img_id": ids, "fmt": fmts, "height": hs, "width": ws,
+                 "bin": bins, "n_px": cnts}
+            )
+
+    return spark.range(n_images).mapInPandas(_gen, DECODE_GATE_SCHEMA)

@@ -5021,3 +5021,46 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        END AS mean_lm_after_micro
 FROM flagged GROUP BY source
 """
+
+# --------------------------------------------------------------------------
+# EXT E524 (round 10) — REAL WebP-lossless (VP8L) decode gate: the WebP
+# twin of E309/E343/E400/E429/E523. The Spark side generates formula
+# images with horizontal runs, encodes them through the pure-Python
+# VP8L encoder (id-varied SUBTRACT_GREEN / color-cache options, LZ77
+# refs firing on the runs) and decodes back through the full container
+# + prefix-code + inverse-transform pipeline; VP8L is lossless, so the
+# oracle recomputes the 16-bin integer luma histograms straight from
+# the generating formula — no byte ever crosses engines, any decode
+# defect shifts a bin. Appended AFTER the driver's pinned first-50
+# window per the round-7 registry-freeze rule.
+# --------------------------------------------------------------------------
+
+from parquet_to_csv_spark.operators import multimodal as _mm524  # noqa: E402
+
+QUERIES["multimodal_webp_decode"] = _mm524.multimodal_webp_decode
+ORACLES["multimodal_webp_decode"] = """
+WITH imgs AS (
+  SELECT t.i AS img_id, 8 + t.i % 5 AS h, 8 + (t.i * 5) % 9 AS w
+  FROM unnest(range(0, 16)) AS t(i)
+), px AS (
+  SELECT img_id, h, w,
+         ((x.x // 4) * 40 + img_id * 7) % 256 AS r,
+         ((y.y // 2) * 23 + img_id * 11) % 256 AS g,
+         ((x.x // 4) + y.y * 3 + img_id) % 256 AS b
+  FROM imgs, unnest(range(0, h)) AS y(y), unnest(range(0, w)) AS x(x)
+), lm AS (
+  SELECT img_id, h, w,
+         ((299 * r + 587 * g + 114 * b) // 1000) // 16 AS bin
+  FROM px
+), hist AS (
+  SELECT img_id, h, w, bin, count(*) AS n_px FROM lm GROUP BY 1, 2, 3, 4
+), allbins AS (
+  SELECT img_id, h, w, b.bin FROM imgs, unnest(range(0, 16)) AS b(bin)
+)
+SELECT a.img_id, 'vp8l' AS fmt,
+       CAST(a.h AS BIGINT) AS height, CAST(a.w AS BIGINT) AS width,
+       CAST(a.bin AS BIGINT) AS bin,
+       CAST(coalesce(hist.n_px, 0) AS BIGINT) AS n_px
+FROM allbins a
+LEFT JOIN hist ON a.img_id = hist.img_id AND a.bin = hist.bin
+"""
