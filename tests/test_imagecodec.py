@@ -97,8 +97,16 @@ def test_unsupported_formats_raise():
     # fake bytes fail as CORRUPT (ValueError), not unsupported
     with pytest.raises(ValueError):
         ic.decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
-    with pytest.raises(NotImplementedError):
+    # WebP is sniffed and routed to the real VP8L decoder (round 10):
+    # a truncated RIFF/WEBP is CORRUPT (ValueError); a LOSSY flavor
+    # (VP8/VP8X chunk) is the remaining honest boundary
+    with pytest.raises(ValueError):
         mm.decode_media(b"RIFF....WEBP", "image")
+    import struct
+
+    lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBPVP8 " + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(lossy, "image")
 
 
 def test_decode_features_same_image_different_encodings():
