@@ -233,3 +233,76 @@ def test_vacuum_keeps_markers_of_live_dirs_forever(spark, tmp_path):
             for m in glob.glob(os.path.join(t, "data", "*.__claim__"))
         )
         assert left == ["v0.__claim__", "v1.__claim__"]
+
+
+# --- 1d: the full interleaving under TRUE concurrency ------------------------
+
+
+def test_vacuum_concurrent_with_writers_and_readers(spark, tmp_path):
+    """The round-9 ADVICE race, end to end under real threads: two
+    appenders, two READERS, and a keep_versions=1 vacuum loop under a
+    TINY grace window (0.35 s — far below the commit cadence, so the
+    retention cutoff actively chases latest and reclaims
+    out-of-retention manifests WHILE clients hold stale resolutions;
+    grace 0 with live writers is outside vacuum's documented contract,
+    since an in-flight commit's just-written segment is unreferenced
+    until its manifest links). The lost-race retries in
+    commit_version/read_version must absorb every vanished manifest:
+    zero exceptions anywhere, every committed row readable at the end.
+    (Pre-round-10 this interleaving threw FileNotFoundError from
+    either client.)"""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    L.commit_version(spark, t, _df(spark, 0, 1))
+    errors = []
+    stop = threading.Event()
+
+    def writer(w):
+        try:
+            for j in range(4):
+                lo = 1000 * (w + 1) + 10 * j
+                L.commit_version(
+                    spark, t, _df(spark, lo, lo + 5), max_attempts=40
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(("writer", e))
+
+    def reader():
+        try:
+            while not stop.is_set():
+                n = L.read_version(spark, t).count()
+                assert n >= 1
+        except Exception as e:  # noqa: BLE001
+            errors.append(("reader", e))
+
+    def vacuumer():
+        while not stop.is_set():
+            try:
+                L.vacuum(t, keep_versions=1, grace_seconds=0.35)
+            except Exception as e:  # noqa: BLE001
+                errors.append(("vacuum", e))
+
+    writers = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    readers = [threading.Thread(target=reader) for _ in range(2)]
+    vt = threading.Thread(target=vacuumer)
+    vt.start()
+    for th in readers:
+        th.start()
+    for th in writers:
+        th.start()
+    for th in writers:
+        th.join()
+    stop.set()
+    for th in readers:
+        th.join()
+    vt.join()
+    assert not errors, errors
+    got = sorted(r["k"] for r in L.read_version(spark, t).collect())
+    want = [0] + sorted(
+        k
+        for w in range(2)
+        for j in range(4)
+        for k in range(1000 * (w + 1) + 10 * j, 1000 * (w + 1) + 10 * j + 5)
+    )
+    assert got == want
