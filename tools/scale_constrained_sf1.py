@@ -80,7 +80,19 @@ def main() -> int:
     ap.add_argument("--sf1", default="/tmp/spark_graft_sfdata/sf1")
     ap.add_argument("--heap", default="5g")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the headline tier (e.g. the "
+        "non-pair queries when probing sf10, where the pair relation "
+        "is output-quadratic in replicated dup structure)",
+    )
     args = ap.parse_args()
+    headline = (
+        [q for q in args.queries.split(",") if q]
+        if args.queries
+        else HEADLINE
+    )
 
     from parquet_to_csv_spark.operators.corpus import _unigram_lm_base
     from parquet_to_csv_spark.operators.dedup import _token_base
@@ -152,7 +164,7 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.01"
     _token_base(spark, warm_dir).count()
     _unigram_lm_base(spark, warm_dir).count()
-    for name in HEADLINE:
+    for name in headline:
         QUERIES[name](spark, warm_dir).collect()
     print("  warmup done", file=sys.stderr)
 
@@ -213,7 +225,7 @@ def main() -> int:
                 file=sys.stderr,
             )
 
-    for name in HEADLINE:
+    for name in headline:
         timed(name, lambda n=name: QUERIES[n](spark, args.sf1).collect())
 
     print(
