@@ -251,7 +251,7 @@ def write_ocf(
     encode_vp8l / encode_flac)."""
     import hashlib
 
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"avro codec {codec}")
     sync = hashlib.md5(
         (json.dumps(schema, sort_keys=True) + os.path.basename(path)).encode()
@@ -281,6 +281,16 @@ def write_ocf(
         if codec == "deflate":
             co = zlib.compressobj(9, zlib.DEFLATED, -15)
             data = co.compress(data) + co.flush()
+        elif codec == "snappy":
+            # Avro snappy framing: snappy(raw) + 4-byte BIG-ENDIAN
+            # CRC32 of the UNCOMPRESSED bytes
+            from parquet_to_csv_spark.functions.snappycodec import (
+                snappy_compress,
+            )
+
+            data = snappy_compress(data) + struct.pack(
+                ">I", zlib.crc32(data) & 0xFFFFFFFF
+            )
         head = bytearray()
         head += zigzag_encode(len(block))
         head += zigzag_encode(len(data))
@@ -321,7 +331,7 @@ def read_ocf(path: str):
             meta[k.decode()] = v
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"avro codec {codec}")
     sync = buf[pos : pos + SYNC_SIZE]
     pos += SYNC_SIZE
@@ -338,6 +348,15 @@ def read_ocf(path: str):
             p = p2 + SYNC_SIZE
             if codec == "deflate":
                 data = zlib.decompress(data, -15)
+            elif codec == "snappy":
+                from parquet_to_csv_spark.functions.snappycodec import (
+                    snappy_decompress,
+                )
+
+                crc = struct.unpack(">I", data[-4:])[0]
+                data = snappy_decompress(data[:-4])
+                if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                    raise ValueError("avro snappy block CRC mismatch")
             q = 0
             for _ in range(count):
                 rec, q = read_any(data, q, schema)

@@ -79,13 +79,13 @@ def test_corrupt_sync_marker_raises(tmp_path):
 def test_unsupported_codec_raises(tmp_path):
     with pytest.raises(NotImplementedError):
         av.write_ocf(str(tmp_path / "x.avro"), {"type": "record",
-                     "name": "r", "fields": []}, [], codec="snappy")
+                     "name": "r", "fields": []}, [], codec="zstandard")
 
 
 # --- container round-trips ----------------------------------------------------
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_ocf_roundtrip_all_types(tmp_path, codec):
     schema = {"type": "record", "name": "r", "fields": [
         {"name": "id", "type": "long"},
@@ -225,3 +225,70 @@ def test_spark_roundtrip_lineitem_slice(spark, sf_dir, tmp_path):
         F.round(F.sum("l_extendedprice"), 2), F.max("l_shipdate"),
     ).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+# --- snappy codec (pure-Python, functions/snappycodec.py) ---------------------
+
+
+def test_snappy_spec_tag_pins():
+    from parquet_to_csv_spark.functions.snappycodec import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    # hand-built streams per the format description's tag table
+    # literal "hi", then 1-byte-offset copy (len 4, offset 2) -> hihihi
+    s = bytes([6, (2 - 1) << 2]) + b"hi" + bytes([((4 - 4) << 2) | 1, 2])
+    assert snappy_decompress(s) == b"hihihi"
+    # 4-byte-offset copy
+    s = (
+        bytes([8, (4 - 1) << 2])
+        + b"abcd"
+        + bytes([((4 - 1) << 2) | 3])
+        + (4).to_bytes(4, "little")
+    )
+    assert snappy_decompress(s) == b"abcdabcd"
+    # overlapping forward copy: "x" then copy len 9 offset 1 -> "x"*10
+    s = bytes([10, 0]) + b"x" + bytes([((9 - 1) << 2) | 2]) + (1).to_bytes(
+        2, "little"
+    )
+    assert snappy_decompress(s) == b"x" * 10
+    # round-trips incl. the >60-byte literal path and long runs
+    import random
+
+    rng = random.Random(7)
+    for case in [
+        b"",
+        b"a" * 200_000,
+        bytes(range(256)) * 40,
+        bytes(rng.randrange(256) for _ in range(10_000)),
+    ]:
+        assert snappy_decompress(snappy_compress(case)) == case
+    # corrupt: offset beyond output
+    with pytest.raises(ValueError):
+        snappy_decompress(bytes([4, ((4 - 4) << 2) | 1, 9]))
+
+
+def test_avro_snappy_crc_guard(tmp_path):
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    p = str(tmp_path / "t.avro")
+    av.write_ocf(p, schema, [{"x": i} for i in range(100)], codec="snappy")
+    _, it = av.read_ocf(p)
+    assert [r["x"] for r in it] == list(range(100))
+    # flip a byte inside the compressed block payload (just before the
+    # trailing sync marker) -> the CRC-or-decoder must catch it
+    buf = bytearray(open(p, "rb").read())
+    buf[len(buf) - av.SYNC_SIZE - 2] ^= 0x01
+    open(p, "wb").write(bytes(buf))
+    _, it = av.read_ocf(p)
+    with pytest.raises(ValueError):
+        list(it)
+
+
+def test_spark_roundtrip_snappy(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "docs_snappy")
+    av.write_avro(src.repartition(2), out, codec="snappy")
+    back = av.read_avro(spark, os.path.join(out, "part-*.avro"))
+    assert _digest(back) == _digest(src)
