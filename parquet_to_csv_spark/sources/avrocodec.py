@@ -495,9 +495,10 @@ def _coerce_for_spark(rec: dict, schema: dict) -> tuple:
             if lt == "date":
                 v = datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
             elif lt == "timestamp-micros":
-                v = datetime.datetime.fromtimestamp(
-                    v / 1_000_000, tz=datetime.timezone.utc
-                ).replace(tzinfo=None)
+                # exact integer micros (float division would round)
+                v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                    microseconds=v
+                )
         out.append(v)
     return tuple(out)
 
@@ -557,14 +558,20 @@ class AvroSinkWriter(DataSourceWriter):
         def to_avro(row):
             rec = {}
             for name in names:
-                v = row[name] if not hasattr(row, name) else getattr(row, name)
+                # index by NAME, never getattr: Row is a tuple subclass,
+                # so a column called "count"/"index" would shadow into a
+                # bound method under attribute access
+                v = row[name]
                 if isinstance(v, datetime.date) and not isinstance(
                     v, datetime.datetime
                 ):
                     v = (v - datetime.date(1970, 1, 1)).days
                 elif isinstance(v, datetime.datetime):
-                    epoch = datetime.datetime(1970, 1, 1)
-                    v = int((v - epoch).total_seconds() * 1_000_000)
+                    # exact integer micros — total_seconds() is a float
+                    # and loses sub-microsecond exactness at 2^53
+                    v = (
+                        v - datetime.datetime(1970, 1, 1)
+                    ) // datetime.timedelta(microseconds=1)
                 rec[name] = v
             return rec
 

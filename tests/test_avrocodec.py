@@ -292,3 +292,21 @@ def test_spark_roundtrip_snappy(spark, sf_dir, tmp_path):
     av.write_avro(src.repartition(2), out, codec="snappy")
     back = av.read_avro(spark, os.path.join(out, "part-*.avro"))
     assert _digest(back) == _digest(src)
+
+
+def test_spark_roundtrip_method_shadowing_column_names(spark, tmp_path):
+    """Row is a tuple subclass: columns named 'count' / 'index' shadow
+    into bound methods under attribute access — the sink must index by
+    name. Also pins exact microsecond timestamps (integer arithmetic,
+    no float rounding)."""
+    src = spark.createDataFrame(
+        [(1, 10, datetime.datetime(2026, 8, 16, 1, 2, 3, 123457)),
+         (2, 20, datetime.datetime(1969, 12, 31, 23, 59, 59, 999999))],
+        "count bigint, index bigint, ts timestamp",
+    )
+    out = str(tmp_path / "shadow_avro")
+    av.write_avro(src.coalesce(1), out)
+    back = av.read_avro(spark, os.path.join(out, "part-*.avro"))
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
