@@ -503,20 +503,99 @@ def _coerce_for_spark(rec: dict, schema: dict) -> tuple:
     return tuple(out)
 
 
+def _avro_to_arrow_type(ft):
+    """Arrow type for an Avro field type, or None when unmapped (maps,
+    nested records, multi-branch unions) — the caller then falls back
+    to row-tuple emission for the whole file."""
+    import pyarrow as pa
+
+    if isinstance(ft, list):
+        branches = [b for b in ft if b != "null"]
+        if len(branches) != 1:
+            return None
+        return _avro_to_arrow_type(branches[0])
+    s = _normalize(ft)
+    t = s["type"]
+    if isinstance(t, (list, dict)):
+        return _avro_to_arrow_type(t)
+    lt = s.get("logicalType")
+    if lt == "date":
+        return pa.date32()
+    if lt == "timestamp-micros":
+        return pa.timestamp("us")
+    if t == "array":
+        item = _avro_to_arrow_type(s["items"])
+        return pa.list_(item) if item is not None else None
+    return {
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "bytes": pa.binary(),
+        "fixed": pa.binary(),
+        "enum": pa.string(),
+    }.get(t)
+
+
 class AvroReader(DataSourceReader):
     def __init__(self, options: dict):
         import glob as _glob
 
         pat = options["path"]
         self.paths = sorted(_glob.glob(pat)) or [pat]
+        self.use_arrow = options.get("arrow", "true").lower() != "false"
 
     def partitions(self):
         return [_FilePartition(p) for p in self.paths]
 
     def read(self, partition: _FilePartition):
         schema, rows = read_ocf(partition.path)
+        arrow_fields = None
+        if self.use_arrow:
+            import pyarrow as pa
+
+            typed = [
+                (f["name"], _avro_to_arrow_type(f["type"]))
+                for f in schema["fields"]
+            ]
+            if all(t is not None for _, t in typed):
+                arrow_fields = pa.schema(typed)
+        if arrow_fields is None:
+            # row fallback: maps / nested records / exotic unions
+            for rec in rows:
+                yield _coerce_for_spark(rec, schema)
+            return
+        # Arrow fast path: columnar batches skip per-row tuple pickling
+        # (the measured 13x of the E319 synthetic source). Raw Avro
+        # values feed Arrow directly — date/timestamp stay INTEGER
+        # days/µs, which date32/timestamp("us") accept natively, so the
+        # per-row datetime construction of the fallback disappears too.
+        import pyarrow as pa
+
+        names = [f["name"] for f in schema["fields"]]
+        batch_rows = 4096
+        cols: list[list] = [[] for _ in names]
+        n = 0
+
+        def emit():
+            arrays = [
+                pa.array(c, type=arrow_fields.field(i).type)
+                for i, c in enumerate(cols)
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=arrow_fields)
+
         for rec in rows:
-            yield _coerce_for_spark(rec, schema)
+            for i, name in enumerate(names):
+                cols[i].append(rec[name])
+            n += 1
+            if n >= batch_rows:
+                yield emit()
+                cols = [[] for _ in names]
+                n = 0
+        if n:
+            yield emit()
 
 
 class AvroDataSource(DataSource):

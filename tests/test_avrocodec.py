@@ -310,3 +310,41 @@ def test_spark_roundtrip_method_shadowing_column_names(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, src.collect())
     )
+
+
+def test_arrow_and_row_paths_agree(spark, sf_dir, tmp_path):
+    """The Arrow fast path (columnar batches, integer date/µs values
+    fed straight to date32/timestamp('us')) must be value-identical to
+    the row fallback across every mapped type."""
+    src = spark.createDataFrame(
+        [(1, "a", 2.5, [0.5, 1.5], datetime.date(2020, 2, 29),
+          datetime.datetime(2026, 8, 16, 1, 2, 3, 123456), b"\x01\x02"),
+         (2, None, -1.0, [], datetime.date(1969, 7, 20), None, b"")],
+        "id bigint, s string, d double, v array<double>, dt date, "
+        "ts timestamp, b binary",
+    )
+    out = str(tmp_path / "arrow_avro")
+    av.write_avro(src.coalesce(1), out)
+    spark.dataSource.register(av.AvroDataSource)
+    fast = (spark.read.format("pyavro")
+            .option("path", os.path.join(out, "part-*.avro")).load())
+    slow = (spark.read.format("pyavro")
+            .option("path", os.path.join(out, "part-*.avro"))
+            .option("arrow", "false").load())
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b == sorted(map(tuple, src.collect()))
+
+
+def test_map_type_routes_to_row_fallback(spark, tmp_path):
+    """map<string,long> has no arrow mapping here — the reader must
+    still produce correct rows via the fallback."""
+    src = spark.createDataFrame(
+        [(1, {"x": 10}), (2, {"y": -3, "z": 0})],
+        "id bigint, m map<string,bigint>",
+    )
+    out = str(tmp_path / "map_avro")
+    av.write_avro(src.coalesce(1), out)
+    back = av.read_avro(spark, os.path.join(out, "part-*.avro"))
+    assert sorted((r["id"], sorted(r["m"].items())) for r in back.collect()) \
+        == sorted((r["id"], sorted(r["m"].items())) for r in src.collect())
