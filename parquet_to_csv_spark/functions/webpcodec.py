@@ -171,9 +171,14 @@ class _PrefixCode:
 
 
 def _code_lengths_from_freqs(freqs: dict[int, int], max_len: int) -> dict[int, int]:
-    """Huffman code lengths (heapq); symbols with zero frequency get
-    no code. Raises if the depth cap is exceeded (never happens for
-    the ≤280-symbol alphabets this encoder feeds it)."""
+    """Length-limited Huffman code lengths; symbols with zero frequency
+    get no code. Plain Huffman depth grows with frequency SKEW (a
+    Fibonacci-distributed channel exceeds 15 with ~25 live symbols), so
+    when the cap is hit the counts-per-length histogram is repaired
+    (clamp + Kraft renormalize, the zlib/miniz enforce-max-code-size
+    move) and lengths are reassigned shortest-first to the most
+    frequent symbols. The result is always Kraft-complete at max_len,
+    which is what the VP8L canonical-code reader requires."""
     import heapq
 
     items = [(f, sym) for sym, f in freqs.items() if f > 0]
@@ -199,9 +204,35 @@ def _code_lengths_from_freqs(freqs: dict[int, int], max_len: int) -> dict[int, i
             walk(node[3], depth + 1)
 
     walk(heap[0], 0)
-    if max(lengths.values()) > max_len:
-        raise ValueError(f"prefix code depth > {max_len}")
-    return lengths
+    if max(lengths.values()) <= max_len:
+        return lengths
+    # Over-deep: clamp every length to max_len, then repair the Kraft
+    # sum. Each repair step retires one code at max_len and splits one
+    # shallower code into two children one level deeper — symbol count
+    # is preserved and the weighted total (in units of 2^-max_len)
+    # drops by exactly 1 per step until the code is complete.
+    counts = [0] * (max_len + 1)
+    for ln in lengths.values():
+        counts[min(ln, max_len)] += 1
+    total = sum(counts[ln] << (max_len - ln) for ln in range(1, max_len + 1))
+    cap = 1 << max_len
+    while total > cap:
+        counts[max_len] -= 1
+        for ln in range(max_len - 1, 0, -1):
+            if counts[ln]:
+                counts[ln] -= 1
+                counts[ln + 1] += 2
+                break
+        total -= 1
+    # shortest lengths to the most frequent symbols (ties: symbol order)
+    syms = sorted(lengths, key=lambda s: (-freqs[s], s))
+    out: dict[int, int] = {}
+    i = 0
+    for ln in range(1, max_len + 1):
+        for _ in range(counts[ln]):
+            out[syms[i]] = ln
+            i += 1
+    return out
 
 
 def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
@@ -310,34 +341,6 @@ def _subsample_size(size: int, bits: int) -> int:
 
 def _hash_argb(argb: int, bits: int) -> int:
     return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
-
-
-def _decode_entropy_image(
-    br: _BitReader, w: int, h: int, allow_meta: bool
-) -> np.ndarray:
-    """Decode one entropy-coded ARGB image (spec §5.2) into a flat
-    uint32 array of length w*h (row-major)."""
-    cache_bits = 0
-    cache: list[int] = []
-    if allow_meta:
-        meta = None
-        huffman_bits = 0
-        if br.read(1):  # meta-prefix present
-            huffman_bits = 2 + br.read(3)
-            mw, mh = _subsample_size(w, huffman_bits), _subsample_size(h, huffman_bits)
-            meta = _decode_entropy_image(br, mw, mh, False)
-    else:
-        meta, huffman_bits = None, 0
-    if br.read(1):  # color cache
-        cache_bits = br.read(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError(f"bad color-cache bits {cache_bits}")
-        cache = [0] * (1 << cache_bits)
-    # wait — spec order is color-cache bit BEFORE meta-prefix? No:
-    # §5.2/§5.3: the color cache info comes first, THEN the meta
-    # prefix — but only for the main image; subresolution images have
-    # neither meta nor... they DO allow a cache. See _decode_image_stream.
-    raise AssertionError("unused")  # replaced by _decode_image_stream
 
 
 def _decode_image_stream(

@@ -383,3 +383,49 @@ def test_corrupt_streams_raise():
     with pytest.raises(ValueError):
         wc.decode_vp8l(bytes(enc[:20] + b"\x00" + enc[21:]))  # bad signature
     assert wc.sniff_webp(b"not a webp at all") is None
+
+
+def test_length_limited_huffman_skewed_freqs():
+    # Fibonacci frequencies force unrestricted Huffman depth ~n — with
+    # ~25 live symbols the deepest code would exceed the VP8L 15-bit
+    # cap. The length-limited constructor must clamp + renormalize.
+    a, b = 1, 1
+    freqs = {}
+    for sym in range(25):
+        freqs[sym] = a
+        a, b = b, a + b
+    for cap in (15, 7):
+        lengths = wc._code_lengths_from_freqs(freqs, cap)
+        assert set(lengths) == set(freqs)
+        assert max(lengths.values()) <= cap
+        # Kraft-complete at the cap (what the canonical reader needs)
+        assert sum(1 << (cap - ln) for ln in lengths.values()) == 1 << cap
+        # most frequent symbol gets the shortest code
+        top = max(freqs, key=freqs.get)
+        assert lengths[top] == min(lengths.values())
+    # unskewed input is untouched by the repair path
+    flat = wc._code_lengths_from_freqs({s: 1 for s in range(8)}, 15)
+    assert set(flat.values()) == {3}
+
+
+def test_roundtrip_fibonacci_skewed_image():
+    # the advisor's repro class: one channel with Fibonacci-distributed
+    # values — encode used to raise ValueError('prefix code depth > 15')
+    rng = np.random.default_rng(11)
+    h, w = 256, 768
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    a, b = 1, 1
+    counts = []
+    for sym in range(24):
+        counts.append((sym, a))
+        a, b = b, a + b
+    total = h * w
+    weights = np.array([c for _, c in counts], dtype=np.float64)
+    weights /= weights.sum()
+    g = rng.choice([s for s, _ in counts], size=total, p=weights)
+    img[:, :, 1] = g.reshape(h, w).astype(np.uint8)
+    img[:, :, 0] = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    for sg in (False, True):
+        enc = wc.encode_vp8l(img, subtract_green=sg)
+        out = wc.decode_vp8l(enc)
+        assert (out == img).all()
