@@ -480,9 +480,15 @@ class _FilePartition(InputPartition):
 
 
 def _coerce_for_spark(rec: dict, schema: dict) -> tuple:
-    """Avro dict row -> tuple in field order, logical types converted."""
+    """Avro dict row -> tuple in field order, logical types converted.
+    timestamp-micros values are UTC epoch micros per the Avro spec;
+    Spark converts naive datetimes from Python sources using the
+    PROCESS-local timezone (verified against Spark 4.1 — the same rule
+    as TimestampType.fromInternal / collect()), so convert the UTC
+    instant to process-local wall time here."""
     import datetime
 
+    epoch_utc = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
     out = []
     for f in schema["fields"]:
         v = rec[f["name"]]
@@ -496,9 +502,9 @@ def _coerce_for_spark(rec: dict, schema: dict) -> tuple:
                 v = datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
             elif lt == "timestamp-micros":
                 # exact integer micros (float division would round)
-                v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
-                    microseconds=v
-                )
+                v = (
+                    epoch_utc + datetime.timedelta(microseconds=v)
+                ).astimezone().replace(tzinfo=None)
         out.append(v)
     return tuple(out)
 
@@ -522,7 +528,9 @@ def _avro_to_arrow_type(ft):
     if lt == "date":
         return pa.date32()
     if lt == "timestamp-micros":
-        return pa.timestamp("us")
+        # tz-aware: Avro stores UTC epoch micros; a tz-naive Arrow
+        # timestamp would be re-interpreted as session-local wall time
+        return pa.timestamp("us", tz="UTC")
     if t == "array":
         item = _avro_to_arrow_type(s["items"])
         return pa.list_(item) if item is not None else None
@@ -623,9 +631,15 @@ class _AvroCommit(WriterCommitMessage):
 
 class AvroSinkWriter(DataSourceWriter):
     def __init__(self, options: dict, schema_json: str):
+        import uuid
+
         self.path = options["path"]
         self.codec = options.get("codec", "deflate")
         self.schema_json = schema_json
+        # per-job token: append jobs must never collide on final part
+        # names — deterministic part-{i} names made a second append
+        # silently os.replace() the first job's files
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, rows):
         import datetime
@@ -633,6 +647,7 @@ class AvroSinkWriter(DataSourceWriter):
 
         schema = json.loads(self.schema_json)
         names = [f["name"] for f in schema["fields"]]
+        epoch_utc = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
 
         def to_avro(row):
             rec = {}
@@ -646,11 +661,18 @@ class AvroSinkWriter(DataSourceWriter):
                 ):
                     v = (v - datetime.date(1970, 1, 1)).days
                 elif isinstance(v, datetime.datetime):
-                    # exact integer micros — total_seconds() is a float
-                    # and loses sub-microsecond exactness at 2^53
-                    v = (
-                        v - datetime.datetime(1970, 1, 1)
-                    ) // datetime.timedelta(microseconds=1)
+                    # Spark hands the writer PROCESS-local wall-clock
+                    # datetimes (verified: same rule as collect(), NOT
+                    # the session tz); Avro timestamp-micros is UTC
+                    # epoch micros, so localize before differencing.
+                    # astimezone() on a naive value attaches the
+                    # process-local zone, DST-correct per value. The
+                    # floor-div keeps exact integer micros —
+                    # total_seconds() is a float and loses exactness
+                    # at 2^53.
+                    if v.tzinfo is None:
+                        v = v.astimezone()
+                    v = (v - epoch_utc) // datetime.timedelta(microseconds=1)
                 rec[name] = v
             return rec
 
@@ -661,7 +683,9 @@ class AvroSinkWriter(DataSourceWriter):
 
     def commit(self, messages):
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.avro")
+            final = os.path.join(
+                self.path, f"part-{i:05d}-{self.job_token}.avro"
+            )
             os.replace(m.tmp_path, final)
 
     def abort(self, messages):
@@ -687,7 +711,8 @@ class AvroSinkDataSource(DataSource):
 def write_avro(df, path: str, codec: str = "deflate") -> None:
     """Write ``df`` as a directory of Avro OCF part files (one per
     task), through the Python DataSource sink."""
-    df.sparkSession.dataSource.register(AvroSinkDataSource)
+    spark = df.sparkSession
+    spark.dataSource.register(AvroSinkDataSource)
     (
         df.write.format("pyavro_sink")
         .option("path", path)

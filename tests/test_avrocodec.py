@@ -348,3 +348,55 @@ def test_map_type_routes_to_row_fallback(spark, tmp_path):
     back = av.read_avro(spark, os.path.join(out, "part-*.avro"))
     assert sorted((r["id"], sorted(r["m"].items())) for r in back.collect()) \
         == sorted((r["id"], sorted(r["m"].items())) for r in src.collect())
+
+
+def test_append_does_not_clobber_previous_write(spark, tmp_path):
+    """mode('append') semantics: a second write_avro to the same path
+    must add files, not silently os.replace() the first job's parts."""
+    out = str(tmp_path / "append_avro")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+    av.write_avro(df1.coalesce(1), out, codec="null")
+    first_parts = set(glob.glob(os.path.join(out, "part-*.avro")))
+    av.write_avro(df2.coalesce(1), out, codec="null")
+    all_parts = set(glob.glob(os.path.join(out, "part-*.avro")))
+    assert first_parts < all_parts and len(all_parts) == 2
+    back = av.read_avro(spark, os.path.join(out, "part-*.avro"))
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_timestamp_micros_are_utc_epoch_on_disk(spark, tmp_path):
+    """Avro spec: timestamp-micros stores UTC epoch micros. Under a
+    non-UTC session timezone the file bytes must hold the UTC instant
+    (not wall micros), and both read paths must preserve the instant.
+    unix_micros() is instant-based, so the assertions are independent
+    of both the session and the process timezone."""
+    tz_conf = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_conf)
+    spark.conf.set(tz_conf, "Asia/Kolkata")  # +05:30, no DST
+    try:
+        src = spark.sql(
+            "select 1 as id, timestamp'2026-08-16 12:00:00.123456' as ts"
+        )
+        expect = src.selectExpr("unix_micros(ts) as m").collect()[0]["m"]
+        # 12:00 IST == 06:30 UTC — pin the instant itself too
+        assert expect == 1786861800123456
+        out = str(tmp_path / "tz_avro")
+        av.write_avro(src.coalesce(1), out, codec="null")
+        path = glob.glob(os.path.join(out, "part-*.avro"))[0]
+        _, rows = av.read_ocf(path)
+        (rec,) = list(rows)
+        assert rec["ts"] == expect
+        # round-trip through BOTH read paths preserves the instant
+        spark.dataSource.register(av.AvroDataSource)
+        for arrow in ("true", "false"):
+            back = (
+                spark.read.format("pyavro")
+                .option("path", os.path.join(out, "part-*.avro"))
+                .option("arrow", arrow)
+                .load()
+            )
+            got = back.selectExpr("unix_micros(ts) as m").collect()[0]["m"]
+            assert got == expect, f"arrow={arrow}"
+    finally:
+        spark.conf.set(tz_conf, old)
