@@ -1536,6 +1536,25 @@ def vacuum(
                     continue  # published files — claim stays forever
                 if now - _tree_newest_mtime(d) < grace_seconds:
                     continue  # staging activity inside the window
+                # TOCTOU narrowing (round-10 ADVICE): the tree walk above
+                # takes time, so re-check the marker grace against FRESH
+                # wall clock and re-list the directory immediately before
+                # the rmtree — the unsynchronized window shrinks from
+                # walk-duration to a single syscall gap. The residual
+                # race is the documented CONTRACT, not a defect: a claim
+                # owner that stalls longer than grace_seconds between
+                # claiming and its first parquet write forfeits the claim
+                # (default 600 s vs the sub-second claim→staging hop in
+                # every commit path; the same bound already governs
+                # data-file vacuum of in-flight commits above).
+                try:
+                    fresh = _time.time() - os.path.getmtime(marker)
+                except OSError:
+                    continue  # marker vanished/unreadable — keep hands off
+                if fresh < grace_seconds or any(
+                    f.endswith(".parquet") for f in os.listdir(d)
+                ):
+                    continue
                 shutil.rmtree(d, ignore_errors=True)
                 if os.path.isdir(d):
                     continue  # a racer re-populated it mid-sweep; keep claim
