@@ -71,9 +71,9 @@ def _valid_bmp_header(payload: bytes) -> bool:
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'png' / 'bmp' / 'jpeg' / 'webp' / None — magic bytes, plus full
-    header validation for BMP (the 2-byte 'BM' magic collides with
-    ordinary text)."""
+    """'png' / 'bmp' / 'jpeg' / 'webp' / 'gif' / None — magic bytes,
+    plus full header validation for BMP (the 2-byte 'BM' magic collides
+    with ordinary text)."""
     if payload is None:
         return None
     if payload[:8] == PNG_MAGIC:
@@ -82,6 +82,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == BMP_MAGIC and len(payload) >= 54 and _valid_bmp_header(payload):
         return "bmp"
     return None
@@ -1212,8 +1214,9 @@ def encode_jpeg_progressive(img: np.ndarray, quant: int = 1) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode PNG, BMP, JPEG (baseline sequential or progressive), or
-    WebP-lossless (VP8L — round 10, ``functions/webpcodec.py``); raises
+    """Decode PNG, BMP, JPEG (baseline sequential or progressive),
+    WebP-lossless (VP8L — round 10, ``functions/webpcodec.py``) or GIF
+    (round 11, ``functions/gifcodec.py``); raises
     ``NotImplementedError`` for anything else (lossy WebP/VP8, audio,
     video) — the honest boundary for formats needing native libs."""
     fmt = sniff_format(payload)
@@ -1227,10 +1230,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         from parquet_to_csv_spark.functions.webpcodec import decode_vp8l
 
         return decode_vp8l(payload)
+    if fmt == "gif":
+        from parquet_to_csv_spark.functions.gifcodec import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only PNG, BMP, JPEG (sequential + progressive) and "
-        "WebP-lossless (VP8L) have pure-Python decoders in this "
-        "container; lossy WebP/audio/video need PIL/librosa/ffmpeg"
+        "only PNG, BMP, JPEG (sequential + progressive), "
+        "WebP-lossless (VP8L) and GIF have pure-Python decoders in "
+        "this container; lossy WebP/audio/video need PIL/librosa/ffmpeg"
     )
 
 
