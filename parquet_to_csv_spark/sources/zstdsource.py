@@ -33,28 +33,42 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from parquet_to_csv_spark.functions.lz4codec import (
+    lz4_compress_store,
+    lz4_decompress,
+)
 from parquet_to_csv_spark.functions.zstdcodec import (
     zstd_compress_store,
     zstd_decompress,
 )
 
+_PURE = {"zstd": zstd_decompress, "lz4": lz4_decompress}
+_STORE = {"zstd": zstd_compress_store, "lz4": lz4_compress_store}
 
-def _decompress(payload: bytes, engine: str) -> bytes:
+
+def _codec_of(path: str, option: str | None) -> str:
+    if option:
+        return option
+    return "lz4" if path.endswith(".lz4") else "zstd"
+
+
+def _decompress(payload: bytes, engine: str, codec: str) -> bytes:
+    pure = _PURE[codec]
     if engine == "pure":
-        return zstd_decompress(payload)
+        return pure(payload)
     try:
         import pyarrow as pa
 
-        if pa.Codec.is_available("zstd"):
+        if pa.Codec.is_available(codec):
             # frame content size is present in our own sinks' frames;
             # foreign frames without it fall through to the pure path
             try:
-                return bytes(pa.Codec("zstd").decompress(payload))
+                return bytes(pa.Codec(codec).decompress(payload))
             except Exception:
                 pass
     except Exception:
         pass
-    return zstd_decompress(payload)
+    return pure(payload)
 
 
 class _ZstFilePartition(InputPartition):
@@ -69,13 +83,16 @@ class ZstTextReader(DataSourceReader):
         pat = options["path"]
         self.paths = sorted(_glob.glob(pat)) or [pat]
         self.engine = options.get("engine", "auto")
+        self.codec = options.get("codec")
 
     def partitions(self):
         return [_ZstFilePartition(p) for p in self.paths]
 
     def read(self, partition: _ZstFilePartition):
         with open(partition.path, "rb") as f:
-            raw = _decompress(f.read(), self.engine)
+            raw = _decompress(
+                f.read(), self.engine, _codec_of(partition.path, self.codec)
+            )
         text = raw.decode("utf-8")
         lines = text.split("\n")
         if lines and lines[-1] == "":
@@ -108,21 +125,23 @@ class ZstTextSinkWriter(DataSourceWriter):
         self.path = options["path"]
         self.level = int(options.get("level", "3"))
         self.column = options.get("column", "value")
+        self.codec = options.get("codec", "zstd")
         self.job_token = uuid.uuid4().hex[:12]
 
     def _compress(self, data: bytes) -> bytes:
         try:
             import pyarrow as pa
 
-            if pa.Codec.is_available("zstd"):
-                return bytes(
-                    pa.Codec("zstd", compression_level=self.level).compress(
-                        data
-                    )
+            if pa.Codec.is_available(self.codec):
+                kw = (
+                    {"compression_level": self.level}
+                    if self.codec == "zstd"
+                    else {}
                 )
+                return bytes(pa.Codec(self.codec, **kw).compress(data))
         except Exception:
             pass
-        return zstd_compress_store(data)
+        return _STORE[self.codec](data)
 
     def write(self, rows):
         import uuid
@@ -133,15 +152,17 @@ class ZstTextSinkWriter(DataSourceWriter):
             buf += (v if v is not None else "").encode("utf-8")
             buf += b"\n"
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:12]}.zst")
+        ext = "lz4" if self.codec == "lz4" else "zst"
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:12]}.{ext}")
         with open(tmp, "wb") as f:
             f.write(self._compress(bytes(buf)))
         return _ZstCommit(tmp)
 
     def commit(self, messages):
+        ext = "lz4" if self.codec == "lz4" else "zst"
         for i, m in enumerate(messages):
             final = os.path.join(
-                self.path, f"part-{i:05d}-{self.job_token}.zst"
+                self.path, f"part-{i:05d}-{self.job_token}.{ext}"
             )
             os.replace(m.tmp_path, final)
 
@@ -162,28 +183,34 @@ class ZstTextSinkDataSource(DataSource):
         return ZstTextSinkWriter(self.options)
 
 
-def read_text_zst(spark, path: str, engine: str = "auto"):
-    """Read a file / glob of zstd-compressed text, one partition per
-    file, as a ``value: string`` DataFrame (the ``spark.read.text``
-    contract)."""
+def read_text_zst(spark, path: str, engine: str = "auto",
+                  codec: str | None = None):
+    """Read a file / glob of zstd- or lz4-compressed text, one
+    partition per file, as a ``value: string`` DataFrame (the
+    ``spark.read.text`` contract). The codec defaults from the file
+    extension (``.lz4`` → lz4, else zstd)."""
     spark.dataSource.register(ZstTextDataSource)
-    return (
+    reader = (
         spark.read.format("pyzst")
         .option("path", path)
         .option("engine", engine)
-        .load()
     )
+    if codec:
+        reader = reader.option("codec", codec)
+    return reader.load()
 
 
-def write_text_zst(df, path: str, level: int = 3, column: str = "value"):
-    """Write one string column as a directory of ``part-*.zst`` files
-    (one per task, job-unique names)."""
+def write_text_zst(df, path: str, level: int = 3, column: str = "value",
+                   codec: str = "zstd"):
+    """Write one string column as a directory of ``part-*.zst`` /
+    ``part-*.lz4`` files (one per task, job-unique names)."""
     df.sparkSession.dataSource.register(ZstTextSinkDataSource)
     (
         df.write.format("pyzst_sink")
         .option("path", path)
         .option("level", str(level))
         .option("column", column)
+        .option("codec", codec)
         .mode("append")
         .save()
     )

@@ -194,3 +194,68 @@ def test_append_does_not_clobber(spark, tmp_path):
     assert first < set(glob.glob(os.path.join(out, "part-*.zst")))
     back = zs.read_text_zst(spark, os.path.join(out, "part-*.zst"))
     assert sorted(r["value"] for r in back.collect()) == ["a", "b", "c"]
+
+
+# --- lz4 sibling (functions/lz4codec.py through the same source) ---------------
+
+
+def test_lz4_xxh32_vectors_and_frame_pins():
+    import parquet_to_csv_spark.functions.lz4codec as lc
+
+    assert lc.xxh32(b"") == 0x02CC5D05
+    assert lc.xxh32(b"a") == 0x550D7456
+    assert lc.xxh32(b"abc") == 0x32D153FF
+    st = lc.lz4_compress_store(b"store " * 2000)
+    assert st[:4] == struct.pack("<I", 0x184D2204)
+    assert lc.lz4_decompress(st) == b"store " * 2000
+    if pa.Codec.is_available("lz4"):
+        assert bytes(pa.Codec("lz4").decompress(st, 12000)) == b"store " * 2000
+    # header checksum is verified
+    bad = bytearray(st)
+    bad[14] ^= 0xFF  # HC byte (4 magic + 2 FLG/BD + 8 size)
+    with pytest.raises(ValueError, match="header checksum"):
+        lc.lz4_decompress(bytes(bad))
+
+
+@pytest.mark.skipif(
+    not pa.Codec.is_available("lz4"), reason="pyarrow lz4 oracle unavailable"
+)
+def test_lz4_decode_matches_real_lz4():
+    import parquet_to_csv_spark.functions.lz4codec as lc
+
+    random.seed(13)
+    c = pa.Codec("lz4")
+    payloads = [
+        b" ".join(random.choice([b"lz", b"four", b"text"]) for _ in range(8000)),
+        b"B" * 150000,
+        random.randbytes(50000),
+        b"",
+        b"q",
+    ]
+    for p in payloads:
+        assert lc.lz4_decompress(bytes(c.compress(p))) == p
+    if pa.Codec.is_available("lz4_raw"):
+        cr = pa.Codec("lz4_raw")
+        for p in payloads:
+            if p:
+                assert bytes(lc.lz4_block_decompress(bytes(cr.compress(p)))) == p
+
+
+@pytest.mark.skipif(
+    not pa.Codec.is_available("lz4"), reason="pyarrow lz4 oracle unavailable"
+)
+def test_spark_roundtrip_lz4_text(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(f"row-{i}",) for i in range(500)], "value string"
+    )
+    out = str(tmp_path / "txt_lz4")
+    zs.write_text_zst(src.repartition(2), out, codec="lz4")
+    parts = glob.glob(os.path.join(out, "part-*.lz4"))
+    assert len(parts) == 2
+    for engine in ("auto", "pure"):
+        back = zs.read_text_zst(
+            spark, os.path.join(out, "part-*.lz4"), engine=engine
+        )
+        assert sorted(r["value"] for r in back.collect()) == sorted(
+            r["value"] for r in src.collect()
+        )
