@@ -108,3 +108,37 @@ def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
         f"container (got {fmt or 'unknown'}); MP3/Ogg/AAC need "
         "ffmpeg/librosa"
     )
+
+
+def audio_info(payload: bytes) -> dict:
+    """Container-level metadata for ANY sniffable audio payload —
+    the curation-pipeline companion of :func:`decode_audio` (round
+    11): WAV/FLAC report from their decoded headers (both decode for
+    real), MP3/Ogg report through the frame/page walkers in
+    ``functions/mediainfo.py`` WITHOUT decoding audio — exactly the
+    duration/bitrate/codec layer a 100 TB corpus partitions on before
+    any lossy DSP runs (which remains the documented boundary)."""
+    fmt = sniff_audio(payload)
+    if fmt == "wav":
+        rate, channels, frames = decode_wav(payload)
+        return {
+            "format": "wav", "sample_rate": rate, "channels": channels,
+            "duration_ms": len(frames) * 1000 // rate,
+        }
+    if fmt == "flac":
+        from parquet_to_csv_spark.functions.flaccodec import decode_flac
+
+        rate, channels, frames = decode_flac(payload)
+        return {
+            "format": "flac", "sample_rate": rate, "channels": channels,
+            "duration_ms": len(frames) * 1000 // rate,
+        }
+    if fmt == "mp3":
+        from parquet_to_csv_spark.functions.mediainfo import mp3_info
+
+        return {"format": "mp3", **mp3_info(payload)}
+    if fmt == "ogg":
+        from parquet_to_csv_spark.functions.mediainfo import ogg_info
+
+        return {"format": "ogg", **ogg_info(payload)}
+    raise ValueError("unrecognized audio payload")
