@@ -1258,3 +1258,109 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return img[ys][:, xs]
+
+
+def image_info(payload: bytes) -> dict:
+    """Header-only metadata (format, width, height, plus per-format
+    fields) WITHOUT decoding pixel data — round 11, the image sibling
+    of ``audiocodec.audio_info``: a 100 TB corpus pass partitions and
+    filters on dimensions/format long before any decode runs, and
+    every sniffable family exposes them structurally.
+
+    - PNG: IHDR (bit depth, color type, interlace)
+    - BMP: info header (bpp, compression)
+    - JPEG: marker walk to the first SOFn (progressive flag,
+      component count) — APPn/COM segments are length-skipped
+    - WebP: VP8L (14-bit packed dims), VP8 keyframe (start-code
+      dims), VP8X (24-bit canvas dims)
+    - GIF: logical screen + a sub-block walk counting frames
+      (no LZW decode)
+    """
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        if len(payload) < 33 or payload[12:16] != b"IHDR":
+            raise ValueError("png: missing IHDR")
+        w, h, depth, ctype, _c, _f, interlace = struct.unpack(
+            ">IIBBBBB", payload[16:29]
+        )
+        return {"format": "png", "width": w, "height": h,
+                "bit_depth": depth, "color_type": ctype,
+                "interlaced": bool(interlace)}
+    if fmt == "bmp":
+        w, h = struct.unpack("<ii", payload[18:26])
+        (bpp,) = struct.unpack("<H", payload[28:30])
+        (compression,) = struct.unpack("<I", payload[30:34])
+        return {"format": "bmp", "width": w, "height": abs(h),
+                "bpp": bpp, "compression": compression}
+    if fmt == "jpeg":
+        pos = 2
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seg,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                precision = payload[pos + 4]
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                ncomp = payload[pos + 9]
+                return {"format": "jpeg", "width": w, "height": h,
+                        "precision": precision, "n_components": ncomp,
+                        "progressive": marker == 0xC2}
+            pos += 2 + seg
+        raise ValueError("jpeg: no SOF marker found")
+    if fmt == "webp":
+        four = payload[12:16]
+        if four == b"VP8L":
+            if payload[20] != 0x2F:
+                raise ValueError("webp: bad VP8L signature")
+            b = payload[21:25]
+            w = 1 + (b[0] | ((b[1] & 0x3F) << 8))
+            h = 1 + ((b[1] >> 6) | (b[2] << 2) | ((b[3] & 0x0F) << 10))
+            return {"format": "webp", "width": w, "height": h,
+                    "webp_variant": "lossless"}
+        if four == b"VP8 ":
+            if payload[23:26] != b"\x9d\x01\x2a":
+                raise ValueError("webp: bad VP8 start code")
+            (w,) = struct.unpack_from("<H", payload, 26)
+            (h,) = struct.unpack_from("<H", payload, 28)
+            return {"format": "webp", "width": w & 0x3FFF,
+                    "height": h & 0x3FFF, "webp_variant": "lossy"}
+        if four == b"VP8X":
+            w = 1 + int.from_bytes(payload[24:27], "little")
+            h = 1 + int.from_bytes(payload[27:30], "little")
+            return {"format": "webp", "width": w, "height": h,
+                    "webp_variant": "extended"}
+        raise ValueError(f"webp: unknown chunk {four!r}")
+    if fmt == "gif":
+        from parquet_to_csv_spark.functions.gifcodec import _read_subblocks
+
+        w, h = struct.unpack_from("<HH", payload, 6)
+        packed = payload[10]
+        pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+        n_frames = 0
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                _, pos = _read_subblocks(payload, pos + 1)
+                continue
+            if block != 0x2C:
+                raise ValueError("gif: unknown block")
+            ipacked = payload[pos + 8]
+            pos += 9
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 7))
+            pos += 1  # LZW min code size
+            _, pos = _read_subblocks(payload, pos)
+            n_frames += 1
+        return {"format": "gif", "width": w, "height": h,
+                "n_frames": n_frames, "animated": n_frames > 1}
+    raise ValueError("unrecognized image payload")

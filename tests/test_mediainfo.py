@@ -162,3 +162,45 @@ def test_audio_info_dispatch():
     assert ac.audio_info(page)["format"] == "ogg"
     with pytest.raises(ValueError, match="unrecognized"):
         ac.audio_info(b"plainly not audio")
+
+
+def test_image_info_headers_only():
+    import numpy as np
+
+    from parquet_to_csv_spark.functions import imagecodec as ic
+    import parquet_to_csv_spark.functions.gifcodec as gcodec
+    import parquet_to_csv_spark.functions.webpcodec as wcodec
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    png = ic.encode_png(img)
+    assert ic.image_info(png) == {
+        "format": "png", "width": 11, "height": 7, "bit_depth": 8,
+        "color_type": 2, "interlaced": False,
+    }
+    bmp = ic.encode_bmp(img)
+    got = ic.image_info(bmp)
+    assert (got["format"], got["width"], got["height"], got["bpp"]) == (
+        "bmp", 11, 7, 24,
+    )
+    jpg = ic.encode_jpeg(img)
+    j = ic.image_info(jpg)
+    assert (j["format"], j["width"], j["height"]) == ("jpeg", 11, 7)
+    assert j["progressive"] is False and j["n_components"] == 3
+    webp = wcodec.encode_vp8l(img)
+    assert ic.image_info(webp) == {
+        "format": "webp", "width": 11, "height": 7,
+        "webp_variant": "lossless",
+    }
+    pal = img[:, :, 0] % 4
+    gimg = np.stack([pal * 60, pal * 50, pal * 40], axis=2).astype(np.uint8)
+    gif1 = gcodec.encode_gif(gimg)
+    g = ic.image_info(gif1)
+    assert (g["width"], g["height"], g["n_frames"], g["animated"]) == (
+        11, 7, 1, False,
+    )
+    gif2 = gcodec.encode_gif(gimg, frames=[gimg])
+    assert ic.image_info(gif2)["n_frames"] == 2
+    assert ic.image_info(gif2)["animated"] is True
+    with pytest.raises(ValueError, match="unrecognized"):
+        ic.image_info(b"not an image")
