@@ -84,6 +84,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "webp"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[:2] == BMP_MAGIC and len(payload) >= 54 and _valid_bmp_header(payload):
         return "bmp"
     return None
@@ -1234,10 +1236,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         from parquet_to_csv_spark.functions.gifcodec import decode_gif
 
         return decode_gif(payload)
+    if fmt == "tiff":
+        from parquet_to_csv_spark.functions.tiffcodec import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         "only PNG, BMP, JPEG (sequential + progressive), "
-        "WebP-lossless (VP8L) and GIF have pure-Python decoders in "
-        "this container; lossy WebP/audio/video need PIL/librosa/ffmpeg"
+        "WebP-lossless (VP8L), GIF and baseline TIFF have pure-Python "
+        "decoders in this container; lossy WebP/audio/video need "
+        "PIL/librosa/ffmpeg"
     )
 
 
@@ -1337,6 +1344,10 @@ def image_info(payload: bytes) -> dict:
             return {"format": "webp", "width": w, "height": h,
                     "webp_variant": "extended"}
         raise ValueError(f"webp: unknown chunk {four!r}")
+    if fmt == "tiff":
+        from parquet_to_csv_spark.functions.tiffcodec import tiff_info
+
+        return tiff_info(payload)
     if fmt == "gif":
         from parquet_to_csv_spark.functions.gifcodec import _read_subblocks
 
