@@ -98,8 +98,82 @@ def sniff_format(payload: bytes) -> str | None:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
+def _png_unfilter(raw: bytes, height: int, row_bytes: int, step: int):
+    """Reconstruct filtered scanlines (PNG filters 0-4) into a
+    (height, row_bytes) uint8 array. ``step`` is the filter unit:
+    max(1, bytes per complete pixel)."""
+    if len(raw) != height * (row_bytes + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    img = np.zeros((height, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
+    for y in range(height):
+        row_start = y * (row_bytes + 1)
+        filt = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=row_bytes, offset=row_start + 1
+        ).copy()
+        if filt == 0:  # None
+            cur = line
+        elif filt == 1:  # Sub — sequential along the line
+            cur = line
+            for x in range(step, row_bytes):
+                cur[x] = (int(cur[x]) + int(cur[x - step])) & 0xFF
+        elif filt == 2:  # Up
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif filt == 3:  # Average
+            cur = line
+            for x in range(row_bytes):
+                left = int(cur[x - step]) if x >= step else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            cur = line
+            for x in range(row_bytes):
+                a = int(cur[x - step]) if x >= step else 0
+                b = int(prev[x])
+                c = int(prev[x - step]) if x >= step else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {filt}")
+        img[y] = cur
+        prev = img[y]
+    return img
+
+
+def _png_samples(rows, width: int, nch: int, depth: int, scale: bool):
+    """(h, row_bytes) filtered-byte rows -> (h, width*nch) uint8
+    samples: 16-bit keeps the high byte, sub-8 depths unpack MSB-first
+    (scaled to 0..255 for grayscale, raw indices for palette)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * nch]
+    if depth == 16:
+        return rows[:, : width * nch * 2][:, ::2]
+    bits = np.unpackbits(rows, axis=1)
+    vals = np.zeros((h, width * nch), dtype=np.uint8)
+    for k in range(depth):
+        vals = (vals << 1) | bits[
+            :, k : (width * nch) * depth : depth
+        ][:, : width * nch]
+    if scale:
+        vals = (vals.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    return vals
+
+
+_ADAM7 = (  # (x0, y0, dx, dy) per pass, PNG spec §8.2
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to (H, W, C) uint8."""
+    """Decode PNG to (H, W, C) uint8: color types 0/2/3/6, bit depths
+    1/2/4/8/16 (16-bit keeps the high byte), interlace methods 0 and 1
+    (Adam7 — round 11)."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -124,57 +198,50 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+    if (
+        color_type not in _PNG_CHANNELS
+        or interlace not in (0, 1)
+        or bit_depth not in (1, 2, 4, 8, 16)
+        or (bit_depth < 8 and color_type not in (0, 3))
+        or (bit_depth == 16 and color_type == 3)
+    ):
         raise NotImplementedError(
             f"PNG variant not supported (depth={bit_depth}, "
             f"color={color_type}, interlace={interlace})"
         )
     nch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = width * nch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    img = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        row_start = y * (stride + 1)
-        filt = raw[row_start]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row_start + 1
-        ).copy()
-        if filt == 0:  # None
-            cur = line
-        elif filt == 1:  # Sub — sequential along the line
-            cur = line
-            for x in range(nch, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - nch])) & 0xFF
-        elif filt == 2:  # Up
-            cur = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif filt == 3:  # Average
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - nch]) if x >= nch else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif filt == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
-                b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter {filt}")
-        img[y] = cur
-        prev = img[y]
-    out = img.reshape(height, width, nch)
+    scale = color_type == 0 and bit_depth < 8
+    step = max(1, nch * bit_depth // 8)
+
+    def row_bytes(w):
+        return (w * nch * bit_depth + 7) // 8
+
+    if interlace == 0:
+        rows = _png_unfilter(raw, height, row_bytes(width), step)
+        samples = _png_samples(rows, width, nch, bit_depth, scale)
+        out = samples.reshape(height, width, nch)
+    else:  # Adam7: seven independently-filtered sub-images
+        out = np.zeros((height, width, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rb = row_bytes(pw)
+            chunk_len = ph * (rb + 1)
+            rows = _png_unfilter(raw[off : off + chunk_len], ph, rb, step)
+            off += chunk_len
+            samples = _png_samples(rows, pw, nch, bit_depth, scale)
+            out[y0::dy, x0::dx] = samples.reshape(ph, pw, nch)
+        if off != len(raw):
+            raise ValueError("PNG Adam7 data length mismatch")
     if color_type == 3:
         if palette is None:
             raise ValueError("paletted PNG without PLTE")
         out = palette[out[:, :, 0]]
-    return out
+    return np.ascontiguousarray(out)
 
 
 def encode_png(img: np.ndarray) -> bytes:

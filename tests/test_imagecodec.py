@@ -322,3 +322,97 @@ def test_jpeg_encoder_deterministic_digest():
     d = hashlib.sha256(payload).hexdigest()
     payload2 = ic.encode_jpeg(_tile_image(2, 2, seed=7))
     assert hashlib.sha256(payload2).hexdigest() == d
+
+
+# --- round 11: Adam7 interlace + non-8-bit depths ------------------------------
+
+
+def _png_chunks(ihdr_fields, idat_raw, palette=None):
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    out = ic.PNG_MAGIC + chunk(b"IHDR", _s.pack(">IIBBBBB", *ihdr_fields))
+    if palette is not None:
+        out += chunk(b"PLTE", palette.tobytes())
+    out += chunk(b"IDAT", _z.compress(idat_raw, 6)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_adam7_interlaced_rgb():
+    rng = np.random.default_rng(21)
+    for h, w in [(1, 1), (3, 5), (8, 8), (13, 17)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        passes = []
+        for x0, y0, dx, dy in ic._ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            # alternate filter 0 and filter 2 rows to exercise both
+            rows = bytearray()
+            prev = np.zeros(sub.shape[1] * 3, dtype=np.uint8)
+            for yy in range(sub.shape[0]):
+                line = sub[yy].reshape(-1)
+                if yy % 2 == 0:
+                    rows += b"\x00" + line.tobytes()
+                else:
+                    rows += b"\x02" + (
+                        (line.astype(np.int16) - prev) & 0xFF
+                    ).astype(np.uint8).tobytes()
+                prev = line
+            passes.append(bytes(rows))
+        payload = _png_chunks((w, h, 8, 2, 0, 0, 1), b"".join(passes))
+        out = ic.decode_png(payload)
+        assert (out == img).all(), (h, w)
+
+
+def test_png_16bit_high_byte():
+    rng = np.random.default_rng(22)
+    img16 = rng.integers(0, 65536, size=(5, 7, 3), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + img16[y].astype(">u2").tobytes() for y in range(5)
+    )
+    payload = _png_chunks((7, 5, 16, 2, 0, 0, 0), raw)
+    out = ic.decode_png(payload)
+    assert (out == (img16 >> 8).astype(np.uint8)).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub8_gray_scaled(depth):
+    w, h = 11, 4
+    maxv = (1 << depth) - 1
+    rng = np.random.default_rng(depth)
+    vals = rng.integers(0, maxv + 1, size=(h, w), dtype=np.uint8)
+    rows = bytearray()
+    for y in range(h):
+        bits = "".join(format(v, f"0{depth}b") for v in vals[y])
+        bits += "0" * ((8 - len(bits) % 8) % 8)
+        rows += b"\x00" + int(bits, 2).to_bytes(len(bits) // 8, "big")
+    payload = _png_chunks((w, h, depth, 0, 0, 0, 0), bytes(rows))
+    out = ic.decode_png(payload)
+    expect = (vals.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+    assert (out[:, :, 0] == expect).all()
+
+
+def test_png_4bit_palette_adam7():
+    # 4-bit paletted AND interlaced — both round-11 paths at once
+    pal = np.array(
+        [[10 * k, 255 - 10 * k, 7 * k] for k in range(16)], dtype=np.uint8
+    )
+    rng = np.random.default_rng(23)
+    idx = rng.integers(0, 16, size=(9, 6), dtype=np.uint8)
+    passes = bytearray()
+    for x0, y0, dx, dy in ic._ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for yy in range(sub.shape[0]):
+            bits = "".join(format(v, "04b") for v in sub[yy])
+            bits += "0" * ((8 - len(bits) % 8) % 8)
+            passes += b"\x00" + int(bits, 2).to_bytes(len(bits) // 8, "big")
+    payload = _png_chunks((6, 9, 4, 3, 0, 0, 1), bytes(passes), palette=pal)
+    out = ic.decode_png(payload)
+    assert (out == pal[idx]).all()
