@@ -58,16 +58,21 @@ def _valid_bmp_header(payload: bytes) -> bool:
         (compression,) = struct.unpack("<I", payload[30:34])
     except struct.error:
         return False
-    if hdr_size < 40 or bpp != 24 or compression != 0:
+    supported = (
+        (bpp in (1, 4, 8, 24, 32) and compression == 0)
+        or (bpp == 8 and compression == 1)  # BI_RLE8
+    )
+    if hdr_size < 40 or not supported:
         return False
     h = abs(height)
     if width <= 0 or h <= 0 or width > 1 << 15 or h > 1 << 15:
         return False
-    row_bytes = (width * 3 + 3) & ~3
-    return (
-        14 + hdr_size <= data_off <= len(payload)
-        and data_off + h * row_bytes <= len(payload)
-    )
+    if not 14 + hdr_size <= data_off <= len(payload):
+        return False
+    if compression == 1:
+        return True  # RLE size is data-dependent; decode re-validates
+    row_bytes = ((width * bpp + 31) // 32) * 4
+    return data_off + h * row_bytes <= len(payload)
 
 
 def sniff_format(payload: bytes) -> str | None:
@@ -276,7 +281,10 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed 24-bit BMP to (H, W, 3) uint8 (RGB)."""
+    """Decode BMP to (H, W, 3) uint8 (RGB): 24-bit and 32-bit
+    uncompressed, 1/4/8-bit palette (BI_RGB), and 8-bit RLE
+    (BI_RLE8 — round 11, incl. end-of-line/bitmap and delta
+    escapes)."""
     if payload[:2] != BMP_MAGIC:
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack("<I", payload[10:14])
@@ -286,28 +294,90 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack("<ii", payload[18:26])
     planes, bpp = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
-    if bpp != 24 or compression != 0:
+    (clr_used,) = struct.unpack("<I", payload[46:50])
+    if not (
+        (bpp in (1, 4, 8, 24, 32) and compression == 0)
+        or (bpp == 8 and compression == 1)
+    ):
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     flip = height > 0
     height = abs(height)
-    row_bytes = (width * 3 + 3) & ~3
     # defense in depth (sniff_format already validates): bound the
     # allocation and the pixel walk BEFORE np.zeros sizes a buffer
     # from payload-controlled dims
-    if (
-        width <= 0
-        or height <= 0
-        or width > 1 << 15
-        or height > 1 << 15
-        or data_off + height * row_bytes > len(payload)
-    ):
+    if width <= 0 or height <= 0 or width > 1 << 15 or height > 1 << 15:
+        raise ValueError("BMP header dims/offsets inconsistent with payload size")
+    palette = None
+    if bpp <= 8:
+        n_colors = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(-1, 4)
+        palette = np.ascontiguousarray(raw[:, 2::-1])  # BGRX -> RGB
+    if compression == 1:  # BI_RLE8, always bottom-up
+        idx = np.zeros((height, width), dtype=np.uint8)
+        pos = data_off
+        x, y = 0, 0  # y counts from the BOTTOM row
+        n = len(payload)
+        while pos + 2 <= n:
+            c, v = payload[pos], payload[pos + 1]
+            pos += 2
+            if c > 0:  # encoded run
+                end = min(x + c, width)
+                idx[height - 1 - y, x:end] = v
+                x = end
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+                if y >= height:
+                    break
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                x = min(x + payload[pos], width)
+                y += payload[pos + 1]
+                pos += 2
+                if y >= height:
+                    break
+            else:  # absolute run of v indices, word-aligned
+                end = min(x + v, width)
+                idx[height - 1 - y, x:end] = np.frombuffer(
+                    payload, dtype=np.uint8, count=end - x, offset=pos
+                )
+                pos += v + (v & 1)
+                x = end
+        return np.ascontiguousarray(palette[idx])
+    row_bytes = ((width * bpp + 31) // 32) * 4
+    if data_off + height * row_bytes > len(payload):
         raise ValueError("BMP header dims/offsets inconsistent with payload size")
     img = np.zeros((height, width, 3), dtype=np.uint8)
     for y in range(height):
         off = data_off + y * row_bytes
-        row = np.frombuffer(payload, dtype=np.uint8, count=width * 3, offset=off)
         tgt = height - 1 - y if flip else y
-        img[tgt] = row.reshape(width, 3)[:, ::-1]  # BGR → RGB
+        if bpp == 24:
+            row = np.frombuffer(
+                payload, dtype=np.uint8, count=width * 3, offset=off
+            )
+            img[tgt] = row.reshape(width, 3)[:, ::-1]  # BGR -> RGB
+        elif bpp == 32:
+            row = np.frombuffer(
+                payload, dtype=np.uint8, count=width * 4, offset=off
+            )
+            img[tgt] = row.reshape(width, 4)[:, 2::-1]  # BGRX -> RGB
+        elif bpp == 8:
+            row = np.frombuffer(
+                payload, dtype=np.uint8, count=width, offset=off
+            )
+            img[tgt] = palette[row]
+        else:  # 1 / 4 bit, MSB-first packed indices
+            row = np.frombuffer(
+                payload, dtype=np.uint8, count=row_bytes, offset=off
+            )
+            bits = np.unpackbits(row)
+            vals = np.zeros(width, dtype=np.uint8)
+            for k in range(bpp):
+                vals = (vals << 1) | bits[k : width * bpp : bpp][:width]
+            img[tgt] = palette[vals]
     return img
 
 

@@ -416,3 +416,96 @@ def test_png_4bit_palette_adam7():
     payload = _png_chunks((6, 9, 4, 3, 0, 0, 1), bytes(passes), palette=pal)
     out = ic.decode_png(payload)
     assert (out == pal[idx]).all()
+
+
+# --- round 11: BMP palette / RLE8 / 32-bit variants ----------------------------
+
+
+def _bmp_header(w, h, bpp, compression, data_off, clr_used=0, body_size=0):
+    import struct as _s
+
+    return (b"BM" + _s.pack("<IHHI", data_off + body_size, 0, 0, data_off)
+            + _s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                      body_size, 2835, 2835, clr_used, 0))
+
+
+def _bmp_palette(pal):
+    return b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+
+
+def test_bmp_8bit_palette():
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    row_bytes = (6 + 3) & ~3
+    body = b"".join(
+        idx[y].tobytes() + b"\x00" * (row_bytes - 6)
+        for y in range(4, -1, -1)
+    )
+    payload = (_bmp_header(6, 5, 8, 0, 14 + 40 + 4 * 256, 0, len(body))
+               + _bmp_palette(pal) + body)
+    assert ic.sniff_format(payload) == "bmp"
+    assert (ic.decode_bmp(payload) == pal[idx]).all()
+
+
+@pytest.mark.parametrize("bpp", [1, 4])
+def test_bmp_sub8_palette(bpp):
+    rng = np.random.default_rng(bpp)
+    n = 1 << bpp
+    pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=(3, 10), dtype=np.uint8)
+    row_bits = 10 * bpp
+    row_bytes = ((row_bits + 31) // 32) * 4
+    rows = []
+    for y in range(2, -1, -1):
+        bits = "".join(format(v, f"0{bpp}b") for v in idx[y])
+        bits += "0" * (row_bytes * 8 - len(bits))
+        rows.append(int(bits, 2).to_bytes(row_bytes, "big"))
+    body = b"".join(rows)
+    payload = (_bmp_header(10, 3, bpp, 0, 14 + 40 + 4 * n, 0, len(body))
+               + _bmp_palette(pal) + body)
+    assert (ic.decode_bmp(payload) == pal[idx]).all()
+
+
+def test_bmp_32bit():
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    body = b"".join(
+        b"".join(bytes([img[y, x, 2], img[y, x, 1], img[y, x, 0], 255])
+                 for x in range(3))
+        for y in range(3, -1, -1)
+    )
+    payload = _bmp_header(3, 4, 32, 0, 54, 0, len(body)) + body
+    assert (ic.decode_bmp(payload) == img).all()
+
+
+def test_bmp_rle8_runs_absolute_delta():
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    # 6x3 image, bottom-up: encoded run, absolute run (even count, no
+    # pad), delta within the line, EOL, EOB
+    rle = bytes([
+        4, 1,              # 4 x color1 at the bottom row
+        0, 3, 2, 3, 2, 0,  # absolute: 2,3,2 (min run 3; odd -> pad);
+                           # third index clips at the row edge
+        0, 0,              # end of line
+        0, 2, 2, 0,        # delta: 2 right, 0 up (skipped pixels = 0)
+        4, 2,              # 4 x color2
+        0, 0,              # end of line
+        6, 3,              # full row color3
+        0, 1,              # end of bitmap
+    ])
+    payload = (_bmp_header(6, 3, 8, 1, 14 + 40 + 16, 4, len(rle))
+               + _bmp_palette(pal) + rle)
+    out = ic.decode_bmp(payload)
+    expect_idx = np.zeros((3, 6), dtype=np.uint8)
+    expect_idx[2] = [1, 1, 1, 1, 2, 3]     # bottom row
+    expect_idx[1] = [0, 0, 2, 2, 2, 2]     # delta skipped 2, then 4x2
+    expect_idx[0] = [3, 3, 3, 3, 3, 3]
+    assert (out == pal[expect_idx]).all()
+
+
+def test_bmp_roundtrip_still_green():
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert (ic.decode_bmp(ic.encode_bmp(img)) == img).all()
