@@ -259,3 +259,25 @@ def test_spark_roundtrip_lz4_text(spark, tmp_path):
         assert sorted(r["value"] for r in back.collect()) == sorted(
             r["value"] for r in src.collect()
         )
+
+
+def test_streaming_mode_frames_from_compressed_output_stream():
+    """CLI tools and pa.CompressedOutputStream emit WINDOWED frames
+    (no single-segment flag, no content size) — the frame-header path
+    the one-shot compressor never produces."""
+    import parquet_to_csv_spark.functions.lz4codec as lc
+
+    expect = b"".join(
+        f"row-{i} streaming frame test\n".encode() for i in range(2000)
+    )
+    buf = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(buf, "zstd") as f:
+        f.write(expect)
+    enc = bytes(buf.getvalue())
+    assert enc[4] & 0x20 == 0  # windowed, not single-segment
+    assert zc.zstd_decompress(enc) == expect
+    if pa.Codec.is_available("lz4"):
+        buf2 = pa.BufferOutputStream()
+        with pa.CompressedOutputStream(buf2, "lz4") as f:
+            f.write(expect)
+        assert lc.lz4_decompress(bytes(buf2.getvalue())) == expect
