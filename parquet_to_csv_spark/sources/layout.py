@@ -815,9 +815,12 @@ def _claim_data_dir(table_dir: str, prefix: str) -> str:
     ``_temporary/0`` job-attempt trees clobbered each other). ``mkdir``
     is the atomic primitive: the bare ``v{N}`` name goes to whoever
     creates it; losers take a writer-unique suffix. The claimant then
-    writes with mode('overwrite') — safe because it exclusively owns
-    the (empty) directory. Directory names are cosmetic; manifests
-    reference files explicitly. The claim goes through the pluggable
+    writes with mode('append') — NEVER overwrite, whose delete phase
+    would remove the claimed directory itself and let a concurrent
+    claimant win the bare name mid-write (round 11; the dir is
+    exclusively owned and empty, so append is semantically identical).
+    Directory names are cosmetic; manifests reference files
+    explicitly. The claim goes through the pluggable
     commit backend (round 9): atomic mkdir on POSIX, a put-if-absent
     marker object on stores without directories."""
     import os
@@ -1126,7 +1129,15 @@ def commit_version(
             pass  # lost race with vacuum; the retry loop re-validates
     guess = 0 if prev is None else prev + 1
     data_dir = _claim_data_dir(table_dir, f"v{guess}")
-    df.write.mode("overwrite").parquet(data_dir)
+    # append, NEVER overwrite: Spark's overwrite deletes the output
+    # directory before writing, which momentarily destroys the mkdir
+    # claim itself — a concurrent process could then win claim_dir()
+    # on the bare name and its own overwrite would rmtree this
+    # writer's _temporary staging mid-write (observed as Mkdirs
+    # failed / chmod No-such-file task crashes in the 3-process
+    # stress). The claimed dir is exclusively owned and empty, so
+    # append has identical semantics while keeping the claim alive.
+    df.write.mode("append").parquet(data_dir)
     new_files = sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
@@ -3921,7 +3932,10 @@ def commit_partitioned(
     prev = latest_version(table_dir)
     guess = 0 if prev is None else prev + 1
     data_dir = _claim_data_dir(table_dir, f"v{guess}")
-    staged.repartition(*names).write.mode("overwrite").partitionBy(
+    # append, not overwrite — same claim-preservation rule as
+    # commit_version: overwrite's delete phase would drop the mkdir
+    # claim and open the bare name to a concurrent claimant
+    staged.repartition(*names).write.mode("append").partitionBy(
         *names
     ).parquet(data_dir)
     new_files: list[str] = []
