@@ -199,3 +199,42 @@ def test_large_keep_list_chunks_py4j_handoff(spark, tmp_path):
         assert "Exchange" not in plan
     finally:
         spark.conf.unset("spark.graft.read.pathChunk")
+
+
+def test_claim_survives_the_entire_data_write(spark, tmp_path):
+    """Round-11 race regression: a claimed data/v{N} directory must
+    exist CONTINUOUSLY from claim_dir() through the data write —
+    mode('overwrite')'s delete phase used to drop it mid-write,
+    letting a concurrent claimant win the bare name and destroy the
+    writer's staging. With the claim held, a spinner hammers
+    claim_dir(bare) for the whole duration of the commit-path write;
+    it must never win."""
+    import threading
+
+    tdir = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(tdir, "data"))
+    data_dir = layout._claim_data_dir(tdir, "v1")
+    assert data_dir.endswith("/data/v1")  # the bare name was free
+    wins = []
+    stop = threading.Event()
+
+    def spinner():
+        while not stop.is_set():
+            if layout._COMMIT_BACKEND.claim_dir(data_dir):
+                wins.append(True)  # claim stolen mid-write — the bug
+                os.rmdir(data_dir)
+
+    th = threading.Thread(target=spinner)
+    th.start()
+    try:
+        # the exact write commit_version performs; 64 partitions
+        # stretch it long enough for thousands of spinner probes
+        spark.range(2000).repartition(64).write.mode("append").parquet(
+            data_dir
+        )
+    finally:
+        stop.set()
+        th.join()
+    assert wins == [], "bare-name claim was lost during the data write"
+    files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert files  # the write landed intact
