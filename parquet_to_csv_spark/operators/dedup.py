@@ -275,17 +275,37 @@ def ngram_jaccard_pairs(
     plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     pref = base.select(
         "doc_id", "lang", "source", "sz",
-        F.explode(F.slice("toks", F.lit(1), plen)).alias("ptok"),
+        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pidx", "ptok"),
     )
     a = pref.alias("a")
     b = pref.alias("b")
     eps = 1e-9
+    # PPJoin positional filter (Xiao et al. 2008, round-11 optimization):
+    # J ≥ t forces an overlap α ≥ t/(1+t)·(|A|+|B|). For the FIRST
+    # common token of a true pair (positions pa, pb in the shared global
+    # order) no common token precedes it on either side, so the true
+    # overlap is bounded by 1 + min(|A|−pa−1, |B|−pb−1); requiring that
+    # bound to reach α prunes candidate rows BEFORE the exchange +
+    # distinct (measured 33.0M → far fewer collision rows at sf0.1, the
+    # dominant shuffle of every edge build). Sound for ANY collision
+    # row: a true pair's first-token row always satisfies the bound, so
+    # at least one row per true pair survives into the distinct; float
+    # slack (−eps) keeps α an under-estimate, never an over-estimate.
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.sz") - 1 - F.col("a.pidx"), F.col("b.sz") - 1 - F.col("b.pidx")
+    )
+    alpha = (
+        F.lit(threshold)
+        / F.lit(1.0 + threshold)
+        * (F.col("a.sz") + F.col("b.sz"))
+    )
     cond = (
         (F.col("a.ptok") == F.col("b.ptok"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         # J >= t ⇒ min(sz)/max(sz) >= t — prune with float slack
         & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps))
         & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps))
+        & (overlap_ub >= alpha - F.lit(eps))
     )
     if blocked:
         cond = (

@@ -28,6 +28,57 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from parquet_to_csv_spark.functions.vectors import dot_product, l2_norm
 from parquet_to_csv_spark.sources.tables import load_table
 
+# --- embedding-dimension probe (round-11 optimization) -----------------
+# The corpus contract is fixed-dim embeddings (64 on the fixtures).
+# Knowing the dim lets functions.vectors emit the codegen'd multiply-add
+# chain instead of the CodegenFallback higher-order fold. Measured on 2M
+# 64-dim pairs (noop sink, best-of-3): 13.8 s interpreted fold → 4.8 s
+# unrolled steady-state (2.9×) — but the unrolled chain also costs ~4 s
+# of one-time Janino compilation per codegen stage, which DOMINATES at
+# bench scale (sf0.1 queries run once over ≤ a few hundred thousand
+# pairs: cosine_topk noop 0.25 s → 2.6 s). So the unroll is a
+# SCALE-DEPENDENT setting: off by default (identical plans to round 10),
+# enabled per session via spark.graft.vectors.unrollDim=true for
+# deployments whose pair volume amortizes compilation (anything past
+# ~10⁶ pair-evals per stage — i.e. any real corpus; see
+# OPTIMIZATION_r11.md "similarity family"). A wrong/absent probe is
+# harmless — vectors.py guards per row on size(arr)==dim and falls back
+# to the higher-order fold, so results are identical on every path.
+_DIM_CACHE: dict[str, int | None] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int | None:
+    import os
+
+    from parquet_to_csv_spark.sources.tables import source_salt
+
+    if (
+        str(
+            spark.conf.get("spark.graft.vectors.unrollDim", "false")
+        ).lower()
+        != "true"
+    ):
+        return None
+    try:
+        key = source_salt(sf_dir, "embeddings")
+    except OSError:
+        return None
+    if key not in _DIM_CACHE:
+        dim = None
+        try:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+            for batch in pf.iter_batches(batch_size=1, columns=["embedding"]):
+                if batch.num_rows:
+                    v = batch.column(0)[0].as_py()
+                    dim = len(v) if v is not None else None
+                break
+        except Exception:  # noqa: BLE001 — probe is best-effort by design
+            dim = None
+        _DIM_CACHE[key] = dim
+    return _DIM_CACHE[key]
+
 
 def cosine_topk(
     spark: SparkSession,
@@ -42,6 +93,7 @@ def cosine_topk(
     |queries|×N rows hash-partitioned on query_id.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(spark, sf_dir)
     # Norms are precomputed per relation (O(N) array passes), so the
     # |queries|×N pair stage pays only the dot product — same float
     # expression dot/(nrm_q*nrm_c) as the fused form and the oracle,
@@ -49,15 +101,17 @@ def cosine_topk(
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_nrm"),
+        l2_norm(F.col("embedding"), dim).alias("q_nrm"),
     )
     c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_nrm"),
+        l2_norm(F.col("embedding"), dim).alias("c_nrm"),
     )
     denom = F.col("q_nrm") * F.col("c_nrm")
-    sim = F.when(denom > F.lit(0.0), dot_product(F.col("q_emb"), F.col("c_emb")) / denom)
+    sim = F.when(
+        denom > F.lit(0.0), dot_product(F.col("q_emb"), F.col("c_emb"), dim) / denom
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         F.broadcast(q)
@@ -78,13 +132,16 @@ def _srp_bits(vec_col, n_bits: int = 8, dim: int = 64, seed: int = 1234) -> "F.C
     rng = _random.Random(seed)
     acc = F.lit(0)
     for j in range(n_bits):
-        h = F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(dim)])
+        # ONE array literal (not 64 per-element F.lit nodes): 64× fewer
+        # py4j calls and Catalyst tree nodes — identical folded value.
+        h = F.lit([rng.gauss(0.0, 1.0) for _ in range(dim)])
         acc = acc + F.when(dot_product(vec_col, h) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
 
 
 def neardup_pairs_df(
-    emb: DataFrame, threshold: float = 0.4, max_block: int = 100_000
+    emb: DataFrame, threshold: float = 0.4, max_block: int = 100_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Core of :func:`embedding_neardup_pairs` over any
     (vec_id, label, embedding) relation.
@@ -100,7 +157,7 @@ def neardup_pairs_df(
     (the LSH/IVF tiers are the principled path for such data).
     """
     normed = emb.select(
-        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
     )
     # one row per label — plain join (AQE broadcasts when small; at huge
     # label cardinality a broadcast hint would be the scale-killer).
@@ -113,7 +170,7 @@ def neardup_pairs_df(
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
-    sim = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+    sim = dot_product(F.col("a.embedding"), F.col("b.embedding"), dim) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (
@@ -147,7 +204,9 @@ def embedding_neardup_pairs(
     # Norms are precomputed ONCE before the pair join — norms are O(N),
     # the join is O(pairs); recomputing norms per pair would triple the
     # dominant cost.
-    return neardup_pairs_df(emb, threshold=threshold)
+    return neardup_pairs_df(
+        emb, threshold=threshold, dim=_emb_dim(spark, sf_dir)
+    )
 
 
 def ivf_topk(
@@ -171,8 +230,9 @@ def ivf_topk(
     driver gate checks it at full oracle strength (the DuckDB twin
     replicates centroids → argmax assignment → probing → top-k).
     """
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
     )
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"),
@@ -183,7 +243,7 @@ def ivf_topk(
     def _sim(a, an, b, bn):
         denom = F.col(an) * F.col(bn)
         return F.when(
-            denom > F.lit(0.0), dot_product(F.col(a), F.col(b)) / denom
+            denom > F.lit(0.0), dot_product(F.col(a), F.col(b), dim) / denom
         )
 
     # assign: argmax cosine over broadcast centroids — one pass over the
@@ -340,7 +400,7 @@ def _srp_bucket(vec_col: "F.Column", planes: list[list[float]]) -> "F.Column":
     """Bucket id for one LSH table: bit j = sign of ⟨v, h_j⟩."""
     acc = F.lit(0)
     for j, h in enumerate(planes):
-        hl = F.array(*[F.lit(v) for v in h])
+        hl = F.lit(list(h))  # one array literal — see _srp_bits
         acc = acc + F.when(dot_product(vec_col, hl) > 0, F.lit(1 << j)).otherwise(
             F.lit(0)
         )
@@ -375,8 +435,9 @@ def srp_lsh_topk(
     the whole procedure at full hash strength.
     """
     tabs = srp_planes(n_bits, n_tables, seed=seed)
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
     )
     base = emb.select(
         "vec_id",
@@ -413,7 +474,9 @@ def srp_lsh_topk(
         )
     )
     denom = F.col("q_nrm") * F.col("c_nrm")
-    sim = F.when(denom > F.lit(0.0), dot_product(F.col("q_emb"), F.col("c_emb")) / denom)
+    sim = F.when(
+        denom > F.lit(0.0), dot_product(F.col("q_emb"), F.col("c_emb"), dim) / denom
+    )
     w_k = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         F.broadcast(probes)
@@ -430,15 +493,28 @@ def srp_lsh_topk(
     )
 
 
-def _sqdist(vec_col, cent_col) -> "F.Column":
-    """Σ (x_i − c_i)² as the same left-fold both engines run."""
-    return F.aggregate(
+def _sqdist(vec_col, cent_col, dim: int | None = None) -> "F.Column":
+    """Σ (x_i − c_i)² as the same left-fold both engines run.
+
+    ``dim``: same codegen'd-unroll-with-size-guard contract as
+    ``functions.vectors.dot_product`` — identical fold order, so
+    results are bit-identical on every path."""
+    hof = F.aggregate(
         F.zip_with(
             vec_col, cent_col, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    if dim is None:
+        return hof
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        d = F.element_at(vec_col, i).cast("double") - F.element_at(cent_col, i)
+        acc = acc + d * d
+    return F.when(
+        (F.size(vec_col) == F.lit(dim)) & (F.size(cent_col) == F.lit(dim)), acc
+    ).otherwise(hof)
 
 
 def kmeans_iterations(
@@ -463,6 +539,7 @@ def kmeans_iterations(
     engines, so the DuckDB oracle replays the full loop and the gate
     hash-matches the final assignment + distance.
     """
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -472,7 +549,7 @@ def kmeans_iterations(
     for _ in range(n_iter - 1):
         assigned = (
             emb.join(F.broadcast(cents))
-            .select("vec_id", "v", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+            .select("vec_id", "v", "cell", _sqdist(F.col("v"), F.col("c"), dim).alias("d"))
             .groupBy("vec_id", "v")
             .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
         )
@@ -498,7 +575,7 @@ def kmeans_iterations(
         )
     return (
         emb.join(F.broadcast(cents))
-        .select("vec_id", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+        .select("vec_id", "cell", _sqdist(F.col("v"), F.col("c"), dim).alias("d"))
         .groupBy("vec_id")
         .agg(
             F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"),
@@ -539,6 +616,7 @@ def build_ivf_index(
     Both writes are plain parquet: mergeable into any catalog, readable
     by any engine, refreshable by re-running this function.
     """
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -552,7 +630,7 @@ def build_ivf_index(
     for _ in range(n_iter - 1):
         assigned = (
             emb.join(F.broadcast(cents))
-            .select("vec_id", "v", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+            .select("vec_id", "v", "cell", _sqdist(F.col("v"), F.col("c"), dim).alias("d"))
             .groupBy("vec_id", "v")
             .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
         )
@@ -580,7 +658,7 @@ def build_ivf_index(
     cents_t = spark.read.parquet(os.path.join(index_dir, "centroids"))
     final_assign = (
         emb.join(F.broadcast(cents_t))
-        .select("vec_id", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+        .select("vec_id", "cell", _sqdist(F.col("v"), F.col("c"), dim).alias("d"))
         .groupBy("vec_id")
         .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
     )
@@ -656,10 +734,11 @@ def ivf_indexed_topk(
     if index_dir is None:
         index_dir = _ivf_index_dir(spark, sf_dir, n_cells, n_iter)
     cents, assign = load_ivf_index(spark, index_dir)
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        l2_norm(F.col("embedding")).alias("nrm"),
+        l2_norm(F.col("embedding"), dim).alias("nrm"),
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -672,7 +751,7 @@ def ivf_indexed_topk(
         .join(F.broadcast(cents))
         .select(
             "query_id", "q_v", "q_nrm", "cell",
-            _sqdist(F.col("q_v"), F.col("c")).alias("qd"),
+            _sqdist(F.col("q_v"), F.col("c"), dim).alias("qd"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
@@ -680,7 +759,9 @@ def ivf_indexed_topk(
     )
     cand = assign.join(emb, "vec_id")
     denom = F.col("q_nrm") * F.col("nrm")
-    cos = F.when(denom > F.lit(0.0), dot_product(F.col("q_v"), F.col("v")) / denom)
+    cos = F.when(
+        denom > F.lit(0.0), dot_product(F.col("q_v"), F.col("v"), dim) / denom
+    )
     w_k = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         F.broadcast(probes)
@@ -713,12 +794,13 @@ def ivf_index_staleness(
     if index_dir is None:
         index_dir = _ivf_index_dir(spark, sf_dir, n_cells, n_iter)
     cents, _ = load_ivf_index(spark, index_dir)
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     assign = (
         emb.join(F.broadcast(cents))
-        .select("vec_id", "v", "cell", _sqdist(F.col("v"), F.col("c")).alias("d"))
+        .select("vec_id", "v", "cell", _sqdist(F.col("v"), F.col("c"), dim).alias("d"))
         .groupBy("vec_id", "v")
         .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
     )
@@ -747,7 +829,7 @@ def ivf_index_staleness(
         .select(
             "cell",
             "n_members",
-            F.round(_sqdist(F.col("fresh_c"), F.col("c")), 6).alias("drift_sqdist"),
+            F.round(_sqdist(F.col("fresh_c"), F.col("c"), dim), 6).alias("drift_sqdist"),
         )
         .orderBy("cell")
     )
@@ -765,6 +847,7 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion matrix is one tiny grouped count. One training pass, one
     scoring pass, zero windows.
     """
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -797,7 +880,7 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "pred_label",
-            _sqdist(F.col("v"), F.col("c")).alias("d"),
+            _sqdist(F.col("v"), F.col("c"), dim).alias("d"),
         )
         .groupBy("vec_id", "label")
         .agg(
@@ -889,18 +972,21 @@ def hybrid_rrf_topk(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_nrm"),
+        l2_norm(F.col("embedding"), dim).alias("q_nrm"),
     )
     c = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_nrm"),
+        l2_norm(F.col("embedding"), dim).alias("c_nrm"),
     )
     denom = F.col("q_nrm") * F.col("c_nrm")
-    sim = F.when(denom > F.lit(0.0), dot_product(F.col("q_emb"), F.col("c_emb")) / denom)
+    sim = F.when(
+        denom > F.lit(0.0), dot_product(F.col("q_emb"), F.col("c_emb"), dim) / denom
+    )
     wd = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
     dense = (
         F.broadcast(q)
@@ -1147,8 +1233,9 @@ def cluster_topic_terms(
     """
     from parquet_to_csv_spark.functions.textfn import tokens_col
 
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
     )
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"),
@@ -1157,7 +1244,7 @@ def cluster_topic_terms(
     )
     cs = F.when(
         (F.col("nrm") * F.col("cent_nrm")) > F.lit(0.0),
-        dot_product(F.col("embedding"), F.col("cent_emb"))
+        dot_product(F.col("embedding"), F.col("cent_emb"), dim)
         / (F.col("nrm") * F.col("cent_nrm")),
     )
     assigned = (
@@ -1418,11 +1505,15 @@ def truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
 
+    unroll = _emb_dim(spark, sf_dir) is not None
+
     def cos_at(length: int):
         qa = F.slice(F.col("q_emb"), 1, length)
         ca = F.slice(F.col("c_emb"), 1, length)
-        num = dot_product(qa, ca)
-        den = l2_norm(qa) * l2_norm(ca)
+        num = dot_product(qa, ca, length if unroll else None)
+        den = l2_norm(qa, length if unroll else None) * l2_norm(
+            ca, length if unroll else None
+        )
         return F.when(den > F.lit(0.0), num / den)
 
     full = cos_at(64)
@@ -1514,8 +1605,9 @@ def cluster_quality_index(spark: SparkSession, sf_dir: str, n_cells: int = 8) ->
     integer 1e-6-unit squares; means are floored integer division; the
     ratio is cross-multiplied ppm — no float aggregation anywhere.
     """
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
     )
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"),
@@ -1524,7 +1616,7 @@ def cluster_quality_index(spark: SparkSession, sf_dir: str, n_cells: int = 8) ->
     )
     cs = F.when(
         (F.col("nrm") * F.col("cent_nrm")) > F.lit(0.0),
-        dot_product(F.col("embedding"), F.col("cent_emb"))
+        dot_product(F.col("embedding"), F.col("cent_emb"), dim)
         / (F.col("nrm") * F.col("cent_nrm")),
     )
     dsq = F.aggregate(
@@ -1765,6 +1857,7 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny argmax relations.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(spark, sf_dir)
     a = emb.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "label"
     )
@@ -1772,8 +1865,8 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "label"
     )
     sim = (
-        dot_product(F.col("a_emb"), F.col("b_emb"))
-        / (l2_norm(F.col("a_emb")) * l2_norm(F.col("b_emb")))
+        dot_product(F.col("a_emb"), F.col("b_emb"), dim)
+        / (l2_norm(F.col("a_emb"), dim) * l2_norm(F.col("b_emb"), dim))
     ).alias("sim")
     scored = a.join(b, "label").select("label", "a_id", "b_id", sim)
     # argmax via max_by on (sim, -id): deterministic tie-break to the
@@ -1830,9 +1923,10 @@ def retrieval_diversity_report(
         F.col("cand_id").alias("cb"),
         F.col("embedding").alias("eb"),
     )
+    dim = _emb_dim(spark, sf_dir)
     sim = F.round(
-        dot_product(F.col("ea"), F.col("eb"))
-        / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
+        dot_product(F.col("ea"), F.col("eb"), dim)
+        / (l2_norm(F.col("ea"), dim) * l2_norm(F.col("eb"), dim)),
         6,
     )
     pair_units = F.expr("CAST(round(pair_sim * 1000000) AS BIGINT)")
@@ -1909,8 +2003,11 @@ def mmr_rerank(
             "ra",
             "cb",
             (
-                dot_product(F.col("ea"), F.col("eb"))
-                / (l2_norm(F.col("ea")) * l2_norm(F.col("eb")))
+                dot_product(F.col("ea"), F.col("eb"), _emb_dim(spark, sf_dir))
+                / (
+                    l2_norm(F.col("ea"), _emb_dim(spark, sf_dir))
+                    * l2_norm(F.col("eb"), _emb_dim(spark, sf_dir))
+                )
             ).alias("raw_sim"),
         )
         .select("query_id", "ca", "sa", "ra", "cb", pair_u.alias("pu"))
@@ -2118,6 +2215,7 @@ def similarity_calibration(
     are exact ppm.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2129,8 +2227,8 @@ def similarity_calibration(
         F.col("label").alias("c_label"),
     )
     sim = F.round(
-        dot_product(F.col("q_emb"), F.col("c_emb"))
-        / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))),
+        dot_product(F.col("q_emb"), F.col("c_emb"), dim)
+        / (l2_norm(F.col("q_emb"), dim) * l2_norm(F.col("c_emb"), dim)),
         6,
     )
     scored = (
@@ -2170,6 +2268,7 @@ def similarity_pr_curve(
     integers.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2181,8 +2280,8 @@ def similarity_pr_curve(
         F.col("label").alias("c_label"),
     )
     sim = F.round(
-        dot_product(F.col("q_emb"), F.col("c_emb"))
-        / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))),
+        dot_product(F.col("q_emb"), F.col("c_emb"), dim)
+        / (l2_norm(F.col("q_emb"), dim) * l2_norm(F.col("c_emb"), dim)),
         6,
     )
     scored = (
@@ -2330,8 +2429,9 @@ def semdedup_prune(
     if index_dir is None:
         index_dir = _ivf_index_dir(spark, sf_dir, n_cells, n_iter)
     _, assign = load_ivf_index(spark, index_dir)
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
     )
     cand = assign.join(emb, "vec_id")
     a = cand.select(
@@ -2347,7 +2447,9 @@ def semdedup_prune(
         F.col("nrm").alias("n_b"),
     )
     denom = F.col("n_a") * F.col("n_b")
-    cos = F.when(denom > F.lit(0.0), dot_product(F.col("e_a"), F.col("e_b")) / denom)
+    cos = F.when(
+        denom > F.lit(0.0), dot_product(F.col("e_a"), F.col("e_b"), dim) / denom
+    )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("earlier_id") < F.col("vec_id"))
@@ -2383,8 +2485,9 @@ def hard_negative_mining(
     ``max_by`` on the raw IEEE cosine (identical fold both engines)
     with id tie-break, map-side partial aggregation, no windows.
     """
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
     )
     anchors = emb.filter(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
@@ -2394,7 +2497,8 @@ def hard_negative_mining(
     )
     denom = F.col("a_nrm") * F.col("nrm")
     cos = F.when(
-        denom > F.lit(0.0), dot_product(F.col("a_emb"), F.col("embedding")) / denom
+        denom > F.lit(0.0),
+        dot_product(F.col("a_emb"), F.col("embedding"), dim) / denom,
     )
     scored = (
         F.broadcast(anchors)
@@ -2455,8 +2559,9 @@ def top_principal_component(
     sign follows the seed deterministically.
     """
     centered, w = _centered_and_top_pc(spark, sf_dir, n_iter)
+    edim = _emb_dim(spark, sf_dir)
     final = centered.join(F.broadcast(w)).select(
-        "c", dot_product(F.col("c"), F.col("w")).alias("s")
+        "c", dot_product(F.col("c"), F.col("w"), edim).alias("s")
     )
     lam = F.broadcast(
         final.agg(
@@ -2486,6 +2591,7 @@ def _centered_and_top_pc(
     mean-centered vector relation (vec_id, c) and the one-row unit
     eigenvector relation (w). See :func:`top_principal_component` for
     the determinism contract."""
+    edim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -2524,7 +2630,7 @@ def _centered_and_top_pc(
     )
     for _ in range(n_iter):
         scored = centered.join(F.broadcast(w)).select(
-            "c", dot_product(F.col("c"), F.col("w")).alias("s")
+            "c", dot_product(F.col("c"), F.col("w"), edim).alias("s")
         )
         upd = (
             scored.select(F.col("s"), F.posexplode("c").alias("pos", "val"))
@@ -2574,18 +2680,19 @@ def embedding_abtt(spark: SparkSession, sf_dir: str, n_iter: int = 2) -> DataFra
     these diagnostics — one scan either way.
     """
     centered, w = _centered_and_top_pc(spark, sf_dir, n_iter)
+    edim = _emb_dim(spark, sf_dir)
     proj = centered.join(F.broadcast(w)).select(
         "vec_id",
         "c",
         "w",
-        dot_product(F.col("c"), F.col("w")).alias("t"),
+        dot_product(F.col("c"), F.col("w"), edim).alias("t"),
     )
     out = proj.select(
         "vec_id",
         F.col("t"),
-        l2_norm(F.col("c")).alias("nb"),
+        l2_norm(F.col("c"), edim).alias("nb"),
         l2_norm(
-            F.zip_with("c", "w", lambda cv, wv: cv - F.col("t") * wv)
+            F.zip_with("c", "w", lambda cv, wv: cv - F.col("t") * wv), edim
         ).alias("na"),
     )
     return out.select(
@@ -2611,7 +2718,9 @@ def label_cohesion_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL-exact and the final quotient is one IEEE divide).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "label",
+        "embedding",
+        l2_norm(F.col("embedding"), _emb_dim(spark, sf_dir)).alias("nrm"),
     )
     unit = emb.filter(F.col("nrm") > 0).select(
         "label",
@@ -2672,8 +2781,9 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
     """
     from parquet_to_csv_spark.operators.dedup import _cut_lineage
 
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
     )
     selected = _cut_lineage(
         emb.filter(F.col("vec_id") == 0)
@@ -2688,7 +2798,8 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
     )
     denom = F.col("nrm") * F.col("s_nrm")
     dist = F.lit(1.0) - F.when(
-        denom > F.lit(0.0), dot_product(F.col("embedding"), F.col("s_emb")) / denom
+        denom > F.lit(0.0),
+        dot_product(F.col("embedding"), F.col("s_emb"), dim) / denom,
     )
     for r in range(1, k):
         s = F.broadcast(
@@ -2895,6 +3006,7 @@ def ivf_index_append_topk(
     from parquet_to_csv_spark.sources.tables import source_salt
 
     salt = source_salt(sf_dir, "embeddings")
+    dim = _emb_dim(spark, sf_dir)
     key = (salt, n_cells, delta_buckets)
     path = _IVF_APPEND_CACHE.get(key)
     if path is None:
@@ -2919,7 +3031,7 @@ def ivf_index_append_topk(
         (
             delta.join(F.broadcast(cents_t))
             .select(
-                "vec_id", "cell", _sqdist(F.col("v"), F.col("c")).alias("d")
+                "vec_id", "cell", _sqdist(F.col("v"), F.col("c"), dim).alias("d")
             )
             .groupBy("vec_id")
             .agg(
@@ -2971,7 +3083,7 @@ def embedding_contamination_report(
         "vec_id",
         "label",
         F.col("embedding").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
+        l2_norm(F.col("embedding"), _emb_dim(spark, sf_dir)).alias("nrm"),
     )
     bench = emb.filter(F.col("label") == 0).select(
         F.col("e").alias("be"), F.col("nrm").alias("bnrm")
@@ -2983,7 +3095,7 @@ def embedding_contamination_report(
             "label",
             "vec_id",
             F.round(
-                dot_product(F.col("e"), F.col("be"))
+                dot_product(F.col("e"), F.col("be"), _emb_dim(spark, sf_dir))
                 / (F.col("nrm") * F.col("bnrm")),
                 6,
             ).alias("cos"),
@@ -3101,17 +3213,17 @@ def knn_shapley_values(
         F.col("vec_id").alias("test_id"),
         F.col("embedding").alias("t_emb"),
         F.col("label").alias("t_label"),
-        l2_norm(F.col("embedding")).alias("t_nrm"),
+        l2_norm(F.col("embedding"), _emb_dim(spark, sf_dir)).alias("t_nrm"),
     )
     train = emb.filter(F.col("vec_id") >= n_test).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("c_label"),
-        l2_norm(F.col("embedding")).alias("c_nrm"),
+        l2_norm(F.col("embedding"), _emb_dim(spark, sf_dir)).alias("c_nrm"),
     )
-    sim = dot_product(F.col("t_emb"), F.col("c_emb")) / (
-        F.col("t_nrm") * F.col("c_nrm")
-    )
+    sim = dot_product(
+        F.col("t_emb"), F.col("c_emb"), _emb_dim(spark, sf_dir)
+    ) / (F.col("t_nrm") * F.col("c_nrm"))
     scored = (
         F.broadcast(test)
         .join(train)
@@ -3212,8 +3324,9 @@ def nndescent_topk(
     the exact brute-force top-k is asserted by pytest (≥ 0.9 on this
     corpus) — same audit contract as E174.
     """
+    dim = _emb_dim(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
     )
     tabs = srp_planes()[:2]
     seeds = None
@@ -3251,7 +3364,7 @@ def nndescent_topk(
                 "a",
                 "b",
                 (
-                    dot_product(F.col("e_a"), F.col("e_b"))
+                    dot_product(F.col("e_a"), F.col("e_b"), dim)
                     / (F.col("n_a") * F.col("n_b"))
                 ).alias("sim"),
             )
@@ -3319,7 +3432,7 @@ def jl_distortion_audit(
     def project(col):
         return F.array(
             *[
-                dot_product(col, F.array(*[F.lit(v) for v in plane]))
+                dot_product(col, F.lit(list(plane)))
                 for plane in tabs
             ]
         )
@@ -3401,6 +3514,7 @@ def maxsim_late_interaction_topk(
     slots = F.array(*[
         F.slice(F.col("embedding"), 1 + 16 * j, 16) for j in range(4)
     ])
+    dim = _emb_dim(spark, sf_dir)
     base = emb.select("vec_id", F.posexplode(slots).alias("slot", "sub"))
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -3419,7 +3533,11 @@ def maxsim_late_interaction_topk(
             "query_id",
             "cand_id",
             "q_slot",
-            dot_product(F.col("q_sub"), F.col("c_sub")).alias("dp"),
+            dot_product(
+                F.col("q_sub"),
+                F.col("c_sub"),
+                16 if dim == 64 else None,
+            ).alias("dp"),
         )
         .groupBy("query_id", "cand_id")
         .agg(
@@ -3487,6 +3605,8 @@ def ivfpq_topk(
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(spark, sf_dir)
+    sub = 16 if dim == 64 else None
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < n_cells).select(
             F.col("vec_id").alias("cell_id"),
@@ -3501,7 +3621,7 @@ def ivfpq_topk(
             "embedding",
             "cell_id",
             "cent",
-            dot_product(F.col("embedding"), F.col("cent")).alias("ip"),
+            dot_product(F.col("embedding"), F.col("cent"), dim).alias("ip"),
         )
         .groupBy("vec_id", "embedding")
         .agg(
@@ -3566,7 +3686,7 @@ def ivfpq_topk(
             "query_id",
             "q_emb",
             "cell_id",
-            dot_product(F.col("q_emb"), F.col("cent")).alias("cip"),
+            dot_product(F.col("q_emb"), F.col("cent"), dim).alias("cip"),
         )
         .withColumn("pr", F.row_number().over(w_probe))
         .filter(F.col("pr") <= nprobe)
@@ -3593,7 +3713,7 @@ def ivfpq_topk(
             F.col("vec_id").alias("cand_id"),
             "cip",
             "m",
-            dot_product(F.col("q_sub"), F.col("cw")).alias("p"),
+            dot_product(F.col("q_sub"), F.col("cw"), sub).alias("p"),
         )
         .groupBy("query_id", "cand_id", "cip")
         .agg(
@@ -3631,7 +3751,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             "cand_id",
-            dot_product(F.col("qe"), F.col("ce")).alias("score"),
+            dot_product(F.col("qe"), F.col("ce"), dim).alias("score"),
         )
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
