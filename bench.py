@@ -211,12 +211,14 @@ def main() -> None:
     infra_sec = round(
         sum(t for k, t in timings.items() if k in INFRA_TIER and t >= 0), 3
     )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "all")
     payload = {
         "metric": f"total_wall_sec_{len(timings)}_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
         "codegen_fallback_total": sum(codegen_fallbacks.values()),
         "audit_tier_sec": audit_sec,
         "infra_tier_sec": infra_sec,
@@ -226,10 +228,20 @@ def main() -> None:
     }
     if codegen_fallbacks:
         payload["codegen_fallbacks"] = codegen_fallbacks
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json")
-    with open(out_path, "w") as f:
-        json.dump(payload, f, indent=1)
-        f.write("\n")
+    # Round-11 postmortem (verdict item 4): the driver's 8-core scaling
+    # pass used to OVERWRITE the 32-core full map because both wrote
+    # BENCH_OUT.json. The full map is now ALSO written to a
+    # cpu-count-keyed file so no later pass at a different core count
+    # can destroy it; BENCH_OUT.json stays as the latest-run pointer
+    # (additions-only — tools that read it keep working).
+    here = os.path.dirname(os.path.abspath(__file__))
+    for out_path in (
+        os.path.join(here, "BENCH_OUT.json"),
+        os.path.join(here, f"BENCH_OUT_c{cpus}.json"),
+    ):
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
 
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 3500:
