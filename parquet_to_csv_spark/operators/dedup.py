@@ -272,40 +272,84 @@ def ngram_jaccard_pairs(
     """
     base = _token_base(spark, sf_dir)
 
+    # Asymmetric AllPairs/PPJoin prefixes (round 12, guide §2.3 —
+    # shuffle fewer rows). Candidates are generated size-ordered
+    # (|A| ≤ |B|, doc_id tie-break): the SMALLER side only indexes its
+    # MID-PREFIX of length |A| − ⌊(2t/(1+t))·|A|⌋ + 1, because a true
+    # pair's overlap α ≥ t/(1+t)·(|A|+|B|) ≥ (2t/(1+t))·|A| when
+    # |A| ≤ |B|, so the first common token (shared global order) sits
+    # within that prefix of A; the LARGER side keeps the full probe
+    # prefix |B| − ⌊t·|B|⌋ + 1 (α ≥ t·|B| holds because |A| ≥ t·|B|
+    # for any true pair). At t=0.8 the index side explodes ~0.11·|A|
+    # tokens instead of ~0.2·|A| — collision rows, the exchange, and
+    # the distinct all shrink. floor(c·sz − 1e-9): the −1e-9 guards a
+    # double product landing ON an integer from above, which can only
+    # LENGTHEN the prefix (extra candidates, never a miss).
     plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    pref = base.select(
-        "doc_id", "lang", "source", "sz",
-        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pidx", "ptok"),
-    )
-    a = pref.alias("a")
-    b = pref.alias("b")
-    eps = 1e-9
-    # PPJoin positional filter (Xiao et al. 2008, round-11 optimization):
+    c2 = 2.0 * threshold / (1.0 + threshold)
+    plen_idx = (
+        F.col("sz") - F.floor(F.lit(c2) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
+    # Join on xxhash64 of the prefix token, not the token string
+    # (guide §2.3 — shuffle fewer bytes, and sort/hash longs instead of
+    # strings in the SMJ). A hash collision between two DIFFERENT
+    # tokens can only ADD candidate rows (a superset), and every
+    # candidate is exact-verified downstream, so the output relation is
+    # unchanged by construction.
+    def _pref(plen_col):
+        return base.select(
+            "doc_id", "lang", "source", "sz",
+            F.posexplode(
+                F.transform(
+                    F.slice("toks", F.lit(1), plen_col),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("pidx", "ptok"),
+        )
+
+    pref_probe = _pref(plen)
+    pref_idx = _pref(plen_idx)
+    a = pref_idx.alias("a")
+    b = pref_probe.alias("b")
+    # PPJoin positional filter (Xiao et al. 2008, round-11 optimization;
+    # round-12: INTEGER arithmetic — the advisor flagged the absolute
+    # 1e-9 slack as a theoretical recall hole once α grows past ~1e7):
     # J ≥ t forces an overlap α ≥ t/(1+t)·(|A|+|B|). For the FIRST
     # common token of a true pair (positions pa, pb in the shared global
     # order) no common token precedes it on either side, so the true
     # overlap is bounded by 1 + min(|A|−pa−1, |B|−pb−1); requiring that
     # bound to reach α prunes candidate rows BEFORE the exchange +
-    # distinct (measured 33.0M → far fewer collision rows at sf0.1, the
-    # dominant shuffle of every edge build). Sound for ANY collision
-    # row: a true pair's first-token row always satisfies the bound, so
-    # at least one row per true pair survives into the distinct; float
-    # slack (−eps) keeps α an under-estimate, never an over-estimate.
-    overlap_ub = F.lit(1) + F.least(
-        F.col("a.sz") - 1 - F.col("a.pidx"), F.col("b.sz") - 1 - F.col("b.pidx")
-    )
-    alpha = (
-        F.lit(threshold)
-        / F.lit(1.0 + threshold)
-        * (F.col("a.sz") + F.col("b.sz"))
+    # distinct (33.0M → 12.6M in round 11; the index prefix above cuts
+    # further). Sound for ANY collision row: a true pair's first-token
+    # row always satisfies the bound, so at least one row per true pair
+    # survives into the distinct. Integer form: ub ≥ t/(1+t)·s ⟺
+    # (10^4+tbp)·ub ≥ tbp·s with tbp = ⌊t·10^4⌋ ≤ t — exact at any
+    # corpus size, floor keeps the filter an under-pruner. Longs
+    # throughout (int·int would overflow past ~2^31/tbp tokens).
+    import math as _math
+
+    tbp = int(_math.floor(threshold * 10000))
+    overlap_ub = (
+        F.lit(1)
+        + F.least(
+            F.col("a.sz") - 1 - F.col("a.pidx"),
+            F.col("b.sz") - 1 - F.col("b.pidx"),
+        )
+    ).cast("long")
+    size_order = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
     cond = (
         (F.col("a.ptok") == F.col("b.ptok"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # J >= t ⇒ min(sz)/max(sz) >= t — prune with float slack
-        & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps))
-        & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps))
-        & (overlap_ub >= alpha - F.lit(eps))
+        & size_order
+        # J >= t ⇒ |A| ≥ t·|B| (|A| ≤ |B| makes this the binding side);
+        # integer form with the same floor'd tbp — under-prunes only
+        & (F.col("a.sz").cast("long") * 10000 >= F.lit(tbp) * F.col("b.sz"))
+        & (
+            F.lit(10000 + tbp) * overlap_ub
+            >= F.lit(tbp) * (F.col("a.sz").cast("long") + F.col("b.sz"))
+        )
     )
     if blocked:
         cond = (
@@ -315,7 +359,10 @@ def ngram_jaccard_pairs(
         )
     cand = (
         a.join(b, cond)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
         .distinct()
     )
 

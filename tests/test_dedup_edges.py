@@ -112,14 +112,25 @@ def test_reliable_checkpoint_mode_identical(spark, sf_dir, tmp_path):
 
     base = sorted(
         (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in dedup._dup_clusters_direct(spark, sf_dir).collect()
+    )
+    # the artifact-served wrapper must agree with the direct build
+    # (round 12: dup_clusters serves a write-once parquet of the same
+    # labels)
+    art = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
         for r in dedup.dup_clusters(spark, sf_dir).collect()
     )
+    assert art == base
     ckdir = str(tmp_path / "ck")
     spark.conf.set("spark.graft.checkpointDir", ckdir)
     try:
+        # reliable-checkpoint mode is a property of the CC loop itself —
+        # exercised on the direct build (the artifact wrapper only runs
+        # the loop at build time)
         ck = sorted(
             (r["doc_id"], r["cluster_id"], r["is_canonical"])
-            for r in dedup.dup_clusters(spark, sf_dir).collect()
+            for r in dedup._dup_clusters_direct(spark, sf_dir).collect()
         )
     finally:
         spark.conf.unset("spark.graft.checkpointDir")
