@@ -85,6 +85,9 @@ def _materialize_once(df: DataFrame) -> DataFrame:
 
 
 def _distinct_tokens(df: DataFrame) -> DataFrame:
+    # measured round 12: spreading this scan HURTS its consumers (the
+    # tokbase build's wall is the df join + collect_list exchanges, not
+    # tokenization) — left pipelined in the scan task deliberately
     return df.select(
         "doc_id", "lang", "source", F.array_distinct(tokens_col("text")).alias("toks")
     )
@@ -401,7 +404,11 @@ def _shingles_from_tokens(toks, n: int = 3):
 
 
 def _shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id + distinct shingle-hash array, tokenizing exactly once."""
+    """doc_id + distinct shingle-hash array, tokenizing exactly once.
+
+    Measured round 12: spreading the scan here is a wash for the
+    MinHash consumers (+0.15 s on minhash_lsh_pairs — the downstream
+    explode/agg re-exchanges anyway), so the scan stays pipelined."""
     tok = docs.select("doc_id", tokens_col("text").alias("toks"))
     return tok.select("doc_id", _shingles_from_tokens(F.col("toks"), n).alias("sh"))
 
@@ -504,9 +511,11 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     allocation, not arithmetic, was the cost; an earlier comparison
     claiming otherwise was invalid because ``count()`` let Catalyst
     prune the signature expression entirely)."""
-    tok = docs.select("doc_id", tokens_col("text").alias("toks")).filter(
-        F.size("toks") > 0
-    )
+    from parquet_to_csv_spark.sources.tables import spread_scan
+
+    tok = spread_scan(docs).select(
+        "doc_id", tokens_col("text").alias("toks")
+    ).filter(F.size("toks") > 0)
     hashed = tok.select(
         "doc_id",
         F.size("toks").alias("n"),

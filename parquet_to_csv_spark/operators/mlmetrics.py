@@ -1163,7 +1163,7 @@ def poisson_bootstrap_ci(
     """
     from parquet_to_csv_spark.operators.corpus import md5_bucket
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", spread=True).select(
         "event_type", "event_id", exact_units(F.col("value"), 2).alias("cents")
     )
     reps = ev.select(
@@ -1177,15 +1177,20 @@ def poisson_bootstrap_ci(
     )
     # Poisson(1) inverse CDF at 1e-4 grid, capped at 4:
     # P(0)=.3679 P(<=1)=.7358 P(<=2)=.9197 P(<=3)=.9810
+    # Round 12: u and weight are materialized behind projection
+    # boundaries — inlined, the 4-md5 bucket tree was duplicated into
+    # every CASE arm and again into wc (32 md5 nodes per row).
     weight = (
-        F.when(u < 3679, 0)
-        .when(u < 7358, 1)
-        .when(u < 9197, 2)
-        .when(u < 9810, 3)
+        F.when(F.col("u") < 3679, 0)
+        .when(F.col("u") < 7358, 1)
+        .when(F.col("u") < 9197, 2)
+        .when(F.col("u") < 9810, 3)
         .otherwise(4)
     )
     rep_means = (
-        reps.select("event_type", "b", (weight * F.col("cents")).alias("wc"), weight.alias("w"))
+        reps.select("event_type", "b", "cents", u.alias("u"))
+        .select("event_type", "b", "cents", weight.alias("w"))
+        .select("event_type", "b", (F.col("w") * F.col("cents")).alias("wc"), "w")
         .groupBy("event_type", "b")
         .agg(F.sum("w").alias("n_eff"), F.sum("wc").alias("sum_cents"))
         .select(
@@ -2573,7 +2578,9 @@ def bootstrap_mean_ci(
     from parquet_to_csv_spark.operators.corpus import md5_bucket
 
     th = _poisson1_thresholds_u16()
-    orders = load_table(spark, sf_dir, "orders").select(
+    # spread=True: 32 md5 draws per order run pipelined in the scan
+    # stage — single-task on the one-file fixture (guide §2.5)
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
         "o_orderkey",
         "o_custkey",
         F.expr("cast(floor(o_totalprice * 100 + 0.5) as long)").alias("cents"),
@@ -2584,18 +2591,37 @@ def bootstrap_mean_ci(
     keyed = orders.join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select("o_orderkey", "cents", F.col("c_mktsegment").alias("seg"))
-    b = F.broadcast(
-        spark.range(n_resamples).select(F.col("id").cast("int").alias("b"))
-    )
     u = md5_bucket(
         F.concat_ws(":", F.col("o_orderkey"), F.col("b")), 65536
     )
+    # Round 12 (guide §1.2 step 2 / §2.3): materialize the md5 draw and
+    # the Poisson weight behind projection boundaries. Inlined, the
+    # md5_bucket tree (4 md5 calls, one per hex nibble) was duplicated
+    # into every threshold comparison of w and again into wc — 72 md5
+    # nodes per row in the physical plan. CollapseProject declines to
+    # merge projections whose outputs are referenced more than once by
+    # non-cheap expressions, so each md5/weight is now evaluated once
+    # per (order, replicate) row.
     w = sum(
-        [(u >= F.lit(t)).cast("long") for t in th], F.lit(0).cast("long")
+        [(F.col("u") >= F.lit(t)).cast("long") for t in th],
+        F.lit(0).cast("long"),
     )
+    # replicate expansion via a codegen'd Generate (explode of a
+    # sequence literal) instead of a BroadcastNestedLoopJoin against a
+    # 32-row relation — same (row, b) grid, pipelined row production
+    # (the shape poisson_bootstrap_ci already uses)
     means = (
-        keyed.join(b)
-        .select("seg", "b", (w * F.col("cents")).alias("wc"), w.alias("w"))
+        keyed.select(
+            "seg",
+            "cents",
+            "o_orderkey",
+            F.explode(
+                F.expr(f"sequence(0, {n_resamples - 1})")
+            ).alias("b"),
+        )
+        .select("seg", "b", "cents", u.alias("u"))
+        .select("seg", "b", "cents", w.alias("w"))
+        .select("seg", "b", (F.col("w") * F.col("cents")).alias("wc"), "w")
         .groupBy("seg", "b")
         .agg(F.sum("wc").alias("swc"), F.sum("w").alias("sw"))
         .select(
@@ -3525,7 +3551,7 @@ def ridge_cv_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_to_csv_spark.functions.stable import exact_units
     from parquet_to_csv_spark.operators.corpus import md5_bucket
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", exact_units(F.col("p_retailprice"), 2).alias("x2")
     )

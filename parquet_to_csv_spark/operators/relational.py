@@ -1050,7 +1050,7 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is injective per engine, so counts agree even where the two
     engines' string formatting differs.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     parts = []
     for name, kind in _PROFILE_COLS:
         if kind == "num":
@@ -2939,7 +2939,12 @@ def rec_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration of neighbor slots in ppm (the gini_revenue
     banded-rank formula — no unpartitioned window anywhere).
     """
-    recs = item_item_cosine_topk(spark, sf_dir)
+    from parquet_to_csv_spark.operators.dedup import _materialize_once
+
+    # materialize the recommender output ONCE (guide §5): five audit
+    # branches (slots, sources, ntile, banded rank, gini) read it, and
+    # un-materialized each re-ran the full item-item cosine join
+    recs = _materialize_once(item_item_cosine_topk(spark, sf_dir))
     part = load_table(spark, sf_dir, "part").select("p_partkey")
     n_cat = F.broadcast(part.agg(F.count(F.lit(1)).alias("n_catalog")))
     slots = recs.groupBy("neighbor").agg(F.count(F.lit(1)).alias("n_slots"))

@@ -549,7 +549,9 @@ def bbit_minhash_calibration(
     from parquet_to_csv_spark.functions.textfn import tokens_col
     from parquet_to_csv_spark.operators.dedup import _gram_strings, dedup_edges
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread=True: the 16 per-gram md5 rings below run in the scan's
+    # pipelined stage — single-task on a one-file fixture (guide §2.5)
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", tokens_col("text").alias("toks")
     )
     pairs = dedup_edges(spark, sf_dir, 0.5).select("doc_a", "doc_b")

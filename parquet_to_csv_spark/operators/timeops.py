@@ -3081,8 +3081,16 @@ def median_polish_dow_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     The data touch is ONE scan into the 35-cell table; the polish
     itself runs on metadata-sized relations.
     """
+    from parquet_to_csv_spark.operators.dedup import _materialize_once
+
     ev = load_table(spark, sf_dir, "events")
-    cells = (
+    # Round 12 (guide §5 — cut lineage for iterative reuse): the 35-cell
+    # table is referenced by every polish sweep AND the final 4-way
+    # join; un-materialized, each broadcast median branch re-planned the
+    # full events scan+aggregate (exchange reuse saved the scan but the
+    # plan still carried ~25 copies of the subtree). One lazy
+    # localCheckpoint makes the polish run on a 35-row relation.
+    cells = _materialize_once(
         ev.select(
             F.expr("cast(((ts div 86400000000000) + 4) % 7 as int)").alias(
                 "dow"

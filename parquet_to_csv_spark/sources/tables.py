@@ -73,7 +73,9 @@ def source_salt(sf_dir: str, name: str) -> str:
     return hashlib.md5(repr((path, _stat_salt(path))).encode()).hexdigest()[:16]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     _ensure_engine_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = (path, _stat_salt(path))
@@ -83,6 +85,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(raw_schema).parquet(path)
+    if spread:
+        # Input-skew guard for per-row-HEAVY consumers (guide §2.5): a
+        # single small parquet file scans as ONE task, so a pipelined
+        # tokenize/hash/regex stage runs on one core regardless of the
+        # session size. Estimate the scan's task count from the file
+        # layout (free — the stat is already taken for the schema
+        # cache) and redistribute once when it can't fill half the
+        # session's parallelism. A production multi-file table clears
+        # the threshold and this is a no-op. Opt-in per call site:
+        # a cheap aggregate is better left pipelined in its scan task.
+        par = spark.sparkContext.defaultParallelism
+        try:
+            if os.path.isdir(path):
+                files = [
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                ]
+            else:
+                files = [path]
+            est_tasks = sum(
+                max(1, os.path.getsize(f) // (128 << 20)) for f in files
+            )
+        except OSError:
+            est_tasks = par
+        if est_tasks * 2 <= par:
+            df = df.repartition(par)
     if name == "events" and not isinstance(df.schema["ts"].dataType, T.LongType):
         # Engine contract: events.ts is a ns-since-epoch long (the
         # reference's BigInt-ns trace arithmetic). Fixtures generated
@@ -93,6 +122,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         )
+    return df
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Input-skew guard for per-row-HEAVY pipelines (guide §2.5: "one
+    huge unsplittable file … repartition immediately after the read").
+
+    The local fixtures are one parquet file with ONE row group per
+    table, so every scan is a single task and a pipelined stage
+    (tokenize → hash → partial-aggregate) runs on one core no matter
+    how many the session has — measured: simhash signatures 3.3 s
+    single-task vs 0.5 s spread at sf0.1/32 cores. When the planned
+    scan has fewer partitions than half the session's parallelism,
+    redistribute once (round-robin; tiny exchange — the fixture file
+    itself) so the heavy stage uses the machine. On a production
+    multi-file table the scan already splits past the threshold and
+    this is a no-op — the decision adapts to the input, not to a
+    hard-coded core count.
+
+    Apply ONLY where the downstream per-row work dwarfs one small
+    exchange; a cheap aggregate over a small scan is better left
+    pipelined in its single task."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning quirk: keep the scan as-is
+        return df
+    if n * 2 <= par:
+        return df.repartition(par)
     return df
 
 
