@@ -642,15 +642,29 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("l", F.col("v"))
         .transform(_cut_lineage)
     )
+    # Size-gated label broadcast (round 12, guide §3.1): the label
+    # relation is NODE-grain while ``both`` is EDGE-grain; both sides
+    # of the per-round joins come out of localCheckpoints (LogicalRDD,
+    # no stats), so the planner sort-merge-joined them and re-shuffled
+    # the FULL edge relation every round. When the vertex count (one
+    # cheap count over the checkpointed init labels) fits the
+    # threshold, broadcast the node side — the edge relation is then
+    # never exchanged inside the loop. A billion-node deployment
+    # exceeds the threshold and keeps the shuffle plan; the knob is the
+    # data's size, not the cluster's.
+    bcast_nodes = labels.count() <= int(
+        conf.get("spark.graft.graph.broadcastNodesMax", "5000000")
+    )
+    _b = F.broadcast if bcast_nodes else (lambda df: df)
     converged = False
     for i in range(probe_rounds):
         nbr = (
-            both.join(labels, both.w == labels.v)
+            both.join(_b(labels), both.w == labels.v)
             .groupBy("u")
             .agg(F.min("l").alias("nl"))
         )
         stepped = (
-            labels.join(nbr, labels.v == nbr.u, "left")
+            labels.join(_b(nbr), labels.v == nbr.u, "left")
             .select(
                 F.col("v"),
                 F.col("l").alias("old_l"),
@@ -896,6 +910,10 @@ def containment_pairs_quotes(
     )
     base = _materialize_once(base)
     plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    # (round 12: tried joining on xxhash64 of the token as in
+    # ngram_jaccard_pairs — measured +0.4 s here: the full B-side index
+    # pays one extra hash per token and the string join was not the
+    # wall. Kept on strings deliberately.)
     pref_a = base.select(
         "doc_id", "lang", "source", "sz",
         F.explode(F.slice("toks", F.lit(1), plen)).alias("tok"),
@@ -3612,15 +3630,23 @@ def personalized_pagerank(
         ).alias("e"),
     ).transform(_cut_lineage)
     pr = base.select("v", "deg", "is_seed", "e", F.col("e").alias("pr"))
+    # size-gated rank broadcast (round 12, guide §3.1 — same rationale
+    # as the connected_components loop): rank rows are node-grain, the
+    # unblocked edge relation is ~2 orders larger; broadcasting the
+    # rank side keeps the edge relation un-exchanged in every round
+    bcast_nodes = base.count() <= int(
+        spark.conf.get("spark.graft.graph.broadcastNodesMax", "5000000")
+    )
+    _b = F.broadcast if bcast_nodes else (lambda df: df)
     for _ in range(iters):
         contrib = (
-            pr.select(F.col("v").alias("src"), F.expr("pr div deg").alias("c"))
+            _b(pr.select(F.col("v").alias("src"), F.expr("pr div deg").alias("c")))
             .join(edges, "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("inc"))
         )
         pr = (
-            base.join(contrib, base.v == contrib.dst, "left")
+            base.join(_b(contrib), base.v == contrib.dst, "left")
             .select(
                 base.v, base.deg, base.is_seed, base.e,
                 (
@@ -3738,10 +3764,17 @@ def graph_diameter_sweep(
     driver-side collect anywhere. One summary row.
     """
     edges = dedup_edges(spark, sf_dir, threshold)
-    und = edges.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
-    ).unionAll(
-        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w"))
+    # materialize the undirected edge relation ONCE (round 12): every
+    # recursion level of BOTH sweeps joins against this view — as a
+    # plain view each level re-ran the parquet scan + union + the
+    # jaccard>=t filter; as a localCheckpoint each level reads cached
+    # blocks
+    und = _materialize_once(
+        edges.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
+        ).unionAll(
+            edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w"))
+        )
     )
     und.createOrReplaceTempView("t_diam_edges")
     root = (
