@@ -3337,11 +3337,12 @@ def nndescent_topk(
         seeds = s if seeds is None else seeds.unionByName(s)
     sa = seeds.select("t", "bkt", F.col("vec_id").alias("a"))
     sb = seeds.select("t", "bkt", F.col("vec_id").alias("b"))
+    # no .distinct() here: knn() dedupes (a, b) behind its single
+    # exchange, so a pre-distinct would only add an exchange
     pairs0 = (
         sa.join(sb, ["t", "bkt"])
         .filter(F.col("a") != F.col("b"))
         .select("a", "b")
-        .distinct()
     )
     ea = emb.select(
         F.col("vec_id").alias("a"),
@@ -3357,8 +3358,18 @@ def nndescent_topk(
     def knn(pairs: DataFrame) -> DataFrame:
         from pyspark.sql import Window as W
 
+        # ONE exchange for dedup + ranking (round 12, guide §2.4):
+        # hash-partitioning on `a` CLUSTERS (a, b) — equal pairs land
+        # in one partition — so the dropDuplicates aggregate needs no
+        # exchange of its own, the broadcast embedding joins preserve
+        # the partitioning, and the per-node window's required
+        # clustering on `a` is already satisfied. The previous shape
+        # (.distinct() before knn + window) exchanged every round's
+        # candidate relation twice.
         scored = (
-            pairs.join(ea, "a")
+            pairs.repartition("a")
+            .dropDuplicates(["a", "b"])
+            .join(ea, "a")
             .join(eb, "b")
             .select(
                 "a",
@@ -3373,6 +3384,16 @@ def nndescent_topk(
         return scored.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") <= k
         )
+
+    # size-gated broadcast for the NoN self-join: each side is ≤ 2kN
+    # rows of two longs; the gate is the DATA's size (same knob as the
+    # graph loops in dedup.py), so a billion-vector corpus keeps the
+    # shuffle plan
+    n_emb = emb.count()
+    bcast = (2 * k * n_emb) <= int(
+        spark.conf.get("spark.graft.graph.broadcastNodesMax", "5000000")
+    )
+    _b = F.broadcast if bcast else (lambda df: df)
 
     # localCheckpoint between rounds: each round's plan references the
     # previous round THREE times (knn ∪ reverse ∪ NoN join), so the
@@ -3391,13 +3412,11 @@ def nndescent_topk(
         x = und.select(F.col("a"), F.col("b").alias("mid"))
         y = und.select(F.col("a").alias("mid"), F.col("b"))
         non = (
-            x.join(y, "mid")
+            x.join(_b(y), "mid")
             .filter(F.col("a") != F.col("b"))
             .select("a", "b")
         )
-        cur = knn(und.unionByName(non).distinct()).localCheckpoint(
-            eager=False
-        )
+        cur = knn(und.unionByName(non)).localCheckpoint(eager=False)
     return (
         cur.filter((F.col("a") < out_queries) & (F.col("rn") <= out_k))
         .select(
