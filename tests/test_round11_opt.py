@@ -1,9 +1,10 @@
-"""Round-11 optimization invariants.
+"""Round-11/12 optimization invariants.
 
-1. The ``spark.graft.vectors.unrollDim`` fast path (codegen'd unrolled
-   multiply-add chain instead of the CodegenFallback higher-order fold)
-   must be BIT-IDENTICAL to the default path — same fold order, same
-   casts — across the dot/norm/sqdist consumers.
+1. Round 12 DELETED the round-11 ``spark.graft.vectors.unrollDim``
+   fast path (verdict item 8 — integrated measurement showed the
+   unrolled Catalyst trees regress every consumer). The ``dim=``
+   parameter survives as an inert seam: passing any value (right,
+   wrong, or None) must be a no-op, and the old conf must do nothing.
 2. The PPJoin positional filter added to ``ngram_jaccard_pairs`` must
    not change the verified pair relation (it only prunes candidate rows
    that can never verify): pinned against a filter-free replica of the
@@ -24,7 +25,7 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
-def test_unroll_dim_bit_identical_expressions(spark, sf_dir):
+def test_dim_param_inert_expressions(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
@@ -44,24 +45,25 @@ def test_unroll_dim_bit_identical_expressions(spark, sf_dir):
     assert _rows(slow) == _rows(fast)  # exact ==, not approx: bit parity
 
 
-def test_unroll_dim_wrong_dim_falls_back(spark, sf_dir):
-    """A wrong probe must be harmless: the size guard routes every row
-    through the original fold, so results stay identical."""
+def test_dim_param_wrong_value_inert(spark, sf_dir):
+    """Even a wrong dim must be a no-op — the parameter is dead."""
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     wrong = emb.select(dot_product(F.col("embedding"), F.col("embedding"), 63).alias("d"))
     right = emb.select(dot_product(F.col("embedding"), F.col("embedding")).alias("d"))
     assert _rows(wrong) == _rows(right)
 
 
-def test_unroll_dim_conf_parity_cosine_topk(spark, sf_dir):
+def test_unroll_conf_deleted(spark, sf_dir):
+    """The old conf must change nothing: _emb_dim is constant None and
+    cosine_topk plans/results are identical with the conf set."""
+    assert similarity._emb_dim(spark, sf_dir) is None
     base = _rows(similarity.cosine_topk(spark, sf_dir))
-    similarity._DIM_CACHE.clear()
     spark.conf.set("spark.graft.vectors.unrollDim", "true")
     try:
+        assert similarity._emb_dim(spark, sf_dir) is None
         fast = _rows(similarity.cosine_topk(spark, sf_dir))
     finally:
-        spark.conf.set("spark.graft.vectors.unrollDim", "false")
-        similarity._DIM_CACHE.clear()
+        spark.conf.unset("spark.graft.vectors.unrollDim")
     assert base == fast
 
 
