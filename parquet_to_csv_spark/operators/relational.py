@@ -2056,6 +2056,8 @@ def adamic_adar_links(
     convention) so the score sum is exact long arithmetic;
     top-k is TakeOrderedAndProject on (score, pair).
     """
+    from parquet_to_csv_spark.operators.dedup import _materialize_once
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -2063,7 +2065,13 @@ def adamic_adar_links(
     )
     a = li.alias("a")
     b = li.alias("b")
-    edges = (
+    # Round 12: the edge and pivot relations are branch-shared (edges
+    # feeds und twice + the final anti-join; pivot is both wedge
+    # sides), and Spark re-derives duplicated subtrees — the before
+    # plan ran the orderkey self-join + distinct NINE times (20
+    # Exchanges, 20 scans). One lazy localCheckpoint each computes
+    # them once; every branch reads the materialized blocks.
+    edges = _materialize_once(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -2076,9 +2084,11 @@ def adamic_adar_links(
         edges.select(F.col("pb").alias("z"), F.col("pa").alias("x"))
     )
     deg = und.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
-    pivot = und.join(
-        F.broadcast(deg.filter(F.col("d") <= max_degree)), "z"
-    ).select("z", "x", "d")
+    pivot = _materialize_once(
+        und.join(
+            F.broadcast(deg.filter(F.col("d") <= max_degree)), "z"
+        ).select("z", "x", "d")
+    )
     w1 = pivot.alias("w1")
     w2 = pivot.alias("w2")
     wedges = w1.join(

@@ -37,47 +37,18 @@ from parquet_to_csv_spark.sources.tables import load_table
 # of one-time Janino compilation per codegen stage, which DOMINATES at
 # bench scale (sf0.1 queries run once over ≤ a few hundred thousand
 # pairs: cosine_topk noop 0.25 s → 2.6 s). So the unroll is a
-# SCALE-DEPENDENT setting: off by default (identical plans to round 10),
-# enabled per session via spark.graft.vectors.unrollDim=true for
-# deployments whose pair volume amortizes compilation (anything past
-# ~10⁶ pair-evals per stage — i.e. any real corpus; see
-# OPTIMIZATION_r11.md "similarity family"). A wrong/absent probe is
-# harmless — vectors.py guards per row on size(arr)==dim and falls back
-# to the higher-order fold, so results are identical on every path.
-_DIM_CACHE: dict[str, int | None] = {}
-
-
+# Round 12: the round-11 `spark.graft.vectors.unrollDim` knob is
+# DELETED (verdict item 8 — prove or drop). The integrated re-measure
+# at sf0.1 killed it: with the unroll enabled, truncation_quality went
+# 1.9 → 22.6 s, knn_shapley_values 3.5 → 10.8 s, cosine_topk
+# 0.49 → 2.5 s — the per-expression ~3·dim-node Catalyst trees get
+# duplicated per use site (cosine alone triples them) and codegen /
+# analysis costs swamp the 2.9× kernel win the isolated round-11
+# microbenchmark measured. The higher-order fold is the only path
+# again; _emb_dim stays as a (now constant-None) seam so call sites
+# keep their shape.
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int | None:
-    import os
-
-    from parquet_to_csv_spark.sources.tables import source_salt
-
-    if (
-        str(
-            spark.conf.get("spark.graft.vectors.unrollDim", "false")
-        ).lower()
-        != "true"
-    ):
-        return None
-    try:
-        key = source_salt(sf_dir, "embeddings")
-    except OSError:
-        return None
-    if key not in _DIM_CACHE:
-        dim = None
-        try:
-            import pyarrow.parquet as pq
-
-            pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-            for batch in pf.iter_batches(batch_size=1, columns=["embedding"]):
-                if batch.num_rows:
-                    v = batch.column(0)[0].as_py()
-                    dim = len(v) if v is not None else None
-                break
-        except Exception:  # noqa: BLE001 — probe is best-effort by design
-            dim = None
-        _DIM_CACHE[key] = dim
-    return _DIM_CACHE[key]
+    return None
 
 
 def cosine_topk(
@@ -173,20 +144,24 @@ def neardup_pairs_df(
     sim = dot_product(F.col("a.embedding"), F.col("b.embedding"), dim) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a._sub") == F.col("b._sub"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round(sim, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # The threshold lives IN the join condition, after the id
+    # inequality: a trailing .filter(cosine >= t) gets pushed into the
+    # join by Catalyst but lands BEFORE the residual `vec_id <` test,
+    # so the O(dim) interpreted cosine fold ran for every ORDERED pair
+    # (n² per block). Conjunct order is preserved left-to-right and the
+    # join's codegen short-circuits, so placing `vec_id <` first halves
+    # the dominant per-pair cost — same rows, same values.
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a._sub") == F.col("b._sub"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (F.round(sim, 6) >= threshold),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        F.round(sim, 6).alias("cosine"),
     )
 
 
@@ -496,25 +471,15 @@ def srp_lsh_topk(
 def _sqdist(vec_col, cent_col, dim: int | None = None) -> "F.Column":
     """Σ (x_i − c_i)² as the same left-fold both engines run.
 
-    ``dim``: same codegen'd-unroll-with-size-guard contract as
-    ``functions.vectors.dot_product`` — identical fold order, so
-    results are bit-identical on every path."""
-    hof = F.aggregate(
+    ``dim`` is inert (the round-11 unroll path was deleted in round 12
+    with the rest of the unrollDim knob — see functions.vectors)."""
+    return F.aggregate(
         F.zip_with(
             vec_col, cent_col, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    if dim is None:
-        return hof
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        d = F.element_at(vec_col, i).cast("double") - F.element_at(cent_col, i)
-        acc = acc + d * d
-    return F.when(
-        (F.size(vec_col) == F.lit(dim)) & (F.size(cent_col) == F.lit(dim)), acc
-    ).otherwise(hof)
 
 
 def kmeans_iterations(
@@ -2782,46 +2747,57 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
     from parquet_to_csv_spark.operators.dedup import _cut_lineage
 
     dim = _emb_dim(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
-    )
-    selected = _cut_lineage(
-        emb.filter(F.col("vec_id") == 0)
-        .select(
-            F.lit(0).alias("pick"),
-            "vec_id",
-            F.lit(None).cast("double").alias("sel_dist"),
-            "embedding",
-            "nrm",
-        )
-        .coalesce(1)
-    )
     denom = F.col("nrm") * F.col("s_nrm")
     dist = F.lit(1.0) - F.when(
         denom > F.lit(0.0),
         dot_product(F.col("embedding"), F.col("s_emb"), dim) / denom,
     )
-    for r in range(1, k):
-        s = F.broadcast(
-            selected.select(
+
+    # Round 12 (guide §2.1): the per-round min-distance is INCREMENTAL
+    # — md_r(x) = least(md_{r-1}(x), d(x, new_pick)) — the standard
+    # farthest-point-sampling recurrence. The previous shape rejoined
+    # ALL r selected rows each round and re-minimized via a
+    # groupBy(vec_id, embedding, nrm), which re-scanned the parquet
+    # AND shuffled the full N-row embedding relation once per round
+    # (unique keys ⇒ the partial agg reduced nothing). Now each round
+    # is a map-only update of the checkpointed candidate state against
+    # the ONE new pick (1-row broadcast): zero N-row exchanges, zero
+    # re-scans, N·k instead of N·k² pair distances. min over a set ==
+    # the incremental least() chain exactly (no rounding in min), and
+    # each d is the identical fold — results are bit-identical.
+    def _as_s(one_row):
+        return F.broadcast(
+            one_row.select(
                 F.col("vec_id").alias("s_id"),
                 F.col("embedding").alias("s_emb"),
                 F.col("nrm").alias("s_nrm"),
             )
         )
-        mind = (
-            emb.join(s, F.col("vec_id") != F.col("s_id"))
-            .join(
-                F.broadcast(selected.select(F.col("vec_id").alias("x_id"))),
-                F.col("vec_id") == F.col("x_id"),
-                "left_anti",
-            )
-            .select("vec_id", "embedding", "nrm", dist.alias("d"))
-            .groupBy("vec_id", "embedding", "nrm")
-            .agg(F.min("d").alias("md"))
+
+    seed = _cut_lineage(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(0).alias("pick"),
+            "vec_id",
+            F.lit(None).cast("double").alias("sel_dist"),
+            "embedding",
+            l2_norm(F.col("embedding"), dim).alias("nrm"),
         )
-        picked = (
-            mind.groupBy()
+        .coalesce(1)
+    )
+    cand = _cut_lineage(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "embedding", l2_norm(F.col("embedding"), dim).alias("nrm")
+        )
+        .join(_as_s(seed), F.col("vec_id") != F.col("s_id"))
+        .select("vec_id", "embedding", "nrm", dist.alias("md"))
+    )
+    log = seed.select("pick", "vec_id", "sel_dist")
+    for r in range(1, k):
+        picked = _cut_lineage(
+            cand.groupBy()
             .agg(
                 F.max_by(
                     F.struct("vec_id", "embedding", "nrm", "md"),
@@ -2835,9 +2811,20 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
                 F.col("p.embedding").alias("embedding"),
                 F.col("p.nrm").alias("nrm"),
             )
+            .coalesce(1)
         )
-        selected = _cut_lineage(selected.unionByName(picked).coalesce(1))
-    return selected.select("pick", "vec_id", "sel_dist")
+        log = log.unionByName(picked.select("pick", "vec_id", "sel_dist"))
+        if r < k - 1:
+            cand = _cut_lineage(
+                cand.join(_as_s(picked), F.col("vec_id") != F.col("s_id"))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    "nrm",
+                    F.least(F.col("md"), dist).alias("md"),
+                )
+            )
+    return log
 
 
 def label_diag_fid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -222,9 +222,17 @@ def bm25_topk(
     product first, ONE double division — so both engines evaluate the
     identical float expression.
     """
+    from parquet_to_csv_spark.operators.dedup import _materialize_once
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col("text").alias("toks"))
-    stats = toks.select("doc_id", F.size("toks").alias("dl"), "toks")
+    # Round 12: the corpus agg and the two tf-subtree branches (df_
+    # and contrib both re-derive tf) re-tokenized the corpus 4× —
+    # materialize the tokenized relation once ("tokens computed once
+    # per doc" now holds physically, not just logically).
+    stats = _materialize_once(
+        toks.select("doc_id", F.size("toks").alias("dl"), "toks")
+    )
     corpus = stats.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("dl").cast("long")).alias("sum_dl"),
@@ -2210,9 +2218,17 @@ def rocchio_prf_topk(
     replay bit-identically. Plan: token scan → array-local filter /
     broadcast-term joins only; no unbounded fan-out; final top-k is
     TakeOrderedAndProject."""
+    from parquet_to_csv_spark.operators.dedup import _materialize_once
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col("text").alias("toks"))
-    stats = toks.select("doc_id", F.size("toks").alias("dl"), "toks")
+    # Round 12: five consumers (corpus agg, both tf passes, fb_cnt,
+    # cand_df) each re-tokenized the full corpus — tokenization was
+    # the measured wall of this query. Materialize the tokenized
+    # relation once; every stage reads the blocks.
+    stats = _materialize_once(
+        toks.select("doc_id", F.size("toks").alias("dl"), "toks")
+    )
     corpus = stats.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("dl").cast("long")).alias("sum_dl"),
