@@ -3008,22 +3008,58 @@ def shingle_jaccard_pairs(
             "doc_id", F.array_sort("sh").alias("sh"), F.size("sh").alias("sz")
         )
     )
+    # Asymmetric AllPairs prefixes + integer PPJoin positional filter
+    # (round 12) — the exact machinery of :func:`ngram_jaccard_pairs`
+    # (see the soundness notes there), applied to the sorted shingle-
+    # hash arrays: candidates generated size-ordered, the smaller side
+    # indexes only its mid-prefix |A| − ⌊(2t/(1+t))·|A|⌋ + 1, the
+    # first-common-shingle overlap bound prunes rows BEFORE the
+    # exchange + distinct, and the exact-Jaccard verify downstream
+    # keeps every pruning semantics-safe. The join key is already a
+    # 64-bit shingle hash — no re-hash needed.
+    import math as _math
+
     plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    pref = base.select(
-        "doc_id", "sz", F.explode(F.slice("sh", F.lit(1), plen)).alias("ph")
+    c2 = 2.0 * threshold / (1.0 + threshold)
+    plen_idx = (
+        F.col("sz") - F.floor(F.lit(c2) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
+
+    def _pref(plen_col):
+        return base.select(
+            "doc_id", "sz",
+            F.posexplode(F.slice("sh", F.lit(1), plen_col)).alias("pidx", "ph"),
+        )
+
+    a = _pref(plen_idx).alias("a")
+    b = _pref(plen).alias("b")
+    tbp = int(_math.floor(threshold * 10000))
+    overlap_ub = (
+        F.lit(1)
+        + F.least(
+            F.col("a.sz") - 1 - F.col("a.pidx"),
+            F.col("b.sz") - 1 - F.col("b.pidx"),
+        )
+    ).cast("long")
+    size_order = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    a = pref.alias("a")
-    b = pref.alias("b")
-    eps = 1e-9
     cand = (
         a.join(
             b,
             (F.col("a.ph") == F.col("b.ph"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps))
-            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps)),
+            & size_order
+            & (F.col("a.sz").cast("long") * 10000 >= F.lit(tbp) * F.col("b.sz"))
+            & (
+                F.lit(10000 + tbp) * overlap_ub
+                >= F.lit(tbp) * (F.col("a.sz").cast("long") + F.col("b.sz"))
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
         .distinct()
     )
     sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -94,20 +94,50 @@ def cosine_topk(
     )
 
 
-def _srp_bits(vec_col, n_bits: int = 8, dim: int = 64, seed: int = 1234) -> "F.Column":
+def _srp_fold(vec_sql: str, planes: list[list[float]]) -> "F.Column":
+    """Whole-bucket id in ONE nested-HOF expression: bit j = sign of
+    ⟨v, h_j⟩, summed as Σ when(dot(v,h_j)>0, 2^j) over ascending j.
+
+    Round 12 (guide §4 — plan-construction cost): the previous shape
+    built one dot-product tree PER PLANE per use site (n_bits × tables
+    × both self-join sides) with per-element ``F.lit`` literals, and
+    the py4j round-trips to assemble them dominated srp_lsh_topk's
+    wall (build 1.7 s of 2.5 s total; profiled 1.5 s in socket
+    ``recv_into``). The whole fold is now ONE ``F.expr`` SQL string —
+    a single py4j call; the JVM parser builds the tree. ``vec_sql`` is
+    the input column as a SQL identifier/expression.
+
+    Value parity: the inner dot is the identical cast-multiply
+    zip_with/aggregate left fold; the outer sum is exact integer
+    addition in the same ascending-j order; ``repr(float)`` is the
+    shortest round-trip decimal and the ``D`` suffix forces the SQL
+    DOUBLE parse path (a bare ``x.y`` literal is DECIMAL — the round-4
+    truncation trap), so every parsed plane is bit-identical to the
+    old element-wise literal."""
+    mat_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{v!r}D" for v in h) + ")" for h in planes
+    ) + ")"
+    w_sql = "array(" + ",".join(str(1 << j) for j in range(len(planes))) + ")"
+    dot = (
+        f"aggregate(zip_with({vec_sql}, h, (x, y) -> "
+        "cast(x as double) * cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"aggregate(zip_with({mat_sql}, {w_sql}, (h, w) -> "
+        f"CASE WHEN {dot} > 0 THEN w ELSE 0 END), 0, (acc, v) -> acc + v)"
+    )
+
+
+def _srp_bits(vec_sql: str, n_bits: int = 8, dim: int = 64, seed: int = 1234) -> "F.Column":
     """Signed-random-projection sub-key: ``n_bits`` fixed Gaussian
     hyperplanes (seeded literals — no data pass, identical everywhere);
     bit j = sign of ⟨v, h_j⟩. Deterministic per vector."""
     import random as _random
 
     rng = _random.Random(seed)
-    acc = F.lit(0)
-    for j in range(n_bits):
-        # ONE array literal (not 64 per-element F.lit nodes): 64× fewer
-        # py4j calls and Catalyst tree nodes — identical folded value.
-        h = F.lit([rng.gauss(0.0, 1.0) for _ in range(dim)])
-        acc = acc + F.when(dot_product(vec_col, h) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+    return _srp_fold(
+        vec_sql, [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+    )
 
 
 def neardup_pairs_df(
@@ -135,7 +165,7 @@ def neardup_pairs_df(
     cnts = normed.groupBy("label").agg(F.count(F.lit(1)).alias("_bn"))
     keyed = normed.join(cnts, "label").withColumn(
         "_sub",
-        F.when(F.col("_bn") > max_block, _srp_bits(F.col("embedding"))).otherwise(
+        F.when(F.col("_bn") > max_block, _srp_bits("embedding")).otherwise(
             F.lit(0)
         ),
     )
@@ -371,15 +401,10 @@ def srp_planes(
     ]
 
 
-def _srp_bucket(vec_col: "F.Column", planes: list[list[float]]) -> "F.Column":
-    """Bucket id for one LSH table: bit j = sign of ⟨v, h_j⟩."""
-    acc = F.lit(0)
-    for j, h in enumerate(planes):
-        hl = F.lit(list(h))  # one array literal — see _srp_bits
-        acc = acc + F.when(dot_product(vec_col, hl) > 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
-    return acc
+def _srp_bucket(vec_sql: str, planes: list[list[float]]) -> "F.Column":
+    """Bucket id for one LSH table: bit j = sign of ⟨v, h_j⟩ — one
+    nested-HOF expression (see :func:`_srp_fold`)."""
+    return _srp_fold(vec_sql, planes)
 
 
 def srp_lsh_topk(
@@ -418,7 +443,7 @@ def srp_lsh_topk(
         "vec_id",
         "embedding",
         "nrm",
-        *[_srp_bucket(F.col("embedding"), tabs[t]).alias(f"b{t}") for t in range(n_tables)],
+        *[_srp_bucket("embedding", tabs[t]).alias(f"b{t}") for t in range(n_tables)],
     )
     tb = F.explode(
         F.array(
@@ -3319,7 +3344,7 @@ def nndescent_topk(
     seeds = None
     for t, planes in enumerate(tabs):
         s = emb.select(
-            "vec_id", _srp_bucket(F.col("embedding"), planes).alias("bkt")
+            "vec_id", _srp_bucket("embedding", planes).alias("bkt")
         ).withColumn("t", F.lit(t))
         seeds = s if seeds is None else seeds.unionByName(s)
     sa = seeds.select("t", "bkt", F.col("vec_id").alias("a"))

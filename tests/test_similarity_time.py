@@ -98,7 +98,7 @@ def test_neardup_fat_label_subblocked_small_labels_exact(spark):
     # label is a tiny fraction of the block (600 rows over 256 buckets)
     sizes = (
         df.filter(F.col("label") == "fat")
-        .select(_srp_bits(F.col("embedding")).alias("s"))
+        .select(_srp_bits("embedding").alias("s"))
         .groupBy("s")
         .count()
         .agg(F.max("count"))
